@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for LLM-data pipelines (north-star extension).
+  *
+  * Scale design (the point of every choice here):
+  *   - exact dedup is a hash-groupBy — one shuffle on the 16-byte digest, no
+  *     text comparison;
+  *   - near-dup (MinHash/SimHash) NEVER does all-pairs: candidate pairs come
+  *     from equality joins on band/block keys (shuffle on short keys), the
+  *     expensive verify runs only on candidates. All signature computation is
+  *     pure Catalyst expressions (codegen'd, per-row, shuffle-free).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash; keeps the smallest id. */
+  def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(text).as("h"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Rows surviving exact dedup (first id per content hash wins). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles (distinct), the unit of Jaccard similarity. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))),
+      s => s =!= ""))
+  }
+
+  /** MinHash signature: for seed j, min over shingles of xxhash64(shingle, j).
+    * numHashes hash passes fused into one codegen'd projection. */
+  def minhashSignature(shingleArr: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingleArr, s => xxhash64(s, j))))
+
+  /** LSH band keys: hash of each band of `rowsPerBand` signature entries.
+    * Docs sharing any band key are candidates. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(concat_ws(",",
+        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).cast("string")).as("bh")))
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    * Returns (id_a, id_b, jaccard_pct) with id_a < id_b, jaccard as an exact
+    * integer percent (engine-neutral).
+    *
+    * Pipeline: shingle -> signature -> explode band keys -> self-equi-join on
+    * (band, bandhash) -> distinct candidate pairs -> verify exact Jaccard on
+    * the two shingle sets. The only shuffles are the band join and the
+    * candidate dedup; both are on compact keys.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = withSig
+      .select(col("id"), col("sh"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+    val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bk"))
+    val cand = a.join(b, Seq("bk")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("uni") > 0 && col("inter") * 100 >= col("uni") * (threshold * 100).toInt)
+      .select(col("id_a"), col("id_b"),
+        (col("inter") * 100L / col("uni")).cast("long").as("jaccard_pct"))
+  }
+
+  /** 64-bit SimHash over word unigrams: sign of the per-bit sum of +-1 votes
+    * from each word's xxhash64. Pure expressions, one pass. */
+  def simhash(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val votes = aggregate(
+      words,
+      array_repeat(lit(0L), 64),
+      (acc, w) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          b => when(call_function("shiftright", xxhash64(w), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
+        (x, y) => x + y))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, found by
+    * pigeonhole blocking: split the 64-bit hash into (maxDist+1) blocks —
+    * any pair within distance shares at least one exact block. Equality join
+    * on (blockIdx, blockValue), then exact bit_count verify. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val nBlocks = maxDist + 1
+    val bits = 64 / nBlocks
+    val withH = df.select(col(idCol).as("id"), simhash(col(textCol)).as("h"))
+    val blocked = withH.select(col("id"), col("h"),
+      explode(transform(sequence(lit(0), lit(nBlocks - 1)),
+        i => struct(i.as("bi"),
+          call_function("shiftright", col("h"), i * bits)
+            .bitwiseAND(lit((1L << bits) - 1)).as("bv")))).as("blk"))
+    val a = blocked.select(col("id").as("id_a"), col("h").as("h_a"), col("blk"))
+    val b = blocked.select(col("id").as("id_b"), col("h").as("h_b"), col("blk"))
+    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("hamming"))
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs from a shared-shingle inverted
+    * index (rare-shingle blocking keeps the join sparse at scale). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxShingleFreq: Int = 100): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val inv = withSh.select(col("id"), explode(col("sh")).as("s"))
+    // drop ubiquitous shingles — they generate quadratic candidates and no signal
+    val rare = inv.groupBy("s").agg(count(lit(1)).as("df_"))
+      .where(col("df_") <= maxShingleFreq).select("s")
+    val pruned = inv.join(rare, Seq("s"))
+    val cand = pruned.select(col("s"), col("id").as("id_a"))
+      .join(pruned.select(col("s"), col("id").as("id_b")), Seq("s"))
+      .where(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+    cand.join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("uni") > 0 && col("inter") * 100 >= col("uni") * (threshold * 100).toInt)
+      .select(col("id_a"), col("id_b"),
+        (col("inter") * 100L / col("uni")).cast("long").as("jaccard_pct"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (north-star extension;
+  * BASELINE.json). All are pure Catalyst expressions (whole-stage codegen'd,
+  * no UDFs) so they stream through a 100 TB scan at full width — each is
+  * per-row, shuffle-free, and column-pruned to `text` + the id.
+  */
+object Text {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** BPE-ish subword count: word chunks + digits + punctuation as separate
+    * tokens (a regex approximation of byte-pair tokenizers' pre-tokenizer). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,6}|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Quality-signal columns: length, whitespace, sentence punctuation,
+    * uppercase letters, digit count. Ratios are left to the caller (exact
+    * integer counts compare engine-neutrally). */
+  def qualitySignals(df: DataFrame, text: Column): DataFrame = df
+    .withColumn("n_chars_q", length(text).cast("long"))
+    .withColumn("n_spaces", (length(text) - length(regexp_replace(text, " ", ""))).cast("long"))
+    .withColumn("n_punct", size(regexp_extract_all(text, lit("[.!?]"), lit(0))).cast("long"))
+    .withColumn("n_upper", size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("long"))
+    .withColumn("n_digit", size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("long"))
+
+  /** English stopword hits — the n-gram-heuristic language-ID signal. */
+  def stopwordHits(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\b(the|and|of|to|a|in|is|it|that|for)\\b"), lit(0))).cast("long")
+
+  /** Heuristic language ID: enough English stopwords -> 'en'. */
+  def langId(text: Column, minHits: Int = 3): Column =
+    when(stopwordHits(text) >= minHits, lit("en")).otherwise(lit("other"))
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text
+    * (stable under reflow — the exact-dedup key for near-identical docs). */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+}

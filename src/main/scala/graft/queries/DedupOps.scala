@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication queries over `documents`. Exact dedup has a direct SQL
+  * oracle; the near-dup families (MinHash-LSH, SimHash, n-gram Jaccard) are
+  * deterministic but hash-implementation-specific, so the driver records
+  * rows-only checks for them — their correctness is pinned by DedupSpec
+  * (hand-computable fixtures) instead.
+  */
+object DedupOps {
+  import Tables.t
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "d_exact_groups" -> QueryDef(
+      (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("keep_id"), col("h"), col("n"))
+        .orderBy("keep_id"),
+      Some("""SELECT MIN(doc_id) AS keep_id, md5(text) AS h, COUNT(*) AS n
+              FROM documents GROUP BY md5(text) ORDER BY keep_id""")
+    ),
+
+    "d_exact_dedup" -> QueryDef(
+      (s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "n_chars").orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars FROM documents
+              WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+              ORDER BY doc_id""")
+    ),
+
+    "d_minhash_lsh" -> QueryDef(
+      (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      None
+    ),
+
+    "d_simhash" -> QueryDef(
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+        .orderBy("id_a", "id_b"),
+      None
+    ),
+
+    "d_ngram_jaccard" -> QueryDef(
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      None
+    )
+  )
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.core._
+import graft.world.{DimSpec, World}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's own query surface (SURVEY §2.1-2.4, §3) exercised over the
+  * driver's `events` table as a 2-dim world: dim0 = `event_id` (the unique
+  * id), dim1 = `user_id`. Every query's oracle SQL reproduces the
+  * chunk-granular selection semantics with explicit integer bucket arithmetic
+  * — the chunk bounds embedded in the SQL are computed by the SAME
+  * [[DimMapping]] the engine uses, so the oracle checks the rounding
+  * semantics, not just the data.
+  */
+object DmdsQueries {
+  import Tables.t
+
+  // events world config: event_id in [0, 2^20) / 512; user_id in [0, 2^14) / 16
+  private val d0 = DimMapping(0L, (1L << 20) - 1, 512L)
+  private val d1 = DimMapping(0L, (1L << 14) - 1, 16L)
+  private def specs = Seq(DimSpec("event_id", d0), DimSpec("user_id", d1))
+
+  /** A detached world over `events` (predicate path — no materialization). */
+  private def world(spark: SparkSession): World =
+    new World(spark, "/tmp/graft_world_unused", specs)
+
+  private def events(s: SparkSession, dir: String): DataFrame = t(s, dir, "events")
+
+  private val evCols = Seq("event_id", "user_id", "event_type", "value", "props")
+  private val evColsSql = evCols.mkString(", ")
+
+  /** Spark-side: bucketize + pruning predicate + drop bucket cols. */
+  private def applySel(s: SparkSession, dir: String)(
+      mk: World => graft.world.WorldSelect): DataFrame = {
+    val w = world(s)
+    val sel = mk(w)
+    w.withBuckets(events(s, dir))
+      .where(sel.pruningPredicate)
+      .select(evCols.map(col): _*)
+      .orderBy("event_id")
+  }
+
+  // chunk bounds used in oracle SQL — computed by the engine's own mapping
+  private def cr(m: DimMapping, b: Bounds): (Long, Long) = m.chunksOf(b).get
+
+  val defs: Map[String, QueryDef] = {
+    val selRange = cr(d1, Bounds.to(100, 119)) // user chunks 6..7
+    val andU = cr(d1, Bounds.to(32, 80))       // 2..5
+    val andE = cr(d0, Bounds.to(1000, 4999))   // 1..9
+    val plusA = cr(d1, Bounds.to(0, 15))       // 0..0
+    val plusB = cr(d1, Bounds.to(128, 143))    // 8..8
+
+    Map(
+      // --- scans + selection algebra (src/world.rs:301-335, 588-644) ---
+      "w_select_range" -> QueryDef(
+        (s, dir) => applySel(s, dir)(_.select(1, Bounds.to(100, 119))),
+        Some(s"""SELECT $evColsSql FROM events
+                 WHERE ((user_id - 0) // 16) BETWEEN ${selRange._1} AND ${selRange._2}
+                 ORDER BY event_id""")
+      ),
+      "w_select_and" -> QueryDef(
+        (s, dir) => applySel(s, dir)(
+          _.select(1, Bounds.to(32, 80)).and(0, Bounds.to(1000, 4999))),
+        Some(s"""SELECT $evColsSql FROM events
+                 WHERE ((user_id - 0) // 16) BETWEEN ${andU._1} AND ${andU._2}
+                   AND ((event_id - 0) // 512) BETWEEN ${andE._1} AND ${andE._2}
+                 ORDER BY event_id""")
+      ),
+      "w_select_plus" -> QueryDef(
+        (s, dir) => applySel(s, dir)(
+          _.select(1, Bounds.to(0, 15)).plus(1, Bounds.to(128, 143))),
+        Some(s"""SELECT $evColsSql FROM events
+                 WHERE ((user_id - 0) // 16) BETWEEN ${plusA._1} AND ${plusA._2}
+                    OR ((user_id - 0) // 16) BETWEEN ${plusB._1} AND ${plusB._2}
+                 ORDER BY event_id""")
+      ),
+      "w_select_hint" -> QueryDef(
+        (s, dir) => applySel(s, dir)(_.selectAll.hints(Seq(7L, 77L, 777L, 7777L))),
+        Some(s"""SELECT $evColsSql FROM events
+                 WHERE event_id IN (7, 77, 777, 7777) ORDER BY event_id""")
+      ),
+      "w_select_all" -> QueryDef(
+        (s, dir) => {
+          val w = world(s)
+          w.withBuckets(events(s, dir)).where(w.selectAll.pruningPredicate)
+            .select((evCols :+ "ts").map(col): _*)
+            .withColumn("ts_us", unix_micros(col("ts").cast("timestamp"))).drop("ts")
+            .orderBy("event_id")
+        },
+        Some(s"""SELECT $evColsSql, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                 FROM events ORDER BY event_id""")
+      ),
+      "w_select_empty" -> QueryDef(
+        // out-of-domain range -> Shape::None -> empty scan (src/world.rs:301-329)
+        (s, dir) => applySel(s, dir)(_.select(1, Bounds.to(20000, 30000)))
+          .select("event_id", "user_id"),
+        Some("SELECT event_id, user_id FROM events WHERE 1=0 ORDER BY event_id")
+      ),
+      "w_rows_exact" -> QueryDef(
+        // chunk-granular scan + caller's row-exact residual filter (SURVEY §2.2)
+        (s, dir) => applySel(s, dir)(_.select(1, Bounds.to(100, 119)))
+          .where(col("user_id").between(100, 119)),
+        Some(s"""SELECT $evColsSql FROM events
+                 WHERE ((user_id - 0) // 16) BETWEEN ${selRange._1} AND ${selRange._2}
+                   AND user_id BETWEEN 100 AND 119
+                 ORDER BY event_id""")
+      ),
+      "w_dims_proj" -> QueryDef(
+        // Lazy::dims projection (src/world/iter.rs:96-113)
+        (s, dir) => applySel(s, dir)(_.select(1, Bounds.to(32, 80)))
+          .select("event_id", "user_id"),
+        Some(s"""SELECT event_id, user_id FROM events
+                 WHERE ((user_id - 0) // 16) BETWEEN ${andU._1} AND ${andU._2}
+                 ORDER BY event_id""")
+      ),
+
+      // --- point ops restated batch-relationally (src/world.rs:553-584 etc.) ---
+      "w_upsert" -> QueryDef(
+        // insert = replace-on-conflict by id: new rows win (src/world.rs:124-150)
+        (s, dir) => {
+          val e = events(s, dir).select("event_id", "user_id", "event_type", "value")
+          val upd = e.where(col("user_id") < 8)
+            .withColumn("value", col("value") + 1000)
+          val unioned = upd.withColumn("__pri", lit(0))
+            .unionByName(e.withColumn("__pri", lit(1)))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("event_id").orderBy("__pri")
+          unioned.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1).drop("__pri", "__rn")
+            .orderBy("event_id")
+        },
+        Some("""SELECT event_id, user_id, event_type,
+                  CASE WHEN user_id < 8 THEN value + 1000 ELSE value END AS value
+                FROM events ORDER BY event_id""")
+      ),
+      "w_try_insert" -> QueryDef(
+        // insert-if-absent: existing ids keep their rows (src/world.rs:152-178)
+        (s, dir) => {
+          val e = events(s, dir).select("event_id", "user_id", "event_type", "value")
+          val base = e.where(col("event_id") % 3 =!= 0)
+          val incoming = e.select(col("event_id"), col("user_id"),
+            lit("ins").as("event_type"), lit(-1.0).as("value"))
+          val fresh = incoming.join(base.select("event_id"), Seq("event_id"), "left_anti")
+          base.unionByName(fresh).orderBy("event_id")
+        },
+        Some("""SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 3 <> 0
+                UNION ALL
+                SELECT event_id, user_id, 'ins' AS event_type, -1.0 AS value FROM events WHERE event_id % 3 = 0
+                ORDER BY event_id""")
+      ),
+      "w_destroy" -> QueryDef(
+        // delete by id set (src/world/iter.rs:254-265)
+        (s, dir) => events(s, dir).select(evCols.map(col): _*)
+          .where(col("event_id") % 100 =!= 7).orderBy("event_id"),
+        Some(s"""SELECT $evColsSql FROM events WHERE event_id % 100 <> 7 ORDER BY event_id""")
+      ),
+      "w_relocate" -> QueryDef(
+        // get_mut + close: mutate dim1 -> re-bucket (src/world/iter.rs:173-252,195-211)
+        (s, dir) => {
+          val moved = events(s, dir)
+            .withColumn("user_id",
+              when(col("user_id") < 16, col("user_id") + 16).otherwise(col("user_id")))
+          moved.select(col("event_id"), col("user_id"),
+            DimSpec("user_id", d1).bucketExpr.as("c1")).orderBy("event_id")
+        },
+        Some("""SELECT event_id,
+                  CASE WHEN user_id < 16 THEN user_id + 16 ELSE user_id END AS user_id,
+                  ((CASE WHEN user_id < 16 THEN user_id + 16 ELSE user_id END - 0) // 16) AS c1
+                FROM events ORDER BY event_id""")
+      ),
+      "w_quarantine" -> QueryDef(
+        // ValueOutOfRange rows -> quarantine, not panic (src/range.rs:62-71)
+        (s, dir) => {
+          val tight = new World(s, "/tmp/graft_world_unused", Seq(
+            DimSpec("event_id", d0), DimSpec("user_id", DimMapping(0L, 63L, 16L))))
+          tight.outOfRange(events(s, dir)).select("event_id", "user_id").orderBy("event_id")
+        },
+        Some("SELECT event_id, user_id FROM events WHERE user_id > 63 ORDER BY event_id")
+      ),
+      "w_world_roundtrip" -> QueryDef(
+        // full pipeline: create bucket-partitioned world on disk, partition-pruned read
+        (s, dir) => {
+          val path = s"/tmp/graft_world_rt_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+          val w = new World(s, path, specs)
+          w.create(events(s, dir).select("event_id", "user_id", "event_type", "value"))
+          w.select(1, Bounds.to(100, 119)).and(0, Bounds.to(1000, 8999)).iter()
+            .select("event_id", "user_id", "event_type", "value")
+            .orderBy("event_id")
+        },
+        Some {
+          val u = cr(d1, Bounds.to(100, 119)); val e = cr(d0, Bounds.to(1000, 8999))
+          s"""SELECT event_id, user_id, event_type, value FROM events
+              WHERE ((user_id - 0) // 16) BETWEEN ${u._1} AND ${u._2}
+                AND ((event_id - 0) // 512) BETWEEN ${e._1} AND ${e._2}
+              ORDER BY event_id"""
+        }
+      )
+    )
+  }
+}

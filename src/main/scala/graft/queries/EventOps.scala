@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time operators over the `events` table: tumbling/sliding/session
+  * windows (batch equivalents of the Structured Streaming ops in
+  * graft.streaming) and an as-of join. Window starts are emitted as epoch
+  * microseconds (BIGINT) for engine-neutral comparison.
+  */
+object EventOps {
+  import Tables.t
+
+  private val dec = DecimalType(18, 2)
+
+  private def ev(s: SparkSession, dir: String): DataFrame = t(s, dir, "events")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "e_tumbling_window" -> QueryDef(
+      (s, dir) => ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast(dec).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start_us", "event_type"),
+      Some("""SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_start_us,
+                event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+              FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""")
+    ),
+
+    "e_sliding_window" -> QueryDef(
+      (s, dir) => ev(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("w.start")).as("win_start_us"), col("event_type"), col("n"))
+        .orderBy("win_start_us", "event_type"),
+      Some("""WITH w AS (
+                SELECT date_trunc('hour', ts) AS ws, event_type FROM events
+                UNION ALL
+                SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type FROM events)
+              SELECT CAST(epoch_us(ws) AS BIGINT) AS win_start_us, event_type, COUNT(*) AS n
+              FROM w GROUP BY 1, 2 ORDER BY win_start_us, event_type""")
+    ),
+
+    "e_session_window" -> QueryDef(
+      // 30-min-gap sessions per user (batch form of session_window)
+      (s, dir) => ev(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"), col("n_events"))
+        .orderBy("user_id", "session_start_us"),
+      Some("""WITH x AS (
+                SELECT user_id, ts,
+                  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 30 MINUTE
+                       THEN 0 ELSE 1 END AS new_s
+                FROM events),
+              y AS (
+                SELECT user_id, ts,
+                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                FROM x)
+              SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+                COUNT(*) AS n_events
+              FROM y GROUP BY user_id, sid ORDER BY user_id, session_start_us""")
+    ),
+
+    "e_asof_join" -> QueryDef(
+      // for each click: the most recent strictly-earlier error of the same
+      // user. Implemented scalably (one shuffle by user_id): tag-union +
+      // last_value window — not a per-row correlated lookup.
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("tag"),
+            lit(null).cast("timestamp").as("err_ts"))
+        val errors = e.where(col("event_type") === "error")
+          .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+            lit(1).as("tag"), col("ts").as("err_ts"))
+        // at equal ts the click sorts BEFORE the error -> strict "<" semantics
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(errors)
+          .withColumn("prior_error_us",
+            unix_micros(last(col("err_ts"), ignoreNulls = true).over(w)))
+          .where(col("tag") === 0)
+          .select("event_id", "user_id", "prior_error_us")
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id, epoch_us(MAX(e.ts)) AS prior_error_us
+              FROM events c LEFT JOIN events e
+                ON e.user_id = c.user_id AND e.event_type = 'error' AND e.ts < c.ts
+              WHERE c.event_type = 'click'
+              GROUP BY c.event_id, c.user_id ORDER BY c.event_id""")
+    )
+  )
+}

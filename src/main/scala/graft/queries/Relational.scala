@@ -1,0 +1,396 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** The relational layer (SURVEY §2.9): dmds has no joins/aggs/windows/sorts/
+  * set-ops/scalar functions — capability parity comes from Spark built-ins,
+  * declared here with DuckDB oracles. Plans are left declarative so Catalyst
+  * pushes filters/projections to the scans and picks broadcast joins for the
+  * small dimension tables.
+  */
+object Relational {
+  import Tables.t
+
+  private val dec = DecimalType(18, 2)
+  private def d(c: String) = col(c).cast(dec)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---------------------------------------------------------- aggregation
+    "q1_agg" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(d("l_quantity")).cast(dec).as("sum_qty"),
+          sum(d("l_extendedprice")).cast(dec).as("sum_base_price"),
+          // natural scale-4 sum — a final round-to-2 cast is an engine-specific
+          // half-way coin flip (Spark HALF_UP vs DuckDB), so don't round
+          sum(d("l_extendedprice") * (lit(1).cast(dec) - d("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+                SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+                COUNT(*) AS count_order
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")
+    ),
+
+    "q_filter_pushdown" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 48 && col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+              WHERE l_quantity >= 48 AND l_discount > 0.05
+              ORDER BY l_orderkey, l_linenumber""")
+    ),
+
+    // ---------------------------------------------------------------- joins
+    "q3_top_revenue" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer"); val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+          .agg(sum(d("l_extendedprice") * (lit(1).cast(dec) - d("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+                SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+              ORDER BY revenue DESC, o_orderkey LIMIT 10""")
+    ),
+
+    "q5_nation_revenue" -> QueryDef(
+      (s, dir) => {
+        // star join: broadcast the small dims (region/nation/supplier/customer)
+        val r = broadcast(t(s, dir, "region")); val n = broadcast(t(s, dir, "nation"))
+        val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem"); val su = broadcast(t(s, dir, "supplier"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+          .join(n, su("s_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(d("l_extendedprice") * (lit(1).cast(dec) - d("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+                SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY n_name ORDER BY revenue DESC, n_name""")
+    ),
+
+    "q_semi_join" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders o
+              WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+              ORDER BY o_orderkey""")
+    ),
+
+    "q_anti_join" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+              ORDER BY c_custkey""")
+    ),
+
+    "q_left_join_agg" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("order_cnt"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c_custkey ORDER BY c_custkey""")
+    ),
+
+    "q_full_outer" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer").select("c_custkey", "c_name")
+        val o = t(s, dir, "orders").groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_name"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+          .orderBy("custkey")
+      },
+      Some("""SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_name AS c_name,
+                COALESCE(o.cnt, 0) AS cnt
+              FROM customer c FULL JOIN
+                (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
+                ON c.c_custkey = o.o_custkey
+              ORDER BY custkey""")
+    ),
+
+    "q_cross_join" -> QueryDef(
+      (s, dir) => t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select("r_name", "n_name").orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""")
+    ),
+
+    "q_range_join" -> QueryDef(
+      (s, dir) => {
+        val s2 = s
+        import s2.implicits._
+        val bands = Seq(("B0", 0.0, 1000.0), ("B1", 1000.0, 1500.0),
+          ("B2", 1500.0, 2000.0), ("B3", 2000.0, 1e9)).toDF("band", "lo", "hi")
+        val p = t(s, dir, "part")
+        p.join(broadcast(bands), p("p_retailprice") >= bands("lo") && p("p_retailprice") < bands("hi"))
+          .select("p_partkey", "band").orderBy("p_partkey", "band")
+      },
+      Some("""SELECT p_partkey, b.band FROM part p
+              JOIN (VALUES ('B0', 0.0, 1000.0), ('B1', 1000.0, 1500.0),
+                           ('B2', 1500.0, 2000.0), ('B3', 2000.0, 1e9)) AS b(band, lo, hi)
+                ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+              ORDER BY p_partkey, b.band""")
+    ),
+
+    // -------------------------------------------------------------- windows
+    "q_window_topk" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""")
+    ),
+
+    "q_window_running" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "lineitem")
+          .withColumn("running_qty", sum(d("l_quantity")).over(w).cast(dec))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                  PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_qty
+              FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""")
+    ),
+
+    "q_window_lag" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        t(s, dir, "events")
+          .withColumn("prev_value", lag("value", 1).over(w))
+          .select("event_id", "user_id", "value", "prev_value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value,
+                LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+              FROM events ORDER BY event_id""")
+    ),
+
+    "q_window_rank" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+        t(s, dir, "part")
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .select("p_brand", "p_partkey", "p_retailprice", "rnk", "drnk")
+          .orderBy("p_brand", "p_partkey")
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice,
+                RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+                DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+              FROM part ORDER BY p_brand, p_partkey""")
+    ),
+
+    // -------------------------------------------------------- sort / limit
+    "q_topn" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""")
+    ),
+
+    // -------------------------------------------------------------- set ops
+    "q_set_union" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        c.where(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+          .union(c.where(col("c_acctbal") > 5000).select("c_custkey"))
+          .distinct().orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+              UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+              ORDER BY c_custkey""")
+    ),
+    "q_set_intersect" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        c.where(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+          .intersect(c.where(col("c_acctbal") > 5000).select("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+              INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+              ORDER BY c_custkey""")
+    ),
+    "q_set_except" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        c.where(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+          .except(c.where(col("c_acctbal") > 5000).select("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+              EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+              ORDER BY c_custkey""")
+    ),
+
+    // ------------------------------------------------------------- distinct
+    "q_distinct" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+              ORDER BY l_returnflag, l_linestatus""")
+    ),
+    "q_count_distinct" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+    // HLL sketch — no DuckDB oracle (different sketch); driver rows-only check
+    "q_approx_distinct" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag"),
+      None
+    ),
+
+    // ------------------------------------------------- rollup / cube / sets
+    "q_rollup" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(d("l_quantity")).cast(dec).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(coalesce(col("l_returnflag"), lit("~")), coalesce(col("l_linestatus"), lit("~"))),
+      Some("""SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                COUNT(*) AS n
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              ORDER BY COALESCE(l_returnflag, '~'), COALESCE(l_linestatus, '~')""")
+    ),
+    "q_cube" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(coalesce(col("l_returnflag"), lit("~")), coalesce(col("l_linestatus"), lit("~"))),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+              FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              ORDER BY COALESCE(l_returnflag, '~'), COALESCE(l_linestatus, '~')""")
+    ),
+    "q_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+                 FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+                 ORDER BY COALESCE(l_returnflag, '~'), COALESCE(l_linestatus, '~')""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+              FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+              ORDER BY COALESCE(l_returnflag, '~'), COALESCE(l_linestatus, '~')""")
+    ),
+
+    // ----------------------------------------------------- scalar functions
+    "q_string_fns" -> QueryDef(
+      (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_u"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, UPPER(p_name) AS name_u, SUBSTRING(p_type, 1, 5) AS type5,
+                CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+                CONCAT(p_brand, '-', p_type) AS brand_type
+              FROM part ORDER BY p_partkey""")
+    ),
+    "q_date_fns" -> QueryDef(
+      (s, dir) => t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+                CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+              FROM orders ORDER BY o_orderkey""")
+    ),
+    "q_math_fns" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("dd"),
+        floor(col("l_extendedprice")).as("fl"),
+        ceil(col("l_quantity")).as("ce"),
+        sqrt(col("l_extendedprice")).as("sq"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS dd,
+                CAST(FLOOR(l_extendedprice) AS BIGINT) AS fl,
+                CAST(CEIL(l_quantity) AS BIGINT) AS ce,
+                SQRT(l_extendedprice) AS sq
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+    ),
+    "q_case_agg" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem").groupBy("l_linestatus")
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+                COUNT(*) AS n
+              FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")
+    ),
+    "q_props_regex" -> QueryDef(
+      (s, dir) => t(s, dir, "events").select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+              FROM events ORDER BY event_id""")
+    )
+  )
+}

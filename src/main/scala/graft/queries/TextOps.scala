@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.ops.{Multimodal, Text}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + multimodal-plumbing queries over `documents`. */
+object TextOps {
+  import Tables.t
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "t_tokens" -> QueryDef(
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        Text.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+              FROM documents ORDER BY doc_id""")
+    ),
+
+    "t_quality" -> QueryDef(
+      (s, dir) => Text.qualitySignals(
+        t(s, dir, "documents").select("doc_id", "text"), col("text"))
+        .drop("text").orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CAST(LENGTH(text) AS BIGINT) AS n_chars_q,
+                CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_spaces,
+                CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_punct,
+                CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+                CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+              FROM documents ORDER BY doc_id""")
+    ),
+
+    "t_langid" -> QueryDef(
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), col("lang").as("lang_true"),
+        Text.stopwordHits(col("text")).as("n_stop"),
+        Text.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang AS lang_true,
+                CAST(len(regexp_extract_all(text, '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS BIGINT) AS n_stop,
+                CASE WHEN len(regexp_extract_all(text, '\b(the|and|of|to|a|in|is|it|that|for)\b')) >= 3
+                     THEN 'en' ELSE 'other' END AS lang_pred
+              FROM documents ORDER BY doc_id""")
+    ),
+
+    "t_fingerprint" -> QueryDef(
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+              FROM documents ORDER BY doc_id""")
+    ),
+
+    // BPE-ish subword counting — Spark-only regex tokenizer (no oracle:
+    // DuckDB's RE2 lacks the exact alternation semantics guarantee we rely on)
+    "t_subwords" -> QueryDef(
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), Text.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id"),
+      None
+    ),
+
+    // multimodal: binary column + metadata extraction (octet length)
+    "m_binary_meta" -> QueryDef(
+      (s, dir) => Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), octet_length(col("media")).cast("long").as("n_bytes"),
+          col("media_type"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                'text/plain' AS media_type
+              FROM documents ORDER BY doc_id""")
+    ),
+
+    // multimodal: per-partition (stubbed) decode + feature extraction —
+    // deterministic byte histogram; no SQL oracle (mapPartitions pipeline)
+    "m_decode_features" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text")
+          .as[Multimodal.MediaRow]
+        Multimodal.fakeDecodeFeatures(s, media).toDF()
+          .select(col("doc_id"), col("n_bytes"),
+            col("features")(0).cast("long").as("f0"),
+            col("features")(7).cast("long").as("f7"))
+          .orderBy("doc_id")
+      },
+      None
+    )
+  )
+}

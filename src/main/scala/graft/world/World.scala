@@ -1,0 +1,318 @@
+package graft.world
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One dimension of a [[World]]: the source column holding the u64 dimension
+  * value, plus its value→chunk bucketing. Dimension 0 is the unique id
+  * (/root/reference/src/world.rs:228-229).
+  */
+final case class DimSpec(column: String, mapping: DimMapping) {
+  /** Bucket (chunk-index) expression: `(col - start) div itemsPerChunk` —
+    * exact integer arithmetic (no double rounding), the Catalyst analog of
+    * `DimMapping::chunk_of` (/root/reference/src/range.rs:40-46). Composes
+    * from built-ins; no custom Expression needed (SURVEY §7).
+    */
+  def bucketExpr: Column =
+    expr(s"(`$column` - ${mapping.start}L) div ${mapping.itemsPerChunk}L")
+}
+
+/** A dim-bucketed table — the Spark-native restatement of `World`
+  * (/root/reference/src/world.rs:252-267). The reference's N-dimensional grid
+  * of chunks becomes a Parquet table partitioned by computed bucket columns
+  * `c0..c{n-1}` (directory layout = chunk grid, like `FsHandle::path`,
+  * /root/reference/tokio-fs/src/lib.rs:109-128); its chunk-selection algebra
+  * becomes partition-pruning predicates Catalyst pushes to the file index;
+  * its buffer pool / flush daemon become Spark caching + the commit protocol.
+  *
+  * Scale notes (design target: 1000-executor cluster, ~100 TB):
+  *   - all point ops are **partition-scoped copy-on-write**: only affected
+  *     bucket directories are rewritten (dynamic partition overwrite), so an
+  *     upsert touching k buckets costs O(k · bucketSize), never O(table);
+  *   - scans prune via partition columns — Catalyst's
+  *     `PruneFileSourcePartitions` never lists unaffected directories;
+  *   - choose `itemsPerChunk` so one bucket ≈ 100 MB–1 GB of Parquet
+  *     (the `items_per_chunk` sizing knob of the reference).
+  */
+final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSpec]) {
+  require(dims.nonEmpty, "DIMS != 0 (/root/reference/src/world.rs:439)")
+
+  val bucketCols: Seq[String] = dims.indices.map(i => s"c$i")
+  private def idCol: String = dims.head.column
+
+  /** Add computed bucket columns (the routing step,
+    * `World::chunk_pos_of_data`, /root/reference/src/world.rs:544-551). */
+  def withBuckets(df: DataFrame): DataFrame =
+    dims.zipWithIndex.foldLeft(df) { case (d, (spec, i)) =>
+      d.withColumn(s"c$i", spec.bucketExpr)
+    }
+
+  /** Rows whose dims fall outside their configured range — the batch analog
+    * of `ValueOutOfRange` (/root/reference/src/range.rs:62-71): quarantine
+    * instead of panic (SURVEY §3.2). */
+  def outOfRange(df: DataFrame): DataFrame = {
+    val bad = dims
+      .map(d => col(d.column) < lit(d.mapping.start) || col(d.column) > lit(d.mapping.endIncl))
+      .reduce(_ || _)
+    df.where(bad)
+  }
+
+  private def validate(df: DataFrame): DataFrame = {
+    val ok = dims
+      .map(d => col(d.column) >= lit(d.mapping.start) && col(d.column) <= lit(d.mapping.endIncl))
+      .reduce(_ && _)
+    df.where(ok)
+  }
+
+  /** Initial (over)write of the world from a DataFrame. Out-of-range rows are
+    * dropped (use [[outOfRange]] to quarantine them first). */
+  def create(df: DataFrame): Unit = {
+    val bucketed = withBuckets(validate(df))
+    bucketed.write
+      .partitionBy(bucketCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+    // schema sidecar: a fully-emptied world (every chunk destroyed) must stay
+    // readable — parquet schema inference has nothing to read then. Analog of
+    // the reference's `NotFound -> empty scan` (src/world/iter.rs:475-479).
+    val fs = fileSystem
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_graft_schema.json"), true)
+    out.write(bucketed.schema.json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def fileSystem: org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  /** The world as a DataFrame; bucket columns come back as partition columns
+    * so predicates on them prune directories, not files. An empty world reads
+    * as an empty DataFrame with the created schema. */
+  def df: DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/_graft_schema.json")
+        val fs = fileSystem
+        if (!fs.exists(p)) throw e
+        val in = fs.open(p)
+        val json = new String(in.readAllBytes(), "UTF-8"); in.close()
+        val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** Entry point of the selection algebra (`World::select`,
+    * /root/reference/src/world.rs:301-329): chunk-range on `dim` from value
+    * bounds, full range on all other dims; out-of-range bounds → empty. */
+  def select(dim: Int, bounds: Bounds): WorldSelect = {
+    val shape = dims(dim).mapping.chunksOf(bounds) match {
+      case None => Shape.None_
+      case Some((lo, hi)) =>
+        Shape.Single(PosBox(dims.indices.map { i =>
+          if (i == dim) (lo, hi) else dims(i).mapping.chunkRange
+        }.toVector))
+    }
+    new WorldSelect(this, shape, Seq.empty)
+  }
+
+  /** Full scan (`World::select_all`, /root/reference/src/world.rs:331-335). */
+  def selectAll: WorldSelect = select(0, Bounds.all)
+
+  /** Box for `and`/`plus` composition: chunk range on one dim, full range on
+    * the others (mirrors `World::select`'s box construction). */
+  private[world] def boxFor(dim: Int, bounds: Bounds): Option[PosBox] =
+    dims(dim).mapping.chunksOf(bounds).map { case (lo, hi) =>
+      PosBox(dims.indices.map { i =>
+        if (i == dim) (lo, hi) else dims(i).mapping.chunkRange
+      }.toVector)
+    }
+
+  // ---------------------------------------------------------------- writes
+
+  /** Bucket tuples of a DataFrame as a Set. Partition columns come back from
+    * Parquet as IntegerType (partition-value inference) while freshly
+    * computed buckets are LongType — normalize via cast before collecting. */
+  private def collectBuckets(df: DataFrame): Set[Vector[Long]] =
+    df.select(bucketCols.map(c => col(c).cast("long")): _*).distinct().collect()
+      .map(r => bucketCols.indices.map(i => r.getLong(i)).toVector).toSet
+
+  /** Upsert with replace-on-conflict by id (dim 0) — `World::insert`
+    * (/root/reference/src/world.rs:553-567, chunk level 124-150). The
+    * reference returns the displaced record; the batch-friendly restatement
+    * returns the number of replaced rows (SURVEY §7 hard-part b).
+    *
+    * Only partitions touched by `rows` (old location of a replaced id + its
+    * new location) are rewritten.
+    */
+  def insert(rows: DataFrame): Long = {
+    val incoming = withBuckets(validate(rows)).cache()
+    val existing = df
+    val ids = incoming.select(col(idCol)).distinct()
+    val displaced = existing.join(broadcast(ids), Seq(idCol), "left_semi")
+    val displacedCount = displaced.count()
+    // affected partitions: where replaced ids currently live + where new rows land
+    val affected = collectBuckets(displaced) ++ collectBuckets(incoming)
+    val affectedPred = partitionsPred(affected)
+    val keep = existing.where(affectedPred)
+      .join(broadcast(ids), Seq(idCol), "left_anti")
+    rewritePartitions(affected, keep.unionByName(incoming))
+    incoming.unpersist()
+    displacedCount
+  }
+
+  /** Insert-if-absent — `World::try_insert`
+    * (/root/reference/src/world.rs:569-584): ids already present are NOT
+    * replaced; returns the number of rejected rows. */
+  def tryInsert(rows: DataFrame): Long = {
+    val incoming = withBuckets(validate(rows)).cache()
+    val existing = df
+    val fresh = incoming.join(existing.select(col(idCol)), Seq(idCol), "left_anti").cache()
+    val rejected = incoming.count() - fresh.count()
+    fresh.write.partitionBy(bucketCols: _*).mode("append").parquet(path)
+    incoming.unpersist(); fresh.unpersist()
+    rejected
+  }
+
+  /** Delete by id set — `Lazy::destroy` / `Chunk::remove`
+    * (/root/reference/src/world/iter.rs:254-265, src/world.rs:77-87). Only
+    * the partitions holding victims are rewritten; fully-emptied bucket
+    * directories are removed. */
+  def destroy(ids: Seq[Long]): Long = {
+    val existing = df
+    val victims = existing.where(col(idCol).isin(ids: _*)).cache()
+    val n = victims.count()
+    if (n > 0) {
+      val affected = collectBuckets(victims)
+      val keep = existing.where(partitionsPred(affected))
+        .where(!col(idCol).isin(ids: _*))
+      rewritePartitions(affected, keep)
+    }
+    victims.unpersist()
+    n
+  }
+
+  /** Keyed update with automatic relocation — `Lazy::get_mut` + `Lazy::close`
+    * (/root/reference/src/world/iter.rs:173-252, 195-211): apply column
+    * updates to rows matching `cond`, recompute bucket columns, and rewrite
+    * both the old and new partitions (re-bucketing falls out of writing with
+    * recomputed `c_i`; SURVEY §2.3). Dim 0 (the id) must not change
+    * ("data id should be immutable", /root/reference/src/world.rs:108).
+    */
+  def update(cond: Column, sets: Map[String, Column]): Long = {
+    require(!sets.contains(idCol), s"dim-0 id column `$idCol` is immutable")
+    val existing = df
+    val hit = existing.where(cond).cache()
+    val n = hit.count()
+    if (n > 0) {
+      val mutated = withBuckets(
+        sets.foldLeft(hit.drop(bucketCols: _*)) { case (d, (c, e)) => d.withColumn(c, e) }
+      )
+      val affected = collectBuckets(hit) ++ collectBuckets(mutated)
+      val keep = existing.where(partitionsPred(affected)).where(!cond)
+      rewritePartitions(affected, keep.unionByName(mutated))
+    }
+    hit.unpersist()
+    n
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  private def partitionsPred(parts: Set[Vector[Long]]): Column =
+    if (parts.isEmpty) lit(false)
+    else parts.map { p =>
+      bucketCols.zip(p).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    }.reduce(_ || _)
+
+  /** Rewrite exactly `affected` partitions with `rows` (which must carry
+    * bucket columns). Partitions left empty by the rewrite are deleted —
+    * dynamic partition overwrite alone would leave them stale. */
+  private def rewritePartitions(affected: Set[Vector[Long]], rows: DataFrame): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val withRows = rows.cache()
+      val present = collectBuckets(withRows)
+      withRows.write.partitionBy(bucketCols: _*).mode("overwrite").parquet(path)
+      withRows.unpersist()
+      val emptied = affected -- present
+      if (emptied.nonEmpty) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { p =>
+          val dir = bucketCols.zip(p).map { case (c, v) => s"$c=$v" }.mkString("/")
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dir"), true)
+        }
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+}
+
+/** Composable selection — `Select` (/root/reference/src/world.rs:588-644).
+  * Carries a [[Shape]] over chunk positions plus id hints; materializes as a
+  * partition-pruning predicate Catalyst pushes into the scan.
+  */
+final class WorldSelect(
+    world: World,
+    val shape: Shape,
+    val hintIds: Seq[Long]
+) {
+  /** Intersect with a range on another dim (`Select::and`,
+    * /root/reference/src/world.rs:595-605). */
+  def and(dim: Int, bounds: Bounds): WorldSelect = {
+    val s = world.boxFor(dim, bounds) match {
+      case Some(b) => shape.intersect(b)
+      case None    => Shape.None_
+    }
+    new WorldSelect(world, s, hintIds)
+  }
+
+  /** Union with a range on another dim (`Select::plus`,
+    * /root/reference/src/world.rs:607-614). */
+  def plus(dim: Int, bounds: Bounds): WorldSelect = {
+    val s = world.boxFor(dim, bounds) match {
+      case Some(b) => shape.add(b)
+      case None    => shape
+    }
+    new WorldSelect(world, s, hintIds)
+  }
+
+  /** Push target ids (`Select::hint`, /root/reference/src/world.rs:616-636).
+    * Reference contract (SURVEY §2.8): a pruning hint — we apply it as an
+    * `isin` predicate on dim 0 (deterministic narrowing; Parquet row-group
+    * stats give the skip behavior). */
+  def hint(id: Long): WorldSelect = new WorldSelect(world, shape, hintIds :+ id)
+  def hints(ids: Seq[Long]): WorldSelect = new WorldSelect(world, shape, hintIds ++ ids)
+
+  /** The partition-pruning predicate over bucket columns: OR over boxes of
+    * AND over dims of `c_i BETWEEN lo AND hi`. Catalyst's
+    * `PruneFileSourcePartitions` turns this into directory pruning — the
+    * exact analog of the reference's box algebra (SURVEY §4). */
+  def pruningPredicate: Column = {
+    val boxes = shape.boxes
+    val boxPred =
+      if (boxes.isEmpty) lit(false)
+      else boxes.map { b =>
+        b.ranges.zipWithIndex.map { case ((lo, hi), i) =>
+          col(s"c$i") >= lit(lo) && col(s"c$i") <= lit(hi)
+        }.reduce(_ && _)
+      }.reduce(_ || _)
+    if (hintIds.isEmpty) boxPred
+    else boxPred && col(world.dims.head.column).isin(hintIds: _*)
+  }
+
+  /** Chunk-granular scan (`Select::iter`, /root/reference/src/world.rs:641-643):
+    * all rows of every chunk in the selection — row-exact filtering is the
+    * caller's job, matching the reference's contract (SURVEY §2.2). */
+  def iter(): DataFrame = world.df.where(pruningPredicate)
+
+  /** Dim projection of the scan (`Lazy::dims`,
+    * /root/reference/src/world/iter.rs:96-113). */
+  def dimsOnly(): DataFrame = iter().select(world.dims.map(d => col(d.column)): _*)
+}

@@ -1,0 +1,174 @@
+package graft.world
+
+import graft.core._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** Ports of the reference's world tests (/root/reference/src/tests.rs,
+  * tokio-fs/src/tests.rs; FIXTURES §A) onto the Spark World: insert routing,
+  * remove, save/load, select streaming, mutation, and relocation
+  * (re-bucket-on-write).
+  */
+class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-world").toString
+
+  private def dims2(ipc0: Long, ipc1: Long, end: Long = 1023L) = Seq(
+    DimSpec("d0", DimMapping(0, end, ipc0)),
+    DimSpec("d1", DimMapping(0, end, ipc1))
+  )
+
+  private def rows(vs: (Long, Long)*) = {
+    import spark.implicits._
+    vs.toDF("d0", "d1")
+  }
+
+  test("buf_insert: insert routes to correct chunk (src/tests.rs:8-33, w_8x16_1024)") {
+    val w = new World(spark, tmp(), dims2(8, 16))
+    w.create(rows((114L, 514L)))
+    // chunk pos: (114/8, 514/16) = (14, 32)
+    val got = w.df.where(col("c0") === 14 && col("c1") === 32).collect()
+    assert(got.length == 1 && got(0).getAs[Long]("d0") == 114L)
+    val dir = new java.io.File(w.path + "/c0=14/c1=32")
+    assert(dir.isDirectory, "partition directory = chunk grid cell")
+  }
+
+  test("buf_remove: remove by id empties the chunk (src/tests.rs:35-69)") {
+    val w = new World(spark, tmp(), dims2(8, 16))
+    w.create(rows((114L, 514L)))
+    assert(w.destroy(Seq(114L)) == 1L)
+    assert(w.df.count() == 0)
+    assert(!new java.io.File(w.path + "/c0=14/c1=32").exists,
+      "emptied bucket directory is removed")
+  }
+
+  test("buf_save_load: round-trip through a fresh world handle (src/tests.rs:71-132)") {
+    val path = tmp()
+    val w = new World(spark, path, dims2(8, 16))
+    w.create(rows((114L, 514L)))
+    val w2 = new World(spark, path, dims2(8, 16))
+    val got = w2.selectAll.iter().select("d0", "d1").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((114L, 514L)))
+  }
+
+  test("select: select_all streams exactly the inserted rows (src/tests.rs:134-175, w_25x25_100)") {
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 25)), DimSpec("d1", DimMapping(0, 99, 25))))
+    w.create(rows((10L, 39L), (99L, 20L)))
+    val all = w.selectAll.iter().select("d0", "d1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((10L, 39L), (99L, 20L)))
+    // ranged: d0 in 0..50 -> chunks 0..=1 -> only (10,39)
+    val some = w.select(0, Bounds.until(0, 50)).iter().select("d0").collect()
+    assert(some.map(_.getLong(0)).toSet == Set(10L))
+  }
+
+  test("chunk-granular contract: iter() returns whole chunks, caller filters exactly (SURVEY §2.2)") {
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 25)), DimSpec("d1", DimMapping(0, 99, 25))))
+    w.create(rows((10L, 39L), (20L, 10L), (99L, 20L)))
+    // select d0 in [15..=20]: chunk 0 (0..24) -> includes row d0=10 too
+    val granular = w.select(0, Bounds.to(15, 20)).iter().select("d0").collect()
+      .map(_.getLong(0)).toSet
+    assert(granular == Set(10L, 20L), "rounded out to chunk boundary")
+    val exact = w.select(0, Bounds.to(15, 20)).iter()
+      .where(col("d0").between(15, 20)).select("d0").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(20L))
+  }
+
+  test("and/plus compose intersect/union over chunk sets (src/world.rs:595-614)") {
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
+    w.create(rows((5L, 5L), (15L, 15L), (25L, 25L), (85L, 85L)))
+    val andSel = w.select(0, Bounds.to(0, 19)).and(1, Bounds.to(10, 29))
+    assert(andSel.iter().select("d0").collect().map(_.getLong(0)).toSet == Set(15L))
+    val plusSel = w.select(0, Bounds.to(0, 9)).plus(1, Bounds.to(80, 89))
+    assert(plusSel.iter().select("d0").collect().map(_.getLong(0)).toSet == Set(5L, 85L))
+  }
+
+  test("hint: isin pruning on dim 0 (src/world.rs:616-636)") {
+    val w = new World(spark, tmp(), dims2(8, 16))
+    w.create(rows((1L, 1L), (2L, 2L), (3L, 3L)))
+    val got = w.selectAll.hints(Seq(1L, 3L)).iter().select("d0").collect()
+    assert(got.map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("out-of-range select -> empty (Shape::None, src/world.rs:301-329)") {
+    val w = new World(spark, tmp(), dims2(8, 16))
+    w.create(rows((114L, 514L)))
+    assert(w.select(0, Bounds.to(0, 5000)).iter().count() == 0)
+  }
+
+  test("insert: replace-on-conflict returns displaced count (src/world.rs:124-150)") {
+    val w = new World(spark, tmp(), dims2(8, 16))
+    w.create(rows((114L, 514L), (7L, 7L)))
+    val displaced = w.insert(rows((114L, 600L), (500L, 500L)))
+    assert(displaced == 1L)
+    val got = w.df.select("d0", "d1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((114L, 600L), (7L, 7L), (500L, 500L)))
+  }
+
+  test("try_insert: insert-if-absent rejects existing ids (src/world.rs:152-178)") {
+    val w = new World(spark, tmp(), dims2(8, 16))
+    w.create(rows((114L, 514L)))
+    val rejected = w.tryInsert(rows((114L, 600L), (9L, 9L)))
+    assert(rejected == 1L)
+    val got = w.df.select("d0", "d1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((114L, 514L), (9L, 9L)), "existing id kept its old row")
+  }
+
+  test("io_modify/buf_modify + relocation: mutate d1 -> row moves chunks (src/tests.rs:177-268)") {
+    // w_32x32_1024: [114,514] -> mutate d1 to 810; chunk (3,16) -> (3,25)
+    val w = new World(spark, tmp(), dims2(32, 32))
+    w.create(rows((114L, 514L)))
+    assert(new java.io.File(w.path + "/c0=3/c1=16").isDirectory)
+    val n = w.update(col("d0") === 114L, Map("d1" -> lit(810L)))
+    assert(n == 1L)
+    val got = w.df.select("d0", "d1", "c0", "c1").collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("d1") == 810L)
+    assert(r.getAs[Int]("c1").toLong == 25L, "re-bucketed into new chunk")
+    assert(!new java.io.File(w.path + "/c0=3/c1=16").exists, "old chunk cell removed")
+    assert(new java.io.File(w.path + "/c0=3/c1=25").isDirectory)
+  }
+
+  test("id immutability: update refuses dim-0 (src/world.rs:108)") {
+    val w = new World(spark, tmp(), dims2(8, 16))
+    w.create(rows((1L, 1L)))
+    assertThrows[IllegalArgumentException](
+      w.update(col("d0") === 1L, Map("d0" -> lit(2L))))
+  }
+
+  test("out-of-range rows quarantined, not written (src/range.rs:62-71)") {
+    val w = new World(spark, tmp(), dims2(8, 16))
+    val in = rows((1L, 1L), (5000L, 2L))
+    assert(w.outOfRange(in).count() == 1L)
+    w.create(in)
+    assert(w.df.count() == 1L)
+  }
+
+  test("partition pruning reaches the file index (scan reads only selected dirs)") {
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
+    w.create(rows((0L until 100L).map(i => (i, i)): _*))
+    val sel = w.select(0, Bounds.to(0, 19))
+    val plan = sel.iter().queryExecution.executedPlan.toString
+    // 2 of 10 c0 buckets selected
+    assert(sel.iter().count() == 20)
+    assert(plan.contains("PartitionFilters") || plan.contains("partitionFilters"),
+      s"expected partition filters in plan:\n$plan")
+  }
+}
