@@ -118,19 +118,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("hamming"))
   }
 
-  /** Exact n-gram Jaccard over candidate pairs from a shared-shingle inverted
-    * index (rare-shingle blocking keeps the join sparse at scale). */
+  /** Exact n-gram Jaccard with **prefix filtering** (the standard
+    * set-similarity-join pruning): for J(A,B) >= t, A and B must share at
+    * least one of each other's `|X| - ceil(t*|X|) + 1` globally-rarest
+    * shingles — so only those prefix shingles go into the inverted index.
+    * Indexing rarest-first keeps candidate fan-out near-linear even on
+    * vocabulary-dense corpora (a naive shared-shingle join is quadratic).
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5, maxShingleFreq: Int = 100): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-    val inv = withSh.select(col("id"), explode(col("sh")).as("s"))
-    // drop ubiquitous shingles — they generate quadratic candidates and no signal
-    val rare = inv.groupBy("s").agg(count(lit(1)).as("df_"))
-      .where(col("df_") <= maxShingleFreq).select("s")
-    val pruned = inv.join(rare, Seq("s"))
-    val cand = pruned.select(col("s"), col("id").as("id_a"))
-      .join(pruned.select(col("s"), col("id").as("id_b")), Seq("s"))
+    val inv = withSh.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val withDf = inv.join(inv.groupBy("s").agg(count(lit(1)).as("df_")), Seq("s"))
+    // rank shingles per doc rarest-first; keep the prefix
+    val w = Window.partitionBy("id").orderBy(col("df_"), col("s"))
+    val prefix = withDf.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("s", "id")
+    val cand = prefix.select(col("s"), col("id").as("id_a"))
+      .join(prefix.select(col("s"), col("id").as("id_b")), Seq("s"))
       .where(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
     cand.join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

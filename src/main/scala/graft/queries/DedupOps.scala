@@ -44,8 +44,7 @@ object DedupOps {
     ),
 
     "d_ngram_jaccard" -> QueryDef(
-      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5)
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b"),
       None
     )

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.world.World
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Write-behind persistence — the Structured Streaming restatement of the
+  * reference's flush daemon + shutdown handle
+  * (/root/reference/tokio-fs/src/lib.rs:154-235).
+  *
+  * The reference buffers dirty chunks in memory and flushes every
+  * `write_interval`, with a drop-guard that flushes on exit. Here the "dirty
+  * buffer" is a streaming source (an append log of incoming rows); each
+  * micro-batch routes rows to their bucket partitions via [[World]] upsert
+  * semantics. Durability is strictly stronger than the reference: the file
+  * sink commit protocol + checkpoint give exactly-once batches vs. the
+  * reference's torn-write-susceptible full-file overwrite
+  * (tokio-fs/src/lib.rs:101-104).
+  */
+object Daemon {
+
+  /** Start the write-behind loop: every `interval`, flush the new rows of
+    * `source` into the world (insert = replace-on-conflict by dim 0, exactly
+    * `World::insert`). `checkpoint` carries the stream's progress across
+    * restarts — the analog of "dirty chunks survive until flushed".
+    */
+  def start(world: World, source: DataFrame, checkpoint: String,
+      interval: String = "5 seconds"): StreamingQuery = {
+    val q = source.writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) { world.insert(batch.toDF()); () }
+      }
+      .start()
+    installShutdownFlush(q)
+    q
+  }
+
+  /** `ShutdownHandle` analog (tokio-fs/src/lib.rs:154-200): on JVM exit,
+    * stop the query after the in-flight batch — no dirty data beyond the
+    * last committed checkpoint is ever claimed durable. */
+  private def installShutdownFlush(q: StreamingQuery): Unit = {
+    val hook = new Thread(() => {
+      try if (q.isActive) q.stop()
+      catch { case _: Throwable => () }
+    }, "graft-daemon-shutdown-flush")
+    try java.lang.Runtime.getRuntime.addShutdownHook(hook)
+    catch { case _: IllegalStateException => () /* already shutting down */ }
+  }
+
+  /** One synchronous flush cycle over a batch source — the `LEAST_WRITES`
+    * loop body (tokio-fs/src/lib.rs:217-234) for callers that want batch
+    * semantics without a streaming query. Returns replaced-row count. */
+  def flushOnce(world: World, pending: DataFrame): Long = world.insert(pending)
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` shape (SURVEY §2.9
+  * streaming row): watermarked tumbling/sliding/session windows and a
+  * custom-state op via flatMapGroupsWithState. The batch equivalents (same
+  * aggregations, DuckDB-checked) live in graft.queries.EventOps; these run
+  * the genuinely incremental versions, exercised by StreamingSpec with a
+  * file/memory source.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts with a watermark: late events beyond the
+    * watermark are dropped from the aggregation state. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"))
+
+  /** Sliding 2h/1h windowed sums. */
+  def slidingSums(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("user_id"))
+      .agg(sum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("user_id"), col("sum_value"))
+
+  /** Session windows (30-min gap) per user. */
+  def sessionCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserRun(user_id: Long, n_errors: Long, alert: Boolean)
+
+  /** Custom stateful op: per-user running error count with an alert once it
+    * crosses `threshold` — the mapGroupsWithState pattern for state Spark's
+    * built-in windows can't express. */
+  def errorRunCounts(spark: SparkSession, events: Dataset[Ev],
+      threshold: Long = 3): Dataset[UserRun] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserRun](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val errs = rows.count(_.event_type == "error")
+          val now = prev + errs
+          state.update(now)
+          if (errs > 0) Iterator(UserRun(uid, now, now >= threshold))
+          else Iterator.empty
+      }
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Correctness pinning for the near-dup operators that have no SQL oracle:
+  * hand-computable fixtures where the expected pair sets are knowable.
+  */
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("shingles: distinct word 3-grams in order") {
+    import spark.implicits._
+    val got = docs((1L, "a b c d c d e"))
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d", "c d c", "d c d", "c d e"))
+  }
+
+  test("exact duplicates always collide in MinHash-LSH; disjoint texts never pass verify") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different words about spark catalyst partitions and shuffles"))
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 100L)), s"got $pairs")
+  }
+
+  test("minhash LSH finds high-overlap near-duplicates") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    val near = base.replaceFirst("alpha", "ALPHA2")
+    val d = docs((1L, base), (2L, near),
+      (3L, "unrelated totally separate vocabulary in this one document here now"))
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: pairs returned are exactly those with true hamming distance <= maxDist") {
+    val base = "one two three four five six seven eight nine ten eleven twelve " * 4
+    val d = docs((1L, base), (2L, base), (3L, base + " thirteen"),
+      (4L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo"))
+    // ground truth: hamming distance from the simhash expression itself
+    val hashes = d.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    val expected = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b && ham(a, b) <= 3
+    } yield ((a, b), ham(a, b).toLong)).toMap
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs == expected, s"blocking must find exactly the true pairs: $pairs vs $expected")
+    assert(pairs.get((1L, 2L)) == Some(0L), "identical texts -> hamming 0")
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L }, "disjoint text unpaired")
+  }
+
+  test("ngram jaccard: exact percent on a hand-computed pair") {
+    // A: shingles {a b c, b c d, c d e} ; B: {a b c, b c x, c x y}
+    // inter = 1, union = 5 -> 20% (below 0.5 threshold -> excluded)
+    val d = docs((1L, "a b c d e"), (2L, "a b c x y"), (3L, "a b c d e"))
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs == Map((1L, 3L) -> 100L), s"got $pairs")
+    val loose = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(loose((1L, 2L)) == 20L)
+  }
+
+  test("exactDedup keeps lowest id per identical text") {
+    val d = docs((5L, "same text"), (2L, "same text"), (9L, "other text"))
+    val kept = Dedup.exactDedup(d, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def emb(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine: orthogonal 0, identical 1, opposite -1") {
+    import spark.implicits._
+    val d = emb((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0f)), (4L, Seq(-2f, 0f)))
+    val sims = d.as("a").crossJoin(d.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("s"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(sims((1L, 2L)) == 0.0)
+    assert(sims((1L, 3L)) == 1.0)
+    assert(sims((1L, 4L)) == -1.0)
+  }
+
+  test("bruteTopK ranks by cosine desc with id tie-break, excludes self") {
+    val d = emb(
+      (0L, Seq(1f, 0f, 0f)),   // query
+      (1L, Seq(0.9f, 0.1f, 0f)),
+      (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(1f, 0f, 0f)),   // identical to query
+      (4L, Seq(0.5f, 0.5f, 0f)))
+    val got = Similarity.bruteTopK(d, d.where(col("vec_id") === 0), k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toList == List((3L, 1L), (1L, 2L), (4L, 3L)))
+  }
+
+  test("lshTopK top-1 finds an exact duplicate vector (same bucket in every table)") {
+    val base = Seq.tabulate(16)(i => math.sin(i * 1.7).toFloat)
+    val d = emb(
+      (0L, base), (1L, base), // exact dup of query
+      (2L, base.map(x => -x)),
+      (3L, Seq.tabulate(16)(i => math.cos(i * 3.1).toFloat)))
+    val got = Similarity.lshTopK(d, d.where(col("vec_id") === 0), k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toList == List((0L, 1L, 1L)))
+  }
+
+  test("cosineNearDupPairs finds duplicate pair and nothing else") {
+    val a = Seq.tabulate(16)(i => math.sin(i * 0.9).toFloat)
+    val d = emb((1L, a), (2L, a.map(x => x * 2f)), // same direction -> cos 1
+      (3L, Seq.tabulate(16)(i => math.cos(i * 2.3).toFloat)))
+    val got = Similarity.cosineNearDupPairs(d, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.core._
+import graft.world.{DimSpec, World}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** Streaming semantics: the write-behind daemon (flush loop + upsert,
+  * tokio-fs/src/lib.rs:202-235), watermarked windows, and custom state via
+  * flatMapGroupsWithState — driven with MemoryStream + processAllAvailable
+  * so each micro-batch is observed synchronously.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String = Files.createTempDirectory("graft-stream").toString
+
+  test("daemon: write-behind flush applies upsert-per-batch (tokio-fs daemon semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val w = new World(spark, path, Seq(
+      DimSpec("d0", DimMapping(0, 1023, 8)), DimSpec("d1", DimMapping(0, 1023, 16))))
+    w.create(Seq((114L, 514L), (7L, 7L)).toDF("d0", "d1"))
+
+    val src = MemoryStream[(Long, Long)]
+    val q = Daemon.start(w, src.toDF().toDF("d0", "d1"), tmp(), interval = "1 second")
+    try {
+      src.addData((114L, 600L), (500L, 500L)) // replace 114, insert 500
+      q.processAllAvailable()
+      val got = w.df.select("d0", "d1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((114L, 600L), (7L, 7L), (500L, 500L)))
+
+      src.addData((7L, 70L)) // second batch replaces id 7
+      q.processAllAvailable()
+      val got2 = w.df.select("d0", "d1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 == Set((114L, 600L), (7L, 70L), (500L, 500L)))
+    } finally q.stop()
+  }
+
+  test("tumbling window with watermark over streamed events matches batch counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, String)] // (epoch_us, type)
+    val events = src.toDF().toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val agg = EventStreams.tumblingCounts(events)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      val h = 3600L * 1000000L
+      src.addData((0L, "a"), (10L, "a"), (h + 1L, "b"), (h + 2L, "a"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT win_start_us, event_type, n FROM tumbling_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((0L, "a", 2L), (h, "b", 1L), (h, "a", 1L)))
+    } finally q.stop()
+  }
+
+  test("session window merges events within gap, splits beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, Long)] // (epoch_us, user)
+    val events = src.toDF().toDF("us", "user_id")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val agg = EventStreams.sessionCounts(events)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("session_out").start()
+    try {
+      val min = 60L * 1000000L
+      // user 1: events at 0, 10min (same session), 50min (new session: gap 40 > 30)
+      src.addData((0L, 1L), (10 * min, 1L), (50 * min, 1L))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, session_start_us, n_events FROM session_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 0L, 2L), (1L, 50 * min, 1L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: per-user error counts accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[EventStreams.Ev]
+    val out = EventStreams.errorRunCounts(spark, src.toDS(), threshold = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("state_out").start()
+    try {
+      def ev(id: Long, uid: Long, tpe: String) =
+        EventStreams.Ev(id, new java.sql.Timestamp(id * 1000), uid, tpe, 1.0)
+      src.addData(ev(1, 1, "error"), ev(2, 1, "click"), ev(3, 2, "error"))
+      q.processAllAvailable()
+      src.addData(ev(4, 1, "error")) // user 1 hits threshold 2
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, n_errors, alert FROM state_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got == Set((1L, 1L, false), (2L, 1L, false), (1L, 2L, true)))
+    } finally q.stop()
+  }
+
+  test("late data beyond watermark is dropped from append-mode output") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, String)]
+    val events = src.toDF().toDF("us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val agg = EventStreams.tumblingCounts(events, watermark = "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      val h = 3600L * 1000000L
+      src.addData((0L, "a"), (10L, "a"))
+      q.processAllAvailable()
+      // advance event time far: watermark passes hour-0 window end
+      src.addData((3 * h, "b"))
+      q.processAllAvailable()
+      // this event is in hour 0 — behind the watermark — must be dropped
+      src.addData((20L, "a"))
+      q.processAllAvailable()
+      src.addData((4 * h, "b")) // push watermark so hour-3 window could close too
+      q.processAllAvailable()
+      val hour0 = spark.sql("SELECT n FROM late_out WHERE win_start_us = 0")
+        .collect().map(_.getLong(0)).toList
+      assert(hour0 == List(2L), s"late row must not join the closed window: $hour0")
+    } finally q.stop()
+  }
+}
