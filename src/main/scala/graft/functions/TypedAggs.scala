@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed Aggregator surface (SURVEY §2.9 UDAF row): custom aggregations with
+  * a mergeable buffer — partial aggregation (map-side combine) falls out of
+  * `merge`, so these scale like built-in aggregates.
+  */
+object TypedAggs {
+
+  /** Exact decimal-cents sum of a double column: each value is rounded to
+    * cents as a Long, summed exactly — the order-independent way to aggregate
+    * money-like doubles. */
+  object CentsSum extends Aggregator[Double, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, v: Double): Long = b + math.round(v * 100)
+    def merge(a: Long, b: Long): Long = a + b
+    def finish(b: Long): Long = b
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Bounded top-k (largest values) with deterministic ordering — the heap
+    * buffer stays k elements regardless of group size. */
+  final case class TopK(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
+    def zero: Seq[Double] = Vector.empty
+    def reduce(b: Seq[Double], v: Double): Seq[Double] =
+      (b :+ v).sorted(Ordering[Double].reverse).take(k)
+    def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] =
+      (a ++ b).sorted(Ordering[Double].reverse).take(k)
+    def finish(b: Seq[Double]): Seq[Double] = b
+    def bufferEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    def outputEncoder: Encoder[Seq[Double]] = bufferEncoder
+  }
+}

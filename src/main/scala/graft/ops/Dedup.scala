@@ -43,7 +43,15 @@ object Dedup {
       j => array_min(transform(shingleArr, s => xxhash64(s, j))))
 
   /** LSH band keys: hash of each band of `rowsPerBand` signature entries.
-    * Docs sharing any band key are candidates. */
+    * Docs sharing any band key are candidates.
+    *
+    * NOTE: referencing a signature *column* from this expression is a
+    * performance trap — Catalyst inlines the column's defining expression
+    * into every band (HOFs are interpreted, no common-subexpression
+    * elimination), multiplying the minhash work ~bands x. Prefer the
+    * posexplode + groupBy formulation in [[minhashLshPairs]], which
+    * evaluates the signature exactly once per row. Kept for tests/small data.
+    */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"), xxhash64(concat_ws(",",
@@ -57,19 +65,37 @@ object Dedup {
     * (band, bandhash) -> distinct candidate pairs -> verify exact Jaccard on
     * the two shingle sets. The only shuffles are the band join and the
     * candidate dedup; both are on compact keys.
+    *
+    * Default 8 bands x 8 rows targets true near-duplicates (collision
+    * probability ~99% at j=0.9, ~3% at j=0.5): on a self-similar corpus wide
+    * bands (16x4) collide for most pairs and the verify stage degenerates to
+    * all-pairs. Raise `bands` only if you need recall at low similarity.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+      numHashes: Int = 64, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = withSig
-      .select(col("id"), col("sh"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-    val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
-    val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bk"))
-    val cand = a.join(b, Seq("bk")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    // posexplode evaluates the signature exactly once per row (a generator's
+    // input is single-eval), then banding is a plain groupBy — this sidesteps
+    // Catalyst inlining the 64-hash expression into every band key, which
+    // multiplies the signature work ~bands x (HOFs are interpreted, no CSE).
+    val sigRows = withSh.select(col("id"),
+      posexplode(minhashSignature(col("sh"), numHashes)).as(Seq("j", "h")))
+    val banded = sigRows
+      .groupBy(col("id"), expr(s"j div $rowsPerBand").as("band"))
+      .agg(xxhash64(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("j"), col("h")))),
+          p => p.getField("h").cast("string")))).as("bh"))
+    val a = banded.select(col("id").as("id_a"), col("band"), col("bh"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("bh"))
+    // dedup candidates on the compact (id_a, id_b) key, THEN attach the
+    // shingle arrays — shuffling array payloads through the distinct would
+    // dominate the job at scale
+    val cand = a.join(b, Seq("band", "bh")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     cand
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
@@ -104,11 +130,16 @@ object Dedup {
     val nBlocks = maxDist + 1
     val bits = 64 / nBlocks
     val withH = df.select(col(idCol).as("id"), simhash(col(textCol)).as("h"))
-    val blocked = withH.select(col("id"), col("h"),
-      explode(transform(sequence(lit(0), lit(nBlocks - 1)),
-        i => struct(i.as("bi"),
-          call_function("shiftright", col("h"), i * bits)
-            .bitwiseAND(lit((1L << bits) - 1)).as("bv")))).as("blk"))
+    // explode a constant sequence and derive the block value ABOVE the
+    // Generate: the simhash is then evaluated once per input row, not once
+    // per block (same Catalyst-inlining trap as in minhashLshPairs)
+    val blocked = withH
+      .select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("bi"))
+      .select(col("id"), col("h"),
+        struct(col("bi"),
+          call_function("shiftright", col("h"), col("bi") * bits)
+            .bitwiseAND(lit((1L << bits) - 1)).as("bv")).as("blk"))
     val a = blocked.select(col("id").as("id_a"), col("h").as("h_a"), col("blk"))
     val b = blocked.select(col("id").as("id_b"), col("h").as("h_b"), col("blk"))
     a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))

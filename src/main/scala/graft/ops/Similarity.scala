@@ -75,7 +75,7 @@ object Similarity {
     * sign-LSH buckets (no all-pairs); exact cosine verify. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
       bits: Int = 6, tables: Int = 6): DataFrame = {
-    val keyed = df.select(col("vec_id").as("id"), col("embedding").as("emb"),
+    val keyed = df.select(col("vec_id").as("id"),
       explode(transform(sequence(lit(0), lit(tables - 1)),
         tbl => struct(tbl.as("tbl"),
           aggregate(
@@ -87,10 +87,14 @@ object Similarity {
                 lit(0.0), (acc, x) => acc + x) > 0,
                 call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
             lit(0L), (acc, x) => acc.bitwiseOR(x)).as("key")))).as("bk"))
-    val a = keyed.select(col("id").as("id_a"), col("emb").as("emb_a"), col("bk"))
-    val b = keyed.select(col("id").as("id_b"), col("emb").as("emb_b"), col("bk"))
+    val vecs = df.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val a = keyed.select(col("id").as("id_a"), col("bk"))
+    val b = keyed.select(col("id").as("id_b"), col("bk"))
+    // candidate dedup on id pairs only; embeddings join back afterwards
     a.join(b, Seq("bk")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "emb_a", "emb_b").distinct()
+      .select("id_a", "id_b").distinct()
+      .join(vecs.select(col("id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))
       .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))

@@ -32,7 +32,7 @@ object DedupOps {
 
     "d_minhash_lsh" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 16, threshold = 0.5)
+        numHashes = 64, bands = 8, threshold = 0.5)
         .orderBy("id_a", "id_b"),
       None
     ),

@@ -179,20 +179,30 @@ object DmdsQueries {
         Some("SELECT event_id, user_id FROM events WHERE user_id > 63 ORDER BY event_id")
       ),
       "w_world_roundtrip" -> QueryDef(
-        // full pipeline: create bucket-partitioned world on disk, partition-pruned read
+        // full pipeline: create bucket-partitioned world on disk, partition-pruned
+        // read. Storage chunk sizing is coarser than the predicate-path dims:
+        // items_per_chunk is the reference's partition-size knob (SURVEY §4) and
+        // a materialized grid must target chunk counts, not row counts — 8192x128
+        // keeps the directory grid ~128x128 at any tested SF (fine-grained 512x16
+        // would mean ~18k tiny directories at sf0.1).
         (s, dir) => {
+          val sd0 = DimMapping(0L, (1L << 20) - 1, 8192L)
+          val sd1 = DimMapping(0L, (1L << 14) - 1, 128L)
           val path = s"/tmp/graft_world_rt_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
-          val w = new World(s, path, specs)
+          val w = new World(s, path,
+            Seq(DimSpec("event_id", sd0), DimSpec("user_id", sd1)))
           w.create(events(s, dir).select("event_id", "user_id", "event_type", "value"))
           w.select(1, Bounds.to(100, 119)).and(0, Bounds.to(1000, 8999)).iter()
             .select("event_id", "user_id", "event_type", "value")
             .orderBy("event_id")
         },
         Some {
-          val u = cr(d1, Bounds.to(100, 119)); val e = cr(d0, Bounds.to(1000, 8999))
+          val sd0 = DimMapping(0L, (1L << 20) - 1, 8192L)
+          val sd1 = DimMapping(0L, (1L << 14) - 1, 128L)
+          val u = cr(sd1, Bounds.to(100, 119)); val e = cr(sd0, Bounds.to(1000, 8999))
           s"""SELECT event_id, user_id, event_type, value FROM events
-              WHERE ((user_id - 0) // 16) BETWEEN ${u._1} AND ${u._2}
-                AND ((event_id - 0) // 512) BETWEEN ${e._1} AND ${e._2}
+              WHERE ((user_id - 0) // 128) BETWEEN ${u._1} AND ${u._2}
+                AND ((event_id - 0) // 8192) BETWEEN ${e._1} AND ${e._2}
               ORDER BY event_id"""
         }
       )

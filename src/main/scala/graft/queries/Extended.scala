@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.functions.TypedAggs
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Second-wave operator coverage: typed Aggregator (UDAF), explode (UDTF),
+  * range-frame and ntile windows, exact percentile, and a JSON sink/source
+  * roundtrip (IoHandle-pluggability analog: the engine's tables are not
+  * parquet-only).
+  */
+object Extended {
+  import Tables.t
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // typed Aggregator with mergeable buffer: exact cents sum of o_totalprice
+    "q_typed_agg" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val sumCents = udaf(TypedAggs.CentsSum)
+        t(s, dir, "orders").groupBy("o_orderstatus")
+          .agg(sumCents(col("o_totalprice")).as("total_cents"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                COUNT(*) AS n
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    ),
+
+    // UDTF-style lateral explode: one row per word
+    "q_explode_words" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .where(col("doc_id") < 10)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+        .orderBy("doc_id", "word"),
+      Some("""SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+              FROM documents WHERE doc_id < 10 ORDER BY doc_id, word""")
+    ),
+
+    // RANGE window frame over a numeric ordering key
+    "q_window_range_frame" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("l_suppkey").orderBy(col("l_orderkey"))
+          .rangeBetween(-100L, 0L)
+        t(s, dir, "lineitem")
+          .groupBy("l_suppkey", "l_orderkey")
+          .agg(count(lit(1)).as("n_lines"))
+          .withColumn("n_near", sum(col("n_lines")).over(w))
+          .orderBy("l_suppkey", "l_orderkey")
+      },
+      Some("""WITH g AS (
+                SELECT l_suppkey, l_orderkey, COUNT(*) AS n_lines
+                FROM lineitem GROUP BY l_suppkey, l_orderkey)
+              SELECT l_suppkey, l_orderkey, n_lines,
+                CAST(SUM(n_lines) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey
+                  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near
+              FROM g ORDER BY l_suppkey, l_orderkey""")
+    ),
+
+    "q_window_ntile" -> QueryDef(
+      (s, dir) => {
+        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer")
+          .select(col("c_custkey"), ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pr"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+                CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile,
+                PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pr
+              FROM customer ORDER BY c_custkey""")
+    ),
+
+    // exact interpolated median per group (DuckDB quantile_cont equivalent)
+    "q_percentile" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.5) AS median_qty,
+                quantile_cont(l_quantity, 0.9) AS p90_qty
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+
+    // VERSION + decode(version,...) analog (reference src/lib.rs:41): old-format
+    // files lack a column; mergeSchema reads both generations, old rows null
+    "w_schema_evolution" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val out = s"/tmp/graft_schema_ev_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+        val n = t(s, dir, "nation")
+        n.select(col("n_nationkey"), col("n_name"))
+          .where(col("n_nationkey") % 2 === 0)
+          .write.mode("overwrite").parquet(out)
+        n.select(col("n_nationkey"), col("n_name"),
+            col("n_regionkey").cast("long").as("rk"))
+          .where(col("n_nationkey") % 2 =!= 0)
+          .write.mode("append").parquet(out)
+        s.read.option("mergeSchema", "true").parquet(out).orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name,
+                CASE WHEN n_nationkey % 2 <> 0 THEN CAST(n_regionkey AS BIGINT) END AS rk
+              FROM nation ORDER BY n_nationkey""")
+    ),
+
+    // sink/source pluggability: world contents -> JSON lines -> read back
+    "w_io_json_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val out = s"/tmp/graft_json_rt_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+        t(s, dir, "nation").coalesce(1).write.mode("overwrite").json(out)
+        s.read.json(out)
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                CAST(n_regionkey AS BIGINT) AS n_regionkey
+              FROM nation ORDER BY n_nationkey""")
+    )
+  )
+}

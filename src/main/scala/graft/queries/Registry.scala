@@ -44,5 +44,6 @@ object Tables {
 object Registry {
   lazy val all: Map[String, QueryDef] =
     DmdsQueries.defs ++ Relational.defs ++ TextOps.defs ++
-      DedupOps.defs ++ SimilarityOps.defs ++ EventOps.defs
+      DedupOps.defs ++ SimilarityOps.defs ++ EventOps.defs ++ Extended.defs ++
+      SqlSurface.defs
 }

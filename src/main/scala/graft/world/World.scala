@@ -68,7 +68,12 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
   /** Initial (over)write of the world from a DataFrame. Out-of-range rows are
     * dropped (use [[outOfRange]] to quarantine them first). */
   def create(df: DataFrame): Unit = {
+    // cluster rows by their bucket before writing: each partition directory
+    // is then written by one task -> one file per chunk instead of
+    // (tasks x chunks) small files. At cluster scale this one shuffle is what
+    // keeps a bucketed write from exploding the file count.
     val bucketed = withBuckets(validate(df))
+      .repartition(bucketCols.map(col): _*)
     bucketed.write
       .partitionBy(bucketCols: _*)
       .mode("overwrite")
@@ -232,7 +237,7 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      val withRows = rows.cache()
+      val withRows = rows.repartition(bucketCols.map(col): _*).cache()
       val present = collectBuckets(withRows)
       withRows.write.partitionBy(bucketCols: _*).mode("overwrite").parquet(path)
       withRows.unpersist()

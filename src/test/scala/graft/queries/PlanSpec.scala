@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-shape guards: the properties that make these queries survive a 100x
+  * scale-up are visible in the physical plan — filter/projection pushdown to
+  * the parquet scan, broadcast joins for small dimensions, map-side partial
+  * aggregation, and partition pruning on world bucket columns. A regression
+  * here (e.g. an accidental UDF breaking pushdown) is a performance bug even
+  * while results stay correct.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): String =
+    Registry.all(name).fn(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter + projection reach the parquet scan (PushedFilters / ReadSchema)") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,48.0)"), s"filter must be pushed:\n$p")
+    // projection pruning: scan must not read all 11 lineitem columns
+    assert(!p.contains("l_returnflag"), s"unneeded column read:\n$p")
+  }
+
+  test("q5 star join broadcasts the small dimension tables") {
+    val p = plan("q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q1 aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.toLowerCase.contains("partial_sum") || p.contains("partial"),
+      s"expected partial aggregation:\n$p")
+  }
+
+  test("world selection prunes partitions, not just rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-plan-world").toString
+    val w = new graft.world.World(spark, path, Seq(
+      graft.world.DimSpec("d0", graft.core.DimMapping(0, 99, 10)),
+      graft.world.DimSpec("d1", graft.core.DimMapping(0, 99, 10))))
+    w.create((0L until 100L).map(i => (i, i)).toDF("d0", "d1"))
+    val sel = w.select(0, graft.core.Bounds.to(0, 19))
+    val p = sel.iter().queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("c0"),
+      s"bucket predicate must hit partition filters:\n$p")
+    // only 2 of 10 c0 directories may be listed
+    val scanned = sel.iter().select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(scanned.forall(f => f.contains("c0=0/") || f.contains("c0=1/")),
+      s"files outside pruned buckets were read: $scanned")
+  }
+
+  test("hint ids reach the scan as pushed In-filter (row-group skipping)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-plan-hint").toString
+    val w = new graft.world.World(spark, path, Seq(
+      graft.world.DimSpec("d0", graft.core.DimMapping(0, 99, 10)),
+      graft.world.DimSpec("d1", graft.core.DimMapping(0, 99, 10))))
+    w.create((0L until 100L).map(i => (i, i)).toDF("d0", "d1"))
+    val p = w.selectAll.hints(Seq(3L, 7L)).iter().queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("In(d0"), s"In must be pushed:\n$p")
+  }
+
+  test("whole-stage codegen covers the dedup signature pipeline (no UDFs)") {
+    val df = Registry.all("t_fingerprint").fn(spark, sf)
+    df.collect() // AQE only shows WholeStageCodegen spans in the final plan
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd spans print as "*(n) Operator" in the final AQE plan
+    assert(p.contains("*(1)"), s"expected whole-stage-codegen spans:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+}
