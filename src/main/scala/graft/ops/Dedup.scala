@@ -166,10 +166,14 @@ object Dedup {
     val w = Window.partitionBy("id").orderBy(col("df_"), col("s"))
     val prefix = withDf.withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select("s", "id")
-    val cand = prefix.select(col("s"), col("id").as("id_a"))
-      .join(prefix.select(col("s"), col("id").as("id_b")), Seq("s"))
-      .where(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+      .select("s", "id", "sz")
+    // length-ratio pruning: J(A,B) >= t forces t*|B| <= |A| (and symmetric),
+    // so size-incompatible pairs never reach the verify stage
+    val cand = prefix.select(col("s"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("s"), col("id").as("id_b"), col("sz").as("sz_b")), Seq("s"))
+      .where(col("id_a") < col("id_b") &&
+        col("sz_a") >= col("sz_b") * threshold && col("sz_b") >= col("sz_a") * threshold)
+      .select("id_a", "id_b").distinct()
     cand.join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))

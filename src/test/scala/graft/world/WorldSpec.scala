@@ -160,6 +160,28 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.df.count() == 1L)
   }
 
+  test("3-dim world: routing, selection algebra and relocation generalize beyond 2 dims") {
+    import spark.implicits._
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 10)),
+      DimSpec("d1", DimMapping(0, 99, 10)),
+      DimSpec("d2", DimMapping(0, 99, 25))))
+    w.create(Seq((5L, 5L, 5L), (15L, 15L, 30L), (25L, 85L, 60L), (85L, 25L, 90L))
+      .toDF("d0", "d1", "d2"))
+    assert(new java.io.File(w.path + "/c0=0/c1=0/c2=0").isDirectory)
+    assert(new java.io.File(w.path + "/c0=2/c1=8/c2=2").isDirectory)
+    // select on d2 only, then intersect d0
+    val sel = w.select(2, Bounds.to(30, 60)).and(0, Bounds.to(0, 29))
+    assert(sel.iter().select("d0").collect().map(_.getLong(0)).toSet == Set(15L, 25L))
+    // union on another dim
+    val plus = w.select(2, Bounds.point(5)).plus(1, Bounds.point(25))
+    assert(plus.iter().select("d0").collect().map(_.getLong(0)).toSet == Set(5L, 85L))
+    // mutate d2 -> relocation across the third axis
+    assert(w.update(col("d0") === 5L, Map("d2" -> lit(95L))) == 1L)
+    assert(!new java.io.File(w.path + "/c0=0/c1=0/c2=0").exists)
+    assert(new java.io.File(w.path + "/c0=0/c1=0/c2=3").isDirectory)
+  }
+
   test("partition pruning reaches the file index (scan reads only selected dirs)") {
     val w = new World(spark, tmp(), Seq(
       DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
