@@ -36,11 +36,13 @@ object Dedup {
       s => s =!= ""))
   }
 
-  /** MinHash signature: for seed j, min over shingles of xxhash64(shingle, j).
-    * numHashes hash passes fused into one codegen'd projection. */
+  /** MinHash signature: for seed j, min over shingles of XXH64(shingle, j).
+    * Backed by the native codegen'd [[graft.functions.MinHashSignature]]
+    * expression — the HOF formulation (`transform(sequence, j ->
+    * array_min(transform(sh, xxhash64)))`) is interpreted and gets inlined
+    * per consumer by Catalyst (see the pipeline note in [[minhashLshPairs]]). */
   def minhashSignature(shingleArr: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingleArr, s => xxhash64(s, j))))
+    graft.functions.MinHashSignature(shingleArr, numHashes)
 
   /** LSH band keys: hash of each band of `rowsPerBand` signature entries.
     * Docs sharing any band key are candidates.

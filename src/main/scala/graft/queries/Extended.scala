@@ -87,6 +87,21 @@ object Extended {
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     ),
 
+    // skew-resistant aggregation: event_type is a heavy-hitter key (a handful
+    // of values over all rows); the salted two-phase plan balances the shuffle
+    // and still matches the direct GROUP BY exactly (decimal sums are
+    // order-independent)
+    "q_skew_salted_agg" -> QueryDef(
+      (s, dir) => graft.functions.Skew.saltedCountSum(
+        t(s, dir, "events"), col("event_type"), "event_type",
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)), salts = 16)
+        .withColumn("s", col("s").cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s
+              FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+
     // VERSION + decode(version,...) analog (reference src/lib.rs:41): old-format
     // files lack a column; mergeSchema reads both generations, old rows null
     "w_schema_evolution" -> QueryDef(
