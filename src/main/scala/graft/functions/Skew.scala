@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** count + sum-style aggregation with salting. `aggs` maps output column
-    * name -> (partialExpr, mergeExpr-on-partial-col). */
+  /** count + sum aggregation of `value` grouped by `key`, salted across
+    * `salts` partial groups. The salt is a per-row uniform source —
+    * independent of the data's value distribution, so a heavy-hitter key
+    * whose rows share one value (or are NULL) still fans out evenly; a salt
+    * derived from the value column would collapse in exactly those cases. */
   def saltedCountSum(df: DataFrame, key: Column, keyName: String,
       value: Column, salts: Int): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(crc32(value.cast("string")), lit(salts)))
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
     salted
       .groupBy(key.as(keyName), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(value).as("__s"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.SignRandomProjection
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -9,9 +10,11 @@ import org.apache.spark.sql.expressions.Window
   * Scale design: the brute-force path broadcasts the (small) query set and
   * streams the corpus once — no corpus self-shuffle; the LSH path buckets the
   * corpus by random-hyperplane signs so each query probes one bucket chain
-  * (candidate set ~ corpus/2^bits per table). Dot products are codegen'd
-  * `aggregate`/`zip_with` expressions in double — sequential fold in array
-  * order, deterministic.
+  * (candidate set ~ corpus/2^bits per table). Bucket keys come from the
+  * native codegen'd [[graft.functions.SignRandomProjection]] — hyperplanes
+  * are driver-side constants, embeddings are read once per row. Dot products
+  * in the verify stages are codegen'd-ish `aggregate`/`zip_with` folds in
+  * double — sequential array order, deterministic.
   */
 object Similarity {
 
@@ -23,6 +26,9 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Embedding dimensionality of the driver's `embeddings` table. */
+  val DefaultDim = 64
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded). Deterministic rank: similarity rounded to 4dp,
@@ -39,30 +45,29 @@ object Similarity {
       .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** (tbl, key) bucket rows for each input row: one native-projection pass,
+    * then posexplode (generator input is single-eval — the same
+    * Catalyst-inlining guard as the MinHash pipeline). */
+  private def bucketed(df: DataFrame, idAs: String, tables: Int, bits: Int,
+      dim: Int, seed: Long): DataFrame =
+    df.select(col("vec_id").as(idAs),
+      posexplode(SignRandomProjection(col("embedding"), tables, bits, dim, seed))
+        .as(Seq("tbl", "key")))
+
   /** Bucketed ANN: `tables` independent sign-LSH keys; candidates = corpus
-    * rows sharing a key with the query in any table; exact cosine re-rank.
+    * rows sharing a (table, key) bucket with the query; exact cosine re-rank.
     * Recall grows with tables; candidate count shrinks with bits. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int = 8, tables: Int = 4): DataFrame = {
-    def keyed(df: DataFrame, idAs: String, embAs: String): DataFrame = df
-      .select(col("vec_id").as(idAs), col("embedding").as(embAs),
-        explode(transform(sequence(lit(0), lit(tables - 1)),
-          tbl => struct(tbl.as("tbl"),
-            // per-table key: fold table index into the hyperplane hash
-            aggregate(
-              transform(sequence(lit(0), lit(bits - 1)), b =>
-                when(aggregate(zip_with(col("embedding"),
-                  sequence(lit(0), size(col("embedding")) - 1),
-                  (x, i) => x.cast("double") *
-                    (xxhash64(tbl, b, i).cast("double") / lit(Long.MaxValue.toDouble))),
-                  lit(0.0), (acc, x) => acc + x) > 0,
-                  call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-              lit(0L), (acc, x) => acc.bitwiseOR(x)).as("key")))).as("bk"))
-    val qk = keyed(queries, "q_id", "q_emb")
-    val tk = keyed(corpus, "t_id", "t_emb")
-    val cand = tk.join(broadcast(qk), Seq("bk"))
+      bits: Int = 8, tables: Int = 4, dim: Int = DefaultDim,
+      seed: Long = 42L): DataFrame = {
+    val qk = bucketed(queries, "q_id", tables, bits, dim, seed)
+    val tk = bucketed(corpus, "t_id", tables, bits, dim, seed)
+    // candidate ids only through the join + distinct; embeddings attach after
+    val cand = tk.join(broadcast(qk), Seq("tbl", "key"))
       .where(col("t_id") =!= col("q_id"))
-      .select("q_id", "q_emb", "t_id", "t_emb").distinct()
+      .select("q_id", "t_id").distinct()
+      .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), Seq("q_id"))
+      .join(corpus.select(col("vec_id").as("t_id"), col("embedding").as("t_emb")), Seq("t_id"))
     val w = Window.partitionBy("q_id")
       .orderBy(round(col("sim"), 4).desc, col("t_id"))
     cand.withColumn("sim", cosine(col("q_emb"), col("t_emb")))
@@ -74,24 +79,14 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine above threshold. Candidates from
     * sign-LSH buckets (no all-pairs); exact cosine verify. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
-      bits: Int = 6, tables: Int = 6): DataFrame = {
-    val keyed = df.select(col("vec_id").as("id"),
-      explode(transform(sequence(lit(0), lit(tables - 1)),
-        tbl => struct(tbl.as("tbl"),
-          aggregate(
-            transform(sequence(lit(0), lit(bits - 1)), b =>
-              when(aggregate(zip_with(col("embedding"),
-                sequence(lit(0), size(col("embedding")) - 1),
-                (x, i) => x.cast("double") *
-                  (xxhash64(tbl, b, i).cast("double") / lit(Long.MaxValue.toDouble))),
-                lit(0.0), (acc, x) => acc + x) > 0,
-                call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-            lit(0L), (acc, x) => acc.bitwiseOR(x)).as("key")))).as("bk"))
+      bits: Int = 6, tables: Int = 6, dim: Int = DefaultDim,
+      seed: Long = 42L): DataFrame = {
+    val keyed = bucketed(df, "id", tables, bits, dim, seed)
     val vecs = df.select(col("vec_id").as("id"), col("embedding").as("emb"))
-    val a = keyed.select(col("id").as("id_a"), col("bk"))
-    val b = keyed.select(col("id").as("id_b"), col("bk"))
+    val a = keyed.select(col("id").as("id_a"), col("tbl"), col("key"))
+    val b = keyed.select(col("id").as("id_b"), col("tbl"), col("key"))
     // candidate dedup on id pairs only; embeddings join back afterwards
-    a.join(b, Seq("bk")).where(col("id_a") < col("id_b"))
+    a.join(b, Seq("tbl", "key")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
       .join(vecs.select(col("id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))

@@ -23,13 +23,13 @@ object EventOps {
       (s, dir) => ev(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(dec)).cast(dec).as("sum_value"))
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
         .select(unix_micros(col("w.start")).as("win_start_us"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("win_start_us", "event_type"),
       Some("""SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_start_us,
                 event_type, COUNT(*) AS n,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
               FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""")
     ),
 
@@ -66,6 +66,28 @@ object EventOps {
               SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
                 COUNT(*) AS n_events
               FROM y GROUP BY user_id, sid ORDER BY user_id, session_start_us""")
+    ),
+
+    "e_stream_join" -> QueryDef(
+      // batch form of EventStreams.clickErrorJoin (the operator runs
+      // genuinely incrementally in StreamingSpec; here the SAME code path is
+      // checked relationally against DuckDB)
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+        val errors = e.where(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("e_ts"))
+        graft.streaming.EventStreams.clickErrorJoin(clicks, errors)
+          .orderBy("click_id", "err_id")
+      },
+      Some("""SELECT c.event_id AS click_id, c.user_id, e.event_id AS err_id,
+                CAST(epoch_us(e.ts) AS BIGINT) AS err_us
+              FROM events c JOIN events e
+                ON e.user_id = c.user_id AND e.event_type = 'error'
+               AND e.ts >= c.ts - INTERVAL 30 MINUTE AND e.ts <= c.ts
+              WHERE c.event_type = 'click'
+              ORDER BY click_id, err_id""")
     ),
 
     "e_asof_join" -> QueryDef(

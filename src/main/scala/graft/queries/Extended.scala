@@ -30,6 +30,24 @@ object Extended {
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     ),
 
+    // bounded top-k typed Aggregator: the buffer stays k elements per group
+    // regardless of group size (vs a window rank, which sorts every row) —
+    // the scale-correct pattern for "top k per key" on skewed groups
+    "q_topk_agg" -> QueryDef(
+      (s, dir) => {
+        val topk = udaf(TypedAggs.TopK(3))
+        t(s, dir, "orders").groupBy("o_orderstatus")
+          .agg(topk(col("o_totalprice")).as("tk"))
+          .select(col("o_orderstatus"), posexplode(col("tk")).as(Seq("i", "val")))
+          .select(col("o_orderstatus"), (col("i") + 1).cast("long").as("rank"), col("val"))
+          .orderBy("o_orderstatus", "rank")
+      },
+      Some("""SELECT o_orderstatus, CAST(rn AS BIGINT) AS rank, val FROM (
+                SELECT o_orderstatus, o_totalprice AS val,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS rn
+                FROM orders) WHERE rn <= 3 ORDER BY o_orderstatus, rank""")
+    ),
+
     // UDTF-style lateral explode: one row per word
     "q_explode_words" -> QueryDef(
       (s, dir) => t(s, dir, "documents")
@@ -95,10 +113,12 @@ object Extended {
       (s, dir) => graft.functions.Skew.saltedCountSum(
         t(s, dir, "events"), col("event_type"), "event_type",
         col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)), salts = 16)
-        .withColumn("s", col("s").cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+        // exact decimal sum internally; final output as DOUBLE (exact
+        // conversion) so both engines canonicalize identically
+        .withColumn("s", col("s").cast("double"))
         .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(*) AS n,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
               FROM events GROUP BY event_type ORDER BY event_type""")
     ),
 

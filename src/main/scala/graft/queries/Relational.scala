@@ -24,17 +24,18 @@ object Relational {
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(d("l_quantity")).cast(dec).as("sum_qty"),
-          sum(d("l_extendedprice")).cast(dec).as("sum_base_price"),
-          // natural scale-4 sum — a final round-to-2 cast is an engine-specific
-          // half-way coin flip (Spark HALF_UP vs DuckDB), so don't round
-          sum(d("l_extendedprice") * (lit(1).cast(dec) - d("l_discount"))).as("sum_disc_price"),
+          // decimal math stays internal (exact, order-independent); the FINAL
+          // output is cast to DOUBLE on both sides — one exact conversion —
+          // because the driver canonicalizes DECIMAL differently per engine
+          sum(d("l_quantity")).cast("double").as("sum_qty"),
+          sum(d("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(d("l_extendedprice") * (lit(1).cast(dec) - d("l_discount"))).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-                SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
                 COUNT(*) AS count_order
               FROM lineitem GROUP BY l_returnflag, l_linestatus
               ORDER BY l_returnflag, l_linestatus""")
@@ -57,12 +58,12 @@ object Relational {
         c.join(o, c("c_custkey") === o("o_custkey"))
           .join(l, o("o_orderkey") === l("l_orderkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
-          .agg(sum(d("l_extendedprice") * (lit(1).cast(dec) - d("l_discount"))).as("revenue"))
+          .agg(sum(d("l_extendedprice") * (lit(1).cast(dec) - d("l_discount"))).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
       },
       Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
-                SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
               FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON o_orderkey = l_orderkey
               GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
@@ -81,11 +82,11 @@ object Relational {
           .join(n, su("s_nationkey") === n("n_nationkey"))
           .join(r, n("n_regionkey") === r("r_regionkey"))
           .groupBy("n_name")
-          .agg(sum(d("l_extendedprice") * (lit(1).cast(dec) - d("l_discount"))).as("revenue"))
+          .agg(sum(d("l_extendedprice") * (lit(1).cast(dec) - d("l_discount"))).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
       Some("""SELECT n_name,
-                SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
               JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -193,14 +194,14 @@ object Relational {
           .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "lineitem")
-          .withColumn("running_qty", sum(d("l_quantity")).over(w).cast(dec))
+          .withColumn("running_qty", sum(d("l_quantity")).over(w).cast("double"))
           .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
           .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
                   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_qty
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
               FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""")
     ),
 
@@ -305,10 +306,10 @@ object Relational {
     "q_rollup" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum(d("l_quantity")).cast(dec).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sum(d("l_quantity")).cast("double").as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(coalesce(col("l_returnflag"), lit("~")), coalesce(col("l_linestatus"), lit("~"))),
       Some("""SELECT l_returnflag, l_linestatus,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                 COUNT(*) AS n
               FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
               ORDER BY COALESCE(l_returnflag, '~'), COALESCE(l_linestatus, '~')""")

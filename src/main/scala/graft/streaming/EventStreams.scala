@@ -41,6 +41,32 @@ object EventStreams {
       .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"))
 
+  /** Stream-stream interval join: each click pairs with the same user's
+    * errors in the `within` interval ending at the click. Both sides carry a
+    * watermark so the join state is bounded (rows older than watermark +
+    * interval are evicted); the time-interval condition is what makes the
+    * state finite at all — an unconstrained stream-stream equi-join would
+    * buffer both streams forever.
+    *
+    * Works on BATCH frames too (the analyzer eliminates the watermark on
+    * non-streaming children), which is how the driver's `e_stream_join`
+    * oracle checks the join semantics relationally.
+    *
+    * `clicks`: (click_id, user_id, c_ts); `errors`: (err_id, user_id, e_ts).
+    */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame,
+      within: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("c_ts", watermark)
+    val e = errors.withColumnRenamed("user_id", "e_user")
+      .withWatermark("e_ts", watermark)
+    c.join(e,
+        col("user_id") === col("e_user") &&
+          col("e_ts") >= col("c_ts") - expr(s"INTERVAL $within") &&
+          col("e_ts") <= col("c_ts"))
+      .select(col("click_id"), col("user_id"), col("err_id"),
+        unix_micros(col("e_ts")).as("err_us"))
+  }
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserRun(user_id: Long, n_errors: Long, alert: Boolean)

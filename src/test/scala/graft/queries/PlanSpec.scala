@@ -67,6 +67,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"files outside pruned buckets were read: $scanned")
   }
 
+  test("raw dim-range predicate (no Select DSL) prunes partitions via DimBucketPruning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-plan-raw").toString
+    val w = new graft.world.World(spark, path, Seq(
+      graft.world.DimSpec("d0", graft.core.DimMapping(0, 99, 10)),
+      graft.world.DimSpec("d1", graft.core.DimMapping(0, 99, 10))))
+    w.create((0L until 100L).map(i => (i, i)).toDF("d0", "d1"))
+    // plain where() — the path every non-DSL user takes
+    val q = w.df.where(col("d0").between(0, 19))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("c0"),
+      s"raw range must be rewritten into a c0 partition filter:\n$p")
+    val scanned = q.select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(scanned.nonEmpty && scanned.forall(f => f.contains("c0=0/") || f.contains("c0=1/")),
+      s"files outside pruned buckets were read: $scanned")
+    assert(q.count() == 20L, "row-exact residual filter still applies")
+    // out-of-domain tail is clamped, not emptied
+    assert(w.df.where(col("d0") >= 90 && col("d0") <= 5000).count() == 10L)
+  }
+
   test("hint ids reach the scan as pushed In-filter (row-group skipping)") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-plan-hint").toString

@@ -112,25 +112,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val clicks = MemoryStream[(Long, Long, Long)] // (click_id, user, epoch_us)
-    val errors = MemoryStream[(Long, Long)]       // (user, epoch_us)
+    val errors = MemoryStream[(Long, Long, Long)] // (err_id, user, epoch_us)
     val cdf = clicks.toDF().toDF("click_id", "user_id", "us")
       .withColumn("c_ts", timestamp_micros(col("us"))).drop("us")
-      .withWatermark("c_ts", "1 hour")
-    val edf = errors.toDF().toDF("user_id", "us")
+    val edf = errors.toDF().toDF("err_id", "user_id", "us")
       .withColumn("e_ts", timestamp_micros(col("us"))).drop("us")
-      .withWatermark("e_ts", "1 hour")
-      .withColumnRenamed("user_id", "e_user")
-    val joined = cdf.join(edf,
-      col("user_id") === col("e_user") &&
-        col("e_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
-        col("e_ts") <= col("c_ts"))
-      .select(col("click_id"), unix_micros(col("e_ts")).as("err_us"))
+    val joined = EventStreams.clickErrorJoin(cdf, edf, within = "30 minutes")
+      .select(col("click_id"), col("err_us"))
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("ssjoin_out").start()
     try {
       val min = 60L * 1000000L
       clicks.addData((1L, 7L, 40 * min), (2L, 7L, 100 * min), (3L, 8L, 40 * min))
-      errors.addData((7L, 20 * min), (8L, 90 * min))
+      errors.addData((10L, 7L, 20 * min), (11L, 8L, 90 * min))
       q.processAllAvailable()
       val got = spark.sql("SELECT click_id, err_us FROM ssjoin_out")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
