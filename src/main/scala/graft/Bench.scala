@@ -30,8 +30,14 @@ object Bench {
     // first query in the map
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // dev-only: SPARK_GRAFT_BENCH_ONLY=q1_agg,d_simhash narrows the run for
+    // iteration; the driver leaves it unset (full suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // (name, seconds, error) — failures are recorded, never silently ignored
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { materialize(fn(spark, sfDir)); None }

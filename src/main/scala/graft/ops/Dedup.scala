@@ -16,6 +16,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
+  /** Rebalance a CPU-bound stage's input: Spark splits scans by BYTES
+    * (maxPartitionBytes), so a small file (one row group) plans one task and
+    * a signature pass over it runs single-threaded — 12 s of the round-1
+    * minhash time at sf0.1 was one core hashing while 31 idled. When the
+    * input has fewer partitions than the cluster's parallelism the shuffle
+    * is by definition small (bounded by those few partitions' bytes); at
+    * real scale the condition is false and this is a no-op. */
+  private[ops] def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact duplicate groups by content hash; keeps the smallest id. */
   def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
     df.groupBy(md5(text).as("h"))
@@ -27,14 +39,56 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingles (distinct), the unit of Jaccard similarity. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(lower(trim(text)), "\\s+")
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))),
-      s => s =!= ""))
+  /** Distributed connected components over an undirected edge list —
+    * transitive near-duplicate GROUPS from a pair list (a near-dup relation
+    * is not transitive, so group formation needs real graph connectivity,
+    * not a groupBy). Iterative min-label propagation with a pointer-jumping
+    * step each round: the label of every member converges to the group's
+    * smallest id in O(log diameter) rounds, so a 1M-doc duplicate chain
+    * needs ~20 rounds, not 1M. Each round is two joins + an aggregation on
+    * (id, label) longs; per-round results are cached and the previous round
+    * unpersisted — the working set never exceeds one label table.
+    *
+    * Returns (id, group_id). Isolated ids (in `ids` but no edge) form their
+    * own singleton groups.
+    */
+  def connectedComponents(ids: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // eager localCheckpoint per round: materializes the label table AND
+    // truncates lineage — without it the plan doubles every iteration and
+    // the optimizer, not the data, becomes the bottleneck
+    var lab = ids.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // min label over neighbors
+      val nbrMin = sym.join(lab.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+      val stepped = lab.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jump: label <- label(label); halves remaining path lengths
+      val jumped = stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = jumped.join(lab.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).isEmpty
+      lab = jumped
+      it += 1
+    }
+    lab.select(col("id"), col("label").as("group_id"))
   }
+
+  /** Word n-gram shingles (distinct), the unit of Jaccard similarity.
+    * Native codegen'd [[graft.functions.WordShingles]] — byte-identical to
+    * the interpreted HOF chain it replaced (see its scaladoc), which
+    * profiled as the single largest cost of every dedup pipeline. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.WordShingles(text, n)
 
   /** MinHash signature: for seed j, min over shingles of XXH64(shingle, j).
     * Backed by the native codegen'd [[graft.functions.MinHashSignature]]
@@ -43,21 +97,6 @@ object Dedup {
     * per consumer by Catalyst (see the pipeline note in [[minhashLshPairs]]). */
   def minhashSignature(shingleArr: Column, numHashes: Int = 64): Column =
     graft.functions.MinHashSignature(shingleArr, numHashes)
-
-  /** LSH band keys: hash of each band of `rowsPerBand` signature entries.
-    * Docs sharing any band key are candidates.
-    *
-    * NOTE: referencing a signature *column* from this expression is a
-    * performance trap — Catalyst inlines the column's defining expression
-    * into every band (HOFs are interpreted, no common-subexpression
-    * elimination), multiplying the minhash work ~bands x. Prefer the
-    * posexplode + groupBy formulation in [[minhashLshPairs]], which
-    * evaluates the signature exactly once per row. Kept for tests/small data.
-    */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"), xxhash64(concat_ws(",",
-        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).cast("string")).as("bh")))
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     * Returns (id_a, id_b, jaccard_pct) with id_a < id_b, jaccard as an exact
@@ -75,20 +114,21 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    val base = parallelize(df.select(col(idCol).as("id"), col(textCol).as("text")))
+    val withSh = base.select(col("id"), shingles(col("text")).as("sh"))
       .where(size(col("sh")) > 0)
-    // posexplode evaluates the signature exactly once per row (a generator's
-    // input is single-eval), then banding is a plain groupBy — this sidesteps
-    // Catalyst inlining the 64-hash expression into every band key, which
-    // multiplies the signature work ~bands x (HOFs are interpreted, no CSE).
-    val sigRows = withSh.select(col("id"),
-      posexplode(minhashSignature(col("sh"), numHashes)).as(Seq("j", "h")))
-    val banded = sigRows
-      .groupBy(col("id"), expr(s"j div $rowsPerBand").as("band"))
-      .agg(xxhash64(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("j"), col("h")))),
-          p => p.getField("h").cast("string")))).as("bh"))
+    // fused native signature+banding: one codegen'd pass emits the `bands`
+    // band keys per doc (posexplode keeps it single-eval). The round-1
+    // two-step (explode numHashes sig rows -> groupBy collect_list) paid a
+    // full shuffle of numHashes x docs rows just to reassemble band keys.
+    // .distinct() is a semantic no-op ((id, band) is unique) that plants a
+    // shuffle Exchange below the self-join's two branches: Spark's
+    // ReuseExchange then computes the signature ONCE — without it each join
+    // side re-hashes the whole corpus (measured 1.5x slower at sf0.1)
+    val banded = withSh.select(col("id"),
+      posexplode(graft.functions.MinHashBandKeys(col("sh"), numHashes, bands))
+        .as(Seq("band", "bh")))
+      .distinct()
     val a = banded.select(col("id").as("id_a"), col("band"), col("bh"))
     val b = banded.select(col("id").as("id_b"), col("band"), col("bh"))
     // dedup candidates on the compact (id_a, id_b) key, THEN attach the
@@ -98,12 +138,12 @@ object Dedup {
       .select("id_a", "id_b").distinct()
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    // native one-pass verify (floor(inter*100/uni) >= intThreshold is
+    // equivalent to inter*100 >= uni*intThreshold for integer thresholds)
     cand
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .where(col("uni") > 0 && col("inter") * 100 >= col("uni") * (threshold * 100).toInt)
-      .select(col("id_a"), col("id_b"),
-        (col("inter") * 100L / col("uni")).cast("long").as("jaccard_pct"))
+      .withColumn("jaccard_pct", graft.functions.JaccardPct(col("sh_a"), col("sh_b")))
+      .where(col("jaccard_pct") >= (threshold * 100).toInt)
+      .select("id_a", "id_b", "jaccard_pct")
   }
 
   /** 64-bit SimHash over word unigrams: sign of the per-bit sum of +-1 votes
@@ -122,7 +162,8 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     val nBlocks = maxDist + 1
     val bits = 64 / nBlocks
-    val withH = df.select(col(idCol).as("id"), simhash(col(textCol)).as("h"))
+    val withH = parallelize(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), simhash(col("text")).as("h"))
     // explode a constant sequence and derive the block value ABOVE the
     // Generate: the simhash is then evaluated once per input row, not once
     // per block (same Catalyst-inlining trap as in minhashLshPairs)
@@ -164,7 +205,8 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val base = parallelize(df.select(col(idCol).as("id"), col(textCol).as("text")))
+    val withSh = base.select(col("id"), shingles(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
     val inv = withSh.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
     val withDf = inv.join(inv.groupBy("s").agg(count(lit(1)).as("df_")), Seq("s"))
@@ -195,10 +237,8 @@ object Dedup {
       .distinct()
     cand.join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .where(col("uni") > 0 && col("inter") * 100 >= col("uni") * (threshold * 100).toInt)
-      .select(col("id_a"), col("id_b"),
-        (col("inter") * 100L / col("uni")).cast("long").as("jaccard_pct"))
+      .withColumn("jaccard_pct", graft.functions.JaccardPct(col("sh_a"), col("sh_b")))
+      .where(col("jaccard_pct") >= (threshold * 100).toInt)
+      .select("id_a", "id_b", "jaccard_pct")
   }
 }

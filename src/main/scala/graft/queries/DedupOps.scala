@@ -30,6 +30,29 @@ object DedupOps {
               ORDER BY doc_id""")
     ),
 
+    // transitive duplicate GROUPS via distributed connected components.
+    // Edges are a CHAIN per fingerprint class (each doc links only to the
+    // next doc id with the same fingerprint), so reaching the group minimum
+    // genuinely requires transitive propagation — and the expected result is
+    // still SQL-expressible (min doc_id per fingerprint), giving the
+    // iterative graph algorithm a full DuckDB oracle.
+    "d_neardup_groups" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), graft.ops.Text.fingerprint(col("text")).as("fp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")
+        val edges = d.withColumn("nxt", lead(col("doc_id"), 1).over(w))
+          .where(col("nxt").isNotNull)
+          .select(col("doc_id").as("src"), col("nxt").as("dst"))
+        Dedup.connectedComponents(d.select(col("doc_id").as("id")), edges)
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id,
+                MIN(doc_id) OVER (PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS group_id
+              FROM documents ORDER BY id""")
+    ),
+
     "d_minhash_lsh" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         numHashes = 64, bands = 8, threshold = 0.5)

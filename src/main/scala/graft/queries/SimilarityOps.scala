@@ -40,6 +40,15 @@ object SimilarityOps {
       None
     ),
 
+    "s_ann_ivf" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+          .orderBy("q_id", "rank")
+      },
+      None
+    ),
+
     "s_embed_neardup" -> QueryDef(
       (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.95)
         .orderBy("id_a", "id_b"),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Multimodal, Text}
+import graft.ops.{Dedup, Multimodal, Text}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + multimodal-plumbing queries over `documents`. */
@@ -61,6 +61,37 @@ object TextOps {
         col("doc_id"), Text.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id"),
       None
+    ),
+
+    // end-to-end training-data cleaning pipeline: exact dedup -> token/
+    // language scoring -> quality gate -> fingerprint. Composes the dedup +
+    // text operators the way a real corpus pipeline chains them, and every
+    // stage is relational, so the WHOLE pipeline gets a DuckDB oracle.
+    "p_clean_corpus" -> QueryDef(
+      (s, dir) => {
+        val deduped = Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        deduped
+          .withColumn("n_tokens", Text.tokenCount(col("text")))
+          .withColumn("lang_pred", Text.langId(col("text")))
+          .withColumn("fp", Text.fingerprint(col("text")))
+          .where(col("n_tokens") >= 20 && col("lang_pred") === "en")
+          .select("doc_id", "n_tokens", "fp")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dedup AS (
+                SELECT doc_id, text,
+                  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM documents),
+              scored AS (
+                SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                  CASE WHEN len(regexp_extract_all(text, '\b(the|and|of|to|a|in|is|it|that|for)\b')) >= 3
+                       THEN 'en' ELSE 'other' END AS lang_pred,
+                  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+                FROM dedup WHERE rn = 1)
+              SELECT doc_id, n_tokens, fp FROM scored
+              WHERE n_tokens >= 20 AND lang_pred = 'en'
+              ORDER BY doc_id""")
     ),
 
     // multimodal: binary column + metadata extraction (octet length)

@@ -115,6 +115,15 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** The world as a STREAMING source: chunk files appearing under the grid
+    * after the stream starts are discovered incrementally by Spark's file
+    * source — the read-side complement of the write-behind [[graft.streaming.Daemon]]
+    * (the reference's IO loop, tokio-fs/src/lib.rs:202-235, covers only the
+    * write side). Downstream transforms/windows compose as usual; partition
+    * (bucket) columns are part of the schema. */
+  def stream: DataFrame =
+    spark.readStream.schema(df.schema).parquet(path)
+
   /** Entry point of the selection algebra (`World::select`,
     * /root/reference/src/world.rs:301-329): chunk-range on `dim` from value
     * bounds, full range on all other dims; out-of-range bounds → empty. */

@@ -35,6 +35,25 @@ class MinHashSignatureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gen(2).distinct.length > 1, "different seeds give different hashes")
   }
 
+  test("band keys: codegen==interpreted, set-semantics, chained from signature minima") {
+    import spark.implicits._
+    val df = Seq(
+      Seq("a", "b", "c"), Seq("c", "b", "a"), // same set -> same band keys
+      Seq("x", "y", "z")
+    ).toDF("sh")
+    def run(codegen: String): Seq[Seq[Long]] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.select(MinHashBandKeys(col("sh"), 64, 8).as("bk"))
+        .as[Seq[Long]].collect().toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val gen = run("CODEGEN_ONLY")
+    assert(gen == run("NO_CODEGEN"), "doGenCode must match nullSafeEval")
+    assert(gen.forall(_.length == 8), "one key per band")
+    assert(gen(0) == gen(1), "band keys are set-semantics")
+    assert(gen(0) != gen(2), "disjoint sets should (overwhelmingly) differ in every band")
+  }
+
   test("subset property: min over superset <= min over subset, per seed") {
     import spark.implicits._
     val df = Seq((Seq("a", "b"), Seq("a", "b", "c"))).toDF("small", "big")

@@ -30,6 +30,37 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq("a b c", "b c d", "c d c", "d c d", "c d e"))
   }
 
+  test("native shingles are byte-identical to the HOF formulation on edge cases") {
+    import spark.implicits._
+    // the HOF chain WordShingles replaced, kept as the semantic pin
+    def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
+      val words = split(lower(trim(text)), "\\s+")
+      array_distinct(filter(
+        transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))),
+        s => s =!= ""))
+    }
+    val fixtures = Seq(
+      "a b c d c d e",
+      "",                      // empty -> no shingles
+      "   ",                   // spaces only
+      "one",                   // shorter than n -> single all-words shingle
+      "one two",               // two words < n
+      "MiXeD CaSe WORDS here", // lowering
+      "\ttab\nnewline lead",   // non-space whitespace survives trim -> empty first word
+      " padded   with   runs  of spaces ",
+      "dup dup dup dup dup"    // heavy duplication
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = fixtures.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val nat = df.select(col("doc_id"), Dedup.shingles(col("text"), n).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      val hof = df.select(col("doc_id"), hofShingles(col("text"), n).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(nat == hof, s"divergence at n=$n")
+    }
+  }
+
   test("exact duplicates always collide in MinHash-LSH; disjoint texts never pass verify") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
@@ -78,6 +109,30 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val loose = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.1)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(loose((1L, 2L)) == 20L)
+  }
+
+  test("connectedComponents: chain, clique, isolated node all converge to min-id groups") {
+    import spark.implicits._
+    // chain 1-2-3-4 (transitivity!), clique 10-11-12, isolated 20
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val got = Dedup.connectedComponents(ids, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponents: long chain converges within the O(log) round budget") {
+    import spark.implicits._
+    // a 200-node path: naive one-hop propagation would need 200 rounds;
+    // pointer jumping must close it inside maxIter=25
+    val n = 200L
+    val ids = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(ids, edges, maxIter = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall(_._2 == 1L), s"all labels must reach 1: ${got.filter(_._2 != 1L).take(5).toSeq}")
   }
 
   test("exactDedup keeps lowest id per identical text") {

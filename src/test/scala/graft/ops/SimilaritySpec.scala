@@ -54,6 +54,32 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toList == List((0L, 1L, 1L)))
   }
 
+  test("ivfTopK top-1 finds an exact duplicate vector (same inverted list)") {
+    val base = Seq.tabulate(16)(i => math.sin(i * 1.7).toFloat)
+    val d = emb(
+      (0L, base), (1L, base), // exact dup of query
+      (2L, base.map(x => -x)),
+      (3L, Seq.tabulate(16)(i => math.cos(i * 3.1).toFloat)))
+    // 4 vectors -> 4 lists, nprobe clamps to 4: probes everything, so the
+    // dup MUST surface regardless of centroid placement
+    val got = Similarity.ivfTopK(d, d.where(col("vec_id") === 0), k = 1, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toList == List((0L, 1L, 1L)))
+  }
+
+  test("ivfTopK narrows candidates: nprobe=1 probes one list per query") {
+    import spark.implicits._
+    // two well-separated clusters; query sits in cluster A — with nprobe=1
+    // only cluster A's list is probed, and the in-cluster neighbor wins
+    val clusterA = (0L until 8L).map(i => (i, Seq.tabulate(8)(j => (10f + i * 0.01f) * (if (j == 0) 1f else 0f))))
+    val clusterB = (8L until 16L).map(i => (i, Seq.tabulate(8)(j => (10f + i * 0.01f) * (if (j == 1) 1f else 0f))))
+    val d = (clusterA ++ clusterB).toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(d, d.where(col("vec_id") === 0), k = 3,
+      nlist = 2, nprobe = 1, dim = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.nonEmpty && got.forall(_ < 8L), s"candidates must come from cluster A only: $got")
+  }
+
   test("cosineNearDupPairs finds duplicate pair and nothing else") {
     val a = Seq.tabulate(16)(i => math.sin(i * 0.9).toFloat)
     val d = emb((1L, a), (2L, a.map(x => x * 2f)), // same direction -> cos 1

@@ -49,6 +49,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("world as a streaming source: new chunk files are discovered incrementally") {
+    import spark.implicits._
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 1023, 8)), DimSpec("d1", DimMapping(0, 1023, 16))))
+    w.create(Seq((1L, 1L)).toDF("d0", "d1"))
+    val q = w.stream.select("d0", "d1").writeStream.outputMode("append")
+      .format("memory").queryName("world_stream_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT d0 FROM world_stream_out").count() == 1L)
+      w.tryInsert(Seq((114L, 514L)).toDF("d0", "d1")) // appends a new chunk file
+      q.processAllAvailable()
+      val got = spark.sql("SELECT d0 FROM world_stream_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 114L), "the appended chunk must flow through the stream")
+    } finally q.stop()
+  }
+
   test("tumbling window with watermark over streamed events matches batch counts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
