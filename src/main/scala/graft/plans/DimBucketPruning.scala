@@ -82,7 +82,7 @@ case class DimBucketPruning() extends Rule[LogicalPlan] {
     val conjs = conjuncts(cond)
     val preds = dims.zipWithIndex.flatMap { case (spec, i) =>
       val ranges = conjs.flatMap(rangeOf(_, spec.column))
-      if (ranges.isEmpty) None
+      if (ranges.isEmpty) Seq.empty[Expression]
       else {
         // intersect all constraints, clamp to the dim domain (rows outside
         // the domain cannot exist in a world by construction)
@@ -92,16 +92,20 @@ case class DimBucketPruning() extends Rule[LogicalPlan] {
         val hi = math.min(ranges.flatMap(_._2) match {
           case Nil => spec.mapping.endIncl; case hs => hs.min
         }, spec.mapping.endIncl)
-        output.find(_.name == s"c$i").map { cAttr =>
+        output.find(_.name == s"c$i").toSeq.flatMap { cAttr =>
           def cLit(v: Long): Literal = cAttr.dataType match {
             case IntegerType => Literal(v.toInt)
             case _           => Literal(v)
           }
-          if (lo > hi) Literal.FalseLiteral
+          if (lo > hi) Seq(Literal.FalseLiteral)
           else spec.mapping.chunksOf(Bounds.to(lo, hi)) match {
             case Some((clo, chi)) =>
-              And(GreaterThanOrEqual(cAttr, cLit(clo)), LessThanOrEqual(cAttr, cLit(chi)))
-            case None => Literal.FalseLiteral
+              // ATOMIC conjuncts, one comparison each: the idempotence guard
+              // below compares against the filter's split conjunct list, so a
+              // composite And() here would never match and the fixed-point
+              // batch would re-add it every iteration
+              Seq(GreaterThanOrEqual(cAttr, cLit(clo)), LessThanOrEqual(cAttr, cLit(chi)))
+            case None => Seq(Literal.FalseLiteral)
           }
         }
       }

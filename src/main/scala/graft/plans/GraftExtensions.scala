@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The library's `SparkSessionExtensions` entry point — idiomatic packaging
+  * for a Spark-native engine: users opt in with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `withExtensions(new GraftExtensions)`) and get
+  *
+  *   - the [[DimBucketPruning]] optimizer rule (raw dim-range predicates on
+  *     registered worlds prune chunk directories without the Select DSL);
+  *   - the native expressions as SQL functions, so pure-SQL users can write
+  *     `SELECT simhash64(split(lower(text), '\\s+'))`, `word_shingles(text, 3)`,
+  *     `cosine_sim(a, b)`, `jaccard_pct(a, b)`, `minhash_signature(sh, 64)`,
+  *     `minhash_band_keys(sh, 64, 8)` — the same codegen'd kernels the
+  *     DataFrame operators use.
+  *
+  * (Worlds constructed programmatically also self-install the rule via
+  * `spark.experimental`, so the extension is additive, not required.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "misc_funcs", "", "", "internal")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => DimBucketPruning())
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit simhash"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - distinct word n-grams"),
+      (args: Seq[Expression]) =>
+        WordShingles(args.head, intLit(args(1), "shingle width"))))
+
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of float/double arrays"),
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+
+    ext.injectFunction((FunctionIdentifier("jaccard_pct"),
+      info("jaccard_pct", "jaccard_pct(a, b) - exact Jaccard integer percent of string arrays"),
+      (args: Seq[Expression]) => JaccardPct(args.head, args(1))))
+
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(sh, numHashes) - minhash signature"),
+      (args: Seq[Expression]) =>
+        MinHashSignature(args.head, intLit(args(1), "numHashes"))))
+
+    ext.injectFunction((FunctionIdentifier("minhash_band_keys"),
+      info("minhash_band_keys", "minhash_band_keys(sh, numHashes, bands) - LSH band keys"),
+      (args: Seq[Expression]) => MinHashBandKeys(args.head,
+        intLit(args(1), "numHashes"), intLit(args(2), "bands"))))
+  }
+}

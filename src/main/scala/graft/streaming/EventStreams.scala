@@ -67,6 +67,17 @@ object EventStreams {
         unix_micros(col("e_ts")).as("err_us"))
   }
 
+  /** Streaming exact dedup with bounded state: duplicate event ids arriving
+    * within the watermark horizon are dropped; state for ids older than the
+    * watermark is evicted (an unbounded `dropDuplicates` would grow state
+    * forever — this is the streaming face of the batch exact-dedup
+    * operator, sized for infinite streams). */
+  def dedupStream(events: DataFrame, idCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserRun(user_id: Long, n_errors: Long, alert: Boolean)

@@ -153,6 +153,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicate ids within the watermark horizon are dropped, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, Long)] // (event_id, epoch_us)
+    val events = src.toDF().toDF("event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = EventStreams.dedupStream(events, "event_id", watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream_out").start()
+    try {
+      val min = 60L * 1000000L
+      src.addData((1L, 0L), (1L, 1 * min), (2L, 2 * min))
+      q.processAllAvailable()
+      src.addData((1L, 3 * min), (3L, 4 * min)) // 1 is still a dup within watermark
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id FROM dedup_stream_out")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(got == Seq(1L, 2L, 3L), s"one row per id: $got")
+    } finally q.stop()
+  }
+
   test("late data beyond watermark is dropped from append-mode output") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
