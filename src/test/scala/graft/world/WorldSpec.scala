@@ -201,6 +201,23 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 100L)
   }
 
+  test("DataSource V2 write: rows append into their chunk directories (FsHandle::write_chunk analog)") {
+    import spark.implicits._
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
+    w.create(Seq((5L, 5L)).toDF("d0", "d1"))
+    // write through the connector: rows carry bucket cols (the routing step)
+    w.withBuckets(Seq((23L, 47L)).toDF("d0", "d1"))
+      .write.format("graft").mode("append").save(w.path)
+    assert(new java.io.File(w.path + "/c0=2/c1=4").isDirectory,
+      "row must be routed into its chunk directory")
+    // visible to BOTH the connector read path and the plain parquet path
+    val viaConnector = spark.read.format("graft").load(w.path)
+      .select("d0").as[Long].collect().toSet
+    val viaParquet = w.df.select("d0").as[Long].collect().toSet
+    assert(viaConnector == Set(5L, 23L) && viaParquet == Set(5L, 23L))
+  }
+
   test("id immutability: update refuses dim-0 (src/world.rs:108)") {
     val w = new World(spark, tmp(), dims2(8, 16))
     w.create(rows((1L, 1L)))
