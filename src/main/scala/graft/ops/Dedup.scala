@@ -54,6 +54,11 @@ object Dedup {
     */
   def connectedComponents(ids: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
+    // no edges -> every id is its own singleton group; skip the loop (a
+    // mostly-unique corpus pays one cheap existence probe instead of a
+    // full propagation round)
+    if (edges.limit(1).isEmpty)
+      return ids.select(col("id"), col("id").as("group_id"))
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     // eager localCheckpoint per round: materializes the label table AND

@@ -257,6 +257,37 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     n
   }
 
+  /** Compaction: rewrite fragmented chunk directories down to one file each.
+    * Every append path (tryInsert, the graft connector's write, daemon
+    * batches) adds a file per touched chunk — at 100 TB an append-heavy
+    * world fragments into a small-files problem unless compacted. Only
+    * directories holding more than `maxFilesPerChunk` data files are
+    * rewritten (partition-scoped, like every other point op); returns the
+    * number of compacted chunks. */
+  def compact(maxFilesPerChunk: Int = 1): Long = {
+    val fs = fileSystem
+    def chunkDirs(dir: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == dims.length) Seq(dir)
+      else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+        .flatMap(s => chunkDirs(s.getPath, depth + 1))
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return 0L
+    val frag = chunkDirs(root, 0).filter { d =>
+      fs.listStatus(d).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) > maxFilesPerChunk
+    }
+    if (frag.isEmpty) 0L
+    else {
+      val rootPath = root.toUri.getPath
+      val buckets: Set[Vector[Long]] = frag.map { d =>
+        d.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+          .split("/").map(_.split("=", 2)(1).toLong).toVector
+      }.toSet
+      rewritePartitions(buckets, df.where(partitionsPred(buckets)))
+      buckets.size.toLong
+    }
+  }
+
   // ---------------------------------------------------------------- helpers
 
   /** Predicate selecting exactly the given bucket tuples. A struct `IN` —

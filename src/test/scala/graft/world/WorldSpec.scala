@@ -218,6 +218,24 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaConnector == Set(5L, 23L) && viaParquet == Set(5L, 23L))
   }
 
+  test("compact: fragmented chunk dirs rewritten to one file, data intact") {
+    import spark.implicits._
+    val w = new World(spark, tmp(), dims2(8, 16))
+    w.create(Seq((1L, 1L)).toDF("d0", "d1"))
+    // three appends into the SAME chunk (0,0) -> fragmented dir
+    w.tryInsert(Seq((2L, 2L)).toDF("d0", "d1"))
+    w.tryInsert(Seq((3L, 3L)).toDF("d0", "d1"))
+    val dir = new java.io.File(w.path + "/c0=0/c1=0")
+    def dataFiles = dir.listFiles().count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(dataFiles >= 3, s"expected fragmentation, got $dataFiles files")
+    val n = w.compact()
+    assert(n == 1L, "exactly the fragmented chunk is compacted")
+    assert(dataFiles == 1, "one file per chunk after compaction")
+    assert(w.df.select("d0").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(w.compact() == 0L, "already-compact world is a no-op")
+  }
+
   test("id immutability: update refuses dim-0 (src/world.rs:108)") {
     val w = new World(spark, tmp(), dims2(8, 16))
     w.create(rows((1L, 1L)))
