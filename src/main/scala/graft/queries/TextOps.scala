@@ -105,6 +105,39 @@ object TextOps {
               FROM documents ORDER BY doc_id""")
     ),
 
+    // multimodal: frame sampling — one row per sampled fixed-size "frame" of
+    // the binary payload (stubbed demuxer, real fan-out shape); rows-only
+    "m_frame_sample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text")
+          .as[Multimodal.MediaRow]
+        Multimodal.fakeFrameSample(s, media).toDF()
+          .select(col("doc_id"), col("frame_idx"), col("n_bytes"),
+            col("features")(0).cast("long").as("f0"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      None
+    ),
+
+    // multimodal resize analog: average-pool the 64-dim embedding to 8
+    // buckets (image-resize-shaped math, declarative so it fuses into the
+    // scan); each bucket emitted as its own DOUBLE column for an exact oracle
+    "m_resize" -> QueryDef(
+      (s, dir) => {
+        val pooled = Multimodal.poolFeatures(col("embedding"), 64, 8)
+        t(s, dir, "embeddings").select(
+          col("vec_id") +: (0 until 8).map(i => pooled(i).as(s"p$i")): _*)
+          .orderBy("vec_id")
+      },
+      Some {
+        val cols = (0 until 8).map { b =>
+          s"CAST(list_sum(CAST(embedding[${b * 8 + 1}:${b * 8 + 8}] AS DOUBLE[])) / 8 AS DOUBLE) AS p$b"
+        }.mkString(", ")
+        s"SELECT vec_id, $cols FROM embeddings ORDER BY vec_id"
+      }
+    ),
+
     // multimodal: per-partition (stubbed) decode + feature extraction —
     // deterministic byte histogram; no SQL oracle (mapPartitions pipeline)
     "m_decode_features" -> QueryDef(
