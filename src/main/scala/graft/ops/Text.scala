@@ -41,4 +41,20 @@ object Text {
     * (stable under reflow — the exact-dedup key for near-identical docs). */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Overlapping token-window chunks — the sequence-packing prerequisite of
+    * a training pipeline: windows of `window` tokens advancing by `stride`
+    * (`window - stride` tokens of overlap), the last window clamped at the
+    * document end; a doc shorter than one window yields itself. Returns an
+    * array of chunk strings (explode for one row per chunk); per-row and
+    * shuffle-free like the rest of the Text family. */
+  def chunk(text: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0 && stride <= window, "need 0 < stride <= window")
+    val words = split(trim(text), "\\s+")
+    val n = size(words)
+    val nChunks = greatest(
+      (ceil((n - lit(window)).cast("double") / stride) + 1).cast("int"), lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(words, i * stride + 1, lit(window))))
+  }
 }

@@ -63,6 +63,34 @@ object TextOps {
       None
     ),
 
+    // overlapping token-window chunking (32-token windows, stride 24): the
+    // row-per-chunk fan-out every training pipeline runs before packing
+    "t_chunks" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Text.chunk(col("text"), window = 32, stride = 24))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"), Text.tokenCount(col("chunk")).as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+                FROM documents),
+              k AS (
+                SELECT doc_id, words,
+                  GREATEST(CAST(CEIL((len(words) - 32) / 24.0) AS BIGINT) + 1, 1) AS nchunks
+                FROM w),
+              u AS (
+                SELECT doc_id,
+                  unnest(range(0, nchunks)) AS chunk_idx,
+                  unnest(list_transform(range(0, nchunks),
+                    x -> array_to_string(words[1 + x*24 : x*24 + 32], ' '))) AS chunk
+                FROM k)
+              SELECT doc_id, chunk_idx, chunk,
+                CAST(len(string_split_regex(trim(chunk), '\s+')) AS BIGINT) AS n_chunk_tokens
+              FROM u ORDER BY doc_id, chunk_idx""")
+    ),
+
     // end-to-end training-data cleaning pipeline: exact dedup -> token/
     // language scoring -> quality gate -> fingerprint. Composes the dedup +
     // text operators the way a real corpus pipeline chains them, and every
