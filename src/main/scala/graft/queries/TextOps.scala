@@ -91,6 +91,32 @@ object TextOps {
               FROM u ORDER BY doc_id, chunk_idx""")
     ),
 
+    // deterministic hash-derived train/val split: the bucket comes from the
+    // md5 of the id (stable across engines, runs, and partitionings — an
+    // RNG-based split would be none of those), ~94% train via hex-digit
+    // bucketing. ascii(first md5 hex char) is engine-neutral arithmetic.
+    "p_train_split" -> QueryDef(
+      (s, dir) => {
+        // first md5 hex digit decoded to its uniform 0..15 value
+        val a = ascii(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+        val bucket = when(a >= 97, a - 87).otherwise(a - 48)
+        t(s, dir, "documents")
+          .select(col("doc_id"), bucket.cast("long").as("bucket"))
+          .withColumn("split", when(col("bucket") < 14, lit("train")).otherwise(lit("val")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+                SELECT doc_id, ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS a
+                FROM documents),
+              b AS (
+                SELECT doc_id,
+                  CAST(CASE WHEN a >= 97 THEN a - 87 ELSE a - 48 END AS BIGINT) AS bucket
+                FROM h)
+              SELECT doc_id, bucket,
+                CASE WHEN bucket < 14 THEN 'train' ELSE 'val' END AS split
+              FROM b ORDER BY doc_id""")
+    ),
+
     // end-to-end training-data cleaning pipeline: exact dedup -> token/
     // language scoring -> quality gate -> fingerprint. Composes the dedup +
     // text operators the way a real corpus pipeline chains them, and every
