@@ -26,10 +26,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: session/codegen/JIT init should not be billed to the
-    // first query in the map
+    // untimed warmup: session/codegen/JIT init and first-touch of every
+    // table's read path should not be billed to whichever query happens to
+    // run first (alphabetical order made d_exact_dedup absorb it)
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q1_agg,d_simhash narrows the run for
     // iteration; the driver leaves it unset (full suite)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
