@@ -78,9 +78,13 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     // cluster rows by their bucket before writing: each partition directory
     // is then written by one task -> one file per chunk instead of
     // (tasks x chunks) small files. At cluster scale this one shuffle is what
-    // keeps a bucketed write from exploding the file count.
+    // keeps a bucketed write from exploding the file count. Sorting by dims
+    // within each task tightens parquet row-group min/max stats, so pushed
+    // id hints (`Select::hint` -> In-filter) skip row groups instead of
+    // scanning them.
     val bucketed = withBuckets(validate(df))
       .repartition(bucketCols.map(col): _*)
+      .sortWithinPartitions(dims.map(d => col(d.column)): _*)
     bucketed.write
       .partitionBy(bucketCols: _*)
       .mode("overwrite")
@@ -320,6 +324,7 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
       // overwrite, stale stage partitions would survive the write below
       fs.delete(new org.apache.hadoop.fs.Path(stage), true)
       rows.repartition(bucketCols.map(col): _*)
+        .sortWithinPartitions(dims.map(d => col(d.column)): _*)
         .write.partitionBy(bucketCols: _*).mode("overwrite").parquet(stage)
       // an all-deletes rewrite stages zero rows -> no readable parquet
       val staged =
