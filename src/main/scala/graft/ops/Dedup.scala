@@ -95,14 +95,6 @@ object Dedup {
   def shingles(text: Column, n: Int = 3): Column =
     graft.functions.WordShingles(text, n)
 
-  /** MinHash signature: for seed j, min over shingles of XXH64(shingle, j).
-    * Backed by the native codegen'd [[graft.functions.MinHashSignature]]
-    * expression — the HOF formulation (`transform(sequence, j ->
-    * array_min(transform(sh, xxhash64)))`) is interpreted and gets inlined
-    * per consumer by Catalyst (see the pipeline note in [[minhashLshPairs]]). */
-  def minhashSignature(shingleArr: Column, numHashes: Int = 64): Column =
-    graft.functions.MinHashSignature(shingleArr, numHashes)
-
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     * Returns (id_a, id_b, jaccard_pct) with id_a < id_b, jaccard as an exact
     * integer percent (engine-neutral).

@@ -12,18 +12,11 @@ import org.apache.spark.sql.expressions.Window
   * corpus by random-hyperplane signs so each query probes one bucket chain
   * (candidate set ~ corpus/2^bits per table). Bucket keys come from the
   * native codegen'd [[graft.functions.SignRandomProjection]] — hyperplanes
-  * are driver-side constants, embeddings are read once per row. Dot products
-  * in the verify stages are codegen'd-ish `aggregate`/`zip_with` folds in
-  * double — sequential array order, deterministic.
+  * are driver-side constants, embeddings are read once per row — and every
+  * verify/re-rank stage scores with the native [[graft.functions.CosineSim]]
+  * kernel (sequential accumulation order, deterministic).
   */
 object Similarity {
-
-  /** Sequential-order dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity — native codegen'd kernel
     * ([[graft.functions.CosineSim]]): one pass computing dot and both norms,
