@@ -63,28 +63,49 @@ object Dedup {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     // eager localCheckpoint per round: materializes the label table AND
     // truncates lineage — without it the plan doubles every iteration and
-    // the optimizer, not the data, becomes the bottleneck
-    var lab = ids.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    // the optimizer, not the data, becomes the bottleneck. The handle to
+    // the persisted RDD (the LogicalRDD behind the checkpoint) lets each
+    // round explicitly free its predecessor: at 100 TB x 20 rounds, leaked
+    // label tables would otherwise accumulate in executor storage memory.
+    def checkpointed(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+      val cp = df.localCheckpoint(true)
+      val handle = cp.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      (cp, handle)
+    }
+    var (lab, labRdd) = checkpointed(ids.select(col("id"), col("id").as("label")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       // min label over neighbors
       val nbrMin = sym.join(lab.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+      // carry the pre-round label through as `old` so convergence is read
+      // off the checkpointed result itself (a cached-block scan that
+      // short-circuits on the first changed row) instead of the former
+      // join+isEmpty, which re-ran both propagation joins a second time
       val stepped = lab.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // pointer jump: label <- label(label); halves remaining path lengths
-      val jumped = stepped
+      val jump = stepped
         .join(stepped.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
-        .localCheckpoint(true)
-      converged = jumped.join(lab.withColumnRenamed("label", "old"), Seq("id"))
-        .where(col("label") =!= col("old")).isEmpty
-      lab = jumped
+        .select(col("id"), col("old"), coalesce(col("ll"), col("label")).as("label"))
+      val (jumped, jumpedRdd) = checkpointed(jump)
+      converged = jumped.where(col("label") =!= col("old")).isEmpty
+      labRdd.foreach(_.unpersist(blocking = false))
+      lab = jumped.select("id", "label")
+      labRdd = jumpedRdd
       it += 1
     }
+    // exhausting maxIter means the labels may not be fixed-point yet —
+    // surface it rather than silently emitting wrong groups
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge within $maxIter iterations; " +
+          "group labels may be incomplete — raise maxIter")
     lab.select(col("id"), col("label").as("group_id"))
   }
 

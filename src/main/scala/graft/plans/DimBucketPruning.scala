@@ -56,22 +56,31 @@ case class DimBucketPruning() extends Rule[LogicalPlan] {
     case _                            => None
   }
 
-  /** (lo, hi) constraint a single conjunct puts on `name`, if any. */
+  /** (lo, hi) SIGNED constraint a single conjunct puts on `name`, if any
+    * (Spark compares LongType with signed semantics, so the raw predicate
+    * denotes a signed interval). Strict comparisons at the signed extremes
+    * are unsatisfiable; they yield the canonical empty range (1, 0) rather
+    * than overflowing. */
   private def rangeOf(c: Expression, name: String): Option[(Option[Long], Option[Long])] = {
     def is(a: Expression) = a match {
       case ar: AttributeReference => ar.name == name
       case _                      => false
     }
+    val unsat = (Some(1L), Some(0L))
     c match {
       case GreaterThanOrEqual(a, l) if is(a) => litLong(l).map(v => (Some(v), None))
-      case GreaterThan(a, l) if is(a)        => litLong(l).map(v => (Some(v + 1), None))
+      case GreaterThan(a, l) if is(a)        => litLong(l).map(v =>
+        if (v == Long.MaxValue) unsat else (Some(v + 1), None))
       case LessThanOrEqual(a, l) if is(a)    => litLong(l).map(v => (None, Some(v)))
-      case LessThan(a, l) if is(a)           => litLong(l).map(v => (None, Some(v - 1)))
+      case LessThan(a, l) if is(a)           => litLong(l).map(v =>
+        if (v == Long.MinValue) unsat else (None, Some(v - 1)))
       case EqualTo(a, l) if is(a)            => litLong(l).map(v => (Some(v), Some(v)))
       case GreaterThanOrEqual(l, a) if is(a) => litLong(l).map(v => (None, Some(v)))
-      case GreaterThan(l, a) if is(a)        => litLong(l).map(v => (None, Some(v - 1)))
+      case GreaterThan(l, a) if is(a)        => litLong(l).map(v =>
+        if (v == Long.MinValue) unsat else (None, Some(v - 1)))
       case LessThanOrEqual(l, a) if is(a)    => litLong(l).map(v => (Some(v), None))
-      case LessThan(l, a) if is(a)           => litLong(l).map(v => (Some(v + 1), None))
+      case LessThan(l, a) if is(a)           => litLong(l).map(v =>
+        if (v == Long.MaxValue) unsat else (Some(v + 1), None))
       case EqualTo(l, a) if is(a)            => litLong(l).map(v => (Some(v), Some(v)))
       case _                                 => None
     }
@@ -84,28 +93,50 @@ case class DimBucketPruning() extends Rule[LogicalPlan] {
       val ranges = conjs.flatMap(rangeOf(_, spec.column))
       if (ranges.isEmpty) Seq.empty[Expression]
       else {
-        // intersect all constraints, clamp to the dim domain (rows outside
-        // the domain cannot exist in a world by construction)
-        val lo = math.max(ranges.flatMap(_._1) match {
-          case Nil => spec.mapping.start; case ls => ls.max
-        }, spec.mapping.start)
-        val hi = math.min(ranges.flatMap(_._2) match {
-          case Nil => spec.mapping.endIncl; case hs => hs.min
-        }, spec.mapping.endIncl)
+        // intersect all constraints in SIGNED space (that is the predicate's
+        // semantics), without touching the domain yet — the domain is u64
+        // and may wrap the signed boundary (endIncl = -1L means 2^64-1), so
+        // signed clamping against it would turn valid predicates into
+        // FalseLiteral (silently-empty results)
+        val pl = ranges.flatMap(_._1).foldLeft(Long.MinValue)(math.max)
+        val ph = ranges.flatMap(_._2).foldLeft(Long.MaxValue)(math.min)
         output.find(_.name == s"c$i").toSeq.flatMap { cAttr =>
           def cLit(v: Long): Literal = cAttr.dataType match {
             case IntegerType => Literal(v.toInt)
             case _           => Literal(v)
           }
-          if (lo > hi) Seq(Literal.FalseLiteral)
-          else spec.mapping.chunksOf(Bounds.to(lo, hi)) match {
-            case Some((clo, chi)) =>
-              // ATOMIC conjuncts, one comparison each: the idempotence guard
-              // below compares against the filter's split conjunct list, so a
-              // composite And() here would never match and the fixed-point
-              // batch would re-add it every iteration
-              Seq(GreaterThanOrEqual(cAttr, cLit(clo)), LessThanOrEqual(cAttr, cLit(chi)))
-            case None => Seq(Literal.FalseLiteral)
+          if (pl > ph) Seq(Literal.FalseLiteral) // predicate itself unsatisfiable
+          else {
+            // a signed interval maps to one unsigned interval when both ends
+            // share a sign, else splits at the sign boundary into
+            // [0, ph] ∪ [pl as u64, 2^64-1]; each piece is then clamped to
+            // the dim domain with UNSIGNED min/max, mirroring DimMapping
+            val pieces: Seq[(Long, Long)] =
+              if (pl >= 0 || ph < 0) Seq((pl, ph))
+              else Seq((0L, ph), (pl, graft.core.UInt64.MaxValue))
+            val chunkRanges = pieces.flatMap { case (l, h) =>
+              val cl = graft.core.UInt64.max(l, spec.mapping.start)
+              val ch = graft.core.UInt64.min(h, spec.mapping.endIncl)
+              if (graft.core.UInt64.gt(cl, ch)) None
+              else spec.mapping.chunksOf(Bounds.to(cl, ch))
+            }
+            chunkRanges match {
+              case Nil => Seq(Literal.FalseLiteral)
+              case Seq((clo, chi)) =>
+                // ATOMIC conjuncts, one comparison each: the idempotence
+                // guard below compares against the filter's split conjunct
+                // list, so a composite And() here would never match and the
+                // fixed-point batch would re-add it every iteration
+                Seq(GreaterThanOrEqual(cAttr, cLit(clo)), LessThanOrEqual(cAttr, cLit(chi)))
+              case rs =>
+                // predicate straddles the sign boundary of a wrapping
+                // domain: two disjoint chunk ranges, one Or conjunct
+                // (deterministic construction keeps it idempotent)
+                Seq(rs.map { case (clo, chi) =>
+                  And(GreaterThanOrEqual(cAttr, cLit(clo)),
+                    LessThanOrEqual(cAttr, cLit(chi))): Expression
+                }.reduce(Or))
+            }
           }
         }
       }
