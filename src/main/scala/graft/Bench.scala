@@ -46,30 +46,44 @@ object Bench {
     // The second run reuses warmed state (JIT, page cache, codegen'd
     // classes), so best-of-2 measures the code, not the machine's mood;
     // both raw samples are emitted for auditability.
+    // per run: (seconds, error). A query's best time is the min over
+    // SUCCESSFUL runs only (a fast failure must not masquerade as a fast
+    // result), and it is reported as errored only when BOTH runs fail — a
+    // transient one-run failure surfaces in "raw"/"flaky", not "errors".
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      var err: Option[String] = None
-      val runs = (1 to 2).map { _ =>
+      val runs: Seq[(Double, Option[String])] = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { materialize(fn(spark, sfDir)) }
-        catch { case e: Throwable =>
-          err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val err =
+          try { materialize(fn(spark, sfDir)); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      (name, runs, err)
+      (name, runs)
     }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
-    val qs = results.map { case (k, v, _) => s"${jstr(k)}:${v.min}" }.mkString("{", ",", "}")
-    val raw = results.map { case (k, v, _) => s"${jstr(k)}:${v.mkString("[", ",", "]")}" }
+    def best(runs: Seq[(Double, Option[String])]): Double = {
+      val ok = runs.collect { case (t, None) => t }
+      if (ok.nonEmpty) ok.min else runs.map(_._1).min
+    }
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${best(v)}" }.mkString("{", ",", "}")
+    val raw = results.map { case (k, v) => s"${jstr(k)}:${v.map(_._1).mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
+    val errs = results.collect { case (k, v) if v.forall(_._2.isDefined) =>
+      s"${jstr(k)}:${jstr(v.head._2.get)}" }.mkString("{", ",", "}")
+    val flaky = results.collect { case (k, v) if v.exists(_._2.isDefined) && v.exists(_._2.isEmpty) =>
+      s"${jstr(k)}:${jstr(v.collectFirst { case (_, Some(e)) => e }.get)}" }.mkString("{", ",", "}")
+    val total = results.map { case (_, v) => best(v) }.sum
+    // run1 total: what a SINGLE cold pass costs — directly comparable to the
+    // r1/r2 single-run headline; "value" (min-of-2) is the steady-state
+    // number and ~25-30% lower by methodology, not by code speedup
+    val totalRun1 = results.map(_._2.head._1).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_run1":$totalRun1,"timing":"per-query best of 2 runs; value_run1 sums first runs (single-run comparable)","queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
     // file copy first (survives log interleaving), then the line alone on
     // stdout after Spark is quiet
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),

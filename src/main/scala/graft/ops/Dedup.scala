@@ -67,10 +67,20 @@ object Dedup {
     // the persisted RDD (the LogicalRDD behind the checkpoint) lets each
     // round explicitly free its predecessor: at 100 TB x 20 rounds, leaked
     // label tables would otherwise accumulate in executor storage memory.
+    var warnedNoHandle = false
     def checkpointed(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
       val cp = df.localCheckpoint(true)
       val handle = cp.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      // if a Spark upgrade stops exposing the checkpoint as a LogicalRDD,
+      // the unpersist below degrades to leaking one label table per round —
+      // make that mode loud instead of silent
+      if (handle.isEmpty && !warnedNoHandle) {
+        warnedNoHandle = true
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "connectedComponents: checkpointed plan is not a LogicalRDD; " +
+            "superseded label tables will NOT be unpersisted this run")
       }
       (cp, handle)
     }

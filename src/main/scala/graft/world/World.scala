@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * (/root/reference/src/world.rs:228-229).
   */
 final case class DimSpec(column: String, mapping: DimMapping) {
-  /** Bucket (chunk-index) expression: `(col - start) div itemsPerChunk` —
-    * exact integer arithmetic (no double rounding), the Catalyst analog of
-    * `DimMapping::chunk_of` (/root/reference/src/range.rs:40-46). Composes
-    * from built-ins; no custom Expression needed (SURVEY §7).
+  /** Bucket (chunk-index) expression: unsigned `(col - start) / itemsPerChunk`
+    * — exact integer arithmetic (no double rounding), via the native
+    * [[graft.functions.ChunkOf]] (see its scaladoc for why this must be
+    * unsigned and can't be SQL `div` under ANSI mode). Row-level twin of
+    * `DimMapping.chunkOf`, so routing, the Select DSL, and
+    * [[graft.plans.DimBucketPruning]] all agree on every domain, including
+    * wrapping ones (endIncl = -1L = 2^64-1).
     */
   def bucketExpr: Column =
-    expr(s"(`$column` - ${mapping.start}L) div ${mapping.itemsPerChunk}L")
+    graft.functions.ChunkOf(col(column), mapping.start, mapping.itemsPerChunk)
 }
 
 /** A dim-bucketed table — the Spark-native restatement of `World`
@@ -55,19 +58,27 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
       d.withColumn(s"c$i", spec.bucketExpr)
     }
 
+  /** Unsigned u64 compare as a Column: flipping the sign bit (XOR 2^63) maps
+    * u64 order onto signed order, so `a u64< b  ⟺  (a^min) signed< (b^min)`.
+    * Dim values are u64 — a signed `col <= endIncl` would reject every
+    * positive value of a wrapping domain (endIncl = -1L = 2^64-1). */
+  private def u64(c: Column): Column = c.bitwiseXOR(lit(Long.MinValue))
+
   /** Rows whose dims fall outside their configured range — the batch analog
     * of `ValueOutOfRange` (/root/reference/src/range.rs:62-71): quarantine
     * instead of panic (SURVEY §3.2). */
   def outOfRange(df: DataFrame): DataFrame = {
     val bad = dims
-      .map(d => col(d.column) < lit(d.mapping.start) || col(d.column) > lit(d.mapping.endIncl))
+      .map(d => u64(col(d.column)) < lit(d.mapping.start ^ Long.MinValue) ||
+        u64(col(d.column)) > lit(d.mapping.endIncl ^ Long.MinValue))
       .reduce(_ || _)
     df.where(bad)
   }
 
   private def validate(df: DataFrame): DataFrame = {
     val ok = dims
-      .map(d => col(d.column) >= lit(d.mapping.start) && col(d.column) <= lit(d.mapping.endIncl))
+      .map(d => u64(col(d.column)) >= lit(d.mapping.start ^ Long.MinValue) &&
+        u64(col(d.column)) <= lit(d.mapping.endIncl ^ Long.MinValue))
       .reduce(_ && _)
     df.where(ok)
   }

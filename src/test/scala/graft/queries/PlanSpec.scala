@@ -89,6 +89,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.df.where(col("d0") >= 90 && col("d0") <= 5000).count() == 10L)
   }
 
+  test("wrapping u64 domain: sign-straddling and negative-literal predicates prune correctly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-plan-wrap").toString
+    // full u64 domain [0, 2^64-1] (endIncl = -1L), 16 chunks of 2^60
+    val w = new graft.world.World(spark, path, Seq(
+      graft.world.DimSpec("d0", graft.core.DimMapping(0L, -1L, 1L << 60))))
+    // chunk 0 (5), chunk 15 (2^64-5 = -5L), chunk 4 (2^62)
+    w.create(Seq(5L, -5L, 1L << 62).map(v => (v, v)).toDF("d0", "payload"))
+    // signed `<= 10` denotes [Long.MinValue, 10]: straddles the sign
+    // boundary, so the implied bucket predicate must be the two-piece Or
+    // (c0=0 for [0,10], c0 in [8,15] for the negative half) — not empty,
+    // not unpruned
+    val q1 = w.df.where(col("d0") <= 10L)
+    val p1 = q1.queryExecution.executedPlan.toString
+    assert(p1.contains("PartitionFilters") && p1.contains("c0"),
+      s"straddling range must still produce a c0 partition filter:\n$p1")
+    assert(q1.count() == 2L, "rows 5 and -5 both satisfy signed <= 10")
+    val scanned1 = q1.select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(scanned1.forall(f => f.contains("c0=0/") || (8 to 15).exists(i => f.contains(s"c0=$i/"))),
+      s"chunk 4 (2^62) must be pruned by the straddle Or: $scanned1")
+    assert(!scanned1.exists(_.contains("c0=4/")), s"chunk 4 not pruned: $scanned1")
+    // equality with a negative literal: single chunk in the wrapped half
+    val q2 = w.df.where(col("d0") === lit(-5L))
+    assert(q2.count() == 1L)
+    val scanned2 = q2.select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(scanned2.forall(_.contains("c0=15/")),
+      s"negative equality must prune to chunk 15 only: $scanned2")
+  }
+
   test("hint ids reach the scan as pushed In-filter (row-group skipping)") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-plan-hint").toString
