@@ -112,15 +112,94 @@ object Similarity {
     (cents.flatten, k)
   }
 
+  /** Distributed IVF trainer — the same contract as [[trainCentroids]]
+    * (sample = lowest `sampleCap` vec_ids, init = evenly-spaced rows of the
+    * ordered sample, same Lloyd assignment rule) with the per-iteration
+    * summation running as `treeAggregate` over the executors instead of a
+    * driver loop. The driver only ever holds k centroids (nlist × dim
+    * doubles) and the k init vectors — never the sample — so `sampleCap`
+    * can grow to millions of vectors on a cluster where the driver-side
+    * trainer would OOM collecting them.
+    *
+    * Floating-point caveat: partial sums combine in partition order, not
+    * row order, so centroids can differ from [[trainCentroids]] in the last
+    * ulps; SimilaritySpec pins both trainers to 1e-9 agreement on a shared
+    * corpus. Assignment ties break identically (first strictly-smaller
+    * distance wins).
+    */
+  def trainCentroidsDistributed(corpus: DataFrame, nlist: Int, dim: Int,
+      iters: Int = 5, sampleCap: Int = 4096): (Array[Double], Int) = {
+    val sc = corpus.sparkSession.sparkContext
+    // deterministic sample + positional index: sortBy fixes a total order
+    // regardless of how orderBy/limit partitioned the rows
+    val vecs = corpus.orderBy("vec_id").limit(sampleCap)
+      .select(col("vec_id"), col("embedding"))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1).map(_._2).zipWithIndex()
+      .map { case (v, i) => (i, v) }
+      .cache()
+    val n = vecs.count()
+    require(n > 0, "cannot train IVF centroids on an empty corpus")
+    val k = math.min(nlist.toLong, n).toInt
+    val step = n / k
+    val initPos = (0 until k).map(c => c * step).toSet
+    var cents: Array[Array[Double]] = vecs
+      .filter { case (i, _) => initPos(i) }
+      .collect().sortBy(_._1)
+      .map(_._2.take(dim).padTo(dim, 0.0))
+    for (_ <- 0 until iters) {
+      val bc = sc.broadcast(cents)
+      val (sums, counts) = vecs.values.treeAggregate(
+        (Array.fill(k)(new Array[Double](dim)), new Array[Long](k)))(
+        seqOp = { case ((s, c), v) =>
+          val cs = bc.value
+          var best = 0; var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < k) {
+            var d2 = 0.0; var i = 0
+            while (i < dim && i < v.length) { val d = v(i) - cs(ci)(i); d2 += d * d; i += 1 }
+            if (d2 < bestD) { bestD = d2; best = ci }
+            ci += 1
+          }
+          c(best) += 1
+          var i = 0
+          while (i < dim && i < v.length) { s(best)(i) += v(i); i += 1 }
+          (s, c)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var ci = 0
+          while (ci < k) {
+            c1(ci) += c2(ci)
+            var i = 0
+            while (i < dim) { s1(ci)(i) += s2(ci)(i); i += 1 }
+            ci += 1
+          }
+          (s1, c1)
+        })
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+      }
+      bc.destroy()
+    }
+    vecs.unpersist(blocking = false)
+    (cents.flatten, k)
+  }
+
   /** IVF ANN: corpus vectors are inverted-listed under their nearest
     * centroid; each query probes its `nprobe` nearest lists; exact cosine
     * re-rank. The scale path FAISS-style: candidate count ~ nprobe/nlist of
     * the corpus, centroid assignment is one native codegen'd pass
     * ([[graft.functions.NearestCentroids]]), and the shuffle key is a small
-    * int — embeddings only travel for actual candidates. */
+    * int — embeddings only travel for actual candidates.
+    * `distributedTraining` switches index build to
+    * [[trainCentroidsDistributed]] for corpora whose sample would not fit
+    * the driver. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 64, nprobe: Int = 8, dim: Int = DefaultDim): DataFrame = {
-    val (cents, actualLists) = trainCentroids(corpus, nlist, dim)
+      nlist: Int = 64, nprobe: Int = 8, dim: Int = DefaultDim,
+      distributedTraining: Boolean = false): DataFrame = {
+    val (cents, actualLists) =
+      if (distributedTraining) trainCentroidsDistributed(corpus, nlist, dim)
+      else trainCentroids(corpus, nlist, dim)
     val probes = math.min(nprobe, actualLists)
     val t = corpus.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
       element_at(graft.functions.NearestCentroids(col("embedding"), cents, actualLists, 1), 1)

@@ -92,6 +92,47 @@ object Extended {
               FROM customer ORDER BY c_custkey""")
     ),
 
+    // pivot: one output column per o_orderstatus value — the relational
+    // transpose. Exact decimal sums internally; DOUBLE out (decimal rule)
+    "q_pivot" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+        .select(col("o_orderpriority"),
+          col("O").cast("double").as("s_o"),
+          col("F").cast("double").as("s_f"),
+          col("P").cast("double").as("s_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s_o,
+                CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s_f,
+                CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s_p
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
+
+    // distribution + navigation window functions not covered elsewhere:
+    // cume_dist, lead, first_value (unique ordering keeps all deterministic)
+    "q_window_dist" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer").select(
+          col("c_custkey"),
+          cume_dist().over(w).as("cd"),
+          lead(col("c_custkey"), 1).over(w).as("next_key"),
+          first(col("c_custkey")).over(w).as("first_key"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+                CUME_DIST() OVER w AS cd,
+                LEAD(c_custkey, 1) OVER w AS next_key,
+                FIRST_VALUE(c_custkey) OVER w AS first_key
+              FROM customer
+              WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+              ORDER BY c_custkey""")
+    ),
+
     // exact interpolated median per group (DuckDB quantile_cont equivalent)
     "q_percentile" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")

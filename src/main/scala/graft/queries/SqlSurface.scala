@@ -48,6 +48,16 @@ object SqlSurface {
       """SELECT 'auto' AS seg, c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
          UNION ALL
          SELECT 'rich' AS seg, c_custkey FROM customer WHERE c_acctbal > 9000
-         ORDER BY seg, c_custkey""")
+         ORDER BY seg, c_custkey"""),
+
+    // correlated LATERAL derived table: top-2 nations per region — the
+    // "top-k per outer row" join shape subquery-in-FROM can't express
+    "q_sql_lateral" -> sql(
+      """SELECT r.r_name, x.n_name
+         FROM region r,
+         LATERAL (SELECT n_name FROM nation
+                  WHERE n_regionkey = r.r_regionkey
+                  ORDER BY n_name LIMIT 2) x
+         ORDER BY r_name, n_name""")
   )
 }

@@ -160,7 +160,13 @@ object TextOps {
     ),
 
     // multimodal: frame sampling — one row per sampled fixed-size "frame" of
-    // the binary payload (stubbed demuxer, real fan-out shape); rows-only
+    // the binary payload (stubbed demuxer, real fan-out shape). The stub's
+    // byte-histogram math is SQL-expressible, so the whole mapPartitions
+    // fan-out gets an exact DuckDB oracle: frames of 64 bytes, stride 2,
+    // f0/f1 = counts of bytes in [0,31]/[32,63]. The oracle slices by CHAR
+    // where Spark slices by BYTE — equivalent because the corpus is pure
+    // ASCII (enforced by the f0 column itself: any multi-byte char would
+    // shift every downstream count).
     "m_frame_sample" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -168,10 +174,25 @@ object TextOps {
           .as[Multimodal.MediaRow]
         Multimodal.fakeFrameSample(s, media).toDF()
           .select(col("doc_id"), col("frame_idx"), col("n_bytes"),
-            col("features")(0).cast("long").as("f0"))
+            col("features")(0).cast("long").as("f0"),
+            col("features")(1).cast("long").as("f1"))
           .orderBy("doc_id", "frame_idx")
       },
-      None
+      Some("""WITH f AS (
+                SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                  GREATEST(CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT), 1) AS nframes
+                FROM documents),
+              u AS (
+                SELECT doc_id, text, n, unnest(range(0, nframes)) AS fi FROM f),
+              fr AS (
+                SELECT doc_id, fi AS frame_idx,
+                  LEAST((fi + 1) * 64, n) - fi * 64 AS n_bytes,
+                  substr(text, CAST(fi * 64 + 1 AS INTEGER), 64) AS frame
+                FROM u WHERE fi % 2 = 0)
+              SELECT doc_id, frame_idx, n_bytes,
+                CAST(len(regexp_extract_all(frame, '[\x00-\x1f]')) AS BIGINT) AS f0,
+                CAST(len(regexp_extract_all(frame, '[\x20-\x3f]')) AS BIGINT) AS f1
+              FROM fr ORDER BY doc_id, frame_idx""")
     ),
 
     // multimodal resize analog: average-pool the 64-dim embedding to 8
@@ -192,8 +213,11 @@ object TextOps {
       }
     ),
 
-    // multimodal: per-partition (stubbed) decode + feature extraction —
-    // deterministic byte histogram; no SQL oracle (mapPartitions pipeline)
+    // multimodal: per-partition (stubbed) decode + feature extraction — the
+    // deterministic byte histogram is SQL-expressible, so the mapPartitions
+    // pipeline is hash-checked end to end: f1/f2/f3 = counts of bytes in
+    // [32,63]/[64,95]/[96,127] (the discriminating buckets for ASCII text;
+    // same char=byte equivalence note as m_frame_sample)
     "m_decode_features" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -201,11 +225,16 @@ object TextOps {
           .as[Multimodal.MediaRow]
         Multimodal.fakeDecodeFeatures(s, media).toDF()
           .select(col("doc_id"), col("n_bytes"),
-            col("features")(0).cast("long").as("f0"),
-            col("features")(7).cast("long").as("f7"))
+            col("features")(1).cast("long").as("f1"),
+            col("features")(2).cast("long").as("f2"),
+            col("features")(3).cast("long").as("f3"))
           .orderBy("doc_id")
       },
-      None
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                CAST(len(regexp_extract_all(text, '[\x20-\x3f]')) AS BIGINT) AS f1,
+                CAST(len(regexp_extract_all(text, '[\x40-\x5f]')) AS BIGINT) AS f2,
+                CAST(len(regexp_extract_all(text, '[\x60-\x7f]')) AS BIGINT) AS f3
+              FROM documents ORDER BY doc_id""")
     )
   )
 }

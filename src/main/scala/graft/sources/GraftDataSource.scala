@@ -116,7 +116,8 @@ class GraftTable(path: String, schema: StructType) extends Table
   override def name(): String = s"graft:$path"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, schema)
   override def newWriteBuilder(
@@ -151,6 +152,9 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(path, required, pushed)
   override def description(): String =
     s"GraftScan path=$path, PushedBucketFilters: [${pushed.mkString(", ")}]"
 
@@ -259,6 +263,16 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType)
               case FloatType   => row.update(i, cur.getFloat(idx, 0))
               case BooleanType => row.update(i, cur.getBoolean(idx, 0))
               case StringType  => row.update(i, UTF8String.fromString(cur.getString(idx, 0)))
+              case BinaryType  => row.update(i, cur.getBinary(idx, 0).getBytes)
+              case TimestampType =>
+                // INT64 micros (the modern form, and what the graft writer
+                // emits) or legacy INT96 (what some engines still write)
+                val pt = cur.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName
+                if (pt == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)
+                  row.update(i, GraftPartitionReader.int96Micros(cur.getInt96(idx, 0)))
+                else row.update(i, cur.getLong(idx, 0))
+              case ArrayType(et, _) =>
+                row.update(i, GraftPartitionReader.readList(cur.getGroup(idx, 0), et))
               case other => throw new UnsupportedOperationException(
                 s"graft source: unsupported type $other for column $name")
             }
@@ -270,4 +284,41 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType)
   }
 
   override def close(): Unit = if (reader != null) reader.close()
+}
+
+object GraftPartitionReader {
+  /** INT96 → microseconds: 8 LE bytes nanos-of-day + 4 LE bytes Julian day
+    * (the legacy Impala timestamp layout some writers still emit). */
+  private[sources] def int96Micros(b: org.apache.parquet.io.api.Binary): Long = {
+    val buf = java.nio.ByteBuffer.wrap(b.getBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+  }
+
+  /** Standard 3-level LIST (`optional group x (LIST) { repeated group list
+    * { optional <t> element } }`) → Catalyst ArrayData. Both Spark's parquet
+    * writer (non-legacy mode) and the graft writer emit this shape. */
+  private[sources] def readList(listField: Group, et: DataType)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = listField.getFieldRepetitionCount(0)
+    val out = new Array[Any](n)
+    var k = 0
+    while (k < n) {
+      val elem = listField.getGroup(0, k)
+      out(k) =
+        if (elem.getFieldRepetitionCount(0) == 0) null
+        else et match {
+          case FloatType   => elem.getFloat(0, 0)
+          case DoubleType  => elem.getDouble(0, 0)
+          case LongType    => elem.getLong(0, 0)
+          case IntegerType => elem.getInteger(0, 0)
+          case StringType  => UTF8String.fromString(elem.getString(0, 0))
+          case other => throw new UnsupportedOperationException(
+            s"graft source: unsupported array element type $other")
+        }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

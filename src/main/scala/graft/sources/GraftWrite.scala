@@ -22,8 +22,61 @@ import org.apache.spark.sql.types._
   */
 class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftBatchWrite(path, info.schema())
+    override def toBatch: BatchWrite =
+      if ("upsert".equalsIgnoreCase(info.options().get("graft.mode")))
+        new GraftUpsertWrite(path, info.schema())
+      else new GraftBatchWrite(path, info.schema())
   }
+}
+
+/** `option("graft.mode", "upsert")`: replace-on-conflict by dim 0 through the
+  * connector — the `World::insert` semantics
+  * (/root/reference/src/world.rs:124-150) the plain append write lacks.
+  *
+  * Tasks route rows into a SIBLING staging grid (same chunk layout, written
+  * by the normal writer factory); commit() then runs the world's
+  * partition-scoped [[graft.world.World.insert]] from the staged rows, so
+  * conflict resolution reuses the one tested upsert path (semi-join victims,
+  * staged rewrite, displaced count) instead of duplicating it here. A
+  * failure before commit leaves the world untouched; the staging grid is
+  * removed on both commit and abort. The displaced-row count is logged and
+  * surfaced on [[GraftUpsertWrite.lastDisplaced]].
+  */
+class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
+  private val stage = s"${path}__graft_upsert_stage"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(stage, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    try {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val dims = graft.plans.DimPruningRegistry.lookup(path).getOrElse(
+        throw new IllegalStateException(
+          s"graft upsert needs the world's dim mappings: no world registered for $path " +
+            "(instantiate graft.world.World for this path first)"))
+      if (fs.exists(new Path(stage))) {
+        val bucketCols = dims.indices.map(i => s"c$i")
+        val staged = spark.read.parquet(stage).drop(bucketCols: _*)
+        val displaced = new graft.world.World(spark, path, dims).insert(staged)
+        GraftUpsertWrite.lastDisplaced = displaced
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .info(s"graft upsert into $path: $displaced row(s) displaced")
+      } else GraftUpsertWrite.lastDisplaced = 0L
+    } finally fs.delete(new Path(stage), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    fs.delete(new Path(stage), true)
+  }
+}
+
+object GraftUpsertWrite {
+  /** Displaced-row count of the most recent connector upsert (test/debug
+    * surface; the DSv2 BatchWrite API has no return channel for it). */
+  @volatile var lastDisplaced: Long = -1L
 }
 
 class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {
@@ -60,6 +113,14 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
   require(bucketIdx.nonEmpty, "graft write requires bucket columns c0..cN in the schema")
 
   private val messageType: MessageType = {
+    def prim(dt: DataType): PrimitiveType.PrimitiveTypeName = dt match {
+      case FloatType   => PrimitiveType.PrimitiveTypeName.FLOAT
+      case DoubleType  => PrimitiveType.PrimitiveTypeName.DOUBLE
+      case LongType    => PrimitiveType.PrimitiveTypeName.INT64
+      case IntegerType => PrimitiveType.PrimitiveTypeName.INT32
+      case other => throw new UnsupportedOperationException(
+        s"graft write: unsupported array element type $other")
+    }
     val b = Types.buildMessage()
     dataIdx.foreach { i =>
       val f = schema.fields(i)
@@ -71,6 +132,16 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
         case BooleanType => Types.optional(PrimitiveType.PrimitiveTypeName.BOOLEAN).named(f.name)
         case StringType  => Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
           .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        // the reference's payload is opaque bytes (/root/reference/src/world.rs:33-47)
+        // — BinaryType is its closest Spark analog
+        case BinaryType  => Types.optional(PrimitiveType.PrimitiveTypeName.BINARY).named(f.name)
+        case TimestampType => Types.optional(PrimitiveType.PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
+          .named(f.name)
+        // standard 3-level LIST — the same shape Spark's own writer emits,
+        // so graft-written chunks stay readable by both read paths
+        case ArrayType(et, _) => Types.optionalList()
+          .optionalElement(prim(et)).named(f.name)
         case other => throw new UnsupportedOperationException(
           s"graft write: unsupported type $other for column ${f.name}")
       }
@@ -113,6 +184,24 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
           case FloatType   => g.add(gi, row.getFloat(i))
           case BooleanType => g.add(gi, row.getBoolean(i))
           case StringType  => g.add(gi, row.getUTF8String(i).toString)
+          case BinaryType  =>
+            g.add(gi, org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(i)))
+          case TimestampType => g.add(gi, row.getLong(i)) // micros, as declared
+          case ArrayType(et, _) =>
+            val arr = row.getArray(i)
+            val listG = g.addGroup(gi)
+            var k = 0
+            while (k < arr.numElements()) {
+              val elemG = listG.addGroup(0)
+              if (!arr.isNullAt(k)) et match {
+                case FloatType   => elemG.add(0, arr.getFloat(k))
+                case DoubleType  => elemG.add(0, arr.getDouble(k))
+                case LongType    => elemG.add(0, arr.getLong(k))
+                case IntegerType => elemG.add(0, arr.getInt(k))
+                case _           => ()
+              }
+              k += 1
+            }
           case _           => ()
         }
       }

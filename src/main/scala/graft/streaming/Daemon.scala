@@ -20,17 +20,40 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object Daemon {
 
   /** Start the write-behind loop: every `interval`, flush the new rows of
-    * `source` into the world (insert = replace-on-conflict by dim 0, exactly
-    * `World::insert`). `checkpoint` carries the stream's progress across
-    * restarts — the analog of "dirty chunks survive until flushed".
+    * `source` into the world. `checkpoint` carries the stream's progress
+    * across restarts — the analog of "dirty chunks survive until flushed".
+    *
+    * Two flush modes, matching the reference's two cost regimes:
+    *   - `"upsert"`: each batch runs `World.insert` (replace-on-conflict by
+    *     dim 0, exactly `World::insert`). Correct for sources that re-emit
+    *     ids, but each batch pays a semi-join against the world plus a
+    *     partition rewrite — at high batch frequency that is the dominant
+    *     cost.
+    *   - `"append"`: each batch is a raw clustered append (no reads of
+    *     existing data), and every `compactEvery` batches the world is
+    *     compacted back to ≤ `maxFilesPerChunk` files per chunk — the
+    *     dirty-write-counter flush of the reference's IO loop
+    *     (`LEAST_WRITES`, /root/reference/tokio-fs/src/lib.rs:213-234): pay
+    *     the rewrite once per threshold, not once per batch. Use when ids
+    *     are fresh per batch (event logs), which is the high-frequency case.
     */
   def start(world: World, source: DataFrame, checkpoint: String,
-      interval: String = "5 seconds"): StreamingQuery = {
+      interval: String = "5 seconds", mode: String = "upsert",
+      compactEvery: Int = 8, maxFilesPerChunk: Int = 4): StreamingQuery = {
+    require(mode == "upsert" || mode == "append", s"unknown daemon mode $mode")
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = source.writeStream
       .trigger(Trigger.ProcessingTime(interval))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) { world.insert(batch.toDF()); () }
+        if (!batch.isEmpty) {
+          if (mode == "append") {
+            world.append(batch.toDF())
+            if (batches.incrementAndGet() % compactEvery == 0) {
+              world.compact(maxFilesPerChunk); ()
+            }
+          } else { world.insert(batch.toDF()); () }
+        }
       }
       .start()
     installShutdownFlush(q)

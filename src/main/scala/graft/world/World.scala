@@ -201,6 +201,17 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     displacedCount
   }
 
+  /** Raw append: no conflict handling, just route rows into their chunk
+    * directories (the cheapest write — one clustering shuffle, no reads of
+    * existing data). The building block of the daemon's high-frequency path:
+    * append per batch, [[compact]] on a dirty-counter threshold. Callers
+    * that need id uniqueness use [[insert]]/[[tryInsert]] instead. */
+  def append(rows: DataFrame): Unit =
+    withBuckets(validate(rows))
+      .repartition(bucketCols.map(col): _*)
+      .sortWithinPartitions(dims.map(d => col(d.column)): _*)
+      .write.partitionBy(bucketCols: _*).mode("append").parquet(path)
+
   /** Insert-if-absent — `World::try_insert`
     * (/root/reference/src/world.rs:569-584): ids already present are NOT
     * replaced; returns the number of rejected rows. */

@@ -80,6 +80,26 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got.forall(_ < 8L), s"candidates must come from cluster A only: $got")
   }
 
+  test("distributed IVF trainer matches the driver-side trainer (shared contract)") {
+    import spark.implicits._
+    val d = (0L until 64L)
+      .map(i => (i, Seq.tabulate(8)(j => math.sin(i * 0.37 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+      .repartition(4) // force multi-partition aggregation
+    val (a, ka) = Similarity.trainCentroids(d, nlist = 8, dim = 8)
+    val (b, kb) = Similarity.trainCentroidsDistributed(d, nlist = 8, dim = 8)
+    assert(ka == kb && a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-9, s"centroid drift: $x vs $y") }
+    // and the end-to-end IVF query agrees through either trainer
+    val viaDriver = Similarity.ivfTopK(d, d.where(col("vec_id") === 0), k = 3,
+      nlist = 8, dim = 8).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val viaDist = Similarity.ivfTopK(d, d.where(col("vec_id") === 0), k = 3,
+      nlist = 8, dim = 8, distributedTraining = true)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(viaDriver == viaDist)
+  }
+
   test("cosineNearDupPairs finds duplicate pair and nothing else") {
     val a = Seq.tabulate(16)(i => math.sin(i * 0.9).toFloat)
     val d = emb((1L, a), (2L, a.map(x => x * 2f)), // same direction -> cos 1

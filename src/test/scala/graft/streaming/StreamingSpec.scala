@@ -49,6 +49,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("daemon append mode: raw appends per batch, compaction at the dirty-counter threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val w = new World(spark, path, Seq(
+      DimSpec("d0", DimMapping(0, 1023, 8)), DimSpec("d1", DimMapping(0, 1023, 16))))
+    w.create(Seq((1L, 1L)).toDF("d0", "d1"))
+    def filesIn(dir: String): Int = {
+      val d = new java.io.File(path + dir)
+      if (!d.isDirectory) 0
+      else d.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    val src = MemoryStream[(Long, Long)]
+    // compactEvery=3: batches 1..2 append (files accumulate), batch 3 compacts
+    val q = Daemon.start(w, src.toDF().toDF("d0", "d1"), tmp(),
+      interval = "1 second", mode = "append", compactEvery = 3, maxFilesPerChunk = 1)
+    try {
+      // all rows land in chunk (0,0), same as the created row
+      src.addData((2L, 2L)); q.processAllAvailable()
+      src.addData((3L, 3L)); q.processAllAvailable()
+      assert(filesIn("/c0=0/c1=0") >= 3, "append path must not rewrite per batch")
+      src.addData((4L, 4L)); q.processAllAvailable() // batch 3 -> compact
+      assert(filesIn("/c0=0/c1=0") == 1,
+        "threshold-triggered compaction must bound files per chunk")
+      val got = w.df.select("d0").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 3L, 4L), "no rows lost across append + compact")
+    } finally q.stop()
+  }
+
   test("world as a streaming source: new chunk files are discovered incrementally") {
     import spark.implicits._
     val w = new World(spark, tmp(), Seq(
@@ -64,6 +94,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = spark.sql("SELECT d0 FROM world_stream_out")
         .collect().map(_.getLong(0)).toSet
       assert(got == Set(1L, 114L), "the appended chunk must flow through the stream")
+    } finally q.stop()
+  }
+
+  test("graft connector streaming read: incremental discovery, bucket-pruned at the source") {
+    import spark.implicits._
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 1023, 8)), DimSpec("d1", DimMapping(0, 1023, 16))))
+    w.create(Seq((1L, 1L), (900L, 900L)).toDF("d0", "d1"))
+    // c0 < 50 excludes d0=900 (chunk 112): its chunk files must never be
+    // listed into an offset, not merely filtered after the read
+    val q = spark.readStream.format("graft").load(w.path)
+      .where(col("c0") < 50).select("d0")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.sql("SELECT d0 FROM graft_stream_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(first == Set(1L), s"initial batch must carry only unpruned chunks: $first")
+      w.tryInsert(Seq((10L, 10L), (901L, 901L)).toDF("d0", "d1"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT d0 FROM graft_stream_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 10L),
+        s"appended unpruned chunk flows through; pruned chunk stays out: $got")
     } finally q.stop()
   }
 

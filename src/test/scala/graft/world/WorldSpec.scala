@@ -218,6 +218,55 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaConnector == Set(5L, 23L) && viaParquet == Set(5L, 23L))
   }
 
+  test("DataSource V2: binary / array<float> / timestamp round-trip (opaque-payload analog)") {
+    import spark.implicits._
+    // the reference's payload is opaque bytes (src/world.rs:33-47); an
+    // embeddings world adds array<float> and event-time metadata
+    val df = Seq(
+      (5L, Array(1.5f, -2.25f, 3f), Array[Byte](1, 2, 3),
+        java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456")),
+      (42L, Array(0f, 0.5f, -1f), Array[Byte](-1, 0, 127),
+        java.sql.Timestamp.valueOf("2026-06-07 08:09:10.0"))
+    ).toDF("vec_id", "embedding", "blob", "ts")
+    def canon(r: org.apache.spark.sql.Row): (Long, Seq[Float], Seq[Byte], Long) =
+      (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding"),
+        r.getAs[Array[Byte]]("blob").toSeq, r.getAs[java.sql.Timestamp]("ts").getTime)
+    val expect = df.collect().map(canon).sortBy(_._1).toSeq
+    val cols = Seq("vec_id", "embedding", "blob", "ts")
+    // Spark-written chunks readable through the connector
+    val w = new World(spark, tmp(), Seq(DimSpec("vec_id", DimMapping(0, 99, 10))))
+    w.create(df)
+    val viaConn = spark.read.format("graft").load(w.path)
+      .select(cols.map(col): _*).collect().map(canon).sortBy(_._1).toSeq
+    assert(viaConn == expect, "connector read of Spark-written rich types")
+    // connector-written chunks readable through BOTH paths
+    val w2 = new World(spark, tmp(), Seq(DimSpec("vec_id", DimMapping(0, 99, 10))))
+    w2.create(df.limit(0))
+    w2.withBuckets(df).write.format("graft").mode("append").save(w2.path)
+    val viaConn2 = spark.read.format("graft").load(w2.path)
+      .select(cols.map(col): _*).collect().map(canon).sortBy(_._1).toSeq
+    val viaParquet2 = w2.df
+      .select(cols.map(col): _*).collect().map(canon).sortBy(_._1).toSeq
+    assert(viaConn2 == expect, "connector read of connector-written rich types")
+    assert(viaParquet2 == expect, "parquet read of connector-written rich types")
+  }
+
+  test("DataSource V2 upsert: graft.mode=upsert replaces on dim-0 conflict (World::insert analog)") {
+    import spark.implicits._
+    val w = new World(spark, tmp(), dims2(8, 16))
+    w.create(rows((1L, 1L), (2L, 2L)))
+    w.withBuckets(rows((1L, 5L), (3L, 3L)))
+      .write.format("graft").mode("append").option("graft.mode", "upsert").save(w.path)
+    assert(graft.sources.GraftUpsertWrite.lastDisplaced == 1L,
+      "exactly the conflicting id is displaced")
+    val out = w.df.select("d0", "d1").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 5L, 2L -> 2L, 3L -> 3L), "new row wins on conflict")
+    assert(spark.read.format("graft").load(w.path).count() == 3,
+      "connector read agrees after upsert")
+    assert(!new java.io.File(w.path + "__graft_upsert_stage").exists,
+      "staging grid removed after commit")
+  }
+
   test("compact: fragmented chunk dirs rewritten to one file, data intact") {
     import spark.implicits._
     val w = new World(spark, tmp(), dims2(8, 16))
