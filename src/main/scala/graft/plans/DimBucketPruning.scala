@@ -86,10 +86,52 @@ case class DimBucketPruning() extends Rule[LogicalPlan] {
     }
   }
 
+  /** Chunk-set predicate implied by one `IN`-shaped conjunct on a dim
+    * column, if any. Values outside the dim's domain are dropped (such rows
+    * are never stored); an all-out-of-domain list is unsatisfiable. The
+    * list is sorted so reconstruction is deterministic (idempotence guard
+    * compares by semanticEquals). Both `In` and `InSet` shapes appear here:
+    * the main optimizer batches (which convert large Ins) run before this
+    * user-provided rule. */
+  private def inChunks(c: Expression, spec: DimSpec): Option[Seq[Long]] = {
+    def is(a: Expression) = a match {
+      case ar: AttributeReference => ar.name == spec.column
+      case _                      => false
+    }
+    val vals: Option[Seq[Long]] = c match {
+      case In(a, list) if is(a) =>
+        val ls = list.map(litLong)
+        if (ls.exists(_.isEmpty)) None else Some(ls.flatten)
+      case InSet(a, hset) if is(a) =>
+        val ls = hset.toSeq.map {
+          case l: Long              => Some(l)
+          case i: Int               => Some(i.toLong)
+          case l: java.lang.Long    => Some(l.longValue())
+          case i: java.lang.Integer => Some(i.longValue())
+          case _                    => None
+        }
+        if (ls.exists(_.isEmpty)) None else Some(ls.flatten)
+      case _ => None
+    }
+    vals.map(_.filter(spec.mapping.contains).map(spec.mapping.chunkOf).distinct.sorted)
+  }
+
   private def bucketPred(dims: Seq[DimSpec], output: Seq[Attribute],
       cond: Expression): Option[Expression] = {
     val conjs = conjuncts(cond)
-    val preds = dims.zipWithIndex.flatMap { case (spec, i) =>
+    val inPreds = dims.zipWithIndex.flatMap { case (spec, i) =>
+      output.find(_.name == s"c$i").toSeq.flatMap { cAttr =>
+        def cLit(v: Long): Literal = cAttr.dataType match {
+          case IntegerType => Literal(v.toInt)
+          case _           => Literal(v)
+        }
+        conjs.flatMap(inChunks(_, spec)).map { chunks =>
+          if (chunks.isEmpty) Literal.FalseLiteral
+          else In(cAttr, chunks.map(cLit)): Expression
+        }
+      }
+    }
+    val preds = inPreds ++ dims.zipWithIndex.flatMap { case (spec, i) =>
       val ranges = conjs.flatMap(rangeOf(_, spec.column))
       if (ranges.isEmpty) Seq.empty[Expression]
       else {

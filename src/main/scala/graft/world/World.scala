@@ -371,6 +371,15 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
   }
 }
 
+object World {
+  /** `world!` macro analog (/root/reference/src/macros.rs:19-27): the
+    * reference's one-line world declaration, as a builder —
+    * `World(spark, path)("id" -> DimMapping(0, 1023, 8), "x" -> ...)`.
+    * Dim order is declaration order; the first pair is dim 0 (the id). */
+  def apply(spark: SparkSession, path: String)(dims: (String, DimMapping)*): World =
+    new World(spark, path, dims.map { case (c, m) => DimSpec(c, m) })
+}
+
 /** Composable selection — `Select` (/root/reference/src/world.rs:588-644).
   * Carries a [[Shape]] over chunk positions plus id hints; materializes as a
   * partition-pruning predicate Catalyst pushes into the scan.

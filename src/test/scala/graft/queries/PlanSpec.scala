@@ -89,6 +89,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.df.where(col("d0") >= 90 && col("d0") <= 5000).count() == 10L)
   }
 
+  test("raw isin predicate prunes to the chunk set (In path of DimBucketPruning)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-plan-isin").toString
+    val w = new graft.world.World(spark, path, Seq(
+      graft.world.DimSpec("d0", graft.core.DimMapping(0, 99, 10)),
+      graft.world.DimSpec("d1", graft.core.DimMapping(0, 99, 10))))
+    w.create((0L until 100L).map(i => (i, i)).toDF("d0", "d1"))
+    // values hit chunks {0, 1, 9}; 5000 is out of domain (no such row exists)
+    val q = w.df.where(col("d0").isin(5L, 15L, 97L, 5000L))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("c0"),
+      s"isin must be rewritten into a c0 chunk-set partition filter:\n$p")
+    assert(q.count() == 3L)
+    val scanned = q.select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(scanned.nonEmpty && scanned.forall(f =>
+      f.contains("c0=0/") || f.contains("c0=1/") || f.contains("c0=9/")),
+      s"only chunks 0/1/9 may be listed: $scanned")
+  }
+
   test("wrapping u64 domain: sign-straddling and negative-literal predicates prune correctly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

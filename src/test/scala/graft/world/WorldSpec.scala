@@ -285,6 +285,14 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.compact() == 0L, "already-compact world is a no-op")
   }
 
+  test("world! builder sugar declares dims in order (src/macros.rs:19-27)") {
+    val w = World(spark, tmp())("d0" -> DimMapping(0, 1023, 8), "d1" -> DimMapping(0, 1023, 16))
+    w.create(rows((114L, 514L)))
+    // same routing as the explicit DimSpec construction
+    assert(new java.io.File(w.path + "/c0=14/c1=32").isDirectory)
+    assert(w.dims.map(_.column) == Seq("d0", "d1"))
+  }
+
   test("id immutability: update refuses dim-0 (src/world.rs:108)") {
     val w = new World(spark, tmp(), dims2(8, 16))
     w.create(rows((1L, 1L)))
