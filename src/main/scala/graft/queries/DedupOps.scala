@@ -66,10 +66,31 @@ object DedupOps {
       None
     ),
 
+    // the PPJoin's exactness claim (prefix/positional/length filters are
+    // pure prunes) is verified against a BRUTE-FORCE all-pairs oracle:
+    // DuckDB recomputes word 3-gram shingle sets and exact Jaccard over
+    // every pair — no filter trick shared with the Spark side, so any
+    // pruning bug (a dropped true pair) hash-fails
     "d_ngram_jaccard" -> QueryDef(
       (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b"),
-      None
+      Some("""WITH w AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+                FROM documents),
+              sh AS (
+                SELECT doc_id,
+                  list_distinct(list_transform(range(0, GREATEST(len(words) - 2, 0)),
+                    x -> words[x + 1] || ' ' || words[x + 2] || ' ' || words[x + 3])) AS s
+                FROM w),
+              nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+              pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  len(list_intersect(a.s, b.s)) AS inter,
+                  len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+                FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+              SELECT id_a, id_b, CAST(inter * 100 // uni AS BIGINT) AS jaccard_pct
+              FROM pairs WHERE inter * 100 >= uni * 50
+              ORDER BY id_a, id_b""")
     )
   )
 }

@@ -153,6 +153,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("PushedFilters") && p.contains("In(d0"), s"In must be pushed:\n$p")
   }
 
+  test("pivot combines map-side; LATERAL decorrelates to a group-limit join, not a per-row subquery") {
+    val p = plan("q_pivot")
+    assert(p.contains("partial_pivotfirst"),
+      s"pivot must aggregate partially before the shuffle:\n$p")
+    val l = Registry.all("q_sql_lateral").fn(spark, sf)
+    l.collect()
+    val lp = l.queryExecution.executedPlan.toString
+    assert(lp.contains("WindowGroupLimit"),
+      s"correlated LATERAL LIMIT must plan as a pushed group-limit:\n$lp")
+    assert(!lp.contains("CartesianProduct"), lp)
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline (no UDFs)") {
     val df = Registry.all("t_fingerprint").fn(spark, sf)
     df.collect() // AQE only shows WholeStageCodegen spans in the final plan
