@@ -91,6 +91,27 @@ object TextOps {
               FROM u ORDER BY doc_id, chunk_idx""")
     ),
 
+    // corpus-level n-gram statistics: top-20 word bigrams by DOCUMENT
+    // frequency (distinct per doc, so a bigram repeated within one document
+    // counts once) — the corpus-analysis aggregation the per-doc text ops
+    // don't cover. Deterministic top-k: count desc, bigram asc (unique).
+    "t_ngram_freq" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(Dedup.shingles(col("text"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram")).limit(20),
+      Some("""WITH w AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+                FROM documents),
+              sh AS (
+                SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(0, GREATEST(len(words) - 1, 0)),
+                    x -> words[x + 1] || ' ' || words[x + 2]))) AS ngram
+                FROM w)
+              SELECT ngram, COUNT(*) AS n FROM sh
+              GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""")
+    ),
+
     // deterministic hash-derived train/val split: the bucket comes from the
     // md5 of the id (stable across engines, runs, and partitionings — an
     // RNG-based split would be none of those), ~94% train via hex-digit
@@ -115,6 +136,55 @@ object TextOps {
               SELECT doc_id, bucket,
                 CASE WHEN bucket < 14 THEN 'train' ELSE 'val' END AS split
               FROM b ORDER BY doc_id""")
+    ),
+
+    // training-sequence packing: token chunks fill fixed 512-token
+    // sequences contiguously WITHIN a shard (doc_id mod 32) — per-shard
+    // running token totals assign each chunk its sequence id. Sharding
+    // keeps the window partitioned: a single global pack order would
+    // serialize the whole corpus through one task at scale, and real
+    // packers pack per shard/worker anyway.
+    "p_pack_chunks" -> QueryDef(
+      (s, dir) => {
+        val chunks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(Text.chunk(col("text"), window = 32, stride = 24))
+              .as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            Text.tokenCount(col("chunk")).as("n_tok"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id", "chunk_idx")
+        chunks.withColumn("shard", (col("doc_id") % 32).cast("long"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("seq_id", expr("(cum - n_tok) div 512"))
+          .select("shard", "doc_id", "chunk_idx", "n_tok", "seq_id")
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+                FROM documents),
+              k AS (
+                SELECT doc_id, words,
+                  GREATEST(CAST(CEIL((len(words) - 32) / 24.0) AS BIGINT) + 1, 1) AS nchunks
+                FROM w),
+              u AS (
+                SELECT doc_id,
+                  unnest(range(0, nchunks)) AS chunk_idx,
+                  unnest(list_transform(range(0, nchunks),
+                    x -> array_to_string(words[1 + x*24 : x*24 + 32], ' '))) AS chunk
+                FROM k),
+              c AS (
+                SELECT doc_id, chunk_idx,
+                  CAST(len(string_split_regex(trim(chunk), '\s+')) AS BIGINT) AS n_tok,
+                  doc_id % 32 AS shard
+                FROM u),
+              sq AS (
+                SELECT shard, doc_id, chunk_idx, n_tok,
+                  SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx) AS cum
+                FROM c)
+              SELECT shard, doc_id, chunk_idx, n_tok,
+                CAST((cum - n_tok) // 512 AS BIGINT) AS seq_id
+              FROM sq ORDER BY doc_id, chunk_idx""")
     ),
 
     // end-to-end training-data cleaning pipeline: exact dedup -> token/
