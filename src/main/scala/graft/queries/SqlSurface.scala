@@ -58,6 +58,19 @@ object SqlSurface {
          LATERAL (SELECT n_name FROM nation
                   WHERE n_regionkey = r.r_regionkey
                   ORDER BY n_name LIMIT 2) x
-         ORDER BY r_name, n_name""")
+         ORDER BY r_name, n_name"""),
+
+    // recursive CTE (Spark 4 WITH RECURSIVE): a dense key spine filling
+    // gaps a bare GROUP BY would drop — nation keys with zero customers
+    // still get a row
+    "q_sql_recursive" -> sql(
+      """WITH RECURSIVE seq(n) AS (
+           SELECT 0
+           UNION ALL
+           SELECT n + 1 FROM seq WHERE n < 24
+         )
+         SELECT s.n, COUNT(c.c_custkey) AS n_cust
+         FROM seq s LEFT JOIN customer c ON c.c_nationkey = s.n
+         GROUP BY s.n ORDER BY s.n""")
   )
 }

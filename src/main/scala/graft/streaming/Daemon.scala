@@ -36,6 +36,14 @@ object Daemon {
     *     (`LEAST_WRITES`, /root/reference/tokio-fs/src/lib.rs:213-234): pay
     *     the rewrite once per threshold, not once per batch. Use when ids
     *     are fresh per batch (event logs), which is the high-frequency case.
+    *
+    * Delivery caveat, stated honestly: `foreachBatch` is at-least-once — a
+    * batch that crashes after its append but before the checkpoint commit
+    * is REPLAYED on restart, and the raw-append path would write its rows
+    * twice. `"upsert"` is idempotent under replay (replace by dim-0 id) and
+    * is the right mode when duplicates are unacceptable; the reference has
+    * the same trade (its flush rewrites whole chunk files, torn on crash,
+    * tokio-fs/src/lib.rs:101-104).
     */
   def start(world: World, source: DataFrame, checkpoint: String,
       interval: String = "5 seconds", mode: String = "upsert",

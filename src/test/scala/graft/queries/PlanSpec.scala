@@ -165,6 +165,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!lp.contains("CartesianProduct"), lp)
   }
 
+  test("runtime bloom-filter join pruning engages for a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    // at cluster scale a selective dimension filter should semi-filter the
+    // fact scan BEFORE the shuffle (runtime row-level filtering); force the
+    // shuffle-join path (no broadcast) and check the optimizer injects the
+    // bloom filter
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val l = Tables.t(spark, sf, "lineitem")
+      val p = Tables.t(spark, sf, "part").where(col("p_size") === 1)
+      val q = l.join(p, l("l_partkey") === p("p_partkey")).select("l_orderkey", "p_name")
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"selective dim filter must inject a runtime bloom filter on the fact side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline (no UDFs)") {
     val df = Registry.all("t_fingerprint").fn(spark, sf)
     df.collect() // AQE only shows WholeStageCodegen spans in the final plan
