@@ -48,7 +48,14 @@ object Text {
     * document end; a doc shorter than one window yields itself. Returns an
     * array of chunk strings (explode for one row per chunk); per-row and
     * shuffle-free like the rest of the Text family. */
-  def chunk(text: Column, window: Int, stride: Int): Column = {
+  def chunk(text: Column, window: Int, stride: Int): Column =
+    graft.functions.WordChunks(text, window, stride)
+
+  /** The interpreted HOF chain `chunk` replaced — kept ONLY as the parity
+    * reference for WordChunksSpec's byte-identical pin (HigherOrderFunctions
+    * don't participate in whole-stage codegen; the chain cost ~4 s at sf0.1
+    * re-slicing the same word array per window). */
+  private[graft] def chunkHof(text: Column, window: Int, stride: Int): Column = {
     require(window > 0 && stride > 0 && stride <= window, "need 0 < stride <= window")
     val words = split(trim(text), "\\s+")
     val n = size(words)

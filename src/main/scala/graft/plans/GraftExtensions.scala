@@ -61,5 +61,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_band_keys", "minhash_band_keys(sh, numHashes, bands) - LSH band keys"),
       (args: Seq[Expression]) => MinHashBandKeys(args.head,
         intLit(args(1), "numHashes"), intLit(args(2), "bands"))))
+
+    ext.injectFunction((FunctionIdentifier("word_chunks"),
+      info("word_chunks", "word_chunks(text, window, stride) - overlapping token-window chunks"),
+      (args: Seq[Expression]) => WordChunks(args.head,
+        intLit(args(1), "window"), intLit(args(2), "stride"))))
+
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(text, n) - word n-grams with duplicates"),
+      (args: Seq[Expression]) => WordNgrams(args.head, intLit(args(1), "n"))))
   }
 }

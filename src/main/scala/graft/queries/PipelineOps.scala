@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.functions.WordNgrams
+import graft.ops.Dedup
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data pipeline operators beyond the per-doc Text
+  * family: eval-set decontamination, repetition quality signals, TF-IDF
+  * term weighting, and mixture-weighted sampling. All exact-oracle'd.
+  */
+object PipelineOps {
+  import Tables.t
+
+  /** Uniform 0..15 bucket from the first md5 hex digit of the id — the same
+    * engine/run/partitioning-stable split key p_train_split uses (an RNG
+    * split would be none of those). */
+  private def md5Bucket(id: Column): Column = {
+    val a = ascii(substring(md5(id.cast("string").cast("binary")), 1, 1))
+    when(a >= 97, a - 87).otherwise(a - 48)
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // eval-set decontamination: flag train-split docs sharing any word
+    // 4-gram with the held-out split, with the count of distinct shared
+    // grams (the standard pre-training hygiene pass: drop or audit train
+    // docs that leak eval text). The eval gram set is the small side by
+    // construction (held-out splits are a sliver of the corpus), so AQE
+    // broadcasts it; at 100 TB the join key is the gram string and the
+    // only wide shuffle is the per-doc count — both scale-safe.
+    "p_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(
+          col("doc_id"),
+          (md5Bucket(col("doc_id")) < 14).as("is_train"),
+          Dedup.shingles(col("text"), 4).as("grams"))
+        val trainG = base.where(col("is_train"))
+          .select(col("doc_id"), explode(col("grams")).as("g"))
+        val evalG = base.where(not(col("is_train")))
+          .select(explode(col("grams")).as("g")).distinct()
+        trainG.join(evalG, "g")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+                SELECT doc_id, text, ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS a
+                FROM documents),
+              b AS (
+                SELECT doc_id, text,
+                  (CASE WHEN a >= 97 THEN a - 87 ELSE a - 48 END) < 14 AS is_train
+                FROM h),
+              w AS (
+                SELECT doc_id, is_train,
+                  string_split_regex(trim(lower(text)), '\s+') AS words
+                FROM b),
+              sh AS (
+                SELECT doc_id, is_train,
+                  unnest(list_distinct(list_filter(
+                    list_transform(range(0, GREATEST(len(words) - 4, 0) + 1),
+                      x -> array_to_string(words[x + 1 : x + 4], ' ')),
+                    s -> s <> ''))) AS g
+                FROM w),
+              ev AS (SELECT DISTINCT g FROM sh WHERE NOT is_train)
+              SELECT sh.doc_id, COUNT(*) AS n_contaminated
+              FROM sh JOIN ev USING (g) WHERE sh.is_train
+              GROUP BY sh.doc_id ORDER BY sh.doc_id""")
+    ),
+
+    // Gopher-style repetition quality signals per doc: total word bigrams,
+    // the most-repeated bigram (ties broken lexicographically) with its
+    // count, and the fraction of bigram occurrences that are duplicates.
+    // Native WordNgrams keeps the multiset the distinct shingles drop; the
+    // per-doc groupBy shuffles compact (doc_id, gram) keys only.
+    "t_repetition" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "documents")
+          .select(col("doc_id"), explode(WordNgrams(col("text"), 2)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        val wp = Window.partitionBy("doc_id")
+        val wr = Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))
+        c.withColumn("rn", row_number().over(wr))
+          .withColumn("n_grams", sum("c").over(wp))
+          .withColumn("n_dup", sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).over(wp))
+          .where(col("rn") === 1)
+          .select(col("doc_id"), col("g").as("top_gram"), col("c").as("max_rep"),
+            col("n_grams"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+                FROM documents),
+              g AS (
+                SELECT doc_id,
+                  unnest(list_transform(range(0, GREATEST(len(words) - 2, 0) + 1),
+                    x -> array_to_string(words[x + 1 : x + 2], ' '))) AS g
+                FROM w),
+              c AS (SELECT doc_id, g, COUNT(*) AS c FROM g WHERE g <> '' GROUP BY ALL),
+              r AS (
+                SELECT doc_id, g, c,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn,
+                  CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams,
+                  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+                       OVER (PARTITION BY doc_id) AS BIGINT) AS n_dup
+                FROM c)
+              SELECT doc_id, g AS top_gram, c AS max_rep, n_grams, n_dup,
+                CAST(n_dup AS DOUBLE) / n_grams AS dup_frac
+              FROM r WHERE rn = 1 ORDER BY doc_id""")
+    ),
+
+    // corpus TF-IDF: top-3 terms per doc by tf * ln(N/df), rank ties broken
+    // by term. N rides along as a broadcast single-row aggregate (no
+    // driver-side collect); tf and df are one shuffle each on compact keys.
+    // Score rounded to 6dp so the double is engine-neutral under ranking.
+    "t_tfidf" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(WordNgrams(col("text"), 1)).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        val scored = tf.join(dfc, "term")
+          .crossJoin(broadcast(nDf))
+          .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+        scored
+          .withColumn("rk", row_number()
+            .over(Window.partitionBy("doc_id").orderBy(col("score").desc, col("term")))
+            .cast("long"))
+          .where(col("rk") <= 3)
+          .select("doc_id", "rk", "term", "tf", "df", "score")
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+                FROM documents),
+              tm AS (SELECT doc_id, unnest(words) AS term FROM w),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tm
+                     WHERE term <> '' GROUP BY ALL),
+              dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+              n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+              sc AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+                  ROUND(tf.tf * ln(n.n_docs / dfc.df), 6) AS score
+                FROM tf JOIN dfc USING (term) CROSS JOIN n),
+              r AS (
+                SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+                FROM sc)
+              SELECT doc_id, rk, term, tf, df, score
+              FROM r WHERE rk <= 3 ORDER BY doc_id, rk""")
+    ),
+
+    // mixture-weighted corpus sampling: each source keeps a deterministic
+    // fraction ((src# mod 4 + 1) * 4 of 16 md5 buckets -> 25/50/75/100%),
+    // the way pre-training mixes re-weight domains. Hash-gated per row:
+    // no RNG, no per-stratum pass, stable under re-partitioning — one
+    // filtered scan at any scale.
+    "p_sample_mix" -> QueryDef(
+      (s, dir) => {
+        val rate = ((regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4) + 1) * 4
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            md5Bucket(col("doc_id")).cast("long").as("bucket"), rate.as("rate"))
+          .where(col("bucket") < col("rate"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+                SELECT doc_id, source,
+                  ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS a
+                FROM documents),
+              b AS (
+                SELECT doc_id, source,
+                  CAST(CASE WHEN a >= 97 THEN a - 87 ELSE a - 48 END AS BIGINT) AS bucket,
+                  (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4 + 1) * 4 AS rate
+                FROM h)
+              SELECT doc_id, source, bucket, rate
+              FROM b WHERE bucket < rate ORDER BY doc_id""")
+    )
+  )
+}

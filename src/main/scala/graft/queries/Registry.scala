@@ -43,7 +43,7 @@ object Tables {
 
 object Registry {
   lazy val all: Map[String, QueryDef] =
-    DmdsQueries.defs ++ Relational.defs ++ TextOps.defs ++
+    DmdsQueries.defs ++ Relational.defs ++ TextOps.defs ++ PipelineOps.defs ++
       DedupOps.defs ++ SimilarityOps.defs ++ EventOps.defs ++ Extended.defs ++
       SqlSurface.defs
 }

@@ -35,7 +35,9 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
                 jaccard_pct(word_shingles(text, 3), word_shingles(text, 3)) AS jp,
                 cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs,
                 size(minhash_signature(word_shingles(text, 3), 16)) AS nsig,
-                size(minhash_band_keys(word_shingles(text, 3), 64, 8)) AS nband
+                size(minhash_band_keys(word_shingles(text, 3), 64, 8)) AS nband,
+                word_chunks(text, 4, 3) AS wch,
+                word_ngrams(text, 2) AS wng
          FROM ext_docs""").head()
     val viaColumn = Seq("the quick brown fox the quick").toDF("text")
       .select(graft.ops.Dedup.simhash(org.apache.spark.sql.functions.col("text")))
@@ -45,6 +47,10 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Long]("jp") == 100L)
     assert(row.getAs[Double]("cs") == 1.0)
     assert(row.getAs[Int]("nsig") == 16 && row.getAs[Int]("nband") == 8)
+    assert(row.getAs[scala.collection.Seq[String]]("wch").toSeq ==
+      Seq("the quick brown fox", "fox the quick"))
+    assert(row.getAs[scala.collection.Seq[String]]("wng").head == "the quick" &&
+      row.getAs[scala.collection.Seq[String]]("wng").size == 5)
   }
 
   test("extension session carries the dim-bucket pruning rule") {
