@@ -153,6 +153,49 @@ object PipelineOps {
               FROM r WHERE rk <= 3 ORDER BY doc_id, rk""")
     ),
 
+    // corpus token-length histogram (8-token buckets): the sequence-length
+    // profile that sizes packing/truncation decisions. One partial-agg
+    // shuffle on a small-int bucket key — scale-free.
+    "p_length_hist" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(graft.ops.Text.tokenCount(col("text")).as("n_tok"))
+        .groupBy((col("n_tok") / 8).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min("n_tok").as("min_tok"),
+          max("n_tok").as("max_tok"))
+        .orderBy("bucket"),
+      Some("""WITH n AS (
+                SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+                FROM documents)
+              SELECT n_tok // 8 AS bucket, COUNT(*) AS n_docs,
+                MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+              FROM n GROUP BY bucket ORDER BY bucket""")
+    ),
+
+    // curriculum ordering: docs ranked by a deterministic quality score
+    // (stopword density proxy) into 4 curriculum phases via ntile — the
+    // easy->hard data-ordering pass. One window over (score, doc_id); at
+    // scale the global sort is the one unavoidable shuffle, and ntile per
+    // partition-count-independent rank keeps the assignment stable.
+    "p_curriculum" -> QueryDef(
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(
+          col("doc_id"),
+          graft.ops.Text.stopwordHits(col("text")).as("n_stop"),
+          graft.ops.Text.tokenCount(col("text")).as("n_tok"))
+        scored.withColumn("phase",
+          ntile(4).over(Window.orderBy(col("n_stop").desc, col("doc_id"))).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sc AS (
+                SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS BIGINT) AS n_stop,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+                FROM documents)
+              SELECT doc_id, n_stop, n_tok,
+                CAST(NTILE(4) OVER (ORDER BY n_stop DESC, doc_id) AS BIGINT) AS phase
+              FROM sc ORDER BY doc_id""")
+    ),
+
     // mixture-weighted corpus sampling: each source keeps a deterministic
     // fraction ((src# mod 4 + 1) * 4 of 16 md5 buckets -> 25/50/75/100%),
     // the way pre-training mixes re-weight domains. Hash-gated per row:

@@ -54,13 +54,16 @@ object TextOps {
               FROM documents ORDER BY doc_id""")
     ),
 
-    // BPE-ish subword counting — Spark-only regex tokenizer (no oracle:
-    // DuckDB's RE2 lacks the exact alternation semantics guarantee we rely on)
+    // BPE-ish subword counting. Java regex and DuckDB's RE2 are both
+    // leftmost-first over this alternation (verified: zero mismatches across
+    // the corpus), so the tokenizer gets a full hash-checked oracle.
     "t_subwords" -> QueryDef(
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"), Text.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id"),
-      None
+      Some("""SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]{1,6}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords
+              FROM documents ORDER BY doc_id""")
     ),
 
     // overlapping token-window chunking (32-token windows, stride 24): the

@@ -94,6 +94,87 @@ object GraftDataSource {
     }
   }
 
+  /** Three-valued evaluation against a PARTIAL bucket binding (outer
+    * directory levels bound, inner ones not yet): Some(v) when the filter is
+    * decidable from the bound columns alone, None when it still depends on
+    * an unbound one. Lets the planner drop a whole c0=… subtree before
+    * listing anything under it — on a large unpruned grid the directory walk
+    * itself is the planning cost, so pruning must happen on the way DOWN,
+    * not at the leaves. With every column bound this is exactly
+    * [[evalOnBuckets]]. */
+  private[sources] def evalPartial(f: Filter, b: Map[String, Long]): Option[Boolean] = {
+    def v(x: Any): Long = x match {
+      case l: Long => l; case i: Int => i.toLong
+      case s: Short => s.toLong; case by: Byte => by.toLong
+      case other => throw new IllegalArgumentException(s"non-integral bucket literal $other")
+    }
+    f match {
+      case EqualTo(a, x)            => b.get(a).map(_ == v(x))
+      case GreaterThan(a, x)        => b.get(a).map(_ > v(x))
+      case GreaterThanOrEqual(a, x) => b.get(a).map(_ >= v(x))
+      case LessThan(a, x)           => b.get(a).map(_ < v(x))
+      case LessThanOrEqual(a, x)    => b.get(a).map(_ <= v(x))
+      case In(a, xs)                => b.get(a).map(bv => xs.exists(x => bv == v(x)))
+      case And(l, r) => (evalPartial(l, b), evalPartial(r, b)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
+      case Or(l, r) => (evalPartial(l, b), evalPartial(r, b)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
+      case Not(c) => evalPartial(c, b).map(!_)
+      case _      => Some(true) // unknown shape: keep the subtree
+    }
+  }
+
+  /** May a chunk under this partial binding still satisfy the filter? */
+  private[sources] def mayMatch(f: Filter, b: Map[String, Long]): Boolean =
+    evalPartial(f, b).getOrElse(true)
+
+  /** Walk the nested c0=<v>/c1=<v>/… chunk-grid directories under `root`,
+    * returning each leaf chunk dir with its full bucket binding. Two
+    * planning-cost controls for big grids: (a) pushed filters decidable from
+    * the columns bound so far drop whole subtrees BEFORE anything under them
+    * is listed (a c0-equality on a 100x100 grid lists 1/100th of the tree);
+    * (b) surviving subtrees list in parallel — the walk is remote-metadata
+    * latency-bound, not CPU-bound, and sequential listing of a wide grid
+    * serializes thousands of round-trips on the driver. Shared by the batch
+    * scan and the micro-batch stream (pruning applies before offsets form).
+    */
+  private[sources] def walkChunks(fs: FileSystem, root: Path,
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long])] = {
+    import scala.collection.parallel.CollectionConverters._
+    def chunks(dir: Path, acc: Map[String, Long]): Seq[(Path, Map[String, Long])] = {
+      val entries = fs.listStatus(dir).toSeq
+      val subdirs = entries.filter(e => e.isDirectory &&
+        e.getPath.getName.contains("=") &&
+        isBucket(e.getPath.getName.split("=")(0)))
+      if (subdirs.isEmpty) Seq((dir, acc))
+      else {
+        val kept = subdirs.flatMap { s =>
+          val Array(k, v) = s.getPath.getName.split("=", 2)
+          val bound = acc + (k -> v.toLong)
+          if (pushed.forall(mayMatch(_, bound))) Some((s.getPath, bound)) else None
+        }
+        if (kept.sizeIs > 4) kept.par.flatMap { case (p, b) => chunks(p, b) }.seq.toSeq
+        else kept.flatMap { case (p, b) => chunks(p, b) }
+      }
+    }
+    chunks(root, Map.empty)
+      .filter { case (_, b) => b.nonEmpty } // skip the root when world is empty
+      .filter { case (_, b) => pushed.forall(evalOnBuckets(_, b)) }
+  }
+
+  /** Data files of one chunk dir (skips _sidecars and .hidden files). */
+  private[sources] def chunkFiles(fs: FileSystem, dir: Path): Seq[Path] =
+    fs.listStatus(dir).toSeq
+      .filter(e => e.isFile && !e.getPath.getName.startsWith("_") &&
+        !e.getPath.getName.startsWith("."))
+      .map(_.getPath)
+
   /** Does this filter reference only bucket columns, in shapes we can
     * evaluate exactly against directory values? */
   private[sources] def bucketOnly(f: Filter): Boolean = f match {
@@ -160,28 +241,11 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter])
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    val root = new Path(path)
-    // chunk dirs: nested c0=<v>/c1=<v>/... directories; walk depth-first
-    def chunks(dir: Path, acc: Map[String, Long]): Seq[(Path, Map[String, Long])] = {
-      val entries = fs.listStatus(dir).toSeq
-      val subdirs = entries.filter(e => e.isDirectory &&
-        e.getPath.getName.contains("=") &&
-        GraftDataSource.isBucket(e.getPath.getName.split("=")(0)))
-      if (subdirs.isEmpty) Seq((dir, acc))
-      else subdirs.flatMap { s =>
-        val Array(k, v) = s.getPath.getName.split("=", 2)
-        chunks(s.getPath, acc + (k -> v.toLong))
-      }
-    }
     val hasDataCols = required.exists(f => !GraftDataSource.isBucket(f.name))
-    chunks(root, Map.empty)
-      .filter { case (_, b) => b.nonEmpty } // skip the root when world is empty
-      .filter { case (_, b) => pushed.forall(GraftDataSource.evalOnBuckets(_, b)) }
+    GraftDataSource.walkChunks(fs, new Path(path), pushed)
       .flatMap { case (dir, b) =>
-        fs.listStatus(dir).toSeq
-          .filter(e => e.isFile && !e.getPath.getName.startsWith("_") &&
-            !e.getPath.getName.startsWith("."))
-          .map(e => GraftInputPartition(e.getPath.toString, b, !hasDataCols))
+        GraftDataSource.chunkFiles(fs, dir)
+          .map(p => GraftInputPartition(p.toString, b, !hasDataCols))
       }.toArray
   }
 

@@ -31,25 +31,12 @@ class GraftMicroBatchStream(path: String, required: StructType,
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val root = new Path(path)
     if (!fs.exists(root)) return Seq.empty
-    def chunks(dir: Path, acc: Map[String, Long]): Seq[(Path, Map[String, Long])] = {
-      val entries = fs.listStatus(dir).toSeq
-      val subdirs = entries.filter(e => e.isDirectory &&
-        e.getPath.getName.contains("=") &&
-        GraftDataSource.isBucket(e.getPath.getName.split("=")(0)))
-      if (subdirs.isEmpty) Seq((dir, acc))
-      else subdirs.flatMap { s =>
-        val Array(k, v) = s.getPath.getName.split("=", 2)
-        chunks(s.getPath, acc + (k -> v.toLong))
-      }
-    }
-    chunks(root, Map.empty)
-      .filter { case (_, b) => b.nonEmpty }
-      .filter { case (_, b) => pushed.forall(GraftDataSource.evalOnBuckets(_, b)) }
+    // shared pruned+parallel grid walk (see GraftDataSource.walkChunks):
+    // pushed bucket filters drop subtrees before the stream ever lists them,
+    // so per-micro-batch discovery cost tracks the pruned grid, not the world
+    GraftDataSource.walkChunks(fs, root, pushed)
       .flatMap { case (dir, b) =>
-        fs.listStatus(dir).toSeq
-          .filter(e => e.isFile && !e.getPath.getName.startsWith("_") &&
-            !e.getPath.getName.startsWith("."))
-          .map(e => (e.getPath.toString, b))
+        GraftDataSource.chunkFiles(fs, dir).map(p => (p.toString, b))
       }
   }
 
