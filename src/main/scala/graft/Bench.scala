@@ -53,7 +53,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val runs: Seq[(Double, Option[String])] = (1 to 2).map { _ =>
+      def run(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err =
           try { materialize(fn(spark, sfDir)); None }
@@ -62,6 +62,17 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      val two = Seq(run(), run())
+      // tie-breaker third run ONLY when the two samples can't speak for the
+      // code: a >3x spread between successful runs means an environmental
+      // stall hit one of them (observed: an idle-host pause billed 87 s to a
+      // 2.6 s query — BOTH samples of a pair can be hit), and a 1-of-2
+      // failure needs a deciding vote for the flaky-vs-broken call. Bounded:
+      // at most one extra run per outlier query, zero for stable ones.
+      val ok = two.collect { case (t, None) => t }
+      val runs =
+        if ((ok.size == 2 && ok.max / ok.min > 3.0) || ok.size == 1) two :+ run()
+        else two
       (name, runs)
     }
     def jstr(s: String): String =
@@ -83,7 +94,7 @@ object Bench {
     // number and ~25-30% lower by methodology, not by code speedup
     val totalRun1 = results.map(_._2.head._1).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_run1":$totalRun1,"timing":"per-query best of 2 runs; value_run1 sums first runs (single-run comparable)","queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_run1":$totalRun1,"timing":"per-query best of 2 runs, +1 tie-breaker run on >3x spread between successes or a 1-of-2 failure; value_run1 sums first runs (single-run comparable)","queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
     // file copy first (survives log interleaving), then the line alone on
     // stdout after Spark is quiet
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),

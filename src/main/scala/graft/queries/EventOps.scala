@@ -90,6 +90,31 @@ object EventOps {
               ORDER BY click_id, err_id""")
     ),
 
+    // batch twin of EventStreams.errorRunCounts (the flatMapGroupsWithState
+    // custom-state op): per-user running error count with the alert flag
+    // once it crosses 3. The stateful operator's semantics expressed as one
+    // window over (user_id, ts) — relationally checkable the way
+    // e_stream_join checks clickErrorJoin; StreamingSpec covers the
+    // incremental path.
+    "e_error_alert" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, dir).where(col("event_type") === "error")
+          .withColumn("n_err", count(lit(1)).over(w))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("n_err"),
+            (col("n_err") >= 3).as("alert"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS n_err,
+                COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) >= 3 AS alert
+              FROM events WHERE event_type = 'error' ORDER BY event_id""")
+    ),
+
     "e_asof_join" -> QueryDef(
       // for each click: the most recent strictly-earlier error of the same
       // user. Implemented scalably (one shuffle by user_id): tag-union +

@@ -192,6 +192,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decontamination joins the eval gram set by broadcast, no cartesian") {
+    val df = Registry.all("p_decontaminate").fn(spark, sf)
+    df.collect() // AQE finalizes join strategies at runtime
+    val p = df.queryExecution.executedPlan.toString
+    // the held-out split's distinct gram set is the small side by
+    // construction — it must come to the train grams, not shuffle them
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast gram join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pipeline stats queries aggregate partially before their shuffles") {
+    for (name <- Seq("p_length_hist", "t_repetition", "t_tfidf")) {
+      val p = plan(name)
+      assert(p.contains("HashAggregate") && p.toLowerCase.contains("partial"),
+        s"$name must map-side combine:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline (no UDFs)") {
     val df = Registry.all("t_fingerprint").fn(spark, sf)
     df.collect() // AQE only shows WholeStageCodegen spans in the final plan
