@@ -172,18 +172,19 @@ object PipelineOps {
     ),
 
     // curriculum ordering: docs ranked by a deterministic quality score
-    // (stopword density proxy) into 4 curriculum phases via ntile — the
-    // easy->hard data-ordering pass. One window over (score, doc_id); at
-    // scale the global sort is the one unavoidable shuffle, and ntile per
-    // partition-count-independent rank keeps the assignment stable.
+    // (stopword density proxy) into 4 curriculum phases. NOT the naive
+    // `ntile().over(Window.orderBy(...))` — that global window serializes
+    // the corpus through one task; ops.ScalableWindow computes the global
+    // rank as a two-phase prefix count and NTILE in closed form from it,
+    // oracle-pinned to the SQL NTILE.
     "p_curriculum" -> QueryDef(
       (s, dir) => {
         val scored = t(s, dir, "documents").select(
           col("doc_id"),
           graft.ops.Text.stopwordHits(col("text")).as("n_stop"),
           graft.ops.Text.tokenCount(col("text")).as("n_tok"))
-        scored.withColumn("phase",
-          ntile(4).over(Window.orderBy(col("n_stop").desc, col("doc_id"))).cast("long"))
+        graft.ops.ScalableWindow.ntile(
+            scored, Seq(col("n_stop").desc, col("doc_id")), 4, "phase")
           .orderBy("doc_id")
       },
       Some("""WITH sc AS (

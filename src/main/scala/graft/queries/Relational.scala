@@ -205,6 +205,26 @@ object Relational {
               FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""")
     ),
 
+    // GLOBAL running total — the no-PARTITION-BY window that would
+    // serialize the whole table through one task. Runs on the two-phase
+    // prefix-sum operator (ops.ScalableWindow): range-partition by the
+    // order, window per slice keyed by spark_partition_id, broadcast prefix
+    // offsets — identical answer, full parallelism. The oracle pins it to
+    // the single-reducer SQL form.
+    "q_running_total" -> QueryDef(
+      (s, dir) => graft.ops.ScalableWindow.runningSum(
+          t(s, dir, "orders"),
+          Seq(col("o_orderdate"), col("o_orderkey")),
+          d("o_totalprice"), "running_rev")
+        .select(col("o_orderkey"), col("running_rev").cast("double").as("running_rev"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+              FROM orders ORDER BY o_orderkey""")
+    ),
+
     "q_window_lag" -> QueryDef(
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy("event_id")
