@@ -39,6 +39,62 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental exact dedup against a PERSISTED fingerprint store — the
+    * cross-batch form of [[exactDedup]] for a corpus that arrives over time
+    * (crawl snapshots, daily drops): a [[graft.world.World]] whose dim 0 is
+    * the 64-bit fingerprint key holds everything ever seen, new batches
+    * anti-join against it, and survivors register their fingerprints via
+    * `tryInsert` (insert-if-absent), so a re-run of the same batch is
+    * idempotent and a crash between steps loses no registered state.
+    *
+    * Key = xxhash64 of the whitespace/case-normalized [[Text.fingerprint]]:
+    * a uniform u64, so the world's chunk grid stays balanced no matter how
+    * skewed the corpus; the store carries (fp64, id) only — two longs per
+    * document ever seen, the cheapest possible memory of 100 TB of history.
+    * Within a batch, first occurrence (lowest id) wins, as in exactDedup.
+    *
+    * Returns the fresh rows (original columns plus the `fp64` key).
+    */
+  def incrementalDedup(world: graft.world.World, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val dimCol = world.dims.head.column
+    val keyed = batch.withColumn(dimCol, xxhash64(Text.fingerprint(col(textCol))))
+    val w = Window.partitionBy(dimCol).orderBy(col(idCol))
+    val firsts = keyed.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    // a virgin store (nothing ever written — no data, no schema sidecar)
+    // means nothing is seen: create it from this batch's fingerprints.
+    // Checked on the filesystem, not via a catch: Spark 4 resolves a
+    // missing source lazily, so the read error would surface at some later
+    // action instead of here.
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(world.path),
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(world.path)
+    val virgin = !fs.exists(root) || fs.listStatus(root).isEmpty
+    if (virgin) {
+      // create also writes the schema sidecar that keeps a later
+      // fully-drained store readable
+      world.create(firsts.select(col(dimCol), col(idCol).as("seen_id")))
+      firsts
+    } else {
+      // localCheckpoint PINS the anti-join result before the store mutates:
+      // `fresh` is lazy, and re-evaluating it after tryInsert registers
+      // these very fingerprints would anti-join the batch against itself
+      // (every returned row would vanish on the caller's first action).
+      // A plain cache() is NOT enough — the write invalidates cached plans
+      // that reference the store's path, forcing exactly that re-read;
+      // checkpointing cuts the plan loose from the path entirely.
+      val fresh = firsts.join(world.df.select(col(dimCol)), Seq(dimCol), "left_anti")
+        .localCheckpoint(true)
+      // tryInsert re-checks absence before appending — redundant under the
+      // world's single-writer contract, but it makes replay after a partial
+      // failure safe (a fingerprint registered by a crashed run is skipped,
+      // not duplicated)
+      world.tryInsert(fresh.select(col(dimCol), col(idCol).as("seen_id")))
+      fresh
+    }
+  }
+
   /** Distributed connected components over an undirected edge list —
     * transitive near-duplicate GROUPS from a pair list (a near-dup relation
     * is not transitive, so group formation needs real graph connectivity,

@@ -22,6 +22,30 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("doc_id", "text")
   }
 
+  test("incrementalDedup: cross-batch dedup via a persisted fingerprint world, idempotent replay") {
+    import spark.implicits._
+    import graft.core.DimMapping
+    import graft.world.World
+    val path = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    // full wrapping u64 domain (xxhash64 spans it), 32 chunks
+    val w = World(spark, path)("fp64" -> DimMapping(0L, -1L, 1L << 59))
+    // doc 3 is a whitespace variant of doc 1 -> same normalized fingerprint
+    val b1 = docs((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "alpha  beta   gamma"))
+    val f1 = Dedup.incrementalDedup(w, b1, "doc_id", "text")
+    assert(f1.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // batch 2: doc 10 is a CASE variant of doc 1 (fingerprint lowercases),
+    // doc 11 is genuinely new
+    val b2 = docs((10L, "ALPHA BETA GAMMA"), (11L, "completely new content"))
+    val f2 = Dedup.incrementalDedup(w, b2, "doc_id", "text")
+    assert(f2.select("doc_id").as[Long].collect().toSet == Set(11L))
+    assert(w.df.count() == 3, "store holds one row per distinct fingerprint ever seen")
+    // replaying batch 2 is a no-op: nothing fresh, nothing double-registered
+    val f3 = Dedup.incrementalDedup(w, b2, "doc_id", "text")
+    assert(f3.isEmpty)
+    assert(w.df.count() == 3)
+  }
+
   test("shingles: distinct word 3-grams in order") {
     import spark.implicits._
     val got = docs((1L, "a b c d c d e"))
