@@ -71,6 +71,19 @@ object SqlSurface {
          )
          SELECT s.n, COUNT(c.c_custkey) AS n_cust
          FROM seq s LEFT JOIN customer c ON c.c_nationkey = s.n
-         GROUP BY s.n ORDER BY s.n""")
+         GROUP BY s.n ORDER BY s.n"""),
+
+    // window functions through the SQL front-end (top-2 latest orders per
+    // customer): OVER with PARTITION BY / ORDER BY / ROWS frame parses and
+    // executes identically on both engines
+    "q_sql_window" -> sql(
+      """WITH r AS (
+           SELECT o_custkey, o_orderkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey) AS BIGINT) AS rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+           FROM orders)
+         SELECT o_custkey, o_orderkey, rn, n_orders
+         FROM r WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""")
   )
 }
