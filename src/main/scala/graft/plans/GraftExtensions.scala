@@ -70,5 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("word_ngrams"),
       info("word_ngrams", "word_ngrams(text, n) - word n-grams with duplicates"),
       (args: Seq[Expression]) => WordNgrams(args.head, intLit(args(1), "n"))))
+
+    ext.injectFunction((FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(text) - struct(n_grams, max_rep, top_gram, n_dup) bigram repetition signals"),
+      (args: Seq[Expression]) => RepetitionStats(args.head)))
   }
 }

@@ -71,24 +71,23 @@ object PipelineOps {
     // Gopher-style repetition quality signals per doc: total word bigrams,
     // the most-repeated bigram (ties broken lexicographically) with its
     // count, and the fraction of bigram occurrences that are duplicates.
-    // Native WordNgrams keeps the multiset the distinct shingles drop; the
-    // per-doc groupBy shuffles compact (doc_id, gram) keys only.
+    // ONE native pass per row (functions.RepetitionStats): the former
+    // explode→groupBy→window shape shuffled docs×word-count gram strings
+    // only to regroup them by the doc they came from — per-doc stats never
+    // need to leave the row. The gram-less-doc filter mirrors the oracle's
+    // CTE shape (its gram table simply has no row for an empty doc).
     "t_repetition" -> QueryDef(
-      (s, dir) => {
-        val c = t(s, dir, "documents")
-          .select(col("doc_id"), explode(WordNgrams(col("text"), 2)).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        val wp = Window.partitionBy("doc_id")
-        val wr = Window.partitionBy("doc_id").orderBy(col("c").desc, col("g"))
-        c.withColumn("rn", row_number().over(wr))
-          .withColumn("n_grams", sum("c").over(wp))
-          .withColumn("n_dup", sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).over(wp))
-          .where(col("rn") === 1)
-          .select(col("doc_id"), col("g").as("top_gram"), col("c").as("max_rep"),
-            col("n_grams"), col("n_dup"),
-            (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => t(s, dir, "documents")
+        // gram-less ⟺ whitespace-only text: filtering on the RAW column
+        // (not st.n_grams) keeps Catalyst from pushing the predicate below
+        // the projection and evaluating the kernel twice per row
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), graft.functions.RepetitionStats(col("text")).as("st"))
+        .select(col("doc_id"), col("st.top_gram").as("top_gram"),
+          col("st.max_rep").as("max_rep"), col("st.n_grams").as("n_grams"),
+          col("st.n_dup").as("n_dup"),
+          (col("st.n_dup").cast("double") / col("st.n_grams")).as("dup_frac"))
+        .orderBy("doc_id"),
       Some("""WITH w AS (
                 SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
                 FROM documents),

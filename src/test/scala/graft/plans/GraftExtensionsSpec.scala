@@ -37,7 +37,8 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
                 size(minhash_signature(word_shingles(text, 3), 16)) AS nsig,
                 size(minhash_band_keys(word_shingles(text, 3), 64, 8)) AS nband,
                 word_chunks(text, 4, 3) AS wch,
-                word_ngrams(text, 2) AS wng
+                word_ngrams(text, 2) AS wng,
+                repetition_stats(text).n_grams AS rng
          FROM ext_docs""").head()
     val viaColumn = Seq("the quick brown fox the quick").toDF("text")
       .select(graft.ops.Dedup.simhash(org.apache.spark.sql.functions.col("text")))
@@ -51,6 +52,7 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("the quick brown fox", "fox the quick"))
     assert(row.getAs[scala.collection.Seq[String]]("wng").head == "the quick" &&
       row.getAs[scala.collection.Seq[String]]("wng").size == 5)
+    assert(row.getAs[Long]("rng") == 5L)
   }
 
   test("extension session carries the dim-bucket pruning rule") {

@@ -203,11 +203,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("pipeline stats queries aggregate partially before their shuffles") {
-    for (name <- Seq("p_length_hist", "t_repetition", "t_tfidf")) {
+    for (name <- Seq("p_length_hist", "t_tfidf")) {
       val p = plan(name)
       assert(p.contains("HashAggregate") && p.toLowerCase.contains("partial"),
         s"$name must map-side combine:\n$p")
     }
+  }
+
+  test("t_repetition computes per-doc stats without any exchange before the output sort") {
+    // the native RepetitionStats kernel replaced explode->groupBy->window;
+    // the only exchange left should be the final ORDER BY's range partition
+    val p = plan("t_repetition")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"),
+      s"per-doc stats must not aggregate or window:\n$p")
+    assert(p.contains("repetition_stats"), p)
   }
 
   test("whole-stage codegen covers the dedup signature pipeline (no UDFs)") {
