@@ -38,9 +38,12 @@ object Text {
     when(stopwordHits(text) >= minHits, lit("en")).otherwise(lit("other"))
 
   /** Document fingerprint: md5 over whitespace-normalized lowercase text
-    * (stable under reflow — the exact-dedup key for near-identical docs). */
+    * (stable under reflow — the exact-dedup key for near-identical docs).
+    * The normalizer is the native [[graft.functions.NormalizeWs]] kernel,
+    * byte-identical-pinned to `lower(regexp_replace(text, "\s+", " "))` —
+    * the java.util.regex pass was most of t_fingerprint's scan cost. */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(text, "\\s+", " ")))
+    md5(graft.functions.NormalizeWs(text))
 
   /** Overlapping token-window chunks — the sequence-packing prerequisite of
     * a training pipeline: windows of `window` tokens advancing by `stride`
