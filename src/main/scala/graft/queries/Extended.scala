@@ -197,6 +197,41 @@ object Extended {
       Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                 CAST(n_regionkey AS BIGINT) AS n_regionkey
               FROM nation ORDER BY n_nationkey""")
+    ),
+
+    // sink/source pluggability, CSV face: header + explicit read schema (no
+    // inference — deterministic types), doubles round-trip losslessly via
+    // shortest-representation printing
+    "w_io_csv_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val out = s"/tmp/graft_csv_rt_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+        t(s, dir, "supplier").coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(out)
+        s.read.option("header", "true")
+          .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+          .csv(out)
+          .select(col("s_suppkey"), col("s_name"),
+            col("s_nationkey").cast("long").as("s_nationkey"), col("s_acctbal"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                s_acctbal
+              FROM supplier ORDER BY s_suppkey""")
+    ),
+
+    // sink/source pluggability, ORC face: schema carried by the format
+    "w_io_orc_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val out = s"/tmp/graft_orc_rt_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+        t(s, dir, "supplier").coalesce(1).write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .select(col("s_suppkey"), col("s_name"),
+            col("s_nationkey").cast("long").as("s_nationkey"), col("s_acctbal"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                s_acctbal
+              FROM supplier ORDER BY s_suppkey""")
     )
   )
 }

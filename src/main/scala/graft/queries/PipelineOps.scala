@@ -196,6 +196,73 @@ object PipelineOps {
               FROM sc ORDER BY doc_id""")
     ),
 
+    // the WHOLE training-data pipeline composed end to end — exact dedup →
+    // quality/language gate → overlapping token-window chunking → per-shard
+    // 512-token sequence packing → deterministic train/val tagging — with
+    // one DuckDB oracle across the entire composition. Every stage is the
+    // same operator its standalone query declares; this pins that they
+    // compose (column contracts, shuffle boundaries) and stay exact.
+    "p_e2e_pipeline" -> QueryDef(
+      (s, dir) => {
+        val cleaned = Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+          .withColumn("n_tokens", graft.ops.Text.tokenCount(col("text")))
+          .withColumn("lang_pred", graft.ops.Text.langId(col("text")))
+          .where(col("n_tokens") >= 20 && col("lang_pred") === "en")
+        val chunks = cleaned.select(col("doc_id"),
+            posexplode(graft.ops.Text.chunk(col("text"), window = 32, stride = 24))
+              .as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            graft.ops.Text.tokenCount(col("chunk")).as("n_tok"))
+        val w = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
+        chunks.withColumn("shard", (col("doc_id") % 32).cast("long"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("seq_id", expr("(cum - n_tok) div 512"))
+          .withColumn("split",
+            when(md5Bucket(col("doc_id")) < 14, lit("train")).otherwise(lit("val")))
+          .select("shard", "doc_id", "chunk_idx", "n_tok", "seq_id", "split")
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH dedup AS (
+                SELECT doc_id, text,
+                  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM documents),
+              cleaned AS (
+                SELECT doc_id, text FROM dedup
+                WHERE rn = 1
+                  AND CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) >= 20
+                  AND len(regexp_extract_all(text, '\b(the|and|of|to|a|in|is|it|that|for)\b')) >= 3),
+              w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+                FROM cleaned),
+              k AS (
+                SELECT doc_id, words,
+                  GREATEST(CAST(CEIL((len(words) - 32) / 24.0) AS BIGINT) + 1, 1) AS nchunks
+                FROM w),
+              u AS (
+                SELECT doc_id,
+                  unnest(range(0, nchunks)) AS chunk_idx,
+                  unnest(list_transform(range(0, nchunks),
+                    x -> array_to_string(words[1 + x*24 : x*24 + 32], ' '))) AS chunk
+                FROM k),
+              c AS (
+                SELECT doc_id, chunk_idx,
+                  CAST(len(string_split_regex(trim(chunk), '\s+')) AS BIGINT) AS n_tok,
+                  doc_id % 32 AS shard
+                FROM u),
+              sq AS (
+                SELECT shard, doc_id, chunk_idx, n_tok,
+                  SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx) AS cum
+                FROM c),
+              h AS (
+                SELECT doc_id, ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS a
+                FROM documents)
+              SELECT sq.shard, sq.doc_id, sq.chunk_idx, sq.n_tok,
+                CAST((cum - n_tok) // 512 AS BIGINT) AS seq_id,
+                CASE WHEN (CASE WHEN h.a >= 97 THEN h.a - 87 ELSE h.a - 48 END) < 14
+                     THEN 'train' ELSE 'val' END AS split
+              FROM sq JOIN h USING (doc_id) ORDER BY doc_id, chunk_idx""")
+    ),
+
     // mixture-weighted corpus sampling: each source keeps a deterministic
     // fraction ((src# mod 4 + 1) * 4 of 16 md5 buckets -> 25/50/75/100%),
     // the way pre-training mixes re-weight domains. Hash-gated per row:
