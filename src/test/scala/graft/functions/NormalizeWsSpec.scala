@@ -33,6 +33,20 @@ class NormalizeWsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(native == regex)
   }
 
+  test("seeded fuzz: byte-identical to the regex chain on random whitespace soups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(424242L)
+    val pieces = Vector("a", "Bc", "ẞ", "Ü", " ", " ", "\t", "\n", "\r", "\f", "", "9", "_")
+    val fuzz = (1 to 150).map { _ =>
+      (0 until rnd.nextInt(60)).map(_ => pieces(rnd.nextInt(pieces.size))).mkString
+    }
+    val df = fuzz.toDF("text")
+    val native = df.select(NormalizeWs(col("text")).as("t")).as[String].collect().toSeq
+    val regex = df.select(lower(regexp_replace(col("text"), "\\s+", " ")).as("t"))
+      .as[String].collect().toSeq
+    assert(native == regex)
+  }
+
   test("codegen and interpreted paths agree") {
     import spark.implicits._
     val df = texts.toDF("text")

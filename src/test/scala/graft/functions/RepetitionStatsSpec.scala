@@ -75,6 +75,25 @@ class RepetitionStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       empty.isNullAt(2) && empty.getLong(3) == 0L)
   }
 
+  test("seeded fuzz: native stats match the relational form on random repetitive docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8472L)
+    // small vocab -> lots of genuine bigram repetition and count ties
+    val vocab = Vector("x", "y", "zz", "x", "Q")
+    val fuzz = (1 to 100).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = fuzz.toDF("doc_id", "text")
+    val native = df.select(col("doc_id"), RepetitionStats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.top_gram"), col("st.max_rep"),
+        col("st.n_grams"), col("st.n_dup"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val rel = relational(df)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(native == rel)
+  }
+
   test("codegen and interpreted paths agree") {
     import spark.implicits._
     val df = docs.toDF("doc_id", "text")

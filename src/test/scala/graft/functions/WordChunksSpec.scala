@@ -61,6 +61,29 @@ class WordChunksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(short == Seq("tiny doc"), "a doc shorter than one window yields itself")
   }
 
+  test("seeded fuzz: native chunks/ngrams match their declarative pins on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val alphabet = Vector("a", "bb", "Ccc", "d1", "&", "ẞ")
+    val ws = Vector(" ", "  ", "\t", "\n", " \r ")
+    val fuzz = (1 to 120).map { _ =>
+      val n = rnd.nextInt(40)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString(ws(rnd.nextInt(ws.size))) +
+        (if (rnd.nextBoolean()) " " else "")
+    }
+    val df = fuzz.toDF("text")
+    for ((w, s) <- Seq((4, 3), (7, 2))) {
+      val native = df.select(Text.chunk(col("text"), w, s).as("c")).as[Seq[String]].collect().toSeq
+      val hof = df.select(Text.chunkHof(col("text"), w, s).as("c")).as[Seq[String]].collect().toSeq
+      assert(native == hof, s"chunks window=$w stride=$s")
+    }
+    // ngrams: distinct(native multiset) must equal the shingles kernel
+    val ng = df.select(WordNgrams(col("text"), 2).as("g")).as[Seq[String]].collect().toSeq
+    val sh = df.select(WordShingles(col("text"), 2).as("g")).as[Seq[String]].collect().toSeq
+    assert(ng.map(_.distinct) == sh, "distinct ngrams == shingles on every doc")
+  }
+
   test("ngrams keep duplicates in document order (the multiset shingles drop)") {
     import spark.implicits._
     val g = Seq("Spam spam SPAM eggs spam spam").toDF("text")
