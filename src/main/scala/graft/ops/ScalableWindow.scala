@@ -34,9 +34,19 @@ object ScalableWindow {
 
   private def prepared(df: DataFrame, order: Seq[Column]): DataFrame = {
     val np = df.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint PINS the slice assignment. Without it the plan below
+    // this point is evaluated once per consumer (the per-slice window AND
+    // the per-slice totals), and nothing guarantees the two see the same
+    // `spark_partition_id()` for a row: AQE coalesces each branch's range
+    // exchange independently by its own runtime stats, so a row's slice id
+    // can differ between branches — offsets then belong to different slices
+    // than the local values they're added to (observed at sf0.1: NTILE(4)
+    // emitted a phase 5, i.e. a rank beyond N). One eager materialization
+    // makes the assignment a fact instead of a replayed computation.
     df.repartitionByRange(np, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
   }
 
   /** For each slice, the aggregate over all EARLIER slices (null for the

@@ -68,6 +68,17 @@ class ScalableWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rank is a bijection onto 1..N at a size where AQE reshapes exchanges") {
+    // the slice-consistency failure mode produces ranks BEYOND N (offsets
+    // added to local values from a differently-coalesced branch) — a
+    // bijection check catches it structurally, independent of any oracle
+    val df = rows(20000)
+    val rks = ScalableWindow.rowNumber(df, Seq(col("key"), col("id")), "rn")
+      .select("rn").collect().map(_.getLong(0)).sorted
+    assert(rks.head == 1L && rks.last == 20000L && rks.length == 20000 &&
+      rks.distinct.length == 20000, "ranks must be exactly 1..N")
+  }
+
   test("descending order keys work end to end") {
     val df = rows(200)
     val order = Seq(col("key").desc, col("id"))
