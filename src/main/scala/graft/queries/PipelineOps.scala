@@ -109,6 +109,47 @@ object PipelineOps {
               FROM r WHERE rn = 1 ORDER BY doc_id""")
     ),
 
+    // Gopher-style composite quality gate: token-count band + stopword
+    // floor + duplicate-bigram ceiling, each signal from a shuffle-free
+    // native kernel, the verdict as a boolean column (filtering is the
+    // caller's choice; the gate itself is pure per-row compute).
+    "t_gopher_gate" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.Text.tokenCount(col("text")).as("n_tokens"),
+          graft.ops.Text.stopwordHits(col("text")).as("n_stop"),
+          graft.functions.RepetitionStats(col("text")).as("st"))
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          (col("st.n_dup").cast("double") / col("st.n_grams")).as("dup_frac"))
+        .withColumn("pass",
+          col("n_tokens") >= 30 && col("n_tokens") <= 1000 &&
+            col("n_stop") >= 2 && col("dup_frac") <= 0.2)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+                FROM documents),
+              g AS (
+                SELECT doc_id,
+                  unnest(list_transform(range(0, GREATEST(len(words) - 2, 0) + 1),
+                    x -> array_to_string(words[x + 1 : x + 2], ' '))) AS g
+                FROM w),
+              c AS (SELECT doc_id, g, COUNT(*) AS c FROM g WHERE g <> '' GROUP BY ALL),
+              r AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup
+                FROM c GROUP BY doc_id),
+              st AS (
+                SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                  CAST(len(regexp_extract_all(text, '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS BIGINT) AS n_stop
+                FROM documents)
+              SELECT st.doc_id, st.n_tokens, st.n_stop,
+                CAST(r.n_dup AS DOUBLE) / r.n_grams AS dup_frac,
+                (st.n_tokens >= 30 AND st.n_tokens <= 1000 AND st.n_stop >= 2
+                 AND CAST(r.n_dup AS DOUBLE) / r.n_grams <= 0.2) AS pass
+              FROM st JOIN r USING (doc_id) ORDER BY st.doc_id""")
+    ),
+
     // corpus TF-IDF: top-3 terms per doc by tf * ln(N/df), rank ties broken
     // by term. N rides along as a broadcast single-row aggregate (no
     // driver-side collect); tf and df are one shuffle each on compact keys.
