@@ -229,6 +229,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming corpus cleaning: quality gate + bounded-state dedup compose on the incremental path") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the batch pipeline's gate (token floor + langid) applied to a STREAM
+    // of documents, then streaming dedup by normalized fingerprint — the
+    // same per-row kernels serve both faces, and duplicate reflows of a doc
+    // arriving in later micro-batches are dropped with bounded state
+    val src = MemoryStream[(Long, String, Long)] // (doc_id, text, epoch_us)
+    val docs = src.toDF().toDF("doc_id", "text", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val gated = docs
+      .where(graft.ops.Text.tokenCount(col("text")) >= 5 &&
+        graft.ops.Text.langId(col("text")) === "en")
+      .withColumn("fp", graft.ops.Text.fingerprint(col("text")))
+    val out = EventStreams.dedupStream(gated, "fp", watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("clean_stream_out").start()
+    try {
+      val min = 60L * 1000000L
+      // base AFTER epoch 0: stateful operators treat the initial watermark
+      // as epoch 0, so a first-batch row AT ts=0 is already "late" and
+      // silently dropped before the dedup state ever sees it
+      val base = 1000L * min
+      val en = "the cat and the dog sat in it for a while"
+      src.addData(
+        (1L, en, base),
+        (2L, "tiny doc", base + 1 * min),               // fails the token floor
+        (3L, "w1 w2 w3 w4 w5 w6 w7 w8", base + 2 * min)) // fails langid
+      q.processAllAvailable()
+      src.addData(
+        (4L, "THE  cat AND the dog sat in it for a  while", base + 3 * min), // reflow dup of 1
+        (5L, "the fish and the bird flew to it of a sudden", base + 4 * min))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM clean_stream_out")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(got == Seq(1L, 5L),
+        s"gate drops 2 and 3, fingerprint dedup drops the reflowed 4: $got")
+    } finally q.stop()
+  }
+
   test("late data beyond watermark is dropped from append-mode output") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
