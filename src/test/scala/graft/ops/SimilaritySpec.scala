@@ -100,6 +100,36 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaDriver == viaDist)
   }
 
+  test("measured recall@10 on a clustered corpus: IVF and LSH against brute-force truth") {
+    import spark.implicits._
+    // deterministic clustered corpus (8 centers x 40 jittered points, dim 16):
+    // ANN recall is only meaningful when neighbors exist; uniform-random
+    // vectors have none (max pairwise cosine in the synthetic embeddings
+    // table is ~0.5, which is why s_embed_neardup's empty result is correct)
+    val rnd = new scala.util.Random(1234L)
+    val centers = Vector.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.toSeq.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 10)
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "t_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = topSet(Similarity.bruteTopK(corpus, queries, k = 10))
+    val ivf = topSet(Similarity.ivfTopK(corpus, queries, k = 10, nlist = 16, nprobe = 4, dim = 16))
+    val lsh = topSet(Similarity.lshTopK(corpus, queries, k = 10, bits = 6, tables = 8, dim = 16))
+    def recall(got: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) => got.getOrElse(q, Set.empty).count(t).toDouble / t.size }
+        .sum / truth.size
+    val (rIvf, rLsh) = (recall(ivf), recall(lsh))
+    // deterministic inputs -> these are fixed numbers; the floors assert the
+    // index structures actually find the clusters, not just themselves
+    assert(rIvf >= 0.9, s"IVF recall@10 = $rIvf")
+    assert(rLsh >= 0.6, s"LSH recall@10 = $rLsh")
+  }
+
   test("cosineNearDupPairs finds duplicate pair and nothing else") {
     val a = Seq.tabulate(16)(i => math.sin(i * 0.9).toFloat)
     val d = emb((1L, a), (2L, a.map(x => x * 2f)), // same direction -> cos 1
