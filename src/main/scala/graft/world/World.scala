@@ -314,6 +314,22 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     }
   }
 
+  /** Re-grid: rebuild this world's contents under a DIFFERENT chunk
+    * geometry (new items-per-chunk, bounds, or dimension set) at `newPath`.
+    * The maintenance op the fixed-grid reference cannot express without a
+    * manual dump/reload: when observed data density makes the original
+    * chunk sizing wrong (too many small chunks, or hotspot chunks too
+    * large), the fix is one clustered rewrite — `create` re-derives every
+    * bucket column under the new mapping, so relocation falls out of the
+    * same math as insert-time routing. Requires the new dims to cover the
+    * same data columns (validation quarantines anything out of range,
+    * exactly as on any other write path). */
+  def regrid(newPath: String, newDims: Seq[DimSpec]): World = {
+    val target = new World(spark, newPath, newDims)
+    target.create(df.drop(bucketCols: _*))
+    target
+  }
+
   // ---------------------------------------------------------------- helpers
 
   /** Predicate selecting exactly the given bucket tuples. A struct `IN` —

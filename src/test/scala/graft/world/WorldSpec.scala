@@ -285,6 +285,21 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.compact() == 0L, "already-compact world is a no-op")
   }
 
+  test("regrid: contents rebuild under a new chunk geometry, rows re-route") {
+    val w = new World(spark, tmp(), dims2(8, 16))
+    w.create(rows((114L, 514L), (7L, 7L), (1000L, 3L)))
+    // coarser grid: 64 items per chunk on both dims -> new bucket math
+    val w2 = w.regrid(tmp(), dims2(64, 64))
+    assert(w2.df.select("d0").collect().map(_.getLong(0)).toSet ==
+      Set(114L, 7L, 1000L), "contents survive the re-grid")
+    // 114 div 64 = 1, 514 div 64 = 8 under the new mapping
+    assert(new java.io.File(w2.path + "/c0=1/c1=8").isDirectory,
+      "rows route under the NEW chunk geometry")
+    // selection algebra works against the new grid
+    assert(w2.select(0, Bounds.to(0L, 100L)).iter()
+      .where(col("d0") <= 100L).count() == 1L) // only (7,7); 114 and 1000 exceed
+  }
+
   test("world! builder sugar declares dims in order (src/macros.rs:19-27)") {
     val w = World(spark, tmp())("d0" -> DimMapping(0, 1023, 8), "d1" -> DimMapping(0, 1023, 16))
     w.create(rows((114L, 514L)))
