@@ -69,9 +69,11 @@ object Bench {
       // 2.6 s query — BOTH samples of a pair can be hit), and a 1-of-2
       // failure needs a deciding vote for the flaky-vs-broken call. Bounded:
       // at most one extra run per outlier query, zero for stable ones.
+      // 2.5x, not 3: an observed double stall (4.0s/11.6s on a 0.8s query)
+      // sat at 2.9x spread and kept its distorted best-of-2
       val ok = two.collect { case (t, None) => t }
       val runs =
-        if ((ok.size == 2 && ok.max / ok.min > 3.0) || ok.size == 1) two :+ run()
+        if ((ok.size == 2 && ok.max / ok.min > 2.5) || ok.size == 1) two :+ run()
         else two
       (name, runs)
     }
@@ -94,7 +96,7 @@ object Bench {
     // number and ~25-30% lower by methodology, not by code speedup
     val totalRun1 = results.map(_._2.head._1).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_run1":$totalRun1,"timing":"per-query best of 2 runs, +1 tie-breaker run on >3x spread between successes or a 1-of-2 failure; value_run1 sums first runs (single-run comparable)","queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_run1":$totalRun1,"timing":"per-query best of 2 runs, +1 tie-breaker run on >2.5x spread between successes or a 1-of-2 failure; value_run1 sums first runs (single-run comparable)","queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
     // file copy first (survives log interleaving), then the line alone on
     // stdout after Spark is quiet
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
