@@ -35,6 +35,21 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // fixed CPU-bound canary, timed before and after the suite: best-of-2 +
+    // the spread tie-breaker catch a stall that hits SOME runs, but a host
+    // that is UNIFORMLY degraded (cpu-starved VM, billed steal time) slows
+    // every sample equally and the record looks self-consistent — round 5's
+    // driver record was exactly that. The canary is data-independent
+    // (spark.range -> sum, no I/O), so its healthy time is a property of the
+    // machine, not the code under test: a degraded-host record identifies
+    // itself (canary seconds far above the ~0.1-0.3 s a healthy 32-core host
+    // shows) without needing a second host to compare against.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(500000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryBefore = canary()
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q1_agg,d_simhash narrows the run for
     // iteration; the driver leaves it unset (full suite)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -60,6 +75,10 @@ object Bench {
           catch { case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
           }
+          // each run builds the query fresh, so any checkpoint it pinned is
+          // dead weight once materialized — free it inside the timed window
+          // (the release IS part of the operator's cost)
+          finally ops.Pins.releaseAll()
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val two = Seq(run(), run())
@@ -95,8 +114,9 @@ object Bench {
     // r1/r2 single-run headline; "value" (min-of-2) is the steady-state
     // number and ~25-30% lower by methodology, not by code speedup
     val totalRun1 = results.map(_._2.head._1).sum
+    val canaryAfter = canary()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_run1":$totalRun1,"timing":"per-query best of 2 runs, +1 tie-breaker run on >2.5x spread between successes or a 1-of-2 failure; value_run1 sums first runs (single-run comparable)","queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_run1":$totalRun1,"canary_before_sec":$canaryBefore,"canary_after_sec":$canaryAfter,"canary":"range(5e8).sum, data-independent; healthy 32-core host ~0.1-0.3 s - a high canary marks the whole record host-degraded","timing":"per-query best of 2 runs, +1 tie-breaker run on >2.5x spread between successes or a 1-of-2 failure; value_run1 sums first runs (single-run comparable)","queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
     // file copy first (survives log interleaving), then the line alone on
     // stdout after Spark is quiet
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),

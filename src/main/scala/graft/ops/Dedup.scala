@@ -83,9 +83,12 @@ object Dedup {
       // (every returned row would vanish on the caller's first action).
       // A plain cache() is NOT enough — the write invalidates cached plans
       // that reference the store's path, forcing exactly that re-read;
-      // checkpointing cuts the plan loose from the path entirely.
-      val fresh = firsts.join(world.df.select(col(dimCol)), Seq(dimCol), "left_anti")
-        .localCheckpoint(true)
+      // checkpointing cuts the plan loose from the path entirely. Pinned via
+      // [[Pins]]: the caller frees the materialized batch copy with
+      // Pins.releaseAll after consuming the result (the streaming daemon
+      // does this per batch).
+      val fresh = Pins.pin(
+        firsts.join(world.df.select(col(dimCol)), Seq(dimCol), "left_anti"))
       // tryInsert re-checks absence before appending — redundant under the
       // world's single-writer contract, but it makes replay after a partial
       // failure safe (a fingerprint registered by a crashed run is skipped,
@@ -117,30 +120,15 @@ object Dedup {
       return ids.select(col("id"), col("id").as("group_id"))
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    // eager localCheckpoint per round: materializes the label table AND
-    // truncates lineage — without it the plan doubles every iteration and
-    // the optimizer, not the data, becomes the bottleneck. The handle to
-    // the persisted RDD (the LogicalRDD behind the checkpoint) lets each
-    // round explicitly free its predecessor: at 100 TB x 20 rounds, leaked
-    // label tables would otherwise accumulate in executor storage memory.
-    var warnedNoHandle = false
-    def checkpointed(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
-      val cp = df.localCheckpoint(true)
-      val handle = cp.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }
-      // if a Spark upgrade stops exposing the checkpoint as a LogicalRDD,
-      // the unpersist below degrades to leaking one label table per round —
-      // make that mode loud instead of silent
-      if (handle.isEmpty && !warnedNoHandle) {
-        warnedNoHandle = true
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          "connectedComponents: checkpointed plan is not a LogicalRDD; " +
-            "superseded label tables will NOT be unpersisted this run")
-      }
-      (cp, handle)
-    }
-    var (lab, labRdd) = checkpointed(ids.select(col("id"), col("id").as("label")))
+    // eager localCheckpoint per round ([[Pins.pinWithHandle]]): materializes
+    // the label table AND truncates lineage — without it the plan doubles
+    // every iteration and the optimizer, not the data, becomes the
+    // bottleneck. The handle to the persisted RDD lets each round explicitly
+    // free its predecessor: at 100 TB x 20 rounds, leaked label tables would
+    // otherwise accumulate in executor storage memory. The FINAL round's
+    // table (the returned result's backing blocks) stays registered in
+    // [[Pins]] until the consumer's releaseAll.
+    var (lab, labRdd) = Pins.pinWithHandle(ids.select(col("id"), col("id").as("label")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -159,9 +147,9 @@ object Dedup {
         .join(stepped.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("id"), col("old"), coalesce(col("ll"), col("label")).as("label"))
-      val (jumped, jumpedRdd) = checkpointed(jump)
+      val (jumped, jumpedRdd) = Pins.pinWithHandle(jump)
       converged = jumped.where(col("label") =!= col("old")).isEmpty
-      labRdd.foreach(_.unpersist(blocking = false))
+      Pins.release(labRdd)
       lab = jumped.select("id", "label")
       labRdd = jumpedRdd
       it += 1

@@ -42,11 +42,13 @@ object ScalableWindow {
     // can differ between branches — offsets then belong to different slices
     // than the local values they're added to (observed at sf0.1: NTILE(4)
     // emitted a phase 5, i.e. a rank beyond N). One eager materialization
-    // makes the assignment a fact instead of a replayed computation.
-    df.repartitionByRange(np, order: _*)
+    // makes the assignment a fact instead of a replayed computation. Pinned
+    // through [[Pins]] so the consumer can FREE the materialized copy after
+    // its terminal action (Pins.releaseAll) — an unreleased pin holds the
+    // whole dataset in executor storage until the session dies.
+    Pins.pin(df.repartitionByRange(np, order: _*)
       .sortWithinPartitions(order: _*)
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
+      .withColumn("_pid", spark_partition_id()))
   }
 
   /** For each slice, the aggregate over all EARLIER slices (null for the
@@ -80,6 +82,100 @@ object ScalableWindow {
     local.join(broadcast(offsets(perSlice, "_n")), Seq("_pid"))
       .withColumn(out, col("_loc") + coalesce(col("_off"), lit(0L)))
       .drop("_pid", "_loc", "_off")
+  }
+
+  /** Global SQL RANK() — ties share a rank, gaps after ties. Tie-aware
+    * WITHOUT any cross-slice key exchange: the range partitioner routes
+    * EQUAL order keys to the same slice (partition = binary search on the
+    * full key tuple), so a tie group never spans a slice boundary and the
+    * global rank is simply the local rank plus the ROW count of all earlier
+    * slices (rank counts preceding rows, ties or not). Unlike the row-frame
+    * operators above, `order` need not be a total order — ties are the
+    * point — and the result is deterministic either way. */
+  def rank(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
+    val local = prepared(df, order)
+      .withColumn("_loc", org.apache.spark.sql.functions.rank().over(
+        Window.partitionBy("_pid").orderBy(order: _*)).cast("long"))
+    val perSlice = local.groupBy("_pid").agg(count(lit(1)).as("_n"))
+    local.join(broadcast(offsets(perSlice, "_n")), Seq("_pid"))
+      .withColumn(out, col("_loc") + coalesce(col("_off"), lit(0L)))
+      .drop("_pid", "_loc", "_off")
+  }
+
+  /** Global SQL DENSE_RANK() — ties share a rank, no gaps. Same slice-local
+    * structure as [[rank]]; the offset is the number of DISTINCT keys in
+    * earlier slices, read off the slice's own max local dense rank (the last
+    * key group's rank IS the distinct-key count) — no second aggregation
+    * over the keys themselves, so arbitrary order expressions (desc, multi-
+    * column) need no unwrapping. */
+  def denseRank(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
+    val local = prepared(df, order)
+      .withColumn("_loc", dense_rank().over(
+        Window.partitionBy("_pid").orderBy(order: _*)).cast("long"))
+    val perSlice = local.groupBy("_pid").agg(max(col("_loc")).as("_n"))
+    local.join(broadcast(offsets(perSlice, "_n")), Seq("_pid"))
+      .withColumn(out, col("_loc") + coalesce(col("_off"), lit(0L)))
+      .drop("_pid", "_loc", "_off")
+  }
+
+  /** Global LAG(value, k) over the total order (include a unique tie-break,
+    * as for [[runningSum]]): each row sees the value k rows earlier, null
+    * for the first k rows. Slice-local lag covers every row whose
+    * predecessor is in its own slice; the k boundary rows per slice get
+    * theirs from a broadcast DONOR table — the last k rows of every slice,
+    * keyed by the global row number they donate to (a row at global g
+    * donates to g+k). Donor rows are bounded by slices x k, not by the
+    * data: the boundary handoff costs one partition-count-sized broadcast,
+    * never a data-sized exchange. */
+  def lag(df: DataFrame, order: Seq[Column], value: Column, k: Int,
+      out: String): DataFrame = {
+    require(k > 0, "lag offset must be positive")
+    val f = org.apache.spark.sql.functions
+    val w = Window.partitionBy("_pid").orderBy(order: _*)
+    val local = prepared(df, order)
+      .withColumn("_val", value)
+      .withColumn("_lrn", row_number().over(w).cast("long"))
+    val perSlice = local.groupBy("_pid").agg(count(lit(1)).as("_n"))
+    val sliceInfo = offsets(perSlice, "_n").join(perSlice, Seq("_pid"))
+    val withG = local.join(broadcast(sliceInfo), Seq("_pid"))
+      .withColumn("_grn", col("_lrn") + coalesce(col("_off"), lit(0L)))
+    // a donor in its slice's last k rows is the ONLY place a later slice's
+    // boundary row can find its predecessor (any donor for a cross-slice
+    // receiver has < k successors in its own slice, so the filter loses
+    // nothing — true for any mix of slice sizes, including slices < k)
+    val donors = withG.where(col("_lrn") > col("_n") - k)
+      .select((col("_grn") + k).as("_tgt"), col("_val").as("_dval"))
+    withG
+      .withColumn("_lloc", f.lag(col("_val"), k).over(w))
+      .join(broadcast(donors), col("_grn") === col("_tgt"), "left")
+      // null-correct: a boundary row with NO donor (global rn <= k) keeps
+      // null from the left join; a legitimately-null lagged VALUE flows
+      // through either branch unchanged
+      .withColumn(out, when(col("_lrn") > k, col("_lloc")).otherwise(col("_dval")))
+      .drop("_pid", "_val", "_lrn", "_n", "_off", "_grn", "_lloc", "_tgt", "_dval")
+  }
+
+  /** Global LEAD(value, k) — mirror of [[lag]]: donors are the FIRST k rows
+    * of each slice (a row at global g donates to g-k), receivers the last k. */
+  def lead(df: DataFrame, order: Seq[Column], value: Column, k: Int,
+      out: String): DataFrame = {
+    require(k > 0, "lead offset must be positive")
+    val f = org.apache.spark.sql.functions
+    val w = Window.partitionBy("_pid").orderBy(order: _*)
+    val local = prepared(df, order)
+      .withColumn("_val", value)
+      .withColumn("_lrn", row_number().over(w).cast("long"))
+    val perSlice = local.groupBy("_pid").agg(count(lit(1)).as("_n"))
+    val sliceInfo = offsets(perSlice, "_n").join(perSlice, Seq("_pid"))
+    val withG = local.join(broadcast(sliceInfo), Seq("_pid"))
+      .withColumn("_grn", col("_lrn") + coalesce(col("_off"), lit(0L)))
+    val donors = withG.where(col("_lrn") <= k)
+      .select((col("_grn") - k).as("_tgt"), col("_val").as("_dval"))
+    withG
+      .withColumn("_lloc", f.lead(col("_val"), k).over(w))
+      .join(broadcast(donors), col("_grn") === col("_tgt"), "left")
+      .withColumn(out, when(col("_lrn") <= col("_n") - k, col("_lloc")).otherwise(col("_dval")))
+      .drop("_pid", "_val", "_lrn", "_n", "_off", "_grn", "_lloc", "_tgt", "_dval")
   }
 
   /** SQL NTILE(k) over the global order, from the scalable row number in

@@ -55,10 +55,20 @@ object Relational {
     "q3_top_revenue" -> QueryDef(
       (s, dir) => {
         val c = t(s, dir, "customer"); val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
-        c.join(o, c("c_custkey") === o("o_custkey"))
-          .join(l, o("o_orderkey") === l("l_orderkey"))
-          .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+        // aggregate BELOW the join: the revenue sum is keyed by l_orderkey
+        // alone, so pre-summing lineitem shrinks the widest input ~4x (rows
+        // per order) BEFORE any join and leaves both join inputs one-row-per-
+        // orderkey — trivially broadcastable under AQE. Customer contributes
+        // no columns and no filter; its join is pure FK validation, expressed
+        // as a semi join against the (unique-key) customer table so no
+        // customer columns ever enter the plan. Result is identical to the
+        // join-first form: the grouping key (o_orderkey) is unique after the
+        // pre-agg, so no re-aggregation is needed above the join.
+        val rev = l.groupBy(col("l_orderkey"))
           .agg(sum(d("l_extendedprice") * (lit(1).cast(dec) - d("l_discount"))).cast("double").as("revenue"))
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
+          .join(rev, o("o_orderkey") === rev("l_orderkey"))
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"), col("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
       },
@@ -222,6 +232,45 @@ object Relational {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                   ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+              FROM orders ORDER BY o_orderkey""")
+    ),
+
+    // GLOBAL rank/dense_rank with REAL ties (many orders per date) — the
+    // tie-aware members of ops.ScalableWindow: equal keys land in one slice
+    // under range partitioning, so tie groups never straddle a boundary and
+    // the broadcast offsets are plain row counts (rank) / the slice's max
+    // local dense rank (dense_rank). Oracle pins both to the single-reducer
+    // SQL forms.
+    "q_global_rank" -> QueryDef(
+      (s, dir) => {
+        val byDate = Seq(col("o_orderdate"))
+        val ranked = graft.ops.ScalableWindow.rank(t(s, dir, "orders"), byDate, "rnk")
+        graft.ops.ScalableWindow.denseRank(ranked, byDate, "drnk")
+          .select(col("o_orderkey"), col("rnk"), col("drnk"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+                CAST(RANK() OVER (ORDER BY o_orderdate) AS BIGINT) AS rnk,
+                CAST(DENSE_RANK() OVER (ORDER BY o_orderdate) AS BIGINT) AS drnk
+              FROM orders ORDER BY o_orderkey""")
+    ),
+
+    // GLOBAL lag/lead over a total order: slice-local window plus a
+    // broadcast donor table (slices x k rows) for the boundary handoff —
+    // no data-sized exchange beyond the range partition itself.
+    "q_global_lag" -> QueryDef(
+      (s, dir) => {
+        val order = Seq(col("o_orderdate"), col("o_orderkey"))
+        val price = col("o_totalprice").cast("double")
+        val lagged = graft.ops.ScalableWindow.lag(
+          t(s, dir, "orders"), order, price, 1, "prev_price")
+        graft.ops.ScalableWindow.lead(lagged, order, price, 2, "next2_price")
+          .select(col("o_orderkey"), col("prev_price"), col("next2_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+                CAST(LAG(o_totalprice, 1) OVER (ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+                CAST(LEAD(o_totalprice, 2) OVER (ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS next2_price
               FROM orders ORDER BY o_orderkey""")
     ),
 

@@ -44,6 +44,16 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val f3 = Dedup.incrementalDedup(w, b2, "doc_id", "text")
     assert(f3.isEmpty)
     assert(w.df.count() == 3)
+    // every batch's pinned anti-join result must be releasable: after the
+    // consumer is done, no checkpoint blocks stay in executor storage
+    assert(Pins.retainedCount > 0, "incrementalDedup should pin its batches")
+    Pins.releaseAll()
+    assert(Pins.retainedCount == 0)
+    val deadline = System.nanoTime() + 10000000000L
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"pinned RDDs still persisted: ${spark.sparkContext.getPersistentRDDs.keySet}")
   }
 
   test("shingles: distinct word 3-grams in order") {

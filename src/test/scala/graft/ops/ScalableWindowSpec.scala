@@ -79,6 +79,83 @@ class ScalableWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
       rks.distinct.length == 20000, "ranks must be exactly 1..N")
   }
 
+  /** Rows with HEAVY ties: ~20 rows per key value, so tie groups are real
+    * and (at 4 slices) key groups sit well inside and right at boundaries. */
+  private def tiedRows(n: Int) = {
+    import spark.implicits._
+    (1 to n).map { i =>
+      ((i * 7919) % n + 0L, ((i * 31) % (n / 20)).toLong, (i % 13).toLong)
+    }.toDF("id", "key", "v").repartition(4)
+  }
+
+  test("rank and denseRank match the single-reducer window on duplicate keys") {
+    val df = tiedRows(1000)
+    val order = Seq(col("key")) // NOT a total order — ties are the point
+    val scalable = ScalableWindow.denseRank(
+        ScalableWindow.rank(df, order, "rnk"), order, "drnk")
+      .select("id", "rnk", "drnk").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val naive = df
+      .withColumn("rnk", rank().over(Window.orderBy(col("key"))).cast("long"))
+      .withColumn("drnk", dense_rank().over(Window.orderBy(col("key"))).cast("long"))
+      .select("id", "rnk", "drnk").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(scalable == naive)
+  }
+
+  test("rank offsets are tie-aware across a forced boundary tie group") {
+    // every row shares ONE key value -> all rows are a single tie group; if
+    // equal keys could straddle slices, per-slice rank restarts would show
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, 7L)).toDF("id", "key").repartition(4)
+    val out = ScalableWindow.rank(df, Seq(col("key")), "rnk")
+      .select("rnk").distinct().collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L), "a single global tie group must rank 1 everywhere")
+    val dout = ScalableWindow.denseRank(df, Seq(col("key")), "drnk")
+      .select("drnk").distinct().collect().map(_.getLong(0))
+    assert(dout.toSeq == Seq(1L))
+  }
+
+  test("lag and lead match the single-reducer window, incl. k > slice size") {
+    // 10 rows over 4 slices: slices of ~2-3 rows, so k=3 forces donors to
+    // come from non-adjacent slices
+    for ((n, k) <- Seq((1003, 1), (1003, 3), (10, 3))) {
+      val df = rows(n)
+      val order = Seq(col("key"), col("id"))
+      val scalable = ScalableWindow.lead(
+          ScalableWindow.lag(df, order, col("v"), k, "lg"), order, col("v"), k, "ld")
+        .select("id", "lg", "ld").collect()
+        .map(r => (r.getLong(0), (Option(r.get(1)), Option(r.get(2))))).toMap
+      val w = Window.orderBy(col("key"), col("id"))
+      val naive = df
+        .withColumn("lg", lag(col("v"), k).over(w))
+        .withColumn("ld", lead(col("v"), k).over(w))
+        .select("id", "lg", "ld").collect()
+        .map(r => (r.getLong(0), (Option(r.get(1)), Option(r.get(2))))).toMap
+      assert(scalable == naive, s"n=$n k=$k")
+    }
+  }
+
+  test("pinned slice checkpoints are released by Pins.releaseAll") {
+    val sc = spark.sparkContext
+    Pins.releaseAll() // clear anything earlier tests pinned
+    val before = sc.getPersistentRDDs.keySet
+    val df = rows(500)
+    val order = Seq(col("key"), col("id"))
+    ScalableWindow.runningSum(df, order, col("v"), "run").collect()
+    ScalableWindow.rank(df, Seq(col("key")), "rnk").collect()
+    ScalableWindow.lag(df, order, col("v"), 1, "lg").collect()
+    assert(Pins.retainedCount > 0, "operators should have pinned checkpoints")
+    Pins.releaseAll()
+    assert(Pins.retainedCount == 0)
+    // unpersist is async (blocking = false); poll briefly for the blocks to
+    // leave the context's persistent-RDD map
+    val deadline = System.nanoTime() + 10000000000L
+    def leaked = sc.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty, s"pinned RDDs still persisted: $leaked")
+  }
+
   test("descending order keys work end to end") {
     val df = rows(200)
     val order = Seq(col("key").desc, col("id"))

@@ -41,6 +41,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q3 aggregates lineitem revenue BELOW the join (pre-agg, then join)") {
+    val qe = Registry.all("q3_top_revenue").fn(spark, sf).queryExecution
+    // in the OPTIMIZED plan, the revenue Aggregate must sit under a Join —
+    // i.e. some join has an aggregate (not a raw lineitem scan) as a child
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val aggBelowJoin = qe.optimizedPlan.collect {
+      case j: Join if j.children.exists(c => c.collectFirst {
+        case a: Aggregate => a }.isDefined) => j
+    }
+    assert(aggBelowJoin.nonEmpty,
+      s"expected an Aggregate below a Join:\n${qe.optimizedPlan}")
+    // and no second aggregation above the joins (the pre-agg key is unique)
+    val topAgg = qe.optimizedPlan.collectFirst {
+      case a: Aggregate if a.collectFirst { case j: Join => j }.isDefined => a
+    }
+    assert(topAgg.isEmpty, s"no re-aggregation above the join expected:\n${qe.optimizedPlan}")
+  }
+
   test("q1 aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q1_agg")
     assert(p.contains("HashAggregate"), p)

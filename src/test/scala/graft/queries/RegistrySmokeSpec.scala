@@ -29,6 +29,9 @@ class RegistrySmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
         q.fn(spark, sf).queryExecution.analyzed // force analysis, run nothing
         None
       } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}") }
+      // "no jobs" has one exception: ScalableWindow queries pin their slice
+      // assignment EAGERLY at plan-construction time — free those here
+      finally graft.ops.Pins.releaseAll()
     }
     assert(failures.isEmpty, failures.mkString("\n"))
     // 6 hash-specific ops are rows-only by design; everything else carries SQL
