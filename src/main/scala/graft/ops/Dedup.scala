@@ -54,9 +54,17 @@ object Dedup {
     * Within a batch, first occurrence (lowest id) wins, as in exactDedup.
     *
     * Returns the fresh rows (original columns plus the `fp64` key).
+    *
+    * `onFresh` runs over the fresh rows BEFORE their fingerprints register:
+    * downstream-first ordering, so a crash between the two steps replays as
+    * at-least-once into the sink (which must be idempotent — a World insert
+    * by id is) instead of silently LOSING the batch (fingerprints registered,
+    * sink never fed, replay sees "nothing fresh"). The streaming daemon
+    * threads its sink through here for exactly that reason.
     */
   def incrementalDedup(world: graft.world.World, batch: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String,
+      onFresh: DataFrame => Unit = _ => ()): DataFrame = {
     val dimCol = world.dims.head.column
     val keyed = batch.withColumn(dimCol, xxhash64(Text.fingerprint(col(textCol))))
     val w = Window.partitionBy(dimCol).orderBy(col(idCol))
@@ -72,6 +80,7 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(world.path)
     val virgin = !fs.exists(root) || fs.listStatus(root).isEmpty
     if (virgin) {
+      onFresh(firsts)
       // create also writes the schema sidecar that keeps a later
       // fully-drained store readable
       world.create(firsts.select(col(dimCol), col(idCol).as("seen_id")))
@@ -89,6 +98,7 @@ object Dedup {
       // does this per batch).
       val fresh = Pins.pin(
         firsts.join(world.df.select(col(dimCol)), Seq(dimCol), "left_anti"))
+      onFresh(fresh)
       // tryInsert re-checks absence before appending — redundant under the
       // world's single-writer contract, but it makes replay after a partial
       // failure safe (a fingerprint registered by a crashed run is skipped,
@@ -253,6 +263,55 @@ object Dedup {
       .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .where(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("hamming"))
+  }
+
+  /** SemDedup-style SEMANTIC near-duplicate removal: drop documents whose
+    * embeddings say the same thing, even when their text does not (the
+    * paraphrase case every lexical dedup above misses). The standard
+    * pipeline shape — cluster the embedding space, then deduplicate within
+    * clusters only:
+    *
+    *   1. k-means centroids from the IVF trainer ([[Similarity
+    *      .trainCentroids]] / the distributed twin — index build, shared
+    *      with ANN);
+    *   2. one native [[graft.functions.NearestCentroids]] pass assigns each
+    *      document its cluster — candidate pairs are WITHIN-cluster only,
+    *      bounded by cluster size, never corpus²;
+    *   3. ids-only self-join per cluster, embeddings attached to candidates
+    *      afterwards (the same shuffle discipline as every pairs op here),
+    *      exact native-cosine verify;
+    *   4. of every pair at/above `threshold`, the LARGER id drops — each
+    *      semantic-duplicate chain deterministically keeps its lowest id
+    *      (the chain's global minimum always survives; pairwise dropping is
+    *      the SemDedup trade vs. full connected components, which
+    *      [[connectedComponents]] offers when exact groups matter).
+    *
+    * Cross-cluster near-dups are missed by design (the SemDedup recall
+    * trade); raising `nlist` tightens clusters and cost, lowering it raises
+    * recall. Returns the surviving rows of `df` unchanged.
+    */
+  def semanticDedup(df: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding", threshold: Double = 0.9,
+      nlist: Int = 64, dim: Int = Similarity.DefaultDim,
+      distributedTraining: Boolean = false): DataFrame = {
+    val base = parallelize(df)
+    val trainInput = base.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val (cents, k) =
+      if (distributedTraining) Similarity.trainCentroidsDistributed(trainInput, nlist, dim)
+      else Similarity.trainCentroids(trainInput, nlist, dim)
+    val assigned = base.select(col(idCol).as("id"),
+      element_at(graft.functions.NearestCentroids(col(embCol), cents, k, 1), 1)
+        .as("cid"))
+    val a = assigned.select(col("id").as("id_a"), col("cid"))
+    val b = assigned.select(col("id").as("id_b"), col("cid"))
+    val vecs = base.select(col(idCol).as("vid"), col(embCol).as("emb"))
+    val drops = a.join(b, Seq("cid")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .join(vecs.select(col("vid").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))
+      .where(graft.functions.CosineSim(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_b").as("__drop_id")).distinct()
+    base.join(drops, base(idCol) === drops("__drop_id"), "left_anti")
   }
 
   /** Exact n-gram Jaccard via a **PPJoin-style** set-similarity join: prefix

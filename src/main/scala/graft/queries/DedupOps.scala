@@ -53,6 +53,28 @@ object DedupOps {
               FROM documents ORDER BY id""")
     ),
 
+    // SemDedup over embeddings (cluster with the shared IVF trainer, exact
+    // cosine within clusters, larger id drops). The oracle comes from a
+    // PLANTED-DUPLICATE construction: exact copies of the first 50 vectors
+    // re-enter under ids +1_000_000. Every planted copy MUST drop (identical
+    // vector -> same cluster by determinism of the assignment, cosine 1,
+    // smaller-id twin), and no original may drop (the corpus' max pairwise
+    // cosine is ~0.5, far under the 0.9 threshold, and each original is the
+    // SMALLER id of its planted pair) — so the expected survivor set is
+    // exactly the original corpus, which IS SQL-expressible. This checks the
+    // whole pipeline end to end: a missed planted dup or a false drop both
+    // break the hash.
+    "d_semantic_dedup" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = emb.where(col("vec_id") < 50)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        Dedup.semanticDedup(emb.unionAll(planted), threshold = 0.9)
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some("""SELECT vec_id FROM embeddings ORDER BY vec_id""")
+    ),
+
     "d_minhash_lsh" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         numHashes = 64, bands = 8, threshold = 0.5)

@@ -53,6 +53,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftDataSource.sidecarSchema(pathOf(options))
 
+  // a WRITE carries its own schema (the query's), so planning one must not
+  // require a sidecar to exist yet — without this, the virgin-path write
+  // fails at inferSchema before commit could ever create the sidecar
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new GraftTable(properties.get("path"), schema)
@@ -68,6 +73,24 @@ object GraftDataSource {
     val in = fs.open(p)
     val json = new String(in.readAllBytes(), "UTF-8"); in.close()
     DataType.fromJson(json).asInstanceOf[StructType]
+  }
+
+  /** Write the schema sidecar if the path doesn't carry one yet — makes the
+    * connector sink self-sufficient on a VIRGIN path: a world created purely
+    * by `df.write.format("graft").save(p)` is immediately readable back
+    * through [[sidecarSchema]], matching the reference's `FsHandle::
+    * write_chunk` needing no prior setup (/root/reference/tokio-fs/src/
+    * lib.rs:84-107). Never overwrites: an existing sidecar (World.create's,
+    * or a previous write's) stays authoritative for readers of data already
+    * on disk. */
+  private[sources] def writeSidecarIfAbsent(path: String, schema: StructType): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val p = new Path(s"$path/_graft_schema.json")
+    if (!fs.exists(p)) {
+      val out = fs.create(p, false)
+      out.write(schema.json.getBytes("UTF-8"))
+      out.close()
+    }
   }
 
   private[sources] def isBucket(name: String): Boolean =
@@ -144,7 +167,7 @@ object GraftDataSource {
     * serializes thousands of round-trips on the driver. Shared by the batch
     * scan and the micro-batch stream (pruning applies before offsets form).
     */
-  private[sources] def walkChunks(fs: FileSystem, root: Path,
+  private[graft] def walkChunks(fs: FileSystem, root: Path,
       pushed: Array[Filter]): Seq[(Path, Map[String, Long])] = {
     import scala.collection.parallel.CollectionConverters._
     def chunks(dir: Path, acc: Map[String, Long]): Seq[(Path, Map[String, Long])] = {

@@ -64,6 +64,7 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
         org.slf4j.LoggerFactory.getLogger(getClass)
           .info(s"graft upsert into $path: $displaced row(s) displaced")
       } else GraftUpsertWrite.lastDisplaced = 0L
+      GraftDataSource.writeSidecarIfAbsent(path, schema)
     } finally fs.delete(new Path(stage), true)
   }
 
@@ -82,7 +83,11 @@ object GraftUpsertWrite {
 class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(path, schema)
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  // a virgin-path write must leave the world readable through the connector:
+  // the sidecar records the written schema (incl. bucket columns) exactly as
+  // World.create would
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftDataSource.writeSidecarIfAbsent(path, schema)
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     messages.foreach {

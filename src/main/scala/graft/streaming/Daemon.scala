@@ -68,6 +68,48 @@ object Daemon {
     q
   }
 
+  /** Streaming face of [[graft.ops.Dedup.incrementalDedup]]: each
+    * micro-batch of `source` documents is deduped against the PERSISTED
+    * fingerprint store (`fpStore`, a world keyed by the 64-bit content
+    * fingerprint), and only never-seen-before documents land in `sink`
+    * (a world keyed by the document id).
+    *
+    * Restart/replay semantics, the reason this composition is safe:
+    *   - the fingerprint store survives query restarts (it's on disk, not in
+    *     stream state), so a document seen before the restart is still a
+    *     duplicate after it;
+    *   - within a batch the SINK is fed before the fingerprints register
+    *     (Dedup.incrementalDedup's onFresh ordering) — a crash between the
+    *     two replays the batch as at-least-once into the sink, where
+    *     `World.insert` (replace by id) makes the replay idempotent;
+    *   - a replayed batch whose fingerprints DID register finds nothing
+    *     fresh and is a no-op end to end.
+    *
+    * Each batch's pinned anti-join checkpoint is released after the sink
+    * write ([[graft.ops.Pins.releaseAll]]) — the storage-memory discipline a
+    * forever-running stream needs.
+    */
+  def dedupStream(fpStore: World, sink: World, source: DataFrame,
+      idCol: String, textCol: String, checkpoint: String,
+      interval: String = "5 seconds"): StreamingQuery = {
+    val fpCol = fpStore.dims.head.column
+    val q = source.writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          try {
+            graft.ops.Dedup.incrementalDedup(fpStore, batch.toDF(), idCol, textCol,
+              onFresh = fresh => { sink.insert(fresh.drop(fpCol)); () })
+            ()
+          } finally graft.ops.Pins.releaseAll()
+        }
+      }
+      .start()
+    installShutdownFlush(q)
+    q
+  }
+
   /** `ShutdownHandle` analog (tokio-fs/src/lib.rs:154-200): on JVM exit,
     * stop the query after the in-flight batch — no dirty data beyond the
     * last committed checkpoint is ever claimed durable. */

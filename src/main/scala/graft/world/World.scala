@@ -292,22 +292,24 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     * number of compacted chunks. */
   def compact(maxFilesPerChunk: Int = 1): Long = {
     val fs = fileSystem
-    def chunkDirs(dir: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
-      if (depth == dims.length) Seq(dir)
-      else fs.listStatus(dir).toSeq.filter(_.isDirectory)
-        .flatMap(s => chunkDirs(s.getPath, depth + 1))
     val root = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(root)) return 0L
-    val frag = chunkDirs(root, 0).filter { d =>
+    // the connector's pruned+PARALLEL grid walk (no filters -> full grid):
+    // on a ~100k-chunk grid a sequential driver-side listStatus recursion IS
+    // the cost of a no-op compact; the shared walk lists surviving subtrees
+    // concurrently and hands back each leaf with its bucket binding, so no
+    // path re-parsing here. The per-leaf file counting stays metadata-
+    // latency-bound too — run it on the same parallel collection.
+    import scala.collection.parallel.CollectionConverters._
+    val leaves = graft.sources.GraftDataSource.walkChunks(fs, root, Array.empty)
+    val frag = leaves.par.filter { case (d, _) =>
       fs.listStatus(d).count(f => f.isFile &&
         !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) > maxFilesPerChunk
-    }
+    }.seq
     if (frag.isEmpty) 0L
     else {
-      val rootPath = root.toUri.getPath
-      val buckets: Set[Vector[Long]] = frag.map { d =>
-        d.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
-          .split("/").map(_.split("=", 2)(1).toLong).toVector
+      val buckets: Set[Vector[Long]] = frag.map { case (_, b) =>
+        dims.indices.map(i => b(s"c$i")).toVector
       }.toSet
       rewritePartitions(buckets, df.where(partitionsPred(buckets)))
       buckets.size.toLong

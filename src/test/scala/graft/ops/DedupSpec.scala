@@ -56,6 +56,28 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pinned RDDs still persisted: ${spark.sparkContext.getPersistentRDDs.keySet}")
   }
 
+  test("semanticDedup: paraphrase groups keep their lowest id; sub-threshold pairs both survive") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // sorted-id layout puts one member of each distinct direction at the
+    // trainer's evenly-spaced init positions (0,2,4,6 for n=8, k=4), so the
+    // k-means clusters are the four directions and the fixture is stable:
+    // three "paraphrase" pairs (base + small perturbation, cosine > 0.999)
+    // and one sub-threshold pair (cosine ~= 0.71 < 0.95)
+    val emb = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0.999, 0.01, 0, 0)),
+      (3L, v(0, 1, 0, 0)), (4L, v(0.01, 0.999, -0.01, 0)),
+      (5L, v(0, 0, 1, 0)), (6L, v(0, 0.02, 0.998, 0.01)),
+      (7L, v(0, 0, 0, 1)), (8L, v(0, 0, 0.7, 0.714))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, threshold = 0.95, nlist = 4, dim = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 5L, 7L, 8L),
+      "each paraphrase pair keeps its min id; the cosine-0.71 pair is untouched")
+    // recall floor on the planted paraphrases: every copy was dropped
+    assert(!out.contains(2L) && !out.contains(4L) && !out.contains(6L))
+  }
+
   test("shingles: distinct word 3-grams in order") {
     import spark.implicits._
     val got = docs((1L, "a b c d c d e"))

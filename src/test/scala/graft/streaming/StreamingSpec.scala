@@ -122,6 +122,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("dedup daemon: fingerprint store persists across a stream RESTART; replayed batch is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fp = new World(spark, tmp(), Seq(
+      DimSpec("fp64", DimMapping(0L, -1L, 1L << 59)))) // full wrapping u64 domain
+    val sink = new World(spark, tmp(), Seq(DimSpec("doc_id", DimMapping(0, 1023, 8))))
+    sink.create(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val ckpt = tmp()
+    val src = MemoryStream[(Long, String)]
+    val data = src.toDF().toDF("doc_id", "text")
+    def sinkIds = sink.df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val q1 = Daemon.dedupStream(fp, sink, data, "doc_id", "text", ckpt, interval = "1 second")
+    try {
+      // doc 3 is a whitespace variant of doc 1 -> same normalized fingerprint
+      src.addData((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha  beta"))
+      q1.processAllAvailable()
+      assert(sinkIds == Set(1L, 2L), "in-batch dup must not reach the sink")
+    } finally q1.stop()
+
+    // RESTART from the same checkpoint: the fingerprint memory lives in the
+    // store world, not in stream state, so pre-restart documents stay seen
+    val q2 = Daemon.dedupStream(fp, sink, data, "doc_id", "text", ckpt, interval = "1 second")
+    try {
+      src.addData((10L, "ALPHA BETA"), (11L, "fresh content")) // 10 = case dup of 1
+      q2.processAllAvailable()
+      assert(sinkIds == Set(1L, 2L, 11L),
+        "a duplicate of a pre-restart document must not re-admit after restart")
+      assert(fp.df.count() == 3, "one fingerprint per distinct document ever seen")
+    } finally q2.stop()
+
+    // replayed batch (the at-least-once case foreachBatch can produce):
+    // all fingerprints already registered -> nothing fresh, sink unchanged
+    val replayed = graft.ops.Dedup.incrementalDedup(fp,
+      Seq((10L, "ALPHA BETA"), (11L, "fresh content")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(replayed.isEmpty, "replayed batch must admit nothing")
+    graft.ops.Pins.releaseAll()
+    assert(sinkIds == Set(1L, 2L, 11L))
+  }
+
   test("tumbling window with watermark over streamed events matches batch counts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

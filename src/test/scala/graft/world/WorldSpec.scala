@@ -218,6 +218,24 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaConnector == Set(5L, 23L) && viaParquet == Set(5L, 23L))
   }
 
+  test("DataSource V2 write to a VIRGIN path is readable back (sidecar written on commit)") {
+    import spark.implicits._
+    // no World.create, no prior sidecar — the connector sink must be
+    // self-sufficient, like the reference's FsHandle::write_chunk
+    val path = tmp()
+    Seq((1L, 7L, 0L), (25L, 9L, 2L)).toDF("d0", "v", "c0")
+      .write.format("graft").mode("append").save(path)
+    assert(new java.io.File(s"$path/_graft_schema.json").isFile,
+      "commit must leave a schema sidecar on a virgin path")
+    val back = spark.read.format("graft").load(path)
+      .select("d0", "v", "c0").as[(Long, Long, Long)].collect().toSet
+    assert(back == Set((1L, 7L, 0L), (25L, 9L, 2L)))
+    // a second write must NOT overwrite the authoritative sidecar
+    Seq((42L, 3L, 4L)).toDF("d0", "v", "c0")
+      .write.format("graft").mode("append").save(path)
+    assert(spark.read.format("graft").load(path).count() == 3)
+  }
+
   test("DataSource V2: binary / array<float> / timestamp round-trip (opaque-payload analog)") {
     import spark.implicits._
     // the reference's payload is opaque bytes (src/world.rs:33-47); an
