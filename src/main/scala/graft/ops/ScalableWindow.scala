@@ -118,6 +118,26 @@ object ScalableWindow {
       .drop("_pid", "_loc", "_off")
   }
 
+  /** [[rank]] and [[denseRank]] in ONE pass — one range partition, one pin,
+    * one per-slice window evaluating both functions; the per-slice offsets
+    * (row count for rank, max local dense rank for dense_rank) come from a
+    * single tiny aggregate. Use when a query needs both. */
+  def rankAndDenseRank(df: DataFrame, order: Seq[Column], outRank: String,
+      outDense: String): DataFrame = {
+    val w = Window.partitionBy("_pid").orderBy(order: _*)
+    val local = prepared(df, order)
+      .withColumn("_locr", org.apache.spark.sql.functions.rank().over(w).cast("long"))
+      .withColumn("_locd", dense_rank().over(w).cast("long"))
+    val perSlice = local.groupBy("_pid")
+      .agg(count(lit(1)).as("_nr"), max(col("_locd")).as("_nd"))
+    val off = offsets(perSlice, "_nr").withColumnRenamed("_off", "_offr")
+      .join(offsets(perSlice, "_nd").withColumnRenamed("_off", "_offd"), Seq("_pid"))
+    local.join(broadcast(off), Seq("_pid"))
+      .withColumn(outRank, col("_locr") + coalesce(col("_offr"), lit(0L)))
+      .withColumn(outDense, col("_locd") + coalesce(col("_offd"), lit(0L)))
+      .drop("_pid", "_locr", "_locd", "_offr", "_offd")
+  }
+
   /** Global LAG(value, k) over the total order (include a unique tie-break,
     * as for [[runningSum]]): each row sees the value k rows earlier, null
     * for the first k rows. Slice-local lag covers every row whose
@@ -153,6 +173,36 @@ object ScalableWindow {
       // through either branch unchanged
       .withColumn(out, when(col("_lrn") > k, col("_lloc")).otherwise(col("_dval")))
       .drop("_pid", "_val", "_lrn", "_n", "_off", "_grn", "_lloc", "_tgt", "_dval")
+  }
+
+  /** [[lag]] and [[lead]] of the same value in ONE pass — one range
+    * partition, one pin, one local window for both directions, two
+    * slices×k donor broadcasts. */
+  def lagAndLead(df: DataFrame, order: Seq[Column], value: Column, k: Int,
+      outLag: String, outLead: String): DataFrame = {
+    require(k > 0, "shift offset must be positive")
+    val f = org.apache.spark.sql.functions
+    val w = Window.partitionBy("_pid").orderBy(order: _*)
+    val local = prepared(df, order)
+      .withColumn("_val", value)
+      .withColumn("_lrn", row_number().over(w).cast("long"))
+    val perSlice = local.groupBy("_pid").agg(count(lit(1)).as("_n"))
+    val sliceInfo = offsets(perSlice, "_n").join(perSlice, Seq("_pid"))
+    val withG = local.join(broadcast(sliceInfo), Seq("_pid"))
+      .withColumn("_grn", col("_lrn") + coalesce(col("_off"), lit(0L)))
+    val lagDonors = withG.where(col("_lrn") > col("_n") - k)
+      .select((col("_grn") + k).as("_tgt"), col("_val").as("_dlag"))
+    val leadDonors = withG.where(col("_lrn") <= k)
+      .select((col("_grn") - k).as("_tgt2"), col("_val").as("_dlead"))
+    withG
+      .withColumn("_llag", f.lag(col("_val"), k).over(w))
+      .withColumn("_llead", f.lead(col("_val"), k).over(w))
+      .join(broadcast(lagDonors), col("_grn") === col("_tgt"), "left")
+      .join(broadcast(leadDonors), col("_grn") === col("_tgt2"), "left")
+      .withColumn(outLag, when(col("_lrn") > k, col("_llag")).otherwise(col("_dlag")))
+      .withColumn(outLead, when(col("_lrn") <= col("_n") - k, col("_llead")).otherwise(col("_dlead")))
+      .drop("_pid", "_val", "_lrn", "_n", "_off", "_grn",
+        "_llag", "_llead", "_tgt", "_dlag", "_tgt2", "_dlead")
   }
 
   /** Global LEAD(value, k) — mirror of [[lag]]: donors are the FIRST k rows

@@ -242,13 +242,10 @@ object Relational {
     // local dense rank (dense_rank). Oracle pins both to the single-reducer
     // SQL forms.
     "q_global_rank" -> QueryDef(
-      (s, dir) => {
-        val byDate = Seq(col("o_orderdate"))
-        val ranked = graft.ops.ScalableWindow.rank(t(s, dir, "orders"), byDate, "rnk")
-        graft.ops.ScalableWindow.denseRank(ranked, byDate, "drnk")
-          .select(col("o_orderkey"), col("rnk"), col("drnk"))
-          .orderBy("o_orderkey")
-      },
+      (s, dir) => graft.ops.ScalableWindow.rankAndDenseRank(
+          t(s, dir, "orders"), Seq(col("o_orderdate")), "rnk", "drnk")
+        .select(col("o_orderkey"), col("rnk"), col("drnk"))
+        .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey,
                 CAST(RANK() OVER (ORDER BY o_orderdate) AS BIGINT) AS rnk,
                 CAST(DENSE_RANK() OVER (ORDER BY o_orderdate) AS BIGINT) AS drnk
@@ -259,17 +256,13 @@ object Relational {
     // broadcast donor table (slices x k rows) for the boundary handoff —
     // no data-sized exchange beyond the range partition itself.
     "q_global_lag" -> QueryDef(
-      (s, dir) => {
-        val order = Seq(col("o_orderdate"), col("o_orderkey"))
-        val price = col("o_totalprice").cast("double")
-        val lagged = graft.ops.ScalableWindow.lag(
-          t(s, dir, "orders"), order, price, 1, "prev_price")
-        graft.ops.ScalableWindow.lead(lagged, order, price, 2, "next2_price")
-          .select(col("o_orderkey"), col("prev_price"), col("next2_price"))
-          .orderBy("o_orderkey")
-      },
+      (s, dir) => graft.ops.ScalableWindow.lagAndLead(
+          t(s, dir, "orders"), Seq(col("o_orderdate"), col("o_orderkey")),
+          col("o_totalprice").cast("double"), 2, "prev2_price", "next2_price")
+        .select(col("o_orderkey"), col("prev2_price"), col("next2_price"))
+        .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey,
-                CAST(LAG(o_totalprice, 1) OVER (ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+                CAST(LAG(o_totalprice, 2) OVER (ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev2_price,
                 CAST(LEAD(o_totalprice, 2) OVER (ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS next2_price
               FROM orders ORDER BY o_orderkey""")
     ),

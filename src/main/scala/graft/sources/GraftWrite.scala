@@ -60,10 +60,10 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
         val bucketCols = dims.indices.map(i => s"c$i")
         val staged = spark.read.parquet(stage).drop(bucketCols: _*)
         val displaced = new graft.world.World(spark, path, dims).insert(staged)
-        GraftUpsertWrite.lastDisplaced = displaced
+        GraftUpsertWrite.displacedByPath.put(path, displaced)
         org.slf4j.LoggerFactory.getLogger(getClass)
           .info(s"graft upsert into $path: $displaced row(s) displaced")
-      } else GraftUpsertWrite.lastDisplaced = 0L
+      } else GraftUpsertWrite.displacedByPath.put(path, 0L)
       GraftDataSource.writeSidecarIfAbsent(path, schema)
     } finally fs.delete(new Path(stage), true)
   }
@@ -75,9 +75,15 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
 }
 
 object GraftUpsertWrite {
-  /** Displaced-row count of the most recent connector upsert (test/debug
-    * surface; the DSv2 BatchWrite API has no return channel for it). */
-  @volatile var lastDisplaced: Long = -1L
+  /** Displaced-row count of the most recent connector upsert into each
+    * target path (test/debug surface; the DSv2 BatchWrite API has no return
+    * channel for it). Keyed by path so concurrent upserts into DIFFERENT
+    * worlds don't race on one global cell; same-path concurrency is already
+    * excluded by the world's single-writer contract. */
+  val displacedByPath = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Displaced count of the last upsert into `path` (-1 if none ran). */
+  def lastDisplaced(path: String): Long = displacedByPath.getOrDefault(path, -1L)
 }
 
 class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {

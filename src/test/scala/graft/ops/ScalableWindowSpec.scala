@@ -116,6 +116,29 @@ class ScalableWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dout.toSeq == Seq(1L))
   }
 
+  test("combined rankAndDenseRank / lagAndLead equal their two-pass forms") {
+    val df = tiedRows(600)
+    val keyOrder = Seq(col("key"))
+    val both = ScalableWindow.rankAndDenseRank(df, keyOrder, "rnk", "drnk")
+      .select("id", "rnk", "drnk").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val twoPass = ScalableWindow.denseRank(
+        ScalableWindow.rank(df, keyOrder, "rnk"), keyOrder, "drnk")
+      .select("id", "rnk", "drnk").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(both == twoPass)
+    val df2 = rows(501)
+    val order = Seq(col("key"), col("id"))
+    val shifted = ScalableWindow.lagAndLead(df2, order, col("v"), 2, "lg", "ld")
+      .select("id", "lg", "ld").collect()
+      .map(r => (r.getLong(0), (Option(r.get(1)), Option(r.get(2))))).toMap
+    val sep = ScalableWindow.lead(
+        ScalableWindow.lag(df2, order, col("v"), 2, "lg"), order, col("v"), 2, "ld")
+      .select("id", "lg", "ld").collect()
+      .map(r => (r.getLong(0), (Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(shifted == sep)
+  }
+
   test("lag and lead match the single-reducer window, incl. k > slice size") {
     // 10 rows over 4 slices: slices of ~2-3 rows, so k=3 forces donors to
     // come from non-adjacent slices

@@ -275,7 +275,7 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     w.create(rows((1L, 1L), (2L, 2L)))
     w.withBuckets(rows((1L, 5L), (3L, 3L)))
       .write.format("graft").mode("append").option("graft.mode", "upsert").save(w.path)
-    assert(graft.sources.GraftUpsertWrite.lastDisplaced == 1L,
+    assert(graft.sources.GraftUpsertWrite.lastDisplaced(w.path) == 1L,
       "exactly the conflicting id is displaced")
     val out = w.df.select("d0", "d1").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 5L, 2L -> 2L, 3L -> 3L), "new row wins on conflict")
