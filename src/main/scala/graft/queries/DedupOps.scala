@@ -75,6 +75,37 @@ object DedupOps {
       Some("""SELECT vec_id FROM embeddings ORDER BY vec_id""")
     ),
 
+    // paragraph-grain exact dedup (the CCNet pass): every later occurrence
+    // of a repeated 8-token segment drops, documents are rebuilt from the
+    // survivors. The full composition — segment → global first-occurrence
+    // window on the content digest → positional reassembly — sits under one
+    // exact oracle (DuckDB re-derives the segmentation and the window).
+    "d_paragraph_dedup" -> QueryDef(
+      (s, dir) => graft.ops.Clean.paragraphDedup(
+        t(s, dir, "documents"), "doc_id", "text", window = 8)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+                FROM documents),
+              k AS (
+                SELECT doc_id, words,
+                  GREATEST(CAST(CEIL((len(words) - 8) / 8.0) AS BIGINT) + 1, 1) AS n
+                FROM w),
+              u AS (
+                SELECT doc_id,
+                  unnest(range(0, n)) AS seg_idx,
+                  unnest(list_transform(range(0, n),
+                    x -> array_to_string(words[1 + x*8 : x*8 + 8], ' '))) AS seg
+                FROM k),
+              r AS (
+                SELECT doc_id, seg_idx, seg,
+                  ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+                FROM u)
+              SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text,
+                COUNT(*) AS n_kept
+              FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""")
+    ),
+
     "d_minhash_lsh" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         numHashes = 64, bands = 8, threshold = 0.5)

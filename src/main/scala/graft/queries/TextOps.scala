@@ -98,6 +98,43 @@ object TextOps {
     // frequency (distinct per doc, so a bigram repeated within one document
     // counts once) — the corpus-analysis aggregation the per-doc text ops
     // don't cover. Deterministic top-k: count desc, bigram asc (unique).
+    // boilerplate stripping: an 8-token segment occurring in >= 2 distinct
+    // documents is chrome/footer material and ALL its occurrences drop
+    // (paragraph dedup's sibling — that one keeps the first). n_removed
+    // lets a pipeline gate on boilerplate fraction. Exact oracle over the
+    // whole segment→count→anti-join→reassemble composition.
+    "t_boilerplate" -> QueryDef(
+      (s, dir) => graft.ops.Clean.stripBoilerplate(
+        t(s, dir, "documents"), "doc_id", "text", window = 8, minDocs = 2)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+                FROM documents),
+              k AS (
+                SELECT doc_id, words,
+                  GREATEST(CAST(CEIL((len(words) - 8) / 8.0) AS BIGINT) + 1, 1) AS n
+                FROM w),
+              u AS (
+                SELECT doc_id,
+                  unnest(range(0, n)) AS seg_idx,
+                  unnest(list_transform(range(0, n),
+                    x -> array_to_string(words[1 + x*8 : x*8 + 8], ' '))) AS seg
+                FROM k),
+              bp AS (
+                SELECT seg FROM u GROUP BY seg
+                HAVING COUNT(DISTINCT doc_id) >= 2),
+              tot AS (SELECT doc_id, COUNT(*) AS n_total FROM u GROUP BY doc_id),
+              kept AS (
+                SELECT doc_id, seg_idx, seg FROM u
+                WHERE seg NOT IN (SELECT seg FROM bp))
+              SELECT kept.doc_id,
+                string_agg(seg, ' ' ORDER BY seg_idx) AS text,
+                COUNT(*) AS n_kept,
+                ANY_VALUE(n_total) - COUNT(*) AS n_removed
+              FROM kept JOIN tot USING (doc_id)
+              GROUP BY kept.doc_id ORDER BY kept.doc_id""")
+    ),
+
     "t_ngram_freq" -> QueryDef(
       (s, dir) => t(s, dir, "documents")
         .select(explode(Dedup.shingles(col("text"), 2)).as("ngram"))
