@@ -54,6 +54,27 @@ object Text {
   def chunk(text: Column, window: Int, stride: Int): Column =
     graft.functions.WordChunks(text, window, stride)
 
+  /** PII patterns shared by the scrubber and its counting columns. Written
+    * to the common subset of java.util.regex (Spark) and RE2 (DuckDB, and
+    * most non-JVM consumers): character classes, bounded repeats, ASCII
+    * `\b` — no backrefs or lookaround, so the oracle and any sibling
+    * implementation match byte-for-byte. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+  val Ipv4Re = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+  /** PII redaction: masks emails, phone numbers (NANP 555 test block), and
+    * IPv4 addresses with typed placeholders. Order matters and is fixed —
+    * emails first (their domains contain dots and digits an IP pass could
+    * chew on), then phones, then IPs. Pure per-row regexp_replace chain:
+    * codegen'd, shuffle-free, streams through a full-corpus scan. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
   /** The interpreted HOF chain `chunk` replaced — kept ONLY as the parity
     * reference for WordChunksSpec's byte-identical pin (HigherOrderFunctions
     * don't participate in whole-stage codegen; the chain cost ~4 s at sf0.1

@@ -165,6 +165,25 @@ object Extended {
 
     // VERSION + decode(version,...) analog (reference src/lib.rs:41): old-format
     // files lack a column; mergeSchema reads both generations, old rows null
+    // exact heavy hitters (users with >= 0.8% of all events) via the
+    // two-phase scheme in ops.HeavyHitters: per-partition local counting
+    // emits only keys above the pigeonhole floor, the exact verify recounts
+    // candidates only — the long tail never shuffles, which is the whole
+    // game when key cardinality rivals row count. The threshold derives
+    // from a parquet metadata-only count() (no data read). Result is EXACT,
+    // hence the plain GROUP BY / HAVING oracle.
+    "q_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val minCount = math.ceil(ev.count() * 0.008).toLong
+        graft.ops.HeavyHitters.exact(ev.select("user_id"), "user_id", minCount)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+              HAVING COUNT(*) >= CEIL(0.008 * (SELECT COUNT(*) FROM events))
+              ORDER BY user_id""")
+    ),
+
     "w_schema_evolution" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.functions.col

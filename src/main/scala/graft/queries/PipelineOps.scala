@@ -304,6 +304,60 @@ object PipelineOps {
               FROM sq JOIN h USING (doc_id) ORDER BY doc_id, chunk_idx""")
     ),
 
+    // PII redaction: mask emails / phone numbers / IPv4 addresses with
+    // typed placeholders, reporting per-doc match counts. The corpus has no
+    // organic PII, so the query PLANTS it deterministically (doc_id-derived
+    // email/phone/ip suffixes — the planted-oracle pattern d_semantic_dedup
+    // uses): both engines seed identically, so the oracle proves the
+    // scrubber finds and masks every planted item and nothing else. The
+    // scrub itself (ops.Text.redactPii) is a per-row codegen'd
+    // regexp_replace chain — shuffle-free at any corpus size.
+    "p_pii_redact" -> QueryDef(
+      (s, dir) => {
+        val seeded = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" reach user"), col("doc_id"), lit("@example.com")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 2 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") * 7919 % 10000).cast("string"), 4, "0")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+                lit("."), (col("doc_id") * 31 % 256).cast("string"), lit(".7")))
+              .otherwise(lit(""))).as("text"))
+        seeded.select(col("doc_id"),
+          regexp_count(col("text"), lit(graft.ops.Text.EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(graft.ops.Text.PhoneRe)).cast("long").as("n_phones"),
+          regexp_count(col("text"), lit(graft.ops.Text.Ipv4Re)).cast("long").as("n_ips"),
+          graft.ops.Text.redactPii(col("text")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH seeded AS (
+                SELECT doc_id, text ||
+                  CASE WHEN doc_id % 3 = 0
+                    THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    ELSE '' END ||
+                  CASE WHEN doc_id % 2 = 0
+                    THEN ' call 555-' || lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END ||
+                  CASE WHEN doc_id % 5 = 0
+                    THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                         CAST(doc_id * 31 % 256 AS VARCHAR) || '.7'
+                    ELSE '' END AS text
+                FROM documents)
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+                CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ips,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
+                  '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g') AS redacted
+              FROM seeded ORDER BY doc_id""")
+    ),
+
     // mixture-weighted corpus sampling: each source keeps a deterministic
     // fraction ((src# mod 4 + 1) * 4 of 16 md5 buckets -> 25/50/75/100%),
     // the way pre-training mixes re-weight domains. Hash-gated per row:
