@@ -204,6 +204,28 @@ object Extended {
     ),
 
     // sink/source pluggability: world contents -> JSON lines -> read back
+    // z-order clustering key: the Morton interleave of (l_partkey,
+    // l_suppkey) under a 2-dim box predicate — the layout op ZOrder.cluster
+    // sorts by (see ZOrderSpec for the measured files-touched win); here the
+    // KEY ITSELF is oracle-checked bit-for-bit against DuckDB re-deriving
+    // the interleave arithmetically, so the curve both engines would
+    // cluster by is provably the same curve.
+    "w_zorder" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .where(col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 40))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          graft.ops.ZOrder.zvalue(col("l_partkey"), col("l_suppkey")).as("z"))
+        .orderBy("z", "l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                CAST(list_sum(list_transform(range(0, 31),
+                  b -> (((l_partkey >> b) & 1) << (2*b))
+                     + (((l_suppkey >> b) & 1) << (2*b + 1)))) AS BIGINT) AS z
+              FROM lineitem
+              WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
+              ORDER BY z, l_orderkey, l_linenumber""")
+    ),
+
     "w_io_json_roundtrip" -> QueryDef(
       (s, dir) => {
         val out = s"/tmp/graft_json_rt_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
