@@ -237,6 +237,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("repetition_stats"), p)
   }
 
+  test("p_pii_redact scrubs per-row: no aggregate, window, or join — only the output sort") {
+    // seeding + counting + the three-stage redact chain are all row-local;
+    // anything else appearing here means the scrubber stopped streaming
+    val p = plan("p_pii_redact")
+    assert(!p.contains("HashAggregate") && !p.contains("Window") &&
+      !p.contains("Join"), s"PII scrub must stay per-row:\n$p")
+  }
+
+  test("q_heavy_hitters verifies candidates only (semi join above the local-count scan)") {
+    val p = plan("q_heavy_hitters")
+    // the exact recount happens AFTER the candidate semi-join prune
+    assert(p.contains("LeftSemi"), s"expected candidate semi-join:\n$p")
+    assert(p.contains("HashAggregate"), s"expected exact recount aggregate:\n$p")
+  }
+
   test("whole-stage codegen covers the dedup signature pipeline (no UDFs)") {
     val df = Registry.all("t_fingerprint").fn(spark, sf)
     df.collect() // AQE only shows WholeStageCodegen spans in the final plan
