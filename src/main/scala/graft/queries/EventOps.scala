@@ -120,17 +120,21 @@ object EventOps {
       // user. Implemented scalably (one shuffle by user_id): tag-union +
       // last_value window — not a per-row correlated lookup.
       (s, dir) => {
-        val e = ev(s, dir)
-        val clicks = e.where(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("tag"),
-            lit(null).cast("timestamp").as("err_ts"))
-        val errors = e.where(col("event_type") === "error")
-          .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
-            lit(1).as("tag"), col("ts").as("err_ts"))
+        // the tag-union is a conditional PROJECTION, not a union of two
+        // branches: one scan of events instead of two (the union form read
+        // the fact table twice — the difference between one pass and two
+        // over 100 TB of events)
+        val tagged = ev(s, dir)
+          .where(col("event_type").isin("click", "error"))
+          .select(
+            when(col("event_type") === "click", col("event_id")).as("event_id"),
+            col("user_id"), col("ts"),
+            when(col("event_type") === "click", 0).otherwise(1).as("tag"),
+            when(col("event_type") === "error", col("ts")).as("err_ts"))
         // at equal ts the click sorts BEFORE the error -> strict "<" semantics
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        clicks.unionByName(errors)
+        tagged
           .withColumn("prior_error_us",
             unix_micros(last(col("err_ts"), ignoreNulls = true).over(w)))
           .where(col("tag") === 0)
