@@ -237,6 +237,107 @@ object PipelineOps {
               FROM sc ORDER BY doc_id""")
     ),
 
+    // stratified per-domain quality selection (the FineWeb-style pass):
+    // within every source, keep the top half of documents by quality score
+    // (stopword density, ties by doc_id) — domain-local selection instead
+    // of a global cutoff, so a low-quality-on-average domain still
+    // contributes its best documents. One shuffle keyed by source; at
+    // 100 TB each domain's window runs where its shuffle partition lives,
+    // no global ordering anywhere. Quota = ceil(n/2) via rank <= (cnt+1)/2.
+    "p_domain_topq" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_stop").desc, col("doc_id"))
+        val cw = Window.partitionBy("source")
+        t(s, dir, "documents").select(
+            col("doc_id"), col("source"),
+            graft.ops.Text.stopwordHits(col("text")).as("n_stop"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n_src", count(lit(1)).over(cw))
+          .where(col("rk") <= expr("(n_src + 1) div 2"))
+          .select("doc_id", "source", "n_stop", "rk")
+          .orderBy("doc_id")
+      },
+      Some("""WITH sc AS (
+                SELECT doc_id, source,
+                  CAST(len(regexp_extract_all(text, '\b(the|and|of|to|a|in|is|it|that|for)\b')) AS BIGINT) AS n_stop
+                FROM documents),
+              r AS (
+                SELECT doc_id, source, n_stop,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY n_stop DESC, doc_id) AS BIGINT) AS rk,
+                  COUNT(*) OVER (PARTITION BY source) AS n_src
+                FROM sc)
+              SELECT doc_id, source, n_stop, rk
+              FROM r WHERE rk <= (n_src + 1) // 2 ORDER BY doc_id""")
+    ),
+
+    // DSIR-style importance weights: score every train-split document by
+    // how much its unigram distribution looks like the HELD-OUT (target)
+    // split — sum over the doc's words of ln(p_target(w)/p_source(w)) with
+    // add-one smoothing (the data-selection-with-importance-resampling
+    // recipe; a pipeline keeps the top-weighted docs). The vocabulary
+    // ratio table is tiny by construction (distinct words), so it
+    // broadcasts into the per-doc scoring join; totals ride along as
+    // broadcast single-row aggregates (t_tfidf's pattern) — the only wide
+    // shuffle is the per-doc sum on doc_id. Each word's log-ratio is
+    // rounded to integer micro-nats BEFORE summing, so the per-doc sum is
+    // exact integer arithmetic — order-independent under any partitioning
+    // (a raw double sum would hash-drift between engines and runs).
+    "p_dsir_weights" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), (md5Bucket(col("doc_id")) < 14).as("is_src"),
+            col("text"))
+        val words = docs.select(col("doc_id"), col("is_src"),
+          explode(WordNgrams(col("text"), 1)).as("w"))
+        val byWord = words.groupBy("w").agg(
+          sum(when(not(col("is_src")), 1L).otherwise(0L)).as("tc"),
+          sum(when(col("is_src"), 1L).otherwise(0L)).as("sc"))
+        val totals = byWord.agg(
+          sum("tc").cast("double").as("tn"), sum("sc").cast("double").as("sn"),
+          count(lit(1)).cast("double").as("v"))
+        val ratios = byWord.crossJoin(broadcast(totals)).select(col("w"),
+          round((log((col("tc") + 1) / (col("tn") + col("v")))
+            - log((col("sc") + 1) / (col("sn") + col("v")))) * 1e6, 0)
+            .cast("long").as("r_unats"))
+        words.where(col("is_src"))
+          .join(broadcast(ratios), "w")
+          .groupBy("doc_id")
+          .agg(sum("r_unats").as("w_unats"), count(lit(1)).as("n_words"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+                SELECT doc_id, text,
+                  ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS a
+                FROM documents),
+              d AS (
+                SELECT doc_id, text,
+                  (CASE WHEN a >= 97 THEN a - 87 ELSE a - 48 END) < 14 AS is_src
+                FROM h),
+              wd AS (
+                SELECT doc_id, is_src,
+                  unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    x -> x <> '')) AS w
+                FROM d),
+              bw AS (
+                SELECT w,
+                  SUM(CASE WHEN NOT is_src THEN 1 ELSE 0 END) AS tc,
+                  SUM(CASE WHEN is_src THEN 1 ELSE 0 END) AS sc
+                FROM wd GROUP BY w),
+              tot AS (
+                SELECT CAST(SUM(tc) AS DOUBLE) AS tn, CAST(SUM(sc) AS DOUBLE) AS sn,
+                  CAST(COUNT(*) AS DOUBLE) AS v
+                FROM bw),
+              r AS (
+                SELECT w, CAST(ROUND((ln((tc + 1) / (tn + v))
+                  - ln((sc + 1) / (sn + v))) * 1e6, 0) AS BIGINT) AS r_unats
+                FROM bw CROSS JOIN tot)
+              SELECT wd.doc_id, SUM(r.r_unats) AS w_unats, COUNT(*) AS n_words
+              FROM wd JOIN r USING (w) WHERE wd.is_src
+              GROUP BY wd.doc_id ORDER BY wd.doc_id""")
+    ),
+
     // the WHOLE training-data pipeline composed end to end — exact dedup →
     // quality/language gate → overlapping token-window chunking → per-shard
     // 512-token sequence packing → deterministic train/val tagging — with
