@@ -108,6 +108,99 @@ object Dedup {
     }
   }
 
+  /** Incremental NEAR-duplicate dedup against a persisted signature store —
+    * the cross-batch form of [[simhashPairs]], the way [[incrementalDedup]]
+    * is the cross-batch form of [[exactDedup]]. Exact incremental dedup
+    * misses the dominant arrival pattern of a crawl: today's batch carries
+    * lightly-edited copies of documents ingested months ago, and their
+    * original text is long gone — but their 64-bit SimHash signatures are
+    * not. The store (a [[graft.world.World]]) keeps one row per
+    * (document, pigeonhole block): dim 0 is the unique row key
+    * `doc_id * nBlocks + blockIdx` (doc ids must fit 64/nBlocks bits
+    * headroom — u62 at the default maxDist 3), and the payload is
+    * (probe_key = blockIdx·2^bits + blockValue, seen_id, seen_sig) — four
+    * longs per block row, 4 rows per document ever admitted, the entire
+    * memory of the corpus. NO document text is ever stored or re-read.
+    *
+    * Per batch: (1) within-batch near-dups resolve first (block self-join +
+    * Hamming verify; the larger id drops, matching [[semanticDedup]]'s
+    * pairwise convention); (2) survivors' blocks equality-join the store's
+    * probe keys, and any new doc within `maxDist` of a STORED signature
+    * drops (pigeonhole: distance <= maxDist forces at least one equal
+    * block, so candidate generation is an equality join, never an
+    * all-pairs scan); (3) the remaining fresh docs register their block
+    * rows via idempotent `tryInsert`. Same crash/replay contract as
+    * [[incrementalDedup]]: `onFresh` runs downstream-first, the result is
+    * pinned ([[Pins]]) before the store mutates, and a replayed batch
+    * re-admits nothing.
+    */
+  def incrementalNearDedup(world: graft.world.World, batch: DataFrame,
+      idCol: String, textCol: String, maxDist: Int = 3,
+      onFresh: DataFrame => Unit = _ => ()): DataFrame = {
+    val nBlocks = maxDist + 1
+    val bits = 64 / nBlocks
+    val dimCol = world.dims.head.column
+    val spark = batch.sparkSession
+
+    val sigs = parallelize(batch).withColumn("__sig", simhash(col(textCol)))
+    // block rows: probe_key packs (blockIdx, blockValue) into one join key
+    def blocksOf(df: DataFrame): DataFrame = df
+      .select(col(idCol), col("__sig"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("__bi"))
+      .select(col(idCol), col("__sig"), col("__bi"),
+        (col("__bi").cast("long") * (1L << bits) +
+          call_function("shiftright", col("__sig"), col("__bi") * bits)
+            .bitwiseAND(lit((1L << bits) - 1))).as("__key"))
+
+    // (1) within-batch: drop every id with a smaller near-dup id
+    val batchBlocks = blocksOf(sigs)
+    val intraDrops = batchBlocks
+      .select(col(idCol).as("__ia"), col("__sig").as("__ha"), col("__key"))
+      .join(batchBlocks.select(col(idCol).as("__ib"), col("__sig").as("__hb"),
+        col("__key")), Seq("__key"))
+      .where(col("__ia") < col("__ib"))
+      .select("__ia", "__ha", "__ib", "__hb").distinct()
+      .where(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxDist)
+      .select(col("__ib").as(idCol)).distinct()
+    val intra = sigs.join(intraDrops, Seq(idCol), "left_anti")
+
+    def blockRows(df: DataFrame): DataFrame = blocksOf(df).select(
+      (col(idCol) * nBlocks + col("__bi")).as(dimCol),
+      col("__key").as("probe_key"),
+      col(idCol).as("seen_id"),
+      col("__sig").as("seen_sig"))
+
+    // virgin store check on the filesystem, as in incrementalDedup (Spark 4
+    // resolves a missing source lazily; a catch would fire too late)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(world.path),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(world.path)
+    val virgin = !fs.exists(root) || fs.listStatus(root).isEmpty
+    if (virgin) {
+      val fresh = intra.drop("__sig")
+      onFresh(fresh)
+      world.create(blockRows(intra))
+      fresh
+    } else {
+      // (2) cross-batch: candidates from the probe-key equality join only
+      val crossDrops = blocksOf(intra)
+        .join(world.df.select(col("probe_key").as("__key"), col("seen_sig")),
+          Seq("__key"))
+        .select(col(idCol), col("__sig"), col("seen_sig")).distinct()
+        .where(bit_count(col("__sig").bitwiseXOR(col("seen_sig"))) <= maxDist)
+        .select(idCol).distinct()
+      // pinned BEFORE the store mutates — same self-anti-join trap as
+      // incrementalDedup (see the scaladoc there); released by the caller
+      // via Pins.releaseAll after the consuming action
+      val freshSigs = Pins.pin(intra.join(crossDrops, Seq(idCol), "left_anti"))
+      val fresh = freshSigs.drop("__sig")
+      onFresh(fresh)
+      // (3) register; tryInsert keeps a replayed batch idempotent
+      world.tryInsert(blockRows(freshSigs))
+      fresh
+    }
+  }
+
   /** Distributed connected components over an undirected edge list —
     * transitive near-duplicate GROUPS from a pair list (a near-dup relation
     * is not transitive, so group formation needs real graph connectivity,

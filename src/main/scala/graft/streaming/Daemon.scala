@@ -110,6 +110,34 @@ object Daemon {
     q
   }
 
+  /** Streaming face of [[graft.ops.Dedup.incrementalNearDedup]] — same
+    * contract as [[dedupStream]], but the store keeps SimHash block
+    * signatures instead of exact fingerprints, so lightly-edited re-crawls
+    * of long-gone documents are dropped too (four longs per block row is
+    * still the store's entire memory; no text is persisted or re-read).
+    * Sink-before-register ordering, idempotent replay, and per-batch pin
+    * release are inherited unchanged.
+    */
+  def nearDedupStream(sigStore: World, sink: World, source: DataFrame,
+      idCol: String, textCol: String, checkpoint: String,
+      interval: String = "5 seconds", maxDist: Int = 3): StreamingQuery = {
+    val q = source.writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          try {
+            graft.ops.Dedup.incrementalNearDedup(sigStore, batch.toDF(), idCol,
+              textCol, maxDist, onFresh = fresh => { sink.insert(fresh); () })
+            ()
+          } finally graft.ops.Pins.releaseAll()
+        }
+      }
+      .start()
+    installShutdownFlush(q)
+    q
+  }
+
   /** `ShutdownHandle` analog (tokio-fs/src/lib.rs:154-200): on JVM exit,
     * stop the query after the in-flight batch — no dirty data beyond the
     * last committed checkpoint is ever claimed durable. */

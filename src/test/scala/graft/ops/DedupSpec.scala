@@ -56,6 +56,37 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pinned RDDs still persisted: ${spark.sparkContext.getPersistentRDDs.keySet}")
   }
 
+  test("incrementalNearDedup: cross-batch SimHash dedup catches near-dups exact dedup cannot") {
+    import spark.implicits._
+    import graft.core.DimMapping
+    import graft.world.World
+    val path = java.nio.file.Files.createTempDirectory("graft-incnear").toString
+    val w = World(spark, path)("blk64" -> DimMapping(0L, -1L, 1L << 59))
+    val b1 = docs((1L, "alpha beta gamma"), (2L, "totally different words here"))
+    val f1 = Dedup.incrementalNearDedup(w, b1, "doc_id", "text")
+    assert(f1.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(w.df.count() == 8, "4 block rows per admitted doc")
+    // doc 10 doubles every word of doc 1: a DIFFERENT text (md5 fingerprint
+    // dedup would admit it) with an IDENTICAL SimHash (votes scale, signs
+    // don't) — the near-dup store must drop it; doc 11 is genuinely new
+    val b2 = docs((10L, "alpha alpha beta beta gamma gamma"),
+      (11L, "brand new content entirely"))
+    val f2 = Dedup.incrementalNearDedup(w, b2, "doc_id", "text")
+    assert(f2.select("doc_id").as[Long].collect().toSet == Set(11L))
+    assert(w.df.count() == 12)
+    // replay is idempotent
+    val f3 = Dedup.incrementalNearDedup(w, b2, "doc_id", "text")
+    assert(f3.isEmpty)
+    assert(w.df.count() == 12)
+    // within-batch near-dups resolve before registration: larger id drops
+    val b3 = docs((21L, "zeta zeta eta eta theta theta"), (20L, "zeta eta theta"))
+    val f4 = Dedup.incrementalNearDedup(w, b3, "doc_id", "text")
+    assert(f4.select("doc_id").as[Long].collect().toSet == Set(20L))
+    assert(w.df.count() == 16)
+    Pins.releaseAll()
+    assert(Pins.retainedCount == 0)
+  }
+
   test("semanticDedup: paraphrase groups keep their lowest id; sub-threshold pairs both survive") {
     import spark.implicits._
     def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray

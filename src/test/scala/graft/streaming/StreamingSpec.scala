@@ -163,6 +163,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sinkIds == Set(1L, 2L, 11L))
   }
 
+  test("near-dedup daemon: SimHash signature store drops edited re-crawls across a RESTART") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sig = new World(spark, tmp(), Seq(
+      DimSpec("blk64", DimMapping(0L, -1L, 1L << 59)))) // full wrapping u64 domain
+    val sink = new World(spark, tmp(), Seq(DimSpec("doc_id", DimMapping(0, 1023, 8))))
+    sink.create(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val ckpt = tmp()
+    val src = MemoryStream[(Long, String)]
+    val data = src.toDF().toDF("doc_id", "text")
+    def sinkIds = sink.df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val q1 = Daemon.nearDedupStream(sig, sink, data, "doc_id", "text", ckpt,
+      interval = "1 second")
+    try {
+      src.addData((1L, "alpha beta gamma"), (2L, "other words entirely"))
+      q1.processAllAvailable()
+      assert(sinkIds == Set(1L, 2L))
+    } finally q1.stop()
+
+    // RESTART: doc 10 doubles doc 1's words — a different TEXT (md5
+    // fingerprint dedup would admit it) with the same SimHash; the
+    // signature store must still drop it after the restart
+    val q2 = Daemon.nearDedupStream(sig, sink, data, "doc_id", "text", ckpt,
+      interval = "1 second")
+    try {
+      src.addData((10L, "alpha alpha beta beta gamma gamma"), (11L, "fresh stuff"))
+      q2.processAllAvailable()
+      assert(sinkIds == Set(1L, 2L, 11L),
+        "a near-dup of a pre-restart document must not re-admit after restart")
+      assert(sig.df.count() == 12, "4 block rows per admitted doc")
+    } finally q2.stop()
+
+    // replayed batch: signatures already registered -> nothing fresh
+    val replayed = graft.ops.Dedup.incrementalNearDedup(sig,
+      Seq((10L, "alpha alpha beta beta gamma gamma"), (11L, "fresh stuff"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(replayed.isEmpty, "replayed batch must admit nothing")
+    graft.ops.Pins.releaseAll()
+    assert(sinkIds == Set(1L, 2L, 11L))
+  }
+
   test("tumbling window with watermark over streamed events matches batch counts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
