@@ -55,16 +55,25 @@ object Clean {
     * A document whose every segment already appeared elsewhere vanishes —
     * the paragraph-level analog of [[Dedup.exactDedup]]'s loser rows.
     *
-    * The window partitions by the segment's 16-byte md5, not the segment
-    * string: same decision, but the shuffle hash and the sort comparator
-    * work on a fixed-width key instead of re-scanning text bytes.
+    * The first-occurrence decision is a commutative `min(struct(doc_id,
+    * seg_idx))` AGGREGATE on the segment's 16-byte md5, not a row_number
+    * window: partial aggregation collapses a hot segment's repeats
+    * map-side, so a boilerplate segment with 10^8 occurrences shuffles one
+    * row per input partition instead of feeding every occurrence through a
+    * single reducer's sort — windows have no partial phase, and segment
+    * frequency is exactly the distribution where that bites. The
+    * winners-to-segments join is keyed by the digest and AQE-splittable.
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
       window: Int = 8): DataFrame = {
     val segs = segments(df, idCol, textCol, window)
-    val w = Window.partitionBy(md5(col("seg"))).orderBy(col("doc_id"), col("seg_idx"))
-    reassemble(segs.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .drop("__rn"))
+      .withColumn("__h", md5(col("seg")))
+    val winners = segs.groupBy("__h")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("__w"))
+      .select(col("__h"), col("__w.doc_id").as("doc_id"),
+        col("__w.seg_idx").as("seg_idx"))
+    reassemble(segs.join(winners, Seq("__h", "doc_id", "seg_idx"), "left_semi")
+      .drop("__h"))
   }
 
   /** Boilerplate stripping: a segment that occurs in at least `minDocs`
