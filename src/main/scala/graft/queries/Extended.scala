@@ -204,6 +204,49 @@ object Extended {
     ),
 
     // sink/source pluggability: world contents -> JSON lines -> read back
+    // table profiling (the ANALYZE surface): per-column row/null/distinct
+    // counts and min/max in ONE scan — a single Aggregate whose
+    // count-distincts Catalyst plans via Expand (input x columns before
+    // partial aggregation: the standard multi-distinct cost, paid once per
+    // profile, never per query), then a stack() transpose of the one
+    // result row. Stats columns are bigint/varchar only so the min/max
+    // string forms are engine-neutral.
+    "q_profile" -> QueryDef(
+      (s, dir) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c")))
+        val one = t(s, dir, "orders")
+          .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        val stacked = cols.map(c =>
+          s"'$c', n_rows, n_rows - nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+        one.selectExpr(s"stack(${cols.size}, $stacked) AS " +
+            "(col_name, n_rows, n_nulls, n_distinct, min_s, max_s)")
+          .orderBy("col_name")
+      },
+      Some("""WITH s AS (
+                SELECT COUNT(*) AS n_rows,
+                  COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1,
+                  CAST(MIN(o_orderkey) AS VARCHAR) AS mn1, CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+                  COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS nd2,
+                  CAST(MIN(o_custkey) AS VARCHAR) AS mn2, CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+                  COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS nd3,
+                  MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+                  COUNT(o_orderpriority) AS nn4, COUNT(DISTINCT o_orderpriority) AS nd4,
+                  MIN(o_orderpriority) AS mn4, MAX(o_orderpriority) AS mx4
+                FROM orders)
+              SELECT u.* FROM s, LATERAL (
+                SELECT 'o_orderkey' AS col_name, n_rows, n_rows - nn1 AS n_nulls,
+                  nd1 AS n_distinct, mn1 AS min_s, mx1 AS max_s
+                UNION ALL SELECT 'o_custkey', n_rows, n_rows - nn2, nd2, mn2, mx2
+                UNION ALL SELECT 'o_orderstatus', n_rows, n_rows - nn3, nd3, mn3, mx3
+                UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn4, nd4, mn4, mx4
+              ) u ORDER BY col_name""")
+    ),
+
     // z-order clustering key: the Morton interleave of (l_partkey,
     // l_suppkey) under a 2-dim box predicate — the layout op ZOrder.cluster
     // sorts by (see ZOrderSpec for the measured files-touched win); here the

@@ -135,6 +135,32 @@ object TextOps {
               GROUP BY kept.doc_id ORDER BY kept.doc_id""")
     ),
 
+    // tokenizer vocabulary induction, step zero: the corpus-wide adjacent
+    // character-pair frequency table (the statistic the first BPE merge is
+    // chosen from). Pair extraction is per-row; the count shuffles tiny
+    // keys (2-char strings, charset^2-bounded cardinality) with map-side
+    // combine, and the top-10 sort runs on that bounded table — scale-free
+    // regardless of corpus size.
+    "t_bpe_merges" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(graft.functions.WordNgrams(col("text"), 1)).as("w"))
+        .where(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(10),
+      Some("""WITH wd AS (
+                SELECT unnest(list_filter(
+                  string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+                FROM documents),
+              p AS (
+                SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair
+                FROM wd WHERE len(w) >= 2)
+              SELECT pair, COUNT(*) AS n FROM p
+              GROUP BY pair ORDER BY n DESC, pair LIMIT 10""")
+    ),
+
     "t_ngram_freq" -> QueryDef(
       (s, dir) => t(s, dir, "documents")
         .select(explode(Dedup.shingles(col("text"), 2)).as("ngram"))
