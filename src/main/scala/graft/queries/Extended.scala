@@ -204,6 +204,64 @@ object Extended {
     ),
 
     // sink/source pluggability: world contents -> JSON lines -> read back
+    // JSON functions over the REAL json column (events.props): both parse
+    // paths — schema-ful from_json into a struct, and path extraction via
+    // get_json_object — feeding one aggregate. Per-row parse, codegen'd,
+    // shuffle only on the tiny event_type key.
+    "q_json_fns" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k1"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k1").as("sum_k"),
+          min("k2").as("min_k"), max("k2").as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+                SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+              FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+
+    // nested types + higher-order functions: per-order array-of-struct
+    // assembly (sorted by (line number, quantity) — line numbers repeat
+    // within an order, so the tie-break must be explicit on both engines),
+    // then transform / aggregate-fold /
+    // element_at over it. Emitted columns are scalars and arrays of
+    // scalars (nested structs stay internal — engine-neutral output). The
+    // collect_list is per-order (bounded by lines-per-order, ~4), never a
+    // corpus-wide collect.
+    "q_complex_types" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"),
+          col("l_quantity").as("q")))).as("items"))
+        .select(col("l_orderkey"),
+          size(col("items")).cast("long").as("n_items"),
+          expr("aggregate(items, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.q)")
+            .cast("decimal(18,2)").as("total_qty"),
+          expr("transform(items, x -> x.ln)").as("line_numbers"),
+          element_at(col("items"), 1).getField("q").as("first_qty"))
+        .orderBy("l_orderkey"),
+      Some("""WITH g AS (
+                SELECT l_orderkey,
+                  list(struct_pack(ln := l_linenumber, q := l_quantity)
+                    ORDER BY l_linenumber, l_quantity) AS items
+                FROM lineitem GROUP BY l_orderkey)
+              SELECT l_orderkey,
+                CAST(len(items) AS BIGINT) AS n_items,
+                CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(items, x -> x.q)), (acc, x) -> acc + x)
+                  AS DECIMAL(18,2)) AS total_qty,
+                list_transform(items, x -> x.ln) AS line_numbers,
+                items[1].q AS first_qty
+              FROM g ORDER BY l_orderkey""")
+    ),
+
     // table profiling (the ANALYZE surface): per-column row/null/distinct
     // counts and min/max in ONE scan — a single Aggregate whose
     // count-distincts Catalyst plans via Expand (input x columns before
