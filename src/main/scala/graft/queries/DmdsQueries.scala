@@ -178,6 +178,54 @@ object DmdsQueries {
         },
         Some("SELECT event_id, user_id FROM events WHERE user_id > 63 ORDER BY event_id")
       ),
+      // the two halves of the engine COMPOSED: documents ingested into a
+      // world gridded by (doc_id, token count), a chunk-pruned selection
+      // over the token dim (the reference's Select::iter), and the
+      // LLM-pipeline ops (exact dedup + stopword gate) running on the
+      // pruned slice. The oracle reproduces the bucket arithmetic AND the
+      // pipeline semantics in one SQL — proving the world selection
+      // surface and the cleaning operators agree about the same rows. At
+      // scale the win is the composition itself: the dedup shuffle runs on
+      // the selected chunk grid subset, never the whole corpus.
+      "w_pipeline" -> QueryDef(
+        (s, dir) => {
+          val dId = DimMapping(0L, (1L << 20) - 1, 8192L)
+          val dTok = DimMapping(0L, 1023L, 64L)
+          val path = s"/tmp/graft_world_pipe_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+          val w = new World(s, path,
+            Seq(DimSpec("doc_id", dId), DimSpec("n_tokens", dTok)))
+          w.create(t(s, dir, "documents").select(col("doc_id"),
+            graft.ops.Text.tokenCount(col("text")).as("n_tokens"),
+            col("text"), col("source")))
+          val slice = w.select(1, Bounds.to(64, 191)).iter()
+          graft.ops.Dedup.exactDedup(slice, "doc_id", "text")
+            .select(col("doc_id"), col("n_tokens"), col("source"),
+              graft.ops.Text.stopwordHits(col("text")).as("n_stop"))
+            .where(col("n_stop") >= 2)
+            .orderBy("doc_id")
+        },
+        Some {
+          val tk = cr(DimMapping(0L, 1023L, 64L), Bounds.to(64, 191))
+          s"""WITH n AS (
+                SELECT doc_id, text, source,
+                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                FROM documents),
+              sel AS (
+                SELECT * FROM n
+                WHERE ((n_tokens - 0) // 64) BETWEEN ${tk._1} AND ${tk._2}),
+              d AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                  ORDER BY doc_id) AS rn
+                FROM sel),
+              g AS (
+                SELECT doc_id, n_tokens, source,
+                  CAST(len(regexp_extract_all(text, '\\b(the|and|of|to|a|in|is|it|that|for)\\b')) AS BIGINT) AS n_stop
+                FROM d WHERE rn = 1)
+              SELECT doc_id, n_tokens, source, n_stop
+              FROM g WHERE n_stop >= 2 ORDER BY doc_id"""
+        }
+      ),
+
       "w_world_roundtrip" -> QueryDef(
         // full pipeline: create bucket-partitioned world on disk, partition-pruned
         // read. Storage chunk sizing is coarser than the predicate-path dims:
