@@ -365,10 +365,19 @@ object Relational {
     ),
 
     // ------------------------------------------------- rollup / cube / sets
+    // rollup/cube/grouping-sets all pre-aggregate to the FINEST grouping
+    // first: Catalyst plans multi-level groupings as Expand over every
+    // input row (x levels), but sum/count are decomposable, so Expand only
+    // needs to see the (flag, status) pre-aggregate — 6 rows instead of
+    // the whole fact table. At any scale the fact table passes through one
+    // ordinary partial-agg shuffle; the multi-level machinery runs on the
+    // group cardinality. (2.2 s -> ~0.3 s at sf0.1 for the rollup.)
     "q_rollup" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(d("l_quantity")).as("s"), count(lit(1)).as("c"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum(d("l_quantity")).cast("double").as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sum(col("s")).cast("double").as("sum_qty"), sum(col("c")).as("n"))
         .orderBy(coalesce(col("l_returnflag"), lit("~")), coalesce(col("l_linestatus"), lit("~"))),
       Some("""SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -378,8 +387,10 @@ object Relational {
     ),
     "q_cube" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("c"))
         .cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("c")).as("n"))
         .orderBy(coalesce(col("l_returnflag"), lit("~")), coalesce(col("l_linestatus"), lit("~"))),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
               FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -388,8 +399,11 @@ object Relational {
     "q_grouping_sets" -> QueryDef(
       (s, dir) => {
         t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-        s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-                 FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        s.sql("""WITH pre AS (
+                   SELECT l_returnflag, l_linestatus, COUNT(*) AS c
+                   FROM lineitem GROUP BY l_returnflag, l_linestatus)
+                 SELECT l_returnflag, l_linestatus, SUM(c) AS n
+                 FROM pre GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
                  ORDER BY COALESCE(l_returnflag, '~'), COALESCE(l_linestatus, '~')""")
       },
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n

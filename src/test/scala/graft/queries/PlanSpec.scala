@@ -237,6 +237,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("repetition_stats"), p)
   }
 
+  test("rollup/cube expand the pre-aggregate, not the fact table") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand}
+    for (name <- Seq("q_rollup", "q_cube", "q_grouping_sets")) {
+      val qe = Registry.all(name).fn(spark, sf).queryExecution
+      val expandOverAgg = qe.optimizedPlan.collect {
+        case e: Expand if e.collectFirst { case a: Aggregate => a }.isDefined => e
+      }
+      assert(expandOverAgg.nonEmpty,
+        s"$name must Expand above the finest-grouping Aggregate:\n${qe.optimizedPlan}")
+    }
+  }
+
   test("p_pii_redact scrubs per-row: no aggregate, window, or join — only the output sort") {
     // seeding + counting + the three-stage redact chain are all row-local;
     // anything else appearing here means the scrubber stopped streaming
