@@ -263,27 +263,26 @@ object Extended {
     ),
 
     // table profiling (the ANALYZE surface): per-column row/null/distinct
-    // counts and min/max in ONE scan — a single Aggregate whose
-    // count-distincts Catalyst plans via Expand (input x columns before
-    // partial aggregation: the standard multi-distinct cost, paid once per
-    // profile, never per query), then a stack() transpose of the one
-    // result row. Stats columns are bigint/varchar only so the min/max
-    // string forms are engine-neutral.
+    // counts and min/max, one branch per column unioned — each branch is a
+    // COLUMN-PRUNED single-column scan with an ordinary two-phase
+    // aggregate. (The one-scan multi-distinct alternative plans an Expand
+    // that multiplies every fact row by the column count before partial
+    // aggregation — more bytes read per branch avoided, but x5 the agg
+    // input; measured 3x slower at sf0.1.) Stats columns are
+    // bigint/varchar only so the min/max string forms are engine-neutral.
     "q_profile" -> QueryDef(
       (s, dir) => {
         val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
-        val aggs = cols.flatMap(c => Seq(
-          count(col(c)).as(s"nn_$c"),
-          countDistinct(col(c)).as(s"nd_$c"),
-          min(col(c)).cast("string").as(s"mn_$c"),
-          max(col(c)).cast("string").as(s"mx_$c")))
-        val one = t(s, dir, "orders")
-          .agg(count(lit(1)).as("n_rows"), aggs: _*)
-        val stacked = cols.map(c =>
-          s"'$c', n_rows, n_rows - nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
-        one.selectExpr(s"stack(${cols.size}, $stacked) AS " +
-            "(col_name, n_rows, n_nulls, n_distinct, min_s, max_s)")
-          .orderBy("col_name")
+        cols.map { c =>
+          t(s, dir, "orders").agg(
+            count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col(c))).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("string").as("min_s"),
+            max(col(c)).cast("string").as("max_s"))
+            .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+              col("n_distinct"), col("min_s"), col("max_s"))
+        }.reduce(_.unionByName(_)).orderBy("col_name")
       },
       Some("""WITH s AS (
                 SELECT COUNT(*) AS n_rows,
