@@ -228,6 +228,37 @@ object ScalableWindow {
       .drop("_pid", "_val", "_lrn", "_n", "_off", "_grn", "_lloc", "_tgt", "_dval")
   }
 
+  /** Global PERCENT_RANK() and CUME_DIST() in ONE pass — the distribution
+    * statistics in closed form from two slice-local windows: PERCENT_RANK =
+    * (rank-1)/(N-1) needs the global rank ([[rank]]'s offset argument —
+    * ties never span slices under range partitioning); CUME_DIST = C/N
+    * needs the peers-cumulative count C, which the DEFAULT window frame
+    * (RANGE unbounded..current — peers included) computes slice-locally,
+    * offset by earlier slices' row counts. N rides along as a broadcast
+    * single-row aggregate of the per-slice table (partition-count-sized,
+    * never a data pass). Like [[rank]], `order` need not be total — ties
+    * are the point. */
+  def distribution(df: DataFrame, order: Seq[Column], outPct: String,
+      outCume: String): DataFrame = {
+    val f = org.apache.spark.sql.functions
+    val w = Window.partitionBy("_pid").orderBy(order: _*)
+    val local = prepared(df, order)
+      .withColumn("_locr", f.rank().over(w).cast("long"))
+      .withColumn("_locc", count(lit(1)).over(w).cast("long"))
+    val perSlice = local.groupBy("_pid").agg(count(lit(1)).as("_n"))
+    val info = broadcast(offsets(perSlice, "_n")
+      .crossJoin(perSlice.agg(sum(col("_n")).as("_N"))))
+    local.join(info, Seq("_pid"))
+      .withColumn("_gr", col("_locr") + coalesce(col("_off"), lit(0L)))
+      .withColumn("_gc", col("_locc") + coalesce(col("_off"), lit(0L)))
+      .withColumn(outPct,
+        when(col("_N") > 1,
+          (col("_gr") - 1).cast("double") / (col("_N") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn(outCume, col("_gc").cast("double") / col("_N").cast("double"))
+      .drop("_pid", "_locr", "_locc", "_off", "_N", "_gr", "_gc")
+  }
+
   /** SQL NTILE(k) over the global order, from the scalable row number in
     * closed form: with N rows, the first N mod k tiles get floor(N/k)+1
     * rows, the rest floor(N/k). N rides along as a broadcast single-row

@@ -252,6 +252,22 @@ object Relational {
               FROM orders ORDER BY o_orderkey""")
     ),
 
+    // GLOBAL distribution statistics (PERCENT_RANK + CUME_DIST) without
+    // the single-reducer window: closed forms over the two-phase rank and
+    // peers-cumulative count; o_custkey gives real tie groups, and both
+    // statistics are exact integer ratios so the doubles match the
+    // single-reducer SQL bit-for-bit.
+    "q_global_dist" -> QueryDef(
+      (s, dir) => graft.ops.ScalableWindow.distribution(
+          t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          Seq(col("o_custkey")), "pct", "cd")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey,
+                PERCENT_RANK() OVER (ORDER BY o_custkey) AS pct,
+                CUME_DIST() OVER (ORDER BY o_custkey) AS cd
+              FROM orders ORDER BY o_orderkey""")
+    ),
+
     // GLOBAL lag/lead over a total order: slice-local window plus a
     // broadcast donor table (slices x k rows) for the boundary handoff —
     // no data-sized exchange beyond the range partition itself.

@@ -159,6 +159,37 @@ class ScalableWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("distribution matches single-reducer PERCENT_RANK and CUME_DIST on duplicate keys") {
+    import spark.implicits._
+    // key = i % 37: every key a tie group, groups span slice-boundary sizes
+    val df = (1 to 1003).map(i => (i.toLong, (i % 37).toLong)).toDF("id", "key")
+      .repartition(4)
+    val got = ScalableWindow.distribution(df, Seq(col("key")), "pct", "cd")
+      .select("id", "pct", "cd").collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    val naive = df
+      .withColumn("pct", percent_rank().over(Window.orderBy("key")))
+      .withColumn("cd", cume_dist().over(Window.orderBy("key")))
+      .select("id", "pct", "cd").collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == naive, "distribution stats must equal the single-reducer window bit-for-bit")
+    Pins.releaseAll()
+  }
+
+  test("distribution edges: N = 1 and all-equal keys") {
+    import spark.implicits._
+    val one = ScalableWindow.distribution(
+        Seq((1L, 5L)).toDF("id", "key"), Seq(col("key")), "pct", "cd")
+      .select("pct", "cd").collect().head
+    assert(one.getDouble(0) == 0.0 && one.getDouble(1) == 1.0)
+    val allTies = (1 to 40).map(i => (i.toLong, 9L)).toDF("id", "key")
+    val r = ScalableWindow.distribution(allTies, Seq(col("key")), "pct", "cd")
+      .select("pct", "cd").distinct().collect()
+    assert(r.length == 1 && r.head.getDouble(0) == 0.0 && r.head.getDouble(1) == 1.0,
+      "one global tie group: pct 0 everywhere, cume 1 everywhere")
+    Pins.releaseAll()
+  }
+
   test("pinned slice checkpoints are released by Pins.releaseAll") {
     val sc = spark.sparkContext
     Pins.releaseAll() // clear anything earlier tests pinned
