@@ -84,8 +84,16 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
   }
 
   /** Initial (over)write of the world from a DataFrame. Out-of-range rows are
-    * dropped (use [[outOfRange]] to quarantine them first). */
-  def create(df: DataFrame): Unit = {
+    * dropped (use [[outOfRange]] to quarantine them first).
+    *
+    * `zorderWithinChunks` swaps the intra-chunk sort for the Z-curve of all
+    * dims ([[graft.ops.ZOrder]]): lexicographic dim-sort gives tight
+    * row-group stats on dim 0 only; the Z-sort keeps every dim's per-
+    * row-group envelope small, so multi-dim residual predicates (row-exact
+    * filters after chunk pruning) skip row groups inside large chunks no
+    * matter which dims they constrain. A create-time clustering choice —
+    * later insert/compact rewrites re-sort those partitions by dims. */
+  def create(df: DataFrame, zorderWithinChunks: Boolean = false): Unit = {
     // cluster rows by their bucket before writing: each partition directory
     // is then written by one task -> one file per chunk instead of
     // (tasks x chunks) small files. At cluster scale this one shuffle is what
@@ -93,9 +101,19 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     // within each task tightens parquet row-group min/max stats, so pushed
     // id hints (`Select::hint` -> In-filter) skip row groups instead of
     // scanning them.
+    // the sort MUST lead with the bucket columns: partitionBy's writer
+    // requires an ordering on the partition columns and silently inserts
+    // its own NON-STABLE sort when the child's ordering doesn't have them
+    // as a prefix — scrambling any intra-chunk sort placed below it
+    // (verified empirically; the bucket prefix makes the writer reuse this
+    // sort instead)
+    val intraSort =
+      if (zorderWithinChunks && dims.size >= 2)
+        Seq(graft.ops.ZOrder.zvalue(dims.map(d => col(d.column)): _*))
+      else dims.map(d => col(d.column))
     val bucketed = withBuckets(validate(df))
       .repartition(bucketCols.map(col): _*)
-      .sortWithinPartitions(dims.map(d => col(d.column)): _*)
+      .sortWithinPartitions(bucketCols.map(col) ++ intraSort: _*)
     bucketed.write
       .partitionBy(bucketCols: _*)
       .mode("overwrite")
@@ -209,7 +227,9 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
   def append(rows: DataFrame): Unit =
     withBuckets(validate(rows))
       .repartition(bucketCols.map(col): _*)
-      .sortWithinPartitions(dims.map(d => col(d.column)): _*)
+      // bucket-col prefix: see create — without it the writer re-sorts
+      .sortWithinPartitions(
+        bucketCols.map(col) ++ dims.map(d => col(d.column)): _*)
       .write.partitionBy(bucketCols: _*).mode("append").parquet(path)
 
   /** Insert-if-absent — `World::try_insert`
@@ -326,9 +346,10 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     * same math as insert-time routing. Requires the new dims to cover the
     * same data columns (validation quarantines anything out of range,
     * exactly as on any other write path). */
-  def regrid(newPath: String, newDims: Seq[DimSpec]): World = {
+  def regrid(newPath: String, newDims: Seq[DimSpec],
+      zorderWithinChunks: Boolean = false): World = {
     val target = new World(spark, newPath, newDims)
-    target.create(df.drop(bucketCols: _*))
+    target.create(df.drop(bucketCols: _*), zorderWithinChunks)
     target
   }
 
@@ -364,7 +385,9 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
       // overwrite, stale stage partitions would survive the write below
       fs.delete(new org.apache.hadoop.fs.Path(stage), true)
       rows.repartition(bucketCols.map(col): _*)
-        .sortWithinPartitions(dims.map(d => col(d.column)): _*)
+        // bucket-col prefix: see create — without it the writer re-sorts
+        .sortWithinPartitions(
+          bucketCols.map(col) ++ dims.map(d => col(d.column)): _*)
         .write.partitionBy(bucketCols: _*).mode("overwrite").parquet(stage)
       // an all-deletes rewrite stages zero rows -> no readable parquet
       val staged =

@@ -318,6 +318,43 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("d0") <= 100L).count() == 1L) // only (7,7); 114 and 1000 exceed
   }
 
+  test("zorderWithinChunks: same contents and routing, z-monotonic rows inside each file") {
+    import spark.implicits._
+    // one big chunk (all rows in c0=0/c1=0) so the intra-chunk order is
+    // the whole story; 256 grid points arrive scrambled
+    val w = new World(spark, tmp(), dims2(1024, 1024))
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    w.create(scala.util.Random.shuffle(pts).toDF("d0", "d1"), zorderWithinChunks = true)
+    assert(w.df.select("d0", "d1").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == pts.toSet, "contents survive the z-ordered create")
+    // rows inside each parquet file must be z-sorted (read order = row order)
+    val z = graft.ops.ZOrder.zvalue(col("d0"), col("d1"))
+    val perFile = w.df.select(input_file_name().as("f"), z.as("z"))
+      .collect().groupBy(_.getString(0)).values
+    assert(perFile.nonEmpty)
+    perFile.foreach { rs =>
+      val zs = rs.map(_.getLong(1)).toSeq
+      assert(zs == zs.sorted, "intra-file order must follow the z-curve")
+    }
+  }
+
+  test("default create keeps chunks dim-sorted THROUGH the partitioned write") {
+    import spark.implicits._
+    // regression pin for a real defect: partitionBy's writer inserts its
+    // own non-stable sort on the partition columns unless the child's
+    // ordering leads with them — which silently scrambled the intra-chunk
+    // dim sort (and the row-group stats story with it)
+    val w = new World(spark, tmp(), dims2(1024, 1024))
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    w.create(scala.util.Random.shuffle(pts).toDF("d0", "d1"))
+    val perFile = w.df.select(input_file_name().as("f"), col("d0"), col("d1"))
+      .collect().groupBy(_.getString(0)).values
+    perFile.foreach { rs =>
+      val ks = rs.map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(ks == ks.sorted, "intra-file order must follow the dim sort")
+    }
+  }
+
   test("world! builder sugar declares dims in order (src/macros.rs:19-27)") {
     val w = World(spark, tmp())("d0" -> DimMapping(0, 1023, 8), "d1" -> DimMapping(0, 1023, 16))
     w.create(rows((114L, 514L)))
