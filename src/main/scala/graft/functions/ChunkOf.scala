@@ -54,3 +54,42 @@ object ChunkOf {
     org.apache.spark.sql.GraftColumnBridge.column(
       ChunkOf(org.apache.spark.sql.GraftColumnBridge.expression(value), start, itemsPerChunk))
 }
+
+/** [[ChunkOf]]'s remainder twin: the CHUNK-LOCAL offset
+  * `remainderUnsigned(value - start, itemsPerChunk)` — always in
+  * [0, itemsPerChunk), wrap-safe for the same u64/ANSI reasons as ChunkOf
+  * (see its scaladoc). The quantizer World's intra-chunk z-ordering feeds
+  * into [[ZValue]]. */
+case class ChunkOffset(child: Expression, start: Long, itemsPerChunk: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"chunk_offset requires bigint, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.remainderUnsigned(input.asInstanceOf[Long] - start, itemsPerChunk)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = java.lang.Long.remainderUnsigned($c - (${start}L), (${itemsPerChunk}L));")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkOffset =
+    copy(child = newChild)
+
+  override def prettyName: String = "chunk_offset"
+}
+
+object ChunkOffset {
+  /** Column API for the native chunk-local offset. */
+  def apply(value: Column, start: Long, itemsPerChunk: Long): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ChunkOffset(org.apache.spark.sql.GraftColumnBridge.expression(value), start, itemsPerChunk))
+}

@@ -89,14 +89,17 @@ object Clean {
     */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
       window: Int = 8, minDocs: Int = 2): DataFrame = {
+    // all segment-keyed shuffles (the count AND the anti-join) run on the
+    // 16-byte digest, not the segment text — paragraphDedup's treatment
     val segs = segments(df, idCol, textCol, window)
-    val boiler = segs.groupBy("seg")
+      .withColumn("__h", md5(col("seg")))
+    val boiler = segs.groupBy("__h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= minDocs)
-      .select("seg")
+      .select("__h")
     val totals = df.select(col(idCol).as("doc_id"),
       size(Text.chunk(col(textCol), window, window)).cast("long").as("n_total"))
-    reassemble(segs.join(boiler, Seq("seg"), "left_anti"))
+    reassemble(segs.join(boiler, Seq("__h"), "left_anti").drop("__h"))
       .join(totals, "doc_id")
       .withColumn("n_removed", col("n_total") - col("n_kept"))
       .drop("n_total")

@@ -137,6 +137,10 @@ object Dedup {
   def incrementalNearDedup(world: graft.world.World, batch: DataFrame,
       idCol: String, textCol: String, maxDist: Int = 3,
       onFresh: DataFrame => Unit = _ => ()): DataFrame = {
+    // maxDist 0 would make bits = 64 and the block mask wrap to 0 (every
+    // probe key identical -> accidental all-pairs); > 63 would make bits 0
+    require(maxDist >= 1 && maxDist <= 63,
+      s"maxDist must be in [1, 63], got $maxDist")
     val nBlocks = maxDist + 1
     val bits = 64 / nBlocks
     val dimCol = world.dims.head.column
@@ -183,12 +187,23 @@ object Dedup {
       fresh
     } else {
       // (2) cross-batch: candidates from the probe-key equality join only
-      val crossDrops = blocksOf(intra)
-        .join(world.df.select(col("probe_key").as("__key"), col("seen_sig")),
-          Seq("__key"))
-        .select(col(idCol), col("__sig"), col("seen_sig")).distinct()
+      val hitPairs = blocksOf(intra)
+        .join(world.df.select(col("probe_key").as("__key"),
+          col("seen_id"), col("seen_sig")), Seq("__key"))
+        .select(col(idCol), col("__sig"), col("seen_id"), col("seen_sig"))
+        .distinct()
         .where(bit_count(col("__sig").bitwiseXOR(col("seen_sig"))) <= maxDist)
-        .select(idCol).distinct()
+      val crossDrops = hitPairs.select(idCol).distinct()
+      // a SELF hit (seen_id == this id) is a replayed doc: the previous run
+      // crashed after registering at least one of its block rows. It is
+      // not fresh (the crashed run's onFresh already emitted it), but its
+      // registration may be PARTIAL — a block row missing from the store
+      // would let a future near-dup sharing only that block slip through —
+      // so its block rows re-register below (tryInsert fills exactly the
+      // missing ones, keyed per block row)
+      val replayed = intra.join(
+        hitPairs.where(col("seen_id") === col(idCol)).select(idCol).distinct(),
+        Seq(idCol), "left_semi")
       // pinned BEFORE the store mutates — same self-anti-join trap as
       // incrementalDedup (see the scaladoc there); released by the caller
       // via Pins.releaseAll after the consuming action
@@ -196,7 +211,7 @@ object Dedup {
       val fresh = freshSigs.drop("__sig")
       onFresh(fresh)
       // (3) register; tryInsert keeps a replayed batch idempotent
-      world.tryInsert(blockRows(freshSigs))
+      world.tryInsert(blockRows(freshSigs.unionByName(replayed)))
       fresh
     }
   }
@@ -335,6 +350,8 @@ object Dedup {
     * on (blockIdx, blockValue), then exact bit_count verify. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 63,
+      s"maxDist must be in [1, 63], got $maxDist") // 0 wraps the block mask
     val nBlocks = maxDist + 1
     val bits = 64 / nBlocks
     val withH = parallelize(df.select(col(idCol).as("id"), col(textCol).as("text")))

@@ -22,23 +22,27 @@ import org.apache.spark.sql.functions._
   *      an ordinary exact count + threshold filter. No approximation
   *      survives into the result.
   *
-  * The partition count is read off the planned scan (forces the physical
-  * plan outside AQE — a bounded metadata read, same watch-list class as
-  * Dedup.parallelize; the floor only needs P to be ACCURATE, not stable,
-  * because step 2 recounts exactly).
+  * The pigeonhole floor is computed INSIDE each task from
+  * `TaskContext.numPartitions` — the P of the very execution doing the
+  * counting, so no separately-probed plan (which AQE could re-shape) can
+  * drift out from under the premise, and no extra job materializes the
+  * upstream plan just to read its partition count.
   */
 object HeavyHitters {
 
   /** Keys of `keyCol` (a bigint column) occurring at least `minCount`
-    * times, with their exact counts as `n`. */
+    * times, with their exact counts as `n`. NULL keys (and values a bigint
+    * cast nulls out) are excluded — callers wanting null tallies filter or
+    * encode first. */
   def exact(df: DataFrame, keyCol: String, minCount: Long): DataFrame = {
     require(minCount >= 1, s"minCount must be positive, got $minCount")
     val spark = df.sparkSession
     import spark.implicits._
-    val keys = df.select(col(keyCol).cast("long")).as[Long]
-    val p = math.max(keys.rdd.getNumPartitions, 1)
-    val localFloor = (minCount + p - 1) / p
+    val keys = df.select(col(keyCol).cast("long"))
+      .where(col(keyCol).isNotNull).as[Long]
     val candidates = keys.mapPartitions { it =>
+      val p = math.max(org.apache.spark.TaskContext.get().numPartitions(), 1)
+      val localFloor = (minCount + p - 1) / p
       val counts = scala.collection.mutable.LongMap.empty[Long]
       it.foreach(k => counts(k) = counts.getOrElse(k, 0L) + 1L)
       counts.iterator.collect { case (k, c) if c >= localFloor => k }

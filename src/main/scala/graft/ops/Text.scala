@@ -59,7 +59,7 @@ object Text {
     * most non-JVM consumers): character classes, bounded repeats, ASCII
     * `\b` — no backrefs or lookaround, so the oracle and any sibling
     * implementation match byte-for-byte. */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\b555-[0-9]{4}\\b"
   val Ipv4Re = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
 

@@ -189,7 +189,10 @@ object DmdsQueries {
       // the selected chunk grid subset, never the whole corpus.
       "w_pipeline" -> QueryDef(
         (s, dir) => {
-          val dId = DimMapping(0L, (1L << 20) - 1, 8192L)
+          // doc_id domain is deliberately wide (2^40): World.create DROPS
+          // out-of-range rows that the oracle keeps, so an undersized
+          // domain would silently diverge the pair at larger corpora
+          val dId = DimMapping(0L, (1L << 40) - 1, 1L << 33)
           val dTok = DimMapping(0L, 1023L, 64L)
           val path = s"/tmp/graft_world_pipe_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
           val w = new World(s, path,

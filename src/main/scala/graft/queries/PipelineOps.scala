@@ -449,11 +449,11 @@ object PipelineOps {
                     ELSE '' END AS text
                 FROM documents)
               SELECT doc_id,
-                CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
                 CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
                 CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ips,
                 regexp_replace(regexp_replace(regexp_replace(text,
-                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                   '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
                   '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g') AS redacted
               FROM seeded ORDER BY doc_id""")

@@ -107,9 +107,18 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     // as a prefix — scrambling any intra-chunk sort placed below it
     // (verified empirically; the bucket prefix makes the writer reuse this
     // sort instead)
+    // the z-key interleaves the CHUNK-LOCAL offset of each dim
+    // (remainderUnsigned(value - start, ipc), always in [0, ipc) — the
+    // wrap-safe native ChunkOffset, because raw dim values would be masked
+    // to ZValue's bit budget and large-valued dims like timestamps would
+    // wrap into a scrambled order, and ANSI mode throws on the plain-SQL
+    // wrapping arithmetic). Exact whenever ipc fits the per-dim bit budget
+    // (63/n bits), which any sane chunk sizing does.
     val intraSort =
       if (zorderWithinChunks && dims.size >= 2)
-        Seq(graft.ops.ZOrder.zvalue(dims.map(d => col(d.column)): _*))
+        Seq(graft.ops.ZOrder.zvalue(dims.map(d =>
+          graft.functions.ChunkOffset(col(d.column),
+            d.mapping.start, d.mapping.itemsPerChunk)): _*))
       else dims.map(d => col(d.column))
     val bucketed = withBuckets(validate(df))
       .repartition(bucketCols.map(col): _*)

@@ -83,6 +83,16 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val f4 = Dedup.incrementalNearDedup(w, b3, "doc_id", "text")
     assert(f4.select("doc_id").as[Long].collect().toSet == Set(20L))
     assert(w.df.count() == 16)
+    // PARTIAL-registration repair: simulate a run that crashed mid-commit
+    // by destroying 2 of doc 1's 4 block rows (blk64 = doc_id*4 + blockIdx)
+    w.destroy(Seq(1L * 4 + 2, 1L * 4 + 3))
+    assert(w.df.count() == 14)
+    // replaying doc 1's batch admits nothing (self-hit on the surviving
+    // blocks) but MUST re-register the missing block rows — otherwise a
+    // future near-dup sharing only a destroyed block would slip through
+    val f5 = Dedup.incrementalNearDedup(w, b1, "doc_id", "text")
+    assert(f5.isEmpty, "replay after partial registration must admit nothing")
+    assert(w.df.count() == 16, "missing block rows must be repaired on replay")
     Pins.releaseAll()
     assert(Pins.retainedCount == 0)
   }
