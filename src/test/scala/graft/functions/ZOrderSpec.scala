@@ -50,6 +50,24 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gen.forall { case (a, b) => a >= 0 && b >= 0 })
   }
 
+  test("ChunkOffset: codegen and interpreted agree; wrap-safe on the full u64 domain") {
+    import spark.implicits._
+    // a wrapping-domain world dim: start 2^63 (negative as signed), ipc 2^59
+    val df = Seq(Long.MinValue, Long.MinValue + 3, -1L, 42L).toDF("v")
+    def run(codegen: String): Seq[Long] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try df.select(ChunkOffset(col("v"), Long.MinValue, 1L << 59)).as[Long]
+        .collect().toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val gen = run("CODEGEN_ONLY")
+    assert(gen == run("NO_CODEGEN"))
+    val want = Seq(Long.MinValue, Long.MinValue + 3, -1L, 42L).map(v =>
+      java.lang.Long.remainderUnsigned(v - Long.MinValue, 1L << 59))
+    assert(gen == want)
+    assert(gen.forall(o => o >= 0 && o < (1L << 59)), "offsets stay in [0, ipc)")
+  }
+
   test("null dims propagate to a null key") {
     import spark.implicits._
     val df = Seq((Some(3L), Some(5L)), (None, Some(5L)), (Some(3L), None))
