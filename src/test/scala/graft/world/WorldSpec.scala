@@ -218,6 +218,24 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaConnector == Set(5L, 23L) && viaParquet == Set(5L, 23L))
   }
 
+  test("DataSource V2 write declares clustering: one file per chunk, not tasks x chunks") {
+    import spark.implicits._
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
+    w.create(Seq.empty[(Long, Long)].toDF("d0", "d1"))
+    // 40 rows of ONE chunk spread across 8 input partitions: without the
+    // RequiresDistributionAndOrdering clustering every partition would
+    // write its own file into the chunk dir (8 files); with it, Spark
+    // shuffles by bucket first and the chunk is written by one task
+    val rows = (0L until 40L).map(i => (20L + i % 10, 30L + (i / 4) % 10))
+    w.withBuckets(rows.toDF("d0", "d1").repartition(8))
+      .write.format("graft").mode("append").save(w.path)
+    val files = new java.io.File(w.path + "/c0=2/c1=3").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected one clustered file per chunk, got $files")
+    assert(spark.read.format("graft").load(w.path).count() == 40)
+  }
+
   test("DataSource V2 write to a VIRGIN path is readable back (sidecar written on commit)") {
     import spark.implicits._
     // no World.create, no prior sidecar — the connector sink must be
