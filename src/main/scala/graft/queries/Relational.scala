@@ -344,6 +344,31 @@ object Relational {
               INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000
               ORDER BY c_custkey""")
     ),
+    // multiset (ALL) set ops — bag semantics preserve duplicate
+    // multiplicities, which the distinct forms above erase; natural
+    // duplicates come from lineitem part keys
+    "q_set_intersect_all" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.where(col("l_quantity") > 45).select("l_partkey")
+          .intersectAll(li.where(col("l_returnflag") === "R").select("l_partkey"))
+          .orderBy("l_partkey")
+      },
+      Some("""SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+              INTERSECT ALL SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+              ORDER BY l_partkey""")
+    ),
+    "q_set_except_all" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.where(col("l_quantity") > 45).select("l_partkey")
+          .exceptAll(li.where(col("l_returnflag") === "R").select("l_partkey"))
+          .orderBy("l_partkey")
+      },
+      Some("""SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+              EXCEPT ALL SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+              ORDER BY l_partkey""")
+    ),
     "q_set_except" -> QueryDef(
       (s, dir) => {
         val c = t(s, dir, "customer")
