@@ -22,6 +22,8 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class ChunkOf(child: Expression, start: Long, itemsPerChunk: Long)
     extends UnaryExpression {
 
+  require(itemsPerChunk != 0, "chunk_of: itemsPerChunk must be non-zero")
+
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -62,6 +64,8 @@ object ChunkOf {
   * into [[ZValue]]. */
 case class ChunkOffset(child: Expression, start: Long, itemsPerChunk: Long)
     extends UnaryExpression {
+
+  require(itemsPerChunk != 0, "chunk_offset: itemsPerChunk must be non-zero")
 
   override def dataType: DataType = LongType
 

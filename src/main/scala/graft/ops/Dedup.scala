@@ -166,7 +166,12 @@ object Dedup {
       .select("__ia", "__ha", "__ib", "__hb").distinct()
       .where(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxDist)
       .select(col("__ib").as(idCol)).distinct()
-    val intra = sigs.join(intraDrops, Seq(idCol), "left_anti")
+    // pinned: intra is the shared subtree of the store probe, the fresh
+    // anti-join, AND the registration rows — unpinned, the simhash pass
+    // and the quadratic-candidate self-join above would re-execute once
+    // per consumer on every batch (released by the caller via
+    // Pins.releaseAll, like every pin in this family)
+    val intra = Pins.pin(sigs.join(intraDrops, Seq(idCol), "left_anti"))
 
     def blockRows(df: DataFrame): DataFrame = blocksOf(df).select(
       (col(idCol) * nBlocks + col("__bi")).as(dimCol),

@@ -191,21 +191,33 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
     b.named("graft_chunk")
   }
 
-  private val writers =
-    scala.collection.mutable.Map.empty[Seq[Long], (ParquetWriter[org.apache.parquet.example.data.Group], String)]
+  // ONE writer open at a time: the write plan declares clustering +
+  // bucket-leading ordering (GraftWriteBuilder), so a task sees each of
+  // its chunks as one contiguous run — the previous chunk's writer closes
+  // (flushing its row-group buffer) before the next opens, keeping task
+  // memory at one row-group regardless of how many chunks the task owns.
+  // A caller feeding UNSORTED rows still gets correct output (a revisited
+  // bucket opens a fresh uniquely-named file), just more files.
+  private var current: Option[(Seq[Long], ParquetWriter[org.apache.parquet.example.data.Group])] = None
+  private val files = scala.collection.mutable.ArrayBuffer.empty[String]
   private var counter = 0
 
   private def writerFor(bucket: Seq[Long]): ParquetWriter[org.apache.parquet.example.data.Group] =
-    writers.getOrElseUpdate(bucket, {
-      val dir = bucketIdx.indices.map(i => s"c$i=${bucket(i)}").mkString("/")
-      val file = s"$path/$dir/part-$partitionId-$taskId-$counter.parquet"
-      counter += 1
-      val c = new Configuration(conf)
-      GroupWriteSupport.setSchema(messageType, c)
-      val w = ExampleParquetWriter.builder(new Path(file)).withConf(c)
-        .withType(messageType).build()
-      (w, file)
-    })._1
+    current match {
+      case Some((b, w)) if b == bucket => w
+      case _ =>
+        current.foreach(_._2.close())
+        val dir = bucketIdx.indices.map(i => s"c$i=${bucket(i)}").mkString("/")
+        val file = s"$path/$dir/part-$partitionId-$taskId-$counter.parquet"
+        counter += 1
+        files += file
+        val c = new Configuration(conf)
+        GroupWriteSupport.setSchema(messageType, c)
+        val w = ExampleParquetWriter.builder(new Path(file)).withConf(c)
+          .withType(messageType).build()
+        current = Some((bucket, w))
+        w
+    }
 
   override def write(row: InternalRow): Unit = {
     val bucket: Seq[Long] = bucketIdx.toSeq.map { i =>
@@ -252,16 +264,16 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
   }
 
   override def commit(): WriterCommitMessage = {
-    writers.values.foreach(_._1.close())
-    GraftCommitMessage(writers.values.map(_._2).toSeq)
+    current.foreach(_._2.close())
+    current = None
+    GraftCommitMessage(files.toSeq)
   }
 
   override def abort(): Unit = {
-    writers.values.foreach { case (w, f) =>
-      try w.close() catch { case _: Throwable => () }
-      FileSystem.get(new java.net.URI(path), new Configuration())
-        .delete(new Path(f), false)
-    }
+    current.foreach(c => try c._2.close() catch { case _: Throwable => () })
+    current = None
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    files.foreach(f => fs.delete(new Path(f), false))
   }
 
   override def close(): Unit = ()

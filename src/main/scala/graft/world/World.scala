@@ -115,11 +115,19 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     // wrapping arithmetic). Exact whenever ipc fits the per-dim bit budget
     // (63/n bits), which any sane chunk sizing does.
     val intraSort =
-      if (zorderWithinChunks && dims.size >= 2)
+      if (zorderWithinChunks && dims.size >= 2) {
+        // loud, not silent: an ipc beyond the bit budget would be masked
+        // by ZValue and the layout would come out scrambled with no error
+        val budget = 63 / dims.size
+        dims.foreach(d => require(
+          java.lang.Long.compareUnsigned(d.mapping.itemsPerChunk, 1L << budget) <= 0,
+          s"zorderWithinChunks: dim ${d.column} itemsPerChunk " +
+            s"${d.mapping.itemsPerChunk} exceeds the $budget-bit z-budget " +
+            s"for ${dims.size} dims; use a finer chunk grid or the dim sort"))
         Seq(graft.ops.ZOrder.zvalue(dims.map(d =>
           graft.functions.ChunkOffset(col(d.column),
             d.mapping.start, d.mapping.itemsPerChunk)): _*))
-      else dims.map(d => col(d.column))
+      } else dims.map(d => col(d.column))
     val bucketed = withBuckets(validate(df))
       .repartition(bucketCols.map(col): _*)
       .sortWithinPartitions(bucketCols.map(col) ++ intraSort: _*)
