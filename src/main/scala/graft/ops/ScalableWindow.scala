@@ -263,7 +263,16 @@ object ScalableWindow {
     * closed form: with N rows, the first N mod k tiles get floor(N/k)+1
     * rows, the rest floor(N/k). N rides along as a broadcast single-row
     * aggregate — no second data-sized window, no driver collect. */
-  def ntile(df: DataFrame, order: Seq[Column], k: Int, out: String): DataFrame = {
+  def ntile(df: DataFrame, order: Seq[Column], k: Int, out: String): DataFrame =
+    ntileAndPercentRank(df, order, k, out, "__pct").drop("__pct")
+
+  /** NTILE(k) and PERCENT_RANK in ONE pass over a TOTAL order (include a
+    * unique tie-break): both are closed forms of the same scalable row
+    * number — under a total order rank == row number, so PERCENT_RANK =
+    * (rn-1)/(N-1). For tie-aware PERCENT_RANK over a non-total order use
+    * [[distribution]]. */
+  def ntileAndPercentRank(df: DataFrame, order: Seq[Column], k: Int,
+      outTile: String, outPct: String): DataFrame = {
     require(k > 0, "ntile width must be positive")
     val ranked = rowNumber(df, order, "_rk")
     val total = ranked.agg(count(lit(1)).as("_N"))
@@ -272,11 +281,15 @@ object ScalableWindow {
       .withColumn("_r", col("_N") % k)
       // rows 1..r*(q+1) fall in the r bigger tiles; the q=0 (N<k) edge never
       // reaches the else branch (cut = N there), so its div by _q=0 is dead
-      .withColumn(out,
+      .withColumn(outTile,
         when(col("_rk") <= col("_r") * (col("_q") + 1),
           expr("(_rk - 1) div (_q + 1) + 1"))
           .otherwise(expr("_r + (_rk - _r * (_q + 1) - 1) div _q + 1"))
           .cast("long"))
+      .withColumn(outPct,
+        when(col("_N") > 1,
+          (col("_rk") - 1).cast("double") / (col("_N") - 1).cast("double"))
+          .otherwise(lit(0.0)))
       .drop("_rk", "_N", "_q", "_r")
   }
 }

@@ -78,14 +78,16 @@ object Extended {
               FROM g ORDER BY l_suppkey, l_orderkey""")
     ),
 
+    // global NTILE + PERCENT_RANK on the scalable two-phase path (was the
+    // registry's last single-reducer global window — caught by
+    // RegistryScaleSpec): one range partition, closed forms from the
+    // per-slice row number, oracle-pinned to the single-reducer SQL
     "q_window_ntile" -> QueryDef(
-      (s, dir) => {
-        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-        t(s, dir, "customer")
-          .select(col("c_custkey"), ntile(4).over(w).cast("long").as("quartile"),
-            percent_rank().over(w).as("pr"))
-          .orderBy("c_custkey")
-      },
+      (s, dir) => graft.ops.ScalableWindow.ntileAndPercentRank(
+          t(s, dir, "customer").select("c_custkey", "c_acctbal"),
+          Seq(col("c_acctbal").desc, col("c_custkey")), 4, "quartile", "pr")
+        .select("c_custkey", "quartile", "pr")
+        .orderBy("c_custkey"),
       Some("""SELECT c_custkey,
                 CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile,
                 PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pr
