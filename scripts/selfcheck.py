@@ -13,6 +13,8 @@ import duckdb
 import pandas as pd
 import hashlib
 
+SELFTEST = len(sys.argv) > 1 and sys.argv[1] == "--selftest"
+
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
@@ -20,10 +22,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
-for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-
-oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+if not SELFTEST:
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
 def canon(df: pd.DataFrame) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -47,6 +49,57 @@ def canon(df: pd.DataFrame) -> str:
         h.update(r.encode())
         h.update(b"\n")
     return h.hexdigest()
+
+def gate_compat(name, got: pd.DataFrame, want: pd.DataFrame):
+    """Replicate the two driver-gate strictness axes our %.9g canon masks
+    (found in round-6 judging — see VERDICT r6 'What's wrong' #4):
+      (a) dtype drift: a bare SUM(BIGINT) in an oracle promotes to HUGEINT,
+          which pandas reads as float64 while Spark emits int64; the
+          driver's canon renders 432.0 vs 432 -> hash mismatch even with
+          identical values. Fail on any int-vs-float column-kind mismatch.
+      (b) sortability: the driver sorts with pandas sort_values over ALL
+          columns; array-typed cells (numpy.ndarray) are unhashable and
+          throw. Dry-run the same sort on both frames.
+    Returns an error string or None."""
+    for c in got.columns:
+        if c not in want.columns:
+            continue
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        if {gk, wk} <= set("iuf") and ("f" in (gk, wk)) and (gk != wk):
+            return (f"dtype drift on column '{c}': spark={got[c].dtype} vs "
+                    f"oracle={want[c].dtype} (driver canon renders these "
+                    "differently — CAST the oracle aggregate)")
+    for side, df in (("spark", got), ("oracle", want)):
+        try:
+            df.sort_values(list(df.columns))
+        except Exception as e:
+            return (f"{side} output not driver-sortable "
+                    f"({type(e).__name__}: {e}) — emit scalar columns only")
+    return None
+
+if SELFTEST:
+    # Prove the gate catches the two round-6 driver-gate failure classes.
+    import numpy as np
+    spark_like = pd.DataFrame({"k": ["a"], "sum_k": pd.array([432], dtype="int64")})
+    # a deliberately-bare SUM(BIGINT): DuckDB HUGEINT -> pandas float64
+    oracle_like = con.sql(
+        "SELECT 'a' AS k, SUM(v) AS sum_k FROM (SELECT CAST(432 AS BIGINT) v) GROUP BY 1").df()
+    assert oracle_like["sum_k"].dtype.kind == "f", \
+        f"selftest premise broken: {oracle_like['sum_k'].dtype}"
+    arr_df = pd.DataFrame({"k": ["a", "b"], "xs": [np.array([1, 2]), np.array([3])]})
+    ok_df = pd.DataFrame({"k": ["a"], "sum_k": pd.array([432], dtype="int64")})
+    checks = [
+        ("bare-SUM dtype drift flagged",
+         gate_compat("t1", spark_like, oracle_like) is not None),
+        ("array output unsortable flagged",
+         gate_compat("t2", arr_df, arr_df) is not None),
+        ("clean frames pass",
+         gate_compat("t3", ok_df, ok_df.copy()) is None),
+    ]
+    bad = [n for n, ok in checks if not ok]
+    for n, ok in checks:
+        print(f"  [{'ok' if ok else 'FAIL'}] selftest: {n}")
+    sys.exit(1 if bad else 0)
 
 fails, passes, skips = [], 0, 0
 for d in sorted(glob.glob(f"{OUT}/*")):
@@ -73,6 +126,10 @@ for d in sorted(glob.glob(f"{OUT}/*")):
     gc, wc = sorted(got.columns), sorted(want.columns)
     if gc != wc:
         fails.append((name, f"columns {gc} != {wc}"))
+        continue
+    compat = gate_compat(name, got, want)
+    if compat is not None:
+        fails.append((name, f"driver-gate compat: {compat}"))
         continue
     hg, hw = canon(got), canon(want)
     if hg != hw:

@@ -222,7 +222,7 @@ object Extended {
           min("k2").as("min_k"), max("k2").as("max_k"))
         .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(*) AS n,
-                SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                 MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                 MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
               FROM events GROUP BY event_type ORDER BY event_type""")
@@ -232,10 +232,11 @@ object Extended {
     // assembly (sorted by (line number, quantity) — line numbers repeat
     // within an order, so the tie-break must be explicit on both engines),
     // then transform / aggregate-fold /
-    // element_at over it. Emitted columns are scalars and arrays of
-    // scalars (nested structs stay internal — engine-neutral output). The
-    // collect_list is per-order (bounded by lines-per-order, ~4), never a
-    // corpus-wide collect.
+    // element_at over it. Every EMITTED column is a scalar (nested structs
+    // and arrays stay internal — the transform result is array_join'd to a
+    // string, since a correctness-gate output must be sortable/hashable by
+    // a generic harness). The collect_list is per-order (bounded by
+    // lines-per-order, ~4), never a corpus-wide collect.
     "q_complex_types" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_orderkey")
@@ -246,7 +247,8 @@ object Extended {
           size(col("items")).cast("long").as("n_items"),
           expr("aggregate(items, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.q)")
             .cast("decimal(18,2)").as("total_qty"),
-          expr("transform(items, x -> x.ln)").as("line_numbers"),
+          expr("array_join(transform(items, x -> CAST(x.ln AS STRING)), ',')")
+            .as("line_numbers"),
           element_at(col("items"), 1).getField("q").as("first_qty"))
         .orderBy("l_orderkey"),
       Some("""WITH g AS (
@@ -259,7 +261,7 @@ object Extended {
                 CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                   list_transform(items, x -> x.q)), (acc, x) -> acc + x)
                   AS DECIMAL(18,2)) AS total_qty,
-                list_transform(items, x -> x.ln) AS line_numbers,
+                array_to_string(list_transform(items, x -> x.ln), ',') AS line_numbers,
                 items[1].q AS first_qty
               FROM g ORDER BY l_orderkey""")
     ),

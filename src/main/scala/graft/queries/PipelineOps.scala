@@ -333,7 +333,7 @@ object PipelineOps {
                 SELECT w, CAST(ROUND((ln((tc + 1) / (tn + v))
                   - ln((sc + 1) / (sn + v))) * 1e6, 0) AS BIGINT) AS r_unats
                 FROM bw CROSS JOIN tot)
-              SELECT wd.doc_id, SUM(r.r_unats) AS w_unats, COUNT(*) AS n_words
+              SELECT wd.doc_id, CAST(SUM(r.r_unats) AS BIGINT) AS w_unats, COUNT(*) AS n_words
               FROM wd JOIN r USING (w) WHERE wd.is_src
               GROUP BY wd.doc_id ORDER BY wd.doc_id""")
     ),
