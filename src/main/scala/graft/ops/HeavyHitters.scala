@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 
 /** Exact distributed heavy hitters (frequent items with count >= T).
@@ -10,17 +10,30 @@ import org.apache.spark.sql.functions._
   * row count (user ids, URLs, IPs at 100 TB), where the shuffle IS the
   * job. This runs the classic two-phase exact scheme instead:
   *
-  *   1. candidate generation: each partition counts locally (the same
-  *      hashmap Spark's own partial aggregate would build) and emits ONLY
+  *   1. candidate generation: each partition counts locally and emits ONLY
   *      keys with local count >= ceil(T/P). Pigeonhole guarantees this is
   *      a superset of the true answer: if every one of P partitions held
   *      fewer than ceil(T/P) copies, the global total would be at most
   *      P*(ceil(T/P)-1) < T. Everything below the local floor — the long
   *      tail, which is almost everything — never leaves its partition.
   *   2. exact verify: a semi-join keeps only candidate rows (the candidate
-  *      set is tiny — at most N/floor keys — so AQE broadcasts it), then
-  *      an ordinary exact count + threshold filter. No approximation
-  *      survives into the result.
+  *      set is small, so AQE broadcasts it), then an ordinary exact count +
+  *      threshold filter. No approximation survives into the result.
+  *
+  * The local map is CAPPED at `localMapCap` entries (Spark's own partial
+  * aggregate spills in this regime; an unbounded per-task hashmap would be
+  * the one operator here that can OOM an executor). On overflow the light
+  * half of the map (entries at or below the median count) is FLUSHED — the
+  * flushed keys are emitted as candidates, not dropped. That preserves the
+  * exact superset unconditionally: a key whose local count reaches the
+  * floor either survives every flush (so its final map count is its
+  * complete local count, >= floor, and the end-of-partition sweep emits
+  * it) or was removed by some flush (and that flush emitted it). Under
+  * adversarial cardinality the scheme therefore degrades to a WIDER
+  * candidate set — in the limit, the same volume the naive GROUP BY would
+  * shuffle — never to an incorrect answer or an executor OOM. Each flush
+  * frees at least half the map, so the amortized cost per input row stays
+  * O(1).
   *
   * The pigeonhole floor is computed INSIDE each task from
   * `TaskContext.numPartitions` — the P of the very execution doing the
@@ -30,27 +43,97 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
+  /** Default cap on per-task local-count map entries (~a few MB of boxed
+    * entries per task; 32 tasks x that is nothing, and the guarantee does
+    * not depend on the value — only candidate-set width does). */
+  val DefaultLocalMapCap: Int = 1 << 16
+
   /** Keys of `keyCol` (a bigint column) occurring at least `minCount`
     * times, with their exact counts as `n`. NULL keys (and values a bigint
     * cast nulls out) are excluded — callers wanting null tallies filter or
     * encode first. */
-  def exact(df: DataFrame, keyCol: String, minCount: Long): DataFrame = {
-    require(minCount >= 1, s"minCount must be positive, got $minCount")
+  def exact(df: DataFrame, keyCol: String, minCount: Long,
+            localMapCap: Int = DefaultLocalMapCap): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val keys = df.select(col(keyCol).cast("long"))
       .where(col(keyCol).isNotNull).as[Long]
-    val candidates = keys.mapPartitions { it =>
-      val p = math.max(org.apache.spark.TaskContext.get().numPartitions(), 1)
-      val localFloor = (minCount + p - 1) / p
-      val counts = scala.collection.mutable.LongMap.empty[Long]
-      it.foreach(k => counts(k) = counts.getOrElse(k, 0L) + 1L)
-      counts.iterator.collect { case (k, c) if c >= localFloor => k }
-    }.toDF(keyCol).distinct()
-    df.select(col(keyCol).cast("long").as(keyCol))
-      .join(candidates, Seq(keyCol), "left_semi")
+    verify(df.select(col(keyCol).cast("long").as(keyCol)),
+      candidates(keys, minCount, localMapCap).toDF(keyCol), keyCol, minCount)
+  }
+
+  /** String-keyed face — the actual 100-TB shape (URLs, domains,
+    * user-agents, tokens). Same exact two-phase scheme; the local map keys
+    * the strings themselves (bounded by `localMapCap` entries, so a
+    * high-cardinality URL stream widens candidates instead of growing the
+    * map). */
+  def exactString(df: DataFrame, keyCol: String, minCount: Long,
+                  localMapCap: Int = DefaultLocalMapCap): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string"))
+      .where(col(keyCol).isNotNull).as[String]
+    verify(df.select(col(keyCol).cast("string").as(keyCol)),
+      candidates(keys, minCount, localMapCap).toDF(keyCol), keyCol, minCount)
+  }
+
+  private def verify(rows: DataFrame, cand: DataFrame, keyCol: String,
+                     minCount: Long): DataFrame =
+    rows.join(cand.distinct(), Seq(keyCol), "left_semi")
       .groupBy(keyCol)
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
+
+  private def candidates[K: Encoder](keys: Dataset[K], minCount: Long,
+                                     cap: Int): Dataset[K] = {
+    require(minCount >= 1, s"minCount must be positive, got $minCount")
+    require(cap >= 2, s"localMapCap must be >= 2, got $cap")
+    keys.mapPartitions { it =>
+      val p = math.max(org.apache.spark.TaskContext.get().numPartitions(), 1)
+      val localFloor = (minCount + p - 1) / p
+      new CandidateIter(it, localFloor, cap)
+    }
+  }
+
+  /** Streaming candidate generator: consumes the partition's rows through a
+    * capped count map, interleaving flush emissions with consumption so no
+    * unbounded buffer of emitted keys ever exists either. */
+  private final class CandidateIter[K](input: Iterator[K], localFloor: Long,
+                                       cap: Int) extends Iterator[K] {
+    private val counts = scala.collection.mutable.HashMap.empty[K, Long]
+    private var pending: Iterator[K] = Iterator.empty
+    private var done = false
+
+    override def hasNext: Boolean = {
+      while (!pending.hasNext && !done) {
+        if (!input.hasNext) {
+          pending = counts.iterator.collect { case (k, c) if c >= localFloor => k }
+          done = true
+        } else {
+          val k = input.next()
+          val c = counts.getOrElse(k, 0L)
+          if (c > 0L || counts.size < cap) counts.update(k, c + 1L)
+          else {
+            // full and k is new: flush the light half (median and below) as
+            // candidates; >= half the entries sit at or below the median,
+            // so each flush frees >= cap/2 slots
+            val cs = counts.valuesIterator.toArray
+            java.util.Arrays.sort(cs)
+            val median = cs(cs.length / 2)
+            val light = scala.collection.mutable.ArrayBuffer.empty[K]
+            counts.foreach { case (lk, lc) => if (lc <= median) light += lk }
+            light.foreach(counts.remove)
+            counts.update(k, 1L)
+            pending = light.iterator
+          }
+        }
+      }
+      pending.hasNext
+    }
+
+    override def next(): K = {
+      if (!hasNext) throw new NoSuchElementException("empty candidate iterator")
+      pending.next()
+    }
   }
 }

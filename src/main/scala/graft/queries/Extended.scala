@@ -186,6 +186,31 @@ object Extended {
               ORDER BY user_id""")
     ),
 
+    // STRING-keyed exact heavy hitters — the shape the op actually meets at
+    // 100 TB (URLs, domains, user-agents, tokens): frequent words across
+    // the corpus, >= 3.3% of all tokens. Exercises HeavyHitters.exactString
+    // (capped local map; overflow flushes evictees into the candidate set,
+    // so high-cardinality keys widen candidates instead of growing memory).
+    // Tokenization matches the DSIR/token queries (lower, split \s+, drop
+    // empties) so the oracle unnest is engine-identical.
+    "q_heavy_hitters_str" -> QueryDef(
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+          .where(col("word") =!= "")
+        val minCount = math.ceil(words.count() * 0.033).toLong
+        graft.ops.HeavyHitters.exactString(words, "word", minCount)
+          .orderBy("word")
+      },
+      Some("""WITH w AS (
+                SELECT unnest(list_filter(
+                  string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS word
+                FROM documents)
+              SELECT word, COUNT(*) AS n FROM w GROUP BY word
+              HAVING COUNT(*) >= CEIL(0.033 * (SELECT COUNT(*) FROM w))
+              ORDER BY word""")
+    ),
+
     "w_schema_evolution" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.functions.col

@@ -42,6 +42,45 @@ class HeavyHittersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((42L, 8L)))
   }
 
+  test("string keys match brute-force GROUP BY / HAVING") {
+    import spark.implicits._
+    val words = Seq.fill(9)("alpha") ++ Seq.fill(6)("beta") ++
+      Seq.fill(2)("gamma") ++ Seq("delta")
+    val input = spark.sparkContext.parallelize(words, 4).toDF("w")
+    val got = HeavyHitters.exactString(input, "w", minCount = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("alpha", 9L), ("beta", 6L)))
+  }
+
+  test("capped local map stays exact under overflow (cardinality >> cap)") {
+    // cap of 16 against ~600 distinct keys per partition: every partition
+    // overflows many times; the median-flush must keep emitting evicted
+    // keys as candidates so the final answer still equals brute force
+    val rnd = new scala.util.Random(7)
+    val keys = Seq.fill(6000) {
+      if (rnd.nextInt(4) == 0) rnd.nextInt(3).toLong else rnd.nextInt(2000).toLong
+    }
+    val input = df(keys, 4)
+    for (t <- Seq(5L, 40L, 300L)) {
+      val got = HeavyHitters.exact(input, "k", t, localMapCap = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = input.groupBy("k").agg(count(lit(1)).as("n"))
+        .where(col("n") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"threshold $t with cap 16")
+    }
+  }
+
+  test("a heavy key spread at the floor survives a tiny cap") {
+    // same boundary case as above but with cap 4, so the heavy key itself
+    // gets evicted and re-inserted mid-partition — the flush emission path
+    // is what must carry it into the candidate set
+    val spread = (0 until 4).flatMap(p => Seq.tabulate(6)(i => p * 100L + i) ++ Seq(42L, 42L))
+    val got = HeavyHitters.exact(df(spread, 4), "k", minCount = 8, localMapCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((42L, 8L)))
+  }
+
   test("seeded fuzz: matches brute-force GROUP BY / HAVING") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {
