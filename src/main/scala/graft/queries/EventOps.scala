@@ -115,6 +115,31 @@ object EventOps {
               FROM events WHERE event_type = 'error' ORDER BY event_id""")
     ),
 
+    // batch twin of EventStreams.heavyHitterStream: for each key that ever
+    // reaches the frequency threshold, the event time at which it crossed —
+    // one window partitioned by user_id (never global), the same (ts,
+    // event_id) total order the streaming op applies per batch. Threshold
+    // derives from a metadata-only count() like q_heavy_hitters.
+    "e_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        val e = ev(s, dir)
+        val minCount = math.ceil(e.count() * 0.008).toLong
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("n", count(lit(1)).over(w))
+          .where(col("n") === minCount)
+          .select(col("user_id"), unix_micros(col("ts")).as("became_heavy_us"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS became_heavy_us
+              FROM (SELECT user_id, ts,
+                      COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS n
+                    FROM events)
+              WHERE n = CEIL(0.008 * (SELECT COUNT(*) FROM events))
+              ORDER BY user_id""")
+    ),
+
     "e_asof_join" -> QueryDef(
       // for each click: the most recent strictly-earlier error of the same
       // user. Implemented scalably (one shuffle by user_id): tag-union +

@@ -81,6 +81,52 @@ object EventStreams {
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserRun(user_id: Long, n_errors: Long, alert: Boolean)
+  final case class KeyBecameHeavy(user_id: Long, became_heavy_us: Long)
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+
+  /** Streaming exact heavy hitters: each key is emitted ONCE, at the exact
+    * event where its running count reaches `threshold` (the streaming face
+    * of ops.HeavyHitters — "when did this key become frequent"). State is
+    * one long per observed key; with `idleTimeout` set, keys that stop
+    * arriving are evicted after that processing-time gap, bounding state to
+    * recently-active keys on an infinite stream (the standard frequent-items
+    * tradeoff: an evicted key that resumes restarts its count). Within a
+    * batch, rows are ordered by (event time, event_id) so the crossing event
+    * is deterministic regardless of shuffle arrival order; the per-group
+    * sort is per-key-per-batch, never global.
+    *
+    * Batch twin (same semantics relationally, DuckDB-checked):
+    * `e_heavy_hitters` in graft.queries.EventOps. */
+  def heavyHitterStream(spark: SparkSession, events: Dataset[Ev],
+      threshold: Long, idleTimeout: Option[String] = None): Dataset[KeyBecameHeavy] = {
+    import spark.implicits._
+    require(threshold >= 1, s"threshold must be positive, got $threshold")
+    val conf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, KeyBecameHeavy](OutputMode.Append, conf) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+            var c = state.getOption.getOrElse(0L)
+            var hit: Option[KeyBecameHeavy] = None
+            sorted.foreach { e =>
+              c += 1
+              if (c == threshold) hit = Some(KeyBecameHeavy(uid, micros(e.ts)))
+            }
+            state.update(c)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            hit.iterator
+          }
+      }
+  }
 
   /** Custom stateful op: per-user running error count with an alert once it
     * crosses `threshold` — the mapGroupsWithState pattern for state Spark's

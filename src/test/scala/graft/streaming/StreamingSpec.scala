@@ -264,6 +264,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: key emitted once, at the exact crossing event") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[EventStreams.Ev]
+    val out = EventStreams.heavyHitterStream(spark, src.toDS(), threshold = 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hh_out").start()
+    try {
+      def ev(id: Long, uid: Long) =
+        EventStreams.Ev(id, new java.sql.Timestamp(id * 1000), uid, "click", 1.0)
+      // batch 1: user 1 twice, user 2 once — nobody crosses
+      src.addData(ev(1, 1), ev(2, 1), ev(3, 2))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM hh_out").isEmpty)
+      // batch 2: user 1 crosses at event 5 (its 3rd), user 2 stays at 2
+      src.addData(ev(4, 2), ev(5, 1), ev(6, 1))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, became_heavy_us FROM hh_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 5L * 1000000L)))
+      // batch 3: user 1 already heavy — never re-emitted; user 2 crosses now
+      src.addData(ev(7, 1), ev(8, 2))
+      q.processAllAvailable()
+      val got2 = spark.sql("SELECT user_id, became_heavy_us FROM hh_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 == Set((1L, 5L * 1000000L), (2L, 8L * 1000000L)))
+    } finally q.stop()
+  }
+
+  test("streaming heavy hitters: within-batch crossing picks the (ts, event_id) order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[EventStreams.Ev]
+    val out = EventStreams.heavyHitterStream(spark, src.toDS(), threshold = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hh_order_out").start()
+    try {
+      // same user, added in REVERSE id order within one batch with one ts
+      // tie — the op must sort by (ts, event_id), so the 2nd event in that
+      // order (id 21, ts 10) is the crossing, not an arrival-order artifact
+      def at(id: Long, tsUs: Long) = EventStreams.Ev(
+        id, java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(tsUs * 1000)),
+        7L, "click", 1.0)
+      src.addData(at(22, 10), at(21, 10), at(20, 5))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, became_heavy_us FROM hh_order_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((7L, 10L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: click joins error of same user within 30 min") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
