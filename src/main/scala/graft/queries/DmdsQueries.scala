@@ -256,6 +256,47 @@ object DmdsQueries {
                 AND ((event_id - 0) // 8192) BETWEEN ${e._1} AND ${e._2}
               ORDER BY event_id"""
         }
+      ),
+
+      "w_zorder_scan" -> QueryDef(
+        // end-to-end over the Z-ORDERED layout: create the world with
+        // zorderWithinChunks (intra-chunk rows follow the Morton curve of
+        // both dims instead of the lexicographic dim sort), then run a
+        // 2-dim box query — chunk-granular pruning plus the row-exact
+        // residual on BOTH dims. The residual is where the z-layout pays
+        // off at scale: z-sorted row groups keep every dim's min/max
+        // envelope small, so the pushed residual filters skip row groups
+        // inside surviving chunks no matter which dim they constrain
+        // (w_zorder pins the key arithmetic; ZOrderSpec measures the
+        // files-touched win; this declares the layout through the oracle
+        // path). Identical results to a dim-sorted world by construction —
+        // layout changes row ORDER inside files only — which is exactly
+        // what the oracle must prove.
+        (s, dir) => {
+          val sd0 = DimMapping(0L, (1L << 20) - 1, 8192L)
+          val sd1 = DimMapping(0L, (1L << 14) - 1, 128L)
+          val path = s"/tmp/graft_world_z_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+          val w = new World(s, path,
+            Seq(DimSpec("event_id", sd0), DimSpec("user_id", sd1)))
+          w.create(events(s, dir).select("event_id", "user_id", "event_type", "value"),
+            zorderWithinChunks = true)
+          w.select(0, Bounds.to(2000, 9999)).and(1, Bounds.to(64, 191)).iter()
+            .where(col("event_id").between(2000, 9999) &&
+              col("user_id").between(64, 191))
+            .select("event_id", "user_id", "event_type", "value")
+            .orderBy("event_id")
+        },
+        Some {
+          val sd0 = DimMapping(0L, (1L << 20) - 1, 8192L)
+          val sd1 = DimMapping(0L, (1L << 14) - 1, 128L)
+          val e = cr(sd0, Bounds.to(2000, 9999)); val u = cr(sd1, Bounds.to(64, 191))
+          s"""SELECT event_id, user_id, event_type, value FROM events
+              WHERE ((event_id - 0) // 8192) BETWEEN ${e._1} AND ${e._2}
+                AND ((user_id - 0) // 128) BETWEEN ${u._1} AND ${u._2}
+                AND event_id BETWEEN 2000 AND 9999
+                AND user_id BETWEEN 64 AND 191
+              ORDER BY event_id"""
+        }
       )
     )
   }

@@ -20,6 +20,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // plan STRINGS are the assertion surface here; default metadata
+    // truncation (100 chars) would hide pushed-filter entries
+    .config("spark.sql.maxMetadataStringLength", "2000")
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
@@ -83,6 +86,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getString(0)).toSet
     assert(scanned.forall(f => f.contains("c0=0/") || f.contains("c0=1/")),
       s"files outside pruned buckets were read: $scanned")
+  }
+
+  test("w_zorder_scan: partition pruning AND pushed residual dim filters on the z-world scan") {
+    // the two mechanisms that make the z-layout pay off must BOTH be in the
+    // plan: bucket dirs pruned (PartitionFilters on c*), and the row-exact
+    // box residual pushed to parquet (PushedFilters on both dims) where the
+    // z-tightened row-group envelopes can skip row groups
+    val p = plan("w_zorder_scan")
+    assert(p.contains("PartitionFilters") && p.contains("c0"),
+      s"bucket predicate must hit partition filters:\n$p")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(event_id,2000)") &&
+      p.contains("GreaterThanOrEqual(user_id,64)"),
+      s"residual box filters on both dims must be pushed to the scan:\n$p")
   }
 
   test("raw dim-range predicate (no Select DSL) prunes partitions via DimBucketPruning") {
