@@ -119,7 +119,7 @@ object Dedup {
     * `doc_id * nBlocks + blockIdx` (doc ids must fit 64/nBlocks bits
     * headroom — u62 at the default maxDist 3), and the payload is
     * (probe_key = blockIdx·2^bits + blockValue, seen_id, seen_sig) — four
-    * longs per block row, 4 rows per document ever admitted, the entire
+    * longs per block row, 4 rows per document ever OBSERVED, the entire
     * memory of the corpus. NO document text is ever stored or re-read.
     *
     * Per batch: (1) within-batch near-dups resolve first (block self-join +
@@ -128,8 +128,12 @@ object Dedup {
     * probe keys, and any new doc within `maxDist` of a STORED signature
     * drops (pigeonhole: distance <= maxDist forces at least one equal
     * block, so candidate generation is an equality join, never an
-    * all-pairs scan); (3) the remaining fresh docs register their block
-    * rows via idempotent `tryInsert`. Same crash/replay contract as
+    * all-pairs scan); (3) EVERY batch doc's block rows — dropped ones
+    * included — register via idempotent `tryInsert`. Registering losers
+    * matters because near-duplication is not transitive: a later document
+    * near only a dropped doc (but not near the kept one or any other
+    * stored signature) must still be caught, so dropping a doc must not
+    * un-witness its neighborhood. Same crash/replay contract as
     * [[incrementalDedup]]: `onFresh` runs downstream-first, the result is
     * pinned ([[Pins]]) before the store mutates, and a replayed batch
     * re-admits nothing.
@@ -188,7 +192,10 @@ object Dedup {
     if (virgin) {
       val fresh = intra.drop("__sig")
       onFresh(fresh)
-      world.create(blockRows(intra))
+      // register ALL observed docs (the within-batch losers too — see the
+      // non-transitivity note in the scaladoc); re-deriving from `sigs` is
+      // one extra map-only simhash pass, no shuffle
+      world.create(blockRows(sigs))
       fresh
     } else {
       // (2) cross-batch: candidates from the probe-key equality join only
@@ -198,25 +205,22 @@ object Dedup {
         .select(col(idCol), col("__sig"), col("seen_id"), col("seen_sig"))
         .distinct()
         .where(bit_count(col("__sig").bitwiseXOR(col("seen_sig"))) <= maxDist)
+      // a SELF hit (seen_id == this id) is a replayed doc from a run that
+      // crashed after registering at least one of its block rows: not
+      // fresh (the crashed run's onFresh already emitted it), and its
+      // possibly-PARTIAL registration is repaired below because the
+      // register step covers every batch doc with per-block-row tryInsert
       val crossDrops = hitPairs.select(idCol).distinct()
-      // a SELF hit (seen_id == this id) is a replayed doc: the previous run
-      // crashed after registering at least one of its block rows. It is
-      // not fresh (the crashed run's onFresh already emitted it), but its
-      // registration may be PARTIAL — a block row missing from the store
-      // would let a future near-dup sharing only that block slip through —
-      // so its block rows re-register below (tryInsert fills exactly the
-      // missing ones, keyed per block row)
-      val replayed = intra.join(
-        hitPairs.where(col("seen_id") === col(idCol)).select(idCol).distinct(),
-        Seq(idCol), "left_semi")
       // pinned BEFORE the store mutates — same self-anti-join trap as
       // incrementalDedup (see the scaladoc there); released by the caller
       // via Pins.releaseAll after the consuming action
       val freshSigs = Pins.pin(intra.join(crossDrops, Seq(idCol), "left_anti"))
       val fresh = freshSigs.drop("__sig")
       onFresh(fresh)
-      // (3) register; tryInsert keeps a replayed batch idempotent
-      world.tryInsert(blockRows(freshSigs.unionByName(replayed)))
+      // (3) register ALL observed docs, losers included (non-transitivity:
+      // a future doc near only a loser must still be caught); tryInsert
+      // keeps a replayed batch idempotent and repairs partial registration
+      world.tryInsert(blockRows(sigs))
       fresh
     }
   }

@@ -86,14 +86,17 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
         throw new IllegalStateException(
           s"graft upsert needs the world's dim mappings: no world registered for $path " +
             "(instantiate graft.world.World for this path first)"))
+      val staged = messages.collect { case GraftCommitMessage(_, rows) => rows }.sum
       if (fs.exists(new Path(stage))) {
         val bucketCols = dims.indices.map(i => s"c$i")
-        val staged = spark.read.parquet(stage).drop(bucketCols: _*)
-        val displaced = new graft.world.World(spark, path, dims).insert(staged)
-        GraftUpsertWrite.displacedByPath.put(path, displaced)
+        val stagedDf = spark.read.parquet(stage).drop(bucketCols: _*)
+        val displaced = new graft.world.World(spark, path, dims).insert(stagedDf)
+        GraftUpsertWrite.summaryByPath.put(path,
+          GraftUpsertWrite.UpsertSummary(staged, displaced))
         org.slf4j.LoggerFactory.getLogger(getClass)
-          .info(s"graft upsert into $path: $displaced row(s) displaced")
-      } else GraftUpsertWrite.displacedByPath.put(path, 0L)
+          .info(s"graft upsert into $path: $staged row(s) staged, $displaced displaced")
+      } else GraftUpsertWrite.summaryByPath.put(path,
+        GraftUpsertWrite.UpsertSummary(staged, 0L))
       GraftDataSource.writeSidecarIfAbsent(path, schema)
     } finally fs.delete(new Path(stage), true)
   }
@@ -105,15 +108,25 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
 }
 
 object GraftUpsertWrite {
-  /** Displaced-row count of the most recent connector upsert into each
-    * target path (test/debug surface; the DSv2 BatchWrite API has no return
-    * channel for it). Keyed by path so concurrent upserts into DIFFERENT
+  /** Outcome of a connector upsert: rows staged by the tasks (aggregated
+    * from their [[GraftCommitMessage]]s) and rows the insert displaced. */
+  final case class UpsertSummary(stagedRows: Long, displacedRows: Long)
+
+  /** Summary of the most recent connector upsert into each target path (the
+    * DSv2 BatchWrite API has no caller-facing return channel, so commit()
+    * parks it here). Keyed by path so concurrent upserts into DIFFERENT
     * worlds don't race on one global cell; same-path concurrency is already
     * excluded by the world's single-writer contract. */
-  val displacedByPath = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  val summaryByPath =
+    new java.util.concurrent.ConcurrentHashMap[String, UpsertSummary]()
+
+  /** Summary of the last upsert into `path`, if one ran. */
+  def lastSummary(path: String): Option[UpsertSummary] =
+    Option(summaryByPath.get(path))
 
   /** Displaced count of the last upsert into `path` (-1 if none ran). */
-  def lastDisplaced(path: String): Long = displacedByPath.getOrDefault(path, -1L)
+  def lastDisplaced(path: String): Long =
+    lastSummary(path).map(_.displacedRows).getOrElse(-1L)
 }
 
 class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {
@@ -127,14 +140,19 @@ class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     messages.foreach {
-      case GraftCommitMessage(files) =>
+      case GraftCommitMessage(files, _) =>
         files.foreach(f => fs.delete(new Path(f), false))
       case _ =>
     }
   }
 }
 
-final case class GraftCommitMessage(files: Seq[String]) extends WriterCommitMessage
+/** Task -> driver commit channel: the files this task wrote and how many
+  * rows went into them. `commit()` aggregates these into the write summary
+  * (the DSv2-clean path for write-side counters — driver-computed numbers
+  * like the upsert's displaced count join them at commit time). */
+final case class GraftCommitMessage(files: Seq[String], rows: Long)
+  extends WriterCommitMessage
 
 class GraftWriterFactory(path: String, schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -201,6 +219,7 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
   private var current: Option[(Seq[Long], ParquetWriter[org.apache.parquet.example.data.Group])] = None
   private val files = scala.collection.mutable.ArrayBuffer.empty[String]
   private var counter = 0
+  private var rowsWritten = 0L
 
   private def writerFor(bucket: Seq[Long]): ParquetWriter[org.apache.parquet.example.data.Group] =
     current match {
@@ -261,12 +280,13 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
       gi += 1
     }
     writerFor(bucket).write(g)
+    rowsWritten += 1L
   }
 
   override def commit(): WriterCommitMessage = {
     current.foreach(_._2.close())
     current = None
-    GraftCommitMessage(files.toSeq)
+    GraftCommitMessage(files.toSeq, rowsWritten)
   }
 
   override def abort(): Unit = {

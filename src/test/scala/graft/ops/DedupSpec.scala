@@ -73,26 +73,29 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       (11L, "brand new content entirely"))
     val f2 = Dedup.incrementalNearDedup(w, b2, "doc_id", "text")
     assert(f2.select("doc_id").as[Long].collect().toSet == Set(11L))
-    assert(w.df.count() == 12)
+    // the dropped doc 10 registers its blocks too (near-duplication is not
+    // transitive — a future doc near only doc 10 must still be caught)
+    assert(w.df.count() == 16)
     // replay is idempotent
     val f3 = Dedup.incrementalNearDedup(w, b2, "doc_id", "text")
     assert(f3.isEmpty)
-    assert(w.df.count() == 12)
+    assert(w.df.count() == 16)
     // within-batch near-dups resolve before registration: larger id drops
+    // from the RESULT but still registers (loser-witness semantics)
     val b3 = docs((21L, "zeta zeta eta eta theta theta"), (20L, "zeta eta theta"))
     val f4 = Dedup.incrementalNearDedup(w, b3, "doc_id", "text")
     assert(f4.select("doc_id").as[Long].collect().toSet == Set(20L))
-    assert(w.df.count() == 16)
+    assert(w.df.count() == 24)
     // PARTIAL-registration repair: simulate a run that crashed mid-commit
     // by destroying 2 of doc 1's 4 block rows (blk64 = doc_id*4 + blockIdx)
     w.destroy(Seq(1L * 4 + 2, 1L * 4 + 3))
-    assert(w.df.count() == 14)
+    assert(w.df.count() == 22)
     // replaying doc 1's batch admits nothing (self-hit on the surviving
     // blocks) but MUST re-register the missing block rows — otherwise a
     // future near-dup sharing only a destroyed block would slip through
     val f5 = Dedup.incrementalNearDedup(w, b1, "doc_id", "text")
     assert(f5.isEmpty, "replay after partial registration must admit nothing")
-    assert(w.df.count() == 16, "missing block rows must be repaired on replay")
+    assert(w.df.count() == 24, "missing block rows must be repaired on replay")
     Pins.releaseAll()
     assert(Pins.retainedCount == 0)
   }

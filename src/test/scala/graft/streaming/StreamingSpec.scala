@@ -193,7 +193,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       q2.processAllAvailable()
       assert(sinkIds == Set(1L, 2L, 11L),
         "a near-dup of a pre-restart document must not re-admit after restart")
-      assert(sig.df.count() == 12, "4 block rows per admitted doc")
+      assert(sig.df.count() == 16,
+        "4 block rows per OBSERVED doc — the dropped near-dup registers too")
     } finally q2.stop()
 
     // replayed batch: signatures already registered -> nothing fresh

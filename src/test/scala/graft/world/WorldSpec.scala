@@ -295,6 +295,9 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.format("graft").mode("append").option("graft.mode", "upsert").save(w.path)
     assert(graft.sources.GraftUpsertWrite.lastDisplaced(w.path) == 1L,
       "exactly the conflicting id is displaced")
+    assert(graft.sources.GraftUpsertWrite.lastSummary(w.path)
+      .contains(graft.sources.GraftUpsertWrite.UpsertSummary(2L, 1L)),
+      "commit aggregates the tasks' staged-row counts into the summary")
     val out = w.df.select("d0", "d1").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 5L, 2L -> 2L, 3L -> 3L), "new row wins on conflict")
     assert(spark.read.format("graft").load(w.path).count() == 3,
