@@ -55,6 +55,81 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Long]("rng") == 5L)
   }
 
+  test("global rank-family windows auto-route off the single-reducer plan") {
+    import spark.implicits._
+    // duplicate keys on purpose: rank/dense_rank tie semantics must survive
+    // the rewrite (ties never span range-partition slices)
+    val rows = (0 until 211).map(i => (i.toLong, (i * 7919 % 23).toLong))
+    rows.toDF("id", "k").createOrReplaceTempView("gw_rows")
+    val df = spark.sql(
+      """SELECT id, k,
+                RANK()       OVER (ORDER BY k) AS r,
+                DENSE_RANK() OVER (ORDER BY k) AS d,
+                ROW_NUMBER() OVER (ORDER BY k, id) AS rn
+         FROM gw_rows""")
+
+    // the optimized plan may keep ONE unpartitioned window: the prefix-sum
+    // over the per-slice table, recognizable by its __graft_pid order key
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val globals = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.nonEmpty, "rewrite must have fired (offsets window present)")
+    assert(globals.forall(_.orderSpec.forall(_.references.forall(_.name == "__graft_pid"))),
+      s"a data-sized single-reducer window survived:\n${df.queryExecution.optimizedPlan}")
+
+    // exact results, including tie groups
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .sortBy(_._1)
+    val sortedKeys = rows.map(_._2).sorted
+    val expect = rows.sortBy(_._1).map { case (id, k) =>
+      val rank = sortedKeys.indexWhere(_ == k) + 1
+      val dense = sortedKeys.distinct.indexWhere(_ == k) + 1
+      (id, rank, dense)
+    }
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == expect,
+      "rank and dense_rank must match the reference computation")
+    // row_number over the total order (k, id) is deterministic: sort by
+    // (k, id) and number
+    val rnExpect = rows.sortBy { case (id, k) => (k, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    assert(got.forall { case (id, _, _, rn) => rnExpect(id) == rn },
+      "row_number over a total order must match the reference computation")
+  }
+
+  test("rewritten plan is result-identical to the vanilla single-reducer plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until 500).map(i => (i.toLong, rnd.nextInt(40).toLong))
+      .toDF("id", "k").createOrReplaceTempView("gw_fuzz")
+    val sql = """SELECT id, RANK() OVER (ORDER BY k DESC) AS r,
+                        DENSE_RANK() OVER (ORDER BY k DESC) AS d,
+                        ROW_NUMBER() OVER (ORDER BY k DESC, id) AS rn
+                 FROM gw_fuzz"""
+    def run() = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).sortBy(_._1).toSeq
+    val rewritten = run()
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      classOf[GlobalWindowRewrite].getName)
+    val vanilla = try run()
+      finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    assert(rewritten == vanilla,
+      "two-phase rewrite must agree with the single-reducer plan (desc order, ties)")
+  }
+
+  test("partitioned windows and tiny offsets windows are left alone") {
+    import spark.implicits._
+    (0 until 50).map(i => (i.toLong, (i % 5).toLong)).toDF("id", "k")
+      .createOrReplaceTempView("gw_part")
+    val df = spark.sql(
+      "SELECT id, RANK() OVER (PARTITION BY k ORDER BY id) AS r FROM gw_part")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "a partitioned window must not be rewritten")
+    assert(!df.queryExecution.optimizedPlan.toString.contains("__graft_pid"))
+  }
+
   test("extension session carries the dim-bucket pruning rule") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
