@@ -60,7 +60,11 @@ object ScalableWindow {
 
   /** Global running sum of `value` over the total order `order` (include a
     * unique tie-break). Adds `out`; exact for decimal inputs (the offset
-    * addition is ordinary decimal +). */
+    * addition is ordinary decimal +). Null semantics match the
+    * single-reducer window: SUM skips nulls and is null only when EVERY
+    * value so far is null — so a row whose slice-local prefix is all-null
+    * must still receive the earlier slices' total, not null (the plain
+    * `_loc + offset` form would null it). */
   def runningSum(df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame = {
     val local = prepared(df, order)
       .withColumn("_val", value)
@@ -69,7 +73,9 @@ object ScalableWindow {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val perSlice = local.groupBy("_pid").agg(sum(col("_val")).as("_t"))
     local.join(broadcast(offsets(perSlice, "_t")), Seq("_pid"))
-      .withColumn(out, col("_loc") + coalesce(col("_off"), lit(0)))
+      .withColumn(out,
+        when(col("_loc").isNull && col("_off").isNull, lit(null))
+          .otherwise(coalesce(col("_loc"), lit(0)) + coalesce(col("_off"), lit(0))))
       .drop("_pid", "_val", "_loc", "_off")
   }
 

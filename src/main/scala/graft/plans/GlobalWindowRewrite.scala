@@ -55,7 +55,7 @@ case class GlobalWindowRewrite() extends Rule[LogicalPlan] {
     plan.transformUp {
       case w @ Window(exprs, Seq(), order, child, _)
           if order.nonEmpty && !referencesPid(order) &&
-            exprs.forall(isRankFamily) && freshenable(child) =>
+            exprs.forall(supported) && freshenable(child) =>
         rewrite(w, exprs, order, child, np)
     }
   }
@@ -63,9 +63,24 @@ case class GlobalWindowRewrite() extends Rule[LogicalPlan] {
   private def referencesPid(order: Seq[SortOrder]): Boolean =
     order.exists(_.references.exists(_.name == PID))
 
-  private def isRankFamily(e: NamedExpression): Boolean = e match {
-    case Alias(WindowExpression(fn, WindowSpecDefinition(Seq(), _, _)), _) =>
-      fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank] || fn.isInstanceOf[DenseRank]
+  /** Supported: the rank family (frame ignored), and running SUM/COUNT —
+    * an unbounded-preceding..current frame, ROWS or RANGE (RANGE is the
+    * analyzer's default for aggregates with ORDER BY; its peer groups
+    * never span slices under range partitioning, so slice-local RANGE +
+    * earlier-slice totals reproduces it exactly). DISTINCT and FILTER
+    * forms don't decompose into prefix sums — left alone. */
+  private def supported(e: NamedExpression): Boolean = e match {
+    case Alias(WindowExpression(fn, WindowSpecDefinition(Seq(), _, frame)), _) =>
+      fn match {
+        case _: RowNumber | _: Rank | _: DenseRank => true
+        case AggregateExpression(_: Sum | _: Count, Complete, false, None, _) =>
+          frame match {
+            case SpecifiedWindowFrame(RowFrame | RangeFrame,
+              UnboundedPreceding, CurrentRow) => true
+            case _ => false
+          }
+        case _ => false
+      }
     case _ => false
   }
 
@@ -127,6 +142,10 @@ case class GlobalWindowRewrite() extends Rule[LogicalPlan] {
     val needDense = exprs.exists {
       case Alias(WindowExpression(_: DenseRank, _), _) => true; case _ => false
     }
+    val needCount = exprs.exists {
+      case Alias(WindowExpression(_: RowNumber | _: Rank, _), _) => true
+      case _ => false
+    }
 
     // ---- shared shape: range partition + slice id (built twice, with
     // fresh ids on the offsets branch; exchange reuse runs it once)
@@ -137,27 +156,32 @@ case class GlobalWindowRewrite() extends Rule[LogicalPlan] {
       (proj, pidAlias.toAttribute)
     }
 
-    // ---- left branch: slice-local window, one expr per original function
+    // ---- left branch: slice-local window, one expr per original function,
+    // keeping each aggregate's ORIGINAL frame (its RANGE peer groups never
+    // span slices under range partitioning)
     val (base, pid) = sliced(child, order)
     val localAliases = exprs.zipWithIndex.map { case (e, i) =>
-      val fn = e.asInstanceOf[Alias].child.asInstanceOf[WindowExpression].windowFunction
-      Alias(WindowExpression(fn,
-        WindowSpecDefinition(Seq(pid), order,
-          fn.asInstanceOf[WindowFunction] match {
-            case f: FrameLessOffsetWindowFunction => f.frame
-            case _ => SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
-          })), s"__graft_loc_$i")()
+      val we = e.asInstanceOf[Alias].child.asInstanceOf[WindowExpression]
+      val frame = we.windowFunction match {
+        case _: AggregateExpression =>
+          we.windowSpec.frameSpecification
+        case _ => SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+      }
+      Alias(WindowExpression(we.windowFunction,
+        WindowSpecDefinition(Seq(pid), order, frame)), s"__graft_loc_$i")()
     }
     val localWin = Window(localAliases, Seq(pid), order, base)
 
-    // ---- right branch: per-slice counts (and max local dense rank), then
-    // the prefix-sum offsets over the partition-count-sized table
+    // ---- right branch: per-slice totals (count / max local dense rank /
+    // the slice total of each running aggregate), then the prefix-sum
+    // offsets over the partition-count-sized table
     val childR = freshen(child)
-    val orderR = order.map(_.transform {
+    def remap(expr: Expression): Expression = expr.transform {
       case a: Attribute =>
         val i = child.output.indexWhere(_.exprId == a.exprId)
         if (i >= 0) childR.output(i) else a
-    }.asInstanceOf[SortOrder])
+    }
+    val orderR = order.map(o => remap(o).asInstanceOf[SortOrder])
     val (baseR, pidR) = sliced(childR, orderR)
     val (aggInput, denseLocAttr) =
       if (!needDense) (baseR, None)
@@ -168,25 +192,44 @@ case class GlobalWindowRewrite() extends Rule[LogicalPlan] {
           "__graft_locd")()
         (Window(Seq(dl), Seq(pidR), orderR, baseR), Some(dl.toAttribute))
       }
-    val nAlias = Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
-      isDistinct = false), "__graft_n")()
+    val nAlias =
+      if (!needCount) None
+      else Some(Alias(AggregateExpression(Count(Seq(Literal(1))), Complete,
+        isDistinct = false), "__graft_n")())
     val dAlias = denseLocAttr.map(dl => Alias(AggregateExpression(
       Max(dl), Complete, isDistinct = false), "__graft_d")())
-    val perSlice = Aggregate(Seq(pidR), Seq(pidR, nAlias) ++ dAlias, aggInput, None)
+    // one slice-total column per running aggregate: the SAME Sum/Count over
+    // the slice's rows (remapped to the copy's attributes)
+    val tAliases: Seq[Option[Alias]] = exprs.zipWithIndex.map {
+      case (e, i) => e.asInstanceOf[Alias].child
+          .asInstanceOf[WindowExpression].windowFunction match {
+        case AggregateExpression(f, _, _, _, _) =>
+          Some(Alias(AggregateExpression(
+            remap(f).asInstanceOf[aggregate.AggregateFunction],
+            Complete, isDistinct = false), s"__graft_t$i")())
+        case _ => None
+      }
+    }
+    val perSlice = Aggregate(Seq(pidR),
+      Seq(pidR) ++ nAlias ++ dAlias ++ tAliases.flatten, aggInput, None)
 
     def prefix(src: Attribute, name: String): Alias =
       Alias(WindowExpression(
-        AggregateExpression(Sum(Cast(src, LongType)), Complete, isDistinct = false),
+        AggregateExpression(Sum(src), Complete, isDistinct = false),
         WindowSpecDefinition(Seq(), Seq(SortOrder(pidR, Ascending)), runningFrame)),
         name)()
-    val offN = prefix(nAlias.toAttribute, "__graft_offn")
+    val offN = nAlias.map(n => prefix(n.toAttribute, "__graft_offn"))
     val offD = dAlias.map(d => prefix(d.toAttribute, "__graft_offd"))
+    val offT = tAliases.zipWithIndex.map {
+      case (Some(t), i) => Some(prefix(t.toAttribute, s"__graft_offt$i"))
+      case (None, _) => None
+    }
     // this window ORDERS BY the slice id over one row per slice — bounded
     // by the partition count, not the data — and its PID order key is what
     // exempts it from this very rule
-    val offWin = Window(Seq(offN) ++ offD, Seq(),
-      Seq(SortOrder(pidR, Ascending)), perSlice)
-    val offsets = Project(Seq(pidR, offN.toAttribute) ++ offD.map(_.toAttribute), offWin)
+    val offAliases = offN.toSeq ++ offD ++ offT.flatten
+    val offWin = Window(offAliases, Seq(), Seq(SortOrder(pidR, Ascending)), perSlice)
+    val offsets = Project(pidR +: offAliases.map(_.toAttribute), offWin)
 
     // ---- broadcast the offsets back; add, preserving original output ids
     val joined = Join(localWin, offsets, Inner,
@@ -194,12 +237,26 @@ case class GlobalWindowRewrite() extends Rule[LogicalPlan] {
       JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
     val finals = exprs.zipWithIndex.map { case (e, i) =>
       val a = e.asInstanceOf[Alias]
-      val isDense = a.child.asInstanceOf[WindowExpression]
-        .windowFunction.isInstanceOf[DenseRank]
-      val off = if (isDense) offD.get.toAttribute else offN.toAttribute
-      Alias(Cast(Add(Cast(localAliases(i).toAttribute, LongType),
-        Coalesce(Seq(off, Literal(0L)))), IntegerType), a.name)(
-        exprId = a.exprId, qualifier = a.qualifier,
+      val loc = localAliases(i).toAttribute
+      val combined = a.child.asInstanceOf[WindowExpression].windowFunction match {
+        case _: DenseRank =>
+          Cast(Add(Cast(loc, LongType),
+            Coalesce(Seq(offD.get.toAttribute, Literal(0L)))), IntegerType)
+        case _: RowNumber | _: Rank =>
+          Cast(Add(Cast(loc, LongType),
+            Coalesce(Seq(offN.get.toAttribute, Literal(0L)))), IntegerType)
+        case AggregateExpression(_: Count, _, _, _, _) =>
+          Add(loc, Coalesce(Seq(offT(i).get.toAttribute, Literal(0L))))
+        case AggregateExpression(_: Sum, _, _, _, _) =>
+          // SUM is null only when every value so far is null — a row whose
+          // slice-local prefix is all-null still inherits earlier slices'
+          // total (see ScalableWindow.runningSum)
+          val off = offT(i).get.toAttribute
+          If(And(IsNull(loc), IsNull(off)), Literal(null, a.dataType),
+            Cast(Add(Coalesce(Seq(loc, Literal.default(loc.dataType))),
+              Coalesce(Seq(off, Literal.default(off.dataType)))), a.dataType))
+      }
+      Alias(combined, a.name)(exprId = a.exprId, qualifier = a.qualifier,
         explicitMetadata = Some(a.metadata))
     }
     Project(child.output ++ finals, joined)

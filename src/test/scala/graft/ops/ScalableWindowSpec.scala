@@ -39,6 +39,28 @@ class ScalableWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scalable == naive)
   }
 
+  test("runningSum null semantics match the single-reducer window (all-null slice prefixes)") {
+    import spark.implicits._
+    // keys 0..59 range-partition into slices; values null except at a few
+    // keys, so entire slice PREFIXES are null — rows there must inherit the
+    // earlier slices' total (null only before the first non-null globally)
+    val df = (0 until 60).map { i =>
+      (i.toLong, i.toLong, if (i == 7 || i == 40) Some(i.toLong) else None)
+    }.toDF("id", "key", "v").repartition(4)
+    val order = Seq(col("key"), col("id"))
+    val scalable = ScalableWindow.runningSum(df, order, col("v"), "run")
+      .select("id", "run").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val naive = df.withColumn("run", sum("v").over(
+        Window.orderBy(col("key"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "run").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(scalable == naive)
+    assert(scalable(0L).isEmpty && scalable(7L).contains(7L) && scalable(20L).contains(7L),
+      "sanity: null before first value, carried total afterwards")
+  }
+
   test("rowNumber matches global row_number, and the data-sized window is sliced") {
     val df = rows(500)
     val order = Seq(col("key"), col("id"))

@@ -117,6 +117,55 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "two-phase rewrite must agree with the single-reducer plan (desc order, ties)")
   }
 
+  test("running SUM/COUNT global windows auto-route and agree with vanilla") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // nullable values with entire key runs null: SUM's null semantics (null
+    // until the first non-null value globally, earlier-slice totals carried
+    // into all-null local prefixes) must survive the rewrite
+    (0 until 400).map { i =>
+      (i.toLong, rnd.nextInt(50).toLong,
+        if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(100).toLong))
+    }.toDF("id", "k", "v").createOrReplaceTempView("gw_agg")
+    val sql = """SELECT id,
+                        SUM(v)   OVER (ORDER BY k, id) AS s,
+                        COUNT(v) OVER (ORDER BY k, id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+                 FROM gw_agg"""
+    def run() = spark.sql(sql).collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val df = spark.sql(sql)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val globals = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.nonEmpty &&
+      globals.forall(_.orderSpec.forall(_.references.forall(_.name == "__graft_pid"))),
+      s"running aggregates must leave no data-sized global window:\n${df.queryExecution.optimizedPlan}")
+    val rewritten = run()
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      classOf[GlobalWindowRewrite].getName)
+    val vanilla = try run()
+      finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    assert(rewritten == vanilla,
+      "running SUM/COUNT rewrite must agree with the single-reducer plan")
+  }
+
+  test("unsupported window forms are left alone (avg, bounded frames)") {
+    import spark.implicits._
+    (0 until 40).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "k")
+      .createOrReplaceTempView("gw_skip")
+    // (FILTER-clause window aggregates never reach the optimizer — the
+    // analyzer rejects them — so only decomposability gaps are probed here)
+    for (sql <- Seq(
+      "SELECT AVG(k) OVER (ORDER BY id) AS a FROM gw_skip",
+      "SELECT SUM(k) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a FROM gw_skip")) {
+      val p = spark.sql(sql).queryExecution.optimizedPlan.toString
+      assert(!p.contains("__graft_pid"), s"must not rewrite: $sql\n$p")
+    }
+  }
+
   test("partitioned windows and tiny offsets windows are left alone") {
     import spark.implicits._
     (0 until 50).map(i => (i.toLong, (i % 5).toLong)).toDF("id", "k")
