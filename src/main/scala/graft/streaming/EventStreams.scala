@@ -97,6 +97,12 @@ object EventStreams {
     * is deterministic regardless of shuffle arrival order; the per-group
     * sort is per-key-per-batch, never global.
     *
+    * Operational note: with `idleTimeout` set the engine schedules batches
+    * continuously so due timeouts can fire, which means the query never
+    * reports "no new data" — `processAllAvailable()` will block forever by
+    * design. Sequence tests/backfills via `recentProgress` or sink polling
+    * instead (StreamingSpec shows the pattern).
+    *
     * Batch twin (same semantics relationally, DuckDB-checked):
     * `e_heavy_hitters` in graft.queries.EventOps. */
   def heavyHitterStream(spark: SparkSession, events: Dataset[Ev],

@@ -294,6 +294,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: idle timeout evicts a key's count, fresh arrivals restart it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[EventStreams.Ev]
+    val out = EventStreams.heavyHitterStream(spark, src.toDS(), threshold = 2,
+      idleTimeout = Some("2 seconds"))
+    // a ProcessingTimeTimeout stream NEVER quiesces (the engine always
+    // schedules another batch so due timeouts can fire), so
+    // processAllAvailable would block forever — sequence via progress
+    // polling on a real trigger instead
+    val q = out.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .format("memory").queryName("hh_ttl_out").start()
+    def awaitInput(n: Long): Unit = {
+      val deadline = System.nanoTime + 30000000000L
+      def total = q.recentProgress.map(_.numInputRows).sum
+      while (total < n && System.nanoTime < deadline) Thread.sleep(100)
+      assert(total >= n, s"stream processed only $total of $n expected rows")
+    }
+    try {
+      def ev(id: Long, uid: Long) =
+        EventStreams.Ev(id, new java.sql.Timestamp(id * 1000), uid, "click", 1.0)
+      src.addData(ev(1, 5))
+      awaitInput(1)
+      // let the idle timeout lapse (timeouts fire in subsequent batches)
+      Thread.sleep(2500)
+      src.addData(ev(2, 6))
+      awaitInput(2)
+      // user 5's count was evicted: this arrival restarts at 1, so the
+      // threshold is NOT crossed (with NoTimeout the count would be 2 here)
+      src.addData(ev(3, 5))
+      awaitInput(3)
+      assert(spark.sql("SELECT * FROM hh_ttl_out").isEmpty,
+        "an evicted key must restart its count, not resume it")
+      // a single batch carrying two arrivals crosses regardless of whether
+      // the restarted count survived the inter-batch gap (self-contained —
+      // no timing dependence on batch scheduling)
+      src.addData(ev(4, 5), ev(5, 5))
+      awaitInput(5)
+      val deadline = System.nanoTime + 30000000000L
+      while (spark.sql("SELECT * FROM hh_ttl_out").isEmpty && System.nanoTime < deadline)
+        Thread.sleep(100)
+      val got = spark.sql("SELECT user_id, became_heavy_us FROM hh_ttl_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == 1 && got.head._1 == 5L &&
+        Set(4L * 1000000L, 5L * 1000000L).contains(got.head._2),
+        s"user 5 must cross exactly once after the restart, got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: within-batch crossing picks the (ts, event_id) order") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
