@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT quantiles at scale — the order statistic itself, not an
+  * approximation. `percentile_disc` semantics: the quantile at fraction q
+  * is the element whose 1-based rank in the sorted data is ceil(q*N) (the
+  * first element whose cumulative fraction reaches q — verified identical
+  * to DuckDB's `quantile_disc`).
+  *
+  * The naive plan (global sort, walk to position k) serializes the data
+  * through one task exactly like a global window; `percentile_approx`
+  * avoids that but is approximate. This runs the
+  * [[ScalableWindow.rowNumber]] two-phase plan instead — one range
+  * exchange, slice-local numbering, a partition-count-sized offsets
+  * broadcast — then keeps ONLY the rows at the target ranks (an In filter;
+  * at most one row per requested quantile survives to the driver). Exact
+  * at any N, no single-reducer stage, two passes over the data (the count
+  * and the ranked pass).
+  *
+  * Duplicate values need no tie-break: rank assignment within a tie group
+  * is partitioning-dependent, but every row in the group carries the same
+  * value, so the VALUE at any rank is deterministic.
+  */
+object Quantiles {
+
+  /** One row per requested fraction: (q, value), where value is the exact
+    * q-quantile of `value` under percentile_disc semantics. NULL values are
+    * excluded (as SQL quantile aggregates do). N comes from the ranked
+    * data's own max row number — a pass over the pinned ranked copy, not a
+    * second scan of the (possibly expensive) source frame. */
+  def exactQuantiles(df: DataFrame, value: Column, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile fraction required")
+    require(qs.forall(q => q > 0.0 && q <= 1.0),
+      s"fractions must be in (0, 1], got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(value.as("_v")).where(col("_v").isNotNull)
+    val ranked = ScalableWindow.rowNumber(vals, Seq(col("_v")), "_rn")
+    ranked
+      .crossJoin(broadcast(ranked.agg(max(col("_rn")).as("_N"))))
+      .crossJoin(broadcast(qs.distinct.toDF("q")))
+      .where(col("_rn") ===
+        greatest(ceil(col("q") * col("_N")).cast("long"), lit(1L)))
+      .select(col("q"), col("_v").as("value"))
+  }
+}

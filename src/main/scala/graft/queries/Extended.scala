@@ -148,6 +148,30 @@ object Extended {
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     ),
 
+    // EXACT global quantiles (percentile_disc order statistics) WITHOUT a
+    // global sort: ops.Quantiles rides the ScalableWindow two-phase row
+    // number — one range exchange, no single-reducer stage — and keeps only
+    // the rows at ranks ceil(q*N). The alternative at 100 TB is either an
+    // approximation (percentile_approx) or a data-sized serialization
+    // point; this is neither. DuckDB's quantile_disc has the same
+    // ceil-rank semantics (probed: n=4 agrees on all boundary fractions).
+    "q_exact_quantile" -> QueryDef(
+      (s, dir) => graft.ops.Quantiles.exactQuantiles(
+        t(s, dir, "lineitem"), col("l_extendedprice"),
+        Seq(0.25, 0.5, 0.75, 0.95)).orderBy("q"),
+      Some("""WITH s AS (
+                SELECT quantile_disc(l_extendedprice, 0.25) AS v1,
+                       quantile_disc(l_extendedprice, 0.50) AS v2,
+                       quantile_disc(l_extendedprice, 0.75) AS v3,
+                       quantile_disc(l_extendedprice, 0.95) AS v4
+                FROM lineitem)
+              SELECT CAST(0.25 AS DOUBLE) AS q, CAST(v1 AS DOUBLE) AS value FROM s
+              UNION ALL SELECT CAST(0.50 AS DOUBLE), CAST(v2 AS DOUBLE) FROM s
+              UNION ALL SELECT CAST(0.75 AS DOUBLE), CAST(v3 AS DOUBLE) FROM s
+              UNION ALL SELECT CAST(0.95 AS DOUBLE), CAST(v4 AS DOUBLE) FROM s
+              ORDER BY q""")
+    ),
+
     // skew-resistant aggregation: event_type is a heavy-hitter key (a handful
     // of values over all rows); the salted two-phase plan balances the shuffle
     // and still matches the direct GROUP BY exactly (decimal sums are

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Exact-quantile pins: the two-phase order statistic must equal the
+  * brute-force sorted-array lookup at every requested fraction, including
+  * tie-heavy data (rank assignment within a tie group is arbitrary, the
+  * value at a rank is not) and nulls (excluded, as SQL aggregates do). */
+class QuantilesSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def brute(values: Seq[Double], q: Double): Double = {
+    val sorted = values.sorted
+    sorted(math.max(math.ceil(q * sorted.size).toLong, 1L).toInt - 1)
+  }
+
+  test("matches brute-force order statistics on seeded fuzz with ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    for (trial <- 0 until 3) {
+      val n = 997 + trial * 251
+      // coarse value grid -> many ties at every quantile boundary
+      val values = Seq.fill(n)((rnd.nextInt(50) * 2.5) + 1.0)
+      val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 1.0)
+      val got = Quantiles.exactQuantiles(
+          values.toDF("v").repartition(4), col("v"), qs)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      Pins.releaseAll()
+      assert(got.keySet == qs.toSet, s"one row per fraction, got ${got.keySet}")
+      qs.foreach(q => assert(got(q) == brute(values, q),
+        s"trial $trial q=$q: got ${got(q)}, want ${brute(values, q)}"))
+    }
+  }
+
+  test("nulls are excluded; a duplicated-rank fraction pair agrees") {
+    import spark.implicits._
+    val values = Seq(Some(10.0), None, Some(30.0), Some(20.0), None, Some(40.0))
+    val df = values.toDF("v").repartition(3)
+    // n=4 after null-drop: q=0.5 -> rank 2 -> 20; q=0.26..0.5 share rank 2
+    val got = Quantiles.exactQuantiles(df, col("v"), Seq(0.26, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    Pins.releaseAll()
+    assert(got == Map(0.26 -> 20.0, 0.5 -> 20.0, 1.0 -> 40.0))
+  }
+}
