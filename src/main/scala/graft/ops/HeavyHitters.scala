@@ -88,10 +88,16 @@ object HeavyHitters {
                                      cap: Int): Dataset[K] = {
     require(minCount >= 1, s"minCount must be positive, got $minCount")
     require(cap >= 2, s"localMapCap must be >= 2, got $cap")
+    val isLong = implicitly[Encoder[K]].clsTag.runtimeClass == classOf[Long]
     keys.mapPartitions { it =>
       val p = math.max(org.apache.spark.TaskContext.get().numPartitions(), 1)
       val localFloor = (minCount + p - 1) / p
-      new CandidateIter(it, localFloor, cap)
+      // primitive-specialized counting for the bigint face: the generic
+      // HashMap would box every key twice per row on the hot path
+      if (isLong)
+        new LongCandidateIter(it.asInstanceOf[Iterator[Long]], localFloor, cap)
+          .asInstanceOf[Iterator[K]]
+      else new CandidateIter(it, localFloor, cap)
     }
   }
 
@@ -132,6 +138,45 @@ object HeavyHitters {
     }
 
     override def next(): K = {
+      if (!hasNext) throw new NoSuchElementException("empty candidate iterator")
+      pending.next()
+    }
+  }
+
+  /** [[CandidateIter]] specialized on primitive longs via LongMap (no
+    * per-row boxing). Keep the flush logic in sync with the generic twin —
+    * the shapes are identical, only the map type differs. */
+  private final class LongCandidateIter(input: Iterator[Long], localFloor: Long,
+                                        cap: Int) extends Iterator[Long] {
+    private val counts = scala.collection.mutable.LongMap.empty[Long]
+    private var pending: Iterator[Long] = Iterator.empty
+    private var done = false
+
+    override def hasNext: Boolean = {
+      while (!pending.hasNext && !done) {
+        if (!input.hasNext) {
+          pending = counts.iterator.collect { case (k, c) if c >= localFloor => k }
+          done = true
+        } else {
+          val k = input.next()
+          val c = counts.getOrElse(k, 0L)
+          if (c > 0L || counts.size < cap) counts.update(k, c + 1L)
+          else {
+            val cs = counts.valuesIterator.toArray
+            java.util.Arrays.sort(cs)
+            val median = cs(cs.length / 2)
+            val light = scala.collection.mutable.ArrayBuffer.empty[Long]
+            counts.foreach { case (lk, lc) => if (lc <= median) light += lk }
+            light.foreach(counts.remove)
+            counts.update(k, 1L)
+            pending = light.iterator
+          }
+        }
+      }
+      pending.hasNext
+    }
+
+    override def next(): Long = {
       if (!hasNext) throw new NoSuchElementException("empty candidate iterator")
       pending.next()
     }

@@ -38,11 +38,18 @@ object Quantiles {
     import spark.implicits._
     val vals = df.select(value.as("_v")).where(col("_v").isNotNull)
     val ranked = ScalableWindow.rowNumber(vals, Seq(col("_v")), "_rn")
+    // ceil(q*N) with an ulp-scale guard: the double product can land just
+    // ABOVE an exact integer (0.07*100 = 7.000000000000001 -> ceil 8, the
+    // wrong element; DuckDB returns the 7th). Subtracting a few relative
+    // ulps (not an absolute epsilon — at N ~ 1e12 one ulp is ~1e-4) snaps
+    // such products back without ever skipping a genuinely non-integer
+    // crossing, which sits at least 1/N above the integer below it.
+    val x = col("q") * col("_N")
     ranked
       .crossJoin(broadcast(ranked.agg(max(col("_rn")).as("_N"))))
       .crossJoin(broadcast(qs.distinct.toDF("q")))
       .where(col("_rn") ===
-        greatest(ceil(col("q") * col("_N")).cast("long"), lit(1L)))
+        greatest(ceil(x - x * lit(4e-16)).cast("long"), lit(1L)))
       .select(col("q"), col("_v").as("value"))
   }
 }

@@ -20,7 +20,22 @@ class QuantilesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def brute(values: Seq[Double], q: Double): Double = {
     val sorted = values.sorted
-    sorted(math.max(math.ceil(q * sorted.size).toLong, 1L).toInt - 1)
+    // same ulp-guarded rank as the op (see Quantiles scaladoc) — a bare
+    // ceil(q*size) would itself overshoot on products like 0.07*100
+    val x = q * sorted.size
+    sorted(math.max(math.ceil(x - x * 4e-16).toLong, 1L).toInt - 1)
+  }
+
+  test("FP-hostile fractions hit the intended integer rank (DuckDB-probed)") {
+    import spark.implicits._
+    // 0.07*100 = 7.000000000000001 in doubles; the intended (and DuckDB's)
+    // answer is the 7th element, not the 8th — the ulp guard must snap it
+    val values = (1 to 100).map(_.toDouble)
+    val got = Quantiles.exactQuantiles(
+        values.toDF("v").repartition(4), col("v"), Seq(0.07, 0.14, 0.28, 0.55))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    Pins.releaseAll()
+    assert(got == Map(0.07 -> 7.0, 0.14 -> 14.0, 0.28 -> 28.0, 0.55 -> 55.0))
   }
 
   test("matches brute-force order statistics on seeded fuzz with ties") {
@@ -30,7 +45,7 @@ class QuantilesSpec extends AnyFunSuite with BeforeAndAfterAll {
       val n = 997 + trial * 251
       // coarse value grid -> many ties at every quantile boundary
       val values = Seq.fill(n)((rnd.nextInt(50) * 2.5) + 1.0)
-      val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 1.0)
+      val qs = Seq(0.01, 0.07, 0.25, 0.5, 0.75, 0.9, 1.0)
       val got = Quantiles.exactQuantiles(
           values.toDF("v").repartition(4), col("v"), qs)
         .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
