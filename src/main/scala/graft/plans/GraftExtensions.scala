@@ -34,10 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DimBucketPruning())
-    // global rank-family windows auto-route onto the two-phase scalable
-    // plan (the discipline RegistryScaleSpec enforces statically for the
-    // library's own queries, applied to ad-hoc user SQL)
+    // global rank-family / running-aggregate windows auto-route onto the
+    // ScalableWindowExec physical operator (the discipline
+    // RegistryScaleSpec enforces statically for the library's own queries,
+    // applied to ad-hoc user SQL)
     ext.injectOptimizerRule(_ => GlobalWindowRewrite())
+    ext.injectPlannerStrategy(_ => ScalableWindowStrategy)
 
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit simhash"),

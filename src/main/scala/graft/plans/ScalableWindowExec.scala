@@ -1,0 +1,340 @@
+package graft.plans
+
+import org.apache.spark.RangePartitioner
+import org.apache.spark.rdd.{RDD, ShuffledRDD}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Logical carrier for a GLOBAL rank-family / running-aggregate window that
+  * [[GlobalWindowRewrite]] lifted off the single-reducer plan. The original
+  * aliases are NOT stored as aliases: the optimizer's CleanupAliases
+  * default case strips top-level aliases from any node type it doesn't
+  * special-case, which would corrupt the expression list. Instead the node
+  * carries the original output ATTRIBUTES (alias-trim is a no-op on an
+  * attribute, while attribute-rewriting rules still remap them
+  * consistently) alongside the bare [[WindowExpression]] trees, paired by
+  * position. Downstream references resolve unchanged because the
+  * attributes keep the original exprIds. */
+case class ScalableWindowPlan(
+    windowOutput: Seq[Attribute],
+    windowFunctions: Seq[Expression],
+    orderSpec: Seq[SortOrder],
+    child: LogicalPlan) extends UnaryNode {
+  require(windowOutput.length == windowFunctions.length)
+  override def output: Seq[Attribute] = child.output ++ windowOutput
+  override def producedAttributes: AttributeSet = AttributeSet(windowOutput)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(c: LogicalPlan): ScalableWindowPlan =
+    copy(child = c)
+}
+
+object ScalableWindowStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case ScalableWindowPlan(outAttrs, fns, order, child) =>
+      ScalableWindowExec(outAttrs, fns, order, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+private[plans] object ScalableWindowExec {
+
+  /** One tag per window expression; expressions inside are BOUND to the
+    * child's output ordinals. Top-level (not inner) classes so shipping
+    * them to executors doesn't drag the whole SparkPlan along. */
+  sealed trait WinKind extends Serializable
+  case object RowNum extends WinKind
+  case object RankK extends WinKind
+  case object DenseK extends WinKind
+  final case class SumK(value: Expression, resultType: DataType,
+      rangeFrame: Boolean) extends WinKind
+  final case class CountK(values: Seq[Expression],
+      rangeFrame: Boolean) extends WinKind
+
+  /** Typed, null-aware addition in the Sum's RESULT type (null = no value
+    * yet; SUM of nothing is null). */
+  def plus(resultType: DataType, a: Any, b: Any): Any =
+    if (a == null) b
+    else if (b == null) a
+    else resultType match {
+      case LongType => a.asInstanceOf[Long] + b.asInstanceOf[Long]
+      case DoubleType => a.asInstanceOf[Double] + b.asInstanceOf[Double]
+      case _: DecimalType => a.asInstanceOf[Decimal] + b.asInstanceOf[Decimal]
+      case other => throw new IllegalStateException(s"unsupported sum type $other")
+    }
+
+  /** The evaluated Sum input widened to the Sum's result type. */
+  def widen(resultType: DataType, v: Any): Any =
+    if (v == null) null
+    else resultType match {
+      case LongType => v match {
+        case x: Long => x; case x: Int => x.toLong
+        case x: Short => x.toLong; case x: Byte => x.toLong
+      }
+      case DoubleType => v match {
+        case x: Double => x; case x: Float => x.toDouble
+      }
+      case _: DecimalType => v.asInstanceOf[Decimal]
+      case other => throw new IllegalStateException(s"unsupported sum type $other")
+    }
+
+  /** Per-slice totals: (rowCount, distinctKeys, per-expr slot: slice sum
+    * for SumK, non-null count (Long) for CountK). Order-insensitive except
+    * distinctKeys, which only needs SORTED input (the shuffle read provides
+    * it) — tie permutations cannot change it. */
+  def sliceTotals(ks: Array[WinKind], ordering: Ordering[InternalRow],
+      it: Iterator[(InternalRow, Null)]): (Long, Long, Array[Any]) = {
+    var nRows = 0L
+    var nKeys = 0L
+    var prev: InternalRow = null
+    val slots = new Array[Any](ks.length)
+    it.foreach { kv =>
+      val row = kv._1
+      nRows += 1L
+      if (prev == null || ordering.compare(prev, row) != 0) nKeys += 1L
+      prev = row
+      var i = 0
+      while (i < ks.length) {
+        ks(i) match {
+          case SumK(v, rt, _) => slots(i) = plus(rt, slots(i), widen(rt, v.eval(row)))
+          case CountK(vs, _) => if (vs.forall(_.eval(row) != null))
+            slots(i) = (if (slots(i) == null) 0L else slots(i).asInstanceOf[Long]) + 1L
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+    (nRows, nKeys, slots)
+  }
+}
+
+/** Global window WITHOUT the single-reducer WindowExec, as ONE physical
+  * operator that owns its shuffle — which is what makes it sound where a
+  * pure logical two-branch rewrite is not:
+  *
+  *   - range boundaries are sampled ONCE (one RangePartitioner instance),
+  *     so there is exactly one row→slice assignment;
+  *   - the shuffle is written ONCE (one ShuffledRDD / ShuffleDependency);
+  *     the per-slice totals job and the output job both read those same
+  *     shuffle files (the scheduler skips the completed map stage on the
+  *     second job — standard RDD shuffle reuse);
+  *   - the totals job computes only ORDER-INSENSITIVE per-slice facts (row
+  *     count, distinct-key count, sums, non-null counts), so shuffle-fetch
+  *     order differences between the two reads cannot change anything; the
+  *     output job's within-tie ordering is exactly as arbitrary as the
+  *     vanilla single-reducer plan's.
+  *
+  * Supported functions (enforced by [[GlobalWindowRewrite]]'s eligibility):
+  * ROW_NUMBER / RANK / DENSE_RANK, and SUM / COUNT over an
+  * unbounded-preceding..current-row frame — ROWS, or RANGE whose
+  * peer-inclusive semantics are honored by buffering one tie group at a
+  * time (bounded by the largest tie group, the same buffering vanilla
+  * WindowExec does for peer frames).
+  *
+  * Each output partition is one contiguous slice of the global order and
+  * is sorted (spill-safe: sorting happens in the shuffle read's merge).
+  * The node declares only the ORDERING, not a range partitioning — the
+  * RangePartitioner may legitimately produce fewer partitions than
+  * configured (few distinct sample keys), and a partitioning claim whose
+  * partition count can disagree with the RDD's would be unsound.
+  */
+case class ScalableWindowExec(
+    windowOutput: Seq[Attribute],
+    windowFunctions: Seq[Expression],
+    orderSpec: Seq[SortOrder],
+    child: SparkPlan) extends UnaryExecNode {
+  import ScalableWindowExec._
+
+  override def output: Seq[Attribute] = child.output ++ windowOutput
+  override def producedAttributes: AttributeSet = AttributeSet(windowOutput)
+
+  override def outputPartitioning: Partitioning = UnknownPartitioning(0)
+  override def outputOrdering: Seq[SortOrder] = orderSpec
+
+  private def kinds: Array[WinKind] = windowFunctions.map { e =>
+    val we = e.asInstanceOf[WindowExpression]
+    val range = we.windowSpec.frameSpecification match {
+      case SpecifiedWindowFrame(RangeFrame, _, _) => true
+      case _ => false
+    }
+    we.windowFunction match {
+      case _: RowNumber => RowNum
+      case _: Rank => RankK
+      case _: DenseRank => DenseK
+      case ae @ AggregateExpression(s: Sum, _, _, _, _) =>
+        SumK(BindReferences.bindReference(s.child, child.output), ae.dataType, range)
+      case AggregateExpression(c: Count, _, _, _, _) =>
+        CountK(c.children.map(BindReferences.bindReference(_, child.output)), range)
+      case other => throw new IllegalStateException(
+        s"ScalableWindowExec: unsupported window function $other")
+    }
+  }.toArray
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val np = conf.numShufflePartitions
+    val ks = kinds
+    val ordering = new LazilyGeneratedOrdering(orderSpec, child.output)
+    implicit val ord: Ordering[InternalRow] = ordering
+
+    // the full row is the shuffle key (the ordering reads its order
+    // columns); rows must be copied out of the operator's reused buffers
+    val pairs: RDD[(InternalRow, Null)] =
+      child.execute().mapPartitions(_.map(r => (r.copy(), null)))
+    val partitioner = new RangePartitioner(np, pairs, ascending = true,
+      samplePointsPerPartitionHint = SQLConf.get.rangeExchangeSampleSizePerPartition)
+    val shuffled = new ShuffledRDD[InternalRow, Null, Null](pairs, partitioner)
+      .setKeyOrdering(ordering)
+
+    // ---- job 1: per-slice totals (tiny result, one row per slice)
+    val totals = shuffled.mapPartitionsWithIndex { (pid, it) =>
+      Iterator((pid, sliceTotals(ks, ordering, it)))
+    }.collect().toMap
+
+    // driver-side prefix: offsets(pid) = totals of all slices before pid
+    val actualParts = partitioner.numPartitions
+    val offRows = new Array[Long](actualParts)
+    val offKeys = new Array[Long](actualParts)
+    val offSlots = new Array[Array[Any]](actualParts)
+    var accRows = 0L; var accKeys = 0L
+    var accSlots = new Array[Any](ks.length)
+    for (pid <- 0 until actualParts) {
+      offRows(pid) = accRows
+      offKeys(pid) = accKeys
+      offSlots(pid) = accSlots
+      totals.get(pid).foreach { case (nr, nk, slots) =>
+        accRows += nr; accKeys += nk
+        val next = accSlots.clone()
+        var i = 0
+        while (i < ks.length) {
+          ks(i) match {
+            case SumK(_, rt, _) => next(i) = plus(rt, next(i), slots(i))
+            case CountK(_, _) => next(i) =
+              (if (next(i) == null) 0L else next(i).asInstanceOf[Long]) +
+                (if (slots(i) == null) 0L else slots(i).asInstanceOf[Long])
+            case _ => ()
+          }
+          i += 1
+        }
+        accSlots = next
+      }
+    }
+
+    // ---- job 2 (map stage skipped — same shuffle files): slice-local
+    // pass over the sorted slice, one tie group at a time, plus offsets
+    val outputAttrs = output
+    val childAttrs = child.output
+    val winAttrs = windowOutput
+    shuffled.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(outputAttrs, childAttrs ++ winAttrs)
+      val joined = new JoinedRow
+      val winRow = new GenericInternalRow(ks.length)
+
+      new Iterator[InternalRow] {
+        private var pendingRows: Iterator[InternalRow] = Iterator.empty
+        private var pushback: InternalRow = null
+        private var rowIdx = 0L     // rows emitted so far in this slice
+        private var denseIdx = 0L   // tie groups seen so far in this slice
+        private val runSums = new Array[Any](ks.length)   // pre-group running
+        private val runCounts = new Array[Long](ks.length)
+        private val group = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+
+        private def readGroup(): Unit = {
+          group.clear()
+          val first = if (pushback != null) { val f = pushback; pushback = null; f }
+                      else it.next()._1
+          group += first
+          var done = false
+          while (!done && it.hasNext) {
+            val nxt = it.next()._1
+            if (ordering.compare(first, nxt) == 0) group += nxt
+            else { pushback = nxt; done = true }
+          }
+        }
+
+        private def processGroup(): Unit = {
+          readGroup()
+          denseIdx += 1L
+          val rankVal = rowIdx + 1L
+          // the tie group's whole aggregate contribution, up front (RANGE
+          // frames are peer-inclusive: every member sees the group total;
+          // ROW frames advance member by member)
+          val gSums = new Array[Any](ks.length)
+          val gCounts = new Array[Long](ks.length)
+          group.foreach { row =>
+            var i = 0
+            while (i < ks.length) {
+              ks(i) match {
+                case SumK(v, rt, _) =>
+                  gSums(i) = plus(rt, gSums(i), widen(rt, v.eval(row)))
+                case CountK(vs, _) =>
+                  if (vs.forall(_.eval(row) != null)) gCounts(i) += 1L
+                case _ => ()
+              }
+              i += 1
+            }
+          }
+          val out = new Array[InternalRow](group.length)
+          var g = 0
+          while (g < group.length) {
+            val row = group(g)
+            rowIdx += 1L
+            var i = 0
+            while (i < ks.length) {
+              ks(i) match {
+                case SumK(v, rt, range) =>
+                  if (!range) runSums(i) = plus(rt, runSums(i), widen(rt, v.eval(row)))
+                  winRow.update(i, plus(rt,
+                    if (range) plus(rt, runSums(i), gSums(i)) else runSums(i),
+                    offSlots(pid)(i)))
+                case CountK(vs, range) =>
+                  if (!range && vs.forall(_.eval(row) != null)) runCounts(i) += 1L
+                  val local = if (range) runCounts(i) + gCounts(i) else runCounts(i)
+                  val off = if (offSlots(pid)(i) == null) 0L
+                            else offSlots(pid)(i).asInstanceOf[Long]
+                  winRow.update(i, local + off)
+                case RowNum => winRow.update(i, (rowIdx + offRows(pid)).toInt)
+                case RankK => winRow.update(i, (rankVal + offRows(pid)).toInt)
+                case DenseK => winRow.update(i, (denseIdx + offKeys(pid)).toInt)
+              }
+              i += 1
+            }
+            out(g) = proj(joined(row, winRow)).copy()
+            g += 1
+          }
+          // fold the group totals into the running state exactly once
+          var j = 0
+          while (j < ks.length) {
+            ks(j) match {
+              case SumK(_, rt, true) => runSums(j) = plus(rt, runSums(j), gSums(j))
+              case CountK(_, true) => runCounts(j) += gCounts(j)
+              case _ => ()
+            }
+            j += 1
+          }
+          pendingRows = out.iterator
+        }
+
+        override def hasNext: Boolean = {
+          while (!pendingRows.hasNext && (pushback != null || it.hasNext))
+            processGroup()
+          pendingRows.hasNext
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          pendingRows.next()
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): ScalableWindowExec =
+    copy(child = c)
+}

@@ -68,15 +68,20 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
                 ROW_NUMBER() OVER (ORDER BY k, id) AS rn
          FROM gw_rows""")
 
-    // the optimized plan may keep ONE unpartitioned window: the prefix-sum
-    // over the per-slice table, recognizable by its __graft_pid order key
+    // the global window must be GONE from the optimized plan, replaced by
+    // the custom node; the physical plan must carry the custom operator
+    // and no WindowExec at all
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val globals = df.queryExecution.optimizedPlan.collect {
-      case w: LWindow if w.partitionSpec.isEmpty => w
-    }
-    assert(globals.nonEmpty, "rewrite must have fired (offsets window present)")
-    assert(globals.forall(_.orderSpec.forall(_.references.forall(_.name == "__graft_pid"))),
-      s"a data-sized single-reducer window survived:\n${df.queryExecution.optimizedPlan}")
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case w: LWindow => w }.isEmpty,
+      s"no logical Window may remain:\n${df.queryExecution.optimizedPlan}")
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case s: ScalableWindowPlan => s }.nonEmpty,
+      s"rewrite must have fired:\n${df.queryExecution.optimizedPlan}")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("ScalableWindow [") &&
+      !phys.replace("ScalableWindow [", "").contains("Window ["),
+      s"physical plan must use ONLY the custom window operator:\n$phys")
 
     // exact results, including tie groups
     val got = df.collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4)))
@@ -137,12 +142,11 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy(_._1).toSeq
     val df = spark.sql(sql)
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val globals = df.queryExecution.optimizedPlan.collect {
-      case w: LWindow if w.partitionSpec.isEmpty => w
-    }
-    assert(globals.nonEmpty &&
-      globals.forall(_.orderSpec.forall(_.references.forall(_.name == "__graft_pid"))),
-      s"running aggregates must leave no data-sized global window:\n${df.queryExecution.optimizedPlan}")
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case w: LWindow => w }.isEmpty &&
+      df.queryExecution.optimizedPlan.collectFirst {
+        case s: ScalableWindowPlan => s }.nonEmpty,
+      s"running aggregates must route to the custom node:\n${df.queryExecution.optimizedPlan}")
     val rewritten = run()
     spark.conf.set("spark.sql.optimizer.excludedRules",
       classOf[GlobalWindowRewrite].getName)
@@ -150,6 +154,30 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       finally spark.conf.unset("spark.sql.optimizer.excludedRules")
     assert(rewritten == vanilla,
       "running SUM/COUNT rewrite must agree with the single-reducer plan")
+  }
+
+  test("stacked global windows and decimal SUM agree with vanilla at 20k rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // two DIFFERENT order specs -> two stacked custom operators; decimal
+    // values exercise the typed offset addition; heavy ties exercise the
+    // peer-group buffering
+    (0 until 20000).map { i =>
+      (i.toLong, rnd.nextInt(300).toLong, BigDecimal(rnd.nextInt(10000)) / 100)
+    }.toDF("id", "k", "v").createOrReplaceTempView("gw_stack")
+    val sql = """SELECT id,
+                        SUM(v) OVER (ORDER BY k, id) AS s,
+                        RANK() OVER (ORDER BY v DESC) AS r
+                 FROM gw_stack"""
+    def run() = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getDecimal(1), r.getInt(2))).sortBy(_._1).toSeq
+    val rewritten = run()
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      classOf[GlobalWindowRewrite].getName)
+    val vanilla = try run()
+      finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    assert(rewritten == vanilla,
+      "stacked custom windows must agree with the single-reducer plans")
   }
 
   test("unsupported window forms are left alone (avg, bounded frames)") {
@@ -162,11 +190,11 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT AVG(k) OVER (ORDER BY id) AS a FROM gw_skip",
       "SELECT SUM(k) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a FROM gw_skip")) {
       val p = spark.sql(sql).queryExecution.optimizedPlan.toString
-      assert(!p.contains("__graft_pid"), s"must not rewrite: $sql\n$p")
+      assert(!p.contains("ScalableWindowPlan"), s"must not rewrite: $sql\n$p")
     }
   }
 
-  test("partitioned windows and tiny offsets windows are left alone") {
+  test("partitioned windows are left alone") {
     import spark.implicits._
     (0 until 50).map(i => (i.toLong, (i % 5).toLong)).toDF("id", "k")
       .createOrReplaceTempView("gw_part")
@@ -176,7 +204,7 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
       "a partitioned window must not be rewritten")
-    assert(!df.queryExecution.optimizedPlan.toString.contains("__graft_pid"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("ScalableWindowPlan"))
   }
 
   test("extension session carries the dim-bucket pruning rule") {
