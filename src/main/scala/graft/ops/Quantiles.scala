@@ -40,10 +40,13 @@ object Quantiles {
     val ranked = ScalableWindow.rowNumber(vals, Seq(col("_v")), "_rn")
     // ceil(q*N) with an ulp-scale guard: the double product can land just
     // ABOVE an exact integer (0.07*100 = 7.000000000000001 -> ceil 8, the
-    // wrong element; DuckDB returns the 7th). Subtracting a few relative
-    // ulps (not an absolute epsilon — at N ~ 1e12 one ulp is ~1e-4) snaps
-    // such products back without ever skipping a genuinely non-integer
-    // crossing, which sits at least 1/N above the integer below it.
+    // wrong element; DuckDB returns the 7th). The guard is a CONVENTION,
+    // not an exactness proof: any product within ~4e-16 RELATIVE of an
+    // integer is treated as that integer (relative, not absolute, so it
+    // still covers N ~ 1e12 where one ulp is ~1e-4). A q chosen
+    // adversarially within that band of m/N resolves to rank m — the same
+    // reading DuckDB's quantile_disc gives on every probed case — while
+    // ordinary fractions are never off by one.
     val x = col("q") * col("_N")
     ranked
       .crossJoin(broadcast(ranked.agg(max(col("_rn")).as("_N"))))

@@ -44,18 +44,28 @@ case class GlobalWindowRewrite() extends Rule[LogicalPlan] {
     * analyzer's default for aggregates with ORDER BY; its peer groups
     * never span slices under range partitioning and the exec buffers one
     * tie group at a time). DISTINCT and FILTER forms don't decompose into
-    * prefix aggregates — left on the vanilla plan. Sum result types are
-    * long/double/decimal (everything Spark's Sum can produce). */
+    * prefix aggregates — left on the vanilla plan. SUM is restricted to
+    * long/double/decimal results in LEGACY or ANSI mode: Spark 4's Sum
+    * also produces ANSI intervals (the exec's typed adder doesn't), and
+    * try_sum's on-overflow-null doesn't decompose into prefix sums. */
   private def supported(e: NamedExpression): Boolean = e match {
     case Alias(WindowExpression(fn, WindowSpecDefinition(Seq(), _, frame)), _) =>
+      def frameOk = frame match {
+        case SpecifiedWindowFrame(RowFrame | RangeFrame,
+          UnboundedPreceding, CurrentRow) => true
+        case _ => false
+      }
       fn match {
         case _: RowNumber | _: Rank | _: DenseRank => true
-        case AggregateExpression(_: Sum | _: Count, Complete, false, None, _) =>
-          frame match {
-            case SpecifiedWindowFrame(RowFrame | RangeFrame,
-              UnboundedPreceding, CurrentRow) => true
+        case AggregateExpression(s: Sum, Complete, false, None, _) =>
+          val typeOk = s.dataType match {
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.DoubleType |
+                 (_: org.apache.spark.sql.types.DecimalType) => true
             case _ => false
           }
+          typeOk && s.evalContext.evalMode != EvalMode.TRY && frameOk
+        case AggregateExpression(_: Count, Complete, false, None, _) => frameOk
         case _ => false
       }
     case _ => false

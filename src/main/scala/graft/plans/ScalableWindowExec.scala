@@ -54,20 +54,42 @@ private[plans] object ScalableWindowExec {
   case object RankK extends WinKind
   case object DenseK extends WinKind
   final case class SumK(value: Expression, resultType: DataType,
-      rangeFrame: Boolean) extends WinKind
+      rangeFrame: Boolean, ansi: Boolean) extends WinKind
   final case class CountK(values: Seq[Expression],
       rangeFrame: Boolean) extends WinKind
 
   /** Typed, null-aware addition in the Sum's RESULT type (null = no value
-    * yet; SUM of nothing is null). */
-  def plus(resultType: DataType, a: Any, b: Any): Any =
+    * yet; SUM of nothing is null). ANSI long addition overflows loudly via
+    * addExact, matching the vanilla window's error; decimal accumulates
+    * exactly (unbounded) and is precision-checked at EMISSION by
+    * [[emitSum]], matching vanilla's per-row CheckOverflow placement. */
+  def plus(resultType: DataType, ansi: Boolean, a: Any, b: Any): Any =
     if (a == null) b
     else if (b == null) a
     else resultType match {
-      case LongType => a.asInstanceOf[Long] + b.asInstanceOf[Long]
+      case LongType =>
+        if (ansi) Math.addExact(a.asInstanceOf[Long], b.asInstanceOf[Long])
+        else a.asInstanceOf[Long] + b.asInstanceOf[Long]
       case DoubleType => a.asInstanceOf[Double] + b.asInstanceOf[Double]
       case _: DecimalType => a.asInstanceOf[Decimal] + b.asInstanceOf[Decimal]
       case other => throw new IllegalStateException(s"unsupported sum type $other")
+    }
+
+  /** The per-row output form of a running sum: decimals are checked
+    * against the declared result precision here — null on overflow in
+    * legacy mode, an arithmetic error in ANSI — exactly where the vanilla
+    * plan places CheckOverflow. */
+  def emitSum(resultType: DataType, ansi: Boolean, v: Any): Any =
+    resultType match {
+      case dt: DecimalType if v != null =>
+        // fits iff |value| < 10^(p-s); accumulation preserved the result
+        // scale (all inputs carry it), so only the integral width can grow
+        val d = v.asInstanceOf[Decimal]
+        if (d.toBigDecimal.abs < BigDecimal(10).pow(dt.precision - dt.scale)) d
+        else if (ansi) throw new ArithmeticException(
+          s"Decimal overflow: $d does not fit $dt")
+        else null
+      case _ => v
     }
 
   /** The evaluated Sum input widened to the Sum's result type. */
@@ -103,7 +125,8 @@ private[plans] object ScalableWindowExec {
       var i = 0
       while (i < ks.length) {
         ks(i) match {
-          case SumK(v, rt, _) => slots(i) = plus(rt, slots(i), widen(rt, v.eval(row)))
+          case SumK(v, rt, _, ansi) =>
+            slots(i) = plus(rt, ansi, slots(i), widen(rt, v.eval(row)))
           case CountK(vs, _) => if (vs.forall(_.eval(row) != null))
             slots(i) = (if (slots(i) == null) 0L else slots(i).asInstanceOf[Long]) + 1L
           case _ => ()
@@ -169,7 +192,8 @@ case class ScalableWindowExec(
       case _: Rank => RankK
       case _: DenseRank => DenseK
       case ae @ AggregateExpression(s: Sum, _, _, _, _) =>
-        SumK(BindReferences.bindReference(s.child, child.output), ae.dataType, range)
+        SumK(BindReferences.bindReference(s.child, child.output), ae.dataType,
+          range, s.evalContext.evalMode == EvalMode.ANSI)
       case AggregateExpression(c: Count, _, _, _, _) =>
         CountK(c.children.map(BindReferences.bindReference(_, child.output)), range)
       case other => throw new IllegalStateException(
@@ -214,7 +238,7 @@ case class ScalableWindowExec(
         var i = 0
         while (i < ks.length) {
           ks(i) match {
-            case SumK(_, rt, _) => next(i) = plus(rt, next(i), slots(i))
+            case SumK(_, rt, _, ansi) => next(i) = plus(rt, ansi, next(i), slots(i))
             case CountK(_, _) => next(i) =
               (if (next(i) == null) 0L else next(i).asInstanceOf[Long]) +
                 (if (slots(i) == null) 0L else slots(i).asInstanceOf[Long])
@@ -258,22 +282,28 @@ case class ScalableWindowExec(
           }
         }
 
+        // the tie group's whole aggregate contribution, computed up front
+        // ONLY for RANGE-framed aggregates (peer-inclusive: every member
+        // sees the group total); ROW frames advance member by member and
+        // must not pay a second evaluation pass
+        private val hasRangeAgg = ks.exists {
+          case SumK(_, _, true, _) | CountK(_, true) => true
+          case _ => false
+        }
+
         private def processGroup(): Unit = {
           readGroup()
           denseIdx += 1L
           val rankVal = rowIdx + 1L
-          // the tie group's whole aggregate contribution, up front (RANGE
-          // frames are peer-inclusive: every member sees the group total;
-          // ROW frames advance member by member)
           val gSums = new Array[Any](ks.length)
           val gCounts = new Array[Long](ks.length)
-          group.foreach { row =>
+          if (hasRangeAgg) group.foreach { row =>
             var i = 0
             while (i < ks.length) {
               ks(i) match {
-                case SumK(v, rt, _) =>
-                  gSums(i) = plus(rt, gSums(i), widen(rt, v.eval(row)))
-                case CountK(vs, _) =>
+                case SumK(v, rt, true, ansi) =>
+                  gSums(i) = plus(rt, ansi, gSums(i), widen(rt, v.eval(row)))
+                case CountK(vs, true) =>
                   if (vs.forall(_.eval(row) != null)) gCounts(i) += 1L
                 case _ => ()
               }
@@ -288,11 +318,11 @@ case class ScalableWindowExec(
             var i = 0
             while (i < ks.length) {
               ks(i) match {
-                case SumK(v, rt, range) =>
-                  if (!range) runSums(i) = plus(rt, runSums(i), widen(rt, v.eval(row)))
-                  winRow.update(i, plus(rt,
-                    if (range) plus(rt, runSums(i), gSums(i)) else runSums(i),
-                    offSlots(pid)(i)))
+                case SumK(v, rt, range, ansi) =>
+                  if (!range) runSums(i) = plus(rt, ansi, runSums(i), widen(rt, v.eval(row)))
+                  winRow.update(i, emitSum(rt, ansi, plus(rt, ansi,
+                    if (range) plus(rt, ansi, runSums(i), gSums(i)) else runSums(i),
+                    offSlots(pid)(i))))
                 case CountK(vs, range) =>
                   if (!range && vs.forall(_.eval(row) != null)) runCounts(i) += 1L
                   val local = if (range) runCounts(i) + gCounts(i) else runCounts(i)
@@ -312,7 +342,7 @@ case class ScalableWindowExec(
           var j = 0
           while (j < ks.length) {
             ks(j) match {
-              case SumK(_, rt, true) => runSums(j) = plus(rt, runSums(j), gSums(j))
+              case SumK(_, rt, true, ansi) => runSums(j) = plus(rt, ansi, runSums(j), gSums(j))
               case CountK(_, true) => runCounts(j) += gCounts(j)
               case _ => ()
             }

@@ -194,6 +194,32 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("interval SUM windows are not rewritten; ANSI long overflow stays loud") {
+    import spark.implicits._
+    // Spark 4's Sum also produces ANSI intervals — the exec's typed adder
+    // doesn't, so eligibility must leave them on the vanilla plan
+    (1 to 10).map(i => (i.toLong, i)).toDF("id", "h").createOrReplaceTempView("gw_iv")
+    val iv = spark.sql(
+      "SELECT id, SUM(make_dt_interval(0, h, 0, 0)) OVER (ORDER BY id) AS s FROM gw_iv")
+    assert(!iv.queryExecution.optimizedPlan.toString.contains("ScalableWindowPlan"),
+      s"interval sums must stay vanilla:\n${iv.queryExecution.optimizedPlan}")
+    assert(iv.count() == 10, "the vanilla interval window must still run")
+
+    // ANSI (the Spark 4 default) errors on running-sum overflow; the
+    // rewrite must error too, not wrap to negative garbage
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    Seq((1L, Long.MaxValue / 2 + 1), (2L, Long.MaxValue / 2 + 1))
+      .toDF("id", "v").createOrReplaceTempView("gw_ovf")
+    val q = spark.sql("SELECT id, SUM(v) OVER (ORDER BY id) AS s FROM gw_ovf")
+    assert(q.queryExecution.optimizedPlan.toString.contains("ScalableWindowPlan"))
+    val e = intercept[Exception](q.collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.isInstanceOf[ArithmeticException] ||
+      String.valueOf(c.getMessage).toLowerCase.contains("overflow")),
+      s"expected an overflow error, got $e")
+  }
+
   test("partitioned windows are left alone") {
     import spark.implicits._
     (0 until 50).map(i => (i.toLong, (i % 5).toLong)).toDF("id", "k")
