@@ -148,6 +148,46 @@ object Extended {
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     ),
 
+    // the auto-routed global window END TO END through the ORACLE GATE:
+    // installs GlobalWindowRewrite + ScalableWindowStrategy via
+    // spark.experimental (the runtime face of the GraftExtensions
+    // registration — same mechanism World uses for its pruning rule), then
+    // runs raw global-window SQL. The optimizer swaps the single-reducer
+    // WindowExec for ScalableWindowExec — one owned range shuffle, totals
+    // and output from the same shuffle files — and DuckDB checks the
+    // values. RANK/ROW_NUMBER/running-SUM share one ORDER BY, so ONE exec
+    // node computes all three; the decimal running sum exercises the ANSI
+    // overflow-checked addition path. Rank emitted as BIGINT on both
+    // engines (Spark's rank is int32, DuckDB's int64).
+    "q_global_window_auto" -> QueryDef(
+      (s, dir) => {
+        val exp = s.experimental
+        if (!exp.extraOptimizations.exists(_.isInstanceOf[graft.plans.GlobalWindowRewrite]))
+          exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.GlobalWindowRewrite()
+        if (!exp.extraStrategies.contains(graft.plans.ScalableWindowStrategy))
+          exp.extraStrategies = exp.extraStrategies :+ graft.plans.ScalableWindowStrategy
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        // the order includes the unique o_orderkey, so the aggregate's
+        // default RANGE frame equals ROWS (no peers) — engine-identical
+        s.sql("""SELECT o_orderkey,
+                   CAST(RANK() OVER w AS BIGINT) AS rnk,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                     AS DECIMAL(18,2)) AS DOUBLE) AS run_total
+                 FROM orders
+                 WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+                 ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey,
+                RANK() OVER w AS rnk,
+                ROW_NUMBER() OVER w AS rn,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                  AS DECIMAL(18,2)) AS DOUBLE) AS run_total
+              FROM orders
+              WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_orderkey""")
+    ),
+
     // EXACT global quantiles (percentile_disc order statistics) WITHOUT a
     // global sort: ops.Quantiles rides the ScalableWindow two-phase row
     // number — one range exchange, no single-reducer stage — and keeps only

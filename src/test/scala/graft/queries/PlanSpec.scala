@@ -102,6 +102,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"residual box filters on both dims must be pushed to the scan:\n$p")
   }
 
+  test("q_global_window_auto runs on ScalableWindowExec, not the single-reducer WindowExec") {
+    val p = plan("q_global_window_auto")
+    assert(p.contains("ScalableWindow ["),
+      s"the custom operator must be in the executed plan:\n$p")
+    assert(!p.replace("ScalableWindow [", "").contains("Window ["),
+      s"no vanilla WindowExec may remain:\n$p")
+  }
+
   test("raw dim-range predicate (no Select DSL) prunes partitions via DimBucketPruning") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
