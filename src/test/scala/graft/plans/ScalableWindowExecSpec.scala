@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Edge-case pins for the custom global-window operator, each compared
+  * against the vanilla single-reducer plan on the same session (rule
+  * excluded via conf): empty input, one giant tie group, null order keys
+  * under both null orderings, descending order, and fewer distinct keys
+  * than shuffle partitions (the RangePartitioner legitimately collapses to
+  * fewer partitions than configured). */
+class ScalableWindowExecSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def bothWays(sql: String, expectRewrite: Boolean = true): (Seq[String], Seq[String]) = {
+    def run(): Seq[String] = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    val df = spark.sql(sql)
+    if (expectRewrite)
+      assert(df.queryExecution.optimizedPlan.collectFirst {
+        case s: ScalableWindowPlan => s }.nonEmpty,
+        s"rewrite must fire for: $sql\n${df.queryExecution.optimizedPlan}")
+    val rewritten = run()
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      classOf[GlobalWindowRewrite].getName)
+    val vanilla = try run()
+      finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    (rewritten, vanilla)
+  }
+
+  test("empty input produces empty output") {
+    import spark.implicits._
+    // empty relations constant-fold away before any window exists — the
+    // point here is that the OUTPUT (schema + emptiness) matches vanilla
+    Seq.empty[(Long, Long)].toDF("id", "k").createOrReplaceTempView("swe_empty")
+    val (r, v) = bothWays(
+      "SELECT id, RANK() OVER (ORDER BY k) AS r, SUM(k) OVER (ORDER BY k, id) AS s FROM swe_empty",
+      expectRewrite = false)
+    assert(r.isEmpty && v.isEmpty)
+  }
+
+  test("one giant tie group (every key equal)") {
+    import spark.implicits._
+    (0 until 1000).map(i => (i.toLong, 7L)).toDF("id", "k")
+      .createOrReplaceTempView("swe_ties")
+    val (r, v) = bothWays(
+      "SELECT id, RANK() OVER (ORDER BY k) AS r, DENSE_RANK() OVER (ORDER BY k) AS d," +
+        " SUM(k) OVER (ORDER BY k) AS s FROM swe_ties")
+    // rank 1 / dense 1 / peer-inclusive sum 7000 for every row, both plans
+    assert(r == v)
+    assert(r.forall(_.contains(",1,1,7000]")), s"sample: ${r.take(2)}")
+  }
+
+  test("null order keys, default and NULLS LAST orderings") {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      (i.toLong, if (i % 7 == 0) None else Some((i % 13).toLong))
+    }
+    rows.toDF("id", "k").createOrReplaceTempView("swe_nulls")
+    for (ord <- Seq("k", "k DESC", "k NULLS LAST", "k DESC NULLS FIRST")) {
+      val (r, v) = bothWays(
+        s"SELECT id, RANK() OVER (ORDER BY $ord) AS r, DENSE_RANK() OVER (ORDER BY $ord) AS d FROM swe_nulls")
+      assert(r == v, s"ordering '$ord' diverged")
+    }
+  }
+
+  test("fewer distinct keys than shuffle partitions (collapsed partitioner)") {
+    import spark.implicits._
+    // 2 distinct keys, 4 configured partitions: RangePartitioner yields
+    // fewer slices than configured and the offsets must still line up
+    (0 until 100).map(i => (i.toLong, (i % 2).toLong)).toDF("id", "k")
+      .createOrReplaceTempView("swe_few")
+    val (r, v) = bothWays(
+      "SELECT id, RANK() OVER (ORDER BY k) AS r, ROW_NUMBER() OVER (ORDER BY k, id) AS rn," +
+        " COUNT(k) OVER (ORDER BY k, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c" +
+        " FROM swe_few")
+    assert(r == v)
+  }
+
+  test("single row") {
+    import spark.implicits._
+    Seq((1L, 5L)).toDF("id", "k").createOrReplaceTempView("swe_one")
+    val (r, v) = bothWays(
+      "SELECT id, RANK() OVER (ORDER BY k) AS r, SUM(k) OVER (ORDER BY k, id) AS s FROM swe_one")
+    assert(r == v && r.length == 1)
+  }
+}
