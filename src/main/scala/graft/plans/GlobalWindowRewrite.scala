@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Rewrites a GLOBAL rank-family / running-aggregate window —
-  * `row_number()/rank()/dense_rank()/sum()/count() OVER (ORDER BY …)` with
+/** Rewrites a GLOBAL rank-family / distribution / running-aggregate
+  * window — `row_number()/rank()/dense_rank()/ntile()/percent_rank()/
+  * cume_dist()/sum()/count() OVER (ORDER BY …)` with
   * no PARTITION BY — onto [[ScalableWindowPlan]], applied automatically to
   * ad-hoc SQL/DataFrame queries in a [[GraftExtensions]] session. The
   * vanilla plan funnels every row through ONE task (WindowExec requires
@@ -57,6 +58,13 @@ case class GlobalWindowRewrite() extends Rule[LogicalPlan] {
       }
       fn match {
         case _: RowNumber | _: Rank | _: DenseRank => true
+        // closed forms over the global row number / rank and the total row
+        // count N (the exec's totals job already produces all three)
+        case _: PercentRank | _: CumeDist => true
+        case nt: NTile => nt.buckets match {
+          case Literal(k: Int, _) => k > 0
+          case _ => false
+        }
         case AggregateExpression(s: Sum, Complete, false, None, _) =>
           val typeOk = s.dataType match {
             case org.apache.spark.sql.types.LongType |

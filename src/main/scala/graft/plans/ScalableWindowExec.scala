@@ -53,6 +53,10 @@ private[plans] object ScalableWindowExec {
   case object RowNum extends WinKind
   case object RankK extends WinKind
   case object DenseK extends WinKind
+  /** Closed forms over the global position and total row count N. */
+  case object PctRankK extends WinKind
+  case object CumeDistK extends WinKind
+  final case class NTileK(buckets: Int) extends WinKind
   final case class SumK(value: Expression, resultType: DataType,
       rangeFrame: Boolean, ansi: Boolean) extends WinKind
   final case class CountK(values: Seq[Expression],
@@ -155,7 +159,9 @@ private[plans] object ScalableWindowExec {
   *     vanilla single-reducer plan's.
   *
   * Supported functions (enforced by [[GlobalWindowRewrite]]'s eligibility):
-  * ROW_NUMBER / RANK / DENSE_RANK, and SUM / COUNT over an
+  * ROW_NUMBER / RANK / DENSE_RANK; NTILE / PERCENT_RANK / CUME_DIST as
+  * closed forms over the global position and total row count N (N falls
+  * out of the totals job); and SUM / COUNT over an
   * unbounded-preceding..current-row frame — ROWS, or RANGE whose
   * peer-inclusive semantics are honored by buffering one tie group at a
   * time (bounded by the largest tie group, the same buffering vanilla
@@ -191,6 +197,9 @@ case class ScalableWindowExec(
       case _: RowNumber => RowNum
       case _: Rank => RankK
       case _: DenseRank => DenseK
+      case _: PercentRank => PctRankK
+      case _: CumeDist => CumeDistK
+      case nt: NTile => NTileK(nt.buckets.asInstanceOf[Literal].value.asInstanceOf[Int])
       case ae @ AggregateExpression(s: Sum, _, _, _, _) =>
         SumK(BindReferences.bindReference(s.child, child.output), ae.dataType,
           range, s.evalContext.evalMode == EvalMode.ANSI)
@@ -252,6 +261,7 @@ case class ScalableWindowExec(
 
     // ---- job 2 (map stage skipped — same shuffle files): slice-local
     // pass over the sorted slice, one tie group at a time, plus offsets
+    val totalRows = accRows
     val outputAttrs = output
     val childAttrs = child.output
     val winAttrs = windowOutput
@@ -332,6 +342,25 @@ case class ScalableWindowExec(
                 case RowNum => winRow.update(i, (rowIdx + offRows(pid)).toInt)
                 case RankK => winRow.update(i, (rankVal + offRows(pid)).toInt)
                 case DenseK => winRow.update(i, (denseIdx + offKeys(pid)).toInt)
+                case PctRankK =>
+                  // tie-aware global rank against N-1, 0.0 for N <= 1
+                  val gr = rankVal + offRows(pid)
+                  winRow.update(i, if (totalRows > 1L)
+                    (gr - 1L).toDouble / (totalRows - 1L).toDouble else 0.0)
+                case CumeDistK =>
+                  // peer-INCLUSIVE count / N: rows before this tie group
+                  // (global) plus the whole group
+                  val peers = offRows(pid) + (rankVal - 1L) + group.length
+                  winRow.update(i, peers.toDouble / totalRows.toDouble)
+                case NTileK(k) =>
+                  // SQL NTILE in closed form from the global row number:
+                  // the first N mod k tiles carry floor(N/k)+1 rows
+                  val grn = rowIdx + offRows(pid)
+                  val q = totalRows / k
+                  val r = totalRows % k
+                  val tile = if (grn <= r * (q + 1L)) (grn - 1L) / (q + 1L) + 1L
+                             else r + (grn - r * (q + 1L) - 1L) / q + 1L
+                  winRow.update(i, tile.toInt)
               }
               i += 1
             }

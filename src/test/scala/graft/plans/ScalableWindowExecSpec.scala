@@ -88,6 +88,26 @@ class ScalableWindowExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == v)
   }
 
+  test("ntile / percent_rank / cume_dist closed forms match vanilla, ties included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    (0 until 997).map(i => (i.toLong, rnd.nextInt(40).toLong)).toDF("id", "k")
+      .createOrReplaceTempView("swe_dist")
+    // 997 % 4 = 1 exercises the uneven-tile split; ties exercise the
+    // tie-aware rank in percent_rank and peer-inclusive cume_dist
+    val (r, v) = bothWays(
+      """SELECT id, NTILE(4) OVER (ORDER BY k, id) AS t,
+                PERCENT_RANK() OVER (ORDER BY k) AS pr,
+                CUME_DIST() OVER (ORDER BY k) AS cd
+         FROM swe_dist""")
+    assert(r == v)
+    // N < k edge: every row its own tile, numbered by position
+    Seq((1L, 9L), (2L, 3L)).toDF("id", "k").createOrReplaceTempView("swe_tiny")
+    val (r2, v2) = bothWays(
+      "SELECT id, NTILE(5) OVER (ORDER BY k, id) AS t FROM swe_tiny")
+    assert(r2 == v2)
+  }
+
   test("single row") {
     import spark.implicits._
     Seq((1L, 5L)).toDF("id", "k").createOrReplaceTempView("swe_one")
