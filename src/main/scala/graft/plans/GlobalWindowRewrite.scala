@@ -48,7 +48,17 @@ case class GlobalWindowRewrite() extends Rule[LogicalPlan] {
     * prefix aggregates — left on the vanilla plan. SUM is restricted to
     * long/double/decimal results in LEGACY or ANSI mode: Spark 4's Sum
     * also produces ANSI intervals (the exec's typed adder doesn't), and
-    * try_sum's on-overflow-null doesn't decompose into prefix sums. */
+    * try_sum's on-overflow-null doesn't decompose into prefix sums.
+    *
+    * LAG/LEAD are deliberately NOT auto-routed: their cross-slice donor
+    * handoff is only sound when the order is TOTAL — with ties, the donor
+    * values collected in one read of the shuffle can correspond to a
+    * different tie permutation than the emission read, yielding results
+    * consistent with NO single order (a worse failure mode than vanilla's
+    * run-to-run nondeterminism). The explicit
+    * [[graft.ops.ScalableWindow.lag]]/[[graft.ops.ScalableWindow.lead]]
+    * API carries the documented include-a-unique-tie-break contract an
+    * automatic rewrite cannot verify. */
   private def supported(e: NamedExpression): Boolean = e match {
     case Alias(WindowExpression(fn, WindowSpecDefinition(Seq(), _, frame)), _) =>
       def frameOk = frame match {
