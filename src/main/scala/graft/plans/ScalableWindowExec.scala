@@ -164,8 +164,11 @@ private[plans] object ScalableWindowExec {
   * out of the totals job); and SUM / COUNT over an
   * unbounded-preceding..current-row frame — ROWS, or RANGE whose
   * peer-inclusive semantics are honored by buffering one tie group at a
-  * time (bounded by the largest tie group, the same buffering vanilla
-  * WindowExec does for peer frames).
+  * time. Most kinds stream one-in-one-out (no buffering at all); only
+  * CUME_DIST and RANGE-framed aggregates buffer, bounded by the largest
+  * tie group — and unlike vanilla WindowExec's spillable row array this
+  * buffer is heap-only, so an ORDER BY over a near-constant key combined
+  * with those functions trades vanilla's slow spill for memory pressure.
   *
   * Each output partition is one contiguous slice of the global order and
   * is sorted (spill-safe: sorting happens in the shuffle read's merge).
@@ -269,14 +272,100 @@ case class ScalableWindowExec(
       val proj = UnsafeProjection.create(outputAttrs, childAttrs ++ winAttrs)
       val joined = new JoinedRow
       val winRow = new GenericInternalRow(ks.length)
+      // partition-constant NTILE split parameters, hoisted off the row loop
+      val ntQ = ks.map { case NTileK(k) => totalRows / k; case _ => 0L }
+      val ntR = ks.map { case NTileK(k) => totalRows % k; case _ => 0L }
+      val ntCut = ks.indices.map(i => ntR(i) * (ntQ(i) + 1L)).toArray
 
-      new Iterator[InternalRow] {
+      var rowIdx = 0L     // rows emitted so far in this slice
+      var denseIdx = 0L   // tie groups seen so far in this slice
+      var rankVal = 0L    // 1-based slice-local rank of the current group
+      val runSums = new Array[Any](ks.length)   // ROWS-framed running state
+      val runCounts = new Array[Long](ks.length)
+
+      // one row's output; the peer-group arguments are only read by the
+      // kinds that forced buffering (null on the streaming path)
+      def emitRow(row: InternalRow, groupLen: Long, baseSums: Array[Any],
+          gSums: Array[Any], baseCounts: Array[Long],
+          gCounts: Array[Long]): InternalRow = {
+        rowIdx += 1L
+        var i = 0
+        while (i < ks.length) {
+          ks(i) match {
+            case SumK(v, rt, range, ansi) =>
+              val local = if (range) plus(rt, ansi, baseSums(i), gSums(i))
+                          else {
+                            runSums(i) = plus(rt, ansi, runSums(i), widen(rt, v.eval(row)))
+                            runSums(i)
+                          }
+              winRow.update(i, emitSum(rt, ansi, plus(rt, ansi, local, offSlots(pid)(i))))
+            case CountK(vs, range) =>
+              if (!range && vs.forall(_.eval(row) != null)) runCounts(i) += 1L
+              val local = if (range) baseCounts(i) + gCounts(i) else runCounts(i)
+              val off = if (offSlots(pid)(i) == null) 0L
+                        else offSlots(pid)(i).asInstanceOf[Long]
+              winRow.update(i, local + off)
+            case RowNum => winRow.update(i, (rowIdx + offRows(pid)).toInt)
+            case RankK => winRow.update(i, (rankVal + offRows(pid)).toInt)
+            case DenseK => winRow.update(i, (denseIdx + offKeys(pid)).toInt)
+            case PctRankK =>
+              // tie-aware global rank against N-1, 0.0 for N <= 1
+              val gr = rankVal + offRows(pid)
+              winRow.update(i, if (totalRows > 1L)
+                (gr - 1L).toDouble / (totalRows - 1L).toDouble else 0.0)
+            case CumeDistK =>
+              // peer-INCLUSIVE count / N: rows before this tie group
+              // (global) plus the whole group
+              val peers = offRows(pid) + (rankVal - 1L) + groupLen
+              winRow.update(i, peers.toDouble / totalRows.toDouble)
+            case NTileK(_) =>
+              // SQL NTILE in closed form from the global row number: the
+              // first N mod k tiles carry floor(N/k)+1 rows (the q == 0
+              // divisor is unreachable: N < k puts every row in the cut)
+              val grn = rowIdx + offRows(pid)
+              val tile = if (grn <= ntCut(i)) (grn - 1L) / (ntQ(i) + 1L) + 1L
+                         else ntR(i) + (grn - ntCut(i) - 1L) / ntQ(i) + 1L
+              winRow.update(i, tile.toInt)
+          }
+          i += 1
+        }
+        proj(joined(row, winRow))
+      }
+
+      // only CUME_DIST and RANGE-framed aggregates need the whole tie
+      // group BEFORE its first row (its size / its total); everything
+      // else streams one-in-one-out with a boundary compare, buffering
+      // nothing
+      val needsPeerBuffer = ks.exists {
+        case CumeDistK | SumK(_, _, true, _) | CountK(_, true) => true
+        case _ => false
+      }
+      val hasRangeAgg = ks.exists {
+        case SumK(_, _, true, _) | CountK(_, true) => true
+        case _ => false
+      }
+
+      if (!needsPeerBuffer) {
+        var prev: InternalRow = null
+        it.map { kv =>
+          val row = kv._1
+          if (prev == null || ordering.compare(prev, row) != 0) {
+            denseIdx += 1L
+            rankVal = rowIdx + 1L
+          }
+          prev = row
+          emitRow(row, 0L, null, null, null, null)
+        }
+      } else new Iterator[InternalRow] {
+        // group-buffered path: rows only (no projected copies — emission
+        // is lazy and the projection buffer is valid until the consumer's
+        // next call, the standard operator-iterator contract). The buffer
+        // is bounded by the largest tie group; unlike vanilla WindowExec's
+        // ExternalAppendOnlyUnsafeRowArray it does NOT spill — an ORDER BY
+        // over a near-constant key with CUME_DIST or a RANGE aggregate is
+        // the adversarial shape (the slice IS one tie group).
         private var pendingRows: Iterator[InternalRow] = Iterator.empty
         private var pushback: InternalRow = null
-        private var rowIdx = 0L     // rows emitted so far in this slice
-        private var denseIdx = 0L   // tie groups seen so far in this slice
-        private val runSums = new Array[Any](ks.length)   // pre-group running
-        private val runCounts = new Array[Long](ks.length)
         private val group = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
 
         private def readGroup(): Unit = {
@@ -292,19 +381,10 @@ case class ScalableWindowExec(
           }
         }
 
-        // the tie group's whole aggregate contribution, computed up front
-        // ONLY for RANGE-framed aggregates (peer-inclusive: every member
-        // sees the group total); ROW frames advance member by member and
-        // must not pay a second evaluation pass
-        private val hasRangeAgg = ks.exists {
-          case SumK(_, _, true, _) | CountK(_, true) => true
-          case _ => false
-        }
-
         private def processGroup(): Unit = {
           readGroup()
           denseIdx += 1L
-          val rankVal = rowIdx + 1L
+          rankVal = rowIdx + 1L
           val gSums = new Array[Any](ks.length)
           val gCounts = new Array[Long](ks.length)
           if (hasRangeAgg) group.foreach { row =>
@@ -320,64 +400,33 @@ case class ScalableWindowExec(
               i += 1
             }
           }
-          val out = new Array[InternalRow](group.length)
-          var g = 0
-          while (g < group.length) {
-            val row = group(g)
-            rowIdx += 1L
-            var i = 0
-            while (i < ks.length) {
-              ks(i) match {
-                case SumK(v, rt, range, ansi) =>
-                  if (!range) runSums(i) = plus(rt, ansi, runSums(i), widen(rt, v.eval(row)))
-                  winRow.update(i, emitSum(rt, ansi, plus(rt, ansi,
-                    if (range) plus(rt, ansi, runSums(i), gSums(i)) else runSums(i),
-                    offSlots(pid)(i))))
-                case CountK(vs, range) =>
-                  if (!range && vs.forall(_.eval(row) != null)) runCounts(i) += 1L
-                  val local = if (range) runCounts(i) + gCounts(i) else runCounts(i)
-                  val off = if (offSlots(pid)(i) == null) 0L
-                            else offSlots(pid)(i).asInstanceOf[Long]
-                  winRow.update(i, local + off)
-                case RowNum => winRow.update(i, (rowIdx + offRows(pid)).toInt)
-                case RankK => winRow.update(i, (rankVal + offRows(pid)).toInt)
-                case DenseK => winRow.update(i, (denseIdx + offKeys(pid)).toInt)
-                case PctRankK =>
-                  // tie-aware global rank against N-1, 0.0 for N <= 1
-                  val gr = rankVal + offRows(pid)
-                  winRow.update(i, if (totalRows > 1L)
-                    (gr - 1L).toDouble / (totalRows - 1L).toDouble else 0.0)
-                case CumeDistK =>
-                  // peer-INCLUSIVE count / N: rows before this tie group
-                  // (global) plus the whole group
-                  val peers = offRows(pid) + (rankVal - 1L) + group.length
-                  winRow.update(i, peers.toDouble / totalRows.toDouble)
-                case NTileK(k) =>
-                  // SQL NTILE in closed form from the global row number:
-                  // the first N mod k tiles carry floor(N/k)+1 rows
-                  val grn = rowIdx + offRows(pid)
-                  val q = totalRows / k
-                  val r = totalRows % k
-                  val tile = if (grn <= r * (q + 1L)) (grn - 1L) / (q + 1L) + 1L
-                             else r + (grn - r * (q + 1L) - 1L) / q + 1L
-                  winRow.update(i, tile.toInt)
-              }
-              i += 1
-            }
-            out(g) = proj(joined(row, winRow)).copy()
-            g += 1
-          }
-          // fold the group totals into the running state exactly once
+          // snapshot the pre-group running state for peer-inclusive
+          // emission, then fold the group totals in EAGERLY so the next
+          // group's base is correct even though emission below is lazy
+          // (ROWS-framed state advances per emitted row and touches
+          // disjoint slots)
+          val baseSums = runSums.clone()
+          val baseCounts = runCounts.clone()
           var j = 0
           while (j < ks.length) {
             ks(j) match {
-              case SumK(_, rt, true, ansi) => runSums(j) = plus(rt, ansi, runSums(j), gSums(j))
+              case SumK(_, rt, true, ansi) =>
+                runSums(j) = plus(rt, ansi, runSums(j), gSums(j))
               case CountK(_, true) => runCounts(j) += gCounts(j)
               case _ => ()
             }
             j += 1
           }
-          pendingRows = out.iterator
+          val groupLen = group.length
+          var g = 0
+          pendingRows = new Iterator[InternalRow] {
+            override def hasNext: Boolean = g < groupLen
+            override def next(): InternalRow = {
+              val row = group(g)
+              g += 1
+              emitRow(row, groupLen.toLong, baseSums, gSums, baseCounts, gCounts)
+            }
+          }
         }
 
         override def hasNext: Boolean = {

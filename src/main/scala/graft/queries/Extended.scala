@@ -161,15 +161,17 @@ object Extended {
     // engines (Spark's rank is int32, DuckDB's int64).
     "q_global_window_auto" -> QueryDef(
       (s, dir) => {
-        val exp = s.experimental
-        if (!exp.extraOptimizations.exists(_.isInstanceOf[graft.plans.GlobalWindowRewrite]))
-          exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.GlobalWindowRewrite()
-        if (!exp.extraStrategies.contains(graft.plans.ScalableWindowStrategy))
-          exp.extraStrategies = exp.extraStrategies :+ graft.plans.ScalableWindowStrategy
-        t(s, dir, "orders").createOrReplaceTempView("orders")
+        // an ISOLATED session (shared context, fresh sessionState): the
+        // install must not leak into the shared registry session, where it
+        // would make every later query's plan depend on run order
+        val s2 = s.newSession()
+        val exp = s2.experimental
+        exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.GlobalWindowRewrite()
+        exp.extraStrategies = exp.extraStrategies :+ graft.plans.ScalableWindowStrategy
+        t(s2, dir, "orders").createOrReplaceTempView("orders")
         // the order includes the unique o_orderkey, so the aggregate's
         // default RANGE frame equals ROWS (no peers) — engine-identical
-        s.sql("""SELECT o_orderkey,
+        s2.sql("""SELECT o_orderkey,
                    CAST(RANK() OVER w AS BIGINT) AS rnk,
                    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
                    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w

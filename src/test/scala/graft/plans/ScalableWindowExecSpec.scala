@@ -34,8 +34,15 @@ class ScalableWindowExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rewritten = run()
     spark.conf.set("spark.sql.optimizer.excludedRules",
       classOf[GlobalWindowRewrite].getName)
-    val vanilla = try run()
-      finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    val vanilla = try {
+      // the comparison is vacuous unless the exclusion really produced
+      // the vanilla plan — pin it, so a future change to how the rule is
+      // registered can't silently turn every r == v into exec-vs-itself
+      assert(spark.sql(sql).queryExecution.optimizedPlan.collectFirst {
+        case s: ScalableWindowPlan => s }.isEmpty,
+        "excluded-rule leg must plan vanilla")
+      run()
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
     (rewritten, vanilla)
   }
 
