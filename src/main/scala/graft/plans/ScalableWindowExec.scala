@@ -334,14 +334,16 @@ case class ScalableWindowExec(
 
       // only CUME_DIST and RANGE-framed aggregates need the whole tie
       // group BEFORE its first row (its size / its total); everything
-      // else streams one-in-one-out with a boundary compare, buffering
-      // nothing
-      val needsPeerBuffer = ks.exists {
-        case CumeDistK | SumK(_, _, true, _) | CountK(_, true) => true
-        case _ => false
-      }
+      // else streams one-in-one-out, buffering nothing — and if no kind
+      // even reads tie boundaries (row_number / NTILE / ROWS aggregates),
+      // the per-row ordering.compare is skipped too
       val hasRangeAgg = ks.exists {
         case SumK(_, _, true, _) | CountK(_, true) => true
+        case _ => false
+      }
+      val needsPeerBuffer = hasRangeAgg || ks.contains(CumeDistK)
+      val needsBoundary = ks.exists {
+        case RankK | DenseK | PctRankK => true
         case _ => false
       }
 
@@ -349,7 +351,8 @@ case class ScalableWindowExec(
         var prev: InternalRow = null
         it.map { kv =>
           val row = kv._1
-          if (prev == null || ordering.compare(prev, row) != 0) {
+          if (needsBoundary &&
+              (prev == null || ordering.compare(prev, row) != 0)) {
             denseIdx += 1L
             rankVal = rowIdx + 1L
           }

@@ -163,8 +163,13 @@ object Extended {
       (s, dir) => {
         // an ISOLATED session (shared context, fresh sessionState): the
         // install must not leak into the shared registry session, where it
-        // would make every later query's plan depend on run order
+        // would make every later query's plan depend on run order. Runtime
+        // SQL confs do NOT carry across newSession — copy them so this
+        // query honors the same settings as every other registry query
         val s2 = s.newSession()
+        s.conf.getAll.foreach { case (k, v) =>
+          try s2.conf.set(k, v) catch { case _: Exception => () } // static confs
+        }
         val exp = s2.experimental
         exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.GlobalWindowRewrite()
         exp.extraStrategies = exp.extraStrategies :+ graft.plans.ScalableWindowStrategy

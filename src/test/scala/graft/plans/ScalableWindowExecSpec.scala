@@ -113,6 +113,11 @@ class ScalableWindowExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (r2, v2) = bothWays(
       "SELECT id, NTILE(5) OVER (ORDER BY k, id) AS t FROM swe_tiny")
     assert(r2 == v2)
+    // percent_rank WITHOUT cume_dist in the window takes the STREAMING
+    // path (no peer buffer) — its tie handling must hold there too
+    val (r3, v3) = bothWays(
+      "SELECT id, PERCENT_RANK() OVER (ORDER BY k) AS pr FROM swe_dist")
+    assert(r3 == v3)
   }
 
   test("single row") {
