@@ -120,6 +120,22 @@ class ScalableWindowExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r3 == v3)
   }
 
+  test("ROWS-framed SUM alone takes the streaming path and stays exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    (0 until 3000).map { i =>
+      (i.toLong, rnd.nextInt(25).toLong,
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(1000).toLong))
+    }.toDF("id", "k", "v").createOrReplaceTempView("swe_rows")
+    // no RANGE aggregate, no CUME_DIST in the window -> no peer buffer;
+    // the running sum advances inside the streaming one-in-one-out loop
+    val (r, v) = bothWays(
+      """SELECT id, SUM(v) OVER (ORDER BY k, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+         FROM swe_rows""")
+    assert(r == v)
+  }
+
   test("single row") {
     import spark.implicits._
     Seq((1L, 5L)).toDF("id", "k").createOrReplaceTempView("swe_one")
