@@ -11,7 +11,9 @@ Dev tooling only — not part of the shipped library.
 import sys, json, glob, os
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 import hashlib
+from decimal import Decimal
 
 SELFTEST = len(sys.argv) > 1 and sys.argv[1] == "--selftest"
 
@@ -50,9 +52,21 @@ def canon(df: pd.DataFrame) -> str:
         h.update(b"\n")
     return h.hexdigest()
 
+def _is_decimal_col(s: pd.Series) -> bool:
+    """True if the column holds decimal.Decimal objects (pyarrow surfaces
+    parquet DECIMAL as object-dtype Decimals — exactly the driver's view)."""
+    if s.dtype.kind != "O":
+        return False
+    for v in s.head(100):
+        if isinstance(v, Decimal):
+            return True
+        if v is not None and not (isinstance(v, float) and pd.isna(v)):
+            return False
+    return False
+
 def gate_compat(name, got: pd.DataFrame, want: pd.DataFrame):
-    """Replicate the two driver-gate strictness axes our %.9g canon masks
-    (found in round-6 judging — see VERDICT r6 'What's wrong' #4):
+    """Replicate the three driver-gate strictness axes our %.9g canon masks
+    (found in round-6/7 judging — see VERDICT r6 #4, r7 'What's wrong' #1-2):
       (a) dtype drift: a bare SUM(BIGINT) in an oracle promotes to HUGEINT,
           which pandas reads as float64 while Spark emits int64; the
           driver's canon renders 432.0 vs 432 -> hash mismatch even with
@@ -60,7 +74,19 @@ def gate_compat(name, got: pd.DataFrame, want: pd.DataFrame):
       (b) sortability: the driver sorts with pandas sort_values over ALL
           columns; array-typed cells (numpy.ndarray) are unhashable and
           throw. Dry-run the same sort on both frames.
+      (c) decimal outputs: the driver reads Spark parquet via pyarrow, so a
+          DECIMAL column surfaces as Decimal("25.50") while DuckDB's pandas
+          bridge renders float64 25.5 on the oracle side — same value,
+          different canon string, hash mismatch (the round-7 q_complex_types
+          red). Fail on ANY Decimal-object column in the Spark output: the
+          repo discipline is to cast to DOUBLE in the outermost SELECT on
+          both engines.
     Returns an error string or None."""
+    for c in got.columns:
+        if _is_decimal_col(got[c]):
+            return (f"decimal output column '{c}' in spark result (driver "
+                    "reads Decimal objects, oracle side is float64 — cast "
+                    "to DOUBLE in the outermost SELECT on both engines)")
     for c in got.columns:
         if c not in want.columns:
             continue
@@ -88,11 +114,17 @@ if SELFTEST:
         f"selftest premise broken: {oracle_like['sum_k'].dtype}"
     arr_df = pd.DataFrame({"k": ["a", "b"], "xs": [np.array([1, 2]), np.array([3])]})
     ok_df = pd.DataFrame({"k": ["a"], "sum_k": pd.array([432], dtype="int64")})
+    # a DECIMAL output column as pyarrow surfaces it (the round-7 red):
+    # Spark side = Decimal objects, oracle side = DuckDB float64
+    dec_spark = pd.DataFrame({"k": ["a"], "total": [Decimal("25.50")]})
+    dec_oracle = pd.DataFrame({"k": ["a"], "total": [25.5]})
     checks = [
         ("bare-SUM dtype drift flagged",
          gate_compat("t1", spark_like, oracle_like) is not None),
         ("array output unsortable flagged",
          gate_compat("t2", arr_df, arr_df) is not None),
+        ("decimal output column flagged",
+         gate_compat("t4", dec_spark, dec_oracle) is not None),
         ("clean frames pass",
          gate_compat("t3", ok_df, ok_df.copy()) is None),
     ]
@@ -107,7 +139,19 @@ for d in sorted(glob.glob(f"{OUT}/*")):
     if not os.path.isdir(d):
         continue
     try:
-        got = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
+        # pyarrow, NOT DuckDB: the driver reads the Spark side this way, and
+        # DuckDB's pandas bridge launders DECIMAL columns to float64 on both
+        # sides — masking exactly the decimal-vs-float drift the driver sees
+        # (round-7 verdict #2).
+        parts = sorted(glob.glob(f"{d}/*.parquet"))
+        if not parts:
+            raise FileNotFoundError("no parquet parts")
+        # date_as_object=False: DATE -> datetime64 (midnight), matching the
+        # DuckDB bridge's rendering — the driver is green on date-output
+        # queries, so its view equates them; Decimal objects still survive.
+        got = pd.concat(
+            [pq.read_table(p).to_pandas(date_as_object=False) for p in parts],
+            ignore_index=True)
     except Exception as e:
         fails.append((name, f"spark output unreadable: {e}"))
         continue

@@ -341,8 +341,14 @@ object Extended {
           col("l_quantity").as("q")))).as("items"))
         .select(col("l_orderkey"),
           size(col("items")).cast("long").as("n_items"),
+          // DECIMAL(18,2) fixes the rounding, but a decimal OUTPUT column is
+          // gate-incompatible: the driver reads Spark's parquet decimal as
+          // Decimal("25.50") while DuckDB's pandas bridge renders float64
+          // 25.5 — same value, different canon, hash mismatch (round-7
+          // verdict). The fold is order-deterministic over the sorted array,
+          // so the post-rounding double is bit-identical on both engines.
           expr("aggregate(items, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.q)")
-            .cast("decimal(18,2)").as("total_qty"),
+            .cast("decimal(18,2)").cast("double").as("total_qty"),
           expr("array_join(transform(items, x -> CAST(x.ln AS STRING)), ',')")
             .as("line_numbers"),
           element_at(col("items"), 1).getField("q").as("first_qty"))
@@ -354,9 +360,9 @@ object Extended {
                 FROM lineitem GROUP BY l_orderkey)
               SELECT l_orderkey,
                 CAST(len(items) AS BIGINT) AS n_items,
-                CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                   list_transform(items, x -> x.q)), (acc, x) -> acc + x)
-                  AS DECIMAL(18,2)) AS total_qty,
+                  AS DECIMAL(18,2)) AS DOUBLE) AS total_qty,
                 array_to_string(list_transform(items, x -> x.ln), ',') AS line_numbers,
                 items[1].q AS first_qty
               FROM g ORDER BY l_orderkey""")
