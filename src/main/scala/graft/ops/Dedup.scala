@@ -133,10 +133,17 @@ object Dedup {
     * matters because near-duplication is not transitive: a later document
     * near only a dropped doc (but not near the kept one or any other
     * stored signature) must still be caught, so dropping a doc must not
-    * un-witness its neighborhood. Same crash/replay contract as
-    * [[incrementalDedup]]: `onFresh` runs downstream-first, the result is
-    * pinned ([[Pins]]) before the store mutates, and a replayed batch
-    * re-admits nothing.
+    * un-witness its neighborhood. The sizing consequence: the store grows
+    * nBlocks rows per OBSERVED doc, not per admitted doc — on a
+    * high-duplication stream (say 90% dups) the store is ~10x the kept
+    * corpus's row count. That is the price of the coverage guarantee; a
+    * kept-docs-only mode would bound growth to admissions but re-open the
+    * non-transitivity hole for docs near only a loser. At four longs per
+    * row the observed-doc form stays small relative to the text it
+    * replaces (32 bytes x nBlocks per doc ever seen). Same crash/replay
+    * contract as [[incrementalDedup]]: `onFresh` runs downstream-first,
+    * the result is pinned ([[Pins]]) before the store mutates, and a
+    * replayed batch re-admits nothing.
     */
   def incrementalNearDedup(world: graft.world.World, batch: DataFrame,
       idCol: String, textCol: String, maxDist: Int = 3,

@@ -1,13 +1,15 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
+import org.apache.spark.sql.types.DoubleType
+
 /** Rewrites a GLOBAL rank-family / distribution / running-aggregate
   * window — `row_number()/rank()/dense_rank()/ntile()/percent_rank()/
-  * cume_dist()/sum()/count() OVER (ORDER BY …)` with
+  * cume_dist()/sum()/count()/min()/max()/avg() OVER (ORDER BY …)` with
   * no PARTITION BY — onto [[ScalableWindowPlan]], applied automatically to
   * ad-hoc SQL/DataFrame queries in a [[GraftExtensions]] session. The
   * vanilla plan funnels every row through ONE task (WindowExec requires
@@ -32,16 +34,19 @@ case class GlobalWindowRewrite() extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
       case Window(exprs, Seq(), order, child, _)
-          if order.nonEmpty && exprs.forall(supported) =>
-        // the custom node stores (attribute, bare function tree) pairs —
+          if exprs.nonEmpty && order.nonEmpty && exprs.forall(supported) =>
+        // exprs.nonEmpty: an empty Window is RemoveNoopOperators' to delete,
+        // not ours to shuffle (forall is vacuously true on Nil).
+        // The custom node stores (attribute, bare function tree) pairs —
         // top-level aliases would be stripped by CleanupAliases' default
         // case for unknown node types (see ScalableWindowPlan's scaladoc)
         ScalableWindowPlan(exprs.map(_.toAttribute),
           exprs.map(_.asInstanceOf[Alias].child), order, child)
     }
 
-  /** Supported: the rank family (frame ignored), and running SUM/COUNT —
-    * an unbounded-preceding..current frame, ROWS or RANGE (RANGE is the
+  /** Supported: the rank family (frame ignored), and running
+    * SUM/COUNT/MIN/MAX/AVG — an unbounded-preceding..current frame, ROWS
+    * or RANGE (RANGE is the
     * analyzer's default for aggregates with ORDER BY; its peer groups
     * never span slices under range partitioning and the exec buffers one
     * tie group at a time). DISTINCT and FILTER forms don't decompose into
@@ -84,6 +89,17 @@ case class GlobalWindowRewrite() extends Rule[LogicalPlan] {
           }
           typeOk && s.evalContext.evalMode != EvalMode.TRY && frameOk
         case AggregateExpression(_: Count, Complete, false, None, _) => frameOk
+        // MIN/MAX are order-insensitive prefix aggregates over any orderable
+        // type — the same slice-totals shape SUM rides
+        case AggregateExpression(m: Min, Complete, false, None, _) =>
+          RowOrdering.isOrderable(m.child.dataType) && frameOk
+        case AggregateExpression(m: Max, Complete, false, None, _) =>
+          RowOrdering.isOrderable(m.child.dataType) && frameOk
+        // AVG = SUM/COUNT the exec already computes; DoubleType results only
+        // (decimal AVG's precision/scale propagation and try_avg's
+        // on-overflow-null stay on the vanilla plan)
+        case AggregateExpression(a: Average, Complete, false, None, _) =>
+          a.dataType == DoubleType && a.evalMode != EvalMode.TRY && frameOk
         case _ => false
       }
     case _ => false

@@ -4,8 +4,10 @@ import org.apache.spark.RangePartitioner
 import org.apache.spark.rdd.{RDD, ShuffledRDD}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.graft.GraftSparkErrors
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
@@ -61,6 +63,16 @@ private[plans] object ScalableWindowExec {
       rangeFrame: Boolean, ansi: Boolean) extends WinKind
   final case class CountK(values: Seq[Expression],
       rangeFrame: Boolean) extends WinKind
+  /** MIN/MAX are order-insensitive prefix aggregates over any orderable
+    * type — the slice-totals shape SUM already rides. */
+  final case class MinK(value: Expression, dt: DataType,
+      rangeFrame: Boolean) extends WinKind
+  final case class MaxK(value: Expression, dt: DataType,
+      rangeFrame: Boolean) extends WinKind
+  /** AVG decomposes into the SUM/COUNT pair the exec already computes;
+    * restricted by the rewrite to DoubleType results (decimal AVG's
+    * precision/scale propagation is vanilla's). State = (sum, n). */
+  final case class AvgK(value: Expression, rangeFrame: Boolean) extends WinKind
 
   /** Typed, null-aware addition in the Sum's RESULT type (null = no value
     * yet; SUM of nothing is null). ANSI long addition overflows loudly via
@@ -72,8 +84,15 @@ private[plans] object ScalableWindowExec {
     else if (b == null) a
     else resultType match {
       case LongType =>
-        if (ansi) Math.addExact(a.asInstanceOf[Long], b.asInstanceOf[Long])
-        else a.asInstanceOf[Long] + b.asInstanceOf[Long]
+        if (ansi) {
+          // error-classed ARITHMETIC_OVERFLOW with the try/config hint,
+          // matching the error shape vanilla WindowExec's Sum raises (a bare
+          // ArithmeticException here was a user-visible divergence)
+          try Math.addExact(a.asInstanceOf[Long], b.asInstanceOf[Long])
+          catch { case _: ArithmeticException =>
+            throw GraftSparkErrors.arithmeticOverflow("long overflow", "try_sum")
+          }
+        } else a.asInstanceOf[Long] + b.asInstanceOf[Long]
       case DoubleType => a.asInstanceOf[Double] + b.asInstanceOf[Double]
       case _: DecimalType => a.asInstanceOf[Decimal] + b.asInstanceOf[Decimal]
       case other => throw new IllegalStateException(s"unsupported sum type $other")
@@ -90,8 +109,9 @@ private[plans] object ScalableWindowExec {
         // scale (all inputs carry it), so only the integral width can grow
         val d = v.asInstanceOf[Decimal]
         if (d.toBigDecimal.abs < BigDecimal(10).pow(dt.precision - dt.scale)) d
-        else if (ansi) throw new ArithmeticException(
-          s"Decimal overflow: $d does not fit $dt")
+        // vanilla CheckOverflow's error class (NUMERIC_VALUE_OUT_OF_RANGE)
+        else if (ansi) throw GraftSparkErrors.decimalPrecisionOverflow(
+          d, dt.precision, dt.scale)
         else null
       case _ => v
     }
@@ -111,30 +131,87 @@ private[plans] object ScalableWindowExec {
       case other => throw new IllegalStateException(s"unsupported sum type $other")
     }
 
-  /** Per-slice totals: (rowCount, distinctKeys, per-expr slot: slice sum
-    * for SumK, non-null count (Long) for CountK). Order-insensitive except
-    * distinctKeys, which only needs SORTED input (the shuffle read provides
-    * it) — tie permutations cannot change it. */
-  def sliceTotals(ks: Array[WinKind], ordering: Ordering[InternalRow],
+  /** Per-expression prefix-aggregate plumbing: evaluate one row to a unit
+    * state, merge two partial states (null = empty — SUM/MIN/MAX/AVG of
+    * nothing is null, COUNT's finish maps it to 0), and finish a prefix
+    * state into the output cell. Null for the rank family, which isn't an
+    * aggregate. Built FRESH per task from the serializable [[WinKind]] spec
+    * — the MIN/MAX interpreted orderings never cross the wire. */
+  final class PrefixAgg(val unit: InternalRow => Any,
+      val merge: (Any, Any) => Any,
+      val finish: Any => Any)
+
+  def prefixAggs(ks: Array[WinKind]): Array[PrefixAgg] = ks.map {
+    case SumK(v, rt, _, ansi) => new PrefixAgg(
+      r => widen(rt, v.eval(r)),
+      (a, b) => plus(rt, ansi, a, b),
+      x => emitSum(rt, ansi, x))
+    case CountK(vs, _) => new PrefixAgg(
+      r => if (vs.forall(_.eval(r) != null)) 1L else null,
+      (a, b) => if (a == null) b else if (b == null) a
+                else a.asInstanceOf[Long] + b.asInstanceOf[Long],
+      x => if (x == null) 0L else x)
+    case MinK(v, dt, _) =>
+      val ord = TypeUtils.getInterpretedOrdering(dt)
+      new PrefixAgg(r => v.eval(r),
+        (a, b) => if (a == null) b else if (b == null) a
+                  else if (ord.lteq(a, b)) a else b,
+        x => x)
+    case MaxK(v, dt, _) =>
+      val ord = TypeUtils.getInterpretedOrdering(dt)
+      new PrefixAgg(r => v.eval(r),
+        (a, b) => if (a == null) b else if (b == null) a
+                  else if (ord.gteq(a, b)) a else b,
+        x => x)
+    case AvgK(v, _) => new PrefixAgg(
+      r => v.eval(r) match {
+        case null => null
+        case x: Double => (x, 1L)
+        case x: Float => (x.toDouble, 1L)
+        case x: Long => (x.toDouble, 1L)
+        case x: Int => (x.toDouble, 1L)
+        case x: Short => (x.toDouble, 1L)
+        case x: Byte => (x.toDouble, 1L)
+      },
+      (a, b) => if (a == null) b else if (b == null) a else {
+        val (s1, n1) = a.asInstanceOf[(Double, Long)]
+        val (s2, n2) = b.asInstanceOf[(Double, Long)]
+        (s1 + s2, n1 + n2)
+      },
+      x => if (x == null) null
+           else { val (s, n) = x.asInstanceOf[(Double, Long)]; s / n })
+    case _ => null
+  }
+
+  /** Peer-inclusive (RANGE-framed) aggregate kinds force the tie-group
+    * buffer; ROWS-framed ones stream. */
+  def isRangeAgg(k: WinKind): Boolean = k match {
+    case SumK(_, _, r, _) => r
+    case CountK(_, r) => r
+    case MinK(_, _, r) => r
+    case MaxK(_, _, r) => r
+    case AvgK(_, r) => r
+    case _ => false
+  }
+
+  /** Per-slice totals: (rowCount, distinctKeys, per-expr slot: the slice's
+    * merged prefix-aggregate state). Order-insensitive except distinctKeys,
+    * which only needs SORTED input (the shuffle read provides it) — tie
+    * permutations cannot change it. */
+  def sliceTotals(aggs: Array[PrefixAgg], ordering: Ordering[InternalRow],
       it: Iterator[(InternalRow, Null)]): (Long, Long, Array[Any]) = {
     var nRows = 0L
     var nKeys = 0L
     var prev: InternalRow = null
-    val slots = new Array[Any](ks.length)
+    val slots = new Array[Any](aggs.length)
     it.foreach { kv =>
       val row = kv._1
       nRows += 1L
       if (prev == null || ordering.compare(prev, row) != 0) nKeys += 1L
       prev = row
       var i = 0
-      while (i < ks.length) {
-        ks(i) match {
-          case SumK(v, rt, _, ansi) =>
-            slots(i) = plus(rt, ansi, slots(i), widen(rt, v.eval(row)))
-          case CountK(vs, _) => if (vs.forall(_.eval(row) != null))
-            slots(i) = (if (slots(i) == null) 0L else slots(i).asInstanceOf[Long]) + 1L
-          case _ => ()
-        }
+      while (i < aggs.length) {
+        if (aggs(i) != null) slots(i) = aggs(i).merge(slots(i), aggs(i).unit(row))
         i += 1
       }
     }
@@ -161,7 +238,7 @@ private[plans] object ScalableWindowExec {
   * Supported functions (enforced by [[GlobalWindowRewrite]]'s eligibility):
   * ROW_NUMBER / RANK / DENSE_RANK; NTILE / PERCENT_RANK / CUME_DIST as
   * closed forms over the global position and total row count N (N falls
-  * out of the totals job); and SUM / COUNT over an
+  * out of the totals job); and SUM / COUNT / MIN / MAX / AVG over an
   * unbounded-preceding..current-row frame — ROWS, or RANGE whose
   * peer-inclusive semantics are honored by buffering one tie group at a
   * time. Most kinds stream one-in-one-out (no buffering at all); only
@@ -208,6 +285,14 @@ case class ScalableWindowExec(
           range, s.evalContext.evalMode == EvalMode.ANSI)
       case AggregateExpression(c: Count, _, _, _, _) =>
         CountK(c.children.map(BindReferences.bindReference(_, child.output)), range)
+      case AggregateExpression(m: Min, _, _, _, _) =>
+        MinK(BindReferences.bindReference(m.child, child.output),
+          m.child.dataType, range)
+      case AggregateExpression(m: Max, _, _, _, _) =>
+        MaxK(BindReferences.bindReference(m.child, child.output),
+          m.child.dataType, range)
+      case AggregateExpression(a: Average, _, _, _, _) =>
+        AvgK(BindReferences.bindReference(a.child, child.output), range)
       case other => throw new IllegalStateException(
         s"ScalableWindowExec: unsupported window function $other")
     }
@@ -220,7 +305,17 @@ case class ScalableWindowExec(
     implicit val ord: Ordering[InternalRow] = ordering
 
     // the full row is the shuffle key (the ordering reads its order
-    // columns); rows must be copied out of the operator's reused buffers
+    // columns); rows must be copied out of the operator's reused buffers.
+    // Serialization cost vs the vanilla exchange's UnsafeRowSerializer:
+    // that serializer assumes dummy int keys with sorting done by the
+    // exchange machinery, while this design needs real row keys for
+    // setKeyOrdering's sorted merge (which is also what makes the two-job
+    // shuffle reuse sound). The cost is bounded because child.execute()
+    // emits UnsafeRows, whose Externalizable path writes the backing bytes
+    // directly — per-row overhead is the object header, not field-by-field
+    // reflection. The RangePartitioner's sample pass over the child is the
+    // other real cost and is inherent to ANY range partitioning (vanilla's
+    // range exchange pays it too).
     val pairs: RDD[(InternalRow, Null)] =
       child.execute().mapPartitions(_.map(r => (r.copy(), null)))
     val partitioner = new RangePartitioner(np, pairs, ascending = true,
@@ -230,10 +325,11 @@ case class ScalableWindowExec(
 
     // ---- job 1: per-slice totals (tiny result, one row per slice)
     val totals = shuffled.mapPartitionsWithIndex { (pid, it) =>
-      Iterator((pid, sliceTotals(ks, ordering, it)))
+      Iterator((pid, sliceTotals(prefixAggs(ks), ordering, it)))
     }.collect().toMap
 
     // driver-side prefix: offsets(pid) = totals of all slices before pid
+    val driverAggs = prefixAggs(ks)
     val actualParts = partitioner.numPartitions
     val offRows = new Array[Long](actualParts)
     val offKeys = new Array[Long](actualParts)
@@ -249,13 +345,7 @@ case class ScalableWindowExec(
         val next = accSlots.clone()
         var i = 0
         while (i < ks.length) {
-          ks(i) match {
-            case SumK(_, rt, _, ansi) => next(i) = plus(rt, ansi, next(i), slots(i))
-            case CountK(_, _) => next(i) =
-              (if (next(i) == null) 0L else next(i).asInstanceOf[Long]) +
-                (if (slots(i) == null) 0L else slots(i).asInstanceOf[Long])
-            case _ => ()
-          }
+          if (driverAggs(i) != null) next(i) = driverAggs(i).merge(next(i), slots(i))
           i += 1
         }
         accSlots = next
@@ -272,6 +362,7 @@ case class ScalableWindowExec(
       val proj = UnsafeProjection.create(outputAttrs, childAttrs ++ winAttrs)
       val joined = new JoinedRow
       val winRow = new GenericInternalRow(ks.length)
+      val aggs = prefixAggs(ks)
       // partition-constant NTILE split parameters, hoisted off the row loop
       val ntQ = ks.map { case NTileK(k) => totalRows / k; case _ => 0L }
       val ntR = ks.map { case NTileK(k) => totalRows % k; case _ => 0L }
@@ -280,31 +371,27 @@ case class ScalableWindowExec(
       var rowIdx = 0L     // rows emitted so far in this slice
       var denseIdx = 0L   // tie groups seen so far in this slice
       var rankVal = 0L    // 1-based slice-local rank of the current group
-      val runSums = new Array[Any](ks.length)   // ROWS-framed running state
-      val runCounts = new Array[Long](ks.length)
+      val runStates = new Array[Any](ks.length) // ROWS-framed running state
 
       // one row's output; the peer-group arguments are only read by the
       // kinds that forced buffering (null on the streaming path)
-      def emitRow(row: InternalRow, groupLen: Long, baseSums: Array[Any],
-          gSums: Array[Any], baseCounts: Array[Long],
-          gCounts: Array[Long]): InternalRow = {
+      def emitRow(row: InternalRow, groupLen: Long, baseStates: Array[Any],
+          gStates: Array[Any]): InternalRow = {
         rowIdx += 1L
         var i = 0
         while (i < ks.length) {
           ks(i) match {
-            case SumK(v, rt, range, ansi) =>
-              val local = if (range) plus(rt, ansi, baseSums(i), gSums(i))
-                          else {
-                            runSums(i) = plus(rt, ansi, runSums(i), widen(rt, v.eval(row)))
-                            runSums(i)
-                          }
-              winRow.update(i, emitSum(rt, ansi, plus(rt, ansi, local, offSlots(pid)(i))))
-            case CountK(vs, range) =>
-              if (!range && vs.forall(_.eval(row) != null)) runCounts(i) += 1L
-              val local = if (range) baseCounts(i) + gCounts(i) else runCounts(i)
-              val off = if (offSlots(pid)(i) == null) 0L
-                        else offSlots(pid)(i).asInstanceOf[Long]
-              winRow.update(i, local + off)
+            case k if aggs(i) != null =>
+              // RANGE = peer-inclusive: pre-group running state + whole tie
+              // group; ROWS advances the running state one row at a time
+              val local =
+                if (isRangeAgg(k)) aggs(i).merge(baseStates(i), gStates(i))
+                else {
+                  runStates(i) = aggs(i).merge(runStates(i), aggs(i).unit(row))
+                  runStates(i)
+                }
+              winRow.update(i,
+                aggs(i).finish(aggs(i).merge(local, offSlots(pid)(i))))
             case RowNum => winRow.update(i, (rowIdx + offRows(pid)).toInt)
             case RankK => winRow.update(i, (rankVal + offRows(pid)).toInt)
             case DenseK => winRow.update(i, (denseIdx + offKeys(pid)).toInt)
@@ -337,10 +424,7 @@ case class ScalableWindowExec(
       // else streams one-in-one-out, buffering nothing — and if no kind
       // even reads tie boundaries (row_number / NTILE / ROWS aggregates),
       // the per-row ordering.compare is skipped too
-      val hasRangeAgg = ks.exists {
-        case SumK(_, _, true, _) | CountK(_, true) => true
-        case _ => false
-      }
+      val hasRangeAgg = ks.exists(isRangeAgg)
       val needsPeerBuffer = hasRangeAgg || ks.contains(CumeDistK)
       val needsBoundary = ks.exists {
         case RankK | DenseK | PctRankK => true
@@ -357,7 +441,7 @@ case class ScalableWindowExec(
             rankVal = rowIdx + 1L
           }
           prev = row
-          emitRow(row, 0L, null, null, null, null)
+          emitRow(row, 0L, null, null)
         }
       } else new Iterator[InternalRow] {
         // group-buffered path: rows only (no projected copies — emission
@@ -388,18 +472,12 @@ case class ScalableWindowExec(
           readGroup()
           denseIdx += 1L
           rankVal = rowIdx + 1L
-          val gSums = new Array[Any](ks.length)
-          val gCounts = new Array[Long](ks.length)
+          val gStates = new Array[Any](ks.length)
           if (hasRangeAgg) group.foreach { row =>
             var i = 0
             while (i < ks.length) {
-              ks(i) match {
-                case SumK(v, rt, true, ansi) =>
-                  gSums(i) = plus(rt, ansi, gSums(i), widen(rt, v.eval(row)))
-                case CountK(vs, true) =>
-                  if (vs.forall(_.eval(row) != null)) gCounts(i) += 1L
-                case _ => ()
-              }
+              if (aggs(i) != null && isRangeAgg(ks(i)))
+                gStates(i) = aggs(i).merge(gStates(i), aggs(i).unit(row))
               i += 1
             }
           }
@@ -408,16 +486,11 @@ case class ScalableWindowExec(
           // group's base is correct even though emission below is lazy
           // (ROWS-framed state advances per emitted row and touches
           // disjoint slots)
-          val baseSums = runSums.clone()
-          val baseCounts = runCounts.clone()
+          val baseStates = runStates.clone()
           var j = 0
           while (j < ks.length) {
-            ks(j) match {
-              case SumK(_, rt, true, ansi) =>
-                runSums(j) = plus(rt, ansi, runSums(j), gSums(j))
-              case CountK(_, true) => runCounts(j) += gCounts(j)
-              case _ => ()
-            }
+            if (aggs(j) != null && isRangeAgg(ks(j)))
+              runStates(j) = aggs(j).merge(runStates(j), gStates(j))
             j += 1
           }
           val groupLen = group.length
@@ -427,7 +500,7 @@ case class ScalableWindowExec(
             override def next(): InternalRow = {
               val row = group(g)
               g += 1
-              emitRow(row, groupLen.toLong, baseSums, gSums, baseCounts, gCounts)
+              emitRow(row, groupLen.toLong, baseStates, gStates)
             }
           }
         }

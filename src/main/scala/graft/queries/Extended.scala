@@ -195,6 +195,42 @@ object Extended {
               ORDER BY o_orderkey""")
     ),
 
+    // the MIN/MAX/AVG side of the auto-route, through the same oracle gate:
+    // all three are prefix-decomposable (MIN/MAX are order-insensitive;
+    // AVG = the SUM/COUNT pair the exec already computes), so an ad-hoc
+    // `min(x) OVER (ORDER BY …)` no longer funnels through one core. The
+    // running MIN/MAX take no arithmetic (both engines pick the same stored
+    // value); the AVG input is integer-valued so its double prefix sums are
+    // exact under any addition grouping — engine-identical without a
+    // decimal detour. The order key includes unique o_orderkey, so the
+    // default RANGE frame equals ROWS on both engines.
+    "q_global_minmax_auto" -> QueryDef(
+      (s, dir) => {
+        val s2 = s.newSession()
+        s.conf.getAll.foreach { case (k, v) =>
+          try s2.conf.set(k, v) catch { case _: Exception => () } // static confs
+        }
+        val exp = s2.experimental
+        exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.GlobalWindowRewrite()
+        exp.extraStrategies = exp.extraStrategies :+ graft.plans.ScalableWindowStrategy
+        t(s2, dir, "orders").createOrReplaceTempView("orders")
+        s2.sql("""SELECT o_orderkey,
+                   CAST(MIN(o_totalprice) OVER w AS DOUBLE) AS run_min,
+                   CAST(MAX(o_totalprice) OVER w AS DOUBLE) AS run_max,
+                   AVG(CAST(o_custkey AS DOUBLE)) OVER w AS run_avg
+                 FROM orders
+                 WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+                 ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey,
+                CAST(MIN(o_totalprice) OVER w AS DOUBLE) AS run_min,
+                CAST(MAX(o_totalprice) OVER w AS DOUBLE) AS run_max,
+                AVG(CAST(o_custkey AS DOUBLE)) OVER w AS run_avg
+              FROM orders
+              WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_orderkey""")
+    ),
+
     // EXACT global quantiles (percentile_disc order statistics) WITHOUT a
     // global sort: ops.Quantiles rides the ScalableWindow two-phase row
     // number — one range exchange, no single-reducer stage — and keeps only

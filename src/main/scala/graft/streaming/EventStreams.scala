@@ -84,7 +84,10 @@ object EventStreams {
   final case class KeyBecameHeavy(user_id: Long, became_heavy_us: Long)
 
   private def micros(ts: java.sql.Timestamp): Long =
-    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    // floorDiv, not /: getTime/1000 truncates toward zero, so for pre-1970
+    // timestamps the (always-positive) nanos fraction would be ADDED to an
+    // under-truncated second — ~1 s off and divergent from unix_micros
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   /** Streaming exact heavy hitters: each key is emitted ONCE, at the exact
     * event where its running count reaches `threshold` (the streaming face

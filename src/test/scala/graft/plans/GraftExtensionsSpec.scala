@@ -180,18 +180,26 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "stacked custom windows must agree with the single-reducer plans")
   }
 
-  test("unsupported window forms are left alone (avg, bounded frames)") {
+  test("unsupported window forms are left alone (decimal avg, bounded frames, try_avg)") {
     import spark.implicits._
     (0 until 40).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "k")
       .createOrReplaceTempView("gw_skip")
     // (FILTER-clause window aggregates never reach the optimizer — the
-    // analyzer rejects them — so only decomposability gaps are probed here)
+    // analyzer rejects them — so only decomposability gaps are probed here.
+    // AVG itself is now auto-routed for DoubleType results; what must stay
+    // vanilla: decimal AVG — its precision/scale propagation — try_avg's
+    // on-overflow-null, and bounded frames.)
     for (sql <- Seq(
-      "SELECT AVG(k) OVER (ORDER BY id) AS a FROM gw_skip",
+      "SELECT AVG(CAST(k AS DECIMAL(10,2))) OVER (ORDER BY id) AS a FROM gw_skip",
+      "SELECT TRY_AVG(k) OVER (ORDER BY id) AS a FROM gw_skip",
       "SELECT SUM(k) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a FROM gw_skip")) {
       val p = spark.sql(sql).queryExecution.optimizedPlan.toString
       assert(!p.contains("ScalableWindowPlan"), s"must not rewrite: $sql\n$p")
     }
+    // and the routed AVG really is the DoubleType form
+    val routed = spark.sql("SELECT AVG(k) OVER (ORDER BY id) AS a FROM gw_skip")
+    assert(routed.queryExecution.optimizedPlan.toString.contains("ScalableWindowPlan"),
+      "double AVG must auto-route")
   }
 
   test("interval SUM windows are not rewritten; ANSI long overflow stays loud") {

@@ -136,6 +136,56 @@ class ScalableWindowExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == v)
   }
 
+  test("running MIN/MAX/AVG match vanilla on tie-heavy data with nulls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // few distinct keys -> big tie groups (the RANGE default frame is
+    // peer-inclusive, so every tie group must agree with vanilla); ~20%
+    // null values exercise the null-skipping of all three aggregates.
+    // AVG inputs are integer-valued so the double prefix sums are exact
+    // under any addition grouping — the comparison is bit-for-bit.
+    (0 until 1500).map { i =>
+      (i.toLong, rnd.nextInt(6).toLong,
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(500).toLong))
+    }.toDF("id", "k", "v").createOrReplaceTempView("swe_mma")
+    val (r, v) = bothWays(
+      """SELECT id, MIN(v) OVER (ORDER BY k) AS mn,
+                MAX(v) OVER (ORDER BY k) AS mx,
+                AVG(CAST(v AS DOUBLE)) OVER (ORDER BY k) AS av
+         FROM swe_mma""")
+    assert(r == v)
+    // ROWS frame -> the streaming (no peer buffer) path
+    val (r2, v2) = bothWays(
+      """SELECT id, MIN(v) OVER (ORDER BY k, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn,
+                MAX(v) OVER (ORDER BY k, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx,
+                AVG(CAST(v AS DOUBLE)) OVER (ORDER BY k, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av
+         FROM swe_mma""")
+    assert(r2 == v2)
+    // string MIN/MAX: any orderable type rides the same slice-totals shape
+    (0 until 300).map(i => (i.toLong, s"w${rnd.nextInt(20)}"))
+      .toDF("id", "s").createOrReplaceTempView("swe_str")
+    val (r3, v3) = bothWays(
+      "SELECT id, MIN(s) OVER (ORDER BY id) AS mn, MAX(s) OVER (ORDER BY id) AS mx FROM swe_str")
+    assert(r3 == v3)
+  }
+
+  test("all-null aggregate inputs stay null end to end") {
+    import spark.implicits._
+    (0 until 100).map(i => (i.toLong, (i % 3).toLong, Option.empty[Long]))
+      .toDF("id", "k", "v").createOrReplaceTempView("swe_allnull")
+    val (r, v) = bothWays(
+      """SELECT id, MIN(v) OVER (ORDER BY k) AS mn,
+                MAX(v) OVER (ORDER BY k) AS mx,
+                AVG(CAST(v AS DOUBLE)) OVER (ORDER BY k) AS av,
+                SUM(v) OVER (ORDER BY k) AS s
+         FROM swe_allnull""")
+    assert(r == v)
+    assert(r.forall(_.endsWith(",null,null,null,null]")), s"sample: ${r.take(2)}")
+  }
+
   test("single row") {
     import spark.implicits._
     Seq((1L, 5L)).toDF("id", "k").createOrReplaceTempView("swe_one")
