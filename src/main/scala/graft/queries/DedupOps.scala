@@ -113,6 +113,49 @@ object DedupOps {
       None
     ),
 
+    // the MinHash-LSH pipeline under the FULL oracle gate, at the one
+    // operating point where LSH recall is PROVABLY exact rather than
+    // probabilistic: jaccard = 1. Exact copies of the first 50 docs
+    // re-enter under ids +1_000_000; an identical shingle set yields an
+    // identical signature, hence identical keys in EVERY band — candidate
+    // generation cannot miss it, no pigeonhole argument needed. With the
+    // verify threshold at 100%, floor(inter*100/uni) >= 100 <=> the sets
+    // are EQUAL, so the expected output — planted pairs plus any organic
+    // identical-shingle-set pairs — is derivable in SQL by brute-force set
+    // comparison (same construction as d_ngram_jaccard's oracle, no hash
+    // shared between the engines). A banding bug (missed candidate) or a
+    // verify bug (false positive) both break the hash; the probabilistic
+    // sub-1.0 recall curve stays covered by d_minhash_lsh + DedupSpec's
+    // measured floors.
+    "d_minhash_exact" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val planted = docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        Dedup.minhashLshPairs(docs.unionAll(planted), "doc_id", "text",
+          numHashes = 64, bands = 8, threshold = 1.0)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id < 50),
+              w AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+                FROM all_docs),
+              sh AS (
+                SELECT doc_id,
+                  list_distinct(list_transform(range(0, GREATEST(len(words) - 2, 0)),
+                    x -> words[x + 1] || ' ' || words[x + 2] || ' ' || words[x + 3])) AS s
+                FROM w),
+              nz AS (SELECT doc_id, list_sort(s) AS s FROM sh WHERE len(s) > 0)
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(100 AS BIGINT) AS jaccard_pct
+              FROM nz a JOIN nz b ON a.doc_id < b.doc_id AND a.s = b.s
+              ORDER BY id_a, id_b""")
+    ),
+
     "d_simhash" -> QueryDef(
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
         .orderBy("id_a", "id_b"),

@@ -49,10 +49,28 @@ object SimilarityOps {
       None
     ),
 
+    // embedding near-dup pairs under the FULL oracle gate, via the planted
+    // construction d_semantic_dedup proved out: exact copies of the first
+    // 50 vectors re-enter under ids +1_000_000. Every planted pair MUST
+    // surface — an identical embedding lands in the same SRP bucket in
+    // every table (the projections are seeded, not sampled at runtime), so
+    // candidate recall at cosine 1 is exactly 1, and round(cos, 4) = 1.0 on
+    // the nose — while no other pair can reach the 0.95 threshold (the
+    // corpus' max pairwise cosine is ~0.5). The expected pair set is
+    // therefore exactly {(i, i+1_000_000, 1.0) | i < 50}: SQL-expressible,
+    // and sensitive to both a missed planted pair (LSH bucketing bug) and a
+    // false positive (verify-threshold bug).
     "s_embed_neardup" -> QueryDef(
-      (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.95)
-        .orderBy("id_a", "id_b"),
-      None
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = emb.where(col("vec_id") < 50)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        Similarity.cosineNearDupPairs(emb.unionAll(planted), threshold = 0.95)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+                CAST(1.0 AS DOUBLE) AS sim
+              FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b""")
     )
   )
 }
