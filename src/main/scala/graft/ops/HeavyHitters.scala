@@ -84,20 +84,87 @@ object HeavyHitters {
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
 
-  private def candidates[K: Encoder](keys: Dataset[K], minCount: Long,
-                                     cap: Int): Dataset[K] = {
+  private[ops] def candidates[K: Encoder](keys: Dataset[K], minCount: Long,
+                                          cap: Int): Dataset[K] = {
     require(minCount >= 1, s"minCount must be positive, got $minCount")
     require(cap >= 2, s"localMapCap must be >= 2, got $cap")
     val isLong = implicitly[Encoder[K]].clsTag.runtimeClass == classOf[Long]
     keys.mapPartitions { it =>
       val p = math.max(org.apache.spark.TaskContext.get().numPartitions(), 1)
       val localFloor = (minCount + p - 1) / p
+      // floor 1 prunes NOTHING (count >= 1 is every locally-seen key), so
+      // the capped count map would pay its per-row cost to emit exactly the
+      // per-partition distinct keys — the same volume the naive GROUP BY
+      // shuffles. Degrade to a plain distinct pass in that regime
+      // (minCount <= P, common for small absolute thresholds at high
+      // parallelism). Past the cap the set stops admitting and keys are
+      // emitted unconditionally — duplicates are fine, verify distincts.
+      if (localFloor <= 1L) {
+        if (isLong)
+          new LongDistinctPassIter(it.asInstanceOf[Iterator[Long]], cap)
+            .asInstanceOf[Iterator[K]]
+        else new DistinctPassIter(it, cap)
+      }
       // primitive-specialized counting for the bigint face: the generic
       // HashMap would box every key twice per row on the hot path
-      if (isLong)
+      else if (isLong)
         new LongCandidateIter(it.asInstanceOf[Iterator[Long]], localFloor, cap)
           .asInstanceOf[Iterator[K]]
       else new CandidateIter(it, localFloor, cap)
+    }
+  }
+
+  /** Candidate pass for the floor-1 regime: emit each locally-new key once
+    * (a capped seen-set instead of a count map — no counts are needed when
+    * every seen key qualifies). */
+  private final class DistinctPassIter[K](input: Iterator[K], cap: Int)
+      extends Iterator[K] {
+    private val seen = scala.collection.mutable.HashSet.empty[K]
+    private var nextVal: K = _
+    private var hasVal = false
+
+    override def hasNext: Boolean = {
+      while (!hasVal && input.hasNext) {
+        val k = input.next()
+        if (!seen.contains(k)) {
+          if (seen.size < cap) seen += k
+          nextVal = k
+          hasVal = true
+        }
+      }
+      hasVal
+    }
+
+    override def next(): K = {
+      if (!hasNext) throw new NoSuchElementException("empty candidate iterator")
+      hasVal = false
+      nextVal
+    }
+  }
+
+  /** [[DistinctPassIter]] specialized on primitive longs (LongMap as a set). */
+  private final class LongDistinctPassIter(input: Iterator[Long], cap: Int)
+      extends Iterator[Long] {
+    private val seen = scala.collection.mutable.LongMap.empty[Boolean]
+    private var nextVal: Long = 0L
+    private var hasVal = false
+
+    override def hasNext: Boolean = {
+      while (!hasVal && input.hasNext) {
+        val k = input.next()
+        if (!seen.contains(k)) {
+          if (seen.size < cap) seen.update(k, true)
+          nextVal = k
+          hasVal = true
+        }
+      }
+      hasVal
+    }
+
+    override def next(): Long = {
+      if (!hasNext) throw new NoSuchElementException("empty candidate iterator")
+      hasVal = false
+      nextVal
     }
   }
 

@@ -81,6 +81,35 @@ class HeavyHittersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((42L, 8L)))
   }
 
+  test("minCount <= partition count degrades to the naive distinct pass") {
+    import spark.implicits._
+    // floor = ceil(3/4) = 1: every key is a candidate and phase 1 can prune
+    // nothing, so the candidate volume must equal exactly what the naive
+    // GROUP BY would shuffle — one entry per (partition, distinct key) —
+    // not the capped count map's emission, and certainly not one per row
+    val rnd = new scala.util.Random(11)
+    val keys = Seq.fill(3000)(rnd.nextInt(200).toLong)
+    val ks = spark.sparkContext.parallelize(keys, 4)
+    val naiveVolume = ks.mapPartitions(it => Iterator(it.toSet.size)).sum().toLong
+    val candVolume = HeavyHitters.candidates(
+      ks.toDS(), minCount = 3L, cap = HeavyHitters.DefaultLocalMapCap).count()
+    assert(candVolume == naiveVolume,
+      s"floor-1 candidates must equal naive volume: $candVolume vs $naiveVolume")
+    // and the end-to-end answer stays exact in this regime
+    val got = HeavyHitters.exact(df(keys, 4), "k", minCount = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = df(keys, 4).groupBy("k").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // the string face takes the same fallback
+    val words = spark.sparkContext.parallelize(keys.map(k => s"w$k"), 4)
+    val naiveStr = words.mapPartitions(it => Iterator(it.toSet.size)).sum().toLong
+    val candStr = HeavyHitters.candidates(
+      words.toDS(), minCount = 4L, cap = HeavyHitters.DefaultLocalMapCap).count()
+    assert(candStr == naiveStr)
+  }
+
   test("seeded fuzz: matches brute-force GROUP BY / HAVING") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {
