@@ -34,15 +34,34 @@ case class GlobalWindowRewrite() extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
       case Window(exprs, Seq(), order, child, _)
-          if exprs.nonEmpty && order.nonEmpty && exprs.forall(supported) =>
+          if exprs.nonEmpty && order.nonEmpty && exprs.forall(supported) &&
+            !(exprs.exists(isOffsetFn) && exprs.exists(peerBuffered)) =>
         // exprs.nonEmpty: an empty Window is RemoveNoopOperators' to delete,
         // not ours to shuffle (forall is vacuously true on Nil).
+        // The offset/peer-buffer exclusion keeps LEAD's bounded lookahead
+        // confined to the exec's streaming path (mixing LAG/LEAD with
+        // CUME_DIST or a RANGE-framed aggregate in ONE window is left
+        // vanilla — under the verified total order RANGE peers are single
+        // rows anyway, so nothing of value is lost).
         // The custom node stores (attribute, bare function tree) pairs —
         // top-level aliases would be stripped by CleanupAliases' default
         // case for unknown node types (see ScalableWindowPlan's scaladoc)
         ScalableWindowPlan(exprs.map(_.toAttribute),
           exprs.map(_.asInstanceOf[Alias].child), order, child)
     }
+
+  private def isOffsetFn(e: NamedExpression): Boolean = e match {
+    case Alias(WindowExpression(_: Lag | _: Lead, _), _) => true
+    case _ => false
+  }
+
+  private def peerBuffered(e: NamedExpression): Boolean = e match {
+    case Alias(WindowExpression(_: CumeDist, _), _) => true
+    case Alias(WindowExpression(fn, WindowSpecDefinition(_, _,
+        SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow))), _) =>
+      fn.isInstanceOf[AggregateExpression]
+    case _ => false
+  }
 
   /** Supported: the rank family (frame ignored), and running
     * SUM/COUNT/MIN/MAX/AVG — an unbounded-preceding..current frame, ROWS
@@ -55,15 +74,22 @@ case class GlobalWindowRewrite() extends Rule[LogicalPlan] {
     * also produces ANSI intervals (the exec's typed adder doesn't), and
     * try_sum's on-overflow-null doesn't decompose into prefix sums.
     *
-    * LAG/LEAD are deliberately NOT auto-routed: their cross-slice donor
+    * LAG/LEAD are routed only under the OPT-IN session conf
+    * `spark.graft.window.assumeTotalOrder=true`: their cross-slice donor
     * handoff is only sound when the order is TOTAL — with ties, the donor
     * values collected in one read of the shuffle can correspond to a
     * different tie permutation than the emission read, yielding results
     * consistent with NO single order (a worse failure mode than vanilla's
-    * run-to-run nondeterminism). The explicit
+    * run-to-run nondeterminism). A rewrite cannot verify uniqueness
+    * statically, so the contract is assert-then-CHECK: the caller asserts
+    * via the conf, and [[ScalableWindowExec]] verifies it at runtime from
+    * the totals job's distinct-key counts (free — it already computes
+    * them) and fails loudly on ties instead of emitting corrupt results.
+    * Offsets above [[ScalableWindowExec.MaxRoutedOffset]], ignoreNulls,
+    * and non-literal offsets/defaults stay vanilla. The explicit
     * [[graft.ops.ScalableWindow.lag]]/[[graft.ops.ScalableWindow.lead]]
-    * API carries the documented include-a-unique-tie-break contract an
-    * automatic rewrite cannot verify. */
+    * API remains the conf-free face with the documented
+    * include-a-unique-tie-break contract. */
   private def supported(e: NamedExpression): Boolean = e match {
     case Alias(WindowExpression(fn, WindowSpecDefinition(Seq(), _, frame)), _) =>
       def frameOk = frame match {
@@ -100,8 +126,16 @@ case class GlobalWindowRewrite() extends Rule[LogicalPlan] {
         // on-overflow-null stay on the vanilla plan)
         case AggregateExpression(a: Average, Complete, false, None, _) =>
           a.dataType == DoubleType && a.evalMode != EvalMode.TRY && frameOk
+        case Lag(_, Literal(k: Int, _), _: Literal, false) =>
+          assumeTotalOrder && k >= 1 && k <= ScalableWindowExec.MaxRoutedOffset
+        case Lead(_, Literal(k: Int, _), _: Literal, false) =>
+          assumeTotalOrder && k >= 1 && k <= ScalableWindowExec.MaxRoutedOffset
         case _ => false
       }
     case _ => false
   }
+
+  private def assumeTotalOrder: Boolean =
+    conf.getConfString("spark.graft.window.assumeTotalOrder", "false")
+      .equalsIgnoreCase("true")
 }

@@ -73,6 +73,25 @@ private[plans] object ScalableWindowExec {
     * restricted by the rewrite to DoubleType results (decimal AVG's
     * precision/scale propagation is vanilla's). State = (sum, n). */
   final case class AvgK(value: Expression, rangeFrame: Boolean) extends WinKind
+  /** LAG/LEAD under the caller-asserted (and runtime-VERIFIED) total
+    * order: the totals job collects each slice's first/last k values, the
+    * driver assembles per-slice boundary donors, and emission reads k rows
+    * back (a bounded deque) or k rows ahead (a bounded lookahead).
+    * `default` is the Literal's internal-format value. Only routed when
+    * [[GlobalWindowRewrite]] saw `spark.graft.window.assumeTotalOrder`;
+    * the exec still CHECKS the assertion — per-slice distinct-key counts
+    * fall out of the totals job, and RangePartitioner never splits equal
+    * keys across slices, so ties anywhere make sum(keys) < sum(rows) and
+    * the query fails loudly instead of emitting values consistent with no
+    * single tie permutation. */
+  final case class LagK(value: Expression, k: Int, default: Any) extends WinKind
+  final case class LeadK(value: Expression, k: Int, default: Any) extends WinKind
+
+  /** Offsets past this stay on the vanilla plan: donor state is
+    * slices x k values on the driver, and a screen-sized offset is the
+    * realistic ceiling for boundary handoff (vanilla buffers the same k
+    * rows but in its one global task). */
+  val MaxRoutedOffset: Int = 1024
 
   /** Typed, null-aware addition in the Sum's RESULT type (null = no value
     * yet; SUM of nothing is null). ANSI long addition overflows loudly via
@@ -195,10 +214,14 @@ private[plans] object ScalableWindowExec {
   }
 
   /** Per-slice totals: (rowCount, distinctKeys, per-expr slot: the slice's
-    * merged prefix-aggregate state). Order-insensitive except distinctKeys,
-    * which only needs SORTED input (the shuffle read provides it) — tie
-    * permutations cannot change it. */
-  def sliceTotals(aggs: Array[PrefixAgg], ordering: Ordering[InternalRow],
+    * merged prefix-aggregate state — or, for LAG/LEAD kinds, the slice's
+    * boundary values: last k for LAG, first k for LEAD, in slice order, as
+    * `Array[Any]`). Order-insensitive except distinctKeys, which only needs
+    * SORTED input (the shuffle read provides it) — tie permutations cannot
+    * change it; the LAG/LEAD slots additionally need a TOTAL order, which
+    * the driver verifies from these very counts before using them. */
+  def sliceTotals(ks: Array[WinKind], aggs: Array[PrefixAgg],
+      ordering: Ordering[InternalRow],
       it: Iterator[(InternalRow, Null)]): (Long, Long, Array[Any]) = {
     var nRows = 0L
     var nKeys = 0L
@@ -212,8 +235,35 @@ private[plans] object ScalableWindowExec {
       var i = 0
       while (i < aggs.length) {
         if (aggs(i) != null) slots(i) = aggs(i).merge(slots(i), aggs(i).unit(row))
+        else ks(i) match {
+          case LagK(v, k, _) =>
+            // ring of the slice's LAST k values (donors for the next slice)
+            val dq = { if (slots(i) == null)
+                         slots(i) = new scala.collection.mutable.ArrayDeque[Any](k)
+                       slots(i).asInstanceOf[scala.collection.mutable.ArrayDeque[Any]] }
+            if (dq.size == k) dq.removeHead()
+            dq.append(v.eval(row))
+          case LeadK(v, k, _) =>
+            // the slice's FIRST k values (donors for the previous slice)
+            val dq = { if (slots(i) == null)
+                         slots(i) = new scala.collection.mutable.ArrayDeque[Any](k)
+                       slots(i).asInstanceOf[scala.collection.mutable.ArrayDeque[Any]] }
+            if (dq.size < k) dq.append(v.eval(row))
+          case _ => ()
+        }
         i += 1
       }
+    }
+    // deques -> plain arrays for the collect back to the driver
+    var i = 0
+    while (i < ks.length) {
+      ks(i) match {
+        case _: LagK | _: LeadK if slots(i) != null =>
+          slots(i) = slots(i)
+            .asInstanceOf[scala.collection.mutable.ArrayDeque[Any]].toArray
+        case _ => ()
+      }
+      i += 1
     }
     (nRows, nKeys, slots)
   }
@@ -293,6 +343,14 @@ case class ScalableWindowExec(
           m.child.dataType, range)
       case AggregateExpression(a: Average, _, _, _, _) =>
         AvgK(BindReferences.bindReference(a.child, child.output), range)
+      case lg: Lag =>
+        LagK(BindReferences.bindReference(lg.input, child.output),
+          lg.inputOffset.asInstanceOf[Literal].value.asInstanceOf[Int],
+          lg.default.asInstanceOf[Literal].value)
+      case ld: Lead =>
+        LeadK(BindReferences.bindReference(ld.input, child.output),
+          ld.offset.asInstanceOf[Literal].value.asInstanceOf[Int],
+          ld.default.asInstanceOf[Literal].value)
       case other => throw new IllegalStateException(
         s"ScalableWindowExec: unsupported window function $other")
     }
@@ -301,6 +359,15 @@ case class ScalableWindowExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val np = conf.numShufflePartitions
     val ks = kinds
+    val hasOffsetKind = ks.exists {
+      case _: LagK | _: LeadK => true; case _ => false
+    }
+    // the rewrite never mixes offset functions with peer-buffer kinds
+    // (under the verified total order RANGE peers are single rows anyway);
+    // the invariant keeps LEAD's lookahead confined to the streaming path
+    require(!hasOffsetKind ||
+      !(ks.exists(isRangeAgg) || ks.contains(CumeDistK)),
+      "offset window functions cannot mix with peer-buffered kinds")
     val ordering = new LazilyGeneratedOrdering(orderSpec, child.output)
     implicit val ord: Ordering[InternalRow] = ordering
 
@@ -323,9 +390,10 @@ case class ScalableWindowExec(
     val shuffled = new ShuffledRDD[InternalRow, Null, Null](pairs, partitioner)
       .setKeyOrdering(ordering)
 
-    // ---- job 1: per-slice totals (tiny result, one row per slice)
+    // ---- job 1: per-slice totals (tiny result, one row per slice; for
+    // LAG/LEAD kinds also the slice's k boundary values)
     val totals = shuffled.mapPartitionsWithIndex { (pid, it) =>
-      Iterator((pid, sliceTotals(prefixAggs(ks), ordering, it)))
+      Iterator((pid, sliceTotals(ks, prefixAggs(ks), ordering, it)))
     }.collect().toMap
 
     // driver-side prefix: offsets(pid) = totals of all slices before pid
@@ -352,6 +420,65 @@ case class ScalableWindowExec(
       }
     }
 
+    // ---- verify the asserted total order before trusting any donor: the
+    // totals job counted distinct adjacent keys per slice, and equal keys
+    // never span slices under range partitioning, so ties ANYWHERE make
+    // keys < rows. Failing loudly here is the whole point of the opt-in:
+    // with ties, donor values collected in one shuffle read could belong to
+    // a different tie permutation than the emission read — results
+    // consistent with NO single order, strictly worse than vanilla's
+    // run-to-run nondeterminism.
+    if (hasOffsetKind && accKeys != accRows) throw new IllegalStateException(
+      s"spark.graft.window.assumeTotalOrder was asserted, but the window " +
+        s"ORDER BY has ties ($accRows rows, $accKeys distinct keys). " +
+        "Add a unique tie-break column to the ORDER BY, or unset the conf " +
+        "to fall back to the single-partition plan.")
+
+    // ---- per-slice boundary donors, assembled on the driver from the
+    // collected slice heads/tails (bounded by slices x k values):
+    // for LagK(i), donors(pid)(i) = the values at the k global rows just
+    // BEFORE slice pid (oldest first) — a slice shorter than k simply
+    // contributes all its rows and the walk keeps drawing from earlier
+    // slices; for LeadK(i), the k global rows just AFTER the slice.
+    val donors: Array[Array[Array[Any]]] = if (!hasOffsetKind) null else {
+      val out = Array.fill(actualParts)(new Array[Array[Any]](ks.length))
+      var i = 0
+      while (i < ks.length) {
+        ks(i) match {
+          case LagK(_, k, _) =>
+            val run = new scala.collection.mutable.ArrayDeque[Any](k)
+            for (pid <- 0 until actualParts) {
+              out(pid)(i) = run.toArray
+              totals.get(pid).foreach { case (_, _, slots) =>
+                val tail = if (slots(i) == null) Array.empty[Any]
+                           else slots(i).asInstanceOf[Array[Any]]
+                tail.foreach { v =>
+                  if (run.size == k) run.removeHead()
+                  run.append(v)
+                }
+              }
+            }
+          case LeadK(_, k, _) =>
+            val run = new scala.collection.mutable.ArrayDeque[Any](k)
+            for (pid <- (actualParts - 1) to 0 by -1) {
+              out(pid)(i) = run.toArray
+              totals.get(pid).foreach { case (_, _, slots) =>
+                val head = if (slots(i) == null) Array.empty[Any]
+                           else slots(i).asInstanceOf[Array[Any]]
+                head.reverseIterator.foreach(run.prepend(_))
+                while (run.size > k) run.removeLast()
+              }
+            }
+          case _ => ()
+        }
+        i += 1
+      }
+      out
+    }
+    // donors are slices x k values — broadcast once instead of shipping
+    // them inside every task's closure
+    val donorsBc = if (hasOffsetKind) sparkContext.broadcast(donors) else null
+
     // ---- job 2 (map stage skipped — same shuffle files): slice-local
     // pass over the sorted slice, one tie group at a time, plus offsets
     val totalRows = accRows
@@ -372,6 +499,14 @@ case class ScalableWindowExec(
       var denseIdx = 0L   // tie groups seen so far in this slice
       var rankVal = 0L    // 1-based slice-local rank of the current group
       val runStates = new Array[Any](ks.length) // ROWS-framed running state
+      // LEAD's bounded lookahead over the slice (streaming path only; the
+      // rewrite never mixes offset functions with peer-buffered kinds).
+      // Invariant at emission: size >= maxLead unless the input is drained,
+      // so size < k certifies the slice ends within k rows.
+      val maxLead = ks.foldLeft(0) {
+        case (m, LeadK(_, k, _)) => math.max(m, k); case (m, _) => m
+      }
+      var lookahead: scala.collection.mutable.ArrayDeque[InternalRow] = null
 
       // one row's output; the peer-group arguments are only read by the
       // kinds that forced buffering (null on the streaming path)
@@ -381,6 +516,34 @@ case class ScalableWindowExec(
         var i = 0
         while (i < ks.length) {
           ks(i) match {
+            case LagK(v, k, dflt) =>
+              // deque of the previous (up to) k values in this slice; full
+              // deque -> the value k rows back is local, else the global
+              // target sits in this slice's driver-assembled donor window
+              val dq = { if (runStates(i) == null) runStates(i) =
+                           new scala.collection.mutable.ArrayDeque[Any](k)
+                         runStates(i)
+                           .asInstanceOf[scala.collection.mutable.ArrayDeque[Any]] }
+              val value = if (dq.size >= k) dq(dq.size - k)
+                else {
+                  val arr = donorsBc.value(pid)(i)
+                  val idx = dq.size + arr.length - k
+                  if (idx >= 0) arr(idx) else dflt
+                }
+              winRow.update(i, value)
+              dq.append(v.eval(row))
+              if (dq.size > k) dq.removeHead()
+            case LeadK(v, k, dflt) =>
+              val ahead = if (lookahead == null) 0 else lookahead.size
+              val value = if (ahead >= k) v.eval(lookahead(k - 1))
+                else {
+                  // slice ends within k rows: the target is the
+                  // (k - ahead)'th global row after the slice
+                  val arr = donorsBc.value(pid)(i)
+                  val idx = k - ahead - 1
+                  if (idx < arr.length) arr(idx) else dflt
+                }
+              winRow.update(i, value)
             case k if aggs(i) != null =>
               // RANGE = peer-inclusive: pre-group running state + whole tie
               // group; ROWS advances the running state one row at a time
@@ -433,15 +596,36 @@ case class ScalableWindowExec(
 
       if (!needsPeerBuffer) {
         var prev: InternalRow = null
-        it.map { kv =>
-          val row = kv._1
+        def stepBoundary(row: InternalRow): Unit = {
           if (needsBoundary &&
               (prev == null || ordering.compare(prev, row) != 0)) {
             denseIdx += 1L
             rankVal = rowIdx + 1L
           }
           prev = row
+        }
+        if (maxLead == 0) it.map { kv =>
+          val row = kv._1
+          stepBoundary(row)
           emitRow(row, 0L, null, null)
+        } else {
+          // LEAD present: keep maxLead rows of lookahead (shuffle-read rows
+          // are freshly deserialized objects, safe to hold without copies)
+          lookahead = new scala.collection.mutable.ArrayDeque[InternalRow](maxLead + 1)
+          new Iterator[InternalRow] {
+            private var drained = false
+            private def fill(): Unit =
+              while (!drained && lookahead.size <= maxLead) {
+                if (it.hasNext) lookahead.append(it.next()._1) else drained = true
+              }
+            override def hasNext: Boolean = { fill(); lookahead.nonEmpty }
+            override def next(): InternalRow = {
+              if (!hasNext) throw new NoSuchElementException
+              val row = lookahead.removeHead()
+              stepBoundary(row)
+              emitRow(row, 0L, null, null)
+            }
+          }
         }
       } else new Iterator[InternalRow] {
         // group-buffered path: rows only (no projected copies — emission

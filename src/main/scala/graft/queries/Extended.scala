@@ -231,6 +231,45 @@ object Extended {
               ORDER BY o_orderkey""")
     ),
 
+    // LAG/LEAD auto-routed under the OPT-IN total-order assertion,
+    // end-to-end through the oracle gate: the session sets
+    // spark.graft.window.assumeTotalOrder=true and the order key ends in
+    // unique o_orderkey, so the assertion holds — and the exec VERIFIES it
+    // at runtime (ties anywhere would fail the query loudly rather than
+    // emit donor values from a different tie permutation). Cross-slice
+    // boundary rows take their values from driver-assembled slice
+    // head/tail donors; the explicit-default LAG exercises the
+    // out-of-range path on both engines.
+    "q_global_lag_auto" -> QueryDef(
+      (s, dir) => {
+        val s2 = s.newSession()
+        s.conf.getAll.foreach { case (k, v) =>
+          try s2.conf.set(k, v) catch { case _: Exception => () } // static confs
+        }
+        s2.conf.set("spark.graft.window.assumeTotalOrder", "true")
+        val exp = s2.experimental
+        exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.GlobalWindowRewrite()
+        exp.extraStrategies = exp.extraStrategies :+ graft.plans.ScalableWindowStrategy
+        t(s2, dir, "orders").createOrReplaceTempView("orders")
+        s2.sql("""SELECT o_orderkey,
+                   LAG(o_totalprice, 3) OVER w AS lag3,
+                   LEAD(o_totalprice, 2) OVER w AS lead2,
+                   LAG(o_totalprice, 1, -1.0) OVER w AS lag1d,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+                 FROM orders
+                 WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+                 ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey,
+                LAG(o_totalprice, 3) OVER w AS lag3,
+                LEAD(o_totalprice, 2) OVER w AS lead2,
+                LAG(o_totalprice, 1, -1.0) OVER w AS lag1d,
+                ROW_NUMBER() OVER w AS rn
+              FROM orders
+              WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_orderkey""")
+    ),
+
     // EXACT global quantiles (percentile_disc order statistics) WITHOUT a
     // global sort: ops.Quantiles rides the ScalableWindow two-phase row
     // number — one range exchange, no single-reducer stage — and keeps only

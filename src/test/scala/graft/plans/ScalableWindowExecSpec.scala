@@ -186,6 +186,68 @@ class ScalableWindowExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.forall(_.endsWith(",null,null,null,null]")), s"sample: ${r.take(2)}")
   }
 
+  test("LAG/LEAD auto-route under assumeTotalOrder matches vanilla") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    (0 until 800).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("id", "v").createOrReplaceTempView("swe_lag")
+    spark.conf.set("spark.graft.window.assumeTotalOrder", "true")
+    try {
+      // id is unique, so the order is total and vanilla is deterministic;
+      // k=7 with 4 slices of ~200 exercises within-slice lag, and k=250
+      // EXCEEDS the expected slice size, so donors must chain across
+      // multiple predecessor slices
+      for (k <- Seq(1, 7, 250)) {
+        val (r, v) = bothWays(
+          s"""SELECT id, LAG(v, $k) OVER (ORDER BY id) AS lg,
+                  LEAD(v, $k) OVER (ORDER BY id) AS ld,
+                  LAG(v, $k, -1) OVER (ORDER BY id) AS lgd
+             FROM swe_lag""")
+        assert(r == v, s"offset $k diverged")
+      }
+      // mixed with streaming kinds in one window
+      val (r2, v2) = bothWays(
+        """SELECT id, LAG(v, 2) OVER (ORDER BY id) AS lg,
+                ROW_NUMBER() OVER (ORDER BY id) AS rn,
+                SUM(v) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS s
+           FROM swe_lag""")
+      assert(r2 == v2)
+    } finally spark.conf.unset("spark.graft.window.assumeTotalOrder")
+  }
+
+  test("LAG/LEAD stay vanilla without the conf; ties fail loudly with it") {
+    import spark.implicits._
+    (0 until 100).map(i => (i.toLong, (i % 5).toLong))
+      .toDF("id", "k").createOrReplaceTempView("swe_lagties")
+    // conf off: the rewrite must not touch offset functions
+    val p = spark.sql("SELECT LAG(id, 1) OVER (ORDER BY id) AS l FROM swe_lagties")
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("ScalableWindowPlan"), s"must stay vanilla without conf:\n$p")
+    spark.conf.set("spark.graft.window.assumeTotalOrder", "true")
+    try {
+      // the assertion is CHECKED: ORDER BY k has ties (k repeats 20x), so
+      // the exec must refuse — donor values under ties can belong to a
+      // different tie permutation than the emission read
+      val df = spark.sql("SELECT LAG(id, 1) OVER (ORDER BY k) AS l FROM swe_lagties")
+      assert(df.queryExecution.optimizedPlan.toString.contains("ScalableWindowPlan"))
+      val e = intercept[Exception](df.collect())
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.getMessage != null) &&
+        causes(e).exists(c => c.getMessage != null &&
+          c.getMessage.contains("assumeTotalOrder")),
+        s"expected the ties check to fire, got: $e")
+      // mixing with a peer-buffered kind stays vanilla even with the conf
+      val mixed = spark.sql(
+        """SELECT LAG(id, 1) OVER (ORDER BY id) AS l,
+                  CUME_DIST() OVER (ORDER BY id) AS cd
+           FROM swe_lagties""").queryExecution.optimizedPlan.toString
+      assert(!mixed.contains("ScalableWindowPlan"),
+        s"offset + peer-buffered must stay vanilla:\n$mixed")
+    } finally spark.conf.unset("spark.graft.window.assumeTotalOrder")
+  }
+
   test("single row") {
     import spark.implicits._
     Seq((1L, 5L)).toDF("id", "k").createOrReplaceTempView("swe_one")
