@@ -172,13 +172,13 @@ private[plans] object ScalableWindowExec {
       x => if (x == null) 0L else x)
     case MinK(v, dt, _) =>
       val ord = TypeUtils.getInterpretedOrdering(dt)
-      new PrefixAgg(r => v.eval(r),
+      new PrefixAgg(r => copyVal(v.eval(r)),
         (a, b) => if (a == null) b else if (b == null) a
                   else if (ord.lteq(a, b)) a else b,
         x => x)
     case MaxK(v, dt, _) =>
       val ord = TypeUtils.getInterpretedOrdering(dt)
-      new PrefixAgg(r => v.eval(r),
+      new PrefixAgg(r => copyVal(v.eval(r)),
         (a, b) => if (a == null) b else if (b == null) a
                   else if (ord.gteq(a, b)) a else b,
         x => x)
@@ -200,6 +200,18 @@ private[plans] object ScalableWindowExec {
       x => if (x == null) null
            else { val (s, n) = x.asInstanceOf[(Double, Long)]; s / n })
     case _ => null
+  }
+
+  /** MIN/MAX states can outlive the row they were evaluated on, and on the
+    * tie-group-buffered path that row is a REUSED spill-reader buffer —
+    * buffer-backed values must be detached before they enter the state.
+    * Primitives (and Decimal, which materializes on read) pass through. */
+  private def copyVal(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+    case r: InternalRow => r.copy()
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+    case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+    case x => x
   }
 
   /** Peer-inclusive (RANGE-framed) aggregate kinds force the tie-group
@@ -291,11 +303,13 @@ private[plans] object ScalableWindowExec {
   * out of the totals job); and SUM / COUNT / MIN / MAX / AVG over an
   * unbounded-preceding..current-row frame — ROWS, or RANGE whose
   * peer-inclusive semantics are honored by buffering one tie group at a
-  * time. Most kinds stream one-in-one-out (no buffering at all); only
-  * CUME_DIST and RANGE-framed aggregates buffer, bounded by the largest
-  * tie group — and unlike vanilla WindowExec's spillable row array this
-  * buffer is heap-only, so an ORDER BY over a near-constant key combined
-  * with those functions trades vanilla's slow spill for memory pressure.
+  * time; and LAG/LEAD under the opt-in, runtime-verified total order (see
+  * [[GlobalWindowRewrite]]). Most kinds stream one-in-one-out (no
+  * buffering at all; LEAD keeps a k-row lookahead, LAG a k-value deque);
+  * only CUME_DIST and RANGE-framed aggregates buffer, bounded by the
+  * largest tie group, in the SAME spill-capable row array and under the
+  * same thresholds as vanilla WindowExec — an ORDER BY over a
+  * near-constant key degrades to vanilla's disk-backed behavior.
   *
   * Each output partition is one contiguous slice of the global order and
   * is sorted (spill-safe: sorting happens in the shuffle read's merge).
@@ -485,6 +499,11 @@ case class ScalableWindowExec(
     val outputAttrs = output
     val childAttrs = child.output
     val winAttrs = windowOutput
+    // vanilla WindowExec's buffer thresholds, applied to the one buffer
+    // this exec keeps (the current tie group)
+    val bufInMem = conf.windowExecBufferInMemoryThreshold
+    val bufSpill = conf.windowExecBufferSpillThreshold
+    val bufSpillSize = conf.windowExecBufferSpillSizeThreshold
     shuffled.mapPartitionsWithIndex { (pid, it) =>
       val proj = UnsafeProjection.create(outputAttrs, childAttrs ++ winAttrs)
       val joined = new JoinedRow
@@ -628,26 +647,35 @@ case class ScalableWindowExec(
           }
         }
       } else new Iterator[InternalRow] {
-        // group-buffered path: rows only (no projected copies — emission
-        // is lazy and the projection buffer is valid until the consumer's
-        // next call, the standard operator-iterator contract). The buffer
-        // is bounded by the largest tie group; unlike vanilla WindowExec's
-        // ExternalAppendOnlyUnsafeRowArray it does NOT spill — an ORDER BY
-        // over a near-constant key with CUME_DIST or a RANGE aggregate is
-        // the adversarial shape (the slice IS one tie group).
+        // group-buffered path: the buffer is bounded by the largest tie
+        // group and is SPILL-CAPABLE — the same ExternalAppendOnlyUnsafeRowArray
+        // (via the graft facade) and the same thresholds vanilla WindowExec
+        // uses, so the former adversarial shape (an ORDER BY over a
+        // near-constant key with CUME_DIST or a RANGE aggregate, where the
+        // slice IS one tie group) now degrades to vanilla's disk-backed
+        // behavior instead of heap pressure. add() copies rows in; the
+        // iterator's rows reuse a read buffer, which is why MIN/MAX detach
+        // buffer-backed values (copyVal) before keeping them.
         private var pendingRows: Iterator[InternalRow] = Iterator.empty
         private var pushback: InternalRow = null
-        private val group = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        private val group = new org.apache.spark.sql.graft.SpillableRowBuffer(
+          bufInMem, bufSpill, bufSpillSize)
+        private val toUnsafe =
+          UnsafeProjection.create(childAttrs.map(_.dataType).toArray)
+        private def asUnsafe(r: InternalRow): UnsafeRow = r match {
+          case u: UnsafeRow => u
+          case other => toUnsafe(other)
+        }
 
         private def readGroup(): Unit = {
           group.clear()
           val first = if (pushback != null) { val f = pushback; pushback = null; f }
                       else it.next()._1
-          group += first
+          group.add(asUnsafe(first))
           var done = false
           while (!done && it.hasNext) {
             val nxt = it.next()._1
-            if (ordering.compare(first, nxt) == 0) group += nxt
+            if (ordering.compare(first, nxt) == 0) group.add(asUnsafe(nxt))
             else { pushback = nxt; done = true }
           }
         }
@@ -657,12 +685,16 @@ case class ScalableWindowExec(
           denseIdx += 1L
           rankVal = rowIdx + 1L
           val gStates = new Array[Any](ks.length)
-          if (hasRangeAgg) group.foreach { row =>
-            var i = 0
-            while (i < ks.length) {
-              if (aggs(i) != null && isRangeAgg(ks(i)))
-                gStates(i) = aggs(i).merge(gStates(i), aggs(i).unit(row))
-              i += 1
+          if (hasRangeAgg) {
+            val git = group.iterator
+            while (git.hasNext) {
+              val row = git.next()
+              var i = 0
+              while (i < ks.length) {
+                if (aggs(i) != null && isRangeAgg(ks(i)))
+                  gStates(i) = aggs(i).merge(gStates(i), aggs(i).unit(row))
+                i += 1
+              }
             }
           }
           // snapshot the pre-group running state for peer-inclusive
@@ -677,16 +709,9 @@ case class ScalableWindowExec(
               runStates(j) = aggs(j).merge(runStates(j), gStates(j))
             j += 1
           }
-          val groupLen = group.length
-          var g = 0
-          pendingRows = new Iterator[InternalRow] {
-            override def hasNext: Boolean = g < groupLen
-            override def next(): InternalRow = {
-              val row = group(g)
-              g += 1
-              emitRow(row, groupLen.toLong, baseStates, gStates)
-            }
-          }
+          val groupLen = group.length.toLong
+          pendingRows = group.iterator.map(row =>
+            emitRow(row, groupLen, baseStates, gStates))
         }
 
         override def hasNext: Boolean = {

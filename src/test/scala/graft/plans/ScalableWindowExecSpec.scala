@@ -248,6 +248,29 @@ class ScalableWindowExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.window.assumeTotalOrder")
   }
 
+  test("tie-group buffer spills under vanilla's thresholds and stays exact") {
+    import spark.implicits._
+    // one giant tie group (the adversarial shape) with thresholds forced
+    // tiny: the group buffer must go through its spill path — in-memory
+    // cap 16 rows, spill file every 32 — and still emit the same
+    // peer-inclusive results as vanilla
+    (0 until 2000).map(i => (i.toLong, 5L, (i % 97).toLong))
+      .toDF("id", "k", "v").createOrReplaceTempView("swe_spill")
+    spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "16")
+    spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "32")
+    try {
+      val (r, v) = bothWays(
+        """SELECT id, CUME_DIST() OVER (ORDER BY k) AS cd,
+                  SUM(v) OVER (ORDER BY k) AS s,
+                  MIN(v) OVER (ORDER BY k) AS mn
+           FROM swe_spill""")
+      assert(r == v)
+    } finally {
+      spark.conf.unset("spark.sql.windowExec.buffer.in.memory.threshold")
+      spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+    }
+  }
+
   test("single row") {
     import spark.implicits._
     Seq((1L, 5L)).toDF("id", "k").createOrReplaceTempView("swe_one")
