@@ -79,6 +79,57 @@ object ScalableWindow {
       .drop("_pid", "_val", "_loc", "_off")
   }
 
+  /** Global running MIN over the total order — MIN is an order-insensitive
+    * prefix aggregate, so the slice-local prefix MIN combines with the
+    * earlier-slices MIN by `least` (which skips nulls exactly like MIN
+    * itself: null only when every value so far is null). */
+  def runningMin(df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame =
+    runningExtremum(df, order, value, out, min, (a, b) => least(a, b))
+
+  /** Global running MAX — mirror of [[runningMin]] via `greatest`. */
+  def runningMax(df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame =
+    runningExtremum(df, order, value, out, max, (a, b) => greatest(a, b))
+
+  private def runningExtremum(df: DataFrame, order: Seq[Column], value: Column,
+      out: String, agg: Column => Column,
+      combine: (Column, Column) => Column): DataFrame = {
+    val local = prepared(df, order)
+      .withColumn("_val", value)
+      .withColumn("_loc", agg(col("_val")).over(
+        Window.partitionBy("_pid").orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perSlice = local.groupBy("_pid").agg(agg(col("_val")).as("_t"))
+    val w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val off = perSlice.withColumn("_off", agg(col("_t")).over(w)).select("_pid", "_off")
+    local.join(broadcast(off), Seq("_pid"))
+      .withColumn(out, combine(col("_loc"), col("_off")))
+      .drop("_pid", "_val", "_loc", "_off")
+  }
+
+  /** Global running AVG (DoubleType) over the total order — the
+    * SUM/COUNT pair in one pass; null until the first non-null value,
+    * matching the single-reducer window. */
+  def runningAvg(df: DataFrame, order: Seq[Column], value: Column, out: String): DataFrame = {
+    val sliceW = Window.partitionBy("_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = prepared(df, order)
+      .withColumn("_val", value.cast("double"))
+      .withColumn("_ls", sum(col("_val")).over(sliceW))
+      .withColumn("_lc", count(col("_val")).over(sliceW))
+    val perSlice = local.groupBy("_pid")
+      .agg(sum(col("_val")).as("_ts"), count(col("_val")).as("_tc"))
+    val w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val off = perSlice
+      .withColumn("_offs", sum(col("_ts")).over(w))
+      .withColumn("_offc", sum(col("_tc")).over(w))
+      .select("_pid", "_offs", "_offc")
+    local.join(broadcast(off), Seq("_pid"))
+      .withColumn("_n", col("_lc") + coalesce(col("_offc"), lit(0L)))
+      .withColumn(out, when(col("_n") > 0L,
+        (coalesce(col("_ls"), lit(0.0)) + coalesce(col("_offs"), lit(0.0))) / col("_n")))
+      .drop("_pid", "_val", "_ls", "_lc", "_offs", "_offc", "_n")
+  }
+
   /** Global 1-based row number (LongType `out`) over the total order. */
   def rowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
     val local = prepared(df, order)

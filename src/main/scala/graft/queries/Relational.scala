@@ -235,6 +235,38 @@ object Relational {
               FROM orders ORDER BY o_orderkey""")
     ),
 
+    // the running MIN/MAX/AVG faces of ops.ScalableWindow (the explicit
+    // library path; the auto-routed exec twin is q_global_minmax_auto):
+    // MIN/MAX combine slice-local prefixes with earlier-slice offsets via
+    // least/greatest, AVG carries the SUM/COUNT pair. One query chains all
+    // three over the same total order — three range exchanges, zero
+    // single-reducer stages. AVG input is integer-valued so its double
+    // prefix sums are exact under any addition grouping.
+    "q_running_minmax" -> QueryDef(
+      (s, dir) => {
+        val order = Seq(col("o_totalprice"), col("o_orderkey"))
+        val sw = graft.ops.ScalableWindow
+        sw.runningAvg(
+            sw.runningMax(
+              sw.runningMin(t(s, dir, "orders"), order, col("o_totalprice"), "run_min"),
+              order, col("o_totalprice"), "run_max"),
+            order, col("o_custkey"), "run_avg")
+          .select(col("o_orderkey"),
+            col("run_min").cast("double").as("run_min"),
+            col("run_max").cast("double").as("run_max"),
+            col("run_avg"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+                CAST(MIN(o_totalprice) OVER w AS DOUBLE) AS run_min,
+                CAST(MAX(o_totalprice) OVER w AS DOUBLE) AS run_max,
+                AVG(CAST(o_custkey AS DOUBLE)) OVER w AS run_avg
+              FROM orders
+              WINDOW w AS (ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              ORDER BY o_orderkey""")
+    ),
+
     // GLOBAL rank/dense_rank with REAL ties (many orders per date) — the
     // tie-aware members of ops.ScalableWindow: equal keys land in one slice
     // under range partitioning, so tie groups never straddle a boundary and

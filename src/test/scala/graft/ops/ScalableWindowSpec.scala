@@ -61,6 +61,39 @@ class ScalableWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sanity: null before first value, carried total afterwards")
   }
 
+  test("runningMin/Max/Avg match the single-reducer window, nulls included") {
+    import spark.implicits._
+    // ~1/5 null values; integer-valued doubles keep the AVG prefix sums
+    // exact under any addition grouping, so the compare is bit-for-bit
+    val rnd = new scala.util.Random(17)
+    val df = (0 until 900).map { i =>
+      (i.toLong, ((i * 7919) % 900).toLong,
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(400).toLong))
+    }.toDF("id", "key", "v").repartition(4)
+    val order = Seq(col("key"), col("id"))
+    val w = Window.orderBy(col("key"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def collectOpt(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.select(col("id"), col(c)).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.get(1)))).toMap
+    assert(collectOpt(ScalableWindow.runningMin(df, order, col("v"), "m"), "m") ==
+      collectOpt(df.withColumn("m", min("v").over(w)), "m"))
+    assert(collectOpt(ScalableWindow.runningMax(df, order, col("v"), "m"), "m") ==
+      collectOpt(df.withColumn("m", max("v").over(w)), "m"))
+    assert(collectOpt(ScalableWindow.runningAvg(df, order, col("v"), "a"), "a") ==
+      collectOpt(df.withColumn("a", avg("v").over(w)), "a"))
+    // all-null prefix slices: min/avg must inherit the earlier slices'
+    // state, null only before the first non-null globally
+    val sparse = (0 until 60).map { i =>
+      (i.toLong, i.toLong, if (i == 7 || i == 40) Some(i.toLong) else None)
+    }.toDF("id", "key", "v").repartition(4)
+    val sOrder = Seq(col("key"), col("id"))
+    assert(collectOpt(ScalableWindow.runningMin(sparse, sOrder, col("v"), "m"), "m") ==
+      collectOpt(sparse.withColumn("m", min("v").over(w)), "m"))
+    assert(collectOpt(ScalableWindow.runningAvg(sparse, sOrder, col("v"), "a"), "a") ==
+      collectOpt(sparse.withColumn("a", avg("v").over(w)), "a"))
+  }
+
   test("rowNumber matches global row_number, and the data-sized window is sliced") {
     val df = rows(500)
     val order = Seq(col("key"), col("id"))
