@@ -130,6 +130,43 @@ object ScalableWindow {
       .drop("_pid", "_val", "_ls", "_lc", "_offs", "_offc", "_n")
   }
 
+  /** [[runningMin]], [[runningMax]] and [[runningAvg]] in ONE pass — one
+    * range partition, one pin, one slice-local window computing all four
+    * partial aggregates, one broadcast offsets join (the chained form pays
+    * three range exchanges for the same answer). `value` feeds MIN/MAX,
+    * `avgValue` feeds AVG. */
+  def runningMinMaxAvg(df: DataFrame, order: Seq[Column], value: Column,
+      avgValue: Column, outMin: String, outMax: String,
+      outAvg: String): DataFrame = {
+    val sliceW = Window.partitionBy("_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = prepared(df, order)
+      .withColumn("_v", value)
+      .withColumn("_av", avgValue.cast("double"))
+      .withColumn("_lmin", min(col("_v")).over(sliceW))
+      .withColumn("_lmax", max(col("_v")).over(sliceW))
+      .withColumn("_ls", sum(col("_av")).over(sliceW))
+      .withColumn("_lc", count(col("_av")).over(sliceW))
+    val perSlice = local.groupBy("_pid").agg(
+      min(col("_v")).as("_tmin"), max(col("_v")).as("_tmax"),
+      sum(col("_av")).as("_ts"), count(col("_av")).as("_tc"))
+    val w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val off = perSlice
+      .withColumn("_omin", min(col("_tmin")).over(w))
+      .withColumn("_omax", max(col("_tmax")).over(w))
+      .withColumn("_os", sum(col("_ts")).over(w))
+      .withColumn("_oc", sum(col("_tc")).over(w))
+      .select("_pid", "_omin", "_omax", "_os", "_oc")
+    local.join(broadcast(off), Seq("_pid"))
+      .withColumn(outMin, least(col("_lmin"), col("_omin")))
+      .withColumn(outMax, greatest(col("_lmax"), col("_omax")))
+      .withColumn("_n", col("_lc") + coalesce(col("_oc"), lit(0L)))
+      .withColumn(outAvg, when(col("_n") > 0L,
+        (coalesce(col("_ls"), lit(0.0)) + coalesce(col("_os"), lit(0.0))) / col("_n")))
+      .drop("_pid", "_v", "_av", "_lmin", "_lmax", "_ls", "_lc",
+        "_omin", "_omax", "_os", "_oc", "_n")
+  }
+
   /** Global 1-based row number (LongType `out`) over the total order. */
   def rowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
     val local = prepared(df, order)

@@ -238,25 +238,22 @@ object Relational {
     // the running MIN/MAX/AVG faces of ops.ScalableWindow (the explicit
     // library path; the auto-routed exec twin is q_global_minmax_auto):
     // MIN/MAX combine slice-local prefixes with earlier-slice offsets via
-    // least/greatest, AVG carries the SUM/COUNT pair. One query chains all
-    // three over the same total order — three range exchanges, zero
-    // single-reducer stages. AVG input is integer-valued so its double
-    // prefix sums are exact under any addition grouping.
+    // least/greatest, AVG carries the SUM/COUNT pair — all three in the
+    // fused one-pass face: ONE range exchange, one slice window, one
+    // broadcast offsets join (the chained single faces measured 3x the
+    // exchanges for the same answer). AVG input is integer-valued so its
+    // double prefix sums are exact under any addition grouping.
     "q_running_minmax" -> QueryDef(
-      (s, dir) => {
-        val order = Seq(col("o_totalprice"), col("o_orderkey"))
-        val sw = graft.ops.ScalableWindow
-        sw.runningAvg(
-            sw.runningMax(
-              sw.runningMin(t(s, dir, "orders"), order, col("o_totalprice"), "run_min"),
-              order, col("o_totalprice"), "run_max"),
-            order, col("o_custkey"), "run_avg")
-          .select(col("o_orderkey"),
-            col("run_min").cast("double").as("run_min"),
-            col("run_max").cast("double").as("run_max"),
-            col("run_avg"))
-          .orderBy("o_orderkey")
-      },
+      (s, dir) => graft.ops.ScalableWindow.runningMinMaxAvg(
+          t(s, dir, "orders"),
+          Seq(col("o_totalprice"), col("o_orderkey")),
+          col("o_totalprice"), col("o_custkey"),
+          "run_min", "run_max", "run_avg")
+        .select(col("o_orderkey"),
+          col("run_min").cast("double").as("run_min"),
+          col("run_max").cast("double").as("run_max"),
+          col("run_avg"))
+        .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey,
                 CAST(MIN(o_totalprice) OVER w AS DOUBLE) AS run_min,
                 CAST(MAX(o_totalprice) OVER w AS DOUBLE) AS run_max,

@@ -92,6 +92,14 @@ class ScalableWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
       collectOpt(sparse.withColumn("m", min("v").over(w)), "m"))
     assert(collectOpt(ScalableWindow.runningAvg(sparse, sOrder, col("v"), "a"), "a") ==
       collectOpt(sparse.withColumn("a", avg("v").over(w)), "a"))
+    // the fused one-pass face equals the three singles (and vanilla)
+    val fused = ScalableWindow.runningMinMaxAvg(
+      df, order, col("v"), col("v"), "fmn", "fmx", "fav")
+    val want = df.withColumn("fmn", min("v").over(w))
+      .withColumn("fmx", max("v").over(w))
+      .withColumn("fav", avg("v").over(w))
+    for (c <- Seq("fmn", "fmx", "fav"))
+      assert(collectOpt(fused, c) == collectOpt(want, c), s"fused $c diverged")
   }
 
   test("rowNumber matches global row_number, and the data-sized window is sliced") {
