@@ -49,6 +49,42 @@ object SimilarityOps {
       None
     ),
 
+    // the two ANN index paths under the FULL oracle gate, at the one
+    // operating point where their recall is DETERMINISTIC rather than
+    // probabilistic: an exact-duplicate target. Each query vector's planted
+    // copy (id +1_000_000) hashes to the SAME SRP bucket in every LSH table
+    // and is assigned the SAME IVF cell as the query's first probe —
+    // candidate generation cannot miss it — and at round(cos,4) = 1.0 it
+    // outranks every organic vector (max pairwise cosine ~0.5), so top-1 is
+    // exactly the copy. A bucketing bug, probe-ordering bug, or ranking bug
+    // all break the hash; the k=5 realistic operating points stay rows-only
+    // with SimilaritySpec's measured recall floors (IVF >= 0.9, LSH >= 0.6).
+    "s_ann_lsh_planted" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = emb.where(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        Similarity.lshTopK(emb.unionAll(planted), emb.where(col("vec_id") < 10), k = 1)
+          .orderBy("q_id")
+      },
+      Some("""SELECT vec_id AS q_id, vec_id + 1000000 AS t_id,
+                CAST(1 AS BIGINT) AS rank
+              FROM embeddings WHERE vec_id < 10 ORDER BY q_id""")
+    ),
+
+    "s_ann_ivf_planted" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = emb.where(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        Similarity.ivfTopK(emb.unionAll(planted), emb.where(col("vec_id") < 10), k = 1)
+          .orderBy("q_id")
+      },
+      Some("""SELECT vec_id AS q_id, vec_id + 1000000 AS t_id,
+                CAST(1 AS BIGINT) AS rank
+              FROM embeddings WHERE vec_id < 10 ORDER BY q_id""")
+    ),
+
     // embedding near-dup pairs under the FULL oracle gate, via the planted
     // construction d_semantic_dedup proved out: exact copies of the first
     // 50 vectors re-enter under ids +1_000_000. Every planted pair MUST
