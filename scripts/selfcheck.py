@@ -54,15 +54,15 @@ def canon(df: pd.DataFrame) -> str:
 
 def _is_decimal_col(s: pd.Series) -> bool:
     """True if the column holds decimal.Decimal objects (pyarrow surfaces
-    parquet DECIMAL as object-dtype Decimals — exactly the driver's view)."""
+    parquet DECIMAL as object-dtype Decimals — exactly the driver's view).
+    Decided by the FIRST non-null value wherever it sits: a bounded head()
+    scan would let a decimal column with a long null prefix (e.g. a LAG
+    output) evade the gate and fail later as an opaque hash mismatch. An
+    all-null column is not flagged (both engines canonicalize to NULL)."""
     if s.dtype.kind != "O":
         return False
-    for v in s.head(100):
-        if isinstance(v, Decimal):
-            return True
-        if v is not None and not (isinstance(v, float) and pd.isna(v)):
-            return False
-    return False
+    nn = s.dropna()
+    return len(nn) > 0 and isinstance(nn.iloc[0], Decimal)
 
 def gate_compat(name, got: pd.DataFrame, want: pd.DataFrame):
     """Replicate the three driver-gate strictness axes our %.9g canon masks
@@ -118,7 +118,12 @@ if SELFTEST:
     # Spark side = Decimal objects, oracle side = DuckDB float64
     dec_spark = pd.DataFrame({"k": ["a"], "total": [Decimal("25.50")]})
     dec_oracle = pd.DataFrame({"k": ["a"], "total": [25.5]})
+    # decimal buried under a long null prefix (a LAG-style output column)
+    dec_nulls = pd.DataFrame({"k": ["a"] * 151,
+                              "total": [None] * 150 + [Decimal("25.50")]})
     checks = [
+        ("decimal after 150-null prefix flagged",
+         gate_compat("t5", dec_nulls, dec_nulls.copy()) is not None),
         ("bare-SUM dtype drift flagged",
          gate_compat("t1", spark_like, oracle_like) is not None),
         ("array output unsortable flagged",

@@ -56,10 +56,14 @@ object HeavyHitters {
             localMapCap: Int = DefaultLocalMapCap): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val keys = df.select(col(keyCol).cast("long"))
-      .where(col(keyCol).isNotNull).as[Long]
-    verify(df.select(col(keyCol).cast("long").as(keyCol)),
-      candidates(keys, minCount, localMapCap).toDF(keyCol), keyCol, minCount)
+    val rows = df.select(col(keyCol).cast("long").as(keyCol))
+    if (minCount <= partitionsOf(rows)) naive(rows, keyCol, minCount)
+    else {
+      val keys = df.select(col(keyCol).cast("long"))
+        .where(col(keyCol).isNotNull).as[Long]
+      verify(rows, candidates(keys, minCount, localMapCap).toDF(keyCol),
+        keyCol, minCount)
+    }
   }
 
   /** String-keyed face — the actual 100-TB shape (URLs, domains,
@@ -71,11 +75,32 @@ object HeavyHitters {
                   localMapCap: Int = DefaultLocalMapCap): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val keys = df.select(col(keyCol).cast("string"))
-      .where(col(keyCol).isNotNull).as[String]
-    verify(df.select(col(keyCol).cast("string").as(keyCol)),
-      candidates(keys, minCount, localMapCap).toDF(keyCol), keyCol, minCount)
+    val rows = df.select(col(keyCol).cast("string").as(keyCol))
+    if (minCount <= partitionsOf(rows)) naive(rows, keyCol, minCount)
+    else {
+      val keys = df.select(col(keyCol).cast("string"))
+        .where(col(keyCol).isNotNull).as[String]
+      verify(rows, candidates(keys, minCount, localMapCap).toDF(keyCol),
+        keyCol, minCount)
+    }
   }
+
+  /** The planned partition count of `df`'s scan — decides the regime at
+    * query-build time. When minCount <= P the pigeonhole floor ceil(T/P)
+    * is 1, phase 1 cannot prune ANYTHING, and the right plan is the plain
+    * GROUP BY / HAVING: Spark's own partial aggregate shuffles one entry
+    * per (partition, distinct key) and SPILLS under adversarial
+    * cardinality, which a mapPartitions counting pass cannot. (AQE may
+    * still reshape partitions at runtime; the in-task floor-1 fallback in
+    * [[candidates]] covers that residual case.) */
+  private def partitionsOf(df: DataFrame): Int =
+    math.max(df.rdd.getNumPartitions, 1)
+
+  private def naive(rows: DataFrame, keyCol: String, minCount: Long): DataFrame =
+    rows.where(col(keyCol).isNotNull)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
 
   private def verify(rows: DataFrame, cand: DataFrame, keyCol: String,
                      minCount: Long): DataFrame =
@@ -93,12 +118,16 @@ object HeavyHitters {
       val p = math.max(org.apache.spark.TaskContext.get().numPartitions(), 1)
       val localFloor = (minCount + p - 1) / p
       // floor 1 prunes NOTHING (count >= 1 is every locally-seen key), so
-      // the capped count map would pay its per-row cost to emit exactly the
-      // per-partition distinct keys — the same volume the naive GROUP BY
-      // shuffles. Degrade to a plain distinct pass in that regime
-      // (minCount <= P, common for small absolute thresholds at high
-      // parallelism). Past the cap the set stops admitting and keys are
-      // emitted unconditionally — duplicates are fine, verify distincts.
+      // the capped count map would pay its per-row cost to emit at least
+      // the per-partition distinct keys anyway. This path is normally
+      // unreachable — exact/exactString route minCount <= P to the plain
+      // GROUP BY up front — and only fires when AQE grew the partition
+      // count past the planned estimate. The distinct pass emits each key
+      // once while the seen-set fits the cap; PAST the cap unadmitted keys
+      // are re-emitted per occurrence (no counts -> no median flush to
+      // bound duplicates), which widens the shuffle but never the answer
+      // (verify distincts). The naive plan, which spills instead, is the
+      // right home for that regime — hence the up-front routing.
       if (localFloor <= 1L) {
         if (isLong)
           new LongDistinctPassIter(it.asInstanceOf[Iterator[Long]], cap)

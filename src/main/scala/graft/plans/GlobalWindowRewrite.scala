@@ -74,6 +74,14 @@ case class GlobalWindowRewrite() extends Rule[LogicalPlan] {
     * also produces ANSI intervals (the exec's typed adder doesn't), and
     * try_sum's on-overflow-null doesn't decompose into prefix sums.
     *
+    * Floating-point caveat (SUM and AVG over DoubleType): the exec merges
+    * slice-local prefixes with per-slice totals, a different addition
+    * GROUPING than vanilla's strict left fold — the same values in the
+    * same order, reassociated. Long and decimal sums are exact either
+    * way; double results can differ from vanilla in the last ulps, the
+    * inherent price of ANY distributed prefix sum (Spark's own groupBy
+    * SUM reassociates identically across partial aggregates).
+    *
     * LAG/LEAD are routed only under the OPT-IN session conf
     * `spark.graft.window.assumeTotalOrder=true`: their cross-slice donor
     * handoff is only sound when the order is TOTAL — with ties, the donor

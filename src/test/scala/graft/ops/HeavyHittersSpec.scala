@@ -95,8 +95,14 @@ class HeavyHittersSpec extends AnyFunSuite with BeforeAndAfterAll {
       ks.toDS(), minCount = 3L, cap = HeavyHitters.DefaultLocalMapCap).count()
     assert(candVolume == naiveVolume,
       s"floor-1 candidates must equal naive volume: $candVolume vs $naiveVolume")
-    // and the end-to-end answer stays exact in this regime
-    val got = HeavyHitters.exact(df(keys, 4), "k", minCount = 3)
+    // and the end-to-end answer stays exact in this regime — via the plain
+    // GROUP BY plan (exact() routes minCount <= P up front; no
+    // mapPartitions candidate stage, whose floor-1 distinct pass can
+    // re-emit beyond-cap keys per occurrence, in the plan)
+    val routed = HeavyHitters.exact(df(keys, 4), "k", minCount = 3)
+    assert(!routed.queryExecution.optimizedPlan.toString.contains("MapPartitions"),
+      s"floor-1 regime must plan the naive GROUP BY:\n${routed.queryExecution.optimizedPlan}")
+    val got = routed
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = df(keys, 4).groupBy("k").agg(count(lit(1)).as("n"))
       .where(col("n") >= 3)
