@@ -451,14 +451,23 @@ object Dedup {
     *     the (sz, id)-larger doc, the smaller side only needs its
     *     `|X| - ceil(2t/(1+t)|X|) + 1`-length *index* prefix — the hot tail
     *     of the inverted index shrinks by ~1/3 at t=0.5;
-    *   - positional filter (PPJoin): a pair's first shared prefix token at
-    *     ranks (rk_p, rk_i) bounds the overlap by
-    *     `min(sz_p - rk_p, sz_i - rk_i) + 1`; J >= t needs overlap >=
-    *     t/(1+t)·(sz_p+sz_i), so pairs whose every shared-token row fails the
-    *     bound are pruned *inside the join task*, before the candidate
-    *     shuffle — this is what keeps a hot shingle (document frequency df)
-    *     from shipping O(df²) candidate pairs downstream on self-similar
-    *     corpora.
+    *   - accumulated-overlap positional filter (PPJoin): matched prefix rows
+    *     are grouped per pair (the same shuffle the candidate-dedup needed
+    *     anyway) into `ov` = number of shared prefix shingles plus the ranks
+    *     of the globally-LAST shared prefix shingle. Prefix ranks are
+    *     positions in one global `(df, s)` order, so every shared shingle
+    *     outside both prefixes ranks after that last match in BOTH docs
+    *     (if it ranked before it in the global order, its rank would be
+    *     inside both prefixes and it would itself be a match). Hence
+    *     `ov + min(sz_p - max(rk_p), sz_i - max(rk_i))` is a true overlap
+    *     upper bound — tighter than any single-row `first-match` bound and
+    *     the standard PPJoin formulation. On a DIVERSE corpus this is the
+    *     decisive prune (pairs sharing one incidental rare token die here);
+    *     on the synthetic 31-word-vocab corpus it prunes only ~1% (ov is
+    *     itself large for almost-duplicate shingle profiles) and the win is
+    *     structural — the filter rides the same per-pair shuffle the old
+    *     candidate-`distinct` needed anyway, so no stage is added
+    *     (sf0.1 best-of-2: 4.7 s -> 3.0 s end-to-end).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -485,13 +494,21 @@ object Dedup {
         (col("sz_p") > col("sz_i") ||
           (col("sz_p") === col("sz_i") && col("id_p") > col("id_i"))) &&
         // length-ratio pruning: t·|probe| <= |index| (probe is larger)
-        col("sz_i") >= col("sz_p") * threshold &&
-        // positional filter (exact for the pair's first shared token)
-        (least(col("sz_p") - col("rk_p"), col("sz_i") - col("rk_i")) + 1) * (1 + threshold) >=
-          (col("sz_p") + col("sz_i")) * threshold)
+        col("sz_i") >= col("sz_p") * threshold)
+      // accumulated-overlap positional filter: one group per candidate pair
+      // (this shuffle doubled as the candidate-dedup). max(rk_p)/max(rk_i)
+      // both belong to the globally-last shared prefix shingle (ranks are
+      // monotone in the one global (df, s) order), and all shared shingles
+      // missed by the prefixes rank after it in both docs, so
+      // ov + min(remaining suffix lengths) bounds the true overlap.
+      .groupBy(col("id_p"), col("id_i"), col("sz_p"), col("sz_i"))
+      .agg(count(lit(1)).as("ov"),
+        max(col("rk_p")).as("rkp_last"), max(col("rk_i")).as("rki_last"))
+      .where(
+        (col("ov") + least(col("sz_p") - col("rkp_last"), col("sz_i") - col("rki_last"))) *
+          (1 + threshold) >= (col("sz_p") + col("sz_i")) * threshold)
       .select(least(col("id_p"), col("id_i")).as("id_a"),
         greatest(col("id_p"), col("id_i")).as("id_b"))
-      .distinct()
     cand.join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard_pct", graft.functions.JaccardPct(col("sh_a"), col("sh_b")))

@@ -211,6 +211,50 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loose((1L, 2L)) == 20L)
   }
 
+  test("ngram jaccard: PPJoin filters are exact vs brute force on a self-similar random corpus") {
+    // The accumulated-overlap positional filter is soundness-critical: a
+    // too-tight bound silently drops true pairs. Pin it against an in-memory
+    // brute force on the adversarial shape (tiny vocab -> docs share most
+    // shingles, candidate volume is maximal) across two thresholds.
+    val rng = new scala.util.Random(4242)
+    val vocab = Vector("ga", "bu", "zo", "meu", "ta", "ri", "po", "na", "ke", "lu", "si", "do")
+    val organic = (1L to 100L).map { id =>
+      val len = 5 + rng.nextInt(36)
+      id -> Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    // planted near-dups across the whole similarity range: suffix-append
+    // (high J), prefix-drop (mid J), and exact copies (J=1)
+    val planted = organic.take(20).flatMap { case (id, t) =>
+      val words = t.split(" ").toSeq
+      Seq(
+        (id + 1000L) -> (t + " " + vocab((id % vocab.size).toInt)),
+        (id + 2000L) -> words.drop(words.length / 4).mkString(" "),
+        (id + 3000L) -> t)
+    }
+    val corpus = organic ++ planted
+    def bruteShingles(t: String): Set[String] = {
+      val w = t.trim.toLowerCase.split("\\s+").toSeq
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val sets = corpus.map { case (id, t) => id -> bruteShingles(t) }.toMap
+    for (threshold <- Seq(0.5, 0.3)) {
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys
+        if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        inter = (sets(a) & sets(b)).size.toLong
+        uni = (sets(a) | sets(b)).size.toLong
+        if inter * 100 >= uni * (threshold * 100).toLong
+      } yield ((a, b), inter * 100L / uni)).toMap
+      val got = Dedup.ngramJaccardPairs(docs(corpus: _*), "doc_id", "text",
+          n = 3, threshold = threshold)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(got == expected,
+        s"t=$threshold: missing=${(expected.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- expected.keySet).take(5)}")
+      assert(expected.nonEmpty, s"t=$threshold fixture must exercise true pairs")
+    }
+  }
+
   test("connectedComponents: chain, clique, isolated node all converge to min-id groups") {
     import spark.implicits._
     // chain 1-2-3-4 (transitivity!), clique 10-11-12, isolated 20
