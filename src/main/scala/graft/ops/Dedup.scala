@@ -136,18 +136,28 @@ object Dedup {
     * un-witness its neighborhood. The sizing consequence: the store grows
     * nBlocks rows per OBSERVED doc, not per admitted doc — on a
     * high-duplication stream (say 90% dups) the store is ~10x the kept
-    * corpus's row count. That is the price of the coverage guarantee; a
-    * kept-docs-only mode would bound growth to admissions but re-open the
-    * non-transitivity hole for docs near only a loser. At four longs per
-    * row the observed-doc form stays small relative to the text it
-    * replaces (32 bytes x nBlocks per doc ever seen). Same crash/replay
-    * contract as [[incrementalDedup]]: `onFresh` runs downstream-first,
-    * the result is pinned ([[Pins]]) before the store mutates, and a
-    * replayed batch re-admits nothing.
+    * corpus's row count. At four longs per row the observed-doc form stays
+    * small relative to the text it replaces (32 bytes x nBlocks per doc
+    * ever seen). Same crash/replay contract as [[incrementalDedup]]:
+    * `onFresh` runs downstream-first, the result is pinned ([[Pins]])
+    * before the store mutates, and a replayed batch re-admits nothing.
+    *
+    * `registerLosers = false` selects the KEPT-DOCS-ONLY mode for streams
+    * where duplication volume, not corpus size, dominates (a recrawl loop
+    * re-observing the same pages forever would otherwise grow the store
+    * linearly in time): only admitted docs register, so the store is
+    * bounded by nBlocks rows per ADMITTED doc regardless of duplicate
+    * volume. The explicit price is the loser-neighborhood recall hole this
+    * scaladoc's default closes: a future doc within `maxDist` of a dropped
+    * doc but not of any KEPT signature is admitted as a false fresh
+    * (DedupSpec pins the exact triple). Replay stays safe — a replayed
+    * admitted doc self-hits its own registration and repairs any partial
+    * write; a replayed loser re-loses against the same kept signatures.
     */
   def incrementalNearDedup(world: graft.world.World, batch: DataFrame,
       idCol: String, textCol: String, maxDist: Int = 3,
-      onFresh: DataFrame => Unit = _ => ()): DataFrame = {
+      onFresh: DataFrame => Unit = _ => (),
+      registerLosers: Boolean = true): DataFrame = {
     // maxDist 0 would make bits = 64 and the block mask wrap to 0 (every
     // probe key identical -> accidental all-pairs); > 63 would make bits 0
     require(maxDist >= 1 && maxDist <= 63,
@@ -201,8 +211,9 @@ object Dedup {
       onFresh(fresh)
       // register ALL observed docs (the within-batch losers too — see the
       // non-transitivity note in the scaladoc); re-deriving from `sigs` is
-      // one extra map-only simhash pass, no shuffle
-      world.create(blockRows(sigs))
+      // one extra map-only simhash pass, no shuffle. Kept-only mode
+      // registers just the within-batch winners (= this batch's admissions).
+      world.create(blockRows(if (registerLosers) sigs else intra))
       fresh
     } else {
       // (2) cross-batch: candidates from the probe-key equality join only
@@ -224,10 +235,24 @@ object Dedup {
       val freshSigs = Pins.pin(intra.join(crossDrops, Seq(idCol), "left_anti"))
       val fresh = freshSigs.drop("__sig")
       onFresh(fresh)
-      // (3) register ALL observed docs, losers included (non-transitivity:
-      // a future doc near only a loser must still be caught); tryInsert
-      // keeps a replayed batch idempotent and repairs partial registration
-      world.tryInsert(blockRows(sigs))
+      if (registerLosers) {
+        // (3) register ALL observed docs, losers included (non-transitivity:
+        // a future doc near only a loser must still be caught); tryInsert
+        // keeps a replayed batch idempotent and repairs partial registration
+        world.tryInsert(blockRows(sigs))
+      } else {
+        // kept-only: register admissions plus SELF-hit replays (a self hit
+        // proves a prior run admitted this doc, so its possibly-partial
+        // registration must be completed — same repair contract as the
+        // default mode, restricted to docs that ever registered). Pinned
+        // BEFORE tryInsert: selfHitSigs' plan reads world.df, and feeding
+        // an unpinned store-reading plan into the store's own mutation is
+        // the self-anti-join trap the freshSigs pin already guards.
+        val selfHits = hitPairs.where(col("seen_id") === col(idCol))
+          .select(idCol).distinct()
+        val selfHitSigs = Pins.pin(intra.join(selfHits, Seq(idCol), "left_semi"))
+        world.tryInsert(blockRows(freshSigs.unionByName(selfHitSigs)))
+      }
       fresh
     }
   }

@@ -120,7 +120,8 @@ object Daemon {
     */
   def nearDedupStream(sigStore: World, sink: World, source: DataFrame,
       idCol: String, textCol: String, checkpoint: String,
-      interval: String = "5 seconds", maxDist: Int = 3): StreamingQuery = {
+      interval: String = "5 seconds", maxDist: Int = 3,
+      registerLosers: Boolean = true): StreamingQuery = {
     val q = source.writeStream
       .trigger(Trigger.ProcessingTime(interval))
       .option("checkpointLocation", checkpoint)
@@ -128,7 +129,8 @@ object Daemon {
         if (!batch.isEmpty) {
           try {
             graft.ops.Dedup.incrementalNearDedup(sigStore, batch.toDF(), idCol,
-              textCol, maxDist, onFresh = fresh => { sink.insert(fresh); () })
+              textCol, maxDist, onFresh = fresh => { sink.insert(fresh); () },
+              registerLosers = registerLosers)
             ()
           } finally graft.ops.Pins.releaseAll()
         }

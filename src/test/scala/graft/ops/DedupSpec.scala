@@ -100,6 +100,70 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Pins.retainedCount == 0)
   }
 
+  test("incrementalNearDedup kept-only mode: store bounded by admissions; the recall hole is exactly the documented triple") {
+    import spark.implicits._
+    import graft.core.DimMapping
+    import graft.world.World
+    // find a triple of texts with ham(a,b)<=3, ham(b,c)<=3, ham(a,c)>3 by
+    // searching the simhash expression itself (deterministic: fixed pool,
+    // first hit in lexicographic scan order wins)
+    // candidates = single/double edits of a fixed base doc: simhash is a
+    // per-bit vote sum, so one appended/replaced word flips only the bits
+    // whose vote was near zero — exactly the small-Hamming neighborhood
+    val base = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta")
+    val pool = Vector("iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon")
+    val texts = (pool.map(w => (base :+ w).mkString(" ")) ++
+      (for (w1 <- pool; w2 <- pool if w1 < w2)
+        yield (base :+ w1 :+ w2).mkString(" ")) ++
+      (for (i <- base.indices; w <- pool)
+        yield base.updated(i, w).mkString(" "))).distinct.toVector
+    val hs = texts.toDF("text").select(col("text"), Dedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: String, y: String) = java.lang.Long.bitCount(hs(x) ^ hs(y))
+    val triple = (for {
+      a <- texts.iterator; b <- texts.iterator
+      if ham(a, b) <= 3 && ham(a, b) > 0
+      c <- texts.iterator
+      if ham(b, c) <= 3 && ham(b, c) > 0 && ham(a, c) > 3
+    } yield (a, b, c)).nextOption()
+    assert(triple.nonEmpty, "pool must contain a chain triple")
+    val (ta, tb, tc) = triple.get
+
+    def freshIds(w: World, b: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalNearDedup(w, b, "doc_id", "text", registerLosers = false)
+        .select("doc_id").as[Long].collect().toSet
+
+    // kept-only world: batch1 = {A, B near A} -> B drops and does NOT register
+    val path = java.nio.file.Files.createTempDirectory("graft-keptonly").toString
+    val w = World(spark, path)("blk64" -> DimMapping(0L, -1L, 1L << 59))
+    assert(freshIds(w, docs((1L, ta), (2L, tb))) == Set(1L))
+    assert(w.df.count() == 4, "kept-only: 4 block rows for the single admission")
+    // batch2 = {C near B only}: the documented hole — C is a false fresh
+    // here, while the default mode (loser registered) catches it
+    assert(freshIds(w, docs((3L, tc))) == Set(3L),
+      "kept-only mode admits a doc near only a dropped loser (documented)")
+    assert(w.df.count() == 8)
+    // same stream under the DEFAULT mode drops C via B's registered blocks
+    val path2 = java.nio.file.Files.createTempDirectory("graft-allreg").toString
+    val w2 = World(spark, path2)("blk64" -> DimMapping(0L, -1L, 1L << 59))
+    Dedup.incrementalNearDedup(w2, docs((1L, ta), (2L, tb)), "doc_id", "text")
+    assert(Dedup.incrementalNearDedup(w2, docs((3L, tc)), "doc_id", "text").isEmpty,
+      "default mode catches the same doc through the loser's registration")
+    // kept-only replay: nothing re-admitted, store unchanged
+    assert(freshIds(w, docs((1L, ta), (2L, tb))).isEmpty)
+    assert(w.df.count() == 8)
+    // kept-only partial-registration repair: losing 2 of doc 1's block rows
+    // then replaying its batch restores them without re-admitting
+    w.destroy(Seq(1L * 4 + 2, 1L * 4 + 3))
+    assert(w.df.count() == 6)
+    assert(freshIds(w, docs((1L, ta), (2L, tb))).isEmpty)
+    assert(w.df.count() == 8, "self-hit replay must repair partial registration")
+    Pins.releaseAll()
+    assert(Pins.retainedCount == 0)
+  }
+
   test("semanticDedup: paraphrase groups keep their lowest id; sub-threshold pairs both survive") {
     import spark.implicits._
     def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
