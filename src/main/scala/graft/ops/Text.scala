@@ -75,6 +75,67 @@ object Text {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  /** Trains `numMerges` byte-pair-encoding merges over the corpus and
+    * returns the merge table `(step, lhs, rhs, cnt)` in merge order — the
+    * vocabulary-induction loop real BPE tokenizers run (count adjacent
+    * token pairs weighted by word frequency, merge the most frequent pair
+    * everywhere, repeat), not just one pair-frequency pass.
+    *
+    * Scale shape: the corpus text is scanned ONCE into a distinct-word
+    * frequency table; every iteration runs over that (vastly smaller)
+    * table — a map-side re-tokenization plus one shuffle on pair keys —
+    * and only the single argmax row ever reaches the driver (ties broken
+    * (cnt desc, lhs, rhs), so training is deterministic). The word table
+    * is pinned per iteration ([[Pins]], released round-over-round like
+    * [[Dedup.connectedComponents]]) so iteration k never re-runs the k-1
+    * merges before it; the caller releases the last pin via
+    * `Pins.releaseAll` after consuming the result.
+    *
+    * Tokenizations ride in one canonical string `||t1||t2||...||` per word.
+    * Merging pair (l, r) is `replace(toks, "|l||r|", "|lr|")`: the pattern
+    * keeps one `|` of each flanking double-separator, so a matched merge
+    * leaves the boundary a neighbor match needs, and left-to-right
+    * non-overlapping `replace` — the shared semantics of Spark and DuckDB —
+    * reproduces BPE's greedy within-word merge order exactly (on `a a a`,
+    * pattern `|a||a|` consumes `||a||a|`-minus-first-char, leaving `|a||`:
+    * first two merge, the third survives). Tokens must not contain `|`.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var (toks, toksHandle) = Pins.pinWithHandle(words.select(col("freq"),
+      concat(lit("||"),
+        array_join(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"), "||"),
+        lit("||")).as("toks")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to numMerges if !exhausted) {
+      val top = toks
+        .select(col("freq"), expr("filter(split(toks, '[|][|]'), x -> x != '')").as("a"))
+        .where(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> struct(a[i-1] AS lhs, a[i] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs"), col("p.rhs")).agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step.toLong, l, r, c))
+        val (next, nextHandle) = Pins.pinWithHandle(toks.withColumn("toks",
+          replace(col("toks"), lit(s"|$l||$r|"), lit(s"|$l$r|"))))
+        Pins.release(toksHandle)
+        toks = next; toksHandle = nextHandle
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
+  }
+
   /** The interpreted HOF chain `chunk` replaced — kept ONLY as the parity
     * reference for WordChunksSpec's byte-identical pin (HigherOrderFunctions
     * don't participate in whole-stage codegen; the chain cost ~4 s at sf0.1

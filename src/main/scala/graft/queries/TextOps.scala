@@ -161,6 +161,62 @@ object TextOps {
               GROUP BY pair ORDER BY n DESC, pair LIMIT 10""")
     ),
 
+    // full BPE vocabulary-induction loop (count -> argmax -> merge, x3)
+    // under the exact oracle gate: the canonical `||t1||t2||` tokenization
+    // string makes the merge step a literal replace() with identical
+    // greedy left-to-right semantics in Spark and DuckDB, so DuckDB can
+    // replay the whole training loop as three unrolled CTE rounds
+    "t_bpe_train" -> QueryDef(
+      (s, dir) => graft.ops.Text.bpeTrain(t(s, dir, "documents"), "text", 3)
+        .orderBy("step"),
+      Some("""WITH w AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+                  SELECT unnest(list_filter(
+                    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+                  FROM documents) GROUP BY w),
+              t0 AS (
+                SELECT freq, '||' || array_to_string(
+                  list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), '||')
+                  || '||' AS toks
+                FROM w),
+              p1 AS (
+                SELECT p['l'] AS lhs, p['r'] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM (SELECT freq, unnest(list_transform(range(1, len(a)),
+                        i -> {'l': a[i], 'r': a[i + 1]})) AS p
+                      FROM (SELECT freq, list_filter(string_split(toks, '||'),
+                              x -> x <> '') AS a FROM t0))
+                GROUP BY 1, 2),
+              m1 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+              t1 AS (
+                SELECT freq, replace(toks, '|' || m1.lhs || '||' || m1.rhs || '|',
+                  '|' || m1.lhs || m1.rhs || '|') AS toks
+                FROM t0, m1),
+              p2 AS (
+                SELECT p['l'] AS lhs, p['r'] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM (SELECT freq, unnest(list_transform(range(1, len(a)),
+                        i -> {'l': a[i], 'r': a[i + 1]})) AS p
+                      FROM (SELECT freq, list_filter(string_split(toks, '||'),
+                              x -> x <> '') AS a FROM t1))
+                GROUP BY 1, 2),
+              m2 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+              t2 AS (
+                SELECT freq, replace(toks, '|' || m2.lhs || '||' || m2.rhs || '|',
+                  '|' || m2.lhs || m2.rhs || '|') AS toks
+                FROM t1, m2),
+              p3 AS (
+                SELECT p['l'] AS lhs, p['r'] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM (SELECT freq, unnest(list_transform(range(1, len(a)),
+                        i -> {'l': a[i], 'r': a[i + 1]})) AS p
+                      FROM (SELECT freq, list_filter(string_split(toks, '||'),
+                              x -> x <> '') AS a FROM t2))
+                GROUP BY 1, 2),
+              m3 AS (SELECT lhs, rhs, cnt FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1)
+              SELECT CAST(1 AS BIGINT) AS step, lhs, rhs, cnt FROM m1
+              UNION ALL SELECT CAST(2 AS BIGINT), lhs, rhs, cnt FROM m2
+              UNION ALL SELECT CAST(3 AS BIGINT), lhs, rhs, cnt FROM m3
+              ORDER BY step""")
+    ),
+
     "t_ngram_freq" -> QueryDef(
       (s, dir) => t(s, dir, "documents")
         .select(explode(Dedup.shingles(col("text"), 2)).as("ngram"))
