@@ -140,6 +140,35 @@ object EventOps {
               ORDER BY user_id""")
     ),
 
+    // ordered funnel (view -> click -> purchase), strict event-time order:
+    // Spark folds each user's sorted events in ONE shuffle (greedy
+    // first-qualifying-event chain); the oracle derives the same chain
+    // independently as iterated min-after-previous over three joins —
+    // different algorithm, provably the same result (see ops.Funnel)
+    "e_funnel" -> QueryDef(
+      (s, dir) => graft.ops.Funnel.earliestChain(ev(s, dir),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("user_id"),
+      Some("""WITH e AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_type
+                FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')),
+              u AS (SELECT DISTINCT user_id FROM e),
+              s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+                     WHERE event_type = 'view' GROUP BY user_id),
+              s2 AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+                     WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY e.user_id),
+              s3 AS (SELECT e.user_id, MIN(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+                     WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY e.user_id)
+              SELECT u.user_id,
+                CAST(CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1
+                          WHEN t3 IS NULL THEN 2 ELSE 3 END AS BIGINT) AS steps_done,
+                t1 AS step1_us, t2 AS step2_us, t3 AS step3_us
+              FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id)
+              ORDER BY u.user_id"""),
+    ),
+
     "e_asof_join" -> QueryDef(
       // for each click: the most recent strictly-earlier error of the same
       // user. Implemented scalably (one shuffle by user_id): tag-union +
