@@ -192,11 +192,14 @@ object GraftDataSource {
   }
 
   /** Data files of one chunk dir (skips _sidecars and .hidden files). */
-  private[sources] def chunkFiles(fs: FileSystem, dir: Path): Seq[Path] =
+  private[sources] def chunkFileStatuses(fs: FileSystem,
+      dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
     fs.listStatus(dir).toSeq
       .filter(e => e.isFile && !e.getPath.getName.startsWith("_") &&
         !e.getPath.getName.startsWith("."))
-      .map(_.getPath)
+
+  private[sources] def chunkFiles(fs: FileSystem, dir: Path): Seq[Path] =
+    chunkFileStatuses(fs, dir).map(_.getPath)
 
   /** Does this filter reference only bucket columns, in shapes we can
     * evaluate exactly against directory values? */
@@ -253,9 +256,31 @@ final case class GraftInputPartition(file: String, buckets: Map[String, Long],
     rowCountOnly: Boolean) extends InputPartition
 
 class GraftScan(path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Post-prune size report: the byte sum of the chunk files the pushed
+    * bucket filters leave alive — the same file-length estimate vanilla
+    * FileScan reports. Without it a V2 relation sizes as
+    * `defaultSizeInBytes` (effectively infinite) and a kilobyte dimension
+    * world can never win auto-broadcast; with it, `world JOIN fact` plans a
+    * BroadcastHashJoin with no hint, and a bucket-pruned scan reports only
+    * its surviving chunks (so selective reads broadcast even when the full
+    * world would not). Metadata-only: one directory walk, no footers read,
+    * `numRows` left unreported exactly like vanilla parquet. */
+  override def estimateStatistics(): Statistics = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val bytes = GraftDataSource.walkChunks(fs, new Path(path), pushed)
+      .flatMap { case (dir, _) => GraftDataSource.chunkFileStatuses(fs, dir) }
+      .map(_.getLen).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(path, required, pushed)

@@ -201,6 +201,32 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 100L)
   }
 
+  test("DataSource V2 stats: post-prune size reported; a small world auto-broadcasts unhinted") {
+    import spark.implicits._
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
+    w.create((0L until 100L).map(i => (i, i)).toDF("d0", "d1"))
+    val df = spark.read.format("graft").load(w.path)
+    // reported size is the chunk-file byte sum, and a pushed bucket filter
+    // shrinks it to the surviving chunks' bytes
+    val full = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pruned = df.where(col("c0") === 3).queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(full > 0 && full < 10L * 1024 * 1024, s"kilobyte world must report real bytes, got $full")
+    assert(pruned > 0 && pruned < full,
+      s"pruned scan must report only surviving chunks: $pruned vs $full")
+    // the planning consequence: joined to a fact side sized ABOVE the
+    // broadcast threshold (range stats ~16 MB > 10 MB default), the only
+    // BroadcastHashJoin Spark can produce is one broadcasting the world —
+    // pre-stats a V2 relation sized as defaultSizeInBytes and this join
+    // could only shuffle
+    val fact = spark.range(0, 2000000).select(col("id") % 100 as "d0", col("id") as "v")
+    val joined = fact.join(df.select("d0", "d1"), "d0")
+    assert(joined.count() == 2000000L)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"unhinted small-world join must auto-broadcast the world side:\n$p")
+  }
+
   test("DataSource V2 write: rows append into their chunk directories (FsHandle::write_chunk analog)") {
     import spark.implicits._
     val w = new World(spark, tmp(), Seq(
