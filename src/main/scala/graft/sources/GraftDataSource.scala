@@ -256,9 +256,28 @@ final case class GraftInputPartition(file: String, buckets: Map[String, Long],
     rowCountOnly: Boolean) extends InputPartition
 
 class GraftScan(path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // join-derived runtime filters (the dynamic-partition-pruning analog for
+  // the chunk grid): Spark's PartitionPruning rule plants an IN-subquery of
+  // the build side's join keys on any column listed here, and delivers the
+  // materialized values through filter() at execution — BEFORE
+  // planInputPartitions enumerates chunk files, so a selective dimension
+  // join reads only the chunks its keys land in, exactly like a static
+  // bucket predicate. Bucket-only shapes are accepted; anything else is
+  // ignored (runtime filters are an optimization, never a correctness gate).
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields.filter(f => GraftDataSource.isBucket(f.name))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(GraftDataSource.bucketOnly)
 
   /** Post-prune size report: the byte sum of the chunk files the pushed
     * bucket filters leave alive — the same file-length estimate vanilla
@@ -285,12 +304,13 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter])
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(path, required, pushed)
   override def description(): String =
-    s"GraftScan path=$path, PushedBucketFilters: [${pushed.mkString(", ")}]"
+    s"GraftScan path=$path, PushedBucketFilters: [${pushed.mkString(", ")}]" +
+      (if (runtime.isEmpty) "" else s", RuntimeBucketFilters: [${runtime.mkString(", ")}]")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val hasDataCols = required.exists(f => !GraftDataSource.isBucket(f.name))
-    GraftDataSource.walkChunks(fs, new Path(path), pushed)
+    GraftDataSource.walkChunks(fs, new Path(path), pushed ++ runtime)
       .flatMap { case (dir, b) =>
         GraftDataSource.chunkFiles(fs, dir)
           .map(p => GraftInputPartition(p.toString, b, !hasDataCols))

@@ -227,6 +227,47 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unhinted small-world join must auto-broadcast the world side:\n$p")
   }
 
+  test("DataSource V2 runtime filtering: join-delivered bucket filters prune chunk planning") {
+    import spark.implicits._
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
+    w.create((0L until 100L).map(i => (i, i)).toDF("d0", "d1"))
+    val df = spark.read.format("graft").load(w.path)
+    // unit level: a runtime EqualTo on a bucket column shrinks the planned
+    // partitions exactly like a pushed one (10 diagonal chunks -> 1)
+    val scanExec = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val scan = scanExec.scan.asInstanceOf[graft.sources.GraftScan]
+    assert(scan.planInputPartitions().length == 10)
+    assert(scan.filterAttributes().map(_.toString).toSet == Set("c0", "c1"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("c0", 3L)))
+    assert(scan.planInputPartitions().length == 1,
+      "runtime bucket filter must prune chunk planning")
+    // non-bucket runtime filters are ignored, never over-prune
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("d1", 35L)))
+    assert(scan.planInputPartitions().length == 10)
+    // end-to-end: Spark's PartitionPruning plants a dynamic IN-subquery of
+    // the broadcast dim's join keys and delivers the materialized values to
+    // this scan before partition planning (a LocalRelation dim would NOT
+    // trigger it — its selective filter constant-folds away; Range keeps a
+    // real Filter node)
+    val dim = spark.range(0, 10).select(col("id").as("c0"), (col("id") % 3).as("k"))
+    val q = spark.read.format("graft").load(w.path)
+      .join(broadcast(dim.where(col("k") === 0)), "c0")
+    // execute q ITSELF (a projection would finalize a different plan and
+    // this one's runtime filter() would never run)
+    assert(q.collect().map(_.getAs[Long]("d0")).toSet ==
+      ((0L until 10L) ++ (30L until 40L) ++ (60L until 70L) ++ (90L until 100L)).toSet)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"planner must insert the dynamic pruning subquery:\n$p")
+    assert(p.contains("RuntimeBucketFilters: [In(c0"),
+      s"materialized join keys must reach the scan's runtime filter:\n$p")
+  }
+
   test("DataSource V2 write: rows append into their chunk directories (FsHandle::write_chunk analog)") {
     import spark.implicits._
     val w = new World(spark, tmp(), Seq(
