@@ -68,6 +68,40 @@ object EventOps {
               FROM y GROUP BY user_id, sid ORDER BY user_id, session_start_us""")
     ),
 
+    // classic cohort-retention matrix: users grouped by first-seen week,
+    // counted distinct in each later activity week. Week offsets are exact
+    // integers (both engines truncate to ISO Monday weeks, so day diffs are
+    // multiples of 7); one distinct pass + one aggregation, both on
+    // (user, week)-sized keys
+    "e_cohort_retention" -> QueryDef(
+      (s, dir) => {
+        val events = ev(s, dir).select(col("user_id"), col("ts"))
+        val cohorts = events.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+        val active = events
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        active.join(cohorts, "user_id")
+          .groupBy(col("cohort"), (datediff(col("wk"), col("cohort")) / 7)
+            .cast("long").as("week_offset"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .select(unix_micros(col("cohort")).as("cohort_week_us"),
+            col("week_offset"), col("n_users"))
+          .orderBy("cohort_week_us", "week_offset")
+      },
+      Some("""WITH c AS (
+                SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+                FROM events GROUP BY user_id),
+              a AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                FROM events)
+              SELECT CAST(epoch_us(cohort) AS BIGINT) AS cohort_week_us,
+                CAST(datediff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+                CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+              FROM a JOIN c USING (user_id)
+              GROUP BY 1, 2 ORDER BY 1, 2"""),
+    ),
+
     "e_stream_join" -> QueryDef(
       // batch form of EventStreams.clickErrorJoin (the operator runs
       // genuinely incrementally in StreamingSpec; here the SAME code path is
