@@ -234,9 +234,11 @@ class GraftTable(path: String, schema: StructType) extends Table
 }
 
 class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
+  private var countStar = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (prunable, residual) = filters.partition(GraftDataSource.bucketOnly)
@@ -249,7 +251,73 @@ class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(path, required, pushed)
+  /** Ungrouped COUNT(*) is answered from parquet footer row counts — one
+    * metadata read per surviving chunk file, zero data pages. Sound because
+    * (a) Spark only attempts aggregate pushdown when every filter was
+    * consumed by `pushFilters`, and our pushed bucket filters are
+    * directory-exact (no residual rows to re-check); (b) the pushdown is
+    * PARTIAL (`supportCompletePushDown` default false): each partition
+    * emits its footer count and Spark's final aggregation sums them, so
+    * multi-file chunks and empty worlds need no special casing. A
+    * count-only projection previously iterated one empty row per record —
+    * at a 10^11-row world that is 10^11 `next()` calls for a number the
+    * footers already hold. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Boolean = {
+    countStar = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    countStar
+  }
+
+  override def build(): Scan =
+    if (countStar) new GraftCountScan(path, pushed)
+    else new GraftScan(path, required, pushed)
+}
+
+/** The pushed-COUNT(*) scan: partitions are chunk files, rows are footer
+  * counts. Batch-only (the streaming path never sees it — pushdown happens
+  * per logical scan, and aggregate pushdown is a batch-plan rewrite). */
+class GraftCountScan(path: String, pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCountScan path=$path, PushedBucketFilters: [${pushed.mkString(", ")}], " +
+      "PushedAggregation: [COUNT(*)]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    GraftDataSource.walkChunks(fs, new Path(path), pushed)
+      .flatMap { case (dir, _) => GraftDataSource.chunkFiles(fs, dir) }
+      .map(p => GraftCountPartition(p.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCountReaderFactory
+}
+
+final case class GraftCountPartition(file: String) extends InputPartition
+
+class GraftCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val file = partition.asInstanceOf[GraftCountPartition].file
+      private var emitted = false
+      private var count = 0L
+      override def next(): Boolean =
+        if (emitted) false
+        else {
+          val pfr = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(file), new Configuration()))
+          try count = pfr.getRecordCount finally pfr.close()
+          emitted = true
+          true
+        }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](count))
+      override def close(): Unit = ()
+    }
 }
 
 final case class GraftInputPartition(file: String, buckets: Map[String, Long],

@@ -268,6 +268,31 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"materialized join keys must reach the scan's runtime filter:\n$p")
   }
 
+  test("DataSource V2 aggregate pushdown: COUNT(*) answered from footers, residual filters block it") {
+    import spark.implicits._
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
+    w.create((0L until 100L).map(i => (i, i)).toDF("d0", "d1"))
+    val df = spark.read.format("graft").load(w.path)
+    // plain count: pushed, answered from footer metadata
+    val c = df.groupBy().count()
+    assert(c.collect().head.getLong(0) == 100L)
+    val p = c.queryExecution.executedPlan.toString
+    assert(p.contains("GraftCountScan") && p.contains("PushedAggregation: [COUNT(*)]"),
+      s"ungrouped count must push to the footer scan:\n$p")
+    // bucket filter composes: directory pruning first, then footer counts
+    val cf = df.where(col("c0") === 3).groupBy().count()
+    assert(cf.collect().head.getLong(0) == 10L)
+    assert(cf.queryExecution.executedPlan.toString.contains("GraftCountScan"))
+    // a residual (row-level) filter must NOT push the aggregate
+    val cr = df.where(col("d1") === 35).groupBy().count()
+    assert(cr.collect().head.getLong(0) == 1L)
+    assert(!cr.queryExecution.executedPlan.toString.contains("GraftCountScan"),
+      "row-level residual filter must fall back to the row scan")
+    // df.count() itself takes the same path
+    assert(df.count() == 100L)
+  }
+
   test("DataSource V2 write: rows append into their chunk directories (FsHandle::write_chunk analog)") {
     import spark.implicits._
     val w = new World(spark, tmp(), Seq(
