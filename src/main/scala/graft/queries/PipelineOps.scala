@@ -464,6 +464,38 @@ object PipelineOps {
     // the way pre-training mixes re-weight domains. Hash-gated per row:
     // no RNG, no per-stratum pass, stable under re-partitioning — one
     // filtered scan at any scale.
+    // reproducible global shuffle + sharding for training order: shard and
+    // within-shard position derive from a seeded md5, so any run (and any
+    // engine) deals the same deck. The per-shard window is the scale path —
+    // nShards partitions, never a global sort
+    "p_shuffle_shards" -> QueryDef(
+      (s, dir) => {
+        val h = md5(concat(lit("epoch1:"), col("doc_id").cast("string")).cast("binary"))
+        val a = ascii(substring(col("h"), 1, 1))
+        val hexVal = when(a >= 97, a - 87).otherwise(a - 48)
+        t(s, dir, "documents")
+          .select(col("doc_id"), h.as("h"))
+          .withColumn("shard", (hexVal % 4).cast("long"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))).cast("long"))
+          .select("shard", "pos", "doc_id")
+          .orderBy("shard", "pos")
+      },
+      Some("""WITH h AS (
+                SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+              s AS (
+                SELECT doc_id, h,
+                  CAST((CASE WHEN ascii(substr(h, 1, 1)) >= 97
+                        THEN ascii(substr(h, 1, 1)) - 87
+                        ELSE ascii(substr(h, 1, 1)) - 48 END) % 4 AS BIGINT) AS shard
+                FROM h)
+              SELECT shard,
+                CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
+                doc_id
+              FROM s ORDER BY shard, pos""")
+    ),
+
     "p_sample_mix" -> QueryDef(
       (s, dir) => {
         val rate = ((regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4) + 1) * 4

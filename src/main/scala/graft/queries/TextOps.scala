@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ops.{Dedup, Multimodal, Text}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + multimodal-plumbing queries over `documents`. */
@@ -215,6 +216,38 @@ object TextOps {
               UNION ALL SELECT CAST(2 AS BIGINT), lhs, rhs, cnt FROM m2
               UNION ALL SELECT CAST(3 AS BIGINT), lhs, rhs, cnt FROM m3
               ORDER BY step""")
+    ),
+
+    // tokenizer-design statistic: cumulative corpus coverage of the top-k
+    // vocabulary (what OOV rate a size-k vocab buys). Exact integer basis
+    // points; the running sum's window sits over the ALREADY-AGGREGATED
+    // vocab table (bounded cardinality), which is the declared discipline
+    // for ungrouped windows
+    "t_vocab_coverage" -> QueryDef(
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(graft.functions.WordNgrams(col("text"), 1)).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        val tot = words.agg(sum("cnt").as("tot"))
+        val ord = Window.orderBy(col("cnt").desc, col("w"))
+        words.crossJoin(broadcast(tot))
+          .withColumn("rk", row_number().over(ord).cast("long"))
+          .withColumn("cum", sum("cnt").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("rk"), col("w"), col("cnt"),
+            expr("CAST(cum * 10000 DIV tot AS BIGINT)").as("cov_bps"))
+          .orderBy("rk")
+      },
+      Some("""WITH wd AS (
+                SELECT unnest(list_filter(
+                  string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+                FROM documents),
+              c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM wd GROUP BY w),
+              t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM c)
+              SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rk,
+                w, cnt,
+                CAST(SUM(cnt) OVER (ORDER BY cnt DESC, w ROWS UNBOUNDED PRECEDING)
+                  * 10000 // tot AS BIGINT) AS cov_bps
+              FROM c, t ORDER BY rk""")
     ),
 
     "t_ngram_freq" -> QueryDef(
