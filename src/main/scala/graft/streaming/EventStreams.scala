@@ -137,6 +137,49 @@ object EventStreams {
       }
   }
 
+  final case class FunnelDone(user_id: Long, step1_us: Long, step2_us: Long,
+      step3_us: Long)
+
+  /** Streaming twin of [[graft.ops.Funnel.earliestChain]] for a three-step
+    * funnel: per-user slot state advances incrementally and ONE FunnelDone
+    * row is emitted the moment the final step fills (append-mode "the user
+    * just converted" signal — the thing a batch funnel can only report
+    * after the fact). State is three epoch-micro longs per user (-1 =
+    * unfilled), so state size is flat in event volume.
+    *
+    * Ordering contract: events are sorted by event time WITHIN each
+    * micro-batch (per user), and slots only ever fill forward — so any
+    * per-user in-order arrival across batches matches the batch twin
+    * exactly, while a late event older than an already-filled predecessor
+    * cannot rewrite history (slots are monotone; the batch twin re-run over
+    * the full log remains the authoritative earliest chain, same as the
+    * dedup family's replay contract). */
+  def funnelStream(spark: SparkSession, events: Dataset[Ev],
+      steps: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelDone] = {
+    import spark.implicits._
+    require(steps.length == 3, s"funnelStream is the three-step face, got $steps")
+    require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Long], FunnelDone](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Array[Long]]) =>
+          val slots = state.getOption.getOrElse(Array.fill(3)(-1L))
+          val wasDone = slots(2) >= 0L
+          val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+          sorted.foreach { e =>
+            val s = steps.indexOf(e.event_type)
+            if (s >= 0 && slots(s) < 0L &&
+                (s == 0 || (slots(s - 1) >= 0L && micros(e.ts) > slots(s - 1))))
+              slots(s) = micros(e.ts)
+          }
+          state.update(slots)
+          if (!wasDone && slots(2) >= 0L)
+            Iterator.single(FunnelDone(uid, slots(0), slots(1), slots(2)))
+          else Iterator.empty
+      }
+  }
+
   /** Custom stateful op: per-user running error count with an alert once it
     * crosses `threshold` — the mapGroupsWithState pattern for state Spark's
     * built-in windows can't express. */

@@ -265,6 +265,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming funnel: converts once at the completing event, matches the batch twin in order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[EventStreams.Ev]
+    val out = EventStreams.funnelStream(spark, src.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      // ids double as epoch micros (all multiples of 1000, so the
+      // millisecond java.sql.Timestamp round-trips micros exactly)
+      def ev(us: Long, uid: Long, tpe: String) =
+        EventStreams.Ev(us, new java.sql.Timestamp(us / 1000), uid, tpe, 1.0)
+      def got() = spark.sql("SELECT * FROM funnel_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // batch 1: user 1 views then clicks (out of arrival order within the
+      // batch — the per-batch event-time sort must fix it); user 2 clicks
+      // without a view (must not start)
+      src.addData(ev(20000000L, 1L, "click"), ev(10000000L, 1L, "view"),
+        ev(5000000L, 2L, "click"))
+      q.processAllAvailable()
+      assert(got().isEmpty, "no conversion before the final step")
+      // batch 2: user 1 purchases -> exactly one conversion, earliest chain
+      src.addData(ev(30000000L, 1L, "purchase"))
+      q.processAllAvailable()
+      assert(got() == Set((1L, 10000000L, 20000000L, 30000000L)))
+      // batch 3: a second full pass must NOT re-emit
+      src.addData(ev(40000000L, 1L, "view"), ev(50000000L, 1L, "click"),
+        ev(60000000L, 1L, "purchase"))
+      q.processAllAvailable()
+      assert(got() == Set((1L, 10000000L, 20000000L, 30000000L)),
+        "a converted user never re-emits")
+      // the batch twin over the SAME ordered log reports the same chain
+      val all = Seq(
+        (20000000L, 1L, "click"), (10000000L, 1L, "view"), (5000000L, 2L, "click"),
+        (30000000L, 1L, "purchase"), (40000000L, 1L, "view"),
+        (50000000L, 1L, "click"), (60000000L, 1L, "purchase"))
+      val batch = graft.ops.Funnel.earliestChain(
+          all.toDF("us", "user_id", "event_type")
+            .withColumn("ts", timestamp_micros(col("us"))).drop("us"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .where(col("steps_done") === 3)
+        .collect().map(r => (r.getLong(0),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(batch == got(), "streaming conversions must equal the batch twin's chains")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: key emitted once, at the exact crossing event") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
