@@ -235,10 +235,19 @@ class GraftTable(path: String, schema: StructType) extends Table
 
 class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
   private var countStar = false
+  private var limit = -1
+
+  /** PARTIAL limit pushdown (`isPartiallyPushed` default true): each chunk
+    * reader stops after `limit` rows instead of draining its file, and
+    * Spark's own Limit still enforces the global bound — so `df.limit(10)`
+    * over a petabyte world touches at most 10 rows per surviving chunk
+    * file. Sound with pushed bucket filters (directory-exact, no residual
+    * re-check can disqualify an emitted row). */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (prunable, residual) = filters.partition(GraftDataSource.bucketOnly)
@@ -273,7 +282,7 @@ class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
 
   override def build(): Scan =
     if (countStar) new GraftCountScan(path, pushed)
-    else new GraftScan(path, required, pushed)
+    else new GraftScan(path, required, pushed, limit)
 }
 
 /** The pushed-COUNT(*) scan: partitions are chunk files, rows are footer
@@ -321,9 +330,10 @@ class GraftCountReaderFactory extends PartitionReaderFactory {
 }
 
 final case class GraftInputPartition(file: String, buckets: Map[String, Long],
-    rowCountOnly: Boolean) extends InputPartition
+    rowCountOnly: Boolean, limit: Int = -1) extends InputPartition
 
-class GraftScan(path: String, required: StructType, pushed: Array[Filter])
+class GraftScan(path: String, required: StructType, pushed: Array[Filter],
+    limit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -373,6 +383,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter])
     new GraftMicroBatchStream(path, required, pushed)
   override def description(): String =
     s"GraftScan path=$path, PushedBucketFilters: [${pushed.mkString(", ")}]" +
+      (if (limit < 0) "" else s", PushedLimit: $limit") +
       (if (runtime.isEmpty) "" else s", RuntimeBucketFilters: [${runtime.mkString(", ")}]")
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -381,7 +392,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter])
     GraftDataSource.walkChunks(fs, new Path(path), pushed ++ runtime)
       .flatMap { case (dir, b) =>
         GraftDataSource.chunkFiles(fs, dir)
-          .map(p => GraftInputPartition(p.toString, b, !hasDataCols))
+          .map(p => GraftInputPartition(p.toString, b, !hasDataCols, limit))
       }.toArray
   }
 
@@ -433,13 +444,22 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType)
     }
   }
 
-  override def next(): Boolean =
-    if (reader == null) {
-      if (remainingCountRows > 0) { remainingCountRows -= 1; true } else false
-    } else {
-      cur = reader.read()
-      cur != null
-    }
+  private var emittedRows = 0L
+
+  override def next(): Boolean = {
+    // pushed limit: stop this partition early (partial pushdown — Spark's
+    // own Limit enforces the global bound over the per-partition prefixes)
+    if (p.limit >= 0 && emittedRows >= p.limit) return false
+    val has =
+      if (reader == null) {
+        if (remainingCountRows > 0) { remainingCountRows -= 1; true } else false
+      } else {
+        cur = reader.read()
+        cur != null
+      }
+    if (has) emittedRows += 1
+    has
+  }
 
   override def get(): InternalRow = {
     val row = new GenericInternalRow(fields.length)

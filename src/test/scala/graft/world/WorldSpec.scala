@@ -293,6 +293,27 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 100L)
   }
 
+  test("DataSource V2 limit pushdown: partition readers stop at the pushed prefix") {
+    import spark.implicits._
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
+    w.create((0L until 100L).map(i => (i, i)).toDF("d0", "d1"))
+    val df = spark.read.format("graft").load(w.path)
+    val lim = df.limit(3)
+    assert(lim.collect().length == 3)
+    val scan = lim.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.scan.description().contains("PushedLimit: 3"),
+      s"limit must reach the scan: ${scan.scan.description()}")
+    // each of the 10 diagonal-chunk readers emits at most 3 rows: the scan's
+    // output is bounded by limit x partitions (30), not the 100 table rows
+    val rows = scan.metrics("numOutputRows").value
+    assert(rows <= 30, s"readers must stop at the pushed prefix, emitted $rows")
+    // limit composes with bucket pruning
+    assert(df.where(col("c0") === 3).limit(2).collect().length == 2)
+  }
+
   test("DataSource V2 write: rows append into their chunk directories (FsHandle::write_chunk analog)") {
     import spark.implicits._
     val w = new World(spark, tmp(), Seq(
