@@ -239,6 +239,7 @@ class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
   private var countStar = false
+  private var groupCols: Array[String] = Array.empty
   private var limit = -1
 
   /** PARTIAL limit pushdown (`isPartiallyPushed` default true): each chunk
@@ -260,71 +261,91 @@ class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Ungrouped COUNT(*) is answered from parquet footer row counts — one
-    * metadata read per surviving chunk file, zero data pages. Sound because
-    * (a) Spark only attempts aggregate pushdown when every filter was
-    * consumed by `pushFilters`, and our pushed bucket filters are
-    * directory-exact (no residual rows to re-check); (b) the pushdown is
-    * PARTIAL (`supportCompletePushDown` default false): each partition
-    * emits its footer count and Spark's final aggregation sums them, so
-    * multi-file chunks and empty worlds need no special casing. A
-    * count-only projection previously iterated one empty row per record —
-    * at a 10^11-row world that is 10^11 `next()` calls for a number the
-    * footers already hold. */
+  /** COUNT(*) — ungrouped or grouped by bucket columns — is answered from
+    * parquet footer row counts: one metadata read per surviving chunk file,
+    * zero data pages. Grouping works because bucket values are directory
+    * constants: every row of a chunk file shares them, so a per-file
+    * (bucket values, footer count) row IS that file's exact group
+    * contribution. Sound because (a) Spark only attempts aggregate pushdown
+    * when every filter was consumed by `pushFilters`, and our pushed bucket
+    * filters are directory-exact (no residual rows to re-check); (b) the
+    * pushdown is PARTIAL (`supportCompletePushDown` default false): Spark's
+    * final aggregation sums the per-file rows, so multi-file chunks and
+    * empty worlds need no special casing. A count-only projection
+    * previously iterated one empty row per record — at a 10^11-row world
+    * that is 10^11 `next()` calls for numbers the footers already hold. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions
       .aggregate.Aggregation): Boolean = {
-    countStar = agg.groupByExpressions.isEmpty &&
+    val gb = agg.groupByExpressions.map {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 && GraftDataSource.isBucket(nr.fieldNames()(0)) =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val ok = gb.forall(_.isDefined) &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions.head.isInstanceOf[
         org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-    countStar
+    if (ok) { countStar = true; groupCols = gb.map(_.get) }
+    ok
   }
 
   override def build(): Scan =
-    if (countStar) new GraftCountScan(path, pushed)
+    if (countStar) new GraftCountScan(path, pushed, groupCols)
     else new GraftScan(path, required, pushed, limit)
 }
 
-/** The pushed-COUNT(*) scan: partitions are chunk files, rows are footer
-  * counts. Batch-only (the streaming path never sees it — pushdown happens
-  * per logical scan, and aggregate pushdown is a batch-plan rewrite). */
-class GraftCountScan(path: String, pushed: Array[Filter]) extends Scan with Batch {
+/** The pushed-COUNT(*) scan: partitions are chunk files, rows are
+  * (group bucket values..., footer count). Batch-only (the streaming path
+  * never sees it — aggregate pushdown is a batch-plan rewrite). Group
+  * columns come FIRST in the row, matching V2ScanRelationPushDown's
+  * positional zip of grouping expressions with the scan's leading output
+  * attributes. */
+class GraftCountScan(path: String, pushed: Array[Filter],
+    groupCols: Array[String] = Array.empty) extends Scan with Batch {
   override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    StructType(groupCols.map(c => StructField(c, LongType, nullable = false)).toSeq :+
+      StructField("count(*)", LongType, nullable = false))
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftCountScan path=$path, PushedBucketFilters: [${pushed.mkString(", ")}], " +
-      "PushedAggregation: [COUNT(*)]"
+      "PushedAggregation: [COUNT(*)]" +
+      (if (groupCols.isEmpty) "" else s", PushedGroupBy: [${groupCols.mkString(", ")}]")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     GraftDataSource.walkChunks(fs, new Path(path), pushed)
-      .flatMap { case (dir, _) => GraftDataSource.chunkFiles(fs, dir) }
-      .map(p => GraftCountPartition(p.toString): InputPartition).toArray
+      .flatMap { case (dir, b) =>
+        val groupVals = groupCols.map(b(_))
+        GraftDataSource.chunkFiles(fs, dir)
+          .map(p => GraftCountPartition(p.toString, groupVals): InputPartition)
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftCountReaderFactory
 }
 
-final case class GraftCountPartition(file: String) extends InputPartition
+final case class GraftCountPartition(file: String,
+    groupVals: Array[Long]) extends InputPartition
 
 class GraftCountReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val file = partition.asInstanceOf[GraftCountPartition].file
+      private val p = partition.asInstanceOf[GraftCountPartition]
       private var emitted = false
       private var count = 0L
       override def next(): Boolean =
         if (emitted) false
         else {
           val pfr = ParquetFileReader.open(
-            HadoopInputFile.fromPath(new Path(file), new Configuration()))
+            HadoopInputFile.fromPath(new Path(p.file), new Configuration()))
           try count = pfr.getRecordCount finally pfr.close()
           emitted = true
           true
         }
-      override def get(): InternalRow = new GenericInternalRow(Array[Any](count))
+      override def get(): InternalRow =
+        new GenericInternalRow(p.groupVals.map(v => v: Any) :+ (count: Any))
       override def close(): Unit = ()
     }
 }

@@ -291,6 +291,19 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
       "row-level residual filter must fall back to the row scan")
     // df.count() itself takes the same path
     assert(df.count() == 100L)
+    // GROUP BY a bucket column pushes too: bucket values are directory
+    // constants, so each file's (bucket, footer count) row is its exact
+    // group contribution
+    val g = df.groupBy("c0").count()
+    assert(g.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      (0L until 10L).map(c => (c, 10L)).toSet)
+    val gp = g.queryExecution.executedPlan.toString
+    assert(gp.contains("PushedGroupBy: [c0]"), s"bucket group-by must push:\n$gp")
+    // group by a DATA column must not push
+    val gd = df.groupBy("d0").count()
+    assert(gd.collect().length == 100)
+    assert(!gd.queryExecution.executedPlan.toString.contains("GraftCountScan"),
+      "data-column group-by must fall back to the row scan")
   }
 
   test("DataSource V2 limit pushdown: partition readers stop at the pushed prefix") {
