@@ -350,13 +350,22 @@ class GraftCountReaderFactory extends PartitionReaderFactory {
     }
 }
 
+/** `keyVals` are this chunk's bucket values projected to the scan's reported
+  * partitioning keys (canonical c0..cN order) — the `partitionKey` contract
+  * that lets Spark group chunk files into key-aligned partitions for
+  * storage-partitioned joins. Empty when the scan reports no partitioning
+  * (bucket columns pruned from the output). */
 final case class GraftInputPartition(file: String, buckets: Map[String, Long],
-    rowCountOnly: Boolean, limit: Int = -1) extends InputPartition
+    rowCountOnly: Boolean, limit: Int = -1, keyVals: Array[Long] = Array.empty)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(keyVals.map(v => v: Any))
+}
 
 class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     limit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -375,8 +384,54 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     required.fields.filter(f => GraftDataSource.isBucket(f.name))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
-  override def filter(filters: Array[Filter]): Unit =
+  override def filter(filters: Array[Filter]): Unit = {
     runtime = filters.filter(GraftDataSource.bucketOnly)
+    cachedWalk = null // pruning changed: re-list on next planning call
+  }
+
+  // The chunk walk backs both partition planning and the partitioning
+  // report; cache it so reporting KeyGroupedPartitioning doesn't double the
+  // directory listing (on a big grid the walk IS the planning cost).
+  @transient private var cachedWalk: Seq[(Path, Map[String, Long])] = null
+  private def walked(): Seq[(Path, Map[String, Long])] = {
+    if (cachedWalk == null) {
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      cachedWalk = GraftDataSource.walkChunks(fs, new Path(path), pushed ++ runtime)
+    }
+    cachedWalk
+  }
+
+  /** Bucket columns surviving column pruning, canonical c0..cN order — the
+    * partitioning keys this scan can promise. Any subset of the grid dims is
+    * sound: rows of one chunk file share ALL bucket values, so they agree on
+    * any projection of them; Spark groups files whose projected key ties. */
+  private def keyCols: Array[String] =
+    required.fields.map(_.name).filter(GraftDataSource.isBucket)
+      .sortBy(_.drop(1).toInt)
+
+  /** Storage-partitioned-join contract: rows are clustered by chunk, so the
+    * scan reports `KeyGroupedPartitioning` over its surviving bucket columns.
+    * Under `spark.sql.sources.v2.bucketing.enabled`, two worlds sharing a
+    * grid join on bucket columns with NO exchange on either side — the Spark
+    * restatement of the reference's aligned chunk iteration (two `Select`s
+    * over the same grid visit cells in lockstep, /root/reference/src/world/
+    * iter.rs). At 100 TB this is the difference between a full-table shuffle
+    * of both sides and a join that never leaves the chunk files. Reported
+    * unconditionally (it is metadata); plan behavior changes only under the
+    * opt-in conf. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read
+      .partitioning.Partitioning = {
+    val keys = keyCols
+    if (keys.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    else {
+      val n = walked().map { case (_, b) => keys.toSeq.map(b(_)) }.distinct.size
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        keys.map(k => org.apache.spark.sql.connector.expressions.Expressions
+          .identity(k): org.apache.spark.sql.connector.expressions.Expression),
+        math.max(n, 1))
+    }
+  }
 
   /** Post-prune size report: the byte sum of the chunk files the pushed
     * bucket filters leave alive — the same file-length estimate vanilla
@@ -410,10 +465,12 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val hasDataCols = required.exists(f => !GraftDataSource.isBucket(f.name))
-    GraftDataSource.walkChunks(fs, new Path(path), pushed ++ runtime)
+    val keys = keyCols
+    walked()
       .flatMap { case (dir, b) =>
         GraftDataSource.chunkFiles(fs, dir)
-          .map(p => GraftInputPartition(p.toString, b, !hasDataCols, limit))
+          .map(p => GraftInputPartition(p.toString, b, !hasDataCols, limit,
+            keys.map(b(_))))
       }.toArray
   }
 

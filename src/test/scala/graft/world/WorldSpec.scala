@@ -327,6 +327,52 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.where(col("c0") === 3).limit(2).collect().length == 2)
   }
 
+  test("DataSource V2 storage-partitioned join: two worlds on one grid join with no exchange") {
+    import spark.implicits._
+    def mkWorld(vals: Seq[(Long, Long)]): World = {
+      val w = new World(spark, tmp(), Seq(
+        DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
+      w.create(vals.toDF("d0", "d1"))
+      w
+    }
+    val w1 = mkWorld((0L until 100L).map(i => (i, i)))
+    val w2 = mkWorld((0L until 100L).map(i => (i, (i + 3) % 100)))
+    // the scan's reported partitioning: keys = surviving bucket cols
+    val scan = new graft.sources.GraftScan(w1.path,
+      spark.read.format("graft").load(w1.path).schema, Array.empty)
+    scan.outputPartitioning() match {
+      case k: org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning =>
+        assert(k.keys.map(_.describe()).toSeq == Seq("c0", "c1"))
+        assert(k.numPartitions == 10, "10 populated diagonal cells")
+      case other => fail(s"expected KeyGroupedPartitioning, got $other")
+    }
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val a = spark.read.format("graft").load(w1.path)
+        .select(col("c0"), col("c1"), col("d0").as("x"))
+      val b = spark.read.format("graft").load(w2.path)
+        .select(col("c0"), col("c1"), col("d0").as("y"))
+      val j = a.join(b, Seq("c0", "c1"))
+      val got = j.select("x", "y").as[(Long, Long)].collect().toSet
+      // expected via the plain parquet path (which DOES shuffle)
+      val exp = w1.df.select(col("c0"), col("c1"), col("d0").as("x"))
+        .join(w2.df.select(col("c0"), col("c1"), col("d0").as("y")), Seq("c0", "c1"))
+        .select("x", "y").as[(Long, Long)].collect().toSet
+      assert(got == exp && got.nonEmpty)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"storage-partitioned join must not shuffle either side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("DataSource V2 write: rows append into their chunk directories (FsHandle::write_chunk analog)") {
     import spark.implicits._
     val w = new World(spark, tmp(), Seq(
