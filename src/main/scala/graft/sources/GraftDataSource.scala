@@ -233,12 +233,23 @@ class GraftTable(path: String, schema: StructType) extends Table
     new GraftWriteBuilder(path, info)
 }
 
+/** One aggregate the scan can answer from metadata alone. Bucket columns are
+  * directory constants (min = max = the dir value, never null); data columns
+  * come from parquet footer statistics, with a per-file data-scan fallback
+  * when a footer lacks usable stats — the pushdown never has to *reject* a
+  * file at read time. */
+sealed trait PushedAgg extends Serializable { def name: String }
+case object PCountStar extends PushedAgg { val name = "COUNT(*)" }
+final case class PCount(col: String) extends PushedAgg { def name = s"COUNT($col)" }
+final case class PMin(col: String) extends PushedAgg { def name = s"MIN($col)" }
+final case class PMax(col: String) extends PushedAgg { def name = s"MAX($col)" }
+
 class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
-  private var countStar = false
+  private var pushedAggs: Seq[PushedAgg] = Nil
   private var groupCols: Array[String] = Array.empty
   private var limit = -1
 
@@ -261,55 +272,89 @@ class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** COUNT(*) — ungrouped or grouped by bucket columns — is answered from
-    * parquet footer row counts: one metadata read per surviving chunk file,
-    * zero data pages. Grouping works because bucket values are directory
-    * constants: every row of a chunk file shares them, so a per-file
-    * (bucket values, footer count) row IS that file's exact group
-    * contribution. Sound because (a) Spark only attempts aggregate pushdown
-    * when every filter was consumed by `pushFilters`, and our pushed bucket
-    * filters are directory-exact (no residual rows to re-check); (b) the
-    * pushdown is PARTIAL (`supportCompletePushDown` default false): Spark's
-    * final aggregation sums the per-file rows, so multi-file chunks and
-    * empty worlds need no special casing. A count-only projection
-    * previously iterated one empty row per record — at a 10^11-row world
-    * that is 10^11 `next()` calls for numbers the footers already hold. */
+  /** COUNT(*) / COUNT(col) / MIN(col) / MAX(col) — ungrouped or grouped by
+    * bucket columns — are answered from parquet footer metadata: row counts,
+    * per-column null counts, and per-column min/max statistics. One metadata
+    * read per surviving chunk file, zero data pages. Grouping works because
+    * bucket values are directory constants: every row of a chunk file shares
+    * them, so a per-file (bucket values, partial aggregates) row IS that
+    * file's exact group contribution.
+    *
+    * Sound because (a) Spark only attempts aggregate pushdown when every
+    * filter was consumed by `pushFilters`, and our pushed bucket filters are
+    * directory-exact (no residual rows to re-check); (b) the pushdown is
+    * PARTIAL (`supportCompletePushDown` default false): Spark's final
+    * aggregation recombines the per-file rows (COUNT→sum, MIN→min, MAX→max),
+    * so multi-file chunks and empty worlds need no special casing; (c) a
+    * file whose footer lacks usable stats is aggregated by scanning just
+    * that file (reader-side fallback), never by guessing.
+    *
+    * MIN/MAX is restricted to INTEGRAL data columns (+ any bucket column,
+    * whose min = max = the directory value). Floating-point stats are
+    * rejected because parquet-mr's DoubleStatistics compares with < over
+    * possibly-NaN values (a NaN-contaminated file yields min/max the engine
+    * cannot trust); string/binary stats are rejected because writers may
+    * truncate them (the footer value is then a bound, not an attained
+    * value). Both restrictions mirror Spark's own parquet aggregate
+    * pushdown. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions
       .aggregate.Aggregation): Boolean = {
-    val gb = agg.groupByExpressions.map {
-      case nr: org.apache.spark.sql.connector.expressions.NamedReference
-          if nr.fieldNames.length == 1 && GraftDataSource.isBucket(nr.fieldNames()(0)) =>
-        Some(nr.fieldNames()(0))
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def oneCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    def minMaxable(c: String): Boolean = GraftDataSource.isBucket(c) ||
+      schema.fields.find(_.name == c).exists(_.dataType match {
+        case IntegerType | LongType | ShortType | ByteType => true
+        case _ => false
+      })
+    val gb = agg.groupByExpressions.map(e =>
+      oneCol(e).filter(GraftDataSource.isBucket))
+    val aggs = agg.aggregateExpressions.map {
+      case _: CountStar => Some(PCountStar)
+      case c: Count if !c.isDistinct => oneCol(c.column).map(PCount)
+      case m: Min => oneCol(m.column).filter(minMaxable).map(PMin)
+      case m: Max => oneCol(m.column).filter(minMaxable).map(PMax)
       case _ => None
     }
-    val ok = gb.forall(_.isDefined) &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[
-        org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-    if (ok) { countStar = true; groupCols = gb.map(_.get) }
+    val ok = gb.forall(_.isDefined) && aggs.nonEmpty && aggs.forall(_.isDefined)
+    if (ok) { pushedAggs = aggs.map(_.get).toSeq; groupCols = gb.map(_.get) }
     ok
   }
 
   override def build(): Scan =
-    if (countStar) new GraftCountScan(path, pushed, groupCols)
+    if (pushedAggs.nonEmpty) new GraftAggScan(path, schema, pushed, pushedAggs, groupCols)
     else new GraftScan(path, required, pushed, limit)
 }
 
-/** The pushed-COUNT(*) scan: partitions are chunk files, rows are
-  * (group bucket values..., footer count). Batch-only (the streaming path
-  * never sees it — aggregate pushdown is a batch-plan rewrite). Group
-  * columns come FIRST in the row, matching V2ScanRelationPushDown's
-  * positional zip of grouping expressions with the scan's leading output
-  * attributes. */
-class GraftCountScan(path: String, pushed: Array[Filter],
-    groupCols: Array[String] = Array.empty) extends Scan with Batch {
+/** The pushed-aggregate scan: partitions are chunk files, rows are
+  * (group bucket values..., one partial value per pushed aggregate).
+  * Batch-only (the streaming path never sees it — aggregate pushdown is a
+  * batch-plan rewrite). Group columns come FIRST in the row, matching
+  * V2ScanRelationPushDown's positional zip of grouping expressions with the
+  * scan's leading output attributes. */
+class GraftAggScan(path: String, tableSchema: StructType, pushed: Array[Filter],
+    aggs: Seq[PushedAgg], groupCols: Array[String] = Array.empty)
+    extends Scan with Batch {
+  private def colType(c: String): DataType =
+    if (GraftDataSource.isBucket(c)) LongType
+    else tableSchema.fields.find(_.name == c).map(_.dataType).getOrElse(LongType)
+
   override def readSchema(): StructType =
-    StructType(groupCols.map(c => StructField(c, LongType, nullable = false)).toSeq :+
-      StructField("count(*)", LongType, nullable = false))
+    StructType(groupCols.map(c => StructField(c, LongType, nullable = false)).toSeq ++
+      aggs.map {
+        case PCountStar  => StructField("count(*)", LongType, nullable = false)
+        case PCount(c)   => StructField(s"count($c)", LongType, nullable = false)
+        case PMin(c)     => StructField(s"min($c)", colType(c), nullable = true)
+        case PMax(c)     => StructField(s"max($c)", colType(c), nullable = true)
+      })
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftCountScan path=$path, PushedBucketFilters: [${pushed.mkString(", ")}], " +
-      "PushedAggregation: [COUNT(*)]" +
+    s"GraftAggScan path=$path, PushedBucketFilters: [${pushed.mkString(", ")}], " +
+      s"PushedAggregation: [${aggs.map(_.name).mkString(", ")}]" +
       (if (groupCols.isEmpty) "" else s", PushedGroupBy: [${groupCols.mkString(", ")}]")
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -318,34 +363,179 @@ class GraftCountScan(path: String, pushed: Array[Filter],
       .flatMap { case (dir, b) =>
         val groupVals = groupCols.map(b(_))
         GraftDataSource.chunkFiles(fs, dir)
-          .map(p => GraftCountPartition(p.toString, groupVals): InputPartition)
+          .map(p => GraftAggPartition(p.toString, groupVals, b): InputPartition)
       }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCountReaderFactory
+    new GraftAggReaderFactory(aggs, StructType(tableSchema.fields
+      .filter(f => !GraftDataSource.isBucket(f.name)).toSeq))
 }
 
-final case class GraftCountPartition(file: String,
-    groupVals: Array[Long]) extends InputPartition
+final case class GraftAggPartition(file: String, groupVals: Array[Long],
+    buckets: Map[String, Long]) extends InputPartition
 
-class GraftCountReaderFactory extends PartitionReaderFactory {
+/** Computes each pushed aggregate's per-file partial from the footer:
+  * record counts for COUNT(*), `valueCount - numNulls` for COUNT(col),
+  * column-chunk statistics folded across row groups for MIN/MAX. If any
+  * needed statistic is absent or unusable in this file's footer (stats-less
+  * writer, unset null counts), the reader falls back to scanning JUST the
+  * data columns the aggregates need from this one file — other files still
+  * answer from metadata. Distinguishes "all values null" (numNulls set and
+  * equal to the value count → partial NULL / 0) from "no stats" (fallback). */
+class GraftAggReaderFactory(aggs: Seq[PushedAgg], dataSchema: StructType)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val p = partition.asInstanceOf[GraftCountPartition]
+      private val p = partition.asInstanceOf[GraftAggPartition]
       private var emitted = false
-      private var count = 0L
+      private var vals: Array[Any] = _
+
+      private def compute(): Array[Any] = {
+        val conf = new Configuration()
+        val pfr = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(p.file), conf))
+        val (rowCount, blocks) =
+          try (pfr.getRecordCount, {
+            import scala.jdk.CollectionConverters._
+            pfr.getFooter.getBlocks.asScala.toSeq
+          }) finally pfr.close()
+        import scala.jdk.CollectionConverters._
+        // per data column: Some(per-block stats) when every block carries a
+        // usable Statistics object for it; None → that column needs the scan
+        def colStats(c: String): Option[Seq[org.apache.parquet.column.statistics
+            .Statistics[_]]] = {
+          val perBlock = blocks.map(_.getColumns.asScala
+            .find(_.getPath.toDotString == c).map(_.getStatistics))
+          if (perBlock.forall(s => s.exists(st => st != null &&
+              (st.hasNonNullValue || st.isNumNullsSet)))) Some(perBlock.map(_.get))
+          else None
+        }
+        def fromFooter(a: PushedAgg): Option[Any] = a match {
+          case PCountStar => Some(rowCount)
+          case PCount(c) if GraftDataSource.isBucket(c) => Some(rowCount)
+          case PCount(c) =>
+            if (!dataSchema.fieldNames.contains(c)) Some(0L) // evolved-in column
+            else colStats(c).flatMap { sts =>
+              val counts = sts.zip(blocks).map { case (st, b) =>
+                if (!st.isNumNullsSet) None
+                else {
+                  val vc = b.getColumns.asScala
+                    .find(_.getPath.toDotString == c).get.getValueCount
+                  Some(vc - st.getNumNulls)
+                }
+              }
+              if (counts.forall(_.isDefined)) Some(counts.map(_.get).sum) else None
+            }
+          case PMin(c) if GraftDataSource.isBucket(c) => Some(p.buckets(c))
+          case PMax(c) if GraftDataSource.isBucket(c) => Some(p.buckets(c))
+          case PMin(c) => foldStats(c, keepMin = true)
+          case PMax(c) => foldStats(c, keepMin = false)
+        }
+        def foldStats(c: String, keepMin: Boolean): Option[Any] = {
+          if (!dataSchema.fieldNames.contains(c)) return Some(null) // all-null column
+          colStats(c).flatMap { sts =>
+            var acc: Option[Long] = None
+            var usable = true
+            sts.foreach { st =>
+              if (st.hasNonNullValue) {
+                val v = (if (keepMin) st.genericGetMin() else st.genericGetMax()) match {
+                  case i: java.lang.Integer => i.longValue()
+                  case l: java.lang.Long    => l.longValue()
+                  case other                => usable = false; 0L
+                }
+                if (usable) acc = Some(acc.fold(v)(a =>
+                  if (keepMin) math.min(a, v) else math.max(a, v)))
+              }
+              // !hasNonNullValue with numNulls set = all-null block: skip
+            }
+            if (!usable) None
+            else Some(acc.map(narrow(c, _)).orNull)
+          }
+        }
+        def narrow(c: String, v: Long): Any =
+          dataSchema.fields.find(_.name == c).map(_.dataType) match {
+            case Some(IntegerType) => v.toInt
+            case Some(ShortType)   => v.toShort
+            case Some(ByteType)    => v.toByte
+            case _                 => v
+          }
+
+        val fromMeta = aggs.map(fromFooter)
+        if (fromMeta.forall(_.isDefined)) fromMeta.map(_.get).toArray
+        else scanFile()
+      }
+
+      /** Stats-less fallback: one pass over this file's needed data columns. */
+      private def scanFile(): Array[Any] = {
+        val needed = aggs.collect {
+          case PCount(c) if !GraftDataSource.isBucket(c) => c
+          case PMin(c) if !GraftDataSource.isBucket(c)   => c
+          case PMax(c) if !GraftDataSource.isBucket(c)   => c
+        }.distinct.filter(dataSchema.fieldNames.contains)
+        val conf = new Configuration()
+        val inFile = HadoopInputFile.fromPath(new Path(p.file), conf)
+        val pfr = ParquetFileReader.open(inFile)
+        val fileSchema = pfr.getFooter.getFileMetaData.getSchema
+        val rowCount = pfr.getRecordCount
+        pfr.close()
+        val present = needed.filter(fileSchema.containsField)
+        val nonNull = scala.collection.mutable.Map[String, Long]()
+          .withDefaultValue(0L)
+        val mins = scala.collection.mutable.Map[String, Long]()
+        val maxs = scala.collection.mutable.Map[String, Long]()
+        if (present.nonEmpty) {
+          val projection = new MessageType("graft_agg_projection",
+            present.map(c => fileSchema.getFields.get(fileSchema.getFieldIndex(c))): _*)
+          conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+          val reader = ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+            .withConf(conf).build()
+          try {
+            var g = reader.read()
+            while (g != null) {
+              present.foreach { c =>
+                val idx = g.getType.getFieldIndex(c)
+                if (g.getFieldRepetitionCount(idx) > 0) {
+                  nonNull(c) += 1L
+                  val v = g.getType.getType(idx).asPrimitiveType()
+                    .getPrimitiveTypeName match {
+                    case org.apache.parquet.schema.PrimitiveType
+                        .PrimitiveTypeName.INT64 => g.getLong(idx, 0)
+                    case _ => g.getInteger(idx, 0).toLong
+                  }
+                  mins.updateWith(c)(o => Some(o.fold(v)(math.min(_, v))))
+                  maxs.updateWith(c)(o => Some(o.fold(v)(math.max(_, v))))
+                }
+              }
+              g = reader.read()
+            }
+          } finally reader.close()
+        }
+        def narrow(c: String, v: Long): Any =
+          dataSchema.fields.find(_.name == c).map(_.dataType) match {
+            case Some(IntegerType) => v.toInt
+            case Some(ShortType)   => v.toShort
+            case Some(ByteType)    => v.toByte
+            case _                 => v
+          }
+        aggs.map {
+          case PCountStar => rowCount: Any
+          case PCount(c) =>
+            if (GraftDataSource.isBucket(c)) rowCount else nonNull(c)
+          case PMin(c) =>
+            if (GraftDataSource.isBucket(c)) p.buckets(c)
+            else mins.get(c).map(narrow(c, _)).orNull
+          case PMax(c) =>
+            if (GraftDataSource.isBucket(c)) p.buckets(c)
+            else maxs.get(c).map(narrow(c, _)).orNull
+        }.toArray
+      }
+
       override def next(): Boolean =
         if (emitted) false
-        else {
-          val pfr = ParquetFileReader.open(
-            HadoopInputFile.fromPath(new Path(p.file), new Configuration()))
-          try count = pfr.getRecordCount finally pfr.close()
-          emitted = true
-          true
-        }
+        else { vals = compute(); emitted = true; true }
       override def get(): InternalRow =
-        new GenericInternalRow(p.groupVals.map(v => v: Any) :+ (count: Any))
+        new GenericInternalRow(p.groupVals.map(v => v: Any) ++ vals)
       override def close(): Unit = ()
     }
 }

@@ -278,16 +278,16 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c = df.groupBy().count()
     assert(c.collect().head.getLong(0) == 100L)
     val p = c.queryExecution.executedPlan.toString
-    assert(p.contains("GraftCountScan") && p.contains("PushedAggregation: [COUNT(*)]"),
+    assert(p.contains("GraftAggScan") && p.contains("PushedAggregation: [COUNT(*)]"),
       s"ungrouped count must push to the footer scan:\n$p")
     // bucket filter composes: directory pruning first, then footer counts
     val cf = df.where(col("c0") === 3).groupBy().count()
     assert(cf.collect().head.getLong(0) == 10L)
-    assert(cf.queryExecution.executedPlan.toString.contains("GraftCountScan"))
+    assert(cf.queryExecution.executedPlan.toString.contains("GraftAggScan"))
     // a residual (row-level) filter must NOT push the aggregate
     val cr = df.where(col("d1") === 35).groupBy().count()
     assert(cr.collect().head.getLong(0) == 1L)
-    assert(!cr.queryExecution.executedPlan.toString.contains("GraftCountScan"),
+    assert(!cr.queryExecution.executedPlan.toString.contains("GraftAggScan"),
       "row-level residual filter must fall back to the row scan")
     // df.count() itself takes the same path
     assert(df.count() == 100L)
@@ -302,8 +302,110 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     // group by a DATA column must not push
     val gd = df.groupBy("d0").count()
     assert(gd.collect().length == 100)
-    assert(!gd.queryExecution.executedPlan.toString.contains("GraftCountScan"),
+    assert(!gd.queryExecution.executedPlan.toString.contains("GraftAggScan"),
       "data-column group-by must fall back to the row scan")
+  }
+
+  test("DataSource V2 aggregate pushdown: MIN/MAX/COUNT(col) answered from footer statistics") {
+    import spark.implicits._
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
+    // v: nullable data column with an all-null chunk (c0=0: d0 in 0..9)
+    val in = (0L until 100L).map(i =>
+      (i, i, if (i < 10) None else Some(i * 3 % 71))).toDF("d0", "d1", "v")
+    w.create(in)
+    val df = spark.read.format("graft").load(w.path)
+    // mixed aggregate set in one query, all from footers
+    val q = df.agg(min("v").as("mn"), max("v").as("mx"),
+      count("v").as("cv"), count(lit(1)).as("ct"),
+      min("c0").as("mnb"), max("c1").as("mxb"))
+    val r = q.collect().head
+    val exp = in.agg(min("v"), max("v"), count("v"), count(lit(1))).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (exp.getLong(0), exp.getLong(1), exp.getLong(2), exp.getLong(3)))
+    assert((r.getLong(4), r.getLong(5)) == (0L, 9L), "bucket min/max from dir values")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("GraftAggScan") && p.contains("MIN(v)") && p.contains("MAX(v)")
+      && p.contains("COUNT(v)"), s"min/max/count must push to the footer scan:\n$p")
+    // scan emits ONE row per chunk file, not the 100 table rows (AQE buries
+    // the scan inside query-stage wrappers — check on a non-adaptive plan)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q2 = spark.read.format("graft").load(w.path)
+        .agg(min("v").as("mn"), max("v").as("mx"), count("v").as("cv"))
+      q2.collect()
+      val scanExec = q2.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+      assert(scanExec.metrics("numOutputRows").value == 10,
+        "one partial-aggregate row per chunk file")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    // grouped by bucket: per-group min/max recombine exactly
+    val g = df.groupBy("c0").agg(min("v").as("mn"), max("v").as("mx"))
+    val gexp = w.df.groupBy(col("c0").cast("long").as("c0"))
+      .agg(min("v").as("mn"), max("v").as("mx"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    assert(g.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getLong(1),
+      if (r.isNullAt(2)) null else r.getLong(2))).toSet == gexp)
+    assert(g.queryExecution.executedPlan.toString.contains("PushedGroupBy: [c0]"))
+    // the all-null group (c0=0) surfaces as NULL, not a fabricated value
+    val nullRow = g.where(col("c0") === 0).collect().head
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(2))
+    // floating-point min/max must NOT push (NaN-contaminated footer stats)
+    val wf = new World(spark, tmp(), Seq(DimSpec("d0", DimMapping(0, 99, 10))))
+    wf.create((0L until 20L).map(i => (i, i / 7.0)).toDF("d0", "x"))
+    val f = spark.read.format("graft").load(wf.path).agg(min("x"))
+    assert(!f.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      "double min/max must fall back to the row scan")
+    assert(f.collect().head.getDouble(0) == 0.0)
+    // DISTINCT count must not push
+    val d = df.agg(countDistinct("v"))
+    assert(!d.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+  }
+
+  test("DataSource V2 aggregate pushdown: stats-less and evolved files fall back to a file scan") {
+    import spark.implicits._
+    val root = tmp()
+    // chunk c0=0: written WITHOUT footer statistics (stats-less writer)
+    Seq((0L, 5L), (1L, 9L), (2L, 3L)).toDF("d0", "v").coalesce(1).write
+      .option("parquet.column.statistics.enabled", "false")
+      .parquet(root + "/c0=0")
+    // chunk c0=1: written BEFORE column v existed (schema evolution)
+    Seq(Tuple1(3L)).toDF("d0").coalesce(1).write.parquet(root + "/c0=1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d0",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c0",
+        org.apache.spark.sql.types.LongType)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_graft_schema.json"),
+      schema.json.getBytes("UTF-8"))
+    // guard: the stats-less file must REALLY lack min/max stats, or this test
+    // silently degrades into re-testing the footer path
+    val statlessFile = new java.io.File(root + "/c0=0").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val pfr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(statlessFile.toString),
+        new org.apache.hadoop.conf.Configuration()))
+    val st = try pfr.getFooter.getBlocks.get(0).getColumns.get(1).getStatistics
+      finally pfr.close()
+    assert(st == null || !st.hasNonNullValue,
+      s"expected stats disabled in the fixture file, got $st")
+    // the pushdown still answers exactly: c0=0 via the per-file scan
+    // fallback, c0=1 contributing (null, 0) for the evolved-in column
+    val df = spark.read.format("graft").load(root)
+    val q = df.agg(min("v").as("mn"), max("v").as("mx"),
+      count("v").as("cv"), count(lit(1)).as("ct"))
+    assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    val r = q.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (3L, 9L, 3L, 4L))
   }
 
   test("DataSource V2 limit pushdown: partition readers stop at the pushed prefix") {
