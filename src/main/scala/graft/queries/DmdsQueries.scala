@@ -258,6 +258,32 @@ object DmdsQueries {
         }
       ),
 
+      "w_topn_scan" -> QueryDef(
+        // top-N over the chunk grid THROUGH the connector's pushed top-N:
+        // ORDER BY bucket columns LIMIT n truncates the planned chunk list
+        // to the leading dirs whose footer row counts cover n (the rest of
+        // the world is never planned), and the projection is bucket-only so
+        // the kept files are answered from footer row counts without
+        // opening a data page. Projecting ONLY the sort keys is also what
+        // makes the query oracle-checkable: which physical rows fill the
+        // cutoff ties is arbitrary in any engine, but the MULTISET of
+        // (c0, c1) pairs of a top-n by (c0 DESC, c1 ASC) is deterministic.
+        (s, dir) => {
+          val sd0 = DimMapping(0L, (1L << 20) - 1, 8192L)
+          val sd1 = DimMapping(0L, (1L << 14) - 1, 128L)
+          val path = s"/tmp/graft_world_topn_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+          val w = new World(s, path,
+            Seq(DimSpec("event_id", sd0), DimSpec("user_id", sd1)))
+          w.create(events(s, dir).select("event_id", "user_id"))
+          s.read.format("graft").load(path)
+            .orderBy(col("c0").desc, col("c1"))
+            .limit(500)
+            .select("c0", "c1")
+        },
+        Some("""SELECT ((event_id - 0) // 8192) AS c0, ((user_id - 0) // 128) AS c1
+                FROM events ORDER BY c0 DESC, c1 ASC LIMIT 500""")
+      ),
+
       "w_zorder_scan" -> QueryDef(
         // end-to-end over the Z-ORDERED layout: create the world with
         // zorderWithinChunks (intra-chunk rows follow the Morton curve of

@@ -246,12 +246,14 @@ final case class PMax(col: String) extends PushedAgg { def name = s"MAX($col)" }
 
 class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAggs: Seq[PushedAgg] = Nil
   private var groupCols: Array[String] = Array.empty
   private var limit = -1
+  private var topN: Array[(String, Boolean)] = Array.empty
 
   /** PARTIAL limit pushdown (`isPartiallyPushed` default true): each chunk
     * reader stops after `limit` rows instead of draining its file, and
@@ -260,6 +262,40 @@ class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
     * file. Sound with pushed bucket filters (directory-exact, no residual
     * re-check can disqualify an emitted row). */
   override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  // both SupportsPushDownLimit and SupportsPushDownTopN declare the same
+  // default; Scala requires the diamond be resolved explicitly — and both
+  // of this builder's pushdowns ARE partial (Spark re-applies the bound)
+  override def isPartiallyPushed(): Boolean = true
+
+  /** PARTIAL top-N pushdown for BUCKET-ONLY sort orders: `ORDER BY c0 DESC
+    * LIMIT n` walks the chunk grid in key order and keeps only the leading
+    * chunk dirs whose cumulative footer row counts reach n — the rest of
+    * the world is never planned, let alone read. Sound because every row of
+    * a chunk file shares its full bucket tuple: (a) all rows sorting
+    * STRICTLY before the cutoff key live in kept dirs, and ties at the
+    * cutoff may fill the remaining slots from any file (SQL top-N ties are
+    * arbitrary), so the kept set contains a valid top-n multiset; (b) the
+    * per-file reader stop at n rows keeps any file's contribution
+    * sufficient for the same reason. Spark's final TakeOrdered re-sorts the
+    * kept prefix (`isPartiallyPushed` = true). A sort order touching ANY
+    * data column is rejected whole — honoring a bucket-only prefix of it
+    * could drop a tie row the full order would have selected. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions
+      .SortOrder], l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val cols = orders.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            GraftDataSource.isBucket(nr.fieldNames()(0)) =>
+          Some((nr.fieldNames()(0), o.direction() == SortDirection.ASCENDING))
+        case _ => None
+      }
+    }
+    if (cols.nonEmpty && cols.forall(_.isDefined)) {
+      topN = cols.map(_.get); limit = l; true
+    } else false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (prunable, residual) = filters.partition(GraftDataSource.bucketOnly)
@@ -327,7 +363,7 @@ class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
 
   override def build(): Scan =
     if (pushedAggs.nonEmpty) new GraftAggScan(path, schema, pushed, pushedAggs, groupCols)
-    else new GraftScan(path, required, pushed, limit)
+    else new GraftScan(path, required, pushed, limit, topN)
 }
 
 /** The pushed-aggregate scan: partitions are chunk files, rows are
@@ -553,7 +589,7 @@ final case class GraftInputPartition(file: String, buckets: Map[String, Long],
 }
 
 class GraftScan(path: String, required: StructType, pushed: Array[Filter],
-    limit: Int = -1)
+    limit: Int = -1, topN: Array[(String, Boolean)] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -650,13 +686,47 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
   override def description(): String =
     s"GraftScan path=$path, PushedBucketFilters: [${pushed.mkString(", ")}]" +
       (if (limit < 0) "" else s", PushedLimit: $limit") +
+      (if (topN.isEmpty) "" else s", PushedTopN: [${topN.map { case (c, asc) =>
+        s"$c ${if (asc) "ASC" else "DESC"}" }.mkString(", ")}]") +
       (if (runtime.isEmpty) "" else s", RuntimeBucketFilters: [${runtime.mkString(", ")}]")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val hasDataCols = required.exists(f => !GraftDataSource.isBucket(f.name))
     val keys = keyCols
-    walked()
+    val dirs =
+      if (topN.isEmpty || limit < 0) walked()
+      else {
+        // pushed top-N: visit chunk dirs in sort-key order, stop once the
+        // kept dirs' footer row counts cover the limit — at most
+        // ceil(limit / rows-per-chunk) + 1 dirs survive, and only their
+        // footers are ever opened (metadata reads bounded by the kept
+        // prefix, not the grid)
+        val ord = new Ordering[Map[String, Long]] {
+          def compare(a: Map[String, Long], b: Map[String, Long]): Int = {
+            var i = 0
+            while (i < topN.length) {
+              val (c, asc) = topN(i)
+              val cmp = java.lang.Long.compare(a(c), b(c))
+              if (cmp != 0) return if (asc) cmp else -cmp
+              i += 1
+            }
+            0
+          }
+        }
+        val sorted = walked().sortBy(_._2)(ord)
+        var cum = 0L
+        sorted.takeWhile { case (dir, _) =>
+          val keep = cum < limit
+          if (keep) cum += GraftDataSource.chunkFiles(fs, dir).map { f =>
+            val pfr = ParquetFileReader.open(
+              HadoopInputFile.fromPath(f, new Configuration()))
+            try pfr.getRecordCount finally pfr.close()
+          }.sum
+          keep
+        }
+      }
+    dirs
       .flatMap { case (dir, b) =>
         GraftDataSource.chunkFiles(fs, dir)
           .map(p => GraftInputPartition(p.toString, b, !hasDataCols, limit,

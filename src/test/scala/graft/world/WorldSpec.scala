@@ -429,6 +429,43 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.where(col("c0") === 3).limit(2).collect().length == 2)
   }
 
+  test("DataSource V2 top-N pushdown: bucket-only sort orders truncate the planned chunk list") {
+    import spark.implicits._
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
+    w.create((0L until 100L).map(i => (i, i)).toDF("d0", "d1"))
+    val df = spark.read.format("graft").load(w.path)
+    // ORDER BY c0 DESC LIMIT 15: the top chunks are c0=9 (10 rows) and c0=8
+    // — only those two dirs may be planned (15 rows needs 2 of 10 dirs)
+    val q = df.orderBy(col("c0").desc).limit(15).select("d0")
+    val got = q.as[Long].collect().toSet
+    assert(got.subsetOf((80L until 100L).toSet) && got.size == 15 &&
+      (90L until 100L).forall(got.contains),
+      s"top-15 by c0 desc must take all of c0=9 plus fill from c0=8, got $got")
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.scan.description().contains("PushedTopN: [c0 DESC]"),
+      s"top-N must reach the scan: ${scan.scan.description()}")
+    assert(scan.scan.asInstanceOf[graft.sources.GraftScan]
+      .planInputPartitions().length == 2,
+      "only the leading chunk dirs may be planned")
+    // multi-column order, mixed directions
+    val q2 = df.orderBy(col("c0").asc, col("c1").desc).limit(5).select("d0")
+    assert(q2.as[Long].collect().toSet == (0L until 5L).toSet)
+    assert(q2.queryExecution.executedPlan.toString
+      .contains("PushedTopN: [c0 ASC, c1 DESC]"))
+    // a data column in the order must reject the WHOLE pushdown
+    val q3 = df.orderBy(col("c0").asc, col("d1").desc).limit(5)
+    assert(!q3.queryExecution.executedPlan.toString.contains("PushedTopN"),
+      "bucket-prefix-only orders are unsound to honor partially")
+    assert(q3.select("d0").as[Long].collect().toSet == (5L until 10L).toSet,
+      "rejected pushdown still answers exactly (c0=0 chunk, d1 desc)")
+    // composes with pushed bucket filters: pruning first, then truncation
+    val q4 = df.where(col("c0") >= 5).orderBy(col("c0").asc).limit(3)
+    assert(q4.select("d0").as[Long].collect().toSet == Set(50L, 51L, 52L))
+  }
+
   test("DataSource V2 storage-partitioned join: two worlds on one grid join with no exchange") {
     import spark.implicits._
     def mkWorld(vals: Seq[(Long, Long)]): World = {
