@@ -55,4 +55,35 @@ object Quantiles {
         greatest(ceil(x - x * lit(4e-16)).cast("long"), lit(1L)))
       .select(col("q"), col("_v").as("value"))
   }
+
+  /** Per-GROUP exact quantiles: one row per (key, fraction). The global
+    * problem needed [[ScalableWindow]] because Spark's ungrouped window is a
+    * single-reducer funnel; the grouped one does not — a window PARTITIONED
+    * by the key parallelizes across groups and spills within one, which is
+    * the right plan at any group cardinality (a group so large it strains
+    * one task's spill path has no exact-order-statistic shortcut short of
+    * the global machinery per group). Same ulp-guarded ceil(q*N) rank and
+    * null exclusion as [[exactQuantiles]]; both windows share one exchange
+    * and one sort (the count frame needs only the clustering the ranked
+    * sort already provides). */
+  def groupedExactQuantiles(df: DataFrame, key: Column, value: Column,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile fraction required")
+    require(qs.forall(q => q > 0.0 && q <= 1.0),
+      s"fractions must be in (0, 1], got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.select(key.as("_k"), value.as("_v")).where(col("_v").isNotNull)
+    val byKey = Window.partitionBy(col("_k"))
+    val ranked = vals
+      .withColumn("_rn", row_number().over(byKey.orderBy(col("_v"))))
+      .withColumn("_N", count(lit(1)).over(byKey))
+    val x = col("q") * col("_N")
+    ranked
+      .crossJoin(broadcast(qs.distinct.toDF("q")))
+      .where(col("_rn") ===
+        greatest(ceil(x - x * lit(4e-16)).cast("long"), lit(1L)))
+      .select(col("_k").as("key"), col("q"), col("_v").as("value"))
+  }
 }

@@ -294,6 +294,27 @@ object Extended {
               ORDER BY q""")
     ),
 
+    // per-GROUP exact quantiles: a window PARTITIONED by the key
+    // parallelizes across groups (no single-reducer stage to remove), so
+    // the grouped problem needs no custom exec — one hash exchange, one
+    // sort, rank-filtered to |groups| x |fractions| rows. Same
+    // quantile_disc ceil-rank semantics as q_exact_quantile, per group.
+    "q_group_quantile" -> QueryDef(
+      (s, dir) => graft.ops.Quantiles.groupedExactQuantiles(
+        t(s, dir, "lineitem"), col("l_returnflag"), col("l_extendedprice"),
+        Seq(0.25, 0.5, 0.9)).orderBy("key", "q"),
+      Some("""WITH s AS (
+                SELECT l_returnflag AS key,
+                       quantile_disc(l_extendedprice, 0.25) AS v1,
+                       quantile_disc(l_extendedprice, 0.50) AS v2,
+                       quantile_disc(l_extendedprice, 0.90) AS v3
+                FROM lineitem GROUP BY 1)
+              SELECT key, CAST(0.25 AS DOUBLE) AS q, CAST(v1 AS DOUBLE) AS value FROM s
+              UNION ALL SELECT key, CAST(0.50 AS DOUBLE), CAST(v2 AS DOUBLE) FROM s
+              UNION ALL SELECT key, CAST(0.90 AS DOUBLE), CAST(v3 AS DOUBLE) FROM s
+              ORDER BY key, q""")
+    ),
+
     // skew-resistant aggregation: event_type is a heavy-hitter key (a handful
     // of values over all rows); the salted two-phase plan balances the shuffle
     // and still matches the direct GROUP BY exactly (decimal sums are

@@ -56,6 +56,31 @@ class QuantilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("grouped quantiles match per-group brute force, including tiny and tied groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    // group sizes 1, 2, and a few hundred; coarse grid -> ties
+    val rows = Seq(("solo", 42.0), ("pair", 1.0), ("pair", 2.0)) ++
+      Seq.fill(613)(("big", (rnd.nextInt(40) * 1.25) + 0.5)) ++
+      Seq.fill(257)(("mid", (rnd.nextInt(10) * 3.0) + 2.0))
+    val qs = Seq(0.07, 0.25, 0.5, 0.75, 1.0)
+    val got = Quantiles.groupedExactQuantiles(
+        rows.toDF("k", "v").repartition(4), col("k"), col("v"), qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keySet == byKey.keySet.flatMap(k => qs.map(k -> _)),
+      "one row per (group, fraction)")
+    for ((k, vs) <- byKey; q <- qs)
+      assert(got((k, q)) == brute(vs, q), s"group $k q=$q")
+    // nulls excluded per group
+    val withNulls = Seq(("a", Some(10.0)), ("a", None), ("a", Some(30.0)),
+      ("b", None), ("b", Some(7.0))).toDF("k", "v")
+    val g2 = Quantiles.groupedExactQuantiles(withNulls, col("k"), col("v"), Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(g2 == Map(("a", 0.5) -> 10.0, ("a", 1.0) -> 30.0,
+      ("b", 0.5) -> 7.0, ("b", 1.0) -> 7.0))
+  }
+
   test("nulls are excluded; a duplicated-rank fraction pair agrees") {
     import spark.implicits._
     val values = Seq(Some(10.0), None, Some(30.0), Some(20.0), None, Some(40.0))
