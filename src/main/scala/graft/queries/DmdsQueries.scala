@@ -258,6 +258,72 @@ object DmdsQueries {
         }
       ),
 
+      "w_spj_cells" -> QueryDef(
+        // storage-partitioned join THROUGH the oracle gate: per-cell
+        // summaries of two worlds sharing a grid, joined on the bucket
+        // column. Both sides are pushed-aggregate scans (footer metadata
+        // only), both report key-grouped partitioning, and under the
+        // v2-bucketing conf the whole plan — two aggregations and the join
+        // — runs with ZERO exchanges: the reference's aligned iteration of
+        // two worlds over one grid, restated as Spark physical planning.
+        // The conf is set in an ISOLATED session (same pattern as
+        // q_global_window_auto) so partition-grouping never leaks into
+        // other registry queries' plans.
+        (s, dir) => {
+          val s2 = s.newSession()
+          s.conf.getAll.foreach { case (k, v) =>
+            try s2.conf.set(k, v) catch { case _: Exception => () }
+          }
+          s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+          s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          // finer grid than the other materialized worlds: this query's cost
+          // is per-cell metadata, not rows, and a ~dozen-cell world at the
+          // gate's SF would make the join trivial
+          val sd0 = DimMapping(0L, (1L << 20) - 1, 1024L)
+          // unlike w_world_roundtrip (which deliberately TIMES the build),
+          // this query measures the join of two EXISTING worlds — the
+          // fixture build is cached behind a ready marker written only
+          // after a complete create (a killed run leaves no marker and
+          // rebuilds; content is deterministic per source dir). The cache
+          // key includes the source file's (name, length, mtime) stamp so a
+          // REGENERATED events.parquet at the same path can never be served
+          // a stale world.
+          def stampOf(f: java.io.File): String = {
+            val parts = if (f.isDirectory) f.listFiles.toSeq.sortBy(_.getName) else Seq(f)
+            java.lang.Integer.toHexString(
+              parts.map(x => (x.getName, x.length, x.lastModified)).hashCode)
+          }
+          def mk(tag: String, cols: Seq[String]): String = {
+            val stamp = stampOf(new java.io.File(s"$dir/events.parquet"))
+            val path = s"/tmp/graft_world_spj${tag}_${stamp}_" +
+              dir.replaceAll("[^0-9a-zA-Z]", "_")
+            val marker = new java.io.File(path, "_graft_spj_ready")
+            if (!marker.exists) {
+              val w = new World(s2, path, Seq(DimSpec("event_id", sd0)))
+              w.create(events(s2, dir).select(cols.map(col): _*))
+              marker.createNewFile()
+            }
+            path
+          }
+          val pa = mk("a", Seq("event_id", "event_type"))
+          val pb = mk("b", Seq("event_id", "value"))
+          val a = s2.read.format("graft").load(pa).groupBy("c0")
+            .agg(count(lit(1)).as("n_events"))
+          val b = s2.read.format("graft").load(pb).groupBy("c0")
+            .agg(count("value").as("n_vals"))
+          a.join(b, Seq("c0")).orderBy("c0")
+        },
+        Some("""WITH a AS (SELECT (event_id // 1024) AS c0,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                     FROM events GROUP BY 1),
+                     b AS (SELECT (event_id // 1024) AS c0,
+                       CAST(COUNT(value) AS BIGINT) AS n_vals
+                     FROM events GROUP BY 1)
+                SELECT a.c0, a.n_events, b.n_vals FROM a JOIN b ON a.c0 = b.c0
+                ORDER BY a.c0""")
+      ),
+
       "w_topn_scan" -> QueryDef(
         // top-N over the chunk grid THROUGH the connector's pushed top-N:
         // ORDER BY bucket columns LIMIT n truncates the planned chunk list

@@ -374,10 +374,35 @@ class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
   * scan's leading output attributes. */
 class GraftAggScan(path: String, tableSchema: StructType, pushed: Array[Filter],
     aggs: Seq[PushedAgg], groupCols: Array[String] = Array.empty)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportPartitioning {
   private def colType(c: String): DataType =
     if (GraftDataSource.isBucket(c)) LongType
     else tableSchema.fields.find(_.name == c).map(_.dataType).getOrElse(LongType)
+
+  /** The partial-aggregate rows are keyed by the group columns (leading
+    * output columns), and rows of one chunk file agree on all of them — so
+    * the scan reports the same key-grouped partitioning the row scan does.
+    * Under the v2-bucketing conf this removes the exchange above a
+    * bucket-grouped aggregation (Spark's final agg runs in place over the
+    * key-grouped footer rows), and a JOIN of two worlds' per-cell summaries
+    * plans with zero exchanges end-to-end — both sides of the join are
+    * metadata reads. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read
+      .partitioning.Partitioning =
+    if (groupCols.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    else {
+      val n = walked.map { case (_, b) => groupCols.toSeq.map(b(_)) }.distinct.size
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        groupCols.map(k => org.apache.spark.sql.connector.expressions.Expressions
+          .identity(k): org.apache.spark.sql.connector.expressions.Expression),
+        math.max(n, 1))
+    }
+
+  @transient private lazy val walked: Seq[(Path, Map[String, Long])] = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    GraftDataSource.walkChunks(fs, new Path(path), pushed)
+  }
 
   override def readSchema(): StructType =
     StructType(groupCols.map(c => StructField(c, LongType, nullable = false)).toSeq ++
@@ -395,7 +420,7 @@ class GraftAggScan(path: String, tableSchema: StructType, pushed: Array[Filter],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    GraftDataSource.walkChunks(fs, new Path(path), pushed)
+    walked
       .flatMap { case (dir, b) =>
         val groupVals = groupCols.map(b(_))
         GraftDataSource.chunkFiles(fs, dir)
@@ -409,7 +434,10 @@ class GraftAggScan(path: String, tableSchema: StructType, pushed: Array[Filter],
 }
 
 final case class GraftAggPartition(file: String, groupVals: Array[Long],
-    buckets: Map[String, Long]) extends InputPartition
+    buckets: Map[String, Long]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(groupVals.map(v => v: Any))
+}
 
 /** Computes each pushed aggregate's per-file partial from the footer:
   * record counts for COUNT(*), `valueCount - numNulls` for COUNT(col),

@@ -512,6 +512,42 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DataSource V2: per-cell aggregate join of two worlds plans ZERO exchanges") {
+    import spark.implicits._
+    def mkWorld(vals: Seq[(Long, Long)]): World = {
+      val w = new World(spark, tmp(), Seq(
+        DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
+      w.create(vals.toDF("d0", "d1"))
+      w
+    }
+    val w1 = mkWorld((0L until 100L).map(i => (i, i)))
+    val w2 = mkWorld((0L until 100L).map(i => (i, (i * 7) % 100)))
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // both sides: pushed-aggregate scans grouped by c0 — the final
+      // aggregation AND the join run in place over key-grouped footer rows
+      val a = spark.read.format("graft").load(w1.path).groupBy("c0")
+        .agg(count(lit(1)).as("na"))
+      val b = spark.read.format("graft").load(w2.path).groupBy("c0")
+        .agg(count(lit(1)).as("nb"))
+      val j = a.join(b, Seq("c0")).orderBy("c0")
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.length == 10 && got.forall { case (_, na, nb) => na == 10 && nb == 10 })
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("GraftAggScan"), s"both sides must stay footer scans:\n$p")
+      assert(!p.contains("ShuffleExchange") && !p.contains("BroadcastExchange"),
+        s"aggregate+join over key-grouped footer rows must not shuffle:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("DataSource V2 write: rows append into their chunk directories (FsHandle::write_chunk analog)") {
     import spark.implicits._
     val w = new World(spark, tmp(), Seq(
