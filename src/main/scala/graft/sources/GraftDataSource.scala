@@ -201,6 +201,154 @@ object GraftDataSource {
   private[sources] def chunkFiles(fs: FileSystem, dir: Path): Seq[Path] =
     chunkFileStatuses(fs, dir).map(_.getPath)
 
+  /** Translate a residual (data-column) Spark filter into a parquet
+    * `FilterPredicate` for ROW-GROUP SKIPPING and record-level filtering
+    * inside surviving chunks — the intra-chunk complement of directory
+    * pruning, and what makes the Z-ORDERED layout pay through the
+    * connector (z-sorted files keep every dim's per-row-group min/max
+    * envelope tight, so a pushed dim predicate skips whole groups no
+    * matter which dim it constrains).
+    *
+    * Soundness: every translation keeps a SUPERSET of the SQL-true rows
+    * (parquet's 2-valued NOT keeps nulls SQL would drop; everything else
+    * matches SQL null semantics), and the same filters are also returned
+    * to Spark as residual, so the re-check above the scan drops any
+    * surplus. Untranslatable shapes (NaN literals, unsupported types,
+    * exotic predicates) return None and simply aren't pushed. */
+  private[sources] def toParquetPredicate(f: Filter,
+      types: Map[String, DataType]): Option[org.apache.parquet.filter2
+      .predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.io.api.Binary
+    def nanGuard(v: Any): Boolean = v match {
+      case d: Double => d.isNaN
+      case fl: Float => fl.isNaN
+      case _         => false
+    }
+    // op: 0 = eq, 1 = notEq, 2 = lt, 3 = ltEq, 4 = gt, 5 = gtEq
+    def leaf(a: String, v: Any, op: Int): Option[org.apache.parquet.filter2
+        .predicate.FilterPredicate] = {
+      if (nanGuard(v)) return None
+      types.get(a).flatMap {
+        case LongType =>
+          val c = FilterApi.longColumn(a)
+          val x: java.lang.Long = v match {
+            case null => null
+            case l: Long => l; case i: Int => i.toLong; case s: Short => s.toLong
+            case b: Byte => b.toLong; case _ => return None
+          }
+          Some(op match {
+            case 0 => FilterApi.eq(c, x);   case 1 => FilterApi.notEq(c, x)
+            case 2 => FilterApi.lt(c, x);   case 3 => FilterApi.ltEq(c, x)
+            case 4 => FilterApi.gt(c, x);   case _ => FilterApi.gtEq(c, x)
+          })
+        case IntegerType =>
+          val c = FilterApi.intColumn(a)
+          val x: java.lang.Integer = v match {
+            case null => null
+            case i: Int => i; case s: Short => s.toInt; case b: Byte => b.toInt
+            case l: Long if l == l.toInt.toLong => l.toInt
+            case _ => return None
+          }
+          Some(op match {
+            case 0 => FilterApi.eq(c, x);   case 1 => FilterApi.notEq(c, x)
+            case 2 => FilterApi.lt(c, x);   case 3 => FilterApi.ltEq(c, x)
+            case 4 => FilterApi.gt(c, x);   case _ => FilterApi.gtEq(c, x)
+          })
+        case DoubleType =>
+          val c = FilterApi.doubleColumn(a)
+          val x: java.lang.Double = v match {
+            case null => null
+            case d: Double => d; case fl: Float => fl.toDouble; case _ => return None
+          }
+          Some(op match {
+            case 0 => FilterApi.eq(c, x);   case 1 => FilterApi.notEq(c, x)
+            case 2 => FilterApi.lt(c, x);   case 3 => FilterApi.ltEq(c, x)
+            case 4 => FilterApi.gt(c, x);   case _ => FilterApi.gtEq(c, x)
+          })
+        case FloatType =>
+          val c = FilterApi.floatColumn(a)
+          val x: java.lang.Float = v match {
+            case null => null
+            case fl: Float => fl; case _ => return None
+          }
+          Some(op match {
+            case 0 => FilterApi.eq(c, x);   case 1 => FilterApi.notEq(c, x)
+            case 2 => FilterApi.lt(c, x);   case 3 => FilterApi.ltEq(c, x)
+            case 4 => FilterApi.gt(c, x);   case _ => FilterApi.gtEq(c, x)
+          })
+        case StringType =>
+          val c = FilterApi.binaryColumn(a)
+          val x: Binary = v match {
+            case null => null
+            case s: String => Binary.fromString(s); case _ => return None
+          }
+          Some(op match {
+            case 0 => FilterApi.eq(c, x);   case 1 => FilterApi.notEq(c, x)
+            case 2 => FilterApi.lt(c, x);   case 3 => FilterApi.ltEq(c, x)
+            case 4 => FilterApi.gt(c, x);   case _ => FilterApi.gtEq(c, x)
+          })
+        case BooleanType =>
+          val c = FilterApi.booleanColumn(a)
+          val x: java.lang.Boolean = v match {
+            case null => null
+            case b: Boolean => b; case _ => return None
+          }
+          op match {
+            case 0 => Some(FilterApi.eq(c, x))
+            case 1 => Some(FilterApi.notEq(c, x))
+            case _ => None // no ordering on booleans
+          }
+        case _ => None
+      }
+    }
+    // (predicate, exact): exact means the parquet predicate keeps EXACTLY
+    // the SQL-true rows; inexact means a strict superset (still sound to
+    // push — Spark re-checks — but NOT safe to negate: NOT(superset) drops
+    // rows SQL keeps). Leaves are exact; And/Or preserve exactness when all
+    // legs translate exactly; a partially-translated And is a superset;
+    // Not demands an exact child and yields a superset (parquet's 2-valued
+    // NOT keeps nulls SQL's 3-valued NOT drops).
+    def tr(f: Filter): Option[(org.apache.parquet.filter2.predicate
+        .FilterPredicate, Boolean)] = f match {
+      case EqualTo(a, v)            => leaf(a, v, 0).map((_, true))
+      case GreaterThan(a, v)        => leaf(a, v, 4).map((_, true))
+      case GreaterThanOrEqual(a, v) => leaf(a, v, 5).map((_, true))
+      case LessThan(a, v)           => leaf(a, v, 2).map((_, true))
+      case LessThanOrEqual(a, v)    => leaf(a, v, 3).map((_, true))
+      case IsNull(a)                => leaf(a, null, 0).map((_, true))
+      case IsNotNull(a)             => leaf(a, null, 1).map((_, true))
+      case In(a, vs) if vs.nonEmpty && vs.length <= 32 =>
+        val legs = vs.toSeq.map(v => leaf(a, v, 0))
+        if (legs.forall(_.isDefined))
+          Some((legs.map(_.get).reduce(org.apache.parquet.filter2.predicate
+            .FilterApi.or(_, _)), true))
+        else None
+      case And(l, r) =>
+        // one translatable leg still helps: a conjunct may push alone,
+        // keeping a superset of the conjunction
+        (tr(l), tr(r)) match {
+          case (Some((a, ea)), Some((b, eb))) =>
+            Some((org.apache.parquet.filter2.predicate.FilterApi.and(a, b),
+              ea && eb))
+          case (Some((a, _)), None) => Some((a, false))
+          case (None, Some((b, _))) => Some((b, false))
+          case _ => None
+        }
+      case Or(l, r) =>
+        // OR needs BOTH legs — a one-sided OR would drop rows
+        for { (a, ea) <- tr(l); (b, eb) <- tr(r) }
+          yield (org.apache.parquet.filter2.predicate.FilterApi.or(a, b),
+            ea && eb)
+      case Not(c) =>
+        tr(c).collect { case (p, true) =>
+          (org.apache.parquet.filter2.predicate.FilterApi.not(p), false)
+        }
+      case _ => None
+    }
+    tr(f).map(_._1)
+  }
+
   /** Does this filter reference only bucket columns, in shapes we can
     * evaluate exactly against directory values? */
   private[sources] def bucketOnly(f: Filter): Boolean = f match {
@@ -297,10 +445,15 @@ class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
     } else false
   }
 
+  private var residualFilters: Array[Filter] = Array.empty
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (prunable, residual) = filters.partition(GraftDataSource.bucketOnly)
     pushed = prunable
-    // bucket filters are directory-exact: nothing to re-check post-scan
+    // residual (data-column) filters go back to Spark for the exact
+    // re-check, AND ride along to the chunk readers as parquet row-group /
+    // record predicates (vanilla parquet's pushed-and-rechecked discipline)
+    residualFilters = residual
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -363,7 +516,7 @@ class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
 
   override def build(): Scan =
     if (pushedAggs.nonEmpty) new GraftAggScan(path, schema, pushed, pushedAggs, groupCols)
-    else new GraftScan(path, required, pushed, limit, topN)
+    else new GraftScan(path, required, pushed, limit, topN, residualFilters)
 }
 
 /** The pushed-aggregate scan: partitions are chunk files, rows are
@@ -617,7 +770,8 @@ final case class GraftInputPartition(file: String, buckets: Map[String, Long],
 }
 
 class GraftScan(path: String, required: StructType, pushed: Array[Filter],
-    limit: Int = -1, topN: Array[(String, Boolean)] = Array.empty)
+    limit: Int = -1, topN: Array[(String, Boolean)] = Array.empty,
+    residual: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -716,6 +870,8 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       (if (limit < 0) "" else s", PushedLimit: $limit") +
       (if (topN.isEmpty) "" else s", PushedTopN: [${topN.map { case (c, asc) =>
         s"$c ${if (asc) "ASC" else "DESC"}" }.mkString(", ")}]") +
+      (if (residual.isEmpty) ""
+       else s", RowGroupFilters: [${residual.mkString(", ")}]") +
       (if (runtime.isEmpty) "" else s", RuntimeBucketFilters: [${runtime.mkString(", ")}]")
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -763,19 +919,28 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    new GraftReaderFactory(required, residual)
 }
 
-class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
+class GraftReaderFactory(required: StructType,
+    residual: Array[Filter] = Array.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], required)
+    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], required,
+      residual)
 }
 
 /** Reads one chunk file with parquet-hadoop's Group API, projecting to the
   * required data columns; bucket-column values come from the directory, like
   * Spark's own partition-value population. A count-only scan (no data
-  * columns required) reads just the footer row count. */
-class GraftPartitionReader(p: GraftInputPartition, required: StructType)
+  * columns required) reads just the footer row count. Residual data-column
+  * filters are attached as a parquet `FilterPredicate` (per file, only when
+  * every referenced column exists in that file's schema), so row groups
+  * whose min/max exclude the predicate are skipped without touching a data
+  * page and surviving records are filtered at assembly — Spark re-checks
+  * the same filters above the scan, so the predicate only ever has to keep
+  * a superset. */
+class GraftPartitionReader(p: GraftInputPartition, required: StructType,
+    residual: Array[Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -805,8 +970,18 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType)
         dataFields.toSeq.filter(f => fileSchema.containsField(f.name))
           .map(f => fileSchema.getFields.get(fileSchema.getFieldIndex(f.name))): _*)
       conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-      reader = ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
-        .withConf(conf).build()
+      val types = required.fields
+        .map(f => f.name -> f.dataType).toMap
+      val preds = residual.toSeq
+        .filter(_.references.forall(fileSchema.containsField))
+        .flatMap(GraftDataSource.toParquetPredicate(_, types))
+      val builder = ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
+        .withConf(conf)
+      reader =
+        if (preds.isEmpty) builder.build()
+        else builder.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(
+          preds.reduce(org.apache.parquet.filter2.predicate.FilterApi.and(_, _))))
+          .build()
     }
   }
 

@@ -408,6 +408,71 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 9L, 3L, 4L))
   }
 
+  test("DataSource V2 row-group predicates: residual filters reach the parquet readers") {
+    import spark.implicits._
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
+    w.create((0L until 100L).map(i => (i, i, s"tag_${i % 7}")).toDF("d0", "d1", "s"))
+    val df = spark.read.format("graft").load(w.path)
+    // a data-column equality: no chunk pruning (all 10 dirs scanned), but the
+    // record filter inside each reader drops everything else — the scan
+    // emits 1 row, not 100
+    val q = df.where(col("d1") === 35)
+    assert(q.collect().map(_.getAs[Long]("d0")).toSeq == Seq(35L))
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.scan.description().contains("RowGroupFilters: [EqualTo(d1,35)"),
+      s"residual filter must reach the readers: ${scan.scan.description()}")
+    assert(scan.metrics("numOutputRows").value == 1,
+      s"readers must filter at the parquet layer, emitted ${scan.metrics("numOutputRows").value}")
+    // string predicate + conjunction with a range
+    val q2 = df.where(col("s") === "tag_3" && col("d1") < 50)
+    assert(q2.collect().map(_.getAs[Long]("d0")).toSet ==
+      (0L until 50L).filter(_ % 7 == 3).toSet)
+    // untranslatable leg (StringContains) inside NOT(AND(...)): the
+    // predicate must NOT be pushed one-sided (that would drop rows SQL
+    // keeps) — correctness is the assertion
+    val q3 = df.where(!(col("d1") > 5 && col("s").contains("ag_3")))
+    assert(q3.collect().map(_.getAs[Long]("d0")).toSet ==
+      (0L until 100L).filter(i => !(i > 5 && (i % 7) == 3)).toSet)
+    // schema evolution: a file missing the filtered column skips the parquet
+    // predicate (its rows surface as NULL and Spark's re-check drops them)
+    val root = tmp()
+    Seq((1L, 5L), (2L, 9L)).toDF("d0", "v").coalesce(1).write.parquet(root + "/c0=0")
+    Seq(Tuple1(11L)).toDF("d0").coalesce(1).write.parquet(root + "/c0=1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d0",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c0",
+        org.apache.spark.sql.types.LongType)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_graft_schema.json"),
+      schema.json.getBytes("UTF-8"))
+    val ev = spark.read.format("graft").load(root).where(col("v") >= 5)
+    assert(ev.collect().map(_.getAs[Long]("d0")).toSet == Set(1L, 2L))
+    // multiple row groups in one file: tiny block size forces several; the
+    // range predicate stays exact across group boundaries
+    val root2 = tmp()
+    (0L until 5000L).map(i => (i, i * 3)).toDF("d0", "v").coalesce(1)
+      .sortWithinPartitions("d0")
+      .write.option("parquet.block.size", "4096").parquet(root2 + "/c0=0")
+    java.nio.file.Files.write(java.nio.file.Paths.get(root2, "_graft_schema.json"),
+      schema.json.getBytes("UTF-8"))
+    val rgFile = new java.io.File(root2 + "/c0=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val pfr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(rgFile.toString),
+        new org.apache.hadoop.conf.Configuration()))
+    val nGroups = try pfr.getFooter.getBlocks.size finally pfr.close()
+    assert(nGroups > 1, s"fixture must span row groups, got $nGroups")
+    val rq = spark.read.format("graft").load(root2)
+      .where(col("v") >= 6000L && col("v") < 6600L)
+    assert(rq.collect().map(_.getAs[Long]("d0")).toSet == (2000L until 2200L).toSet)
+  }
+
   test("DataSource V2 limit pushdown: partition readers stop at the pushed prefix") {
     import spark.implicits._
     val w = new World(spark, tmp(), Seq(
