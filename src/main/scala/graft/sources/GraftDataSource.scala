@@ -370,9 +370,17 @@ class GraftTable(path: String, schema: StructType) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft:$path"
   override def schema(): StructType = schema
+  // the chunk grid IS a partitioning on the bucket columns; reporting it
+  // lets catalog DML resolve INSERT OVERWRITE to dynamic per-chunk
+  // replacement under partitionOverwriteMode=dynamic
+  override def partitioning(): Array[Transform] =
+    schema.fields.map(_.name).filter(GraftDataSource.isBucket)
+      .map(n => org.apache.spark.sql.connector.expressions.Expressions
+        .identity(n): Transform)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, schema)
   override def newWriteBuilder(

@@ -20,10 +20,43 @@ import org.apache.spark.sql.types._
   * files (a table format with an atomic commit log is the production
   * answer — out of scope for the chunk-grid layout the reference defines).
   */
-class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
+class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
+    with SupportsOverwrite with SupportsDynamicOverwrite {
+  private var overwriteBy: Option[Array[org.apache.spark.sql.sources.Filter]] = None
+  private var dynamicOverwrite = false
+
+  /** Overwrite-by-filter (`.mode("overwrite")` = AlwaysTrue = truncate;
+    * `overwrite(condition)` via the v2 writer = bucket-scoped): accepted
+    * only for bucket-only conditions, which map EXACTLY to chunk
+    * directories — a row-level overwrite condition cannot be honored by a
+    * grid whose replace unit is the chunk. */
+  override def canOverwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Boolean =
+    filters.forall(f =>
+      f.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue] ||
+        GraftDataSource.bucketOnly(f))
+
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    require(canOverwrite(filters),
+      s"graft overwrite condition must be bucket-only, got ${filters.mkString(", ")}")
+    overwriteBy = Some(filters); this
+  }
+
+  /** Dynamic-partition overwrite: replace exactly the chunks this write
+    * produces rows for — the reference's `write_chunk` whole-chunk replace
+    * semantics (/root/reference/tokio-fs/src/lib.rs:109-128). */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicOverwrite = true; this
+  }
+
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
-      if ("upsert".equalsIgnoreCase(info.options().get("graft.mode")))
+      if (dynamicOverwrite)
+        new GraftOverwriteWrite(path, info.schema(), None)
+      else if (overwriteBy.isDefined)
+        new GraftOverwriteWrite(path, info.schema(), Some(overwriteBy.get))
+      else if ("upsert".equalsIgnoreCase(info.options().get("graft.mode")))
         new GraftUpsertWrite(path, info.schema())
       else new GraftBatchWrite(path, info.schema())
 
@@ -127,6 +160,87 @@ object GraftUpsertWrite {
   /** Displaced count of the last upsert into `path` (-1 if none ran). */
   def lastDisplaced(path: String): Long =
     lastSummary(path).map(_.displacedRows).getOrElse(-1L)
+}
+
+/** Staged chunk-grid overwrite. Tasks write into a sibling staging grid;
+  * `commit()` then (a) deletes the victim chunk dirs — those matching the
+  * bucket-only overwrite condition (`filters = Some(...)`; AlwaysTrue =
+  * every chunk = truncate), or, in DYNAMIC mode (`filters = None`), exactly
+  * the chunk cells the staged data lands in — and (b) moves the staged
+  * chunk dirs into the world. A failure before commit leaves the world
+  * untouched; the staging grid is removed on both commit and abort. A full
+  * truncate makes the incoming schema authoritative (sidecar rewritten);
+  * scoped overwrites keep the existing sidecar. Emptied parent directories
+  * are pruned so the grid walk never visits dead subtrees. */
+class GraftOverwriteWrite(path: String, schema: StructType,
+    filters: Option[Array[org.apache.spark.sql.sources.Filter]]) extends BatchWrite {
+  private val stage = s"${path}__graft_overwrite_stage"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(stage, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val root = new Path(path)
+    val stageRoot = new Path(stage)
+    try {
+      val staged: Seq[(Path, Map[String, Long])] =
+        if (fs.exists(stageRoot))
+          GraftDataSource.walkChunks(fs, stageRoot, Array.empty)
+        else Seq.empty
+      val isTruncate = filters.exists(_.forall(
+        _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      // victims: filter-matching chunks (static) or staged cells (dynamic)
+      val victims: Seq[Path] = filters match {
+        case Some(fs0) =>
+          val real = fs0.filterNot(
+            _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+          if (fs.exists(root))
+            GraftDataSource.walkChunks(fs, root, real).map(_._1)
+          else Seq.empty
+        case None =>
+          val cells = staged.map(_._2).toSet
+          if (fs.exists(root))
+            GraftDataSource.walkChunks(fs, root, Array.empty)
+              .filter { case (_, b) => cells.contains(b) }.map(_._1)
+          else Seq.empty
+      }
+      victims.foreach { d =>
+        fs.delete(d, true)
+        // prune now-empty parents so the grid walk never lists dead subtrees
+        var parent = d.getParent
+        while (parent != null && parent.toUri.getPath != root.toUri.getPath &&
+            fs.exists(parent) && fs.listStatus(parent).isEmpty) {
+          fs.delete(parent, false)
+          parent = parent.getParent
+        }
+      }
+      // move staged chunk dirs into place (merge into survivors of the same
+      // cell — possible only in static mode with a non-covering condition)
+      staged.foreach { case (dir, _) =>
+        // listStatus returns fs-qualified paths (file:/…) — relativize on
+        // URI paths, not raw strings, or the prefix never matches
+        val rel = dir.toUri.getPath
+          .stripPrefix(stageRoot.toUri.getPath).stripPrefix("/")
+        val target = new Path(root, rel)
+        fs.mkdirs(target)
+        GraftDataSource.chunkFiles(fs, dir).foreach { f =>
+          fs.rename(f, new Path(target, f.getName))
+        }
+      }
+      if (isTruncate) {
+        // truncate replaces the table contents wholesale: the incoming
+        // schema is now authoritative for readers
+        val out = fs.create(new Path(s"$path/_graft_schema.json"), true)
+        out.write(schema.json.getBytes("UTF-8")); out.close()
+      } else GraftDataSource.writeSidecarIfAbsent(path, schema)
+    } finally fs.delete(stageRoot, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    fs.delete(new Path(stage), true)
+  }
 }
 
 class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {

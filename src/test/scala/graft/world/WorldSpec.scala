@@ -718,6 +718,43 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
       "staging grid removed after commit")
   }
 
+  test("DataSource V2 overwrite: truncate and dynamic chunk replacement through mode(overwrite)") {
+    import spark.implicits._
+    // TRUNCATE: .mode("overwrite") replaces the whole world
+    val w = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
+    w.create((0L until 40L).map(i => (i, i)).toDF("d0", "d1"))
+    w.withBuckets(Seq((90L, 90L), (95L, 95L)).toDF("d0", "d1"))
+      .write.format("graft").mode("overwrite").save(w.path)
+    val after = spark.read.format("graft").load(w.path)
+      .select("d0").as[Long].collect().toSet
+    assert(after == Set(90L, 95L), "truncate overwrite replaces all chunks")
+    assert(!new java.io.File(w.path + "/c0=0").exists,
+      "old chunk dirs are gone, parents pruned")
+    // DYNAMIC chunk replacement (path-based .mode("overwrite") always plans
+    // a truncate; OverwritePartitionsDynamic needs a catalog table) — drive
+    // the BatchWrite directly: stage a row for cell (0,0), commit, and only
+    // that chunk is replaced
+    val w2 = new World(spark, tmp(), Seq(
+      DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
+    w2.create((0L until 40L).map(i => (i, i)).toDF("d0", "d1"))
+    val schema2 = spark.read.format("graft").load(w2.path).schema
+    val dynWrite = new graft.sources.GraftOverwriteWrite(w2.path, schema2, None)
+    // stage exactly like the task side would: the staging grid is a world
+    w2.withBuckets(Seq((3L, 3L)).toDF("d0", "d1"))
+      .write.format("graft").mode("append")
+      .save(w2.path + "__graft_overwrite_stage")
+    dynWrite.commit(Array.empty)
+    val after2 = spark.read.format("graft").load(w2.path)
+      .select("d0").as[Long].collect().toSet
+    assert(after2 == Set(3L) ++ (10L until 40L),
+      s"dynamic overwrite replaces only the written cells, got $after2")
+    // both paths still readable through the plain parquet side
+    assert(w2.df.select("d0").as[Long].collect().toSet == after2)
+    assert(!new java.io.File(w2.path + "__graft_overwrite_stage").exists,
+      "staging grid removed after commit")
+  }
+
   test("compact: fragmented chunk dirs rewritten to one file, data intact") {
     import spark.implicits._
     val w = new World(spark, tmp(), dims2(8, 16))
