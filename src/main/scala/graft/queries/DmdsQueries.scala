@@ -389,6 +389,45 @@ object DmdsQueries {
                 AND user_id BETWEEN 64 AND 191
               ORDER BY event_id"""
         }
+      ),
+
+      "w_catalog_dml" -> QueryDef(
+        // the SQL front door through the oracle gate: a world as a CATALOG
+        // table, driven purely by DDL/DML — CREATE TABLE, routed INSERT
+        // INTO, then a DYNAMIC INSERT OVERWRITE that replaces exactly one
+        // chunk cell (the reference's whole-chunk replace semantics,
+        // tokio-fs/src/lib.rs:109-128, surfaced as ANSI SQL). The final
+        // read runs through the connector's pruned scan. The oracle
+        // restates the cell-replacement outcome relationally: cell-0 rows
+        // (user_id//128 = 0) carry the overwritten values, every other
+        // cell keeps the originals. An isolated session keeps the catalog
+        // registration and partitionOverwriteMode=dynamic from leaking
+        // into other registry queries' planning.
+        (s, dir) => {
+          val s2 = s.newSession()
+          s.conf.getAll.foreach { case (k, v) =>
+            try s2.conf.set(k, v) catch { case _: Exception => () }
+          }
+          val wh = "/tmp/graft_cat_wh_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+          s2.conf.set("spark.sql.catalog.wcat", "graft.sources.GraftCatalog")
+          s2.conf.set("spark.sql.catalog.wcat.warehouse", wh)
+          s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          events(s2, dir).createOrReplaceTempView("ev_src")
+          s2.sql("DROP TABLE IF EXISTS wcat.ev_dml")
+          s2.sql("""CREATE TABLE wcat.ev_dml
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wcat.ev_dml
+                    SELECT event_id, user_id, value, user_id DIV 128
+                    FROM ev_src""")
+          s2.sql("""INSERT OVERWRITE wcat.ev_dml
+                    SELECT event_id, user_id, value * 2, user_id DIV 128
+                    FROM ev_src WHERE user_id DIV 128 = 0""")
+          s2.sql("""SELECT event_id, user_id, value FROM wcat.ev_dml
+                    ORDER BY event_id""")
+        },
+        Some("""SELECT event_id, user_id,
+                  CASE WHEN user_id // 128 = 0 THEN value * 2 ELSE value END AS value
+                FROM events ORDER BY event_id""")
       )
     )
   }
