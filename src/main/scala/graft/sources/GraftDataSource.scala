@@ -104,6 +104,8 @@ object GraftDataSource {
       case other => throw new IllegalArgumentException(s"non-integral bucket literal $other")
     }
     f match {
+      case _: AlwaysTrue            => true
+      case _: AlwaysFalse           => false
       case EqualTo(a, x)            => b(a) == v(x)
       case GreaterThan(a, x)        => b(a) > v(x)
       case GreaterThanOrEqual(a, x) => b(a) >= v(x)
@@ -132,6 +134,8 @@ object GraftDataSource {
       case other => throw new IllegalArgumentException(s"non-integral bucket literal $other")
     }
     f match {
+      case _: AlwaysTrue            => Some(true)
+      case _: AlwaysFalse           => Some(false)
       case EqualTo(a, x)            => b.get(a).map(_ == v(x))
       case GreaterThan(a, x)        => b.get(a).map(_ > v(x))
       case GreaterThanOrEqual(a, x) => b.get(a).map(_ >= v(x))
@@ -352,6 +356,7 @@ object GraftDataSource {
   /** Does this filter reference only bucket columns, in shapes we can
     * evaluate exactly against directory values? */
   private[sources] def bucketOnly(f: Filter): Boolean = f match {
+    case _: AlwaysTrue | _: AlwaysFalse => true
     case EqualTo(a, _) => isBucket(a)
     case GreaterThan(a, _) => isBucket(a)
     case GreaterThanOrEqual(a, _) => isBucket(a)
@@ -367,8 +372,31 @@ object GraftDataSource {
 }
 
 class GraftTable(path: String, schema: StructType) extends Table
-    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft:$path"
+
+  /** `DELETE FROM` with a bucket-only condition — the SQL face of the
+    * reference's whole-chunk `destroy` (/root/reference/src/world/iter.rs:
+    * 254-265): matching chunk DIRECTORIES are removed, a pure metadata
+    * operation that never reads a row. Row-level conditions are refused
+    * (canDeleteWhere = false), which makes Spark fail the statement rather
+    * than silently over- or under-delete — row-exact deletion is
+    * `World.destroy`'s rewrite path, a data operation the caller must opt
+    * into. The inherited default `truncateTable()` routes `TRUNCATE TABLE`
+    * here as delete-everything. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Boolean = filters.forall(GraftDataSource.bucketOnly)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root))
+      GraftDataSource.walkChunks(fs, root, filters)
+        .foreach { case (d, _) => GraftStage.deleteChunkDir(fs, d, root) }
+  }
   override def schema(): StructType = schema
   // the chunk grid IS a partitioning on the bucket columns; reporting it
   // lets catalog DML resolve INSERT OVERWRITE to dynamic per-chunk
@@ -380,7 +408,8 @@ class GraftTable(path: String, schema: StructType) extends Table
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, schema)
   override def newWriteBuilder(

@@ -60,6 +60,23 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuild
         new GraftUpsertWrite(path, info.schema())
       else new GraftBatchWrite(path, info.schema())
 
+    // native `writeStream.format("graft")` — the reference daemon's
+    // write-behind (§2.5) as a first-class DSv2 streaming sink. Append
+    // output mode appends per-epoch; Complete mode (builder.truncate())
+    // replaces the world each epoch; graft.mode=upsert runs World::insert
+    // semantics per epoch.
+    override def toStreaming:
+        org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      val mode =
+        if (overwriteBy.exists(_.forall(
+            _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])))
+          GraftStreamingWrite.Truncate
+        else if ("upsert".equalsIgnoreCase(info.options().get("graft.mode")))
+          GraftStreamingWrite.Upsert
+        else GraftStreamingWrite.Append
+      new GraftStreamingWrite(path, info.schema(), mode)
+    }
+
     // cluster by the bucket columns and sort by (buckets, remaining
     // columns): Spark shuffles + sorts BEFORE the writer, so each chunk is
     // written by exactly one task (one file per chunk, not tasks x chunks
@@ -205,29 +222,10 @@ class GraftOverwriteWrite(path: String, schema: StructType,
               .filter { case (_, b) => cells.contains(b) }.map(_._1)
           else Seq.empty
       }
-      victims.foreach { d =>
-        fs.delete(d, true)
-        // prune now-empty parents so the grid walk never lists dead subtrees
-        var parent = d.getParent
-        while (parent != null && parent.toUri.getPath != root.toUri.getPath &&
-            fs.exists(parent) && fs.listStatus(parent).isEmpty) {
-          fs.delete(parent, false)
-          parent = parent.getParent
-        }
-      }
+      victims.foreach(GraftStage.deleteChunkDir(fs, _, root))
       // move staged chunk dirs into place (merge into survivors of the same
       // cell — possible only in static mode with a non-covering condition)
-      staged.foreach { case (dir, _) =>
-        // listStatus returns fs-qualified paths (file:/…) — relativize on
-        // URI paths, not raw strings, or the prefix never matches
-        val rel = dir.toUri.getPath
-          .stripPrefix(stageRoot.toUri.getPath).stripPrefix("/")
-        val target = new Path(root, rel)
-        fs.mkdirs(target)
-        GraftDataSource.chunkFiles(fs, dir).foreach { f =>
-          fs.rename(f, new Path(target, f.getName))
-        }
-      }
+      GraftStage.moveIn(fs, stageRoot, root, staged)
       if (isTruncate) {
         // truncate replaces the table contents wholesale: the incoming
         // schema is now authoritative for readers
@@ -241,6 +239,145 @@ class GraftOverwriteWrite(path: String, schema: StructType,
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     fs.delete(new Path(stage), true)
   }
+}
+
+/** Driver-side chunk-grid surgery shared by the staged write commits. */
+private[sources] object GraftStage {
+  /** Delete one chunk dir and prune now-empty parents so the grid walk
+    * never lists dead subtrees. */
+  def deleteChunkDir(fs: FileSystem, d: Path, root: Path): Unit = {
+    fs.delete(d, true)
+    var parent = d.getParent
+    while (parent != null && parent.toUri.getPath != root.toUri.getPath &&
+        fs.exists(parent) && fs.listStatus(parent).isEmpty) {
+      fs.delete(parent, false)
+      parent = parent.getParent
+    }
+  }
+
+  /** Move every staged chunk dir's files into the same cell under `root`
+    * (merging with any files already there — per-task file names are
+    * unique, so appends never clobber). */
+  def moveIn(fs: FileSystem, stageRoot: Path, root: Path,
+      staged: Seq[(Path, Map[String, Long])]): Unit =
+    staged.foreach { case (dir, _) =>
+      // listStatus returns fs-qualified paths (file:/…) — relativize on
+      // URI paths, not raw strings, or the prefix never matches
+      val rel = dir.toUri.getPath
+        .stripPrefix(stageRoot.toUri.getPath).stripPrefix("/")
+      val target = new Path(root, rel)
+      fs.mkdirs(target)
+      GraftDataSource.chunkFiles(fs, dir).foreach { f =>
+        fs.rename(f, new Path(target, f.getName))
+      }
+    }
+}
+
+/** Native micro-batch streaming sink: `df.writeStream.format("graft")` —
+  * the reference daemon's write-behind contract (§2.5,
+  * /root/reference/src/world.rs daemon notes) as a DSv2 `StreamingWrite`
+  * instead of a `foreachBatch` shim. Tasks of epoch N write into a sibling
+  * per-epoch staging grid; `commit(N)` applies it to the world under the
+  * declared mode (Append merges cells in, Truncate — Complete output mode —
+  * replaces the whole grid, Upsert runs the world's partition-scoped
+  * `World::insert`), then records N under `<world>/_graft_commits/`.
+  *
+  * Exactly-once per epoch: a RESTARTED query replays its last unfinished
+  * epoch; a marker hit means the epoch fully committed before the crash and
+  * the replayed stage is discarded wholesale. A crash strictly BETWEEN the
+  * cell moves and the marker write can double the boundary epoch — the same
+  * torn-commit window every log-less file sink has (class doc above); the
+  * marker shrinks it from "any replayed epoch" to that one rename batch.
+  * Markers are one empty file per epoch, pruned opportunistically to the
+  * last [[GraftStreamingWrite.keepMarkers]] (replay only ever re-offers the
+  * tail epochs the checkpoint hasn't sealed).
+  */
+class GraftStreamingWrite(path: String, schema: StructType,
+    mode: GraftStreamingWrite.Mode)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import GraftStreamingWrite._
+
+  private def stageFor(epochId: Long) = s"${path}__graft_epoch_$epochId"
+  private def markerFor(epochId: Long) = new Path(s"$path/_graft_commits/$epochId")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(path, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val root = new Path(path)
+    val stageRoot = new Path(stageFor(epochId))
+    try {
+      if (fs.exists(markerFor(epochId))) {
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .info(s"graft stream into $path: epoch $epochId replayed after commit, skipping")
+        return
+      }
+      val staged: Seq[(Path, Map[String, Long])] =
+        if (fs.exists(stageRoot))
+          GraftDataSource.walkChunks(fs, stageRoot, Array.empty)
+        else Seq.empty
+      mode match {
+        case Append =>
+          GraftStage.moveIn(fs, stageRoot, root, staged)
+          GraftDataSource.writeSidecarIfAbsent(path, schema)
+        case Truncate =>
+          if (fs.exists(root))
+            GraftDataSource.walkChunks(fs, root, Array.empty)
+              .foreach { case (d, _) => GraftStage.deleteChunkDir(fs, d, root) }
+          GraftStage.moveIn(fs, stageRoot, root, staged)
+          val out = fs.create(new Path(s"$path/_graft_schema.json"), true)
+          out.write(schema.json.getBytes("UTF-8")); out.close()
+        case Upsert =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val dims = graft.plans.DimPruningRegistry.lookup(path).getOrElse(
+            throw new IllegalStateException(
+              s"graft streaming upsert needs the world's dim mappings: no world " +
+                s"registered for $path (instantiate graft.world.World first)"))
+          if (staged.nonEmpty) {
+            val bucketCols = dims.indices.map(i => s"c$i")
+            val stagedDf = spark.read.parquet(stageFor(epochId)).drop(bucketCols: _*)
+            val displaced = new graft.world.World(spark, path, dims).insert(stagedDf)
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .info(s"graft stream upsert into $path: epoch $epochId, $displaced displaced")
+          }
+          GraftDataSource.writeSidecarIfAbsent(path, schema)
+      }
+      fs.mkdirs(markerFor(epochId).getParent)
+      fs.create(markerFor(epochId), true).close()
+      // opportunistic marker pruning: replay only re-offers tail epochs
+      fs.listStatus(markerFor(epochId).getParent).toSeq
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption
+          .map(_ -> s.getPath))
+        .sortBy(_._1).dropRight(keepMarkers)
+        .foreach { case (_, p) => fs.delete(p, false) }
+    } finally fs.delete(stageRoot, true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    fs.delete(new Path(stageFor(epochId)), true)
+  }
+}
+
+object GraftStreamingWrite {
+  sealed trait Mode
+  case object Append extends Mode
+  case object Truncate extends Mode
+  case object Upsert extends Mode
+
+  /** Committed-epoch markers retained (checkpoint replay depth is 1). */
+  val keepMarkers = 16
+}
+
+/** Epoch-aware twin of [[GraftWriterFactory]]: rows land in the per-epoch
+  * staging grid, reusing the one routed chunk writer. */
+class GraftStreamingWriterFactory(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(s"${path}__graft_epoch_$epochId", schema, partitionId, taskId)
 }
 
 class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {

@@ -88,6 +88,36 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graftcat.events_w")
   }
 
+  test("DELETE FROM by bucket is chunk-dir removal; TRUNCATE TABLE empties; row-level DELETE refused") {
+    spark.sql("CREATE TABLE graftcat.del (d0 BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO graftcat.del SELECT id, id DIV 10 FROM range(0, 40)")
+    spark.sql("DELETE FROM graftcat.del WHERE c0 = 2")
+    assert(!new java.io.File(s"$warehouse/del/c0=2").exists,
+      "bucket-only delete removes the chunk directory itself")
+    assert(spark.sql("SELECT d0 FROM graftcat.del").collect()
+      .map(_.getLong(0)).toSet == ((0L until 20L) ++ (30L until 40L)).toSet)
+    // a row-level condition cannot be honored by whole-chunk removal:
+    // the statement must FAIL, not silently over- or under-delete
+    intercept[Exception](spark.sql("DELETE FROM graftcat.del WHERE d0 = 5"))
+    assert(spark.sql("SELECT count(*) FROM graftcat.del").head.getLong(0) == 30L,
+      "refused delete left the table untouched")
+    spark.sql("TRUNCATE TABLE graftcat.del")
+    assert(spark.sql("SELECT count(*) FROM graftcat.del").head.getLong(0) == 0L)
+    assert(new java.io.File(s"$warehouse/del/_graft_schema.json").isFile,
+      "truncate keeps the table (sidecar) — only chunks are gone")
+    spark.sql("DROP TABLE graftcat.del")
+  }
+
+  test("CREATE TABLE AS SELECT materializes a routed world in one statement") {
+    spark.sql("""CREATE TABLE graftcat.ctas AS
+                 SELECT id AS d0, id * 3 AS v, id DIV 10 AS c0 FROM range(0, 30)""")
+    assert(new java.io.File(s"$warehouse/ctas/c0=2").isDirectory,
+      "CTAS rows landed in chunk directories")
+    assert(spark.sql("SELECT sum(v) FROM graftcat.ctas").head.getLong(0) ==
+      (0L until 30L).map(_ * 3).sum)
+    spark.sql("DROP TABLE graftcat.ctas")
+  }
+
   test("catalog errors: missing table, duplicate create, rename") {
     intercept[Exception](spark.sql("SELECT * FROM graftcat.nope").collect())
     spark.sql("CREATE TABLE graftcat.dup (d0 BIGINT, c0 BIGINT)")

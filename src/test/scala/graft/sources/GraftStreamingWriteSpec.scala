@@ -1,0 +1,147 @@
+package graft.sources
+
+import graft.core._
+import graft.world.{DimSpec, World}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** Native `writeStream.format("graft")` — the daemon's write-behind as a
+  * DSv2 streaming sink: per-epoch staged appends, Complete-mode truncate,
+  * graft.mode=upsert `World::insert` semantics, and exactly-once epoch
+  * replay via the `_graft_commits` markers.
+  */
+class GraftStreamingWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sw").toString + "/world"
+
+  test("streaming append: epochs accumulate, restart from checkpoint does not duplicate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val cp = Files.createTempDirectory("graft-sw-cp").toString
+    val src = MemoryStream[(Long, Long)]
+    def start() = src.toDF().toDF("d0", "v")
+      .withColumn("c0", col("d0") / 10 cast "long")
+      .writeStream.format("graft")
+      .option("checkpointLocation", cp)
+      .start(path)
+
+    val q = start()
+    try {
+      src.addData((1L, 10L), (15L, 150L))
+      q.processAllAvailable()
+      val r1 = spark.read.format("graft").load(path)
+      assert(r1.select("d0").as[Long].collect().toSet == Set(1L, 15L))
+      assert(new java.io.File(s"$path/c0=1").isDirectory,
+        "streamed rows land in their chunk directories")
+      src.addData((22L, 220L))
+      q.processAllAvailable()
+      assert(spark.read.format("graft").load(path).count() == 3)
+    } finally q.stop()
+
+    // restart from the same checkpoint: already-committed offsets replay
+    // nothing; new data lands exactly once
+    val q2 = start()
+    try {
+      src.addData((33L, 330L))
+      q2.processAllAvailable()
+      val all = spark.read.format("graft").load(path)
+        .select("d0").as[Long].collect().toSeq
+      assert(all.sorted == Seq(1L, 15L, 22L, 33L), s"no duplication, got $all")
+    } finally q2.stop()
+    assert(new java.io.File(s"$path/_graft_commits").isDirectory,
+      "committed epochs are recorded")
+    assert(!new java.io.File(path).getParentFile.listFiles
+      .exists(_.getName.contains("__graft_epoch_")),
+      "no staging grids left behind")
+  }
+
+  test("epoch replay after a successful commit is discarded (marker idempotence)") {
+    import spark.implicits._
+    val path = tmp()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "d0 BIGINT, v BIGINT, c0 BIGINT")
+    val sw = new GraftStreamingWrite(path, schema, GraftStreamingWrite.Append)
+    def stage(): Unit = Seq((1L, 10L, 0L), (2L, 20L, 0L)).toDF("d0", "v", "c0")
+      .write.format("graft").mode("append").save(path + "__graft_epoch_7")
+    stage()
+    sw.commit(7L, Array.empty)
+    assert(spark.read.format("graft").load(path).count() == 2)
+    // a restarted query re-runs epoch 7's tasks, then re-commits
+    stage()
+    sw.commit(7L, Array.empty)
+    assert(spark.read.format("graft").load(path).count() == 2,
+      "replayed epoch is a no-op: the marker says it already committed")
+    assert(!new java.io.File(path + "__graft_epoch_7").exists,
+      "replayed stage is still cleaned up")
+    // a NEW epoch still lands
+    Seq((3L, 30L, 0L)).toDF("d0", "v", "c0")
+      .write.format("graft").mode("append").save(path + "__graft_epoch_8")
+    sw.commit(8L, Array.empty)
+    assert(spark.read.format("graft").load(path).count() == 3)
+  }
+
+  test("streaming upsert: conflicting dim-0 ids replaced per epoch (daemon write-behind)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val cp = Files.createTempDirectory("graft-sw-cp").toString
+    val w = new World(spark, path, Seq(DimSpec("d0", DimMapping(0, 99, 10))))
+    w.create(Seq((5L, 50L), (15L, 150L)).toDF("d0", "v"))
+    val src = MemoryStream[(Long, Long)]
+    val q = w.withBuckets(src.toDF().toDF("d0", "v"))
+      .writeStream.format("graft")
+      .option("graft.mode", "upsert")
+      .option("checkpointLocation", cp)
+      .start(path)
+    try {
+      src.addData((5L, 999L), (25L, 250L)) // one conflict, one fresh
+      q.processAllAvailable()
+      val got = spark.read.format("graft").load(path)
+        .select("d0", "v").as[(Long, Long)].collect().toMap
+      assert(got == Map(5L -> 999L, 15L -> 150L, 25L -> 250L),
+        s"epoch upsert replaced id 5 and added id 25, got $got")
+    } finally q.stop()
+  }
+
+  test("Complete output mode truncates: each epoch replaces the world") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val cp = Files.createTempDirectory("graft-sw-cp").toString
+    val src = MemoryStream[Long]
+    val agg = src.toDF().toDF("d0")
+      .withColumn("c0", col("d0") / 10 cast "long")
+      .groupBy("c0").agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("graft")
+      .outputMode("complete")
+      .option("checkpointLocation", cp)
+      .start(path)
+    try {
+      src.addData(1L, 2L, 11L)
+      q.processAllAvailable()
+      val r1 = spark.read.format("graft").load(path)
+        .select("c0", "n").as[(Long, Long)].collect().toMap
+      assert(r1 == Map(0L -> 2L, 1L -> 1L))
+      src.addData(3L)
+      q.processAllAvailable()
+      val r2 = spark.read.format("graft").load(path)
+        .select("c0", "n").as[(Long, Long)].collect().toMap
+      assert(r2 == Map(0L -> 3L, 1L -> 1L),
+        s"the world holds exactly the LATEST aggregate state, got $r2")
+    } finally q.stop()
+  }
+}
