@@ -4,7 +4,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Worlds as CATALOG TABLES — the SQL front door to the chunk grid. The
@@ -31,7 +31,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pruning, pushdowns, storage-partitioned joins, staged overwrites work
   * identically through the catalog and the path API.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -87,9 +88,43 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(p, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported (recreate or regrid)")
+  /** `ALTER TABLE … ADD COLUMN` only: appends a NULLABLE top-level column to
+    * the schema sidecar — a pure metadata operation. Chunk files written
+    * before the change simply lack the field, and the connector's readers
+    * (row scan and pushed-aggregate scan alike) already surface absent
+    * fields as NULL, so old and new files coexist in one grid — the Spark
+    * restatement of the reference's `VERSION + decode(version, …)` contract
+    * (/root/reference/src/world.rs:33-47: old payloads decode under the new
+    * type). Everything else (drop/rename/retype/reposition, bucket columns)
+    * is refused: those would change the meaning of bytes already on disk,
+    * which the chunk grid has no version log to mediate — `regrid` is the
+    * explicit rebuild path. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!exists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val p = pathOf(ident)
+    val cur = GraftDataSource.sidecarSchema(p)
+    val updated = changes.foldLeft(cur) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "graft: only top-level ADD COLUMN is supported")
+        val n = add.fieldNames()(0)
+        require(add.isNullable,
+          s"graft: added column $n must be nullable — chunks written before " +
+            "the change read it as NULL")
+        require(!s.fieldNames.contains(n), s"column $n already exists")
+        require(!GraftDataSource.isBucket(n),
+          s"graft: cannot ADD bucket column $n — changing the grid is regrid()")
+        s.add(StructField(n, add.dataType(), nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other — only " +
+          "ADD COLUMN (nullable, top-level); use regrid for layout changes")
+    }
+    val f = fs()
+    val out = f.create(new Path(s"$p/_graft_schema.json"), true)
+    out.write(updated.json.getBytes("UTF-8")); out.close()
+    new GraftTable(p, updated)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     exists(ident) && fs().delete(new Path(pathOf(ident)), true)
@@ -107,4 +142,156 @@ class GraftCatalog extends TableCatalog {
       throw new IllegalStateException(
         s"rename $oldIdent -> $newIdent failed")
   }
+
+  // ------------------------------------------------- maintenance procedures
+  // `CALL <cat>.system.compact/stats(...)` — the grid-maintenance faces as
+  // SQL (the reference has no DDL surface at all; Spark's ProcedureCatalog
+  // makes them one statement instead of a programmatic World call).
+
+  private[sources] def tablePath(dotted: String): String = {
+    val parts = dotted.split('.')
+    pathOf(Identifier.of(parts.dropRight(1), parts.last))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array("compact", "stats").map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    (ident.namespace().toSeq, ident.name()) match {
+      case (Seq("system"), "compact") => new GraftCompactProcedure(this)
+      case (Seq("system"), "stats")   => new GraftStatsProcedure(this)
+      case _ => throw new UnsupportedOperationException(
+        s"graft catalog $catalogName has no procedure $ident " +
+          "(available: system.compact, system.stats)")
+    }
+}
+
+/** `CALL <cat>.system.compact(table => 't', max_files => 1)` — rewrite every
+  * chunk directory holding more than `max_files` data files down to one file
+  * per chunk. Fragment discovery is the connector's parallel subtree-pruned
+  * grid walk (metadata only); the rewrite READS the fragmented cells through
+  * the table and writes them back through the connector's bucket-scoped
+  * STAGED overwrite — one distributed job whose declared clustering yields
+  * exactly one file per cell, with the world untouched until the staged swap
+  * (the same commit path `INSERT OVERWRITE` uses, so compaction inherits its
+  * crash behavior). The cell predicate is an OR of bucket conjunctions:
+  * per-statement cost grows with the fragmented-cell count, which suits the
+  * incremental "compact what the last append fragmented" maintenance loop;
+  * a full-grid rewrite of a uniformly fragmented world belongs to
+  * `World.compact` (struct-IN predicate, same staged rewrite). Returns one
+  * row: the number of compacted chunks. */
+class GraftCompactProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "compact"
+  override def description(): String =
+    "rewrite chunk dirs with more than max_files data files to one file per chunk"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String = GraftCompactProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog, e.g. 't' or 'ns.t'").build(),
+      ProcedureParameter.in("max_files", org.apache.spark.sql.types.IntegerType)
+        .defaultValue("1").comment("rewrite cells holding more data files than this")
+        .build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      import org.apache.spark.sql.functions._
+      val table = input.getUTF8String(0).toString
+      val maxFiles = input.getInt(1)
+      val path = cat.tablePath(table)
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val root = new Path(path)
+      val frag: Seq[Map[String, Long]] =
+        if (fs.exists(root))
+          GraftDataSource.walkChunks(fs, root, Array.empty)
+            .filter { case (d, _) =>
+              GraftDataSource.chunkFiles(fs, d).sizeIs > maxFiles }
+            .map(_._2)
+        else Seq.empty
+      if (frag.nonEmpty) {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val pred = frag.map(_.toSeq.sortBy(_._1)
+            .map { case (k, v) => col(k) === lit(v) }
+            .reduce(_ && _))
+          .reduce(_ || _)
+        val qualified = s"${cat.name()}.$table"
+        spark.table(qualified).where(pred).writeTo(qualified).overwrite(pred)
+      }
+      GraftProcedures.singleRow("compacted_chunks", frag.size.toLong)
+    }
+  }
+}
+
+/** `CALL <cat>.system.stats(table => 't')` — one row per chunk cell with its
+  * file count and byte size, straight from the directory walk (no data
+  * read): the SQL face of the reference's world introspection, and the
+  * input that tells an operator whether `compact` is due. */
+class GraftStatsProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "stats"
+  override def description(): String =
+    "per-chunk-cell file count and byte size (metadata only)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "stats"
+    override def description(): String = GraftStatsProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val table = input.getUTF8String(0).toString
+      val path = cat.tablePath(table)
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val root = new Path(path)
+      val schema = StructType(Seq(
+        StructField("cell", org.apache.spark.sql.types.StringType, nullable = false),
+        StructField("files", org.apache.spark.sql.types.IntegerType, nullable = false),
+        StructField("bytes", org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows: Array[org.apache.spark.sql.catalyst.InternalRow] =
+        (if (fs.exists(root)) GraftDataSource.walkChunks(fs, root, Array.empty)
+         else Seq.empty)
+          .sortBy { case (_, b) => b.toSeq.sortBy(_._1).map(_._2).mkString(",") }
+          .map { case (d, b) =>
+            val fsts = GraftDataSource.chunkFileStatuses(fs, d)
+            org.apache.spark.sql.catalyst.InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                b.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")),
+              fsts.size,
+              fsts.map(_.getLen).sum)
+          }.toArray
+      GraftProcedures.scanOf(schema, rows)
+    }
+  }
+}
+
+private[sources] object GraftProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.Scan
+
+  def scanOf(schema: StructType, rs: Array[InternalRow])
+      : java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new org.apache.spark.sql.connector.read.LocalScan {
+      override def rows(): Array[InternalRow] = rs
+      override def readSchema(): StructType = schema
+    }).iterator()
+
+  def singleRow(colName: String, v: Long): java.util.Iterator[Scan] =
+    scanOf(
+      StructType(Seq(StructField(colName,
+        org.apache.spark.sql.types.LongType, nullable = false))),
+      Array(InternalRow(v)))
 }

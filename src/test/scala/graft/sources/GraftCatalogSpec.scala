@@ -118,6 +118,42 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graftcat.ctas")
   }
 
+  test("CALL system.stats / system.compact: fragmented cells reported, then rewritten to one file") {
+    spark.sql("CREATE TABLE graftcat.m (d0 BIGINT, c0 BIGINT)")
+    // three separate appends into cell c0=0 -> three data files
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO graftcat.m VALUES ($i, 0)"))
+    spark.sql("INSERT INTO graftcat.m VALUES (10, 1)") // second cell, 1 file
+    val st = spark.sql("CALL graftcat.system.stats(table => 'm')")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(st == Map("c0=0" -> 3, "c0=1" -> 1), s"stats sees the grid, got $st")
+    val n = spark.sql("CALL graftcat.system.compact(table => 'm')")
+      .head.getLong(0)
+    assert(n == 1L, "exactly the fragmented cell is rewritten")
+    val st2 = spark.sql("CALL graftcat.system.stats(table => 'm')")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(st2 == Map("c0=0" -> 1, "c0=1" -> 1), s"one file per cell after, got $st2")
+    assert(spark.sql("SELECT d0 FROM graftcat.m").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 10L), "data intact")
+    assert(spark.sql("CALL graftcat.system.compact(table => 'm')")
+      .head.getLong(0) == 0L, "idempotent: nothing left to compact")
+    spark.sql("DROP TABLE graftcat.m")
+  }
+
+  test("ALTER TABLE ADD COLUMN: old chunks read the new column as NULL; other alters refused") {
+    spark.sql("CREATE TABLE graftcat.ev (d0 BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO graftcat.ev VALUES (1, 0)")
+    spark.sql("ALTER TABLE graftcat.ev ADD COLUMN score DOUBLE")
+    spark.sql("INSERT INTO graftcat.ev VALUES (2, 0, 0.5)")
+    val got = spark.sql("SELECT d0, score FROM graftcat.ev ORDER BY d0")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(got == Seq((1L, None), (2L, Some(0.5))),
+      s"pre-alter chunk surfaces NULL, post-alter carries the value: $got")
+    // refusals: drop, and adding a bucket column
+    intercept[Exception](spark.sql("ALTER TABLE graftcat.ev DROP COLUMN score"))
+    intercept[Exception](spark.sql("ALTER TABLE graftcat.ev ADD COLUMN c1 BIGINT"))
+    spark.sql("DROP TABLE graftcat.ev")
+  }
+
   test("catalog errors: missing table, duplicate create, rename") {
     intercept[Exception](spark.sql("SELECT * FROM graftcat.nope").collect())
     spark.sql("CREATE TABLE graftcat.dup (d0 BIGINT, c0 BIGINT)")
