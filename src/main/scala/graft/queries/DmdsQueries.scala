@@ -44,6 +44,31 @@ object DmdsQueries {
   // chunk bounds used in oracle SQL — computed by the engine's own mapping
   private def cr(m: DimMapping, b: Bounds): (Long, Long) = m.chunksOf(b).get
 
+  /** Build-once world fixture for scan-shaped queries: the world is (re)built
+    * only when its ready marker is absent — these queries measure the SCAN
+    * (`w_world_roundtrip` deliberately times the build; nothing else should).
+    * A killed run leaves no marker and rebuilds; content is deterministic per
+    * source dir. The cache key includes the source file's (name, length,
+    * mtime) stamp so a REGENERATED events.parquet at the same path can never
+    * be served a stale world. Returns the world path.
+    */
+  private def cachedEventsWorld(s: SparkSession, dir: String, tag: String,
+      wspecs: Seq[DimSpec], cols: Seq[String], zorder: Boolean = false): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val parts = if (src.isDirectory) src.listFiles.toSeq.sortBy(_.getName) else Seq(src)
+    val stamp = java.lang.Integer.toHexString(
+      parts.map(x => (x.getName, x.length, x.lastModified)).hashCode)
+    val path = s"/tmp/graft_world_${tag}_${stamp}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    val marker = new java.io.File(path, "_graft_ready")
+    if (!marker.exists) {
+      val w = new World(s, path, wspecs)
+      w.create(events(s, dir).select(cols.map(col): _*), zorderWithinChunks = zorder)
+      marker.createNewFile()
+    }
+    path
+  }
+
   val defs: Map[String, QueryDef] = {
     val selRange = cr(d1, Bounds.to(100, 119)) // user chunks 6..7
     val andU = cr(d1, Bounds.to(32, 80))       // 2..5
@@ -282,32 +307,11 @@ object DmdsQueries {
           // gate's SF would make the join trivial
           val sd0 = DimMapping(0L, (1L << 20) - 1, 1024L)
           // unlike w_world_roundtrip (which deliberately TIMES the build),
-          // this query measures the join of two EXISTING worlds — the
-          // fixture build is cached behind a ready marker written only
-          // after a complete create (a killed run leaves no marker and
-          // rebuilds; content is deterministic per source dir). The cache
-          // key includes the source file's (name, length, mtime) stamp so a
-          // REGENERATED events.parquet at the same path can never be served
-          // a stale world.
-          def stampOf(f: java.io.File): String = {
-            val parts = if (f.isDirectory) f.listFiles.toSeq.sortBy(_.getName) else Seq(f)
-            java.lang.Integer.toHexString(
-              parts.map(x => (x.getName, x.length, x.lastModified)).hashCode)
-          }
-          def mk(tag: String, cols: Seq[String]): String = {
-            val stamp = stampOf(new java.io.File(s"$dir/events.parquet"))
-            val path = s"/tmp/graft_world_spj${tag}_${stamp}_" +
-              dir.replaceAll("[^0-9a-zA-Z]", "_")
-            val marker = new java.io.File(path, "_graft_spj_ready")
-            if (!marker.exists) {
-              val w = new World(s2, path, Seq(DimSpec("event_id", sd0)))
-              w.create(events(s2, dir).select(cols.map(col): _*))
-              marker.createNewFile()
-            }
-            path
-          }
-          val pa = mk("a", Seq("event_id", "event_type"))
-          val pb = mk("b", Seq("event_id", "value"))
+          // this query measures the join of two EXISTING worlds
+          val pa = cachedEventsWorld(s2, dir, "spja",
+            Seq(DimSpec("event_id", sd0)), Seq("event_id", "event_type"))
+          val pb = cachedEventsWorld(s2, dir, "spjb",
+            Seq(DimSpec("event_id", sd0)), Seq("event_id", "value"))
           val a = s2.read.format("graft").load(pa).groupBy("c0")
             .agg(count(lit(1)).as("n_events"))
           val b = s2.read.format("graft").load(pb).groupBy("c0")
@@ -337,10 +341,9 @@ object DmdsQueries {
         (s, dir) => {
           val sd0 = DimMapping(0L, (1L << 20) - 1, 8192L)
           val sd1 = DimMapping(0L, (1L << 14) - 1, 128L)
-          val path = s"/tmp/graft_world_topn_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
-          val w = new World(s, path,
-            Seq(DimSpec("event_id", sd0), DimSpec("user_id", sd1)))
-          w.create(events(s, dir).select("event_id", "user_id"))
+          val path = cachedEventsWorld(s, dir, "topn",
+            Seq(DimSpec("event_id", sd0), DimSpec("user_id", sd1)),
+            Seq("event_id", "user_id"))
           s.read.format("graft").load(path)
             .orderBy(col("c0").desc, col("c1"))
             .limit(500)
@@ -367,11 +370,10 @@ object DmdsQueries {
         (s, dir) => {
           val sd0 = DimMapping(0L, (1L << 20) - 1, 8192L)
           val sd1 = DimMapping(0L, (1L << 14) - 1, 128L)
-          val path = s"/tmp/graft_world_z_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
-          val w = new World(s, path,
-            Seq(DimSpec("event_id", sd0), DimSpec("user_id", sd1)))
-          w.create(events(s, dir).select("event_id", "user_id", "event_type", "value"),
-            zorderWithinChunks = true)
+          val wspecs = Seq(DimSpec("event_id", sd0), DimSpec("user_id", sd1))
+          val path = cachedEventsWorld(s, dir, "z", wspecs,
+            Seq("event_id", "user_id", "event_type", "value"), zorder = true)
+          val w = new World(s, path, wspecs)
           w.select(0, Bounds.to(2000, 9999)).and(1, Bounds.to(64, 191)).iter()
             .where(col("event_id").between(2000, 9999) &&
               col("user_id").between(64, 191))
