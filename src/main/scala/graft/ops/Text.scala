@@ -149,4 +149,145 @@ object Text {
     transform(sequence(lit(0), nChunks - 1),
       i => concat_ws(" ", slice(words, i * stride + 1, lit(window))))
   }
+
+  /** Applies a trained BPE merge table ([[bpeTrain]]'s output) to tokenize
+    * documents — the APPLY half of the tokenizer loop: per word, start from
+    * the character sequence in the same `||t1||t2||` canonical string the
+    * trainer uses and fold the merges in step order (each application is
+    * the same left-to-right non-overlapping `replace` the trainer performs,
+    * so encode reproduces training's greedy semantics exactly).
+    *
+    * Scale shape: the merge table is a model artifact (|merges| rows,
+    * driver-bounded by construction) collapsed into ONE broadcast row
+    * holding a step-sorted array; encoding is then a single per-row
+    * codegen-free HOF chain (`transform` over words, `aggregate` over
+    * merges) — shuffle-free, streams through a 100 TB scan. No UDF: the
+    * fold is Catalyst `aggregate`, the merge application is `replace`.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val ms = merges.agg(array_sort(
+      collect_list(struct(col("step"), col("lhs"), col("rhs")))).as("ms"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+      .crossJoin(broadcast(ms))
+      .withColumn("words", expr("filter(split(lower(trim(txt)), '\\\\s+'), x -> x != '')"))
+      .withColumn("sub", expr(
+        """flatten(transform(words, w ->
+             filter(split(
+               aggregate(ms,
+                 concat('||', array_join(transform(sequence(1, length(w)),
+                   i -> substring(w, i, 1)), '||'), '||'),
+                 (acc, m) -> replace(acc,
+                   concat('|', m.lhs, '||', m.rhs, '|'),
+                   concat('|', m.lhs, m.rhs, '|'))),
+               '[|][|]'), x -> x != '')))"""))
+      .select(col("doc_id"), size(col("sub")).cast("long").as("n_subwords"),
+        array_join(col("sub"), " ").as("subwords"))
+  }
+
+  /** CCNet-style LM quality filtering: train an add-one-smoothed bigram
+    * language model on the `isTrain` split of the corpus, score every
+    * held-out document by its total negative log-likelihood, and gate on
+    * mean NLL per bigram — the perplexity filter real pre-training
+    * pipelines run between dedup and mixing (wiki-trained LM, drop the
+    * high-perplexity tail).
+    *
+    * Exactness: every per-bigram term is rounded ONCE to integer
+    * micro-nats (`round(-ln(p)·1e6)`), and per-document totals are BIGINT
+    * sums of those integers — order-independent and engine-neutral, the
+    * same discipline as the DSIR weights. The gate compares
+    * `nll_unats <= n_bigrams · thresholdUnats` in integer arithmetic (no
+    * float division ever happens), so `kept` is exact too.
+    *
+    * Model definition (fixed, both engines): tokens are
+    * lower/trim/`\s+`-split; vocab = distinct train tokens, V = |vocab|+1
+    * (one slot for `<unk>`); held-out tokens outside the vocab map to
+    * `<unk>`; P(v|u) = (c2(u,v)+1)/(c1(u)+V) with c1 = train unigram
+    * count (0 for `<unk>`), c2 = train bigram count. Documents with < 2
+    * tokens score 0/0 and are kept.
+    *
+    * Scale shape: token/bigram extraction is per-row and shuffle-free;
+    * c1/c2 are map-side-combined word-key aggregations; the held-out
+    * scoring joins are key-partitioned hash joins on word / word-pair
+    * (AQE broadcasts them when the LM is small, and when it isn't — a
+    * 100 TB corpus' bigram table — a shuffle join on the pair key is the
+    * right plan); the single scalar (V) rides a broadcast cross join.
+    * Nothing ever collects to the driver.
+    */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      isTrain: Column, thresholdUnats: Long = 5000000L): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), isTrain.as("is_train"), col(textCol).as("txt"))
+      .withColumn("w", expr("filter(split(lower(trim(txt)), '\\\\s+'), x -> x != '')"))
+    val toks = base.select(col("is_train"), explode(col("w")).as("u"))
+    val c1 = toks.where(col("is_train")).groupBy("u").agg(count(lit(1)).as("c1"))
+    val vTot = c1.agg((count(lit(1)) + 1L).cast("double").as("v")) // +1: <unk>
+    def pairs(df: DataFrame): DataFrame = df
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1))).as("p"))
+      .select(col("doc_id"), col("p").getField("0").as("u"), col("p").getField("1").as("v"))
+    val c2 = pairs(base.where(col("is_train")))
+      .groupBy("u", "v").agg(count(lit(1)).as("c2"))
+    // held-out bigrams -> <unk>-mapped (vocab membership via the c1 table
+    // itself; a null c1 after the left join IS the out-of-vocab signal)
+    val mapped = pairs(base.where(not(col("is_train"))))
+      .join(c1.select(col("u"), lit(1).as("in_u")), Seq("u"), "left_outer")
+      .join(c1.select(col("u").as("v"), lit(1).as("in_v")), Seq("v"), "left_outer")
+      .select(col("doc_id"),
+        when(col("in_u").isNotNull, col("u")).otherwise(lit("<unk>")).as("mu"),
+        when(col("in_v").isNotNull, col("v")).otherwise(lit("<unk>")).as("mv"))
+    val scored = mapped
+      .join(c1.select(col("u").as("mu"), col("c1")), Seq("mu"), "left_outer")
+      .join(c2.select(col("u").as("mu"), col("v").as("mv"), col("c2")),
+        Seq("mu", "mv"), "left_outer")
+      .crossJoin(broadcast(vTot))
+      .select(col("doc_id"),
+        round(-log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))) * 1e6, 0)
+          .cast("long").as("t_unats"))
+      .groupBy("doc_id")
+      .agg(sum("t_unats").as("nll_unats"), count(lit(1)).as("n_bigrams"))
+    base.where(not(col("is_train"))).select("doc_id")
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("nll_unats"), lit(0L)).as("nll_unats"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+      .withColumn("kept",
+        (col("nll_unats") <= col("n_bigrams") * lit(thresholdUnats)).cast("long"))
+  }
+
+  /** Token-distribution drift between two corpus splits: per-word
+    * contribution to KL(P_left ‖ P_right) over add-one-smoothed unigram
+    * distributions, top `topK` contributors — the monitoring pass that
+    * catches a data-mix shift (a crawl snapshot gone weird, a source
+    * suddenly over-represented) before it trains into a model.
+    *
+    * Each contribution `P·ln(P/Q)` is computed from exact integer counts
+    * and rounded ONCE to nano-nats (1e-9), so rows are engine-neutral;
+    * the sum of the full (un-limited) column is the total divergence.
+    * Scale shape: one map-side-combined groupBy on the word key, a scalar
+    * broadcast for the totals, and a TakeOrdered top-k — no global sort.
+    */
+  def tokenKlDrift(docs: DataFrame, textCol: String, isLeft: Column,
+      topK: Int = 50): DataFrame = {
+    val toks = docs
+      .select(isLeft.as("is_left"), col(textCol).as("txt"))
+      .select(col("is_left"),
+        explode(expr("filter(split(lower(trim(txt)), '\\\\s+'), x -> x != '')")).as("w"))
+    val byWord = toks.groupBy("w").agg(
+      sum(when(col("is_left"), 1L).otherwise(0L)).as("cl"),
+      sum(when(not(col("is_left")), 1L).otherwise(0L)).as("cr"))
+    val totals = byWord.agg(
+      sum("cl").cast("double").as("tl"), sum("cr").cast("double").as("tr"),
+      count(lit(1)).cast("double").as("vv"))
+    val p = (col("cl") + lit(1.0)) / (col("tl") + col("vv"))
+    val q = (col("cr") + lit(1.0)) / (col("tr") + col("vv"))
+    byWord.crossJoin(broadcast(totals))
+      .select(col("w").as("word"), col("cl"), col("cr"),
+        round(p * (log(p) - log(q)) * 1e9, 0).cast("long").as("kl_nnats"))
+      .orderBy(col("kl_nnats").desc, col("word"))
+      .limit(topK)
+  }
 }

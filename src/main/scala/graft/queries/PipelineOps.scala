@@ -516,6 +516,107 @@ object PipelineOps {
                 FROM h)
               SELECT doc_id, source, bucket, rate
               FROM b WHERE bucket < rate ORDER BY doc_id""")
+    ),
+
+    // CCNet-style perplexity filter: bigram LM trained on the 14/16
+    // md5-bucket split (the DSIR source split), held-out docs scored by
+    // total NLL in integer micro-nats and gated at mean 5 nats/bigram —
+    // all integer arithmetic after one per-term rounding, so the DuckDB
+    // twin (same fixed model definition) matches hash-exactly. See
+    // ops.Text.lmPerplexity for the model and scale-shape contract.
+    "p_lm_perplexity" -> QueryDef(
+      (s, dir) => graft.ops.Text.lmPerplexity(
+        t(s, dir, "documents"), "doc_id", "text",
+        md5Bucket(col("doc_id")) < 14)
+        .orderBy("doc_id"),
+      Some("""WITH h AS (
+                SELECT doc_id, text,
+                  ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS a
+                FROM documents),
+              d AS (
+                SELECT doc_id, text,
+                  (CASE WHEN a >= 97 THEN a - 87 ELSE a - 48 END) < 14 AS is_train
+                FROM h),
+              w AS (
+                SELECT doc_id, is_train,
+                  list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    x -> x <> '') AS words
+                FROM d),
+              tok AS (SELECT is_train, unnest(words) AS u FROM w),
+              c1 AS (SELECT u, COUNT(*) AS c1 FROM tok WHERE is_train GROUP BY u),
+              vv AS (SELECT CAST(COUNT(*) + 1 AS DOUBLE) AS v FROM c1),
+              pr AS (
+                SELECT doc_id, is_train,
+                  unnest(list_transform(range(1, len(words)), x -> words[x])) AS u,
+                  unnest(list_transform(range(1, len(words)), x -> words[x + 1])) AS v
+                FROM w WHERE len(words) >= 2),
+              c2 AS (SELECT u, v, COUNT(*) AS c2 FROM pr WHERE is_train GROUP BY u, v),
+              tp AS (
+                SELECT p.doc_id,
+                  CASE WHEN cu.u IS NULL THEN '<unk>' ELSE p.u END AS mu,
+                  CASE WHEN cv.u IS NULL THEN '<unk>' ELSE p.v END AS mv
+                FROM pr p
+                LEFT JOIN c1 cu ON p.u = cu.u
+                LEFT JOIN c1 cv ON p.v = cv.u
+                WHERE NOT p.is_train),
+              terms AS (
+                SELECT t.doc_id,
+                  CAST(ROUND(-ln((COALESCE(c2.c2, 0) + 1.0)
+                    / (COALESCE(c1.c1, 0) + vv.v)) * 1e6, 0) AS BIGINT) AS t_unats
+                FROM tp t
+                LEFT JOIN c1 ON t.mu = c1.u
+                LEFT JOIN c2 ON t.mu = c2.u AND t.mv = c2.v
+                CROSS JOIN vv),
+              agg AS (
+                SELECT doc_id, SUM(t_unats) AS nll_unats, COUNT(*) AS n_bigrams
+                FROM terms GROUP BY doc_id)
+              SELECT d.doc_id,
+                CAST(COALESCE(a.nll_unats, 0) AS BIGINT) AS nll_unats,
+                CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(COALESCE(a.nll_unats, 0)
+                  <= COALESCE(a.n_bigrams, 0) * 5000000 AS BIGINT) AS kept
+              FROM d LEFT JOIN agg a USING (doc_id)
+              WHERE NOT d.is_train
+              ORDER BY doc_id""")
+    ),
+
+    // token-distribution drift between the two halves of the md5 split:
+    // top-50 per-word contributions to KL(P_left || P_right), nano-nat
+    // integers (exact after one rounding). The monitoring pass a mix shift
+    // shows up in first. See ops.Text.tokenKlDrift.
+    "p_kl_drift" -> QueryDef(
+      (s, dir) => graft.ops.Text.tokenKlDrift(
+        t(s, dir, "documents"), "text",
+        md5Bucket(col("doc_id")) < 8, topK = 50),
+      Some("""WITH h AS (
+                SELECT doc_id, text,
+                  ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS a
+                FROM documents),
+              d AS (
+                SELECT text,
+                  (CASE WHEN a >= 97 THEN a - 87 ELSE a - 48 END) < 8 AS is_left
+                FROM h),
+              tok AS (
+                SELECT is_left,
+                  unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    x -> x <> '')) AS w
+                FROM d),
+              bw AS (
+                SELECT w,
+                  CAST(SUM(CASE WHEN is_left THEN 1 ELSE 0 END) AS BIGINT) AS cl,
+                  CAST(SUM(CASE WHEN NOT is_left THEN 1 ELSE 0 END) AS BIGINT) AS cr
+                FROM tok GROUP BY w),
+              tot AS (
+                SELECT CAST(SUM(cl) AS DOUBLE) AS tl, CAST(SUM(cr) AS DOUBLE) AS tr,
+                  CAST(COUNT(*) AS DOUBLE) AS vv
+                FROM bw)
+              SELECT w AS word, cl, cr,
+                CAST(ROUND(((cl + 1.0) / (tl + vv))
+                  * (ln((cl + 1.0) / (tl + vv)) - ln((cr + 1.0) / (tr + vv)))
+                  * 1e9, 0) AS BIGINT) AS kl_nnats
+              FROM bw CROSS JOIN tot
+              ORDER BY kl_nnats DESC, word
+              LIMIT 50""")
     )
   )
 }

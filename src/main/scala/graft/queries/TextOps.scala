@@ -218,6 +218,84 @@ object TextOps {
               ORDER BY step""")
     ),
 
+    // the APPLY half of the tokenizer loop: train 3 merges, then encode
+    // every document with them (ops.Text.bpeEncode — broadcast merge
+    // array, per-row HOF fold). The oracle re-runs the same 3 unrolled
+    // training steps as t_bpe_train's and applies them as an unrolled
+    // replace chain, so a drift in EITHER training or application breaks
+    // the hash. (Both sides assume >= 3 merges exist in the corpus —
+    // t_bpe_train's standing assumption at every driver SF.)
+    "t_bpe_encode" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = try graft.ops.Text.bpeTrain(docs, "text", 3)
+          finally graft.ops.Pins.releaseAll()
+        graft.ops.Text.bpeEncode(docs, "doc_id", "text",
+          merges.select("step", "lhs", "rhs")).orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+                  SELECT unnest(list_filter(
+                    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+                  FROM documents) GROUP BY w),
+              t0 AS (
+                SELECT freq, '||' || array_to_string(
+                  list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), '||')
+                  || '||' AS toks
+                FROM w),
+              p1 AS (
+                SELECT p['l'] AS lhs, p['r'] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM (SELECT freq, unnest(list_transform(range(1, len(a)),
+                        i -> {'l': a[i], 'r': a[i + 1]})) AS p
+                      FROM (SELECT freq, list_filter(string_split(toks, '||'),
+                              x -> x <> '') AS a FROM t0))
+                GROUP BY 1, 2),
+              m1 AS (SELECT lhs, rhs FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+              t1 AS (
+                SELECT freq, replace(toks, '|' || m1.lhs || '||' || m1.rhs || '|',
+                  '|' || m1.lhs || m1.rhs || '|') AS toks
+                FROM t0, m1),
+              p2 AS (
+                SELECT p['l'] AS lhs, p['r'] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM (SELECT freq, unnest(list_transform(range(1, len(a)),
+                        i -> {'l': a[i], 'r': a[i + 1]})) AS p
+                      FROM (SELECT freq, list_filter(string_split(toks, '||'),
+                              x -> x <> '') AS a FROM t1))
+                GROUP BY 1, 2),
+              m2 AS (SELECT lhs, rhs FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+              t2 AS (
+                SELECT freq, replace(toks, '|' || m2.lhs || '||' || m2.rhs || '|',
+                  '|' || m2.lhs || m2.rhs || '|') AS toks
+                FROM t1, m2),
+              p3 AS (
+                SELECT p['l'] AS lhs, p['r'] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM (SELECT freq, unnest(list_transform(range(1, len(a)),
+                        i -> {'l': a[i], 'r': a[i + 1]})) AS p
+                      FROM (SELECT freq, list_filter(string_split(toks, '||'),
+                              x -> x <> '') AS a FROM t2))
+                GROUP BY 1, 2),
+              m3 AS (SELECT lhs, rhs FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+              d AS (SELECT doc_id, list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS words
+                   FROM documents),
+              e AS (SELECT doc_id, flatten(list_transform(words, w ->
+                     list_filter(string_split(
+                       replace(replace(replace(
+                         '||' || array_to_string(list_transform(range(1, len(w) + 1),
+                           i -> substr(w, i, 1)), '||') || '||',
+                         '|' || m1.lhs || '||' || m1.rhs || '|',
+                         '|' || m1.lhs || m1.rhs || '|'),
+                         '|' || m2.lhs || '||' || m2.rhs || '|',
+                         '|' || m2.lhs || m2.rhs || '|'),
+                         '|' || m3.lhs || '||' || m3.rhs || '|',
+                         '|' || m3.lhs || m3.rhs || '|'),
+                       '||'), x -> x <> ''))) AS sub
+                   FROM d, m1, m2, m3)
+              SELECT doc_id, CAST(len(sub) AS BIGINT) AS n_subwords,
+                array_to_string(sub, ' ') AS subwords
+              FROM e ORDER BY doc_id""")
+    ),
+
     // tokenizer-design statistic: cumulative corpus coverage of the top-k
     // vocabulary (what OOV rate a size-k vocab buys). Exact integer basis
     // points; the running sum's window sits over the ALREADY-AGGREGATED

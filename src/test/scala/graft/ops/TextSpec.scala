@@ -61,4 +61,59 @@ class TextSpec extends AnyFunSuite with BeforeAndAfterAll {
     train(corpus("low lower lowest"), 2)
     assert(Pins.retainedCount == 0)
   }
+
+  // ---- lmPerplexity: hand-computed bigram-LM fixtures. The oracle query
+  // (p_lm_perplexity) proves engine parity at corpus scale but its corpus
+  // has a closed vocabulary, so the <unk> path only executes HERE.
+  // Model: c1(a)=3 c1(b)=2 c1(c)=1 from train "a b","a b","a c"; V=4.
+  private def lmScores(heldout: String*): Map[Long, (Long, Long, Long)] = {
+    import spark.implicits._
+    val train = Seq((1L, true, "a b"), (2L, true, "a b"), (3L, true, "a c"))
+    val test = heldout.zipWithIndex.map { case (t, i) => (100L + i, false, t) }
+    val df = (train ++ test).toDF("doc_id", "is_train", "text")
+    Text.lmPerplexity(df, "doc_id", "text", org.apache.spark.sql.functions.col("is_train"),
+        thresholdUnats = 1000000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("lmPerplexity: in-vocab bigram scores -ln((c2+1)/(c1+V)) in micro-nats") {
+    // "a b": c2(a,b)=2, c1(a)=3 -> -ln(3/7) = 0.847297860... -> 847298
+    val got = lmScores("a b")
+    assert(got(100L) == ((847298L, 1L, 1L))) // kept: 847298 <= 1*1e6
+  }
+
+  test("lmPerplexity: out-of-vocab second word maps to <unk> (c2=0, c1(u) kept)") {
+    // "a z": (a,<unk>) -> -ln((0+1)/(3+4)) = ln 7 = 1.945910... -> 1945910
+    val got = lmScores("a z")
+    assert(got(100L) == ((1945910L, 1L, 0L))) // dropped at 1 nat/bigram
+  }
+
+  test("lmPerplexity: fully-OOV context scores against c1(<unk>)=0") {
+    // "z q a": (<unk>,<unk>) and (<unk>,a), both -ln(1/4) -> 1386294 each
+    val got = lmScores("z q a")
+    assert(got(100L) == ((2772588L, 2L, 0L))) // 2772588 > 2*1e6 -> dropped
+  }
+
+  test("lmPerplexity: sub-bigram docs score 0/0 and are kept") {
+    val got = lmScores("z", "")
+    assert(got(100L) == ((0L, 0L, 1L)))
+    assert(got(101L) == ((0L, 0L, 1L)))
+  }
+
+  // ---- tokenKlDrift: left "a a b" vs right "a c"; V=3, tl=3, tr=2.
+  test("tokenKlDrift: per-word KL contributions in nano-nats, ordered desc") {
+    import spark.implicits._
+    val df = Seq((true, "a a b"), (false, "a c")).toDF("is_left", "text")
+    val got = Text.tokenKlDrift(df, "text", org.apache.spark.sql.functions.col("is_left"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // b: (1/3)*ln((1/3)/(1/5)) = .170275208 -> 170275208
+    // a: (1/2)*ln(.5/.4)       = .111571776 -> 111571776
+    // c: (1/6)*ln((1/6)/(2/5)) = -.145911456 -> -145911456
+    assert(got == Seq(
+      ("b", 1L, 0L, 170275208L),
+      ("a", 2L, 1L, 111571776L),
+      ("c", 0L, 1L, -145911456L)))
+  }
 }
