@@ -166,6 +166,28 @@ object Text {
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
       merges: DataFrame): DataFrame = {
+    // the merge table is a model artifact, |merges| rows by construction
+    // (bpeTrain already assembled it on the driver) — the same bounded-
+    // collect class as Similarity's k-centroid index; it ships to tasks
+    // inside the expression, not as a join side
+    val ms = merges.orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.BpeApply(col(textCol), ms).as("subwords"))
+      // two-step so the kernel runs once per row (CollapseProject keeps
+      // multiply-referenced non-trivial aliases in their own projection)
+      .select(col("doc_id"),
+        when(col("subwords") === "", 0L)
+          .otherwise(size(split(col("subwords"), " ")).cast("long")).as("n_subwords"),
+        col("subwords"))
+  }
+
+  /** The interpreted HOF fold `bpeEncode` replaced — kept ONLY as the
+    * parity reference for TextSpec's byte-identical pin (the per-occurrence
+    * re-fold cost 5.0 s at sf0.1; [[graft.functions.BpeApply]] memoizes
+    * per-word encodings instead). */
+  private[graft] def bpeEncodeHof(docs: DataFrame, idCol: String,
+      textCol: String, merges: DataFrame): DataFrame = {
     val ms = merges.agg(array_sort(
       collect_list(struct(col("step"), col("lhs"), col("rhs")))).as("ms"))
     docs.select(col(idCol).as("doc_id"), col(textCol).as("txt"))

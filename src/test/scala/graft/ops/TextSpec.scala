@@ -62,6 +62,45 @@ class TextSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Pins.retainedCount == 0)
   }
 
+  test("bpeEncode: applies merges in step order with the trainer's greedy semantics") {
+    import spark.implicits._
+    // merges from the 'aaa' fixture: (a,a) then (aa,a)
+    val merges = Seq((1L, "a", "a"), (2L, "aa", "a")).toDF("step", "lhs", "rhs")
+    val docs = Seq((1L, "aaa aa a"), (2L, "aaaa"), (3L, "b aab")).toDF("doc_id", "text")
+    val got = Text.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // aaa: a|a|a -(a,a greedy left)-> aa|a -(aa,a)-> aaa; aa -> aa; a -> a
+    assert(got(1L) == ((3L, "aaa aa a")))
+    // aaaa: -(a,a)-> aa|aa (two non-overlapping); (aa,a) no |aa||a| match
+    assert(got(2L) == ((2L, "aa aa")))
+    // b untouched; aab: -(a,a)-> aa|b, (aa,a) no match -> aa b
+    assert(got(3L) == ((3L, "b aa b")))
+  }
+
+  test("bpeEncode: native kernel is byte-identical to the HOF fold it replaced") {
+    import spark.implicits._
+    val merges = Seq((1L, "l", "o"), (2L, "lo", "w"), (3L, "e", "r")).toDF("step", "lhs", "rhs")
+    val docs = Seq(
+      (1L, "low lower lowest slow"),
+      (2L, "  Mixed CASE  and   spacing "),
+      (3L, "héllo ünïcode éé"), // multi-byte code points
+      (4L, ""), (5L, "x")).toDF("doc_id", "text")
+    val native = Text.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val hof = Text.bpeEncodeHof(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(native == hof)
+  }
+
+  test("bpeEncode: empty merge table yields character tokens") {
+    import spark.implicits._
+    val merges = Seq.empty[(Long, String, String)].toDF("step", "lhs", "rhs")
+    val docs = Seq((1L, "ab c")).toDF("doc_id", "text")
+    val got = Text.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(got.head == ((3L, "a b c")))
+  }
+
   // ---- lmPerplexity: hand-computed bigram-LM fixtures. The oracle query
   // (p_lm_perplexity) proves engine parity at corpus scale but its corpus
   // has a closed vocabulary, so the <unk> path only executes HERE.
