@@ -238,40 +238,66 @@ object Text {
     */
   def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
       isTrain: Column, thresholdUnats: Long = 5000000L): DataFrame = {
-    val base = docs
-      .select(col(idCol).as("doc_id"), isTrain.as("is_train"), col(textCol).as("txt"))
+    val tagged = docs.select(col(idCol), isTrain.as("is_train"), col(textCol))
+    lmScore(trainLm(tagged.where(col("is_train")), textCol),
+      tagged.where(not(col("is_train"))), idCol, textCol, thresholdUnats)
+  }
+
+  /** The bigram LM as a first-class model artifact: unigram counts, bigram
+    * counts, and the smoothing denominator scalar — all DataFrames, so a
+    * model trains once (possibly persisted as a World / parquet tables) and
+    * scores many corpora or stream batches. */
+  final case class LmModel(c1: DataFrame, c2: DataFrame, vTot: DataFrame)
+
+  private def lmBase(docs: DataFrame, idCols: Seq[Column], textCol: String): DataFrame =
+    docs.select(idCols :+ col(textCol).as("txt"): _*)
       .withColumn("w", expr("filter(split(lower(trim(txt)), '\\\\s+'), x -> x != '')"))
-    val toks = base.select(col("is_train"), explode(col("w")).as("u"))
-    val c1 = toks.where(col("is_train")).groupBy("u").agg(count(lit(1)).as("c1"))
-    val vTot = c1.agg((count(lit(1)) + 1L).cast("double").as("v")) // +1: <unk>
-    def pairs(df: DataFrame): DataFrame = df
-      .where(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(arrays_zip(
-        slice(col("w"), lit(1), size(col("w")) - 1),
-        slice(col("w"), lit(2), size(col("w")) - 1))).as("p"))
-      .select(col("doc_id"), col("p").getField("0").as("u"), col("p").getField("1").as("v"))
-    val c2 = pairs(base.where(col("is_train")))
+
+  private def lmPairs(base: DataFrame, idCols: Seq[Column]): DataFrame = base
+    .where(size(col("w")) >= 2)
+    .select(idCols :+ explode(arrays_zip(
+      slice(col("w"), lit(1), size(col("w")) - 1),
+      slice(col("w"), lit(2), size(col("w")) - 1))).as("p"): _*)
+    .select(idCols :+ col("p").getField("0").as("u") :+ col("p").getField("1").as("v"): _*)
+
+  /** Trains the add-one-smoothed bigram LM of [[lmPerplexity]]'s model
+    * definition over `docs` (two map-side-combined word-key aggregations;
+    * nothing collects). */
+  def trainLm(docs: DataFrame, textCol: String): LmModel = {
+    val base = lmBase(docs, Seq.empty, textCol)
+    val c1 = base.select(explode(col("w")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("c1"))
+    val c2 = lmPairs(base.withColumn("doc_id", lit(0L)), Seq(col("doc_id")))
       .groupBy("u", "v").agg(count(lit(1)).as("c2"))
-    // held-out bigrams -> <unk>-mapped (vocab membership via the c1 table
-    // itself; a null c1 after the left join IS the out-of-vocab signal)
-    val mapped = pairs(base.where(not(col("is_train"))))
-      .join(c1.select(col("u"), lit(1).as("in_u")), Seq("u"), "left_outer")
-      .join(c1.select(col("u").as("v"), lit(1).as("in_v")), Seq("v"), "left_outer")
+    val vTot = c1.agg((count(lit(1)) + 1L).cast("double").as("v")) // +1: <unk>
+    LmModel(c1, c2, vTot)
+  }
+
+  /** Scores `docs` against a trained [[LmModel]] — the held-out half of
+    * [[lmPerplexity]], reusable against any corpus or stream batch. */
+  def lmScore(model: LmModel, docs: DataFrame, idCol: String, textCol: String,
+      thresholdUnats: Long = 5000000L): DataFrame = {
+    val base = lmBase(docs, Seq(col(idCol).as("doc_id")), textCol)
+    // bigrams -> <unk>-mapped (vocab membership via the c1 table itself; a
+    // null c1 after the left join IS the out-of-vocab signal)
+    val mapped = lmPairs(base, Seq(col("doc_id")))
+      .join(model.c1.select(col("u"), lit(1).as("in_u")), Seq("u"), "left_outer")
+      .join(model.c1.select(col("u").as("v"), lit(1).as("in_v")), Seq("v"), "left_outer")
       .select(col("doc_id"),
         when(col("in_u").isNotNull, col("u")).otherwise(lit("<unk>")).as("mu"),
         when(col("in_v").isNotNull, col("v")).otherwise(lit("<unk>")).as("mv"))
     val scored = mapped
-      .join(c1.select(col("u").as("mu"), col("c1")), Seq("mu"), "left_outer")
-      .join(c2.select(col("u").as("mu"), col("v").as("mv"), col("c2")),
+      .join(model.c1.select(col("u").as("mu"), col("c1")), Seq("mu"), "left_outer")
+      .join(model.c2.select(col("u").as("mu"), col("v").as("mv"), col("c2")),
         Seq("mu", "mv"), "left_outer")
-      .crossJoin(broadcast(vTot))
+      .crossJoin(broadcast(model.vTot))
       .select(col("doc_id"),
         round(-log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
           (coalesce(col("c1"), lit(0L)) + col("v"))) * 1e6, 0)
           .cast("long").as("t_unats"))
       .groupBy("doc_id")
       .agg(sum("t_unats").as("nll_unats"), count(lit(1)).as("n_bigrams"))
-    base.where(not(col("is_train"))).select("doc_id")
+    base.select("doc_id")
       .join(scored, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("nll_unats"), lit(0L)).as("nll_unats"),

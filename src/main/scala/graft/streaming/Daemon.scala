@@ -140,6 +140,40 @@ object Daemon {
     q
   }
 
+  /** Streaming face of the perplexity filter ([[graft.ops.Text.lmScore]]):
+    * each micro-batch is scored against a FIXED bigram LM (trained offline
+    * with [[graft.ops.Text.trainLm]] — the model tables can live as
+    * parquet/World-backed DataFrames) and only documents under the NLL
+    * gate reach the sink. Stateless per batch (the model never updates
+    * mid-stream — retraining is a deploy, exactly like a real tokenizer or
+    * quality model), so replay is idempotent through the sink's upsert
+    * semantics; per-batch pin release as in the dedup faces.
+    */
+  def lmGateStream(model: graft.ops.Text.LmModel, sink: World,
+      source: DataFrame, idCol: String, textCol: String, checkpoint: String,
+      interval: String = "5 seconds",
+      thresholdUnats: Long = 5000000L): StreamingQuery = {
+    val q = source.writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          try {
+            val b = batch.toDF()
+            val kept = graft.ops.Text
+              .lmScore(model, b, idCol, textCol, thresholdUnats)
+              .where(org.apache.spark.sql.functions.col("kept") === 1L)
+              .select(org.apache.spark.sql.functions.col("doc_id").as(idCol))
+            sink.insert(b.join(kept, idCol))
+            ()
+          } finally graft.ops.Pins.releaseAll()
+        }
+      }
+      .start()
+    installShutdownFlush(q)
+    q
+  }
+
   /** `ShutdownHandle` analog (tokio-fs/src/lib.rs:154-200): on JVM exit,
     * stop the query after the in-flight batch — no dirty data beyond the
     * last committed checkpoint is ever claimed durable. */

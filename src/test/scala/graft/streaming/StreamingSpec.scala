@@ -206,6 +206,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sinkIds == Set(1L, 2L, 11L))
   }
 
+  test("LM gate daemon: batches score against a fixed offline model; only under-gate docs reach the sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // model from TextSpec's fixture: c1(a)=3 c1(b)=2 c1(c)=1, V=4.
+    // "a b" scores 847298 unats/bigram; "a z" (OOV) 1945910 -> a 1-nat gate
+    // keeps the former and drops the latter.
+    val model = graft.ops.Text.trainLm(
+      Seq("a b", "a b", "a c").toDF("text"), "text")
+    val sink = new World(spark, tmp(), Seq(DimSpec("doc_id", DimMapping(0, 1023, 8))))
+    sink.create(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val src = MemoryStream[(Long, String)]
+    val q = Daemon.lmGateStream(model, sink, src.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", tmp(), interval = "1 second", thresholdUnats = 1000000L)
+    try {
+      src.addData((1L, "a b"), (2L, "a z"))
+      q.processAllAvailable()
+      def sinkIds = sink.df.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sinkIds == Set(1L), "OOV doc over the gate must not reach the sink")
+
+      // 3: (a,c)+(c,a)+(a,b) = 1252763+1609438+847298 unats over 3 bigrams
+      // -> 1.24 nats/bigram, over the gate; 4: sub-bigram doc scores 0/0
+      // and is kept; 5: the model's modal bigram, kept
+      src.addData((3L, "a c a b"), (4L, "z"), (5L, "a b"))
+      q.processAllAvailable()
+      assert(sinkIds == Set(1L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("tumbling window with watermark over streamed events matches batch counts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
