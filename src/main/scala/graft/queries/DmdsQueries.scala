@@ -430,6 +430,64 @@ object DmdsQueries {
         Some("""SELECT event_id, user_id,
                   CASE WHEN user_id // 128 = 0 THEN value * 2 ELSE value END AS value
                 FROM events ORDER BY event_id""")
+      ),
+
+      "w_catalog_rowlevel" -> QueryDef(
+        // row-level SQL over the grid through the oracle gate: UPDATE with a
+        // row-level predicate, row-exact DELETE, then MERGE INTO (matched
+        // update + not-matched insert) — the group-based copy-on-write
+        // rewrite (GraftRowLevelOperation) whose replace unit is the chunk,
+        // driven purely as ANSI SQL against a catalog table. The oracle
+        // restates the three statements relationally (CASE for the update,
+        // anti-filter for the delete, left joins for the merge). Isolated
+        // session, same discipline as w_catalog_dml.
+        (s, dir) => {
+          val s2 = s.newSession()
+          s.conf.getAll.foreach { case (k, v) =>
+            try s2.conf.set(k, v) catch { case _: Exception => () }
+          }
+          val wh = "/tmp/graft_cat_rl_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+          s2.conf.set("spark.sql.catalog.wrl", "graft.sources.GraftCatalog")
+          s2.conf.set("spark.sql.catalog.wrl.warehouse", wh)
+          events(s2, dir).createOrReplaceTempView("ev_src_rl")
+          s2.sql("DROP TABLE IF EXISTS wrl.ev_rl")
+          s2.sql("""CREATE TABLE wrl.ev_rl
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wrl.ev_rl
+                    SELECT event_id, user_id, value, user_id DIV 128
+                    FROM ev_src_rl""")
+          s2.sql("UPDATE wrl.ev_rl SET value = value * 3 WHERE user_id % 97 = 5")
+          s2.sql("DELETE FROM wrl.ev_rl WHERE event_id % 101 = 7")
+          s2.sql("""MERGE INTO wrl.ev_rl t
+                    USING (SELECT event_id, user_id, value FROM ev_src_rl
+                           WHERE event_id % 211 = 3) s
+                    ON t.event_id = s.event_id
+                    WHEN MATCHED THEN UPDATE SET value = s.value + 100000
+                    WHEN NOT MATCHED THEN INSERT (event_id, user_id, value, c0)
+                      VALUES (s.event_id + 10000000, s.user_id, s.value,
+                              s.user_id DIV 128)""")
+          s2.sql("""SELECT event_id, user_id, value FROM wrl.ev_rl
+                    ORDER BY event_id""")
+        },
+        Some("""WITH upd AS (
+                  SELECT event_id, user_id,
+                    CASE WHEN user_id % 97 = 5 THEN value * 3 ELSE value END AS value
+                  FROM events),
+                del AS (SELECT * FROM upd WHERE event_id % 101 <> 7),
+                src AS (SELECT event_id, user_id, value FROM events
+                        WHERE event_id % 211 = 3),
+                merged AS (
+                  SELECT d.event_id, d.user_id,
+                    CASE WHEN s.event_id IS NOT NULL THEN s.value + 100000
+                         ELSE d.value END AS value
+                  FROM del d LEFT JOIN src s ON d.event_id = s.event_id),
+                ins AS (
+                  SELECT s.event_id + 10000000 AS event_id, s.user_id, s.value
+                  FROM src s LEFT JOIN del d ON d.event_id = s.event_id
+                  WHERE d.event_id IS NULL)
+                SELECT event_id, user_id, value FROM merged
+                UNION ALL SELECT event_id, user_id, value FROM ins
+                ORDER BY event_id""")
       )
     )
   }

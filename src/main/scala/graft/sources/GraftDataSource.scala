@@ -93,6 +93,14 @@ object GraftDataSource {
     }
   }
 
+  /** Name of the chunk-cell metadata column (see [[GraftTable.metadataColumns]]). */
+  private[sources] val CellColumn = "_cell"
+
+  /** Canonical relative-path form of a cell's bucket tuple: `c0=…/c1=…`. */
+  private[sources] def cellString(buckets: Map[String, Long]): String =
+    buckets.toSeq.sortBy { case (k, _) => k.drop(1).toInt }
+      .map { case (k, v) => s"$k=$v" }.mkString("/")
+
   private[sources] def isBucket(name: String): Boolean =
     BucketCol.matcher(name).matches()
 
@@ -373,8 +381,36 @@ object GraftDataSource {
 
 class GraftTable(path: String, schema: StructType) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft:$path"
+
+  /** `_cell`: the chunk-cell a row lives in (its directory's relative path,
+    * `c0=…/c1=…`) — the grid's analog of other formats' `_file` metadata
+    * column. Queryable directly (`SELECT _cell, * FROM t`), and REQUIRED by
+    * the row-level operation: Spark only routes rows through the write-side
+    * projection when the operation demands metadata attributes, so `_cell`
+    * is also what keeps `__row_operation` out of the replacement writer. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftDataSource.CellColumn
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "chunk cell (relative directory) of the row"
+    })
+
+  /** `UPDATE` / `MERGE INTO` / row-exact `DELETE` as a group-based
+    * copy-on-write rewrite whose replace unit is the chunk — see
+    * [[GraftRowLevelOperation]]. Bucket-only DELETEs still take the
+    * metadata-only [[deleteWhere]] path (Spark prefers `SupportsDelete`
+    * when `canDeleteWhere` accepts); everything it refuses lands here and
+    * becomes a candidate-chunk rewrite instead of a hard failure. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelBuilder(path, schema, info)
 
   /** `DELETE FROM` with a bucket-only condition — the SQL face of the
     * reference's whole-chunk `destroy` (/root/reference/src/world/iter.rs:
@@ -429,7 +465,13 @@ final case class PCount(col: String) extends PushedAgg { def name = s"COUNT($col
 final case class PMin(col: String) extends PushedAgg { def name = s"MIN($col)" }
 final case class PMax(col: String) extends PushedAgg { def name = s"MAX($col)" }
 
-class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
+class GraftScanBuilder(path: String, schema: StructType,
+    // set by row-level operations (UPDATE/DELETE/MERGE rewrites): records
+    // every chunk dir the scan plans, so the operation's write can replace
+    // exactly the groups that were read. Also disables aggregate/limit/topN
+    // pushdown — a copy-on-write scan must surface every row of its
+    // candidate groups, not a summary or prefix of them.
+    rowLevelDirs: Option[java.util.Set[String]] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -446,7 +488,8 @@ class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
     * over a petabyte world touches at most 10 rows per surviving chunk
     * file. Sound with pushed bucket filters (directory-exact, no residual
     * re-check can disqualify an emitted row). */
-  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def pushLimit(l: Int): Boolean =
+    if (rowLevelDirs.isDefined) false else { limit = l; true }
 
   // both SupportsPushDownLimit and SupportsPushDownTopN declare the same
   // default; Scala requires the diamond be resolved explicitly — and both
@@ -477,7 +520,7 @@ class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
         case _ => None
       }
     }
-    if (cols.nonEmpty && cols.forall(_.isDefined)) {
+    if (rowLevelDirs.isEmpty && cols.nonEmpty && cols.forall(_.isDefined)) {
       topN = cols.map(_.get); limit = l; true
     } else false
   }
@@ -489,8 +532,14 @@ class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
     pushed = prunable
     // residual (data-column) filters go back to Spark for the exact
     // re-check, AND ride along to the chunk readers as parquet row-group /
-    // record predicates (vanilla parquet's pushed-and-rechecked discipline)
-    residualFilters = residual
+    // record predicates (vanilla parquet's pushed-and-rechecked discipline).
+    // EXCEPT for a row-level operation's scan: Spark pushes the command's
+    // POSITIVE condition there to prune candidate GROUPS, while the
+    // copy-on-write query keeps the rows NOT matching it — filtering
+    // records (or even row groups) inside a planned chunk would silently
+    // drop the survivor rows the rewrite must re-emit. Bucket filters stay:
+    // a dir they prune is not planned, hence not replaced, hence intact.
+    if (rowLevelDirs.isEmpty) residualFilters = residual
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -546,14 +595,16 @@ class GraftScanBuilder(path: String, schema: StructType) extends ScanBuilder
       case m: Max => oneCol(m.column).filter(minMaxable).map(PMax)
       case _ => None
     }
-    val ok = gb.forall(_.isDefined) && aggs.nonEmpty && aggs.forall(_.isDefined)
+    val ok = rowLevelDirs.isEmpty &&
+      gb.forall(_.isDefined) && aggs.nonEmpty && aggs.forall(_.isDefined)
     if (ok) { pushedAggs = aggs.map(_.get).toSeq; groupCols = gb.map(_.get) }
     ok
   }
 
   override def build(): Scan =
     if (pushedAggs.nonEmpty) new GraftAggScan(path, schema, pushed, pushedAggs, groupCols)
-    else new GraftScan(path, required, pushed, limit, topN, residualFilters)
+    else new GraftScan(path, required, pushed, limit, topN, residualFilters,
+      rowLevelDirs)
 }
 
 /** The pushed-aggregate scan: partitions are chunk files, rows are
@@ -808,7 +859,8 @@ final case class GraftInputPartition(file: String, buckets: Map[String, Long],
 
 class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     limit: Int = -1, topN: Array[(String, Boolean)] = Array.empty,
-    residual: Array[Filter] = Array.empty)
+    residual: Array[Filter] = Array.empty,
+    dirRecorder: Option[java.util.Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -947,6 +999,17 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
           keep
         }
       }
+    // row-level rewrites note every planned dir (post bucket + runtime
+    // pruning — exactly the groups whose rows the rewrite will re-emit).
+    // CLEAR-then-record: BatchScanExec plans once before runtime filters
+    // arrive and again after, and replacing a dir the final plan never
+    // read would delete rows the rewrite doesn't re-emit — the recorder
+    // must reflect only THIS scan's latest plan (each scan instance owns
+    // its set; the operation unions sets at commit).
+    dirRecorder.foreach { r =>
+      r.clear()
+      dirs.foreach { case (d, _) => r.add(d.toUri.getPath) }
+    }
     dirs
       .flatMap { case (dir, b) =>
         GraftDataSource.chunkFiles(fs, dir)
@@ -984,9 +1047,10 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType,
   private var reader: ParquetReader[Group] = _
   private var cur: Group = _
   private var remainingCountRows = 0L
-  // per required field: Left(bucket constant) or Right((name, type)); data
-  // fields missing from the file (schema evolution) read as null
-  private var fields: Array[Either[Long, Option[(String, DataType)]]] = _
+  // per required field: Left(constant — bucket long or _cell string) or
+  // Right((name, type)); data fields missing from the file (schema
+  // evolution) read as null
+  private var fields: Array[Either[Any, Option[(String, DataType)]]] = _
 
   locally {
     val inFile = HadoopInputFile.fromPath(new Path(p.file), conf)
@@ -994,9 +1058,12 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType,
     val fileSchema: MessageType = pfr.getFooter.getFileMetaData.getSchema
     val rowCount = pfr.getRecordCount
     pfr.close()
-    val dataFields = required.fields.filter(f => !GraftDataSource.isBucket(f.name))
+    val dataFields = required.fields.filter(f =>
+      !GraftDataSource.isBucket(f.name) && f.name != GraftDataSource.CellColumn)
     fields = required.fields.map { f =>
       if (GraftDataSource.isBucket(f.name)) Left(p.buckets(f.name))
+      else if (f.name == GraftDataSource.CellColumn)
+        Left(UTF8String.fromString(GraftDataSource.cellString(p.buckets)))
       else if (fileSchema.containsField(f.name)) Right(Some((f.name, f.dataType)))
       else Right(None)
     }
@@ -1044,11 +1111,12 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType,
     var i = 0
     while (i < fields.length) {
       fields(i) match {
-        case Left(bucketVal) =>
+        case Left(bucketVal: Long) =>
           required.fields(i).dataType match {
             case IntegerType => row.update(i, bucketVal.toInt)
             case _           => row.update(i, bucketVal)
           }
+        case Left(constant) => row.update(i, constant)
         case Right(None) => row.setNullAt(i)
         case Right(Some((name, dt))) =>
           if (cur == null || cur.getFieldRepetitionCount(name) == 0) row.setNullAt(i)

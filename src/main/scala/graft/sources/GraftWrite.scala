@@ -50,8 +50,18 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuild
     dynamicOverwrite = true; this
   }
 
-  override def build(): Write = new Write with RequiresDistributionAndOrdering {
-    override def toBatch: BatchWrite =
+  // cluster by the bucket columns and sort by (buckets, remaining
+  // columns): Spark shuffles + sorts BEFORE the writer, so each chunk is
+  // written by exactly one task (one file per chunk, not tasks x chunks
+  // small files) and the per-task writer map holds ONE open parquet
+  // writer at a time instead of every chunk the task touches — the same
+  // clustering World.create does, declared through the DSv2 contract
+  // (shared via GraftWriteLayout). The trailing dim sort (when the
+  // world's dims are registered) tightens intra-file row-group stats for
+  // pushed hint filters; an unregistered path still gets the clustering
+  // and file-count wins.
+  override def build(): Write = {
+    val batch: BatchWrite =
       if (dynamicOverwrite)
         new GraftOverwriteWrite(path, info.schema(), None)
       else if (overwriteBy.isDefined)
@@ -59,52 +69,35 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuild
       else if ("upsert".equalsIgnoreCase(info.options().get("graft.mode")))
         new GraftUpsertWrite(path, info.schema())
       else new GraftBatchWrite(path, info.schema())
+    new Write with RequiresDistributionAndOrdering {
+      private val layout = GraftWriteLayout.withLayout(path, info.schema(), batch)
+        .asInstanceOf[RequiresDistributionAndOrdering]
+      override def toBatch: BatchWrite = batch
 
-    // native `writeStream.format("graft")` — the reference daemon's
-    // write-behind (§2.5) as a first-class DSv2 streaming sink. Append
-    // output mode appends per-epoch; Complete mode (builder.truncate())
-    // replaces the world each epoch; graft.mode=upsert runs World::insert
-    // semantics per epoch.
-    override def toStreaming:
-        org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      val mode =
-        if (overwriteBy.exists(_.forall(
-            _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])))
-          GraftStreamingWrite.Truncate
-        else if ("upsert".equalsIgnoreCase(info.options().get("graft.mode")))
-          GraftStreamingWrite.Upsert
-        else GraftStreamingWrite.Append
-      new GraftStreamingWrite(path, info.schema(), mode)
-    }
+      // native `writeStream.format("graft")` — the reference daemon's
+      // write-behind (§2.5) as a first-class DSv2 streaming sink. Append
+      // output mode appends per-epoch; Complete mode (builder.truncate())
+      // replaces the world each epoch; graft.mode=upsert runs World::insert
+      // semantics per epoch.
+      override def toStreaming:
+          org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        val mode =
+          if (overwriteBy.exists(_.forall(
+              _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])))
+            GraftStreamingWrite.Truncate
+          else if ("upsert".equalsIgnoreCase(info.options().get("graft.mode")))
+            GraftStreamingWrite.Upsert
+          else GraftStreamingWrite.Append
+        new GraftStreamingWrite(path, info.schema(), mode)
+      }
 
-    // cluster by the bucket columns and sort by (buckets, remaining
-    // columns): Spark shuffles + sorts BEFORE the writer, so each chunk is
-    // written by exactly one task (one file per chunk, not tasks x chunks
-    // small files) and the per-task writer map holds ONE open parquet
-    // writer at a time instead of every chunk the task touches — the same
-    // clustering World.create does, declared through the DSv2 contract.
-    // The trailing dim sort (when the world's dims are registered)
-    // tightens intra-file row-group stats for pushed hint filters; an
-    // unregistered path still gets the clustering and file-count wins.
-    private def bucketNames: Array[String] =
-      info.schema().fields.map(_.name).filter(GraftDataSource.isBucket)
+      override def requiredDistribution():
+          org.apache.spark.sql.connector.distributions.Distribution =
+        layout.requiredDistribution()
 
-    override def requiredDistribution():
-        org.apache.spark.sql.connector.distributions.Distribution =
-      org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        bucketNames.map(n => org.apache.spark.sql.connector.expressions.Expressions
-          .identity(n)
-          .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]))
-
-    override def requiredOrdering():
-        Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
-      val fields = info.schema().fieldNames.toSet
-      val dimNames = graft.plans.DimPruningRegistry.lookup(path)
-        .map(_.map(_.column).filter(fields.contains)).getOrElse(Seq.empty)
-      (bucketNames ++ dimNames).map(n =>
-        org.apache.spark.sql.connector.expressions.Expressions.sort(
-          org.apache.spark.sql.connector.expressions.Expressions.column(n),
-          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      override def requiredOrdering():
+          Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        layout.requiredOrdering()
     }
   }
 }
@@ -239,6 +232,82 @@ class GraftOverwriteWrite(path: String, schema: StructType,
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     fs.delete(new Path(stage), true)
   }
+}
+
+/** The write half of [[GraftRowLevelOperation]]: tasks stage replacement
+  * rows into a sibling grid (clustered per cell by the declared
+  * distribution), and commit atomically-enough swaps content — delete the
+  * chunk dirs the operation's scans planned (the groups whose rows the
+  * rewrite re-emitted), then merge the staged cells in. Cells that were
+  * never scanned receive their staged rows ADDITIVELY (per-task unique file
+  * names never clobber): that is exactly right for rows an UPDATE moved
+  * across cells and for MERGE's not-matched inserts. Abort removes the
+  * stage; the world is untouched until commit. */
+class GraftReplaceGroupsWrite(path: String, schema: StructType,
+    scannedDirs: () => java.util.Set[String]) extends BatchWrite {
+  private val stage = s"${path}__graft_rowlevel_stage"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(stage, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val root = new Path(path)
+    val stageRoot = new Path(stage)
+    try {
+      val staged: Seq[(Path, Map[String, Long])] =
+        if (fs.exists(stageRoot))
+          GraftDataSource.walkChunks(fs, stageRoot, Array.empty)
+        else Seq.empty
+      val victims = scannedDirs()
+      victims.forEach { d =>
+        val p = new Path(d)
+        if (fs.exists(p)) GraftStage.deleteChunkDir(fs, p, root)
+      }
+      GraftStage.moveIn(fs, stageRoot, root, staged)
+      GraftDataSource.writeSidecarIfAbsent(path, schema)
+    } finally fs.delete(stageRoot, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    fs.delete(new Path(stage), true)
+  }
+}
+
+/** The clustered-write layout contract shared by every graft batch write:
+  * cluster on the bucket columns (one task per chunk) and sort by
+  * (buckets, registered dims) so each cell lands as one tightly-stat'd
+  * file. Declared once here; [[GraftWriteBuilder]] and the row-level write
+  * both wrap their `BatchWrite` in it. */
+private[sources] object GraftWriteLayout {
+  import org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
+
+  def withLayout(path: String, schema: StructType, batch: BatchWrite): Write =
+    new Write with RequiresDistributionAndOrdering {
+      override def toBatch: BatchWrite = batch
+
+      private def bucketNames: Array[String] =
+        schema.fields.map(_.name).filter(GraftDataSource.isBucket)
+
+      override def requiredDistribution():
+          org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          bucketNames.map(n => org.apache.spark.sql.connector.expressions
+            .Expressions.identity(n)
+            .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]))
+
+      override def requiredOrdering():
+          Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+        val fields = schema.fieldNames.toSet
+        val dimNames = graft.plans.DimPruningRegistry.lookup(path)
+          .map(_.map(_.column).filter(fields.contains)).getOrElse(Seq.empty)
+        (bucketNames ++ dimNames).map(n =>
+          org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions.column(n),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      }
+    }
 }
 
 /** Driver-side chunk-grid surgery shared by the staged write commits. */

@@ -96,16 +96,74 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bucket-only delete removes the chunk directory itself")
     assert(spark.sql("SELECT d0 FROM graftcat.del").collect()
       .map(_.getLong(0)).toSet == ((0L until 20L) ++ (30L until 40L)).toSet)
-    // a row-level condition cannot be honored by whole-chunk removal:
-    // the statement must FAIL, not silently over- or under-delete
-    intercept[Exception](spark.sql("DELETE FROM graftcat.del WHERE d0 = 5"))
-    assert(spark.sql("SELECT count(*) FROM graftcat.del").head.getLong(0) == 30L,
-      "refused delete left the table untouched")
+    // a row-level condition can't be whole-chunk removal; it routes to the
+    // group-based copy-on-write rewrite instead (SupportsRowLevelOperations):
+    // candidate chunks are rewritten with survivors only
+    spark.sql("DELETE FROM graftcat.del WHERE d0 = 5")
+    assert(spark.sql("SELECT d0 FROM graftcat.del").collect()
+      .map(_.getLong(0)).toSet ==
+      ((0L until 20L).toSet - 5L) ++ (30L until 40L).toSet,
+      "row-level delete keeps exactly the survivors")
     spark.sql("TRUNCATE TABLE graftcat.del")
     assert(spark.sql("SELECT count(*) FROM graftcat.del").head.getLong(0) == 0L)
     assert(new java.io.File(s"$warehouse/del/_graft_schema.json").isFile,
       "truncate keeps the table (sidecar) — only chunks are gone")
     spark.sql("DROP TABLE graftcat.del")
+  }
+
+  test("UPDATE: copy-on-write rewrites candidate chunks only; bucket-column updates relocate rows") {
+    spark.sql("CREATE TABLE graftcat.upd (d0 BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO graftcat.upd SELECT id, id DIV 10 FROM range(0, 40)")
+    def filesIn(cell: String): Set[String] = {
+      val d = new java.io.File(s"$warehouse/upd/$cell")
+      if (!d.isDirectory) Set.empty
+      else d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val untouched = filesIn("c0=3")
+    // bucket-pruned condition + data-column predicate: only c0=1 rewrites
+    spark.sql("UPDATE graftcat.upd SET d0 = d0 + 100 WHERE c0 = 1 AND d0 >= 15")
+    assert(spark.sql("SELECT d0 FROM graftcat.upd").collect()
+      .map(_.getLong(0)).toSet ==
+      ((0L until 15L) ++ (115L until 120L) ++ (20L until 40L)).toSet)
+    assert(filesIn("c0=3") == untouched,
+      "chunks outside the pruned candidates must not be rewritten")
+    // updating the BUCKET column relocates the row to its new cell
+    spark.sql("UPDATE graftcat.upd SET c0 = 9 WHERE d0 = 20")
+    assert(spark.sql("SELECT d0 FROM graftcat.upd WHERE c0 = 9").collect()
+      .map(_.getLong(0)).toSet == Set(20L))
+    assert(spark.sql("SELECT d0 FROM graftcat.upd WHERE c0 = 2").collect()
+      .map(_.getLong(0)).toSet == (21L until 30L).toSet,
+      "the moved row must leave its old cell")
+    spark.sql("DROP TABLE graftcat.upd")
+  }
+
+  test("_cell metadata column: rows report their chunk cell when asked") {
+    spark.sql("CREATE TABLE graftcat.mc (d0 BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO graftcat.mc VALUES (1, 0), (11, 1)")
+    val got = spark.sql("SELECT d0, _cell FROM graftcat.mc ORDER BY d0").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "c0=0"), (11L, "c0=1")))
+    // hidden unless selected: SELECT * stays at the declared schema
+    assert(spark.sql("SELECT * FROM graftcat.mc").schema.fieldNames.toSeq ==
+      Seq("d0", "c0"))
+    spark.sql("DROP TABLE graftcat.mc")
+  }
+
+  test("MERGE INTO: matched rows update in place, unmatched source rows insert routed") {
+    spark.sql("CREATE TABLE graftcat.mrg (d0 BIGINT, c0 BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftcat.mrg SELECT id, id DIV 10, 0 FROM range(0, 20)")
+    spark.sql("SELECT * FROM VALUES (5L, 0L, 50L), (15L, 1L, 150L), (25L, 2L, 250L) AS s(d0, c0, v)")
+      .createOrReplaceTempView("m_src")
+    spark.sql("""MERGE INTO graftcat.mrg t USING m_src s ON t.d0 = s.d0
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT (d0, c0, v) VALUES (s.d0, s.c0, s.v)""")
+    val got = spark.sql("SELECT d0, v FROM graftcat.mrg").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 21 && got(5L) == 50L && got(15L) == 150L && got(25L) == 250L)
+    assert(got.view.filterKeys(k => k != 5L && k != 15L && k != 25L).values.forall(_ == 0L))
+    assert(new java.io.File(s"$warehouse/mrg/c0=2").isDirectory,
+      "the not-matched insert landed routed in its chunk cell")
+    spark.sql("DROP TABLE graftcat.mrg")
   }
 
   test("CREATE TABLE AS SELECT materializes a routed world in one statement") {
