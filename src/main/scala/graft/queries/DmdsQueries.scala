@@ -456,11 +456,18 @@ object DmdsQueries {
           s2.sql("""INSERT INTO wrl.ev_rl
                     SELECT event_id, user_id, value, user_id DIV 128
                     FROM ev_src_rl""")
-          s2.sql("UPDATE wrl.ev_rl SET value = value * 3 WHERE user_id % 97 = 5")
-          s2.sql("DELETE FROM wrl.ev_rl WHERE event_id % 101 = 7")
+          // each statement mixes a BUCKET condition (static candidate
+          // pruning bounds the copy-on-write to those cells) with a
+          // row-level data predicate (what makes it a rewrite, not a
+          // metadata delete) — the shape a real scoped backfill has
+          s2.sql("""UPDATE wrl.ev_rl SET value = value * 3
+                    WHERE c0 BETWEEN 2 AND 9 AND user_id % 97 = 5""")
+          s2.sql("""DELETE FROM wrl.ev_rl
+                    WHERE c0 BETWEEN 20 AND 29 AND event_id % 101 = 7""")
           s2.sql("""MERGE INTO wrl.ev_rl t
                     USING (SELECT event_id, user_id, value FROM ev_src_rl
-                           WHERE event_id % 211 = 3) s
+                           WHERE event_id % 211 = 3
+                             AND user_id DIV 128 BETWEEN 40 AND 49) s
                     ON t.event_id = s.event_id
                     WHEN MATCHED THEN UPDATE SET value = s.value + 100000
                     WHEN NOT MATCHED THEN INSERT (event_id, user_id, value, c0)
@@ -471,11 +478,15 @@ object DmdsQueries {
         },
         Some("""WITH upd AS (
                   SELECT event_id, user_id,
-                    CASE WHEN user_id % 97 = 5 THEN value * 3 ELSE value END AS value
+                    CASE WHEN user_id // 128 BETWEEN 2 AND 9 AND user_id % 97 = 5
+                         THEN value * 3 ELSE value END AS value
                   FROM events),
-                del AS (SELECT * FROM upd WHERE event_id % 101 <> 7),
+                del AS (SELECT * FROM upd
+                        WHERE NOT (user_id // 128 BETWEEN 20 AND 29
+                                   AND event_id % 101 = 7)),
                 src AS (SELECT event_id, user_id, value FROM events
-                        WHERE event_id % 211 = 3),
+                        WHERE event_id % 211 = 3
+                          AND user_id // 128 BETWEEN 40 AND 49),
                 merged AS (
                   SELECT d.event_id, d.user_id,
                     CASE WHEN s.event_id IS NOT NULL THEN s.value + 100000
