@@ -518,6 +518,49 @@ object PipelineOps {
               FROM b WHERE bucket < rate ORDER BY doc_id""")
     ),
 
+    // deterministic WEIGHTED sampling (Efraimidis-Spirakis A-ES, the
+    // weighted reservoir scheme, with the RNG replaced by an md5-derived
+    // uniform): per doc u = (first 13 md5 hex digits + 0.5) / 2^52 — an
+    // EXACT power-of-two division, so u is bit-identical on both engines —
+    // and key = -ln(u)/w with w = token count; the k smallest keys per
+    // source are an exact w-weighted sample without replacement. Longer
+    // docs are proportionally likelier, re-running is idempotent, and the
+    // selection is reproducible across engines/partitionings (an RNG
+    // sample is none of those). Keys round once to integer micro-units
+    // (doc_id tie-break), the registry's standard float discipline. One
+    // source-partitioned window, no global sort.
+    "p_weighted_sample" -> QueryDef(
+      (s, dir) => {
+        val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 13), 16, 10).cast("long")
+        val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+        val w = size(split(trim(col("text")), "\\s+")).cast("double")
+        val key = round(-log(u) / w * 1e6, 0).cast("long")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), key.as("key_units"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source").orderBy(col("key_units"), col("doc_id")))
+            .cast("long"))
+          .where(col("rk") <= 10)
+          .orderBy("source", "rk")
+      },
+      Some("""WITH k AS (
+                SELECT doc_id, source,
+                  CAST(ROUND(-ln((CAST(CAST('0x' ||
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                      AS DOUBLE) + 0.5) / 4503599627370496.0)
+                    / len(string_split_regex(trim(text), '\s+')) * 1e6, 0)
+                    AS BIGINT) AS key_units
+                FROM documents),
+              r AS (
+                SELECT doc_id, source, key_units,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY key_units, doc_id) AS BIGINT) AS rk
+                FROM k)
+              SELECT doc_id, source, key_units, rk FROM r
+              WHERE rk <= 10 ORDER BY source, rk""")
+    ),
+
     // CCNet-style perplexity filter: bigram LM trained on the 14/16
     // md5-bucket split (the DSIR source split), held-out docs scored by
     // total NLL in integer micro-nats and gated at mean 5 nats/bigram —
