@@ -34,4 +34,23 @@ object TypedAggs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
     def outputEncoder: Encoder[Seq[Double]] = bufferEncoder
   }
+
+  /** Bounded k-SMALLEST (key, id) pairs, lexicographic — the scale-correct
+    * top-k-per-group shape when groups are FEW and HUGE: a partitioned
+    * window sorts each group in full (one task per group at any size),
+    * while this buffer holds at most k pairs per partition per group and
+    * map-side combines. Used by the weighted sampler (k winners per
+    * source). */
+  final case class MinKPairs(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    def zero: Seq[(Long, Long)] = Vector.empty
+    def reduce(b: Seq[(Long, Long)], v: (Long, Long)): Seq[(Long, Long)] =
+      ((b :+ v): Seq[(Long, Long)]).sorted.take(k)
+    def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      ((a ++ b): Seq[(Long, Long)]).sorted.take(k)
+    def finish(b: Seq[(Long, Long)]): Seq[(Long, Long)] = b
+    def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    def outputEncoder: Encoder[Seq[(Long, Long)]] = bufferEncoder
+  }
 }

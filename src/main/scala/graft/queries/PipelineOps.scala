@@ -527,8 +527,11 @@ object PipelineOps {
     // docs are proportionally likelier, re-running is idempotent, and the
     // selection is reproducible across engines/partitionings (an RNG
     // sample is none of those). Keys round once to integer micro-units
-    // (doc_id tie-break), the registry's standard float discipline. One
-    // source-partitioned window, no global sort.
+    // (doc_id tie-break), the registry's standard float discipline. The
+    // k winners per source ride the bounded MinKPairs aggregator, NOT a
+    // window: sources are few and huge, so a partitioned window would
+    // sort each source in full on one task, while the k-pair buffer
+    // map-side combines and shuffles k rows per source per partition.
     "p_weighted_sample" -> QueryDef(
       (s, dir) => {
         val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
@@ -536,12 +539,14 @@ object PipelineOps {
         val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
         val w = size(split(trim(col("text")), "\\s+")).cast("double")
         val key = round(-log(u) / w * 1e6, 0).cast("long")
+        val topk = udaf(graft.functions.TypedAggs.MinKPairs(10))
         t(s, dir, "documents")
-          .select(col("doc_id"), col("source"), key.as("key_units"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("source").orderBy(col("key_units"), col("doc_id")))
-            .cast("long"))
-          .where(col("rk") <= 10)
+          .select(col("source"), key.as("key_units"), col("doc_id"))
+          .groupBy("source")
+          .agg(topk(col("key_units"), col("doc_id")).as("tk"))
+          .select(col("source"), posexplode(col("tk")).as(Seq("i", "p")))
+          .select(col("p._2").as("doc_id"), col("source"),
+            col("p._1").as("key_units"), (col("i") + 1).cast("long").as("rk"))
           .orderBy("source", "rk")
       },
       Some("""WITH k AS (
