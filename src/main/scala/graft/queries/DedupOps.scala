@@ -162,6 +162,51 @@ object DedupOps {
       None
     ),
 
+    // the SimHash pipeline under the FULL oracle gate, at the operating
+    // point where recall is PROVABLE rather than probabilistic: exact
+    // copies of the first 50 docs re-enter under ids +1_000_000; an
+    // identical text yields an identical 64-bit signature, whose blocks
+    // match in EVERY pigeonhole band — candidate generation cannot miss
+    // the pair, and its verified Hamming distance is exactly 0. The
+    // emitted set is distance-0 pairs RESTRICTED to fingerprint-equal
+    // texts (equal normalized text => equal signature, so the conjunction
+    // only removes 64-bit collisions of DIFFERENT texts, which no SQL
+    // oracle could predict) — derivable in DuckDB by self-joining on the
+    // t_fingerprint normalization. A shift/banding bug (missed pair) or a
+    // distance bug (nonzero hamming) both break the hash; the
+    // probabilistic <=3-distance surface stays covered by d_simhash +
+    // DedupSpec's fixtures.
+    "d_simhash_exact" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val planted = docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val all = docs.unionAll(planted)
+        val fp = all.select(col("doc_id"),
+          md5(graft.functions.NormalizeWs(col("text"))).as("fp"))
+        Dedup.simhashPairs(all, "doc_id", "text", maxDist = 1)
+          .where(col("hamming") === 0)
+          .join(fp.select(col("doc_id").as("id_a"), col("fp").as("fp_a")), "id_a")
+          .join(fp.select(col("doc_id").as("id_b"), col("fp").as("fp_b")), "id_b")
+          .where(col("fp_a") === col("fp_b"))
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH all_docs AS (
+                SELECT doc_id,
+                  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+                FROM documents WHERE doc_id < 50)
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(0 AS BIGINT) AS hamming
+              FROM all_docs a JOIN all_docs b
+                ON a.doc_id < b.doc_id AND a.fp = b.fp
+              ORDER BY id_a, id_b""")
+    ),
+
     // the PPJoin's exactness claim (prefix/positional/length filters are
     // pure prunes) is verified against a BRUTE-FORCE all-pairs oracle:
     // DuckDB recomputes word 3-gram shingle sets and exact Jaccard over
