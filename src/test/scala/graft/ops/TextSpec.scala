@@ -141,6 +141,39 @@ class TextSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(101L) == ((0L, 0L, 1L)))
   }
 
+  test("lmPerplexity: seeded fuzz against an independent brute-force scorer") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xD1CE)
+    val alphabet = Vector("a", "b", "c", "d", "e", "zz")
+    for (_ <- 1 to 5) {
+      val docs = (0L until 40L).map { id =>
+        val n = 1 + rnd.nextInt(6)
+        (id, rnd.nextBoolean(), Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+      }
+      // brute force straight from the model definition
+      val toks = docs.map { case (id, tr, t) =>
+        (id, tr, t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq) }
+      val trainToks = toks.filter(_._2).flatMap(_._3)
+      val c1 = trainToks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val c2 = toks.filter(_._2).flatMap { case (_, _, w) => w.zip(w.drop(1)) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val v = c1.size + 1.0
+      def m(w: String) = if (c1.contains(w)) w else "<unk>"
+      val expected = toks.filterNot(_._2).map { case (id, _, w) =>
+        val terms = w.zip(w.drop(1)).map { case (x, y) =>
+          val (mu, mv) = (m(x), m(y))
+          math.round(-math.log((c2.getOrElse((mu, mv), 0L) + 1.0) /
+            (c1.getOrElse(mu, 0L) + v)) * 1e6)
+        }
+        id -> ((terms.sum, terms.size.toLong))
+      }.toMap
+      val got = Text.lmPerplexity(docs.toDF("doc_id", "is_train", "text"),
+          "doc_id", "text", org.apache.spark.sql.functions.col("is_train"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected)
+    }
+  }
+
   // ---- tokenKlDrift: left "a a b" vs right "a c"; V=3, tl=3, tr=2.
   test("tokenKlDrift: per-word KL contributions in nano-nats, ordered desc") {
     import spark.implicits._
