@@ -174,6 +174,46 @@ object Daemon {
     q
   }
 
+  /** Streaming face of the drift monitor ([[graft.ops.Text.tokenKlDrift]]):
+    * each micro-batch's token distribution is compared against a FIXED
+    * reference corpus and the top-k KL contributors land in the sink World
+    * keyed by `batchId * 1000 + rank` — so a mix shift in the incoming
+    * stream (a crawl gone weird, a source flipping format) surfaces within
+    * one trigger interval, with the words that moved. Stateless per batch;
+    * replay overwrites the same batch keys, so at-least-once delivery is
+    * idempotent. The tiny ungrouped window runs over the ALREADY-REDUCED
+    * top-k rows (≤ topK), the registry's declared exemption. */
+  def klDriftStream(reference: DataFrame, sink: World, source: DataFrame,
+      textCol: String, checkpoint: String, interval: String = "5 seconds",
+      topK: Int = 20): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val keyCol = sink.dims.head.column
+    val q = source.writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          try {
+            val left = batch.toDF().select(col(textCol)).withColumn("is_left", lit(true))
+            val right = reference.select(col(textCol)).withColumn("is_left", lit(false))
+            val drift = graft.ops.Text.tokenKlDrift(
+              left.unionAll(right), textCol, col("is_left"), topK)
+            val w = org.apache.spark.sql.expressions.Window
+              .orderBy(col("kl_nnats").desc, col("word"))
+            sink.insert(drift
+              .withColumn("rk", row_number().over(w).cast("long"))
+              .select((lit(batchId) * 1000 + col("rk")).as(keyCol),
+                lit(batchId).as("batch_id"), col("word"), col("cl"), col("cr"),
+                col("kl_nnats")))
+            ()
+          } finally graft.ops.Pins.releaseAll()
+        }
+      }
+      .start()
+    installShutdownFlush(q)
+    q
+  }
+
   /** `ShutdownHandle` analog (tokio-fs/src/lib.rs:154-200): on JVM exit,
     * stop the query after the in-flight batch — no dirty data beyond the
     * last committed checkpoint is ever claimed durable. */

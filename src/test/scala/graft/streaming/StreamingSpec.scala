@@ -234,6 +234,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("KL drift daemon: per-batch top drift words vs a fixed reference land keyed by batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq("a a b", "a c").toDF("text")
+    val sink = new World(spark, tmp(), Seq(DimSpec("k0", DimMapping(0, (1 << 20) - 1, 1024))))
+    sink.create(Seq.empty[(Long, Long, String, Long, Long, Long)]
+      .toDF("k0", "batch_id", "word", "cl", "cr", "kl_nnats"))
+    val src = MemoryStream[String]
+    val q = Daemon.klDriftStream(reference, sink, src.toDF().toDF("text"),
+      "text", tmp(), interval = "1 second", topK = 3)
+    try {
+      src.addData("zz zz zz") // a word the reference never saw dominates
+      q.processAllAvailable()
+      val b0 = sink.df.where(col("batch_id") === 0).orderBy("k0").collect()
+      assert(b0.nonEmpty && b0.head.getAs[String]("word") == "zz",
+        s"novel token must top the drift ranking, got ${b0.toSeq}")
+
+      src.addData("a a b a") // matches the reference mix: 'a' leads but drift is mild
+      q.processAllAvailable()
+      val b1 = sink.df.where(col("batch_id") === 1).collect()
+      assert(b1.nonEmpty && b1.map(_.getAs[String]("word")).toSet.contains("a"))
+      // batch-0 rows still present (batch-keyed, not overwritten)
+      assert(sink.df.where(col("batch_id") === 0).count() == b0.length.toLong)
+    } finally q.stop()
+  }
+
   test("tumbling window with watermark over streamed events matches batch counts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
