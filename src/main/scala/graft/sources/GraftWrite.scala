@@ -260,12 +260,18 @@ class GraftReplaceGroupsWrite(path: String, schema: StructType,
           GraftDataSource.walkChunks(fs, stageRoot, Array.empty)
         else Seq.empty
       val victims = scannedDirs()
+      var replaced = 0
       victims.forEach { d =>
         val p = new Path(d)
-        if (fs.exists(p)) GraftStage.deleteChunkDir(fs, p, root)
+        if (fs.exists(p)) { GraftStage.deleteChunkDir(fs, p, root); replaced += 1 }
       }
       GraftStage.moveIn(fs, stageRoot, root, staged)
       GraftDataSource.writeSidecarIfAbsent(path, schema)
+      GraftReplaceGroupsWrite.summaryByPath.put(path,
+        GraftReplaceGroupsWrite.ReplaceSummary(replaced, staged.size))
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"graft row-level rewrite of $path: $replaced cell(s) replaced, " +
+          s"${staged.size} staged cell(s) merged in")
     } finally fs.delete(stageRoot, true)
   }
 
@@ -273,6 +279,18 @@ class GraftReplaceGroupsWrite(path: String, schema: StructType,
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     fs.delete(new Path(stage), true)
   }
+}
+
+object GraftReplaceGroupsWrite {
+  /** Outcome of the last row-level rewrite into each path: chunk cells
+    * replaced (scanned candidates that existed) and staged cells merged in
+    * (superset when an update moved rows or a MERGE inserted). Same
+    * path-keyed no-return-channel parking as [[GraftUpsertWrite]]. */
+  final case class ReplaceSummary(replacedCells: Int, stagedCells: Int)
+  val summaryByPath =
+    new java.util.concurrent.ConcurrentHashMap[String, ReplaceSummary]()
+  def lastSummary(path: String): Option[ReplaceSummary] =
+    Option(summaryByPath.get(path))
 }
 
 /** The clustered-write layout contract shared by every graft batch write:

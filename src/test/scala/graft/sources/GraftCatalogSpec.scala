@@ -127,6 +127,9 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((0L until 15L) ++ (115L until 120L) ++ (20L until 40L)).toSet)
     assert(filesIn("c0=3") == untouched,
       "chunks outside the pruned candidates must not be rewritten")
+    val sum = GraftReplaceGroupsWrite.lastSummary(s"$warehouse/upd")
+    assert(sum.exists(s => s.replacedCells == 1 && s.stagedCells == 1),
+      s"one candidate cell replaced, one staged back; got $sum")
     // updating the BUCKET column relocates the row to its new cell
     spark.sql("UPDATE graftcat.upd SET c0 = 9 WHERE d0 = 20")
     assert(spark.sql("SELECT d0 FROM graftcat.upd WHERE c0 = 9").collect()
