@@ -273,6 +273,74 @@ object Text {
     LmModel(c1, c2, vTot)
   }
 
+  /** Incrementally train the bigram LM: add one batch's token/bigram counts
+    * into persisted count-store Worlds (dim 0 = xxhash64 of the word /
+    * bigram; payload = the key string(s) + running count). Counts merge by
+    * read-add-replace through the store's partition-scoped insert, so only
+    * touched cells rewrite. A 64-bit key collision merges two keys' counts
+    * — the same documented trade as the fingerprint dedup store, vanishing
+    * at any real vocabulary size.
+    *
+    * `commitId` (the streaming daemon passes its batch id) makes replay
+    * exactly-once: an id whose marker exists under the c1 store is a
+    * no-op — counts are ADDITIVE, so unlike the idempotent dedup stores a
+    * blind replay would inflate them. A crash strictly between the second
+    * insert and the marker write can double that one batch — the same
+    * torn-commit window the native streaming sink documents. */
+  def updateLmCounts(c1Store: graft.world.World, c2Store: graft.world.World,
+      batch: DataFrame, textCol: String, commitId: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(c1Store.path),
+      spark.sparkContext.hadoopConfiguration)
+    val marker = commitId.map(id =>
+      new org.apache.hadoop.fs.Path(s"${c1Store.path}/_lm_commits/$id"))
+    if (marker.exists(fs.exists(_))) return
+    val base = lmBase(batch, Seq.empty, textCol)
+    val c1d = base.select(explode(col("w")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("delta"))
+      .withColumn(c1Store.dims.head.column, xxhash64(col("u")))
+    addCounts(c1Store, c1d, Seq("u"), "c1")
+    val c2d = lmPairs(base.withColumn("doc_id", lit(0L)), Seq(col("doc_id")))
+      .groupBy("u", "v").agg(count(lit(1)).as("delta"))
+      .withColumn(c2Store.dims.head.column,
+        xxhash64(concat_ws(" ", col("u"), col("v"))))
+    addCounts(c2Store, c2d, Seq("u", "v"), "c2")
+    marker.foreach { m => fs.mkdirs(m.getParent); fs.create(m, true).close() }
+  }
+
+  /** Rebuild an [[LmModel]] from persisted count stores — scoring needs no
+    * retraining pass, just the two reads. */
+  def loadLm(c1Store: graft.world.World, c2Store: graft.world.World): LmModel = {
+    val c1 = c1Store.df.select(col("u"), col("c1"))
+    LmModel(c1, c2Store.df.select("u", "v", "c2"),
+      c1.agg((count(lit(1)) + 1L).cast("double").as("v")))
+  }
+
+  /** Read-add-replace of one count store: join the batch deltas against the
+    * stored counts, insert the summed rows (replace-by-hash rewrites only
+    * touched cells). The join result is pinned before the store mutates —
+    * the same lazy-reread hazard incremental dedup documents. */
+  private def addCounts(store: graft.world.World, delta: DataFrame,
+      keyCols: Seq[String], cntCol: String): Unit = {
+    val dimCol = store.dims.head.column
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(store.path),
+      delta.sparkSession.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(store.path)
+    val virgin = !fs.exists(root) || fs.listStatus(root).isEmpty
+    val outCols = col(dimCol) +: keyCols.map(col)
+    if (virgin)
+      store.create(delta.select(outCols :+ col("delta").as(cntCol): _*))
+    else {
+      val merged = graft.ops.Pins.pin(delta
+        .join(store.df.select(col(dimCol), col(cntCol).as("__old")),
+          Seq(dimCol), "left_outer")
+        .select(outCols :+
+          (col("delta") + coalesce(col("__old"), lit(0L))).as(cntCol): _*))
+      store.insert(merged)
+      ()
+    }
+  }
+
   /** Scores `docs` against a trained [[LmModel]] — the held-out half of
     * [[lmPerplexity]], reusable against any corpus or stream batch. */
   def lmScore(model: LmModel, docs: DataFrame, idCol: String, textCol: String,

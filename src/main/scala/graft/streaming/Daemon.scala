@@ -174,6 +174,33 @@ object Daemon {
     q
   }
 
+  /** Streaming face of incremental LM training
+    * ([[graft.ops.Text.updateLmCounts]]): each micro-batch's token and
+    * bigram counts fold into the persisted count-store Worlds, so the
+    * quality model keeps learning from the stream it gates — score with
+    * [[graft.ops.Text.loadLm]] + `lmScore` at any time. Exactly-once per
+    * batch via the count stores' commit markers (counts are additive;
+    * replay must not double them). */
+  def lmTrainStream(c1Store: World, c2Store: World, source: DataFrame,
+      textCol: String, checkpoint: String,
+      interval: String = "5 seconds"): StreamingQuery = {
+    val q = source.writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          try {
+            graft.ops.Text.updateLmCounts(c1Store, c2Store, batch.toDF(),
+              textCol, Some(batchId))
+            ()
+          } finally graft.ops.Pins.releaseAll()
+        }
+      }
+      .start()
+    installShutdownFlush(q)
+    q
+  }
+
   /** Streaming face of the drift monitor ([[graft.ops.Text.tokenKlDrift]]):
     * each micro-batch's token distribution is compared against a FIXED
     * reference corpus and the top-k KL contributors land in the sink World

@@ -234,6 +234,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("LM train daemon: streamed counts match offline training; replayed batch is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val c1 = new World(spark, tmp(), Seq(
+      DimSpec("h", DimMapping(0L, -1L, 1L << 59)))) // full wrapping u64 domain
+    val c2 = new World(spark, tmp(), Seq(DimSpec("h", DimMapping(0L, -1L, 1L << 59))))
+    val src = MemoryStream[String]
+    val q = Daemon.lmTrainStream(c1, c2, src.toDF().toDF("text"), "text",
+      tmp(), interval = "1 second")
+    try {
+      src.addData("a b", "a b"); q.processAllAvailable()
+      src.addData("a c"); q.processAllAvailable()
+    } finally q.stop()
+    // the streamed model scores exactly like one trained offline on the union
+    val probe = Seq((100L, "a b"), (101L, "a z"), (102L, "z q a")).toDF("doc_id", "text")
+    def scores(m: graft.ops.Text.LmModel) =
+      graft.ops.Text.lmScore(m, probe, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val streamed = scores(graft.ops.Text.loadLm(c1, c2))
+    val offline = scores(graft.ops.Text.trainLm(
+      Seq("a b", "a b", "a c").toDF("text"), "text"))
+    assert(streamed == offline)
+    // replaying an already-committed batch id must not inflate the counts
+    graft.ops.Text.updateLmCounts(c1, c2, Seq("a b").toDF("text"), "text",
+      commitId = Some(0L))
+    graft.ops.Pins.releaseAll()
+    assert(scores(graft.ops.Text.loadLm(c1, c2)) == offline,
+      "replay of batch 0 must be a no-op")
+    // an unmarked update DOES apply (the batch API always adds)
+    graft.ops.Text.updateLmCounts(c1, c2, Seq("a b").toDF("text"), "text")
+    graft.ops.Pins.releaseAll()
+    assert(scores(graft.ops.Text.loadLm(c1, c2)) != offline)
+  }
+
   test("KL drift daemon: per-batch top drift words vs a fixed reference land keyed by batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
