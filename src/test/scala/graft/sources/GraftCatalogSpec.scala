@@ -130,6 +130,16 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sum = GraftReplaceGroupsWrite.lastSummary(s"$warehouse/upd")
     assert(sum.exists(s => s.replacedCells == 1 && s.stagedCells == 1),
       s"one candidate cell replaced, one staged back; got $sum")
+    // a predicate matching NOTHING must leave every cell untouched — the
+    // guard against the double-planning stale-superset hazard (a dir
+    // recorded by a pre-runtime-filter plan but never re-read would be
+    // deleted without replacement)
+    val before = spark.sql("SELECT d0 FROM graftcat.upd").collect()
+      .map(_.getLong(0)).toSet
+    spark.sql("UPDATE graftcat.upd SET d0 = 0 WHERE d0 = -12345")
+    assert(spark.sql("SELECT d0 FROM graftcat.upd").collect()
+      .map(_.getLong(0)).toSet == before,
+      "empty-match update must be a no-op")
     // updating the BUCKET column relocates the row to its new cell
     spark.sql("UPDATE graftcat.upd SET c0 = 9 WHERE d0 = 20")
     assert(spark.sql("SELECT d0 FROM graftcat.upd WHERE c0 = 9").collect()
