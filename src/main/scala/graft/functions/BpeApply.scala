@@ -76,7 +76,11 @@ object BpeApply {
     * iteration is by CODE POINT to match `substring`'s indexing). */
   def encode(text: String, merges: Array[Array[String]],
       cache: java.util.concurrent.ConcurrentHashMap[String, String]): String = {
-    val words = text.trim.toLowerCase.split("\\s+")
+    // no java .trim here: String.trim strips ALL chars <= U+0020 (controls
+    // included) while the pinned HOF reference's SQL trim() strips spaces
+    // only — split("\\s+") + the nonEmpty filter below discard edge empties
+    // identically, keeping byte-parity on control-char inputs
+    val words = text.toLowerCase.split("\\s+")
     val sb = new java.lang.StringBuilder(text.length * 2)
     var i = 0
     while (i < words.length) {

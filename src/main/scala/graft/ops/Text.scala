@@ -284,9 +284,14 @@ object Text {
     * `commitId` (the streaming daemon passes its batch id) makes replay
     * exactly-once: an id whose marker exists under the c1 store is a
     * no-op — counts are ADDITIVE, so unlike the idempotent dedup stores a
-    * blind replay would inflate them. A crash strictly between the second
-    * insert and the marker write can double that one batch — the same
-    * torn-commit window the native streaming sink documents. */
+    * blind replay would inflate them. The torn-commit window is ANY crash
+    * after the first insert and before the marker write: replay re-runs
+    * both inserts, so counts already applied double (c1 alone if the crash
+    * hit between the two inserts — the stores are then also mutually
+    * inconsistent until the replay completes). Staging both deltas into one
+    * keyed (kind, key) store behind a single marker would close the
+    * inter-insert half; the insert-to-marker half is the same torn-commit
+    * window the native streaming sink documents. */
   def updateLmCounts(c1Store: graft.world.World, c2Store: graft.world.World,
       batch: DataFrame, textCol: String, commitId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession

@@ -116,10 +116,13 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuild
   * surfaced on [[GraftUpsertWrite.lastDisplaced]].
   */
 class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
-  private val stage = s"${path}__graft_upsert_stage"
+  // per-write unique stage: two concurrent upserts into one table must not
+  // interleave staging grids (the first commit's finally-delete would
+  // silently drop the second's rows)
+  private[graft] val stagePath = GraftStage.uniqueStage(path, "upsert")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(stage, schema)
+    new GraftWriterFactory(stagePath, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
@@ -130,9 +133,14 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
           s"graft upsert needs the world's dim mappings: no world registered for $path " +
             "(instantiate graft.world.World for this path first)"))
       val staged = messages.collect { case GraftCommitMessage(_, rows) => rows }.sum
-      if (fs.exists(new Path(stage))) {
+      val stagedFiles = GraftStage
+        .stagedCells(fs, new Path(stagePath), messages).flatMap(_._3)
+      if (stagedFiles.nonEmpty) {
         val bucketCols = dims.indices.map(i => s"c$i")
-        val stagedDf = spark.read.parquet(stage).drop(bucketCols: _*)
+        // read exactly the committed files (never whole-dir: a crashed task
+        // attempt whose abort never ran may have left debris in the stage)
+        val stagedDf = spark.read.parquet(stagedFiles.map(_.toString): _*)
+          .drop(bucketCols: _*)
         val displaced = new graft.world.World(spark, path, dims).insert(stagedDf)
         GraftUpsertWrite.summaryByPath.put(path,
           GraftUpsertWrite.UpsertSummary(staged, displaced))
@@ -141,12 +149,12 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
       } else GraftUpsertWrite.summaryByPath.put(path,
         GraftUpsertWrite.UpsertSummary(staged, 0L))
       GraftDataSource.writeSidecarIfAbsent(path, schema)
-    } finally fs.delete(new Path(stage), true)
+    } finally fs.delete(new Path(stagePath), true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    fs.delete(new Path(stage), true)
+    fs.delete(new Path(stagePath), true)
   }
 }
 
@@ -184,20 +192,18 @@ object GraftUpsertWrite {
   * are pruned so the grid walk never visits dead subtrees. */
 class GraftOverwriteWrite(path: String, schema: StructType,
     filters: Option[Array[org.apache.spark.sql.sources.Filter]]) extends BatchWrite {
-  private val stage = s"${path}__graft_overwrite_stage"
+  // per-write unique stage: concurrent overwrites must not interleave grids
+  private[graft] val stagePath = GraftStage.uniqueStage(path, "overwrite")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(stage, schema)
+    new GraftWriterFactory(stagePath, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val root = new Path(path)
-    val stageRoot = new Path(stage)
+    val stageRoot = new Path(stagePath)
     try {
-      val staged: Seq[(Path, Map[String, Long])] =
-        if (fs.exists(stageRoot))
-          GraftDataSource.walkChunks(fs, stageRoot, Array.empty)
-        else Seq.empty
+      val staged = GraftStage.stagedCells(fs, stageRoot, messages)
       val isTruncate = filters.exists(_.forall(
         _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
       // victims: filter-matching chunks (static) or staged cells (dynamic)
@@ -230,7 +236,7 @@ class GraftOverwriteWrite(path: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    fs.delete(new Path(stage), true)
+    fs.delete(new Path(stagePath), true)
   }
 }
 
@@ -242,23 +248,23 @@ class GraftOverwriteWrite(path: String, schema: StructType,
   * never scanned receive their staged rows ADDITIVELY (per-task unique file
   * names never clobber): that is exactly right for rows an UPDATE moved
   * across cells and for MERGE's not-matched inserts. Abort removes the
-  * stage; the world is untouched until commit. */
+  * stage; the world is untouched until commit. The stage dir is per-write
+  * unique and the commit moves only message-listed files, so two row-level
+  * ops racing on one table cannot interleave stages and crashed-attempt
+  * debris never merges in. */
 class GraftReplaceGroupsWrite(path: String, schema: StructType,
     scannedDirs: () => java.util.Set[String]) extends BatchWrite {
-  private val stage = s"${path}__graft_rowlevel_stage"
+  private[graft] val stagePath = GraftStage.uniqueStage(path, "rowlevel")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(stage, schema)
+    new GraftWriterFactory(stagePath, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val root = new Path(path)
-    val stageRoot = new Path(stage)
+    val stageRoot = new Path(stagePath)
     try {
-      val staged: Seq[(Path, Map[String, Long])] =
-        if (fs.exists(stageRoot))
-          GraftDataSource.walkChunks(fs, stageRoot, Array.empty)
-        else Seq.empty
+      val staged = GraftStage.stagedCells(fs, stageRoot, messages)
       val victims = scannedDirs()
       var replaced = 0
       victims.forEach { d =>
@@ -277,7 +283,7 @@ class GraftReplaceGroupsWrite(path: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    fs.delete(new Path(stage), true)
+    fs.delete(new Path(stagePath), true)
   }
 }
 
@@ -330,10 +336,22 @@ private[sources] object GraftWriteLayout {
 
 /** Driver-side chunk-grid surgery shared by the staged write commits. */
 private[sources] object GraftStage {
+  /** Per-write unique staging-grid path: concurrent staged writes into one
+    * table each own their grid, so commits can never interleave (the first
+    * commit's finally-delete would silently drop the second's rows). */
+  def uniqueStage(path: String, kind: String): String =
+    s"${path}__graft_${kind}_stage_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
   /** Delete one chunk dir and prune now-empty parents so the grid walk
     * never lists dead subtrees. */
   def deleteChunkDir(fs: FileSystem, d: Path, root: Path): Unit = {
     fs.delete(d, true)
+    pruneEmptyParents(fs, d, root)
+  }
+
+  /** Remove now-empty ancestors of `d` up to (excluding) `root`. */
+  def pruneEmptyParents(fs: FileSystem, d: Path, root: Path): Unit = {
     var parent = d.getParent
     while (parent != null && parent.toUri.getPath != root.toUri.getPath &&
         fs.exists(parent) && fs.listStatus(parent).isEmpty) {
@@ -342,19 +360,41 @@ private[sources] object GraftStage {
     }
   }
 
-  /** Move every staged chunk dir's files into the same cell under `root`
-    * (merging with any files already there — per-task file names are
-    * unique, so appends never clobber). */
+  /** Staged cells with the files this commit may move: exactly the
+    * message-listed files when task commit messages are present — files
+    * left by a crashed task attempt whose `DataWriter.abort` never ran
+    * must not ride a later commit as duplicate rows — or every data file
+    * under the stage when there are none (driver-driven commits with no
+    * task channel, e.g. direct BatchWrite use in maintenance code). */
+  def stagedCells(fs: FileSystem, stageRoot: Path,
+      messages: Array[WriterCommitMessage])
+      : Seq[(Path, Map[String, Long], Seq[Path])] = {
+    if (!fs.exists(stageRoot)) return Seq.empty
+    val listed = messages.collect { case m: GraftCommitMessage => m }
+    val allowed: Option[Set[String]] =
+      if (listed.isEmpty) None
+      else Some(listed.flatMap(_.files)
+        .map(f => new Path(f).toUri.getPath).toSet)
+    GraftDataSource.walkChunks(fs, stageRoot, Array.empty).flatMap { case (d, b) =>
+      val files = GraftDataSource.chunkFiles(fs, d)
+        .filter(f => allowed.forall(_.contains(f.toUri.getPath)))
+      if (files.isEmpty) None else Some((d, b, files))
+    }
+  }
+
+  /** Move each staged cell's committed files into the same cell under
+    * `root` (merging with any files already there — per-task file names
+    * are unique, so appends never clobber). */
   def moveIn(fs: FileSystem, stageRoot: Path, root: Path,
-      staged: Seq[(Path, Map[String, Long])]): Unit =
-    staged.foreach { case (dir, _) =>
+      staged: Seq[(Path, Map[String, Long], Seq[Path])]): Unit =
+    staged.foreach { case (dir, _, files) =>
       // listStatus returns fs-qualified paths (file:/…) — relativize on
       // URI paths, not raw strings, or the prefix never matches
       val rel = dir.toUri.getPath
         .stripPrefix(stageRoot.toUri.getPath).stripPrefix("/")
       val target = new Path(root, rel)
       fs.mkdirs(target)
-      GraftDataSource.chunkFiles(fs, dir).foreach { f =>
+      files.foreach { f =>
         fs.rename(f, new Path(target, f.getName))
       }
     }
@@ -401,10 +441,7 @@ class GraftStreamingWrite(path: String, schema: StructType,
           .info(s"graft stream into $path: epoch $epochId replayed after commit, skipping")
         return
       }
-      val staged: Seq[(Path, Map[String, Long])] =
-        if (fs.exists(stageRoot))
-          GraftDataSource.walkChunks(fs, stageRoot, Array.empty)
-        else Seq.empty
+      val staged = GraftStage.stagedCells(fs, stageRoot, messages)
       mode match {
         case Append =>
           GraftStage.moveIn(fs, stageRoot, root, staged)
@@ -422,9 +459,12 @@ class GraftStreamingWrite(path: String, schema: StructType,
             throw new IllegalStateException(
               s"graft streaming upsert needs the world's dim mappings: no world " +
                 s"registered for $path (instantiate graft.world.World first)"))
-          if (staged.nonEmpty) {
+          val stagedFiles = staged.flatMap(_._3)
+          if (stagedFiles.nonEmpty) {
             val bucketCols = dims.indices.map(i => s"c$i")
-            val stagedDf = spark.read.parquet(stageFor(epochId)).drop(bucketCols: _*)
+            // committed files only — crashed-attempt debris must not upsert
+            val stagedDf = spark.read.parquet(stagedFiles.map(_.toString): _*)
+              .drop(bucketCols: _*)
             val displaced = new graft.world.World(spark, path, dims).insert(stagedDf)
             org.slf4j.LoggerFactory.getLogger(getClass)
               .info(s"graft stream upsert into $path: epoch $epochId, $displaced displaced")
@@ -505,8 +545,14 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
   private val conf = new Configuration()
   private val bucketIdx: Array[Int] = schema.fields.zipWithIndex
     .collect { case (f, i) if GraftDataSource.isBucket(f.name) => i }
+  // _cell rides the row-level rewrite schema for routing context only
+  // (requiredMetadataAttributes keeps Spark's write-side projection on) —
+  // like the bucket columns it must never be PERSISTED, or rewritten chunk
+  // files would grow a physical _cell column untouched files lack and a
+  // plain spark.read.parquet over the grid would see divergent file schemas
   private val dataIdx: Array[Int] = schema.fields.zipWithIndex
-    .collect { case (f, i) if !GraftDataSource.isBucket(f.name) => i }
+    .collect { case (f, i) if !GraftDataSource.isBucket(f.name) &&
+      f.name != GraftDataSource.CellColumn => i }
   require(bucketIdx.nonEmpty, "graft write requires bucket columns c0..cN in the schema")
 
   private val messageType: MessageType = {

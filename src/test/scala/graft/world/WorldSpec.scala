@@ -714,7 +714,8 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> 5L, 2L -> 2L, 3L -> 3L), "new row wins on conflict")
     assert(spark.read.format("graft").load(w.path).count() == 3,
       "connector read agrees after upsert")
-    assert(!new java.io.File(w.path + "__graft_upsert_stage").exists,
+    assert(!new java.io.File(w.path).getParentFile.listFiles
+      .exists(_.getName.contains("__graft_upsert_stage")),
       "staging grid removed after commit")
   }
 
@@ -741,9 +742,10 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     val schema2 = spark.read.format("graft").load(w2.path).schema
     val dynWrite = new graft.sources.GraftOverwriteWrite(w2.path, schema2, None)
     // stage exactly like the task side would: the staging grid is a world
+    // (the stage dir is per-write unique — ask the write for its path)
     w2.withBuckets(Seq((3L, 3L)).toDF("d0", "d1"))
       .write.format("graft").mode("append")
-      .save(w2.path + "__graft_overwrite_stage")
+      .save(dynWrite.stagePath)
     dynWrite.commit(Array.empty)
     val after2 = spark.read.format("graft").load(w2.path)
       .select("d0").as[Long].collect().toSet
@@ -751,7 +753,7 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"dynamic overwrite replaces only the written cells, got $after2")
     // both paths still readable through the plain parquet side
     assert(w2.df.select("d0").as[Long].collect().toSet == after2)
-    assert(!new java.io.File(w2.path + "__graft_overwrite_stage").exists,
+    assert(!new java.io.File(dynWrite.stagePath).exists,
       "staging grid removed after commit")
   }
 
