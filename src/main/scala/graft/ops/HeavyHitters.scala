@@ -85,16 +85,25 @@ object HeavyHitters {
     }
   }
 
-  /** The planned partition count of `df`'s scan — decides the regime at
+  /** Build-time ESTIMATE of the scan's parallelism — decides the regime at
     * query-build time. When minCount <= P the pigeonhole floor ceil(T/P)
     * is 1, phase 1 cannot prune ANYTHING, and the right plan is the plain
     * GROUP BY / HAVING: Spark's own partial aggregate shuffles one entry
     * per (partition, distinct key) and SPILLS under adversarial
-    * cardinality, which a mapPartitions counting pass cannot. (AQE may
-    * still reshape partitions at runtime; the in-task floor-1 fallback in
-    * [[candidates]] covers that residual case.) */
+    * cardinality, which a mapPartitions counting pass cannot.
+    *
+    * Deliberately NOT `df.rdd.getNumPartitions`: that forces physical
+    * planning (and the scan's file listing) a second time at query build —
+    * at a 100k-chunk grid it doubles planning latency for every
+    * heavy-hitter call just to read one integer. The session's default
+    * parallelism is planning-free and is what the cluster actually fans a
+    * scan out to. The estimate only picks WHICH correct plan runs: the
+    * true P is read in-task (`TaskContext.numPartitions`), so an
+    * underestimate routes a floor-1 case into the candidates pass whose
+    * in-task distinct fallback covers it, and an overestimate routes to
+    * the plain GROUP BY, which spills instead of pruning. */
   private def partitionsOf(df: DataFrame): Int =
-    math.max(df.rdd.getNumPartitions, 1)
+    math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
 
   private def naive(rows: DataFrame, keyCol: String, minCount: Long): DataFrame =
     rows.where(col(keyCol).isNotNull)

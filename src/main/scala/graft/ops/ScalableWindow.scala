@@ -51,12 +51,34 @@ object ScalableWindow {
       .withColumn("_pid", spark_partition_id()))
   }
 
-  /** For each slice, the aggregate over all EARLIER slices (null for the
-    * first — callers coalesce with their zero). Input is one row per slice. */
-  private def offsets(perSlice: DataFrame, aggCol: String): DataFrame = {
-    val w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    perSlice.withColumn("_off", sum(col(aggCol)).over(w)).select("_pid", "_off")
-  }
+  /** For each slice, aggregates over all EARLIER slices (null for the
+    * first — callers coalesce with their zero). Input is at most one row
+    * per shuffle partition.
+    *
+    * Computed as a bounded TRIANGULAR SELF-JOIN (`b._pid < a._pid`, b side
+    * broadcast) rather than the running window over an unpartitioned spec
+    * this used to be: the window form was correct (the input is already
+    * reduced, so "all data to a single partition" meant ≤ P rows) but made
+    * WindowExec log its "No Partition Defined … serious performance
+    * degradation" WARNING ~24× per bench — alarm fatigue that WOULD page
+    * someone at 3am over a non-problem, and un-suppressible structurally
+    * because the optimizer constant-folds any synthetic partition key back
+    * out of the spec (EliminateWindowPartitions). The join touches at most
+    * numShufflePartitions² metadata-sized pairs, keeps every slice's
+    * offset computation parallel, and planers see an ordinary broadcast
+    * nested-loop join instead of a single-partition exchange.
+    * `aggs` reference the b-side copy of perSlice's columns (`b.<col>`). */
+  private def earlierSlices(perSlice: DataFrame, aggs: Seq[Column]): DataFrame =
+    perSlice.select("_pid").alias("a")
+      .join(broadcast(perSlice.alias("b")), col("b._pid") < col("a._pid"),
+        "left_outer")
+      .groupBy(col("a._pid"))
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** For each slice, the sum of `aggCol` over all EARLIER slices as `_off`
+    * (null for the first). */
+  private def offsets(perSlice: DataFrame, aggCol: String): DataFrame =
+    earlierSlices(perSlice, Seq(sum(col(s"b.$aggCol")).as("_off")))
 
   /** Global running sum of `value` over the total order `order` (include a
     * unique tie-break). Adds `out`; exact for decimal inputs (the offset
@@ -99,8 +121,7 @@ object ScalableWindow {
         Window.partitionBy("_pid").orderBy(order: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val perSlice = local.groupBy("_pid").agg(agg(col("_val")).as("_t"))
-    val w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    val off = perSlice.withColumn("_off", agg(col("_t")).over(w)).select("_pid", "_off")
+    val off = earlierSlices(perSlice, Seq(agg(col("b._t")).as("_off")))
     local.join(broadcast(off), Seq("_pid"))
       .withColumn(out, combine(col("_loc"), col("_off")))
       .drop("_pid", "_val", "_loc", "_off")
@@ -118,11 +139,8 @@ object ScalableWindow {
       .withColumn("_lc", count(col("_val")).over(sliceW))
     val perSlice = local.groupBy("_pid")
       .agg(sum(col("_val")).as("_ts"), count(col("_val")).as("_tc"))
-    val w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    val off = perSlice
-      .withColumn("_offs", sum(col("_ts")).over(w))
-      .withColumn("_offc", sum(col("_tc")).over(w))
-      .select("_pid", "_offs", "_offc")
+    val off = earlierSlices(perSlice, Seq(
+      sum(col("b._ts")).as("_offs"), sum(col("b._tc")).as("_offc")))
     local.join(broadcast(off), Seq("_pid"))
       .withColumn("_n", col("_lc") + coalesce(col("_offc"), lit(0L)))
       .withColumn(out, when(col("_n") > 0L,
@@ -150,13 +168,9 @@ object ScalableWindow {
     val perSlice = local.groupBy("_pid").agg(
       min(col("_v")).as("_tmin"), max(col("_v")).as("_tmax"),
       sum(col("_av")).as("_ts"), count(col("_av")).as("_tc"))
-    val w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    val off = perSlice
-      .withColumn("_omin", min(col("_tmin")).over(w))
-      .withColumn("_omax", max(col("_tmax")).over(w))
-      .withColumn("_os", sum(col("_ts")).over(w))
-      .withColumn("_oc", sum(col("_tc")).over(w))
-      .select("_pid", "_omin", "_omax", "_os", "_oc")
+    val off = earlierSlices(perSlice, Seq(
+      min(col("b._tmin")).as("_omin"), max(col("b._tmax")).as("_omax"),
+      sum(col("b._ts")).as("_os"), sum(col("b._tc")).as("_oc")))
     local.join(broadcast(off), Seq("_pid"))
       .withColumn(outMin, least(col("_lmin"), col("_omin")))
       .withColumn(outMax, greatest(col("_lmax"), col("_omax")))

@@ -499,6 +499,195 @@ object DmdsQueries {
                 SELECT event_id, user_id, value FROM merged
                 UNION ALL SELECT event_id, user_id, value FROM ins
                 ORDER BY event_id""")
+      ),
+
+      "w_time_travel" -> QueryDef(
+        // snapshot reads over the chunk grid through the oracle gate:
+        // INSERT seals commit v1, a row-level UPDATE (chunk-granular COW)
+        // seals v2 with the superseded chunk files retired into
+        // `_graft_history` — and `VERSION AS OF 1` reads the PRE-update
+        // state back out of the version log while the live table shows the
+        // post-update state. The one query returns both (tagged UNION), so
+        // the hash proves simultaneously that the update happened and that
+        // the snapshot preserved the superseded bytes. The oracle restates
+        // each side relationally. Scale shape: a snapshot read costs one
+        // manifest read + per-file history probes of the SELECTED files
+        // only — no data is ever copied to make a version addressable.
+        (s, dir) => {
+          val s2 = s.newSession()
+          s.conf.getAll.foreach { case (k, v) =>
+            try s2.conf.set(k, v) catch { case _: Exception => () }
+          }
+          val wh = "/tmp/graft_cat_tt_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+          s2.conf.set("spark.sql.catalog.wtt", "graft.sources.GraftCatalog")
+          s2.conf.set("spark.sql.catalog.wtt.warehouse", wh)
+          events(s2, dir).createOrReplaceTempView("ev_src_tt")
+          s2.sql("DROP TABLE IF EXISTS wtt.ev_tt")
+          s2.sql("""CREATE TABLE wtt.ev_tt
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wtt.ev_tt
+                    SELECT event_id, user_id, value, user_id DIV 128
+                    FROM ev_src_tt""")
+          s2.sql("""UPDATE wtt.ev_tt SET value = value * 7
+                    WHERE c0 BETWEEN 2 AND 9 AND user_id % 89 = 3""")
+          s2.sql("""SELECT 'v1' AS at, event_id, user_id, value
+                    FROM wtt.ev_tt VERSION AS OF 1
+                    UNION ALL
+                    SELECT 'now' AS at, event_id, user_id, value FROM wtt.ev_tt
+                    ORDER BY at, event_id""")
+        },
+        Some("""SELECT 'v1' AS at, event_id, user_id, value FROM events
+                UNION ALL
+                SELECT 'now' AS at, event_id, user_id,
+                  CASE WHEN user_id // 128 BETWEEN 2 AND 9 AND user_id % 89 = 3
+                       THEN value * 7 ELSE value END AS value
+                FROM events
+                ORDER BY at, event_id""")
+      ),
+
+      "w_rollback" -> QueryDef(
+        // the undo button through the oracle gate: INSERT (v1), a bad
+        // "backfill" UPDATE (v2), `CALL system.rollback(version => 1)` —
+        // pure file renames restoring v1's manifest as a NEW commit — then
+        // retention (`expire_versions`) pruning everything but the restored
+        // state. The final read must hash-match the ORIGINAL insert: if the
+        // rollback missed a cell or retention broke a live file, the gate
+        // goes red. */
+        (s, dir) => {
+          val s2 = s.newSession()
+          s.conf.getAll.foreach { case (k, v) =>
+            try s2.conf.set(k, v) catch { case _: Exception => () }
+          }
+          val wh = "/tmp/graft_cat_rb_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+          s2.conf.set("spark.sql.catalog.wrb", "graft.sources.GraftCatalog")
+          s2.conf.set("spark.sql.catalog.wrb.warehouse", wh)
+          events(s2, dir).createOrReplaceTempView("ev_src_rb")
+          s2.sql("DROP TABLE IF EXISTS wrb.ev_rb")
+          s2.sql("""CREATE TABLE wrb.ev_rb
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wrb.ev_rb
+                    SELECT event_id, user_id, value, user_id DIV 128
+                    FROM ev_src_rb""")
+          s2.sql("""UPDATE wrb.ev_rb SET value = -value
+                    WHERE c0 BETWEEN 10 AND 19 AND event_id % 7 = 2""")
+          s2.sql("CALL wrb.system.rollback(table => 'ev_rb', version => 1)")
+          s2.sql("CALL wrb.system.expire_versions(table => 'ev_rb', keep => 1)")
+          s2.sql("""SELECT event_id, user_id, value FROM wrb.ev_rb
+                    ORDER BY event_id""")
+        },
+        Some("""SELECT event_id, user_id, value FROM events ORDER BY event_id""")
+      ),
+
+      "w_catalog_merge2" -> QueryDef(
+        // MERGE's third face through the oracle gate: WHEN NOT MATCHED BY
+        // SOURCE (conditional UPDATE and DELETE branches) — the dimension-
+        // table-sync shape where target rows absent from the source must be
+        // touched. Spark's rewrite makes every clause one more branch of the
+        // same chunk-granular copy-on-write plan GraftRowLevelOperation
+        // already runs; the NMBS conditions here carry bucket predicates, so
+        // candidate pruning still bounds the rewrite to those cells plus the
+        // matched cells. The oracle restates the three branches with a left
+        // join + CASE + anti-filter.
+        (s, dir) => {
+          val s2 = s.newSession()
+          s.conf.getAll.foreach { case (k, v) =>
+            try s2.conf.set(k, v) catch { case _: Exception => () }
+          }
+          val wh = "/tmp/graft_cat_m2_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+          s2.conf.set("spark.sql.catalog.wm2", "graft.sources.GraftCatalog")
+          s2.conf.set("spark.sql.catalog.wm2.warehouse", wh)
+          events(s2, dir).createOrReplaceTempView("ev_src_m2")
+          s2.sql("DROP TABLE IF EXISTS wm2.ev_m2")
+          s2.sql("""CREATE TABLE wm2.ev_m2
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wm2.ev_m2
+                    SELECT event_id, user_id, value, user_id DIV 128
+                    FROM ev_src_m2""")
+          s2.sql("""MERGE INTO wm2.ev_m2 t
+                    USING (SELECT event_id, value FROM ev_src_m2
+                           WHERE user_id DIV 128 BETWEEN 30 AND 49
+                             AND event_id % 3 = 0) s
+                    ON t.event_id = s.event_id
+                    WHEN MATCHED THEN UPDATE SET value = s.value + 5000
+                    WHEN NOT MATCHED BY SOURCE
+                      AND t.c0 BETWEEN 30 AND 39 AND t.event_id % 5 = 1
+                      THEN UPDATE SET value = 0
+                    WHEN NOT MATCHED BY SOURCE
+                      AND t.c0 BETWEEN 40 AND 49 AND t.event_id % 5 = 2
+                      THEN DELETE""")
+          s2.sql("""SELECT event_id, user_id, value FROM wm2.ev_m2
+                    ORDER BY event_id""")
+        },
+        Some("""WITH m AS (SELECT event_id FROM events
+                           WHERE user_id // 128 BETWEEN 30 AND 49
+                             AND event_id % 3 = 0)
+                SELECT e.event_id, e.user_id,
+                  CASE WHEN m.event_id IS NOT NULL THEN e.value + 5000
+                       WHEN e.user_id // 128 BETWEEN 30 AND 39
+                            AND e.event_id % 5 = 1 THEN 0
+                       ELSE e.value END AS value
+                FROM events e LEFT JOIN m ON e.event_id = m.event_id
+                WHERE NOT (m.event_id IS NULL
+                           AND e.user_id // 128 BETWEEN 40 AND 49
+                           AND e.event_id % 5 = 2)
+                ORDER BY e.event_id""")
+      ),
+
+      "w_stream_sink" -> QueryDef(
+        // the native exactly-once streaming sink through the oracle gate: a
+        // REAL `writeStream.format("graft")` job (micro-batch epochs, staged
+        // per-epoch grids, `_graft_commits` markers — no foreachBatch shim)
+        // drains the events table with Trigger.AvailableNow, then the world
+        // is read back through the connector and must hash-match DuckDB's
+        // view of the same input. maxFilesPerTrigger=1 forces one epoch per
+        // source file, so multi-file SFs exercise multi-epoch accumulation;
+        // a fresh checkpoint + world per run keeps reruns deterministic.
+        // Replay/no-duplication behavior stays pinned in
+        // GraftStreamingWriteSpec — this row proves the sink's end state.
+        (s, dir) => {
+          val s2 = s.newSession()
+          s.conf.getAll.foreach { case (k, v) =>
+            try s2.conf.set(k, v) catch { case _: Exception => () }
+          }
+          val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+          val path = s"/tmp/graft_stream_sink_$tag/world"
+          val cp = s"/tmp/graft_stream_sink_cp_${tag}_" +
+            java.util.UUID.randomUUID().toString.take(8)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(path), s2.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(s"/tmp/graft_stream_sink_$tag"), true)
+          // the file-stream source needs a DIRECTORY; the driver's
+          // events.parquet may be a single file — stage its file(s) into one
+          val srcDir = new org.apache.hadoop.fs.Path(
+            s"/tmp/graft_stream_sink_$tag/src")
+          fs.mkdirs(srcDir)
+          val ev = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+          val parts =
+            if (fs.getFileStatus(ev).isDirectory)
+              fs.listStatus(ev).toSeq.filter(_.isFile).map(_.getPath)
+            else Seq(ev)
+          parts.foreach(p => org.apache.hadoop.fs.FileUtil.copy(
+            fs, p, fs, new org.apache.hadoop.fs.Path(srcDir, p.getName),
+            false, s2.sparkContext.hadoopConfiguration))
+          // schema WITHOUT ts: the raw file's TIMESTAMP(NANOS) needs the
+          // batch-side conversion Tables.t does; the sink row needs no time
+          val sch = org.apache.spark.sql.types.StructType(
+            events(s2, dir).schema.fields.toSeq
+              .filter(f => Seq("event_id", "user_id", "value").contains(f.name)))
+          val q = s2.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir.toString)
+            .withColumn("c0", expr("user_id DIV 128"))
+            .writeStream.format("graft")
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(path)
+          q.awaitTermination()
+          fs.delete(new org.apache.hadoop.fs.Path(cp), true)
+          s2.read.format("graft").load(path)
+            .select("event_id", "user_id", "value").orderBy("event_id")
+        },
+        Some("""SELECT event_id, user_id, value FROM events ORDER BY event_id""")
       )
     )
   }

@@ -362,9 +362,15 @@ object Extended {
     // empties) so the oracle unnest is engine-identical.
     "q_heavy_hitters_str" -> QueryDef(
       (s, dir) => {
-        val words = t(s, dir, "documents")
+        // PIN the exploded words: the threshold-from-data framing needs a
+        // count of the same token stream the heavy-hitter pass scans, and
+        // without the pin that meant exploding the corpus once for count()
+        // and again (twice — candidates + verify) for the pass. One eager
+        // materialization feeds all three reads; Verify/Bench release the
+        // blocks after the query's terminal action (the Pins contract).
+        val words = graft.ops.Pins.pin(t(s, dir, "documents")
           .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-          .where(col("word") =!= "")
+          .where(col("word") =!= ""))
         val minCount = math.ceil(words.count() * 0.033).toLong
         graft.ops.HeavyHitters.exactString(words, "word", minCount)
           .orderBy("word")

@@ -433,6 +433,27 @@ object Relational {
         .orderBy("l_returnflag"),
       None
     ),
+    // …and its FULL-oracle gate: the sketch estimate itself can't hash-match
+    // a different engine's sketch, but the exact per-group count and the
+    // claim "the estimate is within the configured error bound" CAN. DuckDB
+    // predicts the exact counts and `within_bound = 1`; Spark's HLL drifting
+    // past 3×rsd (a catastrophic-failure margin — rsd is the σ of the
+    // estimator, so 3σ holds with ~99.7% probability per group and the
+    // groups here are far above the sparse-to-dense transition where HLL++
+    // bias correction is exact) flips the flag and turns the row red. The
+    // sketch family gets a hard driver-gate signal without hashing floats.
+    "q_approx_distinct_gate" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("__approx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("__approx").cast("double") / col("exact_parts").cast("double")
+            - lit(1.0)) <= lit(0.15)).cast("bigint").as("within_bound"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                CAST(1 AS BIGINT) AS within_bound
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
 
     // ------------------------------------------------- rollup / cube / sets
     // rollup/cube/grouping-sets all pre-aggregate to the FINEST grouping

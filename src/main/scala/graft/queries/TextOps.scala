@@ -323,19 +323,21 @@ object TextOps {
 
     // tokenizer-design statistic: cumulative corpus coverage of the top-k
     // vocabulary (what OOV rate a size-k vocab buys). Exact integer basis
-    // points; the running sum's window sits over the ALREADY-AGGREGATED
-    // vocab table (bounded cardinality), which is the declared discipline
-    // for ungrouped windows
+    // points. The rank and running sum ride ScalableWindow's two-phase
+    // plan over the total order (cnt DESC, w) — a real vocabulary is
+    // millions of rows, so even the "already aggregated" frame deserves
+    // the sliced form rather than the single-reducer window exemption
+    // (which also logged WindowExec's no-partition WARN every run).
     "t_vocab_coverage" -> QueryDef(
       (s, dir) => {
         val words = t(s, dir, "documents")
           .select(explode(graft.functions.WordNgrams(col("text"), 1)).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cnt"))
         val tot = words.agg(sum("cnt").as("tot"))
-        val ord = Window.orderBy(col("cnt").desc, col("w"))
-        words.crossJoin(broadcast(tot))
-          .withColumn("rk", row_number().over(ord).cast("long"))
-          .withColumn("cum", sum("cnt").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+        val order = Seq(col("cnt").desc, col("w"))
+        val ranked = graft.ops.ScalableWindow.rowNumber(
+          words.crossJoin(broadcast(tot)), order, "rk")
+        graft.ops.ScalableWindow.runningSum(ranked, order, col("cnt"), "cum")
           .select(col("rk"), col("w"), col("cnt"),
             expr("CAST(cum * 10000 DIV tot AS BIGINT)").as("cov_bps"))
           .orderBy("rk")

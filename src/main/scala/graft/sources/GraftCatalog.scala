@@ -73,6 +73,41 @@ class GraftCatalog extends TableCatalog
     new GraftTable(p, GraftDataSource.sidecarSchema(p))
   }
 
+  /** `SELECT … FROM t VERSION AS OF n` — the table pinned to commit `n` of
+    * its version log ([[GraftVersions]]): reads resolve manifest `n`'s
+    * files, mutations are refused. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!exists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val p = pathOf(ident)
+    val v =
+      try version.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft: VERSION AS OF takes a numeric commit version, got '$version'")
+      }
+    // eager manifest check: missing versions fail at analysis, not mid-scan
+    GraftVersions.readManifest(fs(), new Path(p), v)
+    new GraftTable(p, GraftDataSource.sidecarSchema(p), Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` (micros since epoch): the newest commit whose
+    * manifest was sealed at or before `t`. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!exists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val p = pathOf(ident)
+    val f = fs()
+    val root = new Path(p)
+    val at = GraftVersions.listVersions(f, root).filter { v =>
+      f.getFileStatus(GraftVersions.manifestPath(root, v))
+        .getModificationTime * 1000L <= timestamp
+    }
+    if (at.isEmpty) throw new IllegalArgumentException(
+      s"graft: no commit of $ident at or before timestamp $timestamp")
+    new GraftTable(p, GraftDataSource.sidecarSchema(p), Some(at.max))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -155,18 +190,90 @@ class GraftCatalog extends TableCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("compact", "stats").map(Identifier.of(Array("system"), _))
+      Array("compact", "stats", "rollback", "expire_versions")
+        .map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     (ident.namespace().toSeq, ident.name()) match {
-      case (Seq("system"), "compact") => new GraftCompactProcedure(this)
-      case (Seq("system"), "stats")   => new GraftStatsProcedure(this)
+      case (Seq("system"), "compact")  => new GraftCompactProcedure(this)
+      case (Seq("system"), "stats")    => new GraftStatsProcedure(this)
+      case (Seq("system"), "rollback") => new GraftRollbackProcedure(this)
+      case (Seq("system"), "expire_versions") =>
+        new GraftExpireVersionsProcedure(this)
       case _ => throw new UnsupportedOperationException(
-        s"graft catalog $catalogName has no procedure $ident " +
-          "(available: system.compact, system.stats)")
+        s"graft catalog $catalogName has no procedure $ident (available: " +
+          "system.compact, system.stats, system.rollback, system.expire_versions)")
     }
+}
+
+/** `CALL <cat>.system.rollback(table => 't', version => n)` — restore the
+  * table to commit `n`'s manifest: live files the target lacks retire, the
+  * target's retired files move back, and the restored state seals as a NEW
+  * version (history stays append-only, so the rolled-back states remain
+  * addressable until retention expires them). The undo button for a bad
+  * backfill driven through UPDATE/MERGE/OVERWRITE. Metadata-only: file
+  * renames, no data read or written. Returns the new version. */
+class GraftRollbackProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "rollback"
+  override def description(): String =
+    "restore a table to a committed version (sealed as a new version)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "rollback"
+    override def description(): String = GraftRollbackProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build(),
+      ProcedureParameter.in("version", org.apache.spark.sql.types.LongType)
+        .comment("committed version to restore").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val newV = GraftVersions.rollback(fs, new Path(path), input.getLong(1))
+      GraftProcedures.singleRow("new_version", newV)
+    }
+  }
+}
+
+/** `CALL <cat>.system.expire_versions(table => 't', keep => k)` — retention:
+  * drop all but the newest `k` manifests and the history files only expired
+  * snapshots could reach. The maintenance loop that bounds history growth
+  * on DML-heavy and streaming tables. Returns the expired-manifest count. */
+class GraftExpireVersionsProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "expire_versions"
+  override def description(): String =
+    "drop all but the newest k versions and their unreachable history files"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "expire_versions"
+    override def description(): String =
+      GraftExpireVersionsProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build(),
+      ProcedureParameter.in("keep", org.apache.spark.sql.types.IntegerType)
+        .defaultValue("2").comment("newest versions to keep").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val n = GraftVersions.expire(fs, new Path(path), input.getInt(1))
+      GraftProcedures.singleRow("expired_manifests", n)
+    }
+  }
 }
 
 /** `CALL <cat>.system.compact(table => 't', max_files => 1)` — rewrite every

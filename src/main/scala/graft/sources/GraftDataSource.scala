@@ -60,7 +60,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new GraftTable(properties.get("path"), schema)
+    // option("graft.snapshot", n): pin the path-API read to commit n —
+    // the DataFrame-side twin of the catalog's VERSION AS OF
+    new GraftTable(properties.get("path"), schema,
+      Option(properties.get("graft.snapshot")).map(_.toLong))
 }
 
 object GraftDataSource {
@@ -379,12 +382,23 @@ object GraftDataSource {
   }
 }
 
-class GraftTable(path: String, schema: StructType) extends Table
+/** `snapshot`: when set, the table is pinned to commit `n` of the world's
+  * version log ([[GraftVersions]]) — scans read exactly manifest `n`'s
+  * files (live or retired into history) and every mutation is refused.
+  * Reached via the catalog's `VERSION AS OF` / `TIMESTAMP AS OF` or the
+  * path API's `option("graft.snapshot", n)`. */
+class GraftTable(path: String, schema: StructType,
+    snapshot: Option[Long] = None) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
-  override def name(): String = s"graft:$path"
+  override def name(): String =
+    s"graft:$path" + snapshot.map(v => s"@v$v").getOrElse("")
+
+  private def readOnly(op: String): Unit = snapshot.foreach(v =>
+    throw new UnsupportedOperationException(
+      s"graft: $op on a snapshot table (version $v) — snapshots are read-only"))
 
   /** `_cell`: the chunk-cell a row lives in (its directory's relative path,
     * `c0=…/c1=…`) — the grid's analog of other formats' `_file` metadata
@@ -409,8 +423,10 @@ class GraftTable(path: String, schema: StructType) extends Table
     * becomes a candidate-chunk rewrite instead of a hard failure. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    readOnly("row-level operation")
     new GraftRowLevelBuilder(path, schema, info)
+  }
 
   /** `DELETE FROM` with a bucket-only condition — the SQL face of the
     * reference's whole-chunk `destroy` (/root/reference/src/world/iter.rs:
@@ -426,12 +442,18 @@ class GraftTable(path: String, schema: StructType) extends Table
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
       : Unit = {
+    readOnly("DELETE")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
     val root = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(root))
+    if (fs.exists(root)) {
+      // versioned commit: the dropped chunks retire into history, so the
+      // pre-DELETE state stays addressable (and rollback-able)
+      val v = GraftVersions.begin(fs, root)
       GraftDataSource.walkChunks(fs, root, filters)
-        .foreach { case (d, _) => GraftStage.deleteChunkDir(fs, d, root) }
+        .foreach { case (d, _) => GraftStage.retireChunkDir(fs, d, root, v) }
+      GraftVersions.finish(fs, root, v)
+    }
   }
   override def schema(): StructType = schema
   // the chunk grid IS a partitioning on the bucket columns; reporting it
@@ -447,11 +469,13 @@ class GraftTable(path: String, schema: StructType) extends Table
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, schema)
+    new GraftScanBuilder(path, schema, snapshot = snapshot)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    readOnly("write")
     new GraftWriteBuilder(path, info)
+  }
 }
 
 /** One aggregate the scan can answer from metadata alone. Bucket columns are
@@ -471,7 +495,13 @@ class GraftScanBuilder(path: String, schema: StructType,
     // exactly the groups that were read. Also disables aggregate/limit/topN
     // pushdown — a copy-on-write scan must surface every row of its
     // candidate groups, not a summary or prefix of them.
-    rowLevelDirs: Option[java.util.Set[String]] = None) extends ScanBuilder
+    rowLevelDirs: Option[java.util.Set[String]] = None,
+    // snapshot pin: plan from the version manifest instead of the live
+    // walk. Bucket pruning and column pruning still apply; aggregate /
+    // limit / topN pushdowns are declined — their footer-count shortcuts
+    // assume the live tree's walk order and the simple correctness-first
+    // snapshot path re-uses Spark's operators instead.
+    snapshot: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -489,7 +519,8 @@ class GraftScanBuilder(path: String, schema: StructType,
     * file. Sound with pushed bucket filters (directory-exact, no residual
     * re-check can disqualify an emitted row). */
   override def pushLimit(l: Int): Boolean =
-    if (rowLevelDirs.isDefined) false else { limit = l; true }
+    if (rowLevelDirs.isDefined || snapshot.isDefined) false
+    else { limit = l; true }
 
   // both SupportsPushDownLimit and SupportsPushDownTopN declare the same
   // default; Scala requires the diamond be resolved explicitly — and both
@@ -520,7 +551,8 @@ class GraftScanBuilder(path: String, schema: StructType,
         case _ => None
       }
     }
-    if (rowLevelDirs.isEmpty && cols.nonEmpty && cols.forall(_.isDefined)) {
+    if (rowLevelDirs.isEmpty && snapshot.isEmpty && cols.nonEmpty &&
+        cols.forall(_.isDefined)) {
       topN = cols.map(_.get); limit = l; true
     } else false
   }
@@ -595,7 +627,7 @@ class GraftScanBuilder(path: String, schema: StructType,
       case m: Max => oneCol(m.column).filter(minMaxable).map(PMax)
       case _ => None
     }
-    val ok = rowLevelDirs.isEmpty &&
+    val ok = rowLevelDirs.isEmpty && snapshot.isEmpty &&
       gb.forall(_.isDefined) && aggs.nonEmpty && aggs.forall(_.isDefined)
     if (ok) { pushedAggs = aggs.map(_.get).toSeq; groupCols = gb.map(_.get) }
     ok
@@ -604,7 +636,7 @@ class GraftScanBuilder(path: String, schema: StructType,
   override def build(): Scan =
     if (pushedAggs.nonEmpty) new GraftAggScan(path, schema, pushed, pushedAggs, groupCols)
     else new GraftScan(path, required, pushed, limit, topN, residualFilters,
-      rowLevelDirs)
+      rowLevelDirs, snapshot)
 }
 
 /** The pushed-aggregate scan: partitions are chunk files, rows are
@@ -860,11 +892,19 @@ final case class GraftInputPartition(file: String, buckets: Map[String, Long],
 class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     limit: Int = -1, topN: Array[(String, Boolean)] = Array.empty,
     residual: Array[Filter] = Array.empty,
-    dirRecorder: Option[java.util.Set[String]] = None)
+    dirRecorder: Option[java.util.Set[String]] = None,
+    snapshot: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // snapshot plan: manifest-resolved (file, buckets) pairs surviving the
+  // pushed bucket filters — the version-log substitute for the live walk
+  @transient private lazy val snapshotWalk: Seq[(Path, Map[String, Long])] = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    GraftVersions.snapshotFiles(fs, new Path(path), snapshot.get, pushed)
+  }
 
   // join-derived runtime filters (the dynamic-partition-pruning analog for
   // the chunk grid): Spark's PartitionPruning rule plants an IN-subquery of
@@ -878,7 +918,8 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
 
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fields.filter(f => GraftDataSource.isBucket(f.name))
+    if (snapshot.isDefined) Array.empty // frozen file list: nothing to narrow
+    else required.fields.filter(f => GraftDataSource.isBucket(f.name))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
   override def filter(filters: Array[Filter]): Unit = {
@@ -922,7 +963,8 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     if (keys.isEmpty)
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     else {
-      val n = walked().map { case (_, b) => keys.toSeq.map(b(_)) }.distinct.size
+      val cells = if (snapshot.isDefined) snapshotWalk else walked()
+      val n = cells.map { case (_, b) => keys.toSeq.map(b(_)) }.distinct.size
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         keys.map(k => org.apache.spark.sql.connector.expressions.Expressions
           .identity(k): org.apache.spark.sql.connector.expressions.Expression),
@@ -941,9 +983,12 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     * `numRows` left unreported exactly like vanilla parquet. */
   override def estimateStatistics(): Statistics = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    val bytes = GraftDataSource.walkChunks(fs, new Path(path), pushed)
-      .flatMap { case (dir, _) => GraftDataSource.chunkFileStatuses(fs, dir) }
-      .map(_.getLen).sum
+    val bytes =
+      if (snapshot.isDefined)
+        snapshotWalk.map { case (f, _) => fs.getFileStatus(f).getLen }.sum
+      else GraftDataSource.walkChunks(fs, new Path(path), pushed)
+        .flatMap { case (dir, _) => GraftDataSource.chunkFileStatuses(fs, dir) }
+        .map(_.getLen).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -952,10 +997,15 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     }
   }
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(snapshot.isEmpty,
+      "graft: a snapshot is a frozen commit — streaming reads take the live table")
     new GraftMicroBatchStream(path, required, pushed)
+  }
   override def description(): String =
-    s"GraftScan path=$path, PushedBucketFilters: [${pushed.mkString(", ")}]" +
+    s"GraftScan path=$path" +
+      snapshot.map(v => s", Snapshot: v$v").getOrElse("") +
+      s", PushedBucketFilters: [${pushed.mkString(", ")}]" +
       (if (limit < 0) "" else s", PushedLimit: $limit") +
       (if (topN.isEmpty) "" else s", PushedTopN: [${topN.map { case (c, asc) =>
         s"$c ${if (asc) "ASC" else "DESC"}" }.mkString(", ")}]") +
@@ -967,6 +1017,14 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val hasDataCols = required.exists(f => !GraftDataSource.isBucket(f.name))
     val keys = keyCols
+    if (snapshot.isDefined)
+      // manifest-driven: one partition per snapshot file (limit/topN/agg
+      // pushdowns and runtime filters are declined in snapshot mode, and a
+      // snapshot scan never backs a row-level rewrite)
+      return snapshotWalk.map { case (f, b) =>
+        GraftInputPartition(f.toString, b, !hasDataCols, -1,
+          keys.map(b(_))): InputPartition
+      }.toArray
     val dirs =
       if (topN.isEmpty || limit < 0) walked()
       else {

@@ -1,0 +1,239 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.sources.Filter
+
+/** Commit versioning over the chunk grid — snapshot reads, rollback, and
+  * retention for every write that goes through the connector/catalog
+  * surface. The reference versions its FORMAT (`tokio-fs/src/lib.rs:59-63`
+  * writes a version header per chunk and replaces whole chunks,
+  * lib.rs:84-107) but keeps no commit history; a 100-TB table whose front
+  * door is SQL DML needs "read the world as of commit N" and "undo that
+  * backfill", so the staged-swap machinery every graft write already has is
+  * generalized into a commit log:
+  *
+  *   - `_graft_versions/v<N>.manifest` — one line per LIVE data file
+  *     (chunk-relative path) after commit N; written from a fresh metadata
+  *     walk at commit time, so the manifest is always the on-disk truth
+  *     (a production deployment at 100k-chunk scale would maintain these
+  *     incrementally from the commit's own add/remove sets — the walk is
+  *     the same parallel pruned listing scan planning already pays);
+  *   - `_graft_history/v<N>/<relpath>` — files SUPERSEDED by commit N,
+  *     moved (not deleted) out of the live tree. Underscore prefixes keep
+  *     both invisible to the live read paths (the grid walk descends only
+  *     `c<i>=<v>` directories; Spark's file index skips `_` paths).
+  *
+  * Snapshot resolution for a file of manifest K probes the history dirs of
+  * versions > K in ascending order BEFORE the live tree: a file retired at
+  * M (K < M) lives in exactly `_graft_history/v<M>/`, and probing history
+  * first means a later same-named file in the live tree (task-id collisions
+  * across Spark apps) can never shadow the snapshot's bytes.
+  *
+  * Scope: every connector/catalog commit versions (append, overwrite,
+  * truncate, row-level COW, streaming epochs, metadata DELETE). The
+  * programmatic World rewrites (insert / destroy / update / compact) write
+  * through Spark's own parquet committer and are VERSION BARRIERS: they
+  * delete superseded files outright, so older snapshots may stop resolving
+  * (the resolver raises a clear error) and `World.create`'s full overwrite
+  * resets the log entirely. Crash between a commit's file moves and its
+  * manifest write leaves no manifest for that version — the version number
+  * is reused by the next commit and older snapshots stay intact.
+  */
+private[graft] object GraftVersions {
+  private val VersionsDir = "_graft_versions"
+  private val HistoryDir = "_graft_history"
+  private val ManifestSuffix = ".manifest"
+  private val ManifestHeader = "graft-manifest-v1"
+
+  def manifestPath(root: Path, v: Long): Path =
+    new Path(new Path(root, VersionsDir), s"v$v$ManifestSuffix")
+  def historyPath(root: Path, v: Long): Path =
+    new Path(new Path(root, HistoryDir), s"v$v")
+
+  /** Chunk-relative form of a file under `root` (URI-path based — listStatus
+    * returns fs-qualified paths whose raw string never prefix-matches). */
+  def relOf(root: Path, file: Path): String =
+    file.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
+
+  /** Versions with a committed manifest, ascending. */
+  def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
+    val dir = new Path(root, VersionsDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("v") && n.endsWith(ManifestSuffix))
+        scala.util.Try(n.stripPrefix("v").stripSuffix(ManifestSuffix).toLong).toOption
+      else None
+    }.sorted
+  }
+
+  def latestVersion(fs: FileSystem, root: Path): Option[Long] =
+    listVersions(fs, root).lastOption
+
+  /** Versions with retained history, ascending (superset info for probes —
+    * a version may have a history dir but no manifest after a crash). */
+  private def historyVersions(fs: FileSystem, root: Path): Seq[Long] = {
+    val dir = new Path(root, HistoryDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap(s =>
+      scala.util.Try(s.getPath.getName.stripPrefix("v").toLong).toOption).sorted
+  }
+
+  /** All live data files under the grid, chunk-relative. */
+  def liveFiles(fs: FileSystem, root: Path): Seq[String] =
+    if (!fs.exists(root)) Seq.empty
+    else GraftDataSource.walkChunks(fs, root, Array.empty)
+      .flatMap { case (d, _) => GraftDataSource.chunkFiles(fs, d) }
+      .map(relOf(root, _))
+
+  private def writeManifest(fs: FileSystem, root: Path, v: Long,
+      files: Seq[String]): Unit = {
+    val p = manifestPath(root, v)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    out.write((s"$ManifestHeader $v\n" + files.sorted.mkString("\n") + "\n")
+      .getBytes("UTF-8"))
+    out.close()
+  }
+
+  def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] = {
+    val p = manifestPath(root, v)
+    if (!fs.exists(p)) {
+      val have = listVersions(fs, root)
+      throw new IllegalArgumentException(
+        s"graft snapshot: no committed version $v under $root" +
+          (if (have.isEmpty) " (the table has no versioned commits yet)"
+           else s" (available: ${have.min}..${have.max}; gaps are crashed or " +
+             "retention-expired commits)"))
+    }
+    val in = fs.open(p)
+    val lines = new String(in.readAllBytes(), "UTF-8").split('\n')
+    in.close()
+    require(lines.nonEmpty && lines.head.startsWith(ManifestHeader),
+      s"graft snapshot: $p is not a graft manifest")
+    lines.drop(1).toSeq.filter(_.nonEmpty)
+  }
+
+  /** Start a versioned commit: the version this commit will write. A world
+    * with data but no manifests first gets a BASELINE v0 manifest of its
+    * pre-commit state, so the state a pre-versioning world was in when
+    * versioning first touched it stays addressable. `excludeFromBaseline`:
+    * chunk-relative files this commit itself already placed in the live
+    * tree (plain appends write straight to the grid before commit()), which
+    * therefore are not part of the pre-commit state. */
+  def begin(fs: FileSystem, root: Path,
+      excludeFromBaseline: Set[String] = Set.empty): Long =
+    latestVersion(fs, root) match {
+      case Some(n) => n + 1
+      case None =>
+        writeManifest(fs, root, 0L,
+          liveFiles(fs, root).filterNot(excludeFromBaseline.contains))
+        1L
+    }
+
+  /** Move one superseded live data file into commit `v`'s history. */
+  def retire(fs: FileSystem, root: Path, file: Path, v: Long): Unit = {
+    val target = new Path(historyPath(root, v), relOf(root, file))
+    fs.mkdirs(target.getParent)
+    if (!fs.rename(file, target))
+      throw new IllegalStateException(s"graft versions: failed to retire $file")
+  }
+
+  /** Seal commit `v`: manifest = the live tree as of now. */
+  def finish(fs: FileSystem, root: Path, v: Long): Unit =
+    writeManifest(fs, root, v, liveFiles(fs, root))
+
+  /** Physical location of one manifest-`v` file: history of versions > v
+    * first (ascending — a file is retired at most once per name), then the
+    * live tree. */
+  def resolve(fs: FileSystem, root: Path, rel: String, v: Long,
+      laterHistory: Seq[Long]): Path = {
+    laterHistory.collectFirst {
+      case m if fs.exists(new Path(historyPath(root, m), rel)) =>
+        new Path(historyPath(root, m), rel)
+    }.getOrElse {
+      val live = new Path(root, rel)
+      if (fs.exists(live)) live
+      else throw new IllegalStateException(
+        s"graft snapshot v$v: $rel is neither live nor in retained history — " +
+          "expired by retention, or superseded by an unversioned World-level " +
+          "rewrite (insert/destroy/update/compact are version barriers)")
+    }
+  }
+
+  /** Buckets of a chunk-relative path (`c0=3/c1=5/part-….parquet`). */
+  def bucketsOf(rel: String): Map[String, Long] =
+    rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) if GraftDataSource.isBucket(k) => Some(k -> v.toLong)
+        case _ => None
+      }
+    }.toMap
+
+  /** The files of snapshot `v` surviving the pushed bucket filters, resolved
+    * to their current physical locations. One manifest read + one history
+    * listing; existence probes only for surviving files. */
+  def snapshotFiles(fs: FileSystem, root: Path, v: Long,
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long])] = {
+    val later = historyVersions(fs, root).filter(_ > v)
+    readManifest(fs, root, v)
+      .map(rel => (rel, bucketsOf(rel)))
+      .filter { case (_, b) => pushed.forall(GraftDataSource.evalOnBuckets(_, b)) }
+      .map { case (rel, b) => (resolve(fs, root, rel, v, later), b) }
+  }
+
+  /** Restore the table to the state of `target`: retire live files the
+    * target lacks, move the target's retired files back into the live
+    * tree, and seal the result as a NEW version (history is append-only —
+    * the rolled-back states stay addressable). Returns the new version. */
+  def rollback(fs: FileSystem, root: Path, target: Long): Long = {
+    val latest = latestVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft rollback: $root has no versioned commits"))
+    val targetFiles = readManifest(fs, root, target).toSet
+    val newV = latest + 1
+    val live = liveFiles(fs, root)
+    val emptiedDirs = scala.collection.mutable.Set[Path]()
+    live.filterNot(targetFiles.contains).foreach { rel =>
+      val f = new Path(root, rel)
+      emptiedDirs += f.getParent
+      retire(fs, root, f, newV)
+    }
+    // restore: a target file not live now was retired at some M in
+    // (target, latest] — resolve probes exactly those
+    val later = historyVersions(fs, root).filter(m => m > target && m <= latest)
+    val liveSet = live.toSet
+    targetFiles.filterNot(liveSet.contains).foreach { rel =>
+      val src = resolve(fs, root, rel, target, later)
+      val dst = new Path(root, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(s"graft rollback: failed to restore $rel")
+    }
+    // drop chunk dirs the retires emptied so the grid walk stays clean
+    emptiedDirs.foreach { d =>
+      if (fs.exists(d) && fs.listStatus(d).isEmpty) {
+        fs.delete(d, false)
+        GraftStage.pruneEmptyParents(fs, d, root)
+      }
+    }
+    finish(fs, root, newV)
+    newV
+  }
+
+  /** Retention: keep the newest `keep` manifests; drop older manifests and
+    * every history dir at or below the oldest kept version (history v<M>
+    * serves only snapshots K < M, all of which are being dropped). Returns
+    * the number of expired manifests. */
+  def expire(fs: FileSystem, root: Path, keep: Int): Long = {
+    require(keep >= 1, "graft expire_versions: keep must be >= 1")
+    val versions = listVersions(fs, root)
+    if (versions.size <= keep) return 0L
+    val minKeep = versions.takeRight(keep).head
+    val dropped = versions.filter(_ < minKeep)
+    dropped.foreach(v => fs.delete(manifestPath(root, v), false))
+    historyVersions(fs, root).filter(_ <= minKeep)
+      .foreach(v => fs.delete(historyPath(root, v), true))
+    dropped.size.toLong
+  }
+}

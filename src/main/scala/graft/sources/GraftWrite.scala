@@ -221,7 +221,8 @@ class GraftOverwriteWrite(path: String, schema: StructType,
               .filter { case (_, b) => cells.contains(b) }.map(_._1)
           else Seq.empty
       }
-      victims.foreach(GraftStage.deleteChunkDir(fs, _, root))
+      val v = GraftVersions.begin(fs, root)
+      victims.foreach(GraftStage.retireChunkDir(fs, _, root, v))
       // move staged chunk dirs into place (merge into survivors of the same
       // cell — possible only in static mode with a non-covering condition)
       GraftStage.moveIn(fs, stageRoot, root, staged)
@@ -231,6 +232,7 @@ class GraftOverwriteWrite(path: String, schema: StructType,
         val out = fs.create(new Path(s"$path/_graft_schema.json"), true)
         out.write(schema.json.getBytes("UTF-8")); out.close()
       } else GraftDataSource.writeSidecarIfAbsent(path, schema)
+      GraftVersions.finish(fs, root, v)
     } finally fs.delete(stageRoot, true)
   }
 
@@ -266,13 +268,15 @@ class GraftReplaceGroupsWrite(path: String, schema: StructType,
     try {
       val staged = GraftStage.stagedCells(fs, stageRoot, messages)
       val victims = scannedDirs()
+      val v = GraftVersions.begin(fs, root)
       var replaced = 0
       victims.forEach { d =>
         val p = new Path(d)
-        if (fs.exists(p)) { GraftStage.deleteChunkDir(fs, p, root); replaced += 1 }
+        if (fs.exists(p)) { GraftStage.retireChunkDir(fs, p, root, v); replaced += 1 }
       }
       GraftStage.moveIn(fs, stageRoot, root, staged)
       GraftDataSource.writeSidecarIfAbsent(path, schema)
+      GraftVersions.finish(fs, root, v)
       GraftReplaceGroupsWrite.summaryByPath.put(path,
         GraftReplaceGroupsWrite.ReplaceSummary(replaced, staged.size))
       org.slf4j.LoggerFactory.getLogger(getClass).info(
@@ -346,6 +350,16 @@ private[sources] object GraftStage {
   /** Delete one chunk dir and prune now-empty parents so the grid walk
     * never lists dead subtrees. */
   def deleteChunkDir(fs: FileSystem, d: Path, root: Path): Unit = {
+    fs.delete(d, true)
+    pruneEmptyParents(fs, d, root)
+  }
+
+  /** Version-aware twin of [[deleteChunkDir]]: the cell's data files move
+    * into commit `version`'s history (snapshot reads of older manifests
+    * still resolve them) before the dir is dropped from the live tree. */
+  def retireChunkDir(fs: FileSystem, d: Path, root: Path, version: Long): Unit = {
+    GraftDataSource.chunkFiles(fs, d)
+      .foreach(GraftVersions.retire(fs, root, _, version))
     fs.delete(d, true)
     pruneEmptyParents(fs, d, root)
   }
@@ -442,6 +456,12 @@ class GraftStreamingWrite(path: String, schema: StructType,
         return
       }
       val staged = GraftStage.stagedCells(fs, stageRoot, messages)
+      // each epoch is a versioned commit: VERSION AS OF n addresses the
+      // world between epochs (long-running streams should run the catalog's
+      // expire_versions retention on a maintenance cadence). The Upsert arm
+      // delegates to World.insert — a documented version BARRIER — but still
+      // seals a post-epoch manifest, so snapshots at/after it work.
+      val v = GraftVersions.begin(fs, root)
       mode match {
         case Append =>
           GraftStage.moveIn(fs, stageRoot, root, staged)
@@ -449,7 +469,7 @@ class GraftStreamingWrite(path: String, schema: StructType,
         case Truncate =>
           if (fs.exists(root))
             GraftDataSource.walkChunks(fs, root, Array.empty)
-              .foreach { case (d, _) => GraftStage.deleteChunkDir(fs, d, root) }
+              .foreach { case (d, _) => GraftStage.retireChunkDir(fs, d, root, v) }
           GraftStage.moveIn(fs, stageRoot, root, staged)
           val out = fs.create(new Path(s"$path/_graft_schema.json"), true)
           out.write(schema.json.getBytes("UTF-8")); out.close()
@@ -471,6 +491,7 @@ class GraftStreamingWrite(path: String, schema: StructType,
           }
           GraftDataSource.writeSidecarIfAbsent(path, schema)
       }
+      GraftVersions.finish(fs, root, v)
       fs.mkdirs(markerFor(epochId).getParent)
       fs.create(markerFor(epochId), true).close()
       // opportunistic marker pruning: replay only re-offers tail epochs
@@ -513,8 +534,19 @@ class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {
   // a virgin-path write must leave the world readable through the connector:
   // the sidecar records the written schema (incl. bucket columns) exactly as
   // World.create would
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
     GraftDataSource.writeSidecarIfAbsent(path, schema)
+    // version the append: nothing retires, but the post-commit manifest
+    // makes this state addressable by VERSION AS OF. Append tasks write
+    // straight into the grid, so THIS commit's files must not leak into a
+    // first-commit baseline manifest.
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val root = new Path(path)
+    val added = messages.collect { case GraftCommitMessage(f, _) => f }.flatten
+      .map(f => GraftVersions.relOf(root, new Path(f))).toSet
+    val v = GraftVersions.begin(fs, root, excludeFromBaseline = added)
+    GraftVersions.finish(fs, root, v)
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     messages.foreach {

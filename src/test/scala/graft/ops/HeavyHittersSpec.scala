@@ -116,6 +116,23 @@ class HeavyHittersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(candStr == naiveStr)
   }
 
+  test("regime routing is planning-free: parallelism estimate, not df.rdd") {
+    // minCount = 5 exceeds the session's defaultParallelism-based estimate
+    // (local[4] -> 4), so the two-phase candidates plan must be chosen EVEN
+    // when the input physically has more partitions (8 here) — the old
+    // df.rdd probe would have read 8, routed naive, and paid a second
+    // physical planning of the scan to find out. The in-task pigeonhole
+    // floor still uses the TRUE partition count, so the answer is exact
+    // either way; this pins that routing no longer touches the plan.
+    val keys = Seq.fill(200)(1L) ++ (100L until 200L)
+    val routed = HeavyHitters.exact(df(keys, 8), "k", minCount = 5)
+    assert(routed.queryExecution.optimizedPlan.toString.contains("MapPartitions"),
+      s"estimate-based routing must pick the candidates plan:\n" +
+        routed.queryExecution.optimizedPlan)
+    val got = routed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 200L)))
+  }
+
   test("seeded fuzz: matches brute-force GROUP BY / HAVING") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {

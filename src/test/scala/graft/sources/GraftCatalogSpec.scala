@@ -179,6 +179,30 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graftcat.mrg")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: conditional update and delete branches") {
+    spark.sql("CREATE TABLE graftcat.mrg2 (d0 BIGINT, c0 BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftcat.mrg2 SELECT id, id DIV 10, id FROM range(0, 30)")
+    // source covers ids 0..9 only: 10..29 are "not matched by source"
+    spark.sql("SELECT id AS d0, id * 100 AS v FROM range(0, 10)")
+      .createOrReplaceTempView("m2_src")
+    spark.sql("""MERGE INTO graftcat.mrg2 t USING m2_src s ON t.d0 = s.d0
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED BY SOURCE AND t.c0 = 1 THEN UPDATE SET v = -1
+                 WHEN NOT MATCHED BY SOURCE AND t.c0 = 2 AND t.d0 % 2 = 0
+                   THEN DELETE""")
+    val got = spark.sql("SELECT d0, v FROM graftcat.mrg2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L until 10L).forall(i => got(i) == i * 100), "matched branch")
+    assert((10L until 20L).forall(i => got(i) == -1L),
+      "source-miss UPDATE branch hit exactly cell c0=1")
+    assert((20L until 30L).filter(_ % 2 == 0).forall(!got.contains(_)),
+      "source-miss DELETE branch removed the matching c0=2 rows")
+    assert((20L until 30L).filter(_ % 2 == 1).forall(i => got(i) == i),
+      "non-matching c0=2 rows survive untouched")
+    assert(got.size == 25)
+    spark.sql("DROP TABLE graftcat.mrg2")
+  }
+
   test("CREATE TABLE AS SELECT materializes a routed world in one statement") {
     spark.sql("""CREATE TABLE graftcat.ctas AS
                  SELECT id AS d0, id * 3 AS v, id DIV 10 AS c0 FROM range(0, 30)""")
