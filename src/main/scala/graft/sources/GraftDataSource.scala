@@ -497,10 +497,10 @@ class GraftScanBuilder(path: String, schema: StructType,
     // candidate groups, not a summary or prefix of them.
     rowLevelDirs: Option[java.util.Set[String]] = None,
     // snapshot pin: plan from the version manifest instead of the live
-    // walk. Bucket pruning and column pruning still apply; aggregate /
-    // limit / topN pushdowns are declined — their footer-count shortcuts
-    // assume the live tree's walk order and the simple correctness-first
-    // snapshot path re-uses Spark's operators instead.
+    // walk. Bucket pruning, column pruning, and aggregate pushdown still
+    // apply (footer statistics read identically from history files);
+    // limit / topN pushdowns are declined — their early-stop walks assume
+    // the live tree's directory order.
     snapshot: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -627,14 +627,15 @@ class GraftScanBuilder(path: String, schema: StructType,
       case m: Max => oneCol(m.column).filter(minMaxable).map(PMax)
       case _ => None
     }
-    val ok = rowLevelDirs.isEmpty && snapshot.isEmpty &&
+    val ok = rowLevelDirs.isEmpty &&
       gb.forall(_.isDefined) && aggs.nonEmpty && aggs.forall(_.isDefined)
     if (ok) { pushedAggs = aggs.map(_.get).toSeq; groupCols = gb.map(_.get) }
     ok
   }
 
   override def build(): Scan =
-    if (pushedAggs.nonEmpty) new GraftAggScan(path, schema, pushed, pushedAggs, groupCols)
+    if (pushedAggs.nonEmpty)
+      new GraftAggScan(path, schema, pushed, pushedAggs, groupCols, snapshot)
     else new GraftScan(path, required, pushed, limit, topN, residualFilters,
       rowLevelDirs, snapshot)
 }
@@ -646,7 +647,8 @@ class GraftScanBuilder(path: String, schema: StructType,
   * V2ScanRelationPushDown's positional zip of grouping expressions with the
   * scan's leading output attributes. */
 class GraftAggScan(path: String, tableSchema: StructType, pushed: Array[Filter],
-    aggs: Seq[PushedAgg], groupCols: Array[String] = Array.empty)
+    aggs: Seq[PushedAgg], groupCols: Array[String] = Array.empty,
+    snapshot: Option[Long] = None)
     extends Scan with Batch with SupportsReportPartitioning {
   private def colType(c: String): DataType =
     if (GraftDataSource.isBucket(c)) LongType
@@ -665,16 +667,27 @@ class GraftAggScan(path: String, tableSchema: StructType, pushed: Array[Filter],
     if (groupCols.isEmpty)
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     else {
-      val n = walked.map { case (_, b) => groupCols.toSeq.map(b(_)) }.distinct.size
+      val n = files.map { case (_, b) => groupCols.toSeq.map(b(_)) }.distinct.size
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         groupCols.map(k => org.apache.spark.sql.connector.expressions.Expressions
           .identity(k): org.apache.spark.sql.connector.expressions.Expression),
         math.max(n, 1))
     }
 
-  @transient private lazy val walked: Seq[(Path, Map[String, Long])] = {
+  // one file per entry with its bucket binding: the live tree's pruned walk,
+  // or the snapshot manifest's resolved files (footer metadata reads work
+  // identically on retired history files)
+  @transient private lazy val files: Seq[(Path, Map[String, Long])] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    GraftDataSource.walkChunks(fs, new Path(path), pushed)
+    snapshot match {
+      case Some(v) =>
+        GraftVersions.snapshotFiles(fs, new Path(path), v, pushed)
+      case None =>
+        GraftDataSource.walkChunks(fs, new Path(path), pushed)
+          .flatMap { case (dir, b) =>
+            GraftDataSource.chunkFiles(fs, dir).map(f => (f, b))
+          }
+    }
   }
 
   override def readSchema(): StructType =
@@ -687,19 +700,16 @@ class GraftAggScan(path: String, tableSchema: StructType, pushed: Array[Filter],
       })
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftAggScan path=$path, PushedBucketFilters: [${pushed.mkString(", ")}], " +
+    s"GraftAggScan path=$path" +
+      snapshot.map(v => s", Snapshot: v$v").getOrElse("") +
+      s", PushedBucketFilters: [${pushed.mkString(", ")}], " +
       s"PushedAggregation: [${aggs.map(_.name).mkString(", ")}]" +
       (if (groupCols.isEmpty) "" else s", PushedGroupBy: [${groupCols.mkString(", ")}]")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    walked
-      .flatMap { case (dir, b) =>
-        val groupVals = groupCols.map(b(_))
-        GraftDataSource.chunkFiles(fs, dir)
-          .map(p => GraftAggPartition(p.toString, groupVals, b): InputPartition)
-      }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { case (f, b) =>
+      GraftAggPartition(f.toString, groupCols.map(b(_)), b): InputPartition
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftAggReaderFactory(aggs, StructType(tableSchema.fields

@@ -37,7 +37,11 @@ import org.apache.spark.sql.sources.Filter
   * (the resolver raises a clear error) and `World.create`'s full overwrite
   * resets the log entirely. Crash between a commit's file moves and its
   * manifest write leaves no manifest for that version — the version number
-  * is reused by the next commit and older snapshots stay intact.
+  * is reused by the next commit and older snapshots stay intact. Version
+  * numbering rides the world's SINGLE-WRITER contract (the same one every
+  * staged commit already relies on; the reference's worlds are
+  * single-writer too): two simultaneous commits to one table would race on
+  * the next version number, never corrupt data files.
   */
 private[graft] object GraftVersions {
   private val VersionsDir = "_graft_versions"
@@ -143,23 +147,41 @@ private[graft] object GraftVersions {
   def finish(fs: FileSystem, root: Path, v: Long): Unit =
     writeManifest(fs, root, v, liveFiles(fs, root))
 
-  /** Physical location of one manifest-`v` file: history of versions > v
-    * first (ascending — a file is retired at most once per name), then the
-    * live tree. */
+  /** One walk over the retained history of versions in `versions`
+    * (ascending): chunk-relative path -> physical location, keeping the
+    * EARLIEST retiring version on collision (a rel name can reappear in a
+    * later version's history after a rollback re-retire; the earliest is
+    * the copy that was live before the first retire — see [[resolve]]).
+    * O(retired files) listings, done ONCE per scan instead of per-file
+    * existence probes across every history dir. */
+  def historyIndex(fs: FileSystem, root: Path,
+      versions: Seq[Long]): Map[String, Path] =
+    versions.sorted.foldLeft(Map.empty[String, Path]) { (acc, m) =>
+      val h = historyPath(root, m)
+      if (!fs.exists(h)) acc
+      else GraftDataSource.walkChunks(fs, h, Array.empty)
+        .flatMap { case (d, _) => GraftDataSource.chunkFiles(fs, d) }
+        .foldLeft(acc) { (a, f) =>
+          val rel = relOf(h, f)
+          if (a.contains(rel)) a else a + (rel -> f)
+        }
+    }
+
+  /** Physical location of one manifest-`v` file: the history index of
+    * versions > v first (a file live at v is retired at most once, at the
+    * earliest later version holding its name — probing history before the
+    * live tree means a later same-named live file can never shadow the
+    * snapshot's bytes), then the live tree. */
   def resolve(fs: FileSystem, root: Path, rel: String, v: Long,
-      laterHistory: Seq[Long]): Path = {
-    laterHistory.collectFirst {
-      case m if fs.exists(new Path(historyPath(root, m), rel)) =>
-        new Path(historyPath(root, m), rel)
-    }.getOrElse {
+      laterIndex: Map[String, Path]): Path =
+    laterIndex.getOrElse(rel, {
       val live = new Path(root, rel)
       if (fs.exists(live)) live
       else throw new IllegalStateException(
         s"graft snapshot v$v: $rel is neither live nor in retained history — " +
           "expired by retention, or superseded by an unversioned World-level " +
           "rewrite (insert/destroy/update/compact are version barriers)")
-    }
-  }
+    })
 
   /** Buckets of a chunk-relative path (`c0=3/c1=5/part-….parquet`). */
   def bucketsOf(rel: String): Map[String, Long] =
@@ -171,11 +193,12 @@ private[graft] object GraftVersions {
     }.toMap
 
   /** The files of snapshot `v` surviving the pushed bucket filters, resolved
-    * to their current physical locations. One manifest read + one history
-    * listing; existence probes only for surviving files. */
+    * to their current physical locations. One manifest read + one walk of
+    * the later history dirs (typically small: only retired files live
+    * there); no per-file existence probing against each history version. */
   def snapshotFiles(fs: FileSystem, root: Path, v: Long,
       pushed: Array[Filter]): Seq[(Path, Map[String, Long])] = {
-    val later = historyVersions(fs, root).filter(_ > v)
+    val later = historyIndex(fs, root, historyVersions(fs, root).filter(_ > v))
     readManifest(fs, root, v)
       .map(rel => (rel, bucketsOf(rel)))
       .filter { case (_, b) => pushed.forall(GraftDataSource.evalOnBuckets(_, b)) }
@@ -200,8 +223,10 @@ private[graft] object GraftVersions {
       retire(fs, root, f, newV)
     }
     // restore: a target file not live now was retired at some M in
-    // (target, latest] — resolve probes exactly those
-    val later = historyVersions(fs, root).filter(m => m > target && m <= latest)
+    // (target, latest] — the index covers exactly those (newV's own fresh
+    // retirees are all non-target files, excluded by the upper bound)
+    val later = historyIndex(fs, root,
+      historyVersions(fs, root).filter(m => m > target && m <= latest))
     val liveSet = live.toSet
     targetFiles.filterNot(liveSet.contains).foreach { rel =>
       val src = resolve(fs, root, rel, target, later)

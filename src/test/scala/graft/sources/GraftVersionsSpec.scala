@@ -128,6 +128,30 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(at(1) == Set(1L, 15L, 25L), "v1 = post-append")
   }
 
+  test("snapshot scans keep aggregate pushdown (footer stats from history files)") {
+    spark.sql("CREATE TABLE vcat.ag (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.ag SELECT id, id * 10, id DIV 10 FROM range(0, 30)") // v1
+    spark.sql("UPDATE vcat.ag SET v = 0 WHERE id % 2 = 0")                           // v2
+    val agg = spark.sql(
+      "SELECT c0, COUNT(*) AS n, MAX(v) AS mx FROM vcat.ag VERSION AS OF 1 GROUP BY c0")
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("GraftAggScan") && p.contains("Snapshot: v1"),
+      s"snapshot aggregate answered from footer metadata:\n$p")
+    val got = agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 10L, 90L), (1L, 10L, 190L), (2L, 10L, 290L)),
+      "v1 (pre-update) maxima, not the zeroed ones")
+  }
+
+  test("INSERT OVERWRITE (truncate) retires the whole grid into history") {
+    spark.sql("CREATE TABLE vcat.ow (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.ow VALUES (1, 10, 0), (11, 110, 1)")  // v1
+    spark.sql("INSERT OVERWRITE vcat.ow VALUES (99, 990, 9)")         // v2 (truncate)
+    assert(rows("SELECT id, v FROM vcat.ow") == Set((99L, 990L)))
+    assert(rows("SELECT id, v FROM vcat.ow VERSION AS OF 1") ==
+      Set((1L, 10L), (11L, 110L)),
+      "the pre-overwrite state survives the truncate in history")
+  }
+
   test("streaming reads of a snapshot are refused (frozen commit)") {
     spark.sql("CREATE TABLE vcat.st (id BIGINT, v BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO vcat.st VALUES (1, 10, 0)")
