@@ -397,6 +397,22 @@ case class ScalableWindowExec(
     // reflection. The RangePartitioner's sample pass over the child is the
     // other real cost and is inherent to ANY range partitioning (vanilla's
     // range exchange pays it too).
+    //
+    // CONSIDERED AND REJECTED — projecting the shuffle key down to the
+    // order columns: the full row must still travel (both jobs emit and
+    // aggregate over it), so a projected key means (key + full-row value)
+    // pairs — the order columns serialized TWICE, strictly MORE wire bytes
+    // than the full-row-key form (orders-shaped rows: ~32-byte projected
+    // key + header on top of the ~100-byte row, ≈ +30%). And the sorted
+    // merge's comparator wins nothing: LazilyGeneratedOrdering compiles to
+    // bound-reference field reads against whichever row it is given, so
+    // comparing on a narrow key reads the same two fields the full-row
+    // compare reads (a win could only exist for computed order EXPRESSIONS,
+    // which the rewrite's eligibility never produces — it orders by
+    // columns). Measured window-family bench (8 global-window queries,
+    // sf0.1, local[32], 3 runs): 8.16 / 8.70 / 7.96 s — run-to-run noise
+    // ±5% already exceeds any plausible gain from a change whose wire
+    // effect is negative. Keeping the full-row key.
     val pairs: RDD[(InternalRow, Null)] =
       child.execute().mapPartitions(_.map(r => (r.copy(), null)))
     val partitioner = new RangePartitioner(np, pairs, ascending = true,
