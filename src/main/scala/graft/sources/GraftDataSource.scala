@@ -448,11 +448,13 @@ class GraftTable(path: String, schema: StructType,
     val root = new org.apache.hadoop.fs.Path(path)
     if (fs.exists(root)) {
       // versioned commit: the dropped chunks retire into history, so the
-      // pre-DELETE state stays addressable (and rollback-able)
+      // pre-DELETE state stays addressable (and rollback-able). The victim
+      // walk is pruned by the DELETE's own bucket filters; the manifest
+      // seal is incremental (predecessor − retired).
       val v = GraftVersions.begin(fs, root)
-      GraftDataSource.walkChunks(fs, root, filters)
-        .foreach { case (d, _) => GraftStage.retireChunkDir(fs, d, root, v) }
-      GraftVersions.finish(fs, root, v)
+      val retired = GraftDataSource.walkChunks(fs, root, filters)
+        .flatMap { case (d, _) => GraftStage.retireChunkDir(fs, d, root, v) }
+      GraftVersions.finishIncremental(fs, root, v, retired.toSet, Seq.empty)
     }
   }
   override def schema(): StructType = schema

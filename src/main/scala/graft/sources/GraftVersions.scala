@@ -13,11 +13,13 @@ import org.apache.spark.sql.sources.Filter
   * generalized into a commit log:
   *
   *   - `_graft_versions/v<N>.manifest` — one line per LIVE data file
-  *     (chunk-relative path) after commit N; written from a fresh metadata
-  *     walk at commit time, so the manifest is always the on-disk truth
-  *     (a production deployment at 100k-chunk scale would maintain these
-  *     incrementally from the commit's own add/remove sets — the walk is
-  *     the same parallel pruned listing scan planning already pays);
+  *     (chunk-relative path) after commit N, maintained INCREMENTALLY:
+  *     manifest(N) = manifest(N-1) − retired + added, so a commit's
+  *     manifest cost is O(files it touched), never a grid walk — at a
+  *     100k-chunk grid a walk per streaming epoch would be the commit
+  *     cost. A fresh walk is used only where exact knowledge is missing:
+  *     the first versioned commit's baseline, and commits that delegate to
+  *     a World-level rewrite (upsert), which also HEAL any drift;
   *   - `_graft_history/v<N>/<relpath>` — files SUPERSEDED by commit N,
   *     moved (not deleted) out of the live tree. Underscore prefixes keep
   *     both invisible to the live read paths (the grid walk descends only
@@ -31,11 +33,17 @@ import org.apache.spark.sql.sources.Filter
   *
   * Scope: every connector/catalog commit versions (append, overwrite,
   * truncate, row-level COW, streaming epochs, metadata DELETE). The
-  * programmatic World rewrites (insert / destroy / update / compact) write
-  * through Spark's own parquet committer and are VERSION BARRIERS: they
-  * delete superseded files outright, so older snapshots may stop resolving
-  * (the resolver raises a clear error) and `World.create`'s full overwrite
-  * resets the log entirely. Crash between a commit's file moves and its
+  * programmatic World rewrites (insert / destroy / update / compact /
+  * append / tryInsert) write through Spark's own parquet committer and are
+  * VERSION BARRIERS: they delete superseded files outright, so older
+  * snapshots may stop resolving (the resolver raises a clear error) and
+  * `World.create`'s full overwrite resets the log entirely. Each barrier
+  * drops a `_barrier` marker ([[noteBarrier]]) so the NEXT versioned
+  * commit rebuilds its manifest from a walk instead of trusting a
+  * predecessor the rewrite invalidated — without it an incremental
+  * manifest after a barrier would silently misstate the commit's file set
+  * (claiming files the rewrite deleted, missing files it wrote), which is
+  * strictly worse than the resolver's loud missing-file error. Crash between a commit's file moves and its
   * manifest write leaves no manifest for that version — the version number
   * is reused by the next commit and older snapshots stay intact. Version
   * numbering rides the world's SINGLE-WRITER contract (the same one every
@@ -143,9 +151,43 @@ private[graft] object GraftVersions {
       throw new IllegalStateException(s"graft versions: failed to retire $file")
   }
 
-  /** Seal commit `v`: manifest = the live tree as of now. */
-  def finish(fs: FileSystem, root: Path, v: Long): Unit =
+  private def barrierPath(root: Path): Path =
+    new Path(new Path(root, VersionsDir), "_barrier")
+
+  /** Called by World-level rewrites (which bypass the commit log): the next
+    * versioned commit must rebuild its manifest from a walk — see the
+    * barrier discussion in the object doc. One empty-file touch. */
+  def noteBarrier(fs: FileSystem, root: Path): Unit =
+    if (fs.exists(new Path(root, VersionsDir))) {
+      fs.create(barrierPath(root), true).close()
+    } // a world with no version log yet has nothing to invalidate
+
+  /** Seal commit `v` from a FULL WALK of the live tree — the healing form:
+    * reflects every change on disk, including barrier rewrites, and clears
+    * the barrier marker. Used for baselines and upsert-style commits whose
+    * file set changed outside the commit's own knowledge. */
+  def finish(fs: FileSystem, root: Path, v: Long): Unit = {
     writeManifest(fs, root, v, liveFiles(fs, root))
+    fs.delete(barrierPath(root), false)
+  }
+
+  /** Seal commit `v` INCREMENTALLY: manifest(v) = predecessor − `removed` +
+    * `added` (chunk-relative paths) — O(touched files), no walk. Falls back
+    * to the walk-based [[finish]] when there is no predecessor manifest or
+    * a World-level barrier invalidated it. */
+  def finishIncremental(fs: FileSystem, root: Path, v: Long,
+      removed: Set[String], added: Seq[String]): Unit = {
+    val prev =
+      if (fs.exists(barrierPath(root))) None
+      else listVersions(fs, root).filter(_ < v).lastOption
+        .map(readManifest(fs, root, _))
+    prev match {
+      case Some(p) =>
+        writeManifest(fs, root, v,
+          (p.filterNot(removed.contains) ++ added).distinct)
+      case None => finish(fs, root, v)
+    }
+  }
 
   /** One walk over the retained history of versions in `versions`
     * (ascending): chunk-relative path -> physical location, keeping the

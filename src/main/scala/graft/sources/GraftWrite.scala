@@ -132,6 +132,11 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
         throw new IllegalStateException(
           s"graft upsert needs the world's dim mappings: no world registered for $path " +
             "(instantiate graft.world.World for this path first)"))
+      // versioned commit sealed from a WALK after the insert: World.insert
+      // is a barrier (it deletes superseded files), so this commit both
+      // versions the upsert's post-state and heals any manifest drift
+      val root = new Path(path)
+      val v = GraftVersions.begin(fs, root)
       val staged = messages.collect { case GraftCommitMessage(_, rows) => rows }.sum
       val stagedFiles = GraftStage
         .stagedCells(fs, new Path(stagePath), messages).flatMap(_._3)
@@ -149,6 +154,7 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
       } else GraftUpsertWrite.summaryByPath.put(path,
         GraftUpsertWrite.UpsertSummary(staged, 0L))
       GraftDataSource.writeSidecarIfAbsent(path, schema)
+      GraftVersions.finish(fs, root, v)
     } finally fs.delete(new Path(stagePath), true)
   }
 
@@ -222,17 +228,17 @@ class GraftOverwriteWrite(path: String, schema: StructType,
           else Seq.empty
       }
       val v = GraftVersions.begin(fs, root)
-      victims.foreach(GraftStage.retireChunkDir(fs, _, root, v))
+      val retired = victims.flatMap(GraftStage.retireChunkDir(fs, _, root, v))
       // move staged chunk dirs into place (merge into survivors of the same
       // cell — possible only in static mode with a non-covering condition)
-      GraftStage.moveIn(fs, stageRoot, root, staged)
+      val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
       if (isTruncate) {
         // truncate replaces the table contents wholesale: the incoming
         // schema is now authoritative for readers
         val out = fs.create(new Path(s"$path/_graft_schema.json"), true)
         out.write(schema.json.getBytes("UTF-8")); out.close()
       } else GraftDataSource.writeSidecarIfAbsent(path, schema)
-      GraftVersions.finish(fs, root, v)
+      GraftVersions.finishIncremental(fs, root, v, retired.toSet, moved)
     } finally fs.delete(stageRoot, true)
   }
 
@@ -270,13 +276,16 @@ class GraftReplaceGroupsWrite(path: String, schema: StructType,
       val victims = scannedDirs()
       val v = GraftVersions.begin(fs, root)
       var replaced = 0
+      val retired = scala.collection.mutable.Buffer.empty[String]
       victims.forEach { d =>
         val p = new Path(d)
-        if (fs.exists(p)) { GraftStage.retireChunkDir(fs, p, root, v); replaced += 1 }
+        if (fs.exists(p)) {
+          retired ++= GraftStage.retireChunkDir(fs, p, root, v); replaced += 1
+        }
       }
-      GraftStage.moveIn(fs, stageRoot, root, staged)
+      val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
       GraftDataSource.writeSidecarIfAbsent(path, schema)
-      GraftVersions.finish(fs, root, v)
+      GraftVersions.finishIncremental(fs, root, v, retired.toSet, moved)
       GraftReplaceGroupsWrite.summaryByPath.put(path,
         GraftReplaceGroupsWrite.ReplaceSummary(replaced, staged.size))
       org.slf4j.LoggerFactory.getLogger(getClass).info(
@@ -356,12 +365,16 @@ private[sources] object GraftStage {
 
   /** Version-aware twin of [[deleteChunkDir]]: the cell's data files move
     * into commit `version`'s history (snapshot reads of older manifests
-    * still resolve them) before the dir is dropped from the live tree. */
-  def retireChunkDir(fs: FileSystem, d: Path, root: Path, version: Long): Unit = {
-    GraftDataSource.chunkFiles(fs, d)
-      .foreach(GraftVersions.retire(fs, root, _, version))
+    * still resolve them) before the dir is dropped from the live tree.
+    * Returns the retired files' chunk-relative paths (the commit's
+    * `removed` set for its incremental manifest). */
+  def retireChunkDir(fs: FileSystem, d: Path, root: Path,
+      version: Long): Seq[String] = {
+    val files = GraftDataSource.chunkFiles(fs, d)
+    files.foreach(GraftVersions.retire(fs, root, _, version))
     fs.delete(d, true)
     pruneEmptyParents(fs, d, root)
+    files.map(GraftVersions.relOf(root, _))
   }
 
   /** Remove now-empty ancestors of `d` up to (excluding) `root`. */
@@ -398,18 +411,21 @@ private[sources] object GraftStage {
 
   /** Move each staged cell's committed files into the same cell under
     * `root` (merging with any files already there — per-task file names
-    * are unique, so appends never clobber). */
+    * are unique, so appends never clobber). Returns the moved files'
+    * chunk-relative paths under `root` (the commit's `added` set for its
+    * incremental manifest). */
   def moveIn(fs: FileSystem, stageRoot: Path, root: Path,
-      staged: Seq[(Path, Map[String, Long], Seq[Path])]): Unit =
-    staged.foreach { case (dir, _, files) =>
+      staged: Seq[(Path, Map[String, Long], Seq[Path])]): Seq[String] =
+    staged.flatMap { case (dir, _, files) =>
       // listStatus returns fs-qualified paths (file:/…) — relativize on
       // URI paths, not raw strings, or the prefix never matches
       val rel = dir.toUri.getPath
         .stripPrefix(stageRoot.toUri.getPath).stripPrefix("/")
       val target = new Path(root, rel)
       fs.mkdirs(target)
-      files.foreach { f =>
+      files.map { f =>
         fs.rename(f, new Path(target, f.getName))
+        if (rel.isEmpty) f.getName else s"$rel/${f.getName}"
       }
     }
 }
@@ -464,15 +480,19 @@ class GraftStreamingWrite(path: String, schema: StructType,
       val v = GraftVersions.begin(fs, root)
       mode match {
         case Append =>
-          GraftStage.moveIn(fs, stageRoot, root, staged)
+          val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
           GraftDataSource.writeSidecarIfAbsent(path, schema)
+          GraftVersions.finishIncremental(fs, root, v, Set.empty, moved)
         case Truncate =>
-          if (fs.exists(root))
-            GraftDataSource.walkChunks(fs, root, Array.empty)
-              .foreach { case (d, _) => GraftStage.retireChunkDir(fs, d, root, v) }
-          GraftStage.moveIn(fs, stageRoot, root, staged)
+          val retired =
+            if (fs.exists(root))
+              GraftDataSource.walkChunks(fs, root, Array.empty)
+                .flatMap { case (d, _) => GraftStage.retireChunkDir(fs, d, root, v) }
+            else Seq.empty
+          val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
           val out = fs.create(new Path(s"$path/_graft_schema.json"), true)
           out.write(schema.json.getBytes("UTF-8")); out.close()
+          GraftVersions.finishIncremental(fs, root, v, retired.toSet, moved)
         case Upsert =>
           val spark = org.apache.spark.sql.SparkSession.active
           val dims = graft.plans.DimPruningRegistry.lookup(path).getOrElse(
@@ -490,8 +510,9 @@ class GraftStreamingWrite(path: String, schema: StructType,
               .info(s"graft stream upsert into $path: epoch $epochId, $displaced displaced")
           }
           GraftDataSource.writeSidecarIfAbsent(path, schema)
+          // World.insert is a version barrier: seal from a walk (heals)
+          GraftVersions.finish(fs, root, v)
       }
-      GraftVersions.finish(fs, root, v)
       fs.mkdirs(markerFor(epochId).getParent)
       fs.create(markerFor(epochId), true).close()
       // opportunistic marker pruning: replay only re-offers tail epochs
@@ -539,13 +560,14 @@ class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {
     // version the append: nothing retires, but the post-commit manifest
     // makes this state addressable by VERSION AS OF. Append tasks write
     // straight into the grid, so THIS commit's files must not leak into a
-    // first-commit baseline manifest.
+    // first-commit baseline manifest; the seal is incremental (predecessor
+    // + this commit's files) — an append never pays a grid walk.
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val root = new Path(path)
     val added = messages.collect { case GraftCommitMessage(f, _) => f }.flatten
-      .map(f => GraftVersions.relOf(root, new Path(f))).toSet
-    val v = GraftVersions.begin(fs, root, excludeFromBaseline = added)
-    GraftVersions.finish(fs, root, v)
+      .map(f => GraftVersions.relOf(root, new Path(f)))
+    val v = GraftVersions.begin(fs, root, excludeFromBaseline = added.toSet)
+    GraftVersions.finishIncremental(fs, root, v, Set.empty, added)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())

@@ -148,6 +148,14 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
+  /** World-level rewrites bypass the connector's commit log (they delete
+    * superseded files through Spark's own committer) — note the VERSION
+    * BARRIER so the next versioned commit rebuilds its manifest from a
+    * walk instead of trusting a predecessor this rewrite invalidated. */
+  private def noteVersionBarrier(): Unit =
+    graft.sources.GraftVersions.noteBarrier(fileSystem,
+      new org.apache.hadoop.fs.Path(path))
+
   /** The world as a DataFrame; bucket columns come back as partition columns
     * so predicates on them prune directories, not files. An empty world reads
     * as an empty DataFrame with the created schema. */
@@ -241,13 +249,15 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     * existing data). The building block of the daemon's high-frequency path:
     * append per batch, [[compact]] on a dirty-counter threshold. Callers
     * that need id uniqueness use [[insert]]/[[tryInsert]] instead. */
-  def append(rows: DataFrame): Unit =
+  def append(rows: DataFrame): Unit = {
     withBuckets(validate(rows))
       .repartition(bucketCols.map(col): _*)
       // bucket-col prefix: see create — without it the writer re-sorts
       .sortWithinPartitions(
         bucketCols.map(col) ++ dims.map(d => col(d.column)): _*)
       .write.partitionBy(bucketCols: _*).mode("append").parquet(path)
+    noteVersionBarrier()
+  }
 
   /** Insert-if-absent — `World::try_insert`
     * (/root/reference/src/world.rs:569-584): ids already present are NOT
@@ -258,6 +268,7 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     val fresh = incoming.join(existing.select(col(idCol)), Seq(idCol), "left_anti").cache()
     val rejected = incoming.count() - fresh.count()
     fresh.write.partitionBy(bucketCols: _*).mode("append").parquet(path)
+    noteVersionBarrier()
     incoming.unpersist(); fresh.unpersist()
     rejected
   }
@@ -419,6 +430,7 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
         val dir = bucketCols.zip(p).map { case (c, v) => s"$c=$v" }.mkString("/")
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dir"), true)
       }
+      noteVersionBarrier()
     } finally {
       fs.delete(new org.apache.hadoop.fs.Path(stage), true)
       prev match {

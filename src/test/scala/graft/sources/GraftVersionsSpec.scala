@@ -152,6 +152,30 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the pre-overwrite state survives the truncate in history")
   }
 
+  test("a World-level rewrite (version barrier) forces the next seal back to a walk") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vbar").toString + "/world"
+    val w = new World(spark, path, Seq(DimSpec("d0", DimMapping(0, 99, 10))))
+    w.create(Seq((1L, 10L), (15L, 150L)).toDF("d0", "v"))
+    w.withBuckets(Seq((25L, 250L)).toDF("d0", "v"))
+      .write.format("graft").mode("append").save(path)          // v0 baseline + v1
+    w.insert(Seq((1L, 999L)).toDF("d0", "v"))                   // BARRIER: rewrites c0=0
+    w.withBuckets(Seq((35L, 350L)).toDF("d0", "v"))
+      .write.format("graft").mode("append").save(path)          // v2 — must seal via walk
+    def at(v: Int) = spark.read.format("graft")
+      .option("graft.snapshot", v.toString).load(path)
+      .select("d0", "v").as[(Long, Long)].collect().toMap
+    assert(at(2) == Map(1L -> 999L, 15L -> 150L, 25L -> 250L, 35L -> 350L),
+      "post-barrier manifest reflects the barrier rewrite (incremental would " +
+        "have missed the rewritten files and listed deleted ones)")
+    // the barrier deleted v1's c0=0 file outright — that snapshot now fails
+    // LOUDLY instead of returning wrong rows
+    val e = intercept[Exception](at(1))
+    assert(e.getMessage.contains("version barrier") ||
+      Option(e.getCause).exists(_.getMessage.contains("version barrier")),
+      s"got: ${e.getMessage}")
+  }
+
   test("streaming reads of a snapshot are refused (frozen commit)") {
     spark.sql("CREATE TABLE vcat.st (id BIGINT, v BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO vcat.st VALUES (1, 10, 0)")
