@@ -190,7 +190,7 @@ class GraftCatalog extends TableCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("compact", "stats", "rollback", "expire_versions")
+      Array("compact", "stats", "rollback", "expire_versions", "versions")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -202,10 +202,53 @@ class GraftCatalog extends TableCatalog
       case (Seq("system"), "rollback") => new GraftRollbackProcedure(this)
       case (Seq("system"), "expire_versions") =>
         new GraftExpireVersionsProcedure(this)
+      case (Seq("system"), "versions") => new GraftVersionsProcedure(this)
       case _ => throw new UnsupportedOperationException(
         s"graft catalog $catalogName has no procedure $ident (available: " +
-          "system.compact, system.stats, system.rollback, system.expire_versions)")
+          "system.compact, system.stats, system.rollback, " +
+          "system.expire_versions, system.versions)")
     }
+}
+
+/** `CALL <cat>.system.versions(table => 't')` — the commit log as rows: one
+  * per retained version with its seal time and live-file count (manifest
+  * reads only, no data touched). The DESCRIBE-HISTORY face an operator
+  * needs before choosing a `VERSION AS OF` target or a rollback point. */
+class GraftVersionsProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "versions"
+  override def description(): String =
+    "retained commit versions with seal time (epoch micros) and file count"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "versions"
+    override def description(): String = GraftVersionsProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val root = new Path(path)
+      val schema = StructType(Seq(
+        StructField("version", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("sealed_at_us", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("files", org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = GraftVersions.listVersions(fs, root).map { v =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          v,
+          fs.getFileStatus(GraftVersions.manifestPath(root, v))
+            .getModificationTime * 1000L,
+          GraftVersions.readManifest(fs, root, v).size.toLong)
+      }.toArray
+      GraftProcedures.scanOf(schema, rows)
+    }
+  }
 }
 
 /** `CALL <cat>.system.rollback(table => 't', version => n)` — restore the

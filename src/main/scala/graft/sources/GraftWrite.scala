@@ -88,7 +88,11 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuild
           else if ("upsert".equalsIgnoreCase(info.options().get("graft.mode")))
             GraftStreamingWrite.Upsert
           else GraftStreamingWrite.Append
-        new GraftStreamingWrite(path, info.schema(), mode)
+        // option("graft.versions.keep", n): retention per epoch — an
+        // unbounded stream seals a version per epoch, so without a cap the
+        // manifest/history log grows forever
+        new GraftStreamingWrite(path, info.schema(), mode,
+          Option(info.options().get("graft.versions.keep")).map(_.toInt))
       }
 
       override def requiredDistribution():
@@ -450,7 +454,8 @@ private[sources] object GraftStage {
   * tail epochs the checkpoint hasn't sealed).
   */
 class GraftStreamingWrite(path: String, schema: StructType,
-    mode: GraftStreamingWrite.Mode)
+    mode: GraftStreamingWrite.Mode,
+    versionsKeep: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import GraftStreamingWrite._
 
@@ -521,6 +526,9 @@ class GraftStreamingWrite(path: String, schema: StructType,
           .map(_ -> s.getPath))
         .sortBy(_._1).dropRight(keepMarkers)
         .foreach { case (_, p) => fs.delete(p, false) }
+      // per-epoch retention under graft.versions.keep: a forever-stream's
+      // commit log stays bounded without an external maintenance job
+      versionsKeep.foreach(k => GraftVersions.expire(fs, root, k))
     } finally fs.delete(stageRoot, true)
   }
 

@@ -3,6 +3,7 @@ package graft.sources
 import graft.core.DimMapping
 import graft.world.{DimSpec, World}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import java.nio.file.Files
@@ -150,6 +151,40 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("SELECT id, v FROM vcat.ow VERSION AS OF 1") ==
       Set((1L, 10L), (11L, 110L)),
       "the pre-overwrite state survives the truncate in history")
+  }
+
+  test("system.versions lists the commit log (version, seal time, file count)") {
+    spark.sql("CREATE TABLE vcat.vh (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.vh VALUES (1, 10, 0)")
+    spark.sql("INSERT INTO vcat.vh VALUES (11, 110, 1)")
+    val hist = spark.sql("CALL vcat.system.versions(table => 'vh')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hist.map(_._1).toSeq == Seq(0L, 1L, 2L), "v0 baseline + two inserts")
+    assert(hist.map(_._3).toSeq == Seq(0L, 1L, 2L),
+      "live-file counts per version (empty baseline, then one file per insert)")
+    assert(hist.forall(_._2 > 0L), "seal timestamps populated")
+  }
+
+  test("streaming sink: graft.versions.keep bounds the commit log per epoch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-vsk").toString + "/world"
+    val cp = Files.createTempDirectory("graft-vsk-cp").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = src.toDF().toDF("d0", "v")
+      .withColumn("c0", col("d0") / 10 cast "long")
+      .writeStream.format("graft")
+      .option("checkpointLocation", cp)
+      .option("graft.versions.keep", "2")
+      .start(path)
+    try {
+      for (i <- 1 to 4) { src.addData((i.toLong, i * 10L)); q.processAllAvailable() }
+    } finally q.stop()
+    val manifests = new java.io.File(s"$path/_graft_versions").listFiles()
+      .count(_.getName.endsWith(".manifest"))
+    assert(manifests <= 2, s"retention keeps the log bounded, got $manifests")
+    assert(spark.read.format("graft").load(path).count() == 4,
+      "retention never touches live data")
   }
 
   test("a World-level rewrite (version barrier) forces the next seal back to a walk") {
