@@ -69,6 +69,29 @@ object DmdsQueries {
     path
   }
 
+  /** Isolated session: conf copied (SF-wide settings apply) so per-query
+    * catalog registrations and conf overrides never leak into other
+    * registry queries' planning. */
+  private def isolatedSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v) catch { case _: Exception => () }
+    }
+    s2
+  }
+
+  /** [[isolatedSession]] with a graft catalog named `cat` over a
+    * per-(tag, dir) warehouse — the shared shape of every catalog-driven
+    * oracle query. */
+  private def withGraftCatalog(s: SparkSession, dir: String, cat: String,
+      tag: String): SparkSession = {
+    val s2 = isolatedSession(s)
+    s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s2.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      s"/tmp/graft_cat_${tag}_" + dir.replaceAll("[^0-9a-zA-Z]", "_"))
+    s2
+  }
+
   val defs: Map[String, QueryDef] = {
     val selRange = cr(d1, Bounds.to(100, 119)) // user chunks 6..7
     val andU = cr(d1, Bounds.to(32, 80))       // 2..5
@@ -295,10 +318,7 @@ object DmdsQueries {
         // q_global_window_auto) so partition-grouping never leaks into
         // other registry queries' plans.
         (s, dir) => {
-          val s2 = s.newSession()
-          s.conf.getAll.foreach { case (k, v) =>
-            try s2.conf.set(k, v) catch { case _: Exception => () }
-          }
+          val s2 = isolatedSession(s)
           s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
           s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
           s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -406,13 +426,7 @@ object DmdsQueries {
         // registration and partitionOverwriteMode=dynamic from leaking
         // into other registry queries' planning.
         (s, dir) => {
-          val s2 = s.newSession()
-          s.conf.getAll.foreach { case (k, v) =>
-            try s2.conf.set(k, v) catch { case _: Exception => () }
-          }
-          val wh = "/tmp/graft_cat_wh_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
-          s2.conf.set("spark.sql.catalog.wcat", "graft.sources.GraftCatalog")
-          s2.conf.set("spark.sql.catalog.wcat.warehouse", wh)
+          val s2 = withGraftCatalog(s, dir, "wcat", "wh")
           s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
           events(s2, dir).createOrReplaceTempView("ev_src")
           s2.sql("DROP TABLE IF EXISTS wcat.ev_dml")
@@ -442,13 +456,7 @@ object DmdsQueries {
         // anti-filter for the delete, left joins for the merge). Isolated
         // session, same discipline as w_catalog_dml.
         (s, dir) => {
-          val s2 = s.newSession()
-          s.conf.getAll.foreach { case (k, v) =>
-            try s2.conf.set(k, v) catch { case _: Exception => () }
-          }
-          val wh = "/tmp/graft_cat_rl_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
-          s2.conf.set("spark.sql.catalog.wrl", "graft.sources.GraftCatalog")
-          s2.conf.set("spark.sql.catalog.wrl.warehouse", wh)
+          val s2 = withGraftCatalog(s, dir, "wrl", "rl")
           events(s2, dir).createOrReplaceTempView("ev_src_rl")
           s2.sql("DROP TABLE IF EXISTS wrl.ev_rl")
           s2.sql("""CREATE TABLE wrl.ev_rl
@@ -514,13 +522,7 @@ object DmdsQueries {
         // manifest read + per-file history probes of the SELECTED files
         // only — no data is ever copied to make a version addressable.
         (s, dir) => {
-          val s2 = s.newSession()
-          s.conf.getAll.foreach { case (k, v) =>
-            try s2.conf.set(k, v) catch { case _: Exception => () }
-          }
-          val wh = "/tmp/graft_cat_tt_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
-          s2.conf.set("spark.sql.catalog.wtt", "graft.sources.GraftCatalog")
-          s2.conf.set("spark.sql.catalog.wtt.warehouse", wh)
+          val s2 = withGraftCatalog(s, dir, "wtt", "tt")
           events(s2, dir).createOrReplaceTempView("ev_src_tt")
           s2.sql("DROP TABLE IF EXISTS wtt.ev_tt")
           s2.sql("""CREATE TABLE wtt.ev_tt
@@ -554,13 +556,7 @@ object DmdsQueries {
         // rollback missed a cell or retention broke a live file, the gate
         // goes red. */
         (s, dir) => {
-          val s2 = s.newSession()
-          s.conf.getAll.foreach { case (k, v) =>
-            try s2.conf.set(k, v) catch { case _: Exception => () }
-          }
-          val wh = "/tmp/graft_cat_rb_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
-          s2.conf.set("spark.sql.catalog.wrb", "graft.sources.GraftCatalog")
-          s2.conf.set("spark.sql.catalog.wrb.warehouse", wh)
+          val s2 = withGraftCatalog(s, dir, "wrb", "rb")
           events(s2, dir).createOrReplaceTempView("ev_src_rb")
           s2.sql("DROP TABLE IF EXISTS wrb.ev_rb")
           s2.sql("""CREATE TABLE wrb.ev_rb
@@ -589,13 +585,7 @@ object DmdsQueries {
         // matched cells. The oracle restates the three branches with a left
         // join + CASE + anti-filter.
         (s, dir) => {
-          val s2 = s.newSession()
-          s.conf.getAll.foreach { case (k, v) =>
-            try s2.conf.set(k, v) catch { case _: Exception => () }
-          }
-          val wh = "/tmp/graft_cat_m2_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
-          s2.conf.set("spark.sql.catalog.wm2", "graft.sources.GraftCatalog")
-          s2.conf.set("spark.sql.catalog.wm2.warehouse", wh)
+          val s2 = withGraftCatalog(s, dir, "wm2", "m2")
           events(s2, dir).createOrReplaceTempView("ev_src_m2")
           s2.sql("DROP TABLE IF EXISTS wm2.ev_m2")
           s2.sql("""CREATE TABLE wm2.ev_m2
@@ -645,10 +635,7 @@ object DmdsQueries {
         // Replay/no-duplication behavior stays pinned in
         // GraftStreamingWriteSpec — this row proves the sink's end state.
         (s, dir) => {
-          val s2 = s.newSession()
-          s.conf.getAll.foreach { case (k, v) =>
-            try s2.conf.set(k, v) catch { case _: Exception => () }
-          }
+          val s2 = isolatedSession(s)
           val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
           val path = s"/tmp/graft_stream_sink_$tag/world"
           val cp = s"/tmp/graft_stream_sink_cp_${tag}_" +

@@ -203,11 +203,63 @@ class GraftCatalog extends TableCatalog
       case (Seq("system"), "expire_versions") =>
         new GraftExpireVersionsProcedure(this)
       case (Seq("system"), "versions") => new GraftVersionsProcedure(this)
+      case (Seq("system"), "clean_stages") => new GraftCleanStagesProcedure(this)
       case _ => throw new UnsupportedOperationException(
         s"graft catalog $catalogName has no procedure $ident (available: " +
           "system.compact, system.stats, system.rollback, " +
-          "system.expire_versions, system.versions)")
+          "system.expire_versions, system.versions, system.clean_stages)")
     }
+}
+
+/** `CALL <cat>.system.clean_stages(table => 't', older_than_hours => h)` —
+  * remove staging grids a CRASHED driver left behind. Stage dirs are
+  * per-write unique (`<table>__graft_<kind>_stage_<id>`, siblings of the
+  * table root), so a driver that dies between writer creation and
+  * commit/abort orphans one; nothing else ever lists them. The age gate is
+  * what makes the sweep safe to run any time: a concurrent writer's LIVE
+  * stage is hours-fresh and untouched, while an orphan only gets fresher
+  * by another crash. Complements `expire_versions` in the maintenance
+  * loop. Returns the number of stage dirs removed. */
+class GraftCleanStagesProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "clean_stages"
+  override def description(): String =
+    "remove orphaned per-write staging grids older than the given age"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "clean_stages"
+    override def description(): String =
+      GraftCleanStagesProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build(),
+      ProcedureParameter.in("older_than_hours",
+        org.apache.spark.sql.types.IntegerType)
+        .defaultValue("24")
+        .comment("only stages last modified at least this long ago").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      val hours = input.getInt(1)
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val p = new Path(path)
+      val prefix = p.getName + "__graft_"
+      val cutoff = System.currentTimeMillis() - hours * 3600000L
+      val victims =
+        if (!fs.exists(p.getParent)) Seq.empty
+        else fs.listStatus(p.getParent).toSeq.filter { s =>
+          s.isDirectory && s.getPath.getName.startsWith(prefix) &&
+            s.getPath.getName.contains("_stage") &&
+            s.getModificationTime < cutoff
+        }
+      victims.foreach(s => fs.delete(s.getPath, true))
+      GraftProcedures.singleRow("removed_stages", victims.size.toLong)
+    }
+  }
 }
 
 /** `CALL <cat>.system.versions(table => 't')` — the commit log as rows: one

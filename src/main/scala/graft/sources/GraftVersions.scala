@@ -132,14 +132,19 @@ private[graft] object GraftVersions {
     * versioning first touched it stays addressable. `excludeFromBaseline`:
     * chunk-relative files this commit itself already placed in the live
     * tree (plain appends write straight to the grid before commit()), which
-    * therefore are not part of the pre-commit state. */
+    * therefore are not part of the pre-commit state. `baseline = false`
+    * skips the v0 seal entirely — the BARRIER-delegating commits (upsert →
+    * `World.insert`) must not promise a pre-state their own rewrite is
+    * about to delete files out of. */
   def begin(fs: FileSystem, root: Path,
-      excludeFromBaseline: Set[String] = Set.empty): Long =
+      excludeFromBaseline: Set[String] = Set.empty,
+      baseline: Boolean = true): Long =
     latestVersion(fs, root) match {
       case Some(n) => n + 1
       case None =>
-        writeManifest(fs, root, 0L,
-          liveFiles(fs, root).filterNot(excludeFromBaseline.contains))
+        if (baseline)
+          writeManifest(fs, root, 0L,
+            liveFiles(fs, root).filterNot(excludeFromBaseline.contains))
         1L
     }
 
@@ -264,18 +269,36 @@ private[graft] object GraftVersions {
       emptiedDirs += f.getParent
       retire(fs, root, f, newV)
     }
-    // restore: a target file not live now was retired at some M in
-    // (target, latest] — the index covers exactly those (newV's own fresh
-    // retirees are all non-target files, excluded by the upper bound)
+    // restore: same identity rule the snapshot resolver uses — a target
+    // file retired at some M in (target, latest] lives in history, and the
+    // HISTORY copy is authoritative even when a same-named file is live (a
+    // later app can re-use part-<pid>-<tid>-<n> names; rel-path equality is
+    // NOT file identity). The index's upper bound excludes newV's own
+    // fresh retirees (all non-target files). A target rel absent from the
+    // index was never retired, so the live copy IS the target's bytes.
     val later = historyIndex(fs, root,
       historyVersions(fs, root).filter(m => m > target && m <= latest))
-    val liveSet = live.toSet
-    targetFiles.filterNot(liveSet.contains).foreach { rel =>
-      val src = resolve(fs, root, rel, target, later)
-      val dst = new Path(root, rel)
-      fs.mkdirs(dst.getParent)
-      if (!fs.rename(src, dst))
-        throw new IllegalStateException(s"graft rollback: failed to restore $rel")
+    targetFiles.foreach { rel =>
+      later.get(rel) match {
+        case Some(src) =>
+          val dst = new Path(root, rel)
+          if (fs.exists(dst)) {
+            // same-named live impostor: push it into newV's history so the
+            // states that DID contain it stay addressable
+            emptiedDirs += dst.getParent
+            retire(fs, root, dst, newV)
+          }
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(src, dst))
+            throw new IllegalStateException(
+              s"graft rollback: failed to restore $rel")
+        case None =>
+          if (!fs.exists(new Path(root, rel)))
+            throw new IllegalStateException(
+              s"graft rollback: $rel of version $target is neither live nor " +
+                "in retained history — expired by retention, or superseded " +
+                "by an unversioned World-level rewrite")
+      }
     }
     // drop chunk dirs the retires emptied so the grid walk stays clean
     emptiedDirs.foreach { d =>

@@ -88,11 +88,16 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuild
           else if ("upsert".equalsIgnoreCase(info.options().get("graft.mode")))
             GraftStreamingWrite.Upsert
           else GraftStreamingWrite.Append
-        // option("graft.versions.keep", n): retention per epoch — an
-        // unbounded stream seals a version per epoch, so without a cap the
-        // manifest/history log grows forever
+        // option("graft.versions.keep", n): retention per epoch. A stream
+        // seals a version per epoch FOREVER, so unlike the discrete batch
+        // DML commits this path defaults to a bounded log (64 epochs of
+        // time travel — Complete-mode streams would otherwise retire a
+        // full table copy per epoch until the disk fills); n <= 0 opts
+        // into an unbounded log for streams that archive deliberately.
+        val keep = Option(info.options().get("graft.versions.keep"))
+          .map(_.toInt).getOrElse(GraftStreamingWrite.DefaultVersionsKeep)
         new GraftStreamingWrite(path, info.schema(), mode,
-          Option(info.options().get("graft.versions.keep")).map(_.toInt))
+          if (keep <= 0) None else Some(keep))
       }
 
       override def requiredDistribution():
@@ -138,9 +143,11 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
             "(instantiate graft.world.World for this path first)"))
       // versioned commit sealed from a WALK after the insert: World.insert
       // is a barrier (it deletes superseded files), so this commit both
-      // versions the upsert's post-state and heals any manifest drift
+      // versions the upsert's post-state and heals any manifest drift.
+      // No v0 baseline on a first-commit upsert — the insert is about to
+      // delete files a baseline would promise as addressable.
       val root = new Path(path)
-      val v = GraftVersions.begin(fs, root)
+      val v = GraftVersions.begin(fs, root, baseline = false)
       val staged = messages.collect { case GraftCommitMessage(_, rows) => rows }.sum
       val stagedFiles = GraftStage
         .stagedCells(fs, new Path(stagePath), messages).flatMap(_._3)
@@ -360,16 +367,13 @@ private[sources] object GraftStage {
     s"${path}__graft_${kind}_stage_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
-  /** Delete one chunk dir and prune now-empty parents so the grid walk
-    * never lists dead subtrees. */
-  def deleteChunkDir(fs: FileSystem, d: Path, root: Path): Unit = {
-    fs.delete(d, true)
-    pruneEmptyParents(fs, d, root)
-  }
-
-  /** Version-aware twin of [[deleteChunkDir]]: the cell's data files move
-    * into commit `version`'s history (snapshot reads of older manifests
-    * still resolve them) before the dir is dropped from the live tree.
+  /** Retire one chunk dir (no unversioned delete primitive exists — every
+    * cell removal goes through the commit log; a bare recursive delete
+    * would silently bypass it, the exact drift class the barrier
+    * machinery exists to prevent): the cell's data files move into commit
+    * `version`'s history (snapshot reads of older manifests still resolve
+    * them) before the dir is dropped from the live tree; now-empty parents
+    * are pruned so the grid walk never lists dead subtrees.
     * Returns the retired files' chunk-relative paths (the commit's
     * `removed` set for its incremental manifest). */
   def retireChunkDir(fs: FileSystem, d: Path, root: Path,
@@ -428,7 +432,13 @@ private[sources] object GraftStage {
       val target = new Path(root, rel)
       fs.mkdirs(target)
       files.map { f =>
-        fs.rename(f, new Path(target, f.getName))
+        // a false return (e.g. HDFS rename onto an existing destination)
+        // must FAIL the commit: silently leaving the file in the stage
+        // would drop its rows at the finally-delete while the incremental
+        // manifest still lists them
+        if (!fs.rename(f, new Path(target, f.getName)))
+          throw new IllegalStateException(
+            s"graft commit: failed to move staged file $f into $target")
         if (rel.isEmpty) f.getName else s"$rel/${f.getName}"
       }
     }
@@ -478,11 +488,12 @@ class GraftStreamingWrite(path: String, schema: StructType,
       }
       val staged = GraftStage.stagedCells(fs, stageRoot, messages)
       // each epoch is a versioned commit: VERSION AS OF n addresses the
-      // world between epochs (long-running streams should run the catalog's
-      // expire_versions retention on a maintenance cadence). The Upsert arm
-      // delegates to World.insert — a documented version BARRIER — but still
-      // seals a post-epoch manifest, so snapshots at/after it work.
-      val v = GraftVersions.begin(fs, root)
+      // world between epochs (bounded by graft.versions.keep — see below).
+      // The Upsert arm delegates to World.insert — a documented version
+      // BARRIER — but still seals a post-epoch manifest, so snapshots
+      // at/after it work; it skips the first-commit baseline (the insert
+      // deletes files a baseline would promise as addressable).
+      val v = GraftVersions.begin(fs, root, baseline = mode != Upsert)
       mode match {
         case Append =>
           val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
@@ -546,6 +557,10 @@ object GraftStreamingWrite {
 
   /** Committed-epoch markers retained (checkpoint replay depth is 1). */
   val keepMarkers = 16
+
+  /** Default `graft.versions.keep` for streaming sinks — see the builder's
+    * rationale; batch commits keep everything until `expire_versions`. */
+  val DefaultVersionsKeep = 64
 }
 
 /** Epoch-aware twin of [[GraftWriterFactory]]: rows land in the per-epoch

@@ -153,6 +153,45 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the pre-overwrite state survives the truncate in history")
   }
 
+  test("rollback restores history bytes even when a later file re-used the name") {
+    spark.sql("CREATE TABLE vcat.imp (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.imp VALUES (1, 10, 0), (2, 20, 0)") // v1
+    spark.sql("UPDATE vcat.imp SET v = -1 WHERE id = 1")            // v2: cell COW
+    // fabricate a task-id collision: a LIVE file re-using the retired
+    // file's exact name, with different bytes (the rewritten cell's file)
+    val root = java.nio.file.Paths.get(s"$warehouse/imp")
+    val histRoot = root.resolve("_graft_history/v2")
+    val retiredRel = java.nio.file.Files.walk(histRoot).filter(p =>
+      p.toString.endsWith(".parquet")).findFirst().get()
+    val rel = histRoot.relativize(retiredRel).toString
+    val liveOther = java.nio.file.Files.walk(root.resolve("c0=0")).filter(p =>
+      p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(liveOther, root.resolve(rel),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // rollback must restore the HISTORY copy, not accept the same-named
+    // live impostor as the target's bytes
+    spark.sql("CALL vcat.system.rollback(table => 'imp', version => 1)")
+    assert(rows("SELECT id, v FROM vcat.imp") == Set((1L, 10L), (2L, 20L)),
+      "the restored state carries v1's bytes, not the impostor's")
+  }
+
+  test("clean_stages removes aged orphan staging grids only") {
+    spark.sql("CREATE TABLE vcat.cs (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.cs VALUES (1, 10, 0)")
+    val old = new java.io.File(s"$warehouse/cs__graft_rowlevel_stage_deadbeef01")
+    assert(old.mkdirs()); new java.io.File(old, "part-0-0-0.parquet").createNewFile()
+    assert(old.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000))
+    val fresh = new java.io.File(s"$warehouse/cs__graft_upsert_stage_ffffffff02")
+    assert(fresh.mkdirs())
+    val n = spark.sql(
+      "CALL vcat.system.clean_stages(table => 'cs', older_than_hours => 24)")
+      .collect().head.getLong(0)
+    assert(n == 1L, s"exactly the aged orphan removed, got $n")
+    assert(!old.exists, "aged orphan gone")
+    assert(fresh.exists, "a fresh (possibly live) stage is untouched")
+    assert(rows("SELECT id, v FROM vcat.cs") == Set((1L, 10L)))
+  }
+
   test("system.versions lists the commit log (version, seal time, file count)") {
     spark.sql("CREATE TABLE vcat.vh (id BIGINT, v BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO vcat.vh VALUES (1, 10, 0)")
