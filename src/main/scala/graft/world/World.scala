@@ -173,6 +173,13 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** The world pinned to commit `n` of its version log — a read-only frame
+    * over exactly manifest n's files ([[graft.sources.GraftVersions]]).
+    * Only connector/catalog writes seal versions; this World's own
+    * programmatic rewrites are version barriers (see the commit-log doc). */
+  def snapshot(n: Long): DataFrame =
+    spark.read.format("graft").option("graft.snapshot", n.toString).load(path)
+
   /** The world as a STREAMING source: chunk files appearing under the grid
     * after the stream starts are discovered incrementally by Spark's file
     * source — the read-side complement of the write-behind [[graft.streaming.Daemon]]

@@ -122,9 +122,8 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // connector append = first versioned commit: v0 baseline + v1
     w.withBuckets(Seq((25L, 250L)).toDF("d0", "v"))
       .write.format("graft").mode("append").save(path)
-    def at(v: Int): Set[Long] = spark.read.format("graft")
-      .option("graft.snapshot", v.toString).load(path)
-      .select("d0").as[Long].collect().toSet
+    def at(v: Int): Set[Long] =
+      w.snapshot(v).select("d0").as[Long].collect().toSet
     assert(at(0) == Set(1L, 15L), "v0 = the world as it was before versioning")
     assert(at(1) == Set(1L, 15L, 25L), "v1 = post-append")
   }
@@ -248,6 +247,21 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("version barrier") ||
       Option(e.getCause).exists(_.getMessage.contains("version barrier")),
       s"got: ${e.getMessage}")
+  }
+
+  test("snapshots read through schema evolution (added column NULL in old versions)") {
+    spark.sql("CREATE TABLE vcat.se (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.se VALUES (1, 10, 0)")                  // v1
+    spark.sql("ALTER TABLE vcat.se ADD COLUMN note STRING")
+    spark.sql("INSERT INTO vcat.se VALUES (11, 110, 1, 'tagged')")      // v2
+    val got = spark.sql("SELECT id, note FROM vcat.se VERSION AS OF 1")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == Set((1L, None)),
+      "pre-alter snapshot reads under the CURRENT schema; the added column " +
+        "surfaces as NULL exactly like pre-alter live files do")
+    val now = spark.sql("SELECT id, note FROM vcat.se").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(now == Set((1L, None), (11L, Some("tagged"))))
   }
 
   test("streaming reads of a snapshot are refused (frozen commit)") {
