@@ -623,6 +623,50 @@ object DmdsQueries {
                 ORDER BY e.event_id""")
       ),
 
+      "w_changes" -> QueryDef(
+        // the chunk-granular CHANGE FEED through the oracle gate: INSERT
+        // (v1), a scoped UPDATE (v2, chunk-COW), then
+        // GraftChanges.between(1, 2) — rows of files only in v2 tagged
+        // 'insert', rows of files only in v1 tagged 'delete', straight
+        // from the manifest diff (no row-level change tracking exists or
+        // is needed). The oracle restates the contract: exactly the cells
+        // CONTAINING a matching row appear, with all their rows on both
+        // sides — candidate narrowing to matched cells is pinned by
+        // GraftCatalogSpec (runtime group filtering), so the two engines
+        // agree on the cell set by construction, not by luck. The scale
+        // story IS the query: an incremental consumer reads changed cells
+        // only, never re-scans the table.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wch", "ch")
+          events(s2, dir).createOrReplaceTempView("ev_src_ch")
+          s2.sql("DROP TABLE IF EXISTS wch.ev_ch")
+          s2.sql("""CREATE TABLE wch.ev_ch
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wch.ev_ch
+                    SELECT event_id, user_id, value, user_id DIV 128
+                    FROM ev_src_ch""")
+          s2.sql("""UPDATE wch.ev_ch SET value = value + 1
+                    WHERE c0 BETWEEN 3 AND 5 AND user_id % 11 = 4""")
+          val wh = s2.conf.get("spark.sql.catalog.wch.warehouse")
+          graft.sources.GraftChanges.between(s2, s"$wh/ev_ch", 1L, 2L)
+            .select(col("_change_type"), col("event_id"), col("user_id"),
+              col("value"))
+            .orderBy("_change_type", "event_id")
+        },
+        Some("""WITH cells AS (SELECT DISTINCT user_id // 128 AS c0 FROM events
+                               WHERE user_id // 128 BETWEEN 3 AND 5
+                                 AND user_id % 11 = 4),
+                scoped AS (SELECT e.* FROM events e
+                           JOIN cells c ON e.user_id // 128 = c.c0)
+                SELECT 'delete' AS _change_type, event_id, user_id, value
+                FROM scoped
+                UNION ALL
+                SELECT 'insert' AS _change_type, event_id, user_id,
+                  CASE WHEN user_id % 11 = 4 THEN value + 1 ELSE value END AS value
+                FROM scoped
+                ORDER BY _change_type, event_id""")
+      ),
+
       "w_stream_sink" -> QueryDef(
         // the native exactly-once streaming sink through the oracle gate: a
         // REAL `writeStream.format("graft")` job (micro-batch epochs, staged

@@ -88,7 +88,7 @@ class GraftCatalog extends TableCatalog
       }
     // eager manifest check: missing versions fail at analysis, not mid-scan
     GraftVersions.readManifest(fs(), new Path(p), v)
-    new GraftTable(p, GraftDataSource.sidecarSchema(p), Some(v))
+    new GraftTable(p, GraftDataSource.sidecarSchema(p), Some(GraftPin(v)))
   }
 
   /** `TIMESTAMP AS OF t` (micros since epoch): the newest commit whose
@@ -105,7 +105,7 @@ class GraftCatalog extends TableCatalog
     }
     if (at.isEmpty) throw new IllegalArgumentException(
       s"graft: no commit of $ident at or before timestamp $timestamp")
-    new GraftTable(p, GraftDataSource.sidecarSchema(p), Some(at.max))
+    new GraftTable(p, GraftDataSource.sidecarSchema(p), Some(GraftPin(at.max)))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -59,11 +59,44 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    // option("graft.snapshot", n): pin the path-API read to commit n —
-    // the DataFrame-side twin of the catalog's VERSION AS OF
-    new GraftTable(properties.get("path"), schema,
-      Option(properties.get("graft.snapshot")).map(_.toLong))
+      properties: java.util.Map[String, String]): Table = {
+    // option("graft.snapshot", n): pin the path-API read to commit n (the
+    // DataFrame-side twin of the catalog's VERSION AS OF);
+    // option("graft.changes", "base,target"): the files of `target` absent
+    // from `base` — one side of the chunk-granular change feed
+    val pin = Option(properties.get("graft.snapshot")).map(v => GraftPin(v.toLong))
+      .orElse(Option(properties.get("graft.changes")).map { s =>
+        s.split(",", 2) match {
+          case Array(b, t) => GraftDiffPin(b.trim.toLong, t.trim.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"graft.changes takes 'baseVersion,targetVersion', got '$s'")
+        }
+      })
+    new GraftTable(properties.get("path"), schema, pin)
+  }
+}
+
+/** A read pinned to the version log: one committed snapshot, or the
+  * file-level difference between two commits (a change-feed side). Pinned
+  * tables plan from manifests instead of the live walk and refuse every
+  * mutation and streaming read. */
+private[graft] sealed trait GraftTimePin {
+  def describe: String
+  def files(fs: FileSystem, root: Path,
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long])]
+}
+private[graft] final case class GraftPin(v: Long) extends GraftTimePin {
+  def describe: String = s"Snapshot: v$v"
+  def files(fs: FileSystem, root: Path,
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long])] =
+    GraftVersions.snapshotFiles(fs, root, v, pushed)
+}
+private[graft] final case class GraftDiffPin(base: Long, target: Long)
+    extends GraftTimePin {
+  def describe: String = s"Changes: v$base..v$target"
+  def files(fs: FileSystem, root: Path,
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long])] =
+    GraftVersions.diffFiles(fs, root, base, target, pushed)
 }
 
 object GraftDataSource {
@@ -382,23 +415,25 @@ object GraftDataSource {
   }
 }
 
-/** `snapshot`: when set, the table is pinned to commit `n` of the world's
-  * version log ([[GraftVersions]]) — scans read exactly manifest `n`'s
-  * files (live or retired into history) and every mutation is refused.
-  * Reached via the catalog's `VERSION AS OF` / `TIMESTAMP AS OF` or the
-  * path API's `option("graft.snapshot", n)`. */
+/** `pin`: when set, the table is pinned to the version log
+  * ([[GraftVersions]]) — a committed snapshot or a version diff — scans
+  * read exactly the manifest-derived files (live or retired into history)
+  * and every mutation is refused. Reached via the catalog's `VERSION AS
+  * OF` / `TIMESTAMP AS OF` or the path API's `option("graft.snapshot", n)`
+  * / `option("graft.changes", "base,target")`. */
 class GraftTable(path: String, schema: StructType,
-    snapshot: Option[Long] = None) extends Table
+    pin: Option[GraftTimePin] = None) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String =
-    s"graft:$path" + snapshot.map(v => s"@v$v").getOrElse("")
+    s"graft:$path" + pin.map(p => s"@${p.describe}").getOrElse("")
 
-  private def readOnly(op: String): Unit = snapshot.foreach(v =>
+  private def readOnly(op: String): Unit = pin.foreach(p =>
     throw new UnsupportedOperationException(
-      s"graft: $op on a snapshot table (version $v) — snapshots are read-only"))
+      s"graft: $op on a version-pinned table (${p.describe}) — pinned " +
+        "reads are read-only"))
 
   /** `_cell`: the chunk-cell a row lives in (its directory's relative path,
     * `c0=…/c1=…`) — the grid's analog of other formats' `_file` metadata
@@ -471,7 +506,7 @@ class GraftTable(path: String, schema: StructType,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, schema, snapshot = snapshot)
+    new GraftScanBuilder(path, schema, pin = pin)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -498,12 +533,12 @@ class GraftScanBuilder(path: String, schema: StructType,
     // pushdown — a copy-on-write scan must surface every row of its
     // candidate groups, not a summary or prefix of them.
     rowLevelDirs: Option[java.util.Set[String]] = None,
-    // snapshot pin: plan from the version manifest instead of the live
-    // walk. Bucket pruning, column pruning, and aggregate pushdown still
-    // apply (footer statistics read identically from history files);
-    // limit / topN pushdowns are declined — their early-stop walks assume
-    // the live tree's directory order.
-    snapshot: Option[Long] = None) extends ScanBuilder
+    // version pin (snapshot or diff): plan from the version manifests
+    // instead of the live walk. Bucket pruning, column pruning, and
+    // aggregate pushdown still apply (footer statistics read identically
+    // from history files); limit / topN pushdowns are declined — their
+    // early-stop walks assume the live tree's directory order.
+    pin: Option[GraftTimePin] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -521,7 +556,7 @@ class GraftScanBuilder(path: String, schema: StructType,
     * file. Sound with pushed bucket filters (directory-exact, no residual
     * re-check can disqualify an emitted row). */
   override def pushLimit(l: Int): Boolean =
-    if (rowLevelDirs.isDefined || snapshot.isDefined) false
+    if (rowLevelDirs.isDefined || pin.isDefined) false
     else { limit = l; true }
 
   // both SupportsPushDownLimit and SupportsPushDownTopN declare the same
@@ -553,7 +588,7 @@ class GraftScanBuilder(path: String, schema: StructType,
         case _ => None
       }
     }
-    if (rowLevelDirs.isEmpty && snapshot.isEmpty && cols.nonEmpty &&
+    if (rowLevelDirs.isEmpty && pin.isEmpty && cols.nonEmpty &&
         cols.forall(_.isDefined)) {
       topN = cols.map(_.get); limit = l; true
     } else false
@@ -637,9 +672,9 @@ class GraftScanBuilder(path: String, schema: StructType,
 
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
-      new GraftAggScan(path, schema, pushed, pushedAggs, groupCols, snapshot)
+      new GraftAggScan(path, schema, pushed, pushedAggs, groupCols, pin)
     else new GraftScan(path, required, pushed, limit, topN, residualFilters,
-      rowLevelDirs, snapshot)
+      rowLevelDirs, pin)
 }
 
 /** The pushed-aggregate scan: partitions are chunk files, rows are
@@ -650,7 +685,7 @@ class GraftScanBuilder(path: String, schema: StructType,
   * scan's leading output attributes. */
 class GraftAggScan(path: String, tableSchema: StructType, pushed: Array[Filter],
     aggs: Seq[PushedAgg], groupCols: Array[String] = Array.empty,
-    snapshot: Option[Long] = None)
+    pin: Option[GraftTimePin] = None)
     extends Scan with Batch with SupportsReportPartitioning {
   private def colType(c: String): DataType =
     if (GraftDataSource.isBucket(c)) LongType
@@ -677,13 +712,12 @@ class GraftAggScan(path: String, tableSchema: StructType, pushed: Array[Filter],
     }
 
   // one file per entry with its bucket binding: the live tree's pruned walk,
-  // or the snapshot manifest's resolved files (footer metadata reads work
-  // identically on retired history files)
+  // or the version pin's manifest-resolved files (footer metadata reads
+  // work identically on retired history files)
   @transient private lazy val files: Seq[(Path, Map[String, Long])] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    snapshot match {
-      case Some(v) =>
-        GraftVersions.snapshotFiles(fs, new Path(path), v, pushed)
+    pin match {
+      case Some(p) => p.files(fs, new Path(path), pushed)
       case None =>
         GraftDataSource.walkChunks(fs, new Path(path), pushed)
           .flatMap { case (dir, b) =>
@@ -703,7 +737,7 @@ class GraftAggScan(path: String, tableSchema: StructType, pushed: Array[Filter],
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftAggScan path=$path" +
-      snapshot.map(v => s", Snapshot: v$v").getOrElse("") +
+      pin.map(p => s", ${p.describe}").getOrElse("") +
       s", PushedBucketFilters: [${pushed.mkString(", ")}], " +
       s"PushedAggregation: [${aggs.map(_.name).mkString(", ")}]" +
       (if (groupCols.isEmpty) "" else s", PushedGroupBy: [${groupCols.mkString(", ")}]")
@@ -905,17 +939,17 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     limit: Int = -1, topN: Array[(String, Boolean)] = Array.empty,
     residual: Array[Filter] = Array.empty,
     dirRecorder: Option[java.util.Set[String]] = None,
-    snapshot: Option[Long] = None)
+    pin: Option[GraftTimePin] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  // snapshot plan: manifest-resolved (file, buckets) pairs surviving the
+  // pinned plan: manifest-resolved (file, buckets) pairs surviving the
   // pushed bucket filters — the version-log substitute for the live walk
-  @transient private lazy val snapshotWalk: Seq[(Path, Map[String, Long])] = {
+  @transient private lazy val pinnedWalk: Seq[(Path, Map[String, Long])] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    GraftVersions.snapshotFiles(fs, new Path(path), snapshot.get, pushed)
+    pin.get.files(fs, new Path(path), pushed)
   }
 
   // join-derived runtime filters (the dynamic-partition-pruning analog for
@@ -930,7 +964,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
 
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (snapshot.isDefined) Array.empty // frozen file list: nothing to narrow
+    if (pin.isDefined) Array.empty // frozen file list: nothing to narrow
     else required.fields.filter(f => GraftDataSource.isBucket(f.name))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
@@ -975,7 +1009,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     if (keys.isEmpty)
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     else {
-      val cells = if (snapshot.isDefined) snapshotWalk else walked()
+      val cells = if (pin.isDefined) pinnedWalk else walked()
       val n = cells.map { case (_, b) => keys.toSeq.map(b(_)) }.distinct.size
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         keys.map(k => org.apache.spark.sql.connector.expressions.Expressions
@@ -996,8 +1030,8 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
   override def estimateStatistics(): Statistics = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val bytes =
-      if (snapshot.isDefined)
-        snapshotWalk.map { case (f, _) => fs.getFileStatus(f).getLen }.sum
+      if (pin.isDefined)
+        pinnedWalk.map { case (f, _) => fs.getFileStatus(f).getLen }.sum
       else GraftDataSource.walkChunks(fs, new Path(path), pushed)
         .flatMap { case (dir, _) => GraftDataSource.chunkFileStatuses(fs, dir) }
         .map(_.getLen).sum
@@ -1010,13 +1044,13 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
   }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(snapshot.isEmpty,
-      "graft: a snapshot is a frozen commit — streaming reads take the live table")
+    require(pin.isEmpty,
+      "graft: a version pin is a frozen commit — streaming reads take the live table")
     new GraftMicroBatchStream(path, required, pushed)
   }
   override def description(): String =
     s"GraftScan path=$path" +
-      snapshot.map(v => s", Snapshot: v$v").getOrElse("") +
+      pin.map(p => s", ${p.describe}").getOrElse("") +
       s", PushedBucketFilters: [${pushed.mkString(", ")}]" +
       (if (limit < 0) "" else s", PushedLimit: $limit") +
       (if (topN.isEmpty) "" else s", PushedTopN: [${topN.map { case (c, asc) =>
@@ -1029,11 +1063,11 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val hasDataCols = required.exists(f => !GraftDataSource.isBucket(f.name))
     val keys = keyCols
-    if (snapshot.isDefined)
-      // manifest-driven: one partition per snapshot file (limit/topN/agg
-      // pushdowns and runtime filters are declined in snapshot mode, and a
-      // snapshot scan never backs a row-level rewrite)
-      return snapshotWalk.map { case (f, b) =>
+    if (pin.isDefined)
+      // manifest-driven: one partition per pinned file (limit/topN
+      // pushdowns and runtime filters are declined in pinned mode, and a
+      // pinned scan never backs a row-level rewrite)
+      return pinnedWalk.map { case (f, b) =>
         GraftInputPartition(f.toString, b, !hasDataCols, -1,
           keys.map(b(_))): InputPartition
       }.toArray

@@ -249,6 +249,34 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got: ${e.getMessage}")
   }
 
+  test("change feed: manifest diff tags inserted and deleted rows by cell") {
+    spark.sql("CREATE TABLE vcat.cf (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.cf VALUES (1, 10, 0), (11, 110, 1), (21, 210, 2)") // v1
+    spark.sql("UPDATE vcat.cf SET v = -1 WHERE id = 11")                           // v2
+    spark.sql("DELETE FROM vcat.cf WHERE c0 = 2")                                  // v3
+    def ch(b: Long, t: Long): Set[(String, Long, Long)] =
+      GraftChanges.between(spark, s"$warehouse/cf", b, t)
+        .select("_change_type", "id", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ch(1, 2) == Set(("insert", 11L, -1L), ("delete", 11L, 110L)),
+      "the rewritten cell's rows appear on both sides; untouched cells absent")
+    assert(ch(2, 3) == Set(("delete", 21L, 210L)),
+      "a metadata DELETE's dropped cell reports pure deletes")
+    assert(ch(1, 3) == Set(("insert", 11L, -1L), ("delete", 11L, 110L),
+      ("delete", 21L, 210L)), "spans compose across intermediate versions")
+    assert(ch(1, 1).isEmpty, "self-diff is empty")
+    // the pinned read declares itself and refuses writes like any pin
+    val plan = spark.read.format("graft").option("graft.changes", "1,2")
+      .load(s"$warehouse/cf").queryExecution.executedPlan.toString
+    assert(plan.contains("Changes: v1..v2"), s"plan declares the diff pin:\n$plan")
+    val e = intercept[Exception] {
+      import spark.implicits._
+      Seq((9L, 9L, 0L)).toDF("id", "v", "c0").write.format("graft")
+        .option("graft.changes", "1,2").mode("append").save(s"$warehouse/cf")
+    }
+    assert(e.getMessage.contains("read-only"))
+  }
+
   test("snapshots read through schema evolution (added column NULL in old versions)") {
     spark.sql("CREATE TABLE vcat.se (id BIGINT, v BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO vcat.se VALUES (1, 10, 0)")                  // v1
