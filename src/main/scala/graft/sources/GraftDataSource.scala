@@ -72,7 +72,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
             s"graft.changes takes 'baseVersion,targetVersion', got '$s'")
         }
       })
-    new GraftTable(properties.get("path"), schema, pin)
+    // option("graft.startingVersion", n | "latest"): where a STREAMING read
+    // begins — version n's changes onward (inclusive), or only commits
+    // sealed after the stream starts. Absent = the whole current state
+    // first (the historical default).
+    new GraftTable(properties.get("path"), schema, pin,
+      Option(properties.get("graft.startingVersion")))
   }
 }
 
@@ -422,7 +427,8 @@ object GraftDataSource {
   * OF` / `TIMESTAMP AS OF` or the path API's `option("graft.snapshot", n)`
   * / `option("graft.changes", "base,target")`. */
 class GraftTable(path: String, schema: StructType,
-    pin: Option[GraftTimePin] = None) extends Table
+    pin: Option[GraftTimePin] = None,
+    startingVersion: Option[String] = None) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -506,7 +512,8 @@ class GraftTable(path: String, schema: StructType,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, schema, pin = pin)
+    new GraftScanBuilder(path, schema, pin = pin,
+      startingVersion = startingVersion)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -538,7 +545,10 @@ class GraftScanBuilder(path: String, schema: StructType,
     // aggregate pushdown still apply (footer statistics read identically
     // from history files); limit / topN pushdowns are declined — their
     // early-stop walks assume the live tree's directory order.
-    pin: Option[GraftTimePin] = None) extends ScanBuilder
+    pin: Option[GraftTimePin] = None,
+    // streaming start cursor (see GraftMicroBatchStream) — batch scans
+    // ignore it
+    startingVersion: Option[String] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -674,7 +684,7 @@ class GraftScanBuilder(path: String, schema: StructType,
     if (pushedAggs.nonEmpty)
       new GraftAggScan(path, schema, pushed, pushedAggs, groupCols, pin)
     else new GraftScan(path, required, pushed, limit, topN, residualFilters,
-      rowLevelDirs, pin)
+      rowLevelDirs, pin, startingVersion)
 }
 
 /** The pushed-aggregate scan: partitions are chunk files, rows are
@@ -939,7 +949,8 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     limit: Int = -1, topN: Array[(String, Boolean)] = Array.empty,
     residual: Array[Filter] = Array.empty,
     dirRecorder: Option[java.util.Set[String]] = None,
-    pin: Option[GraftTimePin] = None)
+    pin: Option[GraftTimePin] = None,
+    startingVersion: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -1046,7 +1057,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pin.isEmpty,
       "graft: a version pin is a frozen commit — streaming reads take the live table")
-    new GraftMicroBatchStream(path, required, pushed)
+    new GraftMicroBatchStream(path, required, pushed, startingVersion)
   }
   override def description(): String =
     s"GraftScan path=$path" +

@@ -13,57 +13,164 @@ import org.apache.spark.sql.types.StructType
   * listed into an offset. The batch analog of `World.stream` (which goes
   * through Spark's generic file stream source and cannot prune by bucket).
   *
-  * Offset = the set of chunk-file paths already processed (sorted, JSON
-  * array). Each `latestOffset` lists the (pruned) grid; the next batch is
-  * the set difference. Scale note: the offset grows with the chunk-file
-  * count of the pruned selection — fine for the bounded grids the reference
-  * targets (its worlds are fixed chunk grids); a production unbounded log
-  * would move the seen-set into a compacted checkpoint file the way Spark's
-  * own FileStreamSource does. Compaction REPLACES files; this source assumes
-  * appends between batches (run [[graft.world.World.compact]] with the
-  * stream stopped, as the reference's maintenance ops do under its write
-  * lock).
+  * Two offset regimes, chosen per `latestOffset` call from the table's
+  * commit-log state:
+  *
+  *   - VERSION CURSOR (`{"graftVersion":N}`) — whenever the table has a
+  *     sealed version manifest and no pending World-rewrite barrier. The
+  *     offset is ONE number; a batch (a, b] is the manifest diff, i.e.
+  *     exactly the files commits a+1..b added (the chunk-granular change
+  *     feed). This is the 100-TB shape on every axis the file-set regime
+  *     fails: `latestOffset` reads a directory of manifest names instead of
+  *     walking the grid (a 100k-chunk walk per trigger IS the trigger
+  *     cost); the checkpoint offset log stays O(1) per batch instead of
+  *     O(grid) (Spark persists every offset — a million-file set serialized
+  *     each epoch is the checkpoint's death); and batches bind to SEALED
+  *     commits only, so a multi-file commit can never tear across batches
+  *     the way a mid-rename listing can. Files are resolved through the
+  *     snapshot machinery: a lagging consumer whose cursor version has
+  *     since been superseded still reads that commit's exact bytes out of
+  *     retained history (retention must keep >= the stream's lag;
+  *     [[GraftVersions.resolve]] raises a loud error otherwise).
+  *   - FILE SET (`["path",…]`, the pre-versioning format) — tables with no
+  *     commit log, and tables whose last write was a World-level rewrite
+  *     barrier (manifests stale until the next versioned commit heals
+  *     them). Offset = the set of chunk-file paths already processed; each
+  *     `latestOffset` walks the (pruned) grid.
+  *
+  * The two regimes interoperate through one identity space — chunk-relative
+  * paths — so a stream upgrades (file set -> version cursor) or degrades
+  * (barrier struck mid-stream) seamlessly across ANY (start, end) offset
+  * pair, including checkpoints written before versioning existed: the seen
+  * side of a plan is `rels(start)`, the target side `files(end)`, the batch
+  * their difference. Emission semantics are identical in both regimes —
+  * append-level: a row-level COW rewrite re-emits the rewritten cell's
+  * files (their rel paths are new); consumers wanting delete sides use the
+  * batch change feed (`graft.changes`). Version-cursor batches coalesce
+  * intermediate commits a file was BOTH added and retired in — the stream
+  * reflects each sealed state it observes, not every state that ever
+  * existed (same as the file-set regime, where a listing simply never sees
+  * a file that came and went between triggers).
   */
 class GraftMicroBatchStream(path: String, required: StructType,
-    pushed: Array[Filter]) extends MicroBatchStream {
+    pushed: Array[Filter],
+    startingVersion: Option[String] = None) extends MicroBatchStream {
 
-  private def listFiles(): Seq[(String, Map[String, Long])] = {
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    val root = new Path(path)
+  private val root = new Path(path)
+  private def fileSystem: FileSystem =
+    FileSystem.get(new java.net.URI(path), new Configuration())
+
+  private def listFiles(): Seq[(Path, Map[String, Long])] = {
+    val fs = fileSystem
     if (!fs.exists(root)) return Seq.empty
     // shared pruned+parallel grid walk (see GraftDataSource.walkChunks):
     // pushed bucket filters drop subtrees before the stream ever lists them,
     // so per-micro-batch discovery cost tracks the pruned grid, not the world
     GraftDataSource.walkChunks(fs, root, pushed)
       .flatMap { case (dir, b) =>
-        GraftDataSource.chunkFiles(fs, dir).map(p => (p.toString, b))
+        GraftDataSource.chunkFiles(fs, dir).map(p => (p, b))
       }
   }
 
-  override def initialOffset(): Offset = GraftStreamOffset(Seq.empty)
+  /** Where the stream begins. Default: nothing seen — the first batch is
+    * the table's whole current state. `graft.startingVersion = n` (n >= 1):
+    * commit n's changes onward, INCLUSIVE (the cursor starts at n-1, whose
+    * manifest must still be retained — fail fast with the available range
+    * otherwise). `graft.startingVersion = latest`: only commits sealed
+    * after the stream starts — the "tail the table" mode; on an
+    * unversioned/barrier table this snapshots the current file set as
+    * already-seen. */
+  override def initialOffset(): Offset = startingVersion match {
+    case None => GraftStreamOffset(Seq.empty)
+    case Some(s) if s.equalsIgnoreCase("latest") =>
+      val fs = fileSystem
+      val cursor =
+        if (GraftVersions.hasBarrier(fs, root)) None
+        else GraftVersions.latestVersion(fs, root)
+      cursor.map(GraftVersionOffset(_): Offset).getOrElse(
+        GraftStreamOffset(listFiles().map(_._1.toString).sorted))
+    case Some(s) =>
+      val n = try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.startingVersion takes a commit number or 'latest', got '$s'")
+      }
+      require(n >= 1,
+        s"graft.startingVersion must be >= 1 (got $n): version n-1 is the " +
+          "cursor the stream resumes from")
+      GraftVersions.readManifest(fileSystem, root, n - 1) // fail fast + range msg
+      GraftVersionOffset(n - 1)
+  }
 
-  override def latestOffset(): Offset =
-    GraftStreamOffset(listFiles().map(_._1).sorted)
+  override def latestOffset(): Offset = {
+    val fs = fileSystem
+    if (GraftVersions.hasBarrier(fs, root)) {
+      // a World-level rewrite bypassed the commit log: manifests are stale
+      // until the next versioned commit heals them — walk the live tree
+      GraftStreamOffset(listFiles().map(_._1.toString).sorted)
+    } else GraftVersions.latestVersion(fs, root) match {
+      case Some(v) => GraftVersionOffset(v)
+      case None    => GraftStreamOffset(listFiles().map(_._1.toString).sorted)
+    }
+  }
+
+  /** Seen side of a plan: the chunk-relative paths `o` covers. */
+  private def seenRels(fs: FileSystem, o: Offset): Set[String] = o match {
+    case GraftStreamOffset(files) =>
+      files.map(f => GraftVersions.relOf(root, new Path(f))).toSet
+    case GraftVersionOffset(v) =>
+      GraftVersions.readManifest(fs, root, v).toSet
+    case other => throw new IllegalStateException(s"not a graft offset: $other")
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[GraftStreamOffset].files.toSet
-    val target = end.asInstanceOf[GraftStreamOffset].files.toSet
+    val fs = fileSystem
+    val seen = seenRels(fs, start)
     val hasDataCols = required.exists(f => !GraftDataSource.isBucket(f.name))
     // bucket values are recoverable from the path itself (c<i>=<v> segments)
-    listFiles()
-      .filter { case (f, _) => target.contains(f) && !seen.contains(f) }
-      .map { case (f, b) => GraftInputPartition(f, b, !hasDataCols): InputPartition }
-      .toArray
+    val batch: Seq[(Path, Map[String, Long])] = end match {
+      case GraftVersionOffset(v) =>
+        // manifest(end) − seen, resolved at `v`: snapshot-exact even when the
+        // live tree has already moved past the cursor (restart lag)
+        GraftVersions.newFilesSince(fs, root, seen, v, pushed)
+      case GraftStreamOffset(files) =>
+        val target = files.map(f => GraftVersions.relOf(root, new Path(f))).toSet
+        listFiles().filter { case (f, _) =>
+          val rel = GraftVersions.relOf(root, f)
+          target.contains(rel) && !seen.contains(rel)
+        }
+      case other => throw new IllegalStateException(s"not a graft offset: $other")
+    }
+    batch.map { case (f, b) =>
+      GraftInputPartition(f.toString, b, !hasDataCols): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required)
 
-  override def deserializeOffset(json: String): Offset =
-    GraftStreamOffset(GraftStreamOffset.parse(json))
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.dropWhile(_.isWhitespace)
+    if (t.startsWith("{")) GraftVersionOffset.parse(t)
+    else GraftStreamOffset(GraftStreamOffset.parse(t))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Version-cursor offset: "everything manifest `v` covers has been
+  * emitted". One long, regardless of grid size. */
+final case class GraftVersionOffset(v: Long) extends Offset {
+  override def json(): String = s"""{"graftVersion":$v}"""
+}
+
+object GraftVersionOffset {
+  private val Pat = """\{\s*"graftVersion"\s*:\s*(-?\d+)\s*\}""".r
+  def parse(json: String): GraftVersionOffset = json.trim match {
+    case Pat(n) => GraftVersionOffset(n.toLong)
+    case other => throw new IllegalArgumentException(
+      s"graft stream: unrecognized version offset $other")
+  }
 }
 
 /** Sorted chunk-file set, serialized as a JSON string array. */

@@ -167,6 +167,12 @@ private[graft] object GraftVersions {
       fs.create(barrierPath(root), true).close()
     } // a world with no version log yet has nothing to invalidate
 
+  /** Is a World-rewrite barrier pending (manifests stale until the next
+    * versioned commit heals them)? Streaming readers degrade to file-set
+    * offsets while this holds. */
+  def hasBarrier(fs: FileSystem, root: Path): Boolean =
+    fs.exists(barrierPath(root))
+
   /** Seal commit `v` from a FULL WALK of the live tree — the healing form:
     * reflects every change on disk, including barrier rewrites, and clears
     * the barrier marker. Used for baselines and upsert-style commits whose
@@ -259,6 +265,16 @@ private[graft] object GraftVersions {
     resolveRels(fs, root,
       readManifest(fs, root, target).filterNot(baseSet.contains), target, pushed)
   }
+
+  /** Manifest-`v` files NOT in `seenRels`, resolved at `v` — the streaming
+    * source's batch body for a version-cursor end offset. With `seenRels` =
+    * manifest(base) this is exactly [[diffFiles]]; the set form also serves
+    * mixed-regime plans (file-set start, version end) during checkpoint
+    * upgrades and barrier recoveries. */
+  def newFilesSince(fs: FileSystem, root: Path, seenRels: Set[String],
+      v: Long, pushed: Array[Filter]): Seq[(Path, Map[String, Long])] =
+    resolveRels(fs, root,
+      readManifest(fs, root, v).filterNot(seenRels.contains), v, pushed)
 
   private def resolveRels(fs: FileSystem, root: Path, rels: Seq[String],
       v: Long, pushed: Array[Filter]): Seq[(Path, Map[String, Long])] = {
