@@ -494,6 +494,88 @@ object Dedup {
     *     candidate-`distinct` needed anyway, so no stage is added
     *     (sf0.1 best-of-2: 4.7 s -> 3.0 s end-to-end).
     */
+  /** Token positions covered by a k-gram shared across >= `minDocs` docs —
+    * the shared core of [[duplicateSpans]] / [[stripDuplicateSpans]].
+    * Returns (tokens with their arrays, hit positions). Gram identity is a
+    * 128-bit hash pair (two seeded xxhash64 runs), so the duplicated-gram
+    * shuffle moves 16 bytes per gram instead of the k-token string — the
+    * same digest-not-content discipline as [[exactGroups]], and collision
+    * odds stay birthday-safe at trillion-gram corpora where a single
+    * 64-bit key would not be. */
+  private def spanHits(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int): (DataFrame, DataFrame) = {
+    require(k >= 2, s"span k-gram order must be >= 2, got $k")
+    val toks = parallelize(df.select(col(idCol).as("doc_id"),
+      split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ").as("w")))
+    // sequence(0, n) REVERSES when n < 0 — guard short docs to an empty list
+    val grams = toks
+      .select(col("doc_id"), posexplode(
+        when(size(col("w")) >= k,
+          transform(sequence(lit(0), size(col("w")) - k),
+            i => array_join(slice(col("w"), i + 1, lit(k)), " ")))
+          .otherwise(array())).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("g")).as("h1"), xxhash64(lit(1), col("g")).as("h2"))
+    val dup = grams.groupBy("h1", "h2")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("h1", "h2")
+    (toks, grams.join(dup, Seq("h1", "h2"), "left_semi").select("doc_id", "pos"))
+  }
+
+  /** Repeated-substring (passage-level) duplicate spans. Document-level
+    * dedup misses the dominant duplication mode in web corpora: shared
+    * passages — licenses, navigation boilerplate, quoted text — inside
+    * otherwise-distinct documents. The known treatment builds a corpus-wide
+    * suffix array (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"), which is inherently a single sorted structure;
+    * re-expressed Spark-first the same spans fall out relationally: a
+    * shared substring of >= k tokens is exactly a RUN of shared k-grams, so
+    * marking every position whose k-gram occurs in >= `minDocs` documents
+    * and merging consecutive marks (gaps-and-islands over a per-doc window)
+    * yields the maximal duplicated passages of length >= k.
+    *
+    * Plan: one gram explode (codegen'd HOFs), one 16-byte-key aggregation,
+    * one semi-join back, one PER-DOCUMENT window — every stage keyed and
+    * partition-parallel; nothing is corpus-global the way the suffix array
+    * is, which is what makes this formulation survive 100 TB.
+    *
+    * Returns (doc_id, span_start, span_end, span_tokens), positions 0-based
+    * inclusive. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val (_, hits) = spanHits(df, idCol, textCol, k, minDocs)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Excise every duplicated span (>= k shared tokens, >= `minDocs` docs)
+    * from the corpus: the scrub face of [[duplicateSpans]], for stripping
+    * shared boilerplate before training. Tokens covered by any duplicated
+    * k-gram window drop; survivors rejoin in order. Documents left with no
+    * tokens (fully-duplicated texts) disappear entirely — this is the
+    * passage-level generalization of exact dedup, which they'd also have
+    * removed. Returns (doc_id, clean_text). */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val (toks, hits) = spanHits(df, idCol, textCol, k, minDocs)
+    val tokens = toks.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tk")))
+    val covered = hits
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+      // per-doc rebuild: collect_list is bounded by one document's tokens
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tk")))),
+          x => x.getField("tk")), " ").as("clean_text"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val base = parallelize(df.select(col(idCol).as("id"), col(textCol).as("text")))

@@ -106,6 +106,63 @@ object DedupOps {
               FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""")
     ),
 
+    // repeated-substring spans (suffix-array dedup re-expressed as shared
+    // k-gram runs + gaps-and-islands; see Dedup.duplicateSpans). Fully
+    // relational semantics -> full oracle: DuckDB restates the k-gram
+    // marking and the island merge over gram STRINGS while Spark runs the
+    // same plan over a 128-bit gram digest — a hash collision, a window
+    // bug, or an off-by-one in span extension all break the hash.
+    "d_span_dedup" -> QueryDef(
+      (s, dir) => Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minDocs = 2)
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+                FROM documents),
+              pos AS (
+                SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i FROM toks),
+              grams AS (
+                SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g FROM pos),
+              dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+              hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+              isl AS (SELECT doc_id, pos,
+                        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                      FROM hits)
+              SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+                     MAX(pos) + 8 - MIN(pos) AS span_tokens
+              FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""")
+    ),
+
+    // the scrub face: duplicated-span tokens excised, documents rebuilt
+    // from the survivors (fully-duplicated docs vanish — passage-level
+    // dedup subsumes exact dedup). Text reassembly under the oracle pins
+    // the whole composition, not just the span arithmetic.
+    "d_span_scrub" -> QueryDef(
+      (s, dir) => Dedup.stripDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minDocs = 2)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+                FROM documents),
+              tok AS (
+                SELECT doc_id, unnest(generate_series(1, len(w))) - 1 AS pos, w FROM toks),
+              tokens AS (SELECT doc_id, pos, w[pos + 1] AS tk FROM tok),
+              gpos AS (
+                SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i FROM toks),
+              grams AS (
+                SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g FROM gpos),
+              dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+              hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+              covered AS (
+                SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS cpos FROM hits),
+              kept AS (
+                SELECT t.doc_id, t.pos, t.tk FROM tokens t
+                LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+                WHERE c.doc_id IS NULL)
+              SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id ORDER BY doc_id""")
+    ),
+
     "d_minhash_lsh" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         numHashes = 64, bands = 8, threshold = 0.5)

@@ -343,6 +343,41 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(_._2 == 1L), s"all labels must reach 1: ${got.filter(_._2 != 1L).take(5).toSeq}")
   }
 
+  test("duplicateSpans: shared runs merge to maximal spans; separated passages split; minDocs gates") {
+    val d = docs(
+      1L -> "a b c d e f",
+      2L -> "x y a b c d z",
+      // doc 3 shares TWO separated passages with doc 4 -> two islands
+      3L -> "p q r s GAP1 GAP2 t u v w",
+      4L -> "p q r s OTHER WORDS t u v w")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // docs 1/2 share "a b c d": grams 'a b c','b c d' -> one span of 4 tokens
+    // docs 3/4 share "p q r s" (pos 0..3) and "t u v w" (3:6..9, 4:6..9)
+    assert(spans == Set(
+      (1L, 0L, 3L, 4L), (2L, 2L, 5L, 4L),
+      (3L, 0L, 3L, 4L), (3L, 6L, 9L, 4L),
+      (4L, 0L, 3L, 4L), (4L, 6L, 9L, 4L)), s"got $spans")
+    // minDocs = 3: no 3-gram spans three documents here
+    assert(Dedup.duplicateSpans(d, "doc_id", "text", k = 3, minDocs = 3).count() == 0)
+    // a doc shorter than k produces no grams and no failure
+    assert(Dedup.duplicateSpans(docs(1L -> "a b", 2L -> "a b"), "doc_id", "text", k = 3)
+      .count() == 0)
+  }
+
+  test("stripDuplicateSpans: covered tokens drop, survivors rejoin in order, empty docs vanish") {
+    val d = docs(
+      1L -> "a b c d e f",
+      2L -> "x y a b c d z",
+      5L -> "a b c d",  // fully covered by the shared passage -> vanishes
+      6L -> "solo text entirely unshared")
+    val clean = Dedup.stripDuplicateSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(clean == Map(
+      1L -> "e f", 2L -> "x y z", 6L -> "solo text entirely unshared"),
+      s"got $clean")
+  }
+
   test("exactDedup keeps lowest id per identical text") {
     val d = docs((5L, "same text"), (2L, "same text"), (9L, "other text"))
     val kept = Dedup.exactDedup(d, "doc_id", "text")
