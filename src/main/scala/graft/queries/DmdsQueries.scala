@@ -646,7 +646,7 @@ object DmdsQueries {
                     SELECT event_id, user_id, value, user_id DIV 128
                     FROM ev_src_ch""")
           s2.sql("""UPDATE wch.ev_ch SET value = value + 1
-                    WHERE c0 BETWEEN 3 AND 5 AND user_id % 11 = 4""")
+                    WHERE c0 BETWEEN 0 AND 1 AND user_id % 11 = 4""")
           val wh = s2.conf.get("spark.sql.catalog.wch.warehouse")
           graft.sources.GraftChanges.between(s2, s"$wh/ev_ch", 1L, 2L)
             .select(col("_change_type"), col("event_id"), col("user_id"),
@@ -654,7 +654,7 @@ object DmdsQueries {
             .orderBy("_change_type", "event_id")
         },
         Some("""WITH cells AS (SELECT DISTINCT user_id // 128 AS c0 FROM events
-                               WHERE user_id // 128 BETWEEN 3 AND 5
+                               WHERE user_id // 128 BETWEEN 0 AND 1
                                  AND user_id % 11 = 4),
                 scoped AS (SELECT e.* FROM events e
                            JOIN cells c ON e.user_id // 128 = c.c0)
@@ -719,6 +719,59 @@ object DmdsQueries {
             .select("event_id", "user_id", "value").orderBy("event_id")
         },
         Some("""SELECT event_id, user_id, value FROM events ORDER BY event_id""")
+      ),
+
+      "w_stream_changes" -> QueryDef(
+        // the streaming CDC face through the oracle gate: the same
+        // INSERT (v1) + scoped UPDATE (v2) table as w_changes, consumed by
+        // a REAL `readStream.format("graft").option("graft.follow",
+        // "changes")` job from startingVersion 2 — each batch carries the
+        // rows the spanned commits added ("insert") and removed ("delete",
+        // the BEFORE-IMAGES resolved out of retained history), tagged via
+        // the _change_type per-partition constant. The oracle is the same
+        // relational restatement of exactly the matched cells, so a
+        // manifest-diff bug, a history-resolution bug, or a tag mix-up all
+        // break the hash. Offsets/coalescing/guards stay pinned in
+        // GraftStreamCursorSpec — this row proves the feed's content.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wsc", "sc")
+          events(s2, dir).createOrReplaceTempView("ev_src_sc")
+          s2.sql("DROP TABLE IF EXISTS wsc.ev_sc")
+          s2.sql("""CREATE TABLE wsc.ev_sc
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wsc.ev_sc
+                    SELECT event_id, user_id, value, user_id DIV 128
+                    FROM ev_src_sc""")
+          s2.sql("""UPDATE wsc.ev_sc SET value = value + 1
+                    WHERE c0 BETWEEN 0 AND 1 AND user_id % 11 = 4""")
+          val wh = s2.conf.get("spark.sql.catalog.wsc.warehouse")
+          val sinkName = "w_stream_changes_" +
+            java.util.UUID.randomUUID().toString.take(8)
+          val q = s2.readStream.format("graft")
+            .option("graft.follow", "changes")
+            .option("graft.startingVersion", "2")
+            .load(s"$wh/ev_sc")
+            .select("_change_type", "event_id", "user_id", "value")
+            .writeStream.outputMode("append").format("memory")
+            .queryName(sinkName)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s2.table(sinkName)
+            .orderBy("_change_type", "event_id")
+        },
+        Some("""WITH cells AS (SELECT DISTINCT user_id // 128 AS c0 FROM events
+                               WHERE user_id // 128 BETWEEN 0 AND 1
+                                 AND user_id % 11 = 4),
+                scoped AS (SELECT e.* FROM events e
+                           JOIN cells c ON e.user_id // 128 = c.c0)
+                SELECT 'delete' AS _change_type, event_id, user_id, value
+                FROM scoped
+                UNION ALL
+                SELECT 'insert' AS _change_type, event_id, user_id,
+                  CASE WHEN user_id % 11 = 4 THEN value + 1 ELSE value END AS value
+                FROM scoped
+                ORDER BY _change_type, event_id""")
       )
     )
   }

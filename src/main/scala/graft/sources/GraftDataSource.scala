@@ -50,8 +50,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftDataSource.sidecarSchema(pathOf(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = GraftDataSource.sidecarSchema(pathOf(options))
+    if ("changes".equalsIgnoreCase(options.get("graft.follow"))) {
+      require(!base.fieldNames.contains(GraftDataSource.ChangeColumn),
+        s"graft.follow: the table already has a ${GraftDataSource.ChangeColumn} column")
+      base.add(GraftDataSource.ChangeColumn,
+        org.apache.spark.sql.types.StringType, nullable = false)
+    } else base
+  }
 
   // a WRITE carries its own schema (the query's), so planning one must not
   // require a sidecar to exist yet — without this, the virgin-path write
@@ -76,8 +83,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     // begins — version n's changes onward (inclusive), or only commits
     // sealed after the stream starts. Absent = the whole current state
     // first (the historical default).
+    // option("graft.follow", "changes"): the STREAMING change-data-feed
+    // face — each micro-batch carries the rows added AND removed by the
+    // commits it spans, tagged by a _change_type column (delete sides read
+    // out of retained history). Requires a version-logged world.
+    val follow = Option(properties.get("graft.follow")).map { m =>
+      require(m.equalsIgnoreCase("changes"),
+        s"graft.follow supports only 'changes', got '$m'")
+      true
+    }.getOrElse(false)
     new GraftTable(properties.get("path"), schema, pin,
-      Option(properties.get("graft.startingVersion")))
+      Option(properties.get("graft.startingVersion")), follow)
   }
 }
 
@@ -136,6 +152,9 @@ object GraftDataSource {
 
   /** Name of the chunk-cell metadata column (see [[GraftTable.metadataColumns]]). */
   private[sources] val CellColumn = "_cell"
+  /** CDC tag column of `graft.follow = changes` streams ("insert"/"delete");
+    * a per-partition constant like bucket values, never persisted. */
+  private[sources] val ChangeColumn = "_change_type"
 
   /** Canonical relative-path form of a cell's bucket tuple: `c0=…/c1=…`. */
   private[sources] def cellString(buckets: Map[String, Long]): String =
@@ -428,7 +447,8 @@ object GraftDataSource {
   * / `option("graft.changes", "base,target")`. */
 class GraftTable(path: String, schema: StructType,
     pin: Option[GraftTimePin] = None,
-    startingVersion: Option[String] = None) extends Table
+    startingVersion: Option[String] = None,
+    follow: Boolean = false) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -513,11 +533,13 @@ class GraftTable(path: String, schema: StructType,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, schema, pin = pin,
-      startingVersion = startingVersion)
+      startingVersion = startingVersion, follow = follow)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     readOnly("write")
+    if (follow) throw new UnsupportedOperationException(
+      "graft: cannot write through a graft.follow change-feed handle")
     new GraftWriteBuilder(path, info)
   }
 }
@@ -546,9 +568,10 @@ class GraftScanBuilder(path: String, schema: StructType,
     // from history files); limit / topN pushdowns are declined — their
     // early-stop walks assume the live tree's directory order.
     pin: Option[GraftTimePin] = None,
-    // streaming start cursor (see GraftMicroBatchStream) — batch scans
-    // ignore it
-    startingVersion: Option[String] = None) extends ScanBuilder
+    // streaming start cursor / CDC mode (see GraftMicroBatchStream) —
+    // batch scans ignore the former and refuse the latter
+    startingVersion: Option[String] = None,
+    follow: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -684,7 +707,7 @@ class GraftScanBuilder(path: String, schema: StructType,
     if (pushedAggs.nonEmpty)
       new GraftAggScan(path, schema, pushed, pushedAggs, groupCols, pin)
     else new GraftScan(path, required, pushed, limit, topN, residualFilters,
-      rowLevelDirs, pin, startingVersion)
+      rowLevelDirs, pin, startingVersion, follow)
 }
 
 /** The pushed-aggregate scan: partitions are chunk files, rows are
@@ -939,7 +962,10 @@ class GraftAggReaderFactory(aggs: Seq[PushedAgg], dataSchema: StructType)
   * storage-partitioned joins. Empty when the scan reports no partitioning
   * (bucket columns pruned from the output). */
 final case class GraftInputPartition(file: String, buckets: Map[String, Long],
-    rowCountOnly: Boolean, limit: Int = -1, keyVals: Array[Long] = Array.empty)
+    rowCountOnly: Boolean, limit: Int = -1, keyVals: Array[Long] = Array.empty,
+    // CDC streams only: "insert"/"delete", surfaced as the _change_type
+    // per-partition constant (null = not a change-feed read)
+    changeTag: String = null)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(keyVals.map(v => v: Any))
@@ -950,11 +976,17 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     residual: Array[Filter] = Array.empty,
     dirRecorder: Option[java.util.Set[String]] = None,
     pin: Option[GraftTimePin] = None,
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    follow: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    if (follow) throw new UnsupportedOperationException(
+      "graft.follow is a streaming option; the batch change feed is " +
+        "option(\"graft.changes\", \"base,target\") / GraftChanges.between")
+    this
+  }
 
   // pinned plan: manifest-resolved (file, buckets) pairs surviving the
   // pushed bucket filters — the version-log substitute for the live walk
@@ -1057,7 +1089,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pin.isEmpty,
       "graft: a version pin is a frozen commit — streaming reads take the live table")
-    new GraftMicroBatchStream(path, required, pushed, startingVersion)
+    new GraftMicroBatchStream(path, required, pushed, startingVersion, follow)
   }
   override def description(): String =
     s"GraftScan path=$path" +
@@ -1173,12 +1205,19 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType,
     val fileSchema: MessageType = pfr.getFooter.getFileMetaData.getSchema
     val rowCount = pfr.getRecordCount
     pfr.close()
+    // the CDC tag is a partition constant ONLY on change-feed reads: a
+    // table whose own data carries a _change_type column still reads it as
+    // a data field everywhere else (follow-mode refuses such tables)
+    def isChangeTag(name: String): Boolean =
+      name == GraftDataSource.ChangeColumn && p.changeTag != null
     val dataFields = required.fields.filter(f =>
-      !GraftDataSource.isBucket(f.name) && f.name != GraftDataSource.CellColumn)
+      !GraftDataSource.isBucket(f.name) && f.name != GraftDataSource.CellColumn &&
+        !isChangeTag(f.name))
     fields = required.fields.map { f =>
       if (GraftDataSource.isBucket(f.name)) Left(p.buckets(f.name))
       else if (f.name == GraftDataSource.CellColumn)
         Left(UTF8String.fromString(GraftDataSource.cellString(p.buckets)))
+      else if (isChangeTag(f.name)) Left(UTF8String.fromString(p.changeTag))
       else if (fileSchema.containsField(f.name)) Right(Some((f.name, f.dataType)))
       else Right(None)
     }

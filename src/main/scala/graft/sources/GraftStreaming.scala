@@ -54,7 +54,20 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftMicroBatchStream(path: String, required: StructType,
     pushed: Array[Filter],
-    startingVersion: Option[String] = None) extends MicroBatchStream {
+    startingVersion: Option[String] = None,
+    // CDC mode (option("graft.follow", "changes")): each batch carries the
+    // rows added AND removed by the commits it spans, tagged "insert" /
+    // "delete" through the _change_type per-partition constant. Delete
+    // sides are BEFORE-IMAGES read out of retained history — the version
+    // log keeps superseded chunk files, so the feed needs no row-level
+    // change tracking at write time (the write path stays untouched; the
+    // feed is derived wholly from manifests). Requires a version-logged,
+    // barrier-free world: a World-level rewrite deletes files outright,
+    // destroying the delete sides, so CDC refuses loudly rather than
+    // emitting a silently-incomplete feed. Commits coalesce per batch
+    // (net diff): a row inserted and deleted within one batch's span
+    // appears in neither side, matching the batch feed's semantics.
+    follow: Boolean = false) extends MicroBatchStream {
 
   private val root = new Path(path)
   private def fileSystem: FileSystem =
@@ -80,15 +93,33 @@ class GraftMicroBatchStream(path: String, required: StructType,
     * after the stream starts — the "tail the table" mode; on an
     * unversioned/barrier table this snapshots the current file set as
     * already-seen. */
+  /** Latest sealed commit, or a loud error naming what CDC needs. */
+  private def cdcCursor(fs: FileSystem): Long = {
+    require(!GraftVersions.hasBarrier(fs, root),
+      "graft.follow: a World-level rewrite bypassed the commit log (barrier " +
+        "pending) — the change feed cannot span it; run a versioned commit " +
+        "to heal, then restart the feed from there")
+    GraftVersions.latestVersion(fs, root).getOrElse(throw new IllegalStateException(
+      "graft.follow requires a version-logged world (no committed versions " +
+        s"under $path) — write through the connector/catalog first"))
+  }
+
   override def initialOffset(): Offset = startingVersion match {
+    case None if follow =>
+      // CDC default = tail: emit changes committed after the stream starts.
+      // (A full-state-first default would duplicate the plain read's job.)
+      GraftVersionOffset(cdcCursor(fileSystem))
     case None => GraftStreamOffset(Seq.empty)
     case Some(s) if s.equalsIgnoreCase("latest") =>
       val fs = fileSystem
-      val cursor =
-        if (GraftVersions.hasBarrier(fs, root)) None
-        else GraftVersions.latestVersion(fs, root)
-      cursor.map(GraftVersionOffset(_): Offset).getOrElse(
-        GraftStreamOffset(listFiles().map(_._1.toString).sorted))
+      if (follow) GraftVersionOffset(cdcCursor(fs))
+      else {
+        val cursor =
+          if (GraftVersions.hasBarrier(fs, root)) None
+          else GraftVersions.latestVersion(fs, root)
+        cursor.map(GraftVersionOffset(_): Offset).getOrElse(
+          GraftStreamOffset(listFiles().map(_._1.toString).sorted))
+      }
     case Some(s) =>
       val n = try s.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -103,6 +134,7 @@ class GraftMicroBatchStream(path: String, required: StructType,
 
   override def latestOffset(): Offset = {
     val fs = fileSystem
+    if (follow) return GraftVersionOffset(cdcCursor(fs))
     if (GraftVersions.hasBarrier(fs, root)) {
       // a World-level rewrite bypassed the commit log: manifests are stale
       // until the next versioned commit heals them — walk the live tree
@@ -124,6 +156,7 @@ class GraftMicroBatchStream(path: String, required: StructType,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val fs = fileSystem
+    if (follow) return planChanges(fs, start, end)
     val seen = seenRels(fs, start)
     val hasDataCols = required.exists(f => !GraftDataSource.isBucket(f.name))
     // bucket values are recoverable from the path itself (c<i>=<v> segments)
@@ -143,6 +176,29 @@ class GraftMicroBatchStream(path: String, required: StructType,
     batch.map { case (f, b) =>
       GraftInputPartition(f.toString, b, !hasDataCols): InputPartition
     }.toArray
+  }
+
+  /** CDC batch (a, b]: insert side = manifest(b) − manifest(a) resolved at
+    * b, delete side = manifest(a) − manifest(b) resolved at a (the
+    * before-image bytes, live then, retired into history since). Both sides
+    * prune by pushed bucket filters from the manifests alone. */
+  private def planChanges(fs: FileSystem, start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start match {
+      case GraftVersionOffset(v) => v
+      case other => throw new IllegalStateException(
+        s"graft.follow checkpoints hold version cursors, got $other — this " +
+          "checkpoint belongs to a plain (non-CDC) stream")
+    }
+    val b = end.asInstanceOf[GraftVersionOffset].v
+    // data columns beyond the tag still require file reads; a projection of
+    // only buckets + _change_type reads footer counts
+    val hasDataCols = required.exists(f => !GraftDataSource.isBucket(f.name) &&
+      f.name != GraftDataSource.ChangeColumn)
+    def side(base: Long, target: Long, tag: String) =
+      GraftVersions.diffFiles(fs, root, base, target, pushed).map { case (f, bk) =>
+        GraftInputPartition(f.toString, bk, !hasDataCols, changeTag = tag): InputPartition
+      }
+    (side(a, b, "insert") ++ side(b, a, "delete")).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -193,6 +193,90 @@ class GraftStreamCursorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("startingVersion"))
   }
 
+  test("CDC stream: inserts and before-image deletes per commit; tail default; scoped to the touched cell") {
+    spark.sql("CREATE TABLE scur.c1 (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO scur.c1 VALUES (1, 10, 0), (2, 20, 1)") // v1
+    val path = s"$warehouse/c1"
+    val q = spark.readStream.format("graft")
+      .option("graft.follow", "changes").load(path)
+      .select("id", "v", "_change_type")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scur_cdc").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM scur_cdc").count() == 0,
+        "tail default: pre-stream state is not replayed")
+      spark.sql("INSERT INTO scur.c1 VALUES (3, 30, 2)") // v2: pure insert
+      q.processAllAvailable()
+      spark.sql("UPDATE scur.c1 SET v = v + 100 WHERE c0 = 1") // v3: COW of one cell
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, v, _change_type FROM scur_cdc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == Set(
+        (3L, 30L, "insert"),                      // v2
+        (2L, 120L, "insert"), (2L, 20L, "delete") // v3: after- and before-image
+      ), s"got $got")
+    } finally q.stop()
+  }
+
+  test("CDC stream: startingVersion replays history with delete sides resolved from retention") {
+    spark.sql("CREATE TABLE scur.c2 (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO scur.c2 VALUES (1, 10, 0), (2, 20, 1)") // v1
+    spark.sql("UPDATE scur.c2 SET v = v * 2 WHERE c0 = 0")          // v2
+    spark.sql("DELETE FROM scur.c2 WHERE c0 = 1")                   // v3 (metadata delete)
+    val q = spark.readStream.format("graft")
+      .option("graft.follow", "changes").option("graft.startingVersion", "2")
+      .load(s"$warehouse/c2")
+      .select("id", "v", "_change_type")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scur_cdc2").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, v, _change_type FROM scur_cdc2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      // one batch spans v1->v3 (net diff): cell c0=0's v1 file was retired
+      // at v2 (before-image from history), its rewrite inserted; cell
+      // c0=1's v1 file deleted at v3 with no replacement
+      assert(got == Set(
+        (1L, 20L, "insert"), (1L, 10L, "delete"), (2L, 20L, "delete")),
+        s"got $got")
+    } finally q.stop()
+  }
+
+  test("CDC guards: unversioned world refused, batch read refused, writes refused") {
+    val dir = Files.createTempDirectory("graft-nolog").toString
+    // an unversioned world: World.create writes through Spark's parquet
+    // committer and keeps no commit log
+    import spark.implicits._
+    import graft.core.DimMapping
+    val w = new graft.world.World(spark, dir,
+      Seq(graft.world.DimSpec("d0", DimMapping(0, 1023, 8))))
+    w.create(Seq(1L).toDF("d0"))
+    val e = intercept[Exception] {
+      val s = new GraftMicroBatchStream(dir, schema, Array.empty, None, follow = true)
+      s.initialOffset()
+    }
+    assert(e.getMessage.contains("version-logged"), e.getMessage)
+    spark.sql("CREATE TABLE scur.c3 (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO scur.c3 VALUES (1, 10, 0)")
+    val e2 = intercept[Exception] {
+      spark.read.format("graft").option("graft.follow", "changes")
+        .load(s"$warehouse/c3").collect()
+    }
+    assert(e2.getMessage.contains("streaming option"), e2.getMessage)
+    // a write through a follow handle dies either at our guard or earlier
+    // at Spark's save-mode validation — refused both ways
+    intercept[Exception] {
+      Seq((2L, 20L, 1L)).toDF("id", "v", "c0").write.format("graft")
+        .option("graft.follow", "changes").mode("append").save(s"$warehouse/c3")
+    }
+    val e3 = intercept[Exception] {
+      new GraftTable(s"$warehouse/c3", schema, follow = true)
+        .newWriteBuilder(null)
+    }
+    assert(e3.getMessage.contains("change-feed"), e3.getMessage)
+  }
+
   test("offset JSON: round-trips, and both formats deserialize (legacy checkpoints upgrade)") {
     val stream = new GraftMicroBatchStream("/nonexistent", schema, Array.empty)
     assert(GraftVersionOffset.parse(GraftVersionOffset(7).json()) ==
