@@ -75,17 +75,14 @@ class GraftCatalog extends TableCatalog
 
   /** `SELECT … FROM t VERSION AS OF n` — the table pinned to commit `n` of
     * its version log ([[GraftVersions]]): reads resolve manifest `n`'s
-    * files, mutations are refused. */
+    * files, mutations are refused. The operand may also be a TAG name
+    * (`VERSION AS OF 'release-1'`), resolved through the tag files
+    * `system.tag` writes. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!exists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val p = pathOf(ident)
-    val v =
-      try version.toLong
-      catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"graft: VERSION AS OF takes a numeric commit version, got '$version'")
-      }
+    val v = GraftVersions.resolveVersion(fs(), new Path(p), version)
     // eager manifest check: missing versions fail at analysis, not mid-scan
     GraftVersions.readManifest(fs(), new Path(p), v)
     new GraftTable(p, GraftDataSource.sidecarSchema(p), Some(GraftPin(v)))
@@ -190,7 +187,8 @@ class GraftCatalog extends TableCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("compact", "stats", "rollback", "expire_versions", "versions")
+      Array("compact", "stats", "rollback", "expire_versions", "versions",
+        "tag", "drop_tag", "tags")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -204,10 +202,14 @@ class GraftCatalog extends TableCatalog
         new GraftExpireVersionsProcedure(this)
       case (Seq("system"), "versions") => new GraftVersionsProcedure(this)
       case (Seq("system"), "clean_stages") => new GraftCleanStagesProcedure(this)
+      case (Seq("system"), "tag")      => new GraftTagProcedure(this)
+      case (Seq("system"), "drop_tag") => new GraftDropTagProcedure(this)
+      case (Seq("system"), "tags")     => new GraftTagsProcedure(this)
       case _ => throw new UnsupportedOperationException(
         s"graft catalog $catalogName has no procedure $ident (available: " +
           "system.compact, system.stats, system.rollback, " +
-          "system.expire_versions, system.versions, system.clean_stages)")
+          "system.expire_versions, system.versions, system.clean_stages, " +
+          "system.tag, system.drop_tag, system.tags)")
     }
 }
 
@@ -475,6 +477,105 @@ class GraftStatsProcedure(cat: GraftCatalog)
               fsts.size,
               fsts.map(_.getLen).sum)
           }.toArray
+      GraftProcedures.scanOf(schema, rows)
+    }
+  }
+}
+
+/** `CALL <cat>.system.tag(table => 't', name => 'release-1', version => n)`
+  * — pin a human name to a committed version. Tagged versions read back via
+  * `VERSION AS OF 'release-1'` (or the path API's `graft.snapshot`) and are
+  * RETAINED past `expire_versions`' keep window — the "this training run
+  * read exactly this corpus state" handle a reproducible pipeline needs. */
+class GraftTagProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "tag"
+  override def description(): String =
+    "pin a name to a committed version (retained past expire_versions)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "tag"
+    override def description(): String = GraftTagProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build(),
+      ProcedureParameter.in("name", org.apache.spark.sql.types.StringType)
+        .comment("tag name ([A-Za-z][A-Za-z0-9._-]*)").build(),
+      ProcedureParameter.in("version", org.apache.spark.sql.types.LongType)
+        .comment("committed version to pin").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val v = input.getLong(2)
+      GraftVersions.setTag(fs, new Path(path),
+        input.getUTF8String(1).toString, v)
+      GraftProcedures.singleRow("tagged_version", v)
+    }
+  }
+}
+
+/** `CALL <cat>.system.drop_tag(table => 't', name => 'release-1')` — remove
+  * a tag (its version re-enters normal retention). Returns 1 if dropped. */
+class GraftDropTagProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "drop_tag"
+  override def description(): String = "remove a version tag"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "drop_tag"
+    override def description(): String = GraftDropTagProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build(),
+      ProcedureParameter.in("name", org.apache.spark.sql.types.StringType)
+        .comment("tag name").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val dropped = GraftVersions.dropTag(fs, new Path(path),
+        input.getUTF8String(1).toString)
+      GraftProcedures.singleRow("dropped", if (dropped) 1L else 0L)
+    }
+  }
+}
+
+/** `CALL <cat>.system.tags(table => 't')` — list (tag, version). */
+class GraftTagsProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "tags"
+  override def description(): String = "version tags of a table"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "tags"
+    override def description(): String = GraftTagsProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val schema = StructType(Seq(
+        StructField("tag", org.apache.spark.sql.types.StringType, nullable = false),
+        StructField("version", org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = GraftVersions.listTags(fs, new Path(path)).map { case (n, v) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n), v)
+      }.toArray
       GraftProcedures.scanOf(schema, rows)
     }
   }

@@ -67,11 +67,16 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    // option("graft.snapshot", n): pin the path-API read to commit n (the
-    // DataFrame-side twin of the catalog's VERSION AS OF);
+    // option("graft.snapshot", n | tag): pin the path-API read to commit n
+    // (the DataFrame-side twin of the catalog's VERSION AS OF; tag names
+    // resolve through the tag files system.tag writes);
     // option("graft.changes", "base,target"): the files of `target` absent
     // from `base` — one side of the chunk-granular change feed
-    val pin = Option(properties.get("graft.snapshot")).map(v => GraftPin(v.toLong))
+    val pin = Option(properties.get("graft.snapshot")).map { v =>
+      val root = new Path(properties.get("path"))
+      GraftPin(GraftVersions.resolveVersion(
+        FileSystem.get(root.toUri, new Configuration()), root, v))
+    }
       .orElse(Option(properties.get("graft.changes")).map { s =>
         s.split(",", 2) match {
           case Array(b, t) => GraftDiffPin(b.trim.toLong, t.trim.toLong)

@@ -351,13 +351,73 @@ private[graft] object GraftVersions {
     require(keep >= 1, "graft expire_versions: keep must be >= 1")
     val versions = listVersions(fs, root)
     if (versions.size <= keep) return 0L
-    val minKeep = versions.takeRight(keep).head
-    val dropped = versions.filter(_ < minKeep)
+    // TAGGED versions are retained past the keep window (the point of a
+    // tag: "this state stays addressable"); keeping manifest T requires
+    // keeping every history dir > T (any may hold T's retired files), so
+    // history pruning floors at the OLDEST kept version, tagged or not.
+    val keepSet = versions.takeRight(keep).toSet ++
+      listTags(fs, root).map(_._2).filter(versions.contains)
+    val floor = keepSet.min
+    val dropped = versions.filterNot(keepSet.contains)
     dropped.foreach(v => fs.delete(manifestPath(root, v), false))
-    historyVersions(fs, root).filter(_ <= minKeep)
+    historyVersions(fs, root).filter(_ <= floor)
       .foreach(v => fs.delete(historyPath(root, v), true))
     dropped.size.toLong
   }
+
+  // --- named version refs ("tags"): human-handles into the commit log,
+  // stored as one tiny file each beside the manifests. A tag pins its
+  // version against retention (see expire). Immutable states only — the
+  // mutable-branch analog is just the live table.
+  private val TagPrefix = "tag-"
+  private val TagName = java.util.regex.Pattern.compile("[A-Za-z][A-Za-z0-9._-]*")
+  private def tagPath(root: Path, name: String): Path =
+    new Path(new Path(root, VersionsDir), s"$TagPrefix$name")
+
+  def setTag(fs: FileSystem, root: Path, name: String, v: Long): Unit = {
+    require(TagName.matcher(name).matches(),
+      s"graft tag: name '$name' must match [A-Za-z][A-Za-z0-9._-]*")
+    readManifest(fs, root, v) // tag only committed, retained versions
+    val out = fs.create(tagPath(root, name), true)
+    out.write(s"$v\n".getBytes("UTF-8"))
+    out.close()
+  }
+
+  def readTag(fs: FileSystem, root: Path, name: String): Option[Long] = {
+    val p = tagPath(root, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = new String(in.readAllBytes(), "UTF-8").trim
+      in.close()
+      Some(s.toLong)
+    }
+  }
+
+  def listTags(fs: FileSystem, root: Path): Seq[(String, Long)] = {
+    val dir = new Path(root, VersionsDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(TagPrefix))
+      .flatMap { s =>
+        val n = s.getPath.getName.stripPrefix(TagPrefix)
+        readTag(fs, root, n).map(n -> _)
+      }.sortBy(_._1)
+  }
+
+  def dropTag(fs: FileSystem, root: Path, name: String): Boolean =
+    fs.delete(tagPath(root, name), false)
+
+  /** A VERSION AS OF / graft.snapshot operand: a commit number, or a tag
+    * name resolved through the tag files. */
+  def resolveVersion(fs: FileSystem, root: Path, spec: String): Long =
+    try spec.toLong
+    catch {
+      case _: NumberFormatException =>
+        readTag(fs, root, spec).getOrElse(throw new IllegalArgumentException(
+          s"graft: '$spec' is neither a commit version nor a tag of $root " +
+            s"(tags: ${listTags(fs, root).map(_._1).mkString(", ")})"))
+    }
 }
 
 /** Chunk-granular CHANGE FEED between two committed versions — the

@@ -292,6 +292,56 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(now == Set((1L, None), (11L, Some("tagged"))))
   }
 
+  test("tags: VERSION AS OF by name, path-API twin, listing, drop, and validation") {
+    spark.sql("CREATE TABLE vcat.tg (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.tg VALUES (1, 10, 0)")            // v1
+    spark.sql("UPDATE vcat.tg SET v = 99 WHERE c0 = 0")           // v2
+    spark.sql("CALL vcat.system.tag(table => 'tg', name => 'release-1', version => 1)")
+    assert(rows("SELECT id, v FROM vcat.tg VERSION AS OF 'release-1'") ==
+      Set((1L, 10L)), "tag resolves to the pre-update state")
+    val byTag = spark.read.format("graft")
+      .option("graft.snapshot", "release-1").load(s"$warehouse/tg")
+    assert(byTag.select("v").collect().map(_.getLong(0)).toSeq == Seq(10L))
+    val listed = spark.sql("CALL vcat.system.tags(table => 'tg')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(listed == Set(("release-1", 1L)))
+    // unknown tag and invalid name are loud
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM vcat.tg VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("neither a commit version nor a tag"))
+    val e2 = intercept[Exception](spark.sql(
+      "CALL vcat.system.tag(table => 'tg', name => '9bad', version => 1)"))
+    assert(e2.getMessage.contains("must match"))
+    // tagging an uncommitted version is refused
+    val e3 = intercept[Exception](spark.sql(
+      "CALL vcat.system.tag(table => 'tg', name => 'ok', version => 9)"))
+    assert(e3.getMessage.contains("no committed version 9"))
+    spark.sql("CALL vcat.system.drop_tag(table => 'tg', name => 'release-1')")
+    assert(spark.sql("CALL vcat.system.tags(table => 'tg')").count() == 0)
+  }
+
+  test("expire_versions retains tagged versions and the history they reach") {
+    spark.sql("CREATE TABLE vcat.tr (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.tr VALUES (1, 10, 0)")   // v1
+    spark.sql("UPDATE vcat.tr SET v = v + 1 WHERE c0 = 0") // v2 (retires v1's file)
+    spark.sql("UPDATE vcat.tr SET v = v + 1 WHERE c0 = 0") // v3
+    spark.sql("UPDATE vcat.tr SET v = v + 1 WHERE c0 = 0") // v4
+    spark.sql("CALL vcat.system.tag(table => 'tr', name => 'pinned', version => 1)")
+    spark.sql("CALL vcat.system.expire_versions(table => 'tr', keep => 2)")
+    // v1 survives via the tag WITH its history bytes; v2 is expired
+    assert(rows("SELECT id, v FROM vcat.tr VERSION AS OF 'pinned'") ==
+      Set((1L, 10L)), "tagged version stays readable past retention")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM vcat.tr VERSION AS OF 2").collect())
+    assert(e.getMessage.contains("no committed version 2"))
+    // dropping the tag re-enters retention: the next expire removes v1
+    spark.sql("CALL vcat.system.drop_tag(table => 'tr', name => 'pinned')")
+    spark.sql("CALL vcat.system.expire_versions(table => 'tr', keep => 2)")
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM vcat.tr VERSION AS OF 1").collect())
+    assert(e2.getMessage.contains("no committed version 1"))
+  }
+
   test("streaming reads of a snapshot are refused (frozen commit)") {
     spark.sql("CREATE TABLE vcat.st (id BIGINT, v BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO vcat.st VALUES (1, 10, 0)")
