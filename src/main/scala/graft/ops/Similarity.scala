@@ -185,6 +185,34 @@ object Similarity {
     (cents.flatten, k)
   }
 
+  /** K-means clustering over an embedding column, exposed as a first-class
+    * corpus operation — domain discovery, SemDeDup-style grouping, and
+    * mixture balancing all start with "cluster the embeddings". Training is
+    * the IVF coarse-quantizer's Lloyd loop (driver-bounded sample, or the
+    * treeAggregate form when the sample would not fit the driver);
+    * assignment is one codegen'd [[graft.functions.NearestCentroids]] pass
+    * over the full corpus — the model ships in-expression, each row labels
+    * itself, NO shuffle. Returns (vec_id, cluster, cluster_min_id):
+    * `cluster` is the centroid index, `cluster_min_id` the smallest member
+    * id — an init-numbering-independent label (the k-row label table
+    * broadcasts). */
+  def kmeansAssign(corpus: DataFrame, k: Int, dim: Int = DefaultDim,
+      iters: Int = 5, sampleCap: Int = 4096,
+      distributedTraining: Boolean = false): DataFrame = {
+    val (cents, actual) =
+      if (distributedTraining)
+        trainCentroidsDistributed(corpus, k, dim, iters, sampleCap)
+      else trainCentroids(corpus, k, dim, iters, sampleCap)
+    val assigned = corpus.select(col("vec_id"),
+      element_at(
+        graft.functions.NearestCentroids(col("embedding"), cents, actual, 1), 1)
+        .cast("long").as("cluster"))
+    val labels = assigned.groupBy("cluster")
+      .agg(min(col("vec_id")).as("cluster_min_id"))
+    assigned.join(labels, Seq("cluster")) // k-row build side: broadcasts
+      .select(col("vec_id"), col("cluster"), col("cluster_min_id"))
+  }
+
   /** IVF ANN: corpus vectors are inverted-listed under their nearest
     * centroid; each query probes its `nprobe` nearest lists; exact cosine
     * re-rank. The scale path FAISS-style: candidate count ~ nprobe/nlist of

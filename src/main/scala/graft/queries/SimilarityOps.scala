@@ -85,6 +85,36 @@ object SimilarityOps {
               FROM embeddings WHERE vec_id < 10 ORDER BY q_id""")
     ),
 
+    // k-means through the FULL oracle gate, by a planted-CONVERGENCE
+    // construction: 4 distinct anchor vectors, 25 identical copies each
+    // (ids anchor*1000 + i). The deterministic init (evenly-spaced rows of
+    // the id-ordered sample, step 100/4 = 25) seeds exactly one centroid
+    // inside each identity group, and Lloyd is then a fixed point: every
+    // vector sits at distance 0 from its own group's centroid and > 0 from
+    // the others (organic anchors are distinct). The expected clustering is
+    // therefore exactly the four groups, and labeling clusters by smallest
+    // member id makes it SQL-expressible with no vector math in the oracle:
+    // group_id = (vec_id // 1000) * 1000. A drifting centroid, a broken
+    // assignment kernel, or an unstable init all break the hash. Real-corpus
+    // quality (inertia descent, empty-list handling) stays in
+    // SimilaritySpec; the planted row pins the pipeline end to end.
+    "s_kmeans_planted" -> QueryDef(
+      (s, dir) => {
+        val anchors = t(s, dir, "embeddings").where(col("vec_id") < 4)
+          .select(col("vec_id").as("anchor"), col("embedding"))
+        val corpus = anchors
+          .select(col("anchor"), col("embedding"),
+            explode(sequence(lit(0), lit(24))).as("i"))
+          .select((col("anchor") * 1000 + col("i")).as("vec_id"), col("embedding"))
+        Similarity.kmeansAssign(corpus, k = 4, sampleCap = 128)
+          .select(col("vec_id"), col("cluster_min_id").as("group_id"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT a * 1000 + i AS vec_id, a * 1000 AS group_id
+              FROM generate_series(0, 3) t1(a), generate_series(0, 24) t2(i)
+              ORDER BY vec_id""")
+    ),
+
     // embedding near-dup pairs under the FULL oracle gate, via the planted
     // construction d_semantic_dedup proved out: exact copies of the first
     // 50 vectors re-enter under ids +1_000_000. Every planted pair MUST

@@ -100,6 +100,38 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaDriver == viaDist)
   }
 
+  test("kmeansAssign: clustered corpus recovers its generating groups; trainers agree") {
+    import spark.implicits._
+    // 4 well-separated centers x 30 jittered points: the generating group
+    // IS the unique optimal clustering, so assignment must recover it
+    val rnd = new scala.util.Random(77L)
+    val centers = Vector.tabulate(4)(c => Array.tabulate(8)(j =>
+      (if (j % 4 == c) 5.0f else 0.0f) + 0.01f * rnd.nextGaussian().toFloat))
+    val rows = (0 until 120).map { i =>
+      val c = centers(i / 30) // ids grouped: evenly-spaced init hits each group
+      (i.toLong, c.toSeq.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding").repartition(4)
+    val got = Similarity.kmeansAssign(corpus, k = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.size == 120)
+    (0 until 120).foreach { i =>
+      assert(got(i.toLong) == (i / 30) * 30L,
+        s"vec $i labeled ${got(i.toLong)}, expected ${(i / 30) * 30}")
+    }
+    // distributed training produces the identical labeling
+    val dist = Similarity.kmeansAssign(corpus, k = 4, dim = 8,
+      distributedTraining = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(dist == got, "treeAggregate trainer must label identically")
+    // no shuffle in the assignment pass: the plan's only exchange feeds the
+    // k-row label aggregation/join, never the corpus-side scan
+    val plan = Similarity.kmeansAssign(corpus, k = 4, dim = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") ||
+      !plan.contains("SortMergeJoin"), s"label join must broadcast:\n$plan")
+  }
+
   test("measured recall@10 on a clustered corpus: IVF and LSH against brute-force truth") {
     import spark.implicits._
     // deterministic clustered corpus (8 centers x 40 jittered points, dim 16):
