@@ -53,7 +53,8 @@ object DmdsQueries {
     * be served a stale world. Returns the world path.
     */
   private def cachedEventsWorld(s: SparkSession, dir: String, tag: String,
-      wspecs: Seq[DimSpec], cols: Seq[String], zorder: Boolean = false): String = {
+      wspecs: Seq[DimSpec], cols: Seq[String], zorder: Boolean = false,
+      bloomCols: Seq[String] = Nil): String = {
     val src = new java.io.File(s"$dir/events.parquet")
     val parts = if (src.isDirectory) src.listFiles.toSeq.sortBy(_.getName) else Seq(src)
     val stamp = java.lang.Integer.toHexString(
@@ -63,7 +64,8 @@ object DmdsQueries {
     val marker = new java.io.File(path, "_graft_ready")
     if (!marker.exists) {
       val w = new World(s, path, wspecs)
-      w.create(events(s, dir).select(cols.map(col): _*), zorderWithinChunks = zorder)
+      w.create(events(s, dir).select(cols.map(col): _*),
+        zorderWithinChunks = zorder, bloomColumns = bloomCols)
       marker.createNewFile()
     }
     path
@@ -371,6 +373,36 @@ object DmdsQueries {
         },
         Some("""SELECT ((event_id - 0) // 8192) AS c0, ((user_id - 0) // 128) AS c1
                 FROM events ORDER BY c0 DESC, c1 ASC LIMIT 500""")
+      ),
+
+      "w_bloom_scan" -> QueryDef(
+        // point lookup on a NON-dim column through file-level bloom
+        // skipping: the world's only dim is user_id, so an `event_id IN
+        // (...)` lookup has NO bucket predicate to prune with — without
+        // blooms every chunk file is planned and scheduled. With the column
+        // registered in the `_graft_bloom` sidecar, planning reads each
+        // candidate footer's bloom (driver-side, parallel, metadata-sized)
+        // and schedules only the files that might hold one of the sought
+        // ids; the readers' parquet row-group filters re-check with the
+        // same blooms, and Spark's residual Filter above the scan keeps the
+        // result row-exact regardless of bloom false positives — which is
+        // exactly what the oracle proves (GraftBloomSpec asserts the
+        // file-drop itself). The absent id exercises the all-files-refuted
+        // path in the same plan.
+        (s, dir) => {
+          val sd1 = DimMapping(0L, (1L << 14) - 1, 128L)
+          val path = cachedEventsWorld(s, dir, "bloom",
+            Seq(DimSpec("user_id", sd1)),
+            Seq("event_id", "user_id", "event_type", "value"),
+            bloomCols = Seq("event_id"))
+          s.read.format("graft").load(path)
+            .where(col("event_id").isin(17L, 1023L, 4096L, 999999999L))
+            .select("event_id", "user_id", "event_type", "value")
+            .orderBy("event_id")
+        },
+        Some("""SELECT event_id, user_id, event_type, value FROM events
+                WHERE event_id IN (17, 1023, 4096, 999999999)
+                ORDER BY event_id""")
       ),
 
       "w_zorder_scan" -> QueryDef(

@@ -1,0 +1,230 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In}
+
+/** Per-chunk bloom-filter data skipping for POINT LOOKUPS on non-bucket
+  * columns.
+  *
+  * The chunk grid prunes by DIMENSION ranges (directory-exact, free), but a
+  * lookup on a column that is not a dim — "fetch document 91847 by id" —
+  * must otherwise plan every chunk file the bucket filters leave alive and
+  * let each reader's row-group statistics reject it. At a 100k-chunk grid
+  * that is 100k scheduled tasks for a one-row answer. Parquet's native
+  * column bloom filters close the gap at BOTH levels:
+  *
+  *   - file level (driver, here): planning reads each candidate footer's
+  *     bloom pages and drops files where every row group definitively lacks
+  *     the sought value — the task is never scheduled. Footer+bloom reads
+  *     are metadata-sized (the adaptive writer keeps blooms at
+  *     ~1.2 KB/1k-distinct-values) and run through a parallel collection,
+  *     the same cost class as the pushed-top-N footer walk.
+  *   - row-group level (executors, for free): the residual filters already
+  *     ride to [[GraftPartitionReader]] as parquet `FilterCompat`
+  *     predicates, and parquet-mr's row-group filter consults the same
+  *     blooms (stats -> dictionary -> bloom) before decoding any page.
+  *
+  * Which columns carry blooms is a TABLE property persisted in a
+  * `_graft_bloom` sidecar (one column name per line) so that every write
+  * path — `World.create`'s Spark-parquet writes, the connector's
+  * [[GraftDataWriter]], upsert/COW/streaming staging — keeps blooming the
+  * same columns without the caller re-passing the option, mirroring how the
+  * `_graft_schema.json` sidecar makes the schema a property of the path.
+  *
+  * The reference anchor is `Select::hint` (/root/reference/src/world/
+  * select.rs) — a row-exact id restriction the engine promises to serve
+  * WITHOUT widening to the enclosing chunk scan; blooms are the
+  * file-format-native way to keep that promise for non-dim columns.
+  *
+  * Correctness: a bloom answers "definitely absent" or "maybe present" —
+  * skipping is sound, keeping is the safe default. Any column missing a
+  * bloom (older files, all-null chunks, unsupported physical type) keeps
+  * its files planned; Spark re-applies the full residual predicate above
+  * the scan either way.
+  */
+object GraftBloom {
+
+  val SidecarName = "_graft_bloom"
+
+  /** Write option listing bloom columns, comma-separated. First write with
+    * the option persists the sidecar; later writes inherit it. */
+  val OptionKey = "graft.bloom.columns"
+
+  def sidecar(root: Path): Path = new Path(root, SidecarName)
+
+  /** [[columns]] from a path string — the driver-side factory-construction
+    * convenience (one sidecar read per WRITE, never per task). */
+  def columnsOf(path: String): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    columns(fs, new Path(path))
+  }
+
+  /** Bloom columns of a table path; empty when the sidecar is absent. */
+  def columns(fs: FileSystem, root: Path): Seq[String] = {
+    val p = sidecar(root)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  /** Union `cols` into the sidecar (creating it if needed). Driver-side,
+    * idempotent; a no-op when `cols` adds nothing. */
+  def register(fs: FileSystem, root: Path, cols: Seq[String]): Unit = {
+    val existing = columns(fs, root)
+    val merged = (existing ++ cols).distinct
+    if (merged != existing || (!fs.exists(sidecar(root)) && merged.nonEmpty)) {
+      fs.mkdirs(root)
+      val out = fs.create(sidecar(root), true)
+      try out.write((merged.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Bloom columns a write should use: sidecar ∪ the write's
+    * `graft.bloom.columns` option, persisting any newly-optioned columns. */
+  def forWrite(fs: FileSystem, root: Path, option: Option[String]): Seq[String] = {
+    val opted = option.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    if (opted.nonEmpty) register(fs, root, opted)
+    (columns(fs, root) ++ opted).distinct
+  }
+
+  /** Spark-parquet writer options enabling blooms on `cols` — the adaptive
+    * sizer observes the true per-chunk NDV instead of reserving the 1 MiB
+    * worst case, so small chunks pay bytes proportional to their cardinality. */
+  def writerOptions(cols: Seq[String]): Map[String, String] =
+    if (cols.isEmpty) Map.empty
+    else Map("parquet.bloom.filter.adaptive.enabled" -> "true") ++
+      cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true")
+
+  /** The equality atoms of a pushed residual conjunction that blooms can
+    * test: (column, candidate values — ANY present keeps the file). */
+  private[sources] def equalityAtoms(residual: Array[Filter],
+      bloomCols: Set[String]): Seq[(String, Array[Any])] =
+    residual.toSeq.collect {
+      case EqualTo(c, v) if bloomCols(c) && v != null => (c, Array[Any](v))
+      case EqualNullSafe(c, v) if bloomCols(c) && v != null => (c, Array[Any](v))
+      case In(c, vs) if bloomCols(c) && vs.nonEmpty && vs.forall(_ != null) =>
+        (c, vs.toArray[Any])
+    }
+
+  /** True unless some equality atom is DEFINITELY unsatisfiable in every
+    * row group of the file (the atoms are AND'd: one impossible atom kills
+    * the file). One footer open; refutation comes from the column's bloom
+    * when present, or from its DICTIONARY when the chunk is fully
+    * dictionary-encoded — parquet deliberately omits blooms for dict-only
+    * chunks (the dictionary already lists every distinct value, exactly),
+    * which is precisely the low-cardinality case where a lookup like
+    * `tenant = 'x'` wants file skipping. Missing both / unsupported types
+    * answer "maybe" (file kept). */
+  def fileMightMatch(conf: Configuration, file: String,
+      atoms: Seq[(String, Array[Any])]): Boolean = {
+    val pfr = ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val schema = pfr.getFooter.getFileMetaData.getSchema
+      val groups = pfr.getRowGroups
+      // the file survives iff EVERY atom might hold in SOME row group; an
+      // atom impossible everywhere contradicts the conjunction outright
+      atoms.forall { case (col, values) =>
+        if (!schema.containsField(col)) true
+        else {
+          val idx = schema.getFieldIndex(col)
+          val prim = schema.getType(idx).asPrimitiveType.getPrimitiveTypeName
+          var someGroupMight = false
+          val it = groups.iterator()
+          while (it.hasNext && !someGroupMight) {
+            val rg = it.next()
+            val ccmd = rg.getColumns.asScala.find(
+              _.getPath.toDotString == col)
+            someGroupMight = ccmd match {
+              case Some(cc) =>
+                val bloom = pfr.getBloomFilterDataReader(rg).readBloomFilter(cc)
+                if (bloom != null)
+                  values.exists { v =>
+                    hashOf(bloom, prim, v) match {
+                      case Some(h) => bloom.findHash(h)
+                      case None    => true // untestable type: keep
+                    }
+                  }
+                else !dictionaryRefutes(pfr, rg, cc, schema, col, prim, values)
+              case None => true
+            }
+          }
+          someGroupMight
+        }
+      }
+    } finally pfr.close()
+  }
+
+  /** Exact dictionary refutation for a bloom-less chunk: sound only when
+    * EVERY data page is dictionary-encoded (encoding stats prove it — the
+    * same guard parquet-mr's own DictionaryFilter uses) and the dictionary
+    * page is readable; then "no dictionary entry equals any candidate"
+    * means the value cannot appear in this row group. */
+  private def dictionaryRefutes(pfr: ParquetFileReader,
+      rg: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      schema: org.apache.parquet.schema.MessageType, col: String,
+      prim: PrimitiveTypeName, values: Array[Any]): Boolean = {
+    val stats = cc.getEncodingStats
+    if (stats == null || stats.hasNonDictionaryEncodedPages || !cc.hasDictionaryPage)
+      return false
+    val desc = schema.getColumnDescription(Array(col))
+    // ascribe the public interface: the concrete DictionaryPageReader class
+    // is package-private in parquet-hadoop
+    val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+      pfr.getDictionaryReader(rg)
+    val page = store.readDictionaryPage(desc)
+    if (page == null) return false
+    val dict = page.getEncoding.initDictionary(desc, page)
+    val n = dict.getMaxId
+    def present(v: Any): Boolean = (prim, v) match {
+      case (PrimitiveTypeName.INT64, x: java.lang.Number) =>
+        val t = x.longValue; (0 to n).exists(dict.decodeToLong(_) == t)
+      case (PrimitiveTypeName.INT32, x: java.lang.Number) =>
+        val t = x.intValue; (0 to n).exists(dict.decodeToInt(_) == t)
+      case (PrimitiveTypeName.DOUBLE, x: java.lang.Number) =>
+        val t = x.doubleValue; (0 to n).exists(dict.decodeToDouble(_) == t)
+      case (PrimitiveTypeName.FLOAT, x: java.lang.Number) =>
+        val t = x.floatValue; (0 to n).exists(dict.decodeToFloat(_) == t)
+      case (PrimitiveTypeName.BINARY, s: String) =>
+        val t = Binary.fromString(s); (0 to n).exists(dict.decodeToBinary(_) == t)
+      case (PrimitiveTypeName.BINARY, b: Array[Byte]) =>
+        val t = Binary.fromConstantByteArray(b)
+        (0 to n).exists(dict.decodeToBinary(_) == t)
+      case _ => true // untestable type: treat as possibly present
+    }
+    !values.exists(present)
+  }
+
+  /** Hash a Spark filter value against the column's PHYSICAL type — the
+    * bloom stores hashes of plain-encoded values, so an INT64 column must
+    * hash a long even if the predicate arrived as an Int. Unknown pairings
+    * return None (file kept). */
+  private def hashOf(bloom: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+      prim: PrimitiveTypeName, v: Any): Option[Long] = (prim, v) match {
+    case (PrimitiveTypeName.INT64, n: java.lang.Number) => Some(bloom.hash(n.longValue))
+    case (PrimitiveTypeName.INT32, n: java.lang.Number) => Some(bloom.hash(n.intValue))
+    case (PrimitiveTypeName.DOUBLE, n: java.lang.Number) => Some(bloom.hash(n.doubleValue))
+    case (PrimitiveTypeName.FLOAT, n: java.lang.Number) => Some(bloom.hash(n.floatValue))
+    case (PrimitiveTypeName.BINARY, s: String) => Some(bloom.hash(Binary.fromString(s)))
+    case (PrimitiveTypeName.BINARY, b: Array[Byte]) =>
+      Some(bloom.hash(Binary.fromConstantByteArray(b)))
+    case _ => None
+  }
+
+  private implicit class JListOps[A](l: java.util.List[A]) {
+    def asScala: Seq[A] = {
+      val b = Seq.newBuilder[A]
+      val it = l.iterator(); while (it.hasNext) b += it.next()
+      b.result()
+    }
+  }
+}

@@ -1105,7 +1105,33 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
         s"$c ${if (asc) "ASC" else "DESC"}" }.mkString(", ")}]") +
       (if (residual.isEmpty) ""
        else s", RowGroupFilters: [${residual.mkString(", ")}]") +
-      (if (runtime.isEmpty) "" else s", RuntimeBucketFilters: [${runtime.mkString(", ")}]")
+      (if (runtime.isEmpty) "" else s", RuntimeBucketFilters: [${runtime.mkString(", ")}]") +
+      (if (bloomAtoms.isEmpty) ""
+       else s", BloomSkipCols: [${bloomAtoms.map(_._1).distinct.mkString(", ")}]")
+
+  /** Residual equality atoms testable against the table's registered bloom
+    * columns (the `_graft_bloom` sidecar) — non-empty exactly when this scan
+    * is a point lookup that file-level bloom skipping can serve. */
+  @transient private lazy val bloomAtoms: Seq[(String, Array[Any])] = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val cols = GraftBloom.columns(fs, new Path(path)).toSet
+    if (cols.isEmpty) Nil else GraftBloom.equalityAtoms(residual, cols)
+  }
+
+  /** File-level bloom skip: drop chunk files whose blooms PROVE the pushed
+    * equality atoms unsatisfiable — the task is never scheduled. Parallel
+    * footer reads (same cost class as the pushed-top-N footer walk); a
+    * no-atom scan pays nothing. See [[GraftBloom]]. */
+  private def bloomSurvivors(files: Seq[(String, Map[String, Long])])
+      : Seq[(String, Map[String, Long])] =
+    if (bloomAtoms.isEmpty) files
+    else {
+      import scala.collection.parallel.CollectionConverters._
+      val conf = new Configuration()
+      files.par.filter { case (f, _) =>
+        GraftBloom.fileMightMatch(conf, f, bloomAtoms)
+      }.seq
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
@@ -1115,10 +1141,11 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       // manifest-driven: one partition per pinned file (limit/topN
       // pushdowns and runtime filters are declined in pinned mode, and a
       // pinned scan never backs a row-level rewrite)
-      return pinnedWalk.map { case (f, b) =>
-        GraftInputPartition(f.toString, b, !hasDataCols, -1,
-          keys.map(b(_))): InputPartition
-      }.toArray
+      return bloomSurvivors(pinnedWalk.map { case (f, b) => (f.toString, b) })
+        .map { case (f, b) =>
+          GraftInputPartition(f, b, !hasDataCols, -1,
+            keys.map(b(_))): InputPartition
+        }.toArray
     val dirs =
       if (topN.isEmpty || limit < 0) walked()
       else {
@@ -1162,12 +1189,12 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       r.clear()
       dirs.foreach { case (d, _) => r.add(d.toUri.getPath) }
     }
-    dirs
-      .flatMap { case (dir, b) =>
-        GraftDataSource.chunkFiles(fs, dir)
-          .map(p => GraftInputPartition(p.toString, b, !hasDataCols, limit,
-            keys.map(b(_))))
-      }.toArray
+    bloomSurvivors(dirs.flatMap { case (dir, b) =>
+      GraftDataSource.chunkFiles(fs, dir).map(p => (p.toString, b))
+    }).map { case (p, b) =>
+      GraftInputPartition(p, b, !hasDataCols, limit,
+        keys.map(b(_))): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

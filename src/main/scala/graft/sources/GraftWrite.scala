@@ -61,6 +61,15 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuild
   // pushed hint filters; an unregistered path still gets the clustering
   // and file-count wins.
   override def build(): Write = {
+    // option("graft.bloom.columns", "a,b"): register bloom columns as a
+    // TABLE property before any factory resolves them — this write and all
+    // later ones (any path) bloom the same columns. See GraftBloom.
+    Option(info.options().get(GraftBloom.OptionKey)).foreach { o =>
+      GraftBloom.register(
+        FileSystem.get(new java.net.URI(path), new Configuration()),
+        new Path(path),
+        o.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    }
     val batch: BatchWrite =
       if (dynamicOverwrite)
         new GraftOverwriteWrite(path, info.schema(), None)
@@ -131,7 +140,7 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
   private[graft] val stagePath = GraftStage.uniqueStage(path, "upsert")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(stagePath, schema)
+    new GraftWriterFactory(stagePath, schema, GraftBloom.columnsOf(path))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
@@ -213,7 +222,7 @@ class GraftOverwriteWrite(path: String, schema: StructType,
   private[graft] val stagePath = GraftStage.uniqueStage(path, "overwrite")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(stagePath, schema)
+    new GraftWriterFactory(stagePath, schema, GraftBloom.columnsOf(path))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
@@ -276,7 +285,7 @@ class GraftReplaceGroupsWrite(path: String, schema: StructType,
   private[graft] val stagePath = GraftStage.uniqueStage(path, "rowlevel")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(stagePath, schema)
+    new GraftWriterFactory(stagePath, schema, GraftBloom.columnsOf(path))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
@@ -567,14 +576,19 @@ object GraftStreamingWrite {
   * staging grid, reusing the one routed chunk writer. */
 class GraftStreamingWriterFactory(path: String, schema: StructType)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  // resolved HERE (factory construction runs on the driver) and serialized
+  // to tasks — createWriter runs executor-side, where a sidecar read per
+  // task would be a namenode round-trip per epoch partition
+  private val bloomCols: Seq[String] = GraftBloom.columnsOf(path)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(s"${path}__graft_epoch_$epochId", schema, partitionId, taskId)
+    new GraftDataWriter(s"${path}__graft_epoch_$epochId", schema, partitionId,
+      taskId, bloomCols)
 }
 
 class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(path, schema)
+    new GraftWriterFactory(path, schema, GraftBloom.columnsOf(path))
   // a virgin-path write must leave the world readable through the connector:
   // the sidecar records the written schema (incl. bucket columns) exactly as
   // World.create would
@@ -609,15 +623,16 @@ class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {
 final case class GraftCommitMessage(files: Seq[String], rows: Long)
   extends WriterCommitMessage
 
-class GraftWriterFactory(path: String, schema: StructType) extends DataWriterFactory {
+class GraftWriterFactory(path: String, schema: StructType,
+    bloomCols: Seq[String] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(path, schema, partitionId, taskId)
+    new GraftDataWriter(path, schema, partitionId, taskId, bloomCols)
 }
 
 /** Routes rows to per-chunk parquet writers, opened lazily per bucket tuple
   * encountered in this task's partition. */
 class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long, bloomCols: Seq[String] = Nil) extends DataWriter[InternalRow] {
 
   private val conf = new Configuration()
   private val bucketIdx: Array[Int] = schema.fields.zipWithIndex
@@ -693,8 +708,17 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
         files += file
         val c = new Configuration(conf)
         GroupWriteSupport.setSchema(messageType, c)
-        val w = ExampleParquetWriter.builder(new Path(file)).withConf(c)
-          .withType(messageType).build()
+        val b = ExampleParquetWriter.builder(new Path(file)).withConf(c)
+          .withType(messageType)
+        // registered bloom columns (the `_graft_bloom` sidecar, resolved
+        // driver-side by the factory's creator): adaptive sizing keeps each
+        // chunk's bloom proportional to its observed distinct count
+        val blooming = bloomCols.filter(messageType.containsField)
+        if (blooming.nonEmpty) {
+          b.withAdaptiveBloomFilterEnabled(true)
+          blooming.foreach(b.withBloomFilterEnabled(_, true))
+        }
+        val w = b.build()
         current = Some((bucket, w))
         w
     }

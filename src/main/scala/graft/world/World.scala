@@ -93,7 +93,16 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     * filters after chunk pruning) skip row groups inside large chunks no
     * matter which dims they constrain. A create-time clustering choice —
     * later insert/compact rewrites re-sort those partitions by dims. */
-  def create(df: DataFrame, zorderWithinChunks: Boolean = false): Unit = {
+  def create(df: DataFrame, zorderWithinChunks: Boolean = false,
+      bloomColumns: Seq[String] = Nil): Unit = {
+    // bloom columns are a TABLE property (the `_graft_bloom` sidecar): this
+    // create blooms them directly, and the post-write registration below
+    // (AFTER the overwrite, which clears the directory — same reason the
+    // schema sidecar writes last) makes every later write path — append,
+    // insert, compact, the connector's own writer — bloom the same columns
+    // (point-lookup file skipping, see sources/GraftBloom.scala)
+    val allBloomCols = (graft.sources.GraftBloom.columns(fileSystem,
+      new org.apache.hadoop.fs.Path(path)) ++ bloomColumns).distinct
     // cluster rows by their bucket before writing: each partition directory
     // is then written by one task -> one file per chunk instead of
     // (tasks x chunks) small files. At cluster scale this one shuffle is what
@@ -132,9 +141,13 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
       .repartition(bucketCols.map(col): _*)
       .sortWithinPartitions(bucketCols.map(col) ++ intraSort: _*)
     bucketed.write
+      .options(graft.sources.GraftBloom.writerOptions(allBloomCols))
       .partitionBy(bucketCols: _*)
       .mode("overwrite")
       .parquet(path)
+    if (allBloomCols.nonEmpty)
+      graft.sources.GraftBloom.register(fileSystem,
+        new org.apache.hadoop.fs.Path(path), allBloomCols)
     // schema sidecar: a fully-emptied world (every chunk destroyed) must stay
     // readable — parquet schema inference has nothing to read then. Analog of
     // the reference's `NotFound -> empty scan` (src/world/iter.rs:475-479).
@@ -147,6 +160,14 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
   private def fileSystem: org.apache.hadoop.fs.FileSystem =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  /** Parquet bloom options for this world's registered bloom columns — read
+    * per write (the sidecar is one small file) so rewrites keep blooming
+    * columns registered after create. Empty map when none registered. */
+  private def bloomWriteOpts: Map[String, String] =
+    graft.sources.GraftBloom.writerOptions(
+      graft.sources.GraftBloom.columns(fileSystem,
+        new org.apache.hadoop.fs.Path(path)))
 
   /** World-level rewrites bypass the connector's commit log (they delete
     * superseded files through Spark's own committer) — note the VERSION
@@ -262,7 +283,8 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
       // bucket-col prefix: see create — without it the writer re-sorts
       .sortWithinPartitions(
         bucketCols.map(col) ++ dims.map(d => col(d.column)): _*)
-      .write.partitionBy(bucketCols: _*).mode("append").parquet(path)
+      .write.options(bloomWriteOpts)
+      .partitionBy(bucketCols: _*).mode("append").parquet(path)
     noteVersionBarrier()
   }
 
@@ -274,7 +296,8 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     val existing = df
     val fresh = incoming.join(existing.select(col(idCol)), Seq(idCol), "left_anti").cache()
     val rejected = incoming.count() - fresh.count()
-    fresh.write.partitionBy(bucketCols: _*).mode("append").parquet(path)
+    fresh.write.options(bloomWriteOpts)
+      .partitionBy(bucketCols: _*).mode("append").parquet(path)
     noteVersionBarrier()
     incoming.unpersist(); fresh.unpersist()
     rejected
@@ -423,14 +446,16 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
         // bucket-col prefix: see create — without it the writer re-sorts
         .sortWithinPartitions(
           bucketCols.map(col) ++ dims.map(d => col(d.column)): _*)
-        .write.partitionBy(bucketCols: _*).mode("overwrite").parquet(stage)
+        .write.options(bloomWriteOpts)
+        .partitionBy(bucketCols: _*).mode("overwrite").parquet(stage)
       // an all-deletes rewrite stages zero rows -> no readable parquet
       val staged =
         try Some(spark.read.parquet(stage))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
       val present = staged.map(collectBuckets).getOrElse(Set.empty)
       staged.foreach {
-        _.write.partitionBy(bucketCols: _*).mode("overwrite").parquet(path)
+        _.write.options(bloomWriteOpts)
+          .partitionBy(bucketCols: _*).mode("overwrite").parquet(path)
       }
       val emptied = affected -- present
       emptied.foreach { p =>

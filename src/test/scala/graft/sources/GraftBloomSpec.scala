@@ -1,0 +1,197 @@
+package graft.sources
+
+import graft.core._
+import graft.world.{DimSpec, World}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, In}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** File-level bloom skipping for point lookups on non-bucket columns:
+  * write-side bloom production on every write path, sidecar registration,
+  * and planning-time file drops that never schedule a task for a chunk the
+  * bloom proves irrelevant (see sources/GraftBloom.scala).
+  */
+class GraftBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(): String = Files.createTempDirectory("graft-bloom").toString
+
+  private def dims1(ipc: Long, end: Long = 1023L) =
+    Seq(DimSpec("d0", DimMapping(0, end, ipc)))
+
+  /** 1024 rows over 8 chunks of d0; `doc` is a high-cardinality non-dim
+    * column whose values are disjoint across chunks (doc = 10000 + d0). */
+  private def mkWorld(bloom: Boolean): World = {
+    import spark.implicits._
+    val w = new World(spark, tmp(), dims1(128))
+    val df = (0L until 1024L).toDF("d0")
+      .withColumn("doc", col("d0") + 10000L)
+      .withColumn("tag", concat(lit("t"), (col("d0") % 7).cast("string")))
+    w.create(df, bloomColumns = if (bloom) Seq("doc", "tag") else Nil)
+    w
+  }
+
+  private def chunkFiles(path: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(path)).map(_.toString)
+  }
+
+  private def scanOf(path: String, residual: Array[org.apache.spark.sql.sources.Filter]) =
+    new GraftScan(path,
+      StructType(Seq(StructField("d0", LongType), StructField("doc", LongType))),
+      pushed = Array.empty, residual = residual)
+
+  test("create(bloomColumns) registers the sidecar and writes parquet blooms") {
+    val w = mkWorld(bloom = true)
+    val fs = FileSystem.get(new java.net.URI(w.path), new Configuration())
+    assert(GraftBloom.columns(fs, new Path(w.path)) == Seq("doc", "tag"))
+    // every chunk file carries a bloom on both registered columns
+    val files = chunkFiles(w.path)
+    assert(files.size == 8, s"8 chunks expected, got ${files.size}")
+    files.foreach { f =>
+      val pfr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(f), new Configuration()))
+      try {
+        val rg = pfr.getRowGroups.get(0)
+        val it = rg.getColumns.iterator()
+        var seen = Set.empty[String]
+        while (it.hasNext) {
+          val cc = it.next()
+          val name = cc.getPath.toDotString
+          // doc is high-cardinality -> physical bloom pages; tag is fully
+          // dictionary-encoded -> parquet deliberately omits the bloom (the
+          // dictionary serves as the exact filter; see dictionaryRefutes)
+          if (name == "doc") {
+            assert(pfr.getBloomFilterDataReader(rg).readBloomFilter(cc) != null,
+              s"column $name of $f lacks a bloom filter")
+            seen += name
+          }
+        }
+        assert(seen == Set("doc"))
+      } finally pfr.close()
+    }
+  }
+
+  test("dictionary refutation skips files for low-cardinality columns") {
+    val w = mkWorld(bloom = true)
+    val conf = new Configuration()
+    val f = chunkFiles(w.path).head
+    // every chunk holds t0..t6; t9 never occurs -> dictionary proves absence
+    assert(GraftBloom.fileMightMatch(conf, f, Seq(("tag", Array[Any]("t3")))))
+    assert(!GraftBloom.fileMightMatch(conf, f, Seq(("tag", Array[Any]("t9")))))
+    val miss = scanOf(w.path, Array(EqualTo("tag", "t9"))).planInputPartitions()
+    assert(miss.isEmpty, s"absent tag planned ${miss.length} files")
+  }
+
+  test("planning drops files the bloom refutes; the owning chunk survives") {
+    val w = mkWorld(bloom = true)
+    val total = chunkFiles(w.path).size
+    // present value: exactly the owning chunk's file survives (values are
+    // disjoint across chunks, and a bloom's false-positive rate over 7
+    // foreign files is negligible at these sizes — but tolerate FPs)
+    val hit = scanOf(w.path, Array(EqualTo("doc", 10000L + 515L)))
+      .planInputPartitions()
+    assert(hit.length >= 1 && hit.length < total,
+      s"expected a strict file drop, planned ${hit.length}/$total")
+    // absent value: every file refuted, zero tasks scheduled
+    val miss = scanOf(w.path, Array(EqualTo("doc", 999999L)))
+      .planInputPartitions()
+    assert(miss.isEmpty, s"absent key planned ${miss.length} files")
+    // IN with one present candidate keeps the owning file
+    val in = scanOf(w.path, Array(In("doc", Array(999999L, 10000L))))
+      .planInputPartitions()
+    assert(in.length >= 1 && in.length < total)
+  }
+
+  test("end-to-end read through the connector stays row-exact") {
+    val w = mkWorld(bloom = true)
+    val got = spark.read.format("graft").load(w.path)
+      .where(col("doc") === 10515L)
+      .select("d0", "doc", "tag").collect()
+    assert(got.length == 1 && got(0).getLong(0) == 515L &&
+      got(0).getString(2) == "t" + (515 % 7))
+    // string-typed bloom column: same discipline
+    val t3 = spark.read.format("graft").load(w.path)
+      .where(col("tag") === "t3" && col("d0") === 3L).collect()
+    assert(t3.length == 1)
+    // absent key reads empty (plan is zero partitions, result is exact)
+    assert(spark.read.format("graft").load(w.path)
+      .where(col("doc") === 999999L).isEmpty)
+  }
+
+  test("a bloom-less world keeps every file (no skipping, no harm)") {
+    val w = mkWorld(bloom = false)
+    val total = chunkFiles(w.path).size
+    val planned = scanOf(w.path, Array(EqualTo("doc", 999999L)))
+      .planInputPartitions()
+    assert(planned.length == total, "without registered blooms nothing drops")
+  }
+
+  test("connector writes inherit blooms via option and sidecar") {
+    import spark.implicits._
+    val path = tmp()
+    // first write registers via option; the world is virgin (sidecar write)
+    (0L until 64L).toDF("d0")
+      .withColumn("c0", (col("d0") / 16L).cast("long"))
+      .withColumn("doc", col("d0") + 500L)
+      .write.format("graft").option(GraftBloom.OptionKey, "doc")
+      .mode("append").save(path)
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    assert(GraftBloom.columns(fs, new Path(path)) == Seq("doc"))
+    // second write passes NO option — the sidecar keeps it blooming
+    (64L until 128L).toDF("d0")
+      .withColumn("c0", (col("d0") / 16L).cast("long"))
+      .withColumn("doc", col("d0") + 500L)
+      .write.format("graft").mode("append").save(path)
+    val files = chunkFiles(path)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val pfr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(f), new Configuration()))
+      try {
+        val rg = pfr.getRowGroups.get(0)
+        val it = rg.getColumns.iterator()
+        while (it.hasNext) {
+          val cc = it.next()
+          if (cc.getPath.toDotString == "doc")
+            assert(pfr.getBloomFilterDataReader(rg).readBloomFilter(cc) != null,
+              s"connector-written file $f lacks the doc bloom")
+        }
+      } finally pfr.close()
+    }
+    // and the point lookup skips: value present only in c0=7's range
+    val planned = scanOf(path, Array(EqualTo("doc", 500L + 127L)))
+      .planInputPartitions()
+    assert(planned.length < files.size)
+  }
+
+  test("fileMightMatch semantics: AND of atoms, unknown columns keep") {
+    val w = mkWorld(bloom = true)
+    val f = chunkFiles(w.path).sorted.head // c0=0: d0 0..127, doc 10000..10127
+    val conf = new Configuration()
+    assert(GraftBloom.fileMightMatch(conf, f, Seq(("doc", Array[Any](10005L)))))
+    assert(!GraftBloom.fileMightMatch(conf, f, Seq(("doc", Array[Any](10500L)))))
+    // one impossible atom kills the conjunction even if the other holds
+    assert(!GraftBloom.fileMightMatch(conf, f,
+      Seq(("doc", Array[Any](10005L)), ("doc", Array[Any](10500L)))))
+    // a column absent from the file schema cannot refute
+    assert(GraftBloom.fileMightMatch(conf, f, Seq(("nope", Array[Any](1L)))))
+  }
+}
