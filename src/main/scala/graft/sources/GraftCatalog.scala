@@ -188,7 +188,7 @@ class GraftCatalog extends TableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("compact", "stats", "rollback", "expire_versions", "versions",
-        "tag", "drop_tag", "tags")
+        "tag", "drop_tag", "tags", "clone")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -205,12 +205,51 @@ class GraftCatalog extends TableCatalog
       case (Seq("system"), "tag")      => new GraftTagProcedure(this)
       case (Seq("system"), "drop_tag") => new GraftDropTagProcedure(this)
       case (Seq("system"), "tags")     => new GraftTagsProcedure(this)
+      case (Seq("system"), "clone")    => new GraftCloneProcedure(this)
       case _ => throw new UnsupportedOperationException(
         s"graft catalog $catalogName has no procedure $ident (available: " +
           "system.compact, system.stats, system.rollback, " +
           "system.expire_versions, system.versions, system.clean_stages, " +
-          "system.tag, system.drop_tag, system.tags)")
+          "system.tag, system.drop_tag, system.tags, system.clone)")
     }
+}
+
+/** `CALL <cat>.system.clone(table => 't', target => '/path', version => n)`
+  * — zero-copy read-only clone of a committed version at a fresh path (the
+  * SQL face of [[GraftClone.create]]; version -1 = latest). Returns the
+  * pinned version. The target is a PATH, not a catalog table: a clone is a
+  * frozen artifact readers open by location (`spark.read.format("graft")`),
+  * deliberately outside the catalog's mutable-table namespace. */
+class GraftCloneProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "clone"
+  override def description(): String =
+    "zero-copy read-only clone of a committed version at a target path"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "clone"
+    override def description(): String = GraftCloneProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("source table name within this catalog").build(),
+      ProcedureParameter.in("target", org.apache.spark.sql.types.StringType)
+        .comment("empty/absent directory for the clone").build(),
+      ProcedureParameter.in("version", org.apache.spark.sql.types.LongType)
+        .defaultValue("-1").comment("committed version; -1 = latest").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val src = cat.tablePath(input.getUTF8String(0).toString)
+      val target = input.getUTF8String(1).toString
+      val v = input.getLong(2)
+      val pinned = GraftClone.create(src, target,
+        if (v < 0) None else Some(v))
+      GraftProcedures.singleRow("cloned_version", pinned)
+    }
+  }
 }
 
 /** `CALL <cat>.system.clean_stages(table => 't', older_than_hours => h)` —

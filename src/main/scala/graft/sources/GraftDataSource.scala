@@ -84,6 +84,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
             s"graft.changes takes 'baseVersion,targetVersion', got '$s'")
         }
       })
+      // zero-copy clone directory (a `_graft_clone` pointer): reads resolve
+      // through the SOURCE's manifests at the pinned version; the pin also
+      // makes every mutation and streaming read refuse (GraftClone)
+      .orElse {
+        val root = new Path(properties.get("path"))
+        GraftClone.pointer(
+          FileSystem.get(root.toUri, new Configuration()), root)
+          .map { case (src, v) => GraftClonePin(src, v) }
+      }
     // option("graft.startingVersion", n | "latest"): where a STREAMING read
     // begins — version n's changes onward (inclusive), or only commits
     // sealed after the stream starts. Absent = the whole current state
@@ -124,6 +133,19 @@ private[graft] final case class GraftDiffPin(base: Long, target: Long)
       pushed: Array[Filter]): Seq[(Path, Map[String, Long])] =
     GraftVersions.diffFiles(fs, root, base, target, pushed)
 }
+/** A zero-copy clone's pin: resolves against the SOURCE table's version
+  * manifests (the passed `root` is the clone directory, which holds only
+  * the pointer + sidecars — see [[GraftClone]]). */
+private[graft] final case class GraftClonePin(src: String, v: Long)
+    extends GraftTimePin {
+  def describe: String = s"Clone: $src@v$v"
+  def files(fs: FileSystem, root: Path,
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long])] = {
+    val sroot = new Path(src)
+    val sfs = FileSystem.get(sroot.toUri, new Configuration())
+    GraftVersions.snapshotFiles(sfs, sroot, v, pushed)
+  }
+}
 
 object GraftDataSource {
   private[sources] val BucketCol = Pattern.compile("^c\\d+$")
@@ -160,6 +182,10 @@ object GraftDataSource {
   /** CDC tag column of `graft.follow = changes` streams ("insert"/"delete");
     * a per-partition constant like bucket values, never persisted. */
   private[sources] val ChangeColumn = "_change_type"
+  /** Footer key-value metadata key carrying per-file integral column sums
+    * (`col=sum,nonNullCount;...`) — written by SumTracker, read by the SUM
+    * aggregate pushdown. */
+  private[sources] val SumsMetaKey = "graft.sums"
 
   /** Canonical relative-path form of a cell's bucket tuple: `c0=…/c1=…`. */
   private[sources] def cellString(buckets: Map[String, Long]): String =
@@ -559,6 +585,7 @@ case object PCountStar extends PushedAgg { val name = "COUNT(*)" }
 final case class PCount(col: String) extends PushedAgg { def name = s"COUNT($col)" }
 final case class PMin(col: String) extends PushedAgg { def name = s"MIN($col)" }
 final case class PMax(col: String) extends PushedAgg { def name = s"MAX($col)" }
+final case class PSum(col: String) extends PushedAgg { def name = s"SUM($col)" }
 
 class GraftScanBuilder(path: String, schema: StructType,
     // set by row-level operations (UPDATE/DELETE/MERGE rewrites): records
@@ -700,6 +727,11 @@ class GraftScanBuilder(path: String, schema: StructType,
       case c: Count if !c.isDistinct => oneCol(c.column).map(PCount)
       case m: Min => oneCol(m.column).filter(minMaxable).map(PMin)
       case m: Max => oneCol(m.column).filter(minMaxable).map(PMax)
+      // SUM: integral columns only — the writer's footer sums (SumTracker)
+      // are exact longs; a bucket column's sum is its directory value times
+      // the row count. Double sums are rejected: the partial would depend
+      // on file layout, which a pushed metadata answer must never do.
+      case sm: Sum if !sm.isDistinct => oneCol(sm.column).filter(minMaxable).map(PSum)
       case _ => None
     }
     val ok = rowLevelDirs.isEmpty &&
@@ -771,6 +803,10 @@ class GraftAggScan(path: String, tableSchema: StructType, pushed: Array[Filter],
         case PCount(c)   => StructField(s"count($c)", LongType, nullable = false)
         case PMin(c)     => StructField(s"min($c)", colType(c), nullable = true)
         case PMax(c)     => StructField(s"max($c)", colType(c), nullable = true)
+        // sum over any integral width is a LongType partial (matches
+        // Spark's Sum(int/long).dataType, which the pushdown validator
+        // checks the scan schema against)
+        case PSum(c)     => StructField(s"sum($c)", LongType, nullable = true)
       })
   override def toBatch: Batch = this
   override def description(): String =
@@ -816,10 +852,27 @@ class GraftAggReaderFactory(aggs: Seq[PushedAgg], dataSchema: StructType)
         val conf = new Configuration()
         val pfr = ParquetFileReader.open(
           HadoopInputFile.fromPath(new Path(p.file), conf))
-        val (rowCount, blocks) =
+        val (rowCount, blocks, kvSums) =
           try (pfr.getRecordCount, {
             import scala.jdk.CollectionConverters._
             pfr.getFooter.getBlocks.asScala.toSeq
+          }, {
+            // connector-written files carry exact per-column sums
+            // (SumTracker); Spark-parquet-written worlds lack the key and
+            // their files fall back to the single-file scan below
+            val raw = pfr.getFooter.getFileMetaData.getKeyValueMetaData
+              .get(GraftDataSource.SumsMetaKey)
+            if (raw == null) Map.empty[String, (Long, Long)]
+            else raw.split(";").filter(_.nonEmpty).flatMap { ent =>
+              ent.split("=", 2) match {
+                case Array(c, sv) => sv.split(",", 2) match {
+                  case Array(a, b) =>
+                    scala.util.Try((c, (a.toLong, b.toLong))).toOption
+                  case _ => None
+                }
+                case _ => None
+              }
+            }.toMap
           }) finally pfr.close()
         import scala.jdk.CollectionConverters._
         // per data column: Some(per-block stats) when every block carries a
@@ -852,6 +905,14 @@ class GraftAggReaderFactory(aggs: Seq[PushedAgg], dataSchema: StructType)
           case PMax(c) if GraftDataSource.isBucket(c) => Some(p.buckets(c))
           case PMin(c) => foldStats(c, keepMin = true)
           case PMax(c) => foldStats(c, keepMin = false)
+          // bucket value is a directory constant: its sum IS value*rows
+          case PSum(c) if GraftDataSource.isBucket(c) =>
+            Some(p.buckets(c) * rowCount)
+          case PSum(c) =>
+            if (!dataSchema.fieldNames.contains(c)) Some(null) // evolved-in: all null
+            else kvSums.get(c).map { case (sum, n) =>
+              if (n == 0L) null else (sum: Any) // SQL SUM of no rows is NULL
+            }
         }
         def foldStats(c: String, keepMin: Boolean): Option[Any] = {
           if (!dataSchema.fieldNames.contains(c)) return Some(null) // all-null column
@@ -893,6 +954,7 @@ class GraftAggReaderFactory(aggs: Seq[PushedAgg], dataSchema: StructType)
           case PCount(c) if !GraftDataSource.isBucket(c) => c
           case PMin(c) if !GraftDataSource.isBucket(c)   => c
           case PMax(c) if !GraftDataSource.isBucket(c)   => c
+          case PSum(c) if !GraftDataSource.isBucket(c)   => c
         }.distinct.filter(dataSchema.fieldNames.contains)
         val conf = new Configuration()
         val inFile = HadoopInputFile.fromPath(new Path(p.file), conf)
@@ -905,6 +967,8 @@ class GraftAggReaderFactory(aggs: Seq[PushedAgg], dataSchema: StructType)
           .withDefaultValue(0L)
         val mins = scala.collection.mutable.Map[String, Long]()
         val maxs = scala.collection.mutable.Map[String, Long]()
+        val sums = scala.collection.mutable.Map[String, Long]()
+          .withDefaultValue(0L)
         if (present.nonEmpty) {
           val projection = new MessageType("graft_agg_projection",
             present.map(c => fileSchema.getFields.get(fileSchema.getFieldIndex(c))): _*)
@@ -926,6 +990,7 @@ class GraftAggReaderFactory(aggs: Seq[PushedAgg], dataSchema: StructType)
                   }
                   mins.updateWith(c)(o => Some(o.fold(v)(math.min(_, v))))
                   maxs.updateWith(c)(o => Some(o.fold(v)(math.max(_, v))))
+                  sums(c) += v
                 }
               }
               g = reader.read()
@@ -949,6 +1014,10 @@ class GraftAggReaderFactory(aggs: Seq[PushedAgg], dataSchema: StructType)
           case PMax(c) =>
             if (GraftDataSource.isBucket(c)) p.buckets(c)
             else maxs.get(c).map(narrow(c, _)).orNull
+          case PSum(c) =>
+            if (GraftDataSource.isBucket(c)) p.buckets(c) * rowCount
+            else if (nonNull(c) == 0L) null  // SUM over no values is NULL
+            else sums(c): Any
         }.toArray
       }
 

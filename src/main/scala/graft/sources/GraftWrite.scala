@@ -629,6 +629,46 @@ class GraftWriterFactory(path: String, schema: StructType,
     new GraftDataWriter(path, schema, partitionId, taskId, bloomCols)
 }
 
+/** Per-file EXACT integral-column sums, carried into the parquet footer as
+  * key-value metadata (`graft.sums` = `col=sum,nonNullCount;...`) — the
+  * write-time statistic parquet footers lack (statistics carry min/max and
+  * null counts, never sums), and the one that lets SUM aggregate pushdown
+  * answer from metadata alone (see [[GraftAggScan]]). Integral columns
+  * only: long sums are exact and associative, so the pushed partials
+  * recombine to the same answer as a row scan; double sums would make the
+  * result depend on file layout. Accumulated by [[GraftDataWriter]] as it
+  * routes rows; [[SummingGroupWriteSupport.finalizeWrite]] runs at file
+  * close, after the last row. */
+private[sources] final class SumTracker(cols: Seq[String]) {
+  private val sums = scala.collection.mutable.Map.empty[String, Long]
+  private val counts = scala.collection.mutable.Map.empty[String, Long]
+  def add(c: String, v: Long): Unit = {
+    sums(c) = sums.getOrElse(c, 0L) + v
+    counts(c) = counts.getOrElse(c, 0L) + 1L
+  }
+  def encode: String =
+    cols.map(c => s"$c=${sums.getOrElse(c, 0L)},${counts.getOrElse(c, 0L)}")
+      .mkString(";")
+}
+
+private[sources] final class SummingGroupWriteSupport(tracker: SumTracker)
+    extends GroupWriteSupport {
+  override def finalizeWrite(): org.apache.parquet.hadoop.api.WriteSupport.FinalizedWriteContext =
+    new org.apache.parquet.hadoop.api.WriteSupport.FinalizedWriteContext(
+      java.util.Map.of(GraftDataSource.SumsMetaKey, tracker.encode))
+}
+
+/** [[ExampleParquetWriter]]'s builder with a caller-supplied write support
+  * (the stock one hardcodes a plain [[GroupWriteSupport]], which cannot
+  * carry the finalize-time sums metadata). */
+private[sources] final class GraftParquetWriterBuilder(file: Path,
+    ws: org.apache.parquet.hadoop.api.WriteSupport[org.apache.parquet.example.data.Group])
+    extends ParquetWriter.Builder[org.apache.parquet.example.data.Group, GraftParquetWriterBuilder](file) {
+  override def self(): GraftParquetWriterBuilder = this
+  override def getWriteSupport(conf: Configuration)
+      : org.apache.parquet.hadoop.api.WriteSupport[org.apache.parquet.example.data.Group] = ws
+}
+
 /** Routes rows to per-chunk parquet writers, opened lazily per bucket tuple
   * encountered in this task's partition. */
 class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
@@ -697,6 +737,14 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
   private var counter = 0
   private var rowsWritten = 0L
 
+  // integral data columns whose exact per-file sums ride the footer
+  // (SumTracker scaladoc); one tracker per open file
+  private val sumCols: Seq[(Int, String)] = dataIdx.toSeq
+    .map(i => (i, schema.fields(i)))
+    .collect { case (i, f) if f.dataType == LongType || f.dataType == IntegerType =>
+      (i, f.name) }
+  private var tracker: SumTracker = _
+
   private def writerFor(bucket: Seq[Long]): ParquetWriter[org.apache.parquet.example.data.Group] =
     current match {
       case Some((b, w)) if b == bucket => w
@@ -708,8 +756,9 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
         files += file
         val c = new Configuration(conf)
         GroupWriteSupport.setSchema(messageType, c)
-        val b = ExampleParquetWriter.builder(new Path(file)).withConf(c)
-          .withType(messageType)
+        tracker = new SumTracker(sumCols.map(_._2))
+        val b = new GraftParquetWriterBuilder(new Path(file),
+            new SummingGroupWriteSupport(tracker)).withConf(c)
         // registered bloom columns (the `_graft_bloom` sidecar, resolved
         // driver-side by the factory's creator): adaptive sizing keeps each
         // chunk's bloom proportional to its observed distinct count
@@ -764,7 +813,15 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
       }
       gi += 1
     }
-    writerFor(bucket).write(g)
+    val w = writerFor(bucket) // resolves (and possibly rolls) the tracker
+    sumCols.foreach { case (i, n) =>
+      if (!row.isNullAt(i))
+        tracker.add(n, schema.fields(i).dataType match {
+          case IntegerType => row.getInt(i).toLong
+          case _           => row.getLong(i)
+        })
+    }
+    w.write(g)
     rowsWritten += 1L
   }
 
