@@ -375,6 +375,46 @@ object DmdsQueries {
                 FROM events ORDER BY c0 DESC, c1 ASC LIMIT 500""")
       ),
 
+      "w_sum_scan" -> QueryDef(
+        // SUM aggregate pushdown from WRITE-TIME footer sums: the
+        // connector's writer records exact integral column sums in each
+        // file's key-value metadata (parquet statistics carry min/max and
+        // null counts but never sums), so `SUM(x) GROUP BY bucket` is
+        // answered with one footer read per surviving file — zero data
+        // pages, like the COUNT/MIN/MAX pushdown it extends. The fixture
+        // must be CONNECTOR-written (World.create's Spark-parquet writes
+        // lack the key and would answer by per-file scan fallback — same
+        // result, which GraftSumPushdownSpec pins; this row proves the
+        // metadata path's arithmetic end to end).
+        (s, dir) => {
+          val src = new java.io.File(s"$dir/events.parquet")
+          val parts = if (src.isDirectory) src.listFiles.toSeq.sortBy(_.getName)
+            else Seq(src)
+          val stamp = java.lang.Integer.toHexString(
+            parts.map(x => (x.getName, x.length, x.lastModified)).hashCode)
+          val path = s"/tmp/graft_world_sums_${stamp}_" +
+            dir.replaceAll("[^0-9a-zA-Z]", "_")
+          val marker = new java.io.File(path, "_graft_ready")
+          if (!marker.exists) {
+            events(s, dir)
+              .select(col("event_id"), col("user_id"),
+                expr("user_id DIV 128").as("c0"))
+              .write.format("graft").mode("append").save(path)
+            marker.createNewFile()
+          }
+          s.read.format("graft").load(path)
+            .groupBy("c0")
+            .agg(sum("event_id").as("sum_eid"), sum("user_id").as("sum_uid"),
+              count(lit(1)).as("n"))
+            .orderBy("c0")
+        },
+        Some("""SELECT (user_id // 128) AS c0,
+                  CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+                  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+                  COUNT(*) AS n
+                FROM events GROUP BY 1 ORDER BY c0""")
+      ),
+
       "w_bloom_scan" -> QueryDef(
         // point lookup on a NON-dim column through file-level bloom
         // skipping: the world's only dim is user_id, so an `event_id IN
@@ -697,6 +737,97 @@ object DmdsQueries {
                   CASE WHEN user_id % 11 = 4 THEN value + 1 ELSE value END AS value
                 FROM scoped
                 ORDER BY _change_type, event_id""")
+      ),
+
+      "w_clone" -> QueryDef(
+        // zero-copy READ-ONLY clone through the oracle gate: INSERT (v1),
+        // clone at v1 into a fresh path, then a row-exact UPDATE advances
+        // the SOURCE (v2) — and the clone must still read v1's exact bytes
+        // through the source's manifests+history, with not one data file
+        // under the clone directory. The oracle is the plain restatement of
+        // the PRE-UPDATE state: a pointer bug, a history-resolution bug, or
+        // a clone that tracked the live table all break the hash.
+        // Mutation/streaming refusal and retention safety (the auto-tag
+        // surviving expire_versions) stay pinned in GraftCloneSpec.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wcl", "cl")
+          events(s2, dir).createOrReplaceTempView("ev_src_cl")
+          s2.sql("DROP TABLE IF EXISTS wcl.ev_cl")
+          s2.sql("""CREATE TABLE wcl.ev_cl
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wcl.ev_cl
+                    SELECT event_id, user_id, value, user_id DIV 128
+                    FROM ev_src_cl""")
+          val wh = s2.conf.get("spark.sql.catalog.wcl.warehouse")
+          val clonePath = s"${wh}__clones/ev_cl_v1"
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(clonePath), s2.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(clonePath), true)
+          graft.sources.GraftClone.create(s"$wh/ev_cl", clonePath, Some(1L))
+          s2.sql("""UPDATE wcl.ev_cl SET value = value + 7
+                    WHERE c0 BETWEEN 0 AND 1 AND user_id % 13 = 2""")
+          s2.read.format("graft").load(clonePath)
+            .select("event_id", "user_id", "value")
+            .orderBy("event_id")
+        },
+        Some("""SELECT event_id, user_id, value FROM events ORDER BY event_id""")
+      ),
+
+      "w_mv_refresh" -> QueryDef(
+        // INCREMENTAL materialized-view maintenance from the commit log:
+        // CREATE+INSERT (v1), initialize the aggregate view, then a
+        // row-exact UPDATE (v2, chunk-COW) and a second INSERT (v3) — and
+        // refresh() consumes ONLY the v1->v3 change feed (signed micro-unit
+        // deltas; the delete side reverses replaced rows through retained
+        // history before-images), never rescanning the base. The oracle
+        // recomputes the final aggregate from scratch in DuckDB: a drifted
+        // delta, a missed before-image, an unreversed group, or a cursor
+        // bug all break the hash. Torn-refresh recovery and emptied-group
+        // destruction stay pinned in MaterializedAggSpec.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wmv", "mv")
+          events(s2, dir).createOrReplaceTempView("ev_src_mv")
+          s2.sql("DROP TABLE IF EXISTS wmv.ev_mv")
+          s2.sql("""CREATE TABLE wmv.ev_mv
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE,
+                     grp BIGINT, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wmv.ev_mv
+                    SELECT event_id, user_id, value, user_id % 10,
+                           user_id DIV 128
+                    FROM ev_src_mv""")
+          val wh = s2.conf.get("spark.sql.catalog.wmv.warehouse")
+          val basePath = s"$wh/ev_mv"
+          val mvPath = s"${wh}__view/ev_mv_agg"
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(mvPath), s2.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(mvPath), true)
+          val mv = new graft.ops.MaterializedAgg(s2, basePath, mvPath,
+            Seq("grp"), Seq("value"))
+          mv.initialize()
+          s2.sql("""UPDATE wmv.ev_mv SET value = value + 1
+                    WHERE c0 BETWEEN 0 AND 1 AND user_id % 11 = 4""")
+          s2.sql("""INSERT INTO wmv.ev_mv
+                    SELECT event_id + 10000000, user_id, value + 0.5,
+                           user_id % 10, user_id DIV 128
+                    FROM ev_src_mv WHERE event_id % 7 = 3""")
+          mv.refresh()
+          mv.df.select(col("grp"), col("n"), col("s_value_micro"))
+            .orderBy("grp")
+        },
+        Some("""WITH updated AS (
+                  SELECT user_id,
+                    CASE WHEN (user_id // 128) BETWEEN 0 AND 1
+                              AND user_id % 11 = 4
+                         THEN value + 1 ELSE value END AS value
+                  FROM events),
+                extra AS (
+                  SELECT user_id, value + 0.5 AS value FROM events
+                  WHERE event_id % 7 = 3),
+                final AS (SELECT * FROM updated UNION ALL SELECT * FROM extra)
+                SELECT user_id % 10 AS grp, COUNT(*) AS n,
+                  CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                    AS s_value_micro
+                FROM final GROUP BY 1 ORDER BY grp""")
       ),
 
       "w_stream_sink" -> QueryDef(

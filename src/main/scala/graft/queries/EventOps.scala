@@ -19,6 +19,51 @@ object EventOps {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // time-series resample + forward fill: per user, an hourly grid spanning
+    // their observed range (sequence + explode — each user's grid is
+    // generated where their rows live, no driver loop), left-joined to the
+    // hourly aggregate, gaps filled with the LAST observed hour's value
+    // (last(ignoreNulls) over a running frame — the partitioned window
+    // shape, spill-capable, never global). The filled value is an exact
+    // decimal sum passed through as a double, so the fill is bit-exact in
+    // both engines.
+    "e_gap_fill" -> QueryDef(
+      (s, dir) => {
+        val hourly = ev(s, dir).where(col("user_id") < 40)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(col("value").cast(dec)).cast("double").as("sv"))
+        val grid = hourly.groupBy("user_id")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("INTERVAL 1 HOUR"))).as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .withColumn("filled", last(col("sv"), ignoreNulls = true).over(w))
+          .select(col("user_id"), unix_micros(col("h")).as("h_us"),
+            col("filled"))
+          .orderBy("user_id", "h_us")
+      },
+      Some("""WITH hourly AS (
+                SELECT user_id, date_trunc('hour', ts) AS h,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+                FROM events WHERE user_id < 40 GROUP BY 1, 2),
+              spans AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+                        FROM hourly GROUP BY 1),
+              grid AS (SELECT user_id,
+                         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                       FROM spans),
+              joined AS (SELECT g.user_id, g.h, hh.sv FROM grid g
+                         LEFT JOIN hourly hh
+                           ON hh.user_id = g.user_id AND hh.h = g.h)
+              SELECT user_id, CAST(epoch_us(h) AS BIGINT) AS h_us,
+                last_value(sv IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+              FROM joined ORDER BY user_id, h_us""")
+    ),
+
     "e_tumbling_window" -> QueryDef(
       (s, dir) => ev(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))

@@ -14,6 +14,78 @@ object Extended {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // wide-to-long reshaping (UNPIVOT/melt): four measure columns of a
+    // lineitem slice become (measure, val) rows — the inverse of q_pivot.
+    // Narrow per-row fan-out (no shuffle); the oracle restates it as the
+    // canonical UNION ALL. Value column keeps raw double bits (pass-through,
+    // no summation).
+    "q_unpivot" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 400)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some("""SELECT l_orderkey, l_linenumber, m AS measure, v AS val FROM (
+                SELECT l_orderkey, l_linenumber, 'l_quantity' AS m, l_quantity AS v
+                  FROM lineitem WHERE l_orderkey < 400
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+                  FROM lineitem WHERE l_orderkey < 400
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+                  FROM lineitem WHERE l_orderkey < 400
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+                  FROM lineitem WHERE l_orderkey < 400)
+              ORDER BY l_orderkey, l_linenumber, measure"""),
+    ),
+
+    // grouped least-squares regression + Pearson correlation, EXACTLY:
+    // built-in corr()/regr_slope() sum doubles (addition-order-dependent —
+    // can never hash-match across engines), so the five moment sums are
+    // taken in DECIMAL (exact, order-independent), cast once to double, and
+    // the closed forms are evaluated in identically-parenthesized IEEE
+    // arithmetic on both sides. One partial-aggregating shuffle at any
+    // scale; the moment formulation is also how a 1000-executor regression
+    // actually runs (map-side partials, one combine).
+    "q_corr_regr" -> QueryDef(
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+        val x = col("l_quantity").cast(dec)
+        val y = col("l_extendedprice").cast(dec)
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * y).cast("double").as("sxy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            expr("(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)").as("slope"),
+            expr("(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE)").as("intercept"),
+            expr("(CAST(n AS DOUBLE) * sxy - sx * sy) / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))").as("corr"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH s AS (
+                SELECT l_returnflag, COUNT(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+                FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag, n,
+                (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+                (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE) AS intercept,
+                (CAST(n AS DOUBLE) * sxy - sx * sy) / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr
+              FROM s ORDER BY l_returnflag"""),
+    ),
+
     // typed Aggregator with mergeable buffer: exact cents sum of o_totalprice
     "q_typed_agg" -> QueryDef(
       (s, dir) => {
@@ -133,6 +205,33 @@ object Extended {
               FROM customer
               WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
               ORDER BY c_custkey""")
+    ),
+
+    // nth_value + percent_rank — the remaining navigation/distribution
+    // window forms (unique ordering keeps both deterministic; percent_rank
+    // is exact rational arithmetic rendered in double identically by both
+    // engines)
+    "q_window_nth" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val wo = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer").select(
+          col("c_custkey"),
+          nth_value(col("c_custkey"), 3).over(w).as("third_key"),
+          percent_rank().over(wo).as("pr"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+                NTH_VALUE(c_custkey, 3) OVER (
+                  PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS third_key,
+                PERCENT_RANK() OVER (
+                  PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS pr
+              FROM customer ORDER BY c_custkey""")
     ),
 
     // exact interpolated median per group (DuckDB quantile_cont equivalent)

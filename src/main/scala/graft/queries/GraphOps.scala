@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational edge lists — PageRank and triangle
+  * counting as pure DataFrame plans (no graph runtime needed: each
+  * iteration/phase is a join + aggregate that Catalyst plans like any
+  * other, so the operators inherit AQE skew handling and broadcast
+  * decisions for free).
+  *
+  * Oracle discipline: PageRank is computed in INTEGER micro-rank units with
+  * floor division — floating-point PageRank sums are addition-order-
+  * dependent and can never hash-match across engines, but integer
+  * contributions are associative, so a DuckDB restatement of the same
+  * unrolled iterations is bit-identical. Triangle counting is exact
+  * integers by nature.
+  *
+  * The edge list derives deterministically from the `orders` table
+  * (customer -> orderkey%1000): ids overlap, making the graph genuinely
+  * unipartite (triangles exist), and edge count scales linearly with SF.
+  */
+object GraphOps {
+  import Tables.t
+
+  /** Deterministic synthetic unipartite edge list from orders. */
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_custkey").as("src"), (col("o_orderkey") % 1000).as("dst"))
+      .distinct()
+
+  private val EdgesSql =
+    "SELECT DISTINCT o_custkey AS src, o_orderkey % 1000 AS dst FROM orders"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // -------------------------------------------------------------- PageRank
+    // Three unrolled power iterations, damping 0.85, in integer micro-rank
+    // units: r0 = 1_000_000 per node; contribution = r div out_degree
+    // (floor); r' = 150_000 + (85 * sum(contribs)) div 100. Dangling-node
+    // mass leaks (both engines identically); nodes without in-edges settle
+    // at the base 150_000. Each iteration is ONE shuffle (join edges to
+    // ranks on src, aggregate on dst) — the scale shape is iterations ×
+    // (join + agg), with edges re-partitioned on src once and reused, and
+    // the rank table a fraction of edge volume. At 100 TB the same plan
+    // holds: ranks stay (node, long) pairs, contributions combine
+    // map-side, and no step ever collects to the driver.
+    "g_pagerank" -> QueryDef(
+      (s, dir) => {
+        val e = edges(s, dir)
+        val odeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+        // pinned: every iteration re-reads these (graph queries are the
+        // one registry family whose inputs are consumed once per ROUND —
+        // without the pin each round re-scans orders and re-distincts);
+        // released by the harness after the query's terminal action
+        val nodes = graft.ops.Pins.pin(e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct())
+        val eo = graft.ops.Pins.pin(e.join(odeg, "src")) // (src, dst, odeg)
+        var ranks = nodes.withColumn("r", lit(1000000L))
+        for (_ <- 1 to 3) {
+          val sums = eo
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(col("dst"), expr("r div odeg").as("c"))
+            .groupBy("dst").agg(sum("c").as("sc"))
+          ranks = nodes
+            .join(sums, nodes("node") === sums("dst"), "left")
+            .select(col("node"),
+              expr("CAST(150000 + (85 * coalesce(sc, CAST(0 AS BIGINT))) div 100 AS BIGINT)")
+                .as("r"))
+        }
+        ranks.select(col("node"), col("r").as("rank")).orderBy("node")
+      },
+      Some(s"""WITH edges AS ($EdgesSql),
+               odeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+               nodes AS (SELECT DISTINCT node FROM
+                 (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+               r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+               c1 AS (SELECT e.dst, SUM(r.r // o.odeg) AS sc FROM edges e
+                      JOIN odeg o ON e.src = o.src JOIN r0 r ON r.node = e.src
+                      GROUP BY e.dst),
+               r1 AS (SELECT n.node,
+                      CAST(150000 + (85 * COALESCE(c.sc, 0)) // 100 AS BIGINT) AS r
+                      FROM nodes n LEFT JOIN c1 c ON c.dst = n.node),
+               c2 AS (SELECT e.dst, SUM(r.r // o.odeg) AS sc FROM edges e
+                      JOIN odeg o ON e.src = o.src JOIN r1 r ON r.node = e.src
+                      GROUP BY e.dst),
+               r2 AS (SELECT n.node,
+                      CAST(150000 + (85 * COALESCE(c.sc, 0)) // 100 AS BIGINT) AS r
+                      FROM nodes n LEFT JOIN c2 c ON c.dst = n.node),
+               c3 AS (SELECT e.dst, SUM(r.r // o.odeg) AS sc FROM edges e
+                      JOIN odeg o ON e.src = o.src JOIN r2 r ON r.node = e.src
+                      GROUP BY e.dst),
+               r3 AS (SELECT n.node,
+                      CAST(150000 + (85 * COALESCE(c.sc, 0)) // 100 AS BIGINT) AS r
+                      FROM nodes n LEFT JOIN c3 c ON c.dst = n.node)
+               SELECT node, r AS rank FROM r3 ORDER BY node""")
+    ),
+
+    // -------------------------------------------------- min-label (k-hop CC)
+    // The label-propagation primitive under connected components / community
+    // detection: every node starts labeled with its own id; each SYNCHRONOUS
+    // round replaces the label with the minimum over itself and its
+    // neighbors. After k rounds the label is exactly min(node id within k
+    // hops) — deterministic, integer-exact, and restatable in SQL by
+    // unrolling (the full-convergence form adds pointer jumping — doubling
+    // the reach per round — which d_neardup_groups' component finder already
+    // implements; this declares the one-hop propagation step itself through
+    // the oracle gate). One join + one aggregate per round; labels are
+    // (node, long) pairs, a fraction of edge volume, and the undirected
+    // neighbor expansion is a symmetric union read once per round.
+    "g_minlabel" -> QueryDef(
+      (s, dir) => {
+        val e = edges(s, dir).where(col("src") =!= col("dst"))
+        val sym = graft.ops.Pins.pin( // re-read every round; see g_pagerank
+          e.select(col("src").as("u"), col("dst").as("v"))
+            .union(e.select(col("dst").as("u"), col("src").as("v")))
+            .distinct())
+        val nodes = sym.select(col("u").as("node")).distinct()
+        var labels = nodes.withColumn("lbl", col("node"))
+        for (_ <- 1 to 3) {
+          val fromNbr = sym
+            .join(labels.withColumnRenamed("node", "v"), "v")
+            .select(col("u").as("node"), col("lbl"))
+          labels = labels.select(col("node"), col("lbl"))
+            .union(fromNbr)
+            .groupBy("node").agg(min("lbl").as("lbl"))
+        }
+        labels.orderBy("node")
+      },
+      Some(s"""WITH edges0 AS ($EdgesSql),
+               sym AS (SELECT DISTINCT u, v FROM (
+                 SELECT src AS u, dst AS v FROM edges0 WHERE src <> dst
+                 UNION ALL
+                 SELECT dst AS u, src AS v FROM edges0 WHERE src <> dst)),
+               nodes AS (SELECT DISTINCT u AS node FROM sym),
+               l0 AS (SELECT node, node AS lbl FROM nodes),
+               l1 AS (SELECT node, MIN(lbl) AS lbl FROM (
+                 SELECT node, lbl FROM l0
+                 UNION ALL
+                 SELECT s.u AS node, l.lbl FROM sym s JOIN l0 l ON l.node = s.v)
+                 GROUP BY node),
+               l2 AS (SELECT node, MIN(lbl) AS lbl FROM (
+                 SELECT node, lbl FROM l1
+                 UNION ALL
+                 SELECT s.u AS node, l.lbl FROM sym s JOIN l1 l ON l.node = s.v)
+                 GROUP BY node),
+               l3 AS (SELECT node, MIN(lbl) AS lbl FROM (
+                 SELECT node, lbl FROM l2
+                 UNION ALL
+                 SELECT s.u AS node, l.lbl FROM sym s JOIN l2 l ON l.node = s.v)
+                 GROUP BY node)
+               SELECT node, lbl FROM l3 ORDER BY node""")
+    ),
+
+    // ------------------------------------------------------------ triangles
+    // Exact triangle count via DEGREE-ORDERED orientation (the classic
+    // scalable formulation): orient every undirected edge from its
+    // lower-(degree, id) endpoint, then a triangle is a pair of
+    // out-neighbors (v, w) of some u whose connecting edge exists. The
+    // orientation bounds every out-degree by O(sqrt(m)), so the
+    // out-neighbor self-join — the only quadratic step — is capped per
+    // node no matter how skewed the raw degrees are (a celebrity node with
+    // 10^6 followers contributes pairs only through its few
+    // HIGHER-degree neighbors). Wedges (deg choose 2 summed) give the
+    // global clustering coefficient in integer micro units — one small
+    // aggregate, exact. All joins are on node ids; nothing collects.
+    "g_triangles" -> QueryDef(
+      (s, dir) => {
+        val e = edges(s, dir).where(col("src") =!= col("dst"))
+        val und = graft.ops.Pins.pin( // consumed by deg, orientation, and
+          // the closing-edge join; see g_pagerank
+          e.select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b")).distinct())
+        val deg = und.select(col("a").as("v"))
+          .union(und.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        val withDeg = und
+          .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+          .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+        val oriented = graft.ops.Pins.pin(withDeg.select(
+          when(col("da") < col("db") ||
+               (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b")).as("u"),
+          when(col("da") < col("db") ||
+               (col("da") === col("db") && col("a") < col("b")), col("b"))
+            .otherwise(col("a")).as("v")))
+        val pairs = oriented.as("e1")
+          .join(oriented.as("e2"), col("e1.u") === col("e2.u") &&
+            col("e1.v") < col("e2.v"))
+          .select(least(col("e1.v"), col("e2.v")).as("a"),
+            greatest(col("e1.v"), col("e2.v")).as("b"))
+        val triangles = pairs.join(und, Seq("a", "b"))
+          .agg(count(lit(1)).as("triangles"))
+        val wedges = deg.agg(
+          sum(expr("deg * (deg - 1) div 2")).as("wedges"))
+        triangles.crossJoin(wedges) // two 1-row scalars — bounded by design
+          .select(col("triangles"), col("wedges"),
+            expr("CAST((3 * triangles * 1000000) div wedges AS BIGINT)")
+              .as("gcc_micro"))
+      },
+      Some(s"""WITH edges0 AS ($EdgesSql),
+               und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                       FROM edges0 WHERE src <> dst),
+               deg AS (SELECT v, COUNT(*) AS deg FROM
+                 (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+                 GROUP BY v),
+               oriented AS (SELECT
+                 CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                      THEN u.a ELSE u.b END AS u,
+                 CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                      THEN u.b ELSE u.a END AS v
+                 FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+               pairs AS (SELECT LEAST(e1.v, e2.v) AS a, GREATEST(e1.v, e2.v) AS b
+                 FROM oriented e1 JOIN oriented e2
+                 ON e1.u = e2.u AND e1.v < e2.v),
+               tri AS (SELECT COUNT(*) AS triangles FROM pairs p
+                 JOIN und ON und.a = p.a AND und.b = p.b),
+               w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS wedges FROM deg)
+               SELECT triangles, wedges,
+                 CAST((3 * triangles * 1000000) // wedges AS BIGINT) AS gcc_micro
+               FROM tri, w""")
+    )
+  )
+}

@@ -455,6 +455,106 @@ object Relational {
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     ),
 
+    // approximate-percentile gate in RANK space: the estimate itself is
+    // engine-specific, but "the fraction of rows at or below the estimate
+    // is within ε of the target fraction" is exactly computable on the
+    // Spark side and predictable by DuckDB as `1`. accuracy=10000 bounds
+    // the sketch's rank error at 1/10000, far inside the 0.02 gate, so a
+    // red here means the sketch actually broke — the same hard-gate
+    // discipline as q_approx_distinct_gate, for the quantile family.
+    "q_approx_pct_gate" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__est"),
+          count(lit(1)).as("__n2"))
+        .select(col("l_returnflag"), col("n"), col("__est"), col("__n2"))
+        .join(t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+          Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(first("n").as("n2"),
+          (abs(sum(when(col("l_extendedprice") <= col("__est"), 1L)
+            .otherwise(0L)).cast("double") / first("__n2").cast("double")
+            - lit(0.5)) <= lit(0.02)).cast("bigint").as("within_bound"))
+        .select(col("l_returnflag"), col("n2").as("n"), col("within_bound"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(*) AS n, CAST(1 AS BIGINT) AS within_bound
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+
+    // exact per-group MODE with deterministic tie-break (smallest value
+    // wins): two nested aggregations — (group, value) counts, then max-by
+    // (count, -value) — both partial-aggregating shuffles on bounded keys.
+    // Built-in mode() breaks ties arbitrarily in both engines, so the
+    // oracle restates the explicit rank instead.
+    "q_mode" -> QueryDef(
+      (s, dir) => {
+        val counts = t(s, dir, "orders")
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("cnt").desc, col("o_orderpriority"))
+        counts.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .select(col("o_orderstatus"), col("o_orderpriority").as("mode_prio"),
+            col("cnt").as("mode_n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+                         FROM orders GROUP BY 1, 2),
+                   r AS (SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY o_orderstatus
+                           ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
+              SELECT o_orderstatus, o_orderpriority AS mode_prio, cnt AS mode_n
+              FROM r WHERE rn = 1 ORDER BY o_orderstatus""")
+    ),
+
+    // ordered string aggregation (LISTAGG): collect_list gives an
+    // arbitrary-order array, so determinism comes from sorting INSIDE the
+    // group before joining — the multiset of names per group is exact, and
+    // the sorted join makes the rendered string engine-neutral. Bounded:
+    // group count is the nation count, per-group payload the supplier
+    // names of one nation.
+    "q_string_agg" -> QueryDef(
+      (s, dir) => t(s, dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",")
+          .as("names"),
+          count(lit(1)).as("n"))
+        .orderBy("s_nationkey"),
+      Some("""SELECT s_nationkey,
+                string_agg(s_name, ',' ORDER BY s_name) AS names,
+                COUNT(*) AS n
+              FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")
+    ),
+
+    // sketch MERGEABILITY — the property that makes sketches matter at
+    // scale: distinct-counting 100 TB means building per-partition (here:
+    // per fine-group) sketches and UNIONING them, never re-reading rows.
+    // Datasketches HLL partials built per (flag, status) union per flag;
+    // the merged estimate must land within the same 3σ gate as the
+    // single-pass sketch (union of HLL sketches is lossless — the merged
+    // state equals the directly-built state). Gate discipline identical to
+    // q_approx_distinct_gate: DuckDB predicts exact counts and the flag.
+    "q_hll_merge" -> QueryDef(
+      (s, dir) => {
+        val partials = t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        val merged = partials.groupBy("l_returnflag")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+        val exact = t(s, dir, "lineitem").groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+        exact.join(merged, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("__est").cast("double") / col("exact_parts").cast("double")
+              - lit(1.0)) <= lit(0.15)).cast("bigint").as("within_bound"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                CAST(1 AS BIGINT) AS within_bound
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+
     // ------------------------------------------------- rollup / cube / sets
     // rollup/cube/grouping-sets all pre-aggregate to the FINEST grouping
     // first: Catalyst plans multi-level groupings as Expand over every

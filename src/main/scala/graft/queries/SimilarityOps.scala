@@ -15,6 +15,40 @@ object SimilarityOps {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // hard-negative mining (contrastive training's data step): for each
+    // query vector, the top-3 most-similar vectors with a DIFFERENT label —
+    // near-misses the model must learn to separate. Same scale shape as
+    // brute top-k (queries broadcast, corpus streamed once through the
+    // native cosine kernel, bounded per-query window); the oracle rounds
+    // similarity to 4dp with id tie-break so last-bit float differences
+    // cannot flip ranks.
+    "s_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("q_emb"))
+        val tt = emb.select(col("vec_id").as("t_id"),
+          col("label").as("t_label"), col("embedding").as("t_emb"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(round(col("sim"), 4).desc, col("t_id"))
+        tt.join(broadcast(q), col("t_label") =!= col("q_label"))
+          .withColumn("sim", Similarity.cosine(col("q_emb"), col("t_emb")))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""SELECT q_id, t_id, rank FROM (
+                SELECT q.vec_id AS q_id, t.vec_id AS t_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])), 4) DESC,
+                    t.vec_id) AS rank
+                FROM embeddings q JOIN embeddings t ON t.label <> q.label
+                WHERE q.vec_id < 20)
+              WHERE rank <= 3 ORDER BY q_id, rank""")
+    ),
+
     "s_cosine_topk" -> QueryDef(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

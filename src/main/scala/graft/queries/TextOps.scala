@@ -10,6 +10,50 @@ object TextOps {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // fuzzy record linkage: edit-distance match under a BLOCKING key — the
+    // technique that makes pairwise string comparison possible at scale
+    // (the quadratic join runs per block, never across the corpus) — plus
+    // the classic length prefilter (|len(a)−len(b)| > k implies
+    // levenshtein > k, so the cheap filter prunes before the O(n·m)
+    // kernel). Both engines implement standard Levenshtein, so the pair
+    // set is exact.
+    "t_fuzzy_match" -> QueryDef(
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        // threshold form of the kernel: levenshtein(a, b, k) early-exits
+        // (banded O(k·min(n,m)) instead of O(n·m)) and returns -1 past k —
+        // at 8M candidate pairs per 100-SF the unbounded kernel is the
+        // whole query cost
+        val lev = levenshtein(col("a.p_name"), col("b.p_name"), 2)
+        // spread the PROBE side: the build side broadcasts, so pair
+        // generation parallelism is exactly the probe side's partitioning —
+        // a single-file input would otherwise evaluate every candidate pair
+        // in one task, and AQE would coalesce an implicit repartition right
+        // back (it sizes by input bytes; the COST here is the join's pair
+        // fan-out, which AQE can't see). The explicit count pins the spread;
+        // at cluster scale the input arrives pre-split and the shuffle is a
+        // row-id hash of a dimension-sized table — noise.
+        val spread = s.conf.get("spark.sql.shuffle.partitions").toInt
+        p.repartition(spread, col("p_partkey")).alias("a").join(p.alias("b"),
+            col("a.p_brand") === col("b.p_brand") &&
+              col("a.p_partkey") < col("b.p_partkey") &&
+              abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 2 &&
+              lev >= 0 && lev <= 2)
+          .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+            col("a.p_name").as("name1"), col("b.p_name").as("name2"),
+            levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+          .orderBy("k1", "k2")
+      },
+      Some("""SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+                a.p_name AS name1, b.p_name AS name2,
+                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+              FROM part a JOIN part b
+                ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+                AND abs(length(a.p_name) - length(b.p_name)) <= 2
+                AND levenshtein(a.p_name, b.p_name) <= 2
+              ORDER BY k1, k2""")
+    ),
+
     "t_tokens" -> QueryDef(
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"),

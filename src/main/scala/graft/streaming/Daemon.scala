@@ -241,6 +241,32 @@ object Daemon {
     q
   }
 
+  /** Streaming face of [[graft.ops.MaterializedAgg]]: the base table's
+    * commit-cursor stream drives `refresh()` — each micro-batch only marks
+    * "new commits landed" (the projection is empty, so the source scan is
+    * footer row counts, no data pages), and the refresh re-reads nothing
+    * from the stream: it consumes the change feed between its own DURABLE
+    * cursor (the sentinel row inside the view's state world) and the
+    * base's latest commit. Restart/replay-safe by construction: a replayed
+    * trigger finds the cursor already advanced and no-ops; a missed
+    * trigger is absorbed by the next (the feed spans any commit range); a
+    * torn refresh left an intent marker and rebuilds exactly. A virgin
+    * view initializes itself on the first trigger. */
+  def mvRefreshStream(mv: graft.ops.MaterializedAgg, checkpoint: String,
+      interval: String = "5 seconds"): StreamingQuery = {
+    val q = mv.spark.readStream.format("graft").load(mv.basePath)
+      .select(org.apache.spark.sql.functions.lit(1L).as("tick"))
+      .writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        try { mv.refresh(); () } finally graft.ops.Pins.releaseAll()
+      }
+      .start()
+    installShutdownFlush(q)
+    q
+  }
+
   /** `ShutdownHandle` analog (tokio-fs/src/lib.rs:154-200): on JVM exit,
     * stop the query after the in-flight batch — no dirty data beyond the
     * last committed checkpoint is ever claimed durable. */
