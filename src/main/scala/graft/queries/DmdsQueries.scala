@@ -739,6 +739,39 @@ object DmdsQueries {
                 ORDER BY _change_type, event_id""")
       ),
 
+      "w_schema_drop" -> QueryDef(
+        // LAZY DROP COLUMN through the oracle gate: INSERT with the wide
+        // schema, DROP a column (one sidecar write — no data touched),
+        // INSERT more rows under the narrowed schema, read back. Old files
+        // still hold the dropped bytes but no reader projects them
+        // (name-addressed projection from the sidecar), mixed-width files
+        // coexist, and the resurrect guard (`_graft_dropped`) plus
+        // last-column/bucket guards stay pinned in GraftCatalogSpec. The
+        // oracle restates the union without the dropped column — a reader
+        // that still surfaced it, or dropped rows with it, breaks the hash.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wsd", "sd")
+          events(s2, dir).createOrReplaceTempView("ev_src_sd")
+          s2.sql("DROP TABLE IF EXISTS wsd.ev_sd")
+          s2.sql("""CREATE TABLE wsd.ev_sd
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wsd.ev_sd
+                    SELECT event_id, user_id, value, user_id DIV 128
+                    FROM ev_src_sd""")
+          s2.sql("ALTER TABLE wsd.ev_sd DROP COLUMN value")
+          s2.sql("""INSERT INTO wsd.ev_sd
+                    SELECT event_id + 10000000, user_id, user_id DIV 128
+                    FROM ev_src_sd WHERE event_id % 9 = 1""")
+          s2.sql("""SELECT event_id, user_id FROM wsd.ev_sd
+                    ORDER BY event_id""")
+        },
+        Some("""SELECT event_id, user_id FROM events
+                UNION ALL
+                SELECT event_id + 10000000, user_id FROM events
+                WHERE event_id % 9 = 1
+                ORDER BY event_id""")
+      ),
+
       "w_clone" -> QueryDef(
         // zero-copy READ-ONLY clone through the oracle gate: INSERT (v1),
         // clone at v1 into a fresh path, then a row-exact UPDATE advances
@@ -791,10 +824,13 @@ object DmdsQueries {
           s2.sql("""CREATE TABLE wmv.ev_mv
                     (event_id BIGINT, user_id BIGINT, value DOUBLE,
                      grp BIGINT, c0 BIGINT)""")
+          // half the events: the query proves the REFRESH path (changes
+          // consumed, base never rescanned) — fixture volume only sets the
+          // bench price of the three world writes around it
           s2.sql("""INSERT INTO wmv.ev_mv
                     SELECT event_id, user_id, value, user_id % 10,
                            user_id DIV 128
-                    FROM ev_src_mv""")
+                    FROM ev_src_mv WHERE event_id % 2 = 0""")
           val wh = s2.conf.get("spark.sql.catalog.wmv.warehouse")
           val basePath = s"$wh/ev_mv"
           val mvPath = s"${wh}__view/ev_mv_agg"
@@ -819,7 +855,7 @@ object DmdsQueries {
                     CASE WHEN (user_id // 128) BETWEEN 0 AND 1
                               AND user_id % 11 = 4
                          THEN value + 1 ELSE value END AS value
-                  FROM events),
+                  FROM events WHERE event_id % 2 = 0),
                 extra AS (
                   SELECT user_id, value + 0.5 AS value FROM events
                   WHERE event_id % 7 = 3),

@@ -64,6 +64,29 @@ object EventOps {
               FROM joined ORDER BY user_id, h_us""")
     ),
 
+    // rolling median (exact, interpolated) over a 5-row event-time frame
+    // per user — the robust-smoothing window analytics use where rolling
+    // AVG is outlier-poisoned. percentile over a bounded ROWS frame is a
+    // partitioned window (spill-capable, never global); both engines
+    // interpolate linearly over identical doubles, so the result is
+    // bit-exact with no rounding crutch.
+    "e_rolling_median" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(-4, Window.currentRow)
+        ev(s, dir).where(col("user_id") < 40)
+          .select(col("user_id"), col("event_id"),
+            expr("percentile(value, 0.5)").over(w).as("med5"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                quantile_cont(value, 0.5) OVER (
+                  PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+              FROM events WHERE user_id < 40
+              ORDER BY user_id, event_id""")
+    ),
+
     "e_tumbling_window" -> QueryDef(
       (s, dir) => ev(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))

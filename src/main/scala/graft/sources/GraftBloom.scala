@@ -5,10 +5,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter,
+  GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 
-/** Per-chunk bloom-filter data skipping for POINT LOOKUPS on non-bucket
-  * columns.
+/** Per-chunk file skipping for POINT LOOKUPS and RANGE predicates on
+  * registered non-bucket columns (blooms/dictionaries for equality, footer
+  * min/max statistics for ranges).
   *
   * The chunk grid prunes by DIMENSION ranges (directory-exact, free), but a
   * lookup on a column that is not a dim — "fetch document 91847 by id" —
@@ -40,11 +42,17 @@ import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In}
   * WITHOUT widening to the enclosing chunk scan; blooms are the
   * file-format-native way to keep that promise for non-dim columns.
   *
-  * Correctness: a bloom answers "definitely absent" or "maybe present" —
-  * skipping is sound, keeping is the safe default. Any column missing a
-  * bloom (older files, all-null chunks, unsupported physical type) keeps
-  * its files planned; Spark re-applies the full residual predicate above
-  * the scan either way.
+  * Registered columns are also tested against RANGE residuals using footer
+  * min/max statistics (integral columns only — the same trust policy as the
+  * aggregate pushdown): on a dim-sorted or z-ordered layout every file
+  * covers a tight value box, so `x BETWEEN a AND b` drops whole FILES at
+  * planning the way it already drops row groups at read.
+  *
+  * Correctness: every refutation source answers "definitely absent" or
+  * "maybe present" — skipping is sound, keeping is the safe default. Any
+  * column missing a bloom/stats (older files, all-null chunks, unsupported
+  * physical type) keeps its files planned; Spark re-applies the full
+  * residual predicate above the scan either way.
   */
 object GraftBloom {
 
@@ -103,28 +111,59 @@ object GraftBloom {
     else Map("parquet.bloom.filter.adaptive.enabled" -> "true") ++
       cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true")
 
-  /** The equality atoms of a pushed residual conjunction that blooms can
-    * test: (column, candidate values — ANY present keeps the file). */
-  private[sources] def equalityAtoms(residual: Array[Filter],
-      bloomCols: Set[String]): Seq[(String, Array[Any])] =
-    residual.toSeq.collect {
-      case EqualTo(c, v) if bloomCols(c) && v != null => (c, Array[Any](v))
-      case EqualNullSafe(c, v) if bloomCols(c) && v != null => (c, Array[Any](v))
-      case In(c, vs) if bloomCols(c) && vs.nonEmpty && vs.forall(_ != null) =>
-        (c, vs.toArray[Any])
+  /** One testable conjunct of the pushed residual: either an equality set
+    * (bloom/dictionary refutation — ANY candidate present keeps the file)
+    * or a range bound (footer min/max refutation; `op` uses the parquet
+    * leaf convention 2=lt 3=ltEq 4=gt 5=gtEq). */
+  private[sources] sealed trait SkipAtom { def col: String }
+  private[sources] final case class EqAtom(col: String, values: Array[Any])
+    extends SkipAtom
+  private[sources] final case class RangeAtom(col: String, op: Int, v: Long)
+    extends SkipAtom
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long  => Some(l)
+    case i: Int   => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte  => Some(b.toLong)
+    case _        => None // float/string min-max stats are untrusted (see agg pushdown)
+  }
+
+  /** The atoms of a pushed residual conjunction that file-level skipping
+    * can test against registered columns. */
+  private[sources] def skipAtoms(residual: Array[Filter],
+      cols: Set[String]): Seq[SkipAtom] =
+    residual.toSeq.flatMap {
+      case EqualTo(c, v) if cols(c) && v != null => Seq(EqAtom(c, Array[Any](v)))
+      case EqualNullSafe(c, v) if cols(c) && v != null =>
+        Seq(EqAtom(c, Array[Any](v)))
+      case In(c, vs) if cols(c) && vs.nonEmpty && vs.forall(_ != null) =>
+        Seq(EqAtom(c, vs.toArray[Any]))
+      case GreaterThan(c, v) if cols(c) => asLong(v).map(RangeAtom(c, 4, _)).toSeq
+      case GreaterThanOrEqual(c, v) if cols(c) =>
+        asLong(v).map(RangeAtom(c, 5, _)).toSeq
+      case LessThan(c, v) if cols(c) => asLong(v).map(RangeAtom(c, 2, _)).toSeq
+      case LessThanOrEqual(c, v) if cols(c) =>
+        asLong(v).map(RangeAtom(c, 3, _)).toSeq
+      case _ => Nil
     }
 
-  /** True unless some equality atom is DEFINITELY unsatisfiable in every
-    * row group of the file (the atoms are AND'd: one impossible atom kills
-    * the file). One footer open; refutation comes from the column's bloom
-    * when present, or from its DICTIONARY when the chunk is fully
-    * dictionary-encoded — parquet deliberately omits blooms for dict-only
-    * chunks (the dictionary already lists every distinct value, exactly),
-    * which is precisely the low-cardinality case where a lookup like
-    * `tenant = 'x'` wants file skipping. Missing both / unsupported types
-    * answer "maybe" (file kept). */
+  /** True unless some atom is DEFINITELY unsatisfiable in every row group
+    * of the file (the atoms are AND'd: one impossible atom kills the file).
+    * One footer open for all atoms. Equality refutation comes from the
+    * column's bloom when present, or from its DICTIONARY when the chunk is
+    * fully dictionary-encoded — parquet deliberately omits blooms for
+    * dict-only chunks (the dictionary already lists every distinct value,
+    * exactly), which is precisely the low-cardinality case where a lookup
+    * like `tenant = 'x'` wants file skipping. RANGE refutation comes from
+    * footer min/max statistics, integral columns only (float stats are
+    * NaN-contaminated, string stats may be truncated — the same trust
+    * policy as the aggregate pushdown); on a dim-sorted or z-ordered
+    * layout every file covers a tight value box, so range predicates drop
+    * whole files the way they already drop row groups. Missing
+    * blooms/stats / unsupported types answer "maybe" (file kept). */
   def fileMightMatch(conf: Configuration, file: String,
-      atoms: Seq[(String, Array[Any])]): Boolean = {
+      atoms: Seq[SkipAtom]): Boolean = {
     val pfr = ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf))
     try {
@@ -132,7 +171,8 @@ object GraftBloom {
       val groups = pfr.getRowGroups
       // the file survives iff EVERY atom might hold in SOME row group; an
       // atom impossible everywhere contradicts the conjunction outright
-      atoms.forall { case (col, values) =>
+      atoms.forall { atom =>
+        val col = atom.col
         if (!schema.containsField(col)) true
         else {
           val idx = schema.getFieldIndex(col)
@@ -144,16 +184,20 @@ object GraftBloom {
             val ccmd = rg.getColumns.asScala.find(
               _.getPath.toDotString == col)
             someGroupMight = ccmd match {
-              case Some(cc) =>
-                val bloom = pfr.getBloomFilterDataReader(rg).readBloomFilter(cc)
-                if (bloom != null)
-                  values.exists { v =>
-                    hashOf(bloom, prim, v) match {
-                      case Some(h) => bloom.findHash(h)
-                      case None    => true // untestable type: keep
+              case Some(cc) => atom match {
+                case EqAtom(_, values) =>
+                  val bloom = pfr.getBloomFilterDataReader(rg).readBloomFilter(cc)
+                  if (bloom != null)
+                    values.exists { v =>
+                      hashOf(bloom, prim, v) match {
+                        case Some(h) => bloom.findHash(h)
+                        case None    => true // untestable type: keep
+                      }
                     }
-                  }
-                else !dictionaryRefutes(pfr, rg, cc, schema, col, prim, values)
+                  else !dictionaryRefutes(pfr, rg, cc, schema, col, prim, values)
+                case RangeAtom(_, op, v) =>
+                  rangeMight(cc, prim, op, v)
+              }
               case None => true
             }
           }
@@ -161,6 +205,31 @@ object GraftBloom {
         }
       }
     } finally pfr.close()
+  }
+
+  /** Could some non-null value of this row-group chunk satisfy `op v`?
+    * True when stats are absent/untrusted. */
+  private def rangeMight(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      prim: PrimitiveTypeName, op: Int, v: Long): Boolean = {
+    if (prim != PrimitiveTypeName.INT64 && prim != PrimitiveTypeName.INT32)
+      return true
+    val st = cc.getStatistics
+    if (st == null || !st.hasNonNullValue) return true // all-null or no stats: a
+    // range predicate over an all-null group is false, but "no stats" is
+    // indistinguishable from unset counts on foreign writers — keep
+    val (mn, mx) = (st.genericGetMin(), st.genericGetMax()) match {
+      case (a: java.lang.Integer, b: java.lang.Integer) =>
+        (a.longValue, b.longValue)
+      case (a: java.lang.Long, b: java.lang.Long) => (a.longValue, b.longValue)
+      case _ => return true
+    }
+    op match {
+      case 2 => mn < v   // lt
+      case 3 => mn <= v  // ltEq
+      case 4 => mx > v   // gt
+      case _ => mx >= v  // gtEq
+    }
   }
 
   /** Exact dictionary refutation for a bloom-less chunk: sound only when

@@ -120,17 +120,30 @@ class GraftCatalog extends TableCatalog
     new GraftTable(p, schema)
   }
 
-  /** `ALTER TABLE … ADD COLUMN` only: appends a NULLABLE top-level column to
-    * the schema sidecar — a pure metadata operation. Chunk files written
-    * before the change simply lack the field, and the connector's readers
-    * (row scan and pushed-aggregate scan alike) already surface absent
-    * fields as NULL, so old and new files coexist in one grid — the Spark
-    * restatement of the reference's `VERSION + decode(version, …)` contract
+  /** `ALTER TABLE … ADD COLUMN` / `DROP COLUMN`: pure metadata operations
+    * on the schema sidecar.
+    *
+    * ADD appends a NULLABLE top-level column: chunk files written before
+    * the change simply lack the field, and the connector's readers (row
+    * scan and pushed-aggregate scan alike) already surface absent fields as
+    * NULL, so old and new files coexist in one grid — the Spark restatement
+    * of the reference's `VERSION + decode(version, …)` contract
     * (/root/reference/src/world.rs:33-47: old payloads decode under the new
-    * type). Everything else (drop/rename/retype/reposition, bucket columns)
-    * is refused: those would change the meaning of bytes already on disk,
-    * which the chunk grid has no version log to mediate — `regrid` is the
-    * explicit rebuild path. */
+    * type).
+    *
+    * DROP is the LAZY drop every name-addressed lakehouse uses: the column
+    * leaves the sidecar schema, so no reader projects it again (projection
+    * is by name from the sidecar, and later COW rewrites shed the bytes
+    * physically); old files keep their bytes untouched. The classic hazard
+    * — re-ADDING the same name later would RESURRECT those old values — is
+    * closed by recording dropped names in a `_graft_dropped` sidecar that
+    * ADD refuses forever (formats with field IDs solve this structurally;
+    * a name-addressed grid must refuse). Snapshot reads pinned BEFORE the
+    * drop still see the column: their schema is the query-time sidecar —
+    * time travel across a drop is a known sharp edge, documented not
+    * hidden. Rename/retype/reposition and bucket columns stay refused:
+    * those change the meaning of bytes on disk — `regrid` is the explicit
+    * rebuild path. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!exists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
@@ -147,15 +160,52 @@ class GraftCatalog extends TableCatalog
         require(!s.fieldNames.contains(n), s"column $n already exists")
         require(!GraftDataSource.isBucket(n),
           s"graft: cannot ADD bucket column $n — changing the grid is regrid()")
+        require(!droppedNames(p).contains(n),
+          s"graft: column $n was previously DROPPED — re-adding the name " +
+            "would resurrect old files' values (name-addressed projection); " +
+            "pick a new name or rebuild via regrid()")
         s.add(StructField(n, add.dataType(), nullable = true))
+      case (s, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1,
+          "graft: only top-level DROP COLUMN is supported")
+        val n = del.fieldNames()(0)
+        require(s.fieldNames.contains(n) || del.ifExists(),
+          s"column $n does not exist")
+        require(!GraftDataSource.isBucket(n),
+          s"graft: cannot DROP bucket column $n — changing the grid is regrid()")
+        require(s.fields.count(f => !GraftDataSource.isBucket(f.name)) > 1 ||
+            !s.fieldNames.contains(n),
+          "graft: cannot DROP the last data column")
+        if (s.fieldNames.contains(n)) noteDropped(p, n)
+        StructType(s.fields.filterNot(_.name == n))
       case (_, other) => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — only " +
-          "ADD COLUMN (nullable, top-level); use regrid for layout changes")
+          "ADD/DROP COLUMN (nullable, top-level); use regrid for layout changes")
     }
     val f = fs()
     val out = f.create(new Path(s"$p/_graft_schema.json"), true)
     out.write(updated.json.getBytes("UTF-8")); out.close()
     new GraftTable(p, updated)
+  }
+
+  private def droppedPath(tablePath: String) =
+    new Path(tablePath, "_graft_dropped")
+
+  private def droppedNames(tablePath: String): Set[String] = {
+    val f = fs(); val p = droppedPath(tablePath)
+    if (!f.exists(p)) Set.empty
+    else {
+      val in = f.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      txt.split("\n").map(_.trim).filter(_.nonEmpty).toSet
+    }
+  }
+
+  private def noteDropped(tablePath: String, name: String): Unit = {
+    val all = droppedNames(tablePath) + name
+    val out = fs().create(droppedPath(tablePath), true)
+    try out.write((all.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -188,7 +238,7 @@ class GraftCatalog extends TableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("compact", "stats", "rollback", "expire_versions", "versions",
-        "tag", "drop_tag", "tags", "clone")
+        "tag", "drop_tag", "tags", "clone", "set_bloom")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -206,12 +256,54 @@ class GraftCatalog extends TableCatalog
       case (Seq("system"), "drop_tag") => new GraftDropTagProcedure(this)
       case (Seq("system"), "tags")     => new GraftTagsProcedure(this)
       case (Seq("system"), "clone")    => new GraftCloneProcedure(this)
+      case (Seq("system"), "set_bloom") => new GraftSetBloomProcedure(this)
       case _ => throw new UnsupportedOperationException(
         s"graft catalog $catalogName has no procedure $ident (available: " +
           "system.compact, system.stats, system.rollback, " +
           "system.expire_versions, system.versions, system.clean_stages, " +
-          "system.tag, system.drop_tag, system.tags, system.clone)")
+          "system.tag, system.drop_tag, system.tags, system.clone, " +
+          "system.set_bloom)")
     }
+}
+
+/** `CALL <cat>.system.set_bloom(table => 't', columns => 'a,b')` — register
+  * bloom columns on a table from SQL (the [[GraftBloom]] sidecar union;
+  * point-lookup file skipping). Existing files gain blooms as rewrites and
+  * new writes touch them; the registration itself is one sidecar write.
+  * Returns the table's full registered column list. */
+class GraftSetBloomProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "set_bloom"
+  override def description(): String =
+    "register bloom-filter columns for point-lookup file skipping"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "set_bloom"
+    override def description(): String = GraftSetBloomProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build(),
+      ProcedureParameter.in("columns", org.apache.spark.sql.types.StringType)
+        .comment("comma-separated column names to bloom").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      val cols = input.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      GraftBloom.register(fs, new Path(path), cols)
+      GraftProcedures.scanOf(
+        StructType(Seq(StructField("bloom_columns",
+          org.apache.spark.sql.types.StringType, nullable = false))),
+        Array(org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            GraftBloom.columns(fs, new Path(path)).mkString(",")))))
+    }
+  }
 }
 
 /** `CALL <cat>.system.clone(table => 't', target => '/path', version => n)`

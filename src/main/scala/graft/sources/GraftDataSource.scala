@@ -1176,15 +1176,16 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
        else s", RowGroupFilters: [${residual.mkString(", ")}]") +
       (if (runtime.isEmpty) "" else s", RuntimeBucketFilters: [${runtime.mkString(", ")}]") +
       (if (bloomAtoms.isEmpty) ""
-       else s", BloomSkipCols: [${bloomAtoms.map(_._1).distinct.mkString(", ")}]")
+       else s", BloomSkipCols: [${bloomAtoms.map(_.col).distinct.mkString(", ")}]")
 
-  /** Residual equality atoms testable against the table's registered bloom
-    * columns (the `_graft_bloom` sidecar) — non-empty exactly when this scan
-    * is a point lookup that file-level bloom skipping can serve. */
-  @transient private lazy val bloomAtoms: Seq[(String, Array[Any])] = {
+  /** Residual equality/range atoms testable against the table's registered
+    * skip columns (the `_graft_bloom` sidecar) — non-empty exactly when
+    * this scan is a point lookup or registered-column range scan that
+    * file-level skipping can serve. */
+  @transient private lazy val bloomAtoms: Seq[GraftBloom.SkipAtom] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val cols = GraftBloom.columns(fs, new Path(path)).toSet
-    if (cols.isEmpty) Nil else GraftBloom.equalityAtoms(residual, cols)
+    if (cols.isEmpty) Nil else GraftBloom.skipAtoms(residual, cols)
   }
 
   /** File-level bloom skip: drop chunk files whose blooms PROVE the pushed

@@ -93,8 +93,10 @@ class GraftBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     val conf = new Configuration()
     val f = chunkFiles(w.path).head
     // every chunk holds t0..t6; t9 never occurs -> dictionary proves absence
-    assert(GraftBloom.fileMightMatch(conf, f, Seq(("tag", Array[Any]("t3")))))
-    assert(!GraftBloom.fileMightMatch(conf, f, Seq(("tag", Array[Any]("t9")))))
+    assert(GraftBloom.fileMightMatch(conf, f,
+      Seq(GraftBloom.EqAtom("tag", Array[Any]("t3")))))
+    assert(!GraftBloom.fileMightMatch(conf, f,
+      Seq(GraftBloom.EqAtom("tag", Array[Any]("t9")))))
     val miss = scanOf(w.path, Array(EqualTo("tag", "t9"))).planInputPartitions()
     assert(miss.isEmpty, s"absent tag planned ${miss.length} files")
   }
@@ -117,6 +119,28 @@ class GraftBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     val in = scanOf(w.path, Array(In("doc", Array(999999L, 10000L))))
       .planInputPartitions()
     assert(in.length >= 1 && in.length < total)
+  }
+
+  test("range predicates on registered columns drop files via footer min/max") {
+    import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThanOrEqual}
+    val w = mkWorld(bloom = true)
+    val total = chunkFiles(w.path).size
+    // doc = d0 + 10000 and the intra-chunk dim sort keeps per-file doc
+    // ranges disjoint: a 100-wide band overlaps at most 2 of 8 files
+    val band = scanOf(w.path, Array(
+      GreaterThanOrEqual("doc", 10200L), LessThanOrEqual("doc", 10300L)))
+      .planInputPartitions()
+    assert(band.length >= 1 && band.length <= 2,
+      s"band should plan <=2 of $total files, planned ${band.length}")
+    // an out-of-domain range refutes every file
+    val none = scanOf(w.path, Array(GreaterThan("doc", 99999L)))
+      .planInputPartitions()
+    assert(none.isEmpty, s"absent range planned ${none.length} files")
+    // end-to-end: the banded read is row-exact
+    val got = spark.read.format("graft").load(w.path)
+      .where(col("doc") >= 10200L && col("doc") <= 10300L)
+      .select("d0").collect().map(_.getLong(0)).toSet
+    assert(got == (200L to 300L).toSet)
   }
 
   test("end-to-end read through the connector stays row-exact") {
@@ -186,12 +210,16 @@ class GraftBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     val w = mkWorld(bloom = true)
     val f = chunkFiles(w.path).sorted.head // c0=0: d0 0..127, doc 10000..10127
     val conf = new Configuration()
-    assert(GraftBloom.fileMightMatch(conf, f, Seq(("doc", Array[Any](10005L)))))
-    assert(!GraftBloom.fileMightMatch(conf, f, Seq(("doc", Array[Any](10500L)))))
+    assert(GraftBloom.fileMightMatch(conf, f,
+      Seq(GraftBloom.EqAtom("doc", Array[Any](10005L)))))
+    assert(!GraftBloom.fileMightMatch(conf, f,
+      Seq(GraftBloom.EqAtom("doc", Array[Any](10500L)))))
     // one impossible atom kills the conjunction even if the other holds
     assert(!GraftBloom.fileMightMatch(conf, f,
-      Seq(("doc", Array[Any](10005L)), ("doc", Array[Any](10500L)))))
+      Seq(GraftBloom.EqAtom("doc", Array[Any](10005L)),
+        GraftBloom.EqAtom("doc", Array[Any](10500L)))))
     // a column absent from the file schema cannot refute
-    assert(GraftBloom.fileMightMatch(conf, f, Seq(("nope", Array[Any](1L)))))
+    assert(GraftBloom.fileMightMatch(conf, f,
+      Seq(GraftBloom.EqAtom("nope", Array[Any](1L)))))
   }
 }

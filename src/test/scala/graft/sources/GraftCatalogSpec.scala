@@ -243,10 +243,51 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
     assert(got == Seq((1L, None), (2L, Some(0.5))),
       s"pre-alter chunk surfaces NULL, post-alter carries the value: $got")
-    // refusals: drop, and adding a bucket column
-    intercept[Exception](spark.sql("ALTER TABLE graftcat.ev DROP COLUMN score"))
+    // refusal: adding a bucket column
     intercept[Exception](spark.sql("ALTER TABLE graftcat.ev ADD COLUMN c1 BIGINT"))
     spark.sql("DROP TABLE graftcat.ev")
+  }
+
+  test("ALTER TABLE DROP COLUMN: lazy drop, no resurrection, guards") {
+    spark.sql("CREATE TABLE graftcat.evd (d0 BIGINT, x BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO graftcat.evd VALUES (1, 100, 0), (2, 200, 0)")
+    spark.sql("ALTER TABLE graftcat.evd DROP COLUMN x")
+    // the column is gone from the schema; old files' bytes are never read
+    assert(!spark.table("graftcat.evd").schema.fieldNames.contains("x"))
+    assert(spark.sql("SELECT d0 FROM graftcat.evd ORDER BY d0")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    intercept[Exception](
+      spark.sql("SELECT x FROM graftcat.evd").collect())
+    // post-drop inserts take the narrowed schema
+    spark.sql("INSERT INTO graftcat.evd VALUES (3, 0)")
+    assert(spark.sql("SELECT d0 FROM graftcat.evd").count() == 3L)
+    // resurrection guard: re-ADDING the dropped name is refused forever
+    val ex = intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.evd ADD COLUMN x BIGINT"))
+    assert(ex.getMessage.contains("DROPPED"), ex.getMessage)
+    // a fresh name is fine
+    spark.sql("ALTER TABLE graftcat.evd ADD COLUMN y BIGINT")
+    // guards: bucket column and last-data-column drops refuse
+    intercept[Exception](spark.sql("ALTER TABLE graftcat.evd DROP COLUMN c0"))
+    spark.sql("ALTER TABLE graftcat.evd DROP COLUMN y")
+    intercept[Exception](spark.sql("ALTER TABLE graftcat.evd DROP COLUMN d0"))
+    spark.sql("DROP TABLE graftcat.evd")
+  }
+
+  test("CALL system.set_bloom registers the sidecar from SQL") {
+    spark.sql("CREATE TABLE graftcat.evb (d0 BIGINT, doc BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO graftcat.evb SELECT id, id + 100, id DIV 8 FROM range(16)")
+    val got = spark.sql(
+      "CALL graftcat.system.set_bloom(table => 'evb', columns => 'doc')")
+      .collect().head.getString(0)
+    assert(got == "doc")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(warehouse), spark.sparkContext.hadoopConfiguration)
+    assert(GraftBloom.columns(fs,
+      new org.apache.hadoop.fs.Path(s"$warehouse/evb")) == Seq("doc"))
+    // the NEXT write blooms the column
+    spark.sql("INSERT INTO graftcat.evb SELECT id + 16, id + 200, (id + 16) DIV 8 FROM range(8)")
+    spark.sql("DROP TABLE graftcat.evb")
   }
 
   test("catalog errors: missing table, duplicate create, rename") {
