@@ -22,6 +22,28 @@ object DedupOps {
               FROM documents GROUP BY md5(text) ORDER BY keep_id""")
     ),
 
+    // leading-prefix duplicate groups: docs sharing their first 8
+    // normalized tokens (mirror-crawl and template-page artifacts that
+    // diverge only later in the body — exact dedup misses them, near-dup
+    // machinery is overkill). One groupBy on the prefix string; the prefix
+    // is bounded so keys are small regardless of document length.
+    "d_prefix_dup" -> QueryDef(
+      (s, dir) => {
+        val pfx = array_join(
+          slice(split(lower(trim(col("text"))), "\\s+"), 1, 8), " ")
+        t(s, dir, "documents").select(col("doc_id"), pfx.as("prefix"))
+          .groupBy("prefix")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+          .where(col("n") > 1)
+          .select("keep_id", "n").orderBy("keep_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+                array_to_string((string_split_regex(trim(lower(text)), '\s+'))[1:8], ' ') AS prefix
+              FROM documents)
+              SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM p GROUP BY prefix HAVING COUNT(*) > 1 ORDER BY keep_id""")
+    ),
+
     "d_exact_dedup" -> QueryDef(
       (s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "n_chars").orderBy("doc_id"),

@@ -64,6 +64,41 @@ object EventOps {
               FROM joined ORDER BY user_id, h_us""")
     ),
 
+    // per-event SESSION IDS (30-min gap rule): lag + running sum of
+    // session starts — the assignment face of sessionization
+    // (e_session_window aggregates whole sessions; downstream pipelines
+    // usually need the id ON each event to join against). Two partitioned
+    // windows sharing one (ts, event_id) ordering, integer-exact.
+    "e_sessionize" -> QueryDef(
+      (s, dir) => {
+        val wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, dir).where(col("user_id") < 40)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wo))
+          .withColumn("new_sess",
+            (col("prev_us").isNull ||
+              (unix_micros(col("ts")) - col("prev_us")) > lit(1800000000L))
+              .cast("bigint"))
+          .withColumn("session_seq", sum("new_sess").over(run))
+          .select(col("user_id"), col("event_id"), col("session_seq"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                CAST(SUM(new_sess) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS session_seq
+              FROM (
+                SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events WHERE user_id < 40
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              ORDER BY user_id, event_id""")
+    ),
+
     // rolling median (exact, interpolated) over a 5-row event-time frame
     // per user — the robust-smoothing window analytics use where rolling
     // AVG is outlier-poisoned. percentile over a bounded ROWS frame is a

@@ -30,6 +30,42 @@ object PipelineOps {
     // construction (held-out splits are a sliver of the corpus), so AQE
     // broadcasts it; at 100 TB the join key is the gram string and the
     // only wide shuffle is the per-doc count — both scale-safe.
+    // the "dataset card" aggregate every corpus release ships: one row of
+    // whole-corpus facts — doc count, char/token volume, language spread,
+    // dominant language (deterministic tie-break), duplicate-text rate.
+    // All integer-exact; one pass + one tiny mode aggregation.
+    "p_corpus_stats" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val base = d.agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("bigint").as("total_chars"),
+          sum(size(split(trim(col("text")), "\\s+"))).cast("bigint")
+            .as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - countDistinct(md5(col("text"))))
+            .as("n_dup_texts"))
+        val topLang = d.groupBy("lang").agg(count(lit(1)).as("ln"))
+          .orderBy(col("ln").desc, col("lang")).limit(1)
+          .select(col("lang").as("top_lang"), col("ln").as("top_lang_docs"))
+        base.crossJoin(topLang) // two 1-row scalars — bounded by design
+      },
+      Some("""WITH base AS (
+                SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+                  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                    AS total_tokens,
+                  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+                    AS n_dup_texts
+                FROM documents),
+              tl AS (SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT)
+                       AS top_lang_docs
+                     FROM documents GROUP BY lang
+                     ORDER BY COUNT(*) DESC, lang LIMIT 1)
+              SELECT * FROM base, tl""")
+    ),
+
     "p_decontaminate" -> QueryDef(
       (s, dir) => {
         val base = t(s, dir, "documents").select(

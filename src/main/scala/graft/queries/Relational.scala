@@ -481,6 +481,29 @@ object Relational {
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     ),
 
+    // grouping()/grouping_id() over ROLLUP: the indicator functions that
+    // let a consumer tell a real NULL group from a rollup subtotal — the
+    // part of multi-level grouping q_rollup's value columns don't cover.
+    // Integer-exact; DuckDB builds the same id from its GROUPING bits.
+    "q_grouping_fn" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(grouping(o_orderstatus) AS BIGINT)").as("g_status"),
+          expr("CAST(grouping(o_orderpriority) AS BIGINT)").as("g_prio"),
+          expr("CAST(grouping_id() AS BIGINT)").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+                CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+                CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                  AS BIGINT) AS gid
+              FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+              ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+                o_orderpriority ASC NULLS FIRST""")
+    ),
+
     // exact per-group MODE with deterministic tie-break (smallest value
     // wins): two nested aggregations — (group, value) counts, then max-by
     // (count, -value) — both partial-aggregating shuffles on bounded keys.

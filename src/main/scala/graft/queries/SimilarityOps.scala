@@ -15,6 +15,42 @@ object SimilarityOps {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // embedding-space decontamination: drop TRAIN vectors too similar to
+    // any EVAL vector (cosine >= τ) — the semantic sibling of the n-gram
+    // p_decontaminate, catching paraphrased eval leakage lexical overlap
+    // misses. Scale shape: eval side broadcast (eval sets are small by
+    // nature), train side streamed once through the native cosine kernel,
+    // anti-join on the contaminated id set. 4dp-rounded threshold compare
+    // on both sides keeps last-bit float differences from flipping a
+    // boundary row.
+    "p_embed_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val eval = emb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("e_id"), col("embedding").as("e_emb"))
+        val train = emb.where(col("vec_id") >= 20)
+        val contaminated = train
+          .join(broadcast(eval),
+            round(Similarity.cosine(col("embedding"), col("e_emb")), 4)
+              >= lit(0.99))
+          .select(col("vec_id")).distinct()
+        train.join(contaminated, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH eval AS (SELECT vec_id AS e_id, embedding AS e_emb
+                            FROM embeddings WHERE vec_id < 20),
+                   train AS (SELECT * FROM embeddings WHERE vec_id >= 20),
+                   bad AS (SELECT DISTINCT t.vec_id FROM train t JOIN eval e
+                           ON ROUND(list_cosine_similarity(
+                                CAST(t.embedding AS DOUBLE[]),
+                                CAST(e.e_emb AS DOUBLE[])), 4) >= 0.99)
+              SELECT t.vec_id, CAST(t.label AS BIGINT) AS label FROM train t
+              LEFT JOIN bad b ON b.vec_id = t.vec_id
+              WHERE b.vec_id IS NULL
+              ORDER BY t.vec_id""")
+    ),
+
     // hard-negative mining (contrastive training's data step): for each
     // query vector, the top-3 most-similar vectors with a DIFFERENT label —
     // near-misses the model must learn to separate. Same scale shape as
