@@ -759,6 +759,13 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
         tracker = new SumTracker(sumCols.map(_._2))
         val b = new GraftParquetWriterBuilder(new Path(file),
             new SummingGroupWriteSupport(tracker)).withConf(c)
+          // parquet-mr's builder default is UNCOMPRESSED — at 100 TB that
+          // is 2-4x the bytes on every chunk the connector writes. Snappy
+          // matches Spark's own parquet default, so connector-written and
+          // World.create-written files compress alike (zstd is the knob to
+          // expose if storage ever beats CPU here).
+          .withCompressionCodec(
+            org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
         // registered bloom columns (the `_graft_bloom` sidecar, resolved
         // driver-side by the factory's creator): adaptive sizing keeps each
         // chunk's bloom proportional to its observed distinct count

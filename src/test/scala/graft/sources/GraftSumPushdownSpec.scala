@@ -60,8 +60,15 @@ class GraftSumPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(f.toString),
         new org.apache.hadoop.conf.Configuration()))
-    val kv = try pfr.getFooter.getFileMetaData.getKeyValueMetaData finally pfr.close()
+    val (kv, codec) = try {
+      (pfr.getFooter.getFileMetaData.getKeyValueMetaData,
+        pfr.getRowGroups.get(0).getColumns.get(0).getCodec)
+    } finally pfr.close()
     assert(kv.containsKey("graft.sums"), s"footer lacks sums key: $kv")
+    // parquet-mr's builder default is UNCOMPRESSED; the connector must not
+    // ship that at scale
+    assert(codec == org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY,
+      s"connector chunk files must be snappy-compressed, got $codec")
     assert(kv.get("graft.sums").contains("v=") && kv.get("graft.sums").contains("i="))
 
     val df = spark.read.format("graft").load(path)
