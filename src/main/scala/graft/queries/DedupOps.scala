@@ -27,6 +27,52 @@ object DedupOps {
     // diverge only later in the body — exact dedup misses them, near-dup
     // machinery is overkill). One groupBy on the prefix string; the prefix
     // is bounded so keys are small regardless of document length.
+    // asymmetric CONTAINMENT near-dup (|A∩B| / |A|): catches a document
+    // SUBSUMED by a larger one (quotes, excerpts, doc-in-doc) that
+    // symmetric Jaccard under-scores — the containment face of the
+    // shingle family. Query side bounded (doc_id < 30); candidate pairs
+    // come only from the shared-gram equality join (never all pairs), the
+    // intersection count rides that join's aggregation, and the score is
+    // an exact integer percent (100·|∩| div |A|) — no float drift.
+    "d_containment" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val grams = docs.select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), 4)).as("g")).distinct()
+        val q = grams.where(col("doc_id") < 30)
+          .select(col("doc_id").as("q_id"), col("g"))
+        val nq = q.groupBy("q_id").agg(count(lit(1)).as("nq"))
+        val inter = q.join(
+            grams.select(col("doc_id").as("t_id"), col("g")), "g")
+          .where(col("q_id") =!= col("t_id"))
+          .groupBy("q_id", "t_id").agg(count(lit(1)).as("ninter"))
+        inter.join(nq, "q_id")
+          .select(col("q_id"), col("t_id"),
+            expr("CAST(100 * ninter div nq AS BIGINT)").as("cont_pct"))
+          .where(col("cont_pct") >= 50)
+          .orderBy("q_id", "t_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+                string_split_regex(trim(lower(text)), '\s+') AS words
+              FROM documents),
+              g AS (SELECT doc_id,
+                unnest(list_distinct(list_filter(
+                  list_transform(range(0, GREATEST(len(words) - 4, 0) + 1),
+                    x -> array_to_string(words[x + 1 : x + 4], ' ')),
+                  s -> s <> ''))) AS g
+                FROM w),
+              q AS (SELECT doc_id AS q_id, g FROM g WHERE doc_id < 30),
+              nq AS (SELECT q_id, COUNT(*) AS nq FROM q GROUP BY q_id),
+              inter AS (SELECT q.q_id, g.doc_id AS t_id, COUNT(*) AS ninter
+                FROM q JOIN g ON g.g = q.g AND g.doc_id <> q.q_id
+                GROUP BY q.q_id, g.doc_id)
+              SELECT i.q_id, i.t_id,
+                CAST(100 * i.ninter // n.nq AS BIGINT) AS cont_pct
+              FROM inter i JOIN nq n ON n.q_id = i.q_id
+              WHERE 100 * i.ninter // n.nq >= 50
+              ORDER BY i.q_id, i.t_id""")
+    ),
+
     "d_prefix_dup" -> QueryDef(
       (s, dir) => {
         val pfx = array_join(

@@ -481,6 +481,33 @@ object Relational {
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     ),
 
+    // share-of-total per group in integer MICRO-UNITS: the "percent of
+    // revenue" analytics staple, computed as one partial-aggregating
+    // shuffle + a broadcast scalar total — never a global window. The
+    // share is 1e6·group div total over exact decimal-derived cents, so
+    // both engines produce identical integers.
+    "q_share_of_total" -> QueryDef(
+      (s, dir) => {
+        val cents = sum((col("o_totalprice").cast(DecimalType(18, 2)) *
+          lit(100)).cast("long")).as("cents")
+        val per = t(s, dir, "orders").groupBy("o_orderpriority").agg(cents)
+        val tot = t(s, dir, "orders").agg(cents.as("total_cents"))
+        per.crossJoin(tot) // scalar-aggregate broadcast — bounded by design
+          .select(col("o_orderpriority"),
+            col("cents"),
+            expr("CAST(1000000 * cents div total_cents AS BIGINT)")
+              .as("share_micro"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH per AS (SELECT o_orderpriority,
+                CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY o_orderpriority),
+              tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM per)
+              SELECT o_orderpriority, cents,
+                CAST(1000000 * cents // total_cents AS BIGINT) AS share_micro
+              FROM per, tot ORDER BY o_orderpriority""")
+    ),
+
     // grouping()/grouping_id() over ROLLUP: the indicator functions that
     // let a consumer tell a real NULL group from a rollup subtotal — the
     // part of multi-level grouping q_rollup's value columns don't cover.
