@@ -107,7 +107,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       true
     }.getOrElse(false)
     new GraftTable(properties.get("path"), schema, pin,
-      Option(properties.get("graft.startingVersion")), follow)
+      Option(properties.get("graft.startingVersion")), follow,
+      Option(properties.get("graft.maxVersionsPerTrigger")).map(_.toLong))
   }
 }
 
@@ -479,7 +480,8 @@ object GraftDataSource {
 class GraftTable(path: String, schema: StructType,
     pin: Option[GraftTimePin] = None,
     startingVersion: Option[String] = None,
-    follow: Boolean = false) extends Table
+    follow: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -564,7 +566,8 @@ class GraftTable(path: String, schema: StructType,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, schema, pin = pin,
-      startingVersion = startingVersion, follow = follow)
+      startingVersion = startingVersion, follow = follow,
+      maxVersionsPerTrigger = maxVersionsPerTrigger)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -600,10 +603,12 @@ class GraftScanBuilder(path: String, schema: StructType,
     // from history files); limit / topN pushdowns are declined — their
     // early-stop walks assume the live tree's directory order.
     pin: Option[GraftTimePin] = None,
-    // streaming start cursor / CDC mode (see GraftMicroBatchStream) —
-    // batch scans ignore the former and refuse the latter
+    // streaming start cursor / CDC mode / admission cap (see
+    // GraftMicroBatchStream) — batch scans ignore the first and last and
+    // refuse the CDC mode
     startingVersion: Option[String] = None,
-    follow: Boolean = false) extends ScanBuilder
+    follow: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -744,7 +749,7 @@ class GraftScanBuilder(path: String, schema: StructType,
     if (pushedAggs.nonEmpty)
       new GraftAggScan(path, schema, pushed, pushedAggs, groupCols, pin)
     else new GraftScan(path, required, pushed, limit, topN, residualFilters,
-      rowLevelDirs, pin, startingVersion, follow)
+      rowLevelDirs, pin, startingVersion, follow, maxVersionsPerTrigger)
 }
 
 /** The pushed-aggregate scan: partitions are chunk files, rows are
@@ -1051,7 +1056,8 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     dirRecorder: Option[java.util.Set[String]] = None,
     pin: Option[GraftTimePin] = None,
     startingVersion: Option[String] = None,
-    follow: Boolean = false)
+    follow: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -1163,7 +1169,8 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pin.isEmpty,
       "graft: a version pin is a frozen commit — streaming reads take the live table")
-    new GraftMicroBatchStream(path, required, pushed, startingVersion, follow)
+    new GraftMicroBatchStream(path, required, pushed, startingVersion, follow,
+      maxVersionsPerTrigger)
   }
   override def description(): String =
     s"GraftScan path=$path" +

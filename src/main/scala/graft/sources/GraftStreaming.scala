@@ -67,7 +67,46 @@ class GraftMicroBatchStream(path: String, required: StructType,
     // emitting a silently-incomplete feed. Commits coalesce per batch
     // (net diff): a row inserted and deleted within one batch's span
     // appears in neither side, matching the batch feed's semantics.
-    follow: Boolean = false) extends MicroBatchStream {
+    follow: Boolean = false,
+    // option("graft.maxVersionsPerTrigger", n): admission control for the
+    // version-cursor regime — each micro-batch spans at most n COMMITS, so
+    // a backlogged stream (restart after downtime, or startingVersion deep
+    // in history) catches up in bounded batches instead of one giant one.
+    // Caps to existing versions (crash-gap numbers are skipped, never
+    // addressed). The file-set regime has no cursor to bound and ignores
+    // the option; unset = all available (the historical behavior).
+    maxVersionsPerTrigger: Option[Long] = None) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow drain target, frozen at stream start (commits
+  // sealed after that are the NEXT run's work — the trigger's contract)
+  @volatile private var availableNowTarget: Option[Offset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestOffset())
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  // the TRUE (uncapped) latest — Trigger.AvailableNow's wrapper takes this
+  // as its drain target, so a capped stream keeps triggering until the
+  // backlog is consumed instead of stopping after one bounded batch
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val unbounded = availableNowTarget.getOrElse(latestOffset())
+    (start, unbounded, maxVersionsPerTrigger) match {
+      case (GraftVersionOffset(sv), GraftVersionOffset(lv), Some(m))
+          if lv > sv =>
+        // the m-th EXISTING version after the cursor (version numbers can
+        // have crash/retention gaps; an offset must name a real manifest)
+        GraftVersions.listVersions(fileSystem, root)
+          .filter(v => v > sv && v <= lv).take(m.toInt).lastOption
+          .map(GraftVersionOffset(_): Offset).getOrElse(unbounded)
+      case _ => unbounded
+    }
+  }
 
   private val root = new Path(path)
   private def fileSystem: FileSystem =

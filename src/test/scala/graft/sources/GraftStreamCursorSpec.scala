@@ -69,6 +69,54 @@ class GraftStreamCursorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("graft.maxVersionsPerTrigger bounds each micro-batch's commit span") {
+    spark.sql("CREATE TABLE scur.adm (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO scur.adm VALUES (1, 10, 0)") // v1
+    spark.sql("INSERT INTO scur.adm VALUES (2, 20, 0)") // v2
+    spark.sql("INSERT INTO scur.adm VALUES (3, 30, 0)") // v3
+    val path = s"$warehouse/adm"
+    val cp = Files.createTempDirectory("graft-scur-adm").toString
+    // start AT version 1 so the backlog is exactly 3 commits; cap = 1
+    // commit per batch -> AvailableNow must drain in 3 batches
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft")
+      .option("graft.startingVersion", "1")
+      .option("graft.maxVersionsPerTrigger", "1")
+      .load(path)
+      .select("id")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = b.count()
+        if (n > 0) batchSizes.synchronized { batchSizes += n }
+        ()
+      }
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batchSizes.toSeq == Seq(1L, 1L, 1L),
+      s"each batch spans one commit, got $batchSizes")
+    // unset cap, new checkpoint: the same backlog drains in ONE batch
+    val cp2 = Files.createTempDirectory("graft-scur-adm2").toString
+    val sizes2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream.format("graft")
+      .option("graft.startingVersion", "1")
+      .load(path)
+      .select("id")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = b.count()
+        if (n > 0) sizes2.synchronized { sizes2 += n }
+        ()
+      }
+      .option("checkpointLocation", cp2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(sizes2.toSeq == Seq(3L), s"uncapped drains in one batch, got $sizes2")
+    spark.sql("DROP TABLE scur.adm")
+  }
+
   test("a COW rewrite re-emits exactly the rewritten cell (append semantics)") {
     spark.sql("CREATE TABLE scur.s2 (id BIGINT, v BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO scur.s2 VALUES (1, 10, 0), (2, 20, 1)") // v1
