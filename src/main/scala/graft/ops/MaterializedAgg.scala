@@ -44,6 +44,12 @@ import org.apache.spark.sql.types.StructType
   * discipline); hash value 0 is remapped to 1 to keep the sentinel id
   * private.
   *
+  * Base-table contract: the base must stay VERSION-LOGGED (connector/
+  * catalog writes). A World-level rewrite on it is a version barrier —
+  * the change feed then raises a loud resolver error and the recovery is
+  * `initialize()` after the next versioned commit heals the log; the view
+  * can be stale across a barrier but never silently wrong.
+  *
   * Reference anchor: the daemon's write-behind keeps derived chunk state
   * current as data arrives (/root/reference/src/world.rs `daemon`); this is
   * the same obligation for an AGGREGATE artifact, driven by the commit log

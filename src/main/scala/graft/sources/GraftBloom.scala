@@ -95,14 +95,6 @@ object GraftBloom {
     }
   }
 
-  /** Bloom columns a write should use: sidecar ∪ the write's
-    * `graft.bloom.columns` option, persisting any newly-optioned columns. */
-  def forWrite(fs: FileSystem, root: Path, option: Option[String]): Seq[String] = {
-    val opted = option.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    if (opted.nonEmpty) register(fs, root, opted)
-    (columns(fs, root) ++ opted).distinct
-  }
-
   /** Spark-parquet writer options enabling blooms on `cols` — the adaptive
     * sizer observes the true per-chunk NDV instead of reserving the 1 MiB
     * worst case, so small chunks pay bytes proportional to their cardinality. */

@@ -642,12 +642,25 @@ class GraftWriterFactory(path: String, schema: StructType,
 private[sources] final class SumTracker(cols: Seq[String]) {
   private val sums = scala.collection.mutable.Map.empty[String, Long]
   private val counts = scala.collection.mutable.Map.empty[String, Long]
+  // a column whose running sum overflowed Long: its entry is OMITTED from
+  // the footer metadata, so readers fall back to scanning that column —
+  // which then overflows (wraps or throws under ANSI) exactly like a row
+  // scan of the same data would. A silently wrapped METADATA sum would
+  // instead disagree with the engine's own row-scan answer.
+  private val poisoned = scala.collection.mutable.Set.empty[String]
   def add(c: String, v: Long): Unit = {
-    sums(c) = sums.getOrElse(c, 0L) + v
-    counts(c) = counts.getOrElse(c, 0L) + 1L
+    if (!poisoned(c)) {
+      try sums(c) = Math.addExact(sums.getOrElse(c, 0L), v)
+      catch {
+        case _: ArithmeticException =>
+          poisoned += c; sums.remove(c); counts.remove(c)
+      }
+    }
+    if (!poisoned(c)) counts(c) = counts.getOrElse(c, 0L) + 1L
   }
   def encode: String =
-    cols.map(c => s"$c=${sums.getOrElse(c, 0L)},${counts.getOrElse(c, 0L)}")
+    cols.filterNot(poisoned)
+      .map(c => s"$c=${sums.getOrElse(c, 0L)},${counts.getOrElse(c, 0L)}")
       .mkString(";")
 }
 

@@ -116,6 +116,16 @@ class GraftSumPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("SumTracker: overflow poisons the column instead of wrapping") {
+    val tr = new SumTracker(Seq("a", "b"))
+    tr.add("a", Long.MaxValue); tr.add("a", 1L) // overflow -> poisoned
+    tr.add("b", 5L); tr.add("b", 7L)
+    assert(tr.encode == "b=12,2",
+      s"poisoned column must be OMITTED (reader falls back to scan), got '${tr.encode}'")
+    // a wrapped metadata sum would disagree with the row scan; omission
+    // makes the reader recompute with the engine's own overflow semantics
+  }
+
   test("all-null and absent columns sum to NULL") {
     import spark.implicits._
     val path = tmp()
