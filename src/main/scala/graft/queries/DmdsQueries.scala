@@ -739,6 +739,53 @@ object DmdsQueries {
                 ORDER BY _change_type, event_id""")
       ),
 
+      "w_compact_scan" -> QueryDef(
+        // MAINTENANCE through the oracle gate: three small INSERTs fragment
+        // a cell into multiple files, `CALL system.compact` rewrites it to
+        // one file per chunk — and the readback must hash-match the union
+        // exactly. Compaction that drops, duplicates, or reorders-without-
+        // resorting a single row breaks the gate; the files-per-cell
+        // mechanics stay pinned in GraftCatalogSpec.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wcp", "cp")
+          events(s2, dir).createOrReplaceTempView("ev_src_cp")
+          s2.sql("DROP TABLE IF EXISTS wcp.ev_cp")
+          s2.sql("""CREATE TABLE wcp.ev_cp
+                    (event_id BIGINT, user_id BIGINT, c0 BIGINT)""")
+          (0 until 3).foreach(i =>
+            s2.sql(s"""INSERT INTO wcp.ev_cp
+                       SELECT event_id, user_id, user_id DIV 128
+                       FROM ev_src_cp WHERE event_id % 3 = $i"""))
+          s2.sql("CALL wcp.system.compact(table => 'ev_cp', max_files => 1)")
+          s2.sql("SELECT event_id, user_id FROM wcp.ev_cp ORDER BY event_id")
+        },
+        Some("SELECT event_id, user_id FROM events ORDER BY event_id")
+      ),
+
+      "w_expire_scan" -> QueryDef(
+        // RETENTION through the oracle gate: three versioned commits, then
+        // `expire_versions(keep => 1)` prunes the history — and the LIVE
+        // read must still be the exact union (retention touches only
+        // superseded history files and old manifests, never live data).
+        // An expire that deleted a live file or rewrote a manifest wrong
+        // breaks the hash; the version-window mechanics stay pinned in
+        // GraftVersionsSpec.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wex", "ex")
+          events(s2, dir).createOrReplaceTempView("ev_src_ex")
+          s2.sql("DROP TABLE IF EXISTS wex.ev_ex")
+          s2.sql("""CREATE TABLE wex.ev_ex
+                    (event_id BIGINT, user_id BIGINT, c0 BIGINT)""")
+          (0 until 3).foreach(i =>
+            s2.sql(s"""INSERT INTO wex.ev_ex
+                       SELECT event_id, user_id, user_id DIV 128
+                       FROM ev_src_ex WHERE event_id % 3 = $i"""))
+          s2.sql("CALL wex.system.expire_versions(table => 'ev_ex', keep => 1)")
+          s2.sql("SELECT event_id, user_id FROM wex.ev_ex ORDER BY event_id")
+        },
+        Some("SELECT event_id, user_id FROM events ORDER BY event_id")
+      ),
+
       "w_schema_drop" -> QueryDef(
         // LAZY DROP COLUMN through the oracle gate: INSERT with the wide
         // schema, DROP a column (one sidecar write — no data touched),

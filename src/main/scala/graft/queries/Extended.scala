@@ -207,6 +207,55 @@ object Extended {
               ORDER BY c_custkey""")
     ),
 
+    // running DISTINCT COUNT over a window: Spark has no DISTINCT window
+    // aggregate, so the idiomatic form is size(collect_set()) over the
+    // running frame — integer-exact, and bounded by the distinct-value
+    // cardinality of the column (event types), not the frame length.
+    // DuckDB supports COUNT(DISTINCT) OVER directly; same integers.
+    "q_window_distinct" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events").where(col("user_id") < 40)
+          .select(col("user_id"), col("event_id"),
+            size(collect_set(col("event_type")).over(w)).cast("long")
+              .as("n_types_seen"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+                CAST(COUNT(DISTINCT event_type) OVER (
+                  PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS n_types_seen
+              FROM events WHERE user_id < 40
+              ORDER BY user_id, event_id""")
+    ),
+
+    // median absolute deviation per group — the robust dispersion measure
+    // (stddev is outlier-poisoned exactly where robust pipelines need
+    // dispersion): two exact interpolated-percentile passes, the second
+    // over |x − median| with the group median attached by a broadcast-size
+    // join. Both engines interpolate identically over identical doubles.
+    "q_mad" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val med = li.groupBy("l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+        li.join(med, "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(first("med").as("median_qty"),
+            expr("percentile(abs(l_quantity - med), 0.5)").as("mad_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.5) AS med
+              FROM lineitem GROUP BY l_returnflag)
+              SELECT l.l_returnflag, ANY_VALUE(m.med) AS median_qty,
+                quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad_qty
+              FROM lineitem l JOIN m ON m.l_returnflag = l.l_returnflag
+              GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")
+    ),
+
     // nth_value + percent_rank — the remaining navigation/distribution
     // window forms (unique ordering keeps both deterministic; percent_rank
     // is exact rational arithmetic rendered in double identically by both
