@@ -739,6 +739,37 @@ object DmdsQueries {
                 ORDER BY _change_type, event_id""")
       ),
 
+      "w_snapshot_agg" -> QueryDef(
+        // THREE features composed under one oracle: aggregate pushdown ×
+        // footer sums × time travel. COUNT/SUM GROUP BY bucket, pinned to
+        // the PRE-UPDATE version, must be answered from the footers of
+        // files the COW rewrite has since RETIRED INTO HISTORY — the
+        // snapshot resolver hands the agg scan history file paths, footer
+        // metadata (row counts + the writer's sums) reads identically
+        // there, and the answer is yesterday's aggregate without touching
+        // a data page. The oracle predicts the pre-UPDATE state.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wsa", "sa")
+          events(s2, dir).createOrReplaceTempView("ev_src_sa")
+          s2.sql("DROP TABLE IF EXISTS wsa.ev_sa")
+          s2.sql("""CREATE TABLE wsa.ev_sa
+                    (event_id BIGINT, user_id BIGINT, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wsa.ev_sa
+                    SELECT event_id, user_id, user_id DIV 128
+                    FROM ev_src_sa""")
+          s2.sql("""UPDATE wsa.ev_sa SET user_id = user_id + 10000
+                    WHERE c0 = 0 AND event_id % 2 = 0""")
+          s2.sql("""SELECT c0, COUNT(*) AS n,
+                      SUM(event_id) AS sum_eid, SUM(user_id) AS sum_uid
+                    FROM wsa.ev_sa VERSION AS OF 1
+                    GROUP BY c0 ORDER BY c0""")
+        },
+        Some("""SELECT (user_id // 128) AS c0, COUNT(*) AS n,
+                  CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+                  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+                FROM events GROUP BY 1 ORDER BY c0""")
+      ),
+
       "w_compact_scan" -> QueryDef(
         // MAINTENANCE through the oracle gate: three small INSERTs fragment
         // a cell into multiple files, `CALL system.compact` rewrites it to

@@ -306,6 +306,39 @@ object EventOps {
               ORDER BY u.user_id"""),
     ),
 
+    // as-of with TOLERANCE: the prior error only counts if it happened
+    // within the last hour — the staleness bound every real enrichment
+    // needs (an hours-old quote must not price a trade). Same single
+    // shuffle as e_asof_join; the bound is one comparison against the
+    // latest prior match (if the NEAREST prior is too old, all are).
+    "e_asof_tolerance" -> QueryDef(
+      (s, dir) => {
+        val tagged = ev(s, dir)
+          .where(col("event_type").isin("click", "error"))
+          .select(
+            when(col("event_type") === "click", col("event_id")).as("event_id"),
+            col("user_id"), col("ts"),
+            when(col("event_type") === "click", 0).otherwise(1).as("tag"),
+            when(col("event_type") === "error", col("ts")).as("err_ts"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("prior_us",
+            unix_micros(last(col("err_ts"), ignoreNulls = true).over(w)))
+          .where(col("tag") === 0)
+          .select(col("event_id"), col("user_id"),
+            when(unix_micros(col("ts")) - col("prior_us") <= 3600000000L,
+              col("prior_us")).as("recent_error_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id, epoch_us(MAX(e.ts)) AS recent_error_us
+              FROM events c LEFT JOIN events e
+                ON e.user_id = c.user_id AND e.event_type = 'error'
+                AND e.ts < c.ts AND e.ts >= c.ts - INTERVAL 1 HOUR
+              WHERE c.event_type = 'click'
+              GROUP BY c.event_id, c.user_id ORDER BY c.event_id""")
+    ),
+
     "e_asof_join" -> QueryDef(
       // for each click: the most recent strictly-earlier error of the same
       // user. Implemented scalably (one shuffle by user_id): tag-union +

@@ -140,6 +140,14 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((0L, 10L, 90L), (1L, 10L, 190L), (2L, 10L, 290L)),
       "v1 (pre-update) maxima, not the zeroed ones")
+    // SUM reads the writer's footer metadata sums from the SAME retired
+    // history files (the three-feature composition w_snapshot_agg gates)
+    val sums = spark.sql(
+      "SELECT c0, SUM(v) AS sv FROM vcat.ag VERSION AS OF 1 GROUP BY c0")
+    assert(sums.queryExecution.executedPlan.toString.contains("SUM(v)"))
+    assert(sums.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 450L), (1L, 1450L), (2L, 2450L)),
+      "v1 sums from history metadata, not the zeroed live files")
   }
 
   test("INSERT OVERWRITE (truncate) retires the whole grid into history") {
