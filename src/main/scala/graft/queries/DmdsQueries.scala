@@ -754,9 +754,11 @@ object DmdsQueries {
           s2.sql("DROP TABLE IF EXISTS wsa.ev_sa")
           s2.sql("""CREATE TABLE wsa.ev_sa
                     (event_id BIGINT, user_id BIGINT, c0 BIGINT)""")
+          // half the events: the gate proves the metadata path, not the
+          // fixture write price (same slimming as w_mv_refresh)
           s2.sql("""INSERT INTO wsa.ev_sa
                     SELECT event_id, user_id, user_id DIV 128
-                    FROM ev_src_sa""")
+                    FROM ev_src_sa WHERE event_id % 2 = 0""")
           s2.sql("""UPDATE wsa.ev_sa SET user_id = user_id + 10000
                     WHERE c0 = 0 AND event_id % 2 = 0""")
           s2.sql("""SELECT c0, COUNT(*) AS n,
@@ -767,7 +769,8 @@ object DmdsQueries {
         Some("""SELECT (user_id // 128) AS c0, COUNT(*) AS n,
                   CAST(SUM(event_id) AS BIGINT) AS sum_eid,
                   CAST(SUM(user_id) AS BIGINT) AS sum_uid
-                FROM events GROUP BY 1 ORDER BY c0""")
+                FROM events WHERE event_id % 2 = 0
+                GROUP BY 1 ORDER BY c0""")
       ),
 
       "w_compact_scan" -> QueryDef(
@@ -783,14 +786,17 @@ object DmdsQueries {
           s2.sql("DROP TABLE IF EXISTS wcp.ev_cp")
           s2.sql("""CREATE TABLE wcp.ev_cp
                     (event_id BIGINT, user_id BIGINT, c0 BIGINT)""")
+          // three appends over HALF the events (fragmentation is what the
+          // gate needs; fixture volume only prices the writes)
           (0 until 3).foreach(i =>
             s2.sql(s"""INSERT INTO wcp.ev_cp
                        SELECT event_id, user_id, user_id DIV 128
-                       FROM ev_src_cp WHERE event_id % 3 = $i"""))
+                       FROM ev_src_cp WHERE event_id % 6 = ${2 * i}"""))
           s2.sql("CALL wcp.system.compact(table => 'ev_cp', max_files => 1)")
           s2.sql("SELECT event_id, user_id FROM wcp.ev_cp ORDER BY event_id")
         },
-        Some("SELECT event_id, user_id FROM events ORDER BY event_id")
+        Some("""SELECT event_id, user_id FROM events
+                WHERE event_id % 2 = 0 ORDER BY event_id""")
       ),
 
       "w_expire_scan" -> QueryDef(
@@ -810,11 +816,12 @@ object DmdsQueries {
           (0 until 3).foreach(i =>
             s2.sql(s"""INSERT INTO wex.ev_ex
                        SELECT event_id, user_id, user_id DIV 128
-                       FROM ev_src_ex WHERE event_id % 3 = $i"""))
+                       FROM ev_src_ex WHERE event_id % 6 = ${2 * i}"""))
           s2.sql("CALL wex.system.expire_versions(table => 'ev_ex', keep => 1)")
           s2.sql("SELECT event_id, user_id FROM wex.ev_ex ORDER BY event_id")
         },
-        Some("SELECT event_id, user_id FROM events ORDER BY event_id")
+        Some("""SELECT event_id, user_id FROM events
+                WHERE event_id % 2 = 0 ORDER BY event_id""")
       ),
 
       "w_schema_drop" -> QueryDef(
