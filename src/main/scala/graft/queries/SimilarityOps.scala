@@ -207,6 +207,62 @@ object SimilarityOps {
       Some("""SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
                 CAST(1.0 AS DOUBLE) AS sim
               FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b""")
+    ),
+
+    // Achlioptas sparse random projection (64 -> 8 dims): the
+    // Johnson-Lindenstrauss reduction that makes downstream ANN /
+    // clustering cheaper at 100 TB, with the Gaussian matrix replaced by
+    // the database-friendly {+1, 0, -1} matrix (P[+1] = P[-1] = 1/6) whose
+    // entries derive from md5(i "_" j) — so BOTH engines can rebuild the
+    // exact matrix and the projection is reproducible forever (a
+    // runtime-sampled matrix would be neither portable nor re-runnable).
+    // Embedding floats round ONCE to integer micro-units; the projection
+    // is then pure integer arithmetic — order-independent exact. The
+    // matrix ships as 8 per-output-dim literal arrays inside zip_with/
+    // aggregate HOFs: a shuffle-free per-row scan, no explode, no join.
+    "s_rp_project" -> QueryDef(
+      (s, dir) => {
+        val mat: Array[Array[Long]] = Array.tabulate(8) { j =>
+          Array.tabulate(64) { i =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"${i}_${j}".getBytes("UTF-8"))
+            val v = md.take(4).map("%02x".format(_)).mkString
+            java.lang.Long.parseLong(v, 16) % 6 match {
+              case 0 => 1L
+              case 1 => -1L
+              case _ => 0L
+            }
+          }
+        }
+        val ys = (0 until 8).map { j =>
+          aggregate(
+            zip_with(col("embedding"), typedLit(mat(j)),
+              (x, g) => round(x.cast("double") * lit(1e6), 0).cast("long") * g),
+            lit(0L), (acc, v) => acc + v)
+        }
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("j", "y_u")))
+          .select(col("vec_id"), col("j").cast("long").as("j"), col("y_u"))
+          .orderBy("vec_id", "j")
+      },
+      Some("""WITH m AS (
+                SELECT i, j,
+                  CASE WHEN v % 6 = 0 THEN 1
+                       WHEN v % 6 = 1 THEN -1 ELSE 0 END AS g
+                FROM (SELECT i, j,
+                        CAST('0x' || substr(md5(i || '_' || j), 1, 8) AS BIGINT) AS v
+                      FROM generate_series(0, 63) t1(i),
+                           generate_series(0, 7) t2(j))),
+              e AS (
+                SELECT vec_id,
+                  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+                  CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6, 0)
+                    AS BIGINT) AS xu
+                FROM embeddings)
+              SELECT e.vec_id, CAST(m.j AS BIGINT) AS j,
+                CAST(SUM(e.xu * m.g) AS BIGINT) AS y_u
+              FROM e JOIN m USING (i)
+              GROUP BY e.vec_id, m.j ORDER BY vec_id, j""")
     )
   )
 }

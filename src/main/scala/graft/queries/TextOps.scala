@@ -609,6 +609,111 @@ object TextOps {
                 CAST(len(regexp_extract_all(text, '[\x40-\x5f]')) AS BIGINT) AS f2,
                 CAST(len(regexp_extract_all(text, '[\x60-\x7f]')) AS BIGINT) AS f3
               FROM documents ORDER BY doc_id""")
+    ),
+
+    // Okapi BM25 ranking (the Lucene "+1" idf variant) of the corpus
+    // against a fixed 3-term query — the retrieval scorer a RAG pipeline
+    // runs over its candidate set. Per-term scores are rounded ONCE to
+    // integer micro-units and summed as BIGINT (the p_dsir_weights
+    // discipline — order-independent exact under any partitioning);
+    // corpus stats (N, avgdl) ride as a broadcast single-row aggregate
+    // and the per-term df table is |Q| rows, so the only wide shuffles
+    // are the per-doc length and query-term tf groupBys — the tf input is
+    // pre-filtered to query terms, term-posting-list sized, never corpus
+    // sized. Top-10 is TakeOrdered (never a global sort); ties broken by
+    // doc_id so LIMIT is deterministic.
+    "t_bm25" -> QueryDef(
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.WordNgrams(col("text"), 1)).as("w"))
+        val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          sum("dl").cast("double").as("tot_dl"))
+        val tf = words.where(col("w").isin("spark", "join", "fast"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        // k1 = 1.2, b = 0.75 pre-folded: k1+1 = 2.2, k1(1-b) = 0.3,
+        // k1*b = 0.9; expression tree parenthesized identically in the
+        // oracle so the doubles match bit-for-bit before the one rounding
+        val idf = log(lit(1.0) +
+          ((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+        val frac = (col("tf") * lit(2.2)) /
+          (col("tf") + (lit(0.3) + lit(0.9) *
+            (col("dl").cast("double") / (col("tot_dl") / col("n_docs")))))
+        tf.join(broadcast(dfc), "w")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            round((idf * frac) * lit(1e6), 0).cast("long").as("s_u"))
+          .groupBy("doc_id")
+          .agg(sum("s_u").as("score_u"), count(lit(1)).as("n_terms"))
+          .orderBy(col("score_u").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, unnest(list_filter(
+                  string_split_regex(trim(lower(text)), '\s+'),
+                  x -> x <> '')) AS w
+                FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id),
+              st AS (SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(dl) AS DOUBLE) AS tot_dl FROM dl),
+              tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w
+                     WHERE w IN ('spark','join','fast') GROUP BY doc_id, w),
+              dfc AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+              sc AS (
+                SELECT tf.doc_id,
+                  CAST(ROUND((ln(1.0 + ((st.n_docs - dfc.df) + 0.5) / (dfc.df + 0.5))
+                    * ((tf.tf * 2.2) / (tf.tf + (0.3 + 0.9 *
+                        (CAST(dl.dl AS DOUBLE) / (st.tot_dl / st.n_docs))))))
+                    * 1e6, 0) AS BIGINT) AS s_u
+                FROM tf JOIN dfc USING (w) JOIN dl USING (doc_id) CROSS JOIN st)
+              SELECT doc_id, CAST(SUM(s_u) AS BIGINT) AS score_u,
+                COUNT(*) AS n_terms
+              FROM sc GROUP BY doc_id
+              ORDER BY score_u DESC, doc_id LIMIT 10""")
+    ),
+
+    // positional inverted index + phrase query: postings are
+    // (word, doc_id, pos) rows — the index build every search system runs
+    // over a corpus — and a 3-word phrase match is two positional
+    // self-intersections (pos+1, pos+2). Each join input is restricted to
+    // ONE phrase word before joining, so the intersections are
+    // posting-list sized, never corpus sized, and they key on
+    // (doc_id, pos) — a join Catalyst plans as one hash join per word at
+    // any corpus scale. Positions are raw 1-based split slots, identical
+    // in both engines by construction.
+    "t_phrase_search" -> QueryDef(
+      (s, dir) => {
+        val post = t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("p0", "w")))
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("w"))
+        val p1 = post.where(col("w") === "fast").select("doc_id", "pos")
+        val p2 = post.where(col("w") === "key")
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        val p3 = post.where(col("w") === "scan")
+          .select(col("doc_id"), (col("pos") - 2).as("pos"))
+        p1.join(p2, Seq("doc_id", "pos")).join(p3, Seq("doc_id", "pos"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p0 AS (
+                SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\s+') AS a
+                FROM documents),
+              post AS (
+                SELECT doc_id, unnest(a) AS w,
+                  CAST(generate_subscripts(a, 1) AS BIGINT) AS pos
+                FROM p0),
+              p1 AS (SELECT doc_id, pos FROM post WHERE w = 'fast'),
+              p2 AS (SELECT doc_id, pos - 1 AS pos FROM post WHERE w = 'key'),
+              p3 AS (SELECT doc_id, pos - 2 AS pos FROM post WHERE w = 'scan')
+              SELECT doc_id, COUNT(*) AS n_hits, MIN(pos) AS first_pos
+              FROM p1 JOIN p2 USING (doc_id, pos) JOIN p3 USING (doc_id, pos)
+              GROUP BY doc_id ORDER BY doc_id""")
     )
   )
 }
