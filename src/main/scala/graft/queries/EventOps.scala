@@ -227,6 +227,30 @@ object EventOps {
               ORDER BY click_id, err_id""")
     ),
 
+    // batch form of EventStreams.clickErrorLeftJoin (the LEFT-OUTER
+    // stream-stream interval join: unmatched clicks surface with NULL
+    // error fields once the watermark proves no match can arrive —
+    // StreamingSpec drives that incremental path; here the SAME code path
+    // is checked relationally against DuckDB's LEFT JOIN)
+    "e_stream_left_join" -> QueryDef(
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+        val errors = e.where(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("e_ts"))
+        graft.streaming.EventStreams.clickErrorLeftJoin(clicks, errors)
+          .orderBy("click_id", "err_id")
+      },
+      Some("""SELECT c.event_id AS click_id, c.user_id, e.event_id AS err_id,
+                CAST(epoch_us(e.ts) AS BIGINT) AS err_us
+              FROM events c LEFT JOIN events e
+                ON e.user_id = c.user_id AND e.event_type = 'error'
+               AND e.ts >= c.ts - INTERVAL 30 MINUTE AND e.ts <= c.ts
+              WHERE c.event_type = 'click'
+              ORDER BY click_id, err_id""")
+    ),
+
     // batch twin of EventStreams.errorRunCounts (the flatMapGroupsWithState
     // custom-state op): per-user running error count with the alert flag
     // once it crosses 3. The stateful operator's semantics expressed as one

@@ -67,6 +67,34 @@ object EventStreams {
         unix_micros(col("e_ts")).as("err_us"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: every click is emitted —
+    * enriched with each same-user error in the `within` interval ending at
+    * the click, or with NULL error fields once the watermark PROVES no such
+    * error can still arrive (outer results surface only at watermark
+    * advance; emitting them eagerly would double-emit when a late match
+    * lands). State bound is the same interval + watermark horizon as the
+    * inner form — the outer side adds no state, only an emit-on-eviction
+    * rule. The enrich-with-optional-context shape (most clicks have no
+    * error) that an inner join silently drops.
+    *
+    * Works on BATCH frames too (the analyzer strips watermarks on
+    * non-streaming children, leaving a plain left join), which is how the
+    * `e_stream_left_join` oracle checks the join semantics relationally.
+    */
+  def clickErrorLeftJoin(clicks: DataFrame, errors: DataFrame,
+      within: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("c_ts", watermark)
+    val e = errors.withColumnRenamed("user_id", "e_user")
+      .withWatermark("e_ts", watermark)
+    c.join(e,
+        col("user_id") === col("e_user") &&
+          col("e_ts") >= col("c_ts") - expr(s"INTERVAL $within") &&
+          col("e_ts") <= col("c_ts"),
+        "left_outer")
+      .select(col("click_id"), col("user_id"), col("err_id"),
+        unix_micros(col("e_ts")).as("err_us"))
+  }
+
   /** Streaming exact dedup with bounded state: duplicate event ids arriving
     * within the watermark horizon are dropped; state for ids older than the
     * watermark is evicted (an unbounded `dropDuplicates` would grow state

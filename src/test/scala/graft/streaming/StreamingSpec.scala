@@ -528,6 +528,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT-OUTER interval join: unmatched click emits NULL error after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Long, Long)] // (click_id, user, epoch_us)
+    val errors = MemoryStream[(Long, Long, Long)] // (err_id, user, epoch_us)
+    val cdf = clicks.toDF().toDF("click_id", "user_id", "us")
+      .withColumn("c_ts", timestamp_micros(col("us"))).drop("us")
+    val edf = errors.toDF().toDF("err_id", "user_id", "us")
+      .withColumn("e_ts", timestamp_micros(col("us"))).drop("us")
+    val joined = EventStreams.clickErrorLeftJoin(cdf, edf,
+        within = "30 minutes", watermark = "10 minutes")
+      .select(col("click_id"), col("err_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssljoin_out").start()
+    try {
+      val min = 60L * 1000000L
+      // click 1 (user 7) has a matching error; click 2 (user 8) has none
+      clicks.addData((1L, 7L, 40 * min), (2L, 8L, 40 * min))
+      errors.addData((10L, 7L, 20 * min))
+      q.processAllAvailable()
+      val matched = spark.sql("SELECT click_id, err_id FROM ssljoin_out")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      // the matched pair may emit now; click 2's NULL row must NOT — the
+      // watermark hasn't proven absence yet
+      assert(!matched.contains((2L, None)), s"premature outer emit: $matched")
+      // advance the watermark far past click 2's horizon (40min + 10min wm)
+      errors.addData((11L, 9L, 200 * min))
+      clicks.addData((3L, 9L, 200 * min))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT click_id, err_id FROM ssljoin_out")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(got.contains((1L, Some(10L))), s"matched pair missing: $got")
+      assert(got.contains((2L, None)), s"outer row for unmatched click missing: $got")
+    } finally q.stop()
+  }
+
   test("dedupStream: duplicate ids within the watermark horizon are dropped, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
