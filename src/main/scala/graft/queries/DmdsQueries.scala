@@ -824,6 +824,33 @@ object DmdsQueries {
                 WHERE event_id % 2 = 0 ORDER BY event_id""")
       ),
 
+      "w_zorder_proc" -> QueryDef(
+        // DECLARED Z-ORDER through the oracle gate: INSERT, then
+        // `CALL system.zorder` registers the layout and rewrites every
+        // occupied cell as its Morton-sorted self through the connector's
+        // dynamic overwrite (sort expression = the connector zvalue
+        // function, resolved via the catalog's FunctionCatalog face). The
+        // readback must hash-match the original insert exactly — a rewrite
+        // that drops/duplicates a row, or a zvalue ordering that breaks
+        // write routing, breaks the gate; physical file order and layout
+        // persistence across later writes stay pinned in GraftZOrderSpec.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wzp", "zp")
+          events(s2, dir).createOrReplaceTempView("ev_src_zp")
+          s2.sql("DROP TABLE IF EXISTS wzp.ev_zp")
+          s2.sql("""CREATE TABLE wzp.ev_zp
+                    (event_id BIGINT, user_id BIGINT, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wzp.ev_zp
+                    SELECT event_id, user_id, user_id DIV 128
+                    FROM ev_src_zp WHERE event_id % 4 = 0""")
+          s2.sql("CALL wzp.system.zorder(table => 'ev_zp', " +
+            "columns => 'user_id,event_id')")
+          s2.sql("SELECT event_id, user_id FROM wzp.ev_zp ORDER BY event_id")
+        },
+        Some("""SELECT event_id, user_id FROM events
+                WHERE event_id % 4 = 0 ORDER BY event_id""")
+      ),
+
       "w_schema_drop" -> QueryDef(
         // LAZY DROP COLUMN through the oracle gate: INSERT with the wide
         // schema, DROP a column (one sidecar write — no data touched),

@@ -32,7 +32,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * identically through the catalog and the path API.
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -70,7 +71,7 @@ class GraftCatalog extends TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident)
     val p = pathOf(ident)
-    new GraftTable(p, GraftDataSource.sidecarSchema(p))
+    new GraftTable(p, GraftDataSource.sidecarSchema(p), viaCatalog = true)
   }
 
   /** `SELECT … FROM t VERSION AS OF n` — the table pinned to commit `n` of
@@ -117,7 +118,7 @@ class GraftCatalog extends TableCatalog
     val p = pathOf(ident)
     fs().mkdirs(new Path(p))
     GraftDataSource.writeSidecarIfAbsent(p, schema)
-    new GraftTable(p, schema)
+    new GraftTable(p, schema, viaCatalog = true)
   }
 
   /** `ALTER TABLE … ADD COLUMN` / `DROP COLUMN`: pure metadata operations
@@ -185,7 +186,7 @@ class GraftCatalog extends TableCatalog
     val f = fs()
     val out = f.create(new Path(s"$p/_graft_schema.json"), true)
     out.write(updated.json.getBytes("UTF-8")); out.close()
-    new GraftTable(p, updated)
+    new GraftTable(p, updated, viaCatalog = true)
   }
 
   private def droppedPath(tablePath: String) =
@@ -238,9 +239,27 @@ class GraftCatalog extends TableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("compact", "stats", "rollback", "expire_versions", "versions",
-        "tag", "drop_tag", "tags", "clone", "set_bloom")
+        "tag", "drop_tag", "tags", "clone", "set_bloom", "zorder")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
+
+  // FunctionCatalog face: the connector functions catalog-routed writes
+  // resolve their sort orderings against (zvalue — the declared-Z-order
+  // write contract, see GraftZOrder); also user-callable as
+  // `SELECT <cat>.system.zvalue(a, b)`.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(namespace, "zvalue"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "zvalue" &&
+        (ident.namespace().isEmpty ||
+          ident.namespace().sameElements(Array("system"))))
+      GraftZValueFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -257,13 +276,87 @@ class GraftCatalog extends TableCatalog
       case (Seq("system"), "tags")     => new GraftTagsProcedure(this)
       case (Seq("system"), "clone")    => new GraftCloneProcedure(this)
       case (Seq("system"), "set_bloom") => new GraftSetBloomProcedure(this)
+      case (Seq("system"), "zorder")   => new GraftZOrderProcedure(this)
       case _ => throw new UnsupportedOperationException(
         s"graft catalog $catalogName has no procedure $ident (available: " +
           "system.compact, system.stats, system.rollback, " +
           "system.expire_versions, system.versions, system.clean_stages, " +
           "system.tag, system.drop_tag, system.tags, system.clone, " +
-          "system.set_bloom)")
+          "system.set_bloom, system.zorder)")
     }
+}
+
+/** `CALL <cat>.system.zorder(table => 't', columns => 'a,b')` — declare
+  * intra-chunk Z-order clustering on data columns and rewrite the current
+  * cells into it. Two effects, deliberately in this order:
+  *
+  *   1. the `_graft_zorder` sidecar records the columns as a TABLE
+  *      property, so every LATER write (INSERT, COW rewrite, compact)
+  *      keeps the layout — a one-shot OPTIMIZE that later appends silently
+  *      undo is the classic operational trap;
+  *   2. the existing occupied cells are rewritten through the connector's
+  *      dynamic-overwrite path (same content, new order): each cell
+  *      replaced by its z-sorted self, staged and swapped at commit,
+  *      sealed in the version log like any other write.
+  *
+  * The rewrite is ONE distributed job whose shuffle key is the bucket
+  * columns (the write contract's clustering); at a 100k-chunk grid the
+  * cost is the data volume, never a per-cell driver loop. Columns must be
+  * bigint data columns (the zvalue kernel's domain — see
+  * functions.ZValue for the masked-bits contract).
+  */
+class GraftZOrderProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "zorder"
+  override def description(): String =
+    "declare intra-chunk Z-order columns and rewrite current cells into it"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "zorder"
+    override def description(): String = GraftZOrderProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build(),
+      ProcedureParameter.in("columns", org.apache.spark.sql.types.StringType)
+        .comment("comma-separated bigint data columns, interleave order")
+        .build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val table = input.getUTF8String(0).toString
+      val cols = input.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.size >= 2,
+        s"system.zorder needs at least 2 columns to interleave, got $cols")
+      val path = cat.tablePath(table)
+      val spark = org.apache.spark.sql.SparkSession.active
+      val qualified = s"${cat.name()}.$table"
+      val schema = spark.table(qualified).schema
+      cols.foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"system.zorder: no column $c in $table"))
+        require(!GraftDataSource.isBucket(c),
+          s"system.zorder: $c is a bucket column — the grid already " +
+            "clusters on it; name data columns")
+        require(f.dataType == org.apache.spark.sql.types.LongType,
+          s"system.zorder: $c is ${f.dataType.simpleString}; the zvalue " +
+            "kernel interleaves bigint columns")
+      }
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      GraftZOrder.register(fs, new Path(path), cols)
+      // rewrite every occupied cell as its z-sorted self: dynamic
+      // overwrite replaces exactly the cells the (full-content) write
+      // produces — cells stay cells, rows stay rows, order changes
+      val cells = GraftDataSource.walkChunks(fs, new Path(path), Array.empty).size
+      if (cells > 0)
+        spark.table(qualified).writeTo(qualified).overwritePartitions()
+      GraftProcedures.singleRow("zordered_chunks", cells.toLong)
+    }
+  }
 }
 
 /** `CALL <cat>.system.set_bloom(table => 't', columns => 'a,b')` — register

@@ -481,7 +481,12 @@ class GraftTable(path: String, schema: StructType,
     pin: Option[GraftTimePin] = None,
     startingVersion: Option[String] = None,
     follow: Boolean = false,
-    maxVersionsPerTrigger: Option[Long] = None) extends Table
+    maxVersionsPerTrigger: Option[Long] = None,
+    // true when loaded through GraftCatalog: catalog-routed writes can
+    // resolve connector functions (zvalue sort ordering) against the
+    // catalog's FunctionCatalog face; path-routed writes cannot and take
+    // the lexicographic z-column fallback (see GraftZOrder)
+    viaCatalog: Boolean = false) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -574,7 +579,7 @@ class GraftTable(path: String, schema: StructType,
     readOnly("write")
     if (follow) throw new UnsupportedOperationException(
       "graft: cannot write through a graft.follow change-feed handle")
-    new GraftWriteBuilder(path, info)
+    new GraftWriteBuilder(path, info, viaCatalog)
   }
 }
 

@@ -64,12 +64,14 @@ class GraftRowLevelOperation(path: String, schema: StructType, cmd: Command)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     new WriteBuilder {
       override def build(): Write =
+        // row-level DML only exists through the catalog SQL surface, so
+        // the zvalue ordering is always resolvable here (viaCatalog)
         GraftWriteLayout.withLayout(path, info.schema(),
           new GraftReplaceGroupsWrite(path, info.schema(), () => {
             val all = new java.util.HashSet[String]()
             scanDirSets.forEach(s => all.addAll(s))
             all
-          }))
+          }), viaCatalog = true)
     }
   }
 

@@ -20,7 +20,8 @@ import org.apache.spark.sql.types._
   * files (a table format with an atomic commit log is the production
   * answer — out of scope for the chunk-grid layout the reference defines).
   */
-class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder
+class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
+    viaCatalog: Boolean = false) extends WriteBuilder
     with SupportsOverwrite with SupportsDynamicOverwrite {
   private var overwriteBy: Option[Array[org.apache.spark.sql.sources.Filter]] = None
   private var dynamicOverwrite = false
@@ -79,7 +80,8 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuild
         new GraftUpsertWrite(path, info.schema())
       else new GraftBatchWrite(path, info.schema())
     new Write with RequiresDistributionAndOrdering {
-      private val layout = GraftWriteLayout.withLayout(path, info.schema(), batch)
+      private val layout = GraftWriteLayout
+        .withLayout(path, info.schema(), batch, viaCatalog)
         .asInstanceOf[RequiresDistributionAndOrdering]
       override def toBatch: BatchWrite = batch
 
@@ -340,8 +342,10 @@ object GraftReplaceGroupsWrite {
 private[sources] object GraftWriteLayout {
   import org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering
 
-  def withLayout(path: String, schema: StructType, batch: BatchWrite): Write =
+  def withLayout(path: String, schema: StructType, batch: BatchWrite,
+      viaCatalog: Boolean = false): Write =
     new Write with RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
       override def toBatch: BatchWrite = batch
 
       private def bucketNames: Array[String] =
@@ -350,19 +354,35 @@ private[sources] object GraftWriteLayout {
       override def requiredDistribution():
           org.apache.spark.sql.connector.distributions.Distribution =
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          bucketNames.map(n => org.apache.spark.sql.connector.expressions
-            .Expressions.identity(n)
+          bucketNames.map(n => Expressions.identity(n)
             .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]))
 
       override def requiredOrdering():
           Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
         val fields = schema.fieldNames.toSet
-        val dimNames = graft.plans.DimPruningRegistry.lookup(path)
-          .map(_.map(_.column).filter(fields.contains)).getOrElse(Seq.empty)
-        (bucketNames ++ dimNames).map(n =>
-          org.apache.spark.sql.connector.expressions.Expressions.sort(
-            org.apache.spark.sql.connector.expressions.Expressions.column(n),
-            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        def asc(e: org.apache.spark.sql.connector.expressions.Expression) =
+          Expressions.sort(e, SortDirection.ASCENDING)
+        // declared intra-chunk Z-order (CALL system.zorder / _graft_zorder
+        // sidecar) takes precedence over the dim sort: catalog-routed
+        // writes sort by the connector zvalue function (resolved against
+        // GraftCatalog's FunctionCatalog face — a true Morton curve);
+        // path-routed writes have no function catalog to resolve it, so
+        // they keep the layout approximately with a lexicographic sort on
+        // the same columns instead of failing the write
+        val zCols = GraftZOrder.columnsOf(path).filter(fields.contains)
+        val intra: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          if (zCols.size >= 2 && viaCatalog)
+            Array(asc(Expressions.apply("zvalue",
+              zCols.map(c => Expressions.column(c)
+                .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]): _*)))
+          else if (zCols.nonEmpty)
+            zCols.toArray.map(c => asc(Expressions.column(c)))
+          else {
+            val dimNames = graft.plans.DimPruningRegistry.lookup(path)
+              .map(_.map(_.column).filter(fields.contains)).getOrElse(Seq.empty)
+            dimNames.toArray.map(c => asc(Expressions.column(c)))
+          }
+        bucketNames.map(c => asc(Expressions.column(c))) ++ intra
       }
     }
 }
