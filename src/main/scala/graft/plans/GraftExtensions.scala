@@ -81,5 +81,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("repetition_stats",
         "repetition_stats(text) - struct(n_grams, max_rep, top_gram, n_dup) bigram repetition signals"),
       (args: Seq[Expression]) => RepetitionStats(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("cms_estimate"),
+      info("cms_estimate",
+        "cms_estimate(sketch, key) - frequency estimate of bigint key from a count_min_sketch binary"),
+      (args: Seq[Expression]) => CmsEstimate(args(0), args(1))))
   }
 }

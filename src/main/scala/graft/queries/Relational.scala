@@ -481,6 +481,38 @@ object Relational {
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     ),
 
+    // Count-Min sketch gate: the frequency-sketch sibling of the HLL and
+    // percentile gates. One distributed `count_min_sketch` aggregate
+    // (Spark merges per-partition sketches — the mergeability that makes
+    // CMS usable at 100 TB) broadcasts as a scalar; a deterministic probe
+    // key set is checked against its EXACT counts through the native
+    // cms_estimate kernel. CMS can never under-count, and with the sketch
+    // sized at eps=0.001/conf=0.999 the over-count past eps·N on this
+    // fixed (data, seed) pair would mean the sketch itself broke — both
+    // bounds fold into within_bound, which DuckDB predicts as 1.
+    "q_cms_gate" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val sk = li.agg(
+          expr("count_min_sketch(l_partkey, 0.001d, 0.999d, 42)").as("__sk"),
+          count(lit(1)).as("__n"))
+        val probes = li.where(col("l_partkey") % 97 === 0)
+          .groupBy("l_partkey").agg(count(lit(1)).as("exact_cnt"))
+        val est = graft.functions.CmsEstimate(col("__sk"), col("l_partkey"))
+        probes.crossJoin(broadcast(sk)) // scalar-aggregate broadcast
+          .select(col("l_partkey"), col("exact_cnt"),
+            ((est >= col("exact_cnt")) &&
+              (est <= col("exact_cnt") +
+                ceil(col("__n").cast("double") * lit(0.001)).cast("long")))
+              .cast("bigint").as("within_bound"))
+          .orderBy("l_partkey")
+      },
+      Some("""SELECT l_partkey, COUNT(*) AS exact_cnt,
+                CAST(1 AS BIGINT) AS within_bound
+              FROM lineitem WHERE l_partkey % 97 = 0
+              GROUP BY l_partkey ORDER BY l_partkey""")
+    ),
+
     // share-of-total per group in integer MICRO-UNITS: the "percent of
     // revenue" analytics staple, computed as one partial-aggregating
     // shuffle + a broadcast scalar total — never a global window. The
