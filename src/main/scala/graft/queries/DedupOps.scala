@@ -357,6 +357,55 @@ object DedupOps {
               SELECT id_a, id_b, CAST(inter * 100 // uni AS BIGINT) AS jaccard_pct
               FROM pairs WHERE inter * 100 >= uni * 50
               ORDER BY id_a, id_b""")
+    ),
+
+    // canonical-survivor selection by QUALITY: within each exact-duplicate
+    // group, keep the highest-quality copy (stopword-density proxy, doc_id
+    // tie-break) instead of the arbitrary min-id — real pipelines pick the
+    // copy with the best provenance/quality, and "which copy survives"
+    // changes downstream mixture weights. The pick is a skew-immune
+    // min(struct) AGGREGATE riding the fingerprint shuffle — never a
+    // per-group window sort, so a pathological million-copy group costs
+    // one combine tree, not one task.
+    "d_canonical_pick" -> QueryDef(
+      (s, dir) => {
+        // planted mirror copies: first 50 docs re-enter with SMALLER ids
+        // and a worse provenance rank (src99) — a min-id survivor rule
+        // would keep the mirrors, so the oracle (original ids win) proves
+        // the PRIORITY ordering is doing the work, not the id tie-break
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val planted = docs.where(col("doc_id") < 50)
+          .select((col("doc_id") - 1000000L).as("doc_id"),
+            lit("src99").as("source"), col("text"))
+        val scored = docs.unionAll(planted).select(col("doc_id"),
+          md5(col("text")).as("fp"),
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long").as("prio"))
+        scored.groupBy("fp").agg(
+            count(lit(1)).as("n_copies"),
+            min(struct(col("prio").as("prio"), col("doc_id").as("doc_id")))
+              .as("pick"))
+          .select(col("pick.doc_id").as("doc_id"), col("pick.prio").as("prio"),
+            col("n_copies"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ad AS (
+                SELECT doc_id, source, text FROM documents
+                UNION ALL
+                SELECT doc_id - 1000000, 'src99', text FROM documents
+                WHERE doc_id < 50),
+              s AS (
+                SELECT doc_id, md5(text) AS fp,
+                  CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) AS prio
+                FROM ad),
+              r AS (
+                SELECT doc_id, prio,
+                  ROW_NUMBER() OVER (PARTITION BY fp ORDER BY prio, doc_id)
+                    AS rk,
+                  COUNT(*) OVER (PARTITION BY fp) AS n_copies
+                FROM s)
+              SELECT doc_id, prio, CAST(n_copies AS BIGINT) AS n_copies
+              FROM r WHERE rk = 1 ORDER BY doc_id""")
     )
   )
 }

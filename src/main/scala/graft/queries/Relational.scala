@@ -513,6 +513,55 @@ object Relational {
               GROUP BY l_partkey ORDER BY l_partkey""")
     ),
 
+    // key-skew diagnosis report: the power-of-two histogram of per-key row
+    // counts — the operational answer to "will this join/groupBy key
+    // hot-spot at scale" BEFORE running it. Bucket = bit-length of the
+    // key's count (integer-exact in both engines via length(bin(cnt)) —
+    // a float log2 would jitter at exact powers of two); per bucket the
+    // key population, count envelope, and row volume. Two bounded
+    // shuffles: keys, then ≤64 buckets.
+    "q_skew_report" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .groupBy(length(bin(col("cnt"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_keys"), min("cnt").as("min_cnt"),
+          max("cnt").as("max_cnt"), sum("cnt").as("n_rows"))
+        .orderBy("bucket"),
+      Some("""WITH k AS (
+                SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+              SELECT CAST(length(bin(cnt)) AS BIGINT) AS bucket,
+                COUNT(*) AS n_keys, MIN(cnt) AS min_cnt, MAX(cnt) AS max_cnt,
+                CAST(SUM(cnt) AS BIGINT) AS n_rows
+              FROM k GROUP BY bucket ORDER BY bucket""")
+    ),
+
+    // null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the join
+    // semantics plain equality silently drops — NULL keys match each
+    // other exactly once instead of vanishing. NULLs are planted
+    // deterministically via nullif; the join stays a hash join on the
+    // (null-safe) key at any scale.
+    "q_null_safe_join" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val a = o.select(expr("nullif(o_orderpriority, '1-URGENT')").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("na"))
+        val b = o.select(expr("nullif(o_orderpriority, '2-HIGH')").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("nb"))
+        a.join(b, a("k") <=> b("k"))
+          .select(a("k").as("k"), col("na"), col("nb"))
+          .orderBy("k")
+      },
+      Some("""WITH a AS (
+                SELECT nullif(o_orderpriority, '1-URGENT') AS k, COUNT(*) AS na
+                FROM orders GROUP BY 1),
+              b AS (
+                SELECT nullif(o_orderpriority, '2-HIGH') AS k, COUNT(*) AS nb
+                FROM orders GROUP BY 1)
+              SELECT a.k, a.na, b.nb FROM a JOIN b
+                ON a.k IS NOT DISTINCT FROM b.k
+              ORDER BY a.k""")
+    ),
+
     // share-of-total per group in integer MICRO-UNITS: the "percent of
     // revenue" analytics staple, computed as one partial-aggregating
     // shuffle + a broadcast scalar total — never a global window. The

@@ -675,6 +675,49 @@ object TextOps {
               ORDER BY score_u DESC, doc_id LIMIT 10""")
     ),
 
+    // per-document token ENTROPY (micro-nats): the gibberish/boilerplate
+    // quality signal repetition counts alone miss — low entropy flags
+    // keyword-stuffed or template docs, high entropy flags random noise.
+    // H = ln(n) - (Σ c_w·ln(c_w))/n with the Σ term rounded ONCE per word
+    // to integer micro-nats before the BIGINT sum (order-independent
+    // exact, the KL/DSIR discipline); two bounded shuffles, (doc, word)
+    // then doc.
+    "t_entropy" -> QueryDef(
+      (s, dir) => {
+        val counts = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.WordNgrams(col("text"), 1)).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        counts.groupBy("doc_id").agg(
+            sum("c").as("n_tok"),
+            sum(round((col("c").cast("double") *
+                log(col("c").cast("double"))) * lit(1e6), 0).cast("long"))
+              .as("s_unats"))
+          .select(col("doc_id"), col("n_tok"),
+            (round(log(col("n_tok").cast("double")) * lit(1e6), 0).cast("long")
+              - round(col("s_unats").cast("double") / col("n_tok"), 0)
+                .cast("long")).as("h_unats"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, unnest(list_filter(
+                  string_split_regex(trim(lower(text)), '\s+'),
+                  x -> x <> '')) AS w
+                FROM documents),
+              c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+              d AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+                  CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) *
+                    ln(CAST(c AS DOUBLE))) * 1e6, 0) AS BIGINT)) AS BIGINT)
+                    AS s_unats
+                FROM c GROUP BY doc_id)
+              SELECT doc_id, n_tok,
+                CAST(ROUND(ln(CAST(n_tok AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                  - CAST(ROUND(CAST(s_unats AS DOUBLE) / n_tok, 0) AS BIGINT)
+                  AS h_unats
+              FROM d ORDER BY doc_id""")
+    ),
+
     // positional inverted index + phrase query: postings are
     // (word, doc_id, pos) rows — the index build every search system runs
     // over a corpus — and a 3-word phrase match is two positional
