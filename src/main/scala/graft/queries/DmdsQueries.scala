@@ -936,13 +936,13 @@ object DmdsQueries {
           s2.sql("""CREATE TABLE wmv.ev_mv
                     (event_id BIGINT, user_id BIGINT, value DOUBLE,
                      grp BIGINT, c0 BIGINT)""")
-          // half the events: the query proves the REFRESH path (changes
+          // a quarter of the events: the query proves the REFRESH path (changes
           // consumed, base never rescanned) — fixture volume only sets the
           // bench price of the three world writes around it
           s2.sql("""INSERT INTO wmv.ev_mv
                     SELECT event_id, user_id, value, user_id % 10,
                            user_id DIV 128
-                    FROM ev_src_mv WHERE event_id % 2 = 0""")
+                    FROM ev_src_mv WHERE event_id % 4 = 0""")
           val wh = s2.conf.get("spark.sql.catalog.wmv.warehouse")
           val basePath = s"$wh/ev_mv"
           val mvPath = s"${wh}__view/ev_mv_agg"
@@ -967,7 +967,7 @@ object DmdsQueries {
                     CASE WHEN (user_id // 128) BETWEEN 0 AND 1
                               AND user_id % 11 = 4
                          THEN value + 1 ELSE value END AS value
-                  FROM events WHERE event_id % 2 = 0),
+                  FROM events WHERE event_id % 4 = 0),
                 extra AS (
                   SELECT user_id, value + 0.5 AS value FROM events
                   WHERE event_id % 7 = 3),

@@ -308,6 +308,52 @@ object PipelineOps {
               FROM r WHERE rk <= (n_src + 1) // 2 ORDER BY doc_id""")
     ),
 
+    // per-source quality z-normalization: a raw quality score is not
+    // comparable ACROSS domains (Wikipedia's median would gate out every
+    // web page), so pipelines standardize within source before any global
+    // threshold — the FineWeb-style calibration step. Moments (n, Σq, Σq²)
+    // are exact integer aggregates; z = (q·n − Σq)/√(n·Σq² − (Σq)²) is
+    // evaluated in identically-parenthesized IEEE doubles (sqrt and
+    // division are correctly-rounded in both engines) and rounded ONCE to
+    // micro-units — the q_corr_regr moment discipline. Degenerate sources
+    // (zero variance) emit NULL rather than dividing by zero. The moment
+    // table is sources-sized -> broadcast; one shuffle total.
+    "p_quality_znorm" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("q"))
+        val m = docs.groupBy("source").agg(count(lit(1)).as("n"),
+          sum("q").as("sq"), sum(col("q") * col("q")).as("sqq"))
+        val varN = col("n").cast("double") * col("sqq").cast("double") -
+          col("sq").cast("double") * col("sq").cast("double")
+        val z = (col("q").cast("double") * col("n").cast("double")
+          - col("sq").cast("double")) / sqrt(varN)
+        docs.join(broadcast(m), "source")
+          .select(col("doc_id"), col("source"), col("q"),
+            when(varN > lit(0.0), round(z * lit(1e6), 0).cast("long"))
+              .otherwise(lit(null).cast("long")).as("z_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, source,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS q
+                FROM documents),
+              m AS (
+                SELECT source, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sq,
+                  CAST(SUM(q * q) AS BIGINT) AS sqq
+                FROM d GROUP BY source)
+              SELECT doc_id, d.source, q,
+                CASE WHEN CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) > 0.0
+                  THEN CAST(ROUND(((CAST(q AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(sq AS DOUBLE))
+                    / SQRT(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))) * 1e6, 0)
+                    AS BIGINT)
+                  ELSE NULL END AS z_micro
+              FROM d JOIN m USING (source) ORDER BY doc_id""")
+    ),
+
     // DSIR-style importance weights: score every train-split document by
     // how much its unigram distribution looks like the HELD-OUT (target)
     // split — sum over the doc's words of ln(p_target(w)/p_source(w)) with
