@@ -824,6 +824,45 @@ object DmdsQueries {
                 WHERE event_id % 2 = 0 ORDER BY event_id""")
       ),
 
+      "w_orphan_sweep" -> QueryDef(
+        // ORPHAN VACUUM through the oracle gate: INSERT (versions seal),
+        // plant a manifest-unreferenced duplicate chunk file (the
+        // crashed-driver leak class), `CALL system.remove_orphans` sweeps
+        // it — and the readback must hash-match the original insert. A
+        // sweep that deleted a LIVE file (under-sweeping is visible as the
+        // returned count) breaks the gate; age-bound and refusal
+        // mechanics stay pinned in GraftOrphansSpec.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wos", "os")
+          events(s2, dir).createOrReplaceTempView("ev_src_os")
+          s2.sql("DROP TABLE IF EXISTS wos.ev_os")
+          s2.sql("""CREATE TABLE wos.ev_os
+                    (event_id BIGINT, user_id BIGINT, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wos.ev_os
+                    SELECT event_id, user_id, user_id DIV 128
+                    FROM ev_src_os WHERE event_id % 4 = 1""")
+          val root = new org.apache.hadoop.fs.Path(
+            s2.conf.get("spark.sql.catalog.wos.warehouse") + "/ev_os")
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            root.toUri, s2.sparkContext.hadoopConfiguration)
+          val cell = graft.sources.GraftDataSource
+            .walkChunks(fs, root, Array.empty).head._1
+          val src = fs.listStatus(cell)
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          val dst = new org.apache.hadoop.fs.Path(cell, "orphan-" + src.getName)
+          val in = fs.open(src)
+          val bytes = try in.readAllBytes() finally in.close()
+          val out = fs.create(dst, true)
+          try out.write(bytes) finally out.close()
+          fs.setTimes(dst, System.currentTimeMillis() - 3600000L, -1)
+          s2.sql("CALL wos.system.remove_orphans(table => 'ev_os', " +
+            "older_than_hours => 0)")
+          s2.sql("SELECT event_id, user_id FROM wos.ev_os ORDER BY event_id")
+        },
+        Some("""SELECT event_id, user_id FROM events
+                WHERE event_id % 4 = 1 ORDER BY event_id""")
+      ),
+
       "w_zorder_proc" -> QueryDef(
         // DECLARED Z-ORDER through the oracle gate: INSERT, then
         // `CALL system.zorder` registers the layout and rewrites every

@@ -239,7 +239,8 @@ class GraftCatalog extends TableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("compact", "stats", "rollback", "expire_versions", "versions",
-        "tag", "drop_tag", "tags", "clone", "set_bloom", "zorder")
+        "tag", "drop_tag", "tags", "clone", "set_bloom", "zorder",
+        "remove_orphans")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -277,12 +278,14 @@ class GraftCatalog extends TableCatalog
       case (Seq("system"), "clone")    => new GraftCloneProcedure(this)
       case (Seq("system"), "set_bloom") => new GraftSetBloomProcedure(this)
       case (Seq("system"), "zorder")   => new GraftZOrderProcedure(this)
+      case (Seq("system"), "remove_orphans") =>
+        new GraftRemoveOrphansProcedure(this)
       case _ => throw new UnsupportedOperationException(
         s"graft catalog $catalogName has no procedure $ident (available: " +
           "system.compact, system.stats, system.rollback, " +
           "system.expire_versions, system.versions, system.clean_stages, " +
           "system.tag, system.drop_tag, system.tags, system.clone, " +
-          "system.set_bloom, system.zorder)")
+          "system.set_bloom, system.zorder, system.remove_orphans)")
     }
 }
 
@@ -395,6 +398,55 @@ class GraftSetBloomProcedure(cat: GraftCatalog)
         Array(org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(
             GraftBloom.columns(fs, new Path(path)).mkString(",")))))
+    }
+  }
+}
+
+/** `CALL <cat>.system.remove_orphans(table => 't', older_than_hours => h)` —
+  * delete live chunk files NO retained manifest references (crashed-driver
+  * leaks in the grid itself; see [[GraftVersions.orphanFiles]] for the
+  * exact rule and its two refusals). The walk is the connector's parallel
+  * subtree listing; deletion is per-file metadata work; emptied cell dirs
+  * are pruned so the grid never lists dead subtrees. Default age bound 24h
+  * keeps any in-flight commit's just-moved files safe. */
+class GraftRemoveOrphansProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "remove_orphans"
+  override def description(): String =
+    "delete live chunk files no retained manifest references"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "remove_orphans"
+    override def description(): String =
+      GraftRemoveOrphansProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build(),
+      ProcedureParameter.in("older_than_hours",
+        org.apache.spark.sql.types.IntegerType)
+        .defaultValue("24")
+        .comment("only files older than this are swept (in-flight-commit " +
+          "safety margin)").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      val hours = input.getInt(1)
+      require(hours >= 0, "remove_orphans: older_than_hours must be >= 0")
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val root = new Path(path)
+      val victims =
+        GraftVersions.orphanFiles(fs, root, hours.toLong * 3600L * 1000L)
+      victims.foreach { f =>
+        fs.delete(f, false)
+        // starts at f's PARENT (the cell dir): a cell holding only
+        // orphans vanishes with them
+        GraftStage.pruneEmptyParents(fs, f, root)
+      }
+      GraftProcedures.singleRow("removed_orphans", victims.size.toLong)
     }
   }
 }

@@ -365,6 +365,37 @@ private[graft] object GraftVersions {
     dropped.size.toLong
   }
 
+  /** Live chunk files NO retained manifest references, older than
+    * `olderThanMs` — the leak class crashed DRIVERS leave in the grid
+    * itself: a task that moved its committed files into the live tree
+    * before the driver died never got its manifest sealed, so the bytes
+    * sit in cells forever, invisible to manifest-planned reads but billed
+    * and walked (stage-dir debris has its own sweeper, clean_stages).
+    * The age bound keeps an in-flight commit's just-moved files safe —
+    * they enter the live tree moments before their manifest seals.
+    * Refuses unversioned worlds (no commit log = no way to tell an orphan
+    * from data) and barrier-pending worlds (manifests are stale until the
+    * next walk-based seal; sweeping against them would delete legitimate
+    * post-rewrite files). */
+  def orphanFiles(fs: FileSystem, root: Path, olderThanMs: Long): Seq[Path] = {
+    val versions = listVersions(fs, root)
+    require(versions.nonEmpty,
+      s"graft remove_orphans: $root has no version log — an unversioned " +
+        "world has no commit record to distinguish orphans from data")
+    require(!hasBarrier(fs, root),
+      s"graft remove_orphans: $root has a pending rewrite barrier — its " +
+        "manifests are stale until the next write seals a walk-based " +
+        "version; sweep after that write")
+    val referenced: Set[String] =
+      versions.flatMap(v => readManifest(fs, root, v)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    GraftDataSource.walkChunks(fs, root, Array.empty)
+      .flatMap { case (d, _) => GraftDataSource.chunkFileStatuses(fs, d) }
+      .filter(st => st.getModificationTime < cutoff &&
+        !referenced.contains(relOf(root, st.getPath)))
+      .map(_.getPath)
+  }
+
   // --- named version refs ("tags"): human-handles into the commit log,
   // stored as one tiny file each beside the manifests. A tag pins its
   // version against retention (see expire). Immutable states only — the
