@@ -535,7 +535,7 @@ object DmdsQueries {
                     (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
           s2.sql("""INSERT INTO wrl.ev_rl
                     SELECT event_id, user_id, value, user_id DIV 128
-                    FROM ev_src_rl""")
+                    FROM ev_src_rl WHERE event_id % 2 = 0""")
           // each statement mixes a BUCKET condition (static candidate
           // pruning bounds the copy-on-write to those cells) with a
           // row-level data predicate (what makes it a rewrite, not a
@@ -560,7 +560,7 @@ object DmdsQueries {
                   SELECT event_id, user_id,
                     CASE WHEN user_id // 128 BETWEEN 2 AND 9 AND user_id % 97 = 5
                          THEN value * 3 ELSE value END AS value
-                  FROM events),
+                  FROM events WHERE event_id % 2 = 0),
                 del AS (SELECT * FROM upd
                         WHERE NOT (user_id // 128 BETWEEN 20 AND 29
                                    AND event_id % 101 = 7)),
@@ -601,7 +601,7 @@ object DmdsQueries {
                     (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
           s2.sql("""INSERT INTO wtt.ev_tt
                     SELECT event_id, user_id, value, user_id DIV 128
-                    FROM ev_src_tt""")
+                    FROM ev_src_tt WHERE event_id % 2 = 0""")
           s2.sql("""UPDATE wtt.ev_tt SET value = value * 7
                     WHERE c0 BETWEEN 2 AND 9 AND user_id % 89 = 3""")
           s2.sql("""SELECT 'v1' AS at, event_id, user_id, value
@@ -611,11 +611,12 @@ object DmdsQueries {
                     ORDER BY at, event_id""")
         },
         Some("""SELECT 'v1' AS at, event_id, user_id, value FROM events
+                WHERE event_id % 2 = 0
                 UNION ALL
                 SELECT 'now' AS at, event_id, user_id,
                   CASE WHEN user_id // 128 BETWEEN 2 AND 9 AND user_id % 89 = 3
                        THEN value * 7 ELSE value END AS value
-                FROM events
+                FROM events WHERE event_id % 2 = 0
                 ORDER BY at, event_id""")
       ),
 
@@ -635,7 +636,7 @@ object DmdsQueries {
                     (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
           s2.sql("""INSERT INTO wrb.ev_rb
                     SELECT event_id, user_id, value, user_id DIV 128
-                    FROM ev_src_rb""")
+                    FROM ev_src_rb WHERE event_id % 2 = 0""")
           s2.sql("""UPDATE wrb.ev_rb SET value = -value
                     WHERE c0 BETWEEN 10 AND 19 AND event_id % 7 = 2""")
           s2.sql("CALL wrb.system.rollback(table => 'ev_rb', version => 1)")
@@ -643,7 +644,8 @@ object DmdsQueries {
           s2.sql("""SELECT event_id, user_id, value FROM wrb.ev_rb
                     ORDER BY event_id""")
         },
-        Some("""SELECT event_id, user_id, value FROM events ORDER BY event_id""")
+        Some("""SELECT event_id, user_id, value FROM events
+                WHERE event_id % 2 = 0 ORDER BY event_id""")
       ),
 
       "w_catalog_merge2" -> QueryDef(
@@ -664,7 +666,7 @@ object DmdsQueries {
                     (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
           s2.sql("""INSERT INTO wm2.ev_m2
                     SELECT event_id, user_id, value, user_id DIV 128
-                    FROM ev_src_m2""")
+                    FROM ev_src_m2 WHERE event_id % 2 = 0""")
           s2.sql("""MERGE INTO wm2.ev_m2 t
                     USING (SELECT event_id, value FROM ev_src_m2
                            WHERE user_id DIV 128 BETWEEN 30 AND 49
@@ -689,7 +691,8 @@ object DmdsQueries {
                             AND e.event_id % 5 = 1 THEN 0
                        ELSE e.value END AS value
                 FROM events e LEFT JOIN m ON e.event_id = m.event_id
-                WHERE NOT (m.event_id IS NULL
+                WHERE e.event_id % 2 = 0
+                  AND NOT (m.event_id IS NULL
                            AND e.user_id // 128 BETWEEN 40 AND 49
                            AND e.event_id % 5 = 2)
                 ORDER BY e.event_id""")
@@ -716,7 +719,7 @@ object DmdsQueries {
                     (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
           s2.sql("""INSERT INTO wch.ev_ch
                     SELECT event_id, user_id, value, user_id DIV 128
-                    FROM ev_src_ch""")
+                    FROM ev_src_ch WHERE event_id % 2 = 0""")
           s2.sql("""UPDATE wch.ev_ch SET value = value + 1
                     WHERE c0 BETWEEN 0 AND 1 AND user_id % 11 = 4""")
           val wh = s2.conf.get("spark.sql.catalog.wch.warehouse")
@@ -727,9 +730,10 @@ object DmdsQueries {
         },
         Some("""WITH cells AS (SELECT DISTINCT user_id // 128 AS c0 FROM events
                                WHERE user_id // 128 BETWEEN 0 AND 1
-                                 AND user_id % 11 = 4),
+                                 AND user_id % 11 = 4 AND event_id % 2 = 0),
                 scoped AS (SELECT e.* FROM events e
-                           JOIN cells c ON e.user_id // 128 = c.c0)
+                           JOIN cells c ON e.user_id // 128 = c.c0
+                           WHERE e.event_id % 2 = 0)
                 SELECT 'delete' AS _change_type, event_id, user_id, value
                 FROM scoped
                 UNION ALL
@@ -908,7 +912,7 @@ object DmdsQueries {
                     (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
           s2.sql("""INSERT INTO wsd.ev_sd
                     SELECT event_id, user_id, value, user_id DIV 128
-                    FROM ev_src_sd""")
+                    FROM ev_src_sd WHERE event_id % 2 = 0""")
           s2.sql("ALTER TABLE wsd.ev_sd DROP COLUMN value")
           s2.sql("""INSERT INTO wsd.ev_sd
                     SELECT event_id + 10000000, user_id, user_id DIV 128
@@ -917,6 +921,7 @@ object DmdsQueries {
                     ORDER BY event_id""")
         },
         Some("""SELECT event_id, user_id FROM events
+                WHERE event_id % 2 = 0
                 UNION ALL
                 SELECT event_id + 10000000, user_id FROM events
                 WHERE event_id % 9 = 1
@@ -941,7 +946,7 @@ object DmdsQueries {
                     (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
           s2.sql("""INSERT INTO wcl.ev_cl
                     SELECT event_id, user_id, value, user_id DIV 128
-                    FROM ev_src_cl""")
+                    FROM ev_src_cl WHERE event_id % 2 = 0""")
           val wh = s2.conf.get("spark.sql.catalog.wcl.warehouse")
           val clonePath = s"${wh}__clones/ev_cl_v1"
           val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -954,7 +959,8 @@ object DmdsQueries {
             .select("event_id", "user_id", "value")
             .orderBy("event_id")
         },
-        Some("""SELECT event_id, user_id, value FROM events ORDER BY event_id""")
+        Some("""SELECT event_id, user_id, value FROM events
+                WHERE event_id % 2 = 0 ORDER BY event_id""")
       ),
 
       "w_mv_refresh" -> QueryDef(
@@ -1091,7 +1097,7 @@ object DmdsQueries {
                     (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
           s2.sql("""INSERT INTO wsc.ev_sc
                     SELECT event_id, user_id, value, user_id DIV 128
-                    FROM ev_src_sc""")
+                    FROM ev_src_sc WHERE event_id % 2 = 0""")
           s2.sql("""UPDATE wsc.ev_sc SET value = value + 1
                     WHERE c0 BETWEEN 0 AND 1 AND user_id % 11 = 4""")
           val wh = s2.conf.get("spark.sql.catalog.wsc.warehouse")
@@ -1112,9 +1118,10 @@ object DmdsQueries {
         },
         Some("""WITH cells AS (SELECT DISTINCT user_id // 128 AS c0 FROM events
                                WHERE user_id // 128 BETWEEN 0 AND 1
-                                 AND user_id % 11 = 4),
+                                 AND user_id % 11 = 4 AND event_id % 2 = 0),
                 scoped AS (SELECT e.* FROM events e
-                           JOIN cells c ON e.user_id // 128 = c.c0)
+                           JOIN cells c ON e.user_id // 128 = c.c0
+                           WHERE e.event_id % 2 = 0)
                 SELECT 'delete' AS _change_type, event_id, user_id, value
                 FROM scoped
                 UNION ALL
