@@ -1,0 +1,174 @@
+package graft.ops
+
+import graft.core.{Bounds, DimMapping}
+import graft.functions.WordNgrams
+import graft.world.World
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Incrementally-maintained INVERTED TEXT INDEX over a version-logged
+  * world — the search-engine face of the chunk grid, driven by the commit
+  * log the same way [[MaterializedAgg]] maintains an aggregate.
+  *
+  * Postings live in their own 2-dim World: one row per (term, doc) pair —
+  * `(pid, fp, doc_id, term, tf)` — where `fp = xxhash64(term)` is the
+  * PRUNING dimension (a term lookup scans one chunk stripe of the grid,
+  * never the index) and `pid = xxhash64(term, doc_id)` is the unique row
+  * id (dim 0) that makes inserts replace-idempotent. Both dims span the
+  * full u64 domain, so postings spread uniformly no matter how skewed the
+  * vocabulary is.
+  *
+  * `refresh()` never re-reads the base corpus: it consumes the
+  * [[graft.sources.GraftChanges]] feed between the recorded cursor and the
+  * base's latest commit. Deleted docs arrive as BEFORE-IMAGES (text
+  * included), so their posting ids are recomputed from the text itself and
+  * destroyed — no doc→postings side table needed; inserted docs re-tokenize
+  * into posting upserts. An UPDATE is delete(old)+insert(new) in the feed,
+  * and the destroy runs first, so postings whose (term, doc) survive the
+  * edit are re-inserted with their new tf. Cursor + torn-refresh discipline
+  * are [[MaterializedAgg]]'s: a sentinel row advances with the state, an
+  * intent marker turns any half-applied refresh into a detected rebuild.
+  *
+  * Row-id collisions: two (term, doc) pairs share a pid with probability
+  * 2^-64; at 10^12 postings the birthday estimate is ~n²/2^65 shadowed
+  * postings (≈10^-8 of the index) — acceptable for retrieval, where a
+  * shadowed posting is one missed hit, not corruption. An exact-count use
+  * would take the 128-bit two-seed key the span-dedup grams use.
+  *
+  * Reference anchor: hint-driven point lookups over the grid
+  * (/root/reference/src/world.rs:616-636) — here the "hint" is a term
+  * fingerprint and the grid stripe IS the posting list.
+  */
+final class InvertedIndex(
+    val spark: SparkSession,
+    val basePath: String,
+    val idxPath: String,
+    val idCol: String = "doc_id",
+    val textCol: String = "text") {
+
+  private val SentinelPid = 0L
+  private def intentPath = new Path(idxPath, "_graft_idx_refresh_intent")
+
+  /** Posting world: dim0 = pid (unique row id), dim1 = fp (term
+    * fingerprint, the pruning dim). 8 x 16 chunk cells. */
+  val world: World = World(spark, idxPath)(
+    "pid" -> DimMapping(0L, -1L, 1L << 61),
+    "fp" -> DimMapping(0L, -1L, 1L << 60))
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(idxPath), spark.sparkContext.hadoopConfiguration)
+
+  /** Driver-side twin of `functions.xxhash64(stringCol)` (seed 42). */
+  def termFp(term: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  private def nonZero(c: Column): Column =
+    when(c === lit(SentinelPid), lit(1L)).otherwise(c)
+
+  /** (pid, fp, doc_id, term, tf) postings of a corpus frame. */
+  private def postings(docs: DataFrame): DataFrame =
+    docs.select(col(idCol), explode(WordNgrams(col(textCol), 1)).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .select(
+        nonZero(xxhash64(col("term"), col(idCol))).as("pid"),
+        xxhash64(col("term")).as("fp"),
+        col(idCol), col("term"), col("tf"))
+
+  private val stateCols = Seq("pid", "fp", idCol, "term", "tf")
+
+  private def latestBaseVersion: Long = {
+    val bfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(basePath), spark.sparkContext.hadoopConfiguration)
+    graft.sources.GraftVersions.latestVersion(bfs, new Path(basePath))
+      .getOrElse(throw new IllegalStateException(
+        s"inverted index needs a version-logged base: $basePath has no commits"))
+  }
+
+  private def sentinel(version: Long, like: StructType): DataFrame = {
+    val schema = StructType(like.fields.map(_.copy(nullable = true)))
+    val row = Row.fromSeq(schema.fields.map { f =>
+      f.name match {
+        case "pid" | "fp" => SentinelPid
+        case "tf"         => version
+        case _            => null
+      }
+    }.toSeq)
+    spark.createDataFrame(java.util.List.of(row), schema)
+  }
+
+  /** Full (re)build at the base's latest commit — also the torn-refresh
+    * recovery path. Returns the cursor version. */
+  def initialize(): Long = {
+    val v1 = latestBaseVersion
+    fs.create(intentPath, true).close()
+    val snap = spark.read.format("graft")
+      .option("graft.snapshot", v1.toString).load(basePath)
+    val st = postings(snap)
+    world.create(st.unionByName(sentinel(v1, st.schema)))
+    fs.delete(intentPath, false)
+    v1
+  }
+
+  /** The base version the index currently reflects. */
+  def cursor: Long = {
+    val rows = world.df.where(col("pid") === SentinelPid)
+      .select("tf").collect()
+    require(rows.nonEmpty,
+      s"inverted index at $idxPath not initialized (no cursor row)")
+    rows.head.getLong(0)
+  }
+
+  /** Apply the commit-log delta since the cursor; returns the new cursor. */
+  def refresh(): Long = {
+    val root = new Path(idxPath)
+    if (!fs.exists(root) || fs.listStatus(root).isEmpty) return initialize()
+    if (fs.exists(intentPath)) return initialize()
+    val v0 = cursor
+    val v1 = latestBaseVersion
+    if (v1 <= v0) return v0
+
+    val feed = graft.sources.GraftChanges.between(spark, basePath, v0, v1)
+    // pin the feed ONCE: both sides read it, and the first mutation
+    // rewrites state the second would otherwise re-plan against
+    val (pinned, handle) = Pins.pinWithHandle(
+      feed.select(col("_change_type"), col(idCol), col(textCol)))
+    try {
+      fs.create(intentPath, true).close()
+      // destroy BEFORE insert: an updated doc's surviving (term, doc)
+      // postings are re-inserted with their fresh tf afterwards
+      val deadIds = postings(pinned.where(col("_change_type") === "delete"))
+        .select(col("pid").as("id"))
+      if (!deadIds.isEmpty) world.destroy(deadIds)
+      val fresh = postings(pinned.where(col("_change_type") === "insert"))
+      if (!fresh.isEmpty)
+        world.insert(fresh.unionByName(sentinel(v1, fresh.schema)))
+      else {
+        // no inserted docs this window (pure delete): still advance the
+        // cursor — the sentinel upsert is one replaced row
+        val empty = postings(pinned.limit(0))
+        world.insert(sentinel(v1, empty.schema))
+      }
+      fs.delete(intentPath, false)
+    } finally Pins.release(handle)
+    v1
+  }
+
+  /** Docs containing `term`: a chunk-stripe-pruned scan of the posting grid
+    * (the `Select::hint` promise on text), then the row-exact term check.
+    * Returns (idCol, tf). */
+  def docsFor(term: String): DataFrame = {
+    val fp = termFp(term)
+    world.select(1, Bounds.point(fp)).iter()
+      .where(col("term") === lit(term) && col("pid") =!= SentinelPid)
+      .select(col(idCol), col("tf"))
+  }
+
+  /** Live posting rows (sentinel excluded). */
+  def df: DataFrame =
+    world.df.where(col("pid") =!= SentinelPid).select(stateCols.map(col): _*)
+}

@@ -828,6 +828,53 @@ object DmdsQueries {
                 WHERE event_id % 2 = 0 ORDER BY event_id""")
       ),
 
+      "w_index_lookup" -> QueryDef(
+        // the INCREMENTALLY-MAINTAINED INVERTED INDEX through the oracle
+        // gate: build the posting world from a snapshot, then an INSERT
+        // (new docs) and a row-level UPDATE (doc 3's text replaced — the
+        // feed's delete+insert pair) advance the base, refresh() consumes
+        // ONLY the commit-log change feed, and a term lookup — a
+        // chunk-stripe-pruned scan of the posting grid — must equal
+        // DuckDB's recount over the final corpus. A missed before-image
+        // (stale postings), a skipped insert, or a pruning bug that drops
+        // the term's stripe all break the hash. Pruned-plan and
+        // torn-refresh mechanics stay pinned in InvertedIndexSpec.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wix", "ix")
+          t(s2, dir, "documents").createOrReplaceTempView("doc_src_ix")
+          s2.sql("DROP TABLE IF EXISTS wix.docs_ix")
+          s2.sql("CREATE TABLE wix.docs_ix (doc_id BIGINT, text STRING, c0 BIGINT)")
+          s2.sql("""INSERT INTO wix.docs_ix
+                    SELECT doc_id, text, doc_id DIV 64 FROM doc_src_ix""")
+          val wh = s2.conf.get("spark.sql.catalog.wix.warehouse")
+          val ix = new graft.ops.InvertedIndex(
+            s2, s"$wh/docs_ix", s"${wh}__idx/docs_ix")
+          ix.initialize()
+          s2.sql("""INSERT INTO wix.docs_ix
+                    SELECT doc_id + 1000000, text, (doc_id + 1000000) DIV 64
+                    FROM doc_src_ix WHERE doc_id < 40""")
+          s2.sql("""UPDATE wix.docs_ix SET text = 'spark spark spark'
+                    WHERE c0 = 0 AND doc_id = 3""")
+          ix.refresh()
+          ix.docsFor("spark").orderBy("doc_id")
+        },
+        Some("""WITH base AS (
+                  SELECT doc_id,
+                    CASE WHEN doc_id = 3 THEN 'spark spark spark'
+                         ELSE text END AS text
+                  FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000, text FROM documents
+                  WHERE doc_id < 40),
+                tok AS (
+                  SELECT doc_id, unnest(list_filter(
+                    string_split_regex(trim(lower(text)), '\s+'),
+                    x -> x <> '')) AS w
+                  FROM base)
+                SELECT doc_id, COUNT(*) AS tf FROM tok WHERE w = 'spark'
+                GROUP BY doc_id ORDER BY doc_id""")
+      ),
+
       "w_orphan_sweep" -> QueryDef(
         // ORPHAN VACUUM through the oracle gate: INSERT (versions seal),
         // plant a manifest-unreferenced duplicate chunk file (the

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** The incrementally-maintained inverted index: build, pruned lookups,
+  * commit-log refresh (insert/delete/update docs), replay idempotence, and
+  * torn-refresh recovery. */
+class InvertedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val wh = Files.createTempDirectory("graft-idx").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.icat", "graft.sources.GraftCatalog")
+    .config("spark.sql.catalog.icat.warehouse", wh)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fs: FileSystem = FileSystem.get(
+    new java.net.URI(wh), spark.sparkContext.hadoopConfiguration)
+
+  private def lookupMap(ix: InvertedIndex, term: String): Map[Long, Long] =
+    ix.docsFor(term).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("build, lookup, and commit-log refresh across insert/update/delete") {
+    spark.sql("CREATE TABLE icat.docs (doc_id BIGINT, text STRING, c0 BIGINT)")
+    spark.sql("""INSERT INTO icat.docs VALUES
+      (1, 'spark makes big data small', 0),
+      (2, 'small data stays small', 0),
+      (3, 'the cat sat', 0)""")
+    val ix = new InvertedIndex(spark, s"$wh/docs", s"$wh/docs__idx")
+    ix.initialize()
+
+    assert(lookupMap(ix, "small") == Map(1L -> 1L, 2L -> 2L))
+    assert(lookupMap(ix, "spark") == Map(1L -> 1L))
+    assert(lookupMap(ix, "absent") == Map.empty[Long, Long])
+
+    // INSERT a doc; UPDATE another (delete+insert in the feed); DELETE one
+    spark.sql("INSERT INTO icat.docs VALUES (4, 'spark again spark', 0)")
+    spark.sql("UPDATE icat.docs SET text = 'big cat energy' WHERE doc_id = 1")
+    spark.sql("""MERGE INTO icat.docs t USING (SELECT 3 AS doc_id) s
+                 ON t.doc_id = s.doc_id WHEN MATCHED THEN DELETE""")
+    ix.refresh()
+
+    assert(lookupMap(ix, "spark") == Map(4L -> 2L), "insert + update applied")
+    assert(lookupMap(ix, "small") == Map(2L -> 2L), "doc 1's old postings destroyed")
+    assert(lookupMap(ix, "cat") == Map(1L -> 1L), "updated doc re-indexed")
+    assert(lookupMap(ix, "sat") == Map.empty[Long, Long], "deleted doc gone")
+
+    // replay idempotence: nothing new -> cursor unchanged, content stable
+    val c = ix.cursor
+    assert(ix.refresh() == c)
+    assert(lookupMap(ix, "spark") == Map(4L -> 2L))
+  }
+
+  test("lookup is a pruned scan: only the term's chunk stripe is planned") {
+    val ix = new InvertedIndex(spark, s"$wh/docs", s"$wh/docs__idx")
+    val plan = ix.docsFor("small").queryExecution.executedPlan.toString
+    // the fp dim (c1) carries a point-chunk bound from the selection
+    assert(plan.contains("c1"), s"expected a bucket filter on the fp dim:\n$plan")
+    assert(plan.contains("PartitionFilters"),
+      s"fp bound must hit partition filters:\n$plan")
+    val (lo, hi) = ix.world.dims(1).mapping
+      .chunksOf(graft.core.Bounds.point(ix.termFp("small"))).get
+    assert(lo == hi, "a point fp maps to one chunk stripe")
+    // files actually READ must all lie in the term's c1 stripe
+    val scanned = ix.docsFor("small").select(input_file_name())
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(scanned.nonEmpty && scanned.forall(_.contains(s"c1=$lo/")),
+      s"files outside the fp stripe were read: $scanned")
+  }
+
+  test("torn refresh (leftover intent marker) rebuilds instead of half-applying") {
+    val idxPath = s"$wh/docs__idx"
+    val ix = new InvertedIndex(spark, s"$wh/docs", idxPath)
+    fs.create(new Path(idxPath, "_graft_idx_refresh_intent"), true).close()
+    spark.sql("INSERT INTO icat.docs VALUES (9, 'sphinx of black quartz', 0)")
+    ix.refresh() // must take the rebuild path
+    assert(!fs.exists(new Path(idxPath, "_graft_idx_refresh_intent")))
+    assert(lookupMap(ix, "sphinx") == Map(9L -> 1L))
+    assert(lookupMap(ix, "spark") == Map(4L -> 2L), "rebuild is exact")
+  }
+}
