@@ -267,6 +267,27 @@ object Daemon {
     q
   }
 
+  /** Streaming face of the inverted index ([[graft.ops.InvertedIndex]]):
+    * the base world's commit-cursor stream triggers `refresh()` — same
+    * contract as [[mvRefreshStream]] (empty projection ticks, durable
+    * sentinel cursor, replayed triggers no-op, torn refreshes rebuild, a
+    * virgin index self-initializes). The search index follows the corpus
+    * within one trigger interval of every commit. */
+  def indexRefreshStream(ix: graft.ops.InvertedIndex, checkpoint: String,
+      interval: String = "5 seconds"): StreamingQuery = {
+    val q = ix.spark.readStream.format("graft").load(ix.basePath)
+      .select(org.apache.spark.sql.functions.lit(1L).as("tick"))
+      .writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        try { ix.refresh(); () } finally graft.ops.Pins.releaseAll()
+      }
+      .start()
+    installShutdownFlush(q)
+    q
+  }
+
   /** `ShutdownHandle` analog (tokio-fs/src/lib.rs:154-200): on JVM exit,
     * stop the query after the in-flight batch — no dirty data beyond the
     * last committed checkpoint is ever claimed durable. */

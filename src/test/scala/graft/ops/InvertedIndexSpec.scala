@@ -78,6 +78,30 @@ class InvertedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"files outside the fp stripe were read: $scanned")
   }
 
+  test("streaming face: the base's commit stream drives refresh, restart converges") {
+    val base = Files.createTempDirectory("graft-idx-s").toString + "/base"
+    val idx = base + "__idx"
+    val cp = base + "__cp"
+    import spark.implicits._
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").withColumn("c0", expr("doc_id DIV 16"))
+        .write.format("graft").mode("append").save(base)
+    write(Seq((1L, "alpha beta"), (2L, "beta gamma beta")))
+    val ix = new InvertedIndex(spark, base, idx)
+    def runOnce(): Unit = {
+      val q = graft.streaming.Daemon.indexRefreshStream(ix, cp, interval = "1 second")
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    runOnce() // virgin index self-initializes
+    assert(lookupMap(ix, "beta") == Map(1L -> 1L, 2L -> 2L))
+    write(Seq((3L, "gamma beta")))
+    runOnce() // restart from the same checkpoint picks up the commit
+    assert(lookupMap(ix, "beta") == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    val c = ix.cursor
+    runOnce() // no new commits -> no-op
+    assert(ix.cursor == c)
+  }
+
   test("torn refresh (leftover intent marker) rebuilds instead of half-applying") {
     val idxPath = s"$wh/docs__idx"
     val ix = new InvertedIndex(spark, s"$wh/docs", idxPath)
