@@ -70,14 +70,29 @@ final class InvertedIndex(
   private def nonZero(c: Column): Column =
     when(c === lit(SentinelPid), lit(1L)).otherwise(c)
 
-  /** (pid, fp, doc_id, term, tf) postings of a corpus frame. */
-  private def postings(docs: DataFrame): DataFrame =
-    docs.select(col(idCol), explode(WordNgrams(col(textCol), 1)).as("term"))
+  /** The document-LENGTH pseudo-term: the empty string cannot come out of
+    * the tokenizer (it drops empties), so its fp stripe holds exactly one
+    * `(doc, dl)` row per document — the per-doc metadata BM25 needs,
+    * maintained by the same destroy+insert refresh as every posting. */
+  private val LenTerm = ""
+
+  /** (pid, fp, doc_id, term, tf) postings of a corpus frame, plus one
+    * length row per doc under [[LenTerm]]. */
+  private def postings(docs: DataFrame): DataFrame = {
+    val tfRows = docs
+      .select(col(idCol), explode(WordNgrams(col(textCol), 1)).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
       .select(
         nonZero(xxhash64(col("term"), col(idCol))).as("pid"),
         xxhash64(col("term")).as("fp"),
         col(idCol), col("term"), col("tf"))
+    val lenRows = docs.select(
+      nonZero(xxhash64(lit(LenTerm), col(idCol))).as("pid"),
+      xxhash64(lit(LenTerm)).as("fp"),
+      col(idCol), lit(LenTerm).as("term"),
+      size(WordNgrams(col(textCol), 1)).cast("long").as("tf"))
+    tfRows.unionByName(lenRows)
+  }
 
   private val stateCols = Seq("pid", "fp", idCol, "term", "tf")
 
@@ -162,10 +177,48 @@ final class InvertedIndex(
     * (the `Select::hint` promise on text), then the row-exact term check.
     * Returns (idCol, tf). */
   def docsFor(term: String): DataFrame = {
+    require(term.nonEmpty, "docsFor: the empty term is the length stripe")
     val fp = termFp(term)
     world.select(1, Bounds.point(fp)).iter()
       .where(col("term") === lit(term) && col("pid") =!= SentinelPid)
       .select(col(idCol), col("tf"))
+  }
+
+  /** (doc, dl) rows — one pruned scan of the length stripe. */
+  def docLengths: DataFrame =
+    world.select(1, Bounds.point(termFp(LenTerm))).iter()
+      .where(col("term") === lit(LenTerm) && col("pid") =!= SentinelPid)
+      .select(col(idCol), col("tf").as("dl"))
+
+  /** BM25-ranked retrieval THROUGH the index (Okapi, Lucene "+1" idf;
+    * k1 = 1.2, b = 0.75 pre-folded like `t_bm25`): per query term one
+    * pruned posting-stripe scan, corpus stats (N, avgdl) from the length
+    * stripe as a broadcast scalar, per-term scores rounded once to integer
+    * micro-units and BIGINT-summed, top-k via TakeOrdered with id
+    * tie-break. The corpus is never scanned — cost is the query terms'
+    * posting lists plus the length stripe. */
+  def searchBm25(terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.nonEmpty), "searchBm25: terms")
+    val lens = docLengths
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("double").as("tot_dl"))
+    val tf = terms.map(t => docsFor(t).withColumn("term", lit(t)))
+      .reduce(_ unionByName _)
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+    val frac = (col("tf") * lit(2.2)) /
+      (col("tf") + (lit(0.3) + lit(0.9) *
+        (col("dl").cast("double") / (col("tot_dl") / col("n_docs")))))
+    tf.join(broadcast(dfc), "term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round((idf * frac) * lit(1e6), 0).cast("long").as("s_u"))
+      .groupBy(idCol)
+      .agg(sum("s_u").as("score_u"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_u").desc, col(idCol))
+      .limit(k)
   }
 
   /** Live posting rows (sentinel excluded). */

@@ -875,6 +875,65 @@ object DmdsQueries {
                 GROUP BY doc_id ORDER BY doc_id""")
       ),
 
+      "w_index_bm25" -> QueryDef(
+        // RANKED RETRIEVAL through the index: BM25 over the posting world
+        // — per query term one pruned stripe scan, N/avgdl from the length
+        // stripe, never a corpus scan — after a row-level UPDATE has
+        // changed one doc's text through the commit-log refresh. The
+        // oracle recomputes BM25 relationally over the post-UPDATE corpus
+        // (the t_bm25 arithmetic, N counted over ALL docs to match the
+        // length stripe); a stale posting, a wrong df, or a length row
+        // the refresh missed all break the hash.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wib", "ib")
+          t(s2, dir, "documents").createOrReplaceTempView("doc_src_ib")
+          s2.sql("DROP TABLE IF EXISTS wib.docs_ib")
+          s2.sql("CREATE TABLE wib.docs_ib (doc_id BIGINT, text STRING, c0 BIGINT)")
+          s2.sql("""INSERT INTO wib.docs_ib
+                    SELECT doc_id, text, doc_id DIV 64 FROM doc_src_ib""")
+          val wh = s2.conf.get("spark.sql.catalog.wib.warehouse")
+          val ix = new graft.ops.InvertedIndex(
+            s2, s"$wh/docs_ib", s"${wh}__idx/docs_ib")
+          ix.initialize()
+          s2.sql("""UPDATE wib.docs_ib SET text = 'spark spark spark'
+                    WHERE c0 = 0 AND doc_id = 3""")
+          ix.refresh()
+          ix.searchBm25(Seq("spark", "join", "fast"), 10)
+        },
+        Some("""WITH base AS (
+                  SELECT doc_id,
+                    CASE WHEN doc_id = 3 THEN 'spark spark spark'
+                         ELSE text END AS text
+                  FROM documents),
+                w AS (
+                  SELECT doc_id, unnest(list_filter(
+                    string_split_regex(trim(lower(text)), '\s+'),
+                    x -> x <> '')) AS w
+                  FROM base),
+                dl AS (
+                  SELECT doc_id, CAST(len(list_filter(
+                    string_split_regex(trim(lower(text)), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS dl
+                  FROM base),
+                st AS (SELECT COUNT(*) AS n_docs,
+                         CAST(SUM(dl) AS DOUBLE) AS tot_dl FROM dl),
+                tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w
+                       WHERE w IN ('spark','join','fast') GROUP BY doc_id, w),
+                dfc AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+                sc AS (
+                  SELECT tf.doc_id,
+                    CAST(ROUND((ln(1.0 + ((st.n_docs - dfc.df) + 0.5) / (dfc.df + 0.5))
+                      * ((tf.tf * 2.2) / (tf.tf + (0.3 + 0.9 *
+                          (CAST(dl.dl AS DOUBLE) / (st.tot_dl / st.n_docs))))))
+                      * 1e6, 0) AS BIGINT) AS s_u
+                  FROM tf JOIN dfc USING (w) JOIN dl USING (doc_id)
+                  CROSS JOIN st)
+                SELECT doc_id, CAST(SUM(s_u) AS BIGINT) AS score_u,
+                  COUNT(*) AS n_terms
+                FROM sc GROUP BY doc_id
+                ORDER BY score_u DESC, doc_id LIMIT 10""")
+      ),
+
       "w_orphan_sweep" -> QueryDef(
         // ORPHAN VACUUM through the oracle gate: INSERT (versions seal),
         // plant a manifest-unreferenced duplicate chunk file (the
