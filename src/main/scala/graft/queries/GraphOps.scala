@@ -219,6 +219,60 @@ object GraphOps {
                SELECT triangles, wedges,
                  CAST((3 * triangles * 1000000) // wedges AS BIGINT) AS gcc_micro
                FROM tri, w""")
+    ),
+
+    // ------------------------------------------------------------- k-core
+    // Iterative k-core peeling (k = 3, three unrolled rounds): repeatedly
+    // drop nodes whose degree in the SURVIVING subgraph falls below k —
+    // the dense-cohesion primitive (spam rings, community nuclei) that
+    // plain degree filtering gets wrong because removals cascade. Each
+    // round is one degree aggregate over the alive-restricted edge list
+    // (two semi-join-shaped hash joins + a groupBy — the per-iteration
+    // scale shape PageRank set); integers end to end, so the DuckDB
+    // restatement of the same unrolled rounds is bit-identical. Output:
+    // the 3-round core's nodes with their in-core degrees.
+    "g_kcore" -> QueryDef(
+      (s, dir) => {
+        val e = edges(s, dir)
+        val und = graft.ops.Pins.pin(
+          e.select(col("src").as("a"), col("dst").as("b"))
+            .union(e.select(col("dst").as("a"), col("src").as("b")))
+            .where(col("a") =!= col("b")).distinct())
+        var alive = graft.ops.Pins.pin(
+          und.select(col("a").as("node")).distinct())
+        def degOver(nodes: DataFrame): DataFrame =
+          und.join(nodes.select(col("node").as("a")), "a")
+            .join(nodes.select(col("node").as("b")), "b")
+            .groupBy("a").agg(count(lit(1)).as("deg"))
+        for (_ <- 1 to 3)
+          alive = graft.ops.Pins.pin(
+            degOver(alive).where(col("deg") >= 3)
+              .select(col("a").as("node")))
+        degOver(alive)
+          .select(col("a").as("node"), col("deg"))
+          .orderBy("node")
+      },
+      Some(s"""WITH e AS ($EdgesSql),
+               und AS (SELECT DISTINCT a, b FROM
+                 (SELECT src AS a, dst AS b FROM e
+                  UNION ALL SELECT dst AS a, src AS b FROM e)
+                 WHERE a <> b),
+               n0 AS (SELECT DISTINCT a AS node FROM und),
+               d1 AS (SELECT a, COUNT(*) AS deg FROM und
+                 JOIN n0 x ON und.a = x.node JOIN n0 y ON und.b = y.node
+                 GROUP BY a),
+               a1 AS (SELECT a AS node FROM d1 WHERE deg >= 3),
+               d2 AS (SELECT a, COUNT(*) AS deg FROM und
+                 JOIN a1 x ON und.a = x.node JOIN a1 y ON und.b = y.node
+                 GROUP BY a),
+               a2 AS (SELECT a AS node FROM d2 WHERE deg >= 3),
+               d3 AS (SELECT a, COUNT(*) AS deg FROM und
+                 JOIN a2 x ON und.a = x.node JOIN a2 y ON und.b = y.node
+                 GROUP BY a),
+               a3 AS (SELECT a AS node FROM d3 WHERE deg >= 3)
+               SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM und
+               JOIN a3 x ON und.a = x.node JOIN a3 y ON und.b = y.node
+               GROUP BY a ORDER BY node""")
     )
   )
 }

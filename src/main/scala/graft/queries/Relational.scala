@@ -513,6 +513,53 @@ object Relational {
               GROUP BY l_partkey ORDER BY l_partkey""")
     ),
 
+    // data-quality AUDIT (the dbt-test / expectations surface): four rule
+    // classes — duplicate keys, null violations, range violations, and
+    // referential orphans — evaluated in one pass each and unioned into a
+    // (rule, n_violations) report. Each rule is the scale-right shape:
+    // dup keys = one groupBy on the key, FK orphans = one anti-join
+    // (broadcast when the parent is small), nulls/ranges = scan-local
+    // predicates. The report is what gates a pipeline promotion.
+    "q_data_quality" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val dup = li.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("c")).where(col("c") > 1)
+          .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n"))
+          .select(lit("dup_keys").as("rule"), col("n").cast("long").as("n_violations"))
+        val nulls = li.agg(
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("n"))
+          .select(lit("null_shipdate").as("rule"), col("n").cast("long").as("n_violations"))
+        val range = li.agg(
+          sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("n"))
+          .select(lit("qty_range").as("rule"), col("n").cast("long").as("n_violations"))
+        val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("fk_orphans").as("rule"), col("n").cast("long").as("n_violations"))
+        dup.unionByName(nulls).unionByName(range).unionByName(orphans)
+          .orderBy("rule")
+      },
+      Some("""SELECT 'dup_keys' AS rule,
+                CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_violations
+              FROM (SELECT COUNT(*) AS c FROM lineitem
+                    GROUP BY l_orderkey, l_linenumber) WHERE c > 1
+              UNION ALL
+              SELECT 'null_shipdate',
+                CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'qty_range',
+                CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                         THEN 1 ELSE 0 END) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'fk_orphans', CAST(COUNT(*) AS BIGINT)
+              FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey IS NULL
+              ORDER BY rule""")
+    ),
+
     // key-skew diagnosis report: the power-of-two histogram of per-key row
     // counts — the operational answer to "will this join/groupBy key
     // hot-spot at scale" BEFORE running it. Bucket = bit-length of the

@@ -209,6 +209,120 @@ object SimilarityOps {
               FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b""")
     ),
 
+    // HYBRID retrieval with reciprocal-rank fusion (RRF, the standard
+    // lexical+vector result combiner): the BM25 ranking of documents for a
+    // fixed query and the cosine ranking of embeddings against an anchor
+    // vector fuse as Σ 1/(60 + rank) — rounded ONCE per side to integer
+    // micro-units, so the fused score is exact. Each side reduces to its
+    // top-50 via TakeOrdered BEFORE any rank window (the windows then run
+    // over 50 rows, the registry's admitted already-reduced shape); ids
+    // join doc i ↔ vec i. Cosine ranks on round(sim, 4) with id tie-break
+    // (the s_cosine_topk float discipline).
+    "s_hybrid_rrf" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // lexical side: t_bm25's arithmetic, top-50
+        val words = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.WordNgrams(col("text"), 1)).as("w"))
+        val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          sum("dl").cast("double").as("tot_dl"))
+        val tf = words.where(col("w").isin("spark", "join", "fast"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val idf = log(lit(1.0) +
+          ((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+        val frac = (col("tf") * lit(2.2)) /
+          (col("tf") + (lit(0.3) + lit(0.9) *
+            (col("dl").cast("double") / (col("tot_dl") / col("n_docs")))))
+        val lex50 = tf.join(broadcast(dfc), "w").join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            round((idf * frac) * lit(1e6), 0).cast("long").as("s_u"))
+          .groupBy("doc_id").agg(sum("s_u").as("score_u"))
+          .orderBy(col("score_u").desc, col("doc_id")).limit(50)
+        val lexRank = lex50.select(col("doc_id").as("id"),
+          row_number().over(Window.orderBy(col("score_u").desc, col("doc_id")))
+            .cast("long").as("r_lex"))
+        // vector side: cosine to the anchor embedding (vec 0), top-50 via
+        // the BOUNDED MinKPairs aggregator (p_weighted_sample's shape:
+        // map-side-combined k-pair buffers, rank = explode index — never
+        // a global window or sort); the anchor rides as a scalar
+        // aggregate so the cross join has a <=1-row broadcast side. Key =
+        // −round(sim·1e4): ascending (key, id) == (sim DESC 4dp, id).
+        val emb = t(s, dir, "embeddings")
+        val anchor = emb.where(col("vec_id") === 0)
+          .agg(first("embedding").as("q_emb"))
+        val topk = udaf(graft.functions.TypedAggs.MinKPairs(50))
+        val simKey = (lit(0L) -
+          round(graft.functions.CosineSim(col("embedding"), col("q_emb"))
+            * lit(1e4), 0).cast("long")).as("key")
+        val vecRank = emb.crossJoin(broadcast(anchor))
+          .select(simKey, col("vec_id"))
+          .agg(topk(col("key"), col("vec_id")).as("tk"))
+          .select(posexplode(col("tk")).as(Seq("i", "p")))
+          .select(col("p._2").as("id"),
+            (col("i") + 1).cast("long").as("r_vec"))
+        lexRank.join(vecRank, Seq("id"), "full_outer")
+          .select(col("id"),
+            (coalesce(round(lit(1e6) / (lit(60.0) + col("r_lex")), 0)
+                .cast("long"), lit(0L)) +
+              coalesce(round(lit(1e6) / (lit(60.0) + col("r_vec")), 0)
+                .cast("long"), lit(0L))).as("fused_u"),
+            col("r_lex"), col("r_vec"))
+          .orderBy(col("fused_u").desc, col("id"))
+          .limit(10)
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, unnest(list_filter(
+                  string_split_regex(trim(lower(text)), '\s+'),
+                  x -> x <> '')) AS w
+                FROM documents),
+              dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id),
+              st AS (SELECT COUNT(*) AS n_docs,
+                       CAST(SUM(dl) AS DOUBLE) AS tot_dl FROM dl),
+              tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w
+                     WHERE w IN ('spark','join','fast') GROUP BY doc_id, w),
+              dfc AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+              sc AS (
+                SELECT tf.doc_id,
+                  CAST(ROUND((ln(1.0 + ((st.n_docs - dfc.df) + 0.5) / (dfc.df + 0.5))
+                    * ((tf.tf * 2.2) / (tf.tf + (0.3 + 0.9 *
+                        (CAST(dl.dl AS DOUBLE) / (st.tot_dl / st.n_docs))))))
+                    * 1e6, 0) AS BIGINT) AS s_u
+                FROM tf JOIN dfc USING (w) JOIN dl USING (doc_id) CROSS JOIN st),
+              lex AS (
+                SELECT doc_id, CAST(SUM(s_u) AS BIGINT) AS score_u
+                FROM sc GROUP BY doc_id
+                ORDER BY score_u DESC, doc_id LIMIT 50),
+              lexr AS (
+                SELECT doc_id AS id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id)
+                    AS BIGINT) AS r_lex
+                FROM lex),
+              q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+              vec AS (
+                SELECT vec_id,
+                  ROUND(list_cosine_similarity(
+                    CAST(embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])), 4)
+                    AS sim
+                FROM embeddings CROSS JOIN q
+                ORDER BY sim DESC, vec_id LIMIT 50),
+              vecr AS (
+                SELECT vec_id AS id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id)
+                    AS BIGINT) AS r_vec
+                FROM vec)
+              SELECT COALESCE(lexr.id, vecr.id) AS id,
+                COALESCE(CAST(ROUND(1e6 / (60.0 + r_lex), 0) AS BIGINT), 0)
+                  + COALESCE(CAST(ROUND(1e6 / (60.0 + r_vec), 0) AS BIGINT), 0)
+                  AS fused_u,
+                r_lex, r_vec
+              FROM lexr FULL OUTER JOIN vecr ON lexr.id = vecr.id
+              ORDER BY fused_u DESC, id LIMIT 10""")
+    ),
+
     // Achlioptas sparse random projection (64 -> 8 dims): the
     // Johnson-Lindenstrauss reduction that makes downstream ANN /
     // clustering cheaper at 100 TB, with the Gaussian matrix replaced by
