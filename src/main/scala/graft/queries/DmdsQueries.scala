@@ -875,6 +875,44 @@ object DmdsQueries {
                 GROUP BY doc_id ORDER BY doc_id""")
       ),
 
+      "w_net_changes" -> QueryDef(
+        // the ROW-LEVEL NET change view through the oracle gate: the same
+        // INSERT (v1) + scoped UPDATE (v2) scenario as w_changes, but
+        // consumed via GraftChanges.netBetween — the multiset difference
+        // of the chunk-granular feed's two sides, so ONLY the rows the
+        // UPDATE actually touched surface (before-image on the delete
+        // side, new value on the insert side) while the untouched rows of
+        // touched cells cancel exactly. An EXCEPT ALL bug, a
+        // before-image drift, or a cell-set mismatch all break the hash.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wnc", "nc")
+          events(s2, dir).createOrReplaceTempView("ev_src_nc")
+          s2.sql("DROP TABLE IF EXISTS wnc.ev_nc")
+          s2.sql("""CREATE TABLE wnc.ev_nc
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wnc.ev_nc
+                    SELECT event_id, user_id, value, user_id DIV 128
+                    FROM ev_src_nc WHERE event_id % 2 = 0""")
+          s2.sql("""UPDATE wnc.ev_nc SET value = value + 1
+                    WHERE c0 BETWEEN 0 AND 1 AND user_id % 11 = 4""")
+          val wh = s2.conf.get("spark.sql.catalog.wnc.warehouse")
+          graft.sources.GraftChanges.netBetween(s2, s"$wh/ev_nc", 1L, 2L)
+            .select(col("_change_type"), col("event_id"), col("user_id"),
+              col("value"))
+            .orderBy("_change_type", "event_id")
+        },
+        Some("""SELECT 'delete' AS _change_type, event_id, user_id, value
+                FROM events
+                WHERE user_id // 128 BETWEEN 0 AND 1 AND user_id % 11 = 4
+                  AND event_id % 2 = 0
+                UNION ALL
+                SELECT 'insert', event_id, user_id, value + 1
+                FROM events
+                WHERE user_id // 128 BETWEEN 0 AND 1 AND user_id % 11 = 4
+                  AND event_id % 2 = 0
+                ORDER BY _change_type, event_id""")
+      ),
+
       "w_index_bm25" -> QueryDef(
         // RANKED RETRIEVAL through the index: BM25 over the posting world
         // — per query term one pruned stripe scan, N/avgdl from the length

@@ -482,4 +482,23 @@ object GraftChanges {
         .withColumn("_change_type", lit(tag))
     side(base, target, "insert").unionByName(side(target, base, "delete"))
   }
+
+  /** ROW-LEVEL NET changes between two versions: [[between]] is
+    * chunk-granular by the engine's replace-unit contract — a one-row
+    * UPDATE surfaces its whole cell on both sides — so consumers that want
+    * "only the rows that actually changed" take the MULTISET difference of
+    * the two sides (`EXCEPT ALL` each way: one shuffle over the changed
+    * cells only, duplicate rows preserved with correct multiplicity).
+    * `delete` rows are true before-images that vanished; `insert` rows are
+    * values that genuinely appeared. A row rewritten with identical values
+    * cancels out entirely. */
+  def netBetween(spark: org.apache.spark.sql.SparkSession, path: String,
+      base: Long, target: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val feed = between(spark, path, base, target)
+    val ins = feed.where(feed("_change_type") === "insert").drop("_change_type")
+    val del = feed.where(feed("_change_type") === "delete").drop("_change_type")
+    ins.exceptAll(del).withColumn("_change_type", lit("insert"))
+      .unionByName(del.exceptAll(ins).withColumn("_change_type", lit("delete")))
+  }
 }
