@@ -513,6 +513,43 @@ object Relational {
               GROUP BY l_partkey ORDER BY l_partkey""")
     ),
 
+    // EQUI-DEPTH histogram (8 buckets): bounds are EXACT order statistics
+    // from ops.Quantiles (one range exchange, rank filter — never a global
+    // sort), folded into a 7-element broadcast array; each row's bucket =
+    // |bounds below it| via a codegen'd array HOF. Exact at any scale —
+    // the histogram every optimizer/skew-analysis wants, with none of
+    // approx_percentile's engine-specific drift. Bounds are actual data
+    // values (double pass-through), so both engines compare identical
+    // bits.
+    "q_equidepth" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val bounds = graft.ops.Quantiles
+          .exactQuantiles(li, col("l_extendedprice"), (1 to 7).map(_ / 8.0))
+          .agg(sort_array(collect_list(col("value"))).as("bs"))
+        li.crossJoin(broadcast(bounds)) // scalar-aggregate broadcast
+          .select(size(filter(col("bs"), b => col("l_extendedprice") > b))
+            .cast("long").as("bucket"), col("l_extendedprice").as("x"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"), min("x").as("lo"), max("x").as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (SELECT [
+                quantile_disc(l_extendedprice, 0.125),
+                quantile_disc(l_extendedprice, 0.25),
+                quantile_disc(l_extendedprice, 0.375),
+                quantile_disc(l_extendedprice, 0.5),
+                quantile_disc(l_extendedprice, 0.625),
+                quantile_disc(l_extendedprice, 0.75),
+                quantile_disc(l_extendedprice, 0.875)] AS bs FROM lineitem)
+              SELECT CAST(len(list_filter(bs, x -> l.l_extendedprice > x))
+                  AS BIGINT) AS bucket,
+                COUNT(*) AS n_rows, MIN(l_extendedprice) AS lo,
+                MAX(l_extendedprice) AS hi
+              FROM lineitem l CROSS JOIN b
+              GROUP BY bucket ORDER BY bucket""")
+    ),
+
     // data-quality AUDIT (the dbt-test / expectations surface): four rule
     // classes — duplicate keys, null violations, range violations, and
     // referential orphans — evaluated in one pass each and unioned into a

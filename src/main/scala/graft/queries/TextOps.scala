@@ -675,6 +675,23 @@ object TextOps {
               ORDER BY score_u DESC, doc_id LIMIT 10""")
     ),
 
+    // language-ID CONFUSION MATRIX: the heuristic classifier's predictions
+    // against the corpus's ground-truth lang column — the eval every
+    // classifier in a pipeline needs before its output gates data. One
+    // groupBy on a (truth, prediction) pair of tiny cardinality.
+    "t_lang_confusion" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"), graft.ops.Text.langId(col("text")).as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred"),
+      Some("""SELECT lang,
+                CASE WHEN len(regexp_extract_all(text,
+                    '\b(the|and|of|to|a|in|is|it|that|for)\b')) >= 3
+                  THEN 'en' ELSE 'other' END AS pred,
+                COUNT(*) AS n
+              FROM documents GROUP BY lang, pred ORDER BY lang, pred""")
+    ),
+
     // per-document token ENTROPY (micro-nats): the gibberish/boilerplate
     // quality signal repetition counts alone miss — low entropy flags
     // keyword-stuffed or template docs, high entropy flags random noise.
