@@ -95,6 +95,19 @@ object EventStreams {
         unix_micros(col("e_ts")).as("err_us"))
   }
 
+  /** Stream-STATIC enrichment join: every micro-batch hash-joins the
+    * dimension frame, which Spark re-resolves per batch for file/world
+    * sources — so a dimension refresh between batches is picked up without
+    * restarting the stream, and no state is kept at all (the static side
+    * is not buffered; this is the zero-state join, unlike the
+    * stream-stream forms above). Left join: events with no dimension row
+    * pass through NULL-padded rather than silently dropping. The dimension
+    * side broadcasts (it is a dimension by assumption); at cluster scale
+    * that is one broadcast per batch, no shuffle of the stream. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      keyCol: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), events(keyCol) === dim(dimKey), "left")
+
   /** Streaming exact dedup with bounded state: duplicate event ids arriving
     * within the watermark horizon are dropped; state for ids older than the
     * watermark is evicted (an unbounded `dropDuplicates` would grow state

@@ -528,6 +528,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: batches join the dimension frame, misses pass NULL-padded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, Long)] // (event_id, dim_key)
+    val events = src.toDF().toDF("event_id", "k")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
+    val out = EventStreams.enrichStream(events, dim, "k", "dk")
+      .select(col("event_id"), col("tier"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      src.addData((10L, 1L), (11L, 9L))
+      q.processAllAvailable()
+      src.addData((12L, 2L))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, tier FROM enrich_out")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(got == Set((10L, Some("gold")), (11L, None), (12L, Some("silver"))),
+        s"got: $got")
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT-OUTER interval join: unmatched click emits NULL error after watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
