@@ -251,6 +251,41 @@ object EventOps {
               ORDER BY click_id, err_id""")
     ),
 
+    // robust per-entity ANOMALY detection (median ± 3·MAD): flag events
+    // whose value deviates more than 3 median-absolute-deviations from
+    // their user's median — the outlier rule a mean/stddev gate gets
+    // wrong under the very outliers it hunts. Exact interpolated
+    // percentiles (engine-identical doubles, the q_mad discipline) make
+    // the flag deterministic; two keyed aggregates + one join back, all
+    // on user_id — parallel across users at any scale. Zero-MAD users
+    // (constant values) are excluded rather than dividing by zero.
+    "e_anomaly_mad" -> QueryDef(
+      (s, dir) => {
+        val e = ev(s, dir)
+        val med = e.groupBy("user_id")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val st = e.join(med, "user_id").groupBy("user_id")
+          .agg(first("med").as("med"),
+            expr("percentile(abs(value - med), 0.5)").as("mad"))
+        e.join(st, "user_id")
+          .where(col("mad") > 0 &&
+            abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+          .select("event_id", "user_id", "value")
+          .orderBy("event_id")
+      },
+      Some("""WITH m AS (
+                SELECT user_id, quantile_cont(value, 0.5) AS med
+                FROM events GROUP BY user_id),
+              d AS (
+                SELECT e.user_id, ANY_VALUE(m.med) AS med,
+                  quantile_cont(abs(e.value - m.med), 0.5) AS mad
+                FROM events e JOIN m USING (user_id) GROUP BY e.user_id)
+              SELECT e.event_id, e.user_id, e.value
+              FROM events e JOIN d USING (user_id)
+              WHERE d.mad > 0 AND abs(e.value - d.med) > 3.0 * d.mad
+              ORDER BY event_id""")
+    ),
+
     // batch twin of EventStreams.errorRunCounts (the flatMapGroupsWithState
     // custom-state op): per-user running error count with the alert flag
     // once it crosses 3. The stateful operator's semantics expressed as one

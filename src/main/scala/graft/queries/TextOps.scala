@@ -675,6 +675,70 @@ object TextOps {
               ORDER BY score_u DESC, doc_id LIMIT 10""")
     ),
 
+    // Zipf-law fit of the vocabulary (slope of ln(freq) on ln(rank) over
+    // the top-100 words): natural corpora sit near slope −1 — a corpus
+    // whose fit drifts far off is synthetic, templated, or broken, making
+    // this a one-number corpus-health diagnostic. Each log rounds ONCE to
+    // integer micro-nats, the regression moments are then exact BIGINT
+    // sums (a raw double Σln would be addition-order-dependent and could
+    // never hash-match), and the closed-form slope/intercept evaluate in
+    // identically-parenthesized doubles rounded once. The rank window
+    // runs over the TakeOrdered top-100 — the admitted reduced shape.
+    "t_zipf_fit" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val top = t(s, dir, "documents")
+          .select(explode(graft.functions.WordNgrams(col("text"), 1)).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w")).limit(100)
+        val xy = top
+          .select(row_number()
+            .over(Window.orderBy(col("cnt").desc, col("w")))
+            .cast("long").as("rank"), col("cnt"))
+          .select(
+            round(log(col("rank").cast("double")) * lit(1e6), 0)
+              .cast("long").as("xu"),
+            round(log(col("cnt").cast("double")) * lit(1e6), 0)
+              .cast("long").as("yu"))
+        xy.agg(count(lit(1)).as("n"),
+            sum("xu").as("sx"), sum("yu").as("sy"),
+            sum(col("xu") * col("yu")).as("sxy"),
+            sum(col("xu") * col("xu")).as("sxx"))
+          .select(col("n"),
+            round(expr("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)") * lit(1e6), 0)
+              .cast("long").as("slope_micro"),
+            round(expr("(CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / CAST(n AS DOUBLE)"), 0)
+              .cast("long").as("intercept_unats"))
+      },
+      Some("""WITH w AS (
+                SELECT unnest(list_filter(
+                  string_split_regex(trim(lower(text)), '\s+'),
+                  x -> x <> '')) AS w
+                FROM documents),
+              top AS (
+                SELECT w, COUNT(*) AS cnt FROM w GROUP BY w
+                ORDER BY cnt DESC, w LIMIT 100),
+              r AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w)
+                    AS BIGINT) AS rank, cnt
+                FROM top),
+              xy AS (
+                SELECT
+                  CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT) AS xu,
+                  CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * 1e6, 0) AS BIGINT) AS yu
+                FROM r),
+              m AS (
+                SELECT COUNT(*) AS n, CAST(SUM(xu) AS BIGINT) AS sx,
+                  CAST(SUM(yu) AS BIGINT) AS sy,
+                  CAST(SUM(xu * yu) AS BIGINT) AS sxy,
+                  CAST(SUM(xu * xu) AS BIGINT) AS sxx
+                FROM xy)
+              SELECT n,
+                CAST(ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * 1e6, 0) AS BIGINT) AS slope_micro,
+                CAST(ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / CAST(n AS DOUBLE), 0) AS BIGINT) AS intercept_unats
+              FROM m""")
+    ),
+
     // language-ID CONFUSION MATRIX: the heuristic classifier's predictions
     // against the corpus's ground-truth lang column — the eval every
     // classifier in a pipeline needs before its output gates data. One

@@ -10,9 +10,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * names the data columns whose Morton interleave orders rows WITHIN each
   * chunk cell. Unlike a one-shot `OPTIMIZE ZORDER` rewrite, the sidecar is
   * a TABLE property — `CALL system.zorder(table, columns)` both rewrites
-  * the existing cells and registers the columns, so every LATER write
-  * (INSERT, COW rewrite, compaction) keeps the layout instead of silently
-  * decaying it back to the dim sort.
+  * the existing cells and registers the columns, so later batch writes
+  * (INSERT, COW rewrite, compaction) keep the layout instead of silently
+  * decaying it back to the dim sort. Streaming-sink epochs take the
+  * lexicographic fallback (no function catalog in their plan); a
+  * `system.compact`/`system.zorder` pass restores the exact curve.
   *
   * Why intra-cell Z-order matters at scale: the chunk grid prunes by the
   * registered dims; WITHIN a surviving cell, per-row-group (and, for
