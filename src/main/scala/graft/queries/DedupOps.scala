@@ -359,6 +359,67 @@ object DedupOps {
               ORDER BY id_a, id_b""")
     ),
 
+    // MinHash ESTIMATE gate: the numeric accuracy check for the sketch the
+    // LSH family is built on (HLL/percentile/CMS all have gates; this
+    // closes the set). Thirty PLANTED pairs with a controlled spread of
+    // known Jaccards — doc i vs (doc i ++ doc i+1), whose companion
+    // shingle set is a superset, so J = |sh_i| / |sh_comp| varies with
+    // document sizes — must each see the 64-component signature agreement
+    // rate within 0.25 of the exact Jaccard: E[agreement] = J, 3sigma at
+    // J = 0.5 is ~0.19, so 0.25 is the catastrophic-failure margin (a
+    // wrong seed or an off-by-one in the signature loop blows it) while
+    // the fixed (data, seed) pair keeps the flag deterministic. Pure
+    // integers: |100·est − 64·J_pct| <= 1600.
+    "d_minhash_gate" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs.where(col("doc_id") < 30)
+          .select(col("doc_id"), col("text"))
+        val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("text2"))
+        val a = base.select(col("doc_id"),
+          graft.functions.WordShingles(col("text"), 3).as("sh_a"))
+        val b = base.join(nxt, "doc_id")
+          .select(col("doc_id"), graft.functions.WordShingles(
+            concat(col("text"), lit(" "), col("text2")), 3).as("sh_b"))
+        a.join(b, "doc_id")
+          .select(col("doc_id"),
+            graft.functions.JaccardPct(col("sh_a"), col("sh_b"))
+              .as("jaccard_pct"),
+            size(filter(zip_with(
+              graft.functions.MinHashSignature(col("sh_a"), 64),
+              graft.functions.MinHashSignature(col("sh_b"), 64),
+              (x, y) => x === y), p => p)).cast("long").as("est_cnt"))
+          .select(col("doc_id"), col("jaccard_pct"),
+            (abs(lit(100L) * col("est_cnt") - lit(64L) * col("jaccard_pct"))
+              <= lit(1600L)).cast("bigint").as("within_bound"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH pair AS (
+                SELECT d.doc_id, d.text AS ta, d.text || ' ' || n.text AS tb
+                FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
+                WHERE d.doc_id < 30),
+              sh AS (
+                SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(0, GREATEST(len(string_split_regex(trim(lower(ta)), '\s+')) - 2, 0)),
+                    x -> string_split_regex(trim(lower(ta)), '\s+')[x + 1] || ' ' ||
+                         string_split_regex(trim(lower(ta)), '\s+')[x + 2] || ' ' ||
+                         string_split_regex(trim(lower(ta)), '\s+')[x + 3])) AS sa,
+                  list_distinct(list_transform(
+                    range(0, GREATEST(len(string_split_regex(trim(lower(tb)), '\s+')) - 2, 0)),
+                    x -> string_split_regex(trim(lower(tb)), '\s+')[x + 1] || ' ' ||
+                         string_split_regex(trim(lower(tb)), '\s+')[x + 2] || ' ' ||
+                         string_split_regex(trim(lower(tb)), '\s+')[x + 3])) AS sb
+                FROM pair)
+              SELECT doc_id,
+                CAST(len(list_intersect(sa, sb)) * 100 //
+                  (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+                  AS BIGINT) AS jaccard_pct,
+                CAST(1 AS BIGINT) AS within_bound
+              FROM sh ORDER BY doc_id""")
+    ),
+
     // canonical-survivor selection by QUALITY: within each exact-duplicate
     // group, keep the highest-quality copy (stopword-density proxy, doc_id
     // tie-break) instead of the arbitrary min-id — real pipelines pick the
