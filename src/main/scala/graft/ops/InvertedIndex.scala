@@ -46,16 +46,29 @@ final class InvertedIndex(
     val basePath: String,
     val idxPath: String,
     val idCol: String = "doc_id",
-    val textCol: String = "text") {
+    val textCol: String = "text",
+    // grid geometry: cells = pidChunks x fpChunks. Size to the corpus —
+    // every refresh step (destroy + insert) is a read-modify-write of the
+    // AFFECTED cells, so a grid far wider than the posting volume pays
+    // per-file fixed costs for nothing (the regrid argument, SURVEY §2.6,
+    // applied to the index artifact); at 100 TB widen fpChunks so a hot
+    // term's stripe stays scannable and pidChunks so cells stay
+    // executor-memory-sized
+    val pidChunks: Int = 8,
+    val fpChunks: Int = 16) {
+  require(Integer.bitCount(pidChunks) == 1 && Integer.bitCount(fpChunks) == 1,
+    "chunk counts must be powers of two (they divide the u64 domain)")
 
   private val SentinelPid = 0L
   private def intentPath = new Path(idxPath, "_graft_idx_refresh_intent")
 
   /** Posting world: dim0 = pid (unique row id), dim1 = fp (term
-    * fingerprint, the pruning dim). 8 x 16 chunk cells. */
+    * fingerprint, the pruning dim). */
   val world: World = World(spark, idxPath)(
-    "pid" -> DimMapping(0L, -1L, 1L << 61),
-    "fp" -> DimMapping(0L, -1L, 1L << 60))
+    "pid" -> DimMapping(0L, -1L,
+      java.lang.Long.divideUnsigned(0L - 1L, pidChunks.toLong) + 1L),
+    "fp" -> DimMapping(0L, -1L,
+      java.lang.Long.divideUnsigned(0L - 1L, fpChunks.toLong) + 1L))
 
   private def fs = org.apache.hadoop.fs.FileSystem.get(
     new java.net.URI(idxPath), spark.sparkContext.hadoopConfiguration)
@@ -147,27 +160,27 @@ final class InvertedIndex(
     val v1 = latestBaseVersion
     if (v1 <= v0) return v0
 
-    val feed = graft.sources.GraftChanges.between(spark, basePath, v0, v1)
+    // the NET feed, not the raw chunk-granular one: a one-doc UPDATE
+    // surfaces its whole cell on both sides of the raw feed, which would
+    // re-index every unchanged doc in the cell; EXCEPT ALL cancels them
+    // so the destroy+insert below touch exactly the docs that changed
+    val feed = graft.sources.GraftChanges.netBetween(spark, basePath, v0, v1)
     // pin the feed ONCE: both sides read it, and the first mutation
     // rewrites state the second would otherwise re-plan against
     val (pinned, handle) = Pins.pinWithHandle(
       feed.select(col("_change_type"), col(idCol), col(textCol)))
     try {
       fs.create(intentPath, true).close()
-      // destroy BEFORE insert: an updated doc's surviving (term, doc)
-      // postings are re-inserted with their fresh tf afterwards
+      // ONE combined rewrite (World.applyDelta): removals from the feed's
+      // delete side and upserts from its insert side land in a single
+      // read-modify-write per affected cell — an updated doc's surviving
+      // (term, doc) postings simply replace themselves with their fresh
+      // tf, and the cursor sentinel rides the same staged swap
       val deadIds = postings(pinned.where(col("_change_type") === "delete"))
         .select(col("pid").as("id"))
-      if (!deadIds.isEmpty) world.destroy(deadIds)
       val fresh = postings(pinned.where(col("_change_type") === "insert"))
-      if (!fresh.isEmpty)
-        world.insert(fresh.unionByName(sentinel(v1, fresh.schema)))
-      else {
-        // no inserted docs this window (pure delete): still advance the
-        // cursor — the sentinel upsert is one replaced row
-        val empty = postings(pinned.limit(0))
-        world.insert(sentinel(v1, empty.schema))
-      }
+      world.applyDelta(deadIds,
+        fresh.unionByName(sentinel(v1, fresh.schema)))
       fs.delete(intentPath, false)
     } finally Pins.release(handle)
     v1

@@ -178,9 +178,11 @@ final class MaterializedAgg(
     try {
       fs.create(intentPath, true).close()
       val live = pinned.where(col("n") > 0)
-      world.insert(live.unionByName(sentinel(v1, live.schema)))
       val dead = pinned.where(col("n") <= 0).select(col("gid").as("id"))
-      if (!dead.isEmpty) world.destroy(dead)
+      // ONE combined rewrite (World.applyDelta): emptied groups vanish and
+      // touched groups upsert in the same staged swap the cursor sentinel
+      // rides — half the cell rewrites of a destroy-then-insert pair
+      world.applyDelta(dead, live.unionByName(sentinel(v1, live.schema)))
       fs.delete(intentPath, false)
     } finally Pins.release(handle)
     v1

