@@ -78,6 +78,28 @@ class InvertedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"files outside the fp stripe were read: $scanned")
   }
 
+  test("pure-delete refresh window: postings vanish, cursor still advances") {
+    val base = Files.createTempDirectory("graft-idx-d").toString + "/base"
+    import spark.implicits._
+    Seq((1L, "solo words here"), (2L, "other words"))
+      .toDF("doc_id", "text").withColumn("c0", expr("doc_id DIV 16"))
+      .write.format("graft").mode("append").save(base)
+    val ix = new InvertedIndex(spark, base, base + "__idx")
+    ix.initialize()
+    assert(lookupMap(ix, "solo") == Map(1L -> 1L))
+    // a delete-only commit (bucket-metadata DELETE path still seals)
+    val s2 = spark
+    val del = s2.read.format("graft").load(base).where(col("doc_id") =!= 1)
+      .select("doc_id", "text", "c0")
+    // row-exact delete via overwrite of the world with the survivor set
+    del.write.format("graft").mode("overwrite").save(base)
+    val c0 = ix.cursor
+    ix.refresh()
+    assert(ix.cursor > c0, "cursor advances across a delete-only window")
+    assert(lookupMap(ix, "solo") == Map.empty[Long, Long], "deleted doc's postings gone")
+    assert(lookupMap(ix, "words") == Map(2L -> 1L))
+  }
+
   test("streaming face: the base's commit stream drives refresh, restart converges") {
     val base = Files.createTempDirectory("graft-idx-s").toString + "/base"
     val idx = base + "__idx"

@@ -172,6 +172,25 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.select(1, Bounds.to(5000, 9000)).iter().count() == 0L)
   }
 
+  test("applyDelta: removes + replace-upserts + fresh inserts in ONE rewrite") {
+    import spark.implicits._
+    val w = new World(spark, tmp(), dims2(8, 16))
+    w.create(rows((1L, 1L), (2L, 2L), (3L, 3L), (114L, 514L)))
+    // remove 2; replace 3's dims (relocates); insert fresh 200
+    val (removed, displaced) = w.applyDelta(
+      Seq(2L).toDF("d0"),
+      rows((3L, 900L), (200L, 5L)))
+    assert(removed == 1L && displaced == 1L, s"($removed, $displaced)")
+    assert(w.df.select("d0", "d1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (3L, 900L), (200L, 5L), (114L, 514L)))
+    // an id in BOTH sides: the upsert wins (delete-then-insert semantics)
+    val (r2, d2) = w.applyDelta(Seq(1L).toDF("d0"), rows((1L, 77L)))
+    assert(r2 == 1L && d2 == 1L)
+    assert(w.df.where(col("d0") === 1).select("d1")
+      .collect().map(_.getLong(0)).toSeq == Seq(77L))
+  }
+
   test("destroy by id DataFrame (scale path: semi/anti join, no isin)") {
     import spark.implicits._
     val w = new World(spark, tmp(), dims2(8, 16))
