@@ -96,14 +96,16 @@ object EventStreams {
   }
 
   /** Stream-STATIC enrichment join: every micro-batch hash-joins the
-    * dimension frame, which Spark re-resolves per batch for file/world
-    * sources — so a dimension refresh between batches is picked up without
-    * restarting the stream, and no state is kept at all (the static side
-    * is not buffered; this is the zero-state join, unlike the
-    * stream-stream forms above). Left join: events with no dimension row
-    * pass through NULL-padded rather than silently dropping. The dimension
-    * side broadcasts (it is a dimension by assumption); at cluster scale
-    * that is one broadcast per batch, no shuffle of the stream. */
+    * dimension frame with NO state kept at all (the static side is not
+    * buffered; this is the zero-state join, unlike the stream-stream forms
+    * above). The dimension is captured at stream start — file-backed
+    * frames keep their cached listing, so a refreshed dimension needs a
+    * stream restart (or a foreachBatch sink that re-reads per batch) to be
+    * seen; this is Spark's static-side contract, stated rather than
+    * papered over. Left join: events with no dimension row pass through
+    * NULL-padded rather than silently dropping. The dimension side
+    * broadcasts (it is a dimension by assumption); at cluster scale that
+    * is one broadcast per batch, no shuffle of the stream. */
   def enrichStream(events: DataFrame, dim: DataFrame,
       keyCol: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), events(keyCol) === dim(dimKey), "left")
