@@ -980,6 +980,63 @@ object DmdsQueries {
                 ORDER BY score_u DESC, doc_id LIMIT 10""")
       ),
 
+      "w_snapshot_drift" -> QueryDef(
+        // THREE features composed under one oracle (the w_snapshot_agg
+        // pattern): time travel × row-level DML × the KL drift monitor —
+        // "did my backfill shift the token distribution" answered by
+        // comparing the PRE-update snapshot (VERSION AS OF 1) against the
+        // live table through ops.Text.tokenKlDrift, with the snapshot side
+        // read out of retained history. A drift in the engine itself — a
+        // snapshot resolving post-update bytes, a before-image miss, or a
+        // KL arithmetic change — breaks the hash as surely as a real
+        // distribution shift appears in it.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wkd", "kd")
+          t(s2, dir, "documents").createOrReplaceTempView("doc_src_kd")
+          s2.sql("DROP TABLE IF EXISTS wkd.docs_kd")
+          s2.sql("CREATE TABLE wkd.docs_kd (doc_id BIGINT, text STRING, c0 BIGINT)")
+          s2.sql("""INSERT INTO wkd.docs_kd
+                    SELECT doc_id, text, doc_id DIV 1024 FROM doc_src_kd
+                    WHERE doc_id % 10 = 0""")
+          s2.sql("""UPDATE wkd.docs_kd SET text = 'drifted drifted tokens'
+                    WHERE c0 BETWEEN 0 AND 9 AND doc_id % 50 = 0""")
+          val v1 = s2.sql("SELECT text FROM wkd.docs_kd VERSION AS OF 1")
+            .withColumn("is_left", lit(true))
+          val live = s2.sql("SELECT text FROM wkd.docs_kd")
+            .withColumn("is_left", lit(false))
+          graft.ops.Text.tokenKlDrift(v1.unionByName(live), "text",
+            col("is_left"), topK = 20)
+        },
+        Some("""WITH sl AS (
+                  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+                d AS (
+                  SELECT text, TRUE AS is_left FROM sl
+                  UNION ALL
+                  SELECT CASE WHEN doc_id % 50 = 0
+                           THEN 'drifted drifted tokens' ELSE text END,
+                    FALSE FROM sl),
+                tok AS (
+                  SELECT is_left,
+                    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                      x -> x <> '')) AS w
+                  FROM d),
+                bw AS (
+                  SELECT w,
+                    CAST(SUM(CASE WHEN is_left THEN 1 ELSE 0 END) AS BIGINT) AS cl,
+                    CAST(SUM(CASE WHEN NOT is_left THEN 1 ELSE 0 END) AS BIGINT) AS cr
+                  FROM tok GROUP BY w),
+                tot AS (
+                  SELECT CAST(SUM(cl) AS DOUBLE) AS tl, CAST(SUM(cr) AS DOUBLE) AS tr,
+                    CAST(COUNT(*) AS DOUBLE) AS vv
+                  FROM bw)
+                SELECT w AS word, cl, cr,
+                  CAST(ROUND(((cl + 1.0) / (tl + vv))
+                    * (ln((cl + 1.0) / (tl + vv)) - ln((cr + 1.0) / (tr + vv)))
+                    * 1e9, 0) AS BIGINT) AS kl_nnats
+                FROM bw CROSS JOIN tot
+                ORDER BY kl_nnats DESC, word LIMIT 20""")
+      ),
+
       "w_orphan_sweep" -> QueryDef(
         // ORPHAN VACUUM through the oracle gate: INSERT (versions seal),
         // plant a manifest-unreferenced duplicate chunk file (the
