@@ -267,4 +267,127 @@ object Similarity {
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Lloyd loop shared by the PQ codebook trainer: identical contract to
+    * [[trainCentroids]] (evenly-spaced init over the ordered sample, squared
+    * L2, first-strictly-smaller-distance tie-break, empty cluster keeps its
+    * centroid) but over a pre-collected sample — PQ trains `m` codebooks
+    * from ONE sample collect, slicing subvectors per subspace. */
+  private def lloyd(sample: Array[Array[Double]], k: Int, dim: Int,
+      iters: Int): Array[Array[Double]] = {
+    val step = sample.length / k
+    var cents = Array.tabulate(k)(c => sample(c * step).take(dim).padTo(dim, 0.0))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d2 = 0.0; var i = 0
+          while (i < dim && i < v.length) { val d = v(i) - cents(c)(i); d2 += d * d; i += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim && i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  /** Product-quantization codebooks: the embedding splits into `m`
+    * contiguous subspaces of `dim/m` components; each subspace gets its own
+    * `ksub`-codeword codebook trained by the IVF trainer's exact Lloyd
+    * contract on the sample's subvector slices (one bounded sample collect
+    * serves all `m` trainings — index BUILD, not a per-query step). Returns
+    * (codebooks flat row-major `m*ksub*subDim`, actual ksub) — actual ksub
+    * < requested only when the sample is smaller than `ksub`. */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+      iters: Int = 5, sampleCap: Int = 4096): (Array[Double], Int) = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val sample = corpus.orderBy("vec_id").limit(sampleCap)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val k = math.min(ksub, sample.length)
+    val flat = (0 until m).flatMap { s =>
+      val sub = sample.map(v => v.slice(s * subDim, (s + 1) * subDim)
+        .padTo(subDim, 0.0))
+      lloyd(sub, k, subDim, iters).toSeq.flatten
+    }.toArray
+    (flat, k)
+  }
+
+  /** Per-row PQ codes: `m` codeword indices, one native
+    * [[graft.functions.NearestCentroids]] pass per subspace over the
+    * subvector slice (the codebook ships in-expression; the scan stays
+    * shuffle-free). At 100 TB this is the compression step that makes the
+    * index memory-resident: 64 float components become `m` small ints. */
+  private def pqCodes(df: DataFrame, idAs: String, cb: Array[Double],
+      m: Int, ksub: Int, subDim: Int): DataFrame = {
+    val codes = (0 until m).map { s =>
+      val sub = cb.slice(s * ksub * subDim, (s + 1) * ksub * subDim)
+      element_at(graft.functions.NearestCentroids(
+        slice(col("embedding"), s * subDim + 1, subDim), sub, ksub, 1), 1)
+    }
+    df.select(col("vec_id").as(idAs), array(codes: _*).as("codes"))
+  }
+
+  /** PQ ANN (asymmetric-distance): the memory-bounded scale path — corpus
+    * vectors live in the index as `m` codeword indices (`m*ksub*subDim`
+    * codebook doubles + `m` ints per vector instead of `dim` floats), each
+    * query ADC-scans the codes (approximate distance = sum over subspaces of
+    * ||q_s − codeword(code_s)||², computed by HOFs against the literal
+    * codebook — no UDF, no shuffle beyond the broadcast), keeps a
+    * `shortlist` of best codes, and exact-cosine re-ranks only the
+    * shortlist against the full vectors.
+    *
+    * The ADC floor property the planted oracle leans on: an exact copy of
+    * the query achieves `sum_s min_c ||q_s − c||²` — the minimum the ADC
+    * metric can assign to ANY code — so a planted duplicate can never miss
+    * the shortlist. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, dim: Int = DefaultDim,
+      shortlist: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val (cb, actualK) = trainPqCodebooks(corpus, m, ksub, dim)
+    val codes = pqCodes(corpus, "t_id", cb, m, actualK, subDim)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cbLit = typedLit(cb)
+    // ADC over the codes: per subspace, squared L2 between the query's
+    // subvector slice and the codeword the corpus row stored for it
+    val adc = aggregate(
+      sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, sIdx) => {
+        val code = element_at(col("codes"), (sIdx + 1).cast("int"))
+        val base = (sIdx.cast("long") * actualK + code) * subDim
+        acc + aggregate(
+          zip_with(
+            slice(col("q_emb"), sIdx * subDim + 1, lit(subDim)),
+            slice(cbLit, (base + 1).cast("int"), lit(subDim)),
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (x, y) => x + y)
+      })
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(col("adc").asc, col("t_id"))
+    val cand = codes.join(broadcast(q), col("t_id") =!= col("q_id"))
+      .withColumn("adc", adc)
+      .withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= shortlist)
+      .select("q_id", "t_id")
+      .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), Seq("q_id"))
+      .join(corpus.select(col("vec_id").as("t_id"), col("embedding").as("t_emb")), Seq("t_id"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 4).desc, col("t_id"))
+    cand.withColumn("sim", cosine(col("q_emb"), col("t_emb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"))
+  }
 }

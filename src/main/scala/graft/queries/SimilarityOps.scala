@@ -119,6 +119,21 @@ object SimilarityOps {
       None
     ),
 
+    // PQ completes the ANN family's memory axis: brute = exact, LSH/IVF =
+    // candidate pruning, PQ = index COMPRESSION (corpus vectors held as m
+    // codeword indices + one shared codebook — the only ANN shape whose
+    // index fits in memory when the raw vectors never could). Approximate
+    // at this operating point -> rows-only, with the planted full-oracle
+    // twin below and SimilaritySpec's measured recall floor.
+    "s_ann_pq" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+          .orderBy("q_id", "rank")
+      },
+      None
+    ),
+
     // the two ANN index paths under the FULL oracle gate, at the one
     // operating point where their recall is DETERMINISTIC rather than
     // probabilistic: an exact-duplicate target. Each query vector's planted
@@ -148,6 +163,29 @@ object SimilarityOps {
         val planted = emb.where(col("vec_id") < 10)
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
         Similarity.ivfTopK(emb.unionAll(planted), emb.where(col("vec_id") < 10), k = 1)
+          .orderBy("q_id")
+      },
+      Some("""SELECT vec_id AS q_id, vec_id + 1000000 AS t_id,
+                CAST(1 AS BIGINT) AS rank
+              FROM embeddings WHERE vec_id < 10 ORDER BY q_id""")
+    ),
+
+    // PQ under the FULL oracle gate via the same planted-copy construction,
+    // resting on the ADC FLOOR property: an exact copy's approximate
+    // distance is sum_s min over the subspace codebook of ||q_s - c||^2 —
+    // the MINIMUM the ADC metric can assign to any code — so the copy can
+    // never miss the shortlist (a code tie would need another vector to
+    // quantize identically in all 8 subspaces; the organic corpus, max
+    // cosine ~0.5, does not), and the exact re-rank then pins it at rank 1
+    // with round(cos,4) = 1.0. A codebook-training drift, a wrong
+    // slice/codeword indexing, or a shortlist-ordering bug all break the
+    // hash.
+    "s_ann_pq_planted" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = emb.where(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        Similarity.pqTopK(emb.unionAll(planted), emb.where(col("vec_id") < 10), k = 1)
           .orderBy("q_id")
       },
       Some("""SELECT vec_id AS q_id, vec_id + 1000000 AS t_id,

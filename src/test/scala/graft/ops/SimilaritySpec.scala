@@ -152,14 +152,36 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val truth = topSet(Similarity.bruteTopK(corpus, queries, k = 10))
     val ivf = topSet(Similarity.ivfTopK(corpus, queries, k = 10, nlist = 16, nprobe = 4, dim = 16))
     val lsh = topSet(Similarity.lshTopK(corpus, queries, k = 10, bits = 6, tables = 8, dim = 16))
+    val pq = topSet(Similarity.pqTopK(corpus, queries, k = 10, m = 4, ksub = 16, dim = 16))
     def recall(got: Map[Long, Set[Long]]): Double =
       truth.map { case (q, t) => got.getOrElse(q, Set.empty).count(t).toDouble / t.size }
         .sum / truth.size
-    val (rIvf, rLsh) = (recall(ivf), recall(lsh))
+    val (rIvf, rLsh, rPq) = (recall(ivf), recall(lsh), recall(pq))
     // deterministic inputs -> these are fixed numbers; the floors assert the
     // index structures actually find the clusters, not just themselves
     assert(rIvf >= 0.9, s"IVF recall@10 = $rIvf")
     assert(rLsh >= 0.6, s"LSH recall@10 = $rLsh")
+    assert(rPq >= 0.8, s"PQ recall@10 = $rPq")
+  }
+
+  test("pqTopK: ADC floor pins a planted duplicate at rank 1; codes stay bounded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    val rows = (0 until 120).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val base = rows.toDF("vec_id", "embedding")
+    val planted = base.where(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val corpus = base.unionAll(planted)
+    // an exact copy achieves sum_s min_c ||q_s - c||^2 — the minimum the
+    // ADC metric can assign to ANY code — so it cannot miss the shortlist,
+    // and the exact re-rank pins it at cos 1.0
+    val got = Similarity.pqTopK(corpus, base.where(col("vec_id") < 5), k = 1,
+        m = 4, ksub = 8, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (0L until 5L).map(q => q -> (q + 1000L)).toMap, s"got $got")
+    // codebook training caps at the sample size; codes index inside it
+    val (cb, actualK) = Similarity.trainPqCodebooks(corpus, m = 4, ksub = 8, dim = 16)
+    assert(cb.length == 4 * actualK * 4 && actualK == 8)
   }
 
   test("cosineNearDupPairs finds duplicate pair and nothing else") {
