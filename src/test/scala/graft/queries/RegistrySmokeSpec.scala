@@ -34,13 +34,14 @@ class RegistrySmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       finally graft.ops.Pins.releaseAll()
     }
     assert(failures.isEmpty, failures.mkString("\n"))
-    // 5 hash-specific ops are rows-only by design; everything else carries
+    // 6 hash-specific ops are rows-only by design; everything else carries
     // SQL (s_embed_neardup graduated to a planted full oracle in round 8,
     // as did the jaccard=1 twin d_minhash_exact; d_minhash_lsh/d_simhash's
-    // probabilistic operating points remain spec-pinned instead)
+    // probabilistic operating points remain spec-pinned instead; s_ann_pq
+    // joined in round 9 with its ADC-floor planted twin s_ann_pq_planted)
     val noOracle = Registry.all.collect { case (n, q) if q.oracle.isEmpty => n }.toSeq.sorted
     assert(noOracle == Seq("d_minhash_lsh", "d_simhash", "q_approx_distinct",
-      "s_ann_ivf", "s_ann_lsh"),
+      "s_ann_ivf", "s_ann_lsh", "s_ann_pq"),
       s"rows-only set changed — intentional? $noOracle")
   }
 
