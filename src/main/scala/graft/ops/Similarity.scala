@@ -390,4 +390,64 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"))
   }
+
+  /** IVFADC — the two ANN index structures composed, the billion-vector
+    * architecture: the coarse quantizer restricts each query to its
+    * `nprobe` inverted lists (candidate count ~ nprobe/nlist of the
+    * corpus), and WITHIN the candidates the ADC code scan ranks without
+    * touching full vectors (each candidate is `m` codeword ints, not `dim`
+    * floats). Exact cosine re-ranks only the final shortlist. Candidate
+    * pruning bounds the scan; code compression bounds the memory — at
+    * 100 TB neither alone suffices.
+    *
+    * The planted-oracle argument composes both halves': an exact copy is
+    * assigned the query's own first-probe cell (same coarse assignment
+    * kernel, ties identical), so the IVF stage cannot drop it, and inside
+    * the cell it holds the ADC floor, so the code scan cannot either. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 64, nprobe: Int = 8, m: Int = 8, ksub: Int = 16,
+      dim: Int = DefaultDim, shortlist: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val (coarse, actualLists) = trainCentroids(corpus, nlist, dim)
+    val (cb, actualK) = trainPqCodebooks(corpus, m, ksub, dim)
+    val probes = math.min(nprobe, actualLists)
+    val codes = pqCodes(corpus, "t_id", cb, m, actualK, subDim)
+    val tl = corpus.select(col("vec_id").as("t_id"),
+      element_at(graft.functions.NearestCentroids(col("embedding"), coarse, actualLists, 1), 1)
+        .as("cid"))
+      .join(codes, Seq("t_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      explode(graft.functions.NearestCentroids(col("embedding"), coarse, actualLists, probes))
+        .as("cid"))
+    val cbLit = typedLit(cb)
+    val adc = aggregate(
+      sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, sIdx) => {
+        val code = element_at(col("codes"), (sIdx + 1).cast("int"))
+        val base = (sIdx.cast("long") * actualK + code) * subDim
+        acc + aggregate(
+          zip_with(
+            slice(col("q_emb"), sIdx * subDim + 1, lit(subDim)),
+            slice(cbLit, (base + 1).cast("int"), lit(subDim)),
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (x, y) => x + y)
+      })
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(col("adc").asc, col("t_id"))
+    // corpus side has one list per vector -> no duplicate (q,t) pairs
+    val cand = tl.join(broadcast(q), Seq("cid"))
+      .where(col("t_id") =!= col("q_id"))
+      .withColumn("adc", adc)
+      .withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= shortlist)
+      .select("q_id", "t_id")
+      .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), Seq("q_id"))
+      .join(corpus.select(col("vec_id").as("t_id"), col("embedding").as("t_emb")), Seq("t_id"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 4).desc, col("t_id"))
+    cand.withColumn("sim", cosine(col("q_emb"), col("t_emb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"))
+  }
 }

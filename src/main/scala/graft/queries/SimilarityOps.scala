@@ -193,6 +193,28 @@ object SimilarityOps {
               FROM embeddings WHERE vec_id < 10 ORDER BY q_id""")
     ),
 
+    // IVFADC — both index structures composed (the billion-vector FAISS
+    // architecture: coarse lists bound the scan, PQ codes bound the
+    // memory) — under the FULL oracle gate. The planted argument composes
+    // both halves': the copy is assigned the query's own first-probe cell
+    // (IVF cannot drop it) and holds the ADC floor within the candidates
+    // (the code scan cannot either); exact re-rank pins it at cos 1.0.
+    // Realistic operating points are covered by the component families'
+    // rows-only queries + SimilaritySpec recall floors — a composed
+    // rows-only row would re-measure the same two structures.
+    "s_ann_ivfpq_planted" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = emb.where(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        Similarity.ivfPqTopK(emb.unionAll(planted), emb.where(col("vec_id") < 10), k = 1)
+          .orderBy("q_id")
+      },
+      Some("""SELECT vec_id AS q_id, vec_id + 1000000 AS t_id,
+                CAST(1 AS BIGINT) AS rank
+              FROM embeddings WHERE vec_id < 10 ORDER BY q_id""")
+    ),
+
     // k-means through the FULL oracle gate, by a planted-CONVERGENCE
     // construction: 4 distinct anchor vectors, 25 identical copies each
     // (ids anchor*1000 + i). The deterministic init (evenly-spaced rows of

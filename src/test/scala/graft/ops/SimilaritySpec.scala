@@ -153,15 +153,19 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val ivf = topSet(Similarity.ivfTopK(corpus, queries, k = 10, nlist = 16, nprobe = 4, dim = 16))
     val lsh = topSet(Similarity.lshTopK(corpus, queries, k = 10, bits = 6, tables = 8, dim = 16))
     val pq = topSet(Similarity.pqTopK(corpus, queries, k = 10, m = 4, ksub = 16, dim = 16))
+    val ivfpq = topSet(Similarity.ivfPqTopK(corpus, queries, k = 10,
+      nlist = 16, nprobe = 4, m = 4, ksub = 16, dim = 16))
     def recall(got: Map[Long, Set[Long]]): Double =
       truth.map { case (q, t) => got.getOrElse(q, Set.empty).count(t).toDouble / t.size }
         .sum / truth.size
     val (rIvf, rLsh, rPq) = (recall(ivf), recall(lsh), recall(pq))
+    val rIvfPq = recall(ivfpq)
     // deterministic inputs -> these are fixed numbers; the floors assert the
     // index structures actually find the clusters, not just themselves
     assert(rIvf >= 0.9, s"IVF recall@10 = $rIvf")
     assert(rLsh >= 0.6, s"LSH recall@10 = $rLsh")
     assert(rPq >= 0.8, s"PQ recall@10 = $rPq")
+    assert(rIvfPq >= 0.7, s"IVFADC recall@10 = $rIvfPq")
   }
 
   test("pqTopK: ADC floor pins a planted duplicate at rank 1; codes stay bounded") {
