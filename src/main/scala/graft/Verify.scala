@@ -17,6 +17,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.silenceBoundedWindowWarn() // see the comment there
     new java.io.File(outDir).mkdirs()
     // dev-only: SPARK_GRAFT_VERIFY_ONLY=a,b narrows the dump while iterating
     // on a few queries; the driver leaves it unset (full suite)
