@@ -359,21 +359,11 @@ object Similarity {
     val (cb, actualK) = trainPqCodebooks(corpus, m, ksub, dim)
     val codes = pqCodes(corpus, "t_id", cb, m, actualK, subDim)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val cbLit = typedLit(cb)
     // ADC over the codes: per subspace, squared L2 between the query's
-    // subvector slice and the codeword the corpus row stored for it
-    val adc = aggregate(
-      sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, sIdx) => {
-        val code = element_at(col("codes"), (sIdx + 1).cast("int"))
-        val base = (sIdx.cast("long") * actualK + code) * subDim
-        acc + aggregate(
-          zip_with(
-            slice(col("q_emb"), sIdx * subDim + 1, lit(subDim)),
-            slice(cbLit, (base + 1).cast("int"), lit(subDim)),
-            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-          lit(0.0), (x, y) => x + y)
-      })
+    // subvector slice and the codeword the corpus row stored for it — one
+    // native codegen'd pass ([[graft.functions.PqAdc]]), bit-identical to
+    // the aggregate/zip_with HOF chain it replaced (PqAdcSpec pins it)
+    val adc = graft.functions.PqAdc(col("q_emb"), col("codes"), cb, m, actualK)
     val wAdc = Window.partitionBy("q_id")
       .orderBy(col("adc").asc, col("t_id"))
     val cand = codes.join(broadcast(q), col("t_id") =!= col("q_id"))
@@ -419,19 +409,7 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       explode(graft.functions.NearestCentroids(col("embedding"), coarse, actualLists, probes))
         .as("cid"))
-    val cbLit = typedLit(cb)
-    val adc = aggregate(
-      sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, sIdx) => {
-        val code = element_at(col("codes"), (sIdx + 1).cast("int"))
-        val base = (sIdx.cast("long") * actualK + code) * subDim
-        acc + aggregate(
-          zip_with(
-            slice(col("q_emb"), sIdx * subDim + 1, lit(subDim)),
-            slice(cbLit, (base + 1).cast("int"), lit(subDim)),
-            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-          lit(0.0), (x, y) => x + y)
-      })
+    val adc = graft.functions.PqAdc(col("q_emb"), col("codes"), cb, m, actualK)
     val wAdc = Window.partitionBy("q_id")
       .orderBy(col("adc").asc, col("t_id"))
     // corpus side has one list per vector -> no duplicate (q,t) pairs
