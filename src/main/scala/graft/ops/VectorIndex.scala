@@ -1,0 +1,232 @@
+package graft.ops
+
+import graft.core.{Bounds, DimMapping}
+import graft.world.World
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Incrementally-maintained VECTOR ANN INDEX over a version-logged world —
+  * the vector-database face of the chunk grid, driven by the commit log the
+  * same way [[InvertedIndex]] maintains postings.
+  *
+  * Index rows live in their own 2-dim World: one row per vector —
+  * `(pid, cell, vec_id, embedding)` — where `cell` (the vector's IVF
+  * coarse-quantizer assignment) is the PRUNING dimension: one cell = one
+  * chunk stripe, so a search probes its `nprobe` cells' stripes and never
+  * scans the index. `pid = xxhash64(vec_id)` is the unique row id (dim 0)
+  * that makes upserts replace-idempotent and spreads rows uniformly inside
+  * a stripe.
+  *
+  * The coarse quantizer is trained ONCE at [[initialize]] (the IVF
+  * trainer's deterministic Lloyd contract) and PERSISTED next to the index
+  * (`Double.toString` round-trips exactly, so reloads assign bit-identical
+  * cells) — refreshes must place new vectors with the SAME quantizer or
+  * unchanged rows would appear to move. `refresh()` never re-reads the base
+  * corpus: it consumes the net commit-log feed between the recorded cursor
+  * and the base's latest commit; deleted vectors arrive as before-images
+  * (their pid recomputes from `vec_id`), inserted vectors assign their cell
+  * and upsert — both applied in ONE combined rewrite of the affected cells
+  * ([[World.applyDelta]]). Cursor + torn-refresh discipline are
+  * [[MaterializedAgg]]'s: a sentinel row advances with the state, an intent
+  * marker turns any half-applied refresh into a detected rebuild.
+  *
+  * [[search]] takes one query vector (driver-side constant, like a serving
+  * lookup): its probe cells compute driver-side against the persisted
+  * centroids (same strict-< tie-break as the
+  * [[graft.functions.NearestCentroids]] kernel), the probed stripes scan
+  * through the native [[graft.functions.CosineSim]] kernel, and the top-k
+  * is a TakeOrdered — cost is the probed stripes, independent of index
+  * size.
+  *
+  * Reference anchor: hint-driven point lookups over the grid
+  * (/root/reference/src/world.rs:616-636) — here the "hint" is the coarse
+  * cell and the grid stripe IS the inverted list.
+  */
+final class VectorIndex(
+    val spark: SparkSession,
+    val basePath: String,
+    val idxPath: String,
+    val idCol: String = "vec_id",
+    val vecCol: String = "embedding",
+    val nlist: Int = 16,
+    val dim: Int = 64,
+    // pid-axis width; cells = pidChunks x nlist. Size to the corpus: each
+    // refresh is a read-modify-write of affected cells only, and each
+    // search reads nprobe stripes of pidChunks files
+    val pidChunks: Int = 4) {
+  require(Integer.bitCount(pidChunks) == 1,
+    "pidChunks must be a power of two (divides the u64 domain)")
+  require(nlist > 0 && dim > 0, "nlist and dim must be positive")
+
+  private val SentinelPid = 0L
+  private def intentPath = new Path(idxPath, "_graft_vix_refresh_intent")
+  // OUTSIDE the world dir: World.create stages and swaps the whole grid
+  // directory, which would sweep an in-tree sidecar away with the old grid
+  private def centroidsPath = new Path(idxPath + "__meta", "centroids")
+
+  /** Index world: dim0 = pid (unique row id), dim1 = cell (the pruning
+    * dim — values 0..nlist-1, one chunk per cell). */
+  val world: World = World(spark, idxPath)(
+    "pid" -> DimMapping(0L, -1L,
+      java.lang.Long.divideUnsigned(0L - 1L, pidChunks.toLong) + 1L),
+    "cell" -> DimMapping(0L, nlist - 1L, 1L))
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(idxPath), spark.sparkContext.hadoopConfiguration)
+
+  private def nonZero(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c === lit(SentinelPid), lit(1L)).otherwise(c)
+
+  private def writeCentroids(cents: Array[Double], k: Int): Unit = {
+    val out = fs.create(centroidsPath, true)
+    out.write(s"$k\n${cents.map(_.toString).mkString(",")}\n".getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** (centroids row-major, actual nlist). */
+  def centroids: (Array[Double], Int) = {
+    val in = fs.open(centroidsPath)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val Array(kLine, dLine) = text.trim.split("\n")
+    (dLine.split(",").map(_.toDouble), kLine.toInt)
+  }
+
+  /** Driver-side twin of the [[graft.functions.NearestCentroids]]
+    * assignment (squared L2, first-strictly-smaller wins): the `howMany`
+    * nearest cell indices for a query vector. */
+  def nearestCells(q: Array[Double], cents: Array[Double], k: Int,
+      howMany: Int): Seq[Long] = {
+    val d = cents.length / k
+    val bestD = Array.fill(howMany)(Double.MaxValue)
+    val bestI = Array.fill(howMany)(-1L)
+    var c = 0
+    while (c < k) {
+      var d2 = 0.0; var i = 0
+      val base = c * d
+      while (i < d && i < q.length) {
+        val diff = q(i) - cents(base + i); d2 += diff * diff; i += 1
+      }
+      var j = howMany - 1
+      if (d2 < bestD(j)) {
+        while (j > 0 && d2 < bestD(j - 1)) {
+          bestD(j) = bestD(j - 1); bestI(j) = bestI(j - 1); j -= 1
+        }
+        bestD(j) = d2; bestI(j) = c.toLong
+      }
+      c += 1
+    }
+    bestI.toSeq.filter(_ >= 0)
+  }
+
+  private def latestBaseVersion: Long = {
+    val bfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(basePath), spark.sparkContext.hadoopConfiguration)
+    graft.sources.GraftVersions.latestVersion(bfs, new Path(basePath))
+      .getOrElse(throw new IllegalStateException(
+        s"vector index needs a version-logged base: $basePath has no commits"))
+  }
+
+  /** (pid, cell, vec_id, embedding) index rows for a corpus frame, cells
+    * assigned by the persisted quantizer. */
+  private def indexRows(vecs: DataFrame, cents: Array[Double], k: Int): DataFrame =
+    vecs.select(
+      nonZero(xxhash64(col(idCol))).as("pid"),
+      element_at(graft.functions.NearestCentroids(col(vecCol), cents, k, 1), 1)
+        .as("cell"),
+      col(idCol), col(vecCol))
+
+  private val stateCols = Seq("pid", "cell", idCol, vecCol)
+
+  private def sentinel(version: Long, like: StructType): DataFrame = {
+    val schema = StructType(like.fields.map(_.copy(nullable = true)))
+    val row = Row.fromSeq(schema.fields.map { f =>
+      f.name match {
+        case "pid" | "cell" => SentinelPid
+        case `idCol`        => version
+        case _              => null
+      }
+    }.toSeq)
+    spark.createDataFrame(java.util.List.of(row), schema)
+  }
+
+  /** Full (re)build at the base's latest commit — trains AND persists the
+    * quantizer; also the torn-refresh recovery path. Returns the cursor. */
+  def initialize(): Long = {
+    val v1 = latestBaseVersion
+    fs.mkdirs(new Path(idxPath))
+    fs.create(intentPath, true).close()
+    val snap = spark.read.format("graft")
+      .option("graft.snapshot", v1.toString).load(basePath)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val (cents, k) = Similarity.trainCentroids(snap, nlist, dim)
+    writeCentroids(cents, k)
+    val st = indexRows(
+      snap.select(col("vec_id").as(idCol), col("embedding").as(vecCol)),
+      cents, k)
+    world.create(st.unionByName(sentinel(v1, st.schema)))
+    fs.delete(intentPath, false)
+    v1
+  }
+
+  /** The base version the index currently reflects. */
+  def cursor: Long = {
+    val rows = world.df.where(col("pid") === SentinelPid)
+      .select(idCol).collect()
+    require(rows.nonEmpty,
+      s"vector index at $idxPath not initialized (no cursor row)")
+    rows.head.getLong(0)
+  }
+
+  /** Apply the commit-log delta since the cursor; returns the new cursor. */
+  def refresh(): Long = {
+    val root = new Path(idxPath)
+    if (!fs.exists(root) || !fs.exists(centroidsPath)) return initialize()
+    if (fs.exists(intentPath)) return initialize()
+    val v0 = cursor
+    val v1 = latestBaseVersion
+    if (v1 <= v0) return v0
+    val (cents, k) = centroids
+    // the NET feed: an UPDATE surfaces its whole cell on both raw sides;
+    // EXCEPT ALL cancels unchanged rows so the rewrite touches exactly the
+    // vectors that changed
+    val feed = graft.sources.GraftChanges.netBetween(spark, basePath, v0, v1)
+    val (pinned, handle) = Pins.pinWithHandle(
+      feed.select(col("_change_type"), col(idCol), col(vecCol)))
+    try {
+      fs.create(intentPath, true).close()
+      val deadIds = pinned.where(col("_change_type") === "delete")
+        .select(nonZero(xxhash64(col(idCol))).as("id"))
+      val fresh = indexRows(
+        pinned.where(col("_change_type") === "insert"), cents, k)
+      world.applyDelta(deadIds,
+        fresh.unionByName(sentinel(v1, fresh.schema)))
+      fs.delete(intentPath, false)
+    } finally Pins.release(handle)
+    v1
+  }
+
+  /** ANN serving lookup: top-k most cosine-similar indexed vectors to `q`,
+    * scanning only the `nprobe` probed cell stripes. Returns
+    * (idCol, simu = round(cos·1e4) as long), similarity descending with id
+    * tie-break. */
+  def search(q: Array[Double], k: Int, nprobe: Int = 2): DataFrame = {
+    val (cents, actual) = centroids
+    val cells = nearestCells(q, cents, actual, math.min(nprobe, actual))
+    val sel = cells.tail.foldLeft(world.select(1, Bounds.point(cells.head)))(
+      (s, c) => s.plus(1, Bounds.point(c)))
+    sel.iter()
+      .where(col("pid") =!= SentinelPid)
+      .select(col(idCol),
+        round(graft.functions.CosineSim(typedLit(q), col(vecCol)) * 1e4, 0)
+          .cast("long").as("simu"))
+      .orderBy(col("simu").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Live index rows (sentinel excluded). */
+  def df: DataFrame =
+    world.df.where(col("pid") =!= SentinelPid).select(stateCols.map(col): _*)
+}

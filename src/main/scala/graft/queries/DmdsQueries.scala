@@ -980,6 +980,65 @@ object DmdsQueries {
                 ORDER BY score_u DESC, doc_id LIMIT 10""")
       ),
 
+      "w_vec_index" -> QueryDef(
+        // the INCREMENTALLY-MAINTAINED VECTOR ANN INDEX through the oracle
+        // gate: build the (pid, cell) index world from a snapshot (IVF
+        // quantizer trained once and persisted), then a catalog INSERT
+        // plants exact copies of five query vectors (feed insert side) and
+        // a row-level MERGE DELETE removes one copy again (feed delete
+        // side); refresh() consumes only the commit-log net feed, and a
+        // stripe-probed search for each query vector must surface exactly
+        // the exact matches the final corpus holds (the planted-copy
+        // cannot-miss argument: an identical vector is assigned the
+        // query's own probe-1 cell by the shared quantizer, and only exact
+        // matches can round to simu 10000 in a corpus whose max organic
+        // cosine is ~0.5). A missed insert, a stale deleted copy, a
+        // quantizer drift across refreshes, or a pruning bug that drops
+        // the probe stripe all break the hash.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wvx", "vx")
+          t(s2, dir, "embeddings").select("vec_id", "embedding")
+            .createOrReplaceTempView("emb_src_vx")
+          s2.sql("DROP TABLE IF EXISTS wvx.emb_vx")
+          s2.sql("""CREATE TABLE wvx.emb_vx
+                    (vec_id BIGINT, embedding ARRAY<FLOAT>, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wvx.emb_vx
+                    SELECT vec_id, embedding, vec_id DIV 256 FROM emb_src_vx""")
+          val wh = s2.conf.get("spark.sql.catalog.wvx.warehouse")
+          val vix = new graft.ops.VectorIndex(
+            s2, s"$wh/emb_vx", s"${wh}__vix/emb_vx",
+            nlist = 8, dim = 64, pidChunks = 2)
+          vix.initialize()
+          s2.sql("""INSERT INTO wvx.emb_vx
+                    SELECT vec_id + 1000000, embedding,
+                           (vec_id + 1000000) DIV 256
+                    FROM emb_src_vx WHERE vec_id < 5""")
+          vix.refresh()
+          s2.sql("""MERGE INTO wvx.emb_vx t
+                    USING (SELECT CAST(1000000 AS BIGINT) AS vec_id) s
+                    ON t.vec_id = s.vec_id WHEN MATCHED THEN DELETE""")
+          vix.refresh()
+          // serving lookups: one bounded driver-side collect of the five
+          // query vectors (5 x 64 floats — the trainer-collect class)
+          val qs = t(s2, dir, "embeddings").where(col("vec_id") < 5)
+            .select("vec_id", "embedding").collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+            .sortBy(_._1)
+          qs.map { case (qid, qv) =>
+            vix.search(qv, k = 2).where(col("simu") === 10000L)
+              .withColumn("q_id", lit(qid))
+          }.reduce(_ unionAll _)
+            .select(col("q_id"), col("vec_id"), col("simu"))
+            .orderBy("q_id", "vec_id")
+        },
+        Some("""SELECT vec_id AS q_id, vec_id, CAST(10000 AS BIGINT) AS simu
+                FROM embeddings WHERE vec_id < 5
+                UNION ALL
+                SELECT vec_id, vec_id + 1000000, 10000
+                FROM embeddings WHERE vec_id >= 1 AND vec_id < 5
+                ORDER BY q_id, vec_id""")
+      ),
+
       "w_snapshot_drift" -> QueryDef(
         // THREE features composed under one oracle (the w_snapshot_agg
         // pattern): time travel × row-level DML × the KL drift monitor —

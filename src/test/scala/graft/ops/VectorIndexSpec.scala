@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** The incrementally-maintained vector ANN index: build, stripe-pruned
+  * search, commit-log refresh (insert/delete vectors), quantizer stability
+  * across refreshes, replay idempotence, and torn-refresh recovery. */
+class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val wh = Files.createTempDirectory("graft-vix").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.vcat", "graft.sources.GraftCatalog")
+    .config("spark.sql.catalog.vcat.warehouse", wh)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fs: FileSystem = FileSystem.get(
+    new java.net.URI(wh), spark.sparkContext.hadoopConfiguration)
+
+  // deterministic 8-dim corpus: 4 well-separated axis directions x jitter
+  private def vecLit(id: Long): String = {
+    val rnd = new scala.util.Random(id * 7919L + 13L)
+    val base = Array.fill(8)(0.05f * rnd.nextGaussian().toFloat)
+    base((id % 4).toInt) += 1f
+    s"array(${base.map(v => s"CAST($v AS FLOAT)").mkString(",")})"
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.collect().map(_.getLong(0)).toSeq
+
+  test("build, search, and commit-log refresh across insert/delete") {
+    spark.sql("CREATE TABLE vcat.vecs (vec_id BIGINT, embedding ARRAY<FLOAT>, c0 BIGINT)")
+    val values = (0L until 40L)
+      .map(i => s"($i, ${vecLit(i)}, ${i / 16})").mkString(", ")
+    spark.sql(s"INSERT INTO vcat.vecs VALUES $values")
+    val vix = new VectorIndex(spark, s"$wh/vecs", s"$wh/vecs__vix",
+      nlist = 4, dim = 8, pidChunks = 2)
+    vix.initialize()
+
+    // a query equal to vector 6 finds it at simu 10000, rank 1
+    val q6 = spark.sql(s"SELECT ${vecLit(6L)}").collect()(0)
+      .getSeq[Float](0).toArray.map(_.toDouble)
+    assert(ids(vix.search(q6, k = 1)) == Seq(6L))
+
+    // INSERT an exact copy of vector 6 under a new id; DELETE vector 7
+    spark.sql(s"INSERT INTO vcat.vecs VALUES (1006, ${vecLit(6L)}, 62)")
+    spark.sql("""MERGE INTO vcat.vecs t USING (SELECT 7 AS vec_id) s
+                 ON t.vec_id = s.vec_id WHEN MATCHED THEN DELETE""")
+    vix.refresh()
+
+    val top = vix.search(q6, k = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.toSeq == Seq((6L, 10000L), (1006L, 10000L)),
+      s"insert must register the copy, id tie-break ascending: ${top.toSeq}")
+    val q7 = spark.sql(s"SELECT ${vecLit(7L)}").collect()(0)
+      .getSeq[Float](0).toArray.map(_.toDouble)
+    assert(!ids(vix.search(q7, k = 3)).contains(7L), "deleted vector still served")
+
+    // replay idempotence: nothing new -> cursor unchanged, content stable
+    val c = vix.cursor
+    assert(vix.refresh() == c)
+    assert(ids(vix.search(q6, k = 2)) == Seq(6L, 1006L))
+  }
+
+  test("search is a pruned scan: only probed cell stripes are planned") {
+    val vix = new VectorIndex(spark, s"$wh/vecs", s"$wh/vecs__vix",
+      nlist = 4, dim = 8, pidChunks = 2)
+    val (cents, k) = vix.centroids
+    val q0 = spark.sql(s"SELECT ${vecLit(0L)}").collect()(0)
+      .getSeq[Float](0).toArray.map(_.toDouble)
+    val cells = vix.nearestCells(q0, cents, k, 2)
+    // the search plan carries the cell-stripe bucket filter...
+    val plan = vix.search(q0, k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("c1") && plan.contains("PartitionFilters"),
+      s"probe cells must reach partition filters:\n$plan")
+    // ...and the equivalent pre-limit pruned scan reads only those stripes
+    // (input_file_name is measured before the TakeOrdered boundary, which
+    // would blank it on the search output itself)
+    val pruned = cells.tail
+      .foldLeft(vix.world.select(1, graft.core.Bounds.point(cells.head)))(
+        (s, c) => s.plus(1, graft.core.Bounds.point(c)))
+      .iter().where(col("pid") =!= lit(0L))
+    val scanned = pruned.select(input_file_name())
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(scanned.nonEmpty &&
+      scanned.forall(f => cells.exists(c => f.contains(s"c1=$c/"))),
+      s"files outside the probed stripes were read: $scanned (cells $cells)")
+  }
+
+  test("quantizer persists: cells of unchanged rows never move on refresh") {
+    val vix = new VectorIndex(spark, s"$wh/vecs", s"$wh/vecs__vix",
+      nlist = 4, dim = 8, pidChunks = 2)
+    val before = vix.df.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sql(s"INSERT INTO vcat.vecs VALUES (2000, ${vecLit(9L)}, 125)")
+    vix.refresh()
+    val after = vix.df.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((after - 2000L) == before, "existing assignments moved")
+    assert(after.contains(2000L))
+  }
+
+  test("torn refresh: a leftover intent marker forces an exact rebuild") {
+    val vix = new VectorIndex(spark, s"$wh/vecs", s"$wh/vecs__vix",
+      nlist = 4, dim = 8, pidChunks = 2)
+    val want = vix.df.select("vec_id").collect().map(_.getLong(0)).toSet
+    fs.create(new Path(s"$wh/vecs__vix", "_graft_vix_refresh_intent"), true).close()
+    vix.refresh()
+    val got = vix.df.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, "rebuild must restate the exact live index")
+    assert(!fs.exists(new Path(s"$wh/vecs__vix", "_graft_vix_refresh_intent")))
+  }
+}
