@@ -288,6 +288,26 @@ object Daemon {
     q
   }
 
+  /** Streaming auto-refresh for the vector ANN index — identical contract
+    * to [[indexRefreshStream]]: the base world's commit-cursor stream
+    * triggers `refresh()` (empty projection ticks, durable cursor in the
+    * index state, replay/restart converge by that cursor, torn refreshes
+    * recover through the intent marker). */
+  def vectorIndexRefreshStream(vix: graft.ops.VectorIndex, checkpoint: String,
+      interval: String = "5 seconds"): StreamingQuery = {
+    val q = vix.spark.readStream.format("graft").load(vix.basePath)
+      .select(org.apache.spark.sql.functions.lit(1L).as("tick"))
+      .writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        try { vix.refresh(); () } finally graft.ops.Pins.releaseAll()
+      }
+      .start()
+    installShutdownFlush(q)
+    q
+  }
+
   /** `ShutdownHandle` analog (tokio-fs/src/lib.rs:154-200): on JVM exit,
     * stop the query after the in-flight batch — no dirty data beyond the
     * last committed checkpoint is ever claimed durable. */

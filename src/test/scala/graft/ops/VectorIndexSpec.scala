@@ -110,6 +110,35 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.contains(2000L))
   }
 
+  test("streaming face: the base's commit stream drives refresh, restart converges") {
+    val base = Files.createTempDirectory("graft-vix-s").toString + "/base"
+    val idx = base + "__vix"
+    val cp = base + "__cp"
+    def write(idRange: Seq[Long]): Unit = {
+      val values = idRange.map(i => s"($i, ${vecLit(i)}, ${i / 16})").mkString(", ")
+      spark.sql(s"""SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+                      CAST(c0 AS BIGINT) AS c0
+                    FROM VALUES $values AS t(vec_id, embedding, c0)""")
+        .write.format("graft").mode("append").save(base)
+    }
+    write(0L until 20L)
+    val vix = new VectorIndex(spark, base, idx, nlist = 4, dim = 8, pidChunks = 2)
+    def runOnce(): Unit = {
+      val q = graft.streaming.Daemon.vectorIndexRefreshStream(vix, cp, interval = "1 second")
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    runOnce() // virgin index self-initializes (trains + persists quantizer)
+    val q3 = spark.sql(s"SELECT ${vecLit(3L)}").collect()(0)
+      .getSeq[Float](0).toArray.map(_.toDouble)
+    assert(ids(vix.search(q3, k = 1)) == Seq(3L))
+    write(Seq(503L)) // new commit: another vector
+    runOnce() // restart from the same checkpoint picks up the commit
+    assert(vix.df.where(col("vec_id") === 503L).count() == 1L)
+    val c = vix.cursor
+    runOnce() // no new commits -> no-op
+    assert(vix.cursor == c)
+  }
+
   test("torn refresh: a leftover intent marker forces an exact rebuild") {
     val vix = new VectorIndex(spark, s"$wh/vecs", s"$wh/vecs__vix",
       nlist = 4, dim = 8, pidChunks = 2)
