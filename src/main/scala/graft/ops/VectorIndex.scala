@@ -229,4 +229,29 @@ final class VectorIndex(
   /** Live index rows (sentinel excluded). */
   def df: DataFrame =
     world.df.where(col("pid") =!= SentinelPid).select(stateCols.map(col): _*)
+
+  /** Batch ANN face — the analytics complement of the single-vector
+    * serving [[search]]: top-k for EVERY query row in one distributed
+    * plan. Each query explodes to its `nprobe` probed cells (the same
+    * persisted quantizer, kernel-side), the index joins the broadcast
+    * query set on cell equality — candidates are the probed inverted
+    * lists, never the index — and the native cosine kernel re-ranks
+    * exactly. Self-matches (an indexed vector querying the index) are
+    * excluded by id, matching the ANN family's `*TopK` contract. */
+  def searchAll(queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val (cents, actual) = centroids
+    val probes = math.min(nprobe, actual)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_emb"),
+      explode(graft.functions.NearestCentroids(col(vecCol), cents, actual, probes))
+        .as("cell"))
+    val t = df.select(col("cell"), col(idCol).as("t_id"), col(vecCol).as("t_emb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(round(col("sim"), 4).desc, col("t_id"))
+    t.join(broadcast(q), Seq("cell"))
+      .where(col("t_id") =!= col("q_id"))
+      .withColumn("sim", graft.functions.CosineSim(col("q_emb"), col("t_emb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -97,6 +97,18 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"files outside the probed stripes were read: $scanned (cells $cells)")
   }
 
+  test("searchAll: the batch face agrees with per-vector serving lookups") {
+    val vix = new VectorIndex(spark, s"$wh/vecs", s"$wh/vecs__vix",
+      nlist = 4, dim = 8, pidChunks = 2)
+    // vector 6 has an exact copy 1006 in the index; with self excluded the
+    // batch face must rank the copy first, same as the family's *TopK ops
+    val queries = spark.sql(
+      s"SELECT CAST(6 AS BIGINT) AS vec_id, ${vecLit(6L)} AS embedding")
+    val got = vix.searchAll(queries, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((6L, 1006L, 1L)), s"got $got")
+  }
+
   test("quantizer persists: cells of unchanged rows never move on refresh") {
     val vix = new VectorIndex(spark, s"$wh/vecs", s"$wh/vecs__vix",
       nlist = 4, dim = 8, pidChunks = 2)
