@@ -354,7 +354,7 @@ class GraftZOrderProcedure(cat: GraftCatalog)
       // rewrite every occupied cell as its z-sorted self: dynamic
       // overwrite replaces exactly the cells the (full-content) write
       // produces — cells stay cells, rows stay rows, order changes
-      val cells = GraftDataSource.walkChunks(fs, new Path(path), Array.empty).size
+      val cells = GraftDataSource.liveCells(fs, new Path(path), Array.empty).size
       if (cells > 0)
         spark.table(qualified).writeTo(qualified).overwritePartitions()
       GraftProcedures.singleRow("zordered_chunks", cells.toLong)
@@ -582,12 +582,13 @@ class GraftVersionsProcedure(cat: GraftCatalog)
 }
 
 /** `CALL <cat>.system.rollback(table => 't', version => n)` — restore the
-  * table to commit `n`'s manifest: live files the target lacks retire, the
-  * target's retired files move back, and the restored state seals as a NEW
-  * version (history stays append-only, so the rolled-back states remain
+  * table to commit `n` by sealing a NEW version whose manifest is exactly
+  * `n`'s (history stays append-only, so the rolled-back states remain
   * addressable until retention expires them). The undo button for a bad
-  * backfill driven through UPDATE/MERGE/OVERWRITE. Metadata-only: file
-  * renames, no data read or written. Returns the new version. */
+  * backfill driven through UPDATE/MERGE/OVERWRITE. Pure metadata under
+  * manifest-only liveness: two manifest reads and one write — zero file
+  * moves, zero data read, no matter how many bytes are "un-done". Returns
+  * the new version. */
 class GraftRollbackProcedure(cat: GraftCatalog)
     extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
   import org.apache.spark.sql.connector.catalog.procedures._
@@ -690,13 +691,12 @@ class GraftCompactProcedure(cat: GraftCatalog)
       val path = cat.tablePath(table)
       val fs = FileSystem.get(new java.net.URI(path), new Configuration())
       val root = new Path(path)
+      // LIVE-cell counts (manifest-resolved when authoritative) — a
+      // retired-in-place file is not fragmentation
       val frag: Seq[Map[String, Long]] =
-        if (fs.exists(root))
-          GraftDataSource.walkChunks(fs, root, Array.empty)
-            .filter { case (d, _) =>
-              GraftDataSource.chunkFiles(fs, d).sizeIs > maxFiles }
-            .map(_._2)
-        else Seq.empty
+        GraftDataSource.liveCells(fs, root, Array.empty)
+          .filter { case (_, _, files) => files.sizeIs > maxFiles }
+          .map(_._2)
       if (frag.nonEmpty) {
         val spark = org.apache.spark.sql.SparkSession.active
         val pred = frag.map(_.toSeq.sortBy(_._1)
@@ -742,16 +742,21 @@ class GraftStatsProcedure(cat: GraftCatalog)
         StructField("files", org.apache.spark.sql.types.IntegerType, nullable = false),
         StructField("bytes", org.apache.spark.sql.types.LongType, nullable = false)))
       val rows: Array[org.apache.spark.sql.catalyst.InternalRow] =
-        (if (fs.exists(root)) GraftDataSource.walkChunks(fs, root, Array.empty)
-         else Seq.empty)
-          .sortBy { case (_, b) => b.toSeq.sortBy(_._1).map(_._2).mkString(",") }
-          .map { case (d, b) =>
-            val fsts = GraftDataSource.chunkFileStatuses(fs, d)
+        GraftDataSource.liveCells(fs, root, Array.empty)
+          .sortBy { case (_, b, _) => b.toSeq.sortBy(_._1).map(_._2).mkString(",") }
+          .map { case (d, b, files) =>
+            // live files only: one listing per cell, filtered to the
+            // manifest names (retired-in-place bytes are not table stats)
+            val live = files.map(_.getName).toSet
+            val lens =
+              if (!fs.exists(d)) Seq.empty
+              else fs.listStatus(d).toSeq.filter(st => st.isFile &&
+                live.contains(st.getPath.getName)).map(_.getLen)
             org.apache.spark.sql.catalyst.InternalRow(
               org.apache.spark.unsafe.types.UTF8String.fromString(
                 b.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")),
-              fsts.size,
-              fsts.map(_.getLen).sum)
+              files.size,
+              lens.sum)
           }.toArray
       GraftProcedures.scanOf(schema, rows)
     }

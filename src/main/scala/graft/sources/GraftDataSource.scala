@@ -295,6 +295,34 @@ object GraftDataSource {
       .filter { case (_, b) => pushed.forall(evalOnBuckets(_, b)) }
   }
 
+  /** Live cells of the world — (cell dir, buckets, data files) — resolved
+    * through the LATEST MANIFEST whenever the commit log is authoritative
+    * (sealed versions exist, no World-rewrite barrier pending), else by the
+    * pruned parallel grid walk. Manifest-only retirement leaves superseded
+    * files IN PLACE, so a physical listing of a versioned barrier-free
+    * world would over-read — every live read path routes through here. The
+    * manifest branch is also the cheaper one at scale: one small-file read
+    * replaces the recursive grid listing entirely (bucket pruning becomes
+    * string filtering on rel paths). */
+  private[graft] def liveCells(fs: FileSystem, root: Path,
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Seq[Path])] =
+    GraftVersions.liveRels(fs, root) match {
+      case Some(rels) =>
+        rels.map(r => (r, GraftVersions.bucketsOf(r)))
+          .filter { case (_, b) =>
+            b.nonEmpty && pushed.forall(evalOnBuckets(_, b)) }
+          .groupBy { case (r, _) => r.split('/').dropRight(1).mkString("/") }
+          .toSeq.map { case (cellRel, group) =>
+            (new Path(root, cellRel), group.head._2,
+              group.map { case (r, _) => new Path(root, r) })
+          }
+      case None =>
+        if (!fs.exists(root)) Seq.empty
+        else walkChunks(fs, root, pushed).map { case (d, b) =>
+          (d, b, chunkFiles(fs, d))
+        }
+    }
+
   /** Data files of one chunk dir (skips _sidecars and .hidden files). */
   private[sources] def chunkFileStatuses(fs: FileSystem,
       dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
@@ -546,14 +574,17 @@ class GraftTable(path: String, schema: StructType,
       new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
     val root = new org.apache.hadoop.fs.Path(path)
     if (fs.exists(root)) {
-      // versioned commit: the dropped chunks retire into history, so the
-      // pre-DELETE state stays addressable (and rollback-able). The victim
-      // walk is pruned by the DELETE's own bucket filters; the manifest
-      // seal is incremental (predecessor − retired).
-      val v = GraftVersions.begin(fs, root)
-      val retired = GraftDataSource.walkChunks(fs, root, filters)
-        .flatMap { case (d, _) => GraftStage.retireChunkDir(fs, d, root, v) }
-      GraftVersions.finishIncremental(fs, root, v, retired.toSet, Seq.empty)
+      // versioned commit: the dropped chunks' files fall out of the sealed
+      // manifest (their bytes stay in place for snapshot reads — a pure
+      // metadata DELETE even at the storage layer), so the pre-DELETE state
+      // stays addressable and rollback-able. The victim set is pruned by
+      // the DELETE's own bucket filters against the predecessor manifest.
+      val c = GraftVersions.beginCommit(fs, root)
+      val removed = GraftStage.liveWithBuckets(fs, root, c)
+        .filter { case (_, b) =>
+          filters.forall(GraftDataSource.evalOnBuckets(_, b)) }
+        .map(_._1).toSet
+      GraftVersions.sealCommit(fs, root, c, removed, Seq.empty)
     }
   }
   override def schema(): StructType = schema
@@ -601,7 +632,7 @@ class GraftScanBuilder(path: String, schema: StructType,
     // exactly the groups that were read. Also disables aggregate/limit/topN
     // pushdown — a copy-on-write scan must surface every row of its
     // candidate groups, not a summary or prefix of them.
-    rowLevelDirs: Option[java.util.Set[String]] = None,
+    rowLevelFiles: Option[java.util.Set[String]] = None,
     // version pin (snapshot or diff): plan from the version manifests
     // instead of the live walk. Bucket pruning, column pruning, and
     // aggregate pushdown still apply (footer statistics read identically
@@ -631,7 +662,7 @@ class GraftScanBuilder(path: String, schema: StructType,
     * file. Sound with pushed bucket filters (directory-exact, no residual
     * re-check can disqualify an emitted row). */
   override def pushLimit(l: Int): Boolean =
-    if (rowLevelDirs.isDefined || pin.isDefined) false
+    if (rowLevelFiles.isDefined || pin.isDefined) false
     else { limit = l; true }
 
   // both SupportsPushDownLimit and SupportsPushDownTopN declare the same
@@ -663,7 +694,7 @@ class GraftScanBuilder(path: String, schema: StructType,
         case _ => None
       }
     }
-    if (rowLevelDirs.isEmpty && pin.isEmpty && cols.nonEmpty &&
+    if (rowLevelFiles.isEmpty && pin.isEmpty && cols.nonEmpty &&
         cols.forall(_.isDefined)) {
       topN = cols.map(_.get); limit = l; true
     } else false
@@ -683,7 +714,7 @@ class GraftScanBuilder(path: String, schema: StructType,
     // records (or even row groups) inside a planned chunk would silently
     // drop the survivor rows the rewrite must re-emit. Bucket filters stay:
     // a dir they prune is not planned, hence not replaced, hence intact.
-    if (rowLevelDirs.isEmpty) residualFilters = residual
+    if (rowLevelFiles.isEmpty) residualFilters = residual
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -744,7 +775,7 @@ class GraftScanBuilder(path: String, schema: StructType,
       case sm: Sum if !sm.isDistinct => oneCol(sm.column).filter(minMaxable).map(PSum)
       case _ => None
     }
-    val ok = rowLevelDirs.isEmpty &&
+    val ok = rowLevelFiles.isEmpty &&
       gb.forall(_.isDefined) && aggs.nonEmpty && aggs.forall(_.isDefined)
     if (ok) { pushedAggs = aggs.map(_.get).toSeq; groupCols = gb.map(_.get) }
     ok
@@ -754,7 +785,7 @@ class GraftScanBuilder(path: String, schema: StructType,
     if (pushedAggs.nonEmpty)
       new GraftAggScan(path, schema, pushed, pushedAggs, groupCols, pin)
     else new GraftScan(path, required, pushed, limit, topN, residualFilters,
-      rowLevelDirs, pin, startingVersion, follow, maxVersionsPerTrigger)
+      rowLevelFiles, pin, startingVersion, follow, maxVersionsPerTrigger)
 }
 
 /** The pushed-aggregate scan: partitions are chunk files, rows are
@@ -791,18 +822,17 @@ class GraftAggScan(path: String, tableSchema: StructType, pushed: Array[Filter],
         math.max(n, 1))
     }
 
-  // one file per entry with its bucket binding: the live tree's pruned walk,
-  // or the version pin's manifest-resolved files (footer metadata reads
-  // work identically on retired history files)
+  // one file per entry with its bucket binding: the live-cell resolution
+  // (latest manifest when authoritative, pruned walk otherwise), or the
+  // version pin's manifest-resolved files (footer metadata reads work
+  // identically on retired-in-place files)
   @transient private lazy val files: Seq[(Path, Map[String, Long])] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     pin match {
       case Some(p) => p.files(fs, new Path(path), pushed)
       case None =>
-        GraftDataSource.walkChunks(fs, new Path(path), pushed)
-          .flatMap { case (dir, b) =>
-            GraftDataSource.chunkFiles(fs, dir).map(f => (f, b))
-          }
+        GraftDataSource.liveCells(fs, new Path(path), pushed)
+          .flatMap { case (_, b, fls) => fls.map(f => (f, b)) }
     }
   }
 
@@ -1058,7 +1088,7 @@ final case class GraftInputPartition(file: String, buckets: Map[String, Long],
 class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     limit: Int = -1, topN: Array[(String, Boolean)] = Array.empty,
     residual: Array[Filter] = Array.empty,
-    dirRecorder: Option[java.util.Set[String]] = None,
+    fileRecorder: Option[java.util.Set[String]] = None,
     pin: Option[GraftTimePin] = None,
     startingVersion: Option[String] = None,
     follow: Boolean = false,
@@ -1098,19 +1128,22 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
 
   override def filter(filters: Array[Filter]): Unit = {
     runtime = filters.filter(GraftDataSource.bucketOnly)
-    cachedWalk = null // pruning changed: re-list on next planning call
+    cachedCells = null // pruning changed: re-list on next planning call
   }
 
-  // The chunk walk backs both partition planning and the partitioning
-  // report; cache it so reporting KeyGroupedPartitioning doesn't double the
-  // directory listing (on a big grid the walk IS the planning cost).
-  @transient private var cachedWalk: Seq[(Path, Map[String, Long])] = null
-  private def walked(): Seq[(Path, Map[String, Long])] = {
-    if (cachedWalk == null) {
+  // The live-cell resolution — latest manifest when the commit log is
+  // authoritative, pruned grid walk otherwise (GraftDataSource.liveCells) —
+  // backs both partition planning and the partitioning report; cache it so
+  // reporting KeyGroupedPartitioning doesn't double the listing (on a big
+  // grid the listing IS the planning cost; in manifest mode it is one
+  // small-file read).
+  @transient private var cachedCells: Seq[(Path, Map[String, Long], Seq[Path])] = null
+  private def liveCellList(): Seq[(Path, Map[String, Long], Seq[Path])] = {
+    if (cachedCells == null) {
       val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-      cachedWalk = GraftDataSource.walkChunks(fs, new Path(path), pushed ++ runtime)
+      cachedCells = GraftDataSource.liveCells(fs, new Path(path), pushed ++ runtime)
     }
-    cachedWalk
+    cachedCells
   }
 
   /** Bucket columns surviving column pruning, canonical c0..cN order — the
@@ -1137,8 +1170,10 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     if (keys.isEmpty)
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     else {
-      val cells = if (pin.isDefined) pinnedWalk else walked()
-      val n = cells.map { case (_, b) => keys.toSeq.map(b(_)) }.distinct.size
+      val cells =
+        if (pin.isDefined) pinnedWalk.map { case (_, b) => b }
+        else liveCellList().map { case (_, b, _) => b }
+      val n = cells.map(b => keys.toSeq.map(b(_))).distinct.size
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         keys.map(k => org.apache.spark.sql.connector.expressions.Expressions
           .identity(k): org.apache.spark.sql.connector.expressions.Expression),
@@ -1156,13 +1191,20 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     * world would not). Metadata-only: one directory walk, no footers read,
     * `numRows` left unreported exactly like vanilla parquet. */
   override def estimateStatistics(): Statistics = {
+    import scala.collection.parallel.CollectionConverters._
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val bytes =
       if (pin.isDefined)
         pinnedWalk.map { case (f, _) => fs.getFileStatus(f).getLen }.sum
-      else GraftDataSource.walkChunks(fs, new Path(path), pushed)
-        .flatMap { case (dir, _) => GraftDataSource.chunkFileStatuses(fs, dir) }
-        .map(_.getLen).sum
+      else liveCellList().par.map { case (dir, _, files) =>
+        // one listing per cell (not a probe per file), filtered to the
+        // LIVE names — a manifest-resolved cell may also hold retired
+        // files whose bytes must not inflate the broadcast decision
+        val live = files.map(_.getName).toSet
+        if (!fs.exists(dir)) 0L
+        else fs.listStatus(dir).filter(st => st.isFile &&
+          live.contains(st.getPath.getName)).map(_.getLen).sum
+      }.sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -1216,7 +1258,6 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val hasDataCols = required.exists(f => !GraftDataSource.isBucket(f.name))
     val keys = keyCols
     if (pin.isDefined)
@@ -1228,12 +1269,12 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
           GraftInputPartition(f, b, !hasDataCols, -1,
             keys.map(b(_))): InputPartition
         }.toArray
-    val dirs =
-      if (topN.isEmpty || limit < 0) walked()
+    val planned: Seq[(Path, Map[String, Long], Seq[Path])] =
+      if (topN.isEmpty || limit < 0) liveCellList()
       else {
-        // pushed top-N: visit chunk dirs in sort-key order, stop once the
-        // kept dirs' footer row counts cover the limit — at most
-        // ceil(limit / rows-per-chunk) + 1 dirs survive, and only their
+        // pushed top-N: visit chunk cells in sort-key order, stop once the
+        // kept cells' footer row counts cover the limit — at most
+        // ceil(limit / rows-per-chunk) + 1 cells survive, and only their
         // footers are ever opened (metadata reads bounded by the kept
         // prefix, not the grid)
         val ord = new Ordering[Map[String, Long]] {
@@ -1248,11 +1289,11 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
             0
           }
         }
-        val sorted = walked().sortBy(_._2)(ord)
+        val sorted = liveCellList().sortBy(_._2)(ord)
         var cum = 0L
-        sorted.takeWhile { case (dir, _) =>
+        sorted.takeWhile { case (_, _, files) =>
           val keep = cum < limit
-          if (keep) cum += GraftDataSource.chunkFiles(fs, dir).map { f =>
+          if (keep) cum += files.map { f =>
             val pfr = ParquetFileReader.open(
               HadoopInputFile.fromPath(f, new Configuration()))
             try pfr.getRecordCount finally pfr.close()
@@ -1260,19 +1301,22 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
           keep
         }
       }
-    // row-level rewrites note every planned dir (post bucket + runtime
-    // pruning — exactly the groups whose rows the rewrite will re-emit).
-    // CLEAR-then-record: BatchScanExec plans once before runtime filters
-    // arrive and again after, and replacing a dir the final plan never
-    // read would delete rows the rewrite doesn't re-emit — the recorder
-    // must reflect only THIS scan's latest plan (each scan instance owns
-    // its set; the operation unions sets at commit).
-    dirRecorder.foreach { r =>
+    // row-level rewrites note every planned FILE (post bucket + runtime
+    // pruning — exactly the rows the rewrite will re-emit; the commit
+    // retires these rels from the manifest). CLEAR-then-record:
+    // BatchScanExec plans once before runtime filters arrive and again
+    // after, and retiring a file the final plan never read would delete
+    // rows the rewrite doesn't re-emit — the recorder must reflect only
+    // THIS scan's latest plan (each scan instance owns its set; the
+    // operation unions sets at commit).
+    fileRecorder.foreach { r =>
       r.clear()
-      dirs.foreach { case (d, _) => r.add(d.toUri.getPath) }
+      planned.foreach { case (_, _, files) =>
+        files.foreach(f => r.add(f.toUri.getPath))
+      }
     }
-    bloomSurvivors(dirs.flatMap { case (dir, b) =>
-      GraftDataSource.chunkFiles(fs, dir).map(p => (p.toString, b))
+    bloomSurvivors(planned.flatMap { case (_, b, files) =>
+      files.map(p => (p.toString, b))
     }).map { case (p, b) =>
       GraftInputPartition(p, b, !hasDataCols, limit,
         keys.map(b(_))): InputPartition

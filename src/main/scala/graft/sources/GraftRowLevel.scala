@@ -24,11 +24,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * write itself rides the clustered distribution + staged-commit machinery
   * every other graft write uses.
   *
-  * Group-recording protocol: each scan instance owns a dir set that its
+  * Group-recording protocol: each scan instance owns a FILE set that its
   * `planInputPartitions` CLEARS and refills (Spark plans before AND after
-  * runtime filters; a stale superset would delete rows the rewrite never
+  * runtime filters; a stale superset would retire rows the rewrite never
   * read). The commit unions the sets of every scan the rewrite created
-  * (the update/copy branches may each plan their own scan).
+  * (the update/copy branches may each plan their own scan) and retires
+  * exactly those rels from the sealed manifest — the superseded bytes
+  * stay in place for snapshot reads (manifest-only liveness).
   */
 class GraftRowLevelBuilder(path: String, schema: StructType,
     info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
@@ -45,9 +47,9 @@ class GraftRowLevelOperation(path: String, schema: StructType, cmd: Command)
   override def command(): Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    scanDirSets.add(dirs)
-    new GraftScanBuilder(path, schema, rowLevelDirs = Some(dirs))
+    val files = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    scanDirSets.add(files)
+    new GraftScanBuilder(path, schema, rowLevelFiles = Some(files))
   }
 
   /** `_cell` must ride the rewrite: Spark's `ReplaceDataExec` routes rows

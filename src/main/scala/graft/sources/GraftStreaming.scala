@@ -29,9 +29,10 @@ import org.apache.spark.sql.types.StructType
   *     commits only, so a multi-file commit can never tear across batches
   *     the way a mid-rename listing can. Files are resolved through the
   *     snapshot machinery: a lagging consumer whose cursor version has
-  *     since been superseded still reads that commit's exact bytes out of
-  *     retained history (retention must keep >= the stream's lag;
-  *     [[GraftVersions.resolve]] raises a loud error otherwise).
+  *     since been superseded still reads that commit's exact bytes —
+  *     manifest-only retirement leaves superseded files IN PLACE until
+  *     retention deletes them (retention must keep >= the stream's lag;
+  *     resolution raises a loud error otherwise).
   *   - FILE SET (`["path",…]`, the pre-versioning format) — tables with no
   *     commit log, and tables whose last write was a World-level rewrite
   *     barrier (manifests stale until the next versioned commit heals
@@ -58,10 +59,11 @@ class GraftMicroBatchStream(path: String, required: StructType,
     // CDC mode (option("graft.follow", "changes")): each batch carries the
     // rows added AND removed by the commits it spans, tagged "insert" /
     // "delete" through the _change_type per-partition constant. Delete
-    // sides are BEFORE-IMAGES read out of retained history — the version
-    // log keeps superseded chunk files, so the feed needs no row-level
-    // change tracking at write time (the write path stays untouched; the
-    // feed is derived wholly from manifests). Requires a version-logged,
+    // sides are BEFORE-IMAGES read from the retired-in-place files —
+    // manifest-only retirement keeps superseded bytes where they were
+    // until retention, so the feed needs no row-level change tracking at
+    // write time (the write path stays untouched; the feed is derived
+    // wholly from manifests). Requires a version-logged,
     // barrier-free world: a World-level rewrite deletes files outright,
     // destroying the delete sides, so CDC refuses loudly rather than
     // emitting a silently-incomplete feed. Commits coalesce per batch
@@ -217,10 +219,10 @@ class GraftMicroBatchStream(path: String, required: StructType,
     }.toArray
   }
 
-  /** CDC batch (a, b]: insert side = manifest(b) − manifest(a) resolved at
-    * b, delete side = manifest(a) − manifest(b) resolved at a (the
-    * before-image bytes, live then, retired into history since). Both sides
-    * prune by pushed bucket filters from the manifests alone. */
+  /** CDC batch (a, b]: insert side = manifest(b) − manifest(a), delete
+    * side = manifest(a) − manifest(b) (the before-image bytes, live then,
+    * retired in place since). Both sides prune by pushed bucket filters
+    * from the manifests alone. */
   private def planChanges(fs: FileSystem, start: Offset, end: Offset): Array[InputPartition] = {
     val a = start match {
       case GraftVersionOffset(v) => v

@@ -10,7 +10,7 @@ import org.apache.spark.sql.sources.Filter
   * lib.rs:84-107) but keeps no commit history; a 100-TB table whose front
   * door is SQL DML needs "read the world as of commit N" and "undo that
   * backfill", so the staged-swap machinery every graft write already has is
-  * generalized into a commit log:
+  * generalized into a commit log with MANIFEST-ONLY file liveness:
   *
   *   - `_graft_versions/v<N>.manifest` — one line per LIVE data file
   *     (chunk-relative path) after commit N, maintained INCREMENTALLY:
@@ -18,94 +18,152 @@ import org.apache.spark.sql.sources.Filter
   *     manifest cost is O(files it touched), never a grid walk — at a
   *     100k-chunk grid a walk per streaming epoch would be the commit
   *     cost. A fresh walk is used only where exact knowledge is missing:
-  *     the first versioned commit's baseline, and commits that delegate to
-  *     a World-level rewrite (upsert), which also HEAL any drift;
-  *   - `_graft_history/v<N>/<relpath>` — files SUPERSEDED by commit N,
-  *     moved (not deleted) out of the live tree. Underscore prefixes keep
-  *     both invisible to the live read paths (the grid walk descends only
-  *     `c<i>=<v>` directories; Spark's file index skips `_` paths).
+  *     the first versioned commit's baseline, and commits that follow a
+  *     World-level rewrite barrier (which also HEAL any drift);
+  *   - liveness lives ONLY in manifests: a file superseded by commit N is
+  *     simply ABSENT from manifest N onward — its bytes never move. On the
+  *     realistic 100-TB substrate (S3-class object stores) a rename is a
+  *     full copy + delete, so the earlier move-into-`_graft_history` design
+  *     made every COW UPDATE pay its retired bytes a second time and every
+  *     rollback a third; keeping files in place makes retire, rollback, and
+  *     snapshot resolution all O(manifest lines) metadata work. Retired
+  *     bytes are reclaimed by [[expire]] (drops manifests past retention
+  *     and DELETES the files only they referenced) and [[orphanFiles]]
+  *     (files no retained manifest ever sealed).
   *
-  * Snapshot resolution for a file of manifest K probes the history dirs of
-  * versions > K in ascending order BEFORE the live tree: a file retired at
-  * M (K < M) lives in exactly `_graft_history/v<M>/`, and probing history
-  * first means a later same-named file in the live tree (task-id collisions
-  * across Spark apps) can never shadow the snapshot's bytes.
+  * Snapshot resolution is therefore trivial: a manifest-K file lives at
+  * `root/<rel>` until retention deletes it. Rel paths are unique forever —
+  * the connector's writer embeds a per-writer random component in file
+  * names, so a retired file's name can never be reused by a later commit
+  * (a same-named second write would be a loud rename/create failure, not a
+  * silent shadow).
   *
   * Scope: every connector/catalog commit versions (append, overwrite,
   * truncate, row-level COW, streaming epochs, metadata DELETE). The
   * programmatic World rewrites (insert / destroy / update / compact /
-  * append / tryInsert) write through Spark's own parquet committer and are
-  * VERSION BARRIERS: they delete superseded files outright, so older
-  * snapshots may stop resolving (the resolver raises a clear error) and
-  * `World.create`'s full overwrite resets the log entirely. Each barrier
-  * drops a `_barrier` marker ([[noteBarrier]]) so the NEXT versioned
-  * commit rebuilds its manifest from a walk instead of trusting a
-  * predecessor the rewrite invalidated — without it an incremental
-  * manifest after a barrier would silently misstate the commit's file set
-  * (claiming files the rewrite deleted, missing files it wrote), which is
-  * strictly worse than the resolver's loud missing-file error. Crash between a commit's file moves and its
-  * manifest write leaves no manifest for that version — the version number
-  * is reused by the next commit and older snapshots stay intact. Version
-  * numbering rides the world's SINGLE-WRITER contract (the same one every
-  * staged commit already relies on; the reference's worlds are
-  * single-writer too): two simultaneous commits to one table would race on
-  * the next version number, never corrupt data files.
+  * append / tryInsert) write through Spark's own parquet committer against
+  * the PHYSICAL tree and are VERSION BARRIERS: [[noteBarrier]] first SYNCS
+  * the live tree to the latest manifest (deleting retired-in-place files,
+  * so the physical tree the rewrite reads and writes is exactly the live
+  * set), then drops a `_barrier` marker. While the marker holds, live reads
+  * use the physical walk (exact, because of the sync); the next versioned
+  * commit seals from a walk and clears it. Older snapshots whose files the
+  * sync or the rewrite deleted fail LOUDLY at resolve — the documented
+  * barrier trade, same as before. `World.create`'s full overwrite resets
+  * the log entirely.
+  *
+  * Crash atomicity: a versioned commit becomes visible only when its
+  * manifest seals. A crash before the seal leaves the predecessor manifest
+  * authoritative — readers never see the torn state; the commit's
+  * already-moved files are invisible (not in any manifest) and are healed
+  * by the next barrier sync or the orphan sweep. This is strictly stronger
+  * than the earlier move-based design, whose crash window could lose moved
+  * files from the live walk.
+  *
+  * Concurrency: the manifest file is the commit arbiter — [[sealCommit]]
+  * creates `v<N>.manifest` with overwrite=false (a create-if-absent CAS).
+  * A loser whose commit only ADDS files re-begins from the new latest and
+  * replays its delta; a loser that retires files aborts loudly (its victim
+  * set was computed against a predecessor that is no longer the latest —
+  * blind replay could resurrect or double-retire). World-level rewrites
+  * stay single-writer (the same contract the reference's `&self` world
+  * locks impose, `src/world.rs:252-267`).
   */
 private[graft] object GraftVersions {
   private val VersionsDir = "_graft_versions"
-  private val HistoryDir = "_graft_history"
   private val ManifestSuffix = ".manifest"
   private val ManifestHeader = "graft-manifest-v1"
 
   def manifestPath(root: Path, v: Long): Path =
     new Path(new Path(root, VersionsDir), s"v$v$ManifestSuffix")
-  def historyPath(root: Path, v: Long): Path =
-    new Path(new Path(root, HistoryDir), s"v$v")
 
   /** Chunk-relative form of a file under `root` (URI-path based — listStatus
     * returns fs-qualified paths whose raw string never prefix-matches). */
   def relOf(root: Path, file: Path): String =
     file.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
 
-  /** Versions with a committed manifest, ascending. */
-  def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
+  /** One listing of `_graft_versions`: sealed versions (ascending), barrier
+    * flag, and tag files — every per-commit "what state is the log in"
+    * question answered by a single round trip instead of three. */
+  final case class LogState(versions: Seq[Long], barrier: Boolean,
+      tagNames: Seq[String]) {
+    def latest: Option[Long] = versions.lastOption
+  }
+
+  def logState(fs: FileSystem, root: Path): LogState = {
     val dir = new Path(root, VersionsDir)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.flatMap { s =>
+    if (!fs.exists(dir)) return LogState(Seq.empty, barrier = false, Seq.empty)
+    val entries = fs.listStatus(dir).toSeq
+    val versions = entries.flatMap { s =>
       val n = s.getPath.getName
       if (n.startsWith("v") && n.endsWith(ManifestSuffix))
         scala.util.Try(n.stripPrefix("v").stripSuffix(ManifestSuffix).toLong).toOption
       else None
     }.sorted
+    LogState(versions,
+      entries.exists(_.getPath.getName == BarrierName),
+      entries.collect {
+        case s if s.isFile && s.getPath.getName.startsWith(TagPrefix) =>
+          s.getPath.getName.stripPrefix(TagPrefix)
+      })
   }
+
+  /** Versions with a committed manifest, ascending. */
+  def listVersions(fs: FileSystem, root: Path): Seq[Long] =
+    logState(fs, root).versions
 
   def latestVersion(fs: FileSystem, root: Path): Option[Long] =
-    listVersions(fs, root).lastOption
+    logState(fs, root).latest
 
-  /** Versions with retained history, ascending (superset info for probes —
-    * a version may have a history dir but no manifest after a crash). */
-  private def historyVersions(fs: FileSystem, root: Path): Seq[Long] = {
-    val dir = new Path(root, HistoryDir)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.flatMap(s =>
-      scala.util.Try(s.getPath.getName.stripPrefix("v").toLong).toOption).sorted
-  }
-
-  /** All live data files under the grid, chunk-relative. */
+  /** All live data files under the grid, chunk-relative — the PHYSICAL
+    * answer, correct when no manifest is authoritative (unversioned worlds;
+    * barrier pending, where [[noteBarrier]]'s sync made the tree exact). */
   def liveFiles(fs: FileSystem, root: Path): Seq[String] =
     if (!fs.exists(root)) Seq.empty
     else GraftDataSource.walkChunks(fs, root, Array.empty)
       .flatMap { case (d, _) => GraftDataSource.chunkFiles(fs, d) }
       .map(relOf(root, _))
 
+  /** Latest manifest's rels when the log is AUTHORITATIVE for live reads
+    * (at least one sealed version, no pending barrier); None → the physical
+    * tree is truth. Under manifest-only retirement a superseded file stays
+    * in place, so every live read path of a versioned, barrier-free world
+    * MUST plan through this instead of listing directories. */
+  def liveRels(fs: FileSystem, root: Path): Option[Seq[String]] = {
+    val st = logState(fs, root)
+    if (st.barrier) None
+    else st.latest.map(readManifest(fs, root, _))
+  }
+
+  private def writeManifestBytes(v: Long, files: Seq[String]): Array[Byte] =
+    (s"$ManifestHeader $v\n" + files.sorted.mkString("\n") + "\n")
+      .getBytes("UTF-8")
+
   private def writeManifest(fs: FileSystem, root: Path, v: Long,
       files: Seq[String]): Unit = {
     val p = manifestPath(root, v)
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
-    out.write((s"$ManifestHeader $v\n" + files.sorted.mkString("\n") + "\n")
-      .getBytes("UTF-8"))
+    out.write(writeManifestBytes(v, files))
     out.close()
+  }
+
+  /** Create-if-absent manifest write — the commit CAS. False = another
+    * commit sealed this version number first. */
+  private def writeManifestCas(fs: FileSystem, root: Path, v: Long,
+      files: Seq[String]): Boolean = {
+    val p = manifestPath(root, v)
+    fs.mkdirs(p.getParent)
+    if (fs.exists(p)) return false
+    val out =
+      try fs.create(p, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case _: java.io.IOException if fs.exists(p) => return false
+      }
+    out.write(writeManifestBytes(v, files))
+    out.close()
+    true
   }
 
   def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] = {
@@ -126,115 +184,109 @@ private[graft] object GraftVersions {
     lines.drop(1).toSeq.filter(_.nonEmpty)
   }
 
-  /** Start a versioned commit: the version this commit will write. A world
-    * with data but no manifests first gets a BASELINE v0 manifest of its
-    * pre-commit state, so the state a pre-versioning world was in when
-    * versioning first touched it stays addressable. `excludeFromBaseline`:
-    * chunk-relative files this commit itself already placed in the live
-    * tree (plain appends write straight to the grid before commit()), which
-    * therefore are not part of the pre-commit state. `baseline = false`
-    * skips the v0 seal entirely — the BARRIER-delegating commits (upsert →
-    * `World.insert`) must not promise a pre-state their own rewrite is
-    * about to delete files out of. */
-  def begin(fs: FileSystem, root: Path,
-      excludeFromBaseline: Set[String] = Set.empty,
-      baseline: Boolean = true): Long =
-    latestVersion(fs, root) match {
-      case Some(n) => n + 1
-      case None =>
-        if (baseline)
-          writeManifest(fs, root, 0L,
-            liveFiles(fs, root).filterNot(excludeFromBaseline.contains))
-        1L
-    }
+  /** A commit in progress: the version it will seal and the predecessor
+    * manifest it read at begin (None = the seal must walk — barrier pending
+    * or no predecessor). Carrying the predecessor here deletes the second
+    * `_graft_versions` listing and re-read the old begin/finish pair paid
+    * on every statement and streaming epoch. */
+  final case class PendingCommit(v: Long, prev: Option[Seq[String]])
 
-  /** Move one superseded live data file into commit `v`'s history. */
-  def retire(fs: FileSystem, root: Path, file: Path, v: Long): Unit = {
-    val target = new Path(historyPath(root, v), relOf(root, file))
-    fs.mkdirs(target.getParent)
-    if (!fs.rename(file, target))
-      throw new IllegalStateException(s"graft versions: failed to retire $file")
+  /** Start a versioned commit. A world with data but no manifests first
+    * gets a BASELINE v0 manifest of its pre-commit state, so the state a
+    * pre-versioning world was in when versioning first touched it stays
+    * addressable. `excludeFromBaseline`: chunk-relative files this commit
+    * itself already placed in the live tree (plain appends write straight
+    * to the grid before commit()), which therefore are not part of the
+    * pre-commit state. `baseline = false` skips the v0 seal entirely — the
+    * BARRIER-delegating commits (upsert → `World.insert`) must not promise
+    * a pre-state their own rewrite is about to delete files out of. */
+  def beginCommit(fs: FileSystem, root: Path,
+      excludeFromBaseline: Set[String] = Set.empty,
+      baseline: Boolean = true): PendingCommit = {
+    val st = logState(fs, root)
+    st.latest match {
+      case Some(n) =>
+        PendingCommit(n + 1,
+          if (st.barrier) None else Some(readManifest(fs, root, n)))
+      case None =>
+        if (baseline) {
+          val base = liveFiles(fs, root).filterNot(excludeFromBaseline.contains)
+          writeManifest(fs, root, 0L, base)
+          PendingCommit(1L, Some(base))
+        } else PendingCommit(1L, None)
+    }
   }
 
-  private def barrierPath(root: Path): Path =
-    new Path(new Path(root, VersionsDir), "_barrier")
+  /** Seal a commit: manifest(v) = predecessor − `removed` + `added`
+    * (chunk-relative paths) — O(touched files), no file moves, no walk.
+    * Falls back to a walk-based seal when the commit has no predecessor
+    * manifest (first unbaselined commit, or a World-level barrier pending —
+    * the walk is exact there because [[noteBarrier]] synced the tree, and
+    * it HEALS the manifest line; `removed` is still honored so a barrier-
+    * mode retire never resurrects). The manifest write is a CAS; on loss,
+    * an add-only commit re-begins from the new latest and replays its
+    * delta, a retiring commit aborts loudly (see the object doc). Clears
+    * any barrier marker on success. Returns the sealed version. */
+  def sealCommit(fs: FileSystem, root: Path, c: PendingCommit,
+      removed: Set[String], added: Seq[String]): Long = {
+    val rels = c.prev match {
+      case Some(p) => (p.filterNot(removed.contains) ++ added).distinct
+      case None => (liveFiles(fs, root).filterNot(removed.contains) ++ added).distinct
+    }
+    if (writeManifestCas(fs, root, c.v, rels)) {
+      fs.delete(barrierPath(root), false)
+      c.v
+    } else if (removed.isEmpty) {
+      // lost the CAS but we only add files: re-begin on the winner's state
+      // and replay the delta (the winner's manifest becomes the predecessor)
+      sealCommit(fs, root, beginCommit(fs, root, baseline = false),
+        removed, added)
+    } else throw new java.util.ConcurrentModificationException(
+      s"graft commit: version v${c.v} of $root was sealed by a concurrent " +
+        "writer while this commit retired files against the previous state — " +
+        "aborting rather than silently dropping either commit's changes; " +
+        "retry the statement against the new latest version")
+  }
 
-  /** Called by World-level rewrites (which bypass the commit log): the next
-    * versioned commit must rebuild its manifest from a walk — see the
-    * barrier discussion in the object doc. One empty-file touch. */
-  def noteBarrier(fs: FileSystem, root: Path): Unit =
-    if (fs.exists(new Path(root, VersionsDir))) {
-      fs.create(barrierPath(root), true).close()
-    } // a world with no version log yet has nothing to invalidate
+  private val BarrierName = "_barrier"
+  private def barrierPath(root: Path): Path =
+    new Path(new Path(root, VersionsDir), BarrierName)
+
+  /** Called by World-level rewrites BEFORE they touch the tree: (1) SYNC
+    * the physical tree to the latest manifest — manifest-only retirement
+    * leaves superseded files in place, and a rewrite that reads/writes the
+    * raw tree would resurrect them — by deleting every data file the
+    * latest manifest does not list (this also heals crashed commits'
+    * debris); (2) drop the barrier marker so live reads and the next seal
+    * use the (now exact) physical walk. Old snapshots whose only copy of a
+    * file the sync deletes fail loudly at resolve — the documented barrier
+    * contract. Idempotent: with the marker already present the tree is
+    * already physical-truth and nothing is deleted. */
+  def noteBarrier(fs: FileSystem, root: Path): Unit = {
+    val st = logState(fs, root)
+    if (st.versions.isEmpty) return // nothing to invalidate
+    if (!st.barrier) {
+      val live = readManifest(fs, root, st.versions.last).toSet
+      val emptied = scala.collection.mutable.Set[Path]()
+      GraftDataSource.walkChunks(fs, root, Array.empty)
+        .flatMap { case (d, _) => GraftDataSource.chunkFiles(fs, d) }
+        .filterNot(f => live.contains(relOf(root, f)))
+        .foreach { f => emptied += f.getParent; fs.delete(f, false) }
+      emptied.foreach { d =>
+        if (fs.exists(d) && fs.listStatus(d).isEmpty) {
+          fs.delete(d, false)
+          GraftStage.pruneEmptyParents(fs, d, root)
+        }
+      }
+    }
+    fs.create(barrierPath(root), true).close()
+  }
 
   /** Is a World-rewrite barrier pending (manifests stale until the next
     * versioned commit heals them)? Streaming readers degrade to file-set
     * offsets while this holds. */
   def hasBarrier(fs: FileSystem, root: Path): Boolean =
     fs.exists(barrierPath(root))
-
-  /** Seal commit `v` from a FULL WALK of the live tree — the healing form:
-    * reflects every change on disk, including barrier rewrites, and clears
-    * the barrier marker. Used for baselines and upsert-style commits whose
-    * file set changed outside the commit's own knowledge. */
-  def finish(fs: FileSystem, root: Path, v: Long): Unit = {
-    writeManifest(fs, root, v, liveFiles(fs, root))
-    fs.delete(barrierPath(root), false)
-  }
-
-  /** Seal commit `v` INCREMENTALLY: manifest(v) = predecessor − `removed` +
-    * `added` (chunk-relative paths) — O(touched files), no walk. Falls back
-    * to the walk-based [[finish]] when there is no predecessor manifest or
-    * a World-level barrier invalidated it. */
-  def finishIncremental(fs: FileSystem, root: Path, v: Long,
-      removed: Set[String], added: Seq[String]): Unit = {
-    val prev =
-      if (fs.exists(barrierPath(root))) None
-      else listVersions(fs, root).filter(_ < v).lastOption
-        .map(readManifest(fs, root, _))
-    prev match {
-      case Some(p) =>
-        writeManifest(fs, root, v,
-          (p.filterNot(removed.contains) ++ added).distinct)
-      case None => finish(fs, root, v)
-    }
-  }
-
-  /** One walk over the retained history of versions in `versions`
-    * (ascending): chunk-relative path -> physical location, keeping the
-    * EARLIEST retiring version on collision (a rel name can reappear in a
-    * later version's history after a rollback re-retire; the earliest is
-    * the copy that was live before the first retire — see [[resolve]]).
-    * O(retired files) listings, done ONCE per scan instead of per-file
-    * existence probes across every history dir. */
-  def historyIndex(fs: FileSystem, root: Path,
-      versions: Seq[Long]): Map[String, Path] =
-    versions.sorted.foldLeft(Map.empty[String, Path]) { (acc, m) =>
-      val h = historyPath(root, m)
-      if (!fs.exists(h)) acc
-      else GraftDataSource.walkChunks(fs, h, Array.empty)
-        .flatMap { case (d, _) => GraftDataSource.chunkFiles(fs, d) }
-        .foldLeft(acc) { (a, f) =>
-          val rel = relOf(h, f)
-          if (a.contains(rel)) a else a + (rel -> f)
-        }
-    }
-
-  /** Physical location of one manifest-`v` file: the history index of
-    * versions > v first (a file live at v is retired at most once, at the
-    * earliest later version holding its name — probing history before the
-    * live tree means a later same-named live file can never shadow the
-    * snapshot's bytes), then the live tree. */
-  def resolve(fs: FileSystem, root: Path, rel: String, v: Long,
-      laterIndex: Map[String, Path]): Path =
-    laterIndex.getOrElse(rel, {
-      val live = new Path(root, rel)
-      if (fs.exists(live)) live
-      else throw new IllegalStateException(
-        s"graft snapshot v$v: $rel is neither live nor in retained history — " +
-          "expired by retention, or superseded by an unversioned World-level " +
-          "rewrite (insert/destroy/update/compact are version barriers)")
-    })
 
   /** Buckets of a chunk-relative path (`c0=3/c1=5/part-….parquet`). */
   def bucketsOf(rel: String): Map[String, Long] =
@@ -245,10 +297,11 @@ private[graft] object GraftVersions {
       }
     }.toMap
 
-  /** The files of snapshot `v` surviving the pushed bucket filters, resolved
-    * to their current physical locations. One manifest read + one walk of
-    * the later history dirs (typically small: only retired files live
-    * there); no per-file existence probing against each history version. */
+  /** The files of snapshot `v` surviving the pushed bucket filters. Files
+    * never move, so resolution is `root/<rel>`; existence is verified only
+    * for rels the LATEST manifest no longer lists (those are the retired
+    * ones retention or a barrier could have deleted — live rels exist by
+    * invariant), with a loud error naming the cause on a miss. */
   def snapshotFiles(fs: FileSystem, root: Path, v: Long,
       pushed: Array[Filter]): Seq[(Path, Map[String, Long])] =
     resolveRels(fs, root, readManifest(fs, root, v), v, pushed)
@@ -258,7 +311,7 @@ private[graft] object GraftVersions {
     * copy-on-write (the replace unit is the chunk), the manifest diff IS
     * the change set: no row-level tracking exists or is needed, and a
     * consumer doing incremental recompute wants exactly "which cells
-    * changed" anyway. Resolved at `target` (those files were live then). */
+    * changed" anyway. */
   def diffFiles(fs: FileSystem, root: Path, base: Long, target: Long,
       pushed: Array[Filter]): Seq[(Path, Map[String, Long])] = {
     val baseSet = readManifest(fs, root, base).toSet
@@ -266,11 +319,11 @@ private[graft] object GraftVersions {
       readManifest(fs, root, target).filterNot(baseSet.contains), target, pushed)
   }
 
-  /** Manifest-`v` files NOT in `seenRels`, resolved at `v` — the streaming
-    * source's batch body for a version-cursor end offset. With `seenRels` =
-    * manifest(base) this is exactly [[diffFiles]]; the set form also serves
-    * mixed-regime plans (file-set start, version end) during checkpoint
-    * upgrades and barrier recoveries. */
+  /** Manifest-`v` files NOT in `seenRels` — the streaming source's batch
+    * body for a version-cursor end offset. With `seenRels` = manifest(base)
+    * this is exactly [[diffFiles]]; the set form also serves mixed-regime
+    * plans (file-set start, version end) during checkpoint upgrades and
+    * barrier recoveries. */
   def newFilesSince(fs: FileSystem, root: Path, seenRels: Set[String],
       v: Long, pushed: Array[Filter]): Seq[(Path, Map[String, Long])] =
     resolveRels(fs, root,
@@ -278,116 +331,122 @@ private[graft] object GraftVersions {
 
   private def resolveRels(fs: FileSystem, root: Path, rels: Seq[String],
       v: Long, pushed: Array[Filter]): Seq[(Path, Map[String, Long])] = {
-    val later = historyIndex(fs, root, historyVersions(fs, root).filter(_ > v))
+    val st = logState(fs, root)
+    // rels still listed by the latest manifest exist by invariant (barrier
+    // voids the invariant — then every rel is probed); others are retired
+    // copies that retention/expire or a barrier sync may have deleted
+    val assumed: Set[String] =
+      if (st.barrier) Set.empty
+      else if (st.latest.contains(v)) rels.toSet
+      else st.latest.map(readManifest(fs, root, _).toSet).getOrElse(Set.empty)
     rels.map(rel => (rel, bucketsOf(rel)))
       .filter { case (_, b) => pushed.forall(GraftDataSource.evalOnBuckets(_, b)) }
-      .map { case (rel, b) => (resolve(fs, root, rel, v, later), b) }
+      .map { case (rel, b) =>
+        val p = new Path(root, rel)
+        if (!assumed.contains(rel) && !fs.exists(p))
+          throw new IllegalStateException(
+            s"graft snapshot v$v: $rel is no longer on disk — deleted by " +
+              "retention (expire_versions) or by an unversioned World-level " +
+              "rewrite (insert/destroy/update/compact are version barriers)")
+        (p, b)
+      }
   }
 
-  /** Restore the table to the state of `target`: retire live files the
-    * target lacks, move the target's retired files back into the live
-    * tree, and seal the result as a NEW version (history is append-only —
-    * the rolled-back states stay addressable). Returns the new version. */
+  /** Restore the table to the state of `target`: seal a NEW version whose
+    * manifest is exactly `target`'s (history is append-only — the
+    * rolled-back states stay addressable). Pure metadata — zero file moves,
+    * zero data reads; cost is two manifest reads and one write no matter
+    * how many bytes the rollback "un-does". Fails loudly if any of the
+    * target's files has since been deleted (retention / barrier). */
   def rollback(fs: FileSystem, root: Path, target: Long): Long = {
-    val latest = latestVersion(fs, root).getOrElse(
+    val st = logState(fs, root)
+    val latest = st.latest.getOrElse(
       throw new IllegalArgumentException(
         s"graft rollback: $root has no versioned commits"))
-    val targetFiles = readManifest(fs, root, target).toSet
+    require(!st.barrier,
+      s"graft rollback: $root has a pending World-rewrite barrier — its " +
+        "manifests are stale; run a versioned commit to heal, then roll back")
+    val targetRels = readManifest(fs, root, target)
+    val latestRels = readManifest(fs, root, latest).toSet
+    targetRels.filterNot(latestRels.contains).foreach { rel =>
+      if (!fs.exists(new Path(root, rel)))
+        throw new IllegalStateException(
+          s"graft rollback: $rel of version $target is no longer on disk — " +
+            "deleted by retention, or superseded by an unversioned " +
+            "World-level rewrite")
+    }
     val newV = latest + 1
-    val live = liveFiles(fs, root)
-    val emptiedDirs = scala.collection.mutable.Set[Path]()
-    live.filterNot(targetFiles.contains).foreach { rel =>
+    if (!writeManifestCas(fs, root, newV, targetRels))
+      throw new java.util.ConcurrentModificationException(
+        s"graft rollback: version v$newV of $root was sealed concurrently")
+    newV
+  }
+
+  /** Retention: keep the newest `keep` manifests (tagged versions are
+    * retained past the window — the point of a tag); drop older manifests
+    * and DELETE the data files only the dropped manifests referenced (the
+    * vacuum that reclaims retired-in-place bytes; under manifest-only
+    * liveness this is where superseded files actually die). Manifests are
+    * dropped before their exclusive files, so a crash mid-expire leaves
+    * unreferenced files (orphans, swept later) rather than manifests
+    * pointing at nothing. Returns the number of expired manifests. */
+  def expire(fs: FileSystem, root: Path, keep: Int): Long = {
+    require(keep >= 1, "graft expire_versions: keep must be >= 1")
+    val st = logState(fs, root)
+    val versions = st.versions
+    if (versions.size <= keep) return 0L
+    val keepSet = versions.takeRight(keep).toSet ++
+      listTags(fs, root).map(_._2).filter(versions.contains)
+    val dropped = versions.filterNot(keepSet.contains)
+    val keptRels: Set[String] =
+      keepSet.toSeq.flatMap(v => readManifest(fs, root, v)).toSet
+    val victims: Set[String] =
+      dropped.flatMap(v => readManifest(fs, root, v)).toSet -- keptRels
+    dropped.foreach(v => fs.delete(manifestPath(root, v), false))
+    val emptied = scala.collection.mutable.Set[Path]()
+    victims.foreach { rel =>
       val f = new Path(root, rel)
-      emptiedDirs += f.getParent
-      retire(fs, root, f, newV)
+      if (fs.exists(f)) { emptied += f.getParent; fs.delete(f, false) }
     }
-    // restore: same identity rule the snapshot resolver uses — a target
-    // file retired at some M in (target, latest] lives in history, and the
-    // HISTORY copy is authoritative even when a same-named file is live (a
-    // later app can re-use part-<pid>-<tid>-<n> names; rel-path equality is
-    // NOT file identity). The index's upper bound excludes newV's own
-    // fresh retirees (all non-target files). A target rel absent from the
-    // index was never retired, so the live copy IS the target's bytes.
-    val later = historyIndex(fs, root,
-      historyVersions(fs, root).filter(m => m > target && m <= latest))
-    targetFiles.foreach { rel =>
-      later.get(rel) match {
-        case Some(src) =>
-          val dst = new Path(root, rel)
-          if (fs.exists(dst)) {
-            // same-named live impostor: push it into newV's history so the
-            // states that DID contain it stay addressable
-            emptiedDirs += dst.getParent
-            retire(fs, root, dst, newV)
-          }
-          fs.mkdirs(dst.getParent)
-          if (!fs.rename(src, dst))
-            throw new IllegalStateException(
-              s"graft rollback: failed to restore $rel")
-        case None =>
-          if (!fs.exists(new Path(root, rel)))
-            throw new IllegalStateException(
-              s"graft rollback: $rel of version $target is neither live nor " +
-                "in retained history — expired by retention, or superseded " +
-                "by an unversioned World-level rewrite")
-      }
-    }
-    // drop chunk dirs the retires emptied so the grid walk stays clean
-    emptiedDirs.foreach { d =>
+    emptied.foreach { d =>
       if (fs.exists(d) && fs.listStatus(d).isEmpty) {
         fs.delete(d, false)
         GraftStage.pruneEmptyParents(fs, d, root)
       }
     }
-    finish(fs, root, newV)
-    newV
-  }
-
-  /** Retention: keep the newest `keep` manifests; drop older manifests and
-    * every history dir at or below the oldest kept version (history v<M>
-    * serves only snapshots K < M, all of which are being dropped). Returns
-    * the number of expired manifests. */
-  def expire(fs: FileSystem, root: Path, keep: Int): Long = {
-    require(keep >= 1, "graft expire_versions: keep must be >= 1")
-    val versions = listVersions(fs, root)
-    if (versions.size <= keep) return 0L
-    // TAGGED versions are retained past the keep window (the point of a
-    // tag: "this state stays addressable"); keeping manifest T requires
-    // keeping every history dir > T (any may hold T's retired files), so
-    // history pruning floors at the OLDEST kept version, tagged or not.
-    val keepSet = versions.takeRight(keep).toSet ++
-      listTags(fs, root).map(_._2).filter(versions.contains)
-    val floor = keepSet.min
-    val dropped = versions.filterNot(keepSet.contains)
-    dropped.foreach(v => fs.delete(manifestPath(root, v), false))
-    historyVersions(fs, root).filter(_ <= floor)
-      .foreach(v => fs.delete(historyPath(root, v), true))
     dropped.size.toLong
   }
 
   /** Live chunk files NO retained manifest references, older than
-    * `olderThanMs` — the leak class crashed DRIVERS leave in the grid
-    * itself: a task that moved its committed files into the live tree
-    * before the driver died never got its manifest sealed, so the bytes
-    * sit in cells forever, invisible to manifest-planned reads but billed
-    * and walked (stage-dir debris has its own sweeper, clean_stages).
-    * The age bound keeps an in-flight commit's just-moved files safe —
-    * they enter the live tree moments before their manifest seals.
-    * Refuses unversioned worlds (no commit log = no way to tell an orphan
-    * from data) and barrier-pending worlds (manifests are stale until the
-    * next walk-based seal; sweeping against them would delete legitimate
-    * post-rewrite files). */
+    * `olderThanMs` — crashed-commit debris: a task that moved its files
+    * into the live tree before the driver died never got its manifest
+    * sealed, so the bytes sit in cells forever, invisible to
+    * manifest-planned reads but billed and walked (stage-dir debris has its
+    * own sweeper, clean_stages). The age bound keeps an in-flight commit's
+    * just-moved files safe — they enter the live tree moments before their
+    * manifest seals. Refuses unversioned worlds (no commit log = no way to
+    * tell an orphan from data) and barrier-pending worlds (manifests are
+    * stale until the next walk-based seal; sweeping against them would
+    * delete legitimate post-rewrite files).
+    *
+    * Driver-memory bound: the reference set is the UNION of retained
+    * manifests' rels — O(distinct files across retained versions), i.e. the
+    * live file count plus not-yet-expired retired files, NOT O(versions ×
+    * files): consecutive manifests share almost all entries and the Set
+    * dedupes them as the fold streams version by version. At the 100k-chunk
+    * design point that is a few tens of MB of strings — the same order as
+    * the walk's own listing. */
   def orphanFiles(fs: FileSystem, root: Path, olderThanMs: Long): Seq[Path] = {
-    val versions = listVersions(fs, root)
-    require(versions.nonEmpty,
+    val st = logState(fs, root)
+    require(st.versions.nonEmpty,
       s"graft remove_orphans: $root has no version log — an unversioned " +
         "world has no commit record to distinguish orphans from data")
-    require(!hasBarrier(fs, root),
+    require(!st.barrier,
       s"graft remove_orphans: $root has a pending rewrite barrier — its " +
         "manifests are stale until the next write seals a walk-based " +
         "version; sweep after that write")
-    val referenced: Set[String] =
-      versions.flatMap(v => readManifest(fs, root, v)).toSet
+    val referenced = scala.collection.mutable.HashSet.empty[String]
+    st.versions.foreach(v => referenced ++= readManifest(fs, root, v))
     val cutoff = System.currentTimeMillis() - olderThanMs
     GraftDataSource.walkChunks(fs, root, Array.empty)
       .flatMap { case (d, _) => GraftDataSource.chunkFileStatuses(fs, d) }
@@ -425,16 +484,9 @@ private[graft] object GraftVersions {
     }
   }
 
-  def listTags(fs: FileSystem, root: Path): Seq[(String, Long)] = {
-    val dir = new Path(root, VersionsDir)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith(TagPrefix))
-      .flatMap { s =>
-        val n = s.getPath.getName.stripPrefix(TagPrefix)
-        readTag(fs, root, n).map(n -> _)
-      }.sortBy(_._1)
-  }
+  def listTags(fs: FileSystem, root: Path): Seq[(String, Long)] =
+    logState(fs, root).tagNames
+      .flatMap(n => readTag(fs, root, n).map(n -> _)).sortBy(_._1)
 
   def dropTag(fs: FileSystem, root: Path, name: String): Boolean =
     fs.delete(tagPath(root, name), false)
@@ -454,9 +506,10 @@ private[graft] object GraftVersions {
 /** Chunk-granular CHANGE FEED between two committed versions — the
   * incremental-recompute primitive a large pipeline runs on ("which cells
   * changed since my last run?"). Computed purely from the commit log: the
-  * manifest diff lists exactly the files each side gained, resolved
-  * through the same history-first rule snapshot reads use, so no
-  * row-level change tracking exists or is needed.
+  * manifest diff lists exactly the files each side gained, and under
+  * manifest-only liveness both sides' bytes are still in place until
+  * retention deletes them, so no row-level change tracking exists or is
+  * needed.
   *
   * Granularity contract: the engine's replace unit is the CHUNK (every
   * rewrite stages whole cells — the reference's `write_chunk` semantics),

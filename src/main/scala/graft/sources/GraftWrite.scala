@@ -158,7 +158,7 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
       // No v0 baseline on a first-commit upsert — the insert is about to
       // delete files a baseline would promise as addressable.
       val root = new Path(path)
-      val v = GraftVersions.begin(fs, root, baseline = false)
+      val c = GraftVersions.beginCommit(fs, root, baseline = false)
       val staged = messages.collect { case GraftCommitMessage(_, rows) => rows }.sum
       val stagedFiles = GraftStage
         .stagedCells(fs, new Path(stagePath), messages).flatMap(_._3)
@@ -176,7 +176,9 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
       } else GraftUpsertWrite.summaryByPath.put(path,
         GraftUpsertWrite.UpsertSummary(staged, 0L))
       GraftDataSource.writeSidecarIfAbsent(path, schema)
-      GraftVersions.finish(fs, root, v)
+      // force the walk-based seal: the insert (a barrier) invalidated any
+      // predecessor manifest beginCommit may have cached
+      GraftVersions.sealCommit(fs, root, c.copy(prev = None), Set.empty, Seq.empty)
     } finally fs.delete(new Path(stagePath), true)
   }
 
@@ -209,15 +211,17 @@ object GraftUpsertWrite {
 }
 
 /** Staged chunk-grid overwrite. Tasks write into a sibling staging grid;
-  * `commit()` then (a) deletes the victim chunk dirs — those matching the
-  * bucket-only overwrite condition (`filters = Some(...)`; AlwaysTrue =
+  * `commit()` then (a) RETIRES the victim files — those of chunks matching
+  * the bucket-only overwrite condition (`filters = Some(...)`; AlwaysTrue =
   * every chunk = truncate), or, in DYNAMIC mode (`filters = None`), exactly
-  * the chunk cells the staged data lands in — and (b) moves the staged
-  * chunk dirs into the world. A failure before commit leaves the world
-  * untouched; the staging grid is removed on both commit and abort. A full
-  * truncate makes the incoming schema authoritative (sidecar rewritten);
-  * scoped overwrites keep the existing sidecar. Emptied parent directories
-  * are pruned so the grid walk never visits dead subtrees. */
+  * the chunk cells the staged data lands in — by dropping them from the
+  * sealed manifest (manifest-only liveness: the bytes stay in place for
+  * snapshot reads until retention deletes them), and (b) moves the staged
+  * chunk dirs into the world. A failure before the manifest seal leaves the
+  * world's visible state untouched; the staging grid is removed on both
+  * commit and abort. A full truncate makes the incoming schema
+  * authoritative (sidecar rewritten); scoped overwrites keep the existing
+  * sidecar. */
 class GraftOverwriteWrite(path: String, schema: StructType,
     filters: Option[Array[org.apache.spark.sql.sources.Filter]]) extends BatchWrite {
   // per-write unique stage: concurrent overwrites must not interleave grids
@@ -234,23 +238,22 @@ class GraftOverwriteWrite(path: String, schema: StructType,
       val staged = GraftStage.stagedCells(fs, stageRoot, messages)
       val isTruncate = filters.exists(_.forall(
         _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
-      // victims: filter-matching chunks (static) or staged cells (dynamic)
-      val victims: Seq[Path] = filters match {
+      // begin BEFORE computing victims: a first commit's v0 baseline walk
+      // (inside beginCommit) then doubles as the live list below
+      val c = GraftVersions.beginCommit(fs, root)
+      val liveNow = GraftStage.liveWithBuckets(fs, root, c)
+      // victims: filter-matching chunks' files (static) or the files of the
+      // cells the staged data lands in (dynamic)
+      val removed: Set[String] = filters match {
         case Some(fs0) =>
           val real = fs0.filterNot(
             _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
-          if (fs.exists(root))
-            GraftDataSource.walkChunks(fs, root, real).map(_._1)
-          else Seq.empty
+          liveNow.filter { case (_, b) =>
+            real.forall(GraftDataSource.evalOnBuckets(_, b)) }.map(_._1).toSet
         case None =>
           val cells = staged.map(_._2).toSet
-          if (fs.exists(root))
-            GraftDataSource.walkChunks(fs, root, Array.empty)
-              .filter { case (_, b) => cells.contains(b) }.map(_._1)
-          else Seq.empty
+          liveNow.filter { case (_, b) => cells.contains(b) }.map(_._1).toSet
       }
-      val v = GraftVersions.begin(fs, root)
-      val retired = victims.flatMap(GraftStage.retireChunkDir(fs, _, root, v))
       // move staged chunk dirs into place (merge into survivors of the same
       // cell — possible only in static mode with a non-covering condition)
       val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
@@ -260,7 +263,7 @@ class GraftOverwriteWrite(path: String, schema: StructType,
         val out = fs.create(new Path(s"$path/_graft_schema.json"), true)
         out.write(schema.json.getBytes("UTF-8")); out.close()
       } else GraftDataSource.writeSidecarIfAbsent(path, schema)
-      GraftVersions.finishIncremental(fs, root, v, retired.toSet, moved)
+      GraftVersions.sealCommit(fs, root, c, removed, moved)
     } finally fs.delete(stageRoot, true)
   }
 
@@ -272,18 +275,20 @@ class GraftOverwriteWrite(path: String, schema: StructType,
 
 /** The write half of [[GraftRowLevelOperation]]: tasks stage replacement
   * rows into a sibling grid (clustered per cell by the declared
-  * distribution), and commit atomically-enough swaps content — delete the
-  * chunk dirs the operation's scans planned (the groups whose rows the
-  * rewrite re-emitted), then merge the staged cells in. Cells that were
-  * never scanned receive their staged rows ADDITIVELY (per-task unique file
-  * names never clobber): that is exactly right for rows an UPDATE moved
-  * across cells and for MERGE's not-matched inserts. Abort removes the
-  * stage; the world is untouched until commit. The stage dir is per-write
-  * unique and the commit moves only message-listed files, so two row-level
-  * ops racing on one table cannot interleave stages and crashed-attempt
-  * debris never merges in. */
+  * distribution), and commit swaps content ATOMICALLY at the manifest
+  * seal — the files the operation's scans planned (the groups whose rows
+  * the rewrite re-emitted) drop out of the manifest, and the staged cells
+  * merge in. The superseded bytes never move (manifest-only liveness:
+  * snapshot reads keep resolving them in place until retention). Cells
+  * that were never scanned receive their staged rows ADDITIVELY (per-task
+  * unique file names never clobber): that is exactly right for rows an
+  * UPDATE moved across cells and for MERGE's not-matched inserts. Abort
+  * removes the stage; the world is untouched until commit. The stage dir
+  * is per-write unique and the commit moves only message-listed files, so
+  * two row-level ops racing on one table cannot interleave stages and
+  * crashed-attempt debris never merges in. */
 class GraftReplaceGroupsWrite(path: String, schema: StructType,
-    scannedDirs: () => java.util.Set[String]) extends BatchWrite {
+    scannedFiles: () => java.util.Set[String]) extends BatchWrite {
   private[graft] val stagePath = GraftStage.uniqueStage(path, "rowlevel")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -295,19 +300,18 @@ class GraftReplaceGroupsWrite(path: String, schema: StructType,
     val stageRoot = new Path(stagePath)
     try {
       val staged = GraftStage.stagedCells(fs, stageRoot, messages)
-      val victims = scannedDirs()
-      val v = GraftVersions.begin(fs, root)
-      var replaced = 0
-      val retired = scala.collection.mutable.Buffer.empty[String]
-      victims.forEach { d =>
-        val p = new Path(d)
-        if (fs.exists(p)) {
-          retired ++= GraftStage.retireChunkDir(fs, p, root, v); replaced += 1
-        }
+      val c = GraftVersions.beginCommit(fs, root)
+      // removed = exactly the files the rewrite's scans planned (their rows
+      // were re-emitted through the stage); cells never scanned stay intact
+      val removed: Set[String] = {
+        import scala.jdk.CollectionConverters._
+        scannedFiles().asScala
+          .map(u => GraftVersions.relOf(root, new Path(u))).toSet
       }
+      val replaced = removed.map(r => r.split('/').dropRight(1).mkString("/")).size
       val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
       GraftDataSource.writeSidecarIfAbsent(path, schema)
-      GraftVersions.finishIncremental(fs, root, v, retired.toSet, moved)
+      GraftVersions.sealCommit(fs, root, c, removed, moved)
       GraftReplaceGroupsWrite.summaryByPath.put(path,
         GraftReplaceGroupsWrite.ReplaceSummary(replaced, staged.size))
       org.slf4j.LoggerFactory.getLogger(getClass).info(
@@ -396,23 +400,26 @@ private[sources] object GraftStage {
     s"${path}__graft_${kind}_stage_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
-  /** Retire one chunk dir (no unversioned delete primitive exists — every
-    * cell removal goes through the commit log; a bare recursive delete
-    * would silently bypass it, the exact drift class the barrier
-    * machinery exists to prevent): the cell's data files move into commit
-    * `version`'s history (snapshot reads of older manifests still resolve
-    * them) before the dir is dropped from the live tree; now-empty parents
-    * are pruned so the grid walk never lists dead subtrees.
-    * Returns the retired files' chunk-relative paths (the commit's
-    * `removed` set for its incremental manifest). */
-  def retireChunkDir(fs: FileSystem, d: Path, root: Path,
-      version: Long): Seq[String] = {
-    val files = GraftDataSource.chunkFiles(fs, d)
-    files.foreach(GraftVersions.retire(fs, root, _, version))
-    fs.delete(d, true)
-    pruneEmptyParents(fs, d, root)
-    files.map(GraftVersions.relOf(root, _))
-  }
+  /** The live (rel, buckets) pairs a commit retires against: the cached
+    * predecessor manifest when the commit has one (zero extra round trips),
+    * else the physical walk (first commit's baseline state, or barrier mode
+    * where [[GraftVersions.noteBarrier]]'s sync made the tree exact). No
+    * unversioned delete primitive exists — every cell removal is a manifest
+    * omission sealed through the commit log; a bare recursive delete would
+    * silently bypass it, the exact drift class the barrier machinery
+    * exists to prevent. */
+  def liveWithBuckets(fs: FileSystem, root: Path,
+      c: GraftVersions.PendingCommit): Seq[(String, Map[String, Long])] =
+    c.prev match {
+      case Some(rels) => rels.map(r => (r, GraftVersions.bucketsOf(r)))
+      case None =>
+        if (!fs.exists(root)) Seq.empty
+        else GraftDataSource.walkChunks(fs, root, Array.empty)
+          .flatMap { case (d, b) =>
+            GraftDataSource.chunkFiles(fs, d)
+              .map(f => (GraftVersions.relOf(root, f), b))
+          }
+    }
 
   /** Remove now-empty ancestors of `d` up to (excluding) `root`. */
   def pruneEmptyParents(fs: FileSystem, d: Path, root: Path): Unit = {
@@ -522,22 +529,20 @@ class GraftStreamingWrite(path: String, schema: StructType,
       // BARRIER — but still seals a post-epoch manifest, so snapshots
       // at/after it work; it skips the first-commit baseline (the insert
       // deletes files a baseline would promise as addressable).
-      val v = GraftVersions.begin(fs, root, baseline = mode != Upsert)
+      val c = GraftVersions.beginCommit(fs, root, baseline = mode != Upsert)
       mode match {
         case Append =>
           val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
           GraftDataSource.writeSidecarIfAbsent(path, schema)
-          GraftVersions.finishIncremental(fs, root, v, Set.empty, moved)
+          GraftVersions.sealCommit(fs, root, c, Set.empty, moved)
         case Truncate =>
-          val retired =
-            if (fs.exists(root))
-              GraftDataSource.walkChunks(fs, root, Array.empty)
-                .flatMap { case (d, _) => GraftStage.retireChunkDir(fs, d, root, v) }
-            else Seq.empty
+          // every live file retires (manifest-only — bytes stay for the
+          // per-epoch retention below to reclaim)
+          val removed = GraftStage.liveWithBuckets(fs, root, c).map(_._1).toSet
           val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
           val out = fs.create(new Path(s"$path/_graft_schema.json"), true)
           out.write(schema.json.getBytes("UTF-8")); out.close()
-          GraftVersions.finishIncremental(fs, root, v, retired.toSet, moved)
+          GraftVersions.sealCommit(fs, root, c, removed, moved)
         case Upsert =>
           val spark = org.apache.spark.sql.SparkSession.active
           val dims = graft.plans.DimPruningRegistry.lookup(path).getOrElse(
@@ -556,7 +561,8 @@ class GraftStreamingWrite(path: String, schema: StructType,
           }
           GraftDataSource.writeSidecarIfAbsent(path, schema)
           // World.insert is a version barrier: seal from a walk (heals)
-          GraftVersions.finish(fs, root, v)
+          GraftVersions.sealCommit(fs, root, c.copy(prev = None),
+            Set.empty, Seq.empty)
       }
       fs.mkdirs(markerFor(epochId).getParent)
       fs.create(markerFor(epochId), true).close()
@@ -623,8 +629,8 @@ class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {
     val root = new Path(path)
     val added = messages.collect { case GraftCommitMessage(f, _) => f }.flatten
       .map(f => GraftVersions.relOf(root, new Path(f)))
-    val v = GraftVersions.begin(fs, root, excludeFromBaseline = added.toSet)
-    GraftVersions.finishIncremental(fs, root, v, Set.empty, added)
+    val c = GraftVersions.beginCommit(fs, root, excludeFromBaseline = added.toSet)
+    GraftVersions.sealCommit(fs, root, c, Set.empty, added)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
@@ -769,6 +775,13 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
   private val files = scala.collection.mutable.ArrayBuffer.empty[String]
   private var counter = 0
   private var rowsWritten = 0L
+  // per-writer random component in every file name: manifest-only liveness
+  // keeps a retired file IN PLACE under its original rel path, so rel paths
+  // must stay unique FOREVER — task ids restart at 0 across Spark apps, and
+  // a later app re-emitting part-<pid>-<tid>-<n> into a cell that still
+  // holds a retired file of that name would collide (loudly, but
+  // needlessly). Eight hex chars of entropy per writer removes the class.
+  private val uid = f"${java.util.concurrent.ThreadLocalRandom.current().nextInt() & 0x7fffffff}%08x"
 
   // integral data columns whose exact per-file sums ride the footer
   // (SumTracker scaladoc); one tracker per open file
@@ -784,7 +797,7 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
       case _ =>
         current.foreach(_._2.close())
         val dir = bucketIdx.indices.map(i => s"c$i=${bucket(i)}").mkString("/")
-        val file = s"$path/$dir/part-$partitionId-$taskId-$counter.parquet"
+        val file = s"$path/$dir/part-$partitionId-$taskId-$counter-$uid.parquet"
         counter += 1
         files += file
         val c = new Configuration(conf)

@@ -170,29 +170,57 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
         new org.apache.hadoop.fs.Path(path)))
 
   /** World-level rewrites bypass the connector's commit log (they delete
-    * superseded files through Spark's own committer) — note the VERSION
-    * BARRIER so the next versioned commit rebuilds its manifest from a
-    * walk instead of trusting a predecessor this rewrite invalidated. */
-  private def noteVersionBarrier(): Unit =
+    * superseded files through Spark's own committer) — called BEFORE the
+    * rewrite touches the tree: [[graft.sources.GraftVersions.noteBarrier]]
+    * first SYNCS the physical tree to the latest manifest (manifest-only
+    * retirement leaves superseded files in place; a rewrite operating on
+    * the raw tree would resurrect them) and then marks the VERSION BARRIER
+    * so live reads and the next versioned seal use the (now exact)
+    * physical walk. Must precede the destructive write, never follow it —
+    * the sync deletes every file the latest manifest doesn't list, which
+    * after the write would include the rewrite's own fresh files. */
+  private def beginRewriteBarrier(): Unit =
     graft.sources.GraftVersions.noteBarrier(fileSystem,
       new org.apache.hadoop.fs.Path(path))
 
   /** The world as a DataFrame; bucket columns come back as partition columns
     * so predicates on them prune directories, not files. An empty world reads
-    * as an empty DataFrame with the created schema. */
-  def df: DataFrame =
-    try spark.read.parquet(path)
-    catch {
-      case e: org.apache.spark.sql.AnalysisException =>
-        val p = new org.apache.hadoop.fs.Path(s"$path/_graft_schema.json")
-        val fs = fileSystem
-        if (!fs.exists(p)) throw e
-        val in = fs.open(p)
-        val json = new String(in.readAllBytes(), "UTF-8"); in.close()
-        val schema = org.apache.spark.sql.types.DataType.fromJson(json)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    * as an empty DataFrame with the created schema.
+    *
+    * When the commit log is authoritative (sealed versions, no rewrite
+    * barrier), the read plans from the LATEST MANIFEST's file list instead
+    * of the directory listing — manifest-only retirement leaves superseded
+    * files in place, so a raw listing of a versioned world would read
+    * retired rows. `basePath` keeps partition-column (bucket) discovery
+    * identical to the plain directory read. */
+  def df: DataFrame = {
+    val fs = fileSystem
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.sources.GraftVersions.liveRels(fs, root) match {
+      case Some(rels) if rels.nonEmpty =>
+        spark.read.option("basePath", path)
+          .parquet(rels.map(r => s"$path/$r"): _*)
+      case Some(_) => emptyDf // every file retired: empty world, live schema
+      case None =>
+        try spark.read.parquet(path)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            if (!fs.exists(new org.apache.hadoop.fs.Path(
+              s"$path/_graft_schema.json"))) throw e
+            emptyDf
+        }
     }
+  }
+
+  private def emptyDf: DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_schema.json")
+    val fs = fileSystem
+    val in = fs.open(p)
+    val json = new String(in.readAllBytes(), "UTF-8"); in.close()
+    val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** The world pinned to commit `n` of its version log — a read-only frame
     * over exactly manifest n's files ([[graft.sources.GraftVersions]]).
@@ -206,7 +234,15 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     * source — the read-side complement of the write-behind [[graft.streaming.Daemon]]
     * (the reference's IO loop, tokio-fs/src/lib.rs:202-235, covers only the
     * write side). Downstream transforms/windows compose as usual; partition
-    * (bucket) columns are part of the schema. */
+    * (bucket) columns are part of the schema.
+    *
+    * For worlds written through the CONNECTOR/CATALOG surface (sealed
+    * version manifests), use `spark.readStream.format("graft")` instead:
+    * this generic file stream lists the physical tree, and manifest-only
+    * retirement leaves superseded files in place there — the connector
+    * source plans from manifests (version-cursor offsets) and never sees
+    * them. Worlds maintained purely by this class's programmatic rewrites
+    * keep an exact physical tree, which is what this stream reads. */
   def stream: DataFrame =
     spark.readStream.schema(df.schema).parquet(path)
 
@@ -285,16 +321,23 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
   def applyDelta(removeIds: DataFrame, upserts: DataFrame): (Long, Long) = {
     val incoming = withBuckets(validate(upserts)).cache()
     val existing = df
-    val rmIds = removeIds.toDF(idCol)
+    // removal matching: the FIRST column is the dim-0 id; any EXTRA columns
+    // (named like world columns) narrow the match — a row is removed only
+    // when ALL of them agree. Maintainers keyed by id = hash(payload) pass
+    // (hash, payload) pairs so a hash collision can never destroy the OTHER
+    // preimage's live row (delete-side aliasing is data loss; insert-side
+    // aliasing is just a replaced row).
+    val rmIds = removeIds.withColumnRenamed(removeIds.columns.head, idCol)
+    val rmKeys = rmIds.columns.toSeq
     val upIds = incoming.select(col(idCol)).distinct()
-    val removed = existing.join(rmIds, Seq(idCol), "left_semi").cache()
+    val removed = existing.join(rmIds, rmKeys, "left_semi").cache()
     val displaced = existing.join(upIds, Seq(idCol), "left_semi")
     val removedCount = removed.count()
     val displacedCount = displaced.count()
     val affected = collectBuckets(removed) ++ collectBuckets(displaced) ++
       collectBuckets(incoming)
     val keep = existing.where(partitionsPred(affected))
-      .join(rmIds, Seq(idCol), "left_anti")
+      .join(rmIds, rmKeys, "left_anti")
       .join(upIds, Seq(idCol), "left_anti")
     rewritePartitions(affected, keep.unionByName(incoming))
     incoming.unpersist(); removed.unpersist()
@@ -307,6 +350,9 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     * append per batch, [[compact]] on a dirty-counter threshold. Callers
     * that need id uniqueness use [[insert]]/[[tryInsert]] instead. */
   def append(rows: DataFrame): Unit = {
+    // barrier FIRST: the sync inside it deletes files the latest manifest
+    // doesn't list, which after the write would include this append's own
+    beginRewriteBarrier()
     withBuckets(validate(rows))
       .repartition(bucketCols.map(col): _*)
       // bucket-col prefix: see create — without it the writer re-sorts
@@ -314,7 +360,6 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
         bucketCols.map(col) ++ dims.map(d => col(d.column)): _*)
       .write.options(bloomWriteOpts)
       .partitionBy(bucketCols: _*).mode("append").parquet(path)
-    noteVersionBarrier()
   }
 
   /** Insert-if-absent — `World::try_insert`
@@ -325,9 +370,9 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     val existing = df
     val fresh = incoming.join(existing.select(col(idCol)), Seq(idCol), "left_anti").cache()
     val rejected = incoming.count() - fresh.count()
+    beginRewriteBarrier() // before the write — see append
     fresh.write.options(bloomWriteOpts)
       .partitionBy(bucketCols: _*).mode("append").parquet(path)
-    noteVersionBarrier()
     incoming.unpersist(); fresh.unpersist()
     rejected
   }
@@ -401,21 +446,16 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     val fs = fileSystem
     val root = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(root)) return 0L
-    // the connector's pruned+PARALLEL grid walk (no filters -> full grid):
-    // on a ~100k-chunk grid a sequential driver-side listStatus recursion IS
-    // the cost of a no-op compact; the shared walk lists surviving subtrees
-    // concurrently and hands back each leaf with its bucket binding, so no
-    // path re-parsing here. The per-leaf file counting stays metadata-
-    // latency-bound too — run it on the same parallel collection.
-    import scala.collection.parallel.CollectionConverters._
-    val leaves = graft.sources.GraftDataSource.walkChunks(fs, root, Array.empty)
-    val frag = leaves.par.filter { case (d, _) =>
-      fs.listStatus(d).count(f => f.isFile &&
-        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) > maxFilesPerChunk
-    }.seq
+    // LIVE-cell fragment discovery (manifest-resolved when the commit log
+    // is authoritative — retired-in-place files must not look like
+    // fragmentation; pruned+PARALLEL grid walk otherwise: on a ~100k-chunk
+    // grid a sequential driver-side listStatus recursion IS the cost of a
+    // no-op compact).
+    val frag = graft.sources.GraftDataSource.liveCells(fs, root, Array.empty)
+      .filter { case (_, _, files) => files.sizeIs > maxFilesPerChunk }
     if (frag.isEmpty) 0L
     else {
-      val buckets: Set[Vector[Long]] = frag.map { case (_, b) =>
+      val buckets: Set[Vector[Long]] = frag.map { case (_, b, _) =>
         dims.indices.map(i => b(s"c$i")).toVector
       }.toSet
       rewritePartitions(buckets, df.where(partitionsPred(buckets)))
@@ -463,6 +503,13 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     * read from the destructive write; a failure before the final overwrite
     * leaves the world untouched. */
   private def rewritePartitions(affected: Set[Vector[Long]], rows: DataFrame): Unit = {
+    // sync + barrier BEFORE any destructive step: `rows`' plan froze its
+    // manifest-resolved file list at df-creation, and the sync only deletes
+    // files the latest manifest does NOT list, so the staged read below is
+    // unaffected — but the dynamic overwrite of `path` must find a tree
+    // that holds exactly the live files, or retired-in-place copies in
+    // untouched cells would survive into the next walk-sealed manifest
+    beginRewriteBarrier()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val stage = s"${path}__stage"
@@ -491,7 +538,6 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
         val dir = bucketCols.zip(p).map { case (c, v) => s"$c=$v" }.mkString("/")
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dir"), true)
       }
-      noteVersionBarrier()
     } finally {
       fs.delete(new org.apache.hadoop.fs.Path(stage), true)
       prev match {

@@ -92,8 +92,13 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CREATE TABLE graftcat.del (d0 BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO graftcat.del SELECT id, id DIV 10 FROM range(0, 40)")
     spark.sql("DELETE FROM graftcat.del WHERE c0 = 2")
-    assert(!new java.io.File(s"$warehouse/del/c0=2").exists,
-      "bucket-only delete removes the chunk directory itself")
+    // manifest-only liveness: the delete is pure metadata at EVERY layer —
+    // the cell's files drop out of the sealed manifest but stay on disk for
+    // snapshot reads until retention reclaims them
+    assert(spark.sql("SELECT count(*) FROM graftcat.del WHERE c0 = 2")
+      .head.getLong(0) == 0L, "deleted bucket reads empty")
+    assert(new java.io.File(s"$warehouse/del/c0=2").exists,
+      "the dropped cell's bytes stay in place (zero file moves/deletes)")
     assert(spark.sql("SELECT d0 FROM graftcat.del").collect()
       .map(_.getLong(0)).toSet == ((0L until 20L) ++ (30L until 40L)).toSet)
     // a row-level condition can't be whole-chunk removal; it routes to the

@@ -158,18 +158,23 @@ class GraftStreamCursorSpec extends AnyFunSuite with BeforeAndAfterAll {
     fs.delete(stray, false)
   }
 
-  test("a lagging cursor resolves retired files out of history (snapshot-exact batches)") {
+  test("a lagging cursor resolves retired files in place (snapshot-exact batches)") {
     spark.sql("CREATE TABLE scur.s4 (id BIGINT, v BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO scur.s4 VALUES (1, 10, 0)") // v1
     val root = s"$warehouse/s4"
     val stream = new GraftMicroBatchStream(root, schema, Array.empty)
     val end = stream.latestOffset() // v1
     spark.sql("UPDATE scur.s4 SET v = v + 1 WHERE c0 = 0") // v2 retires v1's file
-    // the batch planned against the stale cursor still reads v1's bytes
+    // the batch planned against the stale cursor still reads v1's BYTES:
+    // manifest-only retirement left the superseded file in place, so the
+    // plan points at the original path and its pre-update values
     val parts = stream.planInputPartitions(stream.initialOffset(), end)
       .map(_.asInstanceOf[GraftInputPartition].file)
-    assert(parts.nonEmpty && parts.forall(_.contains("_graft_history")),
-      s"stale-cursor batch must resolve into retained history: ${parts.toSeq}")
+    assert(parts.nonEmpty, "stale-cursor batch plans v1's files")
+    val vs = spark.read.parquet(parts.toSeq: _*).select("v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(vs == Seq(10L),
+      s"the planned bytes are v1's pre-update values, got $vs")
   }
 
   test("version-mode batches prune by pushed bucket filters from the manifest alone") {

@@ -9,10 +9,12 @@ import org.scalatest.BeforeAndAfterAll
 import java.nio.file.Files
 
 /** Commit versioning over the chunk grid: every connector/catalog write
-  * seals a manifest, superseded chunk files retire into history instead of
-  * dying, and the catalog exposes `VERSION AS OF` / `TIMESTAMP AS OF`
-  * reads plus `system.rollback` / `system.expire_versions` maintenance —
-  * the snapshot-isolation layer the reference's whole-chunk replace
+  * seals a manifest, superseded chunk files stay IN PLACE (liveness lives
+  * only in manifests — zero renames, the object-store-safe shape) until
+  * retention deletes them, and the catalog exposes `VERSION AS OF` /
+  * `TIMESTAMP AS OF` reads plus `system.rollback` /
+  * `system.expire_versions` maintenance — the snapshot-isolation layer the
+  * reference's whole-chunk replace
   * (/root/reference/tokio-fs/src/lib.rs:84-107) has no answer to.
   */
 class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
@@ -112,6 +114,17 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(s"$warehouse/ex/_graft_history").exists() ||
       new java.io.File(s"$warehouse/ex/_graft_history").listFiles().isEmpty,
       "history files only expired snapshots could reach are gone")
+    // the vacuum: retired-in-place files only the dropped manifests
+    // referenced are physically deleted; exactly the kept version's file
+    // set remains in the cell
+    val fsRoot = java.nio.file.Paths.get(s"$warehouse/ex")
+    val remaining = java.nio.file.Files.walk(fsRoot).iterator()
+    var parquets = 0
+    while (remaining.hasNext) {
+      if (remaining.next().toString.endsWith(".parquet")) parquets += 1
+    }
+    assert(parquets == 1,
+      s"expire vacuums retired bytes: one live file expected, got $parquets")
   }
 
   test("first versioned commit writes a v0 baseline of the pre-existing world") {
@@ -150,7 +163,7 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "v1 sums from history metadata, not the zeroed live files")
   }
 
-  test("INSERT OVERWRITE (truncate) retires the whole grid into history") {
+  test("INSERT OVERWRITE (truncate) retires the whole grid in the manifest layer") {
     spark.sql("CREATE TABLE vcat.ow (id BIGINT, v BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO vcat.ow VALUES (1, 10, 0), (11, 110, 1)")  // v1
     spark.sql("INSERT OVERWRITE vcat.ow VALUES (99, 990, 9)")         // v2 (truncate)
@@ -160,26 +173,80 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the pre-overwrite state survives the truncate in history")
   }
 
-  test("rollback restores history bytes even when a later file re-used the name") {
-    spark.sql("CREATE TABLE vcat.imp (id BIGINT, v BIGINT, c0 BIGINT)")
-    spark.sql("INSERT INTO vcat.imp VALUES (1, 10, 0), (2, 20, 0)") // v1
-    spark.sql("UPDATE vcat.imp SET v = -1 WHERE id = 1")            // v2: cell COW
-    // fabricate a task-id collision: a LIVE file re-using the retired
-    // file's exact name, with different bytes (the rewritten cell's file)
-    val root = java.nio.file.Paths.get(s"$warehouse/imp")
-    val histRoot = root.resolve("_graft_history/v2")
-    val retiredRel = java.nio.file.Files.walk(histRoot).filter(p =>
-      p.toString.endsWith(".parquet")).findFirst().get()
-    val rel = histRoot.relativize(retiredRel).toString
-    val liveOther = java.nio.file.Files.walk(root.resolve("c0=0")).filter(p =>
-      p.toString.endsWith(".parquet")).findFirst().get()
-    java.nio.file.Files.copy(liveOther, root.resolve(rel),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // rollback must restore the HISTORY copy, not accept the same-named
-    // live impostor as the target's bytes
-    spark.sql("CALL vcat.system.rollback(table => 'imp', version => 1)")
-    assert(rows("SELECT id, v FROM vcat.imp") == Set((1L, 10L), (2L, 20L)),
-      "the restored state carries v1's bytes, not the impostor's")
+  test("manifest-only liveness: a COW UPDATE moves ZERO data files") {
+    spark.sql("CREATE TABLE vcat.mo (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.mo VALUES (1, 10, 0), (2, 20, 0), (11, 110, 1)") // v1
+    def treeFiles(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(s"$warehouse/mo")
+      val it = java.nio.file.Files.walk(root).iterator()
+      val out = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.toString.endsWith(".parquet"))
+          out(root.relativize(p).toString) =
+            java.nio.file.Files.getLastModifiedTime(p).toMillis
+      }
+      out.toMap
+    }
+    val before = treeFiles()
+    spark.sql("UPDATE vcat.mo SET v = -1 WHERE id = 1") // v2: cell COW
+    val after = treeFiles()
+    // every pre-update file is still at its original path, byte-untouched —
+    // retirement is a manifest omission, never a rename (on an object store
+    // a rename is a full copy; this is the 100-TB-safe shape)
+    before.foreach { case (rel, mtime) =>
+      assert(after.contains(rel), s"superseded file $rel must stay in place")
+      assert(after(rel) == mtime, s"superseded file $rel must not be rewritten")
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$warehouse/mo/_graft_history")),
+      "no history directory exists under manifest-only retirement")
+    // liveness moved in the manifest layer only: v1 still reads the old
+    // rows, the live table the new ones, and rollback is a manifest rewrite
+    assert(rows("SELECT id, v FROM vcat.mo") ==
+      Set((1L, -1L), (2L, 20L), (11L, 110L)))
+    assert(rows("SELECT id, v FROM vcat.mo VERSION AS OF 1") ==
+      Set((1L, 10L), (2L, 20L), (11L, 110L)))
+    spark.sql("CALL vcat.system.rollback(table => 'mo', version => 1)") // v3
+    assert(treeFiles().keySet == after.keySet,
+      "rollback is a manifest rewrite: zero file moves")
+    assert(rows("SELECT id, v FROM vcat.mo") ==
+      Set((1L, 10L), (2L, 20L), (11L, 110L)))
+  }
+
+  test("commit CAS: an interleaved add-only commit replays; a retiring one aborts loudly") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    spark.sql("CREATE TABLE vcat.cc (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.cc VALUES (1, 10, 0)") // v1
+    val root = new Path(s"$warehouse/cc")
+    val fs = FileSystem.get(root.toUri, new org.apache.hadoop.conf.Configuration())
+    // writer A begins against v1…
+    val a = GraftVersions.beginCommit(fs, root)
+    // …but a concurrent INSERT seals v2 first
+    spark.sql("INSERT INTO vcat.cc VALUES (11, 110, 1)") // v2
+    // A adds a file that is already physically in place (simulate its move)
+    val cell = new Path(root, "c0=0")
+    val src = fs.listStatus(cell).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val extra = new Path(cell, "part-cas-extra.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, extra, false,
+      spark.sparkContext.hadoopConfiguration)
+    val sealedAt = GraftVersions.sealCommit(fs, root, a, Set.empty,
+      Seq(GraftVersions.relOf(root, extra)))
+    assert(sealedAt == 3L, "the loser re-begins on the winner's state (v3)")
+    val m3 = GraftVersions.readManifest(fs, root, 3L).toSet
+    assert(m3.contains(GraftVersions.relOf(root, extra)) &&
+      GraftVersions.readManifest(fs, root, 2L).forall(m3.contains),
+      "both commits' files survive: neither manifest entry was dropped")
+    // a RETIRING commit that loses the race must abort loudly, not replay
+    val b = GraftVersions.beginCommit(fs, root)
+    spark.sql("INSERT INTO vcat.cc VALUES (21, 210, 2)") // v4 wins the race
+    val e = intercept[java.util.ConcurrentModificationException](
+      GraftVersions.sealCommit(fs, root, b,
+        removed = Set(GraftVersions.relOf(root, extra)), added = Seq.empty))
+    assert(e.getMessage.contains("concurrent"))
+    assert(rows("SELECT id, v FROM vcat.cc").map(_._1) == Set(1L, 11L, 21L),
+      "the aborted commit changed nothing")
   }
 
   test("clean_stages removes aged orphan staging grids only") {

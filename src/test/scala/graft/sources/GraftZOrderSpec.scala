@@ -24,12 +24,18 @@ class GraftZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  /** Rows of one chunk file in PHYSICAL order (no connector reordering). */
-  private def fileRows(dir: String): Seq[(Long, Long)] = {
-    val files = new java.io.File(dir).listFiles()
-      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-    files.toSeq.flatMap { f =>
-      spark.read.parquet(f.getPath).select("x", "y")
+  /** Rows of one cell's LIVE chunk files in PHYSICAL order (no connector
+    * reordering). Live = listed by the table's latest manifest: manifest-
+    * only retirement leaves a rewrite's superseded (pre-zorder) files in
+    * place, and reading those would scramble the layout assertion. */
+  private def fileRows(table: String, cell: String): Seq[(Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = org.apache.hadoop.fs.FileSystem.get(root.toUri,
+      new org.apache.hadoop.conf.Configuration())
+    val live = GraftVersions.liveRels(fs, root).getOrElse(
+      GraftVersions.liveFiles(fs, root))
+    live.filter(_.startsWith(s"$cell/")).flatMap { rel =>
+      spark.read.parquet(s"$warehouse/$table/$rel").select("x", "y")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     }
   }
@@ -76,7 +82,7 @@ class GraftZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // physical order inside each cell follows the Morton curve
     Seq(0, 1).foreach { c =>
-      val rows = fileRows(s"$warehouse/t/c0=$c")
+      val rows = fileRows("t", s"c0=$c")
       assert(rows.nonEmpty)
       val zs = rows.map { case (x, y) => zOf(x, y) }
       assert(zs == zs.sorted, s"cell c0=$c not z-sorted: $zs")
@@ -86,7 +92,7 @@ class GraftZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("""INSERT INTO zcat.t
                  SELECT id, (id * 53) % 64, (id * 29) % 64, 9
                  FROM range(100, 132)""")
-    val rows9 = fileRows(s"$warehouse/t/c0=9")
+    val rows9 = fileRows("t", "c0=9")
     val zs9 = rows9.map { case (x, y) => zOf(x, y) }
     assert(zs9 == zs9.sorted, s"later insert lost the z layout: $zs9")
     spark.sql("DROP TABLE zcat.t")
@@ -102,7 +108,7 @@ class GraftZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("id"), (col("id") % 8).as("x"), (col("id") % 5).as("y"),
         lit(1L).as("c0"))
       .write.format("graft").mode("append").save(s"$warehouse/p")
-    val rows = fileRows(s"$warehouse/p/c0=1")
+    val rows = fileRows("p", "c0=1")
     assert(rows.map(_._1) == rows.map(_._1).sorted,
       s"fallback sorts lexicographically by (x, y): $rows")
     assert(spark.sql("SELECT COUNT(*) FROM zcat.p").collect().head.getLong(0) == 32L)

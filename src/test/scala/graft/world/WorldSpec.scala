@@ -749,8 +749,12 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = spark.read.format("graft").load(w.path)
       .select("d0").as[Long].collect().toSet
     assert(after == Set(90L, 95L), "truncate overwrite replaces all chunks")
-    assert(!new java.io.File(w.path + "/c0=0").exists,
-      "old chunk dirs are gone, parents pruned")
+    // manifest-only liveness: the truncated bytes stay in place; the
+    // first versioned commit's v0 baseline still addresses them
+    assert(new java.io.File(w.path + "/c0=0").exists,
+      "superseded cells stay on disk (zero moves) for snapshot reads")
+    assert(w.snapshot(0).count() == 40L,
+      "the pre-truncate state reads through the v0 baseline manifest")
     // DYNAMIC chunk replacement (path-based .mode("overwrite") always plans
     // a truncate; OverwritePartitionsDynamic needs a catalog table) — drive
     // the BatchWrite directly: stage a row for cell (0,0), commit, and only
