@@ -52,21 +52,39 @@ case class CmsEstimate(left: Expression, right: Expression)
 
 object CmsEstimate {
   // per-thread memo of the last-seen sketch: the sketch is a broadcast
-  // scalar, so within a task every row carries the same byte array
-  // (usually the same REFERENCE — the eq fast path) and the sketch
-  // deserializes once per task instead of once per row
-  private val lastSketch =
-    new ThreadLocal[(Array[Byte], CountMinSketch)]
+  // scalar, so within a task every row carries the same serialized bytes.
+  // UnsafeRow.getBinary returns a FRESH COPY per row, so reference
+  // equality rarely hits; the per-row identity check is therefore a
+  // length + sampled-bytes + cached-hash comparison (O(1) in sketch
+  // size), falling back to a full Arrays.equals only on a hash match —
+  // DESERIALIZATION (the expensive part) still happens once per task,
+  // and the per-row cost is a handful of probes, not an O(sketch bytes)
+  // scan of the ~76 KB array.
+  private final case class Memo(bytes: Array[Byte], hash: Int,
+      cms: CountMinSketch)
+  private val lastSketch = new ThreadLocal[Memo]
+
+  private def quickHash(b: Array[Byte]): Int = {
+    // length + 8 sampled positions + both ends: two sketches of one
+    // query differing anywhere near-certainly differ in depth/width
+    // headers or the sampled counters; full equals confirms on match
+    var h = b.length
+    var i = 0
+    val step = math.max(1, b.length / 8)
+    while (i < b.length) { h = h * 31 + b(i); i += step }
+    if (b.length > 0) h = h * 31 + b(b.length - 1)
+    h
+  }
 
   def estimate(bytes: Array[Byte], key: Long): Long = {
     var e = lastSketch.get()
-    if (e == null ||
-        !((e._1 eq bytes) || java.util.Arrays.equals(e._1, bytes))) {
+    if (e == null || !((e.bytes eq bytes) ||
+        (e.hash == quickHash(bytes) && java.util.Arrays.equals(e.bytes, bytes)))) {
       val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-      e = (bytes, cms)
+      e = Memo(bytes, quickHash(bytes), cms)
       lastSketch.set(e)
     }
-    e._2.estimateCount(java.lang.Long.valueOf(key))
+    e.cms.estimateCount(java.lang.Long.valueOf(key))
   }
 
   def apply(sketch: Column, key: Column): Column =

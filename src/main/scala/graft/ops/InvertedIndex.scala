@@ -223,8 +223,13 @@ final class InvertedIndex(
     val frac = (col("tf") * lit(2.2)) /
       (col("tf") + (lit(0.3) + lit(0.9) *
         (col("dl").cast("double") / (col("tot_dl") / col("n_docs")))))
-    tf.join(broadcast(dfc), "term")
-      .join(lens, idCol)
+    // the tf side is posting-list-sized; `lens` is corpus-sized (one row
+    // per document). The EXPLICIT broadcast pins the join direction: at
+    // serving time on a 10^9-doc index the planner's estimate for `lens`
+    // comes from the connector's post-prune stats (one stripe), so leaving
+    // the choice to AQE risks a full shuffle of the length stripe — free
+    // insurance here, asserted shuffle-free in InvertedIndexSpec
+    lens.join(broadcast(tf.join(broadcast(dfc), "term")), idCol)
       .crossJoin(broadcast(stats))
       .select(col(idCol),
         round((idf * frac) * lit(1e6), 0).cast("long").as("s_u"))

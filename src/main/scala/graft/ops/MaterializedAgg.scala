@@ -11,8 +11,10 @@ import org.apache.spark.sql.types.StructType
   * version-logged world — the commit log + change feed turned into
   * derived-state maintenance.
   *
-  * The view is `SELECT groupCols, COUNT(*), SUM(micro(c))... GROUP BY
-  * groupCols` over the base table. Its state lives in its own World keyed
+  * The view is `SELECT groupCols, COUNT(*), SUM(micro(c))..., MIN/MAX
+  * (micro(c))... GROUP BY groupCols` over the base table (AVG needs no
+  * state of its own — it falls out of count + sum at read time:
+  * `s_<c>_micro / n / 1e6`). Its state lives in its own World keyed
   * by a 64-bit group hash (full-u64 dim, the fingerprint-store pattern of
   * [[Dedup.incrementalDedup]]), one row per live group:
   * `(gid, groupCols..., n, s_<c>_micro...)`.
@@ -44,6 +46,16 @@ import org.apache.spark.sql.types.StructType
   * discipline); hash value 0 is remapped to 1 to keep the sentinel id
   * private.
   *
+  * MIN/MAX maintenance is asymmetric: inserts tighten an extreme
+  * monotonically (`least`/`greatest` against the stored value — pure delta
+  * math, no base access), but a DELETE may remove the row that held the
+  * current extreme, and no amount of delta arithmetic recovers the runner-
+  * up. The feed names exactly which groups saw deletes, so `refresh()`
+  * recomputes min/max for ONLY those groups from the base's pinned target
+  * snapshot (one group-restricted scan — pruned further when the group
+  * columns align with the base's bucket dims); every other group stays
+  * pure-delta. Count and sums remain fully incremental for all groups.
+  *
   * Base-table contract: the base must stay VERSION-LOGGED (connector/
   * catalog writes). A World-level rewrite on it is a version barrier —
   * the change feed then raises a loud resolver error and the recovery is
@@ -60,7 +72,8 @@ final class MaterializedAgg(
     val basePath: String,
     val mvPath: String,
     val groupCols: Seq[String],
-    val sumCols: Seq[String]) {
+    val sumCols: Seq[String],
+    val minMaxCols: Seq[String] = Nil) {
   require(groupCols.nonEmpty, "materialized aggregate needs group columns")
 
   private val SentinelGid = 0L
@@ -78,11 +91,14 @@ final class MaterializedAgg(
   }
 
   private def microName(c: String) = s"s_${c}_micro"
+  private def minName(c: String) = s"mn_${c}_micro"
+  private def maxName(c: String) = s"mx_${c}_micro"
   private def micro(c: String): Column =
     round(col(c) * lit(1000000L)).cast("long")
 
   private val stateCols: Seq[String] =
-    "gid" +: groupCols ++: ("n" +: sumCols.map(microName))
+    "gid" +: groupCols ++: ("n" +: (sumCols.map(microName) ++
+      minMaxCols.flatMap(c => Seq(minName(c), maxName(c)))))
 
   private def latestBaseVersion: Long = {
     val bfs = org.apache.hadoop.fs.FileSystem.get(
@@ -97,7 +113,9 @@ final class MaterializedAgg(
     val snap = spark.read.format("graft")
       .option("graft.snapshot", version.toString).load(basePath)
     val aggs = count(lit(1)).as("n") +:
-      sumCols.map(c => sum(micro(c)).as(microName(c)))
+      (sumCols.map(c => sum(micro(c)).as(microName(c))) ++
+        minMaxCols.flatMap(c => Seq(
+          min(micro(c)).as(minName(c)), max(micro(c)).as(maxName(c)))))
     snap.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("gid", gidOf)
@@ -113,6 +131,7 @@ final class MaterializedAgg(
         case "gid" => SentinelGid
         case "n"   => version
         case n if sumCols.exists(microName(_) == n) => 0L
+        case n if minMaxCols.exists(c => minName(c) == n || maxName(c) == n) => 0L
         case _     => null
       }
     }.toSeq)
@@ -153,23 +172,59 @@ final class MaterializedAgg(
     val v1 = latestBaseVersion
     if (v1 <= v0) return v0
 
-    val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    val isIns = col("_change_type") === "insert"
+    val sign = when(isIns, lit(1L)).otherwise(lit(-1L))
     val deltaAggs = sum(sign).as("dn") +:
-      sumCols.map(c => sum(sign * micro(c)).as(s"d_$c"))
+      (sumCols.map(c => sum(sign * micro(c)).as(s"d_$c")) ++
+        minMaxCols.flatMap(c => Seq(
+          min(when(isIns, micro(c))).as(s"imn_$c"),
+          max(when(isIns, micro(c))).as(s"imx_$c"))) ++
+        (if (minMaxCols.isEmpty) Nil
+         else Seq(max(when(isIns, 0).otherwise(1)).as("has_del"))))
     val delta = graft.sources.GraftChanges.between(spark, basePath, v0, v1)
       .groupBy(groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
       .withColumn("gid", gidOf)
 
-    val merged = delta.alias("d")
+    // delete-side min/max recompute: only the groups the feed marks dirty,
+    // from the TARGET snapshot (exact at the new cursor), group-restricted
+    // by a semi-join — the rest of the base is never aggregated
+    val rec: Option[DataFrame] =
+      if (minMaxCols.isEmpty) None
+      else Some {
+        val dirty = delta.where(col("has_del") === 1)
+          .select(groupCols.map(col): _*)
+        val snap = spark.read.format("graft")
+          .option("graft.snapshot", v1.toString).load(basePath)
+        val aggs = minMaxCols.flatMap(c => Seq(
+          min(micro(c)).as(s"rmn_$c"), max(micro(c)).as(s"rmx_$c")))
+        snap.join(dirty, groupCols, "left_semi")
+          .groupBy(groupCols.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .withColumn("gid", gidOf)
+          .select(col("gid") +:
+            minMaxCols.flatMap(c => Seq(col(s"rmn_$c"), col(s"rmx_$c"))): _*)
+      }
+
+    val joined0 = delta.alias("d")
       .join(world.df.alias("s"), Seq("gid"), "left")
+    val joined = rec.fold(joined0)(r => joined0.join(r.alias("r"), Seq("gid"), "left"))
+    // per min/max col: delete-dirty groups take the recomputed extreme
+    // (null only when the group emptied — then n <= 0 and the row dies);
+    // insert-only groups tighten monotonically (least/greatest skip nulls)
+    def mnCol(c: String) = when(col("has_del") === 1, col(s"r.rmn_$c"))
+      .otherwise(least(col(s"s.${minName(c)}"), col(s"imn_$c"))).as(minName(c))
+    def mxCol(c: String) = when(col("has_del") === 1, col(s"r.rmx_$c"))
+      .otherwise(greatest(col(s"s.${maxName(c)}"), col(s"imx_$c"))).as(maxName(c))
+    val merged = joined
       .select(
         col("gid") +:
           groupCols.map(c => col(s"d.$c").as(c)) ++:
           ((coalesce(col("s.n"), lit(0L)) + col("dn")).as("n") +:
-            sumCols.map(c =>
+            (sumCols.map(c =>
               (coalesce(col(s"s.${microName(c)}"), lit(0L)) + col(s"d_$c"))
-                .as(microName(c)))): _*)
+                .as(microName(c))) ++
+              minMaxCols.flatMap(c => Seq(mnCol(c), mxCol(c))))): _*)
 
     // pin BEFORE mutating: both the upsert and the destroy consume this
     // plan, and it references the very store the first mutation rewrites

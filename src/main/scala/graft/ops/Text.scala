@@ -282,35 +282,50 @@ object Text {
     * at any real vocabulary size.
     *
     * `commitId` (the streaming daemon passes its batch id) makes replay
-    * exactly-once: an id whose marker exists under the c1 store is a
-    * no-op — counts are ADDITIVE, so unlike the idempotent dedup stores a
-    * blind replay would inflate them. The torn-commit window is ANY crash
-    * after the first insert and before the marker write: replay re-runs
-    * both inserts, so counts already applied double (c1 alone if the crash
-    * hit between the two inserts — the stores are then also mutually
-    * inconsistent until the replay completes). Staging both deltas into one
-    * keyed (kind, key) store behind a single marker would close the
-    * inter-insert half; the insert-to-marker half is the same torn-commit
-    * window the native streaming sink documents. */
+    * exactly-once: counts are ADDITIVE, so unlike the idempotent dedup
+    * stores a blind replay would inflate them. Each store seals its OWN
+    * per-commit marker immediately after its insert: a replay skips every
+    * store whose marker exists and re-runs only the one(s) that never
+    * applied, so a crash BETWEEN the two inserts can no longer double c1 —
+    * the replay converges to exactly the offline-training counts
+    * (StreamingSpec pins this with the `faultAfterC1` injection hook). The
+    * remaining window is each store's own insert-to-marker gap, the same
+    * torn-commit class the native streaming sink documents. */
   def updateLmCounts(c1Store: graft.world.World, c2Store: graft.world.World,
-      batch: DataFrame, textCol: String, commitId: Option[Long] = None): Unit = {
+      batch: DataFrame, textCol: String, commitId: Option[Long] = None,
+      // test seam: injected between the c1 seal and the c2 insert to pin
+      // the crash-between-inserts replay contract; never set in production
+      faultAfterC1: () => Unit = () => ()): Unit = {
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(c1Store.path),
-      spark.sparkContext.hadoopConfiguration)
-    val marker = commitId.map(id =>
-      new org.apache.hadoop.fs.Path(s"${c1Store.path}/_lm_commits/$id"))
-    if (marker.exists(fs.exists(_))) return
+    def markerOf(store: graft.world.World) = commitId.map(id =>
+      new org.apache.hadoop.fs.Path(s"${store.path}/_lm_commits/$id"))
+    def sealed_(store: graft.world.World): Boolean = markerOf(store).exists { m =>
+      org.apache.hadoop.fs.FileSystem.get(new java.net.URI(store.path),
+        spark.sparkContext.hadoopConfiguration).exists(m)
+    }
+    def seal(store: graft.world.World): Unit = markerOf(store).foreach { m =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(store.path),
+        spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(m.getParent); fs.create(m, true).close()
+    }
+    if (sealed_(c1Store) && sealed_(c2Store)) return
     val base = lmBase(batch, Seq.empty, textCol)
-    val c1d = base.select(explode(col("w")).as("u"))
-      .groupBy("u").agg(count(lit(1)).as("delta"))
-      .withColumn(c1Store.dims.head.column, xxhash64(col("u")))
-    addCounts(c1Store, c1d, Seq("u"), "c1")
-    val c2d = lmPairs(base.withColumn("doc_id", lit(0L)), Seq(col("doc_id")))
-      .groupBy("u", "v").agg(count(lit(1)).as("delta"))
-      .withColumn(c2Store.dims.head.column,
-        xxhash64(concat_ws(" ", col("u"), col("v"))))
-    addCounts(c2Store, c2d, Seq("u", "v"), "c2")
-    marker.foreach { m => fs.mkdirs(m.getParent); fs.create(m, true).close() }
+    if (!sealed_(c1Store)) {
+      val c1d = base.select(explode(col("w")).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("delta"))
+        .withColumn(c1Store.dims.head.column, xxhash64(col("u")))
+      addCounts(c1Store, c1d, Seq("u"), "c1")
+      seal(c1Store)
+    }
+    faultAfterC1()
+    if (!sealed_(c2Store)) {
+      val c2d = lmPairs(base.withColumn("doc_id", lit(0L)), Seq(col("doc_id")))
+        .groupBy("u", "v").agg(count(lit(1)).as("delta"))
+        .withColumn(c2Store.dims.head.column,
+          xxhash64(concat_ws(" ", col("u"), col("v"))))
+      addCounts(c2Store, c2d, Seq("u", "v"), "c2")
+      seal(c2Store)
+    }
   }
 
   /** Rebuild an [[LmModel]] from persisted count stores — scoring needs no

@@ -79,7 +79,7 @@ final class VectorIndex(
   private def nonZero(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(c === lit(SentinelPid), lit(1L)).otherwise(c)
 
-  private def writeCentroids(cents: Array[Double], k: Int): Unit = {
+  private[ops] def persistCentroids(cents: Array[Double], k: Int): Unit = {
     val out = fs.create(centroidsPath, true)
     out.write(s"$k\n${cents.map(_.toString).mkString(",")}\n".getBytes("UTF-8"))
     out.close()
@@ -121,7 +121,7 @@ final class VectorIndex(
     bestI.toSeq.filter(_ >= 0)
   }
 
-  private def latestBaseVersion: Long = {
+  private[ops] def latestBase: Long = {
     val bfs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(basePath), spark.sparkContext.hadoopConfiguration)
     graft.sources.GraftVersions.latestVersion(bfs, new Path(basePath))
@@ -140,7 +140,7 @@ final class VectorIndex(
 
   private val stateCols = Seq("pid", "cell", idCol, vecCol)
 
-  private def sentinel(version: Long, like: StructType): DataFrame = {
+  private[ops] def sentinelRow(version: Long, like: StructType): DataFrame = {
     val schema = StructType(like.fields.map(_.copy(nullable = true)))
     val row = Row.fromSeq(schema.fields.map { f =>
       f.name match {
@@ -155,18 +155,18 @@ final class VectorIndex(
   /** Full (re)build at the base's latest commit — trains AND persists the
     * quantizer; also the torn-refresh recovery path. Returns the cursor. */
   def initialize(): Long = {
-    val v1 = latestBaseVersion
+    val v1 = latestBase
     fs.mkdirs(new Path(idxPath))
     fs.create(intentPath, true).close()
     val snap = spark.read.format("graft")
       .option("graft.snapshot", v1.toString).load(basePath)
       .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val (cents, k) = Similarity.trainCentroids(snap, nlist, dim)
-    writeCentroids(cents, k)
+    persistCentroids(cents, k)
     val st = indexRows(
       snap.select(col("vec_id").as(idCol), col("embedding").as(vecCol)),
       cents, k)
-    world.create(st.unionByName(sentinel(v1, st.schema)))
+    world.create(st.unionByName(sentinelRow(v1, st.schema)))
     fs.delete(intentPath, false)
     v1
   }
@@ -186,7 +186,7 @@ final class VectorIndex(
     if (!fs.exists(root) || !fs.exists(centroidsPath)) return initialize()
     if (fs.exists(intentPath)) return initialize()
     val v0 = cursor
-    val v1 = latestBaseVersion
+    val v1 = latestBase
     if (v1 <= v0) return v0
     val (cents, k) = centroids
     // the NET feed: an UPDATE surfaces its whole cell on both raw sides;
@@ -197,12 +197,18 @@ final class VectorIndex(
       feed.select(col("_change_type"), col(idCol), col(vecCol)))
     try {
       fs.create(intentPath, true).close()
+      // (pid, vec_id) PAIRS, not pid alone: applyDelta removes a row only
+      // when every column matches, so a pid collision (the 2^-64 xxhash64
+      // class, plus the deliberate 0→1 sentinel remap) can no longer make
+      // a delete destroy the OTHER preimage's live vector — delete-side
+      // aliasing is silent data loss in the index, strictly worse than the
+      // shadowed-posting read-side miss the InvertedIndex doc adjudicates
       val deadIds = pinned.where(col("_change_type") === "delete")
-        .select(nonZero(xxhash64(col(idCol))).as("id"))
+        .select(nonZero(xxhash64(col(idCol))).as("pid"), col(idCol))
       val fresh = indexRows(
         pinned.where(col("_change_type") === "insert"), cents, k)
       world.applyDelta(deadIds,
-        fresh.unionByName(sentinel(v1, fresh.schema)))
+        fresh.unionByName(sentinelRow(v1, fresh.schema)))
       fs.delete(intentPath, false)
     } finally Pins.release(handle)
     v1
@@ -254,4 +260,176 @@ final class VectorIndex(
       .where(col("rank") <= k)
       .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"))
   }
+}
+
+/** PQ-CODED incrementally-maintained vector index — [[VectorIndex]]'s
+  * maintenance discipline (persisted coarse quantizer, commit-log net-feed
+  * refresh, sentinel cursor + intent marker) with PRODUCT-QUANTIZED
+  * storage: each indexed vector is `m` codeword indices instead of `dim`
+  * raw floats, which is the MEMORY axis at index level — the raw-vector
+  * index's bytes scale with corpus × dim; this one's with corpus × m ints
+  * plus one `m·ksub·subDim`-double codebook trained ONCE at [[initialize]]
+  * under the IVF trainer's deterministic Lloyd contract and persisted
+  * beside the centroids (refreshes code new vectors with the SAME
+  * codebooks, or unchanged rows would appear to move).
+  *
+  * [[search]] is the `ivfPqTopK` architecture ([[Similarity]]) as a
+  * maintained index: probe cells compute driver-side, the probed stripes
+  * ADC-scan through the native [[graft.functions.PqAdc]] kernel (no full
+  * vectors touched), and only a bounded `shortlist` of candidate ids is
+  * exact-cosine re-ranked against embeddings read back from the BASE table
+  * (a broadcast semi-join; registering a bloom on the base's id column
+  * makes that read file-skipping at scale). The planted cannot-miss
+  * argument composes both halves exactly like `s_ann_ivfpq_planted`: an
+  * exact copy shares the query's probe-1 cell AND holds the ADC floor
+  * `sum_s min_c ||q_s − c||²`, so neither stage can drop it. */
+final class PqVectorIndex(
+    val spark: SparkSession,
+    val basePath: String,
+    val idxPath: String,
+    val idCol: String = "vec_id",
+    val vecCol: String = "embedding",
+    val nlist: Int = 16,
+    val dim: Int = 64,
+    val m: Int = 8,
+    val ksub: Int = 16,
+    val pidChunks: Int = 4) {
+  require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+  private val subDim = dim / m
+
+  // the raw-vector index supplies the shared machinery: world geometry,
+  // coarse-quantizer persistence, sentinel/cursor discipline. Its vecCol is
+  // re-pointed at the CODES column so the sentinel schema matches.
+  private val inner = new VectorIndex(spark, basePath, idxPath, idCol,
+    vecCol = "codes", nlist = nlist, dim = dim, pidChunks = pidChunks)
+  def world: World = inner.world
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(idxPath), spark.sparkContext.hadoopConfiguration)
+  private def intentPath = new Path(idxPath, "_graft_vix_refresh_intent")
+  private def codebookPath = new Path(idxPath + "__meta", "pqcodebooks")
+
+  private def writeCodebooks(cb: Array[Double], actualK: Int): Unit = {
+    fs.mkdirs(codebookPath.getParent)
+    val out = fs.create(codebookPath, true)
+    out.write(s"$m $actualK $subDim\n${cb.map(_.toString).mkString(",")}\n"
+      .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** (codebooks flat row-major, actual ksub). */
+  def codebooks: (Array[Double], Int) = {
+    val in = fs.open(codebookPath)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val Array(head, flat) = text.trim.split("\n")
+    val k = head.split(" ")(1).toInt
+    (flat.split(",").map(_.toDouble), k)
+  }
+
+  /** (pid, cell, vec_id, codes) rows: coarse cell by the persisted
+    * quantizer, codes by one native [[graft.functions.NearestCentroids]]
+    * pass per subspace over the subvector slice — shuffle-free. */
+  private def codedRows(vecs: DataFrame, cents: Array[Double], k: Int,
+      cb: Array[Double], actualK: Int): DataFrame = {
+    val codes = (0 until m).map { s =>
+      val sub = cb.slice(s * actualK * subDim, (s + 1) * actualK * subDim)
+      element_at(graft.functions.NearestCentroids(
+        slice(col(vecCol), s * subDim + 1, subDim), sub, actualK, 1), 1)
+    }
+    vecs.select(
+      when(xxhash64(col(idCol)) === lit(0L), lit(1L))
+        .otherwise(xxhash64(col(idCol))).as("pid"),
+      element_at(graft.functions.NearestCentroids(col(vecCol), cents, k, 1), 1)
+        .as("cell"),
+      col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /** Full (re)build at the base's latest commit — trains AND persists the
+    * coarse quantizer and the PQ codebooks. Returns the cursor. */
+  def initialize(): Long = {
+    val v1 = inner.latestBase
+    fs.mkdirs(new Path(idxPath))
+    fs.create(intentPath, true).close()
+    val snap = spark.read.format("graft")
+      .option("graft.snapshot", v1.toString).load(basePath)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val (cents, k) = Similarity.trainCentroids(snap, nlist, dim)
+    inner.persistCentroids(cents, k)
+    val (cb, actualK) = Similarity.trainPqCodebooks(snap, m, ksub, dim)
+    writeCodebooks(cb, actualK)
+    val st = codedRows(
+      snap.select(col("vec_id").as(idCol), col("embedding").as(vecCol)),
+      cents, k, cb, actualK)
+    world.create(st.unionByName(inner.sentinelRow(v1, st.schema)))
+    fs.delete(intentPath, false)
+    v1
+  }
+
+  /** The base version the index currently reflects. */
+  def cursor: Long = inner.cursor
+
+  /** Apply the commit-log delta since the cursor; returns the new cursor.
+    * Identical discipline to [[VectorIndex.refresh]] — net feed, (pid, id)
+    * paired deletes, one combined applyDelta, intent-marker recovery —
+    * with fresh vectors CODED by the persisted codebooks. */
+  def refresh(): Long = {
+    if (!fs.exists(new Path(idxPath)) || !fs.exists(codebookPath) ||
+        fs.exists(intentPath)) return initialize()
+    val v0 = cursor
+    val v1 = inner.latestBase
+    if (v1 <= v0) return v0
+    val (cents, k) = inner.centroids
+    val (cb, actualK) = codebooks
+    val feed = graft.sources.GraftChanges.netBetween(spark, basePath, v0, v1)
+    val (pinned, handle) = Pins.pinWithHandle(
+      feed.select(col("_change_type"), col(idCol), col(vecCol)))
+    try {
+      fs.create(intentPath, true).close()
+      val deadIds = pinned.where(col("_change_type") === "delete")
+        .select(when(xxhash64(col(idCol)) === lit(0L), lit(1L))
+          .otherwise(xxhash64(col(idCol))).as("pid"), col(idCol))
+      val fresh = codedRows(
+        pinned.where(col("_change_type") === "insert"), cents, k, cb, actualK)
+      world.applyDelta(deadIds,
+        fresh.unionByName(inner.sentinelRow(v1, fresh.schema)))
+      fs.delete(intentPath, false)
+    } finally Pins.release(handle)
+    v1
+  }
+
+  /** ANN serving lookup over the coded stripes: ADC-rank the `nprobe`
+    * probed cells' codes (native kernel, no full vectors), exact-cosine
+    * re-rank a bounded `shortlist` against embeddings read from the BASE
+    * table. Returns (idCol, simu) like [[VectorIndex.search]]. */
+  def search(q: Array[Double], k: Int, nprobe: Int = 2,
+      shortlist: Int = 64): DataFrame = {
+    val (cents, actual) = inner.centroids
+    val (cb, actualK) = codebooks
+    val cells = inner.nearestCells(q, cents, actual, math.min(nprobe, actual))
+    val sel = cells.tail.foldLeft(world.select(1, Bounds.point(cells.head)))(
+      (s, c) => s.plus(1, Bounds.point(c)))
+    val qf = q.map(_.toFloat)
+    val short = sel.iter()
+      .where(col("pid") =!= lit(0L))
+      .withColumn("adc",
+        graft.functions.PqAdc(typedLit(qf), col("codes"), cb, m, actualK))
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol))
+    // exact re-rank: the shortlist is bounded (<= `shortlist` ids), so it
+    // broadcasts; the base-side scan skips files when a bloom is registered
+    // on the id column
+    spark.read.format("graft").load(basePath)
+      .select(col(idCol), col(vecCol))
+      .join(broadcast(short), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(graft.functions.CosineSim(typedLit(q), col(vecCol)) * 1e4, 0)
+          .cast("long").as("simu"))
+      .orderBy(col("simu").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Live index rows (sentinel excluded): (pid, cell, vec_id, codes). */
+  def df: DataFrame = inner.df
 }

@@ -1039,6 +1039,173 @@ object DmdsQueries {
                 ORDER BY q_id, vec_id""")
       ),
 
+      "w_vec_index_pq" -> QueryDef(
+        // the PQ-CODED maintained vector index through the oracle gate —
+        // the w_vec_index engine cycle (init → INSERT plants copies →
+        // MERGE DELETE → refresh × 2 → serving lookups) with the index
+        // storing m codeword ints per vector instead of raw floats, ADC
+        // ranking the probed stripes, and exact re-rank reading embeddings
+        // back from the base. The planted cannot-miss argument composes
+        // both stages (the s_ann_ivfpq_planted construction): an exact
+        // copy shares the query's probe-1 cell AND holds the ADC floor
+        // sum_s min_c ||q_s − c||², so neither the IVF probe nor the code
+        // scan can drop it, and only exact matches round to simu 10000 in
+        // a corpus whose max organic cosine is ~0.5. A missed insert,
+        // codebook drift across refreshes, or a re-rank bug all break the
+        // hash; a MISSED DELETE would be masked by the base-side re-rank
+        // (the dropped embedding no longer joins back), so the query also
+        // unions a probe of the index state itself — any stale row for
+        // the deleted id becomes an extra output row the oracle lacks.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wvq", "vq")
+          t(s2, dir, "embeddings").select("vec_id", "embedding")
+            .createOrReplaceTempView("emb_src_vq")
+          s2.sql("DROP TABLE IF EXISTS wvq.emb_vq")
+          s2.sql("""CREATE TABLE wvq.emb_vq
+                    (vec_id BIGINT, embedding ARRAY<FLOAT>, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wvq.emb_vq
+                    SELECT vec_id, embedding, vec_id DIV 256 FROM emb_src_vq""")
+          val wh = s2.conf.get("spark.sql.catalog.wvq.warehouse")
+          val vix = new graft.ops.PqVectorIndex(
+            s2, s"$wh/emb_vq", s"${wh}__vq/emb_vq",
+            nlist = 8, dim = 64, m = 8, ksub = 16, pidChunks = 2)
+          vix.initialize()
+          s2.sql("""INSERT INTO wvq.emb_vq
+                    SELECT vec_id + 1000000, embedding,
+                           (vec_id + 1000000) DIV 256
+                    FROM emb_src_vq WHERE vec_id < 5""")
+          vix.refresh()
+          s2.sql("""MERGE INTO wvq.emb_vq t
+                    USING (SELECT CAST(1000000 AS BIGINT) AS vec_id) s
+                    ON t.vec_id = s.vec_id WHEN MATCHED THEN DELETE""")
+          vix.refresh()
+          val qs = t(s2, dir, "embeddings").where(col("vec_id") < 5)
+            .select("vec_id", "embedding").collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+            .sortBy(_._1)
+          val staleProbe = vix.df.where(col("vec_id") === 1000000L)
+            .select(lit(-1L).as("q_id"), col("vec_id"), lit(-1L).as("simu"))
+          qs.map { case (qid, qv) =>
+            vix.search(qv, k = 2).where(col("simu") === 10000L)
+              .withColumn("q_id", lit(qid))
+              .select(col("q_id"), col("vec_id"), col("simu"))
+          }.reduce(_ unionAll _)
+            .unionAll(staleProbe)
+            .orderBy("q_id", "vec_id")
+        },
+        Some("""SELECT vec_id AS q_id, vec_id, CAST(10000 AS BIGINT) AS simu
+                FROM embeddings WHERE vec_id < 5
+                UNION ALL
+                SELECT vec_id, vec_id + 1000000, 10000
+                FROM embeddings WHERE vec_id >= 1 AND vec_id < 5
+                ORDER BY q_id, vec_id""")
+      ),
+
+      "w_vec_search_batch" -> QueryDef(
+        // the BATCH ANN face of the maintained vector index (searchAll)
+        // under a full oracle — the one substantial r9 operator that was
+        // spec-only. Planted exact copies (catalog INSERT + refresh) make
+        // the rank-1 answer provable: every query vector's copy shares its
+        // probe-1 cell (same persisted quantizer, kernel-side on both
+        // faces) and only the copy reaches cosine 1.0 in a corpus whose
+        // max organic cosine is ~0.5 — so the batch face's top hit for
+        // query q MUST be q+1000000. The whole retrieval runs as ONE
+        // distributed plan (index joined to the broadcast query set on
+        // cell), unlike the per-vector serving loop w_vec_index drives.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wvb", "vb")
+          t(s2, dir, "embeddings").select("vec_id", "embedding")
+            .createOrReplaceTempView("emb_src_vb")
+          s2.sql("DROP TABLE IF EXISTS wvb.emb_vb")
+          s2.sql("""CREATE TABLE wvb.emb_vb
+                    (vec_id BIGINT, embedding ARRAY<FLOAT>, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wvb.emb_vb
+                    SELECT vec_id, embedding, vec_id DIV 256 FROM emb_src_vb""")
+          val wh = s2.conf.get("spark.sql.catalog.wvb.warehouse")
+          val vix = new graft.ops.VectorIndex(
+            s2, s"$wh/emb_vb", s"${wh}__vb/emb_vb",
+            nlist = 8, dim = 64, pidChunks = 2)
+          vix.initialize()
+          s2.sql("""INSERT INTO wvb.emb_vb
+                    SELECT vec_id + 1000000, embedding,
+                           (vec_id + 1000000) DIV 256
+                    FROM emb_src_vb WHERE vec_id < 8""")
+          vix.refresh()
+          val queries = t(s2, dir, "embeddings").where(col("vec_id") < 8)
+            .select("vec_id", "embedding")
+          vix.searchAll(queries, k = 1)
+            .select(col("q_id"), col("t_id"), col("rank"))
+            .orderBy("q_id")
+        },
+        Some("""SELECT vec_id AS q_id, vec_id + 1000000 AS t_id,
+                       CAST(1 AS BIGINT) AS rank
+                FROM embeddings WHERE vec_id < 8 ORDER BY q_id""")
+      ),
+
+      "w_mv_minmax" -> QueryDef(
+        // MIN/MAX materialized-view maintenance — the aggregate family
+        // delta arithmetic alone cannot serve: an UPDATE that LOWERS a
+        // group's maximum deletes the extreme's before-image, and the
+        // runner-up is unrecoverable from deltas, so refresh() recomputes
+        // exactly the delete-dirty groups from the base's pinned target
+        // snapshot while count/sum stay pure-delta for all groups. The
+        // UPDATE here zeroes a slice of rows (including group extremes);
+        // DuckDB recomputes the final MIN/MAX/COUNT/SUM from scratch — a
+        // stale maximum, a recompute that missed a dirty group, or a
+        // delta/recompute mixup all break the hash. AVG needs no state:
+        // it falls out of n + s_micro at read time.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wmm", "mm")
+          events(s2, dir).createOrReplaceTempView("ev_src_mm")
+          s2.sql("DROP TABLE IF EXISTS wmm.ev_mm")
+          s2.sql("""CREATE TABLE wmm.ev_mm
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE,
+                     grp BIGINT, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wmm.ev_mm
+                    SELECT event_id, user_id, value, user_id % 10,
+                           user_id DIV 128
+                    FROM ev_src_mm WHERE event_id % 4 = 0""")
+          val wh = s2.conf.get("spark.sql.catalog.wmm.warehouse")
+          val basePath = s"$wh/ev_mm"
+          val mvPath = s"${wh}__view/ev_mm_agg"
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(mvPath), s2.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(mvPath), true)
+          val mv = new graft.ops.MaterializedAgg(s2, basePath, mvPath,
+            Seq("grp"), Seq("value"), minMaxCols = Seq("value"))
+          mv.initialize()
+          // zero out a slice — group maxima fall, minima may fall to 0
+          s2.sql("""UPDATE wmm.ev_mm SET value = 0.0
+                    WHERE c0 BETWEEN 0 AND 3 AND user_id % 7 = 2""")
+          s2.sql("""INSERT INTO wmm.ev_mm
+                    SELECT event_id + 10000000, user_id, value + 0.25,
+                           user_id % 10, user_id DIV 128
+                    FROM ev_src_mm WHERE event_id % 9 = 5""")
+          mv.refresh()
+          mv.df.select(col("grp"), col("n"), col("s_value_micro"),
+            col("mn_value_micro"), col("mx_value_micro"))
+            .orderBy("grp")
+        },
+        Some("""WITH updated AS (
+                  SELECT user_id,
+                    CASE WHEN (user_id // 128) BETWEEN 0 AND 3
+                              AND user_id % 7 = 2
+                         THEN 0.0 ELSE value END AS value
+                  FROM events WHERE event_id % 4 = 0),
+                extra AS (
+                  SELECT user_id, value + 0.25 AS value FROM events
+                  WHERE event_id % 9 = 5),
+                final AS (SELECT * FROM updated UNION ALL SELECT * FROM extra)
+                SELECT user_id % 10 AS grp, COUNT(*) AS n,
+                  CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                    AS s_value_micro,
+                  CAST(MIN(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                    AS mn_value_micro,
+                  CAST(MAX(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                    AS mx_value_micro
+                FROM final GROUP BY 1 ORDER BY grp""")
+      ),
+
       "w_snapshot_drift" -> QueryDef(
         // THREE features composed under one oracle (the w_snapshot_agg
         // pattern): time travel × row-level DML × the KL drift monitor —

@@ -491,6 +491,13 @@ object Relational {
     // fixed (data, seed) pair would mean the sketch itself broke — both
     // bounds fold into within_bound, which DuckDB predicts as 1.
     "q_cms_gate" -> QueryDef(
+      // NOTE on the oracle's universal within_bound = 1: the CMS guarantee
+      // `est <= exact + eps·N` is PROBABILISTIC (holds per key with
+      // confidence 0.999) — it is deterministic for THIS fixture + seed 42,
+      // verified across the generated scale factors, but a future fixture
+      // or SF change can legitimately push a key past the bound. If this
+      // query ever fails after a data regeneration, re-validate the bound
+      // (or widen eps·N by a small multiple) before suspecting the engine.
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val sk = li.agg(

@@ -78,6 +78,20 @@ class InvertedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"files outside the fp stripe were read: $scanned")
   }
 
+  test("BM25 serving: the length stripe is probed by broadcast joins, never shuffled") {
+    val ix = new InvertedIndex(spark, s"$wh/docs", s"$wh/docs__idx")
+    val q = ix.searchBm25(Seq("small", "word"), k = 5)
+    val plan = q.queryExecution.executedPlan.toString
+    // the tf side is explicitly broadcast: every join the length stripe
+    // participates in must be a BroadcastHashJoin (lens on the streamed
+    // side), and no sort-merge join may appear anywhere in the serve plan
+    assert(!plan.contains("SortMergeJoin"),
+      s"BM25 serving must not shuffle-join the length stripe:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"tf/df joins must broadcast against the stripes:\n$plan")
+    assert(q.collect().nonEmpty, "serving query returns ranked docs")
+  }
+
   test("pure-delete refresh window: postings vanish, cursor still advances") {
     val base = Files.createTempDirectory("graft-idx-d").toString + "/base"
     import spark.implicits._

@@ -77,6 +77,39 @@ class MaterializedAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mv.df.where(col("grp") === 0L).isEmpty, "emptied group destroyed")
   }
 
+  test("MIN/MAX: deletes recompute the dirty groups; insert-only groups stay delta") {
+    val base = tmp() + "/base"; val mvp = tmp() + "/mv"
+    // group 1: ids 1,4,7 with max v=10 at id 4; group 2: id 2; group 0: id 3
+    val b1 = Seq((1L, 1.25), (2L, 2.5), (3L, 0.125), (4L, 10.0), (7L, 3.5))
+    write(base, b1)
+    val mv = new MaterializedAgg(spark, base, mvp, Seq("grp"), Seq("v"),
+      minMaxCols = Seq("v"))
+    mv.initialize()
+    def minsMaxs(): Map[Long, (Long, Long)] =
+      mv.df.select("grp", "mn_v_micro", "mx_v_micro").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(minsMaxs() == Map(0L -> ((125000L, 125000L)),
+      1L -> ((1250000L, 10000000L)), 2L -> ((2500000L, 2500000L))))
+    // the delta-only killer: a truncate-overwrite DELETES group 1's
+    // extreme (id 4, v=10) — the new max must be the runner-up 3.5, which
+    // only a recompute of the dirty group can know
+    val b2 = Seq((1L, 1.25), (7L, 3.5), (2L, 2.5))
+    write(base, b2, mode = "overwrite")
+    mv.refresh()
+    assert(minsMaxs() == Map(1L -> ((1250000L, 3500000L)),
+      2L -> ((2500000L, 2500000L))),
+      "a delete that removes the extreme must surface the recomputed runner-up")
+    // insert-only commit: extremes tighten monotonically, no recompute path
+    val b3 = Seq((10L, 20.0), (5L, 0.0625)) // grp 1 gains a new max; grp 2 a new min
+    write(base, b3)
+    mv.refresh()
+    assert(minsMaxs() == Map(
+      1L -> ((1250000L, 20000000L)), 2L -> ((62500L, 2500000L))))
+    // count/sum stayed exact throughout (pure delta for all groups)
+    assert(content(mv).map(t => (t._1, t._2)) ==
+      expected(b2 ++ b3).map(t => (t._1, t._2)))
+  }
+
   test("a leftover intent marker forces an exact rebuild, not a delta") {
     val base = tmp() + "/base"; val mvp = tmp() + "/mv"
     val b1 = Seq((1L, 1.0), (2L, 2.0))

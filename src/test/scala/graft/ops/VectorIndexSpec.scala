@@ -151,6 +151,41 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vix.cursor == c)
   }
 
+  test("PQ index: coded storage, ADC search with base re-rank, delete applied in-index") {
+    spark.sql("CREATE TABLE vcat.pvecs (vec_id BIGINT, embedding ARRAY<FLOAT>, c0 BIGINT)")
+    val values = (0L until 40L)
+      .map(i => s"($i, ${vecLit(i)}, ${i / 16})").mkString(", ")
+    spark.sql(s"INSERT INTO vcat.pvecs VALUES $values")
+    val vix = new PqVectorIndex(spark, s"$wh/pvecs", s"$wh/pvecs__pvix",
+      nlist = 4, dim = 8, m = 4, ksub = 8, pidChunks = 2)
+    vix.initialize()
+    // the index stores CODES, not embeddings: m ints per row
+    val row = vix.df.select("codes").head.getSeq[Long](0)
+    assert(row.size == 4, s"expected 4 codeword indices, got $row")
+    // exact query hits itself at simu 10000 (ADC floor -> shortlist ->
+    // exact re-rank from the base)
+    val q6 = spark.sql(s"SELECT ${vecLit(6L)}").collect()(0)
+      .getSeq[Float](0).toArray.map(_.toDouble)
+    val top = vix.search(q6, k = 1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.toSeq == Seq((6L, 10000L)), s"got ${top.toSeq}")
+    // refresh consumes the feed: insert a copy, delete a vector — and the
+    // delete must land in the INDEX STATE (the base re-rank would mask a
+    // stale row in search output, so pin df directly)
+    spark.sql(s"INSERT INTO vcat.pvecs VALUES (1006, ${vecLit(6L)}, 62)")
+    spark.sql("""MERGE INTO vcat.pvecs t USING (SELECT 7 AS vec_id) s
+                 ON t.vec_id = s.vec_id WHEN MATCHED THEN DELETE""")
+    vix.refresh()
+    assert(ids(vix.search(q6, k = 2)) == Seq(6L, 1006L),
+      "the planted copy registers through the coded refresh")
+    assert(vix.df.where(col("vec_id") === 7L).isEmpty,
+      "deleted vector's code row destroyed in the index world")
+    assert(vix.df.where(col("vec_id") === 1006L).count() == 1L)
+    // codebooks persisted: a fresh handle searches identically
+    val again = new PqVectorIndex(spark, s"$wh/pvecs", s"$wh/pvecs__pvix",
+      nlist = 4, dim = 8, m = 4, ksub = 8, pidChunks = 2)
+    assert(ids(again.search(q6, k = 2)) == Seq(6L, 1006L))
+  }
+
   test("torn refresh: a leftover intent marker forces an exact rebuild") {
     val vix = new VectorIndex(spark, s"$wh/vecs", s"$wh/vecs__vix",
       nlist = 4, dim = 8, pidChunks = 2)

@@ -268,6 +268,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scores(graft.ops.Text.loadLm(c1, c2)) != offline)
   }
 
+  test("LM count stores: a crash BETWEEN the two inserts replays to exact counts") {
+    import spark.implicits._
+    val c1 = new World(spark, tmp(), Seq(DimSpec("h", DimMapping(0L, -1L, 1L << 59))))
+    val c2 = new World(spark, tmp(), Seq(DimSpec("h", DimMapping(0L, -1L, 1L << 59))))
+    val batch0 = Seq("a b", "a b").toDF("text")
+    graft.ops.Text.updateLmCounts(c1, c2, batch0, "text", commitId = Some(0L))
+    graft.ops.Pins.releaseAll()
+    // batch 1 crashes after the c1 store sealed but before c2 applied —
+    // the exact window that used to double c1 on replay
+    val batch1 = Seq("a c").toDF("text")
+    intercept[RuntimeException] {
+      graft.ops.Text.updateLmCounts(c1, c2, batch1, "text", commitId = Some(1L),
+        faultAfterC1 = () => throw new RuntimeException("injected crash"))
+    }
+    graft.ops.Pins.releaseAll()
+    // replay of batch 1: the sealed c1 store must be skipped, the missing
+    // c2 insert applied — converging to the offline union, not doubling
+    graft.ops.Text.updateLmCounts(c1, c2, batch1, "text", commitId = Some(1L))
+    graft.ops.Pins.releaseAll()
+    val probe = Seq((100L, "a b"), (101L, "a c"), (102L, "z q a")).toDF("doc_id", "text")
+    def scores(m: graft.ops.Text.LmModel) =
+      graft.ops.Text.lmScore(m, probe, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scores(graft.ops.Text.loadLm(c1, c2)) == scores(graft.ops.Text.trainLm(
+      Seq("a b", "a b", "a c").toDF("text"), "text")),
+      "torn batch replays to exactly the offline-training counts")
+    // a second full replay of the now-sealed batch is a no-op
+    graft.ops.Text.updateLmCounts(c1, c2, batch1, "text", commitId = Some(1L))
+    graft.ops.Pins.releaseAll()
+    assert(scores(graft.ops.Text.loadLm(c1, c2)) == scores(graft.ops.Text.trainLm(
+      Seq("a b", "a b", "a c").toDF("text"), "text")))
+  }
+
   test("KL drift daemon: per-batch top drift words vs a fixed reference land keyed by batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
