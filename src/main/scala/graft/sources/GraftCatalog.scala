@@ -568,13 +568,19 @@ class GraftVersionsProcedure(cat: GraftCatalog)
       val schema = StructType(Seq(
         StructField("version", org.apache.spark.sql.types.LongType, nullable = false),
         StructField("sealed_at_us", org.apache.spark.sql.types.LongType, nullable = false),
-        StructField("files", org.apache.spark.sql.types.LongType, nullable = false)))
+        StructField("files", org.apache.spark.sql.types.LongType, nullable = false),
+        // manifest-carried sizes: the per-version live byte total costs
+        // nothing beyond the manifest read already happening (−1 when a
+        // pre-size-format manifest line leaves a length unknown)
+        StructField("bytes", org.apache.spark.sql.types.LongType, nullable = false)))
       val rows = GraftVersions.listVersions(fs, root).map { v =>
+        val entries = GraftVersions.readEntries(fs, root, v)
         org.apache.spark.sql.catalyst.InternalRow(
           v,
           fs.getFileStatus(GraftVersions.manifestPath(root, v))
             .getModificationTime * 1000L,
-          GraftVersions.readManifest(fs, root, v).size.toLong)
+          entries.size.toLong,
+          if (entries.forall(_.size >= 0L)) entries.map(_.size).sum else -1L)
       }.toArray
       GraftProcedures.scanOf(schema, rows)
     }
@@ -745,13 +751,17 @@ class GraftStatsProcedure(cat: GraftCatalog)
         GraftDataSource.liveCells(fs, root, Array.empty)
           .sortBy { case (_, b, _) => b.toSeq.sortBy(_._1).map(_._2).mkString(",") }
           .map { case (d, b, files) =>
-            // live files only: one listing per cell, filtered to the
-            // manifest names (retired-in-place bytes are not table stats)
-            val live = files.map(_.getName).toSet
+            // sizes ride the live resolution (manifest-carried); only a
+            // pre-size-format line (−1) needs a listing, filtered to live
+            // names (retired-in-place bytes are not table stats)
             val lens =
-              if (!fs.exists(d)) Seq.empty
-              else fs.listStatus(d).toSeq.filter(st => st.isFile &&
-                live.contains(st.getPath.getName)).map(_.getLen)
+              if (files.forall(_._2 >= 0L)) files.map(_._2)
+              else {
+                val live = files.map(_._1.getName).toSet
+                if (!fs.exists(d)) Seq.empty
+                else fs.listStatus(d).toSeq.filter(st => st.isFile &&
+                  live.contains(st.getPath.getName)).map(_.getLen)
+              }
             org.apache.spark.sql.catalyst.InternalRow(
               org.apache.spark.unsafe.types.UTF8String.fromString(
                 b.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")),

@@ -118,20 +118,21 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   * mutation and streaming read. */
 private[graft] sealed trait GraftTimePin {
   def describe: String
+  /** (file, buckets, manifest-carried size — −1 unknown). */
   def files(fs: FileSystem, root: Path,
-      pushed: Array[Filter]): Seq[(Path, Map[String, Long])]
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)]
 }
 private[graft] final case class GraftPin(v: Long) extends GraftTimePin {
   def describe: String = s"Snapshot: v$v"
   def files(fs: FileSystem, root: Path,
-      pushed: Array[Filter]): Seq[(Path, Map[String, Long])] =
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] =
     GraftVersions.snapshotFiles(fs, root, v, pushed)
 }
 private[graft] final case class GraftDiffPin(base: Long, target: Long)
     extends GraftTimePin {
   def describe: String = s"Changes: v$base..v$target"
   def files(fs: FileSystem, root: Path,
-      pushed: Array[Filter]): Seq[(Path, Map[String, Long])] =
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] =
     GraftVersions.diffFiles(fs, root, base, target, pushed)
 }
 /** A zero-copy clone's pin: resolves against the SOURCE table's version
@@ -141,7 +142,7 @@ private[graft] final case class GraftClonePin(src: String, v: Long)
     extends GraftTimePin {
   def describe: String = s"Clone: $src@v$v"
   def files(fs: FileSystem, root: Path,
-      pushed: Array[Filter]): Seq[(Path, Map[String, Long])] = {
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] = {
     val sroot = new Path(src)
     val sfs = FileSystem.get(sroot.toUri, new Configuration())
     GraftVersions.snapshotFiles(sfs, sroot, v, pushed)
@@ -305,21 +306,21 @@ object GraftDataSource {
     * replaces the recursive grid listing entirely (bucket pruning becomes
     * string filtering on rel paths). */
   private[graft] def liveCells(fs: FileSystem, root: Path,
-      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Seq[Path])] =
-    GraftVersions.liveRels(fs, root) match {
-      case Some(rels) =>
-        rels.map(r => (r, GraftVersions.bucketsOf(r)))
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Seq[(Path, Long)])] =
+    GraftVersions.liveEntries(fs, root) match {
+      case Some(entries) =>
+        entries.map(e => (e, GraftVersions.bucketsOf(e.rel)))
           .filter { case (_, b) =>
             b.nonEmpty && pushed.forall(evalOnBuckets(_, b)) }
-          .groupBy { case (r, _) => r.split('/').dropRight(1).mkString("/") }
+          .groupBy { case (e, _) => e.rel.split('/').dropRight(1).mkString("/") }
           .toSeq.map { case (cellRel, group) =>
             (new Path(root, cellRel), group.head._2,
-              group.map { case (r, _) => new Path(root, r) })
+              group.map { case (e, _) => (new Path(root, e.rel), e.size) })
           }
       case None =>
         if (!fs.exists(root)) Seq.empty
         else walkChunks(fs, root, pushed).map { case (d, b) =>
-          (d, b, chunkFiles(fs, d))
+          (d, b, chunkFileStatuses(fs, d).map(st => (st.getPath, st.getLen)))
         }
     }
 
@@ -830,9 +831,10 @@ class GraftAggScan(path: String, tableSchema: StructType, pushed: Array[Filter],
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     pin match {
       case Some(p) => p.files(fs, new Path(path), pushed)
+        .map { case (f, b, _) => (f, b) }
       case None =>
         GraftDataSource.liveCells(fs, new Path(path), pushed)
-          .flatMap { case (_, b, fls) => fls.map(f => (f, b)) }
+          .flatMap { case (_, b, fls) => fls.map { case (f, _) => (f, b) } }
     }
   }
 
@@ -1105,7 +1107,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
 
   // pinned plan: manifest-resolved (file, buckets) pairs surviving the
   // pushed bucket filters — the version-log substitute for the live walk
-  @transient private lazy val pinnedWalk: Seq[(Path, Map[String, Long])] = {
+  @transient private lazy val pinnedWalk: Seq[(Path, Map[String, Long], Long)] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     pin.get.files(fs, new Path(path), pushed)
   }
@@ -1137,8 +1139,8 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
   // reporting KeyGroupedPartitioning doesn't double the listing (on a big
   // grid the listing IS the planning cost; in manifest mode it is one
   // small-file read).
-  @transient private var cachedCells: Seq[(Path, Map[String, Long], Seq[Path])] = null
-  private def liveCellList(): Seq[(Path, Map[String, Long], Seq[Path])] = {
+  @transient private var cachedCells: Seq[(Path, Map[String, Long], Seq[(Path, Long)])] = null
+  private def liveCellList(): Seq[(Path, Map[String, Long], Seq[(Path, Long)])] = {
     if (cachedCells == null) {
       val fs = FileSystem.get(new java.net.URI(path), new Configuration())
       cachedCells = GraftDataSource.liveCells(fs, new Path(path), pushed ++ runtime)
@@ -1171,7 +1173,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     else {
       val cells =
-        if (pin.isDefined) pinnedWalk.map { case (_, b) => b }
+        if (pin.isDefined) pinnedWalk.map { case (_, b, _) => b }
         else liveCellList().map { case (_, b, _) => b }
       val n = cells.map(b => keys.toSeq.map(b(_))).distinct.size
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
@@ -1195,15 +1197,21 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val bytes =
       if (pin.isDefined)
-        pinnedWalk.map { case (f, _) => fs.getFileStatus(f).getLen }.sum
+        pinnedWalk.map { case (f, _, sz) =>
+          if (sz >= 0L) sz else fs.getFileStatus(f).getLen }.sum
       else liveCellList().par.map { case (dir, _, files) =>
-        // one listing per cell (not a probe per file), filtered to the
-        // LIVE names — a manifest-resolved cell may also hold retired
-        // files whose bytes must not inflate the broadcast decision
-        val live = files.map(_.getName).toSet
-        if (!fs.exists(dir)) 0L
-        else fs.listStatus(dir).filter(st => st.isFile &&
-          live.contains(st.getPath.getName)).map(_.getLen).sum
+        // sizes ride the live resolution (manifest-carried, or the walk's
+        // own statuses) — zero extra round trips. A pre-size-format
+        // manifest line (size −1) falls back to one listing for its cell,
+        // filtered to live names so retired-in-place bytes never inflate
+        // the broadcast decision.
+        if (files.forall(_._2 >= 0L)) files.map(_._2).sum
+        else {
+          val live = files.map(_._1.getName).toSet
+          if (!fs.exists(dir)) 0L
+          else fs.listStatus(dir).filter(st => st.isFile &&
+            live.contains(st.getPath.getName)).map(_.getLen).sum
+        }
       }.sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -1264,12 +1272,12 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       // manifest-driven: one partition per pinned file (limit/topN
       // pushdowns and runtime filters are declined in pinned mode, and a
       // pinned scan never backs a row-level rewrite)
-      return bloomSurvivors(pinnedWalk.map { case (f, b) => (f.toString, b) })
+      return bloomSurvivors(pinnedWalk.map { case (f, b, _) => (f.toString, b) })
         .map { case (f, b) =>
           GraftInputPartition(f, b, !hasDataCols, -1,
             keys.map(b(_))): InputPartition
         }.toArray
-    val planned: Seq[(Path, Map[String, Long], Seq[Path])] =
+    val planned: Seq[(Path, Map[String, Long], Seq[(Path, Long)])] =
       if (topN.isEmpty || limit < 0) liveCellList()
       else {
         // pushed top-N: visit chunk cells in sort-key order, stop once the
@@ -1293,7 +1301,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
         var cum = 0L
         sorted.takeWhile { case (_, _, files) =>
           val keep = cum < limit
-          if (keep) cum += files.map { f =>
+          if (keep) cum += files.map { case (f, _) =>
             val pfr = ParquetFileReader.open(
               HadoopInputFile.fromPath(f, new Configuration()))
             try pfr.getRecordCount finally pfr.close()
@@ -1312,11 +1320,11 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     fileRecorder.foreach { r =>
       r.clear()
       planned.foreach { case (_, _, files) =>
-        files.foreach(f => r.add(f.toUri.getPath))
+        files.foreach { case (f, _) => r.add(f.toUri.getPath) }
       }
     }
     bloomSurvivors(planned.flatMap { case (_, b, files) =>
-      files.map(p => (p.toString, b))
+      files.map { case (p, _) => (p.toString, b) }
     }).map { case (p, b) =>
       GraftInputPartition(p, b, !hasDataCols, limit,
         keys.map(b(_))): InputPartition

@@ -206,6 +206,7 @@ class GraftMicroBatchStream(path: String, required: StructType,
         // manifest(end) − seen, resolved at `v`: snapshot-exact even when the
         // live tree has already moved past the cursor (restart lag)
         GraftVersions.newFilesSince(fs, root, seen, v, pushed)
+          .map { case (f, b, _) => (f, b) }
       case GraftStreamOffset(files) =>
         val target = files.map(f => GraftVersions.relOf(root, new Path(f))).toSet
         listFiles().filter { case (f, _) =>
@@ -236,7 +237,7 @@ class GraftMicroBatchStream(path: String, required: StructType,
     val hasDataCols = required.exists(f => !GraftDataSource.isBucket(f.name) &&
       f.name != GraftDataSource.ChangeColumn)
     def side(base: Long, target: Long, tag: String) =
-      GraftVersions.diffFiles(fs, root, base, target, pushed).map { case (f, bk) =>
+      GraftVersions.diffFiles(fs, root, base, target, pushed).map { case (f, bk, _) =>
         GraftInputPartition(f.toString, bk, !hasDataCols, changeTag = tag): InputPartition
       }
     (side(a, b, "insert") ++ side(b, a, "delete")).toArray

@@ -82,6 +82,15 @@ private[graft] object GraftVersions {
   def relOf(root: Path, file: Path): String =
     file.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
 
+  /** One manifest line: chunk-relative path + file length. Sizes ride the
+    * manifest so SIZE-dependent planning — `estimateStatistics` (the
+    * auto-broadcast decision, consulted at every plan), `system.stats` —
+    * answers from the one manifest read with ZERO directory listings; at
+    * a 100k-chunk grid the per-plan listing was the planning cost. Size
+    * −1 = unknown (a pre-size-format manifest line); consumers fall back
+    * to a listing for just those files. */
+  final case class ManifestEntry(rel: String, size: Long)
+
   /** One listing of `_graft_versions`: sealed versions (ascending), barrier
     * flag, and tag files — every per-commit "what state is the log in"
     * question answered by a single round trip instead of three. */
@@ -119,28 +128,37 @@ private[graft] object GraftVersions {
     * answer, correct when no manifest is authoritative (unversioned worlds;
     * barrier pending, where [[noteBarrier]]'s sync made the tree exact). */
   def liveFiles(fs: FileSystem, root: Path): Seq[String] =
+    liveFileEntries(fs, root).map(_.rel)
+
+  /** [[liveFiles]] with sizes from the same listing (no extra probes). */
+  def liveFileEntries(fs: FileSystem, root: Path): Seq[ManifestEntry] =
     if (!fs.exists(root)) Seq.empty
     else GraftDataSource.walkChunks(fs, root, Array.empty)
-      .flatMap { case (d, _) => GraftDataSource.chunkFiles(fs, d) }
-      .map(relOf(root, _))
+      .flatMap { case (d, _) => GraftDataSource.chunkFileStatuses(fs, d) }
+      .map(st => ManifestEntry(relOf(root, st.getPath), st.getLen))
 
   /** Latest manifest's rels when the log is AUTHORITATIVE for live reads
     * (at least one sealed version, no pending barrier); None → the physical
     * tree is truth. Under manifest-only retirement a superseded file stays
     * in place, so every live read path of a versioned, barrier-free world
     * MUST plan through this instead of listing directories. */
-  def liveRels(fs: FileSystem, root: Path): Option[Seq[String]] = {
+  def liveRels(fs: FileSystem, root: Path): Option[Seq[String]] =
+    liveEntries(fs, root).map(_.map(_.rel))
+
+  /** [[liveRels]] with manifest-carried sizes. */
+  def liveEntries(fs: FileSystem, root: Path): Option[Seq[ManifestEntry]] = {
     val st = logState(fs, root)
     if (st.barrier) None
-    else st.latest.map(readManifest(fs, root, _))
+    else st.latest.map(readEntries(fs, root, _))
   }
 
-  private def writeManifestBytes(v: Long, files: Seq[String]): Array[Byte] =
-    (s"$ManifestHeader $v\n" + files.sorted.mkString("\n") + "\n")
+  private def writeManifestBytes(v: Long, files: Seq[ManifestEntry]): Array[Byte] =
+    (s"$ManifestHeader $v\n" +
+      files.sortBy(_.rel).map(e => s"${e.rel}\t${e.size}").mkString("\n") + "\n")
       .getBytes("UTF-8")
 
   private def writeManifest(fs: FileSystem, root: Path, v: Long,
-      files: Seq[String]): Unit = {
+      files: Seq[ManifestEntry]): Unit = {
     val p = manifestPath(root, v)
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
@@ -151,7 +169,7 @@ private[graft] object GraftVersions {
   /** Create-if-absent manifest write — the commit CAS. False = another
     * commit sealed this version number first. */
   private def writeManifestCas(fs: FileSystem, root: Path, v: Long,
-      files: Seq[String]): Boolean = {
+      files: Seq[ManifestEntry]): Boolean = {
     val p = manifestPath(root, v)
     fs.mkdirs(p.getParent)
     if (fs.exists(p)) return false
@@ -166,7 +184,10 @@ private[graft] object GraftVersions {
     true
   }
 
-  def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] = {
+  def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] =
+    readEntries(fs, root, v).map(_.rel)
+
+  def readEntries(fs: FileSystem, root: Path, v: Long): Seq[ManifestEntry] = {
     val p = manifestPath(root, v)
     if (!fs.exists(p)) {
       val have = listVersions(fs, root)
@@ -181,7 +202,12 @@ private[graft] object GraftVersions {
     in.close()
     require(lines.nonEmpty && lines.head.startsWith(ManifestHeader),
       s"graft snapshot: $p is not a graft manifest")
-    lines.drop(1).toSeq.filter(_.nonEmpty)
+    lines.drop(1).toSeq.filter(_.nonEmpty).map { l =>
+      l.split('\t') match {
+        case Array(rel, sz) => ManifestEntry(rel, sz.toLong)
+        case _ => ManifestEntry(l, -1L) // pre-size-format line
+      }
+    }
   }
 
   /** A commit in progress: the version it will seal and the predecessor
@@ -189,7 +215,7 @@ private[graft] object GraftVersions {
     * or no predecessor). Carrying the predecessor here deletes the second
     * `_graft_versions` listing and re-read the old begin/finish pair paid
     * on every statement and streaming epoch. */
-  final case class PendingCommit(v: Long, prev: Option[Seq[String]])
+  final case class PendingCommit(v: Long, prev: Option[Seq[ManifestEntry]])
 
   /** Start a versioned commit. A world with data but no manifests first
     * gets a BASELINE v0 manifest of its pre-commit state, so the state a
@@ -207,10 +233,11 @@ private[graft] object GraftVersions {
     st.latest match {
       case Some(n) =>
         PendingCommit(n + 1,
-          if (st.barrier) None else Some(readManifest(fs, root, n)))
+          if (st.barrier) None else Some(readEntries(fs, root, n)))
       case None =>
         if (baseline) {
-          val base = liveFiles(fs, root).filterNot(excludeFromBaseline.contains)
+          val base = liveFileEntries(fs, root)
+            .filterNot(e => excludeFromBaseline.contains(e.rel))
           writeManifest(fs, root, 0L, base)
           PendingCommit(1L, Some(base))
         } else PendingCommit(1L, None)
@@ -228,12 +255,13 @@ private[graft] object GraftVersions {
     * delta, a retiring commit aborts loudly (see the object doc). Clears
     * any barrier marker on success. Returns the sealed version. */
   def sealCommit(fs: FileSystem, root: Path, c: PendingCommit,
-      removed: Set[String], added: Seq[String]): Long = {
-    val rels = c.prev match {
-      case Some(p) => (p.filterNot(removed.contains) ++ added).distinct
-      case None => (liveFiles(fs, root).filterNot(removed.contains) ++ added).distinct
-    }
-    if (writeManifestCas(fs, root, c.v, rels)) {
+      removed: Set[String], added: Seq[ManifestEntry]): Long = {
+    val entries = (c.prev match {
+      case Some(p) => p.filterNot(e => removed.contains(e.rel)) ++ added
+      case None => liveFileEntries(fs, root)
+        .filterNot(e => removed.contains(e.rel)) ++ added
+    }).groupBy(_.rel).map { case (_, dup) => dup.maxBy(_.size) }.toSeq
+    if (writeManifestCas(fs, root, c.v, entries)) {
       fs.delete(barrierPath(root), false)
       c.v
     } else if (removed.isEmpty) {
@@ -297,14 +325,15 @@ private[graft] object GraftVersions {
       }
     }.toMap
 
-  /** The files of snapshot `v` surviving the pushed bucket filters. Files
-    * never move, so resolution is `root/<rel>`; existence is verified only
-    * for rels the LATEST manifest no longer lists (those are the retired
-    * ones retention or a barrier could have deleted — live rels exist by
-    * invariant), with a loud error naming the cause on a miss. */
+  /** The files of snapshot `v` surviving the pushed bucket filters, with
+    * manifest-carried sizes. Files never move, so resolution is
+    * `root/<rel>`; existence is verified only for rels the LATEST manifest
+    * no longer lists (those are the retired ones retention or a barrier
+    * could have deleted — live rels exist by invariant), with a loud error
+    * naming the cause on a miss. */
   def snapshotFiles(fs: FileSystem, root: Path, v: Long,
-      pushed: Array[Filter]): Seq[(Path, Map[String, Long])] =
-    resolveRels(fs, root, readManifest(fs, root, v), v, pushed)
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] =
+    resolveRels(fs, root, readEntries(fs, root, v), v, pushed)
 
   /** The files present in version `target` but NOT in version `base` —
     * one side of a chunk-granular CHANGE FEED. Under the engine's
@@ -313,10 +342,11 @@ private[graft] object GraftVersions {
     * consumer doing incremental recompute wants exactly "which cells
     * changed" anyway. */
   def diffFiles(fs: FileSystem, root: Path, base: Long, target: Long,
-      pushed: Array[Filter]): Seq[(Path, Map[String, Long])] = {
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] = {
     val baseSet = readManifest(fs, root, base).toSet
     resolveRels(fs, root,
-      readManifest(fs, root, target).filterNot(baseSet.contains), target, pushed)
+      readEntries(fs, root, target).filterNot(e => baseSet.contains(e.rel)),
+      target, pushed)
   }
 
   /** Manifest-`v` files NOT in `seenRels` — the streaming source's batch
@@ -325,30 +355,31 @@ private[graft] object GraftVersions {
     * plans (file-set start, version end) during checkpoint upgrades and
     * barrier recoveries. */
   def newFilesSince(fs: FileSystem, root: Path, seenRels: Set[String],
-      v: Long, pushed: Array[Filter]): Seq[(Path, Map[String, Long])] =
+      v: Long, pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] =
     resolveRels(fs, root,
-      readManifest(fs, root, v).filterNot(seenRels.contains), v, pushed)
+      readEntries(fs, root, v).filterNot(e => seenRels.contains(e.rel)),
+      v, pushed)
 
-  private def resolveRels(fs: FileSystem, root: Path, rels: Seq[String],
-      v: Long, pushed: Array[Filter]): Seq[(Path, Map[String, Long])] = {
+  private def resolveRels(fs: FileSystem, root: Path, rels: Seq[ManifestEntry],
+      v: Long, pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] = {
     val st = logState(fs, root)
     // rels still listed by the latest manifest exist by invariant (barrier
     // voids the invariant — then every rel is probed); others are retired
     // copies that retention/expire or a barrier sync may have deleted
     val assumed: Set[String] =
       if (st.barrier) Set.empty
-      else if (st.latest.contains(v)) rels.toSet
+      else if (st.latest.contains(v)) rels.map(_.rel).toSet
       else st.latest.map(readManifest(fs, root, _).toSet).getOrElse(Set.empty)
-    rels.map(rel => (rel, bucketsOf(rel)))
+    rels.map(e => (e, bucketsOf(e.rel)))
       .filter { case (_, b) => pushed.forall(GraftDataSource.evalOnBuckets(_, b)) }
-      .map { case (rel, b) =>
-        val p = new Path(root, rel)
-        if (!assumed.contains(rel) && !fs.exists(p))
+      .map { case (e, b) =>
+        val p = new Path(root, e.rel)
+        if (!assumed.contains(e.rel) && !fs.exists(p))
           throw new IllegalStateException(
-            s"graft snapshot v$v: $rel is no longer on disk — deleted by " +
+            s"graft snapshot v$v: ${e.rel} is no longer on disk — deleted by " +
               "retention (expire_versions) or by an unversioned World-level " +
               "rewrite (insert/destroy/update/compact are version barriers)")
-        (p, b)
+        (p, b, e.size)
       }
   }
 
@@ -366,9 +397,9 @@ private[graft] object GraftVersions {
     require(!st.barrier,
       s"graft rollback: $root has a pending World-rewrite barrier — its " +
         "manifests are stale; run a versioned commit to heal, then roll back")
-    val targetRels = readManifest(fs, root, target)
+    val targetEntries = readEntries(fs, root, target)
     val latestRels = readManifest(fs, root, latest).toSet
-    targetRels.filterNot(latestRels.contains).foreach { rel =>
+    targetEntries.map(_.rel).filterNot(latestRels.contains).foreach { rel =>
       if (!fs.exists(new Path(root, rel)))
         throw new IllegalStateException(
           s"graft rollback: $rel of version $target is no longer on disk — " +
@@ -376,7 +407,7 @@ private[graft] object GraftVersions {
             "World-level rewrite")
     }
     val newV = latest + 1
-    if (!writeManifestCas(fs, root, newV, targetRels))
+    if (!writeManifestCas(fs, root, newV, targetEntries))
       throw new java.util.ConcurrentModificationException(
         s"graft rollback: version v$newV of $root was sealed concurrently")
     newV

@@ -159,9 +159,10 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
       // delete files a baseline would promise as addressable.
       val root = new Path(path)
       val c = GraftVersions.beginCommit(fs, root, baseline = false)
-      val staged = messages.collect { case GraftCommitMessage(_, rows) => rows }.sum
+      val staged = messages.collect { case GraftCommitMessage(_, rows, _) => rows }.sum
       val stagedFiles = GraftStage
-        .stagedCells(fs, new Path(stagePath), messages).flatMap(_._3)
+        .stagedCells(fs, new Path(stagePath), messages)
+        .flatMap(_._3).map(_.getPath)
       if (stagedFiles.nonEmpty) {
         val bucketCols = dims.indices.map(i => s"c$i")
         // read exactly the committed files (never whole-dir: a crashed task
@@ -411,7 +412,8 @@ private[sources] object GraftStage {
   def liveWithBuckets(fs: FileSystem, root: Path,
       c: GraftVersions.PendingCommit): Seq[(String, Map[String, Long])] =
     c.prev match {
-      case Some(rels) => rels.map(r => (r, GraftVersions.bucketsOf(r)))
+      case Some(entries) =>
+        entries.map(e => (e.rel, GraftVersions.bucketsOf(e.rel)))
       case None =>
         if (!fs.exists(root)) Seq.empty
         else GraftDataSource.walkChunks(fs, root, Array.empty)
@@ -439,7 +441,7 @@ private[sources] object GraftStage {
     * task channel, e.g. direct BatchWrite use in maintenance code). */
   def stagedCells(fs: FileSystem, stageRoot: Path,
       messages: Array[WriterCommitMessage])
-      : Seq[(Path, Map[String, Long], Seq[Path])] = {
+      : Seq[(Path, Map[String, Long], Seq[org.apache.hadoop.fs.FileStatus])] = {
     if (!fs.exists(stageRoot)) return Seq.empty
     val listed = messages.collect { case m: GraftCommitMessage => m }
     val allowed: Option[Set[String]] =
@@ -447,8 +449,8 @@ private[sources] object GraftStage {
       else Some(listed.flatMap(_.files)
         .map(f => new Path(f).toUri.getPath).toSet)
     GraftDataSource.walkChunks(fs, stageRoot, Array.empty).flatMap { case (d, b) =>
-      val files = GraftDataSource.chunkFiles(fs, d)
-        .filter(f => allowed.forall(_.contains(f.toUri.getPath)))
+      val files = GraftDataSource.chunkFileStatuses(fs, d)
+        .filter(f => allowed.forall(_.contains(f.getPath.toUri.getPath)))
       if (files.isEmpty) None else Some((d, b, files))
     }
   }
@@ -456,10 +458,11 @@ private[sources] object GraftStage {
   /** Move each staged cell's committed files into the same cell under
     * `root` (merging with any files already there — per-task file names
     * are unique, so appends never clobber). Returns the moved files'
-    * chunk-relative paths under `root` (the commit's `added` set for its
-    * incremental manifest). */
+    * manifest entries under `root` — rel path + length from the staging
+    * listing, so the seal stats nothing (the commit's `added` set). */
   def moveIn(fs: FileSystem, stageRoot: Path, root: Path,
-      staged: Seq[(Path, Map[String, Long], Seq[Path])]): Seq[String] =
+      staged: Seq[(Path, Map[String, Long], Seq[org.apache.hadoop.fs.FileStatus])])
+      : Seq[GraftVersions.ManifestEntry] =
     staged.flatMap { case (dir, _, files) =>
       // listStatus returns fs-qualified paths (file:/…) — relativize on
       // URI paths, not raw strings, or the prefix never matches
@@ -467,7 +470,8 @@ private[sources] object GraftStage {
         .stripPrefix(stageRoot.toUri.getPath).stripPrefix("/")
       val target = new Path(root, rel)
       fs.mkdirs(target)
-      files.map { f =>
+      files.map { st =>
+        val f = st.getPath
         // a false return (e.g. HDFS rename onto an existing destination)
         // must FAIL the commit: silently leaving the file in the stage
         // would drop its rows at the finally-delete while the incremental
@@ -475,7 +479,8 @@ private[sources] object GraftStage {
         if (!fs.rename(f, new Path(target, f.getName)))
           throw new IllegalStateException(
             s"graft commit: failed to move staged file $f into $target")
-        if (rel.isEmpty) f.getName else s"$rel/${f.getName}"
+        GraftVersions.ManifestEntry(
+          if (rel.isEmpty) f.getName else s"$rel/${f.getName}", st.getLen)
       }
     }
 }
@@ -549,7 +554,7 @@ class GraftStreamingWrite(path: String, schema: StructType,
             throw new IllegalStateException(
               s"graft streaming upsert needs the world's dim mappings: no world " +
                 s"registered for $path (instantiate graft.world.World first)"))
-          val stagedFiles = staged.flatMap(_._3)
+          val stagedFiles = staged.flatMap(_._3).map(_.getPath)
           if (stagedFiles.nonEmpty) {
             val bucketCols = dims.indices.map(i => s"c$i")
             // committed files only — crashed-attempt debris must not upsert
@@ -627,26 +632,37 @@ class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {
     // + this commit's files) — an append never pays a grid walk.
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val root = new Path(path)
-    val added = messages.collect { case GraftCommitMessage(f, _) => f }.flatten
-      .map(f => GraftVersions.relOf(root, new Path(f)))
-    val c = GraftVersions.beginCommit(fs, root, excludeFromBaseline = added.toSet)
+    val added = messages.collect {
+      case GraftCommitMessage(f, _, sz) =>
+        // defensive: an old-format message without sizes still commits
+        // (size −1 = unknown; size-dependent planning falls back per file)
+        f.zip(if (sz.size == f.size) sz else f.map(_ => -1L))
+    }.flatten.map { case (f, sz) =>
+      GraftVersions.ManifestEntry(GraftVersions.relOf(root, new Path(f)), sz)
+    }
+    val c = GraftVersions.beginCommit(fs, root,
+      excludeFromBaseline = added.map(_.rel).toSet)
     GraftVersions.sealCommit(fs, root, c, Set.empty, added)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     messages.foreach {
-      case GraftCommitMessage(files, _) =>
+      case GraftCommitMessage(files, _, _) =>
         files.foreach(f => fs.delete(new Path(f), false))
       case _ =>
     }
   }
 }
 
-/** Task -> driver commit channel: the files this task wrote and how many
-  * rows went into them. `commit()` aggregates these into the write summary
-  * (the DSv2-clean path for write-side counters — driver-computed numbers
-  * like the upsert's displaced count join them at commit time). */
-final case class GraftCommitMessage(files: Seq[String], rows: Long)
+/** Task -> driver commit channel: the files this task wrote, how many
+  * rows went into them, and each file's byte length (stat'd executor-side
+  * at task commit — parallel across tasks, so the driver's manifest seal
+  * needs zero per-file probes; see [[GraftVersions.ManifestEntry]]).
+  * `commit()` aggregates these into the write summary (the DSv2-clean
+  * path for write-side counters — driver-computed numbers like the
+  * upsert's displaced count join them at commit time). */
+final case class GraftCommitMessage(files: Seq[String], rows: Long,
+    sizes: Seq[Long] = Nil)
   extends WriterCommitMessage
 
 class GraftWriterFactory(path: String, schema: StructType,
@@ -881,7 +897,11 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
   override def commit(): WriterCommitMessage = {
     current.foreach(_._2.close())
     current = None
-    GraftCommitMessage(files.toSeq, rowsWritten)
+    // per-file lengths for the manifest seal: executor-side stats, a few
+    // files per task, parallel across the job
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    GraftCommitMessage(files.toSeq, rowsWritten,
+      files.toSeq.map(f => fs.getFileStatus(new Path(f)).getLen))
   }
 
   override def abort(): Unit = {

@@ -232,7 +232,8 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, extra, false,
       spark.sparkContext.hadoopConfiguration)
     val sealedAt = GraftVersions.sealCommit(fs, root, a, Set.empty,
-      Seq(GraftVersions.relOf(root, extra)))
+      Seq(GraftVersions.ManifestEntry(GraftVersions.relOf(root, extra),
+        fs.getFileStatus(extra).getLen)))
     assert(sealedAt == 3L, "the loser re-begins on the winner's state (v3)")
     val m3 = GraftVersions.readManifest(fs, root, 3L).toSet
     assert(m3.contains(GraftVersions.relOf(root, extra)) &&
