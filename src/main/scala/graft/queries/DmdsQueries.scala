@@ -1206,6 +1206,41 @@ object DmdsQueries {
                 FROM final GROUP BY 1 ORDER BY grp""")
       ),
 
+      "w_meta_tables" -> QueryDef(
+        // SQL METADATA TABLES under the oracle gate: `SELECT … FROM
+        // <cat>.<t>.history/.cells/.tags` — the join-able introspection
+        // face of the commit log. Every number is an exact consequence of
+        // the DML sequence and the engine's own write contracts: the
+        // clustered write puts ONE file per touched cell, the v0 baseline
+        // of a fresh table is empty, a row-level UPDATE replaces exactly
+        // one cell's file, a bucket DELETE drops exactly one manifest
+        // entry. A wrong file count, a missed version, a stale live set
+        // after the DELETE, or a tag that doesn't resolve all break the
+        // hash.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wmt", "mt")
+          s2.sql("DROP TABLE IF EXISTS wmt.mt_t")
+          s2.sql("CREATE TABLE wmt.mt_t (id BIGINT, v BIGINT, c0 BIGINT)")
+          s2.sql("INSERT INTO wmt.mt_t VALUES (1,10,0),(11,110,1),(21,210,2)") // v1
+          s2.sql("UPDATE wmt.mt_t SET v = -1 WHERE id = 11")                   // v2
+          s2.sql("DELETE FROM wmt.mt_t WHERE c0 = 2")                          // v3
+          s2.sql("CALL wmt.system.tag(table => 'mt_t', name => 'r1', version => 1)")
+          s2.sql("""SELECT 'v' AS kind, CAST(version AS STRING) AS k, files AS n
+                    FROM wmt.mt_t.history""")
+            .unionByName(s2.sql(
+              "SELECT 'c' AS kind, cell AS k, files AS n FROM wmt.mt_t.cells"))
+            .unionByName(s2.sql(
+              "SELECT 't' AS kind, name AS k, version AS n FROM wmt.mt_t.tags"))
+            .orderBy("kind", "k")
+        },
+        Some("""SELECT * FROM (VALUES
+                  ('c', 'c0=0', CAST(1 AS BIGINT)),
+                  ('c', 'c0=1', 1),
+                  ('t', 'r1', 1),
+                  ('v', '0', 0), ('v', '1', 3), ('v', '2', 3), ('v', '3', 2))
+                AS t(kind, k, n) ORDER BY kind, k""")
+      ),
+
       "w_snapshot_drift" -> QueryDef(
         // THREE features composed under one oracle (the w_snapshot_agg
         // pattern): time travel × row-level DML × the KL drift monitor —

@@ -67,9 +67,21 @@ class GraftCatalog extends TableCatalog
   }
 
   override def loadTable(ident: Identifier): Table = {
-    if (!exists(ident))
+    if (!exists(ident)) {
+      // SQL METADATA TABLES: `SELECT * FROM <cat>.<table>.<meta>` — the
+      // join-able introspection face of the procedures (`WHERE version >
+      // …`, joins against history, etc.). Resolved only when the ident
+      // itself is NOT a real table and its parent namespace IS one, so a
+      // genuine table named e.g. `history` always wins.
+      val meta = ident.name().toLowerCase(java.util.Locale.ROOT)
+      if (ident.namespace().nonEmpty && GraftMetaTable.Kinds.contains(meta)) {
+        val parent = Identifier.of(
+          ident.namespace().dropRight(1), ident.namespace().last)
+        if (exists(parent)) return new GraftMetaTable(pathOf(parent), meta)
+      }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident)
+    }
     val p = pathOf(ident)
     new GraftTable(p, GraftDataSource.sidecarSchema(p), viaCatalog = true)
   }
@@ -868,6 +880,107 @@ class GraftTagsProcedure(cat: GraftCatalog)
           org.apache.spark.unsafe.types.UTF8String.fromString(n), v)
       }.toArray
       GraftProcedures.scanOf(schema, rows)
+    }
+  }
+}
+
+/** SQL metadata tables over one world — `SELECT * FROM <cat>.<t>.<meta>`:
+  *
+  *   - `history` — the commit log: (version, sealed_at_us, files, bytes),
+  *     manifest reads only (bytes −1 when a pre-size-format line leaves a
+  *     length unknown);
+  *   - `files` — live data files: (cell, file, bytes), resolved through
+  *     the latest manifest when the log is authoritative (retired-in-place
+  *     files never listed), physical walk otherwise;
+  *   - `cells` — per-cell rollup of `files`: (cell, files, bytes) — the
+  *     table face of `system.stats`;
+  *   - `tags` — named version refs: (name, version).
+  *
+  * Each query re-reads the state at scan build (no caching); all content
+  * is driver-side metadata (a LocalScan), never a data read. The same
+  * numbers drive maintenance decisions procedurally (`system.versions` /
+  * `system.stats`); the table face exists so operators can FILTER and JOIN
+  * them — "which versions added more than N files", "cells above the
+  * compaction threshold", straight SQL. */
+private[sources] class GraftMetaTable(path: String, meta: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+  override def name(): String = s"graft:$path#$meta"
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def schema(): StructType = GraftMetaTable.schemaOf(meta)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        GraftMetaTable.rowsOf(path, meta)
+      override def readSchema(): StructType = GraftMetaTable.schemaOf(meta)
+    }
+}
+
+private[sources] object GraftMetaTable {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val Kinds: Set[String] = Set("history", "files", "cells", "tags")
+
+  def schemaOf(meta: String): StructType = meta match {
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("sealed_at_us", LongType, nullable = false),
+      StructField("files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+    case "files" => StructType(Seq(
+      StructField("cell", StringType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+    case "cells" => StructType(Seq(
+      StructField("cell", StringType, nullable = false),
+      StructField("files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+    case "tags" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    case other => throw new IllegalArgumentException(s"unknown meta table $other")
+  }
+
+  def rowsOf(path: String, meta: String): Array[InternalRow] = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val root = new Path(path)
+    def cellOf(b: Map[String, Long]): UTF8String = UTF8String.fromString(
+      b.toSeq.sortBy(_._1.drop(1).toInt)
+        .map { case (k, v) => s"$k=$v" }.mkString("/"))
+    meta match {
+      case "history" =>
+        GraftVersions.listVersions(fs, root).map { v =>
+          val entries = GraftVersions.readEntries(fs, root, v)
+          InternalRow(v,
+            fs.getFileStatus(GraftVersions.manifestPath(root, v))
+              .getModificationTime * 1000L,
+            entries.size.toLong,
+            if (entries.forall(_.size >= 0L)) entries.map(_.size).sum else -1L)
+        }.toArray
+      case "files" =>
+        GraftDataSource.liveCells(fs, root, Array.empty)
+          .sortBy { case (_, b, _) => b.toSeq.sortBy(_._1).map(_._2).mkString(",") }
+          .flatMap { case (_, b, files) =>
+            files.map { case (f, sz) =>
+              InternalRow(cellOf(b), UTF8String.fromString(f.getName), sz)
+            }
+          }.toArray
+      case "cells" =>
+        GraftDataSource.liveCells(fs, root, Array.empty)
+          .sortBy { case (_, b, _) => b.toSeq.sortBy(_._1).map(_._2).mkString(",") }
+          .map { case (_, b, files) =>
+            InternalRow(cellOf(b), files.size.toLong,
+              if (files.forall(_._2 >= 0L)) files.map(_._2).sum else -1L)
+          }.toArray
+      case "tags" =>
+        GraftVersions.listTags(fs, root).map { case (n, v) =>
+          InternalRow(UTF8String.fromString(n), v)
+        }.toArray
+      case other => throw new IllegalArgumentException(s"unknown meta table $other")
     }
   }
 }

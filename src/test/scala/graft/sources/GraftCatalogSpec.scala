@@ -279,6 +279,42 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graftcat.evd")
   }
 
+  test("metadata tables: history/files/cells/tags read as SQL, live-set exact") {
+    spark.sql("CREATE TABLE graftcat.meta (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO graftcat.meta VALUES (1, 10, 0), (11, 110, 1)") // v1
+    spark.sql("UPDATE graftcat.meta SET v = -1 WHERE id = 1")              // v2
+    spark.sql("CALL graftcat.system.tag(table => 'meta', name => 'rel', version => 1)")
+    val hist = spark.sql(
+      "SELECT version, files, bytes FROM graftcat.meta.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hist.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, 0L), (1L, 2L), (2L, 2L)), s"history: ${hist.toSeq}")
+    assert(hist.drop(1).forall(_._3 > 0L),
+      "manifest-carried bytes populate non-empty versions")
+    // files lists the LIVE set only: the v1 copy of cell c0=0 was retired
+    // in place by the UPDATE and must not appear
+    val files = spark.sql("SELECT cell, file, bytes FROM graftcat.meta.files")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(files.length == 2 && files.map(_._1).toSet == Set("c0=0", "c0=1"),
+      s"live files only, one per cell: ${files.toSeq}")
+    assert(files.forall(_._3 > 0L))
+    val cells = spark.sql("SELECT cell, files FROM graftcat.meta.cells")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(cells == Set(("c0=0", 1L), ("c0=1", 1L)))
+    assert(spark.sql("SELECT name, version FROM graftcat.meta.tags")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("rel", 1L)))
+    // filters and joins compose — the point of the TABLE face
+    assert(spark.sql(
+      """SELECT h.version FROM graftcat.meta.history h
+         JOIN graftcat.meta.tags g ON h.version = g.version""")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // an unknown meta name is a loud missing-table error
+    val e = intercept[Exception](spark.sql("SELECT * FROM graftcat.meta.nope"))
+    assert(e.getMessage.toLowerCase.contains("table"))
+    spark.sql("DROP TABLE graftcat.meta")
+  }
+
   test("CALL system.set_bloom registers the sidecar from SQL") {
     spark.sql("CREATE TABLE graftcat.evb (d0 BIGINT, doc BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO graftcat.evb SELECT id, id + 100, id DIV 8 FROM range(16)")
