@@ -108,7 +108,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     }.getOrElse(false)
     new GraftTable(properties.get("path"), schema, pin,
       Option(properties.get("graft.startingVersion")), follow,
-      Option(properties.get("graft.maxVersionsPerTrigger")).map(_.toLong))
+      Option(properties.get("graft.maxVersionsPerTrigger")).map(_.toLong),
+      Option(properties.get("graft.maxBytesPerTrigger")).map(_.toLong))
   }
 }
 
@@ -511,6 +512,7 @@ class GraftTable(path: String, schema: StructType,
     startingVersion: Option[String] = None,
     follow: Boolean = false,
     maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None,
     // true when loaded through GraftCatalog: catalog-routed writes can
     // resolve connector functions (zvalue sort ordering) against the
     // catalog's FunctionCatalog face; path-routed writes cannot and take
@@ -604,7 +606,8 @@ class GraftTable(path: String, schema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, schema, pin = pin,
       startingVersion = startingVersion, follow = follow,
-      maxVersionsPerTrigger = maxVersionsPerTrigger)
+      maxVersionsPerTrigger = maxVersionsPerTrigger,
+      maxBytesPerTrigger = maxBytesPerTrigger)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -645,7 +648,8 @@ class GraftScanBuilder(path: String, schema: StructType,
     // refuse the CDC mode
     startingVersion: Option[String] = None,
     follow: Boolean = false,
-    maxVersionsPerTrigger: Option[Long] = None) extends ScanBuilder
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -786,7 +790,8 @@ class GraftScanBuilder(path: String, schema: StructType,
     if (pushedAggs.nonEmpty)
       new GraftAggScan(path, schema, pushed, pushedAggs, groupCols, pin)
     else new GraftScan(path, required, pushed, limit, topN, residualFilters,
-      rowLevelFiles, pin, startingVersion, follow, maxVersionsPerTrigger)
+      rowLevelFiles, pin, startingVersion, follow, maxVersionsPerTrigger,
+      maxBytesPerTrigger)
 }
 
 /** The pushed-aggregate scan: partitions are chunk files, rows are
@@ -1094,7 +1099,8 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     pin: Option[GraftTimePin] = None,
     startingVersion: Option[String] = None,
     follow: Boolean = false,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -1225,7 +1231,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     require(pin.isEmpty,
       "graft: a version pin is a frozen commit — streaming reads take the live table")
     new GraftMicroBatchStream(path, required, pushed, startingVersion, follow,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, maxBytesPerTrigger)
   }
   override def description(): String =
     s"GraftScan path=$path" +

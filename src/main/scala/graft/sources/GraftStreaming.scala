@@ -77,7 +77,16 @@ class GraftMicroBatchStream(path: String, required: StructType,
     // Caps to existing versions (crash-gap numbers are skipped, never
     // addressed). The file-set regime has no cursor to bound and ignores
     // the option; unset = all available (the historical behavior).
-    maxVersionsPerTrigger: Option[Long] = None) extends MicroBatchStream
+    maxVersionsPerTrigger: Option[Long] = None,
+    // option("graft.maxBytesPerTrigger", n): BYTE-bounded admission for the
+    // version-cursor regime, possible because manifests carry file sizes —
+    // each micro-batch spans the longest commit prefix whose NEW bytes
+    // (manifest(v) − seen, sizes summed) stay at or under n, always at
+    // least one commit so the stream can never stall. Composes with
+    // maxVersionsPerTrigger (the tighter bound wins). Unknown sizes
+    // (pre-size-format lines) count 0 — the bound degrades to commit
+    // counting, never blocks. File-set regime ignores it.
+    maxBytesPerTrigger: Option[Long] = None) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   // Trigger.AvailableNow drain target, frozen at stream start (commits
@@ -98,13 +107,34 @@ class GraftMicroBatchStream(path: String, required: StructType,
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val unbounded = availableNowTarget.getOrElse(latestOffset())
-    (start, unbounded, maxVersionsPerTrigger) match {
-      case (GraftVersionOffset(sv), GraftVersionOffset(lv), Some(m))
-          if lv > sv =>
-        // the m-th EXISTING version after the cursor (version numbers can
-        // have crash/retention gaps; an offset must name a real manifest)
-        GraftVersions.listVersions(fileSystem, root)
-          .filter(v => v > sv && v <= lv).take(m.toInt).lastOption
+    (start, unbounded) match {
+      case (GraftVersionOffset(sv), GraftVersionOffset(lv))
+          if lv > sv && (maxVersionsPerTrigger.isDefined ||
+            maxBytesPerTrigger.isDefined) =>
+        val fs = fileSystem
+        // EXISTING versions only (crash/retention gaps are never addressed)
+        var candidates = GraftVersions.listVersions(fs, root)
+          .filter(v => v > sv && v <= lv)
+        maxVersionsPerTrigger.foreach(m => candidates = candidates.take(m.toInt))
+        maxBytesPerTrigger.foreach { cap =>
+          // longest prefix whose cumulative NEW bytes fit the cap; the
+          // first candidate is always admitted (progress guarantee). Seen
+          // set advances per candidate so a file added in v and kept in
+          // v+1 is charged once.
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          seen ++= GraftVersions.readManifest(fs, root, sv)
+          var total = 0L
+          var admitted = 0
+          candidates = candidates.takeWhile { v =>
+            val fresh = GraftVersions.readEntries(fs, root, v)
+              .filterNot(e => seen.contains(e.rel))
+            fresh.foreach(e => seen += e.rel)
+            total += fresh.map(e => math.max(e.size, 0L)).sum
+            admitted += 1
+            admitted == 1 || total <= cap
+          }
+        }
+        candidates.lastOption
           .map(GraftVersionOffset(_): Offset).getOrElse(unbounded)
       case _ => unbounded
     }

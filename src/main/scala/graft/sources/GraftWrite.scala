@@ -107,8 +107,11 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
         // into an unbounded log for streams that archive deliberately.
         val keep = Option(info.options().get("graft.versions.keep"))
           .map(_.toInt).getOrElse(GraftStreamingWrite.DefaultVersionsKeep)
+        // option("graft.compact.maxFiles", n): per-epoch AUTO-COMPACTION
+        // (Append mode) — see GraftStreamingWrite.compactTouchedCells
         new GraftStreamingWrite(path, info.schema(), mode,
-          if (keep <= 0) None else Some(keep))
+          if (keep <= 0) None else Some(keep),
+          Option(info.options().get("graft.compact.maxFiles")).map(_.toInt))
       }
 
       override def requiredDistribution():
@@ -506,7 +509,8 @@ private[sources] object GraftStage {
   */
 class GraftStreamingWrite(path: String, schema: StructType,
     mode: GraftStreamingWrite.Mode,
-    versionsKeep: Option[Int] = None)
+    versionsKeep: Option[Int] = None,
+    compactMaxFiles: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import GraftStreamingWrite._
 
@@ -577,6 +581,18 @@ class GraftStreamingWrite(path: String, schema: StructType,
           .map(_ -> s.getPath))
         .sortBy(_._1).dropRight(keepMarkers)
         .foreach { case (_, p) => fs.delete(p, false) }
+      // per-epoch AUTO-COMPACTION (Append mode, graft.compact.maxFiles):
+      // an append-only stream adds a file per epoch per touched cell —
+      // at 100 TB the small-files death unless compacted. Bounded to the
+      // cells THIS epoch touched, executed as a versioned dynamic
+      // overwrite (CAS-sealed like any commit), so the stream's version
+      // cursor stays intact — no World-level barrier, no offset
+      // degradation. Runs BEFORE retention so the compaction version is
+      // subject to the same keep bound.
+      if (mode == Append) compactMaxFiles.foreach { bound =>
+        GraftStreamingWrite.compactTouchedCells(path, schema,
+          staged.map(_._2).toSet, bound)
+      }
       // per-epoch retention under graft.versions.keep: a forever-stream's
       // commit log stays bounded without an external maintenance job
       versionsKeep.foreach(k => GraftVersions.expire(fs, root, k))
@@ -601,6 +617,47 @@ object GraftStreamingWrite {
   /** Default `graft.versions.keep` for streaming sinks — see the builder's
     * rationale; batch commits keep everything until `expire_versions`. */
   val DefaultVersionsKeep = 64
+
+  /** Compact the given cells down to one file each when their LIVE file
+    * count exceeds `bound`: read exactly those cells through the connector
+    * (manifest-resolved — retired-in-place files excluded), stage through
+    * the clustered writer (one file per cell by the declared
+    * distribution), and commit as a versioned DYNAMIC overwrite. The old
+    * files retire in the manifest layer; per-epoch retention reclaims
+    * them. Returns the number of compacted cells. */
+  private[sources] def compactTouchedCells(path: String, schema: StructType,
+      touched: Set[Map[String, Long]], bound: Int): Int = {
+    if (touched.isEmpty) return 0
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val root = new Path(path)
+    val victims = GraftDataSource.liveCells(fs, root, Array.empty)
+      .filter { case (_, b, files) => touched.contains(b) && files.sizeIs > bound }
+      .map(_._2)
+    if (victims.isEmpty) return 0
+    val spark = org.apache.spark.sql.SparkSession.active
+    import org.apache.spark.sql.functions.{col, lit}
+    val pred = victims.map(_.toSeq.sortBy(_._1)
+        .map { case (k, v) => col(k) === lit(v) }.reduce(_ && _))
+      .reduce(_ || _)
+    val ow = new GraftOverwriteWrite(path, schema, None) // dynamic mode
+    try {
+      spark.read.format("graft").load(path).where(pred)
+        .write.format("graft").mode("append").save(ow.stagePath)
+      ow.commit(Array.empty)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"graft stream auto-compact of $path: ${victims.size} cell(s)")
+      victims.size
+    } catch {
+      case e: Throwable =>
+        // compaction is maintenance, never correctness: the epoch already
+        // committed; leave fragmentation for the next trigger
+        FileSystem.get(new java.net.URI(ow.stagePath), new Configuration())
+          .delete(new Path(ow.stagePath), true)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"graft stream auto-compact of $path failed: ${e.getMessage}")
+        0
+    }
+  }
 }
 
 /** Epoch-aware twin of [[GraftWriterFactory]]: rows land in the per-epoch

@@ -69,6 +69,71 @@ class GraftStreamingWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no staging grids left behind")
   }
 
+  test("auto-compact: graft.compact.maxFiles bounds live files per cell, cursor intact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val cp = Files.createTempDirectory("graft-sw-ac-cp").toString
+    val src = MemoryStream[(Long, Long)]
+    val q = src.toDF().toDF("d0", "v")
+      .withColumn("c0", col("d0") / 10 cast "long")
+      .writeStream.format("graft")
+      .option("checkpointLocation", cp)
+      .option("graft.compact.maxFiles", "2")
+      .start(path)
+    try {
+      // 5 epochs into ONE cell: without compaction that is 5 live files
+      for (i <- 1 to 5) { src.addData((i.toLong, i * 10L)); q.processAllAvailable() }
+    } finally q.stop()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val live = GraftVersions.liveRels(fs, root).get
+    assert(live.count(_.startsWith("c0=0/")) <= 2,
+      s"auto-compaction keeps the cell at or under the bound: $live")
+    // data intact and readable through the connector (manifest-resolved)
+    val got = spark.read.format("graft").load(path)
+      .select("d0", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1 to 5).map(i => (i.toLong, i * 10L)).toSet)
+    // the version cursor survived: no barrier, commits keep sealing
+    assert(!GraftVersions.hasBarrier(fs, root),
+      "auto-compaction must not degrade the stream's version cursor")
+    assert(GraftVersions.latestVersion(fs, root).nonEmpty)
+  }
+
+  test("graft.maxBytesPerTrigger bounds each micro-batch's admitted bytes") {
+    import spark.implicits._
+    val path = tmp()
+    // three single-row append commits through the connector
+    for (i <- 1 to 3)
+      Seq((i.toLong, i * 10L, i.toLong)).toDF("d0", "v", "c0")
+        .write.format("graft").mode("append").save(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    assert(GraftVersions.latestVersion(fs, root).contains(3L))
+    val schema = GraftDataSource.sidecarSchema(path)
+    // a cap of ONE BYTE still admits the first pending commit (progress
+    // guarantee), and only it — each trigger advances exactly one version
+    val stream = new GraftMicroBatchStream(path, schema, Array.empty,
+      maxBytesPerTrigger = Some(1L))
+    val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    val o1 = stream.latestOffset(GraftVersionOffset(0L), limit)
+    assert(o1 == GraftVersionOffset(1L), s"one-byte cap admits one commit: $o1")
+    val o2 = stream.latestOffset(o1, limit)
+    assert(o2 == GraftVersionOffset(2L))
+    // a generous cap admits the whole backlog in one batch
+    val big = new GraftMicroBatchStream(path, schema, Array.empty,
+      maxBytesPerTrigger = Some(1L << 30))
+    assert(big.latestOffset(GraftVersionOffset(0L), limit) ==
+      GraftVersionOffset(3L))
+    // composes with maxVersionsPerTrigger: the tighter bound wins
+    val both = new GraftMicroBatchStream(path, schema, Array.empty,
+      maxVersionsPerTrigger = Some(2L), maxBytesPerTrigger = Some(1L << 30))
+    assert(both.latestOffset(GraftVersionOffset(0L), limit) ==
+      GraftVersionOffset(2L))
+  }
+
   test("epoch replay after a successful commit is discarded (marker idempotence)") {
     import spark.implicits._
     val path = tmp()
