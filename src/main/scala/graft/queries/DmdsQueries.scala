@@ -1241,6 +1241,37 @@ object DmdsQueries {
                 AS t(kind, k, n) ORDER BY kind, k""")
       ),
 
+      "w_retention" -> QueryDef(
+        // DECLARED AUTO-RETENTION under the oracle gate: set_retention(2)
+        // makes every later commit self-expire the log — no maintenance
+        // call — so after two COW UPDATEs only versions 2 and 3 remain
+        // (the metadata table proves it), the expired versions' bytes are
+        // vacuumed, and the live content reflects all the DML. A commit
+        // that forgot to expire, an expire that over-pruned (dropping a
+        // live version), or a vacuum that deleted live bytes all break
+        // the hash.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wrt", "rt")
+          s2.sql("DROP TABLE IF EXISTS wrt.rt_t")
+          s2.sql("CREATE TABLE wrt.rt_t (id BIGINT, v BIGINT, c0 BIGINT)")
+          s2.sql("INSERT INTO wrt.rt_t VALUES (1,10,0),(11,110,1),(21,210,2)") // v1
+          s2.sql("CALL wrt.system.set_retention(table => 'rt_t', keep => 2)")
+          s2.sql("UPDATE wrt.rt_t SET v = v + 1 WHERE id = 11")                // v2
+          s2.sql("UPDATE wrt.rt_t SET v = v + 1 WHERE id = 21")                // v3
+          s2.sql("""SELECT 'v' AS kind, CAST(version AS STRING) AS k, files AS n
+                    FROM wrt.rt_t.history""")
+            .unionByName(s2.sql(
+              """SELECT 'r' AS kind, CAST(id AS STRING) AS k, v AS n
+                 FROM wrt.rt_t"""))
+            .orderBy("kind", "k")
+        },
+        Some("""SELECT * FROM (VALUES
+                  ('r', '1', CAST(10 AS BIGINT)), ('r', '11', 111),
+                  ('r', '21', 211),
+                  ('v', '2', 3), ('v', '3', 3))
+                AS t(kind, k, n) ORDER BY kind, k""")
+      ),
+
       "w_snapshot_drift" -> QueryDef(
         // THREE features composed under one oracle (the w_snapshot_agg
         // pattern): time travel × row-level DML × the KL drift monitor —

@@ -292,12 +292,15 @@ class GraftCatalog extends TableCatalog
       case (Seq("system"), "zorder")   => new GraftZOrderProcedure(this)
       case (Seq("system"), "remove_orphans") =>
         new GraftRemoveOrphansProcedure(this)
+      case (Seq("system"), "set_retention") =>
+        new GraftSetRetentionProcedure(this)
       case _ => throw new UnsupportedOperationException(
         s"graft catalog $catalogName has no procedure $ident (available: " +
           "system.compact, system.stats, system.rollback, " +
           "system.expire_versions, system.versions, system.clean_stages, " +
           "system.tag, system.drop_tag, system.tags, system.clone, " +
-          "system.set_bloom, system.zorder, system.remove_orphans)")
+          "system.set_bloom, system.zorder, system.remove_orphans, " +
+          "system.set_retention)")
     }
 }
 
@@ -664,6 +667,46 @@ class GraftExpireVersionsProcedure(cat: GraftCatalog)
       val fs = FileSystem.get(new java.net.URI(path), new Configuration())
       val n = GraftVersions.expire(fs, new Path(path), input.getInt(1))
       GraftProcedures.singleRow("expired_manifests", n)
+    }
+  }
+}
+
+/** `CALL <cat>.system.set_retention(table => 't', keep => k)` — declare
+  * AUTOMATIC retention: every later versioned commit self-expires the log
+  * down to the newest `k` manifests after its seal (tagged versions still
+  * survive, and retired-in-place bytes only the expired manifests
+  * referenced are vacuumed) — the maintenance-free bounded log for
+  * DML-heavy batch tables, the table-level twin of the streaming sink's
+  * `graft.versions.keep`. `keep <= 0` clears the declaration. The value is
+  * name-encoded inside `_graft_versions`, so the commit path learns it
+  * from the listing it already performs — zero added round trips. Returns
+  * the declared keep (0 = cleared). */
+class GraftSetRetentionProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "set_retention"
+  override def description(): String =
+    "declare automatic per-commit retention (keep newest k versions)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "set_retention"
+    override def description(): String =
+      GraftSetRetentionProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build(),
+      ProcedureParameter.in("keep", org.apache.spark.sql.types.IntegerType)
+        .comment("newest versions every commit keeps; <= 0 clears").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      val keep = input.getInt(1)
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      GraftVersions.setRetention(fs, new Path(path), keep)
+      GraftProcedures.singleRow("retention_keep", math.max(keep, 0).toLong)
     }
   }
 }

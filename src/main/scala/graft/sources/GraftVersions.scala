@@ -92,16 +92,19 @@ private[graft] object GraftVersions {
   final case class ManifestEntry(rel: String, size: Long)
 
   /** One listing of `_graft_versions`: sealed versions (ascending), barrier
-    * flag, and tag files — every per-commit "what state is the log in"
-    * question answered by a single round trip instead of three. */
+    * flag, tag files, and the declared retention — every per-commit "what
+    * state is the log in" question answered by a single round trip instead
+    * of three. Retention is NAME-ENCODED (`retention-<k>`, empty file) so
+    * this same listing carries the value with no content read. */
   final case class LogState(versions: Seq[Long], barrier: Boolean,
-      tagNames: Seq[String]) {
+      tagNames: Seq[String], retentionKeep: Option[Int] = None) {
     def latest: Option[Long] = versions.lastOption
   }
 
   def logState(fs: FileSystem, root: Path): LogState = {
     val dir = new Path(root, VersionsDir)
-    if (!fs.exists(dir)) return LogState(Seq.empty, barrier = false, Seq.empty)
+    if (!fs.exists(dir))
+      return LogState(Seq.empty, barrier = false, Seq.empty)
     val entries = fs.listStatus(dir).toSeq
     val versions = entries.flatMap { s =>
       val n = s.getPath.getName
@@ -114,7 +117,30 @@ private[graft] object GraftVersions {
       entries.collect {
         case s if s.isFile && s.getPath.getName.startsWith(TagPrefix) =>
           s.getPath.getName.stripPrefix(TagPrefix)
-      })
+      },
+      entries.flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix(RetentionPrefix).toInt).toOption
+        .filter(_ => s.getPath.getName.startsWith(RetentionPrefix)))
+        .sorted.lastOption)
+  }
+
+  private val RetentionPrefix = "retention-"
+
+  /** Declare (or with keep <= 0, clear) AUTOMATIC retention: every later
+    * versioned commit self-expires the log down to the newest `keep`
+    * manifests after its seal — the maintenance-free bounded log for
+    * DML-heavy batch tables (the streaming sink's `graft.versions.keep`
+    * already does this per epoch; this is the table-level declaration).
+    * Tagged versions still survive, exactly like a manual
+    * `expire_versions`. The keep value is name-encoded in an empty marker
+    * file inside `_graft_versions`, so the commit path learns it from the
+    * listing it already performs — zero extra round trips per commit. */
+  def setRetention(fs: FileSystem, root: Path, keep: Int): Unit = {
+    val dir = new Path(root, VersionsDir)
+    fs.mkdirs(dir)
+    fs.listStatus(dir).filter(_.getPath.getName.startsWith(RetentionPrefix))
+      .foreach(s => fs.delete(s.getPath, false))
+    if (keep >= 1) fs.create(new Path(dir, s"$RetentionPrefix$keep"), true).close()
   }
 
   /** Versions with a committed manifest, ascending. */
@@ -215,7 +241,11 @@ private[graft] object GraftVersions {
     * or no predecessor). Carrying the predecessor here deletes the second
     * `_graft_versions` listing and re-read the old begin/finish pair paid
     * on every statement and streaming epoch. */
-  final case class PendingCommit(v: Long, prev: Option[Seq[ManifestEntry]])
+  final case class PendingCommit(v: Long, prev: Option[Seq[ManifestEntry]],
+      // declared auto-retention captured at begin (name-encoded in the
+      // versions listing) plus the pre-commit version count: the seal
+      // triggers an expire only when the log has actually outgrown keep
+      retention: Option[Int] = None, versionsSeen: Int = 0)
 
   /** Start a versioned commit. A world with data but no manifests first
     * gets a BASELINE v0 manifest of its pre-commit state, so the state a
@@ -233,14 +263,15 @@ private[graft] object GraftVersions {
     st.latest match {
       case Some(n) =>
         PendingCommit(n + 1,
-          if (st.barrier) None else Some(readEntries(fs, root, n)))
+          if (st.barrier) None else Some(readEntries(fs, root, n)),
+          st.retentionKeep, st.versions.size)
       case None =>
         if (baseline) {
           val base = liveFileEntries(fs, root)
             .filterNot(e => excludeFromBaseline.contains(e.rel))
           writeManifest(fs, root, 0L, base)
-          PendingCommit(1L, Some(base))
-        } else PendingCommit(1L, None)
+          PendingCommit(1L, Some(base), st.retentionKeep, 1)
+        } else PendingCommit(1L, None, st.retentionKeep, 0)
     }
   }
 
@@ -263,6 +294,12 @@ private[graft] object GraftVersions {
     }).groupBy(_.rel).map { case (_, dup) => dup.maxBy(_.size) }.toSeq
     if (writeManifestCas(fs, root, c.v, entries)) {
       fs.delete(barrierPath(root), false)
+      // declared auto-retention: self-expire once the log outgrows keep
+      // (versionsSeen + this seal; expire re-lists, so a stale count only
+      // costs a no-op call, never over-expires)
+      c.retention.foreach { k =>
+        if (c.versionsSeen + 1 > k) expire(fs, root, k)
+      }
       c.v
     } else if (removed.isEmpty) {
       // lost the CAS but we only add files: re-begin on the winner's state

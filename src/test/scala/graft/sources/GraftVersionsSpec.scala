@@ -127,6 +127,32 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expire vacuums retired bytes: one live file expected, got $parquets")
   }
 
+  test("declared retention: commits self-expire the log; tags survive; clearing stops it") {
+    spark.sql("CREATE TABLE vcat.ar (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.ar VALUES (1, 10, 0)")                    // v0+v1
+    spark.sql("CALL vcat.system.set_retention(table => 'ar', keep => 2)")
+    spark.sql("UPDATE vcat.ar SET v = 20 WHERE id = 1")                   // v2
+    spark.sql("UPDATE vcat.ar SET v = 30 WHERE id = 1")                   // v3
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(warehouse), new org.apache.hadoop.conf.Configuration())
+    val root = new org.apache.hadoop.fs.Path(s"$warehouse/ar")
+    assert(GraftVersions.listVersions(fs, root) == Seq(2L, 3L),
+      "each seal expired the log down to keep=2, no maintenance call")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM vcat.ar VERSION AS OF 1").collect())
+    assert(e.getMessage.contains("no committed version 1"))
+    assert(rows("SELECT id, v FROM vcat.ar") == Set((1L, 30L)))
+    // a tagged version rides out the per-commit expiry
+    spark.sql("CALL vcat.system.tag(table => 'ar', name => 'pin2', version => 2)")
+    spark.sql("UPDATE vcat.ar SET v = 40 WHERE id = 1")                   // v4
+    assert(GraftVersions.listVersions(fs, root) == Seq(2L, 3L, 4L))
+    assert(rows("SELECT id, v FROM vcat.ar VERSION AS OF 'pin2'") == Set((1L, 20L)))
+    // keep <= 0 clears the declaration: the log grows again
+    spark.sql("CALL vcat.system.set_retention(table => 'ar', keep => 0)")
+    spark.sql("UPDATE vcat.ar SET v = 50 WHERE id = 1")                   // v5
+    assert(GraftVersions.listVersions(fs, root) == Seq(2L, 3L, 4L, 5L))
+  }
+
   test("first versioned commit writes a v0 baseline of the pre-existing world") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-vbase").toString + "/world"
