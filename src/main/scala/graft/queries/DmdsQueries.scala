@@ -1272,6 +1272,34 @@ object DmdsQueries {
                 AS t(kind, k, n) ORDER BY kind, k""")
       ),
 
+      "w_auto_compact" -> QueryDef(
+        // DECLARED AUTO-COMPACTION under the oracle gate: set_compaction(2)
+        // makes each later append self-compact the cells it touched once
+        // their live file count exceeds 2. Four single-cell appends
+        // deterministically land on 2 live files (1, 2, 3→compact→1, 2 —
+        // the clustered write's one-file-per-cell contract), proven
+        // through the cells metadata table; the live rows prove the
+        // rewrite lost nothing. A compaction that dropped rows, rewrote
+        // untouched cells, or never triggered all break the hash.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wac", "ac")
+          s2.sql("DROP TABLE IF EXISTS wac.ac_t")
+          s2.sql("CREATE TABLE wac.ac_t (id BIGINT, v BIGINT, c0 BIGINT)")
+          s2.sql("CALL wac.system.set_compaction(table => 'ac_t', max_files => 2)")
+          for (i <- 1 to 4)
+            s2.sql(s"INSERT INTO wac.ac_t VALUES ($i, ${i * 10}, 0)")
+          s2.sql("""SELECT 'c' AS kind, cell AS k, files AS n
+                    FROM wac.ac_t.cells""")
+            .unionByName(s2.sql(
+              "SELECT 'r' AS kind, CAST(id AS STRING) AS k, v AS n FROM wac.ac_t"))
+            .orderBy("kind", "k")
+        },
+        Some("""SELECT * FROM (VALUES
+                  ('c', 'c0=0', CAST(2 AS BIGINT)),
+                  ('r', '1', 10), ('r', '2', 20), ('r', '3', 30), ('r', '4', 40))
+                AS t(kind, k, n) ORDER BY kind, k""")
+      ),
+
       "w_snapshot_drift" -> QueryDef(
         // THREE features composed under one oracle (the w_snapshot_agg
         // pattern): time travel × row-level DML × the KL drift monitor —

@@ -294,13 +294,15 @@ class GraftCatalog extends TableCatalog
         new GraftRemoveOrphansProcedure(this)
       case (Seq("system"), "set_retention") =>
         new GraftSetRetentionProcedure(this)
+      case (Seq("system"), "set_compaction") =>
+        new GraftSetCompactionProcedure(this)
       case _ => throw new UnsupportedOperationException(
         s"graft catalog $catalogName has no procedure $ident (available: " +
           "system.compact, system.stats, system.rollback, " +
           "system.expire_versions, system.versions, system.clean_stages, " +
           "system.tag, system.drop_tag, system.tags, system.clone, " +
           "system.set_bloom, system.zorder, system.remove_orphans, " +
-          "system.set_retention)")
+          "system.set_retention, system.set_compaction)")
     }
 }
 
@@ -707,6 +709,47 @@ class GraftSetRetentionProcedure(cat: GraftCatalog)
       val fs = FileSystem.get(new java.net.URI(path), new Configuration())
       GraftVersions.setRetention(fs, new Path(path), keep)
       GraftProcedures.singleRow("retention_keep", math.max(keep, 0).toLong)
+    }
+  }
+}
+
+/** `CALL <cat>.system.set_compaction(table => 't', max_files => n)` —
+  * declare AUTOMATIC COMPACTION for plain appends: after each later
+  * append's seal, the cells that append touched whose live file count
+  * exceeds `n` rewrite to one file through a versioned dynamic overwrite
+  * (bounded to touched cells, CAS-sealed, never a barrier — downstream
+  * version-cursor streams keep advancing). Appends are the one fragmenting
+  * batch commit; the streaming sink's `graft.compact.maxFiles` is the
+  * per-stream form. `max_files <= 0` clears. Name-encoded beside the
+  * retention marker — zero added round trips per commit. */
+class GraftSetCompactionProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "set_compaction"
+  override def description(): String =
+    "declare automatic append compaction (rewrite touched cells over max_files)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "set_compaction"
+    override def description(): String =
+      GraftSetCompactionProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build(),
+      ProcedureParameter.in("max_files", org.apache.spark.sql.types.IntegerType)
+        .comment("rewrite touched cells above this live file count; <= 0 clears")
+        .build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      val maxFiles = input.getInt(1)
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      GraftVersions.setCompaction(fs, new Path(path), maxFiles)
+      GraftProcedures.singleRow("compaction_max_files",
+        math.max(maxFiles, 0).toLong)
     }
   }
 }

@@ -97,7 +97,8 @@ private[graft] object GraftVersions {
     * of three. Retention is NAME-ENCODED (`retention-<k>`, empty file) so
     * this same listing carries the value with no content read. */
   final case class LogState(versions: Seq[Long], barrier: Boolean,
-      tagNames: Seq[String], retentionKeep: Option[Int] = None) {
+      tagNames: Seq[String], retentionKeep: Option[Int] = None,
+      compactionMaxFiles: Option[Int] = None) {
     def latest: Option[Long] = versions.lastOption
   }
 
@@ -121,6 +122,10 @@ private[graft] object GraftVersions {
       entries.flatMap(s => scala.util.Try(
         s.getPath.getName.stripPrefix(RetentionPrefix).toInt).toOption
         .filter(_ => s.getPath.getName.startsWith(RetentionPrefix)))
+        .sorted.lastOption,
+      entries.flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix(CompactionPrefix).toInt).toOption
+        .filter(_ => s.getPath.getName.startsWith(CompactionPrefix)))
         .sorted.lastOption)
   }
 
@@ -141,6 +146,26 @@ private[graft] object GraftVersions {
     fs.listStatus(dir).filter(_.getPath.getName.startsWith(RetentionPrefix))
       .foreach(s => fs.delete(s.getPath, false))
     if (keep >= 1) fs.create(new Path(dir, s"$RetentionPrefix$keep"), true).close()
+  }
+
+  private val CompactionPrefix = "compaction-"
+
+  /** Declare (or with maxFiles <= 0, clear) AUTOMATIC COMPACTION for plain
+    * APPENDS: after a batch append's seal, cells the append touched whose
+    * live file count exceeds `maxFiles` rewrite to one file through a
+    * versioned dynamic overwrite — bounded to touched cells, CAS-sealed,
+    * never a barrier. Appends are the only fragmenting batch commit (COW
+    * rewrites already replace whole cells); the streaming sink's
+    * `graft.compact.maxFiles` option is the per-stream form of the same
+    * policy. Name-encoded beside the retention marker — same zero-added-
+    * round-trips listing. */
+  def setCompaction(fs: FileSystem, root: Path, maxFiles: Int): Unit = {
+    val dir = new Path(root, VersionsDir)
+    fs.mkdirs(dir)
+    fs.listStatus(dir).filter(_.getPath.getName.startsWith(CompactionPrefix))
+      .foreach(s => fs.delete(s.getPath, false))
+    if (maxFiles >= 1)
+      fs.create(new Path(dir, s"$CompactionPrefix$maxFiles"), true).close()
   }
 
   /** Versions with a committed manifest, ascending. */
@@ -242,10 +267,12 @@ private[graft] object GraftVersions {
     * `_graft_versions` listing and re-read the old begin/finish pair paid
     * on every statement and streaming epoch. */
   final case class PendingCommit(v: Long, prev: Option[Seq[ManifestEntry]],
-      // declared auto-retention captured at begin (name-encoded in the
-      // versions listing) plus the pre-commit version count: the seal
-      // triggers an expire only when the log has actually outgrown keep
-      retention: Option[Int] = None, versionsSeen: Int = 0)
+      // declared auto-retention/-compaction captured at begin (name-encoded
+      // in the versions listing) plus the pre-commit version count: the
+      // seal triggers an expire only when the log has actually outgrown
+      // keep; the append commit triggers compaction only on its own cells
+      retention: Option[Int] = None, versionsSeen: Int = 0,
+      compactMaxFiles: Option[Int] = None)
 
   /** Start a versioned commit. A world with data but no manifests first
     * gets a BASELINE v0 manifest of its pre-commit state, so the state a
@@ -264,14 +291,16 @@ private[graft] object GraftVersions {
       case Some(n) =>
         PendingCommit(n + 1,
           if (st.barrier) None else Some(readEntries(fs, root, n)),
-          st.retentionKeep, st.versions.size)
+          st.retentionKeep, st.versions.size, st.compactionMaxFiles)
       case None =>
         if (baseline) {
           val base = liveFileEntries(fs, root)
             .filterNot(e => excludeFromBaseline.contains(e.rel))
           writeManifest(fs, root, 0L, base)
-          PendingCommit(1L, Some(base), st.retentionKeep, 1)
-        } else PendingCommit(1L, None, st.retentionKeep, 0)
+          PendingCommit(1L, Some(base), st.retentionKeep, 1,
+            st.compactionMaxFiles)
+        } else PendingCommit(1L, None, st.retentionKeep, 0,
+          st.compactionMaxFiles)
     }
   }
 

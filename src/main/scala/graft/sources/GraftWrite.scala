@@ -700,6 +700,12 @@ class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {
     val c = GraftVersions.beginCommit(fs, root,
       excludeFromBaseline = added.map(_.rel).toSet)
     GraftVersions.sealCommit(fs, root, c, Set.empty, added)
+    // declared auto-compaction (system.set_compaction): appends are the
+    // one fragmenting batch commit — bound the cells this append touched
+    c.compactMaxFiles.foreach { bound =>
+      GraftStreamingWrite.compactTouchedCells(path, schema,
+        added.map(e => GraftVersions.bucketsOf(e.rel)).toSet, bound)
+    }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())

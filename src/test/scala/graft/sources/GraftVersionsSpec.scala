@@ -153,6 +153,31 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftVersions.listVersions(fs, root) == Seq(2L, 3L, 4L, 5L))
   }
 
+  test("declared compaction: appends self-compact touched cells over the bound") {
+    spark.sql("CREATE TABLE vcat.ac (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("CALL vcat.system.set_compaction(table => 'ac', max_files => 2)")
+    for (i <- 1 to 4)
+      spark.sql(s"INSERT INTO vcat.ac VALUES ($i, ${i * 10}, 0)")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(warehouse), new org.apache.hadoop.conf.Configuration())
+    val root = new org.apache.hadoop.fs.Path(s"$warehouse/ac")
+    val live = GraftVersions.liveRels(fs, root).get
+    assert(live.count(_.startsWith("c0=0/")) <= 2,
+      s"the appended cell self-compacted at the bound: $live")
+    assert(rows("SELECT id, v FROM vcat.ac") ==
+      (1 to 4).map(i => (i.toLong, i * 10L)).toSet, "content intact")
+    assert(!GraftVersions.hasBarrier(fs, root),
+      "auto-compaction is a versioned overwrite, never a barrier")
+    // cells the append did NOT touch are never rewritten: fragment another
+    // cell, clear the policy, and append elsewhere
+    spark.sql("CALL vcat.system.set_compaction(table => 'ac', max_files => 0)")
+    for (i <- 5 to 7)
+      spark.sql(s"INSERT INTO vcat.ac VALUES ($i, ${i * 10}, 1)")
+    val after = GraftVersions.liveRels(fs, root).get
+    assert(after.count(_.startsWith("c0=1/")) == 3,
+      "cleared policy: appends fragment again (no silent rewrites)")
+  }
+
   test("first versioned commit writes a v0 baseline of the pre-existing world") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-vbase").toString + "/world"
