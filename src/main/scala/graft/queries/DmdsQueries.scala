@@ -1300,6 +1300,105 @@ object DmdsQueries {
                 AS t(kind, k, n) ORDER BY kind, k""")
       ),
 
+      "w_sql_index" -> QueryDef(
+        // the FULL index lifecycle WITHOUT LEAVING SQL: build, row-level
+        // UPDATE, refresh, and BM25 serve all through `CALL system.*`
+        // procedures — the descriptor persisted at build time is the only
+        // thing connecting the calls (no programmatic handle ever
+        // constructed here). Same corpus + oracle as w_index_bm25's
+        // direct-API cycle, so a descriptor round-trip bug, a procedure
+        // re-binding the wrong columns, or a refresh dispatch to the wrong
+        // index kind all break the hash exactly where the API face stays
+        // green.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wsi", "si")
+          t(s2, dir, "documents").createOrReplaceTempView("doc_src_si")
+          s2.sql("DROP TABLE IF EXISTS wsi.docs_si")
+          s2.sql("CREATE TABLE wsi.docs_si (doc_id BIGINT, text STRING, c0 BIGINT)")
+          s2.sql("""INSERT INTO wsi.docs_si
+                    SELECT doc_id, text, doc_id DIV 1024 FROM doc_src_si
+                    WHERE doc_id % 10 = 0""")
+          s2.sql("""CALL wsi.system.index_text(table => 'docs_si',
+                    name => 'ti', pid_chunks => 2, fp_chunks => 4)""")
+          s2.sql("""UPDATE wsi.docs_si SET text = 'spark spark spark'
+                    WHERE c0 = 0 AND doc_id = 10""")
+          s2.sql("CALL wsi.system.index_refresh(table => 'docs_si', name => 'ti')")
+          s2.sql("""CALL wsi.system.search_text(table => 'docs_si',
+                    name => 'ti', query => 'spark join fast', k => 10)""")
+        },
+        Some("""WITH base AS (
+                  SELECT doc_id,
+                    CASE WHEN doc_id = 10 THEN 'spark spark spark'
+                         ELSE text END AS text
+                  FROM documents WHERE doc_id % 10 = 0),
+                w AS (
+                  SELECT doc_id, unnest(list_filter(
+                    string_split_regex(trim(lower(text)), '\s+'),
+                    x -> x <> '')) AS w
+                  FROM base),
+                dl AS (
+                  SELECT doc_id, CAST(len(list_filter(
+                    string_split_regex(trim(lower(text)), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS dl
+                  FROM base),
+                st AS (SELECT COUNT(*) AS n_docs,
+                         CAST(SUM(dl) AS DOUBLE) AS tot_dl FROM dl),
+                tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w
+                       WHERE w IN ('spark','join','fast') GROUP BY doc_id, w),
+                dfc AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+                sc AS (
+                  SELECT tf.doc_id,
+                    CAST(ROUND((ln(1.0 + ((st.n_docs - dfc.df) + 0.5) / (dfc.df + 0.5))
+                      * ((tf.tf * 2.2) / (tf.tf + (0.3 + 0.9 *
+                          (CAST(dl.dl AS DOUBLE) / (st.tot_dl / st.n_docs))))))
+                      * 1e6, 0) AS BIGINT) AS s_u
+                  FROM tf JOIN dfc USING (w) JOIN dl USING (doc_id)
+                  CROSS JOIN st)
+                SELECT doc_id, CAST(SUM(s_u) AS BIGINT) AS score_u,
+                  COUNT(*) AS n_terms
+                FROM sc GROUP BY doc_id
+                ORDER BY score_u DESC, doc_id LIMIT 10""")
+      ),
+
+      "w_sql_vec" -> QueryDef(
+        // ANN serving through `CALL system.search_vector` under the
+        // planted-copy cannot-miss gate: the index is built, extended (an
+        // SQL INSERT plants an exact copy of query vector 7), and
+        // refreshed entirely through procedures; the query vector enters
+        // as a SQL array literal (floats are exactly representable as
+        // doubles, so the copy still rounds to simu 10000 while max
+        // organic cosine is ~0.5). The one driver-side collect is the
+        // 64-float query literal — the established bounded
+        // serving-lookup class.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wsv", "sv")
+          t(s2, dir, "embeddings").select("vec_id", "embedding")
+            .createOrReplaceTempView("emb_src_sv")
+          s2.sql("DROP TABLE IF EXISTS wsv.v_sv")
+          s2.sql("""CREATE TABLE wsv.v_sv
+                    (vec_id BIGINT, embedding ARRAY<FLOAT>, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wsv.v_sv
+                    SELECT vec_id, embedding, vec_id DIV 256 FROM emb_src_sv""")
+          s2.sql("""CALL wsv.system.index_vector(table => 'v_sv',
+                    name => 'ix', nlist => 8, dim => 64, pid_chunks => 2)""")
+          s2.sql("""INSERT INTO wsv.v_sv
+                    SELECT vec_id + 1000000, embedding, 4000
+                    FROM emb_src_sv WHERE vec_id = 7""")
+          s2.sql("CALL wsv.system.index_refresh(table => 'v_sv', name => 'ix')")
+          val q = t(s2, dir, "embeddings").where(col("vec_id") === 7)
+            .select("embedding").collect()(0).getSeq[Float](0)
+          val qLit = q.map(f => s"CAST($f AS DOUBLE)")
+            .mkString("array(", ",", ")")
+          s2.sql(s"""CALL wsv.system.search_vector(table => 'v_sv',
+                     name => 'ix', q => $qLit, k => 3, nprobe => 2)""")
+            .where(col("simu") === 10000L)
+            .orderBy("vec_id")
+        },
+        Some("""SELECT CAST(v AS BIGINT) AS vec_id,
+                  CAST(10000 AS BIGINT) AS simu
+                FROM (VALUES (7), (1000007)) AS t(v) ORDER BY vec_id""")
+      ),
+
       "w_snapshot_drift" -> QueryDef(
         // THREE features composed under one oracle (the w_snapshot_agg
         // pattern): time travel × row-level DML × the KL drift monitor —

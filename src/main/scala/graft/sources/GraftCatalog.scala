@@ -296,13 +296,20 @@ class GraftCatalog extends TableCatalog
         new GraftSetRetentionProcedure(this)
       case (Seq("system"), "set_compaction") =>
         new GraftSetCompactionProcedure(this)
+      case (Seq("system"), "index_text") => new GraftIndexTextProcedure(this)
+      case (Seq("system"), "index_vector") => new GraftIndexVectorProcedure(this)
+      case (Seq("system"), "index_refresh") => new GraftIndexRefreshProcedure(this)
+      case (Seq("system"), "search_text") => new GraftSearchTextProcedure(this)
+      case (Seq("system"), "search_vector") => new GraftSearchVectorProcedure(this)
       case _ => throw new UnsupportedOperationException(
         s"graft catalog $catalogName has no procedure $ident (available: " +
           "system.compact, system.stats, system.rollback, " +
           "system.expire_versions, system.versions, system.clean_stages, " +
           "system.tag, system.drop_tag, system.tags, system.clone, " +
           "system.set_bloom, system.zorder, system.remove_orphans, " +
-          "system.set_retention, system.set_compaction)")
+          "system.set_retention, system.set_compaction, system.index_text, " +
+          "system.index_vector, system.index_refresh, system.search_text, " +
+          "system.search_vector)")
     }
 }
 
