@@ -1300,6 +1300,46 @@ object DmdsQueries {
                 AS t(kind, k, n) ORDER BY kind, k""")
       ),
 
+      "w_check_gate" -> QueryDef(
+        // DECLARED CHECK CONSTRAINTS under the oracle gate: two checks
+        // declared via CALL, then a violating INSERT (spanning two cells)
+        // and a violating COW UPDATE are both attempted and MUST fail
+        // atomically — the final state carries only the passing rows (a
+        // NULL condition passes, ANSI). The try/catch is the gate's teeth:
+        // if either statement wrongly succeeds, its rows surface in the
+        // result and break the hash; if enforcement were non-atomic, the
+        // passing half of the two-cell insert would surface and break it
+        // too. The checks metadata table rides the same hash.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wck", "ck")
+          s2.sql("DROP TABLE IF EXISTS wck.t_ck")
+          s2.sql("CREATE TABLE wck.t_ck (id BIGINT, v BIGINT, s STRING, c0 BIGINT)")
+          s2.sql("INSERT INTO wck.t_ck VALUES (1, 10, 'alpha', 0)")
+          s2.sql("""CALL wck.system.set_check(table => 't_ck',
+                    name => 'v_pos', expr => 'v > 0')""")
+          s2.sql("""CALL wck.system.set_check(table => 't_ck',
+                    name => 's_len', expr => 'length(s) >= 2')""")
+          try s2.sql("INSERT INTO wck.t_ck VALUES (2, 20, 'ok', 0), (3, -5, 'xy', 1)")
+          catch { case _: Exception => () }
+          try s2.sql("UPDATE wck.t_ck SET v = -1 WHERE id = 1")
+          catch { case _: Exception => () }
+          s2.sql("INSERT INTO wck.t_ck VALUES (4, NULL, 'beta', 0), (5, 50, 'gamma', 1)")
+          s2.sql("SELECT 'c' AS kind, name AS k, expr AS x FROM wck.t_ck.checks")
+            .unionByName(s2.sql(
+              """SELECT 'r' AS kind, CAST(id AS STRING) AS k,
+                   concat(coalesce(CAST(v AS STRING), 'null'), ':', s) AS x
+                 FROM wck.t_ck"""))
+            .orderBy("kind", "k")
+        },
+        Some("""SELECT * FROM (VALUES
+                  ('c', 's_len', 'length(s) >= 2'),
+                  ('c', 'v_pos', 'v > 0'),
+                  ('r', '1', '10:alpha'),
+                  ('r', '4', 'null:beta'),
+                  ('r', '5', '50:gamma'))
+                AS t(kind, k, x) ORDER BY kind, k""")
+      ),
+
       "w_sql_index" -> QueryDef(
         // the FULL index lifecycle WITHOUT LEAVING SQL: build, row-level
         // UPDATE, refresh, and BM25 serve all through `CALL system.*`

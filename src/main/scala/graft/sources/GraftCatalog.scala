@@ -296,6 +296,8 @@ class GraftCatalog extends TableCatalog
         new GraftSetRetentionProcedure(this)
       case (Seq("system"), "set_compaction") =>
         new GraftSetCompactionProcedure(this)
+      case (Seq("system"), "set_check") => new GraftSetCheckProcedure(this)
+      case (Seq("system"), "drop_check") => new GraftDropCheckProcedure(this)
       case (Seq("system"), "index_text") => new GraftIndexTextProcedure(this)
       case (Seq("system"), "index_vector") => new GraftIndexVectorProcedure(this)
       case (Seq("system"), "index_refresh") => new GraftIndexRefreshProcedure(this)
@@ -309,7 +311,7 @@ class GraftCatalog extends TableCatalog
           "system.set_bloom, system.zorder, system.remove_orphans, " +
           "system.set_retention, system.set_compaction, system.index_text, " +
           "system.index_vector, system.index_refresh, system.search_text, " +
-          "system.search_vector)")
+          "system.search_vector, system.set_check, system.drop_check)")
     }
 }
 
@@ -761,6 +763,66 @@ class GraftSetCompactionProcedure(cat: GraftCatalog)
   }
 }
 
+/** `CALL <cat>.system.set_check(table => 't', name => 'c', expr => 'v > 0')`
+  * — declare (or replace) a CHECK constraint: validated against ALL
+  * existing rows first (refuses if any violate), then enforced on every
+  * later write through the connector ([[GraftChecks]]). Returns the
+  * number of existing violations (always 0 on success). */
+class GraftSetCheckProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "set_check"
+  override def description(): String =
+    "declare a CHECK constraint (validates existing data, enforced on every write)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "set_check"
+    override def description(): String = GraftSetCheckProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType).build(),
+      ProcedureParameter.in("name", org.apache.spark.sql.types.StringType).build(),
+      ProcedureParameter.in("expr", org.apache.spark.sql.types.StringType)
+        .comment("boolean SQL over the table's columns; NULL passes (ANSI)")
+        .build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      GraftChecks.set(org.apache.spark.sql.SparkSession.active, path,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      GraftProcedures.singleRow("violations", 0L)
+    }
+  }
+}
+
+/** `CALL <cat>.system.drop_check(table => 't', name => 'c')`. */
+class GraftDropCheckProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "drop_check"
+  override def description(): String = "drop a declared CHECK constraint"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "drop_check"
+    override def description(): String = GraftDropCheckProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType).build(),
+      ProcedureParameter.in("name", org.apache.spark.sql.types.StringType).build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val dropped = GraftChecks.drop(
+        cat.tablePath(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString)
+      GraftProcedures.singleRow("dropped", if (dropped) 1L else 0L)
+    }
+  }
+}
+
 /** `CALL <cat>.system.compact(table => 't', max_files => 1)` — rewrite every
   * chunk directory holding more than `max_files` data files down to one file
   * per chunk. Fragment discovery is the connector's parallel subtree-pruned
@@ -1016,7 +1078,7 @@ private[sources] object GraftMetaTable {
   import org.apache.spark.sql.types._
   import org.apache.spark.unsafe.types.UTF8String
 
-  val Kinds: Set[String] = Set("history", "files", "cells", "tags")
+  val Kinds: Set[String] = Set("history", "files", "cells", "tags", "checks")
 
   def schemaOf(meta: String): StructType = meta match {
     case "history" => StructType(Seq(
@@ -1035,6 +1097,9 @@ private[sources] object GraftMetaTable {
     case "tags" => StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
+    case "checks" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("expr", StringType, nullable = false)))
     case other => throw new IllegalArgumentException(s"unknown meta table $other")
   }
 
@@ -1072,6 +1137,10 @@ private[sources] object GraftMetaTable {
       case "tags" =>
         GraftVersions.listTags(fs, root).map { case (n, v) =>
           InternalRow(UTF8String.fromString(n), v)
+        }.toArray
+      case "checks" =>
+        GraftChecks.list(path).map { case (n, e) =>
+          InternalRow(UTF8String.fromString(n), UTF8String.fromString(e))
         }.toArray
       case other => throw new IllegalArgumentException(s"unknown meta table $other")
     }

@@ -145,7 +145,8 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
   private[graft] val stagePath = GraftStage.uniqueStage(path, "upsert")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(stagePath, schema, GraftBloom.columnsOf(path))
+    new GraftWriterFactory(stagePath, schema, GraftBloom.columnsOf(path),
+      GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
@@ -232,7 +233,8 @@ class GraftOverwriteWrite(path: String, schema: StructType,
   private[graft] val stagePath = GraftStage.uniqueStage(path, "overwrite")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(stagePath, schema, GraftBloom.columnsOf(path))
+    new GraftWriterFactory(stagePath, schema, GraftBloom.columnsOf(path),
+      GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
@@ -296,7 +298,8 @@ class GraftReplaceGroupsWrite(path: String, schema: StructType,
   private[graft] val stagePath = GraftStage.uniqueStage(path, "rowlevel")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(stagePath, schema, GraftBloom.columnsOf(path))
+    new GraftWriterFactory(stagePath, schema, GraftBloom.columnsOf(path),
+      GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
@@ -668,15 +671,20 @@ class GraftStreamingWriterFactory(path: String, schema: StructType)
   // to tasks — createWriter runs executor-side, where a sidecar read per
   // task would be a namenode round-trip per epoch partition
   private val bloomCols: Seq[String] = GraftBloom.columnsOf(path)
+  // declared CHECKs resolved once per stream start (same driver-side
+  // rationale as the blooms; the epoch stage inherits the TABLE's checks)
+  private val checks: Seq[GraftChecks.Check] =
+    GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(s"${path}__graft_epoch_$epochId", schema, partitionId,
-      taskId, bloomCols)
+      taskId, bloomCols, checks)
 }
 
 class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(path, schema, GraftBloom.columnsOf(path))
+    new GraftWriterFactory(path, schema, GraftBloom.columnsOf(path),
+      GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema))
   // a virgin-path write must leave the world readable through the connector:
   // the sidecar records the written schema (incl. bucket columns) exactly as
   // World.create would
@@ -729,9 +737,10 @@ final case class GraftCommitMessage(files: Seq[String], rows: Long,
   extends WriterCommitMessage
 
 class GraftWriterFactory(path: String, schema: StructType,
-    bloomCols: Seq[String] = Nil) extends DataWriterFactory {
+    bloomCols: Seq[String] = Nil,
+    checks: Seq[GraftChecks.Check] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(path, schema, partitionId, taskId, bloomCols)
+    new GraftDataWriter(path, schema, partitionId, taskId, bloomCols, checks)
 }
 
 /** Per-file EXACT integral-column sums, carried into the parquet footer as
@@ -790,7 +799,17 @@ private[sources] final class GraftParquetWriterBuilder(file: Path,
 /** Routes rows to per-chunk parquet writers, opened lazily per bucket tuple
   * encountered in this task's partition. */
 class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
-    taskId: Long, bloomCols: Seq[String] = Nil) extends DataWriter[InternalRow] {
+    taskId: Long, bloomCols: Seq[String] = Nil,
+    checks: Seq[GraftChecks.Check] = Nil) extends DataWriter[InternalRow] {
+
+  // declared CHECK constraints, compiled once per task (codegen'd predicate
+  // with interpreted fallback); a violation throws -> Spark aborts the task
+  // writer (partial files deleted) and fails the statement
+  private val checkPreds = checks.toArray.map { c =>
+    val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(c.bound)
+    p.initialize(partitionId)
+    (c, p)
+  }
 
   private val conf = new Configuration()
   private val bucketIdx: Array[Int] = schema.fields.zipWithIndex
@@ -905,6 +924,13 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
     }
 
   override def write(row: InternalRow): Unit = {
+    var ci = 0
+    while (ci < checkPreds.length) {
+      val (c, p) = checkPreds(ci)
+      if (!p.eval(row)) throw new IllegalStateException(
+        s"graft check '${c.name}' violated on write: (${c.sql})")
+      ci += 1
+    }
     val bucket: Seq[Long] = bucketIdx.toSeq.map { i =>
       schema.fields(i).dataType match {
         case IntegerType => row.getInt(i).toLong
