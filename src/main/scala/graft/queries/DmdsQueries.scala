@@ -1300,6 +1300,52 @@ object DmdsQueries {
                 AS t(kind, k, n) ORDER BY kind, k""")
       ),
 
+      "w_sql_mv" -> QueryDef(
+        // the MATERIALIZED-VIEW lifecycle without leaving SQL: built and
+        // delta-refreshed through `CALL system.mv_create/mv_refresh`, and
+        // CONSUMED through plain catalog SQL — the MV world lives inside
+        // the warehouse, so it IS a table (`ev_sm__mv_byg`), read here
+        // through the connector with the cursor sentinel filtered
+        // (`gid <> 0`). The refresh consumes a DELETE-side and an
+        // INSERT-side commit in one hop; DuckDB restates the final
+        // grouped count + micro-unit sum over the surviving corpus.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wsm", "sm")
+          t(s2, dir, "events").createOrReplaceTempView("ev_src_sm")
+          s2.sql("DROP TABLE IF EXISTS wsm.ev_sm")
+          s2.sql("""CREATE TABLE wsm.ev_sm (event_id BIGINT, user_id BIGINT,
+                    value DOUBLE, grp BIGINT, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wsm.ev_sm
+                    SELECT event_id, user_id, value, user_id % 10,
+                           user_id DIV 128
+                    FROM ev_src_sm WHERE event_id % 5 = 0""")
+          s2.sql("""CALL wsm.system.mv_create(table => 'ev_sm', name => 'byg',
+                    group_cols => 'grp', sum_cols => 'value')""")
+          s2.sql("""DELETE FROM wsm.ev_sm
+                    WHERE c0 BETWEEN 0 AND 3 AND user_id % 7 = 2""")
+          s2.sql("""INSERT INTO wsm.ev_sm
+                    SELECT event_id + 10000000, user_id, value + 0.5,
+                           user_id % 10, user_id DIV 128
+                    FROM ev_src_sm WHERE event_id % 11 = 3""")
+          s2.sql("CALL wsm.system.mv_refresh(table => 'ev_sm', name => 'byg')")
+          s2.sql("""SELECT grp, n, s_value_micro
+                    FROM wsm.ev_sm__mv_byg WHERE gid <> 0 ORDER BY grp""")
+        },
+        Some("""WITH base AS (
+                  SELECT user_id, value FROM events
+                  WHERE event_id % 5 = 0
+                    AND NOT ((user_id // 128) BETWEEN 0 AND 3
+                             AND user_id % 7 = 2)),
+                extra AS (
+                  SELECT user_id, value + 0.5 AS value FROM events
+                  WHERE event_id % 11 = 3),
+                final AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+                SELECT user_id % 10 AS grp, COUNT(*) AS n,
+                  CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                    AS s_value_micro
+                FROM final GROUP BY 1 ORDER BY grp""")
+      ),
+
       "w_check_gate" -> QueryDef(
         // DECLARED CHECK CONSTRAINTS under the oracle gate: two checks
         // declared via CALL, then a violating INSERT (spanning two cells)

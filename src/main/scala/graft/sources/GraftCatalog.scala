@@ -303,6 +303,8 @@ class GraftCatalog extends TableCatalog
       case (Seq("system"), "index_refresh") => new GraftIndexRefreshProcedure(this)
       case (Seq("system"), "search_text") => new GraftSearchTextProcedure(this)
       case (Seq("system"), "search_vector") => new GraftSearchVectorProcedure(this)
+      case (Seq("system"), "mv_create") => new GraftMvCreateProcedure(this)
+      case (Seq("system"), "mv_refresh") => new GraftMvRefreshProcedure(this)
       case _ => throw new UnsupportedOperationException(
         s"graft catalog $catalogName has no procedure $ident (available: " +
           "system.compact, system.stats, system.rollback, " +
@@ -311,7 +313,8 @@ class GraftCatalog extends TableCatalog
           "system.set_bloom, system.zorder, system.remove_orphans, " +
           "system.set_retention, system.set_compaction, system.index_text, " +
           "system.index_vector, system.index_refresh, system.search_text, " +
-          "system.search_vector, system.set_check, system.drop_check)")
+          "system.search_vector, system.set_check, system.drop_check, " +
+          "system.mv_create, system.mv_refresh)")
     }
 }
 

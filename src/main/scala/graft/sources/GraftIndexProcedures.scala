@@ -242,6 +242,88 @@ class GraftIndexRefreshProcedure(cat: GraftCatalog) extends UnboundProcedure {
   }
 }
 
+/** `CALL cat.system.mv_create(table, name, group_cols, sum_cols,
+  * minmax_cols)` — build an incrementally-maintained materialized
+  * aggregate (`ops.MaterializedAgg`) at `<tablePath>__mv_<name>`. Because
+  * the MV world lives INSIDE the warehouse, it is automatically a catalog
+  * table: consumption is plain SQL —
+  * `SELECT grp, n, s_v_micro FROM cat.t__mv_<name> WHERE gid <> 0`
+  * (micro-unit sums; `gid <> 0` excludes the cursor sentinel row) — so
+  * with [[GraftMvRefreshProcedure]] the whole MV lifecycle (build,
+  * incremental refresh, read) needs no programmatic handle. */
+class GraftMvCreateProcedure(cat: GraftCatalog) extends UnboundProcedure {
+  override def name(): String = "mv_create"
+  override def description(): String =
+    "build an incrementally-maintained materialized aggregate over a catalog table"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "mv_create"
+    override def description(): String = GraftMvCreateProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("group_cols", StringType)
+        .comment("comma-separated grouping columns").build(),
+      ProcedureParameter.in("sum_cols", StringType).defaultValue("''")
+        .comment("comma-separated columns to SUM (micro-unit exact)").build(),
+      ProcedureParameter.in("minmax_cols", StringType).defaultValue("''")
+        .comment("comma-separated columns to MIN/MAX").build())
+    override def isDeterministic: Boolean = false
+
+    private def cols(s: String): Seq[String] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val base = cat.tablePath(input.getUTF8String(0).toString)
+      val nm = input.getUTF8String(1).toString
+      require(nm.matches("[A-Za-z][A-Za-z0-9_]*"),
+        s"graft mv name '$nm' (want [A-Za-z][A-Za-z0-9_]*)")
+      val mvPath = s"${base}__mv_$nm"
+      val g = cols(input.getUTF8String(2).toString)
+      val su = cols(input.getUTF8String(3).toString)
+      val mm = cols(input.getUTF8String(4).toString)
+      val spark = org.apache.spark.sql.SparkSession.active
+      val cursor = new graft.ops.MaterializedAgg(spark, base, mvPath,
+        g, su, mm).initialize()
+      GraftIndexDescriptor.write(mvPath, Map(
+        "kind" -> "mv", "group_cols" -> g.mkString(","),
+        "sum_cols" -> su.mkString(","), "minmax_cols" -> mm.mkString(",")))
+      GraftProcedures.singleRow("base_version", cursor)
+    }
+  }
+}
+
+/** `CALL cat.system.mv_refresh(table, name)` — advance the named MV to the
+  * base's latest commit (delta-incremental; delete-affected min/max groups
+  * recomputed group-restricted, per the MaterializedAgg contract). */
+class GraftMvRefreshProcedure(cat: GraftCatalog) extends UnboundProcedure {
+  override def name(): String = "mv_refresh"
+  override def description(): String =
+    "advance a named materialized aggregate to the base table's latest commit"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "mv_refresh"
+    override def description(): String = GraftMvRefreshProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val base = cat.tablePath(input.getUTF8String(0).toString)
+      val mvPath = s"${base}__mv_${input.getUTF8String(1).toString}"
+      val d = GraftIndexDescriptor.read(mvPath)
+      require(d("kind") == "mv", s"$mvPath is not a materialized aggregate")
+      def cols(k: String) =
+        d(k).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val spark = org.apache.spark.sql.SparkSession.active
+      val cursor = new graft.ops.MaterializedAgg(spark, base, mvPath,
+        cols("group_cols"), cols("sum_cols"), cols("minmax_cols")).refresh()
+      GraftProcedures.singleRow("base_version", cursor)
+    }
+  }
+}
+
 /** `CALL cat.system.search_text(table, name, query, k)` — BM25 top-k over
   * the named text index; whitespace-split query terms, result rows
   * (id, score_u, n_terms) exactly as `InvertedIndex.searchBm25`. */

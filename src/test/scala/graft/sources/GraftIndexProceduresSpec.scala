@@ -88,6 +88,29 @@ class GraftIndexProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"refresh admits the near-copy: ${k2.mkString(",")}")
   }
 
+  test("mv procedures: create, refresh, consume as a plain catalog table") {
+    spark.sql("CREATE TABLE icat.ev (id BIGINT, g BIGINT, v DOUBLE, c0 BIGINT)")
+    spark.sql("""INSERT INTO icat.ev VALUES
+      (1, 0, 1.5, 0), (2, 0, 2.0, 0), (3, 1, 4.0, 1)""")
+    spark.sql("""CALL icat.system.mv_create(table => 'ev', name => 'byg',
+      group_cols => 'g', sum_cols => 'v')""")
+    spark.sql("INSERT INTO icat.ev VALUES (4, 1, 1.0, 0)")
+    spark.sql("DELETE FROM icat.ev WHERE id = 1")
+    spark.sql("CALL icat.system.mv_refresh(table => 'ev', name => 'byg')")
+    val got = spark.sql(
+      """SELECT g, n, s_v_micro FROM icat.ev__mv_byg
+         WHERE gid <> 0 ORDER BY g""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 1L, 2000000L), (1L, 2L, 5000000L)),
+      s"delta refresh through CALL, read through plain SQL: $got")
+    // an index-face refresh on an MV name refuses (kind dispatch)
+    val e = intercept[Exception] {
+      spark.sql("CALL icat.system.index_refresh(table => 'ev', name => 'byg')")
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("unbuilt index refuses with a descriptor hint") {
     val e = intercept[Exception] {
       spark.sql("CALL icat.system.index_refresh(table => 'docs', name => 'nope')")
