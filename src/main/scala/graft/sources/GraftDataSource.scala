@@ -1127,15 +1127,36 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
   // bucket predicate. Bucket-only shapes are accepted; anything else is
   // ignored (runtime filters are an optimization, never a correctness gate).
   private var runtime: Array[Filter] = Array.empty
+  // join-delivered atoms on BLOOM-REGISTERED data columns: the build side's
+  // materialized keys feed the same file-level bloom/dictionary/min-max
+  // skip as a static point predicate — at 100 TB a selective dimension
+  // join over a non-dim key (e.g. doc_id) skips the files that provably
+  // hold none of the keys, without any bucket alignment. Capped per atom:
+  // probing a bloom per (file x key) is only worth it for selective builds.
+  private var runtimeBloom: Seq[GraftBloom.SkipAtom] = Nil
+  private val RuntimeKeyCap = 1024
+
+  @transient private lazy val skipCols: Set[String] = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    GraftBloom.columns(fs, new Path(path)).toSet
+  }
 
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
     if (pin.isDefined) Array.empty // frozen file list: nothing to narrow
-    else required.fields.filter(f => GraftDataSource.isBucket(f.name))
-      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+    else (required.fields.filter(f => GraftDataSource.isBucket(f.name)).map(_.name)
+        ++ required.fields.map(_.name)
+          .filterNot(GraftDataSource.isBucket).filter(skipCols))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = {
     runtime = filters.filter(GraftDataSource.bucketOnly)
+    runtimeBloom = GraftBloom.skipAtoms(
+        filters.filterNot(GraftDataSource.bucketOnly), skipCols)
+      .filter {
+        case GraftBloom.EqAtom(_, vs) => vs.length <= RuntimeKeyCap
+        case _ => true
+      }
     cachedCells = null // pruning changed: re-list on next planning call
   }
 
@@ -1243,6 +1264,8 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       (if (residual.isEmpty) ""
        else s", RowGroupFilters: [${residual.mkString(", ")}]") +
       (if (runtime.isEmpty) "" else s", RuntimeBucketFilters: [${runtime.mkString(", ")}]") +
+      (if (runtimeBloom.isEmpty) ""
+       else s", RuntimeBloomSkipCols: [${runtimeBloom.map(_.col).distinct.mkString(", ")}]") +
       (if (bloomAtoms.isEmpty) ""
        else s", BloomSkipCols: [${bloomAtoms.map(_.col).distinct.mkString(", ")}]")
 
@@ -1261,15 +1284,17 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     * footer reads (same cost class as the pushed-top-N footer walk); a
     * no-atom scan pays nothing. See [[GraftBloom]]. */
   private def bloomSurvivors(files: Seq[(String, Map[String, Long])])
-      : Seq[(String, Map[String, Long])] =
-    if (bloomAtoms.isEmpty) files
+      : Seq[(String, Map[String, Long])] = {
+    val atoms = bloomAtoms ++ runtimeBloom
+    if (atoms.isEmpty) files
     else {
       import scala.collection.parallel.CollectionConverters._
       val conf = new Configuration()
       files.par.filter { case (f, _) =>
-        GraftBloom.fileMightMatch(conf, f, bloomAtoms)
+        GraftBloom.fileMightMatch(conf, f, atoms)
       }.seq
     }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val hasDataCols = required.exists(f => !GraftDataSource.isBucket(f.name))

@@ -222,4 +222,41 @@ class GraftBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftBloom.fileMightMatch(conf, f,
       Seq(GraftBloom.EqAtom("nope", Array[Any](1L)))))
   }
+
+  test("runtime (join-delivered) filters on registered columns skip files") {
+    val w = mkWorld(bloom = true)
+    // unit: a runtime EqualTo on the registered high-cardinality column
+    // drops planning to the one file whose bloom can hold the key
+    val scan = scanOf(w.path, Array.empty)
+    val all = scan.planInputPartitions().length
+    assert(all == 8)
+    assert(scan.filterAttributes().map(_.toString).toSet == Set("doc"),
+      "registered data columns are declared filterable (no bucket col in " +
+        "this projection; WorldSpec pins the bucket-col declaration)")
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("doc", 10500L)))
+    assert(scan.planInputPartitions().length == 1,
+      "runtime key must skip the 7 files whose blooms refute it")
+    // an UNregistered world ignores the same runtime filter (never over-prunes)
+    val w2 = mkWorld(bloom = false)
+    val s2 = scanOf(w2.path, Array.empty)
+    s2.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("doc", 10500L)))
+    assert(s2.planInputPartitions().length == 8)
+    assert(s2.filterAttributes().isEmpty,
+      "unregistered world, bucket-free projection: nothing filterable")
+
+    // end-to-end: a selective broadcast dim joined on `doc` — Spark plants
+    // the dynamic IN-subquery (doc is declared filterable), materialized
+    // keys reach filter(), and the executed scan shows the runtime skip
+    import spark.implicits._
+    val dim = spark.range(0, 1024).select((col("id") + 10000L).as("doc"),
+      (col("id") % 512).as("k"))
+    val q = spark.read.format("graft").load(w.path)
+      .join(broadcast(dim.where(col("k") === 7)), "doc")
+    assert(q.collect().map(_.getAs[Long]("d0")).toSet == Set(7L, 519L))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"planner must insert the dynamic pruning subquery:\n$p")
+    assert(p.contains("RuntimeBloomSkipCols: [doc]"),
+      s"materialized join keys must reach the bloom skip:\n$p")
+  }
 }
