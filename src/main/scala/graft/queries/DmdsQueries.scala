@@ -1300,6 +1300,34 @@ object DmdsQueries {
                 AS t(kind, k, n) ORDER BY kind, k""")
       ),
 
+      "w_runtime_prune" -> QueryDef(
+        // runtime (join-delivered) bloom skipping through the oracle gate:
+        // a bloom-registered world joined against a selective broadcast
+        // dim on the NON-bucket key — Spark's dynamic pruning materializes
+        // the dim's keys into the scan's runtime filter, and the connector
+        // skips files whose blooms refute every key. Correctness teeth:
+        // OVER-pruning (the real hazard of probabilistic file skipping —
+        // a bloom misread, a mis-hashed key type, a dictionary
+        // misinterpretation) silently LOSES join rows, which is exactly
+        // what the DuckDB restatement of the full join catches. The
+        // plan-level skip itself is pinned in GraftBloomSpec.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wrp", "rp")
+          t(s2, dir, "documents").createOrReplaceTempView("doc_src_rp")
+          s2.sql("DROP TABLE IF EXISTS wrp.docs_rp")
+          s2.sql("CREATE TABLE wrp.docs_rp (doc_id BIGINT, text STRING, c0 BIGINT)")
+          s2.sql("CALL wrp.system.set_bloom(table => 'docs_rp', columns => 'doc_id')")
+          s2.sql("""INSERT INTO wrp.docs_rp
+                    SELECT doc_id, text, doc_id DIV 2048 FROM doc_src_rp""")
+          val dim = s2.sql("SELECT doc_id FROM doc_src_rp WHERE doc_id % 61 = 0")
+          s2.table("wrp.docs_rp").join(broadcast(dim), "doc_id")
+            .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+            .orderBy("doc_id")
+        },
+        Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+                FROM documents WHERE doc_id % 61 = 0 ORDER BY doc_id""")
+      ),
+
       "w_sql_mv" -> QueryDef(
         // the MATERIALIZED-VIEW lifecycle without leaving SQL: built and
         // delta-refreshed through `CALL system.mv_create/mv_refresh`, and

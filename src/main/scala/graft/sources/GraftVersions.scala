@@ -73,6 +73,12 @@ private[graft] object GraftVersions {
   private val VersionsDir = "_graft_versions"
   private val ManifestSuffix = ".manifest"
   private val ManifestHeader = "graft-manifest-v1"
+  // v2 header carries the entry count: `graft-manifest-v2 <version> <n>`.
+  // The marker is BUMPED rather than extended because a torn v1-extended
+  // header ("graft-manifest-v1 8" cut out of "graft-manifest-v1 8 13")
+  // would be indistinguishable from a complete legacy header — the exact
+  // masquerade the count exists to prevent.
+  private val ManifestHeaderV2 = "graft-manifest-v2"
 
   def manifestPath(root: Path, v: Long): Path =
     new Path(new Path(root, VersionsDir), s"v$v$ManifestSuffix")
@@ -203,8 +209,12 @@ private[graft] object GraftVersions {
     else st.latest.map(readEntries(fs, root, _))
   }
 
+  // header carries the ENTRY COUNT so a reader can tell a fully-sealed
+  // manifest from one a concurrent writer has CAS-claimed but not yet
+  // finished writing (see the readEntries retry); older count-less headers
+  // stay readable
   private def writeManifestBytes(v: Long, files: Seq[ManifestEntry]): Array[Byte] =
-    (s"$ManifestHeader $v\n" +
+    (s"$ManifestHeaderV2 $v ${files.size}\n" +
       files.sortBy(_.rel).map(e => s"${e.rel}\t${e.size}").mkString("\n") + "\n")
       .getBytes("UTF-8")
 
@@ -248,17 +258,64 @@ private[graft] object GraftVersions {
            else s" (available: ${have.min}..${have.max}; gaps are crashed or " +
              "retention-expired commits)"))
     }
-    val in = fs.open(p)
-    val lines = new String(in.readAllBytes(), "UTF-8").split('\n')
-    in.close()
-    require(lines.nonEmpty && lines.head.startsWith(ManifestHeader),
-      s"graft snapshot: $p is not a graft manifest")
-    lines.drop(1).toSeq.filter(_.nonEmpty).map { l =>
-      l.split('\t') match {
-        case Array(rel, sz) => ManifestEntry(rel, sz.toLong)
-        case _ => ManifestEntry(l, -1L) // pre-size-format line
+    // TORN-SEAL WINDOW: the commit CAS claims `v<N>.manifest` with
+    // create(overwrite=false) and writes the bytes immediately after — a
+    // concurrent reader (another writer's beginCommit re-reading the
+    // winner's state, a streaming latestOffset, a snapshot resolve) can
+    // observe the claimed-but-unfinished file. The header's entry count
+    // makes that state DETECTABLE, and since the sealer finishes in
+    // milliseconds, a short bounded wait converges; only a writer that
+    // CRASHED inside the window leaves the loop to the loud error below
+    // (remediation: delete the torn v<N>.manifest — the claim died with
+    // its writer, so no committed state references it).
+    var attempt = 0
+    while (true) {
+      // a read that races the sealer can also FAIL outright (LocalFileSystem
+      // checksum mismatch against a half-written .crc, EOF mid-header) —
+      // the same torn state as short content, handled by the same retry
+      val content: String =
+        try {
+          val in = fs.open(p)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      val lines: Array[String] = content.split('\n')
+      val raw = content
+      val entries: Option[Seq[ManifestEntry]] =
+        if (lines.isEmpty) None
+        else {
+          def parse = lines.drop(1).toSeq.filter(_.nonEmpty).map { l =>
+            l.split('\t') match {
+              case Array(rel, sz) => ManifestEntry(rel, sz.toLong)
+              case _ => ManifestEntry(l, -1L) // pre-size-format line
+            }
+          }
+          if (lines.head.startsWith(ManifestHeaderV2)) {
+            // complete iff the declared count matches AND the content ends
+            // on a line boundary (a cut mid-line keeps the count but turns
+            // the last rel into a silent prefix — the raw tail check
+            // catches exactly that)
+            val parsed = parse
+            lines.head.split(' ') match {
+              case Array(_, _, n) if scala.util.Try(n.toInt).toOption
+                  .contains(parsed.size) && raw.endsWith("\n") => Some(parsed)
+              case _ => None // torn v2 seal in progress
+            }
+          } else if (lines.head.startsWith(ManifestHeader)) {
+            Some(parse) // legacy count-less manifest: trusted as written
+          } else None
+        }
+      entries match {
+        case Some(es) => return es
+        case None =>
+          attempt += 1
+          if (attempt >= 50) throw new IllegalStateException(
+            s"graft snapshot: $p is torn or not a graft manifest after " +
+              "1s of retries — a concurrent sealer likely crashed mid-write; " +
+              "deleting the torn manifest releases the version number")
+          Thread.sleep(20)
       }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** A commit in progress: the version it will seal and the predecessor
