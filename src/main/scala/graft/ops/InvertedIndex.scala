@@ -217,7 +217,23 @@ final class InvertedIndex(
       sum("dl").cast("double").as("tot_dl"))
     val tf = terms.map(t => docsFor(t).withColumn("term", lit(t)))
       .reduce(_ unionByName _)
-    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // document frequency per query term: |terms| rows, collected once so it
+    // (a) feeds the idf join as a local relation (no second stripe scan)
+    // and (b) gives the EXACT posting volume the broadcast decision needs —
+    // a stop-word query's tf side is posting-list-sized and UNBOUNDED at a
+    // 10^9-doc corpus, so pinning the broadcast unconditionally (the r10
+    // shape) could OOM the driver exactly when the index is at its design
+    // scale. Under the cap the pin stays (the spec's shuffle-free assert);
+    // over it the hint is dropped and AQE degrades to a shuffle join of
+    // posting rows — the correct plan for a hot term.
+    val sess = tf.sparkSession
+    val dfRows = tf.groupBy("term").agg(count(lit(1)).as("df")).collect()
+    val totalPostings = dfRows.map(_.getLong(1)).sum
+    val dfc = sess.createDataFrame(
+      java.util.Arrays.asList(dfRows: _*), // LocalRelation, plan-friendly
+      new org.apache.spark.sql.types.StructType()
+        .add("term", org.apache.spark.sql.types.StringType)
+        .add("df", org.apache.spark.sql.types.LongType))
     val idf = log(lit(1.0) +
       ((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
     val frac = (col("tf") * lit(2.2)) /
@@ -227,9 +243,12 @@ final class InvertedIndex(
     // per document). The EXPLICIT broadcast pins the join direction: at
     // serving time on a 10^9-doc index the planner's estimate for `lens`
     // comes from the connector's post-prune stats (one stripe), so leaving
-    // the choice to AQE risks a full shuffle of the length stripe — free
-    // insurance here, asserted shuffle-free in InvertedIndexSpec
-    lens.join(broadcast(tf.join(broadcast(dfc), "term")), idCol)
+    // the choice to AQE risks a full shuffle of the length stripe.
+    val postings = tf.join(broadcast(dfc), "term")
+    val postingSide =
+      if (totalPostings <= InvertedIndex.BroadcastPostingCap) broadcast(postings)
+      else postings
+    lens.join(postingSide, idCol)
       .crossJoin(broadcast(stats))
       .select(col(idCol),
         round((idf * frac) * lit(1e6), 0).cast("long").as("s_u"))
@@ -242,4 +261,12 @@ final class InvertedIndex(
   /** Live posting rows (sentinel excluded). */
   def df: DataFrame =
     world.df.where(col("pid") =!= SentinelPid).select(stateCols.map(col): _*)
+}
+
+object InvertedIndex {
+  /** Max total posting rows [[InvertedIndex.searchBm25]] will pin as a
+    * broadcast (~100 MB at ~24 B/posting — inside executor broadcast
+    * budgets). Queries over hotter terms degrade to AQE's shuffle join
+    * instead of an OOM. */
+  val BroadcastPostingCap = 4000000L
 }

@@ -518,6 +518,39 @@ object DmdsQueries {
                 FROM events ORDER BY event_id""")
       ),
 
+      "w_schema_rename" -> QueryDef(
+        // schema evolution beyond ADD/DROP: column RENAME and integral
+        // type-WIDENING as pure metadata (zero file rewrites) — the
+        // `_graft_renames` sidecar maps the new name onto each old file's
+        // spelling and readers upcast narrower physical pages, the Spark
+        // restatement of the reference's decode-under-new-shape contract
+        // (/root/reference/src/lib.rs:41). Two file generations: INT 'cnt'
+        // files written BEFORE the rename/widen, BIGINT 'hits' files after;
+        // the readback (projection, filters, and footer-resolved aggregates
+        // alike) unions them under the one current name and width. The
+        // oracle recomputes both generations relationally.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wrn", "rn")
+          events(s2, dir).createOrReplaceTempView("ev_src_rn")
+          s2.sql("DROP TABLE IF EXISTS wrn.ev_rn")
+          s2.sql("""CREATE TABLE wrn.ev_rn
+                    (event_id BIGINT, user_id BIGINT, cnt INT, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wrn.ev_rn
+                    SELECT event_id, user_id, CAST(event_id % 1000 AS INT),
+                           user_id DIV 128
+                    FROM ev_src_rn WHERE event_id % 2 = 0""")
+          s2.sql("ALTER TABLE wrn.ev_rn RENAME COLUMN cnt TO hits")
+          s2.sql("ALTER TABLE wrn.ev_rn ALTER COLUMN hits TYPE BIGINT")
+          s2.sql("""INSERT INTO wrn.ev_rn
+                    SELECT event_id, user_id, event_id % 1000, user_id DIV 128
+                    FROM ev_src_rn WHERE event_id % 2 = 1""")
+          s2.sql("""SELECT event_id, user_id, hits FROM wrn.ev_rn
+                    ORDER BY event_id""")
+        },
+        Some("""SELECT event_id, user_id, event_id % 1000 AS hits
+                FROM events ORDER BY event_id""")
+      ),
+
       "w_catalog_rowlevel" -> QueryDef(
         // row-level SQL over the grid through the oracle gate: UPDATE with a
         // row-level predicate, row-exact DELETE, then MERGE INTO (matched

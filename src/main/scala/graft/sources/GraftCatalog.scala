@@ -191,9 +191,69 @@ class GraftCatalog extends TableCatalog
           "graft: cannot DROP the last data column")
         if (s.fieldNames.contains(n)) noteDropped(p, n)
         StructType(s.fields.filterNot(_.name == n))
+      case (s, rn: TableChange.RenameColumn) =>
+        // RENAME is pure metadata: the `_graft_renames` sidecar maps the new
+        // name onto the old per-file spelling, so existing chunk files serve
+        // the renamed column without a byte rewritten (the reference's
+        // decode-under-new-shape contract, /root/reference/src/lib.rs:41).
+        // The old name joins `_graft_dropped` so a later ADD can never
+        // resurrect pre-rename bytes under a recycled name.
+        require(rn.fieldNames().length == 1,
+          "graft: only top-level RENAME COLUMN is supported")
+        val from = rn.fieldNames()(0); val to = rn.newName()
+        require(s.fieldNames.contains(from), s"column $from does not exist")
+        require(!GraftDataSource.isBucket(from),
+          s"graft: cannot RENAME bucket column $from — changing the grid is regrid()")
+        require(!GraftDataSource.isBucket(to),
+          s"graft: $to is a reserved bucket-column name (c0..cN)")
+        require(!s.fieldNames.contains(to), s"column $to already exists")
+        require(!droppedNames(p).contains(to),
+          s"graft: column $to was previously DROPPED or renamed away — " +
+            "reusing the name would resurrect old files' values " +
+            "(name-addressed projection); pick a new name or rebuild via regrid()")
+        val refCheck = GraftChecks.list(p).find { case (_, expr) =>
+          s"\\b${java.util.regex.Pattern.quote(from)}\\b".r
+            .findFirstIn(expr).isDefined }
+        require(refCheck.isEmpty,
+          s"graft: cannot RENAME $from — CHECK constraint " +
+            s"'${refCheck.get._1}' references it (${refCheck.get._2}); " +
+            "drop_check first, rename, then re-declare under the new name")
+        val renames = GraftDataSource.renamesOf(p)
+        GraftDataSource.writeRenames(p,
+          (renames - from) + (to -> (from +: renames.getOrElse(from, Nil))))
+        noteDropped(p, from)
+        StructType(s.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      case (s, ut: TableChange.UpdateColumnType) =>
+        // integral WIDENING only (BYTE<SHORT<INT<BIGINT): the readers
+        // upcast narrower physical pages per file, so old files need no
+        // rewrite; anything else changes the meaning of bytes — refused.
+        require(ut.fieldNames().length == 1,
+          "graft: only top-level ALTER COLUMN TYPE is supported")
+        val n = ut.fieldNames()(0)
+        require(s.fieldNames.contains(n), s"column $n does not exist")
+        require(!GraftDataSource.isBucket(n),
+          s"graft: cannot retype bucket column $n — changing the grid is regrid()")
+        def rank(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+          case org.apache.spark.sql.types.ByteType => 1
+          case org.apache.spark.sql.types.ShortType => 2
+          case org.apache.spark.sql.types.IntegerType => 3
+          case org.apache.spark.sql.types.LongType => 4
+          case _ => -1
+        }
+        val cur0 = s.fields.find(_.name == n).get.dataType
+        require(rank(cur0) > 0 && rank(ut.newDataType()) > 0 &&
+            rank(ut.newDataType()) >= rank(cur0),
+          s"graft: ALTER COLUMN $n TYPE ${ut.newDataType().simpleString} is " +
+            s"not an integral widening of ${cur0.simpleString} — only " +
+            "BYTE<SHORT<INT<BIGINT widen in place; other retypes reinterpret " +
+            "bytes on disk and are refused (rebuild via regrid())")
+        StructType(s.fields.map(f =>
+          if (f.name == n) f.copy(dataType = ut.newDataType()) else f))
       case (_, other) => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — only " +
-          "ADD/DROP COLUMN (nullable, top-level); use regrid for layout changes")
+          "ADD/DROP/RENAME COLUMN and integral-widening ALTER COLUMN TYPE; " +
+          "use regrid for layout changes")
     }
     val f = fs()
     val out = f.create(new Path(s"$p/_graft_schema.json"), true)

@@ -180,6 +180,58 @@ object GraftDataSource {
     }
   }
 
+  /** Column-RENAME sidecar (`_graft_renames`): one line per renamed
+    * column, `current\taliases (newest first)` — the name-mapping that lets
+    * files written BEFORE a rename keep serving the new name without a
+    * byte rewritten, the same contract the reference keeps for format
+    * evolution (`/root/reference/src/lib.rs:41`: old payloads decode under
+    * the new shape via `decode(version, dims, buf)`). Readers resolve a
+    * projected column per FILE: the current name when the file carries it,
+    * else the newest alias it does carry (see [[resolveInFile]]). The old
+    * name simultaneously joins `_graft_dropped`, so a later ADD can never
+    * resurrect pre-rename bytes under a reused name. */
+  private[sources] val RenamesSidecarName = "_graft_renames"
+
+  /** current name → aliases, NEWEST FIRST (a→b→c stores c → [b, a]). */
+  def renamesOf(path: String): Map[String, Seq[String]] = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val p = new Path(path, RenamesSidecarName)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      txt.split("\n").map(_.trim).filter(_.nonEmpty).flatMap { line =>
+        line.split("\t").toSeq match {
+          case cur +: aliases if aliases.nonEmpty => Some(cur -> aliases)
+          case _ => None
+        }
+      }.toMap
+    }
+  }
+
+  private[sources] def writeRenames(path: String,
+      m: Map[String, Seq[String]]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val p = new Path(path, RenamesSidecarName)
+    if (m.isEmpty) { fs.delete(p, false); return }
+    val out = fs.create(p, true)
+    try out.write(m.toSeq.sortBy(_._1)
+      .map { case (c, as) => (c +: as).mkString("\t") }.mkString("\n")
+      .concat("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The field name `name` resolves to inside one parquet file: the current
+    * name if the file carries it, else the NEWEST alias it carries, else
+    * None (field predates every spelling → NULL column, exactly like an
+    * ADDed column). Newest-first order matters when a name was recycled
+    * through multiple renames: later files' spelling wins. */
+  private[sources] def resolveInFile(
+      fileSchema: org.apache.parquet.schema.MessageType, name: String,
+      aliases: Map[String, Seq[String]]): Option[String] =
+    if (fileSchema.containsField(name)) Some(name)
+    else aliases.getOrElse(name, Nil).find(fileSchema.containsField)
+
   /** Name of the chunk-cell metadata column (see [[GraftTable.metadataColumns]]). */
   private[sources] val CellColumn = "_cell"
   /** CDC tag column of `graft.follow = changes` streams ("insert"/"delete");
@@ -349,6 +401,29 @@ object GraftDataSource {
     * to Spark as residual, so the re-check above the scan drops any
     * surplus. Untranslatable shapes (NaN literals, unsupported types,
     * exotic predicates) return None and simply aren't pushed. */
+  /** Does this file store column `a` at the physical width
+    * [[toParquetPredicate]] will assume for `dt`? Pre-type-widening files
+    * keep the narrower primitive (INT32 under a now-BIGINT column) and a
+    * typed parquet predicate against them throws at evaluation. */
+  private[sources] def parquetPredicateCompatible(
+      fileSchema: org.apache.parquet.schema.MessageType, a: String,
+      dt: Option[DataType]): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val fld = fileSchema.getType(fileSchema.getFieldIndex(a))
+    if (!fld.isPrimitive) return false
+    val pt = fld.asPrimitiveType().getPrimitiveTypeName
+    dt match {
+      case Some(LongType)                           => pt == INT64
+      case Some(IntegerType | ShortType | ByteType) => pt == INT32
+      case Some(DoubleType)                         => pt == DOUBLE
+      case Some(FloatType)                          => pt == FLOAT
+      case Some(BooleanType)                        => pt == BOOLEAN
+      case Some(StringType | BinaryType)            => pt == BINARY
+      case Some(TimestampType)                      => pt == INT64
+      case _                                        => false
+    }
+  }
+
   private[sources] def toParquetPredicate(f: Filter,
       types: Map[String, DataType]): Option[org.apache.parquet.filter2
       .predicate.FilterPredicate] = {
@@ -870,7 +945,8 @@ class GraftAggScan(path: String, tableSchema: StructType, pushed: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftAggReaderFactory(aggs, StructType(tableSchema.fields
-      .filter(f => !GraftDataSource.isBucket(f.name)).toSeq))
+      .filter(f => !GraftDataSource.isBucket(f.name)).toSeq),
+      GraftDataSource.renamesOf(path))
 }
 
 final case class GraftAggPartition(file: String, groupVals: Array[Long],
@@ -887,7 +963,8 @@ final case class GraftAggPartition(file: String, groupVals: Array[Long],
   * data columns the aggregates need from this one file — other files still
   * answer from metadata. Distinguishes "all values null" (numNulls set and
   * equal to the value count → partial NULL / 0) from "no stats" (fallback). */
-class GraftAggReaderFactory(aggs: Seq[PushedAgg], dataSchema: StructType)
+class GraftAggReaderFactory(aggs: Seq[PushedAgg], dataSchema: StructType,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
@@ -899,6 +976,11 @@ class GraftAggReaderFactory(aggs: Seq[PushedAgg], dataSchema: StructType)
         val conf = new Configuration()
         val pfr = ParquetFileReader.open(
           HadoopInputFile.fromPath(new Path(p.file), conf))
+        // a RENAMED column's stats/sums live under the name this file was
+        // written with — resolve once per file (identity when no renames)
+        val footerSchema = pfr.getFooter.getFileMetaData.getSchema
+        def rn(c: String): String =
+          GraftDataSource.resolveInFile(footerSchema, c, aliases).getOrElse(c)
         val (rowCount, blocks, kvSums) =
           try (pfr.getRecordCount, {
             import scala.jdk.CollectionConverters._
@@ -937,12 +1019,12 @@ class GraftAggReaderFactory(aggs: Seq[PushedAgg], dataSchema: StructType)
           case PCount(c) if GraftDataSource.isBucket(c) => Some(rowCount)
           case PCount(c) =>
             if (!dataSchema.fieldNames.contains(c)) Some(0L) // evolved-in column
-            else colStats(c).flatMap { sts =>
+            else colStats(rn(c)).flatMap { sts =>
               val counts = sts.zip(blocks).map { case (st, b) =>
                 if (!st.isNumNullsSet) None
                 else {
                   val vc = b.getColumns.asScala
-                    .find(_.getPath.toDotString == c).get.getValueCount
+                    .find(_.getPath.toDotString == rn(c)).get.getValueCount
                   Some(vc - st.getNumNulls)
                 }
               }
@@ -957,13 +1039,13 @@ class GraftAggReaderFactory(aggs: Seq[PushedAgg], dataSchema: StructType)
             Some(p.buckets(c) * rowCount)
           case PSum(c) =>
             if (!dataSchema.fieldNames.contains(c)) Some(null) // evolved-in: all null
-            else kvSums.get(c).map { case (sum, n) =>
+            else kvSums.get(rn(c)).map { case (sum, n) =>
               if (n == 0L) null else (sum: Any) // SQL SUM of no rows is NULL
             }
         }
         def foldStats(c: String, keepMin: Boolean): Option[Any] = {
           if (!dataSchema.fieldNames.contains(c)) return Some(null) // all-null column
-          colStats(c).flatMap { sts =>
+          colStats(rn(c)).flatMap { sts =>
             var acc: Option[Long] = None
             var usable = true
             sts.foreach { st =>
@@ -1009,7 +1091,10 @@ class GraftAggReaderFactory(aggs: Seq[PushedAgg], dataSchema: StructType)
         val fileSchema = pfr.getFooter.getFileMetaData.getSchema
         val rowCount = pfr.getRecordCount
         pfr.close()
-        val present = needed.filter(fileSchema.containsField)
+        // (current name, name in THIS file) pairs — pre-rename files store
+        // the column under an alias; stats accumulate under the current name
+        val present = needed.flatMap(c => GraftDataSource
+          .resolveInFile(fileSchema, c, aliases).map(c -> _))
         val nonNull = scala.collection.mutable.Map[String, Long]()
           .withDefaultValue(0L)
         val mins = scala.collection.mutable.Map[String, Long]()
@@ -1018,15 +1103,16 @@ class GraftAggReaderFactory(aggs: Seq[PushedAgg], dataSchema: StructType)
           .withDefaultValue(0L)
         if (present.nonEmpty) {
           val projection = new MessageType("graft_agg_projection",
-            present.map(c => fileSchema.getFields.get(fileSchema.getFieldIndex(c))): _*)
+            present.map { case (_, fc) =>
+              fileSchema.getFields.get(fileSchema.getFieldIndex(fc)) }: _*)
           conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
           val reader = ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
             .withConf(conf).build()
           try {
             var g = reader.read()
             while (g != null) {
-              present.foreach { c =>
-                val idx = g.getType.getFieldIndex(c)
+              present.foreach { case (c, fc) =>
+                val idx = g.getType.getFieldIndex(fc)
                 if (g.getFieldRepetitionCount(idx) > 0) {
                   nonNull(c) += 1L
                   val v = g.getType.getType(idx).asPrimitiveType()
@@ -1144,7 +1230,24 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
     if (pin.isDefined) Array.empty // frozen file list: nothing to narrow
-    else (required.fields.filter(f => GraftDataSource.isBucket(f.name)).map(_.name)
+    else if (fileRecorder.isDefined) {
+      // Row-level rewrite scan. Spark's RowLevelOperationRuntimeGroupFiltering
+      // builds ONE IN-subquery over ALL advertised attributes jointly, and a
+      // multi-attribute subquery surfaces as `named_struct(...) IN subquery`,
+      // which no source-filter translation supports — the planner logs
+      // "Can't translate ... unsupported expression" and delivers NOTHING,
+      // silently turning a one-cell MERGE into a full-grid rewrite.
+      // Advertise exactly ONE attribute so the runtime filter stays a
+      // translatable single-column In: the first bucket column (directory-
+      // grain pruning, zero footer reads — the scalable default), falling
+      // back to a bloom-registered data column for projections without one.
+      // Ordinary scans are unaffected: join DPP plants one subquery PER key.
+      (required.fields.map(_.name).find(GraftDataSource.isBucket)
+          orElse required.fields.map(_.name)
+            .filterNot(GraftDataSource.isBucket).find(skipCols))
+        .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+        .toArray
+    } else (required.fields.filter(f => GraftDataSource.isBucket(f.name)).map(_.name)
         ++ required.fields.map(_.name)
           .filterNot(GraftDataSource.isBucket).filter(skipCols))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
@@ -1340,37 +1443,45 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
           keep
         }
       }
-    // row-level rewrites note every planned FILE (post bucket + runtime
-    // pruning — exactly the rows the rewrite will re-emit; the commit
-    // retires these rels from the manifest). CLEAR-then-record:
+    val survivors = bloomSurvivors(planned.flatMap { case (_, b, files) =>
+      files.map { case (p, _) => (p.toString, b) }
+    })
+    // row-level rewrites note every SURVIVING planned file (post bucket +
+    // runtime pruning AND post bloom skip — exactly the rows the rewrite
+    // will re-emit; the commit retires these rels from the manifest).
+    // Recording pre-bloom files would be silent data loss: a runtime
+    // join-delivered atom on a bloom-registered column (e.g. MERGE ON a
+    // registered doc_id) drops refuted files from the scan, so their rows
+    // are never re-emitted — retiring them would delete them. Dropping
+    // them from the recorder is sound the other way: bloom refutation is
+    // a PROOF the file holds no matching rows, so the rewrite has no
+    // business touching it and it stays live. CLEAR-then-record:
     // BatchScanExec plans once before runtime filters arrive and again
-    // after, and retiring a file the final plan never read would delete
-    // rows the rewrite doesn't re-emit — the recorder must reflect only
-    // THIS scan's latest plan (each scan instance owns its set; the
-    // operation unions sets at commit).
+    // after — the recorder must reflect only THIS scan's latest plan
+    // (each scan instance owns its set; the operation unions sets at
+    // commit).
     fileRecorder.foreach { r =>
       r.clear()
-      planned.foreach { case (_, _, files) =>
-        files.foreach { case (f, _) => r.add(f.toUri.getPath) }
-      }
+      survivors.foreach { case (f, _) => r.add(new Path(f).toUri.getPath) }
     }
-    bloomSurvivors(planned.flatMap { case (_, b, files) =>
-      files.map { case (p, _) => (p.toString, b) }
-    }).map { case (p, b) =>
+    survivors.map { case (p, b) =>
       GraftInputPartition(p, b, !hasDataCols, limit,
         keys.map(b(_))): InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, residual)
+    new GraftReaderFactory(required, residual,
+      GraftDataSource.renamesOf(path))
 }
 
 class GraftReaderFactory(required: StructType,
-    residual: Array[Filter] = Array.empty) extends PartitionReaderFactory {
+    residual: Array[Filter] = Array.empty,
+    aliases: Map[String, Seq[String]] = Map.empty)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], required,
-      residual)
+      residual, aliases)
 }
 
 /** Reads one chunk file with parquet-hadoop's Group API, projecting to the
@@ -1384,7 +1495,8 @@ class GraftReaderFactory(required: StructType,
   * the same filters above the scan, so the predicate only ever has to keep
   * a superset. */
 class GraftPartitionReader(p: GraftInputPartition, required: StructType,
-    residual: Array[Filter] = Array.empty)
+    residual: Array[Filter] = Array.empty,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -1410,25 +1522,38 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType,
     val dataFields = required.fields.filter(f =>
       !GraftDataSource.isBucket(f.name) && f.name != GraftDataSource.CellColumn &&
         !isChangeTag(f.name))
+    // per data field, the name it carries in THIS file: the current name,
+    // or (files written before a RENAME) the newest alias present; None =
+    // the field predates every spelling and reads as NULL
+    def fieldInFile(name: String): Option[String] =
+      GraftDataSource.resolveInFile(fileSchema, name, aliases)
     fields = required.fields.map { f =>
       if (GraftDataSource.isBucket(f.name)) Left(p.buckets(f.name))
       else if (f.name == GraftDataSource.CellColumn)
         Left(UTF8String.fromString(GraftDataSource.cellString(p.buckets)))
       else if (isChangeTag(f.name)) Left(UTF8String.fromString(p.changeTag))
-      else if (fileSchema.containsField(f.name)) Right(Some((f.name, f.dataType)))
-      else Right(None)
+      else fieldInFile(f.name) match {
+        case Some(rn) => Right(Some((rn, f.dataType)))
+        case None     => Right(None)
+      }
     }
-    if (p.rowCountOnly || !dataFields.exists(f => fileSchema.containsField(f.name))) {
+    if (p.rowCountOnly || !dataFields.exists(f => fieldInFile(f.name).isDefined)) {
       remainingCountRows = rowCount
     } else {
       val projection = new MessageType("graft_projection",
-        dataFields.toSeq.filter(f => fileSchema.containsField(f.name))
-          .map(f => fileSchema.getFields.get(fileSchema.getFieldIndex(f.name))): _*)
+        dataFields.toSeq.flatMap(f => fieldInFile(f.name))
+          .map(rn => fileSchema.getFields.get(fileSchema.getFieldIndex(rn))): _*)
       conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
       val types = required.fields
         .map(f => f.name -> f.dataType).toMap
+      // parquet predicates only for columns this file stores under their
+      // CURRENT name at the width the predicate was built for: a renamed
+      // column's old-name field or a pre-widening INT32 field would make
+      // the typed parquet column mismatch. Dropping the predicate is always
+      // safe — residuals are Spark-rechecked row-exactly.
       val preds = residual.toSeq
-        .filter(_.references.forall(fileSchema.containsField))
+        .filter(_.references.forall(r => fileSchema.containsField(r) &&
+          GraftDataSource.parquetPredicateCompatible(fileSchema, r, types.get(r))))
         .flatMap(GraftDataSource.toParquetPredicate(_, types))
       val builder = ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
         .withConf(conf)
@@ -1474,7 +1599,15 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType,
           else {
             val idx = cur.getType.getFieldIndex(name)
             dt match {
-              case LongType    => row.update(i, cur.getLong(idx, 0))
+              case LongType    =>
+                // integral WIDENING: files written before an ALTER COLUMN
+                // TYPE BIGINT keep their INT32 pages; upcast at read
+                val pt = cur.getType.getType(idx).asPrimitiveType()
+                  .getPrimitiveTypeName
+                if (pt == org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT32)
+                  row.update(i, cur.getInteger(idx, 0).toLong)
+                else row.update(i, cur.getLong(idx, 0))
               case IntegerType => row.update(i, cur.getInteger(idx, 0))
               case DoubleType  => row.update(i, cur.getDouble(idx, 0))
               case FloatType   => row.update(i, cur.getFloat(idx, 0))

@@ -274,7 +274,7 @@ class GraftMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    new GraftReaderFactory(required, aliases = GraftDataSource.renamesOf(path))
 
   override def deserializeOffset(json: String): Offset = {
     val t = json.dropWhile(_.isWhitespace)

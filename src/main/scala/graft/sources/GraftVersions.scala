@@ -60,14 +60,24 @@ import org.apache.spark.sql.sources.Filter
   * than the earlier move-based design, whose crash window could lose moved
   * files from the live walk.
   *
-  * Concurrency: the manifest file is the commit arbiter — [[sealCommit]]
-  * creates `v<N>.manifest` with overwrite=false (a create-if-absent CAS).
-  * A loser whose commit only ADDS files re-begins from the new latest and
-  * replays its delta; a loser that retires files aborts loudly (its victim
-  * set was computed against a predecessor that is no longer the latest —
-  * blind replay could resurrect or double-retire). World-level rewrites
-  * stay single-writer (the same contract the reference's `&self` world
-  * locks impose, `src/world.rs:252-267`).
+  * Concurrency: a CLAIM-then-PROMOTE CAS (see [[writeManifestCas]]) —
+  * [[sealCommit]] claims `v<N>.claim` with create-if-absent, writes the
+  * manifest bytes to a tmp sibling, and promotes via atomic rename, so a
+  * manifest is visible ONLY with its complete content and passive readers
+  * (streaming offsets, snapshot resolves, competing begins) always see the
+  * predecessor until the seal lands — never a torn file. A loser whose
+  * commit only ADDS files re-begins from the new latest and replays its
+  * delta; a loser that retires files aborts loudly (its victim set was
+  * computed against a predecessor that is no longer the latest — blind
+  * replay could resurrect or double-retire); a contender that finds the
+  * claim held WAITS (backoff, stale-claim takeover on a crashed sealer)
+  * rather than erroring. World-level rewrites stay single-writer (the same
+  * contract the reference's `&self` world locks impose,
+  * `src/world.rs:252-267`). Atomicity substrate: local/HDFS natively; on
+  * S3-class stores map the protocol to a conditional PUT
+  * (`If-None-Match: *`) of the final manifest key, which is claim and
+  * publish in one; stores with neither primitive are multi-writer
+  * UNSUPPORTED (single-writer remains safe everywhere).
   */
 private[graft] object GraftVersions {
   private val VersionsDir = "_graft_versions"
@@ -218,31 +228,119 @@ private[graft] object GraftVersions {
       files.sortBy(_.rel).map(e => s"${e.rel}\t${e.size}").mkString("\n") + "\n")
       .getBytes("UTF-8")
 
-  private def writeManifest(fs: FileSystem, root: Path, v: Long,
-      files: Seq[ManifestEntry]): Unit = {
+  /** The commit CAS, as a CLAIM-then-PROMOTE protocol (r10's
+    * create-then-write seal made the manifest VISIBLE before its bytes
+    * landed, so concurrent readers saw a torn file and had to spin — the
+    * r10 liveness defect):
+    *
+    *   1. claim `v<N>.claim` with create-if-absent — the arbiter. The claim
+    *      is content-free and never read, so its own create window is inert;
+    *   2. write the full manifest bytes to a `.tmp-<uuid>` sibling;
+    *   3. promote tmp → `v<N>.manifest` via rename — atomic on local/HDFS,
+    *      so the manifest becomes visible ONLY with its complete content.
+    *      Passive readers (streaming `latestOffset`, snapshot resolves,
+    *      competing `beginCommit`s) list manifests and therefore never
+    *      observe an in-flight seal at all — the predecessor stays latest
+    *      until the winner's rename lands;
+    *   4. drop the claim.
+    *
+    * A competing sealer that finds the claim held gets [[CasBusy]] and
+    * waits in [[awaitSeal]] (exponential backoff, minutes not the r10 1 s)
+    * for the manifest to appear; a claim whose holder crashed pre-promote
+    * goes stale after [[StaleClaimMs]] and is released by the waiter, so a
+    * dead writer never wedges the log. Store contract: this is atomic
+    * where create-if-absent and rename are atomic (local, HDFS). On
+    * S3-class object stores neither is — there the claim create maps to a
+    * conditional PUT (`If-None-Match: *`) of the FINAL manifest key, which
+    * is simultaneously the claim and the atomic content publish (steps 1–4
+    * collapse into one request); a store with neither primitive needs an
+    * external lock service and is documented unsupported for multi-writer.
+    */
+  private sealed trait CasResult
+  private case object CasSealed extends CasResult
+  private case object CasLost extends CasResult // version sealed by another commit
+  private case object CasBusy extends CasResult // claim held by an in-flight sealer
+
+  private def claimPath(root: Path, v: Long): Path =
+    new Path(new Path(root, VersionsDir), s"v$v.claim")
+
+  /** How long a claim may sit without its manifest before a waiter treats
+    * the claimer as crashed and releases it. The claim is held only for
+    * one small-file write + one rename, so even a GC-stalled sealer
+    * finishes orders of magnitude sooner. */
+  private val StaleClaimMs = 60000L
+
+  /** Atomic create-if-absent of an empty file — the claim acquisition.
+    * Hadoop's LocalFileSystem `create(p, overwrite = false)` is
+    * CHECK-THEN-ACT (an exists() probe followed by an open), so two
+    * in-JVM racers can BOTH pass the probe and both believe they hold the
+    * claim — the double-claim would let the second promote overwrite the
+    * winner's manifest. On the local scheme `File.createNewFile()` is the
+    * real O_CREAT|O_EXCL primitive (atomic in-process and cross-process);
+    * elsewhere the filesystem's own create-exclusive is used (atomic on
+    * HDFS by contract; see the object doc for the S3 mapping). */
+  private def createExclusive(fs: FileSystem, p: Path): Boolean =
+    if ("file" == fs.getUri.getScheme) {
+      val f = new java.io.File(p.toUri.getPath)
+      f.getParentFile.mkdirs()
+      try f.createNewFile()
+      catch { case _: java.io.IOException => false }
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+      }
+    }
+
+  private def writeManifestCas(fs: FileSystem, root: Path, v: Long,
+      files: Seq[ManifestEntry]): CasResult = {
     val p = manifestPath(root, v)
     fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
-    out.write(writeManifestBytes(v, files))
-    out.close()
+    if (fs.exists(p)) return CasLost
+    val claim = claimPath(root, v)
+    if (!createExclusive(fs, claim))
+      return if (fs.exists(p)) CasLost else CasBusy
+    try {
+      if (fs.exists(p)) return CasLost // stale-claim takeover raced a late promote
+      val tmp = new Path(p.getParent, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      out.write(writeManifestBytes(v, files))
+      out.close()
+      if (!fs.rename(tmp, p)) { fs.delete(tmp, false); return CasLost }
+      CasSealed
+    } finally fs.delete(claim, false)
   }
 
-  /** Create-if-absent manifest write — the commit CAS. False = another
-    * commit sealed this version number first. */
-  private def writeManifestCas(fs: FileSystem, root: Path, v: Long,
-      files: Seq[ManifestEntry]): Boolean = {
-    val p = manifestPath(root, v)
-    fs.mkdirs(p.getParent)
-    if (fs.exists(p)) return false
-    val out =
-      try fs.create(p, false)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
-        case _: java.io.IOException if fs.exists(p) => return false
+  /** After a [[CasBusy]]: wait for the claim holder's manifest to appear
+    * (or for the claim to vanish / go stale — a crashed claimer), then
+    * return so the caller re-attempts its CAS. Backoff doubles to 1 s and
+    * the total bound is minutes — a loaded JVM's GC pause inside the
+    * claim window (the r10 flake) is waited out, not errored out. */
+  private def awaitSeal(fs: FileSystem, root: Path, v: Long): Unit = {
+    val claim = claimPath(root, v)
+    var sleep = 10L
+    val deadline = System.currentTimeMillis() + 4 * StaleClaimMs
+    while (System.currentTimeMillis() < deadline) {
+      if (fs.exists(manifestPath(root, v))) return
+      val st =
+        try Some(fs.getFileStatus(claim))
+        catch { case _: java.io.FileNotFoundException => None }
+      st match {
+        case None => return // claimer finished (promote or abort) — re-attempt
+        case Some(s)
+            if System.currentTimeMillis() - s.getModificationTime > StaleClaimMs =>
+          fs.delete(claim, false) // crashed claimer: release the arbiter
+          return
+        case _ =>
       }
-    out.write(writeManifestBytes(v, files))
-    out.close()
-    true
+      Thread.sleep(sleep)
+      sleep = math.min(sleep * 2, 1000L)
+    }
+    throw new IllegalStateException(
+      s"graft commit: the claim on v$v of $root has been held for " +
+        s"${4 * StaleClaimMs / 1000}s without a sealed manifest — " +
+        "another writer is wedged mid-seal; resolve it before retrying")
   }
 
   def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] =
@@ -258,26 +356,29 @@ private[graft] object GraftVersions {
            else s" (available: ${have.min}..${have.max}; gaps are crashed or " +
              "retention-expired commits)"))
     }
-    // TORN-SEAL WINDOW: the commit CAS claims `v<N>.manifest` with
-    // create(overwrite=false) and writes the bytes immediately after — a
-    // concurrent reader (another writer's beginCommit re-reading the
-    // winner's state, a streaming latestOffset, a snapshot resolve) can
-    // observe the claimed-but-unfinished file. The header's entry count
-    // makes that state DETECTABLE, and since the sealer finishes in
-    // milliseconds, a short bounded wait converges; only a writer that
-    // CRASHED inside the window leaves the loop to the loud error below
-    // (remediation: delete the torn v<N>.manifest — the claim died with
-    // its writer, so no committed state references it).
+    // Manifests are PROMOTED via atomic rename (see writeManifestCas), so a
+    // listed manifest is complete-on-visibility and this read normally
+    // succeeds first try. The bounded retry below covers the two residual
+    // local-FS races — the ChecksumFileSystem promotes data and .crc in two
+    // renames (a reader between them can see a mismatched crc), and legacy
+    // pre-claim-protocol manifests written create-then-write — plus real
+    // on-disk truncation from a crashed LEGACY sealer, which falls out of
+    // the loop to the loud error.
     var attempt = 0
     while (true) {
-      // a read that races the sealer can also FAIL outright (LocalFileSystem
-      // checksum mismatch against a half-written .crc, EOF mid-header) —
-      // the same torn state as short content, handled by the same retry
+      // Retry ONLY on torn-state signals (checksum mismatch, EOF). Other
+      // IOExceptions — permission/auth failures, a transient store outage —
+      // are NOT torn seals and must surface as themselves: retrying them
+      // into the "delete the manifest" error would invite an operator to
+      // destroy a perfectly valid committed manifest.
       val content: String =
         try {
           val in = fs.open(p)
           try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        } catch { case _: java.io.IOException => "" }
+        } catch {
+          case _: org.apache.hadoop.fs.ChecksumException => ""
+          case _: java.io.EOFException => ""
+        }
       val lines: Array[String] = content.split('\n')
       val raw = content
       val entries: Option[Seq[ManifestEntry]] =
@@ -310,8 +411,11 @@ private[graft] object GraftVersions {
           attempt += 1
           if (attempt >= 50) throw new IllegalStateException(
             s"graft snapshot: $p is torn or not a graft manifest after " +
-              "1s of retries — a concurrent sealer likely crashed mid-write; " +
-              "deleting the torn manifest releases the version number")
+              "1s of retries. Under the claim-protocol seal this state is " +
+              "not produced by concurrency — VERIFY the file is actually " +
+              "truncated (header count vs line count) before acting; if it " +
+              "is, a legacy sealer crashed mid-write and deleting the torn " +
+              "manifest releases the version number")
           Thread.sleep(20)
       }
     }
@@ -351,11 +455,24 @@ private[graft] object GraftVersions {
           st.retentionKeep, st.versions.size, st.compactionMaxFiles)
       case None =>
         if (baseline) {
+          // The v0 baseline is itself CAS'd: two concurrent FIRST commits
+          // would otherwise both overwrite v0 with slightly different
+          // pre-state walks (each excluding only its OWN staged files) and
+          // a reader could catch the second write mid-flight. The winner's
+          // baseline becomes everyone's predecessor.
           val base = liveFileEntries(fs, root)
             .filterNot(e => excludeFromBaseline.contains(e.rel))
-          writeManifest(fs, root, 0L, base)
-          PendingCommit(1L, Some(base), st.retentionKeep, 1,
-            st.compactionMaxFiles)
+          writeManifestCas(fs, root, 0L, base) match {
+            case CasSealed =>
+              PendingCommit(1L, Some(base), st.retentionKeep, 1,
+                st.compactionMaxFiles)
+            case CasLost =>
+              PendingCommit(1L, Some(readEntries(fs, root, 0L)),
+                st.retentionKeep, 1, st.compactionMaxFiles)
+            case CasBusy =>
+              awaitSeal(fs, root, 0L)
+              beginCommit(fs, root, excludeFromBaseline, baseline)
+          }
         } else PendingCommit(1L, None, st.retentionKeep, 0,
           st.compactionMaxFiles)
     }
@@ -371,32 +488,44 @@ private[graft] object GraftVersions {
     * an add-only commit re-begins from the new latest and replays its
     * delta, a retiring commit aborts loudly (see the object doc). Clears
     * any barrier marker on success. Returns the sealed version. */
-  def sealCommit(fs: FileSystem, root: Path, c: PendingCommit,
+  def sealCommit(fs: FileSystem, root: Path, c0: PendingCommit,
       removed: Set[String], added: Seq[ManifestEntry]): Long = {
-    val entries = (c.prev match {
-      case Some(p) => p.filterNot(e => removed.contains(e.rel)) ++ added
-      case None => liveFileEntries(fs, root)
-        .filterNot(e => removed.contains(e.rel)) ++ added
-    }).groupBy(_.rel).map { case (_, dup) => dup.maxBy(_.size) }.toSeq
-    if (writeManifestCas(fs, root, c.v, entries)) {
-      fs.delete(barrierPath(root), false)
-      // declared auto-retention: self-expire once the log outgrows keep
-      // (versionsSeen + this seal; expire re-lists, so a stale count only
-      // costs a no-op call, never over-expires)
-      c.retention.foreach { k =>
-        if (c.versionsSeen + 1 > k) expire(fs, root, k)
+    var c = c0
+    while (true) {
+      val entries = (c.prev match {
+        case Some(p) => p.filterNot(e => removed.contains(e.rel)) ++ added
+        case None => liveFileEntries(fs, root)
+          .filterNot(e => removed.contains(e.rel)) ++ added
+      }).groupBy(_.rel).map { case (_, dup) => dup.maxBy(_.size) }.toSeq
+      writeManifestCas(fs, root, c.v, entries) match {
+        case CasSealed =>
+          fs.delete(barrierPath(root), false)
+          // declared auto-retention: self-expire once the log outgrows keep
+          // (versionsSeen + this seal; expire re-lists, so a stale count
+          // only costs a no-op call, never over-expires)
+          c.retention.foreach { k =>
+            if (c.versionsSeen + 1 > k) expire(fs, root, k)
+          }
+          return c.v
+        case CasBusy =>
+          // another sealer holds the claim on this version: wait for its
+          // manifest (or its death), then re-attempt — next round either
+          // re-claims (claimer aborted) or takes the CasLost branch
+          awaitSeal(fs, root, c.v)
+        case CasLost if removed.isEmpty =>
+          // lost the CAS but we only add files: re-begin on the winner's
+          // state and replay the delta (the winner's manifest becomes the
+          // predecessor)
+          c = beginCommit(fs, root, baseline = false)
+        case CasLost => throw new java.util.ConcurrentModificationException(
+          s"graft commit: version v${c.v} of $root was sealed by a " +
+            "concurrent writer while this commit retired files against the " +
+            "previous state — aborting rather than silently dropping either " +
+            "commit's changes; retry the statement against the new latest " +
+            "version")
       }
-      c.v
-    } else if (removed.isEmpty) {
-      // lost the CAS but we only add files: re-begin on the winner's state
-      // and replay the delta (the winner's manifest becomes the predecessor)
-      sealCommit(fs, root, beginCommit(fs, root, baseline = false),
-        removed, added)
-    } else throw new java.util.ConcurrentModificationException(
-      s"graft commit: version v${c.v} of $root was sealed by a concurrent " +
-        "writer while this commit retired files against the previous state — " +
-        "aborting rather than silently dropping either commit's changes; " +
-        "retry the statement against the new latest version")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private val BarrierName = "_barrier"
@@ -530,7 +659,12 @@ private[graft] object GraftVersions {
             "World-level rewrite")
     }
     val newV = latest + 1
-    if (!writeManifestCas(fs, root, newV, targetEntries))
+    var r = writeManifestCas(fs, root, newV, targetEntries)
+    while (r == CasBusy) { // in-flight sealer: wait it out, then re-judge
+      awaitSeal(fs, root, newV)
+      r = writeManifestCas(fs, root, newV, targetEntries)
+    }
+    if (r != CasSealed)
       throw new java.util.ConcurrentModificationException(
         s"graft rollback: version v$newV of $root was sealed concurrently")
     newV

@@ -671,8 +671,12 @@ class GraftStreamingWriterFactory(path: String, schema: StructType)
   // to tasks — createWriter runs executor-side, where a sidecar read per
   // task would be a namenode round-trip per epoch partition
   private val bloomCols: Seq[String] = GraftBloom.columnsOf(path)
-  // declared CHECKs resolved once per stream start (same driver-side
-  // rationale as the blooms; the epoch stage inherits the TABLE's checks)
+  // declared CHECKs resolved at factory construction — which happens
+  // PER EPOCH on the driver (each micro-batch's MicroBatchWrite calls
+  // createStreamingWriterFactory anew), so a set_check declared while a
+  // long-running stream is active gates that stream's NEXT epoch without a
+  // restart (GraftChecksSpec pins this). One listing RPC per epoch when no
+  // checks exist — the same cost class as the bloom sidecar read above.
   private val checks: Seq[GraftChecks.Check] =
     GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema)
   override def createWriter(partitionId: Int, taskId: Long,

@@ -259,4 +259,25 @@ class GraftBloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("RuntimeBloomSkipCols: [doc]"),
       s"materialized join keys must reach the bloom skip:\n$p")
   }
+
+  test("a row-level scan's file recorder holds only post-bloom survivors") {
+    // retirement soundness: a bloom-refuted file's rows are never read, so
+    // the rewrite never re-emits them — recording it for retirement (the
+    // pre-fix behavior) would delete them from the manifest silently
+    val w = mkWorld(bloom = true)
+    val rec = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val scan = new GraftScan(w.path,
+      StructType(Seq(StructField("d0", LongType), StructField("doc", LongType))),
+      pushed = Array.empty, fileRecorder = Some(rec))
+    // runtime join-delivered key on the registered column (what a MERGE's
+    // group filter would deliver): 7 of 8 files bloom-refuted
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("doc", 10500L)))
+    val planned = scan.planInputPartitions()
+    assert(planned.length < 8, s"bloom skip must engage, planned ${planned.length}")
+    assert(rec.size == planned.length,
+      s"recorder must equal the survivor set: rec=${rec.size} planned=${planned.length}")
+    // row-level scans advertise a single attribute (translatable runtime
+    // filter); with no bucket column projected it is the bloom column
+    assert(scan.filterAttributes().map(_.toString).toSeq == Seq("doc"))
+  }
 }

@@ -253,6 +253,51 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graftcat.ev")
   }
 
+  test("RENAME COLUMN + integral widening: old files serve the new name/width") {
+    spark.sql("CREATE TABLE graftcat.rn (d0 BIGINT, val INT, c0 BIGINT)")
+    spark.sql("""INSERT INTO graftcat.rn
+                 SELECT id, CAST(id * 7 AS INT), id DIV 10 FROM range(0, 20)""")
+    // rename + widen: both pure metadata — zero file rewrites
+    spark.sql("ALTER TABLE graftcat.rn RENAME COLUMN val TO score")
+    spark.sql("ALTER TABLE graftcat.rn ALTER COLUMN score TYPE BIGINT")
+    spark.sql("INSERT INTO graftcat.rn SELECT id, id * 7, id DIV 10 FROM range(20, 30)")
+    // readback unions pre-rename INT32 'val' files with post-rename INT64
+    // 'score' files under one name and width
+    val got = spark.sql("SELECT d0, score FROM graftcat.rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until 30L).map(i => (i, i * 7)).toSet, s"got: $got")
+    // aggregate pushdown resolves the alias in old files' footers
+    val agg = spark.sql(
+      "SELECT sum(score) AS s, max(score) AS m, count(score) AS n FROM graftcat.rn")
+    val r0 = agg.collect().head
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2)) ==
+      ((0 until 30).map(_ * 7L).sum, 203L, 30L))
+    // row-exact filter across both generations (parquet predicate dropped
+    // for the old-name/narrow files, Spark recheck keeps exactness)
+    assert(spark.sql("SELECT count(*) FROM graftcat.rn WHERE score = 77")
+      .collect().head.getLong(0) == 1L)
+    // a snapshot pinned BEFORE the rename still reads through the new name
+    val v1 = spark.sql("SELECT d0, score FROM graftcat.rn VERSION AS OF 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v1 == (0L until 20L).map(i => (i, i * 7)).toSet,
+      "pre-rename snapshot serves old bytes under the new name")
+    // guards: resurrection via re-ADD of the old name; bucket renames;
+    // narrowing and non-integral retypes
+    intercept[Exception](spark.sql("ALTER TABLE graftcat.rn ADD COLUMN val INT"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.rn RENAME COLUMN c0 TO c9"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.rn ALTER COLUMN score TYPE INT"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.rn ALTER COLUMN score TYPE STRING"))
+    // a column referenced by a CHECK refuses rename until the check drops
+    spark.sql("""CALL graftcat.system.set_check(table => 'rn',
+      name => 'pos', expr => 'score >= 0')""")
+    intercept[Exception](
+      spark.sql("ALTER TABLE graftcat.rn RENAME COLUMN score TO points"))
+    spark.sql("DROP TABLE graftcat.rn")
+  }
+
   test("ALTER TABLE DROP COLUMN: lazy drop, no resurrection, guards") {
     spark.sql("CREATE TABLE graftcat.evd (d0 BIGINT, x BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO graftcat.evd VALUES (1, 100, 0), (2, 200, 0)")
@@ -329,6 +374,45 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the NEXT write blooms the column
     spark.sql("INSERT INTO graftcat.evb SELECT id + 16, id + 200, (id + 16) DIV 8 FROM range(8)")
     spark.sql("DROP TABLE graftcat.evb")
+  }
+
+  test("MERGE on a bloom-registered table narrows to matching cells, never losing rows") {
+    // Two r10 defects pinned at once. (1) The rewrite scan's file recorder
+    // captured planned files BEFORE the bloom skip dropped refuted ones —
+    // retiring files whose rows were never re-emitted would be silent
+    // deletion; the recorder must hold only actual survivors. (2) With
+    // blooms registered, filterAttributes advertised bucket + bloom columns
+    // together, making the row-level runtime filter an untranslatable
+    // multi-column named_struct IN — NOTHING was delivered and the MERGE
+    // rewrote every cell. Row-level scans now advertise a single attribute,
+    // so the matched cells' bucket values arrive and prune the rewrite.
+    spark.sql("CREATE TABLE graftcat.mbl (d0 BIGINT, doc BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("CALL graftcat.system.set_bloom(table => 'mbl', columns => 'doc')")
+    // 40 rows over 4 cells; doc values disjoint per cell
+    spark.sql(
+      "INSERT INTO graftcat.mbl SELECT id, id + 10000, 0, id DIV 10 FROM range(0, 40)")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(warehouse), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(s"$warehouse/mbl")
+    val before = GraftVersions.liveRels(fs, root).get.toSet
+    // source hits docs living in cell c0=0 only: the runtime group filter
+    // delivers the three keys, and every other cell's file is bloom-refuted
+    // out of the rewrite scan — its rows are never re-emitted
+    spark.sql("SELECT id + 10003 AS doc, 7 AS nv FROM range(0, 3)")
+      .createOrReplaceTempView("mbl_src")
+    spark.sql("""MERGE INTO graftcat.mbl t USING mbl_src s ON t.doc = s.doc
+                 WHEN MATCHED THEN UPDATE SET v = s.nv""")
+    val got = spark.sql("SELECT d0, v FROM graftcat.mbl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 40, s"zero lost rows through the bloom-skipped MERGE; got ${got.size}")
+    assert((3L until 6L).forall(i => got(i) == 7L) && got.values.count(_ == 7L) == 3)
+    // the untouched cells' files were neither rewritten nor retired: their
+    // exact rels stay live (this proves the runtime group filter engaged —
+    // an unpruned plan rewrites all four cells and replaces every rel)
+    val after = GraftVersions.liveRels(fs, root).get.toSet
+    assert(before.filterNot(_.startsWith("c0=0/")).subsetOf(after),
+      s"non-matching cells must stay live and untouched:\nbefore=$before\nafter=$after")
+    spark.sql("DROP TABLE graftcat.mbl")
   }
 
   test("catalog errors: missing table, duplicate create, rename") {

@@ -115,4 +115,37 @@ class GraftChecksSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("SELECT id, v FROM ccat.st") == Set((2L, 5L), (3L, 15L)),
       "violating epoch admitted nothing")
   }
+
+  test("a check declared while a stream is ACTIVE gates later epochs, no restart") {
+    // the 'invariant from declaration onward' contract: resolution must be
+    // per-epoch (the writer factory is rebuilt each micro-batch), not
+    // cached for the stream's lifetime — a long-running ingest stream must
+    // pick up a set_check issued while it runs
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    spark.sql("CREATE TABLE ccat.stlive (id BIGINT, v BIGINT, c0 BIGINT)")
+    val mem = MemoryStream[Long]
+    val ckpt = Files.createTempDirectory("graft-cckl").toString
+    val q = mem.toDF().select(col("value").as("id"),
+        (col("value") * 10 - 15).as("v"), lit(0L).as("c0"))
+      .writeStream.format("graft")
+      .option("path", s"$warehouse/stlive")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData(2L) // v = 5 — no checks declared yet
+      q.processAllAvailable()
+      assert(rows("SELECT id, v FROM ccat.stlive") == Set((2L, 5L)))
+      // declare the check WHILE the stream is active
+      spark.sql("""CALL ccat.system.set_check(table => 'stlive',
+        name => 'v_pos', expr => 'v > 0')""")
+      mem.addData(1L) // v = -5 — must be rejected by the NEXT epoch
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage != null)
+      assert(rows("SELECT id, v FROM ccat.stlive") == Set((2L, 5L)),
+        "the mid-stream check gated the violating epoch")
+    } finally q.stop()
+  }
 }
