@@ -157,7 +157,11 @@ class GraftIndexVectorProcedure(cat: GraftCatalog) extends UnboundProcedure {
       ProcedureParameter.in("pq", BooleanType).defaultValue("false").build(),
       ProcedureParameter.in("pid_chunks", IntegerType).defaultValue("4").build(),
       ProcedureParameter.in("m", IntegerType).defaultValue("8").build(),
-      ProcedureParameter.in("ksub", IntegerType).defaultValue("16").build())
+      ProcedureParameter.in("ksub", IntegerType).defaultValue("16").build(),
+      // register a bloom on the base's id column (if it carries none) so
+      // serving-time exact re-ranks FILE-SKIP the base instead of scanning
+      // it — pass false to leave the base untouched (opt-out)
+      ProcedureParameter.in("bloom_id", BooleanType).defaultValue("true").build())
     override def isDeterministic: Boolean = false
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -170,6 +174,22 @@ class GraftIndexVectorProcedure(cat: GraftCatalog) extends UnboundProcedure {
       val pq = input.getBoolean(6); val pidChunks = input.getInt(7)
       val m = input.getInt(8); val ksub = input.getInt(9)
       val spark = org.apache.spark.sql.SparkSession.active
+      // default id-column bloom on the BASE: the ANN search's exact
+      // re-rank is a k-bounded semi-join against the base on the id
+      // column; with the bloom registered the runtime join filter
+      // file-skips everything but the shortlist's cells, so a serving
+      // lookup never scans the corpus. Registered only when the base
+      // declares NO bloom columns (an existing declaration is the user's;
+      // bloom_id => false opts out entirely). Existing files refute via
+      // footer stats/dictionaries; files written after this commit carry
+      // real bloom pages.
+      if (input.getBoolean(10)) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
+        val root = new org.apache.hadoop.fs.Path(base)
+        if (GraftBloom.columns(fs, root).isEmpty)
+          GraftBloom.register(fs, root, Seq(idCol))
+      }
       val cursor =
         if (pq) new graft.ops.PqVectorIndex(spark, base, idx, idCol, vecCol,
           nlist, dim, m, ksub, pidChunks).initialize()

@@ -330,17 +330,33 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     val rmIds = removeIds.withColumnRenamed(removeIds.columns.head, idCol)
     val rmKeys = rmIds.columns.toSeq
     val upIds = incoming.select(col(idCol)).distinct()
-    val removed = existing.join(rmIds, rmKeys, "left_semi").cache()
+    val removed = existing.join(rmIds, rmKeys, "left_semi")
     val displaced = existing.join(upIds, Seq(idCol), "left_semi")
-    val removedCount = removed.count()
-    val displacedCount = displaced.count()
-    val affected = collectBuckets(removed) ++ collectBuckets(displaced) ++
-      collectBuckets(incoming)
+    // ONE action answers everything the rewrite planning needs: tag the
+    // three bucket projections, per-(tag, cell) counts → removed/displaced
+    // totals + the affected cell set. The earlier shape ran FIVE driver
+    // actions here (two counts + three distinct-bucket collects) whose
+    // fixed per-job overhead dominated small maintenance deltas — an
+    // MV/vector-index refresh is exactly one applyDelta, so those jobs
+    // were most of its latency. Result cardinality is O(touched cells),
+    // the same driver bound collectBuckets already had.
+    def cellsOf(d: DataFrame, t: String) =
+      d.select(lit(t).as("_t") +: bucketCols.map(c => col(c).cast("long")): _*)
+    val cells = cellsOf(removed, "r")
+      .unionByName(cellsOf(displaced, "d"))
+      .unionByName(cellsOf(incoming, "i"))
+      .groupBy(col("_t") +: bucketCols.map(col): _*)
+      .count().collect()
+    val cntIdx = bucketCols.size + 1
+    val removedCount = cells.filter(_.getString(0) == "r").map(_.getLong(cntIdx)).sum
+    val displacedCount = cells.filter(_.getString(0) == "d").map(_.getLong(cntIdx)).sum
+    val affected: Set[Vector[Long]] = cells
+      .map(r => bucketCols.indices.map(i => r.getLong(i + 1)).toVector).toSet
     val keep = existing.where(partitionsPred(affected))
       .join(rmIds, rmKeys, "left_anti")
       .join(upIds, Seq(idCol), "left_anti")
     rewritePartitions(affected, keep.unionByName(incoming))
-    incoming.unpersist(); removed.unpersist()
+    incoming.unpersist()
     (removedCount, displacedCount)
   }
 

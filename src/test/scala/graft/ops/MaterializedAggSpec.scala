@@ -110,6 +110,40 @@ class MaterializedAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       expected(b2 ++ b3).map(t => (t._1, t._2)))
   }
 
+  test("a minmax-free refresh never plans a base snapshot scan") {
+    // the delete-dirty MIN/MAX recompute is the ONLY refresh step allowed
+    // to open a pinned base snapshot; a count/sum-only view's refresh must
+    // stay pure delta (change feed + view state) — a snapshot scan creeping
+    // onto that path is the regression class this pin closes. Detection:
+    // snapshot scans declare themselves in the physical plan description.
+    val base = tmp() + "/base"; val mvp = tmp() + "/mv"
+    write(base, Seq((1L, 1.0), (2L, 2.0), (17L, 3.0)))
+    val mv = new MaterializedAgg(spark, base, mvp, Seq("grp"), Seq("v"))
+    mv.initialize()
+    write(base, Seq((2L, 5.0)))
+    write(base, Seq((40L, 4.0)))
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      mv.refresh()
+      // QueryExecutionListener delivery is async on the listener bus
+      Thread.sleep(500)
+      val snapScans = plans.toArray.map(_.toString).filter(_.contains("Snapshot: v"))
+      assert(snapScans.isEmpty,
+        s"count/sum-only refresh planned a base snapshot scan:\n${snapScans.headOption.getOrElse("")}")
+    } finally spark.listenerManager.unregister(listener)
+    assert(content(mv) ==
+      expected(Seq((1L, 1.0), (2L, 2.0), (17L, 3.0), (2L, 5.0), (40L, 4.0))))
+  }
+
   test("a leftover intent marker forces an exact rebuild, not a delta") {
     val base = tmp() + "/base"; val mvp = tmp() + "/mv"
     val b1 = Seq((1L, 1.0), (2L, 2.0))

@@ -186,6 +186,36 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(again.search(q6, k = 2)) == Seq(6L, 1006L))
   }
 
+  test("index_vector registers a default id bloom; PQ re-rank file-skips the base") {
+    // the serving-time exact re-rank is a k-bounded semi-join against the
+    // base on the id column — without a registered skip column it scans
+    // every base file; index_vector therefore registers vec_id by default
+    // (opt-out: bloom_id => false), and the runtime join filter must reach
+    // the base scan as a bloom/stats file skip
+    spark.sql("CREATE TABLE vcat.pv2 (vec_id BIGINT, embedding ARRAY<FLOAT>, c0 BIGINT)")
+    val values = (0L until 48L)
+      .map(i => s"($i, ${vecLit(i)}, ${i / 16})").mkString(", ")
+    spark.sql(s"INSERT INTO vcat.pv2 VALUES $values")
+    spark.sql("""CALL vcat.system.index_vector(table => 'pv2', name => 'pvix2',
+      nlist => 4, dim => 8, pq => true, pid_chunks => 2, m => 4, ksub => 8)""")
+    assert(graft.sources.GraftBloom.columns(fs, new Path(s"$wh/pv2"))
+      == Seq("vec_id"), "build registered the base's id column for skipping")
+    val vix = new PqVectorIndex(spark, s"$wh/pv2", s"$wh/pv2__idx_pvix2",
+      nlist = 4, dim = 8, m = 4, ksub = 8, pidChunks = 2)
+    val q6 = spark.sql(s"SELECT ${vecLit(6L)}").collect()(0)
+      .getSeq[Float](0).toArray.map(_.toDouble)
+    val res = vix.search(q6, k = 1)
+    assert(ids(res) == Seq(6L))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeBloomSkipCols: [vec_id]"),
+      s"the re-rank's base scan must plan only bloom-surviving files:\n$plan")
+    // a base with an existing declaration is the user's: not overwritten
+    spark.sql("""CALL vcat.system.index_vector(table => 'pv2', name => 'pvix3',
+      nlist => 4, dim => 8, pq => true, pid_chunks => 2, m => 4, ksub => 8)""")
+    assert(graft.sources.GraftBloom.columns(fs, new Path(s"$wh/pv2"))
+      == Seq("vec_id"))
+  }
+
   test("torn refresh: a leftover intent marker forces an exact rebuild") {
     val vix = new VectorIndex(spark, s"$wh/vecs", s"$wh/vecs__vix",
       nlist = 4, dim = 8, pidChunks = 2)
