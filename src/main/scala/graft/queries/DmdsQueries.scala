@@ -518,6 +518,39 @@ object DmdsQueries {
                 FROM events ORDER BY event_id""")
       ),
 
+      "w_regrid" -> QueryDef(
+        // re-sharding as one SQL statement: build a table under one chunk
+        // geometry, CALL system.regrid to a finer two-dim geometry (one
+        // clustered rewrite job, sealed as a versioned commit that retires
+        // every predecessor file in place), then a post-regrid INSERT that
+        // must route by the NEW bucket columns. The readback is the whole
+        // table through the connector's manifest-resolved scan; the oracle
+        // recomputes both slices relationally — content must be
+        // hash-identical through the geometry change. The reference pins
+        // geometry at World::new forever (src/world.rs:439-447); snapshot
+        // behavior across the rebuild is pinned in GraftVersionsSpec.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wrg", "rg")
+          events(s2, dir).createOrReplaceTempView("ev_src_rg")
+          s2.sql("DROP TABLE IF EXISTS wrg.ev_rg")
+          s2.sql("""CREATE TABLE wrg.ev_rg
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wrg.ev_rg
+                    SELECT event_id, user_id, value, user_id DIV 128
+                    FROM ev_src_rg WHERE event_id % 3 = 0""")
+          s2.sql("""CALL wrg.system.regrid(table => 'ev_rg',
+                    buckets => 'user_id DIV 300 AS c0, event_id % 4 AS c1')""")
+          s2.sql("""INSERT INTO wrg.ev_rg
+                    SELECT event_id, user_id, value, user_id DIV 300,
+                           event_id % 4
+                    FROM ev_src_rg WHERE event_id % 3 = 1""")
+          s2.sql("""SELECT event_id, user_id, value FROM wrg.ev_rg
+                    ORDER BY event_id""")
+        },
+        Some("""SELECT event_id, user_id, value FROM events
+                WHERE event_id % 3 IN (0, 1) ORDER BY event_id""")
+      ),
+
       "w_schema_rename" -> QueryDef(
         // schema evolution beyond ADD/DROP: column RENAME and integral
         // type-WIDENING as pure metadata (zero file rewrites) — the

@@ -312,7 +312,7 @@ class GraftCatalog extends TableCatalog
     if (namespace.sameElements(Array("system")))
       Array("compact", "stats", "rollback", "expire_versions", "versions",
         "tag", "drop_tag", "tags", "clone", "set_bloom", "zorder",
-        "remove_orphans")
+        "regrid", "remove_orphans")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -350,6 +350,7 @@ class GraftCatalog extends TableCatalog
       case (Seq("system"), "clone")    => new GraftCloneProcedure(this)
       case (Seq("system"), "set_bloom") => new GraftSetBloomProcedure(this)
       case (Seq("system"), "zorder")   => new GraftZOrderProcedure(this)
+      case (Seq("system"), "regrid")   => new GraftRegridProcedure(this)
       case (Seq("system"), "remove_orphans") =>
         new GraftRemoveOrphansProcedure(this)
       case (Seq("system"), "set_retention") =>
@@ -370,7 +371,8 @@ class GraftCatalog extends TableCatalog
           "system.compact, system.stats, system.rollback, " +
           "system.expire_versions, system.versions, system.clean_stages, " +
           "system.tag, system.drop_tag, system.tags, system.clone, " +
-          "system.set_bloom, system.zorder, system.remove_orphans, " +
+          "system.set_bloom, system.zorder, system.regrid, " +
+          "system.remove_orphans, " +
           "system.set_retention, system.set_compaction, system.index_text, " +
           "system.index_vector, system.index_refresh, system.search_text, " +
           "system.search_vector, system.set_check, system.drop_check, " +
@@ -447,6 +449,128 @@ class GraftZOrderProcedure(cat: GraftCatalog)
       if (cells > 0)
         spark.table(qualified).writeTo(qualified).overwritePartitions()
       GraftProcedures.singleRow("zordered_chunks", cells.toLong)
+    }
+  }
+}
+
+/** `CALL <cat>.system.regrid(table => 't', buckets => 'user_id DIV 256 AS
+  * c0, kind AS c1')` — rebuild the table's chunk GEOMETRY: recompute the
+  * bucket columns from data columns with new expressions and rewrite every
+  * row into its new cell. The reference pins geometry at `World::new` and
+  * offers no migration (/root/reference/src/world.rs:439-447 — a new grid
+  * means a manual copy); at 100 TB "re-shard the table" is routine
+  * maintenance, so it gets a first-class versioned face:
+  *
+  *   - ONE distributed job: live rows (manifest-resolved) re-bucketed by
+  *     the new expressions, clustered by the new bucket columns, staged as
+  *     a sibling tree, then file-MOVED into the grid — never a per-cell
+  *     driver loop;
+  *   - sealed as a NORMAL versioned commit that retires every predecessor
+  *     file: old bytes stay in place (manifest-only liveness), so
+  *     snapshots pinned BEFORE the regrid keep reading their own geometry
+  *     — old files' bucket values come from their own directory paths; a
+  *     bucket column the old geometry lacks reads as NULL and is never
+  *     wrongly pruned on (GraftScan's partial-binding guards). A
+  *     concurrent commit aborts the regrid loudly (retiring CAS loss), not
+  *     the other way around;
+  *   - the schema sidecar rewrites to the new bucket-column set, so later
+  *     INSERTs route by the new geometry.
+  */
+class GraftRegridProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "regrid"
+  override def description(): String =
+    "rebuild the chunk geometry: recompute bucket columns and re-cell every row"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "regrid"
+    override def description(): String = GraftRegridProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build(),
+      ProcedureParameter.in("buckets", org.apache.spark.sql.types.StringType)
+        .comment("comma-separated SQL exprs aliased AS c0..cN, over data columns")
+        .build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      import org.apache.spark.sql.functions.col
+      val table = input.getUTF8String(0).toString
+      // split on TOP-LEVEL commas only: bucket expressions are SQL and may
+      // carry function-call commas (`hash(a, 16) AS c0`)
+      val exprs = {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var depth = 0; val sb = new StringBuilder
+        input.getUTF8String(1).toString.foreach {
+          case ',' if depth == 0 => out += sb.toString; sb.clear()
+          case ch =>
+            if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+            sb.append(ch)
+        }
+        out += sb.toString
+        out.toSeq.map(_.trim).filter(_.nonEmpty)
+      }
+      require(exprs.nonEmpty, "system.regrid: at least one bucket expression")
+      val path = cat.tablePath(table)
+      val spark = org.apache.spark.sql.SparkSession.active
+      val schema = GraftDataSource.sidecarSchema(path)
+      val dataCols = schema.fields.filterNot(f =>
+        GraftDataSource.isBucket(f.name)).map(_.name).toSeq
+      val live = spark.read.format("graft").load(path)
+        .select(dataCols.map(col): _*)
+      val reb0 = live.selectExpr(dataCols ++ exprs: _*)
+      val newBuckets = reb0.columns.drop(dataCols.size).toSeq
+      require(newBuckets == newBuckets.indices.map(i => s"c$i"),
+        s"system.regrid: bucket expressions must alias AS c0..c${exprs.size - 1} " +
+          s"in order; got ${newBuckets.mkString(", ")}")
+      val reb = reb0.select(dataCols.map(col) ++
+        newBuckets.map(c => col(c).cast("long").as(c)): _*)
+      // a NULL bucket value has no cell: refuse before touching anything
+      require(reb.where(newBuckets.map(col(_).isNull).reduce(_ || _))
+          .limit(1).isEmpty,
+        "system.regrid: a bucket expression produced NULL — every row " +
+          "must map to a cell; guard the expression (e.g. coalesce)")
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val root = new Path(path)
+      val stage = new Path(path + "__regrid_stage")
+      fs.delete(stage, true)
+      try {
+        // one clustered job: a task per new cell, one file per cell
+        reb.repartition(newBuckets.map(col): _*)
+          .sortWithinPartitions(newBuckets.map(col): _*)
+          .write.options(GraftBloom.writerOptions(GraftBloom.columns(fs, root)))
+          .partitionBy(newBuckets: _*).parquet(stage.toString)
+        // move staged cell files into the grid (names carry the write
+        // job's uuid — unique forever, the manifest liveness contract)
+        val added = GraftDataSource.walkChunks(fs, stage, Array.empty)
+          .flatMap { case (d, b) =>
+            GraftDataSource.chunkFileStatuses(fs, d).map { st =>
+              val rel = GraftVersions.relOf(stage, st.getPath)
+              val dest = new Path(root, rel)
+              fs.mkdirs(dest.getParent)
+              require(fs.rename(st.getPath, dest),
+                s"system.regrid: move failed for $rel")
+              GraftVersions.ManifestEntry(rel, st.getLen)
+            }
+          }
+        // versioned seal: every predecessor file retires in place
+        val c = GraftVersions.beginCommit(fs, root,
+          excludeFromBaseline = added.map(_.rel).toSet)
+        val removed = c.prev.map(_.map(_.rel).toSet)
+          .getOrElse(GraftVersions.liveFiles(fs, root).toSet -- added.map(_.rel))
+        val sealedV = GraftVersions.sealCommit(fs, root, c, removed, added)
+        // schema sidecar: same data columns, the NEW bucket-column set
+        val newSchema = StructType(
+          schema.fields.filterNot(f => GraftDataSource.isBucket(f.name)).toSeq ++
+            newBuckets.map(c => StructField(c,
+              org.apache.spark.sql.types.LongType, nullable = true)))
+        val out = fs.create(new Path(s"$path/_graft_schema.json"), true)
+        try out.write(newSchema.json.getBytes("UTF-8")) finally out.close()
+        GraftProcedures.singleRow("version", sealedV)
+      } finally fs.delete(stage, true)
     }
   }
 }

@@ -252,6 +252,11 @@ object GraftDataSource {
 
   /** Evaluate a pushed source filter against one chunk's bucket values. */
   private[sources] def evalOnBuckets(f: Filter, b: Map[String, Long]): Boolean = {
+    // a filter referencing a bucket column this file's path does not bind
+    // (pre-regrid files under a geometry that added dims) is undecidable
+    // here — keep the file, the row-level recheck is exact. Checked BEFORE
+    // evaluation so a Not(...) can never flip "unknown" into a wrong prune.
+    if (!f.references.forall(b.contains)) return true
     def v(x: Any): Long = x match {
       case l: Long => l; case i: Int => i.toLong
       case s: Short => s.toLong; case by: Byte => by.toLong
@@ -1408,8 +1413,11 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       // pinned scan never backs a row-level rewrite)
       return bloomSurvivors(pinnedWalk.map { case (f, b, _) => (f.toString, b) })
         .map { case (f, b) =>
+          // getOrElse: a pre-regrid file lacks buckets a later geometry
+          // added; -1 groups those files consistently (join conditions
+          // are still row-checked — grouping is only co-location)
           GraftInputPartition(f, b, !hasDataCols, -1,
-            keys.map(b(_))): InputPartition
+            keys.map(b.getOrElse(_, -1L))): InputPartition
         }.toArray
     val planned: Seq[(Path, Map[String, Long], Seq[(Path, Long)])] =
       if (topN.isEmpty || limit < 0) liveCellList()
@@ -1528,7 +1536,11 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType,
     def fieldInFile(name: String): Option[String] =
       GraftDataSource.resolveInFile(fileSchema, name, aliases)
     fields = required.fields.map { f =>
-      if (GraftDataSource.isBucket(f.name)) Left(p.buckets(f.name))
+      if (GraftDataSource.isBucket(f.name))
+        // a bucket column the path does not bind (file written under an
+        // older grid geometry, read through a post-regrid schema) is NULL
+        p.buckets.get(f.name).map(Left(_): Either[Any, Option[(String, DataType)]])
+          .getOrElse(Right(None))
       else if (f.name == GraftDataSource.CellColumn)
         Left(UTF8String.fromString(GraftDataSource.cellString(p.buckets)))
       else if (isChangeTag(f.name)) Left(UTF8String.fromString(p.changeTag))

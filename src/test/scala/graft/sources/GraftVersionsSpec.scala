@@ -208,6 +208,36 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vs == vs.sorted && vs.nonEmpty, s"dense ascending log: $vs")
   }
 
+  test("regrid reseals geometry as a versioned commit; old snapshots keep reading") {
+    spark.sql("CREATE TABLE vcat.rg (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.rg SELECT id, id * 10, id DIV 10 FROM range(0, 40)") // v1
+    val out = spark.sql(
+      "CALL vcat.system.regrid(table => 'rg', buckets => 'id DIV 5 AS c0, id % 2 AS c1')")
+      .collect()
+    assert(out.head.getLong(0) == 2L, "regrid seals the next version")
+    // content hash-identical through the geometry change
+    assert(rows("SELECT id, v FROM vcat.rg") ==
+      (0L until 40L).map(i => (i, i * 10)).toSet)
+    // the new geometry is live and routes later writes
+    assert(spark.sql("SELECT DISTINCT c1 FROM vcat.rg").collect()
+      .map(_.getLong(0)).toSet == Set(0L, 1L))
+    spark.sql("INSERT INTO vcat.rg VALUES (100, 1000, 20, 0)")
+    assert(new java.io.File(s"$warehouse/rg/c0=20/c1=0").isDirectory,
+      "post-regrid INSERT routes by the new bucket columns")
+    // a snapshot pinned BEFORE the regrid reads its own geometry: old
+    // files' bucket values come from their own paths, and a predicate on
+    // them prunes against that historical geometry
+    assert(rows("SELECT id, v FROM vcat.rg VERSION AS OF 1") ==
+      (0L until 40L).map(i => (i, i * 10)).toSet)
+    assert(rows("SELECT id, v FROM vcat.rg VERSION AS OF 1 WHERE c0 = 2") ==
+      (20L until 30L).map(i => (i, i * 10)).toSet)
+    // a NULL-producing bucket expression is refused before any mutation
+    val e = intercept[Exception](spark.sql(
+      "CALL vcat.system.regrid(table => 'rg', buckets => 'IF(id < 50, id, NULL) AS c0')"))
+    assert(e.getMessage.contains("NULL"))
+    assert(rows("SELECT id, v FROM vcat.rg").size == 41, "refusal left the table intact")
+  }
+
   test("first versioned commit writes a v0 baseline of the pre-existing world") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-vbase").toString + "/world"
