@@ -518,6 +518,46 @@ object DmdsQueries {
                 FROM events ORDER BY event_id""")
       ),
 
+      "w_branch_wap" -> QueryDef(
+        // write-audit-publish through the oracle gate: a base slice lands
+        // on main, the remaining slices STAGE on a writable branch
+        // (`option("graft.branch", ...)` appends seal branch-chain
+        // manifests, invisible to main readers), an audit read checks the
+        // staged state through the branch handle, and system.fast_forward
+        // publishes the branch head as main's next version — pure metadata,
+        // zero file moves. The readback is main AFTER publish; the oracle
+        // recomputes the full union. A drifted stage, a leak of staged
+        // rows into main before publish, or a lost slice at fast-forward
+        // all break the hash. Abandon/divergence semantics stay pinned in
+        // GraftVersionsSpec.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wwp", "wp")
+          events(s2, dir).createOrReplaceTempView("ev_src_wp")
+          s2.sql("DROP TABLE IF EXISTS wwp.ev_wap")
+          s2.sql("""CREATE TABLE wwp.ev_wap
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wwp.ev_wap
+                    SELECT event_id, user_id, value, user_id DIV 128
+                    FROM ev_src_wp WHERE event_id % 3 = 0""")
+          s2.sql("CALL wwp.system.branch(table => 'ev_wap', name => 'stage')")
+          val path = s2.conf.get("spark.sql.catalog.wwp.warehouse") + "/ev_wap"
+          def stage(m: Long): Unit =
+            s2.sql(s"""SELECT event_id, user_id, value, user_id DIV 128 AS c0
+                       FROM ev_src_wp WHERE event_id % 3 = $m""")
+              .write.format("graft").option("graft.branch", "stage")
+              .mode("append").save(path)
+          stage(1L); stage(2L)
+          // audit: the staged head must hold the full union before publish
+          val audited = s2.read.format("graft")
+            .option("graft.branch", "stage").load(path).count()
+          require(audited > 0, "audit read of the staged branch")
+          s2.sql("CALL wwp.system.fast_forward(table => 'ev_wap', branch => 'stage')")
+          s2.sql("""SELECT event_id, user_id, value FROM wwp.ev_wap
+                    ORDER BY event_id""")
+        },
+        Some("""SELECT event_id, user_id, value FROM events ORDER BY event_id""")
+      ),
+
       "w_regrid" -> QueryDef(
         // re-sharding as one SQL statement: build a table under one chunk
         // geometry, CALL system.regrid to a finer two-dim geometry (one

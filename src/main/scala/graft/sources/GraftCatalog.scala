@@ -312,7 +312,8 @@ class GraftCatalog extends TableCatalog
     if (namespace.sameElements(Array("system")))
       Array("compact", "stats", "rollback", "expire_versions", "versions",
         "tag", "drop_tag", "tags", "clone", "set_bloom", "zorder",
-        "regrid", "remove_orphans")
+        "regrid", "branch", "fast_forward", "drop_branch", "branches",
+        "remove_orphans")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -351,6 +352,12 @@ class GraftCatalog extends TableCatalog
       case (Seq("system"), "set_bloom") => new GraftSetBloomProcedure(this)
       case (Seq("system"), "zorder")   => new GraftZOrderProcedure(this)
       case (Seq("system"), "regrid")   => new GraftRegridProcedure(this)
+      case (Seq("system"), "branch")   => new GraftBranchProcedure(this, "branch")
+      case (Seq("system"), "fast_forward") =>
+        new GraftBranchProcedure(this, "fast_forward")
+      case (Seq("system"), "drop_branch") =>
+        new GraftBranchProcedure(this, "drop_branch")
+      case (Seq("system"), "branches") => new GraftBranchesProcedure(this)
       case (Seq("system"), "remove_orphans") =>
         new GraftRemoveOrphansProcedure(this)
       case (Seq("system"), "set_retention") =>
@@ -371,7 +378,8 @@ class GraftCatalog extends TableCatalog
           "system.compact, system.stats, system.rollback, " +
           "system.expire_versions, system.versions, system.clean_stages, " +
           "system.tag, system.drop_tag, system.tags, system.clone, " +
-          "system.set_bloom, system.zorder, system.regrid, " +
+          "system.set_bloom, system.zorder, system.regrid, system.branch, " +
+          "system.fast_forward, system.drop_branch, system.branches, " +
           "system.remove_orphans, " +
           "system.set_retention, system.set_compaction, system.index_text, " +
           "system.index_vector, system.index_refresh, system.search_text, " +
@@ -1219,6 +1227,95 @@ class GraftTagsProcedure(cat: GraftCatalog)
         StructField("version", org.apache.spark.sql.types.LongType, nullable = false)))
       val rows = GraftVersions.listTags(fs, new Path(path)).map { case (n, v) =>
         org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n), v)
+      }.toArray
+      GraftProcedures.scanOf(schema, rows)
+    }
+  }
+}
+
+/** Writable-branch (write-audit-publish) procedures — see
+  * [[GraftVersions.createBranch]]:
+  *
+  *   - `system.branch(table, name)` — fork a mutable head at main's latest;
+  *     stage appends with `df.write.option("graft.branch", name)` and read
+  *     the staged state with the same read option;
+  *   - `system.fast_forward(table, branch)` — publish: main's next version
+  *     seals with the branch head's entries (pure metadata, zero file
+  *     moves) and the branch drops; refused loudly if main advanced since
+  *     the fork;
+  *   - `system.drop_branch(table, name)` — abandon: main is untouched, the
+  *     branch's exclusive files fall to remove_orphans;
+  *   - `system.branches(table)` — (branch, fork_version) listing.
+  */
+class GraftBranchProcedure(cat: GraftCatalog, val op: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = op
+  override def description(): String = op match {
+    case "branch"       => "fork a writable staging branch at main's latest commit"
+    case "fast_forward" => "publish a branch head as main's next version"
+    case _              => "abandon a staging branch (main untouched)"
+  }
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = op
+    override def description(): String = GraftBranchProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build(),
+      ProcedureParameter.in(if (op == "fast_forward") "branch" else "name",
+          org.apache.spark.sql.types.StringType)
+        .comment("branch name").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      val name = input.getUTF8String(1).toString
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val root = new Path(path)
+      op match {
+        case "branch" =>
+          GraftProcedures.singleRow("fork_version",
+            GraftVersions.createBranch(fs, root, name))
+        case "fast_forward" =>
+          GraftProcedures.singleRow("version",
+            GraftVersions.fastForward(fs, root, name))
+        case _ =>
+          GraftProcedures.singleRow("dropped",
+            if (GraftVersions.dropBranch(fs, root, name)) 1L else 0L)
+      }
+    }
+  }
+}
+
+class GraftBranchesProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "branches"
+  override def description(): String = "staging branches of a table"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "branches"
+    override def description(): String = GraftBranchesProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val schema = StructType(Seq(
+        StructField("branch", org.apache.spark.sql.types.StringType, nullable = false),
+        StructField("fork_version", org.apache.spark.sql.types.LongType,
+          nullable = false)))
+      val rows = GraftVersions.listBranches(fs, new Path(path)).map {
+        case (n, v) => org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(n), v)
       }.toArray
       GraftProcedures.scanOf(schema, rows)

@@ -93,6 +93,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
           FileSystem.get(root.toUri, new Configuration()), root)
           .map { case (src, v) => GraftClonePin(src, v) }
       }
+      // option("graft.branch", b): read/append against a WAP branch's head
+      // (system.branch forks it; system.fast_forward publishes)
+      .orElse(Option(properties.get("graft.branch")).map(GraftBranchPin(_)))
     // option("graft.startingVersion", n | "latest"): where a STREAMING read
     // begins — version n's changes onward (inclusive), or only commits
     // sealed after the stream starts. Absent = the whole current state
@@ -136,6 +139,21 @@ private[graft] final case class GraftDiffPin(base: Long, target: Long)
       pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] =
     GraftVersions.diffFiles(fs, root, base, target, pushed)
 }
+/** A WAP branch's head: resolves the branch's newest staged manifest
+  * (or its fork when the branch has no commits). Unlike the frozen pins
+  * this one is WRITABLE — appends through the same handle seal branch
+  * commits — but row-level/overwrite/streaming mutations stay refused. */
+private[graft] final case class GraftBranchPin(name: String)
+    extends GraftTimePin {
+  def describe: String = s"Branch: $name"
+  def files(fs: FileSystem, root: Path,
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] =
+    GraftVersions.branchHeadEntries(fs, root, name)
+      .map(e => (e, GraftVersions.bucketsOf(e.rel)))
+      .filter { case (_, b) => pushed.forall(GraftDataSource.evalOnBuckets(_, b)) }
+      .map { case (e, b) => (new Path(root, e.rel), b, e.size) }
+}
+
 /** A zero-copy clone's pin: resolves against the SOURCE table's version
   * manifests (the passed `root` is the clone directory, which holds only
   * the pointer + sidecars — see [[GraftClone]]). */
@@ -605,10 +623,19 @@ class GraftTable(path: String, schema: StructType,
   override def name(): String =
     s"graft:$path" + pin.map(p => s"@${p.describe}").getOrElse("")
 
-  private def readOnly(op: String): Unit = pin.foreach(p =>
-    throw new UnsupportedOperationException(
+  private def readOnly(op: String): Unit = pin.foreach {
+    case _: GraftBranchPin => // a branch head is writable (append commits)
+    case p => throw new UnsupportedOperationException(
       s"graft: $op on a version-pinned table (${p.describe}) — pinned " +
-        "reads are read-only"))
+        "reads are read-only")
+  }
+
+  private def noBranch(op: String): Unit = pin.foreach {
+    case b: GraftBranchPin => throw new UnsupportedOperationException(
+      s"graft: $op on branch '${b.name}' — branch staging supports APPEND " +
+        "commits; publish with system.fast_forward first")
+    case _ =>
+  }
 
   /** `_cell`: the chunk-cell a row lives in (its directory's relative path,
     * `c0=…/c1=…`) — the grid's analog of other formats' `_file` metadata
@@ -635,6 +662,7 @@ class GraftTable(path: String, schema: StructType,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     readOnly("row-level operation")
+    noBranch("row-level operation")
     new GraftRowLevelBuilder(path, schema, info)
   }
 
@@ -653,6 +681,7 @@ class GraftTable(path: String, schema: StructType,
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
       : Unit = {
     readOnly("DELETE")
+    noBranch("DELETE")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
     val root = new org.apache.hadoop.fs.Path(path)

@@ -261,8 +261,11 @@ private[graft] object GraftVersions {
   private case object CasLost extends CasResult // version sealed by another commit
   private case object CasBusy extends CasResult // claim held by an in-flight sealer
 
-  private def claimPath(root: Path, v: Long): Path =
-    new Path(new Path(root, VersionsDir), s"v$v.claim")
+  /** The claim file guarding one manifest path (same dir, `.claim` for
+    * `.manifest`) — works for main (`v<N>`) and branch (`b-<name>-v<k>`)
+    * manifests alike. */
+  private def claimOf(p: Path): Path =
+    new Path(p.getParent, p.getName.stripSuffix(ManifestSuffix) + ".claim")
 
   /** How long a claim may sit without its manifest before a waiter treats
     * the claimer as crashed and releases it. The claim is held only for
@@ -294,11 +297,14 @@ private[graft] object GraftVersions {
     }
 
   private def writeManifestCas(fs: FileSystem, root: Path, v: Long,
+      files: Seq[ManifestEntry]): CasResult =
+    writeManifestCasAt(fs, manifestPath(root, v), v, files)
+
+  private def writeManifestCasAt(fs: FileSystem, p: Path, v: Long,
       files: Seq[ManifestEntry]): CasResult = {
-    val p = manifestPath(root, v)
     fs.mkdirs(p.getParent)
     if (fs.exists(p)) return CasLost
-    val claim = claimPath(root, v)
+    val claim = claimOf(p)
     if (!createExclusive(fs, claim))
       return if (fs.exists(p)) CasLost else CasBusy
     try {
@@ -317,12 +323,15 @@ private[graft] object GraftVersions {
     * return so the caller re-attempts its CAS. Backoff doubles to 1 s and
     * the total bound is minutes — a loaded JVM's GC pause inside the
     * claim window (the r10 flake) is waited out, not errored out. */
-  private def awaitSeal(fs: FileSystem, root: Path, v: Long): Unit = {
-    val claim = claimPath(root, v)
+  private def awaitSeal(fs: FileSystem, root: Path, v: Long): Unit =
+    awaitSealAt(fs, manifestPath(root, v))
+
+  private def awaitSealAt(fs: FileSystem, p: Path): Unit = {
+    val claim = claimOf(p)
     var sleep = 10L
     val deadline = System.currentTimeMillis() + 4 * StaleClaimMs
     while (System.currentTimeMillis() < deadline) {
-      if (fs.exists(manifestPath(root, v))) return
+      if (fs.exists(p)) return
       val st =
         try Some(fs.getFileStatus(claim))
         catch { case _: java.io.FileNotFoundException => None }
@@ -338,7 +347,7 @@ private[graft] object GraftVersions {
       sleep = math.min(sleep * 2, 1000L)
     }
     throw new IllegalStateException(
-      s"graft commit: the claim on v$v of $root has been held for " +
+      s"graft commit: the claim on $p has been held for " +
         s"${4 * StaleClaimMs / 1000}s without a sealed manifest — " +
         "another writer is wedged mid-seal; resolve it before retrying")
   }
@@ -356,6 +365,10 @@ private[graft] object GraftVersions {
            else s" (available: ${have.min}..${have.max}; gaps are crashed or " +
              "retention-expired commits)"))
     }
+    readEntriesAt(fs, p)
+  }
+
+  private def readEntriesAt(fs: FileSystem, p: Path): Seq[ManifestEntry] = {
     // Manifests are PROMOTED via atomic rename (see writeManifestCas), so a
     // listed manifest is complete-on-visibility and this read normally
     // succeeds first try. The bounded retry below covers the two residual
@@ -433,7 +446,10 @@ private[graft] object GraftVersions {
       // seal triggers an expire only when the log has actually outgrown
       // keep; the append commit triggers compaction only on its own cells
       retention: Option[Int] = None, versionsSeen: Int = 0,
-      compactMaxFiles: Option[Int] = None)
+      compactMaxFiles: Option[Int] = None,
+      // a WAP branch this commit targets: the seal goes to the branch's
+      // own manifest chain, invisible to main readers until fast_forward
+      branch: Option[String] = None)
 
   /** Start a versioned commit. A world with data but no manifests first
     * gets a BASELINE v0 manifest of its pre-commit state, so the state a
@@ -497,26 +513,37 @@ private[graft] object GraftVersions {
         case None => liveFileEntries(fs, root)
           .filterNot(e => removed.contains(e.rel)) ++ added
       }).groupBy(_.rel).map { case (_, dup) => dup.maxBy(_.size) }.toSeq
-      writeManifestCas(fs, root, c.v, entries) match {
+      val target = c.branch match {
+        case Some(b) => branchManifestPath(root, b, c.v)
+        case None    => manifestPath(root, c.v)
+      }
+      writeManifestCasAt(fs, target, c.v, entries) match {
         case CasSealed =>
-          fs.delete(barrierPath(root), false)
-          // declared auto-retention: self-expire once the log outgrows keep
-          // (versionsSeen + this seal; expire re-lists, so a stale count
-          // only costs a no-op call, never over-expires)
-          c.retention.foreach { k =>
-            if (c.versionsSeen + 1 > k) expire(fs, root, k)
+          if (c.branch.isEmpty) {
+            fs.delete(barrierPath(root), false)
+            // declared auto-retention: self-expire once the log outgrows
+            // keep (versionsSeen + this seal; expire re-lists, so a stale
+            // count only costs a no-op call, never over-expires). Branch
+            // seals skip this — retention/compaction are main-log policies
+            // applied when the branch publishes.
+            c.retention.foreach { k =>
+              if (c.versionsSeen + 1 > k) expire(fs, root, k)
+            }
           }
           return c.v
         case CasBusy =>
           // another sealer holds the claim on this version: wait for its
           // manifest (or its death), then re-attempt — next round either
           // re-claims (claimer aborted) or takes the CasLost branch
-          awaitSeal(fs, root, c.v)
+          awaitSealAt(fs, target)
         case CasLost if removed.isEmpty =>
           // lost the CAS but we only add files: re-begin on the winner's
           // state and replay the delta (the winner's manifest becomes the
           // predecessor)
-          c = beginCommit(fs, root, baseline = false)
+          c = c.branch match {
+            case Some(b) => beginBranchCommit(fs, root, b)
+            case None    => beginCommit(fs, root, baseline = false)
+          }
         case CasLost => throw new java.util.ConcurrentModificationException(
           s"graft commit: version v${c.v} of $root was sealed by a " +
             "concurrent writer while this commit retired files against the " +
@@ -546,7 +573,10 @@ private[graft] object GraftVersions {
     val st = logState(fs, root)
     if (st.versions.isEmpty) return // nothing to invalidate
     if (!st.barrier) {
-      val live = readManifest(fs, root, st.versions.last).toSet
+      val live = readManifest(fs, root, st.versions.last).toSet ++
+        // branch-staged files survive a main-side rewrite barrier's sync
+        listBranches(fs, root)
+          .flatMap { case (b, _) => branchHeadEntries(fs, root, b).map(_.rel) }
       val emptied = scala.collection.mutable.Set[Path]()
       GraftDataSource.walkChunks(fs, root, Array.empty)
         .flatMap { case (d, _) => GraftDataSource.chunkFiles(fs, d) }
@@ -684,7 +714,10 @@ private[graft] object GraftVersions {
     val versions = st.versions
     if (versions.size <= keep) return 0L
     val keepSet = versions.takeRight(keep).toSet ++
-      listTags(fs, root).map(_._2).filter(versions.contains)
+      listTags(fs, root).map(_._2).filter(versions.contains) ++
+      // a live branch pins its FORK version: expiring it would delete the
+      // pre-branch copies of files the branch head still references
+      listBranches(fs, root).map(_._2).filter(versions.contains)
     val dropped = versions.filterNot(keepSet.contains)
     val keptRels: Set[String] =
       keepSet.toSeq.flatMap(v => readManifest(fs, root, v)).toSet
@@ -735,6 +768,10 @@ private[graft] object GraftVersions {
         "version; sweep after that write")
     val referenced = scala.collection.mutable.HashSet.empty[String]
     st.versions.foreach(v => referenced ++= readManifest(fs, root, v))
+    // staged-but-unpublished branch files are LIVE (branch readers and the
+    // eventual fast_forward reference them), not debris
+    listBranches(fs, root).foreach { case (b, _) =>
+      referenced ++= branchHeadEntries(fs, root, b).map(_.rel) }
     val cutoff = System.currentTimeMillis() - olderThanMs
     GraftDataSource.walkChunks(fs, root, Array.empty)
       .flatMap { case (d, _) => GraftDataSource.chunkFileStatuses(fs, d) }
@@ -778,6 +815,137 @@ private[graft] object GraftVersions {
 
   def dropTag(fs: FileSystem, root: Path, name: String): Boolean =
     fs.delete(tagPath(root, name), false)
+
+  // --- writable BRANCHES (write-audit-publish): a named MUTABLE head
+  // beside the immutable tags. The marker `branch-<name>` records the FORK
+  // version (the main commit the branch is based on); branch commits seal
+  // their own manifest chain `b-<name>-v<k>.manifest` through the same
+  // claim-protocol CAS, INVISIBLE to main readers (logState collects only
+  // `v<N>.manifest`). The WAP cycle: `branch` forks, staged commits land
+  // on the branch (validated by the same CHECK/quality gates as any
+  // write), `fast_forward` publishes the branch head as main's next
+  // version — metadata only, zero file moves, refused loudly if main
+  // advanced since the fork — and an abandoned branch is `drop_branch`ed,
+  // its exclusive files reclaimed by the orphan sweep.
+  private val BranchPrefix = "branch-"
+  private def branchMarkerPath(root: Path, name: String): Path =
+    new Path(new Path(root, VersionsDir), s"$BranchPrefix$name")
+  private def branchManifestPath(root: Path, name: String, k: Long): Path =
+    new Path(new Path(root, VersionsDir), s"b-$name-v$k$ManifestSuffix")
+
+  /** Fork a branch at the latest main commit. Refuses under a pending
+    * barrier (manifests stale) and on an unversioned world. */
+  def createBranch(fs: FileSystem, root: Path, name: String): Long = {
+    require(TagName.matcher(name).matches(),
+      s"graft branch: name '$name' must match [A-Za-z][A-Za-z0-9._-]*")
+    val st = logState(fs, root)
+    require(!st.barrier,
+      s"graft branch: $root has a pending rewrite barrier — commit first")
+    val latest = st.latest.getOrElse(throw new IllegalArgumentException(
+      s"graft branch: $root has no versioned commits to fork from"))
+    require(branchFork(fs, root, name).isEmpty,
+      s"graft branch: '$name' already exists")
+    val out = fs.create(branchMarkerPath(root, name), true)
+    out.write(s"$latest\n".getBytes("UTF-8")); out.close()
+    latest
+  }
+
+  /** The main version branch `name` forked from, if the branch exists. */
+  def branchFork(fs: FileSystem, root: Path, name: String): Option[Long] = {
+    val p = branchMarkerPath(root, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val t = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      Some(t.toLong)
+    }
+  }
+
+  def listBranches(fs: FileSystem, root: Path): Seq[(String, Long)] = {
+    val dir = new Path(root, VersionsDir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(BranchPrefix))
+      .map(_.getPath.getName.stripPrefix(BranchPrefix))
+      .flatMap(n => branchFork(fs, root, n).map(n -> _)).sortBy(_._1)
+  }
+
+  /** Sealed branch-commit numbers of `name`, ascending (empty = no commits
+    * since the fork). */
+  def branchVersions(fs: FileSystem, root: Path, name: String): Seq[Long] = {
+    val dir = new Path(root, VersionsDir)
+    val prefix = s"b-$name-v"
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(ManifestSuffix))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(prefix).stripSuffix(ManifestSuffix).toLong).toOption)
+      .sorted
+  }
+
+  /** The branch head's live-file entries: its newest branch manifest, or
+    * the fork manifest when the branch has no commits yet. */
+  def branchHeadEntries(fs: FileSystem, root: Path,
+      name: String): Seq[ManifestEntry] = {
+    val fork = branchFork(fs, root, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: no branch '$name' of $root " +
+          s"(branches: ${listBranches(fs, root).map(_._1).mkString(", ")})"))
+    branchVersions(fs, root, name).lastOption match {
+      case Some(k) => readEntriesAt(fs, branchManifestPath(root, name, k))
+      case None    => readEntries(fs, root, fork)
+    }
+  }
+
+  /** Start a commit against branch `name`'s head. */
+  def beginBranchCommit(fs: FileSystem, root: Path,
+      name: String): PendingCommit = {
+    require(!hasBarrier(fs, root),
+      s"graft branch commit: $root has a pending rewrite barrier")
+    val next = branchVersions(fs, root, name).lastOption.getOrElse(0L) + 1
+    PendingCommit(next, Some(branchHeadEntries(fs, root, name)),
+      branch = Some(name))
+  }
+
+  /** Publish: seal main's next version with the branch head's entries —
+    * pure metadata (the staged files are already in place) — then drop the
+    * branch. Refused when main advanced past the fork (the branch's view
+    * of retired files would silently undo the interleaved commits); the
+    * remedy is re-staging on a fresh branch. */
+  def fastForward(fs: FileSystem, root: Path, name: String): Long = {
+    val st = logState(fs, root)
+    require(!st.barrier,
+      s"graft fast_forward: $root has a pending rewrite barrier")
+    val fork = branchFork(fs, root, name).getOrElse(
+      throw new IllegalArgumentException(s"graft: no branch '$name' of $root"))
+    val latest = st.latest.getOrElse(0L)
+    if (latest != fork)
+      throw new java.util.ConcurrentModificationException(
+        s"graft fast_forward: main advanced v$fork -> v$latest since branch " +
+          s"'$name' forked — publishing would drop those commits; re-stage " +
+          "on a fresh branch")
+    val entries = branchHeadEntries(fs, root, name)
+    val newV = latest + 1
+    var r = writeManifestCasAt(fs, manifestPath(root, newV), newV, entries)
+    while (r == CasBusy) {
+      awaitSeal(fs, root, newV)
+      r = writeManifestCasAt(fs, manifestPath(root, newV), newV, entries)
+    }
+    if (r != CasSealed)
+      throw new java.util.ConcurrentModificationException(
+        s"graft fast_forward: version v$newV of $root was sealed concurrently")
+    dropBranch(fs, root, name)
+    newV
+  }
+
+  /** Abandon a branch: marker and branch manifests go; files only branch
+    * commits referenced become unreferenced and fall to the orphan sweep. */
+  def dropBranch(fs: FileSystem, root: Path, name: String): Boolean = {
+    val existed = fs.delete(branchMarkerPath(root, name), false)
+    branchVersions(fs, root, name).foreach(k =>
+      fs.delete(branchManifestPath(root, name, k), false))
+    existed
+  }
 
   /** A VERSION AS OF / graft.snapshot operand: a commit number, or a tag
     * name resolved through the tag files. */

@@ -71,6 +71,18 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
         new Path(path),
         o.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     }
+    // option("graft.branch", b): the append seals a BRANCH commit —
+    // invisible to main readers until system.fast_forward publishes it
+    // (write-audit-publish staging). Only plain appends stage on a branch:
+    // overwrite/upsert compute victim sets against a head that main-side
+    // machinery (compaction, retention) doesn't see, so they refuse.
+    val branch = Option(info.options().get("graft.branch"))
+    branch.foreach { b =>
+      require(!dynamicOverwrite && overwriteBy.isEmpty &&
+          !"upsert".equalsIgnoreCase(info.options().get("graft.mode")),
+        s"graft: branch '$b' staging supports APPEND only — publish with " +
+          "system.fast_forward, then run the overwrite/upsert on main")
+    }
     val batch: BatchWrite =
       if (dynamicOverwrite)
         new GraftOverwriteWrite(path, info.schema(), None)
@@ -78,7 +90,7 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
         new GraftOverwriteWrite(path, info.schema(), Some(overwriteBy.get))
       else if ("upsert".equalsIgnoreCase(info.options().get("graft.mode")))
         new GraftUpsertWrite(path, info.schema())
-      else new GraftBatchWrite(path, info.schema())
+      else new GraftBatchWrite(path, info.schema(), branch)
     new Write with RequiresDistributionAndOrdering {
       private val layout = GraftWriteLayout
         .withLayout(path, info.schema(), batch, viaCatalog)
@@ -92,6 +104,9 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
       // semantics per epoch.
       override def toStreaming:
           org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        branch.foreach { b => throw new UnsupportedOperationException(
+          s"graft: streaming writes cannot target branch '$b' — stage " +
+            "batch appends, or stream to main") }
         val mode =
           if (overwriteBy.exists(_.forall(
               _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])))
@@ -685,7 +700,8 @@ class GraftStreamingWriterFactory(path: String, schema: StructType)
       taskId, bloomCols, checks)
 }
 
-class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {
+class GraftBatchWrite(path: String, schema: StructType,
+    branch: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(path, schema, GraftBloom.columnsOf(path),
       GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema))
@@ -709,12 +725,17 @@ class GraftBatchWrite(path: String, schema: StructType) extends BatchWrite {
     }.flatten.map { case (f, sz) =>
       GraftVersions.ManifestEntry(GraftVersions.relOf(root, new Path(f)), sz)
     }
-    val c = GraftVersions.beginCommit(fs, root,
-      excludeFromBaseline = added.map(_.rel).toSet)
+    val c = branch match {
+      // branch staging: the seal goes to the branch's own manifest chain;
+      // auto-compaction stays a main-log policy (runs after publish)
+      case Some(b) => GraftVersions.beginBranchCommit(fs, root, b)
+      case None => GraftVersions.beginCommit(fs, root,
+        excludeFromBaseline = added.map(_.rel).toSet)
+    }
     GraftVersions.sealCommit(fs, root, c, Set.empty, added)
     // declared auto-compaction (system.set_compaction): appends are the
     // one fragmenting batch commit — bound the cells this append touched
-    c.compactMaxFiles.foreach { bound =>
+    if (branch.isEmpty) c.compactMaxFiles.foreach { bound =>
       GraftStreamingWrite.compactTouchedCells(path, schema,
         added.map(e => GraftVersions.bucketsOf(e.rel)).toSet, bound)
     }

@@ -208,6 +208,63 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vs == vs.sorted && vs.nonEmpty, s"dense ascending log: $vs")
   }
 
+  test("writable branches: stage, audit, fast-forward; abandon leaves main untouched") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE vcat.wap (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.wap VALUES (1, 10, 0)") // main v1
+    spark.sql("""CALL vcat.system.set_check(table => 'wap', name => 'v_pos',
+      expr => 'v > 0')""")
+    val path = s"$warehouse/wap"
+    def stage(b: String, rows: (Long, Long, Long)*): Unit =
+      rows.toSeq.toDF("id", "v", "c0").write.format("graft")
+        .option("graft.branch", b).mode("append").save(path)
+    val fork = spark.sql("CALL vcat.system.branch(table => 'wap', name => 'st1')")
+      .collect().head.getLong(0)
+    assert(fork == 1L)
+    stage("st1", (2L, 20L, 0L))
+    stage("st1", (11L, 110L, 1L))
+    // the declared CHECK gates branch staging exactly like main writes
+    intercept[Exception](stage("st1", (3L, -5L, 0L)))
+    // WRITE phase done; AUDIT: main untouched, the branch handle sees the
+    // staged state
+    assert(rows("SELECT id, v FROM vcat.wap") == Set((1L, 10L)),
+      "staged commits are invisible to main readers")
+    val staged = spark.read.format("graft").option("graft.branch", "st1")
+      .load(path).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(staged == Set((1L, 10L), (2L, 20L), (11L, 110L)))
+    // PUBLISH: pure metadata, main's next version = the branch head
+    val pubV = spark.sql(
+      "CALL vcat.system.fast_forward(table => 'wap', branch => 'st1')")
+      .collect().head.getLong(0)
+    assert(pubV == 2L)
+    assert(rows("SELECT id, v FROM vcat.wap") ==
+      Set((1L, 10L), (2L, 20L), (11L, 110L)))
+    assert(spark.sql("CALL vcat.system.branches(table => 'wap')")
+      .collect().isEmpty, "publish drops the branch")
+    // pre-publish history is intact
+    assert(rows("SELECT id, v FROM vcat.wap VERSION AS OF 1") == Set((1L, 10L)))
+    // ABANDON: staged rows never reach main
+    spark.sql("CALL vcat.system.branch(table => 'wap', name => 'bad')")
+    stage("bad", (99L, 990L, 9L))
+    spark.sql("CALL vcat.system.drop_branch(table => 'wap', name => 'bad')")
+    assert(rows("SELECT id, v FROM vcat.wap") ==
+      Set((1L, 10L), (2L, 20L), (11L, 110L)), "abandoned branch: main untouched")
+    // DIVERGENCE: main advanced since the fork -> publish refuses loudly
+    spark.sql("CALL vcat.system.branch(table => 'wap', name => 'late')")
+    stage("late", (5L, 50L, 0L))
+    spark.sql("INSERT INTO vcat.wap VALUES (21, 210, 2)")
+    val e = intercept[Exception](spark.sql(
+      "CALL vcat.system.fast_forward(table => 'wap', branch => 'late')"))
+    assert(e.getMessage.contains("advanced"), s"got: ${e.getMessage}")
+    // non-append mutations refuse on a branch handle
+    val e2 = intercept[Exception] {
+      Seq((7L, 70L, 0L)).toDF("id", "v", "c0").write.format("graft")
+        .option("graft.branch", "late").mode("overwrite").save(path)
+    }
+    assert(e2.getMessage.contains("APPEND"), s"got: ${e2.getMessage}")
+  }
+
   test("regrid reseals geometry as a versioned commit; old snapshots keep reading") {
     spark.sql("CREATE TABLE vcat.rg (id BIGINT, v BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO vcat.rg SELECT id, id * 10, id DIV 10 FROM range(0, 40)") // v1
