@@ -445,6 +445,47 @@ object DmdsQueries {
                 ORDER BY event_id""")
       ),
 
+      "w_stats_prune" -> QueryDef(
+        // manifest-carried ZONE MAPS through the oracle gate: three
+        // commits land disjoint event_id terciles into the SAME chunk
+        // cells (the split column is not a dim, so bucket pruning is
+        // blind to it), then a range scan keys on event_id. Planning
+        // tests the pushed range against each file's manifest-carried
+        // min/max bounds and drops the two refuted commits' files with
+        // ZERO per-file I/O — no bloom registration, no footer walk
+        // (GraftStatsSpec pins the file-drop and the capture; this
+        // declares the result stays row-exact through the skip). At a
+        // 100k-file grid this is the difference between one manifest
+        // read and 100k footer probes for every time-range query over
+        // an append-ordered corpus.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wzm", "zm")
+          events(s2, dir).createOrReplaceTempView("ev_src_zm")
+          s2.sql("DROP TABLE IF EXISTS wzm.ev_zm")
+          s2.sql("""CREATE TABLE wzm.ev_zm
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          // deterministic terciles of the id domain (event_id is dense
+          // from 0): exact integer arithmetic, restated identically in
+          // the oracle — an approx-quantile cut could diverge per engine
+          val mx = s2.sql("SELECT max(event_id) FROM ev_src_zm").head.getLong(0)
+          val (a, b) = (mx / 3, 2 * mx / 3)
+          s2.sql(s"""INSERT INTO wzm.ev_zm
+                     SELECT event_id, user_id, value, user_id DIV 512
+                     FROM ev_src_zm WHERE event_id < $a""")
+          s2.sql(s"""INSERT INTO wzm.ev_zm
+                     SELECT event_id, user_id, value, user_id DIV 512
+                     FROM ev_src_zm WHERE event_id >= $a AND event_id < $b""")
+          s2.sql(s"""INSERT INTO wzm.ev_zm
+                     SELECT event_id, user_id, value, user_id DIV 512
+                     FROM ev_src_zm WHERE event_id >= $b""")
+          s2.sql(s"""SELECT event_id, user_id, value FROM wzm.ev_zm
+                     WHERE event_id >= $b ORDER BY event_id""")
+        },
+        Some("""SELECT event_id, user_id, value FROM events
+                WHERE event_id >= 2 * (SELECT max(event_id) FROM events) // 3
+                ORDER BY event_id""")
+      ),
+
       "w_zorder_scan" -> QueryDef(
         // end-to-end over the Z-ORDERED layout: create the world with
         // zorderWithinChunks (intra-chunk rows follow the Morton curve of

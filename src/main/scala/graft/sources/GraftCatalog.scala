@@ -313,7 +313,7 @@ class GraftCatalog extends TableCatalog
       Array("compact", "stats", "rollback", "expire_versions", "versions",
         "tag", "drop_tag", "tags", "clone", "set_bloom", "zorder",
         "regrid", "branch", "fast_forward", "drop_branch", "branches",
-        "remove_orphans")
+        "remove_orphans", "set_stats")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -364,6 +364,7 @@ class GraftCatalog extends TableCatalog
         new GraftSetRetentionProcedure(this)
       case (Seq("system"), "set_compaction") =>
         new GraftSetCompactionProcedure(this)
+      case (Seq("system"), "set_stats") => new GraftSetStatsProcedure(this)
       case (Seq("system"), "set_check") => new GraftSetCheckProcedure(this)
       case (Seq("system"), "drop_check") => new GraftDropCheckProcedure(this)
       case (Seq("system"), "index_text") => new GraftIndexTextProcedure(this)
@@ -381,7 +382,8 @@ class GraftCatalog extends TableCatalog
           "system.set_bloom, system.zorder, system.regrid, system.branch, " +
           "system.fast_forward, system.drop_branch, system.branches, " +
           "system.remove_orphans, " +
-          "system.set_retention, system.set_compaction, system.index_text, " +
+          "system.set_retention, system.set_compaction, system.set_stats, " +
+          "system.index_text, " +
           "system.index_vector, system.index_refresh, system.search_text, " +
           "system.search_vector, system.set_check, system.drop_check, " +
           "system.mv_create, system.mv_refresh)")
@@ -1117,9 +1119,9 @@ class GraftStatsProcedure(cat: GraftCatalog)
             // pre-size-format line (−1) needs a listing, filtered to live
             // names (retired-in-place bytes are not table stats)
             val lens =
-              if (files.forall(_._2 >= 0L)) files.map(_._2)
+              if (files.forall(_.size >= 0L)) files.map(_.size)
               else {
-                val live = files.map(_._1.getName).toSet
+                val live = files.map(_.path.getName).toSet
                 if (!fs.exists(d)) Seq.empty
                 else fs.listStatus(d).toSeq.filter(st => st.isFile &&
                   live.contains(st.getPath.getName)).map(_.getLen)
@@ -1407,8 +1409,9 @@ private[sources] object GraftMetaTable {
         GraftDataSource.liveCells(fs, root, Array.empty)
           .sortBy { case (_, b, _) => b.toSeq.sortBy(_._1).map(_._2).mkString(",") }
           .flatMap { case (_, b, files) =>
-            files.map { case (f, sz) =>
-              InternalRow(cellOf(b), UTF8String.fromString(f.getName), sz)
+            files.map { fr =>
+              InternalRow(cellOf(b), UTF8String.fromString(fr.path.getName),
+                fr.size)
             }
           }.toArray
       case "cells" =>
@@ -1416,7 +1419,7 @@ private[sources] object GraftMetaTable {
           .sortBy { case (_, b, _) => b.toSeq.sortBy(_._1).map(_._2).mkString(",") }
           .map { case (_, b, files) =>
             InternalRow(cellOf(b), files.size.toLong,
-              if (files.forall(_._2 >= 0L)) files.map(_._2).sum else -1L)
+              if (files.forall(_.size >= 0L)) files.map(_.size).sum else -1L)
           }.toArray
       case "tags" =>
         GraftVersions.listTags(fs, root).map { case (n, v) =>
@@ -1447,4 +1450,42 @@ private[sources] object GraftProcedures {
       StructType(Seq(StructField(colName,
         org.apache.spark.sql.types.LongType, nullable = false))),
       Array(InternalRow(v)))
+}
+
+/** `CALL <cat>.system.set_stats(table => 't', columns => 'a,b' | 'auto' |
+  * 'off')` — declare the table's ZONE-MAP capture policy ([[GraftStats]]).
+  * Capture is on by default ('auto': every integral data column, capped);
+  * 'off' stops future commits from reading footers at seal time; a column
+  * list narrows capture to the named columns. Takes effect from the next
+  * commit — already-sealed manifests keep the bounds they carry (files
+  * are immutable, so stale bounds are still TRUE bounds; pruning against
+  * them stays sound either way). */
+class GraftSetStatsProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "set_stats"
+  override def description(): String =
+    "declare zone-map capture: 'auto' (default), 'off', or a column list"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "set_stats"
+    override def description(): String =
+      GraftSetStatsProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build(),
+      ProcedureParameter.in("columns", org.apache.spark.sql.types.StringType)
+        .comment("'auto', 'off', or comma-separated column names").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      val value = input.getUTF8String(1).toString.trim
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      GraftStats.declare(fs, new Path(path), value)
+      GraftProcedures.singleRow("stats_declared", 1L)
+    }
+  }
 }

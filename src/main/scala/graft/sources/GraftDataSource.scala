@@ -122,21 +122,21 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   * mutation and streaming read. */
 private[graft] sealed trait GraftTimePin {
   def describe: String
-  /** (file, buckets, manifest-carried size — −1 unknown). */
+  /** (file, buckets, manifest entry — size −1 unknown, stats = zone map). */
   def files(fs: FileSystem, root: Path,
-      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)]
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], GraftVersions.ManifestEntry)]
 }
 private[graft] final case class GraftPin(v: Long) extends GraftTimePin {
   def describe: String = s"Snapshot: v$v"
   def files(fs: FileSystem, root: Path,
-      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] =
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], GraftVersions.ManifestEntry)] =
     GraftVersions.snapshotFiles(fs, root, v, pushed)
 }
 private[graft] final case class GraftDiffPin(base: Long, target: Long)
     extends GraftTimePin {
   def describe: String = s"Changes: v$base..v$target"
   def files(fs: FileSystem, root: Path,
-      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] =
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], GraftVersions.ManifestEntry)] =
     GraftVersions.diffFiles(fs, root, base, target, pushed)
 }
 /** A WAP branch's head: resolves the branch's newest staged manifest
@@ -147,11 +147,11 @@ private[graft] final case class GraftBranchPin(name: String)
     extends GraftTimePin {
   def describe: String = s"Branch: $name"
   def files(fs: FileSystem, root: Path,
-      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] =
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], GraftVersions.ManifestEntry)] =
     GraftVersions.branchHeadEntries(fs, root, name)
       .map(e => (e, GraftVersions.bucketsOf(e.rel)))
       .filter { case (_, b) => pushed.forall(GraftDataSource.evalOnBuckets(_, b)) }
-      .map { case (e, b) => (new Path(root, e.rel), b, e.size) }
+      .map { case (e, b) => (new Path(root, e.rel), b, e) }
 }
 
 /** A zero-copy clone's pin: resolves against the SOURCE table's version
@@ -161,7 +161,7 @@ private[graft] final case class GraftClonePin(src: String, v: Long)
     extends GraftTimePin {
   def describe: String = s"Clone: $src@v$v"
   def files(fs: FileSystem, root: Path,
-      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] = {
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], GraftVersions.ManifestEntry)] = {
     val sroot = new Path(src)
     val sfs = FileSystem.get(sroot.toUri, new Configuration())
     GraftVersions.snapshotFiles(sfs, sroot, v, pushed)
@@ -381,8 +381,13 @@ object GraftDataSource {
     * manifest branch is also the cheaper one at scale: one small-file read
     * replaces the recursive grid listing entirely (bucket pruning becomes
     * string filtering on rel paths). */
+  /** One planned file: absolute path, manifest-carried size, and the
+    * manifest-carried zone map (empty = unknown, never pruned). */
+  private[graft] final case class FileRef(path: Path, size: Long,
+      stats: Map[String, (Long, Long)] = Map.empty)
+
   private[graft] def liveCells(fs: FileSystem, root: Path,
-      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Seq[(Path, Long)])] =
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Seq[FileRef])] =
     GraftVersions.liveEntries(fs, root) match {
       case Some(entries) =>
         entries.map(e => (e, GraftVersions.bucketsOf(e.rel)))
@@ -391,12 +396,13 @@ object GraftDataSource {
           .groupBy { case (e, _) => e.rel.split('/').dropRight(1).mkString("/") }
           .toSeq.map { case (cellRel, group) =>
             (new Path(root, cellRel), group.head._2,
-              group.map { case (e, _) => (new Path(root, e.rel), e.size) })
+              group.map { case (e, _) =>
+                FileRef(new Path(root, e.rel), e.size, e.stats) })
           }
       case None =>
         if (!fs.exists(root)) Seq.empty
         else walkChunks(fs, root, pushed).map { case (d, b) =>
-          (d, b, chunkFileStatuses(fs, d).map(st => (st.getPath, st.getLen)))
+          (d, b, chunkFileStatuses(fs, d).map(st => FileRef(st.getPath, st.getLen)))
         }
     }
 
@@ -948,7 +954,7 @@ class GraftAggScan(path: String, tableSchema: StructType, pushed: Array[Filter],
         .map { case (f, b, _) => (f, b) }
       case None =>
         GraftDataSource.liveCells(fs, new Path(path), pushed)
-          .flatMap { case (_, b, fls) => fls.map { case (f, _) => (f, b) } }
+          .flatMap { case (_, b, fls) => fls.map(fr => (fr.path, b)) }
     }
   }
 
@@ -1233,7 +1239,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
 
   // pinned plan: manifest-resolved (file, buckets) pairs surviving the
   // pushed bucket filters — the version-log substitute for the live walk
-  @transient private lazy val pinnedWalk: Seq[(Path, Map[String, Long], Long)] = {
+  @transient private lazy val pinnedWalk: Seq[(Path, Map[String, Long], GraftVersions.ManifestEntry)] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     pin.get.files(fs, new Path(path), pushed)
   }
@@ -1303,8 +1309,10 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
   // reporting KeyGroupedPartitioning doesn't double the listing (on a big
   // grid the listing IS the planning cost; in manifest mode it is one
   // small-file read).
-  @transient private var cachedCells: Seq[(Path, Map[String, Long], Seq[(Path, Long)])] = null
-  private def liveCellList(): Seq[(Path, Map[String, Long], Seq[(Path, Long)])] = {
+  @transient private var cachedCells:
+    Seq[(Path, Map[String, Long], Seq[GraftDataSource.FileRef])] = null
+  private def liveCellList()
+      : Seq[(Path, Map[String, Long], Seq[GraftDataSource.FileRef])] = {
     if (cachedCells == null) {
       val fs = FileSystem.get(new java.net.URI(path), new Configuration())
       cachedCells = GraftDataSource.liveCells(fs, new Path(path), pushed ++ runtime)
@@ -1361,17 +1369,17 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val bytes =
       if (pin.isDefined)
-        pinnedWalk.map { case (f, _, sz) =>
-          if (sz >= 0L) sz else fs.getFileStatus(f).getLen }.sum
+        pinnedWalk.map { case (f, _, e) =>
+          if (e.size >= 0L) e.size else fs.getFileStatus(f).getLen }.sum
       else liveCellList().par.map { case (dir, _, files) =>
         // sizes ride the live resolution (manifest-carried, or the walk's
         // own statuses) — zero extra round trips. A pre-size-format
         // manifest line (size −1) falls back to one listing for its cell,
         // filtered to live names so retired-in-place bytes never inflate
         // the broadcast decision.
-        if (files.forall(_._2 >= 0L)) files.map(_._2).sum
+        if (files.forall(_.size >= 0L)) files.map(_.size).sum
         else {
-          val live = files.map(_._1.getName).toSet
+          val live = files.map(_.path.getName).toSet
           if (!fs.exists(dir)) 0L
           else fs.listStatus(dir).filter(st => st.isFile &&
             live.contains(st.getPath.getName)).map(_.getLen).sum
@@ -1404,7 +1412,9 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       (if (runtimeBloom.isEmpty) ""
        else s", RuntimeBloomSkipCols: [${runtimeBloom.map(_.col).distinct.mkString(", ")}]") +
       (if (bloomAtoms.isEmpty) ""
-       else s", BloomSkipCols: [${bloomAtoms.map(_.col).distinct.mkString(", ")}]")
+       else s", BloomSkipCols: [${bloomAtoms.map(_.col).distinct.mkString(", ")}]") +
+      (if (zoneAtoms.isEmpty) ""
+       else s", ZoneSkipCols: [${zoneAtoms.map(_.col).distinct.mkString(", ")}]")
 
   /** Residual equality/range atoms testable against the table's registered
     * skip columns (the `_graft_bloom` sidecar) — non-empty exactly when
@@ -1416,20 +1426,41 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     if (cols.isEmpty) Nil else GraftBloom.skipAtoms(residual, cols)
   }
 
-  /** File-level bloom skip: drop chunk files whose blooms PROVE the pushed
-    * equality atoms unsatisfiable — the task is never scheduled. Parallel
-    * footer reads (same cost class as the pushed-top-N footer walk); a
-    * no-atom scan pays nothing. See [[GraftBloom]]. */
-  private def bloomSurvivors(files: Seq[(String, Map[String, Long])])
+  /** Residual atoms testable against MANIFEST-carried zone maps — built
+    * over EVERY residual column (not just bloom-registered ones), because
+    * the zone-map test is zero-I/O: bounds either rode the one manifest
+    * read or the file is kept. Registration still gates the footer walk
+    * ([[bloomAtoms]]) — its per-file cost stays opt-in. */
+  @transient private lazy val zoneAtoms: Seq[GraftBloom.SkipAtom] =
+    GraftBloom.skipAtoms(residual, residual.flatMap(_.references).toSet)
+
+  @transient private lazy val renameAliases: Map[String, Seq[String]] =
+    GraftDataSource.renamesOf(path)
+
+  /** File-level skip, two tiers: (1) ZONE MAPS — drop files whose
+    * manifest-carried min/max bounds refute a pushed range/equality atom,
+    * zero I/O ([[GraftStats]]); (2) BLOOMS — parallel footer reads over
+    * the zone survivors proving equality atoms absent (same cost class as
+    * the pushed-top-N footer walk). A no-atom scan pays nothing. Both
+    * refutations are proofs, so recording only the survivors for row-level
+    * rewrites stays sound. See [[GraftBloom]]. */
+  private def bloomSurvivors(
+      files: Seq[(String, Map[String, Long], Map[String, (Long, Long)])])
       : Seq[(String, Map[String, Long])] = {
+    val zAtoms = zoneAtoms ++ runtimeBloom
+    val zoned =
+      if (zAtoms.isEmpty) files
+      else files.filter { case (_, _, bounds) =>
+        GraftStats.boundsMightMatch(bounds, zAtoms, renameAliases)
+      }
     val atoms = bloomAtoms ++ runtimeBloom
-    if (atoms.isEmpty) files
+    if (atoms.isEmpty) zoned.map { case (f, b, _) => (f, b) }
     else {
       import scala.collection.parallel.CollectionConverters._
       val conf = new Configuration()
-      files.par.filter { case (f, _) =>
+      zoned.par.filter { case (f, _, _) =>
         GraftBloom.fileMightMatch(conf, f, atoms)
-      }.seq
+      }.seq.map { case (f, b, _) => (f, b) }
     }
   }
 
@@ -1440,7 +1471,8 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       // manifest-driven: one partition per pinned file (limit/topN
       // pushdowns and runtime filters are declined in pinned mode, and a
       // pinned scan never backs a row-level rewrite)
-      return bloomSurvivors(pinnedWalk.map { case (f, b, _) => (f.toString, b) })
+      return bloomSurvivors(pinnedWalk.map { case (f, b, e) =>
+          (f.toString, b, e.stats) })
         .map { case (f, b) =>
           // getOrElse: a pre-regrid file lacks buckets a later geometry
           // added; -1 groups those files consistently (join conditions
@@ -1448,7 +1480,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
           GraftInputPartition(f, b, !hasDataCols, -1,
             keys.map(b.getOrElse(_, -1L))): InputPartition
         }.toArray
-    val planned: Seq[(Path, Map[String, Long], Seq[(Path, Long)])] =
+    val planned: Seq[(Path, Map[String, Long], Seq[GraftDataSource.FileRef])] =
       if (topN.isEmpty || limit < 0) liveCellList()
       else {
         // pushed top-N: visit chunk cells in sort-key order, stop once the
@@ -1472,16 +1504,16 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
         var cum = 0L
         sorted.takeWhile { case (_, _, files) =>
           val keep = cum < limit
-          if (keep) cum += files.map { case (f, _) =>
+          if (keep) cum += files.map { fr =>
             val pfr = ParquetFileReader.open(
-              HadoopInputFile.fromPath(f, new Configuration()))
+              HadoopInputFile.fromPath(fr.path, new Configuration()))
             try pfr.getRecordCount finally pfr.close()
           }.sum
           keep
         }
       }
     val survivors = bloomSurvivors(planned.flatMap { case (_, b, files) =>
-      files.map { case (p, _) => (p.toString, b) }
+      files.map(fr => (fr.path.toString, b, fr.stats))
     })
     // row-level rewrites note every SURVIVING planned file (post bucket +
     // runtime pruning AND post bloom skip — exactly the rows the rewrite

@@ -1,0 +1,210 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+/** Commit-time ZONE MAPS: per-file min/max bounds for integral data
+  * columns, captured from the parquet footer ONCE when the commit seals and
+  * carried in the version manifest ([[GraftVersions.ManifestEntry]] third
+  * field) forever after — files are immutable, so their bounds are too.
+  *
+  * Why the manifest and not the footer: [[GraftBloom.fileMightMatch]]
+  * already refutes files from footer statistics, but that is one footer
+  * open PER CANDIDATE FILE PER QUERY — at a 100k-file grid on an object
+  * store that is 100k metadata round-trips to answer a range scan that
+  * touches three files. The manifest is read ONCE per plan regardless of
+  * file count (it already carries sizes for the same reason), so bounds
+  * riding in it make planning-time range/equality refutation FREE: the
+  * footer walk then opens only stats-survivors, and a scan whose atoms are
+  * all range-shaped never opens a footer at all. This is the standard
+  * zone-map / min-max-index design of the table-format generation
+  * (Iceberg's per-file `lower_bounds`/`upper_bounds`, Delta's stats JSON),
+  * re-expressed over the chunk grid: the grid prunes by DIMENSION
+  * directories for free, the zone map prunes by every OTHER integral
+  * column the same way whenever the layout correlates it with write order
+  * (time-ordered ingest, monotonically assigned ids, regrid/z-order
+  * rewrites).
+  *
+  * Trust policy matches the aggregate pushdown and [[GraftBloom]]'s range
+  * path: INT32/INT64 physical columns only (float stats are
+  * NaN-contaminated, binary stats may be truncated by foreign writers). A
+  * column is captured only when EVERY row group carries a usable
+  * Statistics object for it — a single stats-less group makes the file's
+  * bounds unknowable and the column is simply omitted (kept = never
+  * wrongly pruned). All-null files get no entry (no non-null value can
+  * match a comparison, and pruning on IS NULL is out of scope without
+  * null counts).
+  *
+  * Capture is ON by default and declared OFF (or narrowed to named
+  * columns) via the `_graft_stats` sidecar — `CALL system.set_stats(tbl,
+  * 'off' | 'auto' | 'c1,c2')` — because the cost is one footer read per
+  * NEW file per commit (the file the committing task just wrote and still
+  * has page-cached), against a read-side saving proportional to grid size
+  * times query rate.
+  *
+  * Reference anchor: the reference prunes scans exclusively by the dims
+  * encoded in chunk positions (`/root/reference/src/range.rs:101-109`);
+  * the zone map extends that "planning never touches refuted data"
+  * promise to non-dim columns.
+  */
+object GraftStats {
+
+  val SidecarName = "_graft_stats"
+  /** Write/procedure value disabling capture; anything else is a column
+    * list; an absent sidecar means AUTO (all integral data columns). */
+  val Off = "off"
+  val Auto = "auto"
+  /** Captured columns per file are capped: bounds are two longs plus the
+    * name per column per manifest line, and a 500-column table would bloat
+    * every manifest for pruning that realistically keys off a few. */
+  val MaxCols = 16
+
+  def sidecar(root: Path): Path = new Path(root, SidecarName)
+
+  sealed trait Mode
+  case object AutoMode extends Mode
+  case object OffMode extends Mode
+  final case class ColsMode(cols: Seq[String]) extends Mode
+
+  def mode(fs: FileSystem, root: Path): Mode = {
+    val p = sidecar(root)
+    if (!fs.exists(p)) AutoMode
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      txt.toLowerCase match {
+        case Off  => OffMode
+        case Auto | "" => AutoMode
+        case _ => ColsMode(txt.split("[,\n]").map(_.trim).filter(_.nonEmpty).toSeq)
+      }
+    }
+  }
+
+  /** Persist the declared mode (driver-side, idempotent). */
+  def declare(fs: FileSystem, root: Path, value: String): Unit = {
+    fs.mkdirs(root)
+    val out = fs.create(sidecar(root), true)
+    try out.write((value.trim + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** A name the `col=min:max;...` manifest field can carry verbatim. */
+  private def safeName(c: String): Boolean =
+    !c.exists(ch => ch == '=' || ch == ';' || ch == ':' || ch == '\t' || ch == '\n')
+
+  /** Footer-aggregated bounds of one file's integral data columns.
+    * Unreadable/foreign files answer empty (kept, never pruned). */
+  def ofFile(conf: Configuration, file: Path, wanted: Option[Set[String]])
+      : Map[String, (Long, Long)] =
+    try {
+      val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = pfr.getFooter.getFileMetaData.getSchema
+        val blocks = pfr.getRowGroups
+        import scala.jdk.CollectionConverters._
+        val fields = schema.getFields.asScala.iterator
+          .filter(_.isPrimitive)
+          .map(_.asPrimitiveType)
+          .filter(t => t.getPrimitiveTypeName == PrimitiveTypeName.INT32 ||
+            t.getPrimitiveTypeName == PrimitiveTypeName.INT64)
+          .map(_.getName)
+          .filter(safeName)
+          .filter(c => wanted.forall(_.contains(c)))
+          .take(MaxCols)
+          .toSeq
+        fields.flatMap { c =>
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          var usable = true
+          var any = false
+          blocks.asScala.foreach { b =>
+            if (usable) b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+              case Some(cc) =>
+                val st = cc.getStatistics
+                if (st == null || !(st.hasNonNullValue || st.isNumNullsSet))
+                  usable = false // stats-less group: bounds unknowable
+                else if (st.hasNonNullValue) {
+                  (st.genericGetMin(), st.genericGetMax()) match {
+                    case (a: java.lang.Integer, z: java.lang.Integer) =>
+                      mn = math.min(mn, a.longValue); mx = math.max(mx, z.longValue)
+                      any = true
+                    case (a: java.lang.Long, z: java.lang.Long) =>
+                      mn = math.min(mn, a.longValue); mx = math.max(mx, z.longValue)
+                      any = true
+                    case _ => usable = false
+                  }
+                } // else: all-null group, contributes nothing
+              case None => usable = false // column absent from this group?!
+            }
+          }
+          if (usable && any) Some(c -> (mn, mx)) else None
+        }.toMap
+      } finally pfr.close()
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Attach zone maps to a commit's added entries (the [[GraftVersions
+    * .sealCommit]] hook — ONE place covers every write path: batch append,
+    * overwrite, upsert/COW, streaming epochs, maintenance rewrites,
+    * regrid, branches). Parallel footer reads over entries that don't
+    * already carry stats; a declared-off table passes through untouched. */
+  def enrich(fs: FileSystem, root: Path,
+      added: Seq[GraftVersions.ManifestEntry]): Seq[GraftVersions.ManifestEntry] = {
+    if (added.isEmpty || added.forall(_.stats.nonEmpty)) return added
+    mode(fs, root) match {
+      case OffMode => added
+      case m =>
+        val wanted: Option[Set[String]] = m match {
+          case ColsMode(cols) => Some(cols.toSet)
+          case _ => None
+        }
+        val conf = new Configuration()
+        import scala.collection.parallel.CollectionConverters._
+        added.par.map { e =>
+          if (e.stats.nonEmpty || e.size == 0L) e
+          else e.copy(stats = ofFile(conf, new Path(root, e.rel), wanted))
+        }.seq
+    }
+  }
+
+  /** Could some non-null value inside `bounds` satisfy every atom? The
+    * planning-time twin of [[GraftBloom.fileMightMatch]], answered from
+    * the manifest with zero I/O. `aliases` maps a CURRENT column name to
+    * the spellings old files may have been written under (rename
+    * evolution) — a file's bounds are keyed by its own spelling, so each
+    * atom checks all of them. Missing bounds / non-numeric atom values
+    * answer true (file kept). */
+  def boundsMightMatch(bounds: Map[String, (Long, Long)],
+      atoms: Seq[GraftBloom.SkipAtom],
+      aliases: Map[String, Seq[String]]): Boolean = {
+    if (bounds.isEmpty || atoms.isEmpty) return true
+    atoms.forall { atom =>
+      val names = atom.col +: aliases.getOrElse(atom.col, Nil)
+      names.iterator.flatMap(bounds.get).nextOption() match {
+        case None => true
+        case Some((mn, mx)) => atom match {
+          case GraftBloom.EqAtom(_, values) =>
+            values.exists {
+              case n: java.lang.Number =>
+                // fractional doubles can't equal an integral column value,
+                // but a whole-valued one can — compare on the long floor
+                // only when exact, else keep
+                n match {
+                  case d: java.lang.Double if d.doubleValue != d.longValue => false
+                  case f: java.lang.Float if f.floatValue != f.longValue => false
+                  case _ => val v = n.longValue; v >= mn && v <= mx
+                }
+              case _ => true // non-numeric candidate: untestable, keep
+            }
+          case GraftBloom.RangeAtom(_, op, v) => op match {
+            case 2 => mn < v   // lt
+            case 3 => mn <= v  // ltEq
+            case 4 => mx > v   // gt
+            case _ => mx >= v  // gtEq
+          }
+        }
+      }
+    }
+  }
+}

@@ -98,14 +98,26 @@ private[graft] object GraftVersions {
   def relOf(root: Path, file: Path): String =
     file.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
 
-  /** One manifest line: chunk-relative path + file length. Sizes ride the
-    * manifest so SIZE-dependent planning — `estimateStatistics` (the
-    * auto-broadcast decision, consulted at every plan), `system.stats` —
-    * answers from the one manifest read with ZERO directory listings; at
-    * a 100k-chunk grid the per-plan listing was the planning cost. Size
-    * −1 = unknown (a pre-size-format manifest line); consumers fall back
-    * to a listing for just those files. */
-  final case class ManifestEntry(rel: String, size: Long)
+  /** One manifest line: chunk-relative path + file length + optional
+    * per-column value bounds. Sizes ride the manifest so SIZE-dependent
+    * planning — `estimateStatistics` (the auto-broadcast decision,
+    * consulted at every plan), `system.stats` — answers from the one
+    * manifest read with ZERO directory listings; at a 100k-chunk grid the
+    * per-plan listing was the planning cost. Size −1 = unknown (a
+    * pre-size-format manifest line); consumers fall back to a listing for
+    * just those files.
+    *
+    * `stats` is the file's ZONE MAP: min/max of each integral data
+    * column's non-null values, captured once from the parquet footer when
+    * the commit seals (see [[GraftStats]]) and carried forward verbatim by
+    * every later commit (files are immutable, so their bounds are too).
+    * Planning tests pushed range/equality predicates against these bounds
+    * and drops refuted files with ZERO per-file I/O — the footer-walk skip
+    * in [[GraftBloom]] then only ever opens survivors. Empty = unknown
+    * (pre-stats manifests, stats-off tables, non-parquet debris): the file
+    * is kept, never wrongly pruned. */
+  final case class ManifestEntry(rel: String, size: Long,
+      stats: Map[String, (Long, Long)] = Map.empty)
 
   /** One listing of `_graft_versions`: sealed versions (ascending), barrier
     * flag, tag files, and the declared retention — every per-commit "what
@@ -225,8 +237,34 @@ private[graft] object GraftVersions {
   // stay readable
   private def writeManifestBytes(v: Long, files: Seq[ManifestEntry]): Array[Byte] =
     (s"$ManifestHeaderV2 $v ${files.size}\n" +
-      files.sortBy(_.rel).map(e => s"${e.rel}\t${e.size}").mkString("\n") + "\n")
+      files.sortBy(_.rel).map(e => s"${e.rel}\t${e.size}${statsField(e.stats)}")
+        .mkString("\n") + "\n")
       .getBytes("UTF-8")
+
+  // zone-map field: `\tcol=min:max;col2=min:max` — absent entirely when the
+  // entry has no stats, so stats-free manifests stay byte-identical to the
+  // two-field format. Columns whose names collide with the separators are
+  // never captured (GraftStats.safeName), so the encoding needs no escaping.
+  private def statsField(stats: Map[String, (Long, Long)]): String =
+    if (stats.isEmpty) ""
+    else "\t" + stats.toSeq.sortBy(_._1)
+      .map { case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(";")
+
+  private[sources] def parseStatsField(s: String): Map[String, (Long, Long)] =
+    s.split(';').iterator.flatMap { kv =>
+      kv.split('=') match {
+        case Array(c, b) => b.split(':') match {
+          case Array(mn, mx) =>
+            (scala.util.Try(mn.toLong).toOption,
+              scala.util.Try(mx.toLong).toOption) match {
+              case (Some(a), Some(z)) => Some(c -> (a, z))
+              case _ => None
+            }
+          case _ => None
+        }
+        case _ => None
+      }
+    }.toMap
 
   /** The commit CAS, as a CLAIM-then-PROMOTE protocol (r10's
     * create-then-write seal made the manifest VISIBLE before its bytes
@@ -400,6 +438,8 @@ private[graft] object GraftVersions {
           def parse = lines.drop(1).toSeq.filter(_.nonEmpty).map { l =>
             l.split('\t') match {
               case Array(rel, sz) => ManifestEntry(rel, sz.toLong)
+              case Array(rel, sz, st) =>
+                ManifestEntry(rel, sz.toLong, parseStatsField(st))
               case _ => ManifestEntry(l, -1L) // pre-size-format line
             }
           }
@@ -476,8 +516,8 @@ private[graft] object GraftVersions {
           // pre-state walks (each excluding only its OWN staged files) and
           // a reader could catch the second write mid-flight. The winner's
           // baseline becomes everyone's predecessor.
-          val base = liveFileEntries(fs, root)
-            .filterNot(e => excludeFromBaseline.contains(e.rel))
+          val base = GraftStats.enrich(fs, root, liveFileEntries(fs, root)
+            .filterNot(e => excludeFromBaseline.contains(e.rel)))
           writeManifestCas(fs, root, 0L, base) match {
             case CasSealed =>
               PendingCommit(1L, Some(base), st.retentionKeep, 1,
@@ -507,12 +547,21 @@ private[graft] object GraftVersions {
   def sealCommit(fs: FileSystem, root: Path, c0: PendingCommit,
       removed: Set[String], added: Seq[ManifestEntry]): Long = {
     var c = c0
+    // zone-map capture: one footer read per NEW file, here and only here —
+    // every write path (append, overwrite, COW, streaming epoch, regrid,
+    // branch staging) seals through this function, so bounds coverage is
+    // uniform and the CAS-loss replay below reuses the enriched entries
+    // without re-reading any footer
+    val enriched = GraftStats.enrich(fs, root, added)
     while (true) {
       val entries = (c.prev match {
-        case Some(p) => p.filterNot(e => removed.contains(e.rel)) ++ added
+        case Some(p) => p.filterNot(e => removed.contains(e.rel)) ++ enriched
         case None => liveFileEntries(fs, root)
-          .filterNot(e => removed.contains(e.rel)) ++ added
-      }).groupBy(_.rel).map { case (_, dup) => dup.maxBy(_.size) }.toSeq
+          .filterNot(e => removed.contains(e.rel)) ++ enriched
+      }).groupBy(_.rel)
+        // duplicate rel (re-listed append): keep the larger, and on a size
+        // tie the stats-carrying copy — a replay must not strip bounds
+        .map { case (_, dup) => dup.maxBy(e => (e.size, e.stats.size)) }.toSeq
       val target = c.branch match {
         case Some(b) => branchManifestPath(root, b, c.v)
         case None    => manifestPath(root, c.v)
@@ -614,7 +663,7 @@ private[graft] object GraftVersions {
     * could have deleted — live rels exist by invariant), with a loud error
     * naming the cause on a miss. */
   def snapshotFiles(fs: FileSystem, root: Path, v: Long,
-      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] =
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], ManifestEntry)] =
     resolveRels(fs, root, readEntries(fs, root, v), v, pushed)
 
   /** The files present in version `target` but NOT in version `base` —
@@ -624,7 +673,7 @@ private[graft] object GraftVersions {
     * consumer doing incremental recompute wants exactly "which cells
     * changed" anyway. */
   def diffFiles(fs: FileSystem, root: Path, base: Long, target: Long,
-      pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] = {
+      pushed: Array[Filter]): Seq[(Path, Map[String, Long], ManifestEntry)] = {
     val baseSet = readManifest(fs, root, base).toSet
     resolveRels(fs, root,
       readEntries(fs, root, target).filterNot(e => baseSet.contains(e.rel)),
@@ -637,13 +686,13 @@ private[graft] object GraftVersions {
     * plans (file-set start, version end) during checkpoint upgrades and
     * barrier recoveries. */
   def newFilesSince(fs: FileSystem, root: Path, seenRels: Set[String],
-      v: Long, pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] =
+      v: Long, pushed: Array[Filter]): Seq[(Path, Map[String, Long], ManifestEntry)] =
     resolveRels(fs, root,
       readEntries(fs, root, v).filterNot(e => seenRels.contains(e.rel)),
       v, pushed)
 
   private def resolveRels(fs: FileSystem, root: Path, rels: Seq[ManifestEntry],
-      v: Long, pushed: Array[Filter]): Seq[(Path, Map[String, Long], Long)] = {
+      v: Long, pushed: Array[Filter]): Seq[(Path, Map[String, Long], ManifestEntry)] = {
     val st = logState(fs, root)
     // rels still listed by the latest manifest exist by invariant (barrier
     // voids the invariant — then every rel is probed); others are retired
@@ -661,7 +710,7 @@ private[graft] object GraftVersions {
             s"graft snapshot v$v: ${e.rel} is no longer on disk — deleted by " +
               "retention (expire_versions) or by an unversioned World-level " +
               "rewrite (insert/destroy/update/compact are version barriers)")
-        (p, b, e.size)
+        (p, b, e)
       }
   }
 

@@ -1,0 +1,163 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** Manifest-carried ZONE MAPS (sources/GraftStats.scala): commits capture
+  * per-file integral min/max bounds into the version manifest, and planning
+  * refutes pushed range/equality atoms against them with zero per-file
+  * I/O — files whose bounds exclude the predicate are never scheduled AND
+  * never footer-probed. The declared policy (`system.set_stats`) narrows or
+  * disables capture; rename evolution keeps old spellings prunable.
+  */
+class GraftStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val warehouse = Files.createTempDirectory("graft-zwh").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.zcat", "graft.sources.GraftCatalog")
+    .config("spark.sql.catalog.zcat.warehouse", warehouse)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fsOf(path: String) =
+    FileSystem.get(new java.net.URI(path), new Configuration())
+
+  private def scanOf(path: String,
+      residual: Array[org.apache.spark.sql.sources.Filter],
+      cols: Seq[String] = Seq("id", "v")) =
+    new GraftScan(path,
+      StructType(cols.map(StructField(_, LongType))),
+      pushed = Array.empty, residual = residual)
+
+  test("commits capture zone maps; range atoms prune files from the manifest alone") {
+    spark.sql("CREATE TABLE zcat.z (id BIGINT, v BIGINT, c0 BIGINT)")
+    // three commits, disjoint id ranges, ONE cell (c0=0) — bucket pruning
+    // can't help, so any file drop below is the zone map's
+    spark.sql(s"INSERT INTO zcat.z SELECT id, id * 2, 0 FROM range(0, 100)")
+    spark.sql(s"INSERT INTO zcat.z SELECT id, id * 2, 0 FROM range(100, 200)")
+    spark.sql(s"INSERT INTO zcat.z SELECT id, id * 2, 0 FROM range(200, 300)")
+    val path = s"$warehouse/z"
+    val fs = fsOf(path)
+
+    // the manifest carries bounds for both integral data columns
+    val entries = GraftVersions.readEntries(fs, new Path(path), 3L)
+    assert(entries.nonEmpty)
+    entries.foreach { e =>
+      assert(e.stats.contains("id") && e.stats.contains("v"),
+        s"entry ${e.rel} lacks zone maps: ${e.stats}")
+    }
+    val idBounds = entries.map(_.stats("id")).sortBy(_._1)
+    assert(idBounds.map(_._1).min == 0L && idBounds.map(_._2).max == 299L)
+
+    val all = scanOf(path, Array.empty).planInputPartitions().length
+    assert(all == entries.size, "no atoms: every live file planned")
+
+    // range refutation: only the [200,299] commit's file(s) survive
+    val hi = scanOf(path, Array(GreaterThan("id", 220L)))
+    assert(hi.planInputPartitions().length < all)
+    assert(hi.description().contains("ZoneSkipCols: [id]"))
+    // point refutation on the DERIVED column v (= id*2): 300 lives in file 2
+    val pt = scanOf(path, Array(EqualTo("v", 300L)))
+    assert(pt.planInputPartitions().length == 1,
+      s"v=300 lives in exactly one commit's bounds")
+    // an impossible predicate plans ZERO files — and zero footer reads
+    assert(scanOf(path, Array(GreaterThan("id", 10000L)))
+      .planInputPartitions().isEmpty)
+    // results stay exact through the skip
+    assert(spark.sql("SELECT count(*) FROM zcat.z WHERE id > 220").head.getLong(0) == 79L)
+    assert(spark.sql("SELECT id FROM zcat.z WHERE v = 300").head.getLong(0) == 150L)
+  }
+
+  test("set_stats 'off' stops capture; a column list narrows it; 'auto' restores") {
+    spark.sql("CREATE TABLE zcat.zo (id BIGINT, v BIGINT, c0 BIGINT)")
+    val path = s"$warehouse/zo"
+    val fs = fsOf(path)
+    spark.sql("CALL zcat.system.set_stats(table => 'zo', columns => 'off')")
+    spark.sql("INSERT INTO zcat.zo VALUES (1, 2, 0)")
+    assert(GraftVersions.readEntries(fs, new Path(path), 1L)
+      .forall(_.stats.isEmpty), "declared-off commit captured bounds")
+    spark.sql("CALL zcat.system.set_stats(table => 'zo', columns => 'v')")
+    spark.sql("INSERT INTO zcat.zo VALUES (10, 20, 0)")
+    val v2New = GraftVersions.readEntries(fs, new Path(path), 2L)
+      .filter(_.stats.nonEmpty)
+    assert(v2New.nonEmpty && v2New.forall(e =>
+      e.stats.keySet == Set("v") && e.stats("v") == (20L, 20L)))
+    spark.sql("CALL zcat.system.set_stats(table => 'zo', columns => 'auto')")
+    spark.sql("INSERT INTO zcat.zo VALUES (30, 40, 0)")
+    assert(GraftVersions.readEntries(fs, new Path(path), 3L)
+      .exists(e => e.stats.contains("id") && e.stats.contains("v")))
+  }
+
+  test("nulls: all-null files get no entry and are kept; mixed files bound non-nulls") {
+    spark.sql("CREATE TABLE zcat.zn (id BIGINT, v BIGINT, c0 BIGINT)")
+    val path = s"$warehouse/zn"
+    spark.sql("INSERT INTO zcat.zn VALUES (1, NULL, 0), (2, NULL, 0)") // v all-null
+    spark.sql("INSERT INTO zcat.zn VALUES (3, 7, 0), (4, NULL, 0)")    // v mixed
+    val entries = GraftVersions.readEntries(fsOf(path), new Path(path), 2L)
+    val byV = entries.map(_.stats.get("v"))
+    assert(byV.contains(None), "all-null file must carry no v bounds")
+    assert(byV.flatten.contains((7L, 7L)), "mixed file bounds its non-null values")
+    // a range scan keeps the no-bounds file (sound) and answers exactly
+    assert(spark.sql("SELECT id FROM zcat.zn WHERE v > 5").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("rename evolution: old files stay prunable under the new name") {
+    spark.sql("CREATE TABLE zcat.zr (id BIGINT, v BIGINT, c0 BIGINT)")
+    val path = s"$warehouse/zr"
+    spark.sql("INSERT INTO zcat.zr SELECT id, id, 0 FROM range(0, 50)")
+    spark.sql("ALTER TABLE zcat.zr RENAME COLUMN id TO doc_id")
+    spark.sql("INSERT INTO zcat.zr SELECT id, id, 0 FROM range(1000, 1050)")
+    // pre-rename bounds live under 'id'; the atom on doc_id must resolve
+    // through the alias and still drop the old file for a high range
+    val hi = scanOf(path, Array(GreaterThan("doc_id", 500L)), Seq("doc_id", "v"))
+    val all = scanOf(path, Array.empty, Seq("doc_id", "v"))
+      .planInputPartitions().length
+    assert(hi.planInputPartitions().length < all,
+      "pre-rename file with id<=49 must be zone-pruned for doc_id > 500")
+    assert(spark.sql("SELECT count(*) FROM zcat.zr WHERE doc_id > 500")
+      .head.getLong(0) == 50L)
+    // and the old file is still FOUND when the range wants it
+    assert(spark.sql("SELECT count(*) FROM zcat.zr WHERE doc_id < 10")
+      .head.getLong(0) == 10L)
+  }
+
+  test("boundsMightMatch: refutation is a proof, unknowns are kept") {
+    import GraftBloom.{EqAtom, RangeAtom}
+    val b = Map("id" -> (10L, 20L))
+    def m(atoms: Seq[GraftBloom.SkipAtom],
+        aliases: Map[String, Seq[String]] = Map.empty) =
+      GraftStats.boundsMightMatch(b, atoms, aliases)
+    assert(m(Seq(EqAtom("id", Array[Any](15L)))))
+    assert(!m(Seq(EqAtom("id", Array[Any](9L)))))
+    assert(!m(Seq(EqAtom("id", Array[Any](21L)))))
+    assert(m(Seq(EqAtom("id", Array[Any](9L, 12L)))), "IN keeps on any hit")
+    // fractional equality can never hit an integral column
+    assert(!m(Seq(EqAtom("id", Array[Any](java.lang.Double.valueOf(15.5))))))
+    assert(m(Seq(EqAtom("id", Array[Any](java.lang.Double.valueOf(15.0))))))
+    // ranges: 2=lt 3=ltEq 4=gt 5=gtEq
+    assert(!m(Seq(RangeAtom("id", 2, 10L))) && m(Seq(RangeAtom("id", 3, 10L))))
+    assert(!m(Seq(RangeAtom("id", 4, 20L))) && m(Seq(RangeAtom("id", 5, 20L))))
+    // unknown column / non-numeric candidate: kept
+    assert(m(Seq(EqAtom("other", Array[Any](1L)))))
+    assert(m(Seq(EqAtom("id", Array[Any]("x")))))
+    // alias resolution: atom on the new name tests the old spelling's
+    // bounds; without the alias the column is unknown and kept
+    assert(m(Seq(RangeAtom("doc_id", 4, 20L))))
+    assert(!GraftStats.boundsMightMatch(b,
+      Seq(RangeAtom("doc_id", 4, 20L)), Map("doc_id" -> Seq("id"))))
+    assert(GraftStats.boundsMightMatch(b,
+      Seq(RangeAtom("doc_id", 4, 15L)), Map("doc_id" -> Seq("id"))))
+  }
+}
