@@ -21,7 +21,10 @@ import org.apache.spark.sql.types._
   * answer — out of scope for the chunk-grid layout the reference defines).
   */
 class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
-    viaCatalog: Boolean = false) extends WriteBuilder
+    viaCatalog: Boolean = false,
+    // WAP default: a branch-pinned catalog table (graft.wap.branch) routes
+    // every batch write through its branch without a per-write option
+    branchDefault: Option[String] = None) extends WriteBuilder
     with SupportsOverwrite with SupportsDynamicOverwrite {
   private var overwriteBy: Option[Array[org.apache.spark.sql.sources.Filter]] = None
   private var dynamicOverwrite = false
@@ -71,23 +74,26 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
         new Path(path),
         o.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     }
-    // option("graft.branch", b): the append seals a BRANCH commit —
-    // invisible to main readers until system.fast_forward publishes it
-    // (write-audit-publish staging). Only plain appends stage on a branch:
-    // overwrite/upsert compute victim sets against a head that main-side
-    // machinery (compaction, retention) doesn't see, so they refuse.
-    val branch = Option(info.options().get("graft.branch"))
+    // option("graft.branch", b) — or the WAP default from a branch-pinned
+    // catalog table — seals BRANCH commits, invisible to main readers
+    // until system.fast_forward publishes (write-audit-publish staging).
+    // Appends and overwrites stage on a branch (r11: overwrites retire
+    // their victims from the branch chain only); upsert stays refused —
+    // its World::insert is a version BARRIER that rewrites the physical
+    // tree main readers share.
+    val branch = Option(info.options().get("graft.branch")).orElse(branchDefault)
     branch.foreach { b =>
-      require(!dynamicOverwrite && overwriteBy.isEmpty &&
-          !"upsert".equalsIgnoreCase(info.options().get("graft.mode")),
-        s"graft: branch '$b' staging supports APPEND only — publish with " +
-          "system.fast_forward, then run the overwrite/upsert on main")
+      require(!"upsert".equalsIgnoreCase(info.options().get("graft.mode")),
+        s"graft: upsert cannot stage on branch '$b' — its rewrite is a " +
+          "version barrier on the shared physical tree; publish with " +
+          "system.fast_forward, then upsert on main")
     }
     val batch: BatchWrite =
       if (dynamicOverwrite)
-        new GraftOverwriteWrite(path, info.schema(), None)
+        new GraftOverwriteWrite(path, info.schema(), None, branch = branch)
       else if (overwriteBy.isDefined)
-        new GraftOverwriteWrite(path, info.schema(), Some(overwriteBy.get))
+        new GraftOverwriteWrite(path, info.schema(), Some(overwriteBy.get),
+          branch = branch)
       else if ("upsert".equalsIgnoreCase(info.options().get("graft.mode")))
         new GraftUpsertWrite(path, info.schema())
       else new GraftBatchWrite(path, info.schema(), branch)
@@ -230,22 +236,42 @@ object GraftUpsertWrite {
     lastSummary(path).map(_.displacedRows).getOrElse(-1L)
 }
 
-/** Staged chunk-grid overwrite. Tasks write into a sibling staging grid;
-  * `commit()` then (a) RETIRES the victim files — those of chunks matching
-  * the bucket-only overwrite condition (`filters = Some(...)`; AlwaysTrue =
-  * every chunk = truncate), or, in DYNAMIC mode (`filters = None`), exactly
-  * the chunk cells the staged data lands in — by dropping them from the
-  * sealed manifest (manifest-only liveness: the bytes stay in place for
-  * snapshot reads until retention deletes them), and (b) moves the staged
-  * chunk dirs into the world. A failure before the manifest seal leaves the
-  * world's visible state untouched; the staging grid is removed on both
-  * commit and abort. A full truncate makes the incoming schema
-  * authoritative (sidecar rewritten); scoped overwrites keep the existing
-  * sidecar. */
+/** Chunk-grid overwrite. `commit()` RETIRES the victim files — those of
+  * chunks matching the bucket-only overwrite condition (`filters =
+  * Some(...)`; AlwaysTrue = every chunk = truncate), or, in DYNAMIC mode
+  * (`filters = None`), exactly the chunk cells the incoming data lands
+  * in — by dropping them from the sealed manifest (manifest-only liveness:
+  * the bytes stay in place for snapshot reads until retention deletes
+  * them), and makes the fresh files live in the same seal.
+  *
+  * When the commit log is authoritative the fresh files are written
+  * IN PLACE — tasks target the final cell directories directly, invisible
+  * until the seal, and the commit performs ZERO file moves
+  * ([[GraftStage.manifestAuthoritative]]). Unversioned worlds and barrier
+  * windows fall back to the staged swap: tasks write a sibling staging
+  * grid that commit moves in (physical-walk readers never see a torn
+  * state). `forceStaged` keeps the stage for driver-driven uses that pump
+  * data through a nested append into the stage (no task message channel).
+  *
+  * A failure before the manifest seal leaves the world's visible state
+  * untouched either way; in-place debris of a crashed write is never in
+  * any manifest and falls to the orphan sweep. A full truncate makes the
+  * incoming schema authoritative (sidecar rewritten); scoped overwrites
+  * keep the existing sidecar. */
 class GraftOverwriteWrite(path: String, schema: StructType,
-    filters: Option[Array[org.apache.spark.sql.sources.Filter]]) extends BatchWrite {
+    filters: Option[Array[org.apache.spark.sql.sources.Filter]],
+    forceStaged: Boolean = false,
+    branch: Option[String] = None) extends BatchWrite {
+  // a BRANCH overwrite (WAP) retires its victims from the branch chain
+  // only: main readers keep the pre-stage state until fast_forward
+  branch.foreach { b => require(
+    !forceStaged && GraftStage.manifestAuthoritative(path),
+    s"graft: overwrite on branch '$b' needs an authoritative commit log") }
+  private[graft] val inPlace: Boolean =
+    !forceStaged && GraftStage.manifestAuthoritative(path)
   // per-write unique stage: concurrent overwrites must not interleave grids
-  private[graft] val stagePath = GraftStage.uniqueStage(path, "overwrite")
+  private[graft] val stagePath =
+    if (inPlace) path else GraftStage.uniqueStage(path, "overwrite")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(stagePath, schema, GraftBloom.columnsOf(path),
@@ -255,42 +281,65 @@ class GraftOverwriteWrite(path: String, schema: StructType,
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val root = new Path(path)
     val stageRoot = new Path(stagePath)
-    try {
-      val staged = GraftStage.stagedCells(fs, stageRoot, messages)
-      val isTruncate = filters.exists(_.forall(
-        _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
-      // begin BEFORE computing victims: a first commit's v0 baseline walk
-      // (inside beginCommit) then doubles as the live list below
-      val c = GraftVersions.beginCommit(fs, root)
-      val liveNow = GraftStage.liveWithBuckets(fs, root, c)
-      // victims: filter-matching chunks' files (static) or the files of the
-      // cells the staged data lands in (dynamic)
-      val removed: Set[String] = filters match {
-        case Some(fs0) =>
-          val real = fs0.filterNot(
-            _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
-          liveNow.filter { case (_, b) =>
-            real.forall(GraftDataSource.evalOnBuckets(_, b)) }.map(_._1).toSet
-        case None =>
-          val cells = staged.map(_._2).toSet
-          liveNow.filter { case (_, b) => cells.contains(b) }.map(_._1).toSet
-      }
-      // move staged chunk dirs into place (merge into survivors of the same
-      // cell — possible only in static mode with a non-covering condition)
-      val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
-      if (isTruncate) {
+    val isTruncate = filters.exists(_.forall(
+      _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+    def finishSidecar(): Unit =
+      if (isTruncate && branch.isEmpty) {
         // truncate replaces the table contents wholesale: the incoming
-        // schema is now authoritative for readers
+        // schema is now authoritative for readers. On a BRANCH the sidecar
+        // stays untouched — it is table-global, so rewriting it would leak
+        // the staged schema to main readers before fast_forward
         val out = fs.create(new Path(s"$path/_graft_schema.json"), true)
         out.write(schema.json.getBytes("UTF-8")); out.close()
       } else GraftDataSource.writeSidecarIfAbsent(path, schema)
+    // victims: filter-matching chunks' files (static) or the files of the
+    // cells the incoming data lands in (dynamic)
+    def victims(liveNow: Seq[(String, Map[String, Long])],
+        newCells: Set[Map[String, Long]]): Set[String] = filters match {
+      case Some(fs0) =>
+        val real = fs0.filterNot(
+          _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+        liveNow.filter { case (_, b) =>
+          real.forall(GraftDataSource.evalOnBuckets(_, b)) }.map(_._1).toSet
+      case None => liveNow.filter { case (_, b) => newCells.contains(b) }
+        .map(_._1).toSet
+    }
+    if (inPlace) {
+      // in-place: `added` is exactly the message-listed files, already in
+      // their final cells; the predecessor manifest (authoritative by the
+      // mode gate; the branch head for WAP overwrites) is the victim
+      // list — fresh files are not in it
+      val added = GraftStage.messageEntries(root, messages)
+      val c = branch match {
+        case Some(b) => GraftVersions.beginBranchCommit(fs, root, b)
+        case None => GraftVersions.beginCommit(fs, root)
+      }
+      val removed = victims(GraftStage.liveWithBuckets(fs, root, c),
+        added.map(e => GraftVersions.bucketsOf(e.rel)).toSet)
+      finishSidecar()
+      GraftVersions.sealCommit(fs, root, c, removed, added)
+    } else try {
+      val staged = GraftStage.stagedCells(fs, stageRoot, messages)
+      // begin BEFORE computing victims: a first commit's v0 baseline walk
+      // (inside beginCommit) then doubles as the live list below
+      val c = GraftVersions.beginCommit(fs, root)
+      val removed = victims(GraftStage.liveWithBuckets(fs, root, c),
+        staged.map(_._2).toSet)
+      // move staged chunk dirs into place (merge into survivors of the same
+      // cell — possible only in static mode with a non-covering condition)
+      val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
+      finishSidecar()
       GraftVersions.sealCommit(fs, root, c, removed, moved)
     } finally fs.delete(stageRoot, true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    fs.delete(new Path(stagePath), true)
+    if (inPlace) messages.foreach {
+      case GraftCommitMessage(files, _, _) =>
+        files.foreach(f => fs.delete(new Path(f), false))
+      case _ =>
+    } else fs.delete(new Path(stagePath), true)
   }
 }
 
@@ -309,8 +358,24 @@ class GraftOverwriteWrite(path: String, schema: StructType,
   * two row-level ops racing on one table cannot interleave stages and
   * crashed-attempt debris never merges in. */
 class GraftReplaceGroupsWrite(path: String, schema: StructType,
-    scannedFiles: () => java.util.Set[String]) extends BatchWrite {
-  private[graft] val stagePath = GraftStage.uniqueStage(path, "rowlevel")
+    scannedFiles: () => java.util.Set[String],
+    branch: Option[String] = None) extends BatchWrite {
+  // COW rewrites land IN PLACE when the commit log is authoritative (the
+  // common case — a row-level op presupposes committed data): replacement
+  // rows write straight into their final cells, invisible until the seal,
+  // zero moves. Staged fallback covers barrier windows. Isolation between
+  // racing ops holds either way: `added` is exactly this write's
+  // message-listed files, so another op's in-place debris never rides this
+  // commit, and a retiring CAS loss still aborts loudly at the seal.
+  // A BRANCH rewrite (WAP DML) retires the scanned files from the BRANCH
+  // manifest chain only — main's manifests never list the replacement
+  // files, so staged state stays invisible until fast_forward publishes.
+  branch.foreach { b => require(GraftStage.manifestAuthoritative(path),
+    s"graft: row-level DML on branch '$b' needs an authoritative commit " +
+      "log (versioned, barrier-free)") }
+  private[graft] val inPlace: Boolean = GraftStage.manifestAuthoritative(path)
+  private[graft] val stagePath =
+    if (inPlace) path else GraftStage.uniqueStage(path, "rowlevel")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(stagePath, schema, GraftBloom.columnsOf(path),
@@ -320,31 +385,47 @@ class GraftReplaceGroupsWrite(path: String, schema: StructType,
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val root = new Path(path)
     val stageRoot = new Path(stagePath)
-    try {
-      val staged = GraftStage.stagedCells(fs, stageRoot, messages)
-      val c = GraftVersions.beginCommit(fs, root)
-      // removed = exactly the files the rewrite's scans planned (their rows
-      // were re-emitted through the stage); cells never scanned stay intact
-      val removed: Set[String] = {
-        import scala.jdk.CollectionConverters._
-        scannedFiles().asScala
-          .map(u => GraftVersions.relOf(root, new Path(u))).toSet
-      }
-      val replaced = removed.map(r => r.split('/').dropRight(1).mkString("/")).size
-      val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
+    // removed = exactly the files the rewrite's scans planned (their rows
+    // were re-emitted through this write); cells never scanned stay intact
+    def removedRels: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      scannedFiles().asScala
+        .map(u => GraftVersions.relOf(root, new Path(u))).toSet
+    }
+    def seal(c: GraftVersions.PendingCommit, removed: Set[String],
+        added: Seq[GraftVersions.ManifestEntry], newCells: Int): Unit = {
+      val replaced = removed.map(_.split('/').dropRight(1).mkString("/")).size
       GraftDataSource.writeSidecarIfAbsent(path, schema)
-      GraftVersions.sealCommit(fs, root, c, removed, moved)
+      GraftVersions.sealCommit(fs, root, c, removed, added)
       GraftReplaceGroupsWrite.summaryByPath.put(path,
-        GraftReplaceGroupsWrite.ReplaceSummary(replaced, staged.size))
+        GraftReplaceGroupsWrite.ReplaceSummary(replaced, newCells))
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"graft row-level rewrite of $path: $replaced cell(s) replaced, " +
-          s"${staged.size} staged cell(s) merged in")
+          s"$newCells cell(s) written")
+    }
+    def begin(): GraftVersions.PendingCommit = branch match {
+      case Some(b) => GraftVersions.beginBranchCommit(fs, root, b)
+      case None => GraftVersions.beginCommit(fs, root)
+    }
+    if (inPlace) {
+      val added = GraftStage.messageEntries(root, messages)
+      seal(begin(), removedRels, added,
+        added.map(e => GraftVersions.bucketsOf(e.rel)).toSet.size)
+    } else try {
+      val staged = GraftStage.stagedCells(fs, stageRoot, messages)
+      val c = begin()
+      val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
+      seal(c, removedRels, moved, staged.size)
     } finally fs.delete(stageRoot, true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    fs.delete(new Path(stagePath), true)
+    if (inPlace) messages.foreach {
+      case GraftCommitMessage(files, _, _) =>
+        files.foreach(f => fs.delete(new Path(f), false))
+      case _ =>
+    } else fs.delete(new Path(stagePath), true)
   }
 }
 
@@ -421,6 +502,39 @@ private[sources] object GraftStage {
   def uniqueStage(path: String, kind: String): String =
     s"${path}__graft_${kind}_stage_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  /** True when the commit log is authoritative for `path` (at least one
+    * sealed manifest, no pending World-rewrite barrier): file liveness is
+    * then MANIFEST-ONLY — every reader (live scans, snapshots, streams,
+    * maintenance) resolves files from manifests, never a tree walk — so a
+    * write may land fresh bytes DIRECTLY in their final cell directories
+    * under per-writer-unique names: they are invisible until its own
+    * manifest seals, and the commit is pure metadata. On S3-class stores a
+    * rename is a full copy, so the staged-swap alternative pays every
+    * fresh byte twice; in-place writing is the object-store-correct shape.
+    * Unversioned worlds and barrier windows (physical-walk readers would
+    * see the write's torn state) keep the staged swap. */
+  def manifestAuthoritative(path: String): Boolean = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val st = GraftVersions.logState(fs, new Path(path))
+    st.versions.nonEmpty && !st.barrier
+  }
+
+  /** Manifest entries of exactly the files the tasks' commit messages
+    * list — an in-place commit's `added` set: no stage walk, no moves,
+    * sizes stat'd executor-side at task commit. */
+  def messageEntries(root: Path, messages: Array[WriterCommitMessage])
+      : Seq[GraftVersions.ManifestEntry] =
+    messages.collect { case GraftCommitMessage(f, _, sz) =>
+      f.zip(if (sz.size == f.size) sz else f.map(_ => -1L))
+    }.flatten.map { case (f, sz) =>
+      GraftVersions.ManifestEntry(GraftVersions.relOf(root, new Path(f)), sz)
+    }.toSeq
+
+  /** Test observability: files moved by staged swaps, process-wide — the
+    * in-place specs pin that a versioned table's overwrite/COW performs
+    * ZERO of these. */
+  val movesPerformed = new java.util.concurrent.atomic.AtomicLong()
 
   /** The live (rel, buckets) pairs a commit retires against: the cached
     * predecessor manifest when the commit has one (zero extra round trips),
@@ -500,6 +614,7 @@ private[sources] object GraftStage {
         if (!fs.rename(f, new Path(target, f.getName)))
           throw new IllegalStateException(
             s"graft commit: failed to move staged file $f into $target")
+        movesPerformed.incrementAndGet()
         GraftVersions.ManifestEntry(
           if (rel.isEmpty) f.getName else s"$rel/${f.getName}", st.getLen)
       }
@@ -509,20 +624,30 @@ private[sources] object GraftStage {
 /** Native micro-batch streaming sink: `df.writeStream.format("graft")` —
   * the reference daemon's write-behind contract (§2.5,
   * /root/reference/src/world.rs daemon notes) as a DSv2 `StreamingWrite`
-  * instead of a `foreachBatch` shim. Tasks of epoch N write into a sibling
-  * per-epoch staging grid; `commit(N)` applies it to the world under the
-  * declared mode (Append merges cells in, Truncate — Complete output mode —
-  * replaces the whole grid, Upsert runs the world's partition-scoped
-  * `World::insert`), then records N under `<world>/_graft_commits/`.
+  * instead of a `foreachBatch` shim. Once the table's commit log is
+  * authoritative, tasks of epoch N write IN PLACE — straight into their
+  * final cell directories, invisible until the epoch's manifest seals —
+  * so a long-running stream performs zero per-epoch renames (on S3-class
+  * stores a rename is a full copy: the staged design paid every epoch's
+  * bytes twice, forever). Virgin paths, barrier windows, and Upsert mode
+  * (whose `World::insert` consumes a staged batch) keep the sibling
+  * per-epoch staging grid. `commit(N)` applies the epoch under the
+  * declared mode (Append adds the files, Truncate — Complete output
+  * mode — retires every predecessor file in the same seal, Upsert runs
+  * the world's partition-scoped `World::insert`), then records N under
+  * `<world>/_graft_commits/`.
   *
   * Exactly-once per epoch: a RESTARTED query replays its last unfinished
-  * epoch; a marker hit means the epoch fully committed before the crash and
-  * the replayed stage is discarded wholesale. A crash strictly BETWEEN the
-  * cell moves and the marker write can double the boundary epoch — the same
-  * torn-commit window every log-less file sink has (class doc above); the
-  * marker shrinks it from "any replayed epoch" to that one rename batch.
-  * Markers are one empty file per epoch, pruned opportunistically to the
-  * last [[GraftStreamingWrite.keepMarkers]] (replay only ever re-offers the
+  * epoch; a marker hit means the epoch fully committed before the crash
+  * and the replayed output is discarded wholesale (stage deleted;
+  * in-place files — unmanifested, hence invisible — deleted by path). A
+  * crash strictly BETWEEN the epoch's visibility point (the manifest
+  * seal; formerly the cell moves) and the marker write can double the
+  * boundary epoch — the same torn-commit window every log-less file sink
+  * has (class doc above); the marker shrinks it from "any replayed epoch"
+  * to that one seal-to-marker gap. Markers are one empty file per epoch,
+  * pruned opportunistically to the last
+  * [[GraftStreamingWrite.keepMarkers]] (replay only ever re-offers the
   * tail epochs the checkpoint hasn't sealed).
   */
 class GraftStreamingWrite(path: String, schema: StructType,
@@ -537,19 +662,42 @@ class GraftStreamingWrite(path: String, schema: StructType,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(path, schema)
+    new GraftStreamingWriterFactory(path, schema, upsert = mode == Upsert)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val root = new Path(path)
     val stageRoot = new Path(stageFor(epochId))
+    // the regime is re-derived per FILE from the message paths (the
+    // factory decides once per epoch, but a message-path check is immune
+    // to the decision drifting between factory construction and commit):
+    // grid-resident files are this epoch's in-place output, stage-resident
+    // ones move in the old way
+    val stagePrefix = stageRoot.toUri.getPath
+    val gridMsgs: Array[WriterCommitMessage] = messages.collect {
+      case GraftCommitMessage(fl, r, sz) =>
+        val keep = fl.zip(if (sz.size == fl.size) sz else fl.map(_ => -1L))
+          .filterNot { case (f, _) =>
+            new Path(f).toUri.getPath.startsWith(stagePrefix) }
+        GraftCommitMessage(keep.map(_._1), r, keep.map(_._2))
+    }.toArray
+    def deleteGridFiles(): Unit = gridMsgs.foreach {
+      case GraftCommitMessage(files, _, _) =>
+        files.foreach(f => fs.delete(new Path(f), false))
+      case _ =>
+    }
     try {
       if (fs.exists(markerFor(epochId))) {
+        // replayed after a completed commit: discard the replay's output —
+        // staged files die with the stage delete below, in-place files are
+        // unmanifested (invisible) and deleted here
+        deleteGridFiles()
         org.slf4j.LoggerFactory.getLogger(getClass)
           .info(s"graft stream into $path: epoch $epochId replayed after commit, skipping")
         return
       }
       val staged = GraftStage.stagedCells(fs, stageRoot, messages)
+      val gridAdded = GraftStage.messageEntries(root, gridMsgs)
       // each epoch is a versioned commit: VERSION AS OF n addresses the
       // world between epochs (bounded by graft.versions.keep — see below).
       // The Upsert arm delegates to World.insert — a documented version
@@ -559,17 +707,18 @@ class GraftStreamingWrite(path: String, schema: StructType,
       val c = GraftVersions.beginCommit(fs, root, baseline = mode != Upsert)
       mode match {
         case Append =>
-          val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
+          val added = GraftStage.moveIn(fs, stageRoot, root, staged) ++ gridAdded
           GraftDataSource.writeSidecarIfAbsent(path, schema)
-          GraftVersions.sealCommit(fs, root, c, Set.empty, moved)
+          GraftVersions.sealCommit(fs, root, c, Set.empty, added)
         case Truncate =>
           // every live file retires (manifest-only — bytes stay for the
-          // per-epoch retention below to reclaim)
+          // per-epoch retention below to reclaim); the predecessor manifest
+          // backing liveWithBuckets never lists this epoch's in-place files
           val removed = GraftStage.liveWithBuckets(fs, root, c).map(_._1).toSet
-          val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
+          val added = GraftStage.moveIn(fs, stageRoot, root, staged) ++ gridAdded
           val out = fs.create(new Path(s"$path/_graft_schema.json"), true)
           out.write(schema.json.getBytes("UTF-8")); out.close()
-          GraftVersions.sealCommit(fs, root, c, removed, moved)
+          GraftVersions.sealCommit(fs, root, c, removed, added)
         case Upsert =>
           val spark = org.apache.spark.sql.SparkSession.active
           val dims = graft.plans.DimPruningRegistry.lookup(path).getOrElse(
@@ -609,7 +758,8 @@ class GraftStreamingWrite(path: String, schema: StructType,
       // subject to the same keep bound.
       if (mode == Append) compactMaxFiles.foreach { bound =>
         GraftStreamingWrite.compactTouchedCells(path, schema,
-          staged.map(_._2).toSet, bound)
+          staged.map(_._2).toSet ++
+            gridAdded.map(e => GraftVersions.bucketsOf(e.rel)), bound)
       }
       // per-epoch retention under graft.versions.keep: a forever-stream's
       // commit log stays bounded without an external maintenance job
@@ -620,6 +770,15 @@ class GraftStreamingWrite(path: String, schema: StructType,
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     fs.delete(new Path(stageFor(epochId)), true)
+    // in-place task output of the failed epoch: unmanifested (invisible),
+    // deleted eagerly rather than left to the orphan sweep
+    val stagePrefix = new Path(stageFor(epochId)).toUri.getPath
+    messages.foreach {
+      case GraftCommitMessage(files, _, _) => files
+        .filterNot(f => new Path(f).toUri.getPath.startsWith(stagePrefix))
+        .foreach(f => fs.delete(new Path(f), false))
+      case _ =>
+    }
   }
 }
 
@@ -657,7 +816,11 @@ object GraftStreamingWrite {
     val pred = victims.map(_.toSeq.sortBy(_._1)
         .map { case (k, v) => col(k) === lit(v) }.reduce(_ && _))
       .reduce(_ || _)
-    val ow = new GraftOverwriteWrite(path, schema, None) // dynamic mode
+    // dynamic mode, stage forced: this driver-driven cycle pumps the
+    // compacted rows through a nested APPEND into the stage dir (no task
+    // message channel), so the commit must discover them with the stage
+    // walk — in-place would alias the stage onto the table itself
+    val ow = new GraftOverwriteWrite(path, schema, None, forceStaged = true)
     try {
       spark.read.format("graft").load(path).where(pred)
         .write.format("graft").mode("append").save(ow.stagePath)
@@ -678,14 +841,24 @@ object GraftStreamingWrite {
   }
 }
 
-/** Epoch-aware twin of [[GraftWriterFactory]]: rows land in the per-epoch
-  * staging grid, reusing the one routed chunk writer. */
-class GraftStreamingWriterFactory(path: String, schema: StructType)
+/** Epoch-aware twin of [[GraftWriterFactory]]: rows land either directly
+  * in the world's cell directories (IN-PLACE — the log is authoritative,
+  * so unmanifested files are invisible until the epoch's seal and the
+  * commit moves nothing) or in the per-epoch staging grid (virgin paths,
+  * barrier windows, and Upsert mode, whose World.insert consumes a staged
+  * batch), reusing the one routed chunk writer. The placement decision is
+  * made ONCE per epoch on the driver and serialized to every task, so an
+  * epoch's files are never split across regimes by a mid-epoch log change;
+  * the commit re-derives the regime per file from the message paths. */
+class GraftStreamingWriterFactory(path: String, schema: StructType,
+    upsert: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   // resolved HERE (factory construction runs on the driver) and serialized
   // to tasks — createWriter runs executor-side, where a sidecar read per
   // task would be a namenode round-trip per epoch partition
   private val bloomCols: Seq[String] = GraftBloom.columnsOf(path)
+  private val inPlace: Boolean =
+    !upsert && GraftStage.manifestAuthoritative(path)
   // declared CHECKs resolved at factory construction — which happens
   // PER EPOCH on the driver (each micro-batch's MicroBatchWrite calls
   // createStreamingWriterFactory anew), so a set_check declared while a
@@ -696,8 +869,9 @@ class GraftStreamingWriterFactory(path: String, schema: StructType)
     GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(s"${path}__graft_epoch_$epochId", schema, partitionId,
-      taskId, bloomCols, checks)
+    new GraftDataWriter(
+      if (inPlace) path else s"${path}__graft_epoch_$epochId", schema,
+      partitionId, taskId, bloomCols, checks)
 }
 
 class GraftBatchWrite(path: String, schema: StructType,
