@@ -599,6 +599,54 @@ object DmdsQueries {
         Some("""SELECT event_id, user_id, value FROM events ORDER BY event_id""")
       ),
 
+      "w_wap_dml" -> QueryDef(
+        // session-scoped write-audit-publish through the oracle gate:
+        // `SET graft.wap.branch` routes the session's FULL DML surface —
+        // UPDATE (COW rewrite), bucket DELETE (metadata retire), INSERT
+        // (append) — through one staging branch; reads inside the session
+        // audit the staged state, main stays bit-identical until
+        // system.fast_forward publishes the branch head as main's next
+        // version (pure metadata). The readback is main AFTER publish; the
+        // oracle restates the three staged mutations relationally. A stage
+        // leak to main, a lost mutation at publish, or a wrong branch-head
+        // victim set in the COW all break the hash. (GraftWapSpec pins
+        // isolation, refusal-on-missing-branch, and abandon semantics.)
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wwd", "wd")
+          events(s2, dir).createOrReplaceTempView("ev_src_wd")
+          s2.sql("DROP TABLE IF EXISTS wwd.ev_wd")
+          s2.sql("""CREATE TABLE wwd.ev_wd
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wwd.ev_wd
+                    SELECT event_id, user_id, value, user_id DIV 256
+                    FROM ev_src_wd""")
+          s2.sql("CALL wwd.system.branch(table => 'ev_wd', name => 'audit')")
+          s2.conf.set("graft.wap.branch", "audit")
+          try {
+            s2.sql("UPDATE wwd.ev_wd SET value = value * 3 WHERE c0 = 0")
+            s2.sql("DELETE FROM wwd.ev_wd WHERE c0 = 1")
+            s2.sql("""INSERT INTO wwd.ev_wd
+                      SELECT event_id + 1000000, user_id, value, user_id DIV 256
+                      FROM ev_src_wd WHERE user_id DIV 256 = 2""")
+            require(s2.sql("SELECT count(*) FROM wwd.ev_wd WHERE c0 = 1")
+              .head.getLong(0) == 0L, "audit: staged DELETE visible in-session")
+          } finally s2.conf.unset("graft.wap.branch")
+          s2.sql("CALL wwd.system.fast_forward(table => 'ev_wd', branch => 'audit')")
+          s2.sql("""SELECT event_id, user_id, value FROM wwd.ev_wd
+                    ORDER BY event_id, user_id""")
+        },
+        Some("""WITH base AS (
+                  SELECT event_id, user_id,
+                         CASE WHEN user_id // 256 = 0 THEN value * 3 ELSE value END AS value
+                  FROM events WHERE user_id // 256 <> 1
+                ), ins AS (
+                  SELECT event_id + 1000000 AS event_id, user_id, value
+                  FROM events WHERE user_id // 256 = 2
+                )
+                SELECT * FROM base UNION ALL SELECT * FROM ins
+                ORDER BY event_id, user_id""")
+      ),
+
       "w_regrid" -> QueryDef(
         // re-sharding as one SQL statement: build a table under one chunk
         // geometry, CALL system.regrid to a finer two-dim geometry (one

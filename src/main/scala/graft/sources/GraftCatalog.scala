@@ -83,7 +83,27 @@ class GraftCatalog extends TableCatalog
         ident)
     }
     val p = pathOf(ident)
-    new GraftTable(p, GraftDataSource.sidecarSchema(p), viaCatalog = true)
+    // WAP session staging: `SET graft.wap.branch = <name>` routes EVERY
+    // DML statement of the session — INSERT, INSERT OVERWRITE, UPDATE,
+    // MERGE, DELETE — through the named branch of each table it touches,
+    // and reads audit the staged state, until system.fast_forward
+    // publishes. A table WITHOUT the branch reads main as usual (source
+    // tables need no fork) but refuses writes loudly — staging must never
+    // silently leak to main. The conf is read per statement (loadTable
+    // runs at analysis), so `SET`/`RESET` take effect immediately.
+    val wap = try org.apache.spark.sql.SparkSession.active.conf
+      .getOption("graft.wap.branch").map(_.trim).filter(_.nonEmpty)
+    catch { case _: IllegalStateException => None } // no active session
+    wap match {
+      case Some(b) if GraftVersions.branchFork(fs(), new Path(p), b).isDefined =>
+        new GraftTable(p, GraftDataSource.sidecarSchema(p),
+          Some(GraftBranchPin(b)), viaCatalog = true)
+      case Some(b) =>
+        new GraftTable(p, GraftDataSource.sidecarSchema(p),
+          viaCatalog = true, wapMissing = Some(b))
+      case None =>
+        new GraftTable(p, GraftDataSource.sidecarSchema(p), viaCatalog = true)
+    }
   }
 
   /** `SELECT … FROM t VERSION AS OF n` — the table pinned to commit `n` of
@@ -1375,7 +1395,10 @@ private[sources] object GraftMetaTable {
     case "files" => StructType(Seq(
       StructField("cell", StringType, nullable = false),
       StructField("file", StringType, nullable = false),
-      StructField("bytes", LongType, nullable = false)))
+      StructField("bytes", LongType, nullable = false),
+      // the manifest-carried zone map, `col=min:max;…` (empty = none) —
+      // SELECT-able observability for "why was/wasn't this file pruned"
+      StructField("bounds", StringType, nullable = false)))
     case "cells" => StructType(Seq(
       StructField("cell", StringType, nullable = false),
       StructField("files", LongType, nullable = false),
@@ -1411,7 +1434,9 @@ private[sources] object GraftMetaTable {
           .flatMap { case (_, b, files) =>
             files.map { fr =>
               InternalRow(cellOf(b), UTF8String.fromString(fr.path.getName),
-                fr.size)
+                fr.size,
+                UTF8String.fromString(fr.stats.toSeq.sortBy(_._1)
+                  .map { case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(";")))
             }
           }.toArray
       case "cells" =>

@@ -621,7 +621,12 @@ class GraftTable(path: String, schema: StructType,
     // resolve connector functions (zvalue sort ordering) against the
     // catalog's FunctionCatalog face; path-routed writes cannot and take
     // the lexicographic z-column fallback (see GraftZOrder)
-    viaCatalog: Boolean = false) extends Table
+    viaCatalog: Boolean = false,
+    // the session declared graft.wap.branch=<name> but this table has no
+    // such branch: reads fall back to main (a WAP session's SOURCE tables
+    // need no fork), writes refuse loudly (staging must never silently
+    // leak to main)
+    wapMissing: Option[String] = None) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -638,9 +643,19 @@ class GraftTable(path: String, schema: StructType,
 
   private def noBranch(op: String): Unit = pin.foreach {
     case b: GraftBranchPin => throw new UnsupportedOperationException(
-      s"graft: $op on branch '${b.name}' — branch staging supports APPEND " +
-        "commits; publish with system.fast_forward first")
+      s"graft: $op on branch '${b.name}' — publish with " +
+        "system.fast_forward first, then run it on main")
     case _ =>
+  }
+
+  private def branchName: Option[String] =
+    pin.collect { case GraftBranchPin(n) => n }
+
+  private def wapGuard(op: String): Unit = wapMissing.foreach { b =>
+    throw new UnsupportedOperationException(
+      s"graft: $op under graft.wap.branch='$b', but $path has no such " +
+        s"branch — CALL system.branch(table, '$b') to fork it first " +
+        "(writes never silently leak to main while WAP staging is declared)")
   }
 
   /** `_cell`: the chunk-cell a row lives in (its directory's relative path,
@@ -668,8 +683,8 @@ class GraftTable(path: String, schema: StructType,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     readOnly("row-level operation")
-    noBranch("row-level operation")
-    new GraftRowLevelBuilder(path, schema, info)
+    wapGuard("row-level operation")
+    new GraftRowLevelBuilder(path, schema, info, branchName)
   }
 
   /** `DELETE FROM` with a bucket-only condition — the SQL face of the
@@ -687,7 +702,7 @@ class GraftTable(path: String, schema: StructType,
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
       : Unit = {
     readOnly("DELETE")
-    noBranch("DELETE")
+    wapGuard("DELETE")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
     val root = new org.apache.hadoop.fs.Path(path)
@@ -696,8 +711,13 @@ class GraftTable(path: String, schema: StructType,
       // manifest (their bytes stay in place for snapshot reads — a pure
       // metadata DELETE even at the storage layer), so the pre-DELETE state
       // stays addressable and rollback-able. The victim set is pruned by
-      // the DELETE's own bucket filters against the predecessor manifest.
-      val c = GraftVersions.beginCommit(fs, root)
+      // the DELETE's own bucket filters against the predecessor manifest —
+      // or, for WAP staging, the branch head, retiring from the branch
+      // chain only.
+      val c = branchName match {
+        case Some(b) => GraftVersions.beginBranchCommit(fs, root, b)
+        case None => GraftVersions.beginCommit(fs, root)
+      }
       val removed = GraftStage.liveWithBuckets(fs, root, c)
         .filter { case (_, b) =>
           filters.forall(GraftDataSource.evalOnBuckets(_, b)) }
@@ -727,9 +747,10 @@ class GraftTable(path: String, schema: StructType,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     readOnly("write")
+    wapGuard("write")
     if (follow) throw new UnsupportedOperationException(
       "graft: cannot write through a graft.follow change-feed handle")
-    new GraftWriteBuilder(path, info, viaCatalog)
+    new GraftWriteBuilder(path, info, viaCatalog, branchDefault = branchName)
   }
 }
 
@@ -1467,12 +1488,16 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
   override def planInputPartitions(): Array[InputPartition] = {
     val hasDataCols = required.exists(f => !GraftDataSource.isBucket(f.name))
     val keys = keyCols
-    if (pin.isDefined)
+    if (pin.isDefined) {
       // manifest-driven: one partition per pinned file (limit/topN
-      // pushdowns and runtime filters are declined in pinned mode, and a
-      // pinned scan never backs a row-level rewrite)
-      return bloomSurvivors(pinnedWalk.map { case (f, b, e) =>
-          (f.toString, b, e.stats) })
+      // pushdowns and runtime filters are declined in pinned mode). A
+      // BRANCH pin can back a row-level rewrite (WAP DML): the recorder
+      // notes exactly the planned branch-head survivors — all of whose
+      // rows the rewrite re-emits — for retirement from the branch chain.
+      val survivors = bloomSurvivors(pinnedWalk.map { case (f, b, e) =>
+        (f.toString, b, e.stats) })
+      fileRecorder.foreach { r => r.clear(); survivors.foreach(x => r.add(x._1)) }
+      return survivors
         .map { case (f, b) =>
           // getOrElse: a pre-regrid file lacks buckets a later geometry
           // added; -1 groups those files consistently (join conditions
@@ -1480,6 +1505,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
           GraftInputPartition(f, b, !hasDataCols, -1,
             keys.map(b.getOrElse(_, -1L))): InputPartition
         }.toArray
+    }
     val planned: Seq[(Path, Map[String, Long], Seq[GraftDataSource.FileRef])] =
       if (topN.isEmpty || limit < 0) liveCellList()
       else {

@@ -33,12 +33,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * stay in place for snapshot reads (manifest-only liveness).
   */
 class GraftRowLevelBuilder(path: String, schema: StructType,
-    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+    info: RowLevelOperationInfo,
+    branch: Option[String] = None) extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new GraftRowLevelOperation(path, schema, info.command)
+    new GraftRowLevelOperation(path, schema, info.command, branch)
 }
 
-class GraftRowLevelOperation(path: String, schema: StructType, cmd: Command)
+/** `branch`: a WAP rewrite (`graft.wap.branch`) — candidate groups plan
+  * from the BRANCH head (not main's live state) and the commit retires
+  * them from the branch's own manifest chain, so an UPDATE/MERGE/DELETE
+  * stages invisibly exactly like a branch append and publishes atomically
+  * at fast_forward. */
+class GraftRowLevelOperation(path: String, schema: StructType, cmd: Command,
+    branch: Option[String] = None)
     extends RowLevelOperation {
   private val scanDirSets =
     java.util.Collections.synchronizedList(
@@ -49,7 +56,8 @@ class GraftRowLevelOperation(path: String, schema: StructType, cmd: Command)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val files = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     scanDirSets.add(files)
-    new GraftScanBuilder(path, schema, rowLevelFiles = Some(files))
+    new GraftScanBuilder(path, schema, rowLevelFiles = Some(files),
+      pin = branch.map(GraftBranchPin(_)))
   }
 
   /** `_cell` must ride the rewrite: Spark's `ReplaceDataExec` routes rows
@@ -73,7 +81,7 @@ class GraftRowLevelOperation(path: String, schema: StructType, cmd: Command)
             val all = new java.util.HashSet[String]()
             scanDirSets.forEach(s => all.addAll(s))
             all
-          }), viaCatalog = true)
+          }, branch), viaCatalog = true)
     }
   }
 

@@ -79,6 +79,13 @@ class GraftStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT id FROM zcat.z WHERE v = 300").head.getLong(0) == 150L)
   }
 
+  test(".files metadata table surfaces each file's bounds") {
+    val bounds = spark.sql(
+      "SELECT bounds FROM zcat.z.files ORDER BY file LIMIT 1").head.getString(0)
+    assert(bounds.contains("id=") && bounds.contains("v="),
+      s"bounds column must carry the zone map, got '$bounds'")
+  }
+
   test("set_stats 'off' stops capture; a column list narrows it; 'auto' restores") {
     spark.sql("CREATE TABLE zcat.zo (id BIGINT, v BIGINT, c0 BIGINT)")
     val path = s"$warehouse/zo"

@@ -257,12 +257,24 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception](spark.sql(
       "CALL vcat.system.fast_forward(table => 'wap', branch => 'late')"))
     assert(e.getMessage.contains("advanced"), s"got: ${e.getMessage}")
-    // non-append mutations refuse on a branch handle
+    // overwrite STAGES on the branch (r11 full-DML WAP): the branch head
+    // flips to the overwritten state, main never sees it
+    val mainBefore = rows("SELECT id, v FROM vcat.wap")
+    Seq((7L, 70L, 0L)).toDF("id", "v", "c0").write.format("graft")
+      .option("graft.branch", "late").mode("overwrite").save(path)
+    assert(spark.read.format("graft").option("graft.branch", "late").load(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((7L, 70L)),
+      "branch head reflects the staged truncate")
+    assert(rows("SELECT id, v FROM vcat.wap") == mainBefore,
+      "main untouched by the staged overwrite")
+    // upsert stays refused on a branch handle (its World::insert is a
+    // version barrier on the shared physical tree)
     val e2 = intercept[Exception] {
       Seq((7L, 70L, 0L)).toDF("id", "v", "c0").write.format("graft")
-        .option("graft.branch", "late").mode("overwrite").save(path)
+        .option("graft.branch", "late").option("graft.mode", "upsert")
+        .mode("append").save(path)
     }
-    assert(e2.getMessage.contains("APPEND"), s"got: ${e2.getMessage}")
+    assert(e2.getMessage.contains("barrier"), s"got: ${e2.getMessage}")
   }
 
   test("regrid reseals geometry as a versioned commit; old snapshots keep reading") {
