@@ -79,17 +79,40 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
     // until system.fast_forward publishes (write-audit-publish staging).
     // Appends and overwrites stage on a branch (r11: overwrites retire
     // their victims from the branch chain only); upsert stays refused —
-    // its World::insert is a version BARRIER that rewrites the physical
-    // tree main readers share.
+    // its World::insert resolves conflicts against MAIN's live state, so
+    // on a branch it would mix staged and published victims.
     val branch = Option(info.options().get("graft.branch")).orElse(branchDefault)
+    // option("graft.replaceCells", "c0=1/c1=2;c0=3/c1=4"): replace EXACTLY
+    // the named chunk cells with this write's rows — the World-rewrite
+    // primitive (insert/destroy/update/applyDelta all reduce to "these
+    // cells' new content is exactly these rows", where an emptied cell
+    // appears in the list with no incoming rows). Routed as a static
+    // bucket-scoped overwrite, so the rewrite rides the connector's
+    // versioned, CAS-sealed, in-place commit instead of the legacy
+    // barrier + double-write swap.
+    val replaceCells: Option[Array[org.apache.spark.sql.sources.Filter]] =
+      Option(info.options().get("graft.replaceCells")).map { enc =>
+        import org.apache.spark.sql.sources.{And, EqualTo, Filter, Or}
+        val cells = enc.split(';').filter(_.nonEmpty).map { cell =>
+          cell.split('/').map { kv =>
+            val Array(c, v) = kv.split("=", 2)
+            EqualTo(c, v.toLong): Filter
+          }.reduce(And(_, _): Filter)
+        }
+        require(cells.nonEmpty, "graft.replaceCells: empty cell list")
+        Array(cells.reduce(Or(_, _): Filter))
+      }
     branch.foreach { b =>
       require(!"upsert".equalsIgnoreCase(info.options().get("graft.mode")),
-        s"graft: upsert cannot stage on branch '$b' — its rewrite is a " +
-          "version barrier on the shared physical tree; publish with " +
+        s"graft: upsert cannot stage on branch '$b' — its conflict " +
+          "resolution reads main's live state; publish with " +
           "system.fast_forward, then upsert on main")
     }
     val batch: BatchWrite =
-      if (dynamicOverwrite)
+      if (replaceCells.isDefined)
+        new GraftOverwriteWrite(path, info.schema(), replaceCells,
+          branch = branch)
+      else if (dynamicOverwrite)
         new GraftOverwriteWrite(path, info.schema(), None, branch = branch)
       else if (overwriteBy.isDefined)
         new GraftOverwriteWrite(path, info.schema(), Some(overwriteBy.get),
@@ -167,7 +190,8 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(stagePath, schema, GraftBloom.columnsOf(path),
-      GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema))
+      GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema),
+      bucketSourcePath = path)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
@@ -177,13 +201,9 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
         throw new IllegalStateException(
           s"graft upsert needs the world's dim mappings: no world registered for $path " +
             "(instantiate graft.world.World for this path first)"))
-      // versioned commit sealed from a WALK after the insert: World.insert
-      // is a barrier (it deletes superseded files), so this commit both
-      // versions the upsert's post-state and heals any manifest drift.
-      // No v0 baseline on a first-commit upsert — the insert is about to
-      // delete files a baseline would promise as addressable.
-      val root = new Path(path)
-      val c = GraftVersions.beginCommit(fs, root, baseline = false)
+      // World.insert seals its own versioned commit (r11: the rewrite is a
+      // connector-routed bucket-scoped overwrite, not a barrier), so THIS
+      // commit needs no seal of its own — the insert's is the upsert's.
       val staged = messages.collect { case GraftCommitMessage(_, rows, _) => rows }.sum
       val stagedFiles = GraftStage
         .stagedCells(fs, new Path(stagePath), messages)
@@ -202,9 +222,6 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
       } else GraftUpsertWrite.summaryByPath.put(path,
         GraftUpsertWrite.UpsertSummary(staged, 0L))
       GraftDataSource.writeSidecarIfAbsent(path, schema)
-      // force the walk-based seal: the insert (a barrier) invalidated any
-      // predecessor manifest beginCommit may have cached
-      GraftVersions.sealCommit(fs, root, c.copy(prev = None), Set.empty, Seq.empty)
     } finally fs.delete(new Path(stagePath), true)
   }
 
@@ -275,7 +292,8 @@ class GraftOverwriteWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(stagePath, schema, GraftBloom.columnsOf(path),
-      GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema))
+      GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema),
+      bucketSourcePath = path)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
@@ -379,7 +397,8 @@ class GraftReplaceGroupsWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(stagePath, schema, GraftBloom.columnsOf(path),
-      GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema))
+      GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema),
+      bucketSourcePath = path)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
@@ -455,8 +474,11 @@ private[sources] object GraftWriteLayout {
       import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
       override def toBatch: BatchWrite = batch
 
-      private def bucketNames: Array[String] =
-        schema.fields.map(_.name).filter(GraftDataSource.isBucket)
+      private def bucketNames: Array[String] = {
+        val declared = GraftStage.declaredBuckets(path)
+        schema.fields.map(_.name).filter(n =>
+          declared.map(_.contains(n)).getOrElse(GraftDataSource.isBucket(n)))
+      }
 
       override def requiredDistribution():
           org.apache.spark.sql.connector.distributions.Distribution =
@@ -535,6 +557,15 @@ private[sources] object GraftStage {
     * in-place specs pin that a versioned table's overwrite/COW performs
     * ZERO of these. */
   val movesPerformed = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The AUTHORITATIVE bucket-column set for `path`: the registered
+    * World's declared dims when one exists (a data column that happens to
+    * be named like `c<digit>` — e.g. a count column `c1` — must NOT be
+    * routed as a grid axis), the `c\d+` name convention otherwise (the
+    * SQL catalog surface, where the convention IS the declaration). */
+  def declaredBuckets(path: String): Option[Set[String]] =
+    graft.plans.DimPruningRegistry.lookup(path)
+      .map(dims => dims.indices.map(i => s"c$i").toSet)
 
   /** The live (rel, buckets) pairs a commit retires against: the cached
     * predecessor manifest when the commit has one (zero extra round trips),
@@ -700,11 +731,10 @@ class GraftStreamingWrite(path: String, schema: StructType,
       val gridAdded = GraftStage.messageEntries(root, gridMsgs)
       // each epoch is a versioned commit: VERSION AS OF n addresses the
       // world between epochs (bounded by graft.versions.keep — see below).
-      // The Upsert arm delegates to World.insert — a documented version
-      // BARRIER — but still seals a post-epoch manifest, so snapshots
-      // at/after it work; it skips the first-commit baseline (the insert
-      // deletes files a baseline would promise as addressable).
-      val c = GraftVersions.beginCommit(fs, root, baseline = mode != Upsert)
+      // The Upsert arm delegates to World.insert, which seals its own
+      // commit (r11: a connector-routed overwrite, not a barrier), so only
+      // the Append/Truncate arms begin one here.
+      lazy val c = GraftVersions.beginCommit(fs, root)
       mode match {
         case Append =>
           val added = GraftStage.moveIn(fs, stageRoot, root, staged) ++ gridAdded
@@ -736,9 +766,6 @@ class GraftStreamingWrite(path: String, schema: StructType,
               .info(s"graft stream upsert into $path: epoch $epochId, $displaced displaced")
           }
           GraftDataSource.writeSidecarIfAbsent(path, schema)
-          // World.insert is a version barrier: seal from a walk (heals)
-          GraftVersions.sealCommit(fs, root, c.copy(prev = None),
-            Set.empty, Seq.empty)
       }
       fs.mkdirs(markerFor(epochId).getParent)
       fs.create(markerFor(epochId), true).close()
@@ -867,11 +894,13 @@ class GraftStreamingWriterFactory(path: String, schema: StructType,
   // checks exist — the same cost class as the bloom sidecar read above.
   private val checks: Seq[GraftChecks.Check] =
     GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema)
+  private val declaredBuckets: Option[Set[String]] =
+    GraftStage.declaredBuckets(path)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
       if (inPlace) path else s"${path}__graft_epoch_$epochId", schema,
-      partitionId, taskId, bloomCols, checks)
+      partitionId, taskId, bloomCols, checks, declaredBuckets)
 }
 
 class GraftBatchWrite(path: String, schema: StructType,
@@ -937,9 +966,17 @@ final case class GraftCommitMessage(files: Seq[String], rows: Long,
 
 class GraftWriterFactory(path: String, schema: StructType,
     bloomCols: Seq[String] = Nil,
-    checks: Seq[GraftChecks.Check] = Nil) extends DataWriterFactory {
+    checks: Seq[GraftChecks.Check] = Nil,
+    // the TABLE path whose registered World declares the bucket set —
+    // differs from `path` for staged writes (the stage dir carries no
+    // registration); resolved at factory construction (driver-side, the
+    // registry is a driver-JVM map) and serialized to tasks
+    bucketSourcePath: String = null) extends DataWriterFactory {
+  private val declaredBuckets: Option[Set[String]] =
+    GraftStage.declaredBuckets(Option(bucketSourcePath).getOrElse(path))
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(path, schema, partitionId, taskId, bloomCols, checks)
+    new GraftDataWriter(path, schema, partitionId, taskId, bloomCols, checks,
+      declaredBuckets)
 }
 
 /** Per-file EXACT integral-column sums, carried into the parquet footer as
@@ -999,7 +1036,13 @@ private[sources] final class GraftParquetWriterBuilder(file: Path,
   * encountered in this task's partition. */
 class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, bloomCols: Seq[String] = Nil,
-    checks: Seq[GraftChecks.Check] = Nil) extends DataWriter[InternalRow] {
+    checks: Seq[GraftChecks.Check] = Nil,
+    declaredBuckets: Option[Set[String]] = None) extends DataWriter[InternalRow] {
+
+  private def isBucketCol(name: String): Boolean = declaredBuckets match {
+    case Some(set) => set.contains(name)
+    case None => GraftDataSource.isBucket(name)
+  }
 
   // declared CHECK constraints, compiled once per task (codegen'd predicate
   // with interpreted fallback); a violation throws -> Spark aborts the task
@@ -1012,14 +1055,14 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
 
   private val conf = new Configuration()
   private val bucketIdx: Array[Int] = schema.fields.zipWithIndex
-    .collect { case (f, i) if GraftDataSource.isBucket(f.name) => i }
+    .collect { case (f, i) if isBucketCol(f.name) => i }
   // _cell rides the row-level rewrite schema for routing context only
   // (requiredMetadataAttributes keeps Spark's write-side projection on) —
   // like the bucket columns it must never be PERSISTED, or rewritten chunk
   // files would grow a physical _cell column untouched files lack and a
   // plain spark.read.parquet over the grid would see divergent file schemas
   private val dataIdx: Array[Int] = schema.fields.zipWithIndex
-    .collect { case (f, i) if !GraftDataSource.isBucket(f.name) &&
+    .collect { case (f, i) if !isBucketCol(f.name) &&
       f.name != GraftDataSource.CellColumn => i }
   require(bucketIdx.nonEmpty, "graft write requires bucket columns c0..cN in the schema")
 

@@ -31,8 +31,11 @@ final case class DimSpec(column: String, mapping: DimMapping) {
   *
   * Scale notes (design target: 1000-executor cluster, ~100 TB):
   *   - all point ops are **partition-scoped copy-on-write**: only affected
-  *     bucket directories are rewritten (dynamic partition overwrite), so an
-  *     upsert touching k buckets costs O(k · bucketSize), never O(table);
+  *     bucket cells are rewritten — one connector write sealed as a
+  *     versioned, CAS'd, bucket-scoped commit (r11: no version barriers,
+  *     no staged double-write) — so an upsert touching k buckets costs
+  *     O(k · bucketSize), never O(table), and every snapshot stays
+  *     addressable through it;
   *   - scans prune via partition columns — Catalyst's
   *     `PruneFileSourcePartitions` never lists unaffected directories;
   *   - choose `itemsPerChunk` so one bucket ≈ 100 MB–1 GB of Parquet
@@ -168,20 +171,6 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     graft.sources.GraftBloom.writerOptions(
       graft.sources.GraftBloom.columns(fileSystem,
         new org.apache.hadoop.fs.Path(path)))
-
-  /** World-level rewrites bypass the connector's commit log (they delete
-    * superseded files through Spark's own committer) — called BEFORE the
-    * rewrite touches the tree: [[graft.sources.GraftVersions.noteBarrier]]
-    * first SYNCS the physical tree to the latest manifest (manifest-only
-    * retirement leaves superseded files in place; a rewrite operating on
-    * the raw tree would resurrect them) and then marks the VERSION BARRIER
-    * so live reads and the next versioned seal use the (now exact)
-    * physical walk. Must precede the destructive write, never follow it —
-    * the sync deletes every file the latest manifest doesn't list, which
-    * after the write would include the rewrite's own fresh files. */
-  private def beginRewriteBarrier(): Unit =
-    graft.sources.GraftVersions.noteBarrier(fileSystem,
-      new org.apache.hadoop.fs.Path(path))
 
   /** The world as a DataFrame; bucket columns come back as partition columns
     * so predicates on them prune directories, not files. An empty world reads
@@ -365,18 +354,12 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     * existing data). The building block of the daemon's high-frequency path:
     * append per batch, [[compact]] on a dirty-counter threshold. Callers
     * that need id uniqueness use [[insert]]/[[tryInsert]] instead. */
-  def append(rows: DataFrame): Unit = {
-    // barrier FIRST: the sync inside it deletes files the latest manifest
-    // doesn't list, which after the write would include this append's own
-    beginRewriteBarrier()
+  def append(rows: DataFrame): Unit =
+    // connector append: routed + clustered by the declared write layout,
+    // sealed as a versioned commit (no barrier — the legacy parquet-
+    // committer append invalidated snapshots and forced a walk-seal)
     withBuckets(validate(rows))
-      .repartition(bucketCols.map(col): _*)
-      // bucket-col prefix: see create — without it the writer re-sorts
-      .sortWithinPartitions(
-        bucketCols.map(col) ++ dims.map(d => col(d.column)): _*)
-      .write.options(bloomWriteOpts)
-      .partitionBy(bucketCols: _*).mode("append").parquet(path)
-  }
+      .write.format("graft").mode("append").save(path)
 
   /** Insert-if-absent — `World::try_insert`
     * (/root/reference/src/world.rs:569-584): ids already present are NOT
@@ -386,9 +369,10 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     val existing = df
     val fresh = incoming.join(existing.select(col(idCol)), Seq(idCol), "left_anti").cache()
     val rejected = incoming.count() - fresh.count()
-    beginRewriteBarrier() // before the write — see append
-    fresh.write.options(bloomWriteOpts)
-      .partitionBy(bucketCols: _*).mode("append").parquet(path)
+    // connector append (versioned, barrier-free): `fresh` reads `existing`
+    // whose file list froze at df-creation — the in-place write cannot
+    // feed back into its own anti-join
+    fresh.write.format("graft").mode("append").save(path)
     incoming.unpersist(); fresh.unpersist()
     rejected
   }
@@ -509,58 +493,31 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
       .isin(parts.toSeq.map(p => struct(p.map(lit(_)): _*)): _*)
 
   /** Rewrite exactly `affected` partitions with `rows` (which must carry
-    * bucket columns). Partitions left empty by the rewrite are deleted —
-    * dynamic partition overwrite alone would leave them stale.
+    * bucket columns): ONE connector write sealed as a versioned,
+    * bucket-scoped overwrite (`graft.replaceCells` — the victim set is the
+    * affected cells, including cells the rewrite leaves EMPTY, which a
+    * dynamic overwrite would silently keep).
     *
-    * The rewrite is STAGED: `rows` reads from `path`, so writing `path`
-    * directly would race recomputation against the overwrite (a cache-only
-    * barrier breaks if blocks are evicted mid-write, half-deleting
-    * partitions). Materializing to a scratch path first fully decouples the
-    * read from the destructive write; a failure before the final overwrite
-    * leaves the world untouched. */
+    * This was the engine's last VERSION BARRIER: the legacy shape synced
+    * the tree, staged `rows` to a scratch path, re-read it, wrote it a
+    * SECOND time through Spark's parquet committer, and invalidated every
+    * pre-rewrite snapshot. The connector commit writes each byte once —
+    * in place when the log is authoritative — retires the victim files in
+    * the manifest only (snapshots stay addressable), and is safe against
+    * read-own-write by construction: `rows`' plan froze its file list at
+    * df-creation, fresh files land under new unique names invisible to
+    * that plan, and victim bytes never move. insert / destroy / update /
+    * applyDelta — and therefore every index/MV refresh — are now ordinary
+    * CAS-sealed commits, the same crash/concurrency story as SQL DML. */
   private def rewritePartitions(affected: Set[Vector[Long]], rows: DataFrame): Unit = {
-    // sync + barrier BEFORE any destructive step: `rows`' plan froze its
-    // manifest-resolved file list at df-creation, and the sync only deletes
-    // files the latest manifest does NOT list, so the staged read below is
-    // unaffected — but the dynamic overwrite of `path` must find a tree
-    // that holds exactly the live files, or retired-in-place copies in
-    // untouched cells would survive into the next walk-sealed manifest
-    beginRewriteBarrier()
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val stage = s"${path}__stage"
-    val fs = fileSystem
-    try {
-      // clear any debris from a previously crashed rewrite: under dynamic
-      // overwrite, stale stage partitions would survive the write below
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      rows.repartition(bucketCols.map(col): _*)
-        // bucket-col prefix: see create — without it the writer re-sorts
-        .sortWithinPartitions(
-          bucketCols.map(col) ++ dims.map(d => col(d.column)): _*)
-        .write.options(bloomWriteOpts)
-        .partitionBy(bucketCols: _*).mode("overwrite").parquet(stage)
-      // an all-deletes rewrite stages zero rows -> no readable parquet
-      val staged =
-        try Some(spark.read.parquet(stage))
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
-      val present = staged.map(collectBuckets).getOrElse(Set.empty)
-      staged.foreach {
-        _.write.options(bloomWriteOpts)
-          .partitionBy(bucketCols: _*).mode("overwrite").parquet(path)
-      }
-      val emptied = affected -- present
-      emptied.foreach { p =>
-        val dir = bucketCols.zip(p).map { case (c, v) => s"$c=$v" }.mkString("/")
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dir"), true)
-      }
-    } finally {
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    if (affected.isEmpty) return
+    val enc = affected.toSeq.sortBy(_.mkString(","))
+      .map(p => bucketCols.zip(p).map { case (c, v) => s"$c=$v" }.mkString("/"))
+      .mkString(";")
+    rows.write.format("graft")
+      .option("graft.replaceCells", enc)
+      .mode("append") // the option declares the overwrite; mode is unused
+      .save(path)
   }
 }
 

@@ -267,14 +267,14 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "branch head reflects the staged truncate")
     assert(rows("SELECT id, v FROM vcat.wap") == mainBefore,
       "main untouched by the staged overwrite")
-    // upsert stays refused on a branch handle (its World::insert is a
-    // version barrier on the shared physical tree)
+    // upsert stays refused on a branch handle (its conflict resolution
+    // reads main's live state)
     val e2 = intercept[Exception] {
       Seq((7L, 70L, 0L)).toDF("id", "v", "c0").write.format("graft")
         .option("graft.branch", "late").option("graft.mode", "upsert")
         .mode("append").save(path)
     }
-    assert(e2.getMessage.contains("barrier"), s"got: ${e2.getMessage}")
+    assert(e2.getMessage.contains("fast_forward"), s"got: ${e2.getMessage}")
   }
 
   test("regrid reseals geometry as a versioned commit; old snapshots keep reading") {
@@ -481,24 +481,37 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "retention never touches live data")
   }
 
-  test("a World-level rewrite (version barrier) forces the next seal back to a walk") {
+  test("World rewrites are versioned commits, not barriers; an explicit barrier heals by walk") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-vbar").toString + "/world"
     val w = new World(spark, path, Seq(DimSpec("d0", DimMapping(0, 99, 10))))
     w.create(Seq((1L, 10L), (15L, 150L)).toDF("d0", "v"))
     w.withBuckets(Seq((25L, 250L)).toDF("d0", "v"))
       .write.format("graft").mode("append").save(path)          // v0 baseline + v1
-    w.insert(Seq((1L, 999L)).toDF("d0", "v"))                   // BARRIER: rewrites c0=0
+    // r11: World.insert rides the connector's bucket-scoped overwrite —
+    // a CAS-sealed versioned commit (v2), NOT a barrier: superseded files
+    // retire in the manifest only and EVERY snapshot stays addressable
+    w.insert(Seq((1L, 999L)).toDF("d0", "v"))                   // v2
     w.withBuckets(Seq((35L, 350L)).toDF("d0", "v"))
-      .write.format("graft").mode("append").save(path)          // v2 — must seal via walk
+      .write.format("graft").mode("append").save(path)          // v3 incremental
     def at(v: Int) = spark.read.format("graft")
       .option("graft.snapshot", v.toString).load(path)
       .select("d0", "v").as[(Long, Long)].collect().toMap
-    assert(at(2) == Map(1L -> 999L, 15L -> 150L, 25L -> 250L, 35L -> 350L),
-      "post-barrier manifest reflects the barrier rewrite (incremental would " +
-        "have missed the rewritten files and listed deleted ones)")
-    // the barrier deleted v1's c0=0 file outright — that snapshot now fails
-    // LOUDLY instead of returning wrong rows
+    assert(at(1) == Map(1L -> 10L, 15L -> 150L, 25L -> 250L),
+      "pre-insert snapshot survives the rewrite (no barrier, bytes in place)")
+    assert(at(2) == Map(1L -> 999L, 15L -> 150L, 25L -> 250L))
+    assert(at(3) == Map(1L -> 999L, 15L -> 150L, 25L -> 250L, 35L -> 350L))
+    // the barrier MACHINERY stays for legacy/external tree surgery: an
+    // explicit noteBarrier syncs retired files away, degrades live reads
+    // to the walk, and the next seal heals from it
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
+    GraftVersions.noteBarrier(fs, new org.apache.hadoop.fs.Path(path))
+    w.withBuckets(Seq((45L, 450L)).toDF("d0", "v"))
+      .write.format("graft").mode("append").save(path)          // v4 — walk seal
+    assert(at(4) == Map(1L -> 999L, 15L -> 150L, 25L -> 250L, 35L -> 350L,
+      45L -> 450L), "post-barrier walk seal is exact")
+    // the sync deleted v1's retired c0=0 file — that snapshot fails LOUDLY
     val e = intercept[Exception](at(1))
     assert(e.getMessage.contains("version barrier") ||
       Option(e.getCause).exists(_.getMessage.contains("version barrier")),

@@ -56,11 +56,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val w = new World(spark, path, Seq(
       DimSpec("d0", DimMapping(0, 1023, 8)), DimSpec("d1", DimMapping(0, 1023, 16))))
     w.create(Seq((1L, 1L)).toDF("d0", "d1"))
+    // LIVE files per cell (manifest-resolved): the compaction retires the
+    // fragments in the manifest only — physical listings keep the bytes
+    // for snapshot reads
     def filesIn(dir: String): Int = {
-      val d = new java.io.File(path + dir)
-      if (!d.isDirectory) 0
-      else d.listFiles().count(f => f.isFile &&
-        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
+      graft.sources.GraftDataSource
+        .liveCells(fs, new org.apache.hadoop.fs.Path(path), Array.empty)
+        .collect { case (d, _, files)
+          if d.toUri.getPath.endsWith(dir) => files.size }.sum
     }
     val src = MemoryStream[(Long, Long)]
     // compactEvery=3: batches 1..2 append (files accumulate), batch 3 compacts

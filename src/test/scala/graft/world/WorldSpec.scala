@@ -50,8 +50,11 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     w.create(rows((114L, 514L)))
     assert(w.destroy(Seq(114L)) == 1L)
     assert(w.df.count() == 0)
-    assert(!new java.io.File(w.path + "/c0=14/c1=32").exists,
-      "emptied bucket directory is removed")
+    // the emptied cell's bytes stay in place (manifest-only retirement —
+    // the destroy is a versioned commit, pre-delete snapshots keep
+    // reading them); LIVE reads and the connector plan see no cell
+    assert(spark.read.format("graft").load(w.path).count() == 0,
+      "emptied cell invisible to live reads")
   }
 
   test("buf_save_load: round-trip through a fresh world handle (src/tests.rs:71-132)") {
@@ -141,7 +144,10 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = got(0)
     assert(r.getAs[Long]("d1") == 810L)
     assert(r.getAs[Int]("c1").toLong == 25L, "re-bucketed into new chunk")
-    assert(!new java.io.File(w.path + "/c0=3/c1=16").exists, "old chunk cell removed")
+    // old cell retired in the manifest (bytes stay for snapshots); the
+    // live read must not resurrect the pre-move row
+    assert(spark.read.format("graft").load(w.path)
+      .where(col("c1") === 16L).count() == 0, "old chunk cell retired")
     assert(new java.io.File(w.path + "/c0=3/c1=25").isDirectory)
   }
 
@@ -787,13 +793,19 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     // three appends into the SAME chunk (0,0) -> fragmented dir
     w.tryInsert(Seq((2L, 2L)).toDF("d0", "d1"))
     w.tryInsert(Seq((3L, 3L)).toDF("d0", "d1"))
-    val dir = new java.io.File(w.path + "/c0=0/c1=0")
-    def dataFiles = dir.listFiles().count(f =>
-      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    assert(dataFiles >= 3, s"expected fragmentation, got $dataFiles files")
+    // LIVE file count per cell (manifest-resolved): compaction retires the
+    // fragments in place — physical listings keep them for snapshots
+    def liveFiles = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(w.path), new org.apache.hadoop.conf.Configuration())
+      graft.sources.GraftDataSource
+        .liveCells(fs, new org.apache.hadoop.fs.Path(w.path), Array.empty)
+        .map(_._3.size).sum
+    }
+    assert(liveFiles >= 3, s"expected fragmentation, got $liveFiles files")
     val n = w.compact()
     assert(n == 1L, "exactly the fragmented chunk is compacted")
-    assert(dataFiles == 1, "one file per chunk after compaction")
+    assert(liveFiles == 1, "one live file per chunk after compaction")
     assert(w.df.select("d0").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
     assert(w.compact() == 0L, "already-compact world is a no-op")
   }
@@ -891,7 +903,8 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plus.iter().select("d0").collect().map(_.getLong(0)).toSet == Set(5L, 85L))
     // mutate d2 -> relocation across the third axis
     assert(w.update(col("d0") === 5L, Map("d2" -> lit(95L))) == 1L)
-    assert(!new java.io.File(w.path + "/c0=0/c1=0/c2=0").exists)
+    assert(spark.read.format("graft").load(w.path)
+      .where(col("c2") === 0L).count() == 0, "old cell retired from live reads")
     assert(new java.io.File(w.path + "/c0=0/c1=0/c2=3").isDirectory)
   }
 
