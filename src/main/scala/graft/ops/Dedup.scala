@@ -586,15 +586,30 @@ object Dedup {
     // rank shingles per doc rarest-first (global (df, s) order)
     val w = Window.partitionBy("id").orderBy(col("df_"), col("s"))
     val ranked = withDf.withColumn("rk", row_number().over(w))
+    // hot-shingle salting: a stop-phrase shingle with df in the thousands
+    // would emit ALL its probe×index candidate rows in one shuffle task —
+    // the run-to-run variance killer. Probe rows of a hot shingle scatter
+    // across `hotSalts` sub-keys (a deterministic function of the probe id,
+    // so every probe row of a doc lands once); index postings of a hot
+    // shingle replicate across all sub-keys. Cold shingles (df < hotDf)
+    // keep salt 0 on both sides — zero replication in the common case; the
+    // candidate join stays keyed on (s, salt) with per-task fan-out bounded
+    // by df²/hotSalts instead of df².
+    val hotDf = 64L
+    val hotSalts = 16L
     val probe = ranked
       .where(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("s"), col("id").as("id_p"), col("sz").as("sz_p"), col("rk").as("rk_p"))
+      .select(col("s"), col("id").as("id_p"), col("sz").as("sz_p"), col("rk").as("rk_p"),
+        when(col("df_") >= hotDf, pmod(xxhash64(col("id")), lit(hotSalts)))
+          .otherwise(lit(0L)).as("salt"))
     // index prefix: ceil(2t/(1+t) * sz) is the PPJoin indexing bound
     val idxFrac = 2 * threshold / (1 + threshold)
     val index = ranked
       .where(col("rk") <= col("sz") - ceil(col("sz") * idxFrac) + 1)
-      .select(col("s"), col("id").as("id_i"), col("sz").as("sz_i"), col("rk").as("rk_i"))
-    val cand = probe.join(index, Seq("s"))
+      .select(col("s"), col("id").as("id_i"), col("sz").as("sz_i"), col("rk").as("rk_i"),
+        explode(when(col("df_") >= hotDf, sequence(lit(0L), lit(hotSalts - 1L)))
+          .otherwise(array(lit(0L)))).as("salt"))
+    val cand = probe.join(index, Seq("s", "salt"))
       .where(
         // orient: probe doc strictly (sz, id)-larger — each unordered pair
         // is generated exactly one way, satisfying PPJoin's |index| <= |probe|

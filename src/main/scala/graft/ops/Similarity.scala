@@ -74,14 +74,32 @@ object Similarity {
       .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"))
   }
 
-  /** Train IVF coarse-quantizer centroids driver-side: deterministic sample
-    * (lowest vec_ids), seeded evenly-spaced init, a few Lloyd iterations.
-    * The collect is bounded (sampleCap vectors ~1 MB) — this is index BUILD,
-    * not a per-query step; at cluster scale the same loop runs on a sample
-    * RDD with the identical result contract. Returns row-major nlist*dim. */
+  /** Deterministic, UNBIASED trainer sample: the `cap` rows with the
+    * smallest md5("annsample:" + vec_id) — as reproducible as
+    * orderBy(id).limit, but MEMBERSHIP is uncorrelated with insertion
+    * order, so a corpus whose ids track ingestion time/domain doesn't bias
+    * the codebooks toward its head (the repo's established md5-bucket
+    * trick). The chosen rows then come back ordered by vec_id: the Lloyd
+    * evenly-spaced init indexes into that id order, which is what the
+    * planted k-means oracle's one-seed-per-group argument and the
+    * driver/distributed trainer parity both pin. */
+  private def trainerSample(corpus: DataFrame, cap: Int): DataFrame =
+    corpus
+      .withColumn("_sk",
+        md5(concat(lit("annsample:"), col("vec_id").cast("string")).cast("binary")))
+      .orderBy(col("_sk"), col("vec_id"))
+      .limit(cap)
+      .orderBy(col("vec_id"))
+
+  /** Train IVF coarse-quantizer centroids driver-side: deterministic
+    * md5-membership, id-ordered sample ([[trainerSample]]), seeded
+    * evenly-spaced init, a few Lloyd iterations. The collect is bounded
+    * (sampleCap vectors ~1 MB) — this is index BUILD, not a per-query step;
+    * at cluster scale the same loop runs as [[trainCentroidsDistributed]]
+    * with the identical result contract. Returns row-major nlist*dim. */
   def trainCentroids(corpus: DataFrame, nlist: Int, dim: Int,
       iters: Int = 5, sampleCap: Int = 4096): (Array[Double], Int) = {
-    val sample = corpus.orderBy("vec_id").limit(sampleCap)
+    val sample = trainerSample(corpus, sampleCap)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
@@ -113,8 +131,9 @@ object Similarity {
   }
 
   /** Distributed IVF trainer — the same contract as [[trainCentroids]]
-    * (sample = lowest `sampleCap` vec_ids, init = evenly-spaced rows of the
-    * ordered sample, same Lloyd assignment rule) with the per-iteration
+    * (sample = [[trainerSample]]'s md5-membership rows in id order, init =
+    * evenly-spaced rows of that ordered sample, same Lloyd assignment rule)
+    * with the per-iteration
     * summation running as `treeAggregate` over the executors instead of a
     * driver loop. The driver only ever holds k centroids (nlist × dim
     * doubles) and the k init vectors — never the sample — so `sampleCap`
@@ -130,9 +149,10 @@ object Similarity {
   def trainCentroidsDistributed(corpus: DataFrame, nlist: Int, dim: Int,
       iters: Int = 5, sampleCap: Int = 4096): (Array[Double], Int) = {
     val sc = corpus.sparkSession.sparkContext
-    // deterministic sample + positional index: sortBy fixes a total order
-    // regardless of how orderBy/limit partitioned the rows
-    val vecs = corpus.orderBy("vec_id").limit(sampleCap)
+    // deterministic sample + positional index: sortBy fixes the same
+    // vec_id total order as the driver-side trainer regardless of how the
+    // sample's orderBy/limit partitioned the rows
+    val vecs = trainerSample(corpus, sampleCap)
       .select(col("vec_id"), col("embedding"))
       .rdd.map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
       .sortBy(_._1).map(_._2).zipWithIndex()
@@ -311,7 +331,7 @@ object Similarity {
       iters: Int = 5, sampleCap: Int = 4096): (Array[Double], Int) = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
-    val sample = corpus.orderBy("vec_id").limit(sampleCap)
+    val sample = trainerSample(corpus, sampleCap)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")

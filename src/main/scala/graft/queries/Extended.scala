@@ -552,20 +552,19 @@ object Extended {
     ),
 
     // sink/source pluggability: world contents -> JSON lines -> read back
-    // JSON functions over the REAL json column (events.props): both parse
-    // paths — schema-ful from_json into a struct, and path extraction via
-    // get_json_object — feeding one aggregate. Per-row parse, codegen'd,
-    // shuffle only on the tiny event_type key.
+    // JSON functions over the REAL json column (events.props): ONE
+    // schema-ful from_json per row (all needed paths in the struct schema)
+    // feeding the aggregate — never a second parse path per field. Per-row
+    // parse, codegen'd, shuffle only on the tiny event_type key.
     "q_json_fns" -> QueryDef(
       (s, dir) => t(s, dir, "events")
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k1"),
           from_json(col("props"),
             org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
-            .getField("k").as("k2"))
+            .getField("k").as("k"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("k1").as("sum_k"),
-          min("k2").as("min_k"), max("k2").as("max_k"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(*) AS n,
                 CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
