@@ -776,6 +776,56 @@ object DmdsQueries {
                 ORDER BY event_id""")
       ),
 
+      "w_mor_delete" -> QueryDef(
+        // MERGE-ON-READ row-level DELETE through the oracle gate: selective
+        // data-column predicates take the DELTA path (GraftDeltaDeleteOp) —
+        // per-file DELETION VECTORS of matched row positions, referenced
+        // from the sealed manifest, ZERO data bytes rewritten (the query
+        // itself asserts every data file of the pre-delete version is still
+        // the live one, and that vectors exist) — where the same statements
+        // used to COW-rewrite every candidate cell. Two DELETEs overlap on
+        // files, so the second unions into fresh sidecars; the readback is
+        // the live state (vectors applied at scan), plus the v1 snapshot
+        // count proving time travel reads the PRE-delete rows through the
+        // vector-free entries. Oracle: both filters applied relationally.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wmd", "md")
+          events(s2, dir).createOrReplaceTempView("ev_src_md")
+          s2.sql("DROP TABLE IF EXISTS wmd.ev_md")
+          s2.sql("""CREATE TABLE wmd.ev_md
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wmd.ev_md
+                    SELECT event_id, user_id, value, user_id DIV 128
+                    FROM ev_src_md WHERE event_id % 2 = 0""")
+          val wh = s2.conf.get("spark.sql.catalog.wmd.warehouse")
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(s"$wh/ev_md"),
+            new org.apache.hadoop.conf.Configuration())
+          val root = new org.apache.hadoop.fs.Path(s"$wh/ev_md")
+          val pre = graft.sources.GraftVersions.readEntries(fs, root, 1L)
+            .map(e => e.rel -> e.size).toMap
+          s2.sql("DELETE FROM wmd.ev_md WHERE event_id % 89 = 3")
+          s2.sql("DELETE FROM wmd.ev_md WHERE user_id % 131 = 17")
+          val after = graft.sources.GraftVersions.readEntries(fs, root,
+            graft.sources.GraftVersions.latestVersion(fs, root).get)
+          require(after.exists(_.dv.isDefined),
+            "w_mor_delete must take the deletion-vector path")
+          require(after.map(e => e.rel -> e.size).toMap == pre,
+            "a MOR delete must keep every pre-delete data file live, unchanged")
+          s2.sql("""SELECT event_id, user_id, value,
+                      (SELECT count(*) FROM wmd.ev_md VERSION AS OF 1)
+                        AS pre_delete_rows
+                    FROM wmd.ev_md ORDER BY event_id""")
+        },
+        Some("""SELECT event_id, user_id, value,
+                  (SELECT count(*) FROM events WHERE event_id % 2 = 0)
+                    AS pre_delete_rows
+                FROM events
+                WHERE event_id % 2 = 0
+                  AND event_id % 89 <> 3 AND user_id % 131 <> 17
+                ORDER BY event_id""")
+      ),
+
       "w_time_travel" -> QueryDef(
         // snapshot reads over the chunk grid through the oracle gate:
         // INSERT seals commit v1, a row-level UPDATE (chunk-granular COW)

@@ -378,6 +378,7 @@ class GraftCatalog extends TableCatalog
       case (Seq("system"), "drop_branch") =>
         new GraftBranchProcedure(this, "drop_branch")
       case (Seq("system"), "branches") => new GraftBranchesProcedure(this)
+      case (Seq("system"), "publish") => new GraftPublishProcedure(this)
       case (Seq("system"), "remove_orphans") =>
         new GraftRemoveOrphansProcedure(this)
       case (Seq("system"), "set_retention") =>
@@ -401,6 +402,7 @@ class GraftCatalog extends TableCatalog
           "system.tag, system.drop_tag, system.tags, system.clone, " +
           "system.set_bloom, system.zorder, system.regrid, system.branch, " +
           "system.fast_forward, system.drop_branch, system.branches, " +
+          "system.publish, " +
           "system.remove_orphans, " +
           "system.set_retention, system.set_compaction, system.set_stats, " +
           "system.index_text, " +
@@ -1309,6 +1311,68 @@ class GraftBranchProcedure(cat: GraftCatalog, val op: String)
           GraftProcedures.singleRow("dropped",
             if (GraftVersions.dropBranch(fs, root, name)) 1L else 0L)
       }
+    }
+  }
+}
+
+/** `CALL <cat>.system.publish(branch => 'audit' [, tables => 't1,t2'])` —
+  * CROSS-TABLE atomic publish ([[GraftVersions.fastForwardAll]]): every
+  * named table's `branch` head (default: every table in the catalog that
+  * HAS the branch — the whole WAP session's footprint) fast-forwards to
+  * main in one all-or-nothing cycle. Any validation or claim failure on
+  * ANY table aborts the lot with zero mains changed — a multi-table
+  * pipeline (corpus + its indexes + its MVs) goes live together or not at
+  * all. Returns one row per table: (table, version). */
+class GraftPublishProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "publish"
+  override def description(): String =
+    "fast-forward a branch on every table that staged it, all-or-nothing"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "publish"
+    override def description(): String = GraftPublishProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("branch", org.apache.spark.sql.types.StringType)
+        .comment("branch name to publish").build(),
+      ProcedureParameter.in("tables", org.apache.spark.sql.types.StringType)
+        .defaultValue("''")
+        .comment("comma-separated table list; empty = every table with the branch")
+        .build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val branch = input.getUTF8String(0).toString
+      val declared = Option(input.getUTF8String(1)).map(_.toString.trim)
+        .filter(_.nonEmpty)
+      val names: Seq[String] = declared match {
+        case Some(list) => list.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        case None =>
+          // the session's whole WAP footprint: every catalog table that
+          // forked this branch
+          cat.listTables(Array.empty).toSeq.map(_.name).filter { t =>
+            val p = cat.tablePath(t)
+            val fs = FileSystem.get(new java.net.URI(p), new Configuration())
+            GraftVersions.branchFork(fs, new Path(p), branch).isDefined
+          }.sorted
+      }
+      require(names.nonEmpty,
+        s"graft publish: no table in this catalog has a branch '$branch'")
+      val tables = names.map { t =>
+        val p = cat.tablePath(t)
+        (FileSystem.get(new java.net.URI(p), new Configuration()), new Path(p))
+      }
+      val versions = GraftVersions.fastForwardAll(tables, branch)
+      val schema = StructType(Seq(
+        StructField("table", org.apache.spark.sql.types.StringType, nullable = false),
+        StructField("version", org.apache.spark.sql.types.LongType, nullable = false)))
+      GraftProcedures.scanOf(schema, names.zip(versions).map { case (t, v) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), v)
+      }.toArray)
     }
   }
 }

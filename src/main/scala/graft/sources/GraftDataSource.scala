@@ -252,6 +252,14 @@ object GraftDataSource {
 
   /** Name of the chunk-cell metadata column (see [[GraftTable.metadataColumns]]). */
   private[sources] val CellColumn = "_cell"
+  /** Row-address metadata columns: the data file a row lives in (absolute
+    * path) and its PHYSICAL ordinal within that file — together the stable
+    * row id the merge-on-read DELETE's delta write keys its deletion
+    * vectors by (and a queryable debugging aid, like other formats'
+    * `_file`/`_pos`). `_pos` counts physical rows, so it is stable under
+    * later deletes: a row's address never changes while its file lives. */
+  private[sources] val FileColumn = "_file"
+  private[sources] val PosColumn = "_pos"
   /** CDC tag column of `graft.follow = changes` streams ("insert"/"delete");
     * a per-partition constant like bucket values, never persisted. */
   private[sources] val ChangeColumn = "_change_type"
@@ -381,10 +389,14 @@ object GraftDataSource {
     * manifest branch is also the cheaper one at scale: one small-file read
     * replaces the recursive grid listing entirely (bucket pruning becomes
     * string filtering on rel paths). */
-  /** One planned file: absolute path, manifest-carried size, and the
-    * manifest-carried zone map (empty = unknown, never pruned). */
+  /** One planned file: absolute path, manifest-carried size, the
+    * manifest-carried zone map (empty = unknown, never pruned), and the
+    * file's deletion vector if one is attached — (ABSOLUTE sidecar path,
+    * deleted-row count), already resolved against the same root as the
+    * data path so readers need no second resolution. */
   private[graft] final case class FileRef(path: Path, size: Long,
-      stats: Map[String, (Long, Long)] = Map.empty)
+      stats: Map[String, (Long, Long)] = Map.empty,
+      dv: Option[(String, Long)] = None)
 
   private[graft] def liveCells(fs: FileSystem, root: Path,
       pushed: Array[Filter]): Seq[(Path, Map[String, Long], Seq[FileRef])] =
@@ -397,7 +409,9 @@ object GraftDataSource {
           .toSeq.map { case (cellRel, group) =>
             (new Path(root, cellRel), group.head._2,
               group.map { case (e, _) =>
-                FileRef(new Path(root, e.rel), e.size, e.stats) })
+                FileRef(new Path(root, e.rel), e.size, e.stats,
+                  e.dv.map { case (r, n) => (new Path(root, r).toString, n) })
+              })
           }
       case None =>
         if (!fs.exists(root)) Seq.empty
@@ -666,12 +680,28 @@ class GraftTable(path: String, schema: StructType,
     * is also what keeps `__row_operation` out of the replacement writer. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = GraftDataSource.CellColumn
-      override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "chunk cell (relative directory) of the row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftDataSource.CellColumn
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "chunk cell (relative directory) of the row"
+      },
+      // the row-address pair backing merge-on-read DELETE ([[GraftDv]]):
+      // Spark's delta rewrite reads them as the rowId and the dv write
+      // turns them into per-file position vectors
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftDataSource.FileColumn
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file (absolute path) of the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftDataSource.PosColumn
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "physical row ordinal within the data file"
+      })
 
   /** `UPDATE` / `MERGE INTO` / row-exact `DELETE` as a group-based
     * copy-on-write rewrite whose replace unit is the chunk — see
@@ -917,9 +947,25 @@ class GraftScanBuilder(path: String, schema: StructType,
       case _ => None
     }
     val ok = rowLevelFiles.isEmpty &&
-      gb.forall(_.isDefined) && aggs.nonEmpty && aggs.forall(_.isDefined)
+      gb.forall(_.isDefined) && aggs.nonEmpty && aggs.forall(_.isDefined) &&
+      // merge-on-read deletion vectors poison every footer-derived partial
+      // (counts, min/max, sums all describe deleted rows too), so any dv'd
+      // entry in the planned state declines the pushdown wholesale — Spark
+      // falls back to the row scan, which applies the vectors. One manifest
+      // read, only paid when the aggregate shape already matched.
+      !anyDeletionVectors
     if (ok) { pushedAggs = aggs.map(_.get).toSeq; groupCols = gb.map(_.get) }
     ok
+  }
+
+  private def anyDeletionVectors: Boolean = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val root = new Path(path)
+    val entries = pin match {
+      case Some(tp) => tp.files(fs, root, Array.empty).map(_._3)
+      case None => GraftVersions.liveEntries(fs, root).getOrElse(Nil)
+    }
+    entries.exists(_.dv.isDefined)
   }
 
   override def build(): Scan =
@@ -1233,7 +1279,11 @@ final case class GraftInputPartition(file: String, buckets: Map[String, Long],
     rowCountOnly: Boolean, limit: Int = -1, keyVals: Array[Long] = Array.empty,
     // CDC streams only: "insert"/"delete", surfaced as the _change_type
     // per-partition constant (null = not a change-feed read)
-    changeTag: String = null)
+    changeTag: String = null,
+    // merge-on-read deletion vector of this file: absolute sidecar path +
+    // deleted-row count (null = no deletes); the reader skips exactly
+    // these physical ordinals
+    dvPath: String = null, dvCount: Long = 0L)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(keyVals.map(v => v: Any))
@@ -1466,22 +1516,26 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     * refutations are proofs, so recording only the survivors for row-level
     * rewrites stays sound. See [[GraftBloom]]. */
   private def bloomSurvivors(
-      files: Seq[(String, Map[String, Long], Map[String, (Long, Long)])])
-      : Seq[(String, Map[String, Long])] = {
+      files: Seq[(String, Map[String, Long], Map[String, (Long, Long)],
+        Option[(String, Long)])])
+      : Seq[(String, Map[String, Long], Option[(String, Long)])] = {
+    // dv'd files still prune by zone maps and blooms: both are computed
+    // over the full file (deleted rows included), so refutation remains a
+    // PROOF that no live row matches — only ever conservative
     val zAtoms = zoneAtoms ++ runtimeBloom
     val zoned =
       if (zAtoms.isEmpty) files
-      else files.filter { case (_, _, bounds) =>
+      else files.filter { case (_, _, bounds, _) =>
         GraftStats.boundsMightMatch(bounds, zAtoms, renameAliases)
       }
     val atoms = bloomAtoms ++ runtimeBloom
-    if (atoms.isEmpty) zoned.map { case (f, b, _) => (f, b) }
+    if (atoms.isEmpty) zoned.map { case (f, b, _, dv) => (f, b, dv) }
     else {
       import scala.collection.parallel.CollectionConverters._
       val conf = new Configuration()
-      zoned.par.filter { case (f, _, _) =>
+      zoned.par.filter { case (f, _, _, _) =>
         GraftBloom.fileMightMatch(conf, f, atoms)
-      }.seq.map { case (f, b, _) => (f, b) }
+      }.seq.map { case (f, b, _, dv) => (f, b, dv) }
     }
   }
 
@@ -1495,15 +1549,19 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       // notes exactly the planned branch-head survivors — all of whose
       // rows the rewrite re-emits — for retirement from the branch chain.
       val survivors = bloomSurvivors(pinnedWalk.map { case (f, b, e) =>
-        (f.toString, b, e.stats) })
+        (f.toString, b, e.stats, GraftDv.absOf(f.toString, e).map(
+          (_, e.dv.get._2)))
+      })
       fileRecorder.foreach { r => r.clear(); survivors.foreach(x => r.add(x._1)) }
       return survivors
-        .map { case (f, b) =>
+        .map { case (f, b, dv) =>
           // getOrElse: a pre-regrid file lacks buckets a later geometry
           // added; -1 groups those files consistently (join conditions
           // are still row-checked — grouping is only co-location)
           GraftInputPartition(f, b, !hasDataCols, -1,
-            keys.map(b.getOrElse(_, -1L))): InputPartition
+            keys.map(b.getOrElse(_, -1L)),
+            dvPath = dv.map(_._1).orNull,
+            dvCount = dv.map(_._2).getOrElse(0L)): InputPartition
         }.toArray
     }
     val planned: Seq[(Path, Map[String, Long], Seq[GraftDataSource.FileRef])] =
@@ -1530,16 +1588,20 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
         var cum = 0L
         sorted.takeWhile { case (_, _, files) =>
           val keep = cum < limit
+          // LIVE row cover: footer counts include dv-deleted rows, so the
+          // vector's cardinality is subtracted — over-counting would stop
+          // the kept prefix before it actually covers the limit
           if (keep) cum += files.map { fr =>
             val pfr = ParquetFileReader.open(
               HadoopInputFile.fromPath(fr.path, new Configuration()))
-            try pfr.getRecordCount finally pfr.close()
+            (try pfr.getRecordCount finally pfr.close()) -
+              fr.dv.map(_._2).getOrElse(0L)
           }.sum
           keep
         }
       }
     val survivors = bloomSurvivors(planned.flatMap { case (_, b, files) =>
-      files.map(fr => (fr.path.toString, b, fr.stats))
+      files.map(fr => (fr.path.toString, b, fr.stats, fr.dv))
     })
     // row-level rewrites note every SURVIVING planned file (post bucket +
     // runtime pruning AND post bloom skip — exactly the rows the rewrite
@@ -1557,11 +1619,13 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     // commit).
     fileRecorder.foreach { r =>
       r.clear()
-      survivors.foreach { case (f, _) => r.add(new Path(f).toUri.getPath) }
+      survivors.foreach { case (f, _, _) => r.add(new Path(f).toUri.getPath) }
     }
-    survivors.map { case (p, b) =>
+    survivors.map { case (p, b, dv) =>
       GraftInputPartition(p, b, !hasDataCols, limit,
-        keys.map(b(_))): InputPartition
+        keys.map(b(_)),
+        dvPath = dv.map(_._1).orNull,
+        dvCount = dv.map(_._2).getOrElse(0L)): InputPartition
     }.toArray
   }
 
@@ -1602,6 +1666,15 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType,
   // Right((name, type)); data fields missing from the file (schema
   // evolution) read as null
   private var fields: Array[Either[Any, Option[(String, DataType)]]] = _
+  // indices of required `_pos` fields (the row-address metadata column):
+  // populated per row from the physical ordinal, not from the file
+  private var posFieldIdx: Array[Int] = Array.empty
+  // merge-on-read deletion vector: sorted physical ordinals to skip, with
+  // a monotone cursor (both read paths visit ordinals in order)
+  private var dv: Array[Long] = Array.emptyLongArray
+  private var dvIdx = 0
+  // physical ordinal of `cur` (data path) / of the next emitted count row
+  private var curOrdinal = -1L
 
   locally {
     val inFile = HadoopInputFile.fromPath(new Path(p.file), conf)
@@ -1609,14 +1682,20 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType,
     val fileSchema: MessageType = pfr.getFooter.getFileMetaData.getSchema
     val rowCount = pfr.getRecordCount
     pfr.close()
+    if (p.dvPath != null) {
+      val dvP = new Path(p.dvPath)
+      dv = GraftDv.read(dvP.getFileSystem(conf), dvP)
+    }
     // the CDC tag is a partition constant ONLY on change-feed reads: a
     // table whose own data carries a _change_type column still reads it as
     // a data field everywhere else (follow-mode refuses such tables)
     def isChangeTag(name: String): Boolean =
       name == GraftDataSource.ChangeColumn && p.changeTag != null
+    def isRowAddress(name: String): Boolean =
+      name == GraftDataSource.FileColumn || name == GraftDataSource.PosColumn
     val dataFields = required.fields.filter(f =>
       !GraftDataSource.isBucket(f.name) && f.name != GraftDataSource.CellColumn &&
-        !isChangeTag(f.name))
+        !isChangeTag(f.name) && !isRowAddress(f.name))
     // per data field, the name it carries in THIS file: the current name,
     // or (files written before a RENAME) the newest alias present; None =
     // the field predates every spelling and reads as NULL
@@ -1630,14 +1709,21 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType,
           .getOrElse(Right(None))
       else if (f.name == GraftDataSource.CellColumn)
         Left(UTF8String.fromString(GraftDataSource.cellString(p.buckets)))
+      else if (f.name == GraftDataSource.FileColumn)
+        Left(UTF8String.fromString(p.file))
+      else if (f.name == GraftDataSource.PosColumn)
+        Right(None) // placeholder; populated per row via posFieldIdx
       else if (isChangeTag(f.name)) Left(UTF8String.fromString(p.changeTag))
       else fieldInFile(f.name) match {
         case Some(rn) => Right(Some((rn, f.dataType)))
         case None     => Right(None)
       }
     }
+    posFieldIdx = required.fields.zipWithIndex
+      .collect { case (f, i) if f.name == GraftDataSource.PosColumn => i }
+    val needsOrdinals = posFieldIdx.nonEmpty || dv.nonEmpty
     if (p.rowCountOnly || !dataFields.exists(f => fieldInFile(f.name).isDefined)) {
-      remainingCountRows = rowCount
+      remainingCountRows = rowCount - dv.length
     } else {
       val projection = new MessageType("graft_projection",
         dataFields.toSeq.flatMap(f => fieldInFile(f.name))
@@ -1649,11 +1735,16 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType,
       // CURRENT name at the width the predicate was built for: a renamed
       // column's old-name field or a pre-widening INT32 field would make
       // the typed parquet column mismatch. Dropping the predicate is always
-      // safe — residuals are Spark-rechecked row-exactly.
-      val preds = residual.toSeq
-        .filter(_.references.forall(r => fileSchema.containsField(r) &&
-          GraftDataSource.parquetPredicateCompatible(fileSchema, r, types.get(r))))
-        .flatMap(GraftDataSource.toParquetPredicate(_, types))
+      // safe — residuals are Spark-rechecked row-exactly. ALSO dropped
+      // whenever physical ordinals matter (_pos required, or a deletion
+      // vector to apply): row-group skips and record filtering would
+      // silently desynchronize the ordinal counter from the file.
+      val preds =
+        if (needsOrdinals) Nil
+        else residual.toSeq
+          .filter(_.references.forall(r => fileSchema.containsField(r) &&
+            GraftDataSource.parquetPredicateCompatible(fileSchema, r, types.get(r))))
+          .flatMap(GraftDataSource.toParquetPredicate(_, types))
       val builder = ParquetReader.builder(new GroupReadSupport(), new Path(p.file))
         .withConf(conf)
       reader =
@@ -1666,16 +1757,38 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType,
 
   private var emittedRows = 0L
 
+  // is `ord` the next deleted ordinal? (positions are sorted and both read
+  // paths visit ordinals ascending, so one cursor pass suffices)
+  private def deleted(ord: Long): Boolean =
+    if (dvIdx < dv.length && dv(dvIdx) == ord) { dvIdx += 1; true } else false
+
   override def next(): Boolean = {
     // pushed limit: stop this partition early (partial pushdown — Spark's
     // own Limit enforces the global bound over the per-partition prefixes)
     if (p.limit >= 0 && emittedRows >= p.limit) return false
     val has =
       if (reader == null) {
-        if (remainingCountRows > 0) { remainingCountRows -= 1; true } else false
+        // count mode still honors the vector and the ordinal contract:
+        // remainingCountRows was debited up front, and each emitted row's
+        // ordinal skips the deleted ones (a _pos-only projection lands here)
+        if (remainingCountRows > 0) {
+          remainingCountRows -= 1
+          curOrdinal += 1
+          while (deleted(curOrdinal)) curOrdinal += 1
+          true
+        } else false
       } else {
-        cur = reader.read()
-        cur != null
+        var keep = false
+        var more = true
+        while (!keep && more) {
+          cur = reader.read()
+          if (cur == null) more = false
+          else {
+            curOrdinal += 1
+            keep = !deleted(curOrdinal)
+          }
+        }
+        keep
       }
     if (has) emittedRows += 1
     has
@@ -1729,6 +1842,7 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType,
       }
       i += 1
     }
+    posFieldIdx.foreach(idx => row.update(idx, curOrdinal))
     row
   }
 

@@ -1,8 +1,11 @@
 package graft.sources
 
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation,
-  RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite,
+  DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo,
+  PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder,
+  RowLevelOperationInfo, SupportsDelta, Write, WriteBuilder,
+  WriterCommitMessage}
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -35,8 +38,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftRowLevelBuilder(path: String, schema: StructType,
     info: RowLevelOperationInfo,
     branch: Option[String] = None) extends RowLevelOperationBuilder {
+  /** DELETE goes MERGE-ON-READ (position deltas → deletion vectors,
+    * [[GraftDeltaDeleteOperation]]) whenever the commit log is
+    * authoritative — a selective DELETE then moves zero data bytes.
+    * UPDATE and MERGE stay copy-on-write: their changed values can
+    * relocate rows across cells, which is exactly the reference's
+    * whole-chunk replace contract, and rewriting is the honest cost
+    * there. Unversioned worlds and barrier windows keep the COW DELETE
+    * too (a vector needs a manifest entry to hang off). */
   override def build(): RowLevelOperation =
-    new GraftRowLevelOperation(path, schema, info.command, branch)
+    if (info.command == Command.DELETE && GraftStage.manifestAuthoritative(path))
+      new GraftDeltaDeleteOperation(path, schema, branch)
+    else new GraftRowLevelOperation(path, schema, info.command, branch)
 }
 
 /** `branch`: a WAP rewrite (`graft.wap.branch`) — candidate groups plan
@@ -86,4 +99,155 @@ class GraftRowLevelOperation(path: String, schema: StructType, cmd: Command,
   }
 
   override def description(): String = s"graft row-level $cmd"
+}
+
+/** MERGE-ON-READ `DELETE`: a DSv2 DELTA operation keyed by the row address
+  * (`_file`, `_pos` — the scan's row-id metadata columns). Spark plans the
+  * candidate scan with the DELETE condition pushed (bucket pruning + zone
+  * maps + blooms narrow it to files that might hold victims), filters to
+  * the MATCHING rows only, and streams their addresses to this write —
+  * which turns them into per-file DELETION VECTORS ([[GraftDv]] sidecars)
+  * and seals one versioned commit swapping each touched file's manifest
+  * entry to reference its new vector. ZERO data bytes move: a one-row
+  * DELETE in a gigabyte cell writes a ~20-byte sidecar plus a manifest
+  * line, where the group-based rewrite re-wrote the gigabyte.
+  *
+  * Scale shape: task writers buffer (file, position) pairs for rows they
+  * actually matched — O(deleted rows), the floor for exact deletion — and
+  * the driver merges per file. The target workload is the selective one
+  * (GDPR erasure, label fixes, trickle retractions); a DELETE that guts
+  * whole cells is better expressed by bucket predicates (the metadata
+  * path) and physical shedding is compaction's job (`system.compact`
+  * reads through the connector, vectors applied, and writes clean files).
+  *
+  * Concurrency: the seal retires entries (the dv-swap), so a CAS loss
+  * aborts loudly like every retiring commit; a file vanished from the
+  * predecessor manifest (concurrent rewrite of the same cell) aborts too
+  * rather than attaching a vector to a dead entry. WAP sessions stage
+  * vectors on the branch chain exactly like any branch DML. */
+class GraftDeltaDeleteOperation(path: String, schema: StructType,
+    branch: Option[String] = None)
+    extends RowLevelOperation with SupportsDelta {
+  override def command(): Command = Command.DELETE
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, schema, pin = branch.map(GraftBranchPin(_)))
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftDataSource.FileColumn),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftDataSource.PosColumn))
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
+    val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
+      new IllegalStateException("graft MOR delete: no rowId schema"))
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDvDeleteWrite(path,
+          rowIdSchema.fieldIndex(GraftDataSource.FileColumn),
+          rowIdSchema.fieldIndex(GraftDataSource.PosColumn), branch)
+    }
+  }
+
+  override def description(): String =
+    "graft merge-on-read DELETE (deletion vectors)"
+}
+
+/** Task → driver channel of one delta writer: deleted row addresses,
+  * grouped by data file. */
+final case class GraftDvMessage(files: Seq[(String, Array[Long])])
+    extends WriterCommitMessage
+
+/** Ships to executors: buffers the (file, position) addresses this task's
+  * DELETE matched — O(deleted rows), nothing else. */
+final case class GraftDvDeleteWriterFactory(fileIdx: Int, posIdx: Int)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      private val acc = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+
+      override def delete(meta: org.apache.spark.sql.catalyst.InternalRow,
+          id: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        acc.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+          id.getLong(posIdx)
+
+      override def update(meta: org.apache.spark.sql.catalyst.InternalRow,
+          id: org.apache.spark.sql.catalyst.InternalRow,
+          row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        throw new IllegalStateException(
+          "graft MOR delete write received an UPDATE delta")
+
+      override def insert(
+          row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        throw new IllegalStateException(
+          "graft MOR delete write received an INSERT delta")
+
+      override def commit(): WriterCommitMessage =
+        GraftDvMessage(acc.toSeq.map { case (f, b) => (f, b.toArray) })
+
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+class GraftDvDeleteWrite(path: String, fileIdx: Int, posIdx: Int,
+    branch: Option[String] = None) extends DeltaWrite with DeltaBatchWrite {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  override def toBatch: DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    GraftDvDeleteWriterFactory(fileIdx, posIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(
+      new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
+    val root = new Path(path)
+    // merge task vectors per data file (a file's rows can span task splits)
+    val byRel: Map[String, Array[Long]] = messages.toSeq
+      .collect { case GraftDvMessage(fl) => fl }.flatten
+      .groupMapReduce { case (f, _) =>
+        GraftVersions.relOf(root, new Path(f)) }(_._2)(_ ++ _)
+    if (byRel.isEmpty) return // DELETE matched nothing: no new version
+    val c = branch match {
+      case Some(b) => GraftVersions.beginBranchCommit(fs, root, b)
+      case None    => GraftVersions.beginCommit(fs, root)
+    }
+    val prevByRel = c.prev.getOrElse(throw new IllegalStateException(
+      "graft MOR delete: the commit log stopped being authoritative " +
+        "mid-statement (concurrent World rewrite?) — retry the DELETE"))
+      .map(e => e.rel -> e).toMap
+    val updated = byRel.toSeq.sortBy(_._1).map { case (rel, fresh) =>
+      val e = prevByRel.getOrElse(rel,
+        throw new java.util.ConcurrentModificationException(
+          s"graft MOR delete: $rel left the latest manifest while this " +
+            "DELETE ran (concurrent rewrite of its cell) — retry against " +
+            "the new state"))
+      // vectors are immutable: union old + new into a FRESH sidecar, so
+      // the predecessor version keeps reading its own vector (time travel)
+      val existing = e.dv match {
+        case Some((dvRel, _)) => GraftDv.read(fs, new Path(root, dvRel))
+        case None => Array.emptyLongArray
+      }
+      val (dvRel, n) = GraftDv.write(fs, root, GraftDv.union(existing, fresh))
+      e.copy(dv = Some((dvRel, n)))
+    }
+    GraftVersions.sealCommit(fs, root, c, byRel.keySet, updated)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"graft MOR delete on $path: ${byRel.size} file(s) vectored, " +
+        s"${byRel.valuesIterator.map(_.length).sum} row(s) deleted, " +
+        "0 data bytes rewritten")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

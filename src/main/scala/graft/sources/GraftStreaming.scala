@@ -231,22 +231,27 @@ class GraftMicroBatchStream(path: String, required: StructType,
     val seen = seenRels(fs, start)
     val hasDataCols = required.exists(f => !GraftDataSource.isBucket(f.name))
     // bucket values are recoverable from the path itself (c<i>=<v> segments)
-    val batch: Seq[(Path, Map[String, Long])] = end match {
+    // dv rides along where the plan is manifest-resolved: a file appended
+    // then vectored before the stream reaches it is read minus its deleted
+    // rows (the version being planned is the truth for its own entries)
+    val batch: Seq[(Path, Map[String, Long], Option[(String, Long)])] = end match {
       case GraftVersionOffset(v) =>
         // manifest(end) − seen, resolved at `v`: snapshot-exact even when the
         // live tree has already moved past the cursor (restart lag)
         GraftVersions.newFilesSince(fs, root, seen, v, pushed)
-          .map { case (f, b, _) => (f, b) }
+          .map { case (f, b, e) => (f, b, e.dv) }
       case GraftStreamOffset(files) =>
         val target = files.map(f => GraftVersions.relOf(root, new Path(f))).toSet
         listFiles().filter { case (f, _) =>
           val rel = GraftVersions.relOf(root, f)
           target.contains(rel) && !seen.contains(rel)
-        }
+        }.map { case (f, b) => (f, b, None) }
       case other => throw new IllegalStateException(s"not a graft offset: $other")
     }
-    batch.map { case (f, b) =>
-      GraftInputPartition(f.toString, b, !hasDataCols): InputPartition
+    batch.map { case (f, b, dv) =>
+      GraftInputPartition(f.toString, b, !hasDataCols,
+        dvPath = dv.map(d => new Path(root, d._1).toString).orNull,
+        dvCount = dv.map(_._2).getOrElse(0L)): InputPartition
     }.toArray
   }
 
@@ -266,9 +271,15 @@ class GraftMicroBatchStream(path: String, required: StructType,
     // only buckets + _change_type reads footer counts
     val hasDataCols = required.exists(f => !GraftDataSource.isBucket(f.name) &&
       f.name != GraftDataSource.ChangeColumn)
+    // each side reads under its OWN version's deletion vector: a dv-swap
+    // commit surfaces its file on both sides (diffFiles keys by (rel, dv)),
+    // and the insert-minus-delete row difference is exactly the rows the
+    // vector retired — merge-on-read DELETEs flow through CDC correctly
     def side(base: Long, target: Long, tag: String) =
-      GraftVersions.diffFiles(fs, root, base, target, pushed).map { case (f, bk, _) =>
-        GraftInputPartition(f.toString, bk, !hasDataCols, changeTag = tag): InputPartition
+      GraftVersions.diffFiles(fs, root, base, target, pushed).map { case (f, bk, e) =>
+        GraftInputPartition(f.toString, bk, !hasDataCols, changeTag = tag,
+          dvPath = e.dv.map(d => new Path(root, d._1).toString).orNull,
+          dvCount = e.dv.map(_._2).getOrElse(0L)): InputPartition
       }
     (side(a, b, "insert") ++ side(b, a, "delete")).toArray
   }

@@ -73,11 +73,13 @@ import org.apache.spark.sql.sources.Filter
   * claim held WAITS (backoff, stale-claim takeover on a crashed sealer)
   * rather than erroring. World-level rewrites stay single-writer (the same
   * contract the reference's `&self` world locks impose,
-  * `src/world.rs:252-267`). Atomicity substrate: local/HDFS natively; on
-  * S3-class stores map the protocol to a conditional PUT
-  * (`If-None-Match: *`) of the final manifest key, which is claim and
-  * publish in one; stores with neither primitive are multi-writer
-  * UNSUPPORTED (single-writer remains safe everywhere).
+  * `src/world.rs:252-267`). Atomicity substrate — IMPLEMENTED as a store
+  * capability seam ([[casCapability]]): local/HDFS use the claim protocol
+  * natively; object stores whose connector maps `create(overwrite=false)`
+  * to a conditional PUT (`If-None-Match: *`, Hadoop 3.4.1+) publish the
+  * final manifest key in ONE request (claim and publish collapsed); stores
+  * with neither primitive REFUSE the seal loudly unless the operator
+  * asserts single-writer operation — never a silent race.
   */
 private[graft] object GraftVersions {
   private val VersionsDir = "_graft_versions"
@@ -115,9 +117,16 @@ private[graft] object GraftVersions {
     * and drops refuted files with ZERO per-file I/O — the footer-walk skip
     * in [[GraftBloom]] then only ever opens survivors. Empty = unknown
     * (pre-stats manifests, stats-off tables, non-parquet debris): the file
-    * is kept, never wrongly pruned. */
+    * is kept, never wrongly pruned.
+    *
+    * `dv` is the file's DELETION VECTOR, if a merge-on-read DELETE has
+    * retired rows of it: (sidecar chunk-relative path, deleted-row count) —
+    * see [[GraftDv]]. Carried as an optional fourth manifest field; the
+    * count rides along so row-count-dependent planning (pushed top-N's
+    * cumulative cover) corrects footer counts without opening the sidecar. */
   final case class ManifestEntry(rel: String, size: Long,
-      stats: Map[String, (Long, Long)] = Map.empty)
+      stats: Map[String, (Long, Long)] = Map.empty,
+      dv: Option[(String, Long)] = None)
 
   /** One listing of `_graft_versions`: sealed versions (ascending), barrier
     * flag, tag files, and the declared retention — every per-commit "what
@@ -237,8 +246,13 @@ private[graft] object GraftVersions {
   // stay readable
   private def writeManifestBytes(v: Long, files: Seq[ManifestEntry]): Array[Byte] =
     (s"$ManifestHeaderV2 $v ${files.size}\n" +
-      files.sortBy(_.rel).map(e => s"${e.rel}\t${e.size}${statsField(e.stats)}")
-        .mkString("\n") + "\n")
+      files.sortBy(_.rel).map { e =>
+        // the dv (field 4) needs field 3 present: `-` parses as empty stats
+        val st =
+          if (e.stats.isEmpty && e.dv.isDefined) "\t-" else statsField(e.stats)
+        val dv = e.dv.map { case (r, n) => s"\tdv=$r:$n" }.getOrElse("")
+        s"${e.rel}\t${e.size}$st$dv"
+      }.mkString("\n") + "\n")
       .getBytes("UTF-8")
 
   // zone-map field: `\tcol=min:max;col2=min:max` — absent entirely when the
@@ -249,6 +263,17 @@ private[graft] object GraftVersions {
     if (stats.isEmpty) ""
     else "\t" + stats.toSeq.sortBy(_._1)
       .map { case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(";")
+
+  // deletion-vector field: `dv=<sidecar rel>:<deleted count>` — the rel is
+  // engine-named (`_graft_dv/<uuid>.dv`), so it never contains the
+  // separators and the last ':' split is unambiguous
+  private def parseDvField(s: String): Option[(String, Long)] = {
+    val body = s.stripPrefix("dv=")
+    val cut = body.lastIndexOf(':')
+    if (!s.startsWith("dv=") || cut <= 0) None
+    else scala.util.Try(body.substring(cut + 1).toLong).toOption
+      .map(n => (body.substring(0, cut), n))
+  }
 
   private[sources] def parseStatsField(s: String): Map[String, (Long, Long)] =
     s.split(';').iterator.flatMap { kv =>
@@ -286,18 +311,71 @@ private[graft] object GraftVersions {
     * waits in [[awaitSeal]] (exponential backoff, minutes not the r10 1 s)
     * for the manifest to appear; a claim whose holder crashed pre-promote
     * goes stale after [[StaleClaimMs]] and is released by the waiter, so a
-    * dead writer never wedges the log. Store contract: this is atomic
-    * where create-if-absent and rename are atomic (local, HDFS). On
-    * S3-class object stores neither is — there the claim create maps to a
-    * conditional PUT (`If-None-Match: *`) of the FINAL manifest key, which
-    * is simultaneously the claim and the atomic content publish (steps 1–4
-    * collapse into one request); a store with neither primitive needs an
-    * external lock service and is documented unsupported for multi-writer.
+    * dead writer never wedges the log. Store contract: the protocol above
+    * runs where create-if-absent and rename are atomic (local, HDFS). On
+    * S3-class object stores neither is — there [[writeManifestCasAt]]
+    * dispatches to [[conditionalPut]]: one conditional PUT
+    * (`If-None-Match: *`) of the FINAL manifest key, simultaneously the
+    * claim and the atomic content publish (steps 1–4 collapse into one
+    * request). A store with neither primitive refuses the seal loudly
+    * (see [[casCapability]]) unless single-writer operation is asserted.
     */
   private sealed trait CasResult
   private case object CasSealed extends CasResult
   private case object CasLost extends CasResult // version sealed by another commit
   private case object CasBusy extends CasResult // claim held by an in-flight sealer
+
+  // --- store capability seam ------------------------------------------
+  // The commit CAS needs ONE atomic primitive from the store. Which one it
+  // has decides the protocol:
+  //   - CreateExclusiveCap (local, HDFS): create-if-absent and rename are
+  //     atomic -> the claim-then-promote protocol above;
+  //   - ConditionalPutCap (object stores with `If-None-Match: *` support,
+  //     surfaced by Hadoop 3.4.1+ connectors as conditional create): an
+  //     object becomes visible only when its PUT completes, so
+  //     create(manifest, overwrite=false) of the FINAL key is the claim
+  //     and the complete-content publish in ONE request — no claim file,
+  //     no tmp, no rename (none of which are atomic there anyway);
+  //   - NoAtomicCap: the store offers neither -> multi-writer commits
+  //     CANNOT be made safe and the seal REFUSES loudly, unless the
+  //     operator asserts single-writer operation (safe without any CAS)
+  //     via `graft.cas.assume-single-writer=true` in the Hadoop conf.
+  // Detection: scheme defaults (file/hdfs-class are exclusive-create;
+  // anything unknown probes the connector's declared conditional-create
+  // path capability), overridable per scheme with
+  // `graft.cas.capability.<scheme> = create-exclusive | conditional-put |
+  // none` for stores whose semantics the operator knows better (e.g. a
+  // MinIO fronted by an older connector).
+  private[sources] sealed trait CasCapability
+  private[sources] case object CreateExclusiveCap extends CasCapability
+  private[sources] case object ConditionalPutCap extends CasCapability
+  private[sources] case object NoAtomicCap extends CasCapability
+
+  private[sources] val CapabilityConfPrefix = "graft.cas.capability."
+  private[sources] val AssumeSingleWriterKey = "graft.cas.assume-single-writer"
+  // Hadoop 3.4.1+ (HADOOP-19256): connectors that map overwrite=false onto
+  // a conditional request declare this path capability
+  private val ConditionalCreateCapability = "fs.option.create.conditional.overwrite"
+
+  private[sources] def casCapability(fs: FileSystem, at: Path): CasCapability = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+    fs.getConf.getTrimmed(CapabilityConfPrefix + scheme, "") match {
+      case "create-exclusive" => CreateExclusiveCap
+      case "conditional-put"  => ConditionalPutCap
+      case "none"             => NoAtomicCap
+      case "" => scheme match {
+        case "file" | "hdfs" | "viewfs" | "webhdfs" => CreateExclusiveCap
+        case _ =>
+          val conditional =
+            try fs.hasPathCapability(at, ConditionalCreateCapability)
+            catch { case scala.util.control.NonFatal(_) => false }
+          if (conditional) ConditionalPutCap else NoAtomicCap
+      }
+      case other => throw new IllegalArgumentException(
+        s"graft: $CapabilityConfPrefix$scheme='$other' — expected " +
+          "create-exclusive, conditional-put, or none")
+    }
+  }
 
   /** The claim file guarding one manifest path (same dir, `.claim` for
     * `.manifest`) — works for main (`v<N>`) and branch (`b-<name>-v<k>`)
@@ -342,6 +420,27 @@ private[graft] object GraftVersions {
       files: Seq[ManifestEntry]): CasResult = {
     fs.mkdirs(p.getParent)
     if (fs.exists(p)) return CasLost
+    casCapability(fs, p) match {
+      case CreateExclusiveCap => claimThenPromote(fs, p, v, files)
+      case ConditionalPutCap  => conditionalPut(fs, p, v, files)
+      case NoAtomicCap =>
+        if (fs.getConf.getBoolean(AssumeSingleWriterKey, false))
+          // single-writer asserted: no contention exists by declaration, so
+          // the claim protocol's primitives don't need to be atomic
+          claimThenPromote(fs, p, v, files)
+        else throw new UnsupportedOperationException(
+          s"graft commit: the '${fs.getUri.getScheme}' store offers neither " +
+            "atomic create-if-absent nor conditional PUT — concurrent " +
+            "commits cannot be serialized safely on it. Either declare the " +
+            s"store's real semantics ($CapabilityConfPrefix" +
+            s"${fs.getUri.getScheme} = create-exclusive | conditional-put) " +
+            s"or assert single-writer operation ($AssumeSingleWriterKey = " +
+            "true) in the Hadoop configuration")
+    }
+  }
+
+  private def claimThenPromote(fs: FileSystem, p: Path, v: Long,
+      files: Seq[ManifestEntry]): CasResult = {
     val claim = claimOf(p)
     if (!createExclusive(fs, claim))
       return if (fs.exists(p)) CasLost else CasBusy
@@ -355,6 +454,24 @@ private[graft] object GraftVersions {
       CasSealed
     } finally fs.delete(claim, false)
   }
+
+  /** The object-store protocol: one conditional PUT of the final manifest
+    * key (overwrite = false -> `If-None-Match: *` on Hadoop 3.4.1+
+    * connectors). The object is visible only once the PUT completes, so
+    * claim, content write, and publish collapse into this single request —
+    * a loser's PUT fails the precondition and maps to [[CasLost]]. Never
+    * returns [[CasBusy]]: there is no claim window to wait out. */
+  private def conditionalPut(fs: FileSystem, p: Path, v: Long,
+      files: Seq[ManifestEntry]): CasResult =
+    try {
+      val out = fs.create(p, false)
+      out.write(writeManifestBytes(v, files))
+      out.close()
+      CasSealed
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => CasLost
+      case e: java.io.IOException => if (fs.exists(p)) CasLost else throw e
+    }
 
   /** After a [[CasBusy]]: wait for the claim holder's manifest to appear
     * (or for the claim to vanish / go stale — a crashed claimer), then
@@ -440,6 +557,9 @@ private[graft] object GraftVersions {
               case Array(rel, sz) => ManifestEntry(rel, sz.toLong)
               case Array(rel, sz, st) =>
                 ManifestEntry(rel, sz.toLong, parseStatsField(st))
+              case Array(rel, sz, st, dvf) =>
+                ManifestEntry(rel, sz.toLong, parseStatsField(st),
+                  parseDvField(dvf))
               case _ => ManifestEntry(l, -1L) // pre-size-format line
             }
           }
@@ -622,7 +742,21 @@ private[graft] object GraftVersions {
     val st = logState(fs, root)
     if (st.versions.isEmpty) return // nothing to invalidate
     if (!st.barrier) {
-      val live = readManifest(fs, root, st.versions.last).toSet ++
+      // merge-on-read deletion vectors must not leak into the physical
+      // tree the World rewrite is about to read raw — the deleted rows
+      // would resurrect. Rewrite each dv'd file to a clean copy (same
+      // cell, fresh name) and seal the swap as an ordinary versioned
+      // commit FIRST: the seal is atomic, so a crash mid-materialize
+      // leaves only orphan-swept debris, never a half-applied vector.
+      val latest0 = readEntries(fs, root, st.versions.last)
+      val dvEntries = latest0.filter(_.dv.isDefined)
+      if (dvEntries.nonEmpty) {
+        val cleaned = dvEntries.map(e => GraftDv.materializeFile(fs, root, e))
+        sealCommit(fs, root, beginCommit(fs, root),
+          dvEntries.map(_.rel).toSet, cleaned)
+      }
+      val live = readManifest(fs, root,
+          latestVersion(fs, root).getOrElse(st.versions.last)).toSet ++
         // branch-staged files survive a main-side rewrite barrier's sync
         listBranches(fs, root)
           .flatMap { case (b, _) => branchHeadEntries(fs, root, b).map(_.rel) }
@@ -671,12 +805,16 @@ private[graft] object GraftVersions {
     * copy-on-write (the replace unit is the chunk), the manifest diff IS
     * the change set: no row-level tracking exists or is needed, and a
     * consumer doing incremental recompute wants exactly "which cells
-    * changed" anyway. */
+    * changed" anyway. The diff key is (rel, dv): a merge-on-read DELETE
+    * changes no rel but swaps the entry's deletion-vector reference, and
+    * the feed must surface that file on both sides (each side read under
+    * its OWN vector) or the delete would be invisible to CDC. */
   def diffFiles(fs: FileSystem, root: Path, base: Long, target: Long,
       pushed: Array[Filter]): Seq[(Path, Map[String, Long], ManifestEntry)] = {
-    val baseSet = readManifest(fs, root, base).toSet
+    val baseSet = readEntries(fs, root, base).map(e => (e.rel, e.dv)).toSet
     resolveRels(fs, root,
-      readEntries(fs, root, target).filterNot(e => baseSet.contains(e.rel)),
+      readEntries(fs, root, target)
+        .filterNot(e => baseSet.contains((e.rel, e.dv))),
       target, pushed)
   }
 
@@ -729,14 +867,20 @@ private[graft] object GraftVersions {
       s"graft rollback: $root has a pending World-rewrite barrier — its " +
         "manifests are stale; run a versioned commit to heal, then roll back")
     val targetEntries = readEntries(fs, root, target)
-    val latestRels = readManifest(fs, root, latest).toSet
-    targetEntries.map(_.rel).filterNot(latestRels.contains).foreach { rel =>
-      if (!fs.exists(new Path(root, rel)))
-        throw new IllegalStateException(
-          s"graft rollback: $rel of version $target is no longer on disk — " +
-            "deleted by retention, or superseded by an unversioned " +
-            "World-level rewrite")
-    }
+    val latestEntries = readEntries(fs, root, latest)
+    val latestRels = latestEntries.map(_.rel).toSet
+    (targetEntries.map(_.rel).filterNot(latestRels.contains) ++
+        // the target's deletion-vector sidecars must survive too — a
+        // restored entry naming a retention-deleted vector would fail at
+        // every read of that file
+        (GraftDv.relsOf(targetEntries) -- GraftDv.relsOf(latestEntries)))
+      .foreach { rel =>
+        if (!fs.exists(new Path(root, rel)))
+          throw new IllegalStateException(
+            s"graft rollback: $rel of version $target is no longer on disk — " +
+              "deleted by retention, or superseded by an unversioned " +
+              "World-level rewrite")
+      }
     val newV = latest + 1
     var r = writeManifestCas(fs, root, newV, targetEntries)
     while (r == CasBusy) { // in-flight sealer: wait it out, then re-judge
@@ -768,13 +912,17 @@ private[graft] object GraftVersions {
       // pre-branch copies of files the branch head still references
       listBranches(fs, root).map(_._2).filter(versions.contains)
     val dropped = versions.filterNot(keepSet.contains)
-    val keptRels: Set[String] =
-      keepSet.toSeq.flatMap(v => readManifest(fs, root, v)).toSet
+    val keptEntries = keepSet.toSeq.flatMap(v => readEntries(fs, root, v))
+    val droppedEntries = dropped.flatMap(v => readEntries(fs, root, v))
     val victims: Set[String] =
-      dropped.flatMap(v => readManifest(fs, root, v)).toSet -- keptRels
+      droppedEntries.map(_.rel).toSet -- keptEntries.map(_.rel).toSet
+    // deletion-vector sidecars die with the last manifest naming them —
+    // same liveness rule as the data files, separate namespace (_graft_dv)
+    val dvVictims: Set[String] =
+      GraftDv.relsOf(droppedEntries) -- GraftDv.relsOf(keptEntries)
     dropped.foreach(v => fs.delete(manifestPath(root, v), false))
     val emptied = scala.collection.mutable.Set[Path]()
-    victims.foreach { rel =>
+    (victims ++ dvVictims).foreach { rel =>
       val f = new Path(root, rel)
       if (fs.exists(f)) { emptied += f.getParent; fs.delete(f, false) }
     }
@@ -816,17 +964,32 @@ private[graft] object GraftVersions {
         "manifests are stale until the next write seals a walk-based " +
         "version; sweep after that write")
     val referenced = scala.collection.mutable.HashSet.empty[String]
-    st.versions.foreach(v => referenced ++= readManifest(fs, root, v))
+    st.versions.foreach(v => readEntries(fs, root, v).foreach { e =>
+      referenced += e.rel
+      e.dv.foreach(referenced += _._1)
+    })
     // staged-but-unpublished branch files are LIVE (branch readers and the
     // eventual fast_forward reference them), not debris
     listBranches(fs, root).foreach { case (b, _) =>
-      referenced ++= branchHeadEntries(fs, root, b).map(_.rel) }
+      branchHeadEntries(fs, root, b).foreach { e =>
+        referenced += e.rel
+        e.dv.foreach(referenced += _._1)
+      }
+    }
     val cutoff = System.currentTimeMillis() - olderThanMs
+    // crashed DELETE commits leave dv sidecars no manifest ever sealed —
+    // same debris class as in-place data files, swept by the same age rule
+    val dvDir = GraftDv.dirOf(root)
+    val dvDebris =
+      if (!fs.exists(dvDir)) Seq.empty
+      else fs.listStatus(dvDir).toSeq.filter(s => s.isFile &&
+        s.getModificationTime < cutoff &&
+        !referenced.contains(relOf(root, s.getPath))).map(_.getPath)
     GraftDataSource.walkChunks(fs, root, Array.empty)
       .flatMap { case (d, _) => GraftDataSource.chunkFileStatuses(fs, d) }
       .filter(st => st.getModificationTime < cutoff &&
         !referenced.contains(relOf(root, st.getPath)))
-      .map(_.getPath)
+      .map(_.getPath) ++ dvDebris
   }
 
   // --- named version refs ("tags"): human-handles into the commit log,
@@ -986,6 +1149,106 @@ private[graft] object GraftVersions {
     dropBranch(fs, root, name)
     newV
   }
+
+  /** CROSS-TABLE atomic publish: fast-forward branch `name` on EVERY
+    * given table, all-or-nothing — the WAP cycle's missing piece for a
+    * multi-table pipeline (corpus + its indexes + its MVs) that must go
+    * live together. Two phases:
+    *
+    *   1. VALIDATE + CLAIM: every table's branch/fork state is checked
+    *      (main advanced past a fork, missing branch, pending barrier →
+    *      abort) and every table's next main version is CLAIMED with the
+    *      same create-exclusive arbiter [[sealCommit]] uses. Any failure
+    *      here — including a claim already held by a concurrent sealer —
+    *      RELEASES the claims taken so far and aborts with NO main
+    *      changed: the all-or-nothing property a mid-cycle validation
+    *      failure must keep.
+    *   2. PROMOTE: each table's branch-head entries seal as its next main
+    *      manifest (tmp + atomic rename under the held claim), then the
+    *      branches drop. Phase 2 performs no validation — every abortable
+    *      condition was consumed in phase 1 — so the only residual
+    *      non-atomicity is a CRASH between two promotes, which leaves the
+    *      already-promoted tables published (the same exposure any
+    *      two-statement publish has; re-running publish on the survivors
+    *      completes the cycle). On conditional-PUT stores there is no
+    *      claim primitive, so phase 1 is validation-only and each promote
+    *      is its own conditional PUT — cross-table atomicity there needs
+    *      an external coordinator and is documented best-effort.
+    *
+    * `failpoint` is a fault-injection hook (tests only): invoked as
+    * (phase, tableIndex) before each claim ("claim") and promote
+    * ("promote"). Returns the sealed versions, in table order. */
+  def fastForwardAll(tables: Seq[(FileSystem, Path)], name: String,
+      failpoint: (String, Int) => Unit = (_, _) => ()): Seq[Long] = {
+    require(tables.nonEmpty, "graft publish: no tables")
+    final case class Plan(fs: FileSystem, root: Path, newV: Long,
+      entries: Seq[ManifestEntry], claims: Boolean)
+    // phase 1a: validate everything before touching anything
+    val plans = tables.map { case (fs, root) =>
+      val st = logState(fs, root)
+      require(!st.barrier,
+        s"graft publish: $root has a pending rewrite barrier")
+      val fork = branchFork(fs, root, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft publish: no branch '$name' of $root"))
+      val latest = st.latest.getOrElse(0L)
+      if (latest != fork)
+        throw new java.util.ConcurrentModificationException(
+          s"graft publish: main of $root advanced v$fork -> v$latest since " +
+            s"branch '$name' forked — aborting the WHOLE publish (no table " +
+            "was changed); re-stage on a fresh branch")
+      Plan(fs, root, latest + 1, branchHeadEntries(fs, root, name),
+        casCapability(fs, root) != ConditionalPutCap)
+    }
+    // phase 1b: claim every target version (all-or-nothing arbitration)
+    val held = scala.collection.mutable.ListBuffer.empty[(FileSystem, Path)]
+    def releaseClaims(): Unit = {
+      held.foreach { case (fs, c) =>
+        try fs.delete(c, false)
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+      held.clear()
+    }
+    try {
+      plans.zipWithIndex.foreach { case (pl, i) =>
+        failpoint("claim", i)
+        val target = manifestPath(pl.root, pl.newV)
+        if (pl.claims) {
+          if (fs2exists(pl.fs, target) ||
+              !createExclusive(pl.fs, claimOf(target)))
+            throw new java.util.ConcurrentModificationException(
+              s"graft publish: v${pl.newV} of ${pl.root} is being sealed by " +
+                "a concurrent writer — aborting the whole publish (no main " +
+                "was changed); retry once it settles")
+          held += ((pl.fs, claimOf(target)))
+        }
+      }
+      // phase 2: promote all — no validation left that could abort
+      plans.zipWithIndex.foreach { case (pl, i) =>
+        failpoint("promote", i)
+        val target = manifestPath(pl.root, pl.newV)
+        if (pl.claims) {
+          val tmp = new Path(target.getParent,
+            s".tmp-${java.util.UUID.randomUUID()}")
+          val out = pl.fs.create(tmp, true)
+          out.write(writeManifestBytes(pl.newV, pl.entries))
+          out.close()
+          if (!pl.fs.rename(tmp, target)) {
+            pl.fs.delete(tmp, false)
+            throw new IllegalStateException(
+              s"graft publish: promote of $target failed under a held claim")
+          }
+        } else if (conditionalPut(pl.fs, target, pl.newV, pl.entries) != CasSealed)
+          throw new java.util.ConcurrentModificationException(
+            s"graft publish: v${pl.newV} of ${pl.root} was sealed concurrently")
+      }
+      plans.foreach(pl => dropBranch(pl.fs, pl.root, name))
+      plans.map(_.newV)
+    } finally releaseClaims()
+  }
+
+  private def fs2exists(fs: FileSystem, p: Path): Boolean =
+    try fs.exists(p) catch { case scala.util.control.NonFatal(_) => false }
 
   /** Abandon a branch: marker and branch manifests go; files only branch
     * commits referenced become unreferenced and fall to the orphan sweep. */

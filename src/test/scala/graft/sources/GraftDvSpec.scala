@@ -1,0 +1,230 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** Merge-on-read deletion vectors: a selective row-level DELETE writes
+  * per-file position sidecars and swaps manifest references — ZERO data
+  * bytes move — and every read path (live, snapshot, CDC, rollback,
+  * compaction, barrier rewrites) honors the vector of the version it
+  * reads. */
+class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val warehouse = Files.createTempDirectory("graft-dv").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.dvcat", "graft.sources.GraftCatalog")
+    .config("spark.sql.catalog.dvcat.warehouse", warehouse)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fsOf(p: String): (FileSystem, Path) = {
+    val root = new Path(p)
+    (FileSystem.get(root.toUri, new Configuration()), root)
+  }
+
+  private def dataFileStates(fs: FileSystem, root: Path): Map[String, (Long, Long)] =
+    GraftDataSource.walkChunks(fs, root, Array.empty)
+      .flatMap { case (d, _) => GraftDataSource.chunkFileStatuses(fs, d) }
+      .map(st => GraftVersions.relOf(root, st.getPath) ->
+        (st.getLen, st.getModificationTime)).toMap
+
+  test("selective DELETE writes a vector and moves zero data bytes") {
+    spark.sql("CREATE TABLE dvcat.t (d0 BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO dvcat.t SELECT id, id * 10, id DIV 10 FROM range(0, 40)")
+    val (fs, root) = fsOf(s"$warehouse/t")
+    val before = dataFileStates(fs, root)
+    assert(before.nonEmpty)
+    val v1 = GraftVersions.latestVersion(fs, root).get
+
+    spark.sql("DELETE FROM dvcat.t WHERE d0 IN (7, 23)")
+
+    // the data tree is byte-identical: same files, same sizes, same mtimes
+    assert(dataFileStates(fs, root) == before,
+      "a MOR delete must not touch a data byte")
+    // one new version whose touched entries carry dv references
+    val v2 = GraftVersions.latestVersion(fs, root).get
+    assert(v2 == v1 + 1)
+    val entries = GraftVersions.readEntries(fs, root, v2)
+    val dvd = entries.filter(_.dv.isDefined)
+    assert(dvd.map(_.dv.get._2).sum == 2L, s"two rows vectored: $dvd")
+    assert(entries.map(_.rel).toSet == before.keySet,
+      "the manifest still lists exactly the same data files")
+    dvd.foreach(e => assert(fs.exists(new Path(root, e.dv.get._1))))
+    // reads skip the vectored rows
+    assert(spark.sql("SELECT sum(v) FROM dvcat.t").collect()(0).getLong(0) ==
+      (0L until 40L).filterNot(Set(7L, 23L)).map(_ * 10).sum)
+    assert(spark.sql("SELECT count(*) FROM dvcat.t").collect()(0).getLong(0) == 38L)
+    // time travel: the pre-delete version still shows every row
+    assert(spark.read.format("graft").option("graft.snapshot", v1.toString)
+      .load(s"$warehouse/t").count() == 40L)
+  }
+
+  test("a second DELETE on the same file unions into a fresh sidecar") {
+    val (fs, root) = fsOf(s"$warehouse/t")
+    val dvBefore = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get).flatMap(_.dv).toMap
+    spark.sql("DELETE FROM dvcat.t WHERE d0 = 8") // same cell as d0=7
+    val entries = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get)
+    val cell0 = entries.filter(e => e.dv.isDefined && e.rel.contains("c0=0"))
+    assert(cell0.map(_.dv.get._2).sum == 2L,
+      s"cell c0=0's vector now holds d0=7 and d0=8: $cell0")
+    cell0.foreach(e => assert(!dvBefore.contains(e.dv.get._1),
+      "vectors are immutable: the union landed in a NEW sidecar"))
+    assert(spark.sql("SELECT count(*) FROM dvcat.t").collect()(0).getLong(0) == 37L)
+    // the older version still reads through its own (smaller) vector
+    val v2 = GraftVersions.latestVersion(fs, root).get - 1
+    assert(spark.read.format("graft").option("graft.snapshot", v2.toString)
+      .load(s"$warehouse/t").count() == 38L)
+  }
+
+  test("CDC net change across a MOR delete is exactly the deleted rows") {
+    val (fs, root) = fsOf(s"$warehouse/t")
+    val latest = GraftVersions.latestVersion(fs, root).get
+    val net = GraftChanges.netBetween(spark, s"$warehouse/t", latest - 1, latest)
+      .collect()
+    assert(net.map(r => (r.getAs[Long]("d0"), r.getAs[String]("_change_type")))
+      .toSet == Set((8L, "delete")),
+      s"the dv-swap commit surfaces the one retired row: ${net.mkString(", ")}")
+  }
+
+  test("rollback across a delete restores the rows, pure metadata") {
+    val (fs, root) = fsOf(s"$warehouse/t")
+    val latest = GraftVersions.latestVersion(fs, root).get
+    spark.sql(s"CALL dvcat.system.rollback(table => 't', version => ${latest - 1})")
+    assert(spark.sql("SELECT count(*) FROM dvcat.t").collect()(0).getLong(0) == 38L)
+    spark.sql(s"CALL dvcat.system.rollback(table => 't', version => $latest)")
+    assert(spark.sql("SELECT count(*) FROM dvcat.t").collect()(0).getLong(0) == 37L)
+  }
+
+  test("aggregate pushdown declines on vectored state (footer counts lie)") {
+    val plan = spark.sql("SELECT count(*) FROM dvcat.t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("GraftAggScan"),
+      s"a dv'd table must not answer COUNT from footers:\n$plan")
+    // and an un-vectored table still pushes down
+    spark.sql("CREATE TABLE dvcat.clean (d0 BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO dvcat.clean SELECT id, id DIV 10 FROM range(0, 10)")
+    val cleanPlan = spark.sql("SELECT count(*) FROM dvcat.clean")
+      .queryExecution.executedPlan.toString
+    assert(cleanPlan.contains("GraftAggScan"), cleanPlan)
+    spark.sql("DROP TABLE dvcat.clean")
+  }
+
+  test("_file/_pos row addresses are queryable and stable under deletes") {
+    val rows = spark.sql(
+      "SELECT _file, _pos, d0 FROM dvcat.t WHERE c0 = 0 ORDER BY _pos")
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(0).contains("c0=0")))
+    // physical ordinals: the vectored positions (7, 8) are absent, the
+    // survivors keep their original addresses
+    val pos = rows.map(r => (r.getLong(2), r.getLong(1))).toMap
+    assert(!pos.values.exists(p => pos.getOrElse(7L, -1L) == p && pos.contains(7L)))
+    assert(rows.map(_.getLong(1)).toSet.size == rows.length, "addresses unique")
+  }
+
+  test("UPDATE stays copy-on-write (no vector, cells rewritten)") {
+    val (fs, root) = fsOf(s"$warehouse/t")
+    val before = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get)
+    spark.sql("UPDATE dvcat.t SET v = v + 1 WHERE d0 = 12")
+    val after = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get)
+    val cell1After = after.filter(_.rel.contains("c0=1"))
+    assert(cell1After.forall(_.dv.isEmpty),
+      "the COW rewrite replaced cell c0=1 with clean files")
+    assert(cell1After.map(_.rel).toSet !=
+      before.filter(_.rel.contains("c0=1")).map(_.rel).toSet,
+      "UPDATE rewrote the cell's files")
+    assert(spark.sql("SELECT v FROM dvcat.t WHERE d0 = 12")
+      .collect()(0).getLong(0) == 121L)
+  }
+
+  test("compaction reads through the vectors and sheds them") {
+    val (fs, root) = fsOf(s"$warehouse/t")
+    // fragment cell c0=0 so compact has work there, then compact all cells
+    spark.sql("INSERT INTO dvcat.t VALUES (101, 1010, 0)")
+    spark.sql("CALL dvcat.system.compact(table => 't', max_files => 1)")
+    val entries = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get)
+    assert(entries.filter(_.rel.contains("c0=0")).forall(_.dv.isEmpty),
+      "compaction rewrote c0=0 clean")
+    assert(spark.sql("SELECT count(*) FROM dvcat.t WHERE c0 = 0")
+      .collect()(0).getLong(0) == 9L, "0..9 minus deleted 7, 8, plus 101")
+  }
+
+  test("expire reclaims sidecars no retained manifest references") {
+    val (fs, root) = fsOf(s"$warehouse/t")
+    val dvDir = GraftDv.dirOf(root)
+    assert(fs.exists(dvDir) && fs.listStatus(dvDir).nonEmpty)
+    spark.sql("CALL dvcat.system.expire_versions(table => 't', keep => 1)")
+    val left =
+      if (fs.exists(dvDir)) fs.listStatus(dvDir).length else 0
+    // the latest manifest has no dv refs (compaction shed them) except
+    // cells the compact didn't touch — count must match exactly
+    val referenced = GraftDv.relsOf(GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get))
+    assert(left == referenced.size,
+      s"only still-referenced sidecars survive expire ($left vs $referenced)")
+  }
+
+  test("a World-rewrite barrier materializes vectors before raw tree reads") {
+    spark.sql("CREATE TABLE dvcat.b (d0 BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO dvcat.b SELECT id, id, id DIV 10 FROM range(0, 20)")
+    spark.sql("DELETE FROM dvcat.b WHERE d0 = 3")
+    val (fs, root) = fsOf(s"$warehouse/b")
+    assert(GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get).exists(_.dv.isDefined))
+    GraftVersions.noteBarrier(fs, root)
+    // the physical tree now holds ONLY live rows: a raw parquet read of the
+    // cell directories must not resurrect d0=3
+    val raw = spark.read.parquet(
+      GraftDataSource.walkChunks(fs, root, Array.empty)
+        .map(_._1.toString): _*)
+    assert(raw.count() == 19L, "materialization dropped the vectored row")
+    assert(!raw.select("d0").collect().map(_.getLong(0)).contains(3L))
+    // and the pre-barrier seal left a clean manifest
+    assert(GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get).forall(_.dv.isEmpty))
+    spark.sql("DROP TABLE dvcat.b")
+  }
+
+  test("WAP: a branch DELETE stages its vector invisibly until fast_forward") {
+    spark.sql("CREATE TABLE dvcat.w (d0 BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO dvcat.w SELECT id, id DIV 10 FROM range(0, 20)")
+    spark.sql("CALL dvcat.system.branch(table => 'w', name => 'audit')")
+    spark.conf.set("graft.wap.branch", "audit")
+    try spark.sql("DELETE FROM dvcat.w WHERE d0 = 5")
+    finally spark.conf.unset("graft.wap.branch")
+    assert(spark.sql("SELECT count(*) FROM dvcat.w").collect()(0).getLong(0) == 20L,
+      "main is untouched while the vector is staged on the branch")
+    spark.sql("CALL dvcat.system.fast_forward(table => 'w', branch => 'audit')")
+    assert(spark.sql("SELECT count(*) FROM dvcat.w").collect()(0).getLong(0) == 19L)
+    assert(!spark.sql("SELECT d0 FROM dvcat.w").collect().map(_.getLong(0))
+      .contains(5L))
+    spark.sql("DROP TABLE dvcat.w")
+  }
+
+  test("DELETE matching nothing seals no version; bucket DELETE stays metadata") {
+    val (fs, root) = fsOf(s"$warehouse/t")
+    val before = GraftVersions.latestVersion(fs, root).get
+    spark.sql("DELETE FROM dvcat.t WHERE v = -999")
+    assert(GraftVersions.latestVersion(fs, root).get == before,
+      "an empty delta must not burn a version")
+    // bucket-only predicate: the metadata path drops whole cells, no vectors
+    spark.sql("DELETE FROM dvcat.t WHERE c0 = 3")
+    val entries = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get)
+    assert(!entries.exists(_.rel.contains("c0=3")))
+    spark.sql("DROP TABLE dvcat.t")
+  }
+}

@@ -111,4 +111,76 @@ class GraftWapSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("INSERT INTO wap.a VALUES (3, 3, 0)")
     assert(rows("SELECT id, v FROM wap.a") == Set((1L, 10L), (3L, 3L)))
   }
+
+  test("cross-table publish: both tables go live in one all-or-nothing cycle") {
+    spark.sql("CREATE TABLE wap.p1 (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("CREATE TABLE wap.p2 (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO wap.p1 VALUES (1, 10, 0)")
+    spark.sql("INSERT INTO wap.p2 VALUES (1, 100, 0)")
+    spark.sql("CALL wap.system.branch(table => 'p1', name => 'rel')")
+    spark.sql("CALL wap.system.branch(table => 'p2', name => 'rel')")
+    spark.conf.set("graft.wap.branch", "rel")
+    try {
+      spark.sql("INSERT INTO wap.p1 VALUES (2, 20, 0)")
+      spark.sql("UPDATE wap.p2 SET v = 101 WHERE id = 1")
+    } finally spark.conf.unset("graft.wap.branch")
+    // mains untouched while staged
+    assert(rows("SELECT id, v FROM wap.p1") == Set((1L, 10L)))
+    assert(rows("SELECT id, v FROM wap.p2") == Set((1L, 100L)))
+    // default table list = every table with the branch
+    val out = spark.sql("CALL wap.system.publish(branch => 'rel')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("p1", 2L), ("p2", 2L)), s"published: $out")
+    assert(rows("SELECT id, v FROM wap.p1") == Set((1L, 10L), (2L, 20L)))
+    assert(rows("SELECT id, v FROM wap.p2") == Set((1L, 101L)))
+    // branches dropped by the publish
+    assert(spark.sql("CALL wap.system.branches(table => 'p1')").collect().isEmpty)
+  }
+
+  test("cross-table publish aborts whole on a mid-cycle failure, zero mains changed") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    spark.sql("CREATE TABLE wap.f1 (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("CREATE TABLE wap.f2 (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO wap.f1 VALUES (1, 10, 0)")
+    spark.sql("INSERT INTO wap.f2 VALUES (1, 100, 0)")
+    spark.sql("CALL wap.system.branch(table => 'f1', name => 'rel')")
+    spark.sql("CALL wap.system.branch(table => 'f2', name => 'rel')")
+    spark.conf.set("graft.wap.branch", "rel")
+    try {
+      spark.sql("INSERT INTO wap.f1 VALUES (2, 20, 0)")
+      spark.sql("INSERT INTO wap.f2 VALUES (2, 200, 0)")
+    } finally spark.conf.unset("graft.wap.branch")
+
+    def tbl(t: String): (FileSystem, Path) = {
+      val p = s"$warehouse/$t"
+      (FileSystem.get(new java.net.URI(p), new Configuration()), new Path(p))
+    }
+    val tables = Seq(tbl("f1"), tbl("f2"))
+
+    // injected failure between the first and second CLAIM: the publish must
+    // abort whole, release the first table's claim, and change NO main
+    intercept[RuntimeException] {
+      GraftVersions.fastForwardAll(tables, "rel", failpoint = (phase, i) =>
+        if (phase == "claim" && i == 1)
+          throw new RuntimeException("injected mid-publish failure"))
+    }
+    assert(rows("SELECT id, v FROM wap.f1") == Set((1L, 10L)),
+      "f1's main is untouched after the aborted publish")
+    assert(rows("SELECT id, v FROM wap.f2") == Set((1L, 100L)))
+
+    // a STALE FORK on the second table aborts before any claim is promoted
+    spark.sql("INSERT INTO wap.f2 VALUES (9, 900, 0)") // main f2 advances
+    val e = intercept[java.util.ConcurrentModificationException] {
+      GraftVersions.fastForwardAll(tables, "rel")
+    }
+    assert(e.getMessage.contains("no table was changed"), e.getMessage)
+    assert(rows("SELECT id, v FROM wap.f1") == Set((1L, 10L)),
+      "f1 stayed unpublished even though ITS branch was valid")
+
+    // the released claims don't wedge later publishes: f1 alone still works
+    val v = GraftVersions.fastForwardAll(Seq(tbl("f1")), "rel")
+    assert(v == Seq(2L))
+    assert(rows("SELECT id, v FROM wap.f1") == Set((1L, 10L), (2L, 20L)))
+  }
 }
