@@ -486,6 +486,42 @@ object DmdsQueries {
                 ORDER BY event_id""")
       ),
 
+      "w_stats_prune_str" -> QueryDef(
+        // STRING zone maps through the oracle gate: the integral twin's
+        // layout (disjoint commits into the SAME cells, split on a non-dim
+        // column) with the split keyed on event_type — a string. The
+        // manifest carries each file's min/max as bounded 16-byte PREFIXES
+        // with truncation-safe compare semantics (a cut bound can only
+        // keep, never refute, a boundary value — GraftStatsSpec pins the
+        // prefix algebra; this declares the end-to-end scan stays
+        // row-exact through the planning-time skip). Range and equality
+        // predicates on strings now prune files with zero per-file I/O,
+        // exactly like the integral bounds.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wzs", "zs")
+          events(s2, dir).createOrReplaceTempView("ev_src_zs")
+          s2.sql("DROP TABLE IF EXISTS wzs.ev_zs")
+          s2.sql("""CREATE TABLE wzs.ev_zs
+                    (event_id BIGINT, event_type STRING, user_id BIGINT,
+                     c0 BIGINT)""")
+          // alphabet split: each commit's files cover a disjoint
+          // event_type range in the same cells
+          s2.sql("""INSERT INTO wzs.ev_zs
+                    SELECT event_id, event_type, user_id, user_id DIV 512
+                    FROM ev_src_zs WHERE event_type < 'l'""")
+          s2.sql("""INSERT INTO wzs.ev_zs
+                    SELECT event_id, event_type, user_id, user_id DIV 512
+                    FROM ev_src_zs WHERE event_type >= 'l' AND event_type < 'r'""")
+          s2.sql("""INSERT INTO wzs.ev_zs
+                    SELECT event_id, event_type, user_id, user_id DIV 512
+                    FROM ev_src_zs WHERE event_type >= 'r'""")
+          s2.sql("""SELECT event_id, event_type, user_id FROM wzs.ev_zs
+                    WHERE event_type >= 'r' ORDER BY event_id""")
+        },
+        Some("""SELECT event_id, event_type, user_id FROM events
+                WHERE event_type >= 'r' ORDER BY event_id""")
+      ),
+
       "w_zorder_scan" -> QueryDef(
         // end-to-end over the Z-ORDERED layout: create the world with
         // zorderWithinChunks (intra-chunk rows follow the Morton curve of

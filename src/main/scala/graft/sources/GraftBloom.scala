@@ -112,13 +112,26 @@ object GraftBloom {
     extends SkipAtom
   private[sources] final case class RangeAtom(col: String, op: Int, v: Long)
     extends SkipAtom
+  /** Range bound over a STRING column (UTF-8 byte order — matches both
+    * parquet's BINARY(UTF8) unsigned comparator and Spark's string
+    * ordering). Tested against manifest string zone maps with
+    * truncation-safe prefix semantics ([[GraftStats.boundsMightMatch]])
+    * and against footer binary statistics (valid bounds by the parquet
+    * contract even when the writer truncated them). */
+  private[sources] final case class StrRangeAtom(col: String, op: Int, v: String)
+    extends SkipAtom
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long  => Some(l)
     case i: Int   => Some(i.toLong)
     case s: Short => Some(s.toLong)
     case b: Byte  => Some(b.toLong)
-    case _        => None // float/string min-max stats are untrusted (see agg pushdown)
+    case _        => None // float min-max stats are untrusted (see agg pushdown)
+  }
+
+  private def rangeAtom(c: String, op: Int, v: Any): Seq[SkipAtom] = v match {
+    case s: String => Seq(StrRangeAtom(c, op, s))
+    case other     => asLong(other).map(RangeAtom(c, op, _)).toSeq
   }
 
   /** The atoms of a pushed residual conjunction that file-level skipping
@@ -131,12 +144,10 @@ object GraftBloom {
         Seq(EqAtom(c, Array[Any](v)))
       case In(c, vs) if cols(c) && vs.nonEmpty && vs.forall(_ != null) =>
         Seq(EqAtom(c, vs.toArray[Any]))
-      case GreaterThan(c, v) if cols(c) => asLong(v).map(RangeAtom(c, 4, _)).toSeq
-      case GreaterThanOrEqual(c, v) if cols(c) =>
-        asLong(v).map(RangeAtom(c, 5, _)).toSeq
-      case LessThan(c, v) if cols(c) => asLong(v).map(RangeAtom(c, 2, _)).toSeq
-      case LessThanOrEqual(c, v) if cols(c) =>
-        asLong(v).map(RangeAtom(c, 3, _)).toSeq
+      case GreaterThan(c, v) if cols(c) => rangeAtom(c, 4, v)
+      case GreaterThanOrEqual(c, v) if cols(c) => rangeAtom(c, 5, v)
+      case LessThan(c, v) if cols(c) => rangeAtom(c, 2, v)
+      case LessThanOrEqual(c, v) if cols(c) => rangeAtom(c, 3, v)
       case _ => Nil
     }
 
@@ -189,6 +200,8 @@ object GraftBloom {
                   else !dictionaryRefutes(pfr, rg, cc, schema, col, prim, values)
                 case RangeAtom(_, op, v) =>
                   rangeMight(cc, prim, op, v)
+                case StrRangeAtom(_, op, v) =>
+                  strRangeMight(cc, prim, op, v)
               }
               case None => true
             }
@@ -221,6 +234,32 @@ object GraftBloom {
       case 3 => mn <= v  // ltEq
       case 4 => mx > v   // gt
       case _ => mx >= v  // gtEq
+    }
+  }
+
+  /** Could some non-null value of this chunk satisfy `op v` for a STRING
+    * column? Footer binary min/max are VALID BOUNDS by the parquet
+    * contract — a stats-truncating writer truncates min downward and max
+    * upward — so comparing them in the unsigned byte order refutes soundly
+    * even when the stored bound was never attained (what makes MIN/MAX
+    * aggregate pushdown reject strings does not apply to range pruning). */
+  private def strRangeMight(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      prim: PrimitiveTypeName, op: Int, v: String): Boolean = {
+    if (prim != PrimitiveTypeName.BINARY) return true
+    val st = cc.getStatistics
+    if (st == null || !st.hasNonNullValue) return true
+    val (mn, mx) = (st.genericGetMin(), st.genericGetMax()) match {
+      case (a: org.apache.parquet.io.api.Binary,
+            b: org.apache.parquet.io.api.Binary) => (a.getBytes, b.getBytes)
+      case _ => return true
+    }
+    val vb = v.getBytes("UTF-8")
+    op match {
+      case 2 => java.util.Arrays.compareUnsigned(mn, vb) < 0
+      case 3 => java.util.Arrays.compareUnsigned(mn, vb) <= 0
+      case 4 => java.util.Arrays.compareUnsigned(mx, vb) > 0
+      case _ => java.util.Arrays.compareUnsigned(mx, vb) >= 0
     }
   }
 

@@ -1499,8 +1499,11 @@ private[sources] object GraftMetaTable {
             files.map { fr =>
               InternalRow(cellOf(b), UTF8String.fromString(fr.path.getName),
                 fr.size,
-                UTF8String.fromString(fr.stats.toSeq.sortBy(_._1)
-                  .map { case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(";")))
+                UTF8String.fromString(
+                  (fr.stats.toSeq.map { case (c, (mn, mx)) => c -> s"$mn:$mx" } ++
+                    fr.sstats.toSeq.map { case (c, (mn, mx)) => c -> s"s$mn:s$mx" })
+                    .sortBy(_._1)
+                    .map { case (c, bd) => s"$c=$bd" }.mkString(";")))
             }
           }.toArray
       case "cells" =>

@@ -396,7 +396,8 @@ object GraftDataSource {
     * data path so readers need no second resolution. */
   private[graft] final case class FileRef(path: Path, size: Long,
       stats: Map[String, (Long, Long)] = Map.empty,
-      dv: Option[(String, Long)] = None)
+      dv: Option[(String, Long)] = None,
+      sstats: Map[String, (String, String)] = Map.empty)
 
   private[graft] def liveCells(fs: FileSystem, root: Path,
       pushed: Array[Filter]): Seq[(Path, Map[String, Long], Seq[FileRef])] =
@@ -410,7 +411,8 @@ object GraftDataSource {
             (new Path(root, cellRel), group.head._2,
               group.map { case (e, _) =>
                 FileRef(new Path(root, e.rel), e.size, e.stats,
-                  e.dv.map { case (r, n) => (new Path(root, r).toString, n) })
+                  e.dv.map { case (r, n) => (new Path(root, r).toString, n) },
+                  e.sstats)
               })
           }
       case None =>
@@ -1517,7 +1519,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     * rewrites stays sound. See [[GraftBloom]]. */
   private def bloomSurvivors(
       files: Seq[(String, Map[String, Long], Map[String, (Long, Long)],
-        Option[(String, Long)])])
+        Option[(String, Long)], Map[String, (String, String)])])
       : Seq[(String, Map[String, Long], Option[(String, Long)])] = {
     // dv'd files still prune by zone maps and blooms: both are computed
     // over the full file (deleted rows included), so refutation remains a
@@ -1525,17 +1527,17 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     val zAtoms = zoneAtoms ++ runtimeBloom
     val zoned =
       if (zAtoms.isEmpty) files
-      else files.filter { case (_, _, bounds, _) =>
-        GraftStats.boundsMightMatch(bounds, zAtoms, renameAliases)
+      else files.filter { case (_, _, bounds, _, sbounds) =>
+        GraftStats.boundsMightMatch(bounds, sbounds, zAtoms, renameAliases)
       }
     val atoms = bloomAtoms ++ runtimeBloom
-    if (atoms.isEmpty) zoned.map { case (f, b, _, dv) => (f, b, dv) }
+    if (atoms.isEmpty) zoned.map { case (f, b, _, dv, _) => (f, b, dv) }
     else {
       import scala.collection.parallel.CollectionConverters._
       val conf = new Configuration()
-      zoned.par.filter { case (f, _, _, _) =>
+      zoned.par.filter { case (f, _, _, _, _) =>
         GraftBloom.fileMightMatch(conf, f, atoms)
-      }.seq.map { case (f, b, _, dv) => (f, b, dv) }
+      }.seq.map { case (f, b, _, dv, _) => (f, b, dv) }
     }
   }
 
@@ -1550,7 +1552,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       // rows the rewrite re-emits — for retirement from the branch chain.
       val survivors = bloomSurvivors(pinnedWalk.map { case (f, b, e) =>
         (f.toString, b, e.stats, GraftDv.absOf(f.toString, e).map(
-          (_, e.dv.get._2)))
+          (_, e.dv.get._2)), e.sstats)
       })
       fileRecorder.foreach { r => r.clear(); survivors.foreach(x => r.add(x._1)) }
       return survivors
@@ -1601,7 +1603,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
         }
       }
     val survivors = bloomSurvivors(planned.flatMap { case (_, b, files) =>
-      files.map(fr => (fr.path.toString, b, fr.stats, fr.dv))
+      files.map(fr => (fr.path.toString, b, fr.stats, fr.dv, fr.sstats))
     })
     // row-level rewrites note every SURVIVING planned file (post bucket +
     // runtime pruning AND post bloom skip — exactly the rows the rewrite

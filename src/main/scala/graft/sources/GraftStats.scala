@@ -94,29 +94,79 @@ object GraftStats {
   private def safeName(c: String): Boolean =
     !c.exists(ch => ch == '=' || ch == ';' || ch == ':' || ch == '\t' || ch == '\n')
 
-  /** Footer-aggregated bounds of one file's integral data columns.
-    * Unreadable/foreign files answer empty (kept, never pruned). */
+  /** STRING zone maps store a bounded PREFIX of each bound (hex-encoded,
+    * `+`-suffixed when the stored value was cut), not the value itself — a
+    * 16-byte cap keeps a wide-string table from bloating every manifest
+    * line. Prefix semantics stay SOUND on both sides: a prefix of the min
+    * is still a lower bound (prefix <= value in byte order), and a
+    * truncated max refutes only through its prefix-SUCCESSOR (the smallest
+    * byte string above everything carrying that prefix) — so a bound cut
+    * mid-value can never refute a boundary value. The footer values this
+    * captures are themselves valid bounds even from stats-truncating
+    * writers (parquet truncates min down, max up); what disqualifies
+    * string footer stats for MIN/MAX aggregate pushdown (bounds may be
+    * unattained) does not apply to pruning. */
+  val MaxStrPrefix = 16
+  private val TruncMark = "+"
+
+  private[sources] def encodeStrBound(bytes: Array[Byte]): String =
+    bytes.take(MaxStrPrefix).map("%02x".format(_)).mkString +
+      (if (bytes.length > MaxStrPrefix) TruncMark else "")
+
+  private[sources] def decodeStrBound(s: String): (Array[Byte], Boolean) = {
+    val trunc = s.endsWith(TruncMark)
+    val hex = if (trunc) s.dropRight(1) else s
+    (hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, trunc)
+  }
+
+  /** Smallest byte string strictly greater than EVERY string with prefix
+    * `p` (increment-with-carry); None when p is all 0xFF (no successor —
+    * the caller keeps the file). */
+  private def succ(p: Array[Byte]): Option[Array[Byte]] = {
+    val out = p.clone()
+    var i = out.length - 1
+    while (i >= 0) {
+      if (out(i) != -1) { out(i) = (out(i) + 1).toByte; return Some(out.take(i + 1)) }
+      i -= 1
+    }
+    None
+  }
+
+  /** Footer-aggregated bounds of one file's data columns: (integral
+    * min/max, string prefix bounds). Unreadable/foreign files answer empty
+    * (kept, never pruned). */
   def ofFile(conf: Configuration, file: Path, wanted: Option[Set[String]])
-      : Map[String, (Long, Long)] =
+      : (Map[String, (Long, Long)], Map[String, (String, String)]) =
     try {
       val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
         val schema = pfr.getFooter.getFileMetaData.getSchema
         val blocks = pfr.getRowGroups
         import scala.jdk.CollectionConverters._
+        def isStr(t: org.apache.parquet.schema.PrimitiveType): Boolean =
+          t.getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
+            t.getLogicalTypeAnnotation != null &&
+            t.getLogicalTypeAnnotation.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation
+                .StringLogicalTypeAnnotation]
         val fields = schema.getFields.asScala.iterator
           .filter(_.isPrimitive)
           .map(_.asPrimitiveType)
           .filter(t => t.getPrimitiveTypeName == PrimitiveTypeName.INT32 ||
-            t.getPrimitiveTypeName == PrimitiveTypeName.INT64)
-          .map(_.getName)
-          .filter(safeName)
-          .filter(c => wanted.forall(_.contains(c)))
+            t.getPrimitiveTypeName == PrimitiveTypeName.INT64 || isStr(t))
+          .filter(t => safeName(t.getName))
+          .filter(t => wanted.forall(_.contains(t.getName)))
           .take(MaxCols)
           .toSeq
-        fields.flatMap { c =>
+        val ints = Map.newBuilder[String, (Long, Long)]
+        val strs = Map.newBuilder[String, (String, String)]
+        fields.foreach { field =>
+          val c = field.getName
+          val stringCol = isStr(field)
           var mn = Long.MaxValue
           var mx = Long.MinValue
+          var smn: Array[Byte] = null
+          var smx: Array[Byte] = null
           var usable = true
           var any = false
           blocks.asScala.foreach { b =>
@@ -133,16 +183,28 @@ object GraftStats {
                     case (a: java.lang.Long, z: java.lang.Long) =>
                       mn = math.min(mn, a.longValue); mx = math.max(mx, z.longValue)
                       any = true
+                    case (a: org.apache.parquet.io.api.Binary,
+                          z: org.apache.parquet.io.api.Binary) if stringCol =>
+                      val ab = a.getBytes; val zb = z.getBytes
+                      if (smn == null ||
+                          java.util.Arrays.compareUnsigned(ab, smn) < 0) smn = ab
+                      if (smx == null ||
+                          java.util.Arrays.compareUnsigned(zb, smx) > 0) smx = zb
+                      any = true
                     case _ => usable = false
                   }
                 } // else: all-null group, contributes nothing
               case None => usable = false // column absent from this group?!
             }
           }
-          if (usable && any) Some(c -> (mn, mx)) else None
-        }.toMap
+          if (usable && any) {
+            if (stringCol) strs += c -> (encodeStrBound(smn), encodeStrBound(smx))
+            else ints += c -> (mn, mx)
+          }
+        }
+        (ints.result(), strs.result())
       } finally pfr.close()
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    } catch { case scala.util.control.NonFatal(_) => (Map.empty, Map.empty) }
 
   /** Attach zone maps to a commit's added entries (the [[GraftVersions
     * .sealCommit]] hook — ONE place covers every write path: batch append,
@@ -151,7 +213,8 @@ object GraftStats {
     * already carry stats; a declared-off table passes through untouched. */
   def enrich(fs: FileSystem, root: Path,
       added: Seq[GraftVersions.ManifestEntry]): Seq[GraftVersions.ManifestEntry] = {
-    if (added.isEmpty || added.forall(_.stats.nonEmpty)) return added
+    if (added.isEmpty ||
+        added.forall(e => e.stats.nonEmpty || e.sstats.nonEmpty)) return added
     mode(fs, root) match {
       case OffMode => added
       case m =>
@@ -162,31 +225,60 @@ object GraftStats {
         val conf = new Configuration()
         import scala.collection.parallel.CollectionConverters._
         added.par.map { e =>
-          if (e.stats.nonEmpty || e.size == 0L) e
-          else e.copy(stats = ofFile(conf, new Path(root, e.rel), wanted))
+          if (e.stats.nonEmpty || e.sstats.nonEmpty || e.size == 0L) e
+          else {
+            val (ints, strs) = ofFile(conf, new Path(root, e.rel), wanted)
+            e.copy(stats = ints, sstats = strs)
+          }
         }.seq
     }
   }
 
-  /** Could some non-null value inside `bounds` satisfy every atom? The
+  /** Could some non-null value inside the bounds satisfy every atom? The
     * planning-time twin of [[GraftBloom.fileMightMatch]], answered from
     * the manifest with zero I/O. `aliases` maps a CURRENT column name to
     * the spellings old files may have been written under (rename
     * evolution) — a file's bounds are keyed by its own spelling, so each
-    * atom checks all of them. Missing bounds / non-numeric atom values
-    * answer true (file kept). */
+    * atom checks all of them. Missing bounds / untestable atom values
+    * answer true (file kept). String atoms test against the PREFIX bounds
+    * (`sbounds`): the stored min prefix is a valid lower bound as-is, and
+    * a truncated max refutes only values at or above its prefix-successor
+    * — a boundary value sharing the cut prefix is always kept. */
   def boundsMightMatch(bounds: Map[String, (Long, Long)],
+      sbounds: Map[String, (String, String)],
       atoms: Seq[GraftBloom.SkipAtom],
       aliases: Map[String, Seq[String]]): Boolean = {
-    if (bounds.isEmpty || atoms.isEmpty) return true
+    if ((bounds.isEmpty && sbounds.isEmpty) || atoms.isEmpty) return true
+    // strictly-above-the-max test under prefix semantics: is `vb` provably
+    // greater than every value the (possibly truncated) stored max bounds?
+    def aboveMax(vb: Array[Byte], maxEnc: String, orEqual: Boolean): Boolean = {
+      val (p, trunc) = decodeStrBound(maxEnc)
+      if (!trunc) {
+        val c = java.util.Arrays.compareUnsigned(vb, p)
+        if (orEqual) c >= 0 else c > 0
+      } else succ(p) match {
+        // every bounded value is < succ(p): v >= succ(p) proves v > max
+        case Some(s) => java.util.Arrays.compareUnsigned(vb, s) >= 0
+        case None    => false // all-0xFF prefix: nothing provable
+      }
+    }
+    def belowMin(vb: Array[Byte], minEnc: String, orEqual: Boolean): Boolean = {
+      // the stored min prefix is <= the true min in byte order, truncated
+      // or not, so v < prefix proves v < min
+      val (p, _) = decodeStrBound(minEnc)
+      val c = java.util.Arrays.compareUnsigned(vb, p)
+      if (orEqual) c <= 0 else c < 0
+    }
     atoms.forall { atom =>
       val names = atom.col +: aliases.getOrElse(atom.col, Nil)
-      names.iterator.flatMap(bounds.get).nextOption() match {
-        case None => true
-        case Some((mn, mx)) => atom match {
-          case GraftBloom.EqAtom(_, values) =>
-            values.exists {
-              case n: java.lang.Number =>
+      def intBound = names.iterator.flatMap(bounds.get).nextOption()
+      def strBound = names.iterator.flatMap(sbounds.get).nextOption()
+      atom match {
+        case GraftBloom.EqAtom(_, values) =>
+          values.exists {
+            case n: java.lang.Number => intBound match {
+              case None => true
+              case Some((mn, mx)) =>
                 // fractional doubles can't equal an integral column value,
                 // but a whole-valued one can — compare on the long floor
                 // only when exact, else keep
@@ -195,14 +287,39 @@ object GraftStats {
                   case f: java.lang.Float if f.floatValue != f.longValue => false
                   case _ => val v = n.longValue; v >= mn && v <= mx
                 }
-              case _ => true // non-numeric candidate: untestable, keep
             }
-          case GraftBloom.RangeAtom(_, op, v) => op match {
+            case s: String => strBound match {
+              case None => true
+              case Some((mnE, mxE)) =>
+                val vb = s.getBytes("UTF-8")
+                !belowMin(vb, mnE, orEqual = false) &&
+                  !aboveMax(vb, mxE, orEqual = false)
+            }
+            case _ => true // untestable candidate type: keep
+          }
+        case GraftBloom.RangeAtom(_, op, v) => intBound match {
+          case None => true
+          case Some((mn, mx)) => op match {
             case 2 => mn < v   // lt
             case 3 => mn <= v  // ltEq
             case 4 => mx > v   // gt
             case _ => mx >= v  // gtEq
           }
+        }
+        case GraftBloom.StrRangeAtom(_, op, v) => strBound match {
+          case None => true
+          case Some((mnE, mxE)) =>
+            val vb = v.getBytes("UTF-8")
+            op match {
+              // lt: refuted iff min >= v (then no value < v)
+              case 2 => !belowMin(vb, mnE, orEqual = true)
+              // ltEq: refuted iff min > v
+              case 3 => !belowMin(vb, mnE, orEqual = false)
+              // gt: refuted iff max <= v, i.e. v at/above the max bound
+              case 4 => !aboveMax(vb, mxE, orEqual = true)
+              // gtEq: refuted iff max < v
+              case _ => !aboveMax(vb, mxE, orEqual = false)
+            }
         }
       }
     }

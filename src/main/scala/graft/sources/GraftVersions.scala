@@ -123,10 +123,17 @@ private[graft] object GraftVersions {
     * retired rows of it: (sidecar chunk-relative path, deleted-row count) —
     * see [[GraftDv]]. Carried as an optional fourth manifest field; the
     * count rides along so row-count-dependent planning (pushed top-N's
-    * cumulative cover) corrects footer counts without opening the sidecar. */
+    * cumulative cover) corrects footer counts without opening the sidecar.
+    *
+    * `sstats` is the STRING-column zone map: hex-encoded bounded PREFIXES
+    * of each string column's min/max (16 bytes, `+`-marked when cut) with
+    * truncation-safe compare semantics — see [[GraftStats]]. Encoded into
+    * the same stats field as the integral bounds, values marked by an `s`
+    * prefix. */
   final case class ManifestEntry(rel: String, size: Long,
       stats: Map[String, (Long, Long)] = Map.empty,
-      dv: Option[(String, Long)] = None)
+      dv: Option[(String, Long)] = None,
+      sstats: Map[String, (String, String)] = Map.empty)
 
   /** One listing of `_graft_versions`: sealed versions (ascending), barrier
     * flag, tag files, and the declared retention — every per-commit "what
@@ -248,8 +255,8 @@ private[graft] object GraftVersions {
     (s"$ManifestHeaderV2 $v ${files.size}\n" +
       files.sortBy(_.rel).map { e =>
         // the dv (field 4) needs field 3 present: `-` parses as empty stats
-        val st =
-          if (e.stats.isEmpty && e.dv.isDefined) "\t-" else statsField(e.stats)
+        val stRaw = statsField(e.stats, e.sstats)
+        val st = if (stRaw.isEmpty && e.dv.isDefined) "\t-" else stRaw
         val dv = e.dv.map { case (r, n) => s"\tdv=$r:$n" }.getOrElse("")
         s"${e.rel}\t${e.size}$st$dv"
       }.mkString("\n") + "\n")
@@ -257,12 +264,18 @@ private[graft] object GraftVersions {
 
   // zone-map field: `\tcol=min:max;col2=min:max` — absent entirely when the
   // entry has no stats, so stats-free manifests stay byte-identical to the
-  // two-field format. Columns whose names collide with the separators are
-  // never captured (GraftStats.safeName), so the encoding needs no escaping.
-  private def statsField(stats: Map[String, (Long, Long)]): String =
-    if (stats.isEmpty) ""
-    else "\t" + stats.toSeq.sortBy(_._1)
-      .map { case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(";")
+  // two-field format. String bounds ride the same field as
+  // `col=s<hexmin>:s<hexmax>` (hex + optional `+` truncation mark — no
+  // separator can appear). Columns whose names collide with the separators
+  // are never captured (GraftStats.safeName), so the encoding needs no
+  // escaping.
+  private def statsField(stats: Map[String, (Long, Long)],
+      sstats: Map[String, (String, String)]): String =
+    if (stats.isEmpty && sstats.isEmpty) ""
+    else "\t" + (stats.toSeq.map { case (c, (mn, mx)) => c -> s"$mn:$mx" } ++
+      sstats.toSeq.map { case (c, (mn, mx)) => c -> s"s$mn:s$mx" })
+      .sortBy(_._1)
+      .map { case (c, b) => s"$c=$b" }.mkString(";")
 
   // deletion-vector field: `dv=<sidecar rel>:<deleted count>` — the rel is
   // engine-named (`_graft_dv/<uuid>.dv`), so it never contains the
@@ -275,21 +288,28 @@ private[graft] object GraftVersions {
       .map(n => (body.substring(0, cut), n))
   }
 
-  private[sources] def parseStatsField(s: String): Map[String, (Long, Long)] =
-    s.split(';').iterator.flatMap { kv =>
+  private[sources] def parseStatsField(s: String)
+      : (Map[String, (Long, Long)], Map[String, (String, String)]) = {
+    val ints = Map.newBuilder[String, (Long, Long)]
+    val strs = Map.newBuilder[String, (String, String)]
+    s.split(';').foreach { kv =>
       kv.split('=') match {
         case Array(c, b) => b.split(':') match {
+          case Array(mn, mx) if mn.startsWith("s") && mx.startsWith("s") =>
+            strs += c -> (mn.drop(1), mx.drop(1))
           case Array(mn, mx) =>
             (scala.util.Try(mn.toLong).toOption,
               scala.util.Try(mx.toLong).toOption) match {
-              case (Some(a), Some(z)) => Some(c -> (a, z))
-              case _ => None
+              case (Some(a), Some(z)) => ints += c -> (a, z)
+              case _ => // malformed bound: dropped (kept = never wrongly pruned)
             }
-          case _ => None
+          case _ =>
         }
-        case _ => None
+        case _ =>
       }
-    }.toMap
+    }
+    (ints.result(), strs.result())
+  }
 
   /** The commit CAS, as a CLAIM-then-PROMOTE protocol (r10's
     * create-then-write seal made the manifest VISIBLE before its bytes
@@ -556,10 +576,11 @@ private[graft] object GraftVersions {
             l.split('\t') match {
               case Array(rel, sz) => ManifestEntry(rel, sz.toLong)
               case Array(rel, sz, st) =>
-                ManifestEntry(rel, sz.toLong, parseStatsField(st))
+                val (ints, strs) = parseStatsField(st)
+                ManifestEntry(rel, sz.toLong, ints, sstats = strs)
               case Array(rel, sz, st, dvf) =>
-                ManifestEntry(rel, sz.toLong, parseStatsField(st),
-                  parseDvField(dvf))
+                val (ints, strs) = parseStatsField(st)
+                ManifestEntry(rel, sz.toLong, ints, parseDvField(dvf), strs)
               case _ => ManifestEntry(l, -1L) // pre-size-format line
             }
           }
@@ -681,7 +702,8 @@ private[graft] object GraftVersions {
       }).groupBy(_.rel)
         // duplicate rel (re-listed append): keep the larger, and on a size
         // tie the stats-carrying copy — a replay must not strip bounds
-        .map { case (_, dup) => dup.maxBy(e => (e.size, e.stats.size)) }.toSeq
+        .map { case (_, dup) =>
+          dup.maxBy(e => (e.size, e.stats.size + e.sstats.size)) }.toSeq
       val target = c.branch match {
         case Some(b) => branchManifestPath(root, b, c.v)
         case None    => manifestPath(root, c.v)

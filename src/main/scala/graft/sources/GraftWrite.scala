@@ -133,9 +133,6 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
       // semantics per epoch.
       override def toStreaming:
           org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-        branch.foreach { b => throw new UnsupportedOperationException(
-          s"graft: streaming writes cannot target branch '$b' — stage " +
-            "batch appends, or stream to main") }
         val mode =
           if (overwriteBy.exists(_.forall(
               _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])))
@@ -143,19 +140,45 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
           else if ("upsert".equalsIgnoreCase(info.options().get("graft.mode")))
             GraftStreamingWrite.Upsert
           else GraftStreamingWrite.Append
+        // streaming onto a WAP BRANCH: per-epoch commits append to the
+        // branch's own manifest chain, invisible to main until
+        // system.fast_forward publishes the drained epochs — continuous
+        // ingestion gets the same audit story as batch staging. Upsert
+        // stays refused (World::insert resolves conflicts against MAIN's
+        // live state — the same reason the batch arm refuses it), and the
+        // per-epoch maintenance knobs are main-log policies that do not
+        // apply while staging (retention/compaction run when the branch
+        // publishes).
+        branch.foreach { b =>
+          if (mode == GraftStreamingWrite.Upsert)
+            throw new UnsupportedOperationException(
+              s"graft: streaming upsert cannot stage on branch '$b' — its " +
+                "conflict resolution reads main's live state; publish " +
+                "first, then upsert on main")
+          require(Option(info.options().get("graft.compact.maxFiles")).isEmpty,
+            s"graft: graft.compact.maxFiles compacts MAIN's live cells and " +
+              s"cannot run while staging on branch '$b' — compact after " +
+              "fast_forward")
+          require(GraftStage.manifestAuthoritative(path),
+            s"graft: streaming onto branch '$b' needs an authoritative " +
+              "commit log (versioned, barrier-free)")
+        }
         // option("graft.versions.keep", n): retention per epoch. A stream
         // seals a version per epoch FOREVER, so unlike the discrete batch
         // DML commits this path defaults to a bounded log (64 epochs of
         // time travel — Complete-mode streams would otherwise retire a
         // full table copy per epoch until the disk fills); n <= 0 opts
         // into an unbounded log for streams that archive deliberately.
+        // Branch streams skip it: expire prunes MAIN manifests, and the
+        // branch chain is bounded by its publish/drop lifecycle.
         val keep = Option(info.options().get("graft.versions.keep"))
           .map(_.toInt).getOrElse(GraftStreamingWrite.DefaultVersionsKeep)
         // option("graft.compact.maxFiles", n): per-epoch AUTO-COMPACTION
         // (Append mode) — see GraftStreamingWrite.compactTouchedCells
         new GraftStreamingWrite(path, info.schema(), mode,
-          if (keep <= 0) None else Some(keep),
-          Option(info.options().get("graft.compact.maxFiles")).map(_.toInt))
+          if (keep <= 0 || branch.isDefined) None else Some(keep),
+          Option(info.options().get("graft.compact.maxFiles")).map(_.toInt),
+          branch)
       }
 
       override def requiredDistribution():
@@ -684,12 +707,19 @@ private[sources] object GraftStage {
 class GraftStreamingWrite(path: String, schema: StructType,
     mode: GraftStreamingWrite.Mode,
     versionsKeep: Option[Int] = None,
-    compactMaxFiles: Option[Int] = None)
+    compactMaxFiles: Option[Int] = None,
+    // WAP: epochs seal on this branch's manifest chain, invisible to main
+    // until fast_forward publishes the drained epochs (builder gates the
+    // unsupported combinations — upsert, auto-compact)
+    branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import GraftStreamingWrite._
 
   private def stageFor(epochId: Long) = s"${path}__graft_epoch_$epochId"
-  private def markerFor(epochId: Long) = new Path(s"$path/_graft_commits/$epochId")
+  // branch streams keep their own replay markers: a main stream and a
+  // staging stream of the same table must not shadow each other's epochs
+  private def markerFor(epochId: Long) = new Path(
+    s"$path/_graft_commits/${branch.map(b => s"b-$b-").getOrElse("")}$epochId")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
@@ -733,8 +763,12 @@ class GraftStreamingWrite(path: String, schema: StructType,
       // world between epochs (bounded by graft.versions.keep — see below).
       // The Upsert arm delegates to World.insert, which seals its own
       // commit (r11: a connector-routed overwrite, not a barrier), so only
-      // the Append/Truncate arms begin one here.
-      lazy val c = GraftVersions.beginCommit(fs, root)
+      // the Append/Truncate arms begin one here. A WAP stream begins on
+      // the branch head instead — its epochs chain on the branch manifests.
+      lazy val c = branch match {
+        case Some(b) => GraftVersions.beginBranchCommit(fs, root, b)
+        case None    => GraftVersions.beginCommit(fs, root)
+      }
       mode match {
         case Append =>
           val added = GraftStage.moveIn(fs, stageRoot, root, staged) ++ gridAdded
@@ -743,11 +777,15 @@ class GraftStreamingWrite(path: String, schema: StructType,
         case Truncate =>
           // every live file retires (manifest-only — bytes stay for the
           // per-epoch retention below to reclaim); the predecessor manifest
-          // backing liveWithBuckets never lists this epoch's in-place files
+          // backing liveWithBuckets never lists this epoch's in-place files.
+          // On a BRANCH the sidecar stays untouched (table-global — same
+          // guard as the batch overwrite's WAP arm).
           val removed = GraftStage.liveWithBuckets(fs, root, c).map(_._1).toSet
           val added = GraftStage.moveIn(fs, stageRoot, root, staged) ++ gridAdded
-          val out = fs.create(new Path(s"$path/_graft_schema.json"), true)
-          out.write(schema.json.getBytes("UTF-8")); out.close()
+          if (branch.isEmpty) {
+            val out = fs.create(new Path(s"$path/_graft_schema.json"), true)
+            out.write(schema.json.getBytes("UTF-8")); out.close()
+          } else GraftDataSource.writeSidecarIfAbsent(path, schema)
           GraftVersions.sealCommit(fs, root, c, removed, added)
         case Upsert =>
           val spark = org.apache.spark.sql.SparkSession.active
@@ -769,9 +807,17 @@ class GraftStreamingWrite(path: String, schema: StructType,
       }
       fs.mkdirs(markerFor(epochId).getParent)
       fs.create(markerFor(epochId), true).close()
-      // opportunistic marker pruning: replay only re-offers tail epochs
+      // opportunistic marker pruning: replay only re-offers tail epochs.
+      // Each stream prunes only ITS OWN namespace (bare numbers for main,
+      // `b-<branch>-<n>` for a staging stream).
+      val prefix = branch.map(b => s"b-$b-").getOrElse("")
       fs.listStatus(markerFor(epochId).getParent).toSeq
-        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption
+        .filter { s =>
+          val n = s.getPath.getName
+          if (branch.isDefined) n.startsWith(prefix) else !n.startsWith("b-")
+        }
+        .flatMap(s => scala.util.Try(
+          s.getPath.getName.stripPrefix(prefix).toLong).toOption
           .map(_ -> s.getPath))
         .sortBy(_._1).dropRight(keepMarkers)
         .foreach { case (_, p) => fs.delete(p, false) }

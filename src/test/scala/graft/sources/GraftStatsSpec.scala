@@ -79,6 +79,50 @@ class GraftStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT id FROM zcat.z WHERE v = 300").head.getLong(0) == 150L)
   }
 
+  test("string zone maps: prefix bounds prune files; long values stay safe") {
+    import org.apache.spark.sql.types.StringType
+    spark.sql("CREATE TABLE zcat.zs (id BIGINT, name STRING, c0 BIGINT)")
+    // three commits, disjoint NAME ranges, one cell — any drop is the
+    // string zone map's. The third commit's names exceed the 16-byte
+    // prefix cap, so its max bound is stored TRUNCATED.
+    spark.sql("""INSERT INTO zcat.zs
+                 SELECT id, concat('apple_', id), 0 FROM range(0, 50)""")
+    spark.sql("""INSERT INTO zcat.zs
+                 SELECT id, concat('mango_', id), 0 FROM range(50, 100)""")
+    spark.sql("""INSERT INTO zcat.zs
+                 SELECT id, concat('zanzibar_longname_', id), 0
+                 FROM range(100, 150)""")
+    val path = s"$warehouse/zs"
+    val fs = fsOf(path)
+    val entries = GraftVersions.readEntries(fs, new Path(path), 3L)
+    assert(entries.forall(_.sstats.contains("name")),
+      s"string bounds captured: ${entries.map(_.sstats)}")
+    assert(entries.exists(_.sstats("name")._2.endsWith("+")),
+      "the long-name commit's max bound is truncation-marked")
+
+    def scan(residual: Array[org.apache.spark.sql.sources.Filter]) =
+      new GraftScan(path,
+        StructType(Seq(StructField("id", LongType),
+          StructField("name", StringType))),
+        pushed = Array.empty, residual = residual)
+    val all = scan(Array.empty).planInputPartitions().length
+    assert(all == entries.size)
+    // equality under a cold prefix prunes to one commit's file(s)
+    assert(scan(Array(EqualTo("name", "mango_75"))).planInputPartitions()
+      .length < all)
+    // a range above every bound plans zero files
+    assert(scan(Array(GreaterThan("name", "zz"))).planInputPartitions().isEmpty)
+    // the truncated bound does NOT refute a value extending its prefix
+    assert(scan(Array(EqualTo("name", "zanzibar_longname_149")))
+      .planInputPartitions().nonEmpty,
+      "a cut max bound must keep values sharing the cut prefix")
+    // end-to-end row-exactness through the skip
+    assert(spark.sql("SELECT count(*) FROM zcat.zs WHERE name >= 'mango'")
+      .head.getLong(0) == 100L)
+    assert(spark.sql("SELECT id FROM zcat.zs WHERE name = 'zanzibar_longname_149'")
+      .head.getLong(0) == 149L)
+  }
+
   test(".files metadata table surfaces each file's bounds") {
     val bounds = spark.sql(
       "SELECT bounds FROM zcat.z.files ORDER BY file LIMIT 1").head.getString(0)
@@ -145,7 +189,7 @@ class GraftStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = Map("id" -> (10L, 20L))
     def m(atoms: Seq[GraftBloom.SkipAtom],
         aliases: Map[String, Seq[String]] = Map.empty) =
-      GraftStats.boundsMightMatch(b, atoms, aliases)
+      GraftStats.boundsMightMatch(b, Map.empty, atoms, aliases)
     assert(m(Seq(EqAtom("id", Array[Any](15L)))))
     assert(!m(Seq(EqAtom("id", Array[Any](9L)))))
     assert(!m(Seq(EqAtom("id", Array[Any](21L)))))
@@ -162,9 +206,54 @@ class GraftStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // alias resolution: atom on the new name tests the old spelling's
     // bounds; without the alias the column is unknown and kept
     assert(m(Seq(RangeAtom("doc_id", 4, 20L))))
-    assert(!GraftStats.boundsMightMatch(b,
+    assert(!GraftStats.boundsMightMatch(b, Map.empty,
       Seq(RangeAtom("doc_id", 4, 20L)), Map("doc_id" -> Seq("id"))))
-    assert(GraftStats.boundsMightMatch(b,
+    assert(GraftStats.boundsMightMatch(b, Map.empty,
       Seq(RangeAtom("doc_id", 4, 15L)), Map("doc_id" -> Seq("id"))))
+  }
+
+  test("string prefix bounds: sound refutation, truncation never over-prunes") {
+    import GraftBloom.{EqAtom, StrRangeAtom}
+    def enc(s: String) = GraftStats.encodeStrBound(s.getBytes("UTF-8"))
+    // exact (un-truncated) bounds: ["frank", "peter"]
+    val sb = Map("name" -> (enc("frank"), enc("peter")))
+    def m(atoms: Seq[GraftBloom.SkipAtom],
+        s: Map[String, (String, String)] = sb) =
+      GraftStats.boundsMightMatch(Map.empty, s, atoms, Map.empty)
+    assert(m(Seq(EqAtom("name", Array[Any]("karen")))))
+    assert(!m(Seq(EqAtom("name", Array[Any]("alice")))))
+    assert(!m(Seq(EqAtom("name", Array[Any]("zara")))))
+    assert(m(Seq(EqAtom("name", Array[Any]("frank")))), "boundary kept")
+    assert(m(Seq(EqAtom("name", Array[Any]("peter")))), "boundary kept")
+    // ranges: 2=lt 3=ltEq 4=gt 5=gtEq
+    assert(!m(Seq(StrRangeAtom("name", 2, "frank"))), "nothing < min")
+    assert(m(Seq(StrRangeAtom("name", 3, "frank"))))
+    assert(!m(Seq(StrRangeAtom("name", 4, "peter"))), "nothing > max")
+    assert(m(Seq(StrRangeAtom("name", 5, "peter"))))
+
+    // TRUNCATED max: a 20-char value cut at the 16-byte prefix. The bound
+    // must not refute values SHARING the cut prefix (they may exceed the
+    // stored part), only values provably above the prefix-successor.
+    val long = "peterpeterpeterpeter" // 20 bytes; stored prefix = 16
+    val encLong = enc(long)
+    assert(encLong.endsWith("+") && encLong.length == 33)
+    val tb = Map("name" -> (enc("frank"), encLong))
+    // the boundary value ITSELF (and any extension of the cut prefix) kept
+    assert(m(Seq(EqAtom("name", Array[Any](long))), tb),
+      "a truncated bound must NOT refute the boundary value")
+    assert(m(Seq(EqAtom("name", Array[Any]("peterpeterpeterpzzz"))), tb),
+      "values under the cut prefix are unknowable — kept")
+    assert(m(Seq(StrRangeAtom("name", 4, long)), tb),
+      "> boundary might hold under the cut prefix")
+    // but clearly-above values still prune
+    assert(!m(Seq(EqAtom("name", Array[Any]("zzz"))), tb))
+    assert(!m(Seq(StrRangeAtom("name", 5, "q")), tb), "max < 'q' is provable")
+
+    // truncated MIN stays a valid lower bound: values below it prune,
+    // values above it keep
+    val tmin = Map("name" -> (enc("frankfrankfrankfrank"), enc("peter")))
+    assert(!m(Seq(StrRangeAtom("name", 2, "frank")), tmin),
+      "nothing can sort below the min PREFIX")
+    assert(m(Seq(EqAtom("name", Array[Any]("frankfrankfrankfzzz"))), tmin))
   }
 }

@@ -209,4 +209,63 @@ class GraftStreamingWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"the world holds exactly the LATEST aggregate state, got $r2")
     } finally q.stop()
   }
+
+  test("streaming onto a WAP branch: epochs stage invisibly, fast_forward publishes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    // seed main so the table is versioned (branch streams need the log)
+    Seq((1L, 10L, 0L)).toDF("d0", "v", "c0")
+      .write.format("graft").mode("append").save(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    GraftVersions.createBranch(fs, root, "ingest")
+
+    val cp = Files.createTempDirectory("graft-sw-br-cp").toString
+    val src = MemoryStream[(Long, Long)]
+    val q = src.toDF().toDF("d0", "v")
+      .withColumn("c0", col("d0") / 10 cast "long")
+      .writeStream.format("graft")
+      .option("checkpointLocation", cp)
+      .option("graft.branch", "ingest")
+      .start(path)
+    try {
+      src.addData((2L, 20L)); q.processAllAvailable()
+      src.addData((15L, 150L)); q.processAllAvailable()
+      // two epochs drained: main still shows only the seed row
+      assert(spark.read.format("graft").load(path)
+        .select("d0").as[Long].collect().toSet == Set(1L),
+        "staged epochs must be invisible to main readers")
+      // the branch read shows the staged epochs (audit face)
+      assert(spark.read.format("graft").option("graft.branch", "ingest")
+        .load(path).select("d0").as[Long].collect().toSet == Set(1L, 2L, 15L))
+      assert(GraftVersions.branchVersions(fs, root, "ingest").size == 2,
+        "one branch commit per drained epoch")
+    } finally q.stop()
+    // publish the drained epochs: main flips to the branch head atomically
+    GraftVersions.fastForward(fs, root, "ingest")
+    assert(spark.read.format("graft").load(path)
+      .select("d0").as[Long].collect().toSet == Set(1L, 2L, 15L))
+
+    // upsert mode stays refused on a branch (conflicts resolve against
+    // main); the write builder's refusal surfaces when the stream plans
+    // its first batch
+    val src2 = MemoryStream[(Long, Long)]
+    val q2 = src2.toDF().toDF("d0", "v")
+      .withColumn("c0", col("d0") / 10 cast "long")
+      .writeStream.format("graft")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sw-br-cp2").toString)
+      .option("graft.branch", "ingest2")
+      .option("graft.mode", "upsert")
+      .start(path)
+    val e = intercept[Exception] {
+      src2.addData((7L, 70L))
+      q2.processAllAvailable()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+    assert(msgs(e).contains("upsert"), s"refusal names the mode: ${msgs(e)}")
+  }
 }
