@@ -214,6 +214,30 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE dvcat.w")
   }
 
+  test("incremental MV refresh sees a MOR delete through the change feed") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE TABLE dvcat.mv_base (id BIGINT, grp BIGINT, v DOUBLE, c0 BIGINT)")
+    spark.sql("""INSERT INTO dvcat.mv_base
+                 SELECT id, id % 3, CAST(id AS DOUBLE), id DIV 10
+                 FROM range(0, 30)""")
+    val mv = new graft.ops.MaterializedAgg(spark, s"$warehouse/mv_base",
+      s"$warehouse/mv_state", Seq("grp"), Seq("v"))
+    mv.initialize()
+    // vectors, not rewrites: the MV's delta must still see the before-images
+    spark.sql("DELETE FROM dvcat.mv_base WHERE id IN (3, 6, 9)") // all grp 0
+    val (fs, root) = fsOf(s"$warehouse/mv_base")
+    assert(GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get).exists(_.dv.isDefined),
+      "the DELETE took the vector path")
+    mv.refresh()
+    val got = mv.world.df.where(col("gid") =!= 0L)
+      .select("grp", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 7L, 1L -> 10L, 2L -> 10L),
+      s"the refresh reversed exactly the vectored rows: $got")
+    spark.sql("DROP TABLE dvcat.mv_base")
+  }
+
   test("DELETE matching nothing seals no version; bucket DELETE stays metadata") {
     val (fs, root) = fsOf(s"$warehouse/t")
     val before = GraftVersions.latestVersion(fs, root).get
