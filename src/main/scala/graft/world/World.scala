@@ -181,14 +181,46 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     * of the directory listing — manifest-only retirement leaves superseded
     * files in place, so a raw listing of a versioned world would read
     * retired rows. `basePath` keeps partition-column (bucket) discovery
-    * identical to the plain directory read. */
+    * identical to the plain directory read.
+    *
+    * MERGE-ON-READ deletion vectors ([[graft.sources.GraftDv]]): a SQL
+    * DELETE on this world's catalog face retires rows by per-file position
+    * sidecars, which the raw parquet read would resurrect — so when any
+    * live entry carries a vector, the deleted row ADDRESSES (bounded by
+    * the table's deleted-row count) anti-join away on the parquet metadata
+    * address: equi-keys (file name, row ordinal) — names carry per-writer
+    * entropy, the build side broadcasts — with the full chunk-relative
+    * path as a suffix residual. Vector-free worlds (the norm for
+    * World-API use; the physical fallback branch is vector-free by
+    * construction — barriers materialize) keep the plain read untouched. */
   def df: DataFrame = {
     val fs = fileSystem
     val root = new org.apache.hadoop.fs.Path(path)
-    graft.sources.GraftVersions.liveRels(fs, root) match {
-      case Some(rels) if rels.nonEmpty =>
-        spark.read.option("basePath", path)
-          .parquet(rels.map(r => s"$path/$r"): _*)
+    graft.sources.GraftVersions.liveEntries(fs, root) match {
+      case Some(entries) if entries.nonEmpty =>
+        val base = spark.read.option("basePath", path)
+          .parquet(entries.map(e => s"$path/${e.rel}"): _*)
+        val dvd = entries.filter(_.dv.isDefined)
+        if (dvd.isEmpty) base
+        else {
+          import org.apache.spark.sql.functions.{broadcast, col, expr}
+          val deleted = dvd.flatMap { e =>
+            val name = e.rel.split('/').last
+            graft.sources.GraftDv.read(fs,
+                new org.apache.hadoop.fs.Path(root, e.dv.get._1))
+              .map(p => (name, p, e.rel))
+          }
+          val del = spark.createDataFrame(deleted).toDF("__dn", "__dp", "__dr")
+          base
+            .withColumn("__n", expr("_metadata.file_name"))
+            .withColumn("__p", expr("_metadata.row_index"))
+            .withColumn("__f", expr("_metadata.file_path"))
+            .join(broadcast(del),
+              col("__n") === col("__dn") && col("__p") === col("__dp") &&
+                expr("endswith(__f, __dr)"),
+              "left_anti")
+            .drop("__n", "__p", "__f")
+        }
       case Some(_) => emptyDf // every file retired: empty world, live schema
       case None =>
         try spark.read.parquet(path)

@@ -238,6 +238,32 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE dvcat.mv_base")
   }
 
+  test("World.df applies vectors: the programmatic read face cannot resurrect") {
+    import spark.implicits._
+    import graft.core._
+    // a World created programmatically, then vector-deleted through its
+    // catalog face — the mixed-use shape where a raw manifest-list parquet
+    // read would resurrect the deleted rows
+    val w = new graft.world.World(spark, s"$warehouse/wd", Seq(
+      graft.world.DimSpec("d0", DimMapping(0, 99, 10))))
+    w.create((0L until 40L).map(i => (i, i * 10L)).toDF("d0", "v"))
+    // a World.create resets the commit log (unversioned) — the SQL INSERT
+    // seals the baseline + v1, making the log authoritative for MOR
+    spark.sql("INSERT INTO dvcat.wd VALUES (41, 410, 4)")
+    spark.sql("DELETE FROM dvcat.wd WHERE d0 IN (4, 17)")
+    val (fs, root) = fsOf(s"$warehouse/wd")
+    assert(GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get).exists(_.dv.isDefined),
+      "the DELETE took the vector path")
+    val got = w.df.select("d0").as[Long].collect().toSet
+    assert(got == (0L until 40L).toSet ++ Set(41L) -- Set(4L, 17L),
+      s"World.df must honor the vectors, got ${got.size} rows")
+    // the select face rides the same frame
+    assert(w.select(0, Bounds.to(0, 19)).iter().select("d0").as[Long]
+      .collect().toSet == (0L until 20L).toSet -- Set(4L, 17L))
+    spark.sql("DROP TABLE dvcat.wd")
+  }
+
   test("DELETE matching nothing seals no version; bucket DELETE stays metadata") {
     val (fs, root) = fsOf(s"$warehouse/t")
     val before = GraftVersions.latestVersion(fs, root).get
