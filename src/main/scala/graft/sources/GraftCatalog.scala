@@ -1072,6 +1072,11 @@ class GraftCompactProcedure(cat: GraftCatalog)
         .comment("table name within this catalog, e.g. 't' or 'ns.t'").build(),
       ProcedureParameter.in("max_files", org.apache.spark.sql.types.IntegerType)
         .defaultValue("1").comment("rewrite cells holding more data files than this")
+        .build(),
+      ProcedureParameter.in("max_deleted_pct", org.apache.spark.sql.types.IntegerType)
+        .defaultValue("100")
+        .comment("also rewrite cells whose deletion-vector rows exceed this " +
+          "percentage of their physical rows (merge-on-read shedding; 100 = off)")
         .build())
     override def isDeterministic: Boolean = false
 
@@ -1080,14 +1085,27 @@ class GraftCompactProcedure(cat: GraftCatalog)
       import org.apache.spark.sql.functions._
       val table = input.getUTF8String(0).toString
       val maxFiles = input.getInt(1)
+      val maxDeletedPct = input.getInt(2)
       val path = cat.tablePath(table)
       val fs = FileSystem.get(new java.net.URI(path), new Configuration())
       val root = new Path(path)
       // LIVE-cell counts (manifest-resolved when authoritative) — a
-      // retired-in-place file is not fragmentation
+      // retired-in-place file is not fragmentation. A cell whose deletion
+      // vectors cover more than max_deleted_pct of its physical rows is
+      // due too: the rewrite reads through the vectors and sheds them
+      // (row counts ride the manifest; count-less legacy entries judge by
+      // file count only — never a footer walk here).
+      def deletedHeavy(files: Seq[GraftDataSource.FileRef]): Boolean = {
+        if (maxDeletedPct >= 100) return false
+        val counted = files.filter(_.rows >= 0L)
+        val rows = counted.map(_.rows).sum
+        val dv = counted.map(_.dv.map(_._2).getOrElse(0L)).sum
+        rows > 0L && dv * 100L > maxDeletedPct.toLong * rows
+      }
       val frag: Seq[Map[String, Long]] =
         GraftDataSource.liveCells(fs, root, Array.empty)
-          .filter { case (_, _, files) => files.sizeIs > maxFiles }
+          .filter { case (_, _, files) =>
+            files.sizeIs > maxFiles || deletedHeavy(files) }
           .map(_._2)
       if (frag.nonEmpty) {
         val spark = org.apache.spark.sql.SparkSession.active

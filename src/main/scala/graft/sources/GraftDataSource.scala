@@ -397,7 +397,12 @@ object GraftDataSource {
   private[graft] final case class FileRef(path: Path, size: Long,
       stats: Map[String, (Long, Long)] = Map.empty,
       dv: Option[(String, Long)] = None,
-      sstats: Map[String, (String, String)] = Map.empty)
+      sstats: Map[String, (String, String)] = Map.empty,
+      rows: Long = -1L) {
+    /** Live rows, when the manifest knows the physical count. */
+    def liveRows: Long =
+      if (rows < 0L) -1L else rows - dv.map(_._2).getOrElse(0L)
+  }
 
   private[graft] def liveCells(fs: FileSystem, root: Path,
       pushed: Array[Filter]): Seq[(Path, Map[String, Long], Seq[FileRef])] =
@@ -412,7 +417,7 @@ object GraftDataSource {
               group.map { case (e, _) =>
                 FileRef(new Path(root, e.rel), e.size, e.stats,
                   e.dv.map { case (r, n) => (new Path(root, r).toString, n) },
-                  e.sstats)
+                  e.sstats, e.rows)
               })
           }
       case None =>
@@ -1458,11 +1463,22 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
             live.contains(st.getPath.getName)).map(_.getLen).sum
         }
       }.sum
+    // EXACT live row count when every planned entry carries a manifest
+    // row count (dv cardinality debited): reported only when complete —
+    // a partial sum would mislead the planner worse than no estimate
+    val rowCounts: Seq[Long] =
+      if (pin.isDefined)
+        pinnedWalk.map { case (_, _, e) =>
+          if (e.rows < 0L) -1L else e.rows - e.dv.map(_._2).getOrElse(0L) }
+      else liveCellList().flatMap(_._3).map(_.liveRows)
+    val rows =
+      if (rowCounts.nonEmpty && rowCounts.forall(_ >= 0L))
+        java.util.OptionalLong.of(rowCounts.sum)
+      else java.util.OptionalLong.empty()
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = rows
     }
   }
   override def toMicroBatchStream(checkpointLocation: String)
@@ -1590,14 +1606,20 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
         var cum = 0L
         sorted.takeWhile { case (_, _, files) =>
           val keep = cum < limit
-          // LIVE row cover: footer counts include dv-deleted rows, so the
-          // vector's cardinality is subtracted — over-counting would stop
-          // the kept prefix before it actually covers the limit
+          // LIVE row cover: manifest-carried counts (minus the deletion
+          // vector's cardinality) answer with ZERO footer opens; only
+          // pre-rows-format entries fall back to one footer read each.
+          // Footer counts include dv-deleted rows, so the vector is
+          // subtracted either way — over-counting would stop the kept
+          // prefix before it actually covers the limit.
           if (keep) cum += files.map { fr =>
-            val pfr = ParquetFileReader.open(
-              HadoopInputFile.fromPath(fr.path, new Configuration()))
-            (try pfr.getRecordCount finally pfr.close()) -
-              fr.dv.map(_._2).getOrElse(0L)
+            if (fr.liveRows >= 0L) fr.liveRows
+            else {
+              val pfr = ParquetFileReader.open(
+                HadoopInputFile.fromPath(fr.path, new Configuration()))
+              (try pfr.getRecordCount finally pfr.close()) -
+                fr.dv.map(_._2).getOrElse(0L)
+            }
           }.sum
           keep
         }

@@ -133,13 +133,15 @@ object GraftStats {
   }
 
   /** Footer-aggregated bounds of one file's data columns: (integral
-    * min/max, string prefix bounds). Unreadable/foreign files answer empty
+    * min/max, string prefix bounds, physical row count — the same footer
+    * open serves all three). Unreadable/foreign files answer empty/−1
     * (kept, never pruned). */
   def ofFile(conf: Configuration, file: Path, wanted: Option[Set[String]])
-      : (Map[String, (Long, Long)], Map[String, (String, String)]) =
+      : (Map[String, (Long, Long)], Map[String, (String, String)], Long) =
     try {
       val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
+        val rowCount = pfr.getRecordCount
         val schema = pfr.getFooter.getFileMetaData.getSchema
         val blocks = pfr.getRowGroups
         import scala.jdk.CollectionConverters._
@@ -202,9 +204,11 @@ object GraftStats {
             else ints += c -> (mn, mx)
           }
         }
-        (ints.result(), strs.result())
+        (ints.result(), strs.result(), rowCount)
       } finally pfr.close()
-    } catch { case scala.util.control.NonFatal(_) => (Map.empty, Map.empty) }
+    } catch {
+      case scala.util.control.NonFatal(_) => (Map.empty, Map.empty, -1L)
+    }
 
   /** Attach zone maps to a commit's added entries (the [[GraftVersions
     * .sealCommit]] hook — ONE place covers every write path: batch append,
@@ -227,8 +231,8 @@ object GraftStats {
         added.par.map { e =>
           if (e.stats.nonEmpty || e.sstats.nonEmpty || e.size == 0L) e
           else {
-            val (ints, strs) = ofFile(conf, new Path(root, e.rel), wanted)
-            e.copy(stats = ints, sstats = strs)
+            val (ints, strs, rows) = ofFile(conf, new Path(root, e.rel), wanted)
+            e.copy(stats = ints, sstats = strs, rows = rows)
           }
         }.seq
     }

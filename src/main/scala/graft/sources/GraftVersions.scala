@@ -129,11 +129,20 @@ private[graft] object GraftVersions {
     * of each string column's min/max (16 bytes, `+`-marked when cut) with
     * truncation-safe compare semantics — see [[GraftStats]]. Encoded into
     * the same stats field as the integral bounds, values marked by an `s`
-    * prefix. */
+    * prefix.
+    *
+    * `rows` is the file's PHYSICAL row count (deleted rows included; −1 =
+    * unknown, pre-rows manifests or stats-off tables), captured from the
+    * same footer read that takes the zone maps. With it, row-count-
+    * dependent planning — the pushed top-N's cumulative cover, the
+    * statistics report's numRows, the deleted-fraction compaction trigger
+    * — answers from the one manifest read with ZERO footer opens; the live
+    * row count of an entry is `rows − dv.count`. */
   final case class ManifestEntry(rel: String, size: Long,
       stats: Map[String, (Long, Long)] = Map.empty,
       dv: Option[(String, Long)] = None,
-      sstats: Map[String, (String, String)] = Map.empty)
+      sstats: Map[String, (String, String)] = Map.empty,
+      rows: Long = -1L)
 
   /** One listing of `_graft_versions`: sealed versions (ascending), barrier
     * flag, tag files, and the declared retention — every per-commit "what
@@ -254,11 +263,16 @@ private[graft] object GraftVersions {
   private def writeManifestBytes(v: Long, files: Seq[ManifestEntry]): Array[Byte] =
     (s"$ManifestHeaderV2 $v ${files.size}\n" +
       files.sortBy(_.rel).map { e =>
-        // the dv (field 4) needs field 3 present: `-` parses as empty stats
-        val stRaw = statsField(e.stats, e.sstats)
-        val st = if (stRaw.isEmpty && e.dv.isDefined) "\t-" else stRaw
+        // field 3 is POSITIONALLY the stats field; tagged fields (dv=…,
+        // rows=…) follow, so field 3 must be present (`-` = empty stats)
+        // whenever any tag is — tag prefixes can never collide with column
+        // names because columns only ever appear inside field 3
         val dv = e.dv.map { case (r, n) => s"\tdv=$r:$n" }.getOrElse("")
-        s"${e.rel}\t${e.size}$st$dv"
+        val rows = if (e.rows >= 0L) s"\trows=${e.rows}" else ""
+        val stRaw = statsField(e.stats, e.sstats)
+        val st =
+          if (stRaw.isEmpty && (dv.nonEmpty || rows.nonEmpty)) "\t-" else stRaw
+        s"${e.rel}\t${e.size}$st$dv$rows"
       }.mkString("\n") + "\n")
       .getBytes("UTF-8")
 
@@ -575,12 +589,18 @@ private[graft] object GraftVersions {
           def parse = lines.drop(1).toSeq.filter(_.nonEmpty).map { l =>
             l.split('\t') match {
               case Array(rel, sz) => ManifestEntry(rel, sz.toLong)
-              case Array(rel, sz, st) =>
-                val (ints, strs) = parseStatsField(st)
-                ManifestEntry(rel, sz.toLong, ints, sstats = strs)
-              case Array(rel, sz, st, dvf) =>
-                val (ints, strs) = parseStatsField(st)
-                ManifestEntry(rel, sz.toLong, ints, parseDvField(dvf), strs)
+              case parts if parts.length >= 3 =>
+                val (ints, strs) = parseStatsField(parts(2))
+                var e = ManifestEntry(parts(0), parts(1).toLong, ints,
+                  sstats = strs)
+                parts.drop(3).foreach { tag =>
+                  if (tag.startsWith("dv=")) e = e.copy(dv = parseDvField(tag))
+                  else if (tag.startsWith("rows="))
+                    e = e.copy(rows = scala.util.Try(
+                      tag.stripPrefix("rows=").toLong).getOrElse(-1L))
+                  // unknown tags from a future format: ignored, never fatal
+                }
+                e
               case _ => ManifestEntry(l, -1L) // pre-size-format line
             }
           }
@@ -703,7 +723,7 @@ private[graft] object GraftVersions {
         // duplicate rel (re-listed append): keep the larger, and on a size
         // tie the stats-carrying copy — a replay must not strip bounds
         .map { case (_, dup) =>
-          dup.maxBy(e => (e.size, e.stats.size + e.sstats.size)) }.toSeq
+          dup.maxBy(e => (e.size, e.stats.size + e.sstats.size, e.rows)) }.toSeq
       val target = c.branch match {
         case Some(b) => branchManifestPath(root, b, c.v)
         case None    => manifestPath(root, c.v)

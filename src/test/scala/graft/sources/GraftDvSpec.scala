@@ -162,6 +162,27 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) == 9L, "0..9 minus deleted 7, 8, plus 101")
   }
 
+  test("compact(max_deleted_pct) sheds vector-heavy cells by manifest math") {
+    spark.sql("CREATE TABLE dvcat.dh (d0 BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO dvcat.dh SELECT id, id DIV 10 FROM range(0, 20)")
+    // cell c0=0 loses 6 of 10 rows (60% deleted), c0=1 loses none
+    spark.sql("DELETE FROM dvcat.dh WHERE d0 < 6")
+    val (fs, root) = fsOf(s"$warehouse/dh")
+    def entryOf(cell: String) = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get).filter(_.rel.contains(cell))
+    assert(entryOf("c0=0").exists(_.dv.isDefined))
+    // 100 (default) = off: nothing exceeds, nothing rewritten
+    assert(spark.sql("CALL dvcat.system.compact(table => 'dh', max_files => 9)")
+      .collect()(0).getLong(0) == 0L)
+    // 50%: only the vector-heavy cell rewrites, shedding its vector
+    assert(spark.sql("""CALL dvcat.system.compact(table => 'dh',
+        max_files => 9, max_deleted_pct => 50)""")
+      .collect()(0).getLong(0) == 1L)
+    assert(entryOf("c0=0").forall(_.dv.isEmpty), "the rewrite shed the vector")
+    assert(spark.sql("SELECT count(*) FROM dvcat.dh").collect()(0).getLong(0) == 14L)
+    spark.sql("DROP TABLE dvcat.dh")
+  }
+
   test("expire reclaims sidecars no retained manifest references") {
     val (fs, root) = fsOf(s"$warehouse/t")
     val dvDir = GraftDv.dirOf(root)

@@ -79,6 +79,21 @@ class GraftStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT id FROM zcat.z WHERE v = 300").head.getLong(0) == 150L)
   }
 
+  test("manifest row counts: captured at seal, exact numRows reported") {
+    spark.sql("CREATE TABLE zcat.rc (id BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO zcat.rc SELECT id, id DIV 50 FROM range(0, 120)")
+    spark.sql("INSERT INTO zcat.rc SELECT id, id DIV 50 FROM range(120, 150)")
+    val path = s"$warehouse/rc"
+    val fs = fsOf(path)
+    val entries = GraftVersions.readEntries(fs, new Path(path), 2L)
+    assert(entries.forall(_.rows >= 0L), s"rows captured: $entries")
+    assert(entries.map(_.rows).sum == 150L)
+    // the scan reports an EXACT live row count from the manifest alone
+    val st = scanOf(path, Array.empty, Seq("id")).estimateStatistics()
+    assert(st.numRows.isPresent && st.numRows.getAsLong == 150L,
+      s"numRows from the manifest: ${st.numRows}")
+  }
+
   test("string zone maps: prefix bounds prune files; long values stay safe") {
     import org.apache.spark.sql.types.StringType
     spark.sql("CREATE TABLE zcat.zs (id BIGINT, name STRING, c0 BIGINT)")
