@@ -106,15 +106,24 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM dvcat.t").collect()(0).getLong(0) == 37L)
   }
 
-  test("aggregate pushdown declines on vectored state (footer counts lie)") {
-    val plan = spark.sql("SELECT count(*) FROM dvcat.t")
+  test("aggregate pushdown over vectors: COUNT(*) stays pushed and exact, data-column aggs decline") {
+    // COUNT(*) derives from the manifest's (rows − dv) per file, so the
+    // pushdown survives vectored state and answers exactly
+    val countPlan = spark.sql("SELECT count(*) FROM dvcat.t")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("GraftAggScan"),
-      s"a dv'd table must not answer COUNT from footers:\n$plan")
-    // and an un-vectored table still pushes down
+    assert(countPlan.contains("GraftAggScan"),
+      s"COUNT(*) answers from manifest live counts:\n$countPlan")
+    assert(spark.sql("SELECT count(*) FROM dvcat.t").collect()(0).getLong(0) == 37L)
+    // data-column partials (footer stats/sums describe deleted rows too)
+    // must decline on a vectored table…
+    val sumPlan = spark.sql("SELECT sum(v) FROM dvcat.t")
+      .queryExecution.executedPlan.toString
+    assert(!sumPlan.contains("GraftAggScan"),
+      s"a dv'd table must not answer SUM from footers:\n$sumPlan")
+    // …and stay pushed on an un-vectored one
     spark.sql("CREATE TABLE dvcat.clean (d0 BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO dvcat.clean SELECT id, id DIV 10 FROM range(0, 10)")
-    val cleanPlan = spark.sql("SELECT count(*) FROM dvcat.clean")
+    val cleanPlan = spark.sql("SELECT sum(d0) FROM dvcat.clean")
       .queryExecution.executedPlan.toString
     assert(cleanPlan.contains("GraftAggScan"), cleanPlan)
     spark.sql("DROP TABLE dvcat.clean")
