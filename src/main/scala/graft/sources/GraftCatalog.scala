@@ -1480,7 +1480,12 @@ private[sources] object GraftMetaTable {
       StructField("bytes", LongType, nullable = false),
       // the manifest-carried zone map, `col=min:max;…` (empty = none) —
       // SELECT-able observability for "why was/wasn't this file pruned"
-      StructField("bounds", StringType, nullable = false)))
+      StructField("bounds", StringType, nullable = false),
+      // manifest-carried physical row count (−1 = unknown) and the
+      // deletion vector's cardinality — "why is my COUNT lower than the
+      // file's rows" answered by one SELECT
+      StructField("rows", LongType, nullable = false),
+      StructField("deleted_rows", LongType, nullable = false)))
     case "cells" => StructType(Seq(
       StructField("cell", StringType, nullable = false),
       StructField("files", LongType, nullable = false),
@@ -1521,7 +1526,9 @@ private[sources] object GraftMetaTable {
                   (fr.stats.toSeq.map { case (c, (mn, mx)) => c -> s"$mn:$mx" } ++
                     fr.sstats.toSeq.map { case (c, (mn, mx)) => c -> s"s$mn:s$mx" })
                     .sortBy(_._1)
-                    .map { case (c, bd) => s"$c=$bd" }.mkString(";")))
+                    .map { case (c, bd) => s"$c=$bd" }.mkString(";")),
+                fr.rows,
+                fr.dv.map(_._2).getOrElse(0L))
             }
           }.toArray
       case "cells" =>
