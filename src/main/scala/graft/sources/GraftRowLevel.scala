@@ -219,30 +219,53 @@ class GraftDvDeleteWrite(path: String, fileIdx: Int, posIdx: Int,
       .groupMapReduce { case (f, _) =>
         GraftVersions.relOf(root, new Path(f)) }(_._2)(_ ++ _)
     if (byRel.isEmpty) return // DELETE matched nothing: no new version
-    val c = branch match {
-      case Some(b) => GraftVersions.beginBranchCommit(fs, root, b)
-      case None    => GraftVersions.beginCommit(fs, root)
-    }
-    val prevByRel = c.prev.getOrElse(throw new IllegalStateException(
-      "graft MOR delete: the commit log stopped being authoritative " +
-        "mid-statement (concurrent World rewrite?) — retry the DELETE"))
-      .map(e => e.rel -> e).toMap
-    val updated = byRel.toSeq.sortBy(_._1).map { case (rel, fresh) =>
-      val e = prevByRel.getOrElse(rel,
-        throw new java.util.ConcurrentModificationException(
-          s"graft MOR delete: $rel left the latest manifest while this " +
-            "DELETE ran (concurrent rewrite of its cell) — retry against " +
-            "the new state"))
-      // vectors are immutable: union old + new into a FRESH sidecar, so
-      // the predecessor version keeps reading its own vector (time travel)
-      val existing = e.dv match {
-        case Some((dvRel, _)) => GraftDv.read(fs, new Path(root, dvRel))
-        case None => Array.emptyLongArray
+    // POSITION DELETES COMPOSE: the ordinals address the immutable
+    // physical file, not its live view, so losing the commit CAS to an
+    // interleaved writer is not a conflict as long as every touched rel is
+    // still live — re-begin and re-union against the NEW predecessor's
+    // vectors (a concurrent DELETE of other rows of the same file merges
+    // losslessly; GDPR workers can trickle-delete in parallel). Only a
+    // rel that LEFT the manifest (its cell was rewritten) aborts: the
+    // positions are addresses into a dead file. Retries are bounded —
+    // each loss means another writer made progress, but a livelock under
+    // pathological contention should fail loudly, not spin.
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val c = branch match {
+        case Some(b) => GraftVersions.beginBranchCommit(fs, root, b)
+        case None    => GraftVersions.beginCommit(fs, root)
       }
-      val (dvRel, n) = GraftDv.write(fs, root, GraftDv.union(existing, fresh))
-      e.copy(dv = Some((dvRel, n)))
+      val prevByRel = c.prev.getOrElse(throw new IllegalStateException(
+        "graft MOR delete: the commit log stopped being authoritative " +
+          "mid-statement (concurrent World rewrite?) — retry the DELETE"))
+        .map(e => e.rel -> e).toMap
+      val updated = byRel.toSeq.sortBy(_._1).map { case (rel, fresh) =>
+        val e = prevByRel.getOrElse(rel,
+          throw new java.util.ConcurrentModificationException(
+            s"graft MOR delete: $rel left the latest manifest while this " +
+              "DELETE ran (concurrent rewrite of its cell) — retry against " +
+              "the new state"))
+        // vectors are immutable: union old + new into a FRESH sidecar, so
+        // the predecessor version keeps reading its own vector (time travel)
+        val existing = e.dv match {
+          case Some((dvRel, _)) => GraftDv.read(fs, new Path(root, dvRel))
+          case None => Array.emptyLongArray
+        }
+        val (dvRel, n) = GraftDv.write(fs, root, GraftDv.union(existing, fresh))
+        e.copy(dv = Some((dvRel, n)))
+      }
+      try {
+        GraftVersions.sealCommit(fs, root, c, byRel.keySet, updated)
+        done = true
+      } catch {
+        case e: java.util.ConcurrentModificationException if attempt < 8 =>
+          attempt += 1 // this round's sidecars fall to the orphan sweep
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"graft MOR delete on $path lost the seal CAS (attempt " +
+              s"$attempt), re-unioning against the new state: ${e.getMessage}")
+      }
     }
-    GraftVersions.sealCommit(fs, root, c, byRel.keySet, updated)
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"graft MOR delete on $path: ${byRel.size} file(s) vectored, " +
         s"${byRel.valuesIterator.map(_.length).sum} row(s) deleted, " +

@@ -268,6 +268,30 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE dvcat.mv_base")
   }
 
+  test("concurrent trickle-deletes compose: lost CAS re-unions, no aborts") {
+    spark.sql("CREATE TABLE dvcat.cc (d0 BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO dvcat.cc SELECT id, id DIV 100 FROM range(0, 100)")
+    // 4 workers deleting disjoint rows of the SAME file, racing: position
+    // deletes address the immutable physical file, so every loser re-unions
+    // against the winner's vector and all four land
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val fs4 = (0 until 4).map { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          spark.sql(s"DELETE FROM dvcat.cc WHERE d0 % 10 = $w")
+      })
+    }
+    pool.shutdown()
+    fs4.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(spark.sql("SELECT count(*) FROM dvcat.cc").collect()(0).getLong(0) == 60L,
+      "all four workers' deletes composed")
+    val (fs, root) = fsOf(s"$warehouse/cc")
+    val entry = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get).find(_.dv.isDefined).get
+    assert(entry.dv.get._2 == 40L, s"one final vector holds the union: $entry")
+    spark.sql("DROP TABLE dvcat.cc")
+  }
+
   test("World.df applies vectors: the programmatic read face cannot resurrect") {
     import spark.implicits._
     import graft.core._
