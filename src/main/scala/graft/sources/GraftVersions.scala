@@ -1205,44 +1205,62 @@ private[graft] object GraftVersions {
     *      RELEASES the claims taken so far and aborts with NO main
     *      changed: the all-or-nothing property a mid-cycle validation
     *      failure must keep.
-    *   2. PROMOTE: each table's branch-head entries seal as its next main
-    *      manifest (tmp + atomic rename under the held claim), then the
-    *      branches drop. Phase 2 performs no validation — every abortable
-    *      condition was consumed in phase 1 — so the only residual
-    *      non-atomicity is a CRASH between two promotes, which leaves the
-    *      already-promoted tables published (the same exposure any
-    *      two-statement publish has; re-running publish on the survivors
-    *      completes the cycle). On conditional-PUT stores there is no
-    *      claim primitive, so phase 1 is validation-only and each promote
-    *      is its own conditional PUT — cross-table atomicity there needs
-    *      an external coordinator and is documented best-effort.
+    *   2. INTEND + PROMOTE: once every claim is held, each table records a
+    *      durable PUBLISH INTENT (`pubintent-<branch>` beside its
+    *      manifests, naming the target version), then each table's
+    *      branch-head entries seal as its next main manifest (tmp + atomic
+    *      rename under the held claim), then the branches and intents
+    *      drop. Phase 2 performs no validation — every abortable condition
+    *      was consumed in phase 1 — and a CRASH between two promotes is
+    *      RECOVERABLE: the next publish of the same branch finds the
+    *      intents and RESUMES, promoting exactly the tables whose target
+    *      version is still unsealed (their branch manifests survive until
+    *      the cycle completes), so the half-published window converges to
+    *      fully-published instead of needing manual repair. On
+    *      conditional-PUT stores there is no claim primitive, so phase 1
+    *      is validation-only and each promote is its own conditional PUT —
+    *      cross-table atomicity there needs an external coordinator and is
+    *      documented best-effort.
     *
     * `failpoint` is a fault-injection hook (tests only): invoked as
-    * (phase, tableIndex) before each claim ("claim") and promote
-    * ("promote"). Returns the sealed versions, in table order. */
+    * (phase, tableIndex) before each claim ("claim"), intent ("intent"),
+    * and promote ("promote"). Returns the sealed versions, in table
+    * order. */
   def fastForwardAll(tables: Seq[(FileSystem, Path)], name: String,
       failpoint: (String, Int) => Unit = (_, _) => ()): Seq[Long] = {
     require(tables.nonEmpty, "graft publish: no tables")
     final case class Plan(fs: FileSystem, root: Path, newV: Long,
-      entries: Seq[ManifestEntry], claims: Boolean)
-    // phase 1a: validate everything before touching anything
+      entries: Seq[ManifestEntry], claims: Boolean, resumed: Boolean)
+    // phase 1a: validate everything before touching anything. A table
+    // carrying a publish intent for this branch is a crashed cycle's
+    // survivor: its commitment already happened, so it re-enters in resume
+    // mode (fork validation would wrongly fail for its already-promoted
+    // siblings) — promoted-but-undropped tables just finish their cleanup.
     val plans = tables.map { case (fs, root) =>
-      val st = logState(fs, root)
-      require(!st.barrier,
-        s"graft publish: $root has a pending rewrite barrier")
-      val fork = branchFork(fs, root, name).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft publish: no branch '$name' of $root"))
-      val latest = st.latest.getOrElse(0L)
-      if (latest != fork)
-        throw new java.util.ConcurrentModificationException(
-          s"graft publish: main of $root advanced v$fork -> v$latest since " +
-            s"branch '$name' forked — aborting the WHOLE publish (no table " +
-            "was changed); re-stage on a fresh branch")
-      Plan(fs, root, latest + 1, branchHeadEntries(fs, root, name),
-        casCapability(fs, root) != ConditionalPutCap)
+      val cap = casCapability(fs, root) != ConditionalPutCap
+      readPublishIntent(fs, root, name) match {
+        case Some(v) =>
+          Plan(fs, root, v, branchHeadEntriesOrSealed(fs, root, name, v),
+            cap, resumed = true)
+        case None =>
+          val st = logState(fs, root)
+          require(!st.barrier,
+            s"graft publish: $root has a pending rewrite barrier")
+          val fork = branchFork(fs, root, name).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft publish: no branch '$name' of $root"))
+          val latest = st.latest.getOrElse(0L)
+          if (latest != fork)
+            throw new java.util.ConcurrentModificationException(
+              s"graft publish: main of $root advanced v$fork -> v$latest " +
+                s"since branch '$name' forked — aborting the WHOLE publish " +
+                "(no table was changed); re-stage on a fresh branch")
+          Plan(fs, root, latest + 1, branchHeadEntries(fs, root, name),
+            cap, resumed = false)
+      }
     }
-    // phase 1b: claim every target version (all-or-nothing arbitration)
+    // phase 1b: claim every UNSEALED target version (all-or-nothing
+    // arbitration; a resumed table whose promote already landed needs none)
     val held = scala.collection.mutable.ListBuffer.empty[(FileSystem, Path)]
     def releaseClaims(): Unit = {
       held.foreach { case (fs, c) =>
@@ -1255,9 +1273,11 @@ private[graft] object GraftVersions {
       plans.zipWithIndex.foreach { case (pl, i) =>
         failpoint("claim", i)
         val target = manifestPath(pl.root, pl.newV)
-        if (pl.claims) {
-          if (fs2exists(pl.fs, target) ||
-              !createExclusive(pl.fs, claimOf(target)))
+        if (pl.claims && !fs2exists(pl.fs, target)) {
+          // a crashed cycle's own stale claim on the target is released
+          // first — the claimer is this same publish, resumed
+          if (pl.resumed) pl.fs.delete(claimOf(target), false)
+          if (!createExclusive(pl.fs, claimOf(target)))
             throw new java.util.ConcurrentModificationException(
               s"graft publish: v${pl.newV} of ${pl.root} is being sealed by " +
                 "a concurrent writer — aborting the whole publish (no main " +
@@ -1265,11 +1285,33 @@ private[graft] object GraftVersions {
           held += ((pl.fs, claimOf(target)))
         }
       }
+      // phase 1c: durable intents — from here the cycle COMPLETES (this
+      // run, or a later resume) rather than aborts
+      plans.zipWithIndex.foreach { case (pl, i) =>
+        failpoint("intent", i)
+        writePublishIntent(pl.fs, pl.root, name, pl.newV)
+      }
       // phase 2: promote all — no validation left that could abort
       plans.zipWithIndex.foreach { case (pl, i) =>
         failpoint("promote", i)
         val target = manifestPath(pl.root, pl.newV)
-        if (pl.claims) {
+        if (fs2exists(pl.fs, target)) {
+          // resumed table whose target is sealed: normally this cycle's
+          // own pre-crash promote — but a normal commit racing into the
+          // same version number between crash and resume would masquerade
+          // as it, so the sealed content must BE the branch head
+          if (pl.resumed && branchFork(pl.fs, pl.root, name).isDefined) {
+            val sealedNow = readEntries(pl.fs, pl.root, pl.newV)
+              .map(e => (e.rel, e.dv)).toSet
+            if (sealedNow != pl.entries.map(e => (e.rel, e.dv)).toSet)
+              throw new java.util.ConcurrentModificationException(
+                s"graft publish: resuming branch '$name' on ${pl.root}, but " +
+                  s"v${pl.newV} was sealed by an UNRELATED commit after the " +
+                  "crashed cycle — the staged state is still on the branch; " +
+                  "re-stage or fast-forward it manually, then drop the " +
+                  "pubintent marker")
+          }
+        } else if (pl.claims) {
           val tmp = new Path(target.getParent,
             s".tmp-${java.util.UUID.randomUUID()}")
           val out = pl.fs.create(tmp, true)
@@ -1284,10 +1326,43 @@ private[graft] object GraftVersions {
           throw new java.util.ConcurrentModificationException(
             s"graft publish: v${pl.newV} of ${pl.root} was sealed concurrently")
       }
-      plans.foreach(pl => dropBranch(pl.fs, pl.root, name))
+      plans.foreach { pl =>
+        dropBranch(pl.fs, pl.root, name)
+        pl.fs.delete(publishIntentPath(pl.root, name), false)
+      }
       plans.map(_.newV)
     } finally releaseClaims()
   }
+
+  private def publishIntentPath(root: Path, name: String): Path =
+    new Path(new Path(root, VersionsDir), s"pubintent-$name")
+
+  private def writePublishIntent(fs: FileSystem, root: Path, name: String,
+      v: Long): Unit = {
+    val out = fs.create(publishIntentPath(root, name), true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The target version a crashed publish of branch `name` committed this
+    * table to, if an intent marker survives. */
+  def readPublishIntent(fs: FileSystem, root: Path,
+      name: String): Option[Long] = {
+    val p = publishIntentPath(root, name)
+    if (!fs2exists(fs, p)) None
+    else {
+      val in = fs.open(p)
+      val t = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      Some(t.toLong)
+    }
+  }
+
+  /** A resumed table's publish content: its branch head when the branch
+    * still exists (promote pending), else the already-sealed target
+    * manifest (promote landed, cleanup pending). */
+  private def branchHeadEntriesOrSealed(fs: FileSystem, root: Path,
+      name: String, v: Long): Seq[ManifestEntry] =
+    if (branchFork(fs, root, name).isDefined) branchHeadEntries(fs, root, name)
+    else readEntries(fs, root, v)
 
   private def fs2exists(fs: FileSystem, p: Path): Boolean =
     try fs.exists(p) catch { case scala.util.control.NonFatal(_) => false }

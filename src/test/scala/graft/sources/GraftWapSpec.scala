@@ -183,4 +183,49 @@ class GraftWapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v == Seq(2L))
     assert(rows("SELECT id, v FROM wap.f1") == Set((1L, 10L), (2L, 20L)))
   }
+
+  test("a crash between promotes resumes: the next publish completes the cycle") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    spark.sql("CREATE TABLE wap.r1 (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("CREATE TABLE wap.r2 (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO wap.r1 VALUES (1, 10, 0)")
+    spark.sql("INSERT INTO wap.r2 VALUES (1, 100, 0)")
+    spark.sql("CALL wap.system.branch(table => 'r1', name => 'rel')")
+    spark.sql("CALL wap.system.branch(table => 'r2', name => 'rel')")
+    spark.conf.set("graft.wap.branch", "rel")
+    try {
+      spark.sql("INSERT INTO wap.r1 VALUES (2, 20, 0)")
+      spark.sql("INSERT INTO wap.r2 VALUES (2, 200, 0)")
+    } finally spark.conf.unset("graft.wap.branch")
+    def tbl(t: String): (FileSystem, Path) = {
+      val p = s"$warehouse/$t"
+      (FileSystem.get(new java.net.URI(p), new Configuration()), new Path(p))
+    }
+    val tables = Seq(tbl("r1"), tbl("r2"))
+    // simulated CRASH between the two promotes: r1 published, r2 not —
+    // the intents make this state recoverable, not stuck
+    intercept[RuntimeException] {
+      GraftVersions.fastForwardAll(tables, "rel", failpoint = (phase, i) =>
+        if (phase == "promote" && i == 1)
+          throw new RuntimeException("injected crash mid-promote"))
+    }
+    assert(rows("SELECT id, v FROM wap.r1") == Set((1L, 10L), (2L, 20L)),
+      "r1's promote landed before the crash")
+    assert(rows("SELECT id, v FROM wap.r2") == Set((1L, 100L)),
+      "r2 is still unpublished")
+    assert(GraftVersions.readPublishIntent(tbl("r2")._1, tbl("r2")._2, "rel")
+      .contains(2L), "the intent survives the crash")
+    // re-running the publish RESUMES: r2 promotes, both cycles clean up
+    val v = GraftVersions.fastForwardAll(tables, "rel")
+    assert(v == Seq(2L, 2L))
+    assert(rows("SELECT id, v FROM wap.r2") == Set((1L, 100L), (2L, 200L)))
+    Seq("r1", "r2").foreach { t =>
+      val (fs, root) = tbl(t)
+      assert(GraftVersions.readPublishIntent(fs, root, "rel").isEmpty,
+        s"$t's intent cleaned up")
+      assert(GraftVersions.listBranches(fs, root).isEmpty,
+        s"$t's branch dropped")
+    }
+  }
 }
