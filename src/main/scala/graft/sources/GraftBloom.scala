@@ -126,7 +126,17 @@ object GraftBloom {
     case i: Int   => Some(i.toLong)
     case s: Short => Some(s.toLong)
     case b: Byte  => Some(b.toLong)
-    case _        => None // float min-max stats are untrusted (see agg pushdown)
+    // TIMESTAMP predicates compare as epoch MICROSECONDS — the engine's
+    // one timestamp representation (the writer emits INT64 micros, the
+    // reader decodes INT64 as micros), so the int64 zone-map/footer bounds
+    // of a timestamp column are directly comparable. Time-range pruning is
+    // the canonical 100-TB scan: `ts >= now() - interval 1 day` drops
+    // every file outside the window at planning.
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case _ => None // float min-max stats are untrusted (see agg pushdown)
   }
 
   private def rangeAtom(c: String, op: Int, v: Any): Seq[SkipAtom] = v match {

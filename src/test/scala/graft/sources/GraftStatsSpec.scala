@@ -79,6 +79,43 @@ class GraftStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT id FROM zcat.z WHERE v = 300").head.getLong(0) == 150L)
   }
 
+  test("timestamp zone maps: time-range predicates prune files at planning") {
+    import org.apache.spark.sql.types.TimestampType
+    spark.sql("CREATE TABLE zcat.zt (id BIGINT, ts TIMESTAMP, c0 BIGINT)")
+    // three commits, disjoint one-hour windows, one cell — any file drop
+    // below is the int64 zone map tested through the timestamp conversion
+    for (h <- 0 until 3)
+      spark.sql(s"""INSERT INTO zcat.zt
+                    SELECT id, timestamp'2026-01-01 0$h:00:00' + make_interval(0,0,0,0,0,0,id), 0
+                    FROM range(0, 60)""")
+    val path = s"$warehouse/zt"
+    val entries = GraftVersions.readEntries(fsOf(path), new Path(path), 3L)
+    assert(entries.forall(_.stats.contains("ts")),
+      s"timestamp bounds ride the integral zone map: ${entries.map(_.stats)}")
+    def scan(residual: Array[org.apache.spark.sql.sources.Filter]) =
+      new GraftScan(path,
+        StructType(Seq(StructField("id", LongType),
+          StructField("ts", TimestampType))),
+        pushed = Array.empty, residual = residual)
+    val all = scan(Array.empty).planInputPartitions().length
+    assert(all == entries.size)
+    // last hour only: both java.sql.Timestamp and Instant operand shapes
+    val cut = java.sql.Timestamp.valueOf("2026-01-01 02:00:00")
+    assert(scan(Array(org.apache.spark.sql.sources
+      .GreaterThanOrEqual("ts", cut))).planInputPartitions().length < all)
+    val cutI = cut.toInstant
+    assert(scan(Array(org.apache.spark.sql.sources
+      .GreaterThanOrEqual("ts", cutI))).planInputPartitions().length < all)
+    // a window after every bound plans zero files
+    assert(scan(Array(org.apache.spark.sql.sources.GreaterThan("ts",
+      java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))))
+      .planInputPartitions().isEmpty)
+    // end-to-end row-exactness through the skip
+    assert(spark.sql(
+      "SELECT count(*) FROM zcat.zt WHERE ts >= timestamp'2026-01-01 02:00:00'")
+      .head.getLong(0) == 60L)
+  }
+
   test("manifest row counts: captured at seal, exact numRows reported") {
     spark.sql("CREATE TABLE zcat.rc (id BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO zcat.rc SELECT id, id DIV 50 FROM range(0, 120)")
