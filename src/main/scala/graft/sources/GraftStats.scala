@@ -64,6 +64,13 @@ object GraftStats {
 
   def sidecar(root: Path): Path = new Path(root, SidecarName)
 
+  /** Driver-side parquet footer opens performed for stats capture — test
+    * observability: GraftStatsSpec pins that sealing a connector-written
+    * commit performs ZERO of these (the writer tasks already carried the
+    * bounds in their commit messages; [[enrich]] is the fallback for
+    * foreign files only). */
+  val footerOpens = new java.util.concurrent.atomic.AtomicLong()
+
   sealed trait Mode
   case object AutoMode extends Mode
   case object OffMode extends Mode
@@ -90,8 +97,16 @@ object GraftStats {
     try out.write((value.trim + "\n").getBytes("UTF-8")) finally out.close()
   }
 
+  /** Resolve the declared capture mode from a table path (driver-side —
+    * the writer factories resolve once per write and serialize the answer
+    * to tasks, so executor-side capture never reads the sidecar). */
+  def modeOf(path: String): Mode = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    mode(fs, new Path(path))
+  }
+
   /** A name the `col=min:max;...` manifest field can carry verbatim. */
-  private def safeName(c: String): Boolean =
+  private[sources] def safeName(c: String): Boolean =
     !c.exists(ch => ch == '=' || ch == ';' || ch == ':' || ch == '\t' || ch == '\n')
 
   /** STRING zone maps store a bounded PREFIX of each bound (hex-encoded,
@@ -136,9 +151,11 @@ object GraftStats {
     * min/max, string prefix bounds, physical row count — the same footer
     * open serves all three). Unreadable/foreign files answer empty/−1
     * (kept, never pruned). */
-  def ofFile(conf: Configuration, file: Path, wanted: Option[Set[String]])
+  def ofFile(conf: Configuration, file: Path, wanted: Option[Set[String]],
+      countOpen: Boolean = true)
       : (Map[String, (Long, Long)], Map[String, (String, String)], Long) =
     try {
+      if (countOpen) footerOpens.incrementAndGet()
       val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
         val rowCount = pfr.getRecordCount
@@ -213,12 +230,21 @@ object GraftStats {
   /** Attach zone maps to a commit's added entries (the [[GraftVersions
     * .sealCommit]] hook — ONE place covers every write path: batch append,
     * overwrite, upsert/COW, streaming epochs, maintenance rewrites,
-    * regrid, branches). Parallel footer reads over entries that don't
-    * already carry stats; a declared-off table passes through untouched. */
+    * regrid, branches). FALLBACK ONLY: connector-written files arrive with
+    * bounds + row counts already captured EXECUTOR-SIDE by the writing
+    * task ([[WriterStatsTracker]], carried in [[GraftCommitMessage]]) — a
+    * non-negative `rows` marks such an entry and it passes through
+    * untouched (its stats may be legitimately empty: a table with no
+    * integral/string data columns). Footer reads here cover only files our
+    * writer never saw — foreign parquet, upsert staging consumed through
+    * `World.insert`, pre-versioning baselines — because a driver-side
+    * footer open per new file would put 10k GETs inside the commit latency
+    * of a 10k-file initial load. A declared-off table passes through. */
   def enrich(fs: FileSystem, root: Path,
       added: Seq[GraftVersions.ManifestEntry]): Seq[GraftVersions.ManifestEntry] = {
     if (added.isEmpty ||
-        added.forall(e => e.stats.nonEmpty || e.sstats.nonEmpty)) return added
+        added.forall(e => e.stats.nonEmpty || e.sstats.nonEmpty || e.rows >= 0L))
+      return added
     mode(fs, root) match {
       case OffMode => added
       case m =>
@@ -229,12 +255,102 @@ object GraftStats {
         val conf = new Configuration()
         import scala.collection.parallel.CollectionConverters._
         added.par.map { e =>
-          if (e.stats.nonEmpty || e.sstats.nonEmpty || e.size == 0L) e
+          if (e.stats.nonEmpty || e.sstats.nonEmpty || e.rows >= 0L ||
+              e.size == 0L) e
           else {
             val (ints, strs, rows) = ofFile(conf, new Path(root, e.rel), wanted)
             e.copy(stats = ints, sstats = strs, rows = rows)
           }
         }.seq
+    }
+  }
+
+  /** One file's writer-captured statistics, riding the task → driver
+    * commit message: integral bounds, string prefix bounds (already in
+    * [[encodeStrBound]] form), and the exact physical row count. */
+  final case class GraftFileStats(ints: Map[String, (Long, Long)],
+      strs: Map[String, (String, String)], rows: Long)
+
+  /** The column set a writer task captures for one table, resolved ONCE
+    * driver-side (factory construction) and serialized to tasks: data
+    * columns whose type the zone map trusts (INT32/INT64 physical —
+    * Integer/Long/Timestamp — and UTF8 strings), same [[safeName]] filter,
+    * same [[MaxCols]] cap, same schema order as [[ofFile]] reads them back
+    * from a footer, so writer-captured and footer-captured manifests agree
+    * byte-for-byte. `kind`: 0 = int32, 1 = int64/timestamp-micros,
+    * 2 = string. */
+  final case class CaptureCol(idx: Int, name: String, kind: Int)
+
+  def captureCols(mode: Mode,
+      fields: Seq[(Int, org.apache.spark.sql.types.StructField)]): Array[CaptureCol] =
+    mode match {
+      case OffMode => Array.empty
+      case m =>
+        import org.apache.spark.sql.types._
+        val wanted: Option[Set[String]] = m match {
+          case ColsMode(cols) => Some(cols.toSet)
+          case _ => None
+        }
+        fields.iterator.flatMap { case (i, f) =>
+          val kind = f.dataType match {
+            case IntegerType => 0
+            case LongType | TimestampType => 1
+            case StringType => 2
+            case _ => -1
+          }
+          if (kind >= 0 && safeName(f.name) && wanted.forall(_.contains(f.name)))
+            Some(CaptureCol(i, f.name, kind))
+          else None
+        }.take(MaxCols).toArray
+    }
+
+  /** Per-file accumulator the writer task drives as it routes rows — the
+    * SumTracker pattern extended to zone maps: exact min/max per captured
+    * column plus the row count, so the seal needs NO footer read for files
+    * our writer produced. String bounds keep a CAPPED COPY
+    * ([[MaxStrPrefix]] + 1 bytes — enough to reproduce [[encodeStrBound]]
+    * exactly, prefix and truncation mark both; the extra byte distinguishes
+    * exactly-16 from longer) because the incoming bytes alias the reused
+    * row buffer. Values equal through the cap encode identically, so
+    * keeping either as the bound is sound. */
+  final class WriterStatsTracker(cols: Array[CaptureCol]) {
+    private val mn = Array.fill(cols.length)(Long.MaxValue)
+    private val mx = Array.fill(cols.length)(Long.MinValue)
+    private val anyV = new Array[Boolean](cols.length)
+    private val smn = new Array[Array[Byte]](cols.length)
+    private val smx = new Array[Array[Byte]](cols.length)
+    var rows = 0L
+
+    def addInt(j: Int, v: Long): Unit = {
+      if (v < mn(j)) mn(j) = v
+      if (v > mx(j)) mx(j) = v
+      anyV(j) = true
+    }
+
+    def addStr(j: Int, b: Array[Byte]): Unit = {
+      val cap = math.min(b.length, MaxStrPrefix + 1)
+      if (smn(j) == null ||
+          java.util.Arrays.compareUnsigned(b, 0, cap, smn(j), 0, smn(j).length) < 0)
+        smn(j) = java.util.Arrays.copyOf(b, cap)
+      if (smx(j) == null ||
+          java.util.Arrays.compareUnsigned(b, 0, cap, smx(j), 0, smx(j).length) > 0)
+        smx(j) = java.util.Arrays.copyOf(b, cap)
+      anyV(j) = true
+    }
+
+    def result: GraftFileStats = {
+      val ints = Map.newBuilder[String, (Long, Long)]
+      val strs = Map.newBuilder[String, (String, String)]
+      var j = 0
+      while (j < cols.length) {
+        if (anyV(j)) { // all-null columns get no entry, same as ofFile
+          if (cols(j).kind == 2)
+            strs += cols(j).name -> (encodeStrBound(smn(j)), encodeStrBound(smx(j)))
+          else ints += cols(j).name -> (mn(j), mx(j))
+        }
+        j += 1
+      }
+      GraftFileStats(ints.result(), strs.result(), rows)
     }
   }
 

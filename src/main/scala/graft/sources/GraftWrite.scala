@@ -227,7 +227,7 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
       // World.insert seals its own versioned commit (r11: the rewrite is a
       // connector-routed bucket-scoped overwrite, not a barrier), so THIS
       // commit needs no seal of its own — the insert's is the upsert's.
-      val staged = messages.collect { case GraftCommitMessage(_, rows, _) => rows }.sum
+      val staged = messages.collect { case m: GraftCommitMessage => m.rows }.sum
       val stagedFiles = GraftStage
         .stagedCells(fs, new Path(stagePath), messages)
         .flatMap(_._3).map(_.getPath)
@@ -368,7 +368,8 @@ class GraftOverwriteWrite(path: String, schema: StructType,
         staged.map(_._2).toSet)
       // move staged chunk dirs into place (merge into survivors of the same
       // cell — possible only in static mode with a non-covering condition)
-      val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
+      val moved = GraftStage.moveIn(fs, stageRoot, root, staged,
+        GraftStage.statsByPath(messages))
       finishSidecar()
       GraftVersions.sealCommit(fs, root, c, removed, moved)
     } finally fs.delete(stageRoot, true)
@@ -377,8 +378,8 @@ class GraftOverwriteWrite(path: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     if (inPlace) messages.foreach {
-      case GraftCommitMessage(files, _, _) =>
-        files.foreach(f => fs.delete(new Path(f), false))
+      case m: GraftCommitMessage =>
+        m.files.foreach(f => fs.delete(new Path(f), false))
       case _ =>
     } else fs.delete(new Path(stagePath), true)
   }
@@ -456,7 +457,8 @@ class GraftReplaceGroupsWrite(path: String, schema: StructType,
     } else try {
       val staged = GraftStage.stagedCells(fs, stageRoot, messages)
       val c = begin()
-      val moved = GraftStage.moveIn(fs, stageRoot, root, staged)
+      val moved = GraftStage.moveIn(fs, stageRoot, root, staged,
+        GraftStage.statsByPath(messages))
       seal(c, removedRels, moved, staged.size)
     } finally fs.delete(stageRoot, true)
   }
@@ -464,8 +466,8 @@ class GraftReplaceGroupsWrite(path: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     if (inPlace) messages.foreach {
-      case GraftCommitMessage(files, _, _) =>
-        files.foreach(f => fs.delete(new Path(f), false))
+      case m: GraftCommitMessage =>
+        m.files.foreach(f => fs.delete(new Path(f), false))
       case _ =>
     } else fs.delete(new Path(stagePath), true)
   }
@@ -567,14 +569,33 @@ private[sources] object GraftStage {
 
   /** Manifest entries of exactly the files the tasks' commit messages
     * list — an in-place commit's `added` set: no stage walk, no moves,
-    * sizes stat'd executor-side at task commit. */
+    * sizes AND zone-map bounds + row counts stat'd executor-side at task
+    * commit, so the seal opens zero footers for these files. */
   def messageEntries(root: Path, messages: Array[WriterCommitMessage])
       : Seq[GraftVersions.ManifestEntry] =
-    messages.collect { case GraftCommitMessage(f, _, sz) =>
-      f.zip(if (sz.size == f.size) sz else f.map(_ => -1L))
-    }.flatten.map { case (f, sz) =>
-      GraftVersions.ManifestEntry(GraftVersions.relOf(root, new Path(f)), sz)
-    }.toSeq
+    messages.collect { case m: GraftCommitMessage =>
+      val sz = if (m.sizes.size == m.files.size) m.sizes
+               else m.files.map(_ => -1L)
+      val st: Seq[Option[GraftStats.GraftFileStats]] =
+        if (m.fstats.size == m.files.size) m.fstats.map(Some(_))
+        else m.files.map(_ => None)
+      m.files.lazyZip(sz).lazyZip(st).map { case (f, s, fo) =>
+        val e = GraftVersions.ManifestEntry(
+          GraftVersions.relOf(root, new Path(f)), s)
+        fo.fold(e)(x => e.copy(stats = x.ints, sstats = x.strs, rows = x.rows))
+      }.toSeq
+    }.flatten.toSeq
+
+  /** Writer-captured per-file stats keyed by URI path — the lookup
+    * [[moveIn]] uses to carry bounds across the stage → grid rename (the
+    * file name is preserved, so content stats stay valid verbatim). */
+  def statsByPath(messages: Array[WriterCommitMessage])
+      : Map[String, GraftStats.GraftFileStats] =
+    messages.collect {
+      case m: GraftCommitMessage if m.fstats.size == m.files.size =>
+        m.files.zip(m.fstats).map { case (f, st) =>
+          new Path(f).toUri.getPath -> st }
+    }.flatten.toMap
 
   /** Test observability: files moved by staged swaps, process-wide — the
     * in-place specs pin that a versioned table's overwrite/COW performs
@@ -650,7 +671,8 @@ private[sources] object GraftStage {
     * manifest entries under `root` — rel path + length from the staging
     * listing, so the seal stats nothing (the commit's `added` set). */
   def moveIn(fs: FileSystem, stageRoot: Path, root: Path,
-      staged: Seq[(Path, Map[String, Long], Seq[org.apache.hadoop.fs.FileStatus])])
+      staged: Seq[(Path, Map[String, Long], Seq[org.apache.hadoop.fs.FileStatus])],
+      stats: Map[String, GraftStats.GraftFileStats] = Map.empty)
       : Seq[GraftVersions.ManifestEntry] =
     staged.flatMap { case (dir, _, files) =>
       // listStatus returns fs-qualified paths (file:/…) — relativize on
@@ -669,8 +691,10 @@ private[sources] object GraftStage {
           throw new IllegalStateException(
             s"graft commit: failed to move staged file $f into $target")
         movesPerformed.incrementAndGet()
-        GraftVersions.ManifestEntry(
+        val e = GraftVersions.ManifestEntry(
           if (rel.isEmpty) f.getName else s"$rel/${f.getName}", st.getLen)
+        stats.get(f.toUri.getPath)
+          .fold(e)(x => e.copy(stats = x.ints, sstats = x.strs, rows = x.rows))
       }
     }
 }
@@ -736,15 +760,21 @@ class GraftStreamingWrite(path: String, schema: StructType,
     // ones move in the old way
     val stagePrefix = stageRoot.toUri.getPath
     val gridMsgs: Array[WriterCommitMessage] = messages.collect {
-      case GraftCommitMessage(fl, r, sz) =>
-        val keep = fl.zip(if (sz.size == fl.size) sz else fl.map(_ => -1L))
-          .filterNot { case (f, _) =>
+      case m: GraftCommitMessage =>
+        val sz = if (m.sizes.size == m.files.size) m.sizes
+                 else m.files.map(_ => -1L)
+        val st: Seq[Option[GraftStats.GraftFileStats]] =
+          if (m.fstats.size == m.files.size) m.fstats.map(Some(_))
+          else m.files.map(_ => None)
+        val keep = m.files.lazyZip(sz).lazyZip(st).toSeq
+          .filterNot { case (f, _, _) =>
             new Path(f).toUri.getPath.startsWith(stagePrefix) }
-        GraftCommitMessage(keep.map(_._1), r, keep.map(_._2))
+        GraftCommitMessage(keep.map(_._1), m.rows, keep.map(_._2),
+          keep.flatMap(_._3))
     }.toArray
     def deleteGridFiles(): Unit = gridMsgs.foreach {
-      case GraftCommitMessage(files, _, _) =>
-        files.foreach(f => fs.delete(new Path(f), false))
+      case m: GraftCommitMessage =>
+        m.files.foreach(f => fs.delete(new Path(f), false))
       case _ =>
     }
     try {
@@ -769,9 +799,11 @@ class GraftStreamingWrite(path: String, schema: StructType,
         case Some(b) => GraftVersions.beginBranchCommit(fs, root, b)
         case None    => GraftVersions.beginCommit(fs, root)
       }
+      lazy val stagedStats = GraftStage.statsByPath(messages)
       mode match {
         case Append =>
-          val added = GraftStage.moveIn(fs, stageRoot, root, staged) ++ gridAdded
+          val added =
+            GraftStage.moveIn(fs, stageRoot, root, staged, stagedStats) ++ gridAdded
           GraftDataSource.writeSidecarIfAbsent(path, schema)
           GraftVersions.sealCommit(fs, root, c, Set.empty, added)
         case Truncate =>
@@ -781,7 +813,8 @@ class GraftStreamingWrite(path: String, schema: StructType,
           // On a BRANCH the sidecar stays untouched (table-global — same
           // guard as the batch overwrite's WAP arm).
           val removed = GraftStage.liveWithBuckets(fs, root, c).map(_._1).toSet
-          val added = GraftStage.moveIn(fs, stageRoot, root, staged) ++ gridAdded
+          val added =
+            GraftStage.moveIn(fs, stageRoot, root, staged, stagedStats) ++ gridAdded
           if (branch.isEmpty) {
             val out = fs.create(new Path(s"$path/_graft_schema.json"), true)
             out.write(schema.json.getBytes("UTF-8")); out.close()
@@ -847,7 +880,7 @@ class GraftStreamingWrite(path: String, schema: StructType,
     // deleted eagerly rather than left to the orphan sweep
     val stagePrefix = new Path(stageFor(epochId)).toUri.getPath
     messages.foreach {
-      case GraftCommitMessage(files, _, _) => files
+      case m: GraftCommitMessage => m.files
         .filterNot(f => new Path(f).toUri.getPath.startsWith(stagePrefix))
         .foreach(f => fs.delete(new Path(f), false))
       case _ =>
@@ -942,11 +975,12 @@ class GraftStreamingWriterFactory(path: String, schema: StructType,
     GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema)
   private val declaredBuckets: Option[Set[String]] =
     GraftStage.declaredBuckets(path)
+  private val statsMode: GraftStats.Mode = GraftStats.modeOf(path)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
       if (inPlace) path else s"${path}__graft_epoch_$epochId", schema,
-      partitionId, taskId, bloomCols, checks, declaredBuckets)
+      partitionId, taskId, bloomCols, checks, declaredBuckets, statsMode)
 }
 
 class GraftBatchWrite(path: String, schema: StructType,
@@ -966,14 +1000,7 @@ class GraftBatchWrite(path: String, schema: StructType,
     // + this commit's files) — an append never pays a grid walk.
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val root = new Path(path)
-    val added = messages.collect {
-      case GraftCommitMessage(f, _, sz) =>
-        // defensive: an old-format message without sizes still commits
-        // (size −1 = unknown; size-dependent planning falls back per file)
-        f.zip(if (sz.size == f.size) sz else f.map(_ => -1L))
-    }.flatten.map { case (f, sz) =>
-      GraftVersions.ManifestEntry(GraftVersions.relOf(root, new Path(f)), sz)
-    }
+    val added = GraftStage.messageEntries(root, messages)
     val c = branch match {
       // branch staging: the seal goes to the branch's own manifest chain;
       // auto-compaction stays a main-log policy (runs after publish)
@@ -992,22 +1019,26 @@ class GraftBatchWrite(path: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     messages.foreach {
-      case GraftCommitMessage(files, _, _) =>
-        files.foreach(f => fs.delete(new Path(f), false))
+      case m: GraftCommitMessage =>
+        m.files.foreach(f => fs.delete(new Path(f), false))
       case _ =>
     }
   }
 }
 
 /** Task -> driver commit channel: the files this task wrote, how many
-  * rows went into them, and each file's byte length (stat'd executor-side
+  * rows went into them, each file's byte length (stat'd executor-side
   * at task commit — parallel across tasks, so the driver's manifest seal
-  * needs zero per-file probes; see [[GraftVersions.ManifestEntry]]).
-  * `commit()` aggregates these into the write summary (the DSv2-clean
-  * path for write-side counters — driver-computed numbers like the
-  * upsert's displaced count join them at commit time). */
+  * needs zero per-file probes; see [[GraftVersions.ManifestEntry]]), and
+  * each file's writer-captured zone maps + exact row count (`fstats`,
+  * aligned with `files` — [[GraftStats.WriterStatsTracker]]), so the seal
+  * never re-opens a footer the writing task just closed. `commit()`
+  * aggregates these into the write summary (the DSv2-clean path for
+  * write-side counters — driver-computed numbers like the upsert's
+  * displaced count join them at commit time). */
 final case class GraftCommitMessage(files: Seq[String], rows: Long,
-    sizes: Seq[Long] = Nil)
+    sizes: Seq[Long] = Nil,
+    fstats: Seq[GraftStats.GraftFileStats] = Nil)
   extends WriterCommitMessage
 
 class GraftWriterFactory(path: String, schema: StructType,
@@ -1020,9 +1051,14 @@ class GraftWriterFactory(path: String, schema: StructType,
     bucketSourcePath: String = null) extends DataWriterFactory {
   private val declaredBuckets: Option[Set[String]] =
     GraftStage.declaredBuckets(Option(bucketSourcePath).getOrElse(path))
+  // zone-map capture mode: resolved from the TABLE root's `_graft_stats`
+  // sidecar here (driver-side) and serialized — writer tasks capture
+  // bounds inline, never reading the sidecar nor any footer
+  private val statsMode: GraftStats.Mode =
+    GraftStats.modeOf(Option(bucketSourcePath).getOrElse(path))
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(path, schema, partitionId, taskId, bloomCols, checks,
-      declaredBuckets)
+      declaredBuckets, statsMode)
 }
 
 /** Per-file EXACT integral-column sums, carried into the parquet footer as
@@ -1083,7 +1119,8 @@ private[sources] final class GraftParquetWriterBuilder(file: Path,
 class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, bloomCols: Seq[String] = Nil,
     checks: Seq[GraftChecks.Check] = Nil,
-    declaredBuckets: Option[Set[String]] = None) extends DataWriter[InternalRow] {
+    declaredBuckets: Option[Set[String]] = None,
+    statsMode: GraftStats.Mode = GraftStats.AutoMode) extends DataWriter[InternalRow] {
 
   private def isBucketCol(name: String): Boolean = declaredBuckets match {
     case Some(set) => set.contains(name)
@@ -1177,6 +1214,17 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
       (i, f.name) }
   private var tracker: SumTracker = _
 
+  // zone-map capture columns (empty under a declared-off mode); one
+  // tracker per file, aligned with `files`, carried to the driver in the
+  // commit message — the seal then attaches bounds + row counts with zero
+  // footer reads (GraftStats.enrich stays as the foreign-file fallback)
+  private val statsCols: Array[GraftStats.CaptureCol] =
+    GraftStats.captureCols(statsMode, dataIdx.toSeq.map(i => (i, schema.fields(i))))
+  private val statsOn: Boolean = statsMode != GraftStats.OffMode
+  private val statsTrackers =
+    scala.collection.mutable.ArrayBuffer.empty[GraftStats.WriterStatsTracker]
+  private var stats: GraftStats.WriterStatsTracker = _
+
   private def writerFor(bucket: Seq[Long]): ParquetWriter[org.apache.parquet.example.data.Group] =
     current match {
       case Some((b, w)) if b == bucket => w
@@ -1189,6 +1237,10 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
         val c = new Configuration(conf)
         GroupWriteSupport.setSchema(messageType, c)
         tracker = new SumTracker(sumCols.map(_._2))
+        if (statsOn) {
+          stats = new GraftStats.WriterStatsTracker(statsCols)
+          statsTrackers += stats
+        }
         val b = new GraftParquetWriterBuilder(new Path(file),
             new SummingGroupWriteSupport(tracker)).withConf(c)
           // parquet-mr's builder default is UNCOMPRESSED — at 100 TB that
@@ -1259,13 +1311,26 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
       }
       gi += 1
     }
-    val w = writerFor(bucket) // resolves (and possibly rolls) the tracker
+    val w = writerFor(bucket) // resolves (and possibly rolls) the trackers
     sumCols.foreach { case (i, n) =>
       if (!row.isNullAt(i))
         tracker.add(n, schema.fields(i).dataType match {
           case IntegerType => row.getInt(i).toLong
           case _           => row.getLong(i)
         })
+    }
+    if (statsOn) {
+      stats.rows += 1L
+      var j = 0
+      while (j < statsCols.length) {
+        val sc = statsCols(j)
+        if (!row.isNullAt(sc.idx)) sc.kind match {
+          case 0 => stats.addInt(j, row.getInt(sc.idx).toLong)
+          case 1 => stats.addInt(j, row.getLong(sc.idx))
+          case _ => stats.addStr(j, row.getUTF8String(sc.idx).getBytes)
+        }
+        j += 1
+      }
     }
     w.write(g)
     rowsWritten += 1L
@@ -1278,7 +1343,8 @@ class GraftDataWriter(path: String, schema: StructType, partitionId: Int,
     // files per task, parallel across the job
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     GraftCommitMessage(files.toSeq, rowsWritten,
-      files.toSeq.map(f => fs.getFileStatus(new Path(f)).getLen))
+      files.toSeq.map(f => fs.getFileStatus(new Path(f)).getLen),
+      if (statsOn) statsTrackers.toSeq.map(_.result) else Nil)
   }
 
   override def abort(): Unit = {

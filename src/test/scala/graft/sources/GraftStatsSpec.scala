@@ -236,6 +236,63 @@ class GraftStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head.getLong(0) == 10L)
   }
 
+  test("seal-time stats are writer-captured: zero driver footer opens for connector writes") {
+    spark.sql("CREATE TABLE zcat.zw (id BIGINT, name STRING, c0 BIGINT)")
+    val path = s"$warehouse/zw"
+    val before = GraftStats.footerOpens.get()
+    // append, COW UPDATE, MoR DELETE, dynamic overwrite — every
+    // connector-written commit shape; bounds + row counts must ride the
+    // task commit messages, so the seal re-opens NOTHING
+    spark.sql("INSERT INTO zcat.zw SELECT id, concat('n_', id), id % 2 FROM range(0, 100)")
+    spark.sql("INSERT INTO zcat.zw SELECT id, concat('m_', id), id % 2 FROM range(100, 200)")
+    spark.sql("UPDATE zcat.zw SET name = 'x_5' WHERE id = 5")
+    spark.sql("DELETE FROM zcat.zw WHERE id = 150")
+    spark.sql("INSERT OVERWRITE zcat.zw SELECT id, concat('o_', id), id % 2 FROM range(0, 50)")
+    assert(GraftStats.footerOpens.get() == before,
+      "a connector-written commit must not open parquet footers at seal — " +
+        "the writer tasks already carried bounds/rows in their messages")
+    val fs = fsOf(path)
+    val v = GraftVersions.latestVersion(fs, new Path(path)).get
+    val entries = GraftVersions.readEntries(fs, new Path(path), v)
+    assert(entries.nonEmpty)
+    assert(entries.forall(_.rows >= 0L),
+      s"writer-captured row counts on every entry: $entries")
+    assert(entries.forall(e => e.stats.contains("id") && e.sstats.contains("name")),
+      s"writer-captured bounds on every entry: $entries")
+    // the captured bounds still prune and answers stay exact
+    import org.apache.spark.sql.types.StringType
+    val all = new GraftScan(path,
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))),
+      pushed = Array.empty, residual = Array.empty).planInputPartitions().length
+    // post-overwrite live files all span id 0..49: a bound above every
+    // max plans ZERO files purely from the writer-captured manifest
+    val hi = new GraftScan(path,
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))),
+      pushed = Array.empty,
+      residual = Array(GreaterThan("id", 100L))).planInputPartitions().length
+    assert(all > 0 && hi == 0, "writer-captured zone maps must still drop files")
+    assert(spark.sql("SELECT count(*) FROM zcat.zw WHERE id > 40").head.getLong(0) == 9L)
+  }
+
+  test("foreign parquet still enriches: the footer fallback covers files our writer never saw") {
+    // a pre-versioning world written by PLAIN spark parquet (no commit
+    // messages, no writer stats) — the first versioned commit's baseline
+    // walk must footer-read these files to capture bounds
+    val path = s"$warehouse/zforeign"
+    spark.range(0, 40).selectExpr("id", "id * 3 AS v", "CAST(0 AS BIGINT) AS c0")
+      .write.partitionBy("c0").parquet(path)
+    val fs = fsOf(path)
+    val before = GraftStats.footerOpens.get()
+    val c = GraftVersions.beginCommit(fs, new Path(path))
+    GraftVersions.sealCommit(fs, new Path(path), c, Set.empty, Seq.empty)
+    assert(GraftStats.footerOpens.get() > before,
+      "foreign files must take the footer fallback")
+    val entries = GraftVersions.readEntries(fs, new Path(path), 0L)
+    assert(entries.nonEmpty && entries.forall(e =>
+      e.stats.contains("id") && e.stats.contains("v") && e.rows >= 0L),
+      s"fallback-captured bounds: $entries")
+  }
+
   test("boundsMightMatch: refutation is a proof, unknowns are kept") {
     import GraftBloom.{EqAtom, RangeAtom}
     val b = Map("id" -> (10L, 20L))
