@@ -78,9 +78,10 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
     // catalog table — seals BRANCH commits, invisible to main readers
     // until system.fast_forward publishes (write-audit-publish staging).
     // Appends and overwrites stage on a branch (r11: overwrites retire
-    // their victims from the branch chain only); upsert stays refused —
-    // its World::insert resolves conflicts against MAIN's live state, so
-    // on a branch it would mix staged and published victims.
+    // their victims from the branch chain only); upserts stage too (r13):
+    // World.insertOn resolves conflicts against the BRANCH HEAD (fork
+    // state + prior staged commits, vectors applied) and seals on the
+    // branch chain, so staged and published victims never mix.
     val branch = Option(info.options().get("graft.branch")).orElse(branchDefault)
     // option("graft.replaceCells", "c0=1/c1=2;c0=3/c1=4"): replace EXACTLY
     // the named chunk cells with this write's rows — the World-rewrite
@@ -102,12 +103,6 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
         require(cells.nonEmpty, "graft.replaceCells: empty cell list")
         Array(cells.reduce(Or(_, _): Filter))
       }
-    branch.foreach { b =>
-      require(!"upsert".equalsIgnoreCase(info.options().get("graft.mode")),
-        s"graft: upsert cannot stage on branch '$b' — its conflict " +
-          "resolution reads main's live state; publish with " +
-          "system.fast_forward, then upsert on main")
-    }
     val batch: BatchWrite =
       if (replaceCells.isDefined)
         new GraftOverwriteWrite(path, info.schema(), replaceCells,
@@ -118,7 +113,7 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
         new GraftOverwriteWrite(path, info.schema(), Some(overwriteBy.get),
           branch = branch)
       else if ("upsert".equalsIgnoreCase(info.options().get("graft.mode")))
-        new GraftUpsertWrite(path, info.schema())
+        new GraftUpsertWrite(path, info.schema(), branch)
       else new GraftBatchWrite(path, info.schema(), branch)
     new Write with RequiresDistributionAndOrdering {
       private val layout = GraftWriteLayout
@@ -144,17 +139,14 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
         // branch's own manifest chain, invisible to main until
         // system.fast_forward publishes the drained epochs — continuous
         // ingestion gets the same audit story as batch staging. Upsert
-        // stays refused (World::insert resolves conflicts against MAIN's
-        // live state — the same reason the batch arm refuses it), and the
-        // per-epoch maintenance knobs are main-log policies that do not
-        // apply while staging (retention/compaction run when the branch
-        // publishes).
+        // epochs stage too (r13): each epoch's World::insert resolves its
+        // conflicts against the BRANCH HEAD (fork state + prior staged
+        // epochs, World.insertOn) and seals on the branch chain, so a
+        // continuous replace-on-conflict feed can be audited before
+        // publish. The per-epoch maintenance knobs stay main-log policies
+        // that do not apply while staging (retention/compaction run when
+        // the branch publishes).
         branch.foreach { b =>
-          if (mode == GraftStreamingWrite.Upsert)
-            throw new UnsupportedOperationException(
-              s"graft: streaming upsert cannot stage on branch '$b' — its " +
-                "conflict resolution reads main's live state; publish " +
-                "first, then upsert on main")
           require(Option(info.options().get("graft.compact.maxFiles")).isEmpty,
             s"graft: graft.compact.maxFiles compacts MAIN's live cells and " +
               s"cannot run while staging on branch '$b' — compact after " +
@@ -205,7 +197,8 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
   * removed on both commit and abort. The displaced-row count is logged and
   * surfaced on [[GraftUpsertWrite.lastDisplaced]].
   */
-class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
+class GraftUpsertWrite(path: String, schema: StructType,
+    branch: Option[String] = None) extends BatchWrite {
   // per-write unique stage: two concurrent upserts into one table must not
   // interleave staging grids (the first commit's finally-delete would
   // silently drop the second's rows)
@@ -237,7 +230,8 @@ class GraftUpsertWrite(path: String, schema: StructType) extends BatchWrite {
         // attempt whose abort never ran may have left debris in the stage)
         val stagedDf = spark.read.parquet(stagedFiles.map(_.toString): _*)
           .drop(bucketCols: _*)
-        val displaced = new graft.world.World(spark, path, dims).insert(stagedDf)
+        val displaced = new graft.world.World(spark, path, dims)
+          .insertOn(stagedDf, branch)
         GraftUpsertWrite.summaryByPath.put(path,
           GraftUpsertWrite.UpsertSummary(staged, displaced))
         org.slf4j.LoggerFactory.getLogger(getClass)
@@ -829,10 +823,13 @@ class GraftStreamingWrite(path: String, schema: StructType,
           val stagedFiles = staged.flatMap(_._3).map(_.getPath)
           if (stagedFiles.nonEmpty) {
             val bucketCols = dims.indices.map(i => s"c$i")
-            // committed files only — crashed-attempt debris must not upsert
+            // committed files only — crashed-attempt debris must not upsert.
+            // On a WAP branch the insert resolves conflicts against the
+            // BRANCH head and seals on the branch chain (insertOn).
             val stagedDf = spark.read.parquet(stagedFiles.map(_.toString): _*)
               .drop(bucketCols: _*)
-            val displaced = new graft.world.World(spark, path, dims).insert(stagedDf)
+            val displaced = new graft.world.World(spark, path, dims)
+              .insertOn(stagedDf, branch)
             org.slf4j.LoggerFactory.getLogger(getClass)
               .info(s"graft stream upsert into $path: epoch $epochId, $displaced displaced")
           }

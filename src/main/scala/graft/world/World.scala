@@ -197,30 +197,7 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     val fs = fileSystem
     val root = new org.apache.hadoop.fs.Path(path)
     graft.sources.GraftVersions.liveEntries(fs, root) match {
-      case Some(entries) if entries.nonEmpty =>
-        val base = spark.read.option("basePath", path)
-          .parquet(entries.map(e => s"$path/${e.rel}"): _*)
-        val dvd = entries.filter(_.dv.isDefined)
-        if (dvd.isEmpty) base
-        else {
-          import org.apache.spark.sql.functions.{broadcast, col, expr}
-          val deleted = dvd.flatMap { e =>
-            val name = e.rel.split('/').last
-            graft.sources.GraftDv.read(fs,
-                new org.apache.hadoop.fs.Path(root, e.dv.get._1))
-              .map(p => (name, p, e.rel))
-          }
-          val del = spark.createDataFrame(deleted).toDF("__dn", "__dp", "__dr")
-          base
-            .withColumn("__n", expr("_metadata.file_name"))
-            .withColumn("__p", expr("_metadata.row_index"))
-            .withColumn("__f", expr("_metadata.file_path"))
-            .join(broadcast(del),
-              col("__n") === col("__dn") && col("__p") === col("__dp") &&
-                expr("endswith(__f, __dr)"),
-              "left_anti")
-            .drop("__n", "__p", "__f")
-        }
+      case Some(entries) if entries.nonEmpty => dfOver(entries)
       case Some(_) => emptyDf // every file retired: empty world, live schema
       case None =>
         try spark.read.parquet(path)
@@ -230,6 +207,39 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
               s"$path/_graft_schema.json"))) throw e
             emptyDf
         }
+    }
+  }
+
+  /** A frame over exactly `entries` (manifest-resolved file list, deletion
+    * vectors applied) — the shared read shape of [[df]]'s live branch and
+    * the branch-head reads ([[insertOn]]). */
+  private def dfOver(
+      entries: Seq[graft.sources.GraftVersions.ManifestEntry]): DataFrame = {
+    if (entries.isEmpty) return emptyDf
+    val fs = fileSystem
+    val root = new org.apache.hadoop.fs.Path(path)
+    val base = spark.read.option("basePath", path)
+      .parquet(entries.map(e => s"$path/${e.rel}"): _*)
+    val dvd = entries.filter(_.dv.isDefined)
+    if (dvd.isEmpty) base
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col, expr}
+      val deleted = dvd.flatMap { e =>
+        val name = e.rel.split('/').last
+        graft.sources.GraftDv.read(fs,
+            new org.apache.hadoop.fs.Path(root, e.dv.get._1))
+          .map(p => (name, p, e.rel))
+      }
+      val del = spark.createDataFrame(deleted).toDF("__dn", "__dp", "__dr")
+      base
+        .withColumn("__n", expr("_metadata.file_name"))
+        .withColumn("__p", expr("_metadata.row_index"))
+        .withColumn("__f", expr("_metadata.file_path"))
+        .join(broadcast(del),
+          col("__n") === col("__dn") && col("__p") === col("__dp") &&
+            expr("endswith(__f, __dr)"),
+          "left_anti")
+        .drop("__n", "__p", "__f")
     }
   }
 
@@ -310,9 +320,23 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     * Only partitions touched by `rows` (old location of a replaced id + its
     * new location) are rewritten.
     */
-  def insert(rows: DataFrame): Long = {
+  def insert(rows: DataFrame): Long = insertOn(rows, None)
+
+  /** [[insert]] against a WAP BRANCH head: conflicts (displaced ids) are
+    * resolved against the branch's staged state — fork state plus every
+    * branch commit, deletion vectors applied — and the partition-scoped
+    * rewrite seals on the branch's own manifest chain, invisible to main
+    * readers until `system.fast_forward` publishes. This is what makes
+    * per-epoch streaming upsert stage-able: each epoch's `World::insert`
+    * chains on the previous epoch's branch head exactly as main epochs
+    * chain on main. */
+  private[graft] def insertOn(rows: DataFrame, branch: Option[String]): Long = {
     val incoming = withBuckets(validate(rows)).cache()
-    val existing = df
+    val existing = branch match {
+      case Some(b) => dfOver(graft.sources.GraftVersions.branchHeadEntries(
+        fileSystem, new org.apache.hadoop.fs.Path(path), b))
+      case None => df
+    }
     // no broadcast hint: the id set is unbounded (a 100 TB upsert can carry
     // billions of ids) — AQE broadcasts when the build side is actually small
     // and falls back to a shuffle join otherwise
@@ -324,7 +348,7 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     val affectedPred = partitionsPred(affected)
     val keep = existing.where(affectedPred)
       .join(ids, Seq(idCol), "left_anti")
-    rewritePartitions(affected, keep.unionByName(incoming))
+    rewritePartitions(affected, keep.unionByName(incoming), branch)
     incoming.unpersist()
     displacedCount
   }
@@ -541,15 +565,16 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     * that plan, and victim bytes never move. insert / destroy / update /
     * applyDelta — and therefore every index/MV refresh — are now ordinary
     * CAS-sealed commits, the same crash/concurrency story as SQL DML. */
-  private def rewritePartitions(affected: Set[Vector[Long]], rows: DataFrame): Unit = {
+  private def rewritePartitions(affected: Set[Vector[Long]], rows: DataFrame,
+      branch: Option[String] = None): Unit = {
     if (affected.isEmpty) return
     val enc = affected.toSeq.sortBy(_.mkString(","))
       .map(p => bucketCols.zip(p).map { case (c, v) => s"$c=$v" }.mkString("/"))
       .mkString(";")
-    rows.write.format("graft")
+    val w = rows.write.format("graft")
       .option("graft.replaceCells", enc)
       .mode("append") // the option declares the overwrite; mode is unused
-      .save(path)
+    branch.fold(w)(b => w.option("graft.branch", b)).save(path)
   }
 }
 

@@ -248,24 +248,39 @@ class GraftStreamingWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft").load(path)
       .select("d0").as[Long].collect().toSet == Set(1L, 2L, 15L))
 
-    // upsert mode stays refused on a branch (conflicts resolve against
-    // main); the write builder's refusal surfaces when the stream plans
-    // its first batch
+    // streaming UPSERT stages on a branch too (r13): each epoch's
+    // World::insert resolves conflicts against the BRANCH HEAD — the fork
+    // state for epoch 1, epoch 1's staged state for epoch 2 — and seals
+    // on the branch chain; fast_forward publishes the merged state.
+    val w2 = new World(spark, path, Seq(DimSpec("d0", DimMapping(0, 99, 10))))
+    GraftVersions.createBranch(fs, root, "ingest2")
     val src2 = MemoryStream[(Long, Long)]
-    val q2 = src2.toDF().toDF("d0", "v")
-      .withColumn("c0", col("d0") / 10 cast "long")
+    val q2 = w2.withBuckets(src2.toDF().toDF("d0", "v"))
       .writeStream.format("graft")
       .option("checkpointLocation",
         Files.createTempDirectory("graft-sw-br-cp2").toString)
       .option("graft.branch", "ingest2")
       .option("graft.mode", "upsert")
       .start(path)
-    val e = intercept[Exception] {
-      src2.addData((7L, 70L))
-      q2.processAllAvailable()
-    }
-    def msgs(t: Throwable): String =
-      if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
-    assert(msgs(e).contains("upsert"), s"refusal names the mode: ${msgs(e)}")
+    try {
+      // epoch 1: one conflict with the FORK state (d0=2), one fresh row
+      src2.addData((2L, 999L), (55L, 550L)); q2.processAllAvailable()
+      // epoch 2: a conflict with epoch 1's OWN staged row — branch-head
+      // resolution, not main's
+      src2.addData((55L, 551L)); q2.processAllAvailable()
+      assert(spark.read.format("graft").load(path)
+        .select("d0", "v").as[(Long, Long)].collect().toMap ==
+        Map(1L -> 10L, 2L -> 20L, 15L -> 150L),
+        "staged upsert epochs must be invisible to main readers")
+      assert(spark.read.format("graft").option("graft.branch", "ingest2")
+        .load(path).select("d0", "v").as[(Long, Long)].collect().toMap ==
+        Map(1L -> 10L, 2L -> 999L, 15L -> 150L, 55L -> 551L),
+        "the branch head shows per-epoch replace-on-conflict state")
+    } finally q2.stop()
+    GraftVersions.fastForward(fs, root, "ingest2")
+    assert(spark.read.format("graft").load(path)
+      .select("d0", "v").as[(Long, Long)].collect().toMap ==
+      Map(1L -> 10L, 2L -> 999L, 15L -> 150L, 55L -> 551L),
+      "fast_forward publishes the merged upsert state atomically")
   }
 }
