@@ -39,7 +39,13 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
   *     z-order / regrid read through the connector (dv applied) and write
   *     clean files, so their commits drop the dv references naturally;
   *   - expire deletes a dv file when no retained manifest references it;
-  *     the orphan sweep covers crashed-commit dv debris.
+  *     the orphan sweep covers crashed-commit dv debris;
+  *   - sidecars stay SMALL by construction: once a file's cumulative
+  *     deleted fraction crosses [[CutoverFraction]] (or the absolute
+  *     [[CutoverMaxPositions]] bound), the sealing DELETE rewrites that
+  *     file's live rows executor-side ([[rewriteLive]]) instead of
+  *     vectoring — the positions encoding never meets the mass-delete
+  *     case it is wrong for.
   *
   * Sidecars live under `root/_graft_dv/` (outside the chunk grid — the
   * underscore prefix keeps them invisible to the data-file walk), named by
@@ -108,6 +114,107 @@ private[graft] object GraftDv {
   /** Union of two sorted-distinct position arrays, sorted distinct. */
   def union(a: Array[Long], b: Array[Long]): Array[Long] =
     (a ++ b).distinct.sorted
+
+  /** Fraction of a file's PHYSICAL rows above which a DELETE abandons the
+    * vector and rewrites the file's live rows instead. The positions
+    * encoding is right for trickle deletes (8 B per deleted row) and
+    * pathological for mass ones — a 50%-delete of a 10M-row file would be
+    * a 40 MB sidecar that every subsequent read re-parses, where the
+    * rewrite pays once and leaves a HALVED clean file. 20% keeps the
+    * sidecar at most ~1/5 the row count while deletes stay metadata-cheap
+    * in the target workload (GDPR erasure, label fixes). */
+  val CutoverFraction = 0.2
+  /** Absolute cap regardless of fraction: 2^22 positions = a 32 MB
+    * sidecar — the bound for files whose physical row count the manifest
+    * never learned (rows = −1, foreign/legacy entries). */
+  val CutoverMaxPositions: Long = 1L << 22
+
+  /** Session override for [[CutoverFraction]] — `1.0` disables the
+    * fraction cutover entirely (a union can never exceed the row count),
+    * letting an operator keep vectors fat on purpose (e.g. when the
+    * before-images must stay cheap for a change-feed consumer and a
+    * maintenance compact will shed them on its own schedule). */
+  val CutoverFractionConf = "graft.dv.cutover.fraction"
+
+  def cutoverFraction(spark: org.apache.spark.sql.SparkSession): Double =
+    scala.util.Try(spark.conf.get(CutoverFractionConf).toDouble)
+      .getOrElse(CutoverFraction)
+
+  /** Should a DELETE leaving `unionLen` total deleted positions on a file
+    * of `fileRows` physical rows (−1 = unknown) rewrite instead of
+    * vectoring? */
+  def shouldCutover(unionLen: Long, fileRows: Long,
+      fraction: Double = CutoverFraction): Boolean =
+    (fileRows > 0L && unionLen.toDouble > fraction * fileRows) ||
+      unionLen > CutoverMaxPositions
+
+  /** COW-rewrite each (rel, deleted positions) file to a clean
+    * live-rows-only sibling in the same cell, EXECUTOR-SIDE — one task per
+    * file, parallel across the job, so a mass delete's rewrite cost rides
+    * the cluster, not the driver (contrast [[materializeFile]], the
+    * driver-side legacy-barrier path that must never grow callers).
+    * Returns the clean entries (no dv), bounds + row count captured from
+    * the output footer the task just closed (page-hot; `countOpen = false`
+    * — this is not a driver seal read). `statsWanted`: None = the table
+    * declared stats off; Some(w) = capture with the declared column
+    * filter. */
+  def rewriteLive(spark: org.apache.spark.sql.SparkSession, root: Path,
+      jobs: Seq[(String, Array[Long])],
+      statsWanted: Option[Option[Set[String]]])
+      : Seq[GraftVersions.ManifestEntry] = {
+    if (jobs.isEmpty) return Seq.empty
+    val rootStr = root.toString
+    spark.sparkContext.parallelize(jobs, jobs.size)
+      .map { case (rel, pos) => rewriteOne(rootStr, rel, pos, statsWanted) }
+      .collect().toSeq.flatten
+  }
+
+  private def rewriteOne(rootStr: String, rel: String, positions: Array[Long],
+      statsWanted: Option[Option[Set[String]]])
+      : Option[GraftVersions.ManifestEntry] = {
+    val conf = new Configuration()
+    val fs = FileSystem.get(new java.net.URI(rootStr), conf)
+    val root = new Path(rootStr)
+    val src = new Path(root, rel)
+    val dst = new Path(src.getParent,
+      s"part-dvc-${java.util.UUID.randomUUID()}.parquet")
+    val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf))
+    val schema = try pfr.getFooter.getFileMetaData.getSchema finally pfr.close()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = new GraftParquetWriterBuilder(dst, new GroupWriteSupport())
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val reader: ParquetReader[Group] =
+      ParquetReader.builder(new GroupReadSupport(), src).withConf(conf).build()
+    var live = 0L
+    try {
+      var ordinal = 0L
+      var di = 0
+      var g = reader.read()
+      while (g != null) {
+        if (di < positions.length && positions(di) == ordinal) di += 1
+        else { writer.write(g); live += 1L }
+        ordinal += 1
+        g = reader.read()
+      }
+    } finally { reader.close(); writer.close() }
+    if (live == 0L) {
+      // every row was deleted (reachable only when the manifest never knew
+      // the file's row count): the file retires with no replacement
+      fs.delete(dst, false)
+      return None
+    }
+    val relDst = (rel.split('/').dropRight(1) :+ dst.getName).mkString("/")
+    val size = fs.getFileStatus(dst).getLen
+    Some(statsWanted match {
+      case Some(w) =>
+        val (ints, strs, rows) = GraftStats.ofFile(conf, dst, w, countOpen = false)
+        GraftVersions.ManifestEntry(relDst, size, ints, None, strs, rows)
+      case None => GraftVersions.ManifestEntry(relDst, size)
+    })
+  }
 
   /** dv rels referenced by a set of manifest entries. */
   def relsOf(entries: Seq[GraftVersions.ManifestEntry]): Set[String] =

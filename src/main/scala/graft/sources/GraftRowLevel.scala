@@ -38,18 +38,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftRowLevelBuilder(path: String, schema: StructType,
     info: RowLevelOperationInfo,
     branch: Option[String] = None) extends RowLevelOperationBuilder {
-  /** DELETE goes MERGE-ON-READ (position deltas → deletion vectors,
-    * [[GraftDeltaDeleteOperation]]) whenever the commit log is
-    * authoritative — a selective DELETE then moves zero data bytes.
-    * UPDATE and MERGE stay copy-on-write: their changed values can
-    * relocate rows across cells, which is exactly the reference's
-    * whole-chunk replace contract, and rewriting is the honest cost
-    * there. Unversioned worlds and barrier windows keep the COW DELETE
-    * too (a vector needs a manifest entry to hang off). */
+  /** DELETE and UPDATE go MERGE-ON-READ whenever the commit log is
+    * authoritative: DELETE as position deltas → deletion vectors
+    * ([[GraftDeltaDeleteOperation]]), UPDATE as delete-and-insert deltas
+    * ([[GraftDeltaUpdateOperation]]) — old images retire by position into
+    * vectors, new images append through the routed chunk writer into
+    * whatever cell their (possibly changed) bucket values name, so a
+    * 1-row label fix in a gigabyte cell writes a ~20-byte sidecar plus a
+    * 1-row file instead of rewriting the gigabyte, and a relocating
+    * UPDATE moves exactly the relocated rows. MERGE stays copy-on-write
+    * (chunk-grain replace — the reference's whole-chunk contract,
+    * /root/reference/src/world.rs:89-122). Unversioned worlds and barrier
+    * windows keep COW for everything (a vector needs a manifest entry to
+    * hang off). */
   override def build(): RowLevelOperation =
-    if (info.command == Command.DELETE && GraftStage.manifestAuthoritative(path))
-      new GraftDeltaDeleteOperation(path, schema, branch)
-    else new GraftRowLevelOperation(path, schema, info.command, branch)
+    if (GraftStage.manifestAuthoritative(path)) info.command match {
+      case Command.DELETE => new GraftDeltaDeleteOperation(path, schema, branch)
+      case Command.UPDATE => new GraftDeltaUpdateOperation(path, schema, branch)
+      case _ => new GraftRowLevelOperation(path, schema, info.command, branch)
+    } else new GraftRowLevelOperation(path, schema, info.command, branch)
 }
 
 /** `branch`: a WAP rewrite (`graft.wap.branch`) — candidate groups plan
@@ -122,9 +129,12 @@ class GraftRowLevelOperation(path: String, schema: StructType, cmd: Command,
   *
   * Concurrency: the seal retires entries (the dv-swap), so a CAS loss
   * aborts loudly like every retiring commit; a file vanished from the
-  * predecessor manifest (concurrent rewrite of the same cell) aborts too
-  * rather than attaching a vector to a dead entry. WAP sessions stage
-  * vectors on the branch chain exactly like any branch DML. */
+  * predecessor manifest (concurrent rewrite of the same cell — a
+  * compaction, a COW DML, or another DELETE's fraction CUTOVER) aborts too
+  * rather than attaching a vector to a dead entry — the statement's
+  * positions address the dead file, so the only sound move is a user-level
+  * retry that re-scans the new state. WAP sessions stage vectors on the
+  * branch chain exactly like any branch DML. */
 class GraftDeltaDeleteOperation(path: String, schema: StructType,
     branch: Option[String] = None)
     extends RowLevelOperation with SupportsDelta {
@@ -210,8 +220,6 @@ class GraftDvDeleteWrite(path: String, fileIdx: Int, posIdx: Int,
     GraftDvDeleteWriterFactory(fileIdx, posIdx)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = FileSystem.get(
-      new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
     val root = new Path(path)
     // merge task vectors per data file (a file's rows can span task splits)
     val byRel: Map[String, Array[Long]] = messages.toSeq
@@ -219,32 +227,213 @@ class GraftDvDeleteWrite(path: String, fileIdx: Int, posIdx: Int,
       .groupMapReduce { case (f, _) =>
         GraftVersions.relOf(root, new Path(f)) }(_._2)(_ ++ _)
     if (byRel.isEmpty) return // DELETE matched nothing: no new version
-    // POSITION DELETES COMPOSE: the ordinals address the immutable
-    // physical file, not its live view, so losing the commit CAS to an
-    // interleaved writer is not a conflict as long as every touched rel is
-    // still live — re-begin and re-union against the NEW predecessor's
-    // vectors (a concurrent DELETE of other rows of the same file merges
-    // losslessly; GDPR workers can trickle-delete in parallel). Only a
-    // rel that LEFT the manifest (its cell was rewritten) aborts: the
-    // positions are addresses into a dead file. Retries are bounded —
-    // each loss means another writer made progress, but a livelock under
-    // pathological contention should fail loudly, not spin.
+    GraftDvCommit.seal(path, branch, byRel, Seq.empty, "DELETE")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** MERGE-ON-READ `UPDATE`: a DSv2 delta operation that represents each
+  * matched row as DELETE-by-address plus INSERT-of-the-new-image
+  * ([[representUpdateAsDeleteAndInsert]]). Spark plans the candidate scan
+  * with the condition pushed, streams matched rows to this write split in
+  * two, and the write (a) buffers the old images' (`_file`, `_pos`)
+  * addresses exactly like the MOR DELETE and (b) routes the new images
+  * through the ordinary clustered chunk writer ([[GraftDataWriter]]) into
+  * the cell their NEW bucket values name — so a non-relocating UPDATE
+  * appends next to its old file and a relocating one lands in its new
+  * cell, both without touching a pre-existing data byte. One seal swaps
+  * the vectors in and the new-image files on atomically
+  * ([[GraftDvCommit]]); untouched files keep their manifest lines
+  * verbatim. The additive landing matches the COW path's contract for
+  * moved rows (cells never scanned receive rows additively).
+  *
+  * Scale shape: cost is O(matched rows) — the floor — where the COW
+  * rewrite paid O(rows of every matched file). The fraction cutover caps
+  * the vector pathology exactly as for DELETE: an UPDATE that guts a file
+  * rewrites that file's survivors clean in the same commit. */
+class GraftDeltaUpdateOperation(path: String, schema: StructType,
+    branch: Option[String] = None)
+    extends RowLevelOperation with SupportsDelta {
+  override def command(): Command = Command.UPDATE
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, schema, pin = branch.map(GraftBranchPin(_)))
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftDataSource.FileColumn),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftDataSource.PosColumn))
+
+  /** Old image → (delete delta, insert delta): the split is what makes
+    * relocation free — the insert half re-routes like any fresh row. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
+    val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
+      new IllegalStateException("graft MOR update: no rowId schema"))
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaUpdateWrite(path, info.schema(),
+          rowIdSchema.fieldIndex(GraftDataSource.FileColumn),
+          rowIdSchema.fieldIndex(GraftDataSource.PosColumn), branch)
+    }
+  }
+
+  override def description(): String =
+    "graft merge-on-read UPDATE (deletion vectors + routed append)"
+}
+
+/** Task → driver channel of one update-delta writer: the deleted old-image
+  * addresses plus the ordinary append message of the new-image files the
+  * task's wrapped chunk writer produced (sizes + writer-captured stats
+  * included, so the seal stays footer-free). */
+final case class GraftDeltaUpdateMessage(dv: Seq[(String, Array[Long])],
+    add: GraftCommitMessage) extends WriterCommitMessage
+
+final case class GraftDeltaUpdateWriterFactory(path: String,
+    schema: StructType, fileIdx: Int, posIdx: Int,
+    bloomCols: Seq[String], checks: Seq[GraftChecks.Check],
+    declaredBuckets: Option[Set[String]], statsMode: GraftStats.Mode)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      private val acc = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      // new images write IN PLACE into their final cells (the operation is
+      // gated on an authoritative log, so unmanifested files are invisible
+      // until the seal), through the same routed writer every graft batch
+      // write uses — checks, blooms, sums, and zone-map capture included
+      private val data = new GraftDataWriter(path, schema, partitionId,
+        taskId, bloomCols, checks, declaredBuckets, statsMode)
+
+      override def delete(meta: org.apache.spark.sql.catalyst.InternalRow,
+          id: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        acc.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+          id.getLong(posIdx)
+
+      override def update(meta: org.apache.spark.sql.catalyst.InternalRow,
+          id: org.apache.spark.sql.catalyst.InternalRow,
+          row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        throw new IllegalStateException(
+          "graft MOR update declared delete-and-insert representation " +
+            "but received an UPDATE delta")
+
+      override def insert(
+          row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        data.write(row)
+
+      override def commit(): WriterCommitMessage =
+        GraftDeltaUpdateMessage(
+          acc.toSeq.map { case (f, b) => (f, b.toArray) },
+          data.commit().asInstanceOf[GraftCommitMessage])
+
+      override def abort(): Unit = data.abort()
+      override def close(): Unit = data.close()
+    }
+}
+
+class GraftDeltaUpdateWrite(path: String, schema: StructType,
+    fileIdx: Int, posIdx: Int,
+    branch: Option[String] = None) extends DeltaWrite with DeltaBatchWrite {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  override def toBatch: DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    GraftDeltaUpdateWriterFactory(path, schema, fileIdx, posIdx,
+      GraftBloom.columnsOf(path),
+      GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema),
+      GraftStage.declaredBuckets(path), GraftStats.modeOf(path))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val dms = messages.collect { case m: GraftDeltaUpdateMessage => m }
+    val byRel: Map[String, Array[Long]] = dms.toSeq.flatMap(_.dv)
+      .groupMapReduce { case (f, _) =>
+        GraftVersions.relOf(root, new Path(f)) }(_._2)(_ ++ _)
+    val appended = GraftStage.messageEntries(root,
+      dms.map(_.add: WriterCommitMessage))
+    if (byRel.isEmpty && appended.isEmpty) return // matched nothing
+    GraftDvCommit.seal(path, branch, byRel, appended, "UPDATE")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // the new-image files were written in place but never manifested —
+    // invisible; delete eagerly rather than leaving them to the sweep
+    val fs = FileSystem.get(
+      new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
+    messages.foreach {
+      case m: GraftDeltaUpdateMessage =>
+        m.add.files.foreach(f => fs.delete(new Path(f), false))
+      case _ =>
+    }
+  }
+}
+
+/** The shared MERGE-ON-READ sealer: turn per-file deleted positions into
+  * fresh deletion-vector sidecars (or, past the cutover bound, clean
+  * executor-side rewrites) and seal ONE versioned commit that also adds
+  * `appended` entries — the new-image files a delta UPDATE routed into
+  * their cells ride the same seal as the vectors retiring their old
+  * positions, so readers see both-or-neither.
+  *
+  * POSITION DELETES COMPOSE: the ordinals address the immutable physical
+  * file, not its live view, so losing the commit CAS to an interleaved
+  * writer is not a conflict as long as every touched rel is still live —
+  * re-begin and re-union against the NEW predecessor's vectors (a
+  * concurrent DELETE of other rows of the same file merges losslessly;
+  * GDPR workers can trickle-delete in parallel). Only a rel that LEFT the
+  * manifest (its cell was rewritten — a compaction, a COW DML, or another
+  * statement's fraction cutover) aborts: the positions are addresses into
+  * a dead file, so the only sound move is a user-level retry that
+  * re-scans the new state. Retries are bounded — each loss means another
+  * writer made progress, but a livelock under pathological contention
+  * should fail loudly, not spin. */
+private[sources] object GraftDvCommit {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  def seal(path: String, branch: Option[String],
+      byRel: Map[String, Array[Long]],
+      appended: Seq[GraftVersions.ManifestEntry],
+      verb: String): Unit = {
+    val fs = FileSystem.get(
+      new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
+    val root = new Path(path)
+    // declared stats mode for cutover rewrites, resolved once driver-side
+    val statsWanted: Option[Option[Set[String]]] =
+      GraftStats.mode(fs, root) match {
+        case GraftStats.OffMode => None
+        case GraftStats.ColsMode(cols) => Some(Some(cols.toSet))
+        case _ => Some(None)
+      }
     var attempt = 0
     var done = false
+    var vectoredN = 0
+    var cutoverN = 0
     while (!done) {
       val c = branch match {
         case Some(b) => GraftVersions.beginBranchCommit(fs, root, b)
         case None    => GraftVersions.beginCommit(fs, root)
       }
       val prevByRel = c.prev.getOrElse(throw new IllegalStateException(
-        "graft MOR delete: the commit log stopped being authoritative " +
-          "mid-statement (concurrent World rewrite?) — retry the DELETE"))
+        s"graft MOR $verb: the commit log stopped being authoritative " +
+          s"mid-statement (concurrent World rewrite?) — retry the $verb"))
         .map(e => e.rel -> e).toMap
-      val updated = byRel.toSeq.sortBy(_._1).map { case (rel, fresh) =>
+      val unioned = byRel.toSeq.sortBy(_._1).map { case (rel, fresh) =>
         val e = prevByRel.getOrElse(rel,
           throw new java.util.ConcurrentModificationException(
-            s"graft MOR delete: $rel left the latest manifest while this " +
-              "DELETE ran (concurrent rewrite of its cell) — retry against " +
+            s"graft MOR $verb: $rel left the latest manifest while this " +
+              s"$verb ran (concurrent rewrite of its cell) — retry against " +
               "the new state"))
         // vectors are immutable: union old + new into a FRESH sidecar, so
         // the predecessor version keeps reading its own vector (time travel)
@@ -252,25 +441,51 @@ class GraftDvDeleteWrite(path: String, fileIdx: Int, posIdx: Int,
           case Some((dvRel, _)) => GraftDv.read(fs, new Path(root, dvRel))
           case None => Array.emptyLongArray
         }
-        val (dvRel, n) = GraftDv.write(fs, root, GraftDv.union(existing, fresh))
+        (rel, e, GraftDv.union(existing, fresh))
+      }
+      // pathological-case cap: a file whose cumulative deleted fraction
+      // crosses GraftDv.CutoverFraction (or whose sidecar would exceed the
+      // absolute bound) is COW-rewritten executor-side instead of carrying
+      // an ever-fatter vector — the rewrite pays once, reads stop paying
+      // per query. Both shapes seal in the SAME commit (a statement can
+      // trickle one file and gut another).
+      val cutFraction = GraftDv.cutoverFraction(
+        org.apache.spark.sql.SparkSession.active)
+      val (cut0, vec) = unioned.partition { case (_, e, u) =>
+        GraftDv.shouldCutover(u.length.toLong, e.rows, cutFraction) }
+      // a file whose EVERY row is now deleted simply retires — no vector,
+      // no rewrite, no empty replacement file
+      val cut = cut0.filterNot { case (_, e, u) =>
+        e.rows > 0L && u.length.toLong == e.rows }
+      val vecUpdated = vec.map { case (_, e, u) =>
+        val (dvRel, n) = GraftDv.write(fs, root, u)
         e.copy(dv = Some((dvRel, n)))
       }
+      // inside the retry loop on purpose: a CAS loss may mean a concurrent
+      // DELETE grew this file's deleted set, so the rewrite must re-run
+      // against the fresh union (the stale output falls to the orphan
+      // sweep, like the round's sidecars)
+      val rewritten = GraftDv.rewriteLive(
+        org.apache.spark.sql.SparkSession.active, root,
+        cut.map { case (rel, _, u) => (rel, u) }, statsWanted)
       try {
-        GraftVersions.sealCommit(fs, root, c, byRel.keySet, updated)
+        GraftVersions.sealCommit(fs, root, c, byRel.keySet,
+          vecUpdated ++ rewritten ++ appended)
+        vectoredN = vecUpdated.size
+        cutoverN = rewritten.size
         done = true
       } catch {
         case e: java.util.ConcurrentModificationException if attempt < 8 =>
           attempt += 1 // this round's sidecars fall to the orphan sweep
           org.slf4j.LoggerFactory.getLogger(getClass).info(
-            s"graft MOR delete on $path lost the seal CAS (attempt " +
+            s"graft MOR $verb on $path lost the seal CAS (attempt " +
               s"$attempt), re-unioning against the new state: ${e.getMessage}")
       }
     }
     org.slf4j.LoggerFactory.getLogger(getClass).info(
-      s"graft MOR delete on $path: ${byRel.size} file(s) vectored, " +
+      s"graft MOR $verb on $path: $vectoredN file(s) vectored, " +
+        s"$cutoverN file(s) cut over to rewrite, " +
         s"${byRel.valuesIterator.map(_.length).sum} row(s) deleted, " +
-        "0 data bytes rewritten")
+        s"${appended.size} new-image file(s) appended")
   }
-
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

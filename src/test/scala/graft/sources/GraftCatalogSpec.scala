@@ -116,7 +116,7 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graftcat.del")
   }
 
-  test("UPDATE: copy-on-write rewrites candidate chunks only; bucket-column updates relocate rows") {
+  test("UPDATE: merge-on-read touches only matched rows; bucket-column updates relocate rows") {
     spark.sql("CREATE TABLE graftcat.upd (d0 BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO graftcat.upd SELECT id, id DIV 10 FROM range(0, 40)")
     def filesIn(cell: String): Set[String] = {
@@ -125,16 +125,22 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       else d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
     }
     val untouched = filesIn("c0=3")
-    // bucket-pruned condition + data-column predicate: only c0=1 rewrites
+    // bucket-pruned condition + data-column predicate: only c0=1 is touched
+    // (5 of its 10 rows cross the dv cutover, so the survivors rewrite
+    // clean and the new images append — all within the one cell)
     spark.sql("UPDATE graftcat.upd SET d0 = d0 + 100 WHERE c0 = 1 AND d0 >= 15")
     assert(spark.sql("SELECT d0 FROM graftcat.upd").collect()
       .map(_.getLong(0)).toSet ==
       ((0L until 15L) ++ (115L until 120L) ++ (20L until 40L)).toSet)
     assert(filesIn("c0=3") == untouched,
       "chunks outside the pruned candidates must not be rewritten")
-    val sum = GraftReplaceGroupsWrite.lastSummary(s"$warehouse/upd")
-    assert(sum.exists(s => s.replacedCells == 1 && s.stagedCells == 1),
-      s"one candidate cell replaced, one staged back; got $sum")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"$warehouse/upd"), new org.apache.hadoop.conf.Configuration())
+    val root = new org.apache.hadoop.fs.Path(s"$warehouse/upd")
+    val live = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get)
+    assert(live.filterNot(_.rel.contains("c0=1")).forall(_.dv.isEmpty),
+      s"untouched cells keep their manifest lines verbatim: $live")
     // a predicate matching NOTHING must leave every cell untouched — the
     // guard against the double-planning stale-superset hazard (a dir
     // recorded by a pre-runtime-filter plan but never re-read would be

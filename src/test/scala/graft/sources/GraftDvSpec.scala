@@ -141,21 +141,55 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(1)).toSet.size == rows.length, "addresses unique")
   }
 
-  test("UPDATE stays copy-on-write (no vector, cells rewritten)") {
+  test("UPDATE goes merge-on-read: old image vectored, new image appended, zero bytes rewritten") {
     val (fs, root) = fsOf(s"$warehouse/t")
     val before = GraftVersions.readEntries(fs, root,
       GraftVersions.latestVersion(fs, root).get)
+    val bytesBefore = dataFileStates(fs, root)
     spark.sql("UPDATE dvcat.t SET v = v + 1 WHERE d0 = 12")
     val after = GraftVersions.readEntries(fs, root,
       GraftVersions.latestVersion(fs, root).get)
     val cell1After = after.filter(_.rel.contains("c0=1"))
-    assert(cell1After.forall(_.dv.isEmpty),
-      "the COW rewrite replaced cell c0=1 with clean files")
-    assert(cell1After.map(_.rel).toSet !=
-      before.filter(_.rel.contains("c0=1")).map(_.rel).toSet,
-      "UPDATE rewrote the cell's files")
+    val old1 = before.filter(_.rel.contains("c0=1")).map(_.rel).toSet
+    // the old file stays listed, now carrying a 1-position vector
+    assert(old1.subsetOf(cell1After.map(_.rel).toSet),
+      "MOR UPDATE keeps the old file in the manifest")
+    assert(cell1After.exists(e => old1.contains(e.rel) && e.dv.exists(_._2 == 1L)),
+      s"the old image is vectored: $cell1After")
+    // exactly one clean 1-row new-image file joined the same cell
+    val fresh = cell1After.filterNot(e => old1.contains(e.rel))
+    assert(fresh.size == 1 && fresh.head.dv.isEmpty && fresh.head.rows == 1L,
+      s"one routed new-image file: $fresh")
+    // NO pre-existing data byte moved (the COW path re-wrote the cell)
+    val bytesAfter = dataFileStates(fs, root)
+    assert(bytesBefore.forall { case (rel, st) => bytesAfter.get(rel).contains(st) },
+      "MOR UPDATE must not touch a pre-existing data byte")
     assert(spark.sql("SELECT v FROM dvcat.t WHERE d0 = 12")
       .collect()(0).getLong(0) == 121L)
+    assert(spark.sql("SELECT count(*) FROM dvcat.t").collect()(0).getLong(0) == 37L)
+  }
+
+  test("relocating UPDATE: the moved row's new image lands in its NEW cell") {
+    spark.sql("CREATE TABLE dvcat.rl (d0 BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO dvcat.rl SELECT id, id, id DIV 10 FROM range(0, 20)")
+    val (fs, root) = fsOf(s"$warehouse/rl")
+    val files0 = dataFileStates(fs, root)
+    spark.sql("UPDATE dvcat.rl SET c0 = 1 WHERE d0 = 3") // cell 0 → cell 1
+    val after = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get)
+    assert(after.exists(e => e.rel.contains("c0=0") && e.dv.exists(_._2 == 1L)),
+      s"old image vectored in its OLD cell: $after")
+    assert(after.exists(e => e.rel.contains("c0=1") && e.rows == 1L && e.dv.isEmpty),
+      s"new image appended in its NEW cell: $after")
+    val bytesAfter = dataFileStates(fs, root)
+    assert(files0.forall { case (rel, st) => bytesAfter.get(rel).contains(st) },
+      "relocation moves exactly the relocated row, no rewrite")
+    assert(spark.sql("SELECT c0 FROM dvcat.rl WHERE d0 = 3")
+      .collect()(0).getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM dvcat.rl").collect()(0).getLong(0) == 20L)
+    assert(spark.sql("SELECT count(*) FROM dvcat.rl WHERE c0 = 1")
+      .collect()(0).getLong(0) == 11L, "bucket-pruned reads see the moved row")
+    spark.sql("DROP TABLE dvcat.rl")
   }
 
   test("compaction reads through the vectors and sheds them") {
@@ -174,8 +208,12 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("compact(max_deleted_pct) sheds vector-heavy cells by manifest math") {
     spark.sql("CREATE TABLE dvcat.dh (d0 BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO dvcat.dh SELECT id, id DIV 10 FROM range(0, 20)")
-    // cell c0=0 loses 6 of 10 rows (60% deleted), c0=1 loses none
-    spark.sql("DELETE FROM dvcat.dh WHERE d0 < 6")
+    // cell c0=0 loses 6 of 10 rows (60% deleted), c0=1 loses none. The
+    // fraction cutover is declared OFF so the vector-heavy state this
+    // maintenance knob exists for can actually form.
+    spark.conf.set(GraftDv.CutoverFractionConf, "1.0")
+    try spark.sql("DELETE FROM dvcat.dh WHERE d0 < 6")
+    finally spark.conf.unset(GraftDv.CutoverFractionConf)
     val (fs, root) = fsOf(s"$warehouse/dh")
     def entryOf(cell: String) = GraftVersions.readEntries(fs, root,
       GraftVersions.latestVersion(fs, root).get).filter(_.rel.contains(cell))
@@ -190,6 +228,53 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(entryOf("c0=0").forall(_.dv.isEmpty), "the rewrite shed the vector")
     assert(spark.sql("SELECT count(*) FROM dvcat.dh").collect()(0).getLong(0) == 14L)
     spark.sql("DROP TABLE dvcat.dh")
+  }
+
+  test("mass-delete cutover: crossing the fraction rewrites the file, trickle stays vectored") {
+    spark.sql("CREATE TABLE dvcat.cut (d0 BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO dvcat.cut SELECT id, id * 2, id DIV 50 FROM range(0, 100)")
+    val (fs, root) = fsOf(s"$warehouse/cut")
+    def entriesNow = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get)
+    val before = entriesNow
+    assert(before.forall(_.rows == 50L), s"writer-captured rows: $before")
+
+    // trickle: 5 of 50 rows (10% < 20%) in cell c0=0 → vector, bytes intact
+    val files0 = dataFileStates(fs, root)
+    spark.sql("DELETE FROM dvcat.cut WHERE d0 < 5")
+    val afterTrickle = entriesNow
+    assert(afterTrickle.exists(e => e.rel.contains("c0=0") && e.dv.isDefined),
+      s"a 10% delete stays a vector: $afterTrickle")
+    assert(dataFileStates(fs, root) == files0, "trickle: zero data bytes move")
+
+    // mass: cumulative 20 of 50 (40% > 20%) → the file is COW-rewritten
+    // executor-side: no vector, a fresh rel, old bytes untouched in place
+    spark.sql("DELETE FROM dvcat.cut WHERE d0 >= 5 AND d0 < 20")
+    val afterMass = entriesNow
+    val cell0 = afterMass.filter(_.rel.contains("c0=0"))
+    assert(cell0.nonEmpty && cell0.forall(_.dv.isEmpty),
+      s"the cutover must shed the vector: $cell0")
+    assert(cell0.map(_.rel).toSet.intersect(
+      before.filter(_.rel.contains("c0=0")).map(_.rel).toSet).isEmpty,
+      "the cutover wrote a FRESH file")
+    assert(cell0.forall(_.rows == 30L),
+      s"the clean file's manifest rows are its live count: $cell0")
+    // the rewrite carried zone maps for the clean file (no seal footer read)
+    assert(cell0.forall(e => e.stats.contains("d0")), s"cutover stats: $cell0")
+    // answers stay exact; the untouched cell kept its file verbatim
+    assert(spark.sql("SELECT count(*), sum(v) FROM dvcat.cut").collect()(0)
+      .toSeq == Seq(80L, (20L until 100L).map(_ * 2).sum))
+    assert(afterMass.filter(_.rel.contains("c0=1")).map(_.rel).toSet ==
+      before.filter(_.rel.contains("c0=1")).map(_.rel).toSet)
+    // time travel: both pre-delete and post-trickle snapshots stay exact
+    val vs = GraftVersions.listVersions(fs, root)
+    assert(spark.read.format("graft")
+      .option("graft.snapshot", vs(vs.size - 3).toString)
+      .load(s"$warehouse/cut").count() == 100L)
+    assert(spark.read.format("graft")
+      .option("graft.snapshot", vs(vs.size - 2).toString)
+      .load(s"$warehouse/cut").count() == 95L)
+    spark.sql("DROP TABLE dvcat.cut")
   }
 
   test("expire reclaims sidecars no retained manifest references") {
@@ -254,7 +339,10 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"$warehouse/mv_state", Seq("grp"), Seq("v"))
     mv.initialize()
     // vectors, not rewrites: the MV's delta must still see the before-images
-    spark.sql("DELETE FROM dvcat.mv_base WHERE id IN (3, 6, 9)") // all grp 0
+    // (30% of one file would cut over — pin the VECTOR path explicitly)
+    spark.conf.set(GraftDv.CutoverFractionConf, "1.0")
+    try spark.sql("DELETE FROM dvcat.mv_base WHERE id IN (3, 6, 9)") // all grp 0
+    finally spark.conf.unset(GraftDv.CutoverFractionConf)
     val (fs, root) = fsOf(s"$warehouse/mv_base")
     assert(GraftVersions.readEntries(fs, root,
       GraftVersions.latestVersion(fs, root).get).exists(_.dv.isDefined),
@@ -273,7 +361,11 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("INSERT INTO dvcat.cc SELECT id, id DIV 100 FROM range(0, 100)")
     // 4 workers deleting disjoint rows of the SAME file, racing: position
     // deletes address the immutable physical file, so every loser re-unions
-    // against the winner's vector and all four land
+    // against the winner's vector and all four land. Cutover pinned OFF:
+    // the cumulative union crosses 20% mid-race here, and a cutover
+    // rewrite retires the rel the racing statements address — that case
+    // aborts loudly ("retry against the new state"), it must not compose.
+    spark.conf.set(GraftDv.CutoverFractionConf, "1.0")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val fs4 = (0 until 4).map { w =>
       pool.submit(new Runnable {
@@ -282,7 +374,8 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
       })
     }
     pool.shutdown()
-    fs4.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    try fs4.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    finally spark.conf.unset(GraftDv.CutoverFractionConf)
     assert(spark.sql("SELECT count(*) FROM dvcat.cc").collect()(0).getLong(0) == 60L,
       "all four workers' deletes composed")
     val (fs, root) = fsOf(s"$warehouse/cc")
