@@ -589,26 +589,29 @@ object Dedup {
     // hot-shingle salting: a stop-phrase shingle with df in the thousands
     // would emit ALL its probe×index candidate rows in one shuffle task —
     // the run-to-run variance killer. Probe rows of a hot shingle scatter
-    // across `hotSalts` sub-keys (a deterministic function of the probe id,
-    // so every probe row of a doc lands once); index postings of a hot
-    // shingle replicate across all sub-keys. Cold shingles (df < hotDf)
-    // keep salt 0 on both sides — zero replication in the common case; the
-    // candidate join stays keyed on (s, salt) with per-task fan-out bounded
-    // by df²/hotSalts instead of df².
+    // across sub-keys (a deterministic function of the probe id, so every
+    // probe row of a doc lands once); index postings of a hot shingle
+    // replicate across all its sub-keys. The salt count is ADAPTIVE —
+    // df/hotDf, capped — so per-task fan-out is bounded at ~hotDf·df for
+    // EVERY df instead of df²: a fixed salt count left a mid-hot band
+    // (df a few hundred) under-split and the ultra-hot band (df in the
+    // tens of thousands) quadratic. Cold shingles (df < 2·hotDf) compute
+    // salts = 1 → salt 0 on both sides, zero replication in the common
+    // case; the candidate join stays keyed on (s, salt).
     val hotDf = 64L
-    val hotSalts = 16L
+    val maxSalts = 256L
+    val saltsOf = least(
+      greatest(floor(col("df_") / hotDf).cast("long"), lit(1L)), lit(maxSalts))
     val probe = ranked
       .where(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("s"), col("id").as("id_p"), col("sz").as("sz_p"), col("rk").as("rk_p"),
-        when(col("df_") >= hotDf, pmod(xxhash64(col("id")), lit(hotSalts)))
-          .otherwise(lit(0L)).as("salt"))
+        pmod(xxhash64(col("id")), saltsOf).as("salt"))
     // index prefix: ceil(2t/(1+t) * sz) is the PPJoin indexing bound
     val idxFrac = 2 * threshold / (1 + threshold)
     val index = ranked
       .where(col("rk") <= col("sz") - ceil(col("sz") * idxFrac) + 1)
       .select(col("s"), col("id").as("id_i"), col("sz").as("sz_i"), col("rk").as("rk_i"),
-        explode(when(col("df_") >= hotDf, sequence(lit(0L), lit(hotSalts - 1L)))
-          .otherwise(array(lit(0L)))).as("salt"))
+        explode(sequence(lit(0L), saltsOf - 1)).as("salt"))
     val cand = probe.join(index, Seq("s", "salt"))
       .where(
         // orient: probe doc strictly (sz, id)-larger — each unordered pair
