@@ -522,6 +522,57 @@ object DmdsQueries {
                 WHERE event_type >= 'r' ORDER BY event_id""")
       ),
 
+      "w_stats_prune_ts" -> QueryDef(
+        // TIMESTAMP zone maps through the oracle gate (the int/string
+        // twins' layout): three commits land disjoint ts windows into the
+        // SAME chunk cells, then a time-range readback keys on ts. The
+        // manifest carries each file's ts bounds as int64 micros (the
+        // parquet physical type), the pushed >= converts through the
+        // timestamp atom, and planning drops the two refuted commits'
+        // files with zero per-file I/O — the canonical "last hour over an
+        // append-ordered corpus" query at 100 TB, answered from one
+        // manifest read (GraftStatsSpec pins the file-drop; this declares
+        // the readback row-exact through the skip).
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wzt", "zt")
+          events(s2, dir).createOrReplaceTempView("ev_src_zt")
+          s2.sql("DROP TABLE IF EXISTS wzt.ev_zt")
+          s2.sql("""CREATE TABLE wzt.ev_zt
+                    (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, c0 BIGINT)""")
+          // deterministic ts terciles in exact micros arithmetic, restated
+          // identically in the oracle
+          val mm = s2.sql(
+            "SELECT min(unix_micros(ts)), max(unix_micros(ts)) FROM ev_src_zt")
+            .head
+          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          val a = lo + (hi - lo) / 3
+          val b = lo + 2 * ((hi - lo) / 3)
+          s2.sql(s"""INSERT INTO wzt.ev_zt
+                     SELECT event_id, ts, user_id, user_id DIV 512
+                     FROM ev_src_zt WHERE unix_micros(ts) < $a""")
+          s2.sql(s"""INSERT INTO wzt.ev_zt
+                     SELECT event_id, ts, user_id, user_id DIV 512
+                     FROM ev_src_zt
+                     WHERE unix_micros(ts) >= $a AND unix_micros(ts) < $b""")
+          s2.sql(s"""INSERT INTO wzt.ev_zt
+                     SELECT event_id, ts, user_id, user_id DIV 512
+                     FROM ev_src_zt WHERE unix_micros(ts) >= $b""")
+          s2.sql(s"""SELECT event_id, unix_micros(ts) AS ts_us, user_id
+                     FROM wzt.ev_zt
+                     WHERE ts >= timestamp_micros(${b}L)
+                     ORDER BY event_id""")
+        },
+        Some("""WITH cut AS (
+                  SELECT min(CAST(epoch_us(ts) AS BIGINT))
+                    + 2 * ((max(CAST(epoch_us(ts) AS BIGINT))
+                            - min(CAST(epoch_us(ts) AS BIGINT))) // 3) AS b
+                  FROM events)
+                SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id
+                FROM events, cut
+                WHERE CAST(epoch_us(ts) AS BIGINT) >= cut.b
+                ORDER BY event_id""")
+      ),
+
       "w_zorder_scan" -> QueryDef(
         // end-to-end over the Z-ORDERED layout: create the world with
         // zorderWithinChunks (intra-chunk rows follow the Morton curve of
@@ -862,11 +913,66 @@ object DmdsQueries {
                 ORDER BY event_id""")
       ),
 
+      "w_mor_update" -> QueryDef(
+        // MERGE-ON-READ row-level UPDATE through the oracle gate: a
+        // selective non-relocating label fix takes the DELTA path
+        // (GraftDeltaUpdateOperation) — matched old images retire by
+        // POSITION into deletion vectors, the new images append through
+        // the routed chunk writer into their unchanged cells, one seal
+        // swaps both in. ZERO pre-existing data bytes move (the query
+        // asserts every pre-update file is still live at its exact size,
+        // and that vectors exist) — where the COW path rewrote every
+        // matched cell: at 100 TB a 1-row fix in a 1-GB cell now writes a
+        // ~20-byte sidecar plus a 1-row file instead of the gigabyte. The
+        // readback unions the live state with the VERSION AS OF 1
+        // pre-update snapshot, so the one hash proves the update applied
+        // AND the superseded positions still serve time travel.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wmu", "mu")
+          events(s2, dir).createOrReplaceTempView("ev_src_mu")
+          s2.sql("DROP TABLE IF EXISTS wmu.ev_mu")
+          s2.sql("""CREATE TABLE wmu.ev_mu
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wmu.ev_mu
+                    SELECT event_id, user_id, value, user_id DIV 128
+                    FROM ev_src_mu WHERE event_id % 2 = 0""")
+          val wh = s2.conf.get("spark.sql.catalog.wmu.warehouse")
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(s"$wh/ev_mu"),
+            new org.apache.hadoop.conf.Configuration())
+          val root = new org.apache.hadoop.fs.Path(s"$wh/ev_mu")
+          val pre = graft.sources.GraftVersions.readEntries(fs, root, 1L)
+            .map(e => e.rel -> e.size).toMap
+          s2.sql("""UPDATE wmu.ev_mu SET value = value + 1000000
+                    WHERE event_id % 97 = 11""")
+          val after = graft.sources.GraftVersions.readEntries(fs, root,
+            graft.sources.GraftVersions.latestVersion(fs, root).get)
+          require(after.exists(_.dv.isDefined),
+            "w_mor_update must take the deletion-vector delta path")
+          require(pre.forall { case (rel, sz) =>
+            after.exists(e => e.rel == rel && e.size == sz) },
+            "a MOR update must keep every pre-update data file live, unchanged")
+          s2.sql("""SELECT 'v1' AS at, event_id, user_id, value
+                    FROM wmu.ev_mu VERSION AS OF 1
+                    UNION ALL
+                    SELECT 'now' AS at, event_id, user_id, value FROM wmu.ev_mu
+                    ORDER BY at, event_id""")
+        },
+        Some("""SELECT 'v1' AS at, event_id, user_id, value FROM events
+                WHERE event_id % 2 = 0
+                UNION ALL
+                SELECT 'now' AS at, event_id, user_id,
+                  CASE WHEN event_id % 97 = 11 THEN value + 1000000
+                       ELSE value END AS value
+                FROM events WHERE event_id % 2 = 0
+                ORDER BY at, event_id""")
+      ),
+
       "w_time_travel" -> QueryDef(
         // snapshot reads over the chunk grid through the oracle gate:
-        // INSERT seals commit v1, a row-level UPDATE (chunk-granular COW)
-        // seals v2 with the superseded chunk files retired into
-        // `_graft_history` — and `VERSION AS OF 1` reads the PRE-update
+        // INSERT seals commit v1, a row-level UPDATE (merge-on-read since
+        // r13 — the superseded positions retire into vectors, kept
+        // addressable) seals v2 — and `VERSION AS OF 1` reads the PRE-update
         // state back out of the version log while the live table shows the
         // post-update state. The one query returns both (tagged UNION), so
         // the hash proves simultaneously that the update happened and that
