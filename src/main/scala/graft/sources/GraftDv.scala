@@ -150,9 +150,9 @@ private[graft] object GraftDv {
 
   /** COW-rewrite each (rel, deleted positions) file to a clean
     * live-rows-only sibling in the same cell, EXECUTOR-SIDE — one task per
-    * file, parallel across the job, so a mass delete's rewrite cost rides
-    * the cluster, not the driver (contrast [[materializeFile]], the
-    * driver-side legacy-barrier path that must never grow callers).
+    * file, parallel across the job, so a mass delete's rewrite cost (and
+    * the World-rewrite barrier's vector materialization, which shares this
+    * path) rides the cluster, not the driver.
     * Returns the clean entries (no dv), bounds + row count captured from
     * the output footer the task just closed (page-hot; `countOpen = false`
     * — this is not a driver seal read). `statsWanted`: None = the table
@@ -220,39 +220,4 @@ private[graft] object GraftDv {
   def relsOf(entries: Seq[GraftVersions.ManifestEntry]): Set[String] =
     entries.flatMap(_.dv.map(_._1)).toSet
 
-  /** MATERIALIZE one dv'd file: copy its live rows (group-level parquet
-    * copy, schema preserved verbatim) to a fresh file in the same cell and
-    * return the clean entry. Used by the World-rewrite barrier — a
-    * physical-tree rewrite must not resurrect deleted rows — and kept
-    * deliberately dumb: maintenance rewrites (compact/z-order/regrid) shed
-    * dvs through the connector instead. */
-  def materializeFile(fs: FileSystem, root: Path,
-      e: GraftVersions.ManifestEntry): GraftVersions.ManifestEntry = {
-    val (dvRel, _) = e.dv.getOrElse(return e)
-    val positions = read(fs, new Path(root, dvRel))
-    val src = new Path(root, e.rel)
-    val dst = new Path(src.getParent,
-      s"part-dvm-${java.util.UUID.randomUUID()}.parquet")
-    val conf = new Configuration()
-    val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(src, conf))
-    val schema = try pfr.getFooter.getFileMetaData.getSchema finally pfr.close()
-    GroupWriteSupport.setSchema(schema, conf)
-    val writer = new GraftParquetWriterBuilder(dst, new GroupWriteSupport())
-      .withConf(conf).build()
-    val reader: ParquetReader[Group] =
-      ParquetReader.builder(new GroupReadSupport(), src).withConf(conf).build()
-    try {
-      var ordinal = 0L
-      var di = 0
-      var g = reader.read()
-      while (g != null) {
-        if (di < positions.length && positions(di) == ordinal) di += 1
-        else writer.write(g)
-        ordinal += 1
-        g = reader.read()
-      }
-    } finally { reader.close(); writer.close() }
-    GraftVersions.ManifestEntry(
-      GraftVersions.relOf(root, dst), fs.getFileStatus(dst).getLen)
-  }
 }

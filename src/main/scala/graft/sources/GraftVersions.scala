@@ -787,13 +787,25 @@ private[graft] object GraftVersions {
       // merge-on-read deletion vectors must not leak into the physical
       // tree the World rewrite is about to read raw — the deleted rows
       // would resurrect. Rewrite each dv'd file to a clean copy (same
-      // cell, fresh name) and seal the swap as an ordinary versioned
-      // commit FIRST: the seal is atomic, so a crash mid-materialize
-      // leaves only orphan-swept debris, never a half-applied vector.
+      // cell, fresh name; EXECUTOR-SIDE, one task per file — the same
+      // GraftDv.rewriteLive the delete cutover uses, so a vector-heavy
+      // table's barrier never serializes through the driver) and seal the
+      // swap as an ordinary versioned commit FIRST: the seal is atomic,
+      // so a crash mid-materialize leaves only orphan-swept debris, never
+      // a half-applied vector. Fully-deleted files simply retire.
       val latest0 = readEntries(fs, root, st.versions.last)
       val dvEntries = latest0.filter(_.dv.isDefined)
       if (dvEntries.nonEmpty) {
-        val cleaned = dvEntries.map(e => GraftDv.materializeFile(fs, root, e))
+        val statsWanted: Option[Option[Set[String]]] =
+          GraftStats.mode(fs, root) match {
+            case GraftStats.OffMode => None
+            case GraftStats.ColsMode(cols) => Some(Some(cols.toSet))
+            case _ => Some(None)
+          }
+        val jobs = dvEntries.map { e =>
+          e.rel -> GraftDv.read(fs, new Path(root, e.dv.get._1)) }
+        val cleaned = GraftDv.rewriteLive(
+          org.apache.spark.sql.SparkSession.active, root, jobs, statsWanted)
         sealCommit(fs, root, beginCommit(fs, root),
           dvEntries.map(_.rel).toSet, cleaned)
       }
