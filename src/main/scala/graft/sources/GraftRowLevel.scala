@@ -38,24 +38,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftRowLevelBuilder(path: String, schema: StructType,
     info: RowLevelOperationInfo,
     branch: Option[String] = None) extends RowLevelOperationBuilder {
-  /** DELETE and UPDATE go MERGE-ON-READ whenever the commit log is
-    * authoritative: DELETE as position deltas → deletion vectors
-    * ([[GraftDeltaDeleteOperation]]), UPDATE as delete-and-insert deltas
-    * ([[GraftDeltaUpdateOperation]]) — old images retire by position into
-    * vectors, new images append through the routed chunk writer into
-    * whatever cell their (possibly changed) bucket values name, so a
-    * 1-row label fix in a gigabyte cell writes a ~20-byte sidecar plus a
-    * 1-row file instead of rewriting the gigabyte, and a relocating
-    * UPDATE moves exactly the relocated rows. MERGE stays copy-on-write
-    * (chunk-grain replace — the reference's whole-chunk contract,
-    * /root/reference/src/world.rs:89-122). Unversioned worlds and barrier
-    * windows keep COW for everything (a vector needs a manifest entry to
-    * hang off). */
+  /** Every row-level command goes MERGE-ON-READ whenever the commit log
+    * is authoritative: DELETE as position deltas → deletion vectors
+    * ([[GraftDeltaDeleteOperation]]); UPDATE and MERGE as delete-and-insert
+    * deltas ([[GraftDeltaUpdateOperation]]) — changed/deleted old images
+    * retire by position into vectors (matched branches and
+    * NOT-MATCHED-BY-SOURCE branches alike), inserted rows (UPDATE new
+    * images, MERGE not-matched inserts) append through the routed chunk
+    * writer into whatever cell their (possibly changed) bucket values
+    * name — so a 1-row label fix in a gigabyte cell writes a ~20-byte
+    * sidecar plus a 1-row file instead of rewriting the gigabyte, and a
+    * relocating UPDATE moves exactly the relocated rows. Unversioned
+    * worlds and barrier windows keep the group COW path for everything (a
+    * vector needs a manifest entry to hang off; COW also remains the
+    * reference's literal whole-chunk replace contract,
+    * /root/reference/src/world.rs:89-122). */
   override def build(): RowLevelOperation =
     if (GraftStage.manifestAuthoritative(path)) info.command match {
       case Command.DELETE => new GraftDeltaDeleteOperation(path, schema, branch)
-      case Command.UPDATE => new GraftDeltaUpdateOperation(path, schema, branch)
-      case _ => new GraftRowLevelOperation(path, schema, info.command, branch)
+      case cmd => new GraftDeltaUpdateOperation(path, schema, branch, cmd)
     } else new GraftRowLevelOperation(path, schema, info.command, branch)
 }
 
@@ -233,29 +234,35 @@ class GraftDvDeleteWrite(path: String, fileIdx: Int, posIdx: Int,
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-/** MERGE-ON-READ `UPDATE`: a DSv2 delta operation that represents each
-  * matched row as DELETE-by-address plus INSERT-of-the-new-image
-  * ([[representUpdateAsDeleteAndInsert]]). Spark plans the candidate scan
-  * with the condition pushed, streams matched rows to this write split in
-  * two, and the write (a) buffers the old images' (`_file`, `_pos`)
-  * addresses exactly like the MOR DELETE and (b) routes the new images
-  * through the ordinary clustered chunk writer ([[GraftDataWriter]]) into
-  * the cell their NEW bucket values name — so a non-relocating UPDATE
-  * appends next to its old file and a relocating one lands in its new
-  * cell, both without touching a pre-existing data byte. One seal swaps
-  * the vectors in and the new-image files on atomically
-  * ([[GraftDvCommit]]); untouched files keep their manifest lines
-  * verbatim. The additive landing matches the COW path's contract for
-  * moved rows (cells never scanned receive rows additively).
+/** MERGE-ON-READ `UPDATE` and `MERGE INTO`: a DSv2 delta operation that
+  * represents each matched changed row as DELETE-by-address plus
+  * INSERT-of-the-new-image ([[representUpdateAsDeleteAndInsert]]). Spark
+  * plans the candidate scan with the condition pushed, streams the delta
+  * rows to this write, and the write (a) buffers deleted old images'
+  * (`_file`, `_pos`) addresses exactly like the MOR DELETE — covering
+  * UPDATE's old images, MERGE's matched-DELETE branches, and
+  * NOT-MATCHED-BY-SOURCE update/delete branches alike — and (b) routes
+  * inserted rows (UPDATE new images, MERGE not-matched inserts) through
+  * the ordinary clustered chunk writer ([[GraftDataWriter]]) into the
+  * cell their bucket values name — so a non-relocating UPDATE appends
+  * next to its old file and a relocating one lands in its new cell, both
+  * without touching a pre-existing data byte. One seal swaps the vectors
+  * in and the new files on atomically ([[GraftDvCommit]]); untouched
+  * files keep their manifest lines verbatim. The additive landing matches
+  * the COW path's contract for moved rows (cells never scanned receive
+  * rows additively); Spark's MERGE cardinality check rides the delta plan
+  * unchanged.
   *
-  * Scale shape: cost is O(matched rows) — the floor — where the COW
-  * rewrite paid O(rows of every matched file). The fraction cutover caps
-  * the vector pathology exactly as for DELETE: an UPDATE that guts a file
-  * rewrites that file's survivors clean in the same commit. */
+  * Scale shape: cost is O(matched + inserted rows) — the floor — where
+  * the COW rewrite paid O(rows of every matched file). The fraction
+  * cutover caps the vector pathology exactly as for DELETE: a statement
+  * that guts a file rewrites that file's survivors clean in the same
+  * commit. */
 class GraftDeltaUpdateOperation(path: String, schema: StructType,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    cmd: Command = Command.UPDATE)
     extends RowLevelOperation with SupportsDelta {
-  override def command(): Command = Command.UPDATE
+  override def command(): Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, schema, pin = branch.map(GraftBranchPin(_)))
@@ -288,7 +295,7 @@ class GraftDeltaUpdateOperation(path: String, schema: StructType,
   }
 
   override def description(): String =
-    "graft merge-on-read UPDATE (deletion vectors + routed append)"
+    s"graft merge-on-read $cmd (deletion vectors + routed append)"
 }
 
 /** Task → driver channel of one update-delta writer: the deleted old-image

@@ -169,6 +169,42 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM dvcat.t").collect()(0).getLong(0) == 37L)
   }
 
+  test("MERGE goes merge-on-read: matched updates/deletes vector, inserts route, zero bytes rewritten") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE dvcat.mg (d0 BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO dvcat.mg SELECT id, id * 10, id DIV 10 FROM range(0, 30)")
+    val (fs, root) = fsOf(s"$warehouse/mg")
+    val bytesBefore = dataFileStates(fs, root)
+    Seq((5L, 500L), (12L, 1200L), (100L, 1L)).toDF("d0", "nv")
+      .createOrReplaceTempView("mg_src")
+    spark.sql("""MERGE INTO dvcat.mg t USING mg_src s ON t.d0 = s.d0
+                 WHEN MATCHED AND s.d0 = 12 THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET v = s.nv
+                 WHEN NOT MATCHED THEN INSERT (d0, v, c0) VALUES (s.d0, s.nv, 9)""")
+    val after = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get)
+    // matched update (d0=5, cell 0) and matched delete (d0=12, cell 1):
+    // both retire by position into vectors
+    assert(after.exists(e => e.rel.contains("c0=0") && e.dv.exists(_._2 == 1L)),
+      s"matched UPDATE vectored its old image: $after")
+    assert(after.exists(e => e.rel.contains("c0=1") && e.dv.exists(_._2 == 1L)),
+      s"matched DELETE vectored its victim: $after")
+    // the update's new image appended in its cell; the insert routed to c0=9
+    assert(after.exists(e => e.rel.contains("c0=0") && e.dv.isEmpty && e.rows == 1L))
+    assert(after.exists(e => e.rel.contains("c0=9") && e.rows == 1L))
+    // zero pre-existing bytes moved
+    val bytesAfter = dataFileStates(fs, root)
+    assert(bytesBefore.forall { case (rel, st) => bytesAfter.get(rel).contains(st) },
+      "MOR MERGE must not touch a pre-existing data byte")
+    val got = spark.sql("SELECT d0, v FROM dvcat.mg").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.get(5L).contains(500L) && !got.contains(12L) &&
+      got.get(100L).contains(1L) && got.get(7L).contains(70L),
+      s"MERGE semantics exact through the delta path: $got")
+    assert(got.size == 30, s"30 - 1 delete + 1 insert: $got")
+    spark.sql("DROP TABLE dvcat.mg")
+  }
+
   test("relocating UPDATE: the moved row's new image lands in its NEW cell") {
     spark.sql("CREATE TABLE dvcat.rl (d0 BIGINT, v BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO dvcat.rl SELECT id, id, id DIV 10 FROM range(0, 20)")
