@@ -267,14 +267,20 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "branch head reflects the staged truncate")
     assert(rows("SELECT id, v FROM vcat.wap") == mainBefore,
       "main untouched by the staged overwrite")
-    // upsert stays refused on a branch handle (its conflict resolution
-    // reads main's live state)
-    val e2 = intercept[Exception] {
-      Seq((7L, 70L, 0L)).toDF("id", "v", "c0").write.format("graft")
-        .option("graft.branch", "late").option("graft.mode", "upsert")
-        .mode("append").save(path)
-    }
-    assert(e2.getMessage.contains("fast_forward"), s"got: ${e2.getMessage}")
+    // upsert STAGES on the branch too (r13): replace-on-conflict resolves
+    // against the BRANCH HEAD — the staged (7, 70) row, not main's state
+    new graft.world.World(spark, path,
+      Seq(graft.world.DimSpec("id", graft.core.DimMapping(0, 99, 10))))
+    Seq((7L, 71L, 0L), (42L, 420L, 4L)).toDF("id", "v", "c0")
+      .write.format("graft")
+      .option("graft.branch", "late").option("graft.mode", "upsert")
+      .mode("append").save(path)
+    assert(spark.read.format("graft").option("graft.branch", "late").load(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((7L, 71L), (42L, 420L)),
+      "branch upsert displaced the staged conflict and added the fresh row")
+    assert(rows("SELECT id, v FROM vcat.wap") == mainBefore,
+      "main untouched by the staged upsert")
   }
 
   test("regrid reseals geometry as a versioned commit; old snapshots keep reading") {
