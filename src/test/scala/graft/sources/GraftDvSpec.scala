@@ -310,6 +310,14 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("graft")
       .option("graft.snapshot", vs(vs.size - 2).toString)
       .load(s"$warehouse/cut").count() == 95L)
+    // CDC stays exact through the cutover: the rewritten survivors appear
+    // as matching delete+insert pairs that NET out, leaving exactly the
+    // statement's own deleted rows
+    val net = GraftChanges.netBetween(spark, s"$warehouse/cut",
+      vs(vs.size - 2), vs.last).collect()
+    assert(net.map(r => (r.getAs[Long]("d0"), r.getAs[String]("_change_type")))
+      .toSet == (5L until 20L).map(d => (d, "delete")).toSet,
+      s"cutover CDC nets to the deleted rows: ${net.take(30).mkString(", ")}")
     spark.sql("DROP TABLE dvcat.cut")
   }
 
