@@ -968,6 +968,77 @@ object DmdsQueries {
                 ORDER BY at, event_id""")
       ),
 
+      "w_mor_merge" -> QueryDef(
+        // MERGE-ON-READ MERGE INTO through the oracle gate: matched
+        // update and delete branches retire old images by POSITION into
+        // deletion vectors, not-matched source rows insert through the
+        // routed chunk writer, one seal swaps both in — the query asserts
+        // every pre-merge data file is still live at its exact size and
+        // that vectors exist, i.e. the whole three-branch statement moved
+        // ZERO pre-existing bytes (the COW path rewrote every matched
+        // cell). Oracle: the three branches restated relationally.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wmg", "mg")
+          events(s2, dir).createOrReplaceTempView("ev_src_mg")
+          s2.sql("DROP TABLE IF EXISTS wmg.ev_mg")
+          s2.sql("""CREATE TABLE wmg.ev_mg
+                    (event_id BIGINT, user_id BIGINT, value DOUBLE, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wmg.ev_mg
+                    SELECT event_id, user_id, value, user_id DIV 128
+                    FROM ev_src_mg WHERE event_id % 2 = 0""")
+          val wh = s2.conf.get("spark.sql.catalog.wmg.warehouse")
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(s"$wh/ev_mg"),
+            new org.apache.hadoop.conf.Configuration())
+          val root = new org.apache.hadoop.fs.Path(s"$wh/ev_mg")
+          val pre = graft.sources.GraftVersions.readEntries(fs, root, 1L)
+            .map(e => e.rel -> e.size).toMap
+          // source: odd ids (not matched -> insert), plus a slice of even
+          // ids split between an update branch and a delete branch
+          s2.sql("""MERGE INTO wmg.ev_mg t
+                    USING (SELECT event_id, user_id, value FROM ev_src_mg
+                           WHERE event_id % 2 = 1 AND event_id % 101 = 7
+                              OR event_id % 2 = 0 AND event_id % 97 = 11) s
+                    ON t.event_id = s.event_id
+                    WHEN MATCHED AND t.event_id % 194 = 108
+                      THEN DELETE
+                    WHEN MATCHED THEN UPDATE SET value = s.value + 1000000
+                    WHEN NOT MATCHED THEN
+                      INSERT (event_id, user_id, value, c0)
+                      VALUES (s.event_id, s.user_id, s.value, s.user_id DIV 128)""")
+          val after = graft.sources.GraftVersions.readEntries(fs, root,
+            graft.sources.GraftVersions.latestVersion(fs, root).get)
+          require(after.exists(_.dv.isDefined),
+            "w_mor_merge must take the deletion-vector delta path")
+          require(pre.forall { case (rel, sz) =>
+            after.exists(e => e.rel == rel && e.size == sz) },
+            "a MOR merge must keep every pre-merge data file live, unchanged")
+          s2.sql("""SELECT event_id, user_id, value FROM wmg.ev_mg
+                    ORDER BY event_id""")
+        },
+        Some("""WITH base AS (
+                  SELECT event_id, user_id, value FROM events
+                  WHERE event_id % 2 = 0),
+                src AS (
+                  SELECT event_id, user_id, value FROM events
+                  WHERE event_id % 2 = 1 AND event_id % 101 = 7
+                     OR event_id % 2 = 0 AND event_id % 97 = 11),
+                merged AS (
+                  SELECT b.event_id, b.user_id,
+                    CASE WHEN s.event_id IS NOT NULL
+                         THEN s.value + 1000000 ELSE b.value END AS value,
+                    (s.event_id IS NOT NULL AND b.event_id % 194 = 108)
+                      AS is_del
+                  FROM base b LEFT JOIN src s ON b.event_id = s.event_id),
+                ins AS (
+                  SELECT s.event_id, s.user_id, s.value
+                  FROM src s LEFT JOIN base b ON b.event_id = s.event_id
+                  WHERE b.event_id IS NULL)
+                SELECT event_id, user_id, value FROM merged WHERE NOT is_del
+                UNION ALL SELECT event_id, user_id, value FROM ins
+                ORDER BY event_id""")
+      ),
+
       "w_time_travel" -> QueryDef(
         // snapshot reads over the chunk grid through the oracle gate:
         // INSERT seals commit v1, a row-level UPDATE (merge-on-read since
