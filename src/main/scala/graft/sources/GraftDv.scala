@@ -130,23 +130,38 @@ private[graft] object GraftDv {
   val CutoverMaxPositions: Long = 1L << 22
 
   /** Session override for [[CutoverFraction]] — `1.0` disables the
-    * fraction cutover entirely (a union can never exceed the row count),
-    * letting an operator keep vectors fat on purpose (e.g. when the
-    * before-images must stay cheap for a change-feed consumer and a
-    * maintenance compact will shed them on its own schedule). */
+    * cutover ENTIRELY (the fraction test can never fire, and the absolute
+    * bound is waived too: an operator opting out wants vectors kept fat on
+    * purpose — e.g. before-images staying cheap for a change-feed
+    * consumer, or concurrent trickle-deleters that must keep composing —
+    * and a silent rewrite at 2^22 positions would still retire the rel
+    * those racing statements address). A malformed or out-of-range value
+    * fails LOUDLY: silently falling back to the default would rewrite
+    * files the operator explicitly asked to keep vectored. */
   val CutoverFractionConf = "graft.dv.cutover.fraction"
 
-  def cutoverFraction(spark: org.apache.spark.sql.SparkSession): Double =
-    scala.util.Try(spark.conf.get(CutoverFractionConf).toDouble)
-      .getOrElse(CutoverFraction)
+  def cutoverFraction(spark: org.apache.spark.sql.SparkSession): Double = {
+    val raw = try spark.conf.get(CutoverFractionConf)
+      catch { case _: java.util.NoSuchElementException => return CutoverFraction }
+    val v = try raw.toDouble catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft: $CutoverFractionConf must be a number in (0, 1], got '$raw'")
+    }
+    require(v > 0.0 && v <= 1.0,
+      s"graft: $CutoverFractionConf must be in (0, 1] (1.0 disables the " +
+        s"cutover), got '$raw'")
+    v
+  }
 
   /** Should a DELETE leaving `unionLen` total deleted positions on a file
     * of `fileRows` physical rows (−1 = unknown) rewrite instead of
-    * vectoring? */
+    * vectoring? `fraction = 1.0` is the declared opt-out: no cutover at
+    * all (see [[CutoverFractionConf]]). */
   def shouldCutover(unionLen: Long, fileRows: Long,
       fraction: Double = CutoverFraction): Boolean =
-    (fileRows > 0L && unionLen.toDouble > fraction * fileRows) ||
-      unionLen > CutoverMaxPositions
+    fraction < 1.0 &&
+      ((fileRows > 0L && unionLen.toDouble > fraction * fileRows) ||
+        unionLen > CutoverMaxPositions)
 
   /** COW-rewrite each (rel, deleted positions) file to a clean
     * live-rows-only sibling in the same cell, EXECUTOR-SIDE — one task per

@@ -290,7 +290,8 @@ class GraftDeltaUpdateOperation(path: String, schema: StructType,
       override def build(): DeltaWrite =
         new GraftDeltaUpdateWrite(path, info.schema(),
           rowIdSchema.fieldIndex(GraftDataSource.FileColumn),
-          rowIdSchema.fieldIndex(GraftDataSource.PosColumn), branch)
+          rowIdSchema.fieldIndex(GraftDataSource.PosColumn), branch,
+          cmd.toString)
     }
   }
 
@@ -351,10 +352,41 @@ final case class GraftDeltaUpdateWriterFactory(path: String,
 
 class GraftDeltaUpdateWrite(path: String, schema: StructType,
     fileIdx: Int, posIdx: Int,
-    branch: Option[String] = None) extends DeltaWrite with DeltaBatchWrite {
+    branch: Option[String] = None,
+    verb: String = "UPDATE") extends DeltaWrite with DeltaBatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.hadoop.fs.{FileSystem, Path}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
 
   override def toBatch: DeltaBatchWrite = this
+
+  // CLUSTER the delta rows on (_file, bucket columns) and locally sort the
+  // same way: delete deltas of one data file land in one task (its vector
+  // accumulates in one place), and insert deltas of one cell arrive as one
+  // contiguous run at one task's writer — without this, a MERGE inserting
+  // a million rows across 200 cells would interleave cells per task and
+  // roll a fresh parquet file on every bucket switch (the small-files
+  // explosion the COW path prevented with GraftWriteLayout). Delete rows
+  // carry null buckets and insert rows a null _file, so the two families
+  // hash apart naturally; the mixed tuple never funnels everything into
+  // one reducer the way clustering on buckets alone would funnel every
+  // delete delta (null, …) together.
+  private def clusterCols: Array[String] = {
+    val declared = GraftStage.declaredBuckets(path)
+    GraftDataSource.FileColumn +: schema.fields.map(_.name).filter(n =>
+      declared.map(_.contains(n)).getOrElse(GraftDataSource.isBucket(n)))
+  }
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      clusterCols.map(n => Expressions.column(n)
+        .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression]))
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    clusterCols.map(n => Expressions.sort(Expressions.column(n),
+      SortDirection.ASCENDING))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     GraftDeltaUpdateWriterFactory(path, schema, fileIdx, posIdx,
@@ -371,7 +403,7 @@ class GraftDeltaUpdateWrite(path: String, schema: StructType,
     val appended = GraftStage.messageEntries(root,
       dms.map(_.add: WriterCommitMessage))
     if (byRel.isEmpty && appended.isEmpty) return // matched nothing
-    GraftDvCommit.seal(path, branch, byRel, appended, "UPDATE")
+    GraftDvCommit.seal(path, branch, byRel, appended, verb)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -417,12 +449,7 @@ private[sources] object GraftDvCommit {
       new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
     val root = new Path(path)
     // declared stats mode for cutover rewrites, resolved once driver-side
-    val statsWanted: Option[Option[Set[String]]] =
-      GraftStats.mode(fs, root) match {
-        case GraftStats.OffMode => None
-        case GraftStats.ColsMode(cols) => Some(Some(cols.toSet))
-        case _ => Some(None)
-      }
+    val statsWanted = GraftStats.wantedOf(GraftStats.mode(fs, root))
     var attempt = 0
     var done = false
     var vectoredN = 0

@@ -105,6 +105,15 @@ object GraftStats {
     mode(fs, new Path(path))
   }
 
+  /** A declared mode as the rewrite-side capture spec ([[GraftDv
+    * .rewriteLive]]): None = capture off; Some(None) = auto (all eligible
+    * columns); Some(Some(cols)) = narrowed to the declared set. */
+  def wantedOf(mode: Mode): Option[Option[Set[String]]] = mode match {
+    case OffMode => None
+    case ColsMode(cols) => Some(Some(cols.toSet))
+    case AutoMode => Some(None)
+  }
+
   /** A name the `col=min:max;...` manifest field can carry verbatim. */
   private[sources] def safeName(c: String): Boolean =
     !c.exists(ch => ch == '=' || ch == ';' || ch == ':' || ch == '\t' || ch == '\n')

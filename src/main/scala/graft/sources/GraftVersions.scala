@@ -796,12 +796,7 @@ private[graft] object GraftVersions {
       val latest0 = readEntries(fs, root, st.versions.last)
       val dvEntries = latest0.filter(_.dv.isDefined)
       if (dvEntries.nonEmpty) {
-        val statsWanted: Option[Option[Set[String]]] =
-          GraftStats.mode(fs, root) match {
-            case GraftStats.OffMode => None
-            case GraftStats.ColsMode(cols) => Some(Some(cols.toSet))
-            case _ => Some(None)
-          }
+        val statsWanted = GraftStats.wantedOf(GraftStats.mode(fs, root))
         val jobs = dvEntries.map { e =>
           e.rel -> GraftDv.read(fs, new Path(root, e.dv.get._1)) }
         val cleaned = GraftDv.rewriteLive(

@@ -205,6 +205,30 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE dvcat.mg")
   }
 
+  test("delta MERGE clusters inserts: one file per landed cell, not one per task-run") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE dvcat.mcl (d0 BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO dvcat.mcl VALUES (0, 0, 0)")
+    // 40 not-matched source rows across 4 cells, arriving from a
+    // many-partition source with cells interleaved: the delta write's
+    // required clustering must coalesce each cell's inserts into ONE task
+    // (and its local sort into one contiguous run), so the commit adds at
+    // most one file per cell — not one per (task, bucket-switch)
+    spark.range(1, 41).repartition(8)
+      .selectExpr("id AS d0", "id * 10 AS v")
+      .createOrReplaceTempView("mcl_src")
+    spark.sql("""MERGE INTO dvcat.mcl t USING mcl_src s ON t.d0 = s.d0
+                 WHEN NOT MATCHED THEN
+                   INSERT (d0, v, c0) VALUES (s.d0, s.v, s.d0 DIV 10)""")
+    val (fs, root) = fsOf(s"$warehouse/mcl")
+    val after = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get)
+    assert(after.size <= 6,
+      s"5 landed cells + the seed file => at most 6 files, got: ${after.map(_.rel)}")
+    assert(spark.sql("SELECT count(*) FROM dvcat.mcl").collect()(0).getLong(0) == 41L)
+    spark.sql("DROP TABLE dvcat.mcl")
+  }
+
   test("relocating UPDATE: the moved row's new image lands in its NEW cell") {
     spark.sql("CREATE TABLE dvcat.rl (d0 BIGINT, v BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO dvcat.rl SELECT id, id, id DIV 10 FROM range(0, 20)")

@@ -240,9 +240,10 @@ class GraftStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CREATE TABLE zcat.zw (id BIGINT, name STRING, c0 BIGINT)")
     val path = s"$warehouse/zw"
     val before = GraftStats.footerOpens.get()
-    // append, COW UPDATE, MoR DELETE, dynamic overwrite — every
-    // connector-written commit shape; bounds + row counts must ride the
-    // task commit messages, so the seal re-opens NOTHING
+    // append, MoR UPDATE (delta: vector + routed append), MoR DELETE,
+    // dynamic overwrite — every connector-written commit shape; bounds +
+    // row counts must ride the task commit messages, so the seal re-opens
+    // NOTHING
     spark.sql("INSERT INTO zcat.zw SELECT id, concat('n_', id), id % 2 FROM range(0, 100)")
     spark.sql("INSERT INTO zcat.zw SELECT id, concat('m_', id), id % 2 FROM range(100, 200)")
     spark.sql("UPDATE zcat.zw SET name = 'x_5' WHERE id = 5")
