@@ -689,7 +689,7 @@ object DmdsQueries {
       "w_wap_dml" -> QueryDef(
         // session-scoped write-audit-publish through the oracle gate:
         // `SET graft.wap.branch` routes the session's FULL DML surface —
-        // UPDATE (COW rewrite), bucket DELETE (metadata retire), INSERT
+        // UPDATE (MoR delta since r13), bucket DELETE (metadata retire), INSERT
         // (append) — through one staging branch; reads inside the session
         // audit the staged state, main stays bit-identical until
         // system.fast_forward publishes the branch head as main's next
@@ -1158,7 +1158,7 @@ object DmdsQueries {
 
       "w_changes" -> QueryDef(
         // the chunk-granular CHANGE FEED through the oracle gate: INSERT
-        // (v1), a scoped UPDATE (v2, chunk-COW), then
+        // (v1), a scoped UPDATE (v2, MoR delta since r13), then
         // GraftChanges.between(1, 2) — rows of files only in v2 tagged
         // 'insert', rows of files only in v1 tagged 'delete', straight
         // from the manifest diff (no row-level change tracking exists or
@@ -1204,12 +1204,13 @@ object DmdsQueries {
       "w_snapshot_agg" -> QueryDef(
         // THREE features composed under one oracle: aggregate pushdown ×
         // footer sums × time travel. COUNT/SUM GROUP BY bucket, pinned to
-        // the PRE-UPDATE version, must be answered from the footers of
-        // files the COW rewrite has since RETIRED INTO HISTORY — the
-        // snapshot resolver hands the agg scan history file paths, footer
-        // metadata (row counts + the writer's sums) reads identically
-        // there, and the answer is yesterday's aggregate without touching
-        // a data page. The oracle predicts the pre-UPDATE state.
+        // the PRE-UPDATE version, must be answered from footer metadata of
+        // the v1 entries — which the MoR update has since VECTORED on the
+        // live head (pushdown declines there), but the v1 manifest names
+        // them vector-free, so the snapshot agg reads row counts + the
+        // writer's sums identically and answers yesterday's aggregate
+        // without touching a data page. The oracle predicts the
+        // pre-UPDATE state.
         (s, dir) => {
           val s2 = withGraftCatalog(s, dir, "wsa", "sa")
           events(s2, dir).createOrReplaceTempView("ev_src_sa")
@@ -2166,7 +2167,7 @@ object DmdsQueries {
       "w_mv_refresh" -> QueryDef(
         // INCREMENTAL materialized-view maintenance from the commit log:
         // CREATE+INSERT (v1), initialize the aggregate view, then a
-        // row-exact UPDATE (v2, chunk-COW) and a second INSERT (v3) — and
+        // row-exact UPDATE (v2, MoR delta since r13) and a second INSERT (v3) — and
         // refresh() consumes ONLY the v1->v3 change feed (signed micro-unit
         // deltas; the delete side reverses replaced rows through retained
         // history before-images), never rescanning the base. The oracle

@@ -463,12 +463,22 @@ private[sources] object GraftDvCommit {
         s"graft MOR $verb: the commit log stopped being authoritative " +
           s"mid-statement (concurrent World rewrite?) — retry the $verb"))
         .map(e => e.rel -> e).toMap
-      val unioned = byRel.toSeq.sortBy(_._1).map { case (rel, fresh) =>
+      // liveness check SEQUENTIAL (its ConcurrentModificationException
+      // drives the retry loop and must surface unwrapped), sidecar reads
+      // PARALLEL: a wide statement can touch thousands of already-vectored
+      // files, and a sequential read per file would put O(files) round
+      // trips inside the commit latency (same rationale as the parallel
+      // enrich fallback)
+      val resolved = byRel.toSeq.sortBy(_._1).map { case (rel, fresh) =>
         val e = prevByRel.getOrElse(rel,
           throw new java.util.ConcurrentModificationException(
             s"graft MOR $verb: $rel left the latest manifest while this " +
               s"$verb ran (concurrent rewrite of its cell) — retry against " +
               "the new state"))
+        (rel, e, fresh)
+      }
+      import scala.collection.parallel.CollectionConverters._
+      val unioned = resolved.par.map { case (rel, e, fresh) =>
         // vectors are immutable: union old + new into a FRESH sidecar, so
         // the predecessor version keeps reading its own vector (time travel)
         val existing = e.dv match {
@@ -476,7 +486,7 @@ private[sources] object GraftDvCommit {
           case None => Array.emptyLongArray
         }
         (rel, e, GraftDv.union(existing, fresh))
-      }
+      }.seq
       // pathological-case cap: a file whose cumulative deleted fraction
       // crosses GraftDv.CutoverFraction (or whose sidecar would exceed the
       // absolute bound) is COW-rewritten executor-side instead of carrying
