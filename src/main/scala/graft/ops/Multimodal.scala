@@ -8,11 +8,21 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs per-partition so one task amortizes codec setup
   * over a whole batch (the Spark-side shape of an image/audio pipeline).
   *
-  * The actual codecs are NOT available in this environment, so
-  * [[fakeDecodeFeatures]] is a clearly-marked deterministic STUB — the
-  * schema, partitioning, batch shape and per-partition execution are real.
+  * IMAGE and AUDIO decode are REAL (r13): the JDK itself ships codecs —
+  * `javax.imageio` reads/writes PNG, JPEG, GIF and BMP, and
+  * `javax.sound.sampled` reads/writes RIFF/WAVE PCM — so
+  * [[decodeImages]] / [[decodeAudio]] run genuine byte-level
+  * encode/decode with zero external dependencies, executor-side, one
+  * shared codec registry per task. What remains stubbed is VIDEO
+  * demuxing ([[fakeFrameSample]]) and non-JDK codecs (webp/opus/mp4):
+  * those libraries are absent from this container, so only the fan-out
+  * shape is exercised there — clearly marked.
   */
 object Multimodal {
+
+  // ImageIO must never try to touch a display; decode/encode of raster
+  // formats is fully headless-safe once this is set
+  System.setProperty("java.awt.headless", "true")
 
   final case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String)
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, features: Array[Float])
@@ -70,6 +80,120 @@ object Multimodal {
           while (i < end) { hist((r.media(i) & 0xff) >> 5) += 1f; i += 1 }
           FrameFeatures(r.doc_id, fi.toLong, (end - start).toLong, hist)
         }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL image codec path (JDK javax.imageio — PNG/JPEG/GIF/BMP)
+
+  /** Encode a constant-gray `width`×`height` raster as real `format`
+    * ("png" | "jpeg" | "gif" | "bmp") bytes — the deterministic test
+    * corpus generator for the decode pipeline (a production pipeline
+    * reads its binary column from storage instead). */
+  def encodeImage(width: Int, height: Int, gray: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = (gray & 0xff) * 0x010101
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no JDK writer for image format '$format'")
+    bos.toByteArray
+  }
+
+  final case class ImageRow(doc_id: Long, media: Array[Byte], format: String)
+  /** `mean_gray` = rounded mean of the red channel over every pixel; −1
+    * for formats whose lossy quantization makes it non-derivable (JPEG —
+    * dimensions are still lossless there). */
+  final case class ImageMeta(doc_id: Long, format: String, width: Long,
+      height: Long, mean_gray: Long)
+
+  /** REAL decode: `ImageIO.read` per row, per-partition (the reader
+    * registry is JVM-global, so one task amortizes codec lookup over its
+    * whole batch). Yields dimensions for every JDK-readable format and the
+    * exact mean gray for lossless ones. */
+  def decodeImages(spark: SparkSession, rows: Dataset[ImageRow]): Dataset[ImageMeta] = {
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media))
+        require(img != null, s"undecodable ${r.format} payload for doc ${r.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val mean =
+          if (r.format == "jpeg") -1L
+          else {
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+              y += 1
+            }
+            sum / (w.toLong * h)
+          }
+        ImageMeta(r.doc_id, r.format, w.toLong, h.toLong, mean)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL audio codec path (JDK javax.sound.sampled — RIFF/WAVE PCM)
+
+  /** Encode `nFrames` frames of constant-amplitude 16-bit little-endian
+    * PCM at `sampleRate` Hz × `channels` as a real WAVE file. */
+  def encodeWav(sampleRate: Int, channels: Int, nFrames: Int,
+      amplitude: Short): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < pcm.length) {
+      pcm(i) = (amplitude & 0xff).toByte
+      pcm(i + 1) = ((amplitude >> 8) & 0xff).toByte
+      i += 2
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  final case class AudioRow(doc_id: Long, media: Array[Byte])
+  final case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
+      n_frames: Long, duration_us: Long, peak: Long)
+
+  /** REAL decode: `AudioSystem.getAudioInputStream` parses the RIFF
+    * headers (rate, channels, frame count) and the PCM body streams
+    * through a peak-amplitude scan — the feature-extraction shape of an
+    * audio-quality gate, exact because PCM is lossless. */
+  def decodeAudio(spark: SparkSession, rows: Dataset[AudioRow]): Dataset[AudioMeta] = {
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val f = ais.getFormat
+        val frames = ais.getFrameLength
+        val body = ais.readAllBytes()
+        var peak = 0L
+        var i = 0
+        while (i + 1 < body.length) {
+          val s = ((body(i) & 0xff) | (body(i + 1) << 8)).toShort
+          val a = math.abs(s.toLong)
+          if (a > peak) peak = a
+          i += 2
+        }
+        AudioMeta(r.doc_id, f.getSampleRate.toLong, f.getChannels.toLong,
+          frames, frames * 1000000L / f.getSampleRate.toLong, peak)
       }
     }
   }

@@ -611,6 +611,78 @@ object TextOps {
               FROM documents ORDER BY doc_id""")
     ),
 
+    // multimodal: REAL image decode via the JDK's own codecs (r13) — each
+    // doc gets a deterministic constant-gray raster encoded as genuine
+    // PNG or JPEG bytes (javax.imageio), and the pipeline decodes them
+    // back per partition: dimensions for both formats (lossless in the
+    // container grammar), exact mean gray for PNG (JPEG's quantization
+    // makes it non-derivable → −1 by contract). The oracle restates the
+    // generation arithmetic relationally, so the hash proves a true
+    // byte-level encode→decode round trip — the metadata/feature half of
+    // an image pipeline with zero external dependencies. Only the
+    // non-JDK codecs (webp/mp4/opus) remain stubbed.
+    "m_image_decode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val fmt = if (id % 2 == 0) "png" else "jpeg"
+              val w = 1 + (id % 32).toInt
+              val h = 1 + (id % 17).toInt
+              Multimodal.ImageRow(id,
+                Multimodal.encodeImage(w, h, (id % 256).toInt, fmt), fmt)
+            }
+          }
+        Multimodal.decodeImages(s, rows).toDF()
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
+            col("mean_gray"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+                1 + doc_id % 32 AS width,
+                1 + doc_id % 17 AS height,
+                CASE WHEN doc_id % 2 = 0 THEN doc_id % 256 ELSE -1 END
+                  AS mean_gray
+              FROM documents ORDER BY doc_id""")
+    ),
+
+    // multimodal: REAL audio decode via javax.sound.sampled (r13) — each
+    // doc gets constant-amplitude 16-bit PCM encoded as a genuine
+    // RIFF/WAVE file, and the pipeline parses the headers back (rate,
+    // channels, frame count → duration) and scans the PCM body for the
+    // peak amplitude — the feature-extraction shape of an audio-quality
+    // gate, exact because PCM is lossless. Same oracle discipline as the
+    // image twin: the hash proves the byte-level round trip.
+    "m_audio_decode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val rate = 8000 * (1 + (id % 3)).toInt
+              val ch = 1 + (id % 2).toInt
+              val frames = 160 + (id % 100).toInt
+              Multimodal.AudioRow(id,
+                Multimodal.encodeWav(rate, ch, frames, (id % 1000).toShort))
+            }
+          }
+        Multimodal.decodeAudio(s, rows).toDF()
+          .select(col("doc_id"), col("sample_rate"), col("channels"),
+            col("n_frames"), col("duration_us"), col("peak"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                8000 * (1 + doc_id % 3) AS sample_rate,
+                1 + doc_id % 2 AS channels,
+                160 + doc_id % 100 AS n_frames,
+                (160 + doc_id % 100) * 1000000 // (8000 * (1 + doc_id % 3))
+                  AS duration_us,
+                doc_id % 1000 AS peak
+              FROM documents ORDER BY doc_id""")
+    ),
+
     // Okapi BM25 ranking (the Lucene "+1" idf variant) of the corpus
     // against a fixed 3-term query — the retrieval scorer a RAG pipeline
     // runs over its candidate set. Per-term scores are rounded ONCE to

@@ -45,9 +45,12 @@ import org.apache.spark.sql.types.StructType
   * pair, including checkpoints written before versioning existed: the seen
   * side of a plan is `rels(start)`, the target side `files(end)`, the batch
   * their difference. Emission semantics are identical in both regimes —
-  * append-level: a row-level COW rewrite re-emits the rewritten cell's
-  * files (their rel paths are new); consumers wanting delete sides use the
-  * batch change feed (`graft.changes`). Version-cursor batches coalesce
+  * append-level: a COW rewrite re-emits the rewritten cell's files (their
+  * rel paths are new), a merge-on-read UPDATE/MERGE emits exactly its
+  * new-image files (the dv swap changes no rel, so retractions are
+  * invisible here by design); consumers wanting delete sides use the
+  * change feed (`graft.follow=changes` streaming, or the batch
+  * `graft.changes`). Version-cursor batches coalesce
   * intermediate commits a file was BOTH added and retired in — the stream
   * reflects each sealed state it observes, not every state that ever
   * existed (same as the file-set regime, where a listing simply never sees

@@ -25,6 +25,41 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == List((0L, 4L), (2L, 2L)))
   }
 
+  test("real image codec: PNG/JPEG/GIF/BMP bytes encode and decode through the JDK") {
+    import spark.implicits._
+    // genuine container bytes: magic numbers prove the encoder is real
+    val png = Multimodal.encodeImage(5, 3, 100, "png")
+    assert(png.take(8).toSeq == Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), "PNG signature")
+    val jpg = Multimodal.encodeImage(9, 4, 30, "jpeg")
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8, "JPEG SOI marker")
+    // decode through the pipeline: dims exact for every format, mean gray
+    // exact for the lossless ones
+    val rows = Seq(
+      Multimodal.ImageRow(1L, png, "png"),
+      Multimodal.ImageRow(2L, jpg, "jpeg"),
+      Multimodal.ImageRow(3L, Multimodal.encodeImage(2, 7, 255, "gif"), "gif"),
+      Multimodal.ImageRow(4L, Multimodal.encodeImage(6, 6, 0, "bmp"), "bmp")).toDS()
+    val got = Multimodal.decodeImages(spark, rows).collect()
+      .map(m => m.doc_id -> ((m.width, m.height, m.mean_gray))).toMap
+    assert(got(1L) == ((5L, 3L, 100L)))
+    assert(got(2L) == ((9L, 4L, -1L)), "JPEG: lossless dims, mean by contract -1")
+    assert(got(3L) == ((2L, 7L, 255L)))
+    assert(got(4L) == ((6L, 6L, 0L)))
+  }
+
+  test("real audio codec: WAVE PCM round-trips rate/channels/frames/peak") {
+    import spark.implicits._
+    val wav = Multimodal.encodeWav(16000, 2, 250, 123)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE", "RIFF/WAVE header")
+    val got = Multimodal.decodeAudio(spark,
+      Seq(Multimodal.AudioRow(9L, wav)).toDS()).collect().head
+    assert(got.sample_rate == 16000L && got.channels == 2L &&
+      got.n_frames == 250L && got.peak == 123L)
+    assert(got.duration_us == 250L * 1000000L / 16000L)
+  }
+
   test("poolFeatures: average-pooled buckets match hand computation") {
     import spark.implicits._
     val v = (1 to 8).map(_.toFloat) // pool 8 -> 2: (1+2+3+4)/4=2.5, (5+6+7+8)/4=6.5
