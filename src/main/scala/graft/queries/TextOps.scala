@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, Text}
+import graft.ops.{Dedup, Multimodal, QualityModel, Text}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -609,6 +609,53 @@ object TextOps {
                 CAST(len(regexp_extract_all(text, '[\x40-\x5f]')) AS BIGINT) AS f2,
                 CAST(len(regexp_extract_all(text, '[\x60-\x7f]')) AS BIGINT) AS f3
               FROM documents ORDER BY doc_id""")
+    ),
+
+    // TRAINED quality classifier gate (r13): MLlib logistic regression
+    // fit DISTRIBUTED on a labeled 80% split, then the full corpus scored
+    // DECLARATIVELY — the fitted coefficients come back to the driver (3
+    // doubles) and the scoring plan is a codegen'd dot product + sigmoid,
+    // no model object or UDF near the corpus scan. The labels are PLANTED
+    // from an exact integer linear rule over two real text features
+    // (2·n_chars − 11·n_tokens > 0, a chars-per-token threshold), with a
+    // margin gate |z| ≥ 4 excluding boundary docs — linearly separable
+    // WITH MARGIN, so the fit must recover the rule and every
+    // (train or held-out) prediction must equal the label: the oracle
+    // restates rule and label arithmetic and asserts pred = label, making
+    // the entire train→extract→score composition hash-checked (the same
+    // planted-gate discipline as the ANN/sketch families). Scale shape:
+    // training touches only the labeled subset; scoring is one projected
+    // expression per corpus row.
+    "p_lr_quality" -> QueryDef(
+      (s, dir) => {
+        val feats = t(s, dir, "documents").select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          Text.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("z", lit(2L) * col("n_chars") - lit(11L) * col("n_tokens"))
+          .where(abs(col("z")) >= 4)
+          .withColumn("label", (col("z") > 0).cast("long"))
+        val model = QualityModel.train(
+          feats.where(col("doc_id") % 5 =!= 0),
+          Seq("n_chars", "n_tokens"), "label")
+        feats.select(col("doc_id"), col("n_chars"), col("n_tokens"),
+            col("label"), QualityModel.predict(model).as("pred"),
+            (col("doc_id") % 5 === 0).cast("long").as("held_out"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+                SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS n_tokens
+                FROM documents),
+              g AS (
+                SELECT doc_id, n_chars, n_tokens,
+                  2 * n_chars - 11 * n_tokens AS z FROM f)
+              SELECT doc_id, n_chars, n_tokens,
+                CASE WHEN z > 0 THEN 1 ELSE 0 END AS label,
+                CASE WHEN z > 0 THEN 1 ELSE 0 END AS pred,
+                CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS held_out
+              FROM g WHERE abs(z) >= 4 ORDER BY doc_id""")
     ),
 
     // multimodal: REAL image decode via the JDK's own codecs (r13) — each
