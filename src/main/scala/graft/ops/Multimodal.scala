@@ -35,12 +35,12 @@ object Multimodal {
       encode(col(payloadCol), "UTF-8").as("media"),
       lit("text/plain").as("media_type"))
 
-  /** STUB decode + feature extraction. A real implementation would invoke an
-    * image/audio codec here (per partition, reusing one decoder instance);
-    * this container has no codec libraries, so features are a deterministic
-    * function of the bytes (length + 8 byte-histogram buckets). The Spark
-    * plumbing — typed Dataset, mapPartitions batch shape, schema — is real
-    * and tested.
+  /** STUB decode + feature extraction for NON-JDK codecs (webp/opus/…,
+    * whose libraries are absent from this container): features are a
+    * deterministic function of the bytes (length + 8 byte-histogram
+    * buckets), while the Spark plumbing — typed Dataset, mapPartitions
+    * batch shape, schema — is real and tested. For formats the JDK itself
+    * decodes, use the REAL paths: [[decodeImages]] / [[decodeAudio]].
     */
   def fakeDecodeFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
