@@ -730,6 +730,45 @@ object TextOps {
               FROM documents ORDER BY doc_id""")
     ),
 
+    // multimodal: REAL video frame sampling (r13) — each doc gets a
+    // structurally valid MJPEG-in-AVI file (RIFF container grammar, one
+    // genuine JPEG per frame), and the pipeline DEMUXES it by walking the
+    // movi chunk list and DECODES every 2nd frame through the JDK JPEG
+    // reader — honest container parsing + real codec work per sampled
+    // frame, one row fanning out via an iterator. Dimensions are lossless
+    // through JPEG, so the oracle restates the generation arithmetic
+    // (frame count, stride, dims) exactly; only the per-frame byte size
+    // is codec-determined and emitted as a positivity flag. Non-RIFF
+    // containers (mp4/webm) stay with the marked stub.
+    "m_video_frames" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = 4 + (id % 12).toInt
+              val h = 3 + (id % 7).toInt
+              val n = 3 + (id % 6).toInt
+              Multimodal.AudioRow(id, Multimodal.encodeAviMjpeg(
+                w, h, n, fi => ((id + 37L * fi) % 256).toInt))
+            }
+          }
+        Multimodal.sampleAviFrames(s, rows, stride = 2).toDF()
+          .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+            (col("n_bytes") > 0).cast("long").as("decoded"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, 3 + doc_id % 6 AS nframes FROM documents),
+              u AS (
+                SELECT doc_id, unnest(range(0, nframes)) AS frame_idx FROM d)
+              SELECT doc_id, frame_idx,
+                4 + doc_id % 12 AS width, 3 + doc_id % 7 AS height,
+                1 AS decoded
+              FROM u WHERE frame_idx % 2 = 0
+              ORDER BY doc_id, frame_idx""")
+    ),
+
     // Okapi BM25 ranking (the Lucene "+1" idf variant) of the corpus
     // against a fixed 3-term query — the retrieval scorer a RAG pipeline
     // runs over its candidate set. Per-term scores are rounded ONCE to

@@ -60,6 +60,20 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.duration_us == 250L * 1000000L / 16000L)
   }
 
+  test("real video demux: MJPEG-AVI chunk walk + JDK JPEG decode per sampled frame") {
+    import spark.implicits._
+    val avi = Multimodal.encodeAviMjpeg(8, 6, nFrames = 5, grayOf = i => 40 * i)
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF" &&
+      new String(avi.slice(8, 12), "US-ASCII") == "AVI ", "RIFF/AVI header")
+    val got = Multimodal.sampleAviFrames(spark,
+        Seq(Multimodal.AudioRow(3L, avi)).toDS(), stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L),
+      s"stride 2 over 5 frames samples 0/2/4: ${got.toSeq}")
+    assert(got.forall(f => f.width == 8L && f.height == 6L && f.n_bytes > 0),
+      s"every sampled frame decodes through the real JPEG reader: ${got.toSeq}")
+  }
+
   test("poolFeatures: average-pooled buckets match hand computation") {
     import spark.implicits._
     val v = (1 to 8).map(_.toFloat) // pool 8 -> 2: (1+2+3+4)/4=2.5, (5+6+7+8)/4=6.5
