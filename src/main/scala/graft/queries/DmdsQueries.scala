@@ -1039,6 +1039,72 @@ object DmdsQueries {
                 ORDER BY event_id""")
       ),
 
+      "w_mor_upsert" -> QueryDef(
+        // MERGE-ON-READ programmatic UPSERT through the oracle gate (r14):
+        // `World.insert` on a versioned world takes the delta path
+        // (GraftMor) — displaced rows retire BY POSITION into deletion
+        // vectors, incoming rows route-append into their cells, ONE seal
+        // swaps both in. ZERO pre-existing data bytes move (the query
+        // asserts every pre-upsert file is still live at its exact size,
+        // and that vectors exist) — where the COW path rewrote every
+        // affected cell: a 10-row CDC epoch into 10 gigabyte cells now
+        // writes ~10 sidecar entries + 10 rows instead of 10 GB. This is
+        // the write path every streaming upsert epoch and index/MV refresh
+        // rides. The readback unions the live state (vectors applied) with
+        // the VERSION AS OF 1 pre-upsert snapshot; the displaced count is
+        // pinned to the reference's replace-on-conflict contract
+        // (/root/reference/src/world.rs:124-150).
+        (s, dir) => {
+          val s2 = isolatedSession(s)
+          val path = s"/tmp/graft_world_morup_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
+          val root = new org.apache.hadoop.fs.Path(path)
+          fs.delete(root, true) // stateful fixture: rebuild per run
+          val sd0 = DimMapping(0L, (1L << 20) - 1, 8192L)
+          val sd1 = DimMapping(0L, (1L << 14) - 1, 128L)
+          val w = new World(s2, path,
+            Seq(DimSpec("event_id", sd0), DimSpec("user_id", sd1)))
+          val e = events(s2, dir).select("event_id", "user_id", "value")
+          // connector append seals v1: the log is authoritative from here
+          w.append(e.where(col("event_id") % 2 === 0))
+          val pre = graft.sources.GraftVersions.readEntries(fs, root, 1L)
+            .map(x => x.rel -> x.size).toMap
+          // upsert = replace-on-conflict: a slice of existing ids with new
+          // values (displaced) + a slice of odd ids (fresh inserts)
+          val upd = e.where(col("event_id") % 2 === 0 && col("event_id") % 97 === 11)
+            .withColumn("value", col("value") + 1000000)
+          val ins = e.where(col("event_id") % 2 === 1 && col("event_id") % 101 === 7)
+          val displaced = w.insert(upd.unionByName(ins))
+          val expect = upd.count()
+          require(displaced == expect,
+            s"w_mor_upsert: displaced $displaced, expected $expect")
+          val after = graft.sources.GraftVersions.readEntries(fs, root,
+            graft.sources.GraftVersions.latestVersion(fs, root).get)
+          require(after.exists(_.dv.isDefined),
+            "w_mor_upsert must take the deletion-vector delta path")
+          require(pre.forall { case (rel, sz) =>
+            after.exists(x => x.rel == rel && x.size == sz) },
+            "a MOR upsert must keep every pre-upsert data file live, unchanged")
+          w.snapshot(1).select(lit("v1").as("at"),
+              col("event_id"), col("user_id"), col("value"))
+            .unionByName(w.df.select(lit("now").as("at"),
+              col("event_id"), col("user_id"), col("value")))
+            .orderBy("at", "event_id")
+        },
+        Some("""SELECT 'v1' AS at, event_id, user_id, value FROM events
+                WHERE event_id % 2 = 0
+                UNION ALL
+                SELECT 'now' AS at, event_id, user_id,
+                  CASE WHEN event_id % 97 = 11 THEN value + 1000000
+                       ELSE value END AS value
+                FROM events WHERE event_id % 2 = 0
+                UNION ALL
+                SELECT 'now' AS at, event_id, user_id, value FROM events
+                WHERE event_id % 2 = 1 AND event_id % 101 = 7
+                ORDER BY at, event_id""")
+      ),
+
       "w_time_travel" -> QueryDef(
         // snapshot reads over the chunk grid through the oracle gate:
         // INSERT seals commit v1, a row-level UPDATE (merge-on-read since

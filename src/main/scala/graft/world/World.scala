@@ -212,36 +212,78 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
 
   /** A frame over exactly `entries` (manifest-resolved file list, deletion
     * vectors applied) — the shared read shape of [[df]]'s live branch and
-    * the branch-head reads ([[insertOn]]). */
+    * the branch-head reads ([[insertOn]]).
+    *
+    * `keepAddr` additionally exposes each row's PHYSICAL address — the
+    * absolute file path as `__gf` and the in-file row ordinal as `__gp`
+    * (parquet `_metadata.row_index`, the same coordinate system the
+    * deletion-vector sidecars use) — which is what the merge-on-read point
+    * writes retire by ([[graft.sources.GraftMor]]). Callers must guarantee
+    * `entries` nonEmpty under `keepAddr` (the empty-world frame has no
+    * file metadata to address). */
   private def dfOver(
-      entries: Seq[graft.sources.GraftVersions.ManifestEntry]): DataFrame = {
-    if (entries.isEmpty) return emptyDf
+      entries: Seq[graft.sources.GraftVersions.ManifestEntry],
+      keepAddr: Boolean = false): DataFrame = {
+    if (entries.isEmpty) {
+      require(!keepAddr, "dfOver(keepAddr) over an empty entry set")
+      return emptyDf
+    }
     val fs = fileSystem
     val root = new org.apache.hadoop.fs.Path(path)
-    val base = spark.read.option("basePath", path)
+    val base0 = spark.read.option("basePath", path)
       .parquet(entries.map(e => s"$path/${e.rel}"): _*)
     val dvd = entries.filter(_.dv.isDefined)
-    if (dvd.isEmpty) base
-    else {
-      import org.apache.spark.sql.functions.{broadcast, col, expr}
-      val deleted = dvd.flatMap { e =>
-        val name = e.rel.split('/').last
-        graft.sources.GraftDv.read(fs,
-            new org.apache.hadoop.fs.Path(root, e.dv.get._1))
-          .map(p => (name, p, e.rel))
+    if (dvd.isEmpty && !keepAddr) return base0
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    val base = base0
+      .withColumn("__p", expr("_metadata.row_index"))
+      .withColumn("__f", expr("_metadata.file_path"))
+    val filtered =
+      if (dvd.isEmpty) base
+      else {
+        val deleted = dvd.flatMap { e =>
+          val name = e.rel.split('/').last
+          graft.sources.GraftDv.read(fs,
+              new org.apache.hadoop.fs.Path(root, e.dv.get._1))
+            .map(p => (name, p, e.rel))
+        }
+        val del = spark.createDataFrame(deleted).toDF("__dn", "__dp", "__dr")
+        base
+          .withColumn("__n", expr("_metadata.file_name"))
+          .join(broadcast(del),
+            col("__n") === col("__dn") && col("__p") === col("__dp") &&
+              expr("endswith(__f, __dr)"),
+            "left_anti")
+          .drop("__n")
       }
-      val del = spark.createDataFrame(deleted).toDF("__dn", "__dp", "__dr")
-      base
-        .withColumn("__n", expr("_metadata.file_name"))
-        .withColumn("__p", expr("_metadata.row_index"))
-        .withColumn("__f", expr("_metadata.file_path"))
-        .join(broadcast(del),
-          col("__n") === col("__dn") && col("__p") === col("__dp") &&
-            expr("endswith(__f, __dr)"),
-          "left_anti")
-        .drop("__n", "__p", "__f")
-    }
+    if (keepAddr)
+      filtered.withColumnRenamed("__f", "__gf").withColumnRenamed("__p", "__gp")
+    else filtered.drop("__p", "__f")
   }
+
+  /** The live manifest entries when the merge-on-read point-write path
+    * applies to this world (commit log authoritative; branch head resolved
+    * for branch writes): point writes then retire victim ROWS by address
+    * into deletion vectors and route-append fresh rows — one seal, zero
+    * pre-existing bytes moved — instead of COW-rewriting whole cells.
+    * None → unversioned world or barrier window → the COW path. */
+  private def morEntries(branch: Option[String])
+      : Option[Seq[graft.sources.GraftVersions.ManifestEntry]] =
+    if (!graft.sources.GraftMor.authoritative(path)) None
+    else branch match {
+      case Some(b) => Some(graft.sources.GraftVersions.branchHeadEntries(
+        fileSystem, new org.apache.hadoop.fs.Path(path), b))
+      case None => graft.sources.GraftVersions.liveEntries(
+        fileSystem, new org.apache.hadoop.fs.Path(path))
+    }
+
+  /** Collected physical addresses of `rows` (a frame derived from a
+    * `dfOver(_, keepAddr = true)` read): the MoR victim channel —
+    * O(matched rows) at the driver, the same floor the SQL delta writers'
+    * commit messages pay. */
+  private def collectAddrs(rows: DataFrame): Array[(String, Long)] =
+    rows.select(col("__gf"), col("__gp")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
 
   private def emptyDf: DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_graft_schema.json")
@@ -330,28 +372,49 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     * per-epoch streaming upsert stage-able: each epoch's `World::insert`
     * chains on the previous epoch's branch head exactly as main epochs
     * chain on main. */
-  private[graft] def insertOn(rows: DataFrame, branch: Option[String]): Long = {
-    val incoming = withBuckets(validate(rows)).cache()
-    val existing = branch match {
-      case Some(b) => dfOver(graft.sources.GraftVersions.branchHeadEntries(
-        fileSystem, new org.apache.hadoop.fs.Path(path), b))
-      case None => df
+  private[graft] def insertOn(rows: DataFrame, branch: Option[String]): Long =
+    morEntries(branch) match {
+      case Some(entries) =>
+        // MERGE-ON-READ (r14): displaced rows retire BY ADDRESS into
+        // deletion vectors, incoming rows route-append into their cells,
+        // one seal — a 10-row CDC epoch into 10 gigabyte cells writes ~10
+        // sidecar entries + 10 rows of fresh bytes where the COW rewrite
+        // moved 10 GB. The displaced-address collect is O(displaced rows),
+        // the floor (the reference returns each displaced record too).
+        val incoming = withBuckets(validate(rows)).cache()
+        val displaced: Array[(String, Long)] =
+          if (entries.isEmpty) Array.empty
+          else {
+            val ids = incoming.select(col(idCol)).distinct()
+            collectAddrs(dfOver(entries, keepAddr = true)
+              .join(ids, Seq(idCol), "left_semi"))
+          }
+        graft.sources.GraftMor.pointWrite(spark, path, branch, displaced,
+          Some(incoming), "UPSERT")
+        incoming.unpersist()
+        displaced.length.toLong
+      case None => // unversioned world / barrier window: whole-cell COW
+        val incoming = withBuckets(validate(rows)).cache()
+        val existing = branch match {
+          case Some(b) => dfOver(graft.sources.GraftVersions.branchHeadEntries(
+            fileSystem, new org.apache.hadoop.fs.Path(path), b))
+          case None => df
+        }
+        // no broadcast hint: the id set is unbounded (a 100 TB upsert can
+        // carry billions of ids) — AQE broadcasts when the build side is
+        // actually small and falls back to a shuffle join otherwise
+        val ids = incoming.select(col(idCol)).distinct()
+        val displaced = existing.join(ids, Seq(idCol), "left_semi")
+        val displacedCount = displaced.count()
+        // affected partitions: old location of replaced ids + new rows' cells
+        val affected = collectBuckets(displaced) ++ collectBuckets(incoming)
+        val affectedPred = partitionsPred(affected)
+        val keep = existing.where(affectedPred)
+          .join(ids, Seq(idCol), "left_anti")
+        rewritePartitions(affected, keep.unionByName(incoming), branch)
+        incoming.unpersist()
+        displacedCount
     }
-    // no broadcast hint: the id set is unbounded (a 100 TB upsert can carry
-    // billions of ids) — AQE broadcasts when the build side is actually small
-    // and falls back to a shuffle join otherwise
-    val ids = incoming.select(col(idCol)).distinct()
-    val displaced = existing.join(ids, Seq(idCol), "left_semi")
-    val displacedCount = displaced.count()
-    // affected partitions: where replaced ids currently live + where new rows land
-    val affected = collectBuckets(displaced) ++ collectBuckets(incoming)
-    val affectedPred = partitionsPred(affected)
-    val keep = existing.where(affectedPred)
-      .join(ids, Seq(idCol), "left_anti")
-    rewritePartitions(affected, keep.unionByName(incoming), branch)
-    incoming.unpersist()
-    displacedCount
-  }
 
   /** Combined delete + upsert in ONE partition-scoped rewrite: rows whose
     * id is in `removeIds` vanish, `upserts` land with replace-on-conflict
@@ -363,7 +426,45 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     * read and rewritten TWICE — this applies both in one read-modify-
     * write, one staged swap, one version seal. Returns (removed,
     * displaced) counts. */
-  def applyDelta(removeIds: DataFrame, upserts: DataFrame): (Long, Long) = {
+  def applyDelta(removeIds: DataFrame, upserts: DataFrame): (Long, Long) =
+    morEntries(None) match {
+      case Some(entries) => morApplyDelta(entries, removeIds, upserts)
+      case None => cowApplyDelta(removeIds, upserts)
+    }
+
+  /** MERGE-ON-READ [[applyDelta]] (r14): removed + displaced rows retire by
+    * address into deletion vectors, upserts route-append, ONE seal — the
+    * single-flush contract at the O(delta) floor instead of O(affected
+    * cells): an index/MV refresh whose delta touches k gigabyte cells
+    * writes k sidecar entries + the delta's own bytes, never k GB. One
+    * tagged job resolves both victim families (the COW path's one-action
+    * shape, restated over addresses). */
+  private def morApplyDelta(
+      entries: Seq[graft.sources.GraftVersions.ManifestEntry],
+      removeIds: DataFrame, upserts: DataFrame): (Long, Long) = {
+    val incoming = withBuckets(validate(upserts)).cache()
+    val rmIds = removeIds.withColumnRenamed(removeIds.columns.head, idCol)
+    val rmKeys = rmIds.columns.toSeq
+    val tagged: Array[(String, String, Long)] =
+      if (entries.isEmpty) Array.empty
+      else {
+        val addr = dfOver(entries, keepAddr = true)
+        val upIds = incoming.select(col(idCol)).distinct()
+        addr.join(rmIds, rmKeys, "left_semi")
+          .select(lit("r").as("_t"), col("__gf"), col("__gp"))
+          .unionByName(addr.join(upIds, Seq(idCol), "left_semi")
+            .select(lit("d").as("_t"), col("__gf"), col("__gp")))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      }
+    val victims = tagged.map { case (_, f, p) => (f, p) }
+    graft.sources.GraftMor.pointWrite(spark, path, None, victims,
+      Some(incoming), "DELTA")
+    incoming.unpersist()
+    (tagged.count(_._1 == "r").toLong, tagged.count(_._1 == "d").toLong)
+  }
+
+  private def cowApplyDelta(removeIds: DataFrame, upserts: DataFrame): (Long, Long) = {
     val incoming = withBuckets(validate(upserts)).cache()
     val existing = df
     // removal matching: the FIRST column is the dim-0 id; any EXTRA columns
@@ -449,18 +550,34 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     * driver (an `isin`/broadcast of the whole set caps out far below the
     * 100 TB design point). */
   def destroy(ids: DataFrame): Long = {
-    val existing = df
     val idDf = ids.toDF(idCol)
-    val victims = existing.join(idDf, Seq(idCol), "left_semi").cache()
-    val n = victims.count()
-    if (n > 0) {
-      val affected = collectBuckets(victims)
-      val keep = existing.where(partitionsPred(affected))
-        .join(idDf, Seq(idCol), "left_anti")
-      rewritePartitions(affected, keep)
+    morEntries(None) match {
+      case Some(entries) =>
+        // MERGE-ON-READ (r14): victims retire by address into deletion
+        // vectors — zero data bytes move; a gutted file is caught by the
+        // cutover (survivor rewrite) and a fully-emptied one simply
+        // retires (both inside the one seal, see GraftDvCommit)
+        if (entries.isEmpty) 0L
+        else {
+          val victims = collectAddrs(dfOver(entries, keepAddr = true)
+            .join(idDf, Seq(idCol), "left_semi"))
+          graft.sources.GraftMor.pointWrite(spark, path, None, victims,
+            None, "DESTROY")
+          victims.length.toLong
+        }
+      case None =>
+        val existing = df
+        val victims = existing.join(idDf, Seq(idCol), "left_semi").cache()
+        val n = victims.count()
+        if (n > 0) {
+          val affected = collectBuckets(victims)
+          val keep = existing.where(partitionsPred(affected))
+            .join(idDf, Seq(idCol), "left_anti")
+          rewritePartitions(affected, keep)
+        }
+        victims.unpersist()
+        n
     }
-    victims.unpersist()
-    n
   }
 
   /** Keyed update with automatic relocation — `Lazy::get_mut` + `Lazy::close`
@@ -472,23 +589,45 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     */
   def update(cond: Column, sets: Map[String, Column]): Long = {
     require(!sets.contains(idCol), s"dim-0 id column `$idCol` is immutable")
-    val existing = df
     // three-valued logic: cond=NULL rows must land in `keep`, not vanish —
     // `where(cond)` and `where(!cond)` BOTH drop NULL rows, so normalize the
     // condition to false-on-NULL before splitting
     val condT = coalesce(cond, lit(false))
-    val hit = existing.where(condT).cache()
-    val n = hit.count()
-    if (n > 0) {
-      val mutated = withBuckets(
-        sets.foldLeft(hit.drop(bucketCols: _*)) { case (d, (c, e)) => d.withColumn(c, e) }
-      )
-      val affected = collectBuckets(hit) ++ collectBuckets(mutated)
-      val keep = existing.where(partitionsPred(affected)).where(!condT)
-      rewritePartitions(affected, keep.unionByName(mutated))
+    morEntries(None) match {
+      case Some(entries) =>
+        // MERGE-ON-READ (r14): old images retire by address, new images
+        // (buckets recomputed — relocation falls out of routing) append
+        // into their cells, one seal — the programmatic twin of the SQL
+        // delta UPDATE (GraftDeltaUpdateOperation)
+        if (entries.isEmpty) 0L
+        else {
+          val hit = dfOver(entries, keepAddr = true).where(condT).cache()
+          val victims = collectAddrs(hit)
+          if (victims.nonEmpty) {
+            val mutated = withBuckets(
+              sets.foldLeft(hit.drop("__gf", "__gp").drop(bucketCols: _*)) {
+                case (d, (c, e)) => d.withColumn(c, e) })
+            graft.sources.GraftMor.pointWrite(spark, path, None, victims,
+              Some(mutated), "UPDATE")
+          }
+          hit.unpersist()
+          victims.length.toLong
+        }
+      case None =>
+        val existing = df
+        val hit = existing.where(condT).cache()
+        val n = hit.count()
+        if (n > 0) {
+          val mutated = withBuckets(
+            sets.foldLeft(hit.drop(bucketCols: _*)) { case (d, (c, e)) => d.withColumn(c, e) }
+          )
+          val affected = collectBuckets(hit) ++ collectBuckets(mutated)
+          val keep = existing.where(partitionsPred(affected)).where(!condT)
+          rewritePartitions(affected, keep.unionByName(mutated))
+        }
+        hit.unpersist()
+        n
     }
-    hit.unpersist()
-    n
   }
 
   /** Compaction: rewrite fragmented chunk directories down to one file each.

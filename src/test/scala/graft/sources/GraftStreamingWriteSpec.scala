@@ -182,6 +182,53 @@ class GraftStreamingWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming upsert epoch on a versioned world goes merge-on-read: zero pre-existing bytes move (r14)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val cp = Files.createTempDirectory("graft-sw-cp").toString
+    val w = new World(spark, path, Seq(DimSpec("d0", DimMapping(0, 99, 10))))
+    // cell c0=1 holds TEN rows so the epoch's single conflict stays under
+    // the DV cutover fraction (a gutted file would correctly rewrite)
+    w.create(((10L to 19L).map(i => (i, 150L)) :+ (5L, 50L)).toDF("d0", "v"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
+    val root = new org.apache.hadoop.fs.Path(path)
+    def live = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get)
+    val src = MemoryStream[(Long, Long)]
+    val q = w.withBuckets(src.toDF().toDF("d0", "v"))
+      .writeStream.format("graft")
+      .option("graft.mode", "upsert")
+      .option("checkpointLocation", cp)
+      .start(path)
+    try {
+      // epoch 1 on the UNVERSIONED world: COW, seals the first manifests
+      src.addData((5L, 999L), (25L, 250L))
+      q.processAllAvailable()
+      val pre = live.map(e => e.rel -> e.size).toMap
+      // epoch 2: the log is authoritative now — the epoch's World.insert
+      // retires the conflicting row into a DELETION VECTOR and
+      // route-appends the epoch's rows; every pre-epoch file stays live
+      // at its exact size (at 100 TB: a 10-row CDC epoch writes ~10
+      // sidecar entries + 10 rows, never the touched gigabyte cells)
+      src.addData((15L, 888L), (35L, 350L))
+      q.processAllAvailable()
+      val after = live
+      assert(after.exists(_.dv.isDefined),
+        "a versioned upsert epoch must take the deletion-vector path")
+      assert(pre.forall { case (rel, sz) =>
+        after.exists(e => e.rel == rel && e.size == sz) },
+        "an upsert epoch must move zero pre-existing bytes")
+      val got = spark.read.format("graft").load(path)
+        .select("d0", "v").as[(Long, Long)].collect().toMap
+      val expect = (10L to 19L).map(i => i -> 150L).toMap ++
+        Map(5L -> 999L, 15L -> 888L, 25L -> 250L, 35L -> 350L)
+      assert(got == expect,
+        s"epoch upserts applied through the MoR path, got $got")
+    } finally q.stop()
+  }
+
   test("Complete output mode truncates: each epoch replaces the world") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

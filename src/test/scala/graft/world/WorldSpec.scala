@@ -908,6 +908,71 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new java.io.File(w.path + "/c0=0/c1=0/c2=3").isDirectory)
   }
 
+  test("merge-on-read point writes (r14): insert/destroy/update/applyDelta retire by vector, zero pre-existing bytes move") {
+    import graft.sources.GraftVersions
+    // one LARGE cell (ids 64..127 -> c0=1) so point deletes stay under the
+    // DV cutover fraction — single-row cells would correctly retire/rewrite
+    // whole files instead of vectoring (that path is GraftDvSpec's)
+    val w = new World(spark, tmp(), dims2(64, 16))
+    val big = (64L to 127L).map(i => (i, 514L))
+    w.create(rows(big ++ Seq((1L, 1L), (2L, 2L), (200L, 300L)): _*))
+    // first point write on an UNVERSIONED world: COW — seals v1, the log
+    // is authoritative from here, so every later point write goes MoR
+    assert(w.insert(rows((300L, 300L))) == 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(w.path), new org.apache.hadoop.conf.Configuration())
+    val root = new org.apache.hadoop.fs.Path(w.path)
+    def live = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get)
+    def state = w.df.select("d0", "d1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v1State = big.toSet ++
+      Set((1L, 1L), (2L, 2L), (200L, 300L), (300L, 300L))
+    val pre = live.map(e => e.rel -> e.size).toMap
+    // MoR INSERT: one conflict (114 replaced + relocated: d1 600 -> c1=37),
+    // one fresh (400)
+    assert(w.insert(rows((114L, 600L), (400L, 400L))) == 1L)
+    val afterIns = live
+    assert(afterIns.exists(_.dv.isDefined),
+      "displaced row must retire into a deletion vector")
+    assert(pre.forall { case (rel, sz) =>
+      afterIns.exists(e => e.rel == rel && e.size == sz) },
+      "a MoR insert must keep every pre-insert data file live, unchanged")
+    assert(state ==
+      v1State - ((114L, 514L)) + ((114L, 600L)) + ((400L, 400L)))
+    // MoR DESTROY: victim vanishes from live reads, no cell rewrite
+    // (same big file: union grows to 2/64 deleted — still vectored)
+    val preD = live.map(e => e.rel -> e.size).toMap
+    assert(w.destroy(Seq(65L)) == 1L)
+    assert(preD.forall { case (rel, sz) =>
+      live.exists(e => e.rel == rel && e.size == sz) },
+      "a MoR destroy moves zero pre-existing bytes")
+    assert(!state.contains((65L, 514L)))
+    // MoR UPDATE with relocation: old image vectored, new image lands in
+    // its NEW cell (d1=900 -> c1=56)
+    assert(w.update(col("d0") === 66L, Map("d1" -> lit(900L))) == 1L)
+    assert(state.contains((66L, 900L)) && !state.contains((66L, 514L)))
+    assert(spark.read.format("graft").load(w.path)
+      .where(col("c1") === 56L && col("d0") === 66L).count() == 1L,
+      "relocated new image routed to its new cell")
+    // MoR APPLYDELTA: remove + replace + fresh in ONE seal
+    val vBefore = GraftVersions.latestVersion(fs, root).get
+    val (removed, disp) = w.applyDelta(
+      rows((67L, 514L)).select("d0"),
+      rows((68L, 999L), (500L, 500L)))
+    assert(removed == 1L && disp == 1L)
+    assert(GraftVersions.latestVersion(fs, root).get == vBefore + 1,
+      "applyDelta seals exactly ONE version (single-flush contract)")
+    assert(state ==
+      v1State - ((114L, 514L)) + ((114L, 600L)) + ((400L, 400L)) -
+        ((65L, 514L)) - ((66L, 514L)) + ((66L, 900L)) -
+        ((67L, 514L)) - ((68L, 514L)) + ((68L, 999L)) + ((500L, 500L)))
+    // snapshots through the whole MoR sequence stay addressable: v1 reads
+    // the pre-MoR-insert rows through the vector-free entries
+    assert(w.snapshot(1).select("d0", "d1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == v1State)
+  }
+
   test("partition pruning reaches the file index (scan reads only selected dirs)") {
     val w = new World(spark, tmp(), Seq(
       DimSpec("d0", DimMapping(0, 99, 10)), DimSpec("d1", DimMapping(0, 99, 10))))
