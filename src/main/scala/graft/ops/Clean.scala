@@ -29,6 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object Clean {
 
+  /** HTML/markup → visible text (r14): tag stripping, script/style/head and
+    * comment removal, entity decoding, BLOCK segmentation at block-level
+    * tags, and a per-block LINK-DENSITY boilerplate gate (nav/footer chrome
+    * is near-pure anchors) — the extraction step that turns a crawled page
+    * into the `text` column every operator below consumes. Per-row,
+    * shuffle-free, codegen'd ([[graft.functions.HtmlExtract]]); surviving
+    * blocks join with `\n`, so the segment-level passes below compose
+    * directly on real paragraph boundaries. */
+  def extractHtml(html: org.apache.spark.sql.Column, maxLinkPct: Int = 50)
+      : org.apache.spark.sql.Column =
+    graft.functions.HtmlExtract(html, maxLinkPct)
+
   /** One row per non-overlapping `window`-token segment, tagged with its
     * position so the survivors can be reassembled in document order. */
   private def segments(df: DataFrame, idCol: String, textCol: String,
