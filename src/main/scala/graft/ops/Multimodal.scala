@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   * `javax.sound.sampled` reads/writes RIFF/WAVE PCM — so
   * [[decodeImages]] / [[decodeAudio]] run genuine byte-level
   * encode/decode with zero external dependencies, executor-side, one
-  * shared codec registry per task. What remains stubbed is VIDEO
-  * demuxing ([[fakeFrameSample]]) and non-JDK codecs (webp/opus/mp4):
-  * those libraries are absent from this container, so only the fan-out
-  * shape is exercised there — clearly marked.
+  * shared codec registry per task. VIDEO demux is real too: MJPEG-AVI
+  * chunk-walking with per-frame JDK JPEG decode ([[sampleAviFrames]],
+  * r13), and mp4/webm METADATA demux by ISO-BMFF box / EBML element
+  * walking ([[demuxMp4Meta]] / [[demuxWebmMeta]], r14 — duration, track
+  * dims, codec id, sample count: container arithmetic, no codec needed).
+  * The ONLY remaining stub is frame DECODE for codecs the JDK lacks
+  * (H.264/VP9/webp/opus — absent from this container):
+  * [[fakeDecodeFeatures]] / [[fakeFrameSample]] keep that fan-out shape,
+  * clearly marked. A platform bound, not an engine gap.
   */
 object Multimodal {
 
@@ -196,7 +201,7 @@ object Multimodal {
     * JPEG reader. One input row fans out to its sampled frames via an
     * iterator — the same no-materialized-intermediate contract as the
     * stub, now over genuine container bytes. */
-  def sampleAviFrames(spark: SparkSession, rows: Dataset[AudioRow],
+  def sampleAviFrames(spark: SparkSession, rows: Dataset[MediaBytesRow],
       stride: Int = 2): Dataset[VideoFrame] = {
     import spark.implicits._
     rows.mapPartitions { it =>
@@ -250,6 +255,251 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // REAL mp4 (ISO-BMFF) METADATA demux (r14): box walking needs NO codec —
+  // duration, track dimensions, codec fourcc, and sample counts are pure
+  // container arithmetic, exactly what a multimodal pipeline FILTERS on
+  // (resolution/duration gates) before ever paying a decode. Frame DECODE
+  // for these containers stays platform-bound (no H.264/VP9 in the JDK,
+  // [[fakeDecodeFeatures]] keeps that shape); the demux below is honest
+  // byte-level parsing, same discipline as the AVI walker above.
+
+  private def be32(v: Int): Array[Byte] =
+    Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  /** Encode a structurally valid single-track ISO-BMFF (mp4) file:
+    * ftyp + moov(mvhd + trak(tkhd + mdia(mdhd + hdlr + minf(stbl(stsd +
+    * stsz))))) + a token mdat — the deterministic corpus generator for the
+    * demux pipeline. Dimensions ride tkhd as 16.16 fixed point, duration
+    * rides mdhd in `timescale` units, the sample count rides stsz, the
+    * codec fourcc is the stsd entry type. */
+  def encodeMp4(width: Int, height: Int, timescale: Int, durationUnits: Int,
+      nSamples: Int, codec: String = "avc1"): Array[Byte] = {
+    def box(tp: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8) ++ fourcc(tp) ++ body
+    val ftyp = box("ftyp",
+      fourcc("isom") ++ be32(512) ++ fourcc("isom") ++ fourcc("mp42"))
+    // mvhd v0: verflags, create, modify, timescale, duration, rate, volume,
+    // reserved(10), matrix(36), predefined(24), next_track_ID
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(durationUnits) ++ be32(0x00010000) ++
+      Array[Byte](1, 0) ++ new Array[Byte](10) ++ identityMatrix ++
+      new Array[Byte](24) ++ be32(2))
+    // tkhd v0: verflags(flags=3: enabled|in-movie), create, modify,
+    // track_ID, reserved, duration, reserved(8), layer, alt_group, volume,
+    // reserved, matrix(36), width/height as 16.16
+    val tkhd = box("tkhd", be32(3) ++ be32(0) ++ be32(0) ++ be32(1) ++
+      be32(0) ++ be32(durationUnits) ++ new Array[Byte](8) ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++ identityMatrix ++
+      be32(width << 16) ++ be32(height << 16))
+    val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(durationUnits) ++
+      Array[Byte](0x55, (0xc4 & 0xff).toByte, 0, 0)) // und language + predef
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ fourcc("vide") ++
+      new Array[Byte](12) ++ Array[Byte](0))
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      (be32(16) ++ fourcc(codec) ++ new Array[Byte](8)))
+    val stsz = box("stsz", be32(0) ++ be32(1) ++ be32(nSamples))
+    val stbl = box("stbl", stsd ++ stsz)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val mdat = box("mdat", Array[Byte](0, 0, 0, 0))
+    ftyp ++ moov ++ mdat
+  }
+
+  private def identityMatrix: Array[Byte] =
+    be32(0x00010000) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000)
+
+  final case class Mp4Meta(doc_id: Long, codec: String, width: Long,
+      height: Long, n_samples: Long, duration_us: Long)
+
+  /** REAL demux: walk the box tree (moov → trak → tkhd/mdia → mdhd/hdlr/
+    * minf → stbl → stsd/stsz), one output row per track — duration in
+    * microseconds from the media timescale, dimensions from tkhd's 16.16
+    * fields, codec from the first stsd entry, sample count from stsz.
+    * Malformed containers fail LOUDLY naming the doc. Per-partition,
+    * iterator fan-out, zero shuffles — the AVI walker's contract. */
+  def demuxMp4Meta(spark: SparkSession, rows: Dataset[MediaBytesRow]): Dataset[Mp4Meta] = {
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.media
+        def u32(off: Int): Long =
+          ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+            ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+        def cc(off: Int): String = new String(b, off, 4, "US-ASCII")
+        // children of the box spanning [off, end): (type, payloadOff, payloadEnd)
+        def boxes(off: Int, end: Int): Iterator[(String, Int, Int)] =
+          new Iterator[(String, Int, Int)] {
+            private var p = off
+            override def hasNext: Boolean = p + 8 <= end
+            override def next(): (String, Int, Int) = {
+              val size = u32(p)
+              require(size >= 8 && p + size <= end,
+                s"doc ${r.doc_id}: corrupt box size $size at offset $p")
+              val out = (cc(p + 4), p + 8, p + size.toInt)
+              p += size.toInt
+              out
+            }
+          }
+        def find(off: Int, end: Int, tp: String): Option[(Int, Int)] =
+          boxes(off, end).collectFirst { case (`tp`, s, e) => (s, e) }
+        val (moovS, moovE) = find(0, b.length, "moov").getOrElse(
+          throw new IllegalArgumentException(s"doc ${r.doc_id}: no moov box"))
+        boxes(moovS, moovE).collect { case ("trak", ts, te) =>
+          val (tkS, _) = find(ts, te, "tkhd").getOrElse(
+            throw new IllegalArgumentException(s"doc ${r.doc_id}: trak without tkhd"))
+          val width = u32(tkS + 76) >> 16
+          val height = u32(tkS + 80) >> 16
+          val (mdS, mdE) = find(ts, te, "mdia").getOrElse(
+            throw new IllegalArgumentException(s"doc ${r.doc_id}: trak without mdia"))
+          val (mhS, _) = find(mdS, mdE, "mdhd").getOrElse(
+            throw new IllegalArgumentException(s"doc ${r.doc_id}: mdia without mdhd"))
+          val timescale = u32(mhS + 12)
+          val duration = u32(mhS + 16)
+          val (mnS, mnE) = find(mdS, mdE, "minf").getOrElse(
+            throw new IllegalArgumentException(s"doc ${r.doc_id}: mdia without minf"))
+          val (sbS, sbE) = find(mnS, mnE, "stbl").getOrElse(
+            throw new IllegalArgumentException(s"doc ${r.doc_id}: minf without stbl"))
+          val (sdS, _) = find(sbS, sbE, "stsd").getOrElse(
+            throw new IllegalArgumentException(s"doc ${r.doc_id}: stbl without stsd"))
+          val codec = cc(sdS + 12) // first entry: size(4) then fourcc
+          val nSamples = find(sbS, sbE, "stsz")
+            .map { case (s, _) => u32(s + 8) }.getOrElse(-1L)
+          Mp4Meta(r.doc_id, codec, width, height, nSamples,
+            duration * 1000000L / timescale)
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL webm (EBML/Matroska) METADATA demux (r14): element walking —
+  // variable-length ids/sizes instead of fixed boxes, same no-codec
+  // container arithmetic.
+
+  private def ebmlSize(n: Int): Array[Byte] = {
+    // 4-byte size vint (marker 0x10 in the first byte): bounded but ample
+    // for generated metadata bodies (< 2^28)
+    require(n < (1 << 28), "ebml size out of encodable range")
+    Array[Byte]((0x10 | (n >>> 24)).toByte, (n >>> 16).toByte,
+      (n >>> 8).toByte, n.toByte)
+  }
+  private def ebmlEl(id: Array[Byte], body: Array[Byte]): Array[Byte] =
+    id ++ ebmlSize(body.length) ++ body
+  private def ebmlUint(v: Long): Array[Byte] = {
+    var len = 1
+    while (len < 8 && (v >>> (8 * len)) != 0) len += 1
+    (0 until len).map(i => ((v >>> (8 * (len - 1 - i))) & 0xff).toByte).toArray
+  }
+
+  /** Encode a structurally valid single-track webm skeleton: EBML header
+    * (DocType "webm") + Segment(Info(TimestampScale, Duration) +
+    * Tracks(TrackEntry(TrackNumber, TrackType, CodecID, Video(PixelWidth,
+    * PixelHeight)))) — the deterministic corpus generator for the demux. */
+  def encodeWebm(width: Int, height: Int, durationTs: Long,
+      timestampScaleNs: Long = 1000000L, codec: String = "V_VP9"): Array[Byte] = {
+    val header = ebmlEl(Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte),
+      ebmlEl(Array[Byte](0x42, 0x82.toByte), "webm".getBytes("US-ASCII")))
+    val info = ebmlEl(Array[Byte](0x15, 0x49, 0xA9.toByte, 0x66),
+      ebmlEl(Array[Byte](0x2A, 0xD7.toByte, 0xB1.toByte),
+        ebmlUint(timestampScaleNs)) ++
+      ebmlEl(Array[Byte](0x44, 0x89.toByte), {
+        val bits = java.lang.Double.doubleToLongBits(durationTs.toDouble)
+        (0 until 8).map(i => ((bits >>> (8 * (7 - i))) & 0xff).toByte).toArray
+      }))
+    val video = ebmlEl(Array[Byte](0xE0.toByte),
+      ebmlEl(Array[Byte](0xB0.toByte), ebmlUint(width.toLong)) ++
+      ebmlEl(Array[Byte](0xBA.toByte), ebmlUint(height.toLong)))
+    val entry = ebmlEl(Array[Byte](0xAE.toByte),
+      ebmlEl(Array[Byte](0xD7.toByte), ebmlUint(1L)) ++
+      ebmlEl(Array[Byte](0x83.toByte), ebmlUint(1L)) ++
+      ebmlEl(Array[Byte](0x86.toByte), codec.getBytes("US-ASCII")) ++
+      video)
+    val tracks = ebmlEl(Array[Byte](0x16, 0x54, 0xAE.toByte, 0x6B), entry)
+    val segment = ebmlEl(Array[Byte](0x18, 0x53, 0x80.toByte, 0x67),
+      info ++ tracks)
+    header ++ segment
+  }
+
+  final case class WebmMeta(doc_id: Long, codec: String, width: Long,
+      height: Long, duration_ts: Long, timescale_ns: Long)
+
+  /** REAL demux: general EBML vint reader (ids keep their marker, sizes
+    * strip it), recursive descent through Segment → Info/Tracks →
+    * TrackEntry → Video, one row per track entry. Malformed streams fail
+    * LOUDLY naming the doc. */
+  def demuxWebmMeta(spark: SparkSession, rows: Dataset[MediaBytesRow]): Dataset[WebmMeta] = {
+    import spark.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.media
+        // (value, bytesConsumed); keepMarker for IDs
+        def vint(off: Int, keepMarker: Boolean): (Long, Int) = {
+          require(off < b.length, s"doc ${r.doc_id}: truncated EBML vint")
+          val first = b(off) & 0xff
+          require(first != 0, s"doc ${r.doc_id}: invalid EBML vint at $off")
+          val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+          require(off + len <= b.length, s"doc ${r.doc_id}: truncated EBML vint")
+          var v = (if (keepMarker) first else first & ((1 << (8 - len)) - 1)).toLong
+          var i = 1
+          while (i < len) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+          (v, len)
+        }
+        def uintAt(off: Int, end: Int): Long = {
+          var v = 0L; var i = off
+          while (i < end) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+          v
+        }
+        // elements of [off, end): (id, bodyOff, bodyEnd)
+        def els(off: Int, end: Int): Iterator[(Long, Int, Int)] =
+          new Iterator[(Long, Int, Int)] {
+            private var p = off
+            override def hasNext: Boolean = p < end
+            override def next(): (Long, Int, Int) = {
+              val (id, n1) = vint(p, keepMarker = true)
+              val (sz, n2) = vint(p + n1, keepMarker = false)
+              val bodyOff = p + n1 + n2
+              require(bodyOff + sz <= end,
+                s"doc ${r.doc_id}: EBML element overruns its parent at $p")
+              p = bodyOff + sz.toInt
+              (id, bodyOff, bodyOff + sz.toInt)
+            }
+          }
+        def find(off: Int, end: Int, id: Long): Option[(Int, Int)] =
+          els(off, end).collectFirst { case (`id`, s, e) => (s, e) }
+        val (segS, segE) = find(0, b.length, 0x18538067L).getOrElse(
+          throw new IllegalArgumentException(s"doc ${r.doc_id}: no Segment"))
+        val (infoS, infoE) = find(segS, segE, 0x1549A966L).getOrElse(
+          throw new IllegalArgumentException(s"doc ${r.doc_id}: no Info"))
+        val tsScale = find(infoS, infoE, 0x2AD7B1L)
+          .map { case (s, e) => uintAt(s, e) }.getOrElse(1000000L)
+        val durTs = find(infoS, infoE, 0x4489L).map { case (s, e) =>
+          require(e - s == 8 || e - s == 4,
+            s"doc ${r.doc_id}: Duration must be a float")
+          if (e - s == 8) java.lang.Double.longBitsToDouble(uintAt(s, e)).toLong
+          else java.lang.Float.intBitsToFloat(uintAt(s, e).toInt).toLong
+        }.getOrElse(-1L)
+        val (trS, trE) = find(segS, segE, 0x1654AE6BL).getOrElse(
+          throw new IllegalArgumentException(s"doc ${r.doc_id}: no Tracks"))
+        els(trS, trE).collect { case (0xAEL, es, ee) =>
+          val codec = find(es, ee, 0x86L)
+            .map { case (s, e) => new String(b, s, e - s, "US-ASCII") }
+            .getOrElse("")
+          val (w, h) = find(es, ee, 0xE0L).map { case (vs, ve) =>
+            (find(vs, ve, 0xB0L).map { case (s, e) => uintAt(s, e) }.getOrElse(-1L),
+              find(vs, ve, 0xBAL).map { case (s, e) => uintAt(s, e) }.getOrElse(-1L))
+          }.getOrElse((-1L, -1L))
+          WebmMeta(r.doc_id, codec, w, h, durTs, tsScale)
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
   // REAL audio codec path (JDK javax.sound.sampled — RIFF/WAVE PCM)
 
   /** Encode `nFrames` frames of constant-amplitude 16-bit little-endian
@@ -273,7 +523,7 @@ object Multimodal {
     bos.toByteArray
   }
 
-  final case class AudioRow(doc_id: Long, media: Array[Byte])
+  final case class MediaBytesRow(doc_id: Long, media: Array[Byte])
   final case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
       n_frames: Long, duration_us: Long, peak: Long)
 
@@ -281,7 +531,7 @@ object Multimodal {
     * headers (rate, channels, frame count) and the PCM body streams
     * through a peak-amplitude scan — the feature-extraction shape of an
     * audio-quality gate, exact because PCM is lossless. */
-  def decodeAudio(spark: SparkSession, rows: Dataset[AudioRow]): Dataset[AudioMeta] = {
+  def decodeAudio(spark: SparkSession, rows: Dataset[MediaBytesRow]): Dataset[AudioMeta] = {
     import spark.implicits._
     rows.mapPartitions { it =>
       it.map { r =>

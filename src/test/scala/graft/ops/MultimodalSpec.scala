@@ -54,7 +54,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
       new String(wav.slice(8, 12), "US-ASCII") == "WAVE", "RIFF/WAVE header")
     val got = Multimodal.decodeAudio(spark,
-      Seq(Multimodal.AudioRow(9L, wav)).toDS()).collect().head
+      Seq(Multimodal.MediaBytesRow(9L, wav)).toDS()).collect().head
     assert(got.sample_rate == 16000L && got.channels == 2L &&
       got.n_frames == 250L && got.peak == 123L)
     assert(got.duration_us == 250L * 1000000L / 16000L)
@@ -66,12 +66,57 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(avi.take(4), "US-ASCII") == "RIFF" &&
       new String(avi.slice(8, 12), "US-ASCII") == "AVI ", "RIFF/AVI header")
     val got = Multimodal.sampleAviFrames(spark,
-        Seq(Multimodal.AudioRow(3L, avi)).toDS(), stride = 2)
+        Seq(Multimodal.MediaBytesRow(3L, avi)).toDS(), stride = 2)
       .collect().sortBy(_.frame_idx)
     assert(got.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L),
       s"stride 2 over 5 frames samples 0/2/4: ${got.toSeq}")
     assert(got.forall(f => f.width == 8L && f.height == 6L && f.n_bytes > 0),
       s"every sampled frame decodes through the real JPEG reader: ${got.toSeq}")
+  }
+
+  test("corrupt RIFF fails LOUDLY naming the doc (never a silent skip)") {
+    import spark.implicits._
+    val junk = "RIFX not an avi at all".getBytes("US-ASCII")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleAviFrames(spark,
+        Seq(Multimodal.MediaBytesRow(42L, junk)).toDS()).collect()
+    }
+    assert(e.getMessage.contains("42") || e.getCause.getMessage.contains("42"),
+      s"error must name the doc: ${e.getMessage}")
+  }
+
+  test("mp4 (ISO-BMFF) metadata demux: box walk recovers dims/codec/duration/samples") {
+    import spark.implicits._
+    val mp4 = Multimodal.encodeMp4(width = 640, height = 360, timescale = 1000,
+      durationUnits = 2400, nSamples = 60)
+    assert(new String(mp4.slice(4, 8), "US-ASCII") == "ftyp", "ftyp box leads")
+    val got = Multimodal.demuxMp4Meta(spark,
+      Seq(Multimodal.MediaBytesRow(5L, mp4)).toDS()).collect().toSeq
+    assert(got == Seq(Multimodal.Mp4Meta(5L, "avc1", 640L, 360L, 60L,
+      2400L * 1000000L / 1000L)))
+    // corrupt container: loud per-doc error
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.demuxMp4Meta(spark, Seq(Multimodal.MediaBytesRow(77L,
+        "definitely not an mp4 container".getBytes("US-ASCII"))).toDS()).collect()
+    }
+    assert(e.getMessage.contains("77") || e.getCause.getMessage.contains("77"))
+  }
+
+  test("webm (EBML) metadata demux: vint element walk recovers dims/codec/duration") {
+    import spark.implicits._
+    val webm = Multimodal.encodeWebm(width = 1280, height = 720,
+      durationTs = 4000L)
+    assert((webm(0) & 0xff) == 0x1A && (webm(1) & 0xff) == 0x45,
+      "EBML magic leads")
+    val got = Multimodal.demuxWebmMeta(spark,
+      Seq(Multimodal.MediaBytesRow(6L, webm)).toDS()).collect().toSeq
+    assert(got == Seq(Multimodal.WebmMeta(6L, "V_VP9", 1280L, 720L, 4000L,
+      1000000L)))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.demuxWebmMeta(spark, Seq(Multimodal.MediaBytesRow(88L,
+        Array[Byte](0x1A, 0x45))).toDS()).collect()
+    }
+    assert(e.getMessage.contains("88") || e.getCause.getMessage.contains("88"))
   }
 
   test("poolFeatures: average-pooled buckets match hand computation") {
