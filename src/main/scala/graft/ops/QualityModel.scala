@@ -62,4 +62,48 @@ object QualityModel {
     * emitted as 0/1 BIGINT for exact comparison. */
   def predict(f: Fitted): Column =
     (probability(f) > 0.5).cast("long")
+
+  // ------------------------------------------------------------------
+  // fastText-shape HASHED-feature path (r14): features are a fixed-k
+  // count vector from [[graft.functions.FeatureHash]] (hashed word
+  // n-grams), not named numeric columns — the classifier gate real
+  // pretraining pipelines run. Same two-phase scale shape: distributed
+  // LBFGS on the labeled subset, then scoring as a pure Column fold over
+  // the k dims (no model object, no UDF, nothing near the corpus scan).
+
+  /** A fitted binary logistic model over a k-dim vector column. */
+  final case class FittedVec(intercept: Double, weights: Array[Double])
+
+  /** Fit LR on a hashed-count `array` feature column (k dims). */
+  def trainHashed(labeled: DataFrame, featuresCol: String, labelCol: String,
+      maxIter: Int = 100): FittedVec = {
+    val assembled = labeled.select(col(labelCol).cast("double").as(labelCol),
+      org.apache.spark.ml.functions.array_to_vector(
+        col(featuresCol).cast("array<double>")).as("__features"))
+    val model = new org.apache.spark.ml.classification.LogisticRegression()
+      .setFeaturesCol("__features")
+      .setLabelCol(labelCol)
+      .setMaxIter(maxIter)
+      .setRegParam(0.0)
+      .setStandardization(true)
+      .fit(assembled)
+    FittedVec(model.intercept, model.coefficients.toArray)
+  }
+
+  /** The hashed model's probability as a Column fold over the k dims —
+    * sigmoid(intercept + Σⱼ wⱼ·x[j]); zero weights (hash buckets the
+    * training set never hit, or constant dims standardization zeroed)
+    * drop out of the expression tree entirely. */
+  def probabilityHashed(f: FittedVec, features: Column): Column = {
+    val z = f.weights.zipWithIndex.foldLeft(lit(f.intercept)) {
+      case (acc, (w, j)) =>
+        if (w == 0.0) acc
+        else acc + features.getItem(j).cast("double") * lit(w)
+    }
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Hard classification at 0.5 over the hashed features, 0/1 BIGINT. */
+  def predictHashed(f: FittedVec, features: Column): Column =
+    (probabilityHashed(f, features) > 0.5).cast("long")
 }
