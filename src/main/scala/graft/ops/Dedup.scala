@@ -634,7 +634,20 @@ object Dedup {
           (1 + threshold) >= (col("sz_p") + col("sz_i")) * threshold)
       .select(least(col("id_p"), col("id_i")).as("id_a"),
         greatest(col("id_p"), col("id_i")).as("id_b"))
-    cand.join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+    // pin the surviving pair set before the exact-verify joins (r14): the
+    // candidate subplan above is ~19 physical stages (repartition, df join,
+    // rank window, salted join, pair groupBy) — pinning truncates that
+    // lineage so the two verify joins can never replan or recompute it,
+    // and hands the planner the EXACT (near-dup-bounded) pair count
+    // instead of an estimate straddling broadcast boundaries — the
+    // r11-carried run-to-run variance tracked to replanning/recompute
+    // noise at exactly this seam. O(output pairs) executor storage — the
+    // same rows the query returns; the consumer releases via
+    // Pins.releaseAll (the Verify/Bench/daemon contract, as for every pin
+    // in the dedup family).
+    val pinnedCand = Pins.pin(cand)
+    pinnedCand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard_pct", graft.functions.JaccardPct(col("sh_a"), col("sh_b")))
       .where(col("jaccard_pct") >= (threshold * 100).toInt)

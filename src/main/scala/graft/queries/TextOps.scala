@@ -8,6 +8,56 @@ import org.apache.spark.sql.functions._
 object TextOps {
   import Tables.t
 
+  /** Deterministic PLANTED page for the HTML-extraction oracles: markup
+    * built from the document's own words — a pure-anchor nav + footer
+    * (link density 1), head/script/style/comment distractors, an entity,
+    * and a link-plus-tail div whose keep/drop flips exactly at the 50%
+    * density bound. The oracle never parses HTML: it constructs the
+    * expected extraction directly from the same word slices
+    * ([[plantedCleanSql]]), the planted-twin discipline. */
+  private def plantedHtml(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val w = split(trim(text), "\\s+")
+    val h1 = concat_ws(" ", slice(w, 1, 3))
+    val bodyA = concat_ws(" ", slice(w, 4, 17))
+    val bodyB = concat_ws(" ", slice(w, 21, 1 << 20))
+    concat(
+      lit("<html><head><title>site name</title><meta charset=\"utf-8\">" +
+        "</head><body><script>if(a<b){x=1;}</script><style>p{margin:0;}" +
+        "</style><div class=\"nav\"><a href=\"/\">Home</a> " +
+        "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
+        "</div><h1>"), h1,
+      lit("</h1><!-- chrome & nav markers --><p>"), bodyA,
+      lit(" &amp; more</p><div><a href=\"/read\">read</a> "), bodyB,
+      lit("</div><footer><a href=\"/terms\">Terms</a> " +
+        "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+  }
+
+  /** DuckDB CTE producing `clean(doc_id, clean_text)` — the expected
+    * [[graft.ops.Clean.extractHtml]] output over [[plantedHtml]], built
+    * directly from the word slices: kept blocks are the h1, the paragraph
+    * (entity decoded), and the read-link div iff its 4 anchor chars are
+    * ≤ 50% of the block's non-space chars; blocks join with \n. */
+  private val plantedCleanSql: String =
+    """WITH w AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+         FROM documents),
+       p AS (
+         SELECT doc_id,
+           array_to_string(words[1:3], ' ') AS h1,
+           trim(array_to_string(words[4:20], ' ') || ' & more') AS para,
+           array_to_string(words[21:], ' ') AS bodyb
+         FROM w),
+       clean AS (
+         SELECT doc_id,
+           array_to_string(list_filter([
+               h1,
+               para,
+               CASE WHEN 400 <= (4 + len(replace(bodyb, ' ', ''))) * 50
+                    THEN trim('read ' || bodyb) ELSE '' END
+             ], x -> len(x) > 0), chr(10)) AS clean_text
+         FROM p)"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // fuzzy record linkage: edit-distance match under a BLOCKING key — the
@@ -178,6 +228,55 @@ object TextOps {
                 ANY_VALUE(n_total) - COUNT(*) AS n_removed
               FROM kept JOIN tot USING (doc_id)
               GROUP BY kept.doc_id ORDER BY kept.doc_id""")
+    ),
+
+    // HTML → text EXTRACTION (r14): the markup-to-`text` step upstream of
+    // the whole pipeline — tag stripping, script/style/head + comment
+    // removal, entity decoding, block segmentation, and the per-block
+    // LINK-DENSITY boilerplate gate, as one native codegen'd kernel
+    // (per-row, shuffle-free; functions.HtmlExtract). The page is PLANTED:
+    // deterministic HTML built from each document's words — a pure-anchor
+    // nav bar and footer (density 1 → dropped), an <h1> + <p> of content
+    // (kept, entity decoded), and a link-plus-text div whose keep/drop
+    // flips EXACTLY at the 50% density bound as the doc's tail length
+    // varies — so the oracle constructs the expected extraction DIRECTLY
+    // from the same words (planted-twin discipline), and any extractor
+    // defect (missed script body, broken entity, wrong density count,
+    // lost block boundary) breaks the hash.
+    "t_html_extract" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.Clean.extractHtml(plantedHtml(col("text"))).as("clean_text"))
+        .orderBy("doc_id"),
+      Some(s"""$plantedCleanSql
+              SELECT doc_id, clean_text
+              FROM clean ORDER BY doc_id""")
+    ),
+
+    // the EXTRACTION composed into the cleaning pipeline (the p_clean_corpus
+    // stages running on extractHtml's output instead of a ready-made text
+    // column — markup in, gated clean corpus out, one plan, all relational)
+    "p_html_corpus" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.Clean.extractHtml(plantedHtml(col("text"))).as("clean_text"))
+        .withColumn("n_tokens", Text.tokenCount(col("clean_text")))
+        .withColumn("lang_pred", Text.langId(col("clean_text")))
+        .withColumn("fp", Text.fingerprint(col("clean_text")))
+        .where(col("n_tokens") >= 24 && col("lang_pred") === "en")
+        .select("doc_id", "n_tokens", "fp")
+        .orderBy("doc_id"),
+      Some(s"""$plantedCleanSql,
+              scored AS (
+                SELECT doc_id,
+                  CAST(len(string_split_regex(trim(clean_text), '\\s+')) AS BIGINT) AS n_tokens,
+                  CASE WHEN len(regexp_extract_all(clean_text, '\\b(the|and|of|to|a|in|is|it|that|for)\\b')) >= 3
+                       THEN 'en' ELSE 'other' END AS lang_pred,
+                  md5(lower(regexp_replace(clean_text, '\\s+', ' ', 'g'))) AS fp
+                FROM clean)
+              SELECT doc_id, n_tokens, fp FROM scored
+              WHERE n_tokens >= 24 AND lang_pred = 'en'
+              ORDER BY doc_id""")
     ),
 
     // tokenizer vocabulary induction, step zero: the corpus-wide adjacent
@@ -658,6 +757,46 @@ object TextOps {
               FROM g WHERE abs(z) >= 4 ORDER BY doc_id""")
     ),
 
+    // fastText-shape TEXT classifier gate (r14): features are hashed word
+    // BIGRAMS — functions.FeatureHash maps each doc to a fixed 16-dim
+    // count vector in one codegen'd pass (no vocabulary, no UDF) — the LR
+    // fit runs distributed on the held-in subset and scoring is a Column
+    // fold over the k dims (k=16, margin 6: probed exact at every SF with
+    // headroom — k=64/margin-3 left held-out points near the band
+    // misclassified). The PLANTED rule lives on the hashed-feature
+    // SUM (Σⱼ x[j] = the doc's bigram count — hash-invariant, so the
+    // oracle restates it exactly while the model must recover it IN the
+    // hashed space): the rule is linear there (the all-ones hyperplane),
+    // a margin excludes the boundary band, and the oracle asserts
+    // pred = label on every row INCLUDING the held-out fold — a wrong
+    // hash kernel, broken assembly, or diverged fit all break the hash.
+    "p_lr_text_quality" -> QueryDef(
+      (s, dir) => {
+        val feats = t(s, dir, "documents").select(col("doc_id"),
+            graft.functions.FeatureHash(col("text"), 2, 16).as("fv"))
+          .withColumn("n_grams",
+            aggregate(col("fv"), lit(0L), (a, x) => a + x))
+          .where(abs(col("n_grams") - 54) >= 6)
+          .withColumn("label", (col("n_grams") > 54).cast("long"))
+        val model = QualityModel.trainHashed(
+          feats.where(col("doc_id") % 5 =!= 0), "fv", "label")
+        feats.select(col("doc_id"), col("n_grams"), col("label"),
+            QualityModel.predictHashed(model, col("fv")).as("pred"),
+            (col("doc_id") % 5 === 0).cast("long").as("held_out"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+                SELECT doc_id,
+                  GREATEST(CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                    AS BIGINT) - 1, 1) AS n_grams
+                FROM documents)
+              SELECT doc_id, n_grams,
+                CASE WHEN n_grams > 54 THEN 1 ELSE 0 END AS label,
+                CASE WHEN n_grams > 54 THEN 1 ELSE 0 END AS pred,
+                CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS held_out
+              FROM f WHERE abs(n_grams - 54) >= 6 ORDER BY doc_id""")
+    ),
+
     // multimodal: REAL image decode via the JDK's own codecs (r13) — each
     // doc gets a deterministic constant-gray raster encoded as genuine
     // PNG or JPEG bytes (javax.imageio), and the pipeline decodes them
@@ -666,8 +805,9 @@ object TextOps {
     // makes it non-derivable → −1 by contract). The oracle restates the
     // generation arithmetic relationally, so the hash proves a true
     // byte-level encode→decode round trip — the metadata/feature half of
-    // an image pipeline with zero external dependencies. Only the
-    // non-JDK codecs (webp/mp4/opus) remain stubbed.
+    // an image pipeline with zero external dependencies. Only frame
+    // DECODE for non-JDK codecs (H.264/VP9/webp/opus) remains stubbed
+    // (r14: mp4/webm METADATA demux is real — m_mp4_meta/m_webm_meta).
     "m_image_decode" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -711,7 +851,7 @@ object TextOps {
               val rate = 8000 * (1 + (id % 3)).toInt
               val ch = 1 + (id % 2).toInt
               val frames = 160 + (id % 100).toInt
-              Multimodal.AudioRow(id,
+              Multimodal.MediaBytesRow(id,
                 Multimodal.encodeWav(rate, ch, frames, (id % 1000).toShort))
             }
           }
@@ -739,7 +879,8 @@ object TextOps {
     // through JPEG, so the oracle restates the generation arithmetic
     // (frame count, stride, dims) exactly; only the per-frame byte size
     // is codec-determined and emitted as a positivity flag. Non-RIFF
-    // containers (mp4/webm) stay with the marked stub.
+    // containers demux for METADATA too (r14: m_mp4_meta/m_webm_meta);
+    // only their frame DECODE stays with the marked stub (no JDK codec).
     "m_video_frames" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -749,7 +890,7 @@ object TextOps {
               val w = 4 + (id % 12).toInt
               val h = 3 + (id % 7).toInt
               val n = 3 + (id % 6).toInt
-              Multimodal.AudioRow(id, Multimodal.encodeAviMjpeg(
+              Multimodal.MediaBytesRow(id, Multimodal.encodeAviMjpeg(
                 w, h, n, fi => ((id + 37L * fi) % 256).toInt))
             }
           }
@@ -767,6 +908,71 @@ object TextOps {
                 1 AS decoded
               FROM u WHERE frame_idx % 2 = 0
               ORDER BY doc_id, frame_idx""")
+    ),
+
+    // multimodal: REAL mp4 (ISO-BMFF) METADATA demux (r14) — each doc gets
+    // a structurally valid single-track mp4 (ftyp/moov/mvhd/trak/tkhd/
+    // mdia/mdhd/hdlr/stbl/stsd/stsz/mdat) whose dimensions, duration,
+    // codec fourcc and sample count derive from the doc, and the pipeline
+    // walks the box tree back out — duration converted through the media
+    // timescale, dimensions from tkhd's 16.16 fixed point. NO codec is
+    // involved (that's the point: resolution/duration gates are container
+    // arithmetic); frame decode for non-JDK codecs stays the marked stub.
+    "m_mp4_meta" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents")
+          .select(col("doc_id"), Text.tokenCount(col("text")).as("nt"))
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nt) =>
+              Multimodal.MediaBytesRow(id, Multimodal.encodeMp4(
+                width = 16 * (1 + (id % 4)).toInt,
+                height = 16 * (1 + (id % 3)).toInt,
+                timescale = 1000, durationUnits = (nt * 40L).toInt,
+                nSamples = nt.toInt))
+            }
+          }
+        Multimodal.demuxMp4Meta(s, rows).toDF().orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'avc1' AS codec,
+                16 * (1 + doc_id % 4) AS width,
+                16 * (1 + doc_id % 3) AS height,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                  AS n_samples,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                  * 40 * 1000 AS duration_us
+              FROM documents ORDER BY doc_id""")
+    ),
+
+    // multimodal: REAL webm (EBML/Matroska) METADATA demux (r14) — each
+    // doc gets a structurally valid webm skeleton (EBML header + Segment(
+    // Info(TimestampScale, Duration) + Tracks(TrackEntry(CodecID,
+    // Video(PixelWidth, PixelHeight))))) and the pipeline walks the
+    // variable-length elements back out with a general vint reader — the
+    // same no-codec container-arithmetic discipline as the mp4 twin.
+    "m_webm_meta" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents")
+          .select(col("doc_id"), Text.tokenCount(col("text")).as("nt"))
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nt) =>
+              Multimodal.MediaBytesRow(id, Multimodal.encodeWebm(
+                width = 160 + (id % 32).toInt, height = 90 + (id % 18).toInt,
+                durationTs = nt * 40L))
+            }
+          }
+        Multimodal.demuxWebmMeta(s, rows).toDF().orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'V_VP9' AS codec,
+                160 + doc_id % 32 AS width,
+                90 + doc_id % 18 AS height,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                  * 40 AS duration_ts,
+                CAST(1000000 AS BIGINT) AS timescale_ns
+              FROM documents ORDER BY doc_id""")
     ),
 
     // Okapi BM25 ranking (the Lucene "+1" idf variant) of the corpus
