@@ -46,6 +46,22 @@ object GraftMor {
   private[graft] def pointWrite(spark: SparkSession, path: String,
       branch: Option[String], victims: Array[(String, Long)],
       appends: Option[DataFrame], verb: String): Int = {
+    val appended = appends.map(routeAppend(spark, path, _)).getOrElse(Seq.empty)
+    sealPrewritten(path, branch, victims, appended, verb,
+      ownsAppended = true)
+    appended.size
+  }
+
+  /** Seal a MoR point write whose new-image files are ALREADY in place
+    * (written by [[routeAppend]], or by an in-place upsert epoch's own
+    * tasks — the zero-copy commit): victim addresses → vectors, `appended`
+    * entries ride the same seal. `ownsAppended` deletes the (unmanifested,
+    * hence invisible) files on a failed seal instead of leaving them to
+    * the orphan sweep. */
+  private[graft] def sealPrewritten(path: String, branch: Option[String],
+      victims: Array[(String, Long)],
+      appended: Seq[GraftVersions.ManifestEntry], verb: String,
+      ownsAppended: Boolean = false): Unit = {
     val root = new Path(path)
     // positions are addresses into immutable physical files: distinct per
     // file (an id matched by both the remove side and the upsert side of an
@@ -53,20 +69,16 @@ object GraftMor {
     val byRel: Map[String, Array[Long]] = victims.toSeq
       .groupMap { case (f, _) => GraftVersions.relOf(root, new Path(f)) }(_._2)
       .map { case (rel, ps) => rel -> ps.distinct.toArray }
-    val appended = appends.map(routeAppend(spark, path, _)).getOrElse(Seq.empty)
-    if (byRel.isEmpty && appended.isEmpty) return 0
+    if (byRel.isEmpty && appended.isEmpty) return
     try GraftDvCommit.seal(path, branch, byRel, appended, verb)
     catch {
-      case t: Throwable =>
-        // the new-image files were written in place but never manifested —
-        // invisible; delete eagerly rather than leaving them to the sweep
+      case t: Throwable if ownsAppended =>
         val fs = FileSystem.get(new java.net.URI(path), new Configuration())
         appended.foreach(e =>
           try fs.delete(new Path(root, e.rel), false)
           catch { case _: Throwable => () })
         throw t
     }
-    appended.size
   }
 
   /** Write `rows` (bucket columns included) IN PLACE into their final cell

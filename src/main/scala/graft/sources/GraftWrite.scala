@@ -188,14 +188,19 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo,
   * connector — the `World::insert` semantics
   * (/root/reference/src/world.rs:124-150) the plain append write lacks.
   *
-  * Tasks route rows into a SIBLING staging grid (same chunk layout, written
-  * by the normal writer factory); commit() then runs the world's
-  * partition-scoped [[graft.world.World.insert]] from the staged rows, so
-  * conflict resolution reuses the one tested upsert path (semi-join victims,
-  * staged rewrite, displaced count) instead of duplicating it here. A
-  * failure before commit leaves the world untouched; the staging grid is
-  * removed on both commit and abort. The displaced-row count is logged and
-  * surfaced on [[GraftUpsertWrite.lastDisplaced]].
+  * On an authoritative log (r14), tasks route rows STRAIGHT INTO their
+  * final cell directories (invisible until a manifest references them) and
+  * commit() retires the displaced ids by address into deletion vectors,
+  * sealing vectors + the tasks' own files in one versioned commit
+  * ([[graft.world.World.insertPrewritten]]) — the batch's bytes are
+  * written exactly once. Virgin paths and barrier windows stage into a
+  * SIBLING grid instead and commit through the classic
+  * [[graft.world.World.insert]] (validate + rebucket + partition-scoped
+  * rewrite), whose physical-tree readers demand it. A failure before
+  * commit leaves the world untouched (unmanifested in-place files are
+  * deleted on abort; the staging grid is removed on both commit and
+  * abort). The displaced-row count is logged and surfaced on
+  * [[GraftUpsertWrite.lastDisplaced]].
   */
 class GraftUpsertWrite(path: String, schema: StructType,
     branch: Option[String] = None) extends BatchWrite {
@@ -204,8 +209,19 @@ class GraftUpsertWrite(path: String, schema: StructType,
   // silently drop the second's rows)
   private[graft] val stagePath = GraftStage.uniqueStage(path, "upsert")
 
+  // r14: authoritative-log upserts write IN PLACE (tasks route rows
+  // straight into their final cells, invisible until the seal) and the
+  // commit retires displaced ids by address + seals the tasks' own files
+  // (World.insertPrewritten) — the epoch's bytes are written ONCE, where
+  // the staged design wrote them into the stage and then again through
+  // the insert's rewrite. Virgin paths and barrier windows keep the stage
+  // (their readers walk the physical tree). Decided once, driver-side, at
+  // write planning — same discipline as the streaming factory.
+  private val inPlace: Boolean = GraftStage.manifestAuthoritative(path)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(stagePath, schema, GraftBloom.columnsOf(path),
+    new GraftWriterFactory(if (inPlace) path else stagePath, schema,
+      GraftBloom.columnsOf(path),
       GraftChecks.boundFor(org.apache.spark.sql.SparkSession.active, path, schema),
       bucketSourcePath = path)
 
@@ -217,27 +233,42 @@ class GraftUpsertWrite(path: String, schema: StructType,
         throw new IllegalStateException(
           s"graft upsert needs the world's dim mappings: no world registered for $path " +
             "(instantiate graft.world.World for this path first)"))
-      // World.insert seals its own versioned commit (r11: the rewrite is a
-      // connector-routed bucket-scoped overwrite, not a barrier), so THIS
-      // commit needs no seal of its own — the insert's is the upsert's.
+      // World.insert/insertPrewritten seal their own versioned commit, so
+      // THIS commit needs no seal of its own — the insert's is the upsert's.
       val staged = messages.collect { case m: GraftCommitMessage => m.rows }.sum
-      val stagedFiles = GraftStage
-        .stagedCells(fs, new Path(stagePath), messages)
-        .flatMap(_._3).map(_.getPath)
-      if (stagedFiles.nonEmpty) {
-        val bucketCols = dims.indices.map(i => s"c$i")
-        // read exactly the committed files (never whole-dir: a crashed task
-        // attempt whose abort never ran may have left debris in the stage)
-        val stagedDf = spark.read.parquet(stagedFiles.map(_.toString): _*)
-          .drop(bucketCols: _*)
-        val displaced = new graft.world.World(spark, path, dims)
-          .insertOn(stagedDf, branch)
-        GraftUpsertWrite.summaryByPath.put(path,
-          GraftUpsertWrite.UpsertSummary(staged, displaced))
-        org.slf4j.LoggerFactory.getLogger(getClass)
-          .info(s"graft upsert into $path: $staged row(s) staged, $displaced displaced")
-      } else GraftUpsertWrite.summaryByPath.put(path,
-        GraftUpsertWrite.UpsertSummary(staged, 0L))
+      val w = new graft.world.World(spark, path, dims)
+      val displaced =
+        if (inPlace) {
+          val added = GraftStage.messageEntries(new Path(path), messages)
+          if (added.isEmpty) 0L
+          else {
+            // ids from a column-pruned read of exactly the tasks' files
+            val files = messages.collect {
+              case m: GraftCommitMessage => m.files }.flatten
+            val ids = spark.read.option("basePath", path)
+              .parquet(files.toSeq: _*)
+              .select(dims.head.column)
+            w.insertPrewritten(ids, added, branch)
+          }
+        } else {
+          val stagedFiles = GraftStage
+            .stagedCells(fs, new Path(stagePath), messages)
+            .flatMap(_._3).map(_.getPath)
+          if (stagedFiles.isEmpty) 0L
+          else {
+            val bucketCols = dims.indices.map(i => s"c$i")
+            // read exactly the committed files (never whole-dir: a crashed
+            // task attempt whose abort never ran may have left debris)
+            val stagedDf = spark.read.parquet(stagedFiles.map(_.toString): _*)
+              .drop(bucketCols: _*)
+            w.insertOn(stagedDf, branch)
+          }
+        }
+      GraftUpsertWrite.summaryByPath.put(path,
+        GraftUpsertWrite.UpsertSummary(staged, displaced))
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .info(s"graft upsert into $path: $staged row(s) " +
+          s"${if (inPlace) "written in place" else "staged"}, $displaced displaced")
       GraftDataSource.writeSidecarIfAbsent(path, schema)
     } finally fs.delete(new Path(stagePath), true)
   }
@@ -245,6 +276,13 @@ class GraftUpsertWrite(path: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     fs.delete(new Path(stagePath), true)
+    if (inPlace) messages.foreach {
+      // in-place task output of the failed write: unmanifested
+      // (invisible), deleted eagerly rather than left to the orphan sweep
+      case m: GraftCommitMessage =>
+        m.files.foreach(f => fs.delete(new Path(f), false))
+      case _ =>
+    }
   }
 }
 
@@ -820,6 +858,25 @@ class GraftStreamingWrite(path: String, schema: StructType,
             throw new IllegalStateException(
               s"graft streaming upsert needs the world's dim mappings: no world " +
                 s"registered for $path (instantiate graft.world.World first)"))
+          val w = new graft.world.World(spark, path, dims)
+          // in-place regime (authoritative log): the epoch's files are
+          // ALREADY in their final cells — retire displaced ids by address
+          // and seal the tasks' entries, ONE write of the epoch's bytes
+          // (r14; the staged design paid them twice). The ids come from a
+          // column-pruned read of exactly the message-listed files.
+          if (gridAdded.nonEmpty) {
+            val gridFiles = gridMsgs.collect {
+              case m: GraftCommitMessage => m.files }.flatten
+            val ids = spark.read.option("basePath", path)
+              .parquet(gridFiles.toSeq: _*)
+              .select(dims.head.column)
+            val displaced = w.insertPrewritten(ids, gridAdded, branch)
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .info(s"graft stream upsert into $path: epoch $epochId " +
+                s"(in-place), $displaced displaced")
+          }
+          // staged regime (virgin path / barrier window): the legacy
+          // consume — read the committed staged rows, World.insert them.
           val stagedFiles = staged.flatMap(_._3).map(_.getPath)
           if (stagedFiles.nonEmpty) {
             val bucketCols = dims.indices.map(i => s"c$i")
@@ -828,8 +885,7 @@ class GraftStreamingWrite(path: String, schema: StructType,
             // BRANCH head and seals on the branch chain (insertOn).
             val stagedDf = spark.read.parquet(stagedFiles.map(_.toString): _*)
               .drop(bucketCols: _*)
-            val displaced = new graft.world.World(spark, path, dims)
-              .insertOn(stagedDf, branch)
+            val displaced = w.insertOn(stagedDf, branch)
             org.slf4j.LoggerFactory.getLogger(getClass)
               .info(s"graft stream upsert into $path: epoch $epochId, $displaced displaced")
           }
@@ -960,8 +1016,12 @@ class GraftStreamingWriterFactory(path: String, schema: StructType,
   // to tasks — createWriter runs executor-side, where a sidecar read per
   // task would be a namenode round-trip per epoch partition
   private val bloomCols: Seq[String] = GraftBloom.columnsOf(path)
-  private val inPlace: Boolean =
-    !upsert && GraftStage.manifestAuthoritative(path)
+  // r14: Upsert epochs write in place too — the commit no longer re-reads
+  // a staged batch through World.insert (it retires displaced rows by
+  // address and seals the tasks' own files: World.insertPrewritten), so
+  // the one reason upserts kept the staging grid is gone and every
+  // authoritative-log epoch pays its bytes exactly once
+  private val inPlace: Boolean = GraftStage.manifestAuthoritative(path)
   // declared CHECKs resolved at factory construction — which happens
   // PER EPOCH on the driver (each micro-batch's MicroBatchWrite calls
   // createStreamingWriterFactory anew), so a set_check declared while a

@@ -212,53 +212,50 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
 
   /** A frame over exactly `entries` (manifest-resolved file list, deletion
     * vectors applied) — the shared read shape of [[df]]'s live branch and
-    * the branch-head reads ([[insertOn]]).
-    *
-    * `keepAddr` additionally exposes each row's PHYSICAL address — the
-    * absolute file path as `__gf` and the in-file row ordinal as `__gp`
-    * (parquet `_metadata.row_index`, the same coordinate system the
-    * deletion-vector sidecars use) — which is what the merge-on-read point
-    * writes retire by ([[graft.sources.GraftMor]]). Callers must guarantee
-    * `entries` nonEmpty under `keepAddr` (the empty-world frame has no
-    * file metadata to address). */
+    * the branch-head reads ([[insertOn]]). */
   private def dfOver(
-      entries: Seq[graft.sources.GraftVersions.ManifestEntry],
-      keepAddr: Boolean = false): DataFrame = {
-    if (entries.isEmpty) {
-      require(!keepAddr, "dfOver(keepAddr) over an empty entry set")
-      return emptyDf
-    }
+      entries: Seq[graft.sources.GraftVersions.ManifestEntry]): DataFrame = {
+    if (entries.isEmpty) return emptyDf
     val fs = fileSystem
     val root = new org.apache.hadoop.fs.Path(path)
-    val base0 = spark.read.option("basePath", path)
+    val base = spark.read.option("basePath", path)
       .parquet(entries.map(e => s"$path/${e.rel}"): _*)
     val dvd = entries.filter(_.dv.isDefined)
-    if (dvd.isEmpty && !keepAddr) return base0
-    import org.apache.spark.sql.functions.{broadcast, col, expr}
-    val base = base0
-      .withColumn("__p", expr("_metadata.row_index"))
-      .withColumn("__f", expr("_metadata.file_path"))
-    val filtered =
-      if (dvd.isEmpty) base
-      else {
-        val deleted = dvd.flatMap { e =>
-          val name = e.rel.split('/').last
-          graft.sources.GraftDv.read(fs,
-              new org.apache.hadoop.fs.Path(root, e.dv.get._1))
-            .map(p => (name, p, e.rel))
-        }
-        val del = spark.createDataFrame(deleted).toDF("__dn", "__dp", "__dr")
-        base
-          .withColumn("__n", expr("_metadata.file_name"))
-          .join(broadcast(del),
-            col("__n") === col("__dn") && col("__p") === col("__dp") &&
-              expr("endswith(__f, __dr)"),
-            "left_anti")
-          .drop("__n")
+    if (dvd.isEmpty) base
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col, expr}
+      val deleted = dvd.flatMap { e =>
+        val name = e.rel.split('/').last
+        graft.sources.GraftDv.read(fs,
+            new org.apache.hadoop.fs.Path(root, e.dv.get._1))
+          .map(p => (name, p, e.rel))
       }
-    if (keepAddr)
-      filtered.withColumnRenamed("__f", "__gf").withColumnRenamed("__p", "__gp")
-    else filtered.drop("__p", "__f")
+      val del = spark.createDataFrame(deleted).toDF("__dn", "__dp", "__dr")
+      base
+        .withColumn("__n", expr("_metadata.file_name"))
+        .withColumn("__p", expr("_metadata.row_index"))
+        .withColumn("__f", expr("_metadata.file_path"))
+        .join(broadcast(del),
+          col("__n") === col("__dn") && col("__p") === col("__dp") &&
+            expr("endswith(__f, __dr)"),
+          "left_anti")
+        .drop("__n", "__p", "__f")
+    }
+  }
+
+  /** Live rows plus their PHYSICAL addresses (`__gf` = file, `__gp` =
+    * in-file row ordinal) — the MoR victim-lookup frame, read through the
+    * CONNECTOR scan: manifest-resolved files, deletion vectors applied
+    * inside the reader (no per-query anti-join), bucket pruning + zone
+    * maps on pushed predicates, and runtime join filters (bloom file-skip
+    * on registered columns) all apply — a small upsert's displaced-id
+    * lookup against a petabyte world plans as a pruned point scan, not a
+    * raw tree read. `_pos` is the physical ordinal (stable under vectors),
+    * the deletion-vector coordinate system. */
+  private def addrDf(branch: Option[String]): DataFrame = {
+    val r = spark.read.format("graft")
+    branch.fold(r)(b => r.option("graft.branch", b)).load(path)
+      .select(col("*"), col("_file").as("__gf"), col("_pos").as("__gp"))
   }
 
   /** The live manifest entries when the merge-on-read point-write path
@@ -277,10 +274,9 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
         fileSystem, new org.apache.hadoop.fs.Path(path))
     }
 
-  /** Collected physical addresses of `rows` (a frame derived from a
-    * `dfOver(_, keepAddr = true)` read): the MoR victim channel —
-    * O(matched rows) at the driver, the same floor the SQL delta writers'
-    * commit messages pay. */
+  /** Collected physical addresses of `rows` (a frame derived from
+    * [[addrDf]]): the MoR victim channel — O(matched rows) at the driver,
+    * the same floor the SQL delta writers' commit messages pay. */
   private def collectAddrs(rows: DataFrame): Array[(String, Long)] =
     rows.select(col("__gf"), col("__gp")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
@@ -386,7 +382,7 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
           if (entries.isEmpty) Array.empty
           else {
             val ids = incoming.select(col(idCol)).distinct()
-            collectAddrs(dfOver(entries, keepAddr = true)
+            collectAddrs(addrDf(branch)
               .join(ids, Seq(idCol), "left_semi"))
           }
         graft.sources.GraftMor.pointWrite(spark, path, branch, displaced,
@@ -415,6 +411,37 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
         incoming.unpersist()
         displacedCount
     }
+
+  /** MoR insert whose incoming rows are ALREADY written as routed grid
+    * files (the in-place upsert commit, r14): connector/streaming upsert
+    * TASKS write their rows straight into the final cell directories —
+    * invisible until a manifest references them — and the commit calls
+    * this with the new files' manifest entries plus the batch's dim-0 ids.
+    * Rows displaced by `ids` retire into deletion vectors and ONE seal
+    * carries vectors + entries, so the epoch's bytes are written exactly
+    * once, by the tasks (the staged design paid them twice: once into the
+    * staging grid, once through the insert's rewrite — at 100 TB that
+    * doubles the I/O of the highest-frequency write path, and on S3-class
+    * stores even a rename is a copy). Routing/validation contract: the
+    * files' bucket values are trusted exactly as on the connector APPEND
+    * path (the caller routed them through the same chunk writer).
+    * Requires an authoritative log — the in-place factory decision and
+    * this gate are made from the same predicate. */
+  private[graft] def insertPrewritten(ids: DataFrame,
+      appended: Seq[graft.sources.GraftVersions.ManifestEntry],
+      branch: Option[String]): Long = {
+    val entries = morEntries(branch).getOrElse(throw new IllegalStateException(
+      s"graft insertPrewritten on $path: the commit log stopped being " +
+        "authoritative between the write's planning and its commit " +
+        "(concurrent World rewrite?) — retry the upsert"))
+    val displaced: Array[(String, Long)] =
+      if (entries.isEmpty) Array.empty
+      else collectAddrs(addrDf(branch)
+        .join(ids.toDF(idCol).distinct(), Seq(idCol), "left_semi"))
+    graft.sources.GraftMor.sealPrewritten(path, branch, displaced, appended,
+      "UPSERT", ownsAppended = true)
+    displaced.length.toLong
+  }
 
   /** Combined delete + upsert in ONE partition-scoped rewrite: rows whose
     * id is in `removeIds` vanish, `upserts` land with replace-on-conflict
@@ -448,7 +475,7 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     val tagged: Array[(String, String, Long)] =
       if (entries.isEmpty) Array.empty
       else {
-        val addr = dfOver(entries, keepAddr = true)
+        val addr = addrDf(None)
         val upIds = incoming.select(col(idCol)).distinct()
         addr.join(rmIds, rmKeys, "left_semi")
           .select(lit("r").as("_t"), col("__gf"), col("__gp"))
@@ -559,7 +586,7 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
         // retires (both inside the one seal, see GraftDvCommit)
         if (entries.isEmpty) 0L
         else {
-          val victims = collectAddrs(dfOver(entries, keepAddr = true)
+          val victims = collectAddrs(addrDf(None)
             .join(idDf, Seq(idCol), "left_semi"))
           graft.sources.GraftMor.pointWrite(spark, path, None, victims,
             None, "DESTROY")
@@ -601,7 +628,7 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
         // delta UPDATE (GraftDeltaUpdateOperation)
         if (entries.isEmpty) 0L
         else {
-          val hit = dfOver(entries, keepAddr = true).where(condT).cache()
+          val hit = addrDf(None).where(condT).cache()
           val victims = collectAddrs(hit)
           if (victims.nonEmpty) {
             val mutated = withBuckets(

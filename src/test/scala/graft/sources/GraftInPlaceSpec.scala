@@ -34,6 +34,45 @@ class GraftInPlaceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def moves(): Long = GraftStage.movesPerformed.get()
 
+  test("versioned upsert is zero-copy (r14): in-place tasks, displaced rows vector, zero moves") {
+    import graft.core.DimMapping
+    import graft.world.{DimSpec, World}
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("graft-ip-upsert").toString + "/w"
+    // big cell (ids 64..127) so the conflict stays under the DV cutover
+    val w = new World(spark, path, Seq(
+      DimSpec("d0", DimMapping(0, 1023, 64)), DimSpec("d1", DimMapping(0, 1023, 16))))
+    import spark.implicits._
+    w.create((64L to 127L).map(i => (i, 514L)).toDF("d0", "d1"))
+    // seal v1 (first point write COWs); the log is authoritative after
+    w.insert(Seq((300L, 300L)).toDF("d0", "d1"))
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val root = new Path(path)
+    def live = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get)
+    val pre = live.map(e => e.rel -> e.size).toMap
+    val before = moves()
+    w.withBuckets(Seq((65L, 600L), (400L, 400L)).toDF("d0", "d1"))
+      .write.format("graft").mode("append").option("graft.mode", "upsert")
+      .save(path)
+    assert(moves() == before,
+      "a versioned upsert writes its bytes once: zero stage moves")
+    assert(GraftUpsertWrite.lastSummary(path)
+      .contains(GraftUpsertWrite.UpsertSummary(2L, 1L)),
+      "in-place commit still aggregates row and displaced counts")
+    val after = live
+    assert(after.exists(_.dv.isDefined),
+      "the displaced row retires into a deletion vector")
+    assert(pre.forall { case (rel, sz) =>
+      after.exists(e => e.rel == rel && e.size == sz) },
+      "every pre-upsert file stays live, byte-identical")
+    val out = w.df.select("d0", "d1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == ((64L to 127L).map(i => (i, 514L)).toSet -
+      ((65L, 514L)) + ((65L, 600L)) + ((300L, 300L)) + ((400L, 400L))),
+      "replace-on-conflict applied through the zero-copy path")
+  }
+
   test("versioned overwrite + COW: zero file moves, snapshots intact") {
     spark.sql("CREATE TABLE ipc.t (id BIGINT, v BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO ipc.t VALUES (1, 10, 0), (2, 20, 1)") // v1: log authoritative

@@ -207,13 +207,18 @@ class GraftStreamingWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       src.addData((5L, 999L), (25L, 250L))
       q.processAllAvailable()
       val pre = live.map(e => e.rel -> e.size).toMap
-      // epoch 2: the log is authoritative now — the epoch's World.insert
-      // retires the conflicting row into a DELETION VECTOR and
-      // route-appends the epoch's rows; every pre-epoch file stays live
-      // at its exact size (at 100 TB: a 10-row CDC epoch writes ~10
-      // sidecar entries + 10 rows, never the touched gigabyte cells)
+      // epoch 2: the log is authoritative now — the epoch's tasks write
+      // IN PLACE and the commit retires the conflicting row into a
+      // DELETION VECTOR, sealing vectors + the tasks' own files; every
+      // pre-epoch file stays live at its exact size AND the epoch's bytes
+      // are written exactly once (zero stage moves — at 100 TB: a 10-row
+      // CDC epoch writes ~10 sidecar entries + 10 rows, never the touched
+      // gigabyte cells, and never twice)
+      val movesBefore = GraftStage.movesPerformed.get()
       src.addData((15L, 888L), (35L, 350L))
       q.processAllAvailable()
+      assert(GraftStage.movesPerformed.get() == movesBefore,
+        "an authoritative-log upsert epoch performs ZERO stage moves")
       val after = live
       assert(after.exists(_.dv.isDefined),
         "a versioned upsert epoch must take the deletion-vector path")
