@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** WARC (Web ARChive, ISO 28500) record plumbing (r14): real pretraining
+  * corpora arrive as WARC files — concatenated records, each a
+  * `WARC/1.0\r\n` version line, CRLF-separated named headers (the payload
+  * length rides `Content-Length`), a blank line, the payload, and a
+  * closing double-CRLF. [[split]] walks that grammar per file and fans
+  * each archive out to its records through an iterator (one input row →
+  * N record rows, nothing materialized per archive) — the ingestion step
+  * UPSTREAM of [[Clean.extractHtml]]: WARC → response records → HTML →
+  * text, all per-partition and shuffle-free until the caller aggregates.
+  *
+  * Scale shape: an archive parses in one forward pass (O(bytes), no
+  * backtracking — Content-Length addresses each payload exactly), so a
+  * 100 TB crawl is embarrassingly parallel at archive granularity;
+  * malformed records fail LOUDLY naming the document, never silently
+  * resynchronize (a skew-prone crawl wants dead archives surfaced, not
+  * absorbed).
+  *
+  * [[encode]] builds spec-shaped archives deterministically — the test
+  * corpus generator (a production pipeline reads its archives from
+  * storage), same discipline as the media encoders in [[Multimodal]].
+  */
+object Warc {
+
+  final case class WarcRecord(doc_id: Long, rec_idx: Long, rec_type: String,
+      target_uri: String, payload: String)
+
+  private val Crlf = "\r\n"
+
+  /** Deterministic WARC bytes: one record per (type, uri, payload) triple,
+    * minimal conformant headers (version line, WARC-Type, WARC-Target-URI
+    * when non-empty, Content-Length, blank line, payload, double CRLF). */
+  def encode(records: Seq[(String, String, String)]): Array[Byte] = {
+    val sb = new StringBuilder
+    records.foreach { case (recType, uri, payload) =>
+      sb.append("WARC/1.0").append(Crlf)
+      sb.append("WARC-Type: ").append(recType).append(Crlf)
+      if (uri.nonEmpty) sb.append("WARC-Target-URI: ").append(uri).append(Crlf)
+      sb.append("Content-Length: ")
+        .append(payload.getBytes("UTF-8").length).append(Crlf)
+      sb.append(Crlf)
+      sb.append(payload)
+      sb.append(Crlf).append(Crlf)
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** Fan each archive out to its records: forward-pass header parse,
+    * Content-Length-addressed payload slice, iterator per archive. */
+  def split(spark: SparkSession,
+      archives: Dataset[Multimodal.MediaBytesRow]): Dataset[WarcRecord] = {
+    import spark.implicits._
+    archives.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.media
+        new Iterator[WarcRecord] {
+          private var p = 0
+          private var idx = 0L
+          private def lineEnd(from: Int): Int = {
+            var i = from
+            while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+            require(i + 1 < b.length,
+              s"doc ${r.doc_id}: truncated WARC header line at offset $from")
+            i
+          }
+          override def hasNext: Boolean = p < b.length
+          override def next(): WarcRecord = {
+            val ve = lineEnd(p)
+            val version = new String(b, p, ve - p, "UTF-8")
+            require(version.startsWith("WARC/"),
+              s"doc ${r.doc_id}: expected a WARC version line at offset $p, got '$version'")
+            p = ve + 2
+            var recType = ""
+            var uri = ""
+            var len = -1L
+            // headers until the blank line
+            while (!(p + 1 < b.length && b(p) == '\r' && b(p + 1) == '\n')) {
+              val he = lineEnd(p)
+              val line = new String(b, p, he - p, "UTF-8")
+              val colon = line.indexOf(':')
+              require(colon > 0,
+                s"doc ${r.doc_id}: malformed WARC header '$line' at offset $p")
+              val name = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+              val value = line.substring(colon + 1).trim
+              name match {
+                case "warc-type" => recType = value
+                case "warc-target-uri" => uri = value
+                case "content-length" => len = value.toLong
+                case _ => () // unknown headers pass through
+              }
+              p = he + 2
+            }
+            require(len >= 0,
+              s"doc ${r.doc_id}: WARC record ${idx} lacks Content-Length")
+            p += 2 // the blank line
+            require(p + len <= b.length,
+              s"doc ${r.doc_id}: WARC record ${idx} payload overruns the archive")
+            val payload = new String(b, p, len.toInt, "UTF-8")
+            p += len.toInt
+            // closing double CRLF — required between records; a missing
+            // FINAL terminator (truncated upload) is tolerated at the end
+            if (p < b.length) {
+              require(p + 4 <= b.length && b(p) == '\r' && b(p + 1) == '\n' &&
+                b(p + 2) == '\r' && b(p + 3) == '\n',
+                s"doc ${r.doc_id}: WARC record $idx missing its closing " +
+                  "double-CRLF terminator")
+              p += 4
+            }
+            val out = WarcRecord(r.doc_id, idx, recType, uri, payload)
+            idx += 1
+            out
+          }
+        }
+      }
+    }
+  }
+}

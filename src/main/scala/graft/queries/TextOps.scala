@@ -253,6 +253,39 @@ object TextOps {
               FROM clean ORDER BY doc_id""")
     ),
 
+    // the FULL ingestion chain a crawl corpus actually needs (r14):
+    // WARC archives → record fan-out (ops.Warc.split walks the ISO 28500
+    // grammar: version line, named headers, Content-Length-addressed
+    // payload) → response records → HTML extraction → text. Each doc's
+    // archive is PLANTED (a warcinfo record + a response record carrying
+    // the planted page), so the oracle constructs the expected output
+    // directly — a wrong header parse, payload slice, record split, or
+    // extraction all break the hash.
+    "t_warc_extract" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val pages = t(s, dir, "documents")
+          .select(col("doc_id"), plantedHtml(col("text")).as("html"))
+          .as[(Long, String)]
+        val archives = pages.mapPartitions(_.map { case (id, html) =>
+          Multimodal.MediaBytesRow(id, graft.ops.Warc.encode(Seq(
+            ("warcinfo", "", "software: graft-crawler"),
+            ("response", s"https://example.org/doc/$id", html))))
+        })
+        graft.ops.Warc.split(s, archives).toDF()
+          .where(col("rec_type") === "response")
+          .select(col("doc_id"), col("target_uri"),
+            graft.ops.Clean.extractHtml(col("payload")).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$plantedCleanSql
+              SELECT doc_id,
+                'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                  AS target_uri,
+                clean_text
+              FROM clean ORDER BY doc_id""")
+    ),
+
     // the EXTRACTION composed into the cleaning pipeline (the p_clean_corpus
     // stages running on extractHtml's output instead of a ready-made text
     // column — markup in, gated clean corpus out, one plan, all relational)

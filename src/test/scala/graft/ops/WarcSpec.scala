@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def split(bytes: Array[Byte], id: Long = 1L): Seq[Warc.WarcRecord] = {
+    import spark.implicits._
+    Warc.split(spark, Seq(Multimodal.MediaBytesRow(id, bytes)).toDS())
+      .collect().toSeq.sortBy(_.rec_idx)
+  }
+
+  test("encode/split round trip: multi-record archive fans out in order") {
+    val bytes = Warc.encode(Seq(
+      ("warcinfo", "", "software: graft"),
+      ("response", "https://a.example/x", "<p>alpha</p>"),
+      ("response", "https://a.example/y", "<p>beta</p>")))
+    val got = split(bytes)
+    assert(got.map(r => (r.rec_idx, r.rec_type, r.target_uri, r.payload)) == Seq(
+      (0L, "warcinfo", "", "software: graft"),
+      (1L, "response", "https://a.example/x", "<p>alpha</p>"),
+      (2L, "response", "https://a.example/y", "<p>beta</p>")))
+  }
+
+  test("unknown headers pass through; payload may contain CRLFs and header-ish text") {
+    val tricky = "WARC/1.0\r\nContent-Length: 999\r\n\r\nnot a real record"
+    val bytes = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:1234>\r\n" +
+      "WARC-Target-URI: https://t.example/\r\n" +
+      s"Content-Length: ${tricky.getBytes("UTF-8").length}\r\n" +
+      "\r\n" + tricky + "\r\n\r\n").getBytes("UTF-8")
+    val got = split(bytes)
+    assert(got.size == 1 && got.head.payload == tricky,
+      "Content-Length addresses the payload exactly — no resync scanning")
+  }
+
+  test("truncated final terminator tolerated; mid-archive corruption fails naming the doc") {
+    val ok = Warc.encode(Seq(("response", "u", "x")))
+    assert(split(ok.dropRight(4), id = 5L).head.payload == "x",
+      "archive ending exactly at the payload still parses")
+    // record 0 lacks its terminator but record 1 follows -> loud failure
+    val bad = Warc.encode(Seq(("response", "u", "x"))).dropRight(4) ++
+      Warc.encode(Seq(("response", "v", "y")))
+    val e = intercept[org.apache.spark.SparkException] { split(bad, id = 7L) }
+    assert(e.getMessage.contains("7") || e.getCause.getMessage.contains("7"))
+    // missing Content-Length -> loud failure
+    val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\n".getBytes("UTF-8")
+    val e2 = intercept[org.apache.spark.SparkException] { split(noLen, id = 9L) }
+    assert(e2.getMessage.contains("9") || e2.getCause.getMessage.contains("9"))
+  }
+}
