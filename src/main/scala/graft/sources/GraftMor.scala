@@ -35,16 +35,17 @@ object GraftMor {
   private[graft] def authoritative(path: String): Boolean =
     GraftStage.manifestAuthoritative(path)
 
-  /** Apply one point write merge-on-read: retire `victims` — collected
-    * (absolute file path, physical row position) addresses, the same
-    * O(matched rows) driver channel the SQL delta writers use — into
-    * per-file deletion vectors (cutover-capped), land `appends` (bucket
-    * columns included) through the routed chunk writer into their cells,
-    * and seal ONE versioned commit carrying both. Empty victims + empty
-    * appends is a no-op (no new version). Returns the number of new-image
-    * files appended. */
+  /** Apply one point write merge-on-read: retire `victims` — per-file
+    * grouped (absolute file path, physical row positions) addresses, the
+    * same O(matched positions) driver channel the SQL delta writers use,
+    * grouped so the driver pays ~8 bytes per position — into per-file
+    * deletion vectors (cutover-capped), land `appends` (bucket columns
+    * included) through the routed chunk writer into their cells, and seal
+    * ONE versioned commit carrying both. Empty victims + empty appends is
+    * a no-op (no new version). Returns the number of new-image files
+    * appended. */
   private[graft] def pointWrite(spark: SparkSession, path: String,
-      branch: Option[String], victims: Array[(String, Long)],
+      branch: Option[String], victims: Array[(String, Array[Long])],
       appends: Option[DataFrame], verb: String): Int = {
     val appended = appends.map(routeAppend(spark, path, _)).getOrElse(Seq.empty)
     sealPrewritten(path, branch, victims, appended, verb,
@@ -59,7 +60,7 @@ object GraftMor {
     * hence invisible) files on a failed seal instead of leaving them to
     * the orphan sweep. */
   private[graft] def sealPrewritten(path: String, branch: Option[String],
-      victims: Array[(String, Long)],
+      victims: Array[(String, Array[Long])],
       appended: Seq[GraftVersions.ManifestEntry], verb: String,
       ownsAppended: Boolean = false): Unit = {
     val root = new Path(path)
@@ -67,8 +68,9 @@ object GraftMor {
     // file (an id matched by both the remove side and the upsert side of an
     // applyDelta must retire its row ONCE, not twice)
     val byRel: Map[String, Array[Long]] = victims.toSeq
-      .groupMap { case (f, _) => GraftVersions.relOf(root, new Path(f)) }(_._2)
-      .map { case (rel, ps) => rel -> ps.distinct.toArray }
+      .groupMapReduce { case (f, _) =>
+        GraftVersions.relOf(root, new Path(f)) }(_._2)(_ ++ _)
+      .map { case (rel, ps) => rel -> ps.distinct }
     if (byRel.isEmpty && appended.isEmpty) return
     try GraftDvCommit.seal(path, branch, byRel, appended, verb)
     catch {

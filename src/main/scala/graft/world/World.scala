@@ -275,11 +275,21 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     }
 
   /** Collected physical addresses of `rows` (a frame derived from
-    * [[addrDf]]): the MoR victim channel — O(matched rows) at the driver,
-    * the same floor the SQL delta writers' commit messages pay. */
-  private def collectAddrs(rows: DataFrame): Array[(String, Long)] =
-    rows.select(col("__gf"), col("__gp")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+    * [[addrDf]]), GROUPED per file — the MoR victim channel. Grouping
+    * before the collect matters at scale: the driver holds each file path
+    * ONCE plus 8 bytes per position (the same envelope the deletion-vector
+    * sidecars themselves occupy) instead of a full Row per matched row —
+    * O(matched positions) remains the floor (the SQL delta writers' commit
+    * messages pay it too), but the constant drops ~20×, and the per-file
+    * aggregation happens executor-side with map-side combine. */
+  private def collectVictims(rows: DataFrame): Array[(String, Array[Long])] =
+    rows.groupBy(col("__gf"))
+      .agg(collect_list(col("__gp")).as("__ps"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+
+  private def victimCount(vs: Array[(String, Array[Long])]): Long =
+    vs.iterator.map(_._2.length.toLong).sum
 
   private def emptyDf: DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_graft_schema.json")
@@ -378,17 +388,17 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
         // moved 10 GB. The displaced-address collect is O(displaced rows),
         // the floor (the reference returns each displaced record too).
         val incoming = withBuckets(validate(rows)).cache()
-        val displaced: Array[(String, Long)] =
+        val displaced: Array[(String, Array[Long])] =
           if (entries.isEmpty) Array.empty
           else {
             val ids = incoming.select(col(idCol)).distinct()
-            collectAddrs(addrDf(branch)
+            collectVictims(addrDf(branch)
               .join(ids, Seq(idCol), "left_semi"))
           }
         graft.sources.GraftMor.pointWrite(spark, path, branch, displaced,
           Some(incoming), "UPSERT")
         incoming.unpersist()
-        displaced.length.toLong
+        victimCount(displaced)
       case None => // unversioned world / barrier window: whole-cell COW
         val incoming = withBuckets(validate(rows)).cache()
         val existing = branch match {
@@ -434,13 +444,13 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
       s"graft insertPrewritten on $path: the commit log stopped being " +
         "authoritative between the write's planning and its commit " +
         "(concurrent World rewrite?) — retry the upsert"))
-    val displaced: Array[(String, Long)] =
+    val displaced: Array[(String, Array[Long])] =
       if (entries.isEmpty) Array.empty
-      else collectAddrs(addrDf(branch)
+      else collectVictims(addrDf(branch)
         .join(ids.toDF(idCol).distinct(), Seq(idCol), "left_semi"))
     graft.sources.GraftMor.sealPrewritten(path, branch, displaced, appended,
       "UPSERT", ownsAppended = true)
-    displaced.length.toLong
+    victimCount(displaced)
   }
 
   /** Combined delete + upsert in ONE partition-scoped rewrite: rows whose
@@ -472,7 +482,7 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     val incoming = withBuckets(validate(upserts)).cache()
     val rmIds = removeIds.withColumnRenamed(removeIds.columns.head, idCol)
     val rmKeys = rmIds.columns.toSeq
-    val tagged: Array[(String, String, Long)] =
+    val tagged: Array[(String, String, Array[Long])] =
       if (entries.isEmpty) Array.empty
       else {
         val addr = addrDf(None)
@@ -481,14 +491,18 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
           .select(lit("r").as("_t"), col("__gf"), col("__gp"))
           .unionByName(addr.join(upIds, Seq(idCol), "left_semi")
             .select(lit("d").as("_t"), col("__gf"), col("__gp")))
+          .groupBy(col("_t"), col("__gf"))
+          .agg(collect_list(col("__gp")).as("__ps"))
           .collect()
-          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .map(r => (r.getString(0), r.getString(1), r.getSeq[Long](2).toArray))
       }
-    val victims = tagged.map { case (_, f, p) => (f, p) }
+    // a row matched by BOTH sides retires once — pointWrite dedups per file
+    val victims = tagged.map { case (_, f, ps) => (f, ps) }
     graft.sources.GraftMor.pointWrite(spark, path, None, victims,
       Some(incoming), "DELTA")
     incoming.unpersist()
-    (tagged.count(_._1 == "r").toLong, tagged.count(_._1 == "d").toLong)
+    (tagged.iterator.filter(_._1 == "r").map(_._3.length.toLong).sum,
+      tagged.iterator.filter(_._1 == "d").map(_._3.length.toLong).sum)
   }
 
   private def cowApplyDelta(removeIds: DataFrame, upserts: DataFrame): (Long, Long) = {
@@ -586,11 +600,11 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
         // retires (both inside the one seal, see GraftDvCommit)
         if (entries.isEmpty) 0L
         else {
-          val victims = collectAddrs(addrDf(None)
+          val victims = collectVictims(addrDf(None)
             .join(idDf, Seq(idCol), "left_semi"))
           graft.sources.GraftMor.pointWrite(spark, path, None, victims,
             None, "DESTROY")
-          victims.length.toLong
+          victimCount(victims)
         }
       case None =>
         val existing = df
@@ -629,7 +643,7 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
         if (entries.isEmpty) 0L
         else {
           val hit = addrDf(None).where(condT).cache()
-          val victims = collectAddrs(hit)
+          val victims = collectVictims(hit)
           if (victims.nonEmpty) {
             val mutated = withBuckets(
               sets.foldLeft(hit.drop("__gf", "__gp").drop(bucketCols: _*)) {
@@ -638,7 +652,7 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
               Some(mutated), "UPDATE")
           }
           hit.unpersist()
-          victims.length.toLong
+          victimCount(victims)
         }
       case None =>
         val existing = df
