@@ -286,6 +286,49 @@ object TextOps {
               FROM clean ORDER BY doc_id""")
     ),
 
+    // the crawl pipeline END-TO-END with URL-level gating (r14): WARC
+    // archives → record fan-out → host extracted from the demuxed
+    // WARC-Target-URI (proving the URI survives the record round trip) →
+    // BLOCKLIST anti-join (the scale shape: a broadcast join against the
+    // tiny blocklist table, never an isin literal — real blocklists are
+    // row sets, not constants) → HTML extraction → token-floor gate.
+    // Hosts and the blocklist are planted from doc_id arithmetic, so the
+    // oracle restates the whole chain exactly.
+    "p_warc_corpus" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val pages = t(s, dir, "documents")
+          .select(col("doc_id"), plantedHtml(col("text")).as("html"))
+          .as[(Long, String)]
+        val archives = pages.mapPartitions(_.map { case (id, html) =>
+          Multimodal.MediaBytesRow(id, graft.ops.Warc.encode(Seq(
+            ("warcinfo", "", "software: graft-crawler"),
+            ("response", s"https://h${id % 7}.example.org/doc/$id", html))))
+        })
+        val blocklist = Seq("h0.example.org", "h3.example.org").toDF("host")
+        graft.ops.Warc.split(s, archives).toDF()
+          .where(col("rec_type") === "response")
+          .withColumn("host",
+            regexp_extract(col("target_uri"), "^https?://([^/]+)/", 1))
+          .join(broadcast(blocklist), Seq("host"), "left_anti")
+          .select(col("doc_id"), col("host"),
+            graft.ops.Text.tokenCount(
+              graft.ops.Clean.extractHtml(col("payload"))).as("n_tokens"))
+          .where(col("n_tokens") >= 24)
+          .orderBy("doc_id")
+      },
+      Some(s"""$plantedCleanSql,
+              g AS (
+                SELECT doc_id,
+                  'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+                  CAST(len(string_split_regex(trim(clean_text), '\\s+'))
+                    AS BIGINT) AS n_tokens
+                FROM clean)
+              SELECT doc_id, host, n_tokens FROM g
+              WHERE doc_id % 7 NOT IN (0, 3) AND n_tokens >= 24
+              ORDER BY doc_id""")
+    ),
+
     // the EXTRACTION composed into the cleaning pipeline (the p_clean_corpus
     // stages running on extractHtml's output instead of a ready-made text
     // column — markup in, gated clean corpus out, one plan, all relational)
