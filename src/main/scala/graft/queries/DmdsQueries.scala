@@ -1061,8 +1061,12 @@ object DmdsQueries {
             new java.net.URI(path), new org.apache.hadoop.conf.Configuration())
           val root = new org.apache.hadoop.fs.Path(path)
           fs.delete(root, true) // stateful fixture: rebuild per run
-          val sd0 = DimMapping(0L, (1L << 20) - 1, 8192L)
-          val sd1 = DimMapping(0L, (1L << 14) - 1, 128L)
+          // coarse grid on purpose: the fixture REBUILDS every run, and a
+          // fine 8192×128 grid scatters the append across ~9k tiny cells —
+          // all fixture cost, no behavior (the MoR path under test is
+          // grid-agnostic; the oracle carries no bucket arithmetic)
+          val sd0 = DimMapping(0L, (1L << 20) - 1, 1L << 16)
+          val sd1 = DimMapping(0L, (1L << 14) - 1, 2048L)
           val w = new World(s2, path,
             Seq(DimSpec("event_id", sd0), DimSpec("user_id", sd1)))
           val e = events(s2, dir).select("event_id", "user_id", "value")
