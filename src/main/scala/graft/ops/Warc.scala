@@ -48,22 +48,57 @@ object Warc {
     sb.toString.getBytes("UTF-8")
   }
 
+  /** gzip twin of [[encode]]: one gzip MEMBER per record, concatenated —
+    * the Common Crawl wire convention (`.warc.gz`), whose per-record
+    * members are what make range-addressed record fetches possible in
+    * real deployments. */
+  def encodeGz(records: Seq[(String, String, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(encode(Seq(r)))
+      g.finish()
+    }
+    bos.toByteArray
+  }
+
+  /** [[split]] over `.warc.gz` archives: the JDK's GZIPInputStream reads
+    * concatenated members transparently, so the record walker runs over
+    * the decompressed stream — same grammar, same loud failures. Per-doc
+    * decompression is executor-side CPU, linear in archive size. */
+  def splitGz(spark: SparkSession,
+      archives: Dataset[Multimodal.MediaBytesRow]): Dataset[WarcRecord] = {
+    import spark.implicits._
+    archives.mapPartitions { it =>
+      it.flatMap { r =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val bytes = try in.readAllBytes() finally in.close()
+        recordsOf(r.doc_id, bytes)
+      }
+    }
+  }
+
   /** Fan each archive out to its records: forward-pass header parse,
     * Content-Length-addressed payload slice, iterator per archive. */
   def split(spark: SparkSession,
       archives: Dataset[Multimodal.MediaBytesRow]): Dataset[WarcRecord] = {
     import spark.implicits._
     archives.mapPartitions { it =>
-      it.flatMap { r =>
-        val b = r.media
-        new Iterator[WarcRecord] {
+      it.flatMap(r => recordsOf(r.doc_id, r.media))
+    }
+  }
+
+  /** The record walker shared by [[split]] and [[splitGz]]. */
+  private def recordsOf(docId: Long, b: Array[Byte]): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
           private var p = 0
           private var idx = 0L
           private def lineEnd(from: Int): Int = {
             var i = from
             while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
             require(i + 1 < b.length,
-              s"doc ${r.doc_id}: truncated WARC header line at offset $from")
+              s"doc ${docId}: truncated WARC header line at offset $from")
             i
           }
           override def hasNext: Boolean = p < b.length
@@ -71,7 +106,7 @@ object Warc {
             val ve = lineEnd(p)
             val version = new String(b, p, ve - p, "UTF-8")
             require(version.startsWith("WARC/"),
-              s"doc ${r.doc_id}: expected a WARC version line at offset $p, got '$version'")
+              s"doc ${docId}: expected a WARC version line at offset $p, got '$version'")
             p = ve + 2
             var recType = ""
             var uri = ""
@@ -82,7 +117,7 @@ object Warc {
               val line = new String(b, p, he - p, "UTF-8")
               val colon = line.indexOf(':')
               require(colon > 0,
-                s"doc ${r.doc_id}: malformed WARC header '$line' at offset $p")
+                s"doc ${docId}: malformed WARC header '$line' at offset $p")
               val name = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
               val value = line.substring(colon + 1).trim
               name match {
@@ -94,10 +129,10 @@ object Warc {
               p = he + 2
             }
             require(len >= 0,
-              s"doc ${r.doc_id}: WARC record ${idx} lacks Content-Length")
+              s"doc ${docId}: WARC record ${idx} lacks Content-Length")
             p += 2 // the blank line
             require(p + len <= b.length,
-              s"doc ${r.doc_id}: WARC record ${idx} payload overruns the archive")
+              s"doc ${docId}: WARC record ${idx} payload overruns the archive")
             val payload = new String(b, p, len.toInt, "UTF-8")
             p += len.toInt
             // closing double CRLF — required between records; a missing
@@ -105,16 +140,13 @@ object Warc {
             if (p < b.length) {
               require(p + 4 <= b.length && b(p) == '\r' && b(p + 1) == '\n' &&
                 b(p + 2) == '\r' && b(p + 3) == '\n',
-                s"doc ${r.doc_id}: WARC record $idx missing its closing " +
+                s"doc ${docId}: WARC record $idx missing its closing " +
                   "double-CRLF terminator")
               p += 4
             }
-            val out = WarcRecord(r.doc_id, idx, recType, uri, payload)
+            val out = WarcRecord(docId, idx, recType, uri, payload)
             idx += 1
             out
           }
         }
-      }
-    }
-  }
 }

@@ -286,8 +286,10 @@ object TextOps {
               FROM clean ORDER BY doc_id""")
     ),
 
-    // the crawl pipeline END-TO-END with URL-level gating (r14): WARC
-    // archives → record fan-out → host extracted from the demuxed
+    // the crawl pipeline END-TO-END with URL-level gating (r14): GZIPPED
+    // WARC archives (one gzip member per record — the Common Crawl
+    // `.warc.gz` wire convention, decompressed through the JDK's
+    // multi-member reader) → record fan-out → host extracted from the demuxed
     // WARC-Target-URI (proving the URI survives the record round trip) →
     // BLOCKLIST anti-join (the scale shape: a broadcast join against the
     // tiny blocklist table, never an isin literal — real blocklists are
@@ -301,12 +303,12 @@ object TextOps {
           .select(col("doc_id"), plantedHtml(col("text")).as("html"))
           .as[(Long, String)]
         val archives = pages.mapPartitions(_.map { case (id, html) =>
-          Multimodal.MediaBytesRow(id, graft.ops.Warc.encode(Seq(
+          Multimodal.MediaBytesRow(id, graft.ops.Warc.encodeGz(Seq(
             ("warcinfo", "", "software: graft-crawler"),
             ("response", s"https://h${id % 7}.example.org/doc/$id", html))))
         })
         val blocklist = Seq("h0.example.org", "h3.example.org").toDF("host")
-        graft.ops.Warc.split(s, archives).toDF()
+        graft.ops.Warc.splitGz(s, archives).toDF()
           .where(col("rec_type") === "response")
           .withColumn("host",
             regexp_extract(col("target_uri"), "^https?://([^/]+)/", 1))

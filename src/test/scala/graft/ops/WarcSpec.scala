@@ -44,6 +44,25 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Content-Length addresses the payload exactly — no resync scanning")
   }
 
+  test("warc.gz: member-per-record gzip round-trips through the multi-member reader") {
+    import spark.implicits._
+    val recs = Seq(
+      ("warcinfo", "", "software: graft"),
+      ("response", "https://gz.example/a", "<p>gz alpha</p>"),
+      ("response", "https://gz.example/b", "<p>gz beta</p>"))
+    val gz = Warc.encodeGz(recs)
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b, "gzip magic leads")
+    // genuinely multi-member: a second gzip magic appears past the first
+    assert(gz.drop(2).sliding(2).exists(w =>
+      (w(0) & 0xff) == 0x1f && (w(1) & 0xff) == 0x8b),
+      "one gzip member per record (the Common Crawl convention)")
+    val got = Warc.splitGz(spark,
+        Seq(Multimodal.MediaBytesRow(4L, gz)).toDS())
+      .collect().toSeq.sortBy(_.rec_idx)
+    assert(got.map(r => (r.rec_type, r.target_uri, r.payload)) ==
+      recs.map { case (t, u, p) => (t, u, p) })
+  }
+
   test("truncated final terminator tolerated; mid-archive corruption fails naming the doc") {
     val ok = Warc.encode(Seq(("response", "u", "x")))
     assert(split(ok.dropRight(4), id = 5L).head.payload == "x",
