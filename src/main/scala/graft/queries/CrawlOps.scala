@@ -1,0 +1,290 @@
+package graft.queries
+
+import graft.functions.{NfcNormalize, UrlCanonical}
+import graft.ops.Robots
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Crawl-side gating + text-normalization queries (r14): the stages a
+  * pretraining corpus passes BEFORE content ever reaches the cleaning
+  * pipeline — URL canonicalization and dedup (the frontier's key),
+  * robots.txt politeness gating, Unicode NFC normalization (equality's
+  * prerequisite), sentence segmentation, and code-vs-prose detection.
+  * All planted-twin oracled: inputs are built deterministically from
+  * `documents`, so DuckDB constructs the EXPECTED output from the same
+  * pieces and any parse/normalize/gate defect breaks the hash. */
+object CrawlOps {
+  import Tables.t
+
+  private def k: Column = (col("doc_id") % 7).cast("string")
+  private def id: Column = col("doc_id").cast("string")
+
+  /** Four planted URL spellings cycling on doc_id % 4 — each exercises a
+    * distinct canonicalization clause (case+default port+tracking+fragment;
+    * empty path; non-default port + all-tracking query; param sort). */
+  private def plantedUrl: Column = {
+    val m = col("doc_id") % 4
+    when(m === 0, concat(lit("HTTP://U@WWW.h"), k, lit(".Example.COM:80/Doc/"),
+        id, lit("?utm_source=feed&z=1&a=2#top")))
+      .when(m === 1, concat(lit("https://h"), k, lit(".Example.ORG")))
+      .when(m === 2, concat(lit("https://h"), k, lit(".example.org:8080/x/"),
+        id, lit("?gclid=abc&utm_campaign=c")))
+      .otherwise(concat(lit("HtTpS://h"), k, lit(".EXAMPLE.org:443/doc/"),
+        id, lit("?b=2&a=1&fbclid=zz")))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // URL canonicalization — the crawl frontier's dedup key, pinned
+    // clause-by-clause: scheme/host case folding, userinfo preserved
+    // verbatim, default-port strip (:80/http, :443/https) with a
+    // non-default port KEPT, path case preserved, empty path -> '/',
+    // tracking params dropped (utm_*, gclid, fbclid), survivors sorted,
+    // all-dropped query loses its '?', fragment dropped. Per-row native
+    // kernel, shuffle-free.
+    "t_url_canonical" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), UrlCanonical(plantedUrl).as("url_canon"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'http://U@www.h' || (doc_id % 7)
+                              || '.example.com/Doc/' || doc_id || '?a=2&z=1'
+                  WHEN 1 THEN 'https://h' || (doc_id % 7) || '.example.org/'
+                  WHEN 2 THEN 'https://h' || (doc_id % 7)
+                              || '.example.org:8080/x/' || doc_id
+                  ELSE 'https://h' || (doc_id % 7) || '.example.org/doc/'
+                       || doc_id || '?a=1&b=2'
+                END AS url_canon
+              FROM documents ORDER BY doc_id""")
+    ),
+
+    // URL dedup — two raw spellings per document (www-case + tracking +
+    // fragment vs :443 + clean query) that MUST unify under the canonical
+    // key; the group count pins the unification, the min-variant pick is
+    // the frontier's keep-one rule. groupBy on the canonical = one hash
+    // shuffle keyed exactly like a 100 TB frontier would be.
+    "d_url_dedup" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array(
+            concat(lit("https://WWW.example.org/p/"), id,
+              lit("?utm_source=x&a=1#f")),
+            concat(lit("https://www.example.org:443/p/"), id, lit("?a=1"))))
+            .as("raw"))
+        .groupBy(UrlCanonical(col("raw")).as("url_canon"))
+        .agg(count(lit(1)).as("dup_cnt"))
+        .orderBy("url_canon"),
+      Some("""SELECT 'https://www.example.org/p/' || doc_id || '?a=1' AS url_canon,
+                CAST(2 AS BIGINT) AS dup_cnt
+              FROM documents ORDER BY url_canon""")
+    ),
+
+    // robots.txt politeness gate — per-host planted policies (even hosts:
+    // path-scoped disallow with a longer allow carve-out; odd hosts:
+    // disallow-all with an allow carve-out), URLs cycling over four paths.
+    // Pins the whole REP chain: comment strip, CRLF bodies, case-folded
+    // keys, multi-agent group headers, non-star groups IGNORED (evilbot
+    // disallows / everywhere — obeying it would zero the corpus), unknown
+    // keys skipped, longest-prefix winner, allow-beats-disallow at ties,
+    // no-match -> allowed. Scale shape: rules ⋈ urls hash join on host +
+    // one bounded groupBy — the fetch-frontier plan.
+    "p_robots_gate" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val bodies = s.range(0, 7).map { hk =>
+          val body =
+            if (hk % 2 == 0)
+              "# crawler policy\r\nUser-agent: evilbot\r\nDisallow: /\r\n\r\n" +
+                "User-Agent: googlebot\r\nUser-agent: *\r\nDisallow: /private\r\n" +
+                "Allow: /private/ok\r\ndisallow: /tmp\r\nCrawl-delay: 10\r\n"
+            else
+              "User-agent: *\nDisallow: /\nAllow: /public\n" +
+                "Sitemap: https://example.org/map.xml\n\n" +
+                "User-agent: otherbot\nDisallow:\n"
+          Robots.RobotsTxt(s"h$hk.example.org", body)
+        }
+        val rules = Robots.parse(s, bodies).toDF()
+        val m = col("doc_id") % 4
+        val urls = t(s, dir, "documents").select(
+          col("doc_id"),
+          concat(lit("h"), k, lit(".example.org")).as("host"),
+          concat(
+            when(m === 0, "/private/x").when(m === 1, "/private/ok/x")
+              .when(m === 2, "/public/x").otherwise("/tmp/x"),
+            id).as("path"))
+        Robots.gate(urls, rules)
+          .select(col("doc_id"), col("host"), col("path"),
+            col("allowed").cast("int").as("allowed"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                'h' || (doc_id % 7) || '.example.org' AS host,
+                CASE doc_id % 4 WHEN 0 THEN '/private/x' WHEN 1 THEN '/private/ok/x'
+                  WHEN 2 THEN '/public/x' ELSE '/tmp/x' END || doc_id AS path,
+                CAST(CASE WHEN (doc_id % 7) % 2 = 0
+                     THEN (doc_id % 4) IN (1, 2)
+                     ELSE doc_id % 4 = 2 END AS INTEGER) AS allowed
+              FROM documents ORDER BY doc_id""")
+    ),
+
+    // the crawl frontier END-TO-END: two raw spellings per page ->
+    // canonical unification (groupBy, keeps one) -> host/path demux from
+    // the canonical -> robots gate -> blocklist anti-join -> fetchable
+    // frontier. One plan, each stage the operator the standalone queries
+    // pin; the row set is the intersection of all three gates.
+    "p_crawl_frontier" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val bodies = s.range(0, 7).map { hk =>
+          val body =
+            if (hk % 2 == 0)
+              "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow: /tmp\n"
+            else "User-agent: *\nDisallow: /\nAllow: /public\n"
+          Robots.RobotsTxt(s"h$hk.example.org", body)
+        }
+        val rules = Robots.parse(s, bodies).toDF()
+        val m = col("doc_id") % 4
+        val pathC = concat(
+          when(m === 0, "/private/x").when(m === 1, "/private/ok/x")
+            .when(m === 2, "/public/x").otherwise("/tmp/x"),
+          id)
+        val raws = t(s, dir, "documents").select(col("doc_id"),
+          explode(array(
+            concat(lit("HTTPS://h"), k, lit(".EXAMPLE.ORG:443"), pathC,
+              lit("?utm_source=x#frag")),
+            concat(lit("https://h"), k, lit(".example.org"), pathC))).as("raw"))
+        val frontier = raws
+          .groupBy(UrlCanonical(col("raw")).as("url_canon"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+          .withColumn("host",
+            regexp_extract(col("url_canon"), "^https?://([^/]+)/", 1))
+          .withColumn("path",
+            regexp_extract(col("url_canon"), "^https?://[^/]+([^?#]*)", 1))
+        val blocklist = Seq("h0.example.org", "h3.example.org").toDF("bhost")
+        Robots.gate(frontier, rules)
+          .where(col("allowed"))
+          .join(broadcast(blocklist), col("host") === col("bhost"), "left_anti")
+          .select(col("doc_id"), col("url_canon"), col("dup_cnt"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                'https://h' || (doc_id % 7) || '.example.org'
+                  || (CASE doc_id % 4 WHEN 0 THEN '/private/x'
+                      WHEN 1 THEN '/private/ok/x'
+                      WHEN 2 THEN '/public/x' ELSE '/tmp/x' END)
+                  || doc_id AS url_canon,
+                CAST(2 AS BIGINT) AS dup_cnt
+              FROM documents
+              WHERE (CASE WHEN (doc_id % 7) % 2 = 0
+                     THEN (doc_id % 4) IN (1, 2)
+                     ELSE doc_id % 4 = 2 END)
+                AND doc_id % 7 NOT IN (0, 3)
+              ORDER BY doc_id""")
+    ),
+
+    // Unicode NFC normalization — three planted spellings cycling on
+    // doc_id % 3: decomposed combining marks (e+0301, i+0308 -> composed),
+    // already-precomposed (the isNormalized no-op path), and pure ASCII
+    // (the zero-copy byte-scan fast path). The oracle CONSTRUCTS the
+    // composed form (chr(233)/chr(239)), so a wrong composition, a missed
+    // fast-path, or a mangled re-encode all break the hash.
+    "t_nfc_normalize" -> QueryDef(
+      (s, dir) => {
+        val first4 = concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 4))
+        val m = col("doc_id") % 3
+        val planted =
+          when(m === 0, concat(lit("Cafe\u0301 nai\u0308ve "), first4))
+            .when(m === 1, concat(lit("Caf\u00e9 na\u00efve "), first4))
+            .otherwise(concat(lit("Cafe naive "), first4))
+        t(s, dir, "documents")
+          .select(col("doc_id"), NfcNormalize(planted).as("norm"))
+          .withColumn("n_chars", length(col("norm")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+                SELECT doc_id,
+                  CASE doc_id % 3
+                    WHEN 2 THEN 'Cafe naive '
+                    ELSE 'Caf' || chr(233) || ' na' || chr(239) || 've '
+                  END || array_to_string(
+                    (string_split_regex(trim(text), '\s+'))[1:4], ' ') AS norm
+                FROM documents)
+              SELECT doc_id, norm, CAST(len(norm) AS BIGINT) AS n_chars
+              FROM p ORDER BY doc_id""")
+    ),
+
+    // sentence segmentation — planted three-sentence prose from the
+    // document's own word slices (the third sentence exists only for
+    // docs long enough, so the count VARIES); the Spark side runs the
+    // real splitter over the assembled text (strip trailing terminators,
+    // split on [.!?]+\s+, drop empty segments, count words per segment)
+    // while the oracle derives the expected stats from the slice
+    // arithmetic alone. Per-row, shuffle-free.
+    "t_sentences" -> QueryDef(
+      (s, dir) => {
+        val w = split(trim(col("text")), "\\s+")
+        val sent = concat(
+          concat_ws(" ", slice(w, 1, 4)), lit(". "),
+          concat_ws(" ", slice(w, 5, 6)), lit("! "),
+          concat_ws(" ", slice(w, 11, 1 << 20)), lit("?"))
+        val segs = filter(
+          split(regexp_replace(sent, "[\\s.!?]+$", ""), "[.!?]+\\s+"),
+          x => length(trim(x)) > 0)
+        t(s, dir, "documents")
+          .select(col("doc_id"), segs.as("segs"))
+          .select(col("doc_id"),
+            size(col("segs")).cast("long").as("n_sentences"),
+            aggregate(col("segs"), lit(0L),
+              (acc, x) => acc + size(split(trim(x), "\\s+"))).as("n_words"))
+          .withColumn("mean_words_x100",
+            expr("n_words * 100 DIV n_sentences"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+                SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nw
+                FROM documents)
+              SELECT doc_id,
+                CAST(CASE WHEN nw > 10 THEN 3 ELSE 2 END AS BIGINT) AS n_sentences,
+                nw AS n_words,
+                CAST(nw * 100 // (CASE WHEN nw > 10 THEN 3 ELSE 2 END) AS BIGINT)
+                  AS mean_words_x100
+              FROM p ORDER BY doc_id""")
+    ),
+
+    // code-vs-prose detection — the symbol-density gate a pretraining mix
+    // uses to route code out of the prose corpus. A third of the docs get
+    // a planted code tail; the score is integer symbol-per-mille
+    // (translate-and-diff, exact on both engines), the gate a fixed
+    // threshold. Per-row arithmetic, shuffle-free.
+    "t_code_detect" -> QueryDef(
+      (s, dir) => {
+        val snippet = " if (x > 0) { y[i] = f(a, b); } else { z[j] = g(c); }"
+        val text2 = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(snippet))).otherwise(col("text"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), text2.as("t2"))
+          .select(col("doc_id"),
+            ((length(col("t2")) - length(translate(col("t2"), "{}()[];=<>", "")))
+              * 1000L / length(col("t2"))).cast("long").as("sym_x1000"))
+          .withColumn("is_code", (col("sym_x1000") >= 20L).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+                SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN text ||
+                    ' if (x > 0) { y[i] = f(a, b); } else { z[j] = g(c); }'
+                  ELSE text END AS t2
+                FROM documents),
+              sc AS (
+                SELECT doc_id,
+                  CAST((len(t2) - len(translate(t2, '{}()[];=<>', ''))) * 1000
+                    // len(t2) AS BIGINT) AS sym_x1000
+                FROM p)
+              SELECT doc_id, sym_x1000,
+                CAST(sym_x1000 >= 20 AS INTEGER) AS is_code
+              FROM sc ORDER BY doc_id""")
+    )
+  )
+}

@@ -45,5 +45,5 @@ object Registry {
   lazy val all: Map[String, QueryDef] =
     DmdsQueries.defs ++ Relational.defs ++ TextOps.defs ++ PipelineOps.defs ++
       DedupOps.defs ++ SimilarityOps.defs ++ EventOps.defs ++ Extended.defs ++
-      SqlSurface.defs ++ GraphOps.defs
+      SqlSurface.defs ++ GraphOps.defs ++ CrawlOps.defs
 }
