@@ -33,7 +33,78 @@ object CrawlOps {
         id, lit("?b=2&a=1&fbclid=zz")))
   }
 
+  /** Planted page for the outlink oracles: three REAL anchors per doc
+    * (root-relative next-doc link, absolute cross-host link in uppercase
+    * markup, unquoted-attribute link) among distractors the extractor
+    * must ignore (scripted anchor, hrefless anchor, link/area tags). */
+  private def plantedLinkHtml: Column = {
+    val k1 = ((col("doc_id") + 1) % 7).cast("string")
+    concat(
+      lit("<html><head><title>t</title><link href=\"/css\"></head><body>" +
+        "<script>var a='<a href=\"/fake\">';</script><a href=\"/doc/"),
+      (col("doc_id") + 1).cast("string"),
+      lit("\">next</a> <A HREF='https://h"), k1, lit(".example.org/doc/"),
+      (col("doc_id") * 2).cast("string"),
+      lit("'>abs</A><a name=\"x\">no link</a><p>body</p><a href=/rel/"),
+      id, lit(" class=c>unquoted</a></body></html>"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // outlink extraction — the fetched page's <a href> values in document
+    // order (the link graph's raw edges). The planted page mixes quoting
+    // styles and distractor tags; posexplode pins ORDER as well as set.
+    "t_outlinks" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.HtmlLinks(plantedLinkHtml))
+            .as(Seq("ord", "href")))
+        .select(col("doc_id"), col("ord").cast("long").as("ord"), col("href"))
+        .orderBy("doc_id", "ord"),
+      Some("""SELECT doc_id, ord, href FROM (
+                SELECT doc_id, CAST(0 AS BIGINT) AS ord,
+                  '/doc/' || (doc_id + 1) AS href FROM documents
+                UNION ALL SELECT doc_id, 1,
+                  'https://h' || ((doc_id + 1) % 7) || '.example.org/doc/'
+                  || (doc_id * 2) FROM documents
+                UNION ALL SELECT doc_id, 2, '/rel/' || doc_id FROM documents)
+              ORDER BY doc_id, ord""")
+    ),
+
+    // host-level link graph — outlinks RESOLVED against their page's own
+    // host (root-relative -> same host; absolute -> demuxed target host)
+    // and aggregated into weighted edges: one groupBy keyed (src, dst),
+    // exactly the shuffle a 100 TB web graph builds. Self-edges weight 2
+    // (two relative links per page), cross-host edges weight 1.
+    "g_linkgraph" -> QueryDef(
+      (s, dir) => {
+        val src = concat(lit("h"), k, lit(".example.org"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), src.as("src_host"),
+            explode(graft.functions.HtmlLinks(plantedLinkHtml)).as("href"))
+          .withColumn("dst_host",
+            when(col("href").startsWith("https://") ||
+                 col("href").startsWith("http://"),
+              regexp_extract(col("href"), "^https?://([^/]+)", 1))
+              .otherwise(col("src_host")))
+          .groupBy("src_host", "dst_host")
+          .agg(count(lit(1)).as("n_links"))
+          .orderBy("src_host", "dst_host")
+      },
+      Some("""SELECT src_host, dst_host, COUNT(*) AS n_links FROM (
+                SELECT 'h' || (doc_id % 7) || '.example.org' AS src_host,
+                       'h' || (doc_id % 7) || '.example.org' AS dst_host
+                FROM documents
+                UNION ALL
+                SELECT 'h' || (doc_id % 7) || '.example.org',
+                       'h' || (doc_id % 7) || '.example.org' FROM documents
+                UNION ALL
+                SELECT 'h' || (doc_id % 7) || '.example.org',
+                       'h' || ((doc_id + 1) % 7) || '.example.org'
+                FROM documents)
+              GROUP BY src_host, dst_host
+              ORDER BY src_host, dst_host""")
+    ),
 
     // URL canonicalization — the crawl frontier's dedup key, pinned
     // clause-by-clause: scheme/host case folding, userinfo preserved
