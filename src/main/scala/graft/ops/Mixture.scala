@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget mixture sampling (r14): "take N tokens from each source" —
+  * the data-mixing primitive behind every pretraining recipe (so-many
+  * tokens of web, so-many of books, …). Deterministic: docs are taken in
+  * md5(doc_id) order (re-running is idempotent, the sample is reproducible
+  * across engines and partitionings) until the source's cumulative weight
+  * would exceed its budget (inclusive prefix: a doc is in iff the running
+  * sum THROUGH it is ≤ budget).
+  *
+  * Scale shape — the naive form is a running sum over a
+  * `PARTITION BY source ORDER BY md5` window, which sorts EACH SOURCE ON
+  * ONE TASK (sources are few and huge: the exact single-reducer shape the
+  * registry bans). This is the two-phase restatement:
+  *   1. bucket each doc by an md5 PREFIX (the bucket is a prefix of the
+  *      order key, so bucket order == key order); per-(source, bucket)
+  *      weight sums aggregate map-side — the only full-data shuffle is
+  *      by (source, bucket), fanned out `buckets`-wide;
+  *   2. a bounded window (≤ `buckets` rows per source) turns bucket sums
+  *      into [start, end) prefix ranges: buckets ending ≤ budget are
+  *      taken WHOLE (no per-row work at all), buckets starting ≥ budget
+  *      drop whole, and only the ONE straddling bucket per source scans
+  *      its rows with an intra-bucket running sum — a window over
+  *      1/`buckets` of one source, after a filter that keeps only those
+  *      rows.
+  * At 100 TB: raise `hexDigits` so the straddling bucket fits a task
+  * (16^h buckets); phase-2's window input is budget-bounded, not
+  * corpus-bounded.
+  */
+object Mixture {
+
+  /** @param df        input; must carry a unique bigint `doc_id`
+    * @param sourceCol grouping column (the mixture component)
+    * @param weightCol per-doc weight (tokens, chars, bytes — any positive bigint)
+    * @param budget    per-source budget; must be a pure function of
+    *                  `sourceCol` (constant within a source — the prefix
+    *                  ranges compare against one budget per source)
+    * @param hexDigits md5-prefix width: 16^hexDigits buckets per source */
+  def budgetPrefix(df: DataFrame, sourceCol: String, weightCol: String,
+      budget: Column, hexDigits: Int = 2): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 8, "hexDigits in [1,8]")
+    val outCols = df.columns.map(col).toSeq
+    val d = df
+      .withColumn("_ok", md5(col("doc_id").cast("string")))
+      .withColumn("_bk", conv(substring(col("_ok"), 1, hexDigits), 16, 10).cast("long"))
+      .withColumn("_budget", budget)
+    val bucketSums = d.groupBy(col(sourceCol), col("_bk"))
+      .agg(sum(col(weightCol)).as("_bw"))
+    // bounded: <= 16^hexDigits rows per source
+    val perSource = Window.partitionBy(sourceCol).orderBy("_bk")
+    val ranges = bucketSums
+      .withColumn("_cumEnd", sum(col("_bw")).over(perSource))
+      .withColumn("_cumStart", col("_cumEnd") - col("_bw"))
+      .select(col(sourceCol), col("_bk"), col("_cumStart"), col("_cumEnd"))
+    val joined = d.join(ranges, Seq(sourceCol, "_bk"))
+    val whole = joined.where(col("_cumEnd") <= col("_budget"))
+    // the straddling bucket: the ONLY rows that need a per-row running sum
+    val intra = Window.partitionBy(col(sourceCol), col("_bk"))
+      .orderBy(col("_ok"), col("doc_id"))
+    val straddle = joined
+      .where(col("_cumStart") < col("_budget") && col("_cumEnd") > col("_budget"))
+      .withColumn("_cum", col("_cumStart") + sum(col(weightCol)).over(intra))
+      .where(col("_cum") <= col("_budget"))
+    whole.select(outCols: _*).unionByName(straddle.select(outCols: _*))
+  }
+}

@@ -578,6 +578,39 @@ object PipelineOps {
               FROM s ORDER BY shard, pos""")
     ),
 
+    // token-budget mixture sampling — "take N units of each source", the
+    // pretraining-recipe primitive. Docs are taken in md5(doc_id) order
+    // until the source's cumulative n_chars would exceed its budget
+    // (inclusive prefix). The oracle restates the semantics as ONE global
+    // per-source running-sum window — the single-reducer shape the Spark
+    // side deliberately AVOIDS via ops.Mixture's two-phase bucket-prefix
+    // plan (bounded bucket window + whole-bucket take + one straddling
+    // bucket scanned per source), so the hash match proves the scalable
+    // plan computes exactly the naive definition.
+    "p_token_budget" -> QueryDef(
+      (s, dir) => {
+        val budget =
+          ((regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 3) + 1) * 2000
+        graft.ops.Mixture.budgetPrefix(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "n_chars", budget, hexDigits = 1)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, source, n_chars,
+                  md5(CAST(doc_id AS VARCHAR)) AS ok,
+                  (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 3 + 1)
+                    * 2000 AS b
+                FROM documents),
+              c AS (
+                SELECT doc_id, source, n_chars, b,
+                  SUM(n_chars) OVER (PARTITION BY source ORDER BY ok, doc_id)
+                    AS cum
+                FROM d)
+              SELECT doc_id, source, n_chars FROM c
+              WHERE cum <= b ORDER BY doc_id""")
+    ),
+
     "p_sample_mix" -> QueryDef(
       (s, dir) => {
         val rate = ((regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4) + 1) * 4

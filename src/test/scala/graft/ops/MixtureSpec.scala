@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class MixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** the naive definition: one global running sum per source */
+  private def naive(df: org.apache.spark.sql.DataFrame,
+      budget: org.apache.spark.sql.Column): Set[Long] = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    df.withColumn("_cum", sum(col("w")).over(w))
+      .where(col("_cum") <= budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  private def mk(rows: Seq[(Long, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "w")
+  }
+
+  test("matches the naive per-source running-sum prefix on fuzzed data") {
+    val rnd = new scala.util.Random(77L)
+    val rows = (1L to 400L).map { i =>
+      (i, s"s${rnd.nextInt(5)}", (rnd.nextInt(50) + 1).toLong)
+    }
+    val df = mk(rows)
+    val budget = (regexp_extract(col("source"), "(\\d+)", 1).cast("long") + 1) * 300
+    for (h <- Seq(1, 2)) {
+      val got = Mixture.budgetPrefix(df, "source", "w", budget, hexDigits = h)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == naive(df, budget), s"hexDigits=$h")
+    }
+  }
+
+  test("budget edges: zero takes nothing, oversized takes everything, exact boundary is inclusive") {
+    val df = mk(Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L)))
+    assert(Mixture.budgetPrefix(df, "source", "w", lit(0L)).count() == 0)
+    assert(Mixture.budgetPrefix(df, "source", "w", lit(1000L)).count() == 3)
+    // budget exactly equal to a prefix sum: that doc is IN (inclusive)
+    val atTwenty = Mixture.budgetPrefix(df, "source", "w", lit(20L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(atTwenty == naive(df, lit(20L)))
+    assert(atTwenty.size == 2)
+  }
+
+  test("budgets are independent per source") {
+    val df = mk(Seq((1L, "s0", 5L), (2L, "s0", 5L), (3L, "s1", 5L), (4L, "s1", 5L)))
+    val budget = when(col("source") === "s0", 5L).otherwise(100L)
+    val got = Mixture.budgetPrefix(df, "source", "w", budget)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s0" -> 1L, "s1" -> 2L))
+  }
+
+  test("output carries the input columns, nothing else") {
+    val df = mk(Seq((1L, "a", 3L)))
+    assert(Mixture.budgetPrefix(df, "source", "w", lit(10L)).columns.toSeq ==
+      Seq("doc_id", "source", "w"))
+  }
+}
