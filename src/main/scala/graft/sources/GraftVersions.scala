@@ -91,6 +91,50 @@ private[graft] object GraftVersions {
   // would be indistinguishable from a complete legacy header — the exact
   // masquerade the count exists to prevent.
   private val ManifestHeaderV2 = "graft-manifest-v2"
+  // v3 is the SEGMENTED root: `graft-manifest-v3 <version> <n> <S>` followed
+  // by one `seg\t<sid>\t<rel>\t<count>` line per non-empty segment. Entries
+  // live in immutable, uuid-named segment files under `_graft_versions/segs/`
+  // (same entry-line format as a v2 body, own header). The root is O(S); a
+  // commit rewrites ONLY the segments whose membership changed — without
+  // this, every seal rewrote the full live-file listing, O(total files) of
+  // metadata WRITE per commit: at a million-file world a 10-row streaming
+  // epoch would push ~100 MB of manifest per second. Segment id is a pure
+  // function of the file's CHUNK DIRECTORY (all files of a cell share a
+  // segment), so a commit touching k cells rewrites <= k segments + root.
+  // Segments are reused by REFERENCE from the predecessor root (never by
+  // blind content-address matching against the store — a reference chain is
+  // what lets expire GC safely: it deletes only segments referenced by
+  // dropped roots and by no surviving manifest, so an in-flight commit,
+  // which reuses only from the always-retained latest root, can never have
+  // a segment deleted out from under it; crashed-commit segment debris is
+  // uuid-fresh, referenced by nothing, and falls to the age-gated orphan
+  // sweep).
+  private val ManifestHeaderV3 = "graft-manifest-v3"
+  private val SegmentHeader = "graft-segment-v1"
+  private val SegsDirName = "segs"
+
+  /** Target entries per segment. A root goes v3 at 4x this (hysteresis:
+    * collapses back to flat below 1x), and the segment modulus S doubles
+    * past 2x / halves below x/2 per segment — the bands never flap.
+    * System property so specs can exercise v3 on small fixtures; the
+    * default keeps every small world on the flat v2 format. */
+  private def segTarget: Int =
+    Integer.getInteger("graft.manifest.segmentTarget", 1024).intValue
+
+  /** One root seg line: segment id under modulus S, rel under the versions
+    * dir, entry count (integrity check at read). */
+  final case class SegRef(sid: Int, rel: String, count: Long)
+  /** A v3 root's segment table: the modulus and the refs. */
+  final case class SegBase(s: Int, refs: Seq[SegRef])
+
+  /** Segment of a rel: hash of its directory part (the chunk cell), so a
+    * cell's files colocate and a commit touching k cells touches <= k
+    * segments. String.hashCode is JLS-pinned — stable across JVMs. */
+  private def sidOf(rel: String, s: Int): Int = {
+    val cut = rel.lastIndexOf('/')
+    val dir = if (cut >= 0) rel.substring(0, cut) else ""
+    java.lang.Math.floorMod(dir.hashCode, s)
+  }
 
   def manifestPath(root: Path, v: Long): Path =
     new Path(new Path(root, VersionsDir), s"v$v$ManifestSuffix")
@@ -260,20 +304,23 @@ private[graft] object GraftVersions {
   // manifest from one a concurrent writer has CAS-claimed but not yet
   // finished writing (see the readEntries retry); older count-less headers
   // stay readable
+  // one entry line, shared by the v2 body and v3 segment files
+  private def entryLine(e: ManifestEntry): String = {
+    // field 3 is POSITIONALLY the stats field; tagged fields (dv=…,
+    // rows=…) follow, so field 3 must be present (`-` = empty stats)
+    // whenever any tag is — tag prefixes can never collide with column
+    // names because columns only ever appear inside field 3
+    val dv = e.dv.map { case (r, n) => s"\tdv=$r:$n" }.getOrElse("")
+    val rows = if (e.rows >= 0L) s"\trows=${e.rows}" else ""
+    val stRaw = statsField(e.stats, e.sstats)
+    val st =
+      if (stRaw.isEmpty && (dv.nonEmpty || rows.nonEmpty)) "\t-" else stRaw
+    s"${e.rel}\t${e.size}$st$dv$rows"
+  }
+
   private def writeManifestBytes(v: Long, files: Seq[ManifestEntry]): Array[Byte] =
     (s"$ManifestHeaderV2 $v ${files.size}\n" +
-      files.sortBy(_.rel).map { e =>
-        // field 3 is POSITIONALLY the stats field; tagged fields (dv=…,
-        // rows=…) follow, so field 3 must be present (`-` = empty stats)
-        // whenever any tag is — tag prefixes can never collide with column
-        // names because columns only ever appear inside field 3
-        val dv = e.dv.map { case (r, n) => s"\tdv=$r:$n" }.getOrElse("")
-        val rows = if (e.rows >= 0L) s"\trows=${e.rows}" else ""
-        val stRaw = statsField(e.stats, e.sstats)
-        val st =
-          if (stRaw.isEmpty && (dv.nonEmpty || rows.nonEmpty)) "\t-" else stRaw
-        s"${e.rel}\t${e.size}$st$dv$rows"
-      }.mkString("\n") + "\n")
+      files.sortBy(_.rel).map(entryLine).mkString("\n") + "\n")
       .getBytes("UTF-8")
 
   // zone-map field: `\tcol=min:max;col2=min:max` — absent entirely when the
@@ -447,21 +494,87 @@ private[graft] object GraftVersions {
     }
 
   private def writeManifestCas(fs: FileSystem, root: Path, v: Long,
-      files: Seq[ManifestEntry]): CasResult =
-    writeManifestCasAt(fs, manifestPath(root, v), v, files)
+      files: Seq[ManifestEntry], base: Option[SegBase] = None,
+      touched: Option[Set[String]] = None): CasResult =
+    writeManifestCasAt(fs, manifestPath(root, v), v, files, base, touched)
+
+  /** Build the root bytes, writing any NEW segment files first (rename-
+    * promoted, uuid-named — idempotent debris on a lost CAS, swept by the
+    * age-gated orphan sweep). `base` is the predecessor root's segment
+    * table; `touched` the rels whose entries changed or left relative to
+    * that base (None = assume everything changed). An untouched segment's
+    * ref carries over VERBATIM — zero bytes written for it. */
+  private def buildRootBytes(fs: FileSystem, p: Path, v: Long,
+      files: Seq[ManifestEntry], base: Option[SegBase],
+      touched: Option[Set[String]]): Array[Byte] = {
+    val target = segTarget
+    val n = files.size
+    // hysteresis: go segmented at 4x target (or stay segmented while the
+    // base is), collapse to flat only below 1x
+    val useSegs = n >= 4L * target || (base.isDefined && n >= target)
+    if (!useSegs) return writeManifestBytes(v, files)
+
+    var s = base.map(_.s).getOrElse {
+      var s0 = 1
+      while (n > 2L * target * s0) s0 *= 2
+      s0
+    }
+    while (n > 2L * target * s) s *= 2
+    while (s > 1 && n < target.toLong * s / 2) s /= 2
+    val sameModulus = base.exists(_.s == s)
+    val touchedSids: Option[Set[Int]] =
+      if (!sameModulus) None // modulus moved: every segment re-buckets
+      else touched.map(_.map(r => sidOf(r, s)))
+    val baseRefs: Map[Int, SegRef] =
+      if (sameModulus) base.get.refs.map(r => r.sid -> r).toMap else Map.empty
+
+    val segsDir = new Path(p.getParent, SegsDirName)
+    var madeDirs = false
+    val bySid = files.groupBy(e => sidOf(e.rel, s))
+    val refs = bySid.toSeq.sortBy(_._1).map { case (sid, group) =>
+      val reusable = touchedSids.exists(!_.contains(sid))
+      baseRefs.get(sid) match {
+        // membership provably unchanged: the predecessor's segment IS this
+        // segment — reference it, write nothing (count check is defensive)
+        case Some(ref) if reusable && ref.count == group.size => ref
+        case _ =>
+          val rel = s"$SegsDirName/seg-${java.util.UUID.randomUUID()}.seg"
+          val bytes = (s"$SegmentHeader ${group.size}\n" +
+            group.sortBy(_.rel).map(entryLine).mkString("\n") + "\n")
+            .getBytes("UTF-8")
+          if (!madeDirs) { fs.mkdirs(segsDir); madeDirs = true }
+          val tmp = new Path(segsDir, s".tmp-${java.util.UUID.randomUUID()}")
+          val out = fs.create(tmp, true)
+          out.write(bytes)
+          out.close()
+          val dest = new Path(p.getParent, rel)
+          if (!fs.rename(tmp, dest)) {
+            fs.delete(tmp, false)
+            throw new java.io.IOException(
+              s"graft commit: could not promote segment $dest")
+          }
+          SegRef(sid, rel, group.size.toLong)
+      }
+    }
+    (s"$ManifestHeaderV3 $v $n $s\n" +
+      refs.map(r => s"seg\t${r.sid}\t${r.rel}\t${r.count}").mkString("\n") +
+      "\n").getBytes("UTF-8")
+  }
 
   private def writeManifestCasAt(fs: FileSystem, p: Path, v: Long,
-      files: Seq[ManifestEntry]): CasResult = {
+      files: Seq[ManifestEntry], base: Option[SegBase] = None,
+      touched: Option[Set[String]] = None): CasResult = {
     fs.mkdirs(p.getParent)
     if (fs.exists(p)) return CasLost
+    lazy val bytes = buildRootBytes(fs, p, v, files, base, touched)
     casCapability(fs, p) match {
-      case CreateExclusiveCap => claimThenPromote(fs, p, v, files)
-      case ConditionalPutCap  => conditionalPut(fs, p, v, files)
+      case CreateExclusiveCap => claimThenPromote(fs, p, bytes)
+      case ConditionalPutCap  => conditionalPut(fs, p, bytes)
       case NoAtomicCap =>
         if (fs.getConf.getBoolean(AssumeSingleWriterKey, false))
           // single-writer asserted: no contention exists by declaration, so
           // the claim protocol's primitives don't need to be atomic
-          claimThenPromote(fs, p, v, files)
+          claimThenPromote(fs, p, bytes)
         else throw new UnsupportedOperationException(
           s"graft commit: the '${fs.getUri.getScheme}' store offers neither " +
             "atomic create-if-absent nor conditional PUT — concurrent " +
@@ -473,8 +586,8 @@ private[graft] object GraftVersions {
     }
   }
 
-  private def claimThenPromote(fs: FileSystem, p: Path, v: Long,
-      files: Seq[ManifestEntry]): CasResult = {
+  private def claimThenPromote(fs: FileSystem, p: Path,
+      bytes: Array[Byte]): CasResult = {
     val claim = claimOf(p)
     if (!createExclusive(fs, claim))
       return if (fs.exists(p)) CasLost else CasBusy
@@ -482,7 +595,7 @@ private[graft] object GraftVersions {
       if (fs.exists(p)) return CasLost // stale-claim takeover raced a late promote
       val tmp = new Path(p.getParent, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
-      out.write(writeManifestBytes(v, files))
+      out.write(bytes)
       out.close()
       if (!fs.rename(tmp, p)) { fs.delete(tmp, false); return CasLost }
       CasSealed
@@ -495,11 +608,11 @@ private[graft] object GraftVersions {
     * claim, content write, and publish collapse into this single request —
     * a loser's PUT fails the precondition and maps to [[CasLost]]. Never
     * returns [[CasBusy]]: there is no claim window to wait out. */
-  private def conditionalPut(fs: FileSystem, p: Path, v: Long,
-      files: Seq[ManifestEntry]): CasResult =
+  private def conditionalPut(fs: FileSystem, p: Path,
+      bytes: Array[Byte]): CasResult =
     try {
       val out = fs.create(p, false)
-      out.write(writeManifestBytes(v, files))
+      out.write(bytes)
       out.close()
       CasSealed
     } catch {
@@ -557,7 +670,31 @@ private[graft] object GraftVersions {
     readEntriesAt(fs, p)
   }
 
-  private def readEntriesAt(fs: FileSystem, p: Path): Seq[ManifestEntry] = {
+  private def readEntriesAt(fs: FileSystem, p: Path): Seq[ManifestEntry] =
+    readRootAt(fs, p)._1
+
+  private def parseEntryLine(l: String): ManifestEntry =
+    l.split('\t') match {
+      case Array(rel, sz) => ManifestEntry(rel, sz.toLong)
+      case parts if parts.length >= 3 =>
+        val (ints, strs) = parseStatsField(parts(2))
+        var e = ManifestEntry(parts(0), parts(1).toLong, ints,
+          sstats = strs)
+        parts.drop(3).foreach { tag =>
+          if (tag.startsWith("dv=")) e = e.copy(dv = parseDvField(tag))
+          else if (tag.startsWith("rows="))
+            e = e.copy(rows = scala.util.Try(
+              tag.stripPrefix("rows=").toLong).getOrElse(-1L))
+          // unknown tags from a future format: ignored, never fatal
+        }
+        e
+      case _ => ManifestEntry(l, -1L) // pre-size-format line
+    }
+
+  /** Root read: entries plus, for a v3 root, its segment table (so a
+    * sealer can reuse untouched segments by reference). */
+  private def readRootAt(fs: FileSystem, p: Path)
+      : (Seq[ManifestEntry], Option[SegBase]) = {
     // Manifests are PROMOTED via atomic rename (see writeManifestCas), so a
     // listed manifest is complete-on-visibility and this read normally
     // succeeds first try. The bounded retry below covers the two residual
@@ -583,28 +720,39 @@ private[graft] object GraftVersions {
         }
       val lines: Array[String] = content.split('\n')
       val raw = content
-      val entries: Option[Seq[ManifestEntry]] =
+      val result: Option[(Seq[ManifestEntry], Option[SegBase])] =
         if (lines.isEmpty) None
         else {
-          def parse = lines.drop(1).toSeq.filter(_.nonEmpty).map { l =>
-            l.split('\t') match {
-              case Array(rel, sz) => ManifestEntry(rel, sz.toLong)
-              case parts if parts.length >= 3 =>
-                val (ints, strs) = parseStatsField(parts(2))
-                var e = ManifestEntry(parts(0), parts(1).toLong, ints,
-                  sstats = strs)
-                parts.drop(3).foreach { tag =>
-                  if (tag.startsWith("dv=")) e = e.copy(dv = parseDvField(tag))
-                  else if (tag.startsWith("rows="))
-                    e = e.copy(rows = scala.util.Try(
-                      tag.stripPrefix("rows=").toLong).getOrElse(-1L))
-                  // unknown tags from a future format: ignored, never fatal
+          def parse = lines.drop(1).toSeq.filter(_.nonEmpty).map(parseEntryLine)
+          if (lines.head.startsWith(ManifestHeaderV3)) {
+            // segmented root: `seg\t<sid>\t<rel>\t<count>` lines; the
+            // entry count and the trailing newline gate torn seals exactly
+            // like v2 (the root is rename-promoted, so this is belt and
+            // braces for legacy-FS races only)
+            lines.head.split(' ') match {
+              case Array(_, _, nStr, sStr) if raw.endsWith("\n") &&
+                  scala.util.Try(nStr.toLong).isSuccess &&
+                  scala.util.Try(sStr.toInt).isSuccess =>
+                val refs = lines.drop(1).toSeq.filter(_.nonEmpty).map { l =>
+                  l.split('\t') match {
+                    case Array("seg", sid, rel, cnt) =>
+                      SegRef(sid.toInt, rel, cnt.toLong)
+                    case _ => throw new IllegalStateException(
+                      s"graft snapshot: malformed segment line in $p: '$l'")
+                  }
                 }
-                e
-              case _ => ManifestEntry(l, -1L) // pre-size-format line
+                if (refs.map(_.count).sum != nStr.toLong)
+                  throw new IllegalStateException(
+                    s"graft snapshot: $p declares ${nStr.toLong} entries " +
+                      s"but its segments sum to ${refs.map(_.count).sum}")
+                val dir = p.getParent
+                val entries = refs.flatMap { r =>
+                  readSegment(fs, new Path(dir, r.rel), r.count, p)
+                }
+                Some((entries, Some(SegBase(sStr.toInt, refs))))
+              case _ => None // torn v3 seal in progress (legacy FS)
             }
-          }
-          if (lines.head.startsWith(ManifestHeaderV2)) {
+          } else if (lines.head.startsWith(ManifestHeaderV2)) {
             // complete iff the declared count matches AND the content ends
             // on a line boundary (a cut mid-line keeps the count but turns
             // the last rel into a silent prefix — the raw tail check
@@ -612,14 +760,15 @@ private[graft] object GraftVersions {
             val parsed = parse
             lines.head.split(' ') match {
               case Array(_, _, n) if scala.util.Try(n.toInt).toOption
-                  .contains(parsed.size) && raw.endsWith("\n") => Some(parsed)
+                  .contains(parsed.size) && raw.endsWith("\n") =>
+                Some((parsed, None))
               case _ => None // torn v2 seal in progress
             }
           } else if (lines.head.startsWith(ManifestHeader)) {
-            Some(parse) // legacy count-less manifest: trusted as written
+            Some((parse, None)) // legacy count-less manifest: trusted as written
           } else None
         }
-      entries match {
+      result match {
         case Some(es) => return es
         case None =>
           attempt += 1
@@ -632,6 +781,42 @@ private[graft] object GraftVersions {
               "manifest releases the version number")
           Thread.sleep(20)
       }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One segment file: rename-promoted like roots, so complete-on-
+    * visibility; the count + trailing-newline check covers the same
+    * legacy-FS races. A MISSING segment is a hard error naming the most
+    * likely causes — segments referenced by a retained root are only ever
+    * deleted by expire when no surviving manifest references them. */
+  private def readSegment(fs: FileSystem, p: Path, count: Long,
+      root: Path): Seq[ManifestEntry] = {
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(p)) throw new IllegalStateException(
+        s"graft snapshot: segment $p referenced by $root is missing — " +
+          "deleted by an over-eager manual sweep, or the snapshot was " +
+          "expired while being read")
+      val content: String =
+        try {
+          val in = fs.open(p)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } catch {
+          case _: org.apache.hadoop.fs.ChecksumException => ""
+          case _: java.io.EOFException => ""
+        }
+      val lines = content.split('\n')
+      if (lines.nonEmpty && lines.head.startsWith(SegmentHeader) &&
+          content.endsWith("\n")) {
+        val entries = lines.drop(1).toSeq.filter(_.nonEmpty).map(parseEntryLine)
+        if (entries.size.toLong == count) return entries
+      }
+      attempt += 1
+      if (attempt >= 50) throw new IllegalStateException(
+        s"graft snapshot: segment $p of $root is torn or truncated " +
+          s"(expected $count entries)")
+      Thread.sleep(20)
     }
     throw new IllegalStateException("unreachable")
   }
@@ -650,7 +835,10 @@ private[graft] object GraftVersions {
       compactMaxFiles: Option[Int] = None,
       // a WAP branch this commit targets: the seal goes to the branch's
       // own manifest chain, invisible to main readers until fast_forward
-      branch: Option[String] = None)
+      branch: Option[String] = None,
+      // the predecessor root's SEGMENT table when it is a v3 segmented
+      // manifest — the seal reuses untouched segments by reference
+      prevSegs: Option[SegBase] = None)
 
   /** Start a versioned commit. A world with data but no manifests first
     * gets a BASELINE v0 manifest of its pre-commit state, so the state a
@@ -667,9 +855,14 @@ private[graft] object GraftVersions {
     val st = logState(fs, root)
     st.latest match {
       case Some(n) =>
-        PendingCommit(n + 1,
-          if (st.barrier) None else Some(readEntries(fs, root, n)),
-          st.retentionKeep, st.versions.size, st.compactionMaxFiles)
+        if (st.barrier)
+          PendingCommit(n + 1, None, st.retentionKeep, st.versions.size,
+            st.compactionMaxFiles)
+        else {
+          val (entries, segs) = readRootAt(fs, manifestPath(root, n))
+          PendingCommit(n + 1, Some(entries), st.retentionKeep,
+            st.versions.size, st.compactionMaxFiles, prevSegs = segs)
+        }
       case None =>
         if (baseline) {
           // The v0 baseline is itself CAS'd: two concurrent FIRST commits
@@ -682,10 +875,12 @@ private[graft] object GraftVersions {
           writeManifestCas(fs, root, 0L, base) match {
             case CasSealed =>
               PendingCommit(1L, Some(base), st.retentionKeep, 1,
-                st.compactionMaxFiles)
+                st.compactionMaxFiles,
+                prevSegs = readRootAt(fs, manifestPath(root, 0L))._2)
             case CasLost =>
-              PendingCommit(1L, Some(readEntries(fs, root, 0L)),
-                st.retentionKeep, 1, st.compactionMaxFiles)
+              val (entries, segs) = readRootAt(fs, manifestPath(root, 0L))
+              PendingCommit(1L, Some(entries),
+                st.retentionKeep, 1, st.compactionMaxFiles, prevSegs = segs)
             case CasBusy =>
               awaitSeal(fs, root, 0L)
               beginCommit(fs, root, excludeFromBaseline, baseline)
@@ -728,7 +923,16 @@ private[graft] object GraftVersions {
         case Some(b) => branchManifestPath(root, b, c.v)
         case None    => manifestPath(root, c.v)
       }
-      writeManifestCasAt(fs, target, c.v, entries) match {
+      // segment reuse: only the removed and added/changed rels moved
+      // relative to the predecessor this commit began from — every other
+      // segment of a v3 predecessor carries over by reference (the walk
+      // fallback has no trusted predecessor, so no reuse there)
+      val touched =
+        if (c.prev.isDefined) Some(removed ++ enriched.map(_.rel))
+        else None
+      writeManifestCasAt(fs, target, c.v, entries,
+        base = if (c.prev.isDefined) c.prevSegs else None,
+        touched = touched) match {
         case CasSealed =>
           if (c.branch.isEmpty) {
             fs.delete(barrierPath(root), false)
@@ -915,7 +1119,7 @@ private[graft] object GraftVersions {
     require(!st.barrier,
       s"graft rollback: $root has a pending World-rewrite barrier — its " +
         "manifests are stale; run a versioned commit to heal, then roll back")
-    val targetEntries = readEntries(fs, root, target)
+    val (targetEntries, targetSegs) = readRootAt(fs, manifestPath(root, target))
     val latestEntries = readEntries(fs, root, latest)
     val latestRels = latestEntries.map(_.rel).toSet
     (targetEntries.map(_.rel).filterNot(latestRels.contains) ++
@@ -931,10 +1135,14 @@ private[graft] object GraftVersions {
               "World-level rewrite")
       }
     val newV = latest + 1
-    var r = writeManifestCas(fs, root, newV, targetEntries)
+    // the new root's content IS the target's: a v3 target's segments are
+    // reused wholesale (touched = nothing) — rollback writes one tiny root
+    var r = writeManifestCas(fs, root, newV, targetEntries,
+      base = targetSegs, touched = Some(Set.empty))
     while (r == CasBusy) { // in-flight sealer: wait it out, then re-judge
       awaitSeal(fs, root, newV)
-      r = writeManifestCas(fs, root, newV, targetEntries)
+      r = writeManifestCas(fs, root, newV, targetEntries,
+        base = targetSegs, touched = Some(Set.empty))
     }
     if (r != CasSealed)
       throw new java.util.ConcurrentModificationException(
@@ -961,8 +1169,10 @@ private[graft] object GraftVersions {
       // pre-branch copies of files the branch head still references
       listBranches(fs, root).map(_._2).filter(versions.contains)
     val dropped = versions.filterNot(keepSet.contains)
-    val keptEntries = keepSet.toSeq.flatMap(v => readEntries(fs, root, v))
-    val droppedEntries = dropped.flatMap(v => readEntries(fs, root, v))
+    val keptRoots = keepSet.toSeq.map(v => readRootAt(fs, manifestPath(root, v)))
+    val droppedRoots = dropped.map(v => readRootAt(fs, manifestPath(root, v)))
+    val keptEntries = keptRoots.flatMap(_._1)
+    val droppedEntries = droppedRoots.flatMap(_._1)
     val victims: Set[String] =
       droppedEntries.map(_.rel).toSet -- keptEntries.map(_.rel).toSet
     // deletion-vector sidecars die with the last manifest naming them —
@@ -979,6 +1189,26 @@ private[graft] object GraftVersions {
       if (fs.exists(d) && fs.listStatus(d).isEmpty) {
         fs.delete(d, false)
         GraftStage.pruneEmptyParents(fs, d, root)
+      }
+    }
+    // v3 SEGMENT liveness: a segment referenced only by dropped roots dies
+    // with them; one referenced by ANY surviving manifest — retained main
+    // versions or live BRANCH heads — survives. Only segments the dropped
+    // roots actually referenced are candidates, so an in-flight commit's
+    // freshly-written (not-yet-referenced) segments are untouchable here
+    // by construction; crashed-commit segment debris falls to the
+    // age-gated orphan sweep instead.
+    val droppedSegs = droppedRoots.flatMap(_._2).flatMap(_.refs).map(_.rel).toSet
+    if (droppedSegs.nonEmpty) {
+      val keptSegs = keptRoots.flatMap(_._2).flatMap(_.refs).map(_.rel).toSet ++
+        listBranches(fs, root).flatMap { case (b, _) =>
+          branchVersions(fs, root, b).flatMap(k =>
+            readRootAt(fs, branchManifestPath(root, b, k))._2
+              .toSeq.flatMap(_.refs).map(_.rel))
+        }
+      val vdir = new Path(root, VersionsDir)
+      (droppedSegs -- keptSegs).foreach { rel =>
+        fs.delete(new Path(vdir, rel), false)
       }
     }
     dropped.size.toLong
@@ -1013,17 +1243,27 @@ private[graft] object GraftVersions {
         "manifests are stale until the next write seals a walk-based " +
         "version; sweep after that write")
     val referenced = scala.collection.mutable.HashSet.empty[String]
-    st.versions.foreach(v => readEntries(fs, root, v).foreach { e =>
-      referenced += e.rel
-      e.dv.foreach(referenced += _._1)
-    })
+    val refSegs = scala.collection.mutable.HashSet.empty[String]
+    st.versions.foreach { v =>
+      val (es, segs) = readRootAt(fs, manifestPath(root, v))
+      es.foreach { e =>
+        referenced += e.rel
+        e.dv.foreach(referenced += _._1)
+      }
+      segs.foreach(_.refs.foreach(refSegs += _.rel))
+    }
     // staged-but-unpublished branch files are LIVE (branch readers and the
-    // eventual fast_forward reference them), not debris
+    // eventual fast_forward reference them), not debris. EVERY branch
+    // manifest's segments are live too (resume/rollback within the branch
+    // chain reads them).
     listBranches(fs, root).foreach { case (b, _) =>
       branchHeadEntries(fs, root, b).foreach { e =>
         referenced += e.rel
         e.dv.foreach(referenced += _._1)
       }
+      branchVersions(fs, root, b).foreach(k =>
+        readRootAt(fs, branchManifestPath(root, b, k))._2
+          .foreach(_.refs.foreach(refSegs += _.rel)))
     }
     val cutoff = System.currentTimeMillis() - olderThanMs
     // crashed DELETE commits leave dv sidecars no manifest ever sealed —
@@ -1034,11 +1274,21 @@ private[graft] object GraftVersions {
       else fs.listStatus(dvDir).toSeq.filter(s => s.isFile &&
         s.getModificationTime < cutoff &&
         !referenced.contains(relOf(root, s.getPath))).map(_.getPath)
+    // crashed or CAS-lost commits leave SEGMENT files no root ever sealed
+    // (segments are uuid-named and written before the root CAS) — same
+    // age-gated rule; an in-flight commit's fresh segments are younger
+    // than any sane cutoff
+    val segsDirP = new Path(new Path(root, VersionsDir), SegsDirName)
+    val segDebris =
+      if (!fs.exists(segsDirP)) Seq.empty
+      else fs.listStatus(segsDirP).toSeq.filter(s => s.isFile &&
+        s.getModificationTime < cutoff &&
+        !refSegs.contains(s"$SegsDirName/${s.getPath.getName}")).map(_.getPath)
     GraftDataSource.walkChunks(fs, root, Array.empty)
       .flatMap { case (d, _) => GraftDataSource.chunkFileStatuses(fs, d) }
       .filter(st => st.getModificationTime < cutoff &&
         !referenced.contains(relOf(root, st.getPath)))
-      .map(_.getPath) ++ dvDebris
+      .map(_.getPath) ++ dvDebris ++ segDebris
   }
 
   // --- named version refs ("tags"): human-handles into the commit log,
@@ -1147,14 +1397,20 @@ private[graft] object GraftVersions {
   /** The branch head's live-file entries: its newest branch manifest, or
     * the fork manifest when the branch has no commits yet. */
   def branchHeadEntries(fs: FileSystem, root: Path,
-      name: String): Seq[ManifestEntry] = {
+      name: String): Seq[ManifestEntry] =
+    branchHeadRoot(fs, root, name)._1
+
+  /** [[branchHeadEntries]] plus the head root's segment table (branch
+    * manifests segment exactly like main ones). */
+  private def branchHeadRoot(fs: FileSystem, root: Path,
+      name: String): (Seq[ManifestEntry], Option[SegBase]) = {
     val fork = branchFork(fs, root, name).getOrElse(
       throw new IllegalArgumentException(
         s"graft: no branch '$name' of $root " +
           s"(branches: ${listBranches(fs, root).map(_._1).mkString(", ")})"))
     branchVersions(fs, root, name).lastOption match {
-      case Some(k) => readEntriesAt(fs, branchManifestPath(root, name, k))
-      case None    => readEntries(fs, root, fork)
+      case Some(k) => readRootAt(fs, branchManifestPath(root, name, k))
+      case None    => readRootAt(fs, manifestPath(root, fork))
     }
   }
 
@@ -1164,8 +1420,8 @@ private[graft] object GraftVersions {
     require(!hasBarrier(fs, root),
       s"graft branch commit: $root has a pending rewrite barrier")
     val next = branchVersions(fs, root, name).lastOption.getOrElse(0L) + 1
-    PendingCommit(next, Some(branchHeadEntries(fs, root, name)),
-      branch = Some(name))
+    val (entries, segs) = branchHeadRoot(fs, root, name)
+    PendingCommit(next, Some(entries), branch = Some(name), prevSegs = segs)
   }
 
   /** Publish: seal main's next version with the branch head's entries —
@@ -1185,12 +1441,15 @@ private[graft] object GraftVersions {
         s"graft fast_forward: main advanced v$fork -> v$latest since branch " +
           s"'$name' forked — publishing would drop those commits; re-stage " +
           "on a fresh branch")
-    val entries = branchHeadEntries(fs, root, name)
+    val (entries, headSegs) = branchHeadRoot(fs, root, name)
     val newV = latest + 1
-    var r = writeManifestCasAt(fs, manifestPath(root, newV), newV, entries)
+    // pure metadata: a v3 branch head's segments publish by reference
+    var r = writeManifestCasAt(fs, manifestPath(root, newV), newV, entries,
+      base = headSegs, touched = Some(Set.empty))
     while (r == CasBusy) {
       awaitSeal(fs, root, newV)
-      r = writeManifestCasAt(fs, manifestPath(root, newV), newV, entries)
+      r = writeManifestCasAt(fs, manifestPath(root, newV), newV, entries,
+        base = headSegs, touched = Some(Set.empty))
     }
     if (r != CasSealed)
       throw new java.util.ConcurrentModificationException(
@@ -1237,7 +1496,8 @@ private[graft] object GraftVersions {
       failpoint: (String, Int) => Unit = (_, _) => ()): Seq[Long] = {
     require(tables.nonEmpty, "graft publish: no tables")
     final case class Plan(fs: FileSystem, root: Path, newV: Long,
-      entries: Seq[ManifestEntry], claims: Boolean, resumed: Boolean)
+      entries: Seq[ManifestEntry], claims: Boolean, resumed: Boolean,
+      segs: Option[SegBase] = None)
     // phase 1a: validate everything before touching anything. A table
     // carrying a publish intent for this branch is a crashed cycle's
     // survivor: its commitment already happened, so it re-enters in resume
@@ -1247,8 +1507,8 @@ private[graft] object GraftVersions {
       val cap = casCapability(fs, root) != ConditionalPutCap
       readPublishIntent(fs, root, name) match {
         case Some(v) =>
-          Plan(fs, root, v, branchHeadEntriesOrSealed(fs, root, name, v),
-            cap, resumed = true)
+          val (hes, hsegs) = branchHeadEntriesOrSealed(fs, root, name, v)
+          Plan(fs, root, v, hes, cap, resumed = true, segs = hsegs)
         case None =>
           val st = logState(fs, root)
           require(!st.barrier,
@@ -1262,8 +1522,8 @@ private[graft] object GraftVersions {
               s"graft publish: main of $root advanced v$fork -> v$latest " +
                 s"since branch '$name' forked — aborting the WHOLE publish " +
                 "(no table was changed); re-stage on a fresh branch")
-          Plan(fs, root, latest + 1, branchHeadEntries(fs, root, name),
-            cap, resumed = false)
+          val (hes, hsegs) = branchHeadRoot(fs, root, name)
+          Plan(fs, root, latest + 1, hes, cap, resumed = false, segs = hsegs)
       }
     }
     // phase 1b: claim every UNSEALED target version (all-or-nothing
@@ -1322,14 +1582,17 @@ private[graft] object GraftVersions {
           val tmp = new Path(target.getParent,
             s".tmp-${java.util.UUID.randomUUID()}")
           val out = pl.fs.create(tmp, true)
-          out.write(writeManifestBytes(pl.newV, pl.entries))
+          // segment-aware: a v3 branch head publishes by reference
+          out.write(buildRootBytes(pl.fs, target, pl.newV, pl.entries,
+            pl.segs, Some(Set.empty)))
           out.close()
           if (!pl.fs.rename(tmp, target)) {
             pl.fs.delete(tmp, false)
             throw new IllegalStateException(
               s"graft publish: promote of $target failed under a held claim")
           }
-        } else if (conditionalPut(pl.fs, target, pl.newV, pl.entries) != CasSealed)
+        } else if (conditionalPut(pl.fs, target, buildRootBytes(pl.fs, target,
+            pl.newV, pl.entries, pl.segs, Some(Set.empty))) != CasSealed)
           throw new java.util.ConcurrentModificationException(
             s"graft publish: v${pl.newV} of ${pl.root} was sealed concurrently")
       }
@@ -1367,9 +1630,9 @@ private[graft] object GraftVersions {
     * still exists (promote pending), else the already-sealed target
     * manifest (promote landed, cleanup pending). */
   private def branchHeadEntriesOrSealed(fs: FileSystem, root: Path,
-      name: String, v: Long): Seq[ManifestEntry] =
-    if (branchFork(fs, root, name).isDefined) branchHeadEntries(fs, root, name)
-    else readEntries(fs, root, v)
+      name: String, v: Long): (Seq[ManifestEntry], Option[SegBase]) =
+    if (branchFork(fs, root, name).isDefined) branchHeadRoot(fs, root, name)
+    else readRootAt(fs, manifestPath(root, v))
 
   private def fs2exists(fs: FileSystem, p: Path): Boolean =
     try fs.exists(p) catch { case scala.util.control.NonFatal(_) => false }

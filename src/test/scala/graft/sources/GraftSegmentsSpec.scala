@@ -1,0 +1,164 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+/** SEGMENTED manifests (format v3): past a size threshold the root holds
+  * only segment references and entries live in immutable uuid-named
+  * segment files keyed by chunk cell — so a commit's metadata WRITE is
+  * O(touched cells + root), never O(total live files). Without this,
+  * every streaming epoch on a million-file world rewrote the full listing.
+  * The suite drives the PUBLIC GraftVersions API under a lowered
+  * segmentation threshold (`graft.manifest.segmentTarget`); the driver's
+  * oracle worlds stay on flat v2 (they are far below the default
+  * threshold), so this spec is where v3 earns its keep. */
+class GraftSegmentsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val conf = new Configuration()
+  private lazy val fs = FileSystem.get(conf)
+
+  override protected def beforeAll(): Unit =
+    System.setProperty("graft.manifest.segmentTarget", "4")
+  override def afterAll(): Unit =
+    System.clearProperty("graft.manifest.segmentTarget")
+
+  private def newRoot(): Path =
+    new Path(Files.createTempDirectory("graft-segs").toString)
+
+  // rows = 0 marks the entry stats-complete, so sealing never opens the
+  // (nonexistent) file's footer — this suite tests the log, not the data
+  private def entry(rel: String): GraftVersions.ManifestEntry =
+    GraftVersions.ManifestEntry(rel, 1L, rows = 0L)
+
+  private def cellFiles(cell: Int, files: Range): Seq[String] =
+    files.map(i => s"c0=$cell/part-$cell-$i.parquet")
+
+  private def seal(root: Path, removed: Set[String],
+      added: Seq[String]): Long = {
+    val c = GraftVersions.beginCommit(fs, root)
+    GraftVersions.sealCommit(fs, root, c, removed, added.map(entry))
+  }
+
+  private def rawText(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  private def segRelsOf(root: Path, v: Long): Set[String] =
+    rawText(GraftVersions.manifestPath(root, v)).split('\n').toSeq
+      .filter(_.startsWith("seg\t")).map(_.split('\t')(2)).toSet
+
+  test("a large seal writes a v3 root; read-back is exact; a small world stays flat v2") {
+    val root = newRoot()
+    val files = (0 until 10).flatMap(c => cellFiles(c, 0 until 4)) // 40 files
+    val v = seal(root, Set.empty, files)
+    val raw = rawText(GraftVersions.manifestPath(root, v))
+    assert(raw.startsWith("graft-manifest-v3 "), s"v3 root expected:\n$raw")
+    assert(segRelsOf(root, v).nonEmpty)
+    // the modulus scaled with the entry count (target 4 -> S > 1)
+    assert(raw.split('\n').head.split(' ')(3).toInt > 1)
+    assert(GraftVersions.readEntries(fs, root, v).map(_.rel).toSet ==
+      files.toSet)
+
+    val tiny = newRoot()
+    val tv = seal(tiny, Set.empty, cellFiles(0, 0 until 8))
+    assert(rawText(GraftVersions.manifestPath(tiny, tv))
+      .startsWith("graft-manifest-v2 "), "below threshold stays flat")
+  }
+
+  test("an incremental seal reuses every untouched segment by reference") {
+    val root = newRoot()
+    val files = (0 until 10).flatMap(c => cellFiles(c, 0 until 4))
+    val v1 = seal(root, Set.empty, files)
+    val segs1 = segRelsOf(root, v1)
+    // touch ONE cell: remove a file, add two
+    val v2 = seal(root, Set(s"c0=3/part-3-0.parquet"), cellFiles(3, 10 until 12))
+    val segs2 = segRelsOf(root, v2)
+    assert((segs2 -- segs1).size <= 1, // the one touched cell's segment
+      s"expected at most one new segment, got ${(segs2 -- segs1)}")
+    assert((segs1 intersect segs2).nonEmpty, "untouched segments carried over")
+    val expect = files.toSet - "c0=3/part-3-0.parquet" ++
+      cellFiles(3, 10 until 12)
+    assert(GraftVersions.readEntries(fs, root, v2).map(_.rel).toSet == expect)
+    // the reused segment FILES were not rewritten: v1 still reads exactly
+    assert(GraftVersions.readEntries(fs, root, v1).map(_.rel).toSet == files.toSet)
+  }
+
+  test("rollback and branch publish reuse the source root's segments wholesale") {
+    val root = newRoot()
+    // 24 files: inside S=4's [9, 32] band with room for the branch's +1
+    // (a fixture at exactly 32 would cross the modulus-doubling bound and
+    // legitimately rewrite everything)
+    val files = (0 until 6).flatMap(c => cellFiles(c, 0 until 4))
+    // rollback verifies restored rels exist on disk: give them real bytes
+    // (after the baseline begin, so the v0 walk stays empty)
+    val c1 = GraftVersions.beginCommit(fs, root)
+    files.foreach { rel =>
+      val out = fs.create(new Path(root, rel), true); out.write('x'); out.close()
+    }
+    val v1 = GraftVersions.sealCommit(fs, root, c1, Set.empty, files.map(entry))
+    seal(root, Set(files.head), Seq.empty) // v2 drops one file
+    val rb = GraftVersions.rollback(fs, root, v1)
+    assert(segRelsOf(root, rb) == segRelsOf(root, v1),
+      "rollback root = the target's segment refs, byte-new root only")
+    assert(GraftVersions.readEntries(fs, root, rb).map(_.rel).toSet ==
+      files.toSet)
+
+    GraftVersions.createBranch(fs, root, "wap")
+    val bc = GraftVersions.beginBranchCommit(fs, root, "wap")
+    GraftVersions.sealCommit(fs, root, bc, Set.empty,
+      Seq(entry("c0=0/part-0-99.parquet")))
+    val pub = GraftVersions.fastForward(fs, root, "wap")
+    assert(GraftVersions.readEntries(fs, root, pub).map(_.rel).toSet ==
+      files.toSet + "c0=0/part-0-99.parquet")
+    assert((segRelsOf(root, pub) intersect segRelsOf(root, rb)).nonEmpty,
+      "published root reuses the fork's untouched segments")
+  }
+
+  test("expire deletes exactly the segments only dropped roots referenced") {
+    val root = newRoot()
+    val files = (0 until 10).flatMap(c => cellFiles(c, 0 until 4))
+    val v1 = seal(root, Set.empty, files)
+    val segs1 = segRelsOf(root, v1)
+    val v2 = seal(root, Set("c0=5/part-5-0.parquet"), cellFiles(5, 20 until 21))
+    val segs2 = segRelsOf(root, v2)
+    val vdir = new Path(root, "_graft_versions")
+    assert(GraftVersions.expire(fs, root, keep = 1) == 2L) // v0 baseline + v1
+    (segs1 -- segs2).foreach { rel =>
+      assert(!fs.exists(new Path(vdir, rel)), s"dropped-only segment $rel")
+    }
+    segs2.foreach { rel =>
+      assert(fs.exists(new Path(vdir, rel)), s"live segment $rel survives")
+    }
+    assert(GraftVersions.readEntries(fs, root, v2).map(_.rel).size == 40)
+  }
+
+  test("the orphan sweep reports aged unreferenced segments, never referenced ones") {
+    val root = newRoot()
+    val v = seal(root, Set.empty, (0 until 8).flatMap(c => cellFiles(c, 0 until 4)))
+    val vdir = new Path(root, "_graft_versions")
+    val junk = new Path(vdir, "segs/seg-deadbeef.seg")
+    val out = fs.create(junk, true); out.write("debris\n".getBytes); out.close()
+    fs.setTimes(junk, 1000L, -1) // ancient
+    val orphans = GraftVersions.orphanFiles(fs, root, olderThanMs = 60000L)
+    assert(orphans.map(_.getName).contains("seg-deadbeef.seg"))
+    segRelsOf(root, v).foreach { rel =>
+      assert(!orphans.map(_.toString).exists(_.endsWith(rel)),
+        s"referenced segment $rel must never be swept")
+    }
+  }
+
+  test("a missing referenced segment fails loudly, naming the segment") {
+    val root = newRoot()
+    val v = seal(root, Set.empty, (0 until 8).flatMap(c => cellFiles(c, 0 until 4)))
+    val vdir = new Path(root, "_graft_versions")
+    val victim = segRelsOf(root, v).head
+    fs.delete(new Path(vdir, victim), false)
+    val e = intercept[IllegalStateException] {
+      GraftVersions.readEntries(fs, root, v)
+    }
+    assert(e.getMessage.contains("segment") && e.getMessage.contains("missing"))
+  }
+}
