@@ -150,6 +150,42 @@ class GraftSegmentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("catalog SQL end-to-end over a segmented log: DML, time travel, rollback") {
+    val warehouse = Files.createTempDirectory("graft-segwh").toString
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.segcat", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.segcat.warehouse", warehouse)
+      .getOrCreate()
+    try {
+      spark.sql("CREATE TABLE segcat.t (id BIGINT, v BIGINT, c0 BIGINT)")
+      // 24 cells -> 24 files: past the lowered threshold, the log is v3
+      val values = (0 until 24).map(i => s"($i, ${i * 10}, $i)").mkString(", ")
+      spark.sql(s"INSERT INTO segcat.t VALUES $values") // v1
+      val root = new Path(s"$warehouse/t")
+      assert(rawText(GraftVersions.manifestPath(root, 1L))
+        .startsWith("graft-manifest-v3 "), "the catalog table's log is segmented")
+
+      spark.sql("UPDATE segcat.t SET v = v + 1000 WHERE c0 = 7") // v2
+      spark.sql("DELETE FROM segcat.t WHERE c0 = 3")             // v3
+      def vsum(q: String): Long =
+        spark.sql(q).collect().map(_.getLong(0)).head
+      val base = (0 until 24).map(_ * 10L).sum
+      assert(vsum("SELECT sum(v) FROM segcat.t VERSION AS OF 1") == base)
+      assert(vsum("SELECT sum(v) FROM segcat.t VERSION AS OF 2") == base + 1000)
+      assert(vsum("SELECT sum(v) FROM segcat.t") == base + 1000 - 30)
+      // the v2 seal touched one cell: it reuses most of v1's segments
+      val s1 = segRelsOf(root, 1L)
+      val s2 = segRelsOf(root, 2L)
+      assert((s1 intersect s2).nonEmpty && (s2 -- s1).size <= 2,
+        s"catalog UPDATE reuses untouched segments: v1=$s1 v2=$s2")
+      spark.sql("CALL segcat.system.rollback(table => 't', version => 1)")
+      assert(vsum("SELECT sum(v) FROM segcat.t") == base)
+    } finally spark.stop()
+  }
+
   test("a missing referenced segment fails loudly, naming the segment") {
     val root = newRoot()
     val v = seal(root, Set.empty, (0 until 8).flatMap(c => cellFiles(c, 0 until 4)))
