@@ -746,8 +746,15 @@ private[graft] object GraftVersions {
                     s"graft snapshot: $p declares ${nStr.toLong} entries " +
                       s"but its segments sum to ${refs.map(_.count).sum}")
                 val dir = p.getParent
-                val entries = refs.flatMap { r =>
-                  readSegment(fs, new Path(dir, r.rel), r.count, p)
+                // segments resolve in PARALLEL (same discipline as the
+                // stats enricher): snapshot resolution at S segments is
+                // one round of concurrent opens, not S sequential ones —
+                // order is restored by concatenating in ref order
+                val entries = {
+                  import scala.collection.parallel.CollectionConverters._
+                  refs.par.map { r =>
+                    readSegment(fs, new Path(dir, r.rel), r.count, p)
+                  }.seq.flatten
                 }
                 Some((entries, Some(SegBase(sStr.toInt, refs))))
               case _ => None // torn v3 seal in progress (legacy FS)
