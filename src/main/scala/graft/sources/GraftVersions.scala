@@ -694,7 +694,32 @@ private[graft] object GraftVersions {
   /** Root read: entries plus, for a v3 root, its segment table (so a
     * sealer can reuse untouched segments by reference). */
   private def readRootAt(fs: FileSystem, p: Path)
-      : (Seq[ManifestEntry], Option[SegBase]) = {
+      : (Seq[ManifestEntry], Option[SegBase]) =
+    readRootRaw(fs, p) match {
+      case Left(entries) => (entries, None)
+      case Right(segs)   => (resolveSegments(fs, p, segs), Some(segs))
+    }
+
+  /** Load a v3 root's entries from its segment files, in ref order. */
+  private def resolveSegments(fs: FileSystem, p: Path,
+      segs: SegBase): Seq[ManifestEntry] = {
+    val dir = p.getParent
+    // segments resolve in PARALLEL (same discipline as the stats
+    // enricher): snapshot resolution at S segments is one round of
+    // concurrent opens, not S sequential ones — order is restored by
+    // concatenating in ref order
+    import scala.collection.parallel.CollectionConverters._
+    segs.refs.par.map { r =>
+      readSegment(fs, new Path(dir, r.rel), r.count, p)
+    }.seq.flatten
+  }
+
+  /** The root WITHOUT segment resolution: flat entries (v1/v2) on the
+    * left, an unresolved segment table (v3) on the right — so set-diff
+    * consumers can cancel SHARED segment references (immutable uuid
+    * files: same rel ⇒ same content) before loading anything. */
+  private def readRootRaw(fs: FileSystem, p: Path)
+      : Either[Seq[ManifestEntry], SegBase] = {
     // Manifests are PROMOTED via atomic rename (see writeManifestCas), so a
     // listed manifest is complete-on-visibility and this read normally
     // succeeds first try. The bounded retry below covers the two residual
@@ -720,7 +745,7 @@ private[graft] object GraftVersions {
         }
       val lines: Array[String] = content.split('\n')
       val raw = content
-      val result: Option[(Seq[ManifestEntry], Option[SegBase])] =
+      val result: Option[Either[Seq[ManifestEntry], SegBase]] =
         if (lines.isEmpty) None
         else {
           def parse = lines.drop(1).toSeq.filter(_.nonEmpty).map(parseEntryLine)
@@ -745,18 +770,7 @@ private[graft] object GraftVersions {
                   throw new IllegalStateException(
                     s"graft snapshot: $p declares ${nStr.toLong} entries " +
                       s"but its segments sum to ${refs.map(_.count).sum}")
-                val dir = p.getParent
-                // segments resolve in PARALLEL (same discipline as the
-                // stats enricher): snapshot resolution at S segments is
-                // one round of concurrent opens, not S sequential ones —
-                // order is restored by concatenating in ref order
-                val entries = {
-                  import scala.collection.parallel.CollectionConverters._
-                  refs.par.map { r =>
-                    readSegment(fs, new Path(dir, r.rel), r.count, p)
-                  }.seq.flatten
-                }
-                Some((entries, Some(SegBase(sStr.toInt, refs))))
+                Some(Right(SegBase(sStr.toInt, refs)))
               case _ => None // torn v3 seal in progress (legacy FS)
             }
           } else if (lines.head.startsWith(ManifestHeaderV2)) {
@@ -768,11 +782,11 @@ private[graft] object GraftVersions {
             lines.head.split(' ') match {
               case Array(_, _, n) if scala.util.Try(n.toInt).toOption
                   .contains(parsed.size) && raw.endsWith("\n") =>
-                Some((parsed, None))
+                Some(Left(parsed))
               case _ => None // torn v2 seal in progress
             }
           } else if (lines.head.startsWith(ManifestHeader)) {
-            Some((parse, None)) // legacy count-less manifest: trusted as written
+            Some(Left(parse)) // legacy count-less manifest: trusted as written
           } else None
         }
       result match {
@@ -1071,10 +1085,33 @@ private[graft] object GraftVersions {
     * its OWN vector) or the delete would be invisible to CDC. */
   def diffFiles(fs: FileSystem, root: Path, base: Long, target: Long,
       pushed: Array[Filter]): Seq[(Path, Map[String, Long], ManifestEntry)] = {
-    val baseSet = readEntries(fs, root, base).map(e => (e.rel, e.dv)).toSet
+    // SHARED segment references cancel before anything loads: segments are
+    // immutable uuid files, so the same rel on both sides IS the same
+    // entry set — a k-file commit's diff reads ~the touched segments, not
+    // two full listings (the streaming CDC cursor runs this per epoch; at
+    // a million-file world the full-read form was 2 x the whole manifest
+    // per micro-batch). Anything not v3-vs-v3 falls back to full reads.
+    val bp = manifestPath(root, base)
+    val tp = manifestPath(root, target)
+    Seq(base -> bp, target -> tp).foreach { case (v, p) =>
+      if (!fs.exists(p)) readEntries(fs, root, v) // loud missing-version error
+    }
+    val (baseEntries, targetEntries) =
+      (readRootRaw(fs, bp), readRootRaw(fs, tp)) match {
+        case (Right(bs), Right(ts)) =>
+          val shared = bs.refs.map(_.rel).toSet
+            .intersect(ts.refs.map(_.rel).toSet)
+          (resolveSegments(fs, bp, SegBase(bs.s,
+              bs.refs.filterNot(r => shared(r.rel)))),
+            resolveSegments(fs, tp, SegBase(ts.s,
+              ts.refs.filterNot(r => shared(r.rel)))))
+        case (b, t) =>
+          (b.fold(identity, s => resolveSegments(fs, bp, s)),
+            t.fold(identity, s => resolveSegments(fs, tp, s)))
+      }
+    val baseSet = baseEntries.map(e => (e.rel, e.dv)).toSet
     resolveRels(fs, root,
-      readEntries(fs, root, target)
-        .filterNot(e => baseSet.contains((e.rel, e.dv))),
+      targetEntries.filterNot(e => baseSet.contains((e.rel, e.dv))),
       target, pushed)
   }
 

@@ -150,6 +150,24 @@ class GraftSegmentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the change-feed diff cancels shared segments without reading them") {
+    val root = newRoot()
+    val files = (0 until 10).flatMap(c => cellFiles(c, 0 until 4))
+    val v1 = seal(root, Set.empty, files)
+    val v2 = seal(root, Set("c0=3/part-3-0.parquet"), cellFiles(3, 10 until 12))
+    def diffRels = GraftVersions
+      .diffFiles(fs, root, v1, v2, Array.empty).map(_._3.rel).toSet
+    assert(diffRels == cellFiles(3, 10 until 12).toSet)
+    // the proof that shared segments are never LOADED: delete one shared
+    // segment file — the diff still answers exactly (a full two-sided
+    // read would now fail), while a full snapshot read fails loudly
+    val shared = segRelsOf(root, v1) intersect segRelsOf(root, v2)
+    assert(shared.nonEmpty)
+    fs.delete(new Path(new Path(root, "_graft_versions"), shared.head), false)
+    assert(diffRels == cellFiles(3, 10 until 12).toSet)
+    intercept[IllegalStateException] { GraftVersions.readEntries(fs, root, v2) }
+  }
+
   test("catalog SQL end-to-end over a segmented log: DML, time travel, rollback") {
     val warehouse = Files.createTempDirectory("graft-segwh").toString
     val spark = org.apache.spark.sql.SparkSession.builder()
