@@ -714,6 +714,26 @@ private[graft] object GraftVersions {
     }.seq.flatten
   }
 
+  /** [[readRootAt]] with a cross-version SEGMENT memo: consecutive
+    * manifests share almost all segment references (that is the point of
+    * the format), so maintenance passes that read MANY versions — expire,
+    * the orphan sweep — resolve each unique segment once instead of once
+    * per version. The memo key is the segment rel (immutable uuid files:
+    * same rel ⇒ same content). */
+  private def readRootMemo(fs: FileSystem, p: Path,
+      memo: scala.collection.mutable.Map[String, Seq[ManifestEntry]])
+      : (Seq[ManifestEntry], Option[SegBase]) =
+    readRootRaw(fs, p) match {
+      case Left(entries) => (entries, None)
+      case Right(segs) =>
+        val dir = p.getParent
+        val entries = segs.refs.flatMap { r =>
+          memo.getOrElseUpdate(r.rel,
+            readSegment(fs, new Path(dir, r.rel), r.count, p))
+        }
+        (entries, Some(segs))
+    }
+
   /** The root WITHOUT segment resolution: flat entries (v1/v2) on the
     * left, an unresolved segment table (v3) on the right — so set-diff
     * consumers can cancel SHARED segment references (immutable uuid
@@ -1213,8 +1233,11 @@ private[graft] object GraftVersions {
       // pre-branch copies of files the branch head still references
       listBranches(fs, root).map(_._2).filter(versions.contains)
     val dropped = versions.filterNot(keepSet.contains)
-    val keptRoots = keepSet.toSeq.map(v => readRootAt(fs, manifestPath(root, v)))
-    val droppedRoots = dropped.map(v => readRootAt(fs, manifestPath(root, v)))
+    // consecutive manifests share most segments: resolve each unique
+    // segment once across every version this pass reads
+    val memo = scala.collection.mutable.Map.empty[String, Seq[ManifestEntry]]
+    val keptRoots = keepSet.toSeq.map(v => readRootMemo(fs, manifestPath(root, v), memo))
+    val droppedRoots = dropped.map(v => readRootMemo(fs, manifestPath(root, v), memo))
     val keptEntries = keptRoots.flatMap(_._1)
     val droppedEntries = droppedRoots.flatMap(_._1)
     val victims: Set[String] =
@@ -1288,8 +1311,10 @@ private[graft] object GraftVersions {
         "version; sweep after that write")
     val referenced = scala.collection.mutable.HashSet.empty[String]
     val refSegs = scala.collection.mutable.HashSet.empty[String]
+    // consecutive manifests share most segments: one read per unique segment
+    val memo = scala.collection.mutable.Map.empty[String, Seq[ManifestEntry]]
     st.versions.foreach { v =>
-      val (es, segs) = readRootAt(fs, manifestPath(root, v))
+      val (es, segs) = readRootMemo(fs, manifestPath(root, v), memo)
       es.foreach { e =>
         referenced += e.rel
         e.dv.foreach(referenced += _._1)
