@@ -150,6 +150,25 @@ class GraftSegmentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("an incremental seal's metadata write is a small fraction of the full listing") {
+    val root = newRoot()
+    // 1000 files across 100 cells — big enough that the fraction is meaningful
+    val files = (0 until 100).flatMap(c => cellFiles(c, 0 until 10))
+    val v1 = seal(root, Set.empty, files)
+    val vdir = new Path(root, "_graft_versions")
+    def segBytes(rels: Set[String]): Long =
+      rels.toSeq.map(r => fs.getFileStatus(new Path(vdir, r)).getLen).sum
+    val fullBytes = fs.getFileStatus(GraftVersions.manifestPath(root, v1)).getLen +
+      segBytes(segRelsOf(root, v1))
+    val v2 = seal(root, Set("c0=42/part-42-0.parquet"), cellFiles(42, 99 until 100))
+    val newBytes = fs.getFileStatus(GraftVersions.manifestPath(root, v2)).getLen +
+      segBytes(segRelsOf(root, v2) -- segRelsOf(root, v1))
+    // one touched cell out of 100: the seal writes the root + ~1 segment,
+    // not the thousand-entry listing
+    assert(newBytes * 4 < fullBytes,
+      s"incremental seal wrote $newBytes bytes vs $fullBytes for the full state")
+  }
+
   test("the change-feed diff cancels shared segments without reading them") {
     val root = newRoot()
     val files = (0 until 10).flatMap(c => cellFiles(c, 0 until 4))
