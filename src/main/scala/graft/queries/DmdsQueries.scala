@@ -646,6 +646,43 @@ object DmdsQueries {
                 FROM events ORDER BY event_id""")
       ),
 
+      "w_default_col" -> QueryDef(
+        // COLUMN DEFAULT VALUES through the oracle gate (r14): rows written
+        // BEFORE a column existed read back its ADD-time EXISTENCE default
+        // (served by the connector scan for files lacking the column), a
+        // later SET DEFAULT changes the insert-time fill ONLY — the two
+        // defaults diverge and the readback pins both, plus that the
+        // footer-derived aggregate pushdown declined (a pushed COUNT over
+        // the defaulted column would see pre-change files as all-null).
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wdft", "whd")
+          events(s2, dir).createOrReplaceTempView("ev_dft_src")
+          s2.sql("DROP TABLE IF EXISTS wdft.ev_dft")
+          s2.sql("""CREATE TABLE wdft.ev_dft
+                    (event_id BIGINT, user_id BIGINT, c0 BIGINT)""")
+          s2.sql("""INSERT INTO wdft.ev_dft
+                    SELECT event_id, user_id, user_id DIV 128
+                    FROM ev_dft_src WHERE event_id % 2 = 0""")
+          s2.sql("ALTER TABLE wdft.ev_dft ADD COLUMN tag STRING DEFAULT 'legacy'")
+          s2.sql("ALTER TABLE wdft.ev_dft ALTER COLUMN tag SET DEFAULT 'fresh'")
+          s2.sql("""INSERT INTO wdft.ev_dft (event_id, user_id, c0)
+                    SELECT event_id, user_id, user_id DIV 128
+                    FROM ev_dft_src WHERE event_id % 2 = 1""")
+          val n = s2.sql("SELECT count(tag) FROM wdft.ev_dft")
+            .collect().head.getLong(0)
+          val total = s2.sql("SELECT count(*) FROM wdft.ev_dft")
+            .collect().head.getLong(0)
+          require(n == total,
+            s"w_default_col: count(tag)=$n must cover all $total rows — " +
+              "a footer-pushed aggregate treated pre-change files as null")
+          s2.sql("""SELECT event_id, user_id, tag FROM wdft.ev_dft
+                    ORDER BY event_id""")
+        },
+        Some("""SELECT event_id, user_id,
+                  CASE WHEN event_id % 2 = 0 THEN 'legacy' ELSE 'fresh' END AS tag
+                FROM events ORDER BY event_id""")
+      ),
+
       "w_branch_wap" -> QueryDef(
         // write-audit-publish through the oracle gate: a base slice lands
         // on main, the remaining slices STAGE on a writable branch

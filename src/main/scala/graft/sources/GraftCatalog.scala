@@ -44,6 +44,19 @@ class GraftCatalog extends TableCatalog
       s"catalog $name requires spark.sql.catalog.$name.warehouse")
   }
 
+  // COLUMN DEFAULT VALUES (r14): declared so Spark accepts `DEFAULT <lit>`
+  // in CREATE TABLE and ALTER TABLE ADD/ALTER COLUMN against this catalog.
+  // Spark encodes the default into the column's StructField metadata
+  // (CURRENT_DEFAULT fills omitted INSERT columns — analyzer-side, no
+  // connector work; EXISTS_DEFAULT is what rows written BEFORE the column
+  // existed must read back as — served by the scan, see
+  // GraftPartitionReader's absent-column fill).
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def name(): String = catalogName
 
   private def pathOf(ident: Identifier): String =
@@ -187,9 +200,10 @@ class GraftCatalog extends TableCatalog
         require(add.fieldNames().length == 1,
           "graft: only top-level ADD COLUMN is supported")
         val n = add.fieldNames()(0)
-        require(add.isNullable,
-          s"graft: added column $n must be nullable — chunks written before " +
-            "the change read it as NULL")
+        val dflt = Option(add.defaultValue())
+        require(add.isNullable || dflt.isDefined,
+          s"graft: added column $n must be nullable or carry a DEFAULT — " +
+            "chunks written before the change must read back as something")
         require(!s.fieldNames.contains(n), s"column $n already exists")
         require(!GraftDataSource.isBucket(n),
           s"graft: cannot ADD bucket column $n — changing the grid is regrid()")
@@ -197,7 +211,46 @@ class GraftCatalog extends TableCatalog
           s"graft: column $n was previously DROPPED — re-adding the name " +
             "would resurrect old files' values (name-addressed projection); " +
             "pick a new name or rebuild via regrid()")
-        s.add(StructField(n, add.dataType(), nullable = true))
+        // DEFAULT rides the field metadata under Spark's own keys:
+        // CURRENT_DEFAULT fills omitted INSERT columns (analyzer-side),
+        // EXISTS_DEFAULT is the value pre-change files surface at scan
+        val meta = dflt.map { d =>
+          val sql = d.getSql
+          require(sql != null && sql.nonEmpty,
+            s"graft: DEFAULT for $n must be a SQL literal expression")
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", sql)
+            .putString("EXISTS_DEFAULT", sql)
+            .build()
+        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
+        s.add(StructField(n, add.dataType(), nullable = add.isNullable,
+          metadata = meta))
+      case (s, ud: TableChange.UpdateColumnDefaultValue) =>
+        require(ud.fieldNames().length == 1,
+          "graft: only top-level ALTER COLUMN is supported")
+        val n = ud.fieldNames()(0)
+        require(s.fieldNames.contains(n), s"column $n does not exist")
+        require(!GraftDataSource.isBucket(n),
+          s"graft: bucket column $n cannot carry a DEFAULT")
+        StructType(s.fields.map { f =>
+          if (f.name != n) f
+          else {
+            val sql = Option(ud.newCurrentDefault()).map(_.getSql)
+              .orElse(Option(ud.newDefaultValue()).filter(_.nonEmpty))
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            // SET DEFAULT affects FUTURE inserts only (SQL standard):
+            // EXISTS_DEFAULT — what pre-column files read back as — is
+            // fixed at ADD time and never moves; DROP DEFAULT clears the
+            // insert-time fill only
+            sql match {
+              case Some(v) if v != null && v.nonEmpty =>
+                mb.putString("CURRENT_DEFAULT", v)
+              case _ => mb.remove("CURRENT_DEFAULT")
+            }
+            f.copy(metadata = mb.build())
+          }
+        })
       case (s, del: TableChange.DeleteColumn) =>
         require(del.fieldNames().length == 1,
           "graft: only top-level DROP COLUMN is supported")

@@ -945,16 +945,26 @@ class GraftScanBuilder(path: String, schema: StructType,
         case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
         case _ => None
       }
+    // a column added WITH a DEFAULT poisons footer-derived partials: files
+    // written before the column existed must read back as the existence
+    // default, but their footers (and the all-null fallback for the
+    // column-less file) describe NULLs — decline, Spark's row scan fills
+    // the default correctly
+    def noExistsDefault(c: String): Boolean = GraftDataSource.isBucket(c) ||
+      schema.fields.find(_.name == c)
+        .forall(!_.metadata.contains("EXISTS_DEFAULT"))
     def minMaxable(c: String): Boolean = GraftDataSource.isBucket(c) ||
-      schema.fields.find(_.name == c).exists(_.dataType match {
-        case IntegerType | LongType | ShortType | ByteType => true
-        case _ => false
-      })
+      (noExistsDefault(c) &&
+        schema.fields.find(_.name == c).exists(_.dataType match {
+          case IntegerType | LongType | ShortType | ByteType => true
+          case _ => false
+        }))
     val gb = agg.groupByExpressions.map(e =>
       oneCol(e).filter(GraftDataSource.isBucket))
     val aggs = agg.aggregateExpressions.map {
       case _: CountStar => Some(PCountStar)
-      case c: Count if !c.isDistinct => oneCol(c.column).map(PCount)
+      case c: Count if !c.isDistinct =>
+        oneCol(c.column).filter(noExistsDefault).map(PCount)
       case m: Min => oneCol(m.column).filter(minMaxable).map(PMin)
       case m: Max => oneCol(m.column).filter(minMaxable).map(PMax)
       // SUM: integral columns only — the writer's footer sums (SumTracker)
@@ -1787,7 +1797,13 @@ class GraftPartitionReader(p: GraftInputPartition, required: StructType,
       else if (isChangeTag(f.name)) Left(UTF8String.fromString(p.changeTag))
       else fieldInFile(f.name) match {
         case Some(rn) => Right(Some((rn, f.dataType)))
-        case None     => Right(None)
+        case None if f.metadata.contains("EXISTS_DEFAULT") =>
+          // column added with a DEFAULT after this file was written: rows
+          // read back as the existence default, not NULL (Spark's own
+          // resolver evaluates the stored literal to its internal form)
+          Left(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .getExistenceDefaultValue(f))
+        case None => Right(None)
       }
     }
     posFieldIdx = required.fields.zipWithIndex

@@ -421,6 +421,47 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graftcat.mbl")
   }
 
+  test("column DEFAULT values: existence fill, insert fill, SET/DROP DEFAULT") {
+    spark.sql("CREATE TABLE graftcat.dflt (id BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO graftcat.dflt VALUES (1, 0), (2, 1)") // pre-change files
+    spark.sql("ALTER TABLE graftcat.dflt ADD COLUMN tag STRING DEFAULT 'legacy'")
+
+    def tags: Map[Long, String] = spark.sql("SELECT id, tag FROM graftcat.dflt")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // rows written BEFORE the column existed read the EXISTENCE default
+    assert(tags == Map(1L -> "legacy", 2L -> "legacy"))
+    // an INSERT omitting the column fills the CURRENT default
+    spark.sql("INSERT INTO graftcat.dflt (id, c0) VALUES (3, 2)")
+    spark.sql("INSERT INTO graftcat.dflt VALUES (4, 3, 'explicit')")
+    assert(tags == Map(1L -> "legacy", 2L -> "legacy", 3L -> "legacy",
+      4L -> "explicit"))
+    // COUNT over the defaulted column counts EVERY row (the footer-derived
+    // pushdown would see pre-change files as all-null; it must decline)
+    assert(spark.sql("SELECT count(tag) FROM graftcat.dflt").collect()
+      .head.getLong(0) == 4L)
+
+    // SET DEFAULT changes FUTURE inserts only; pre-column rows keep reading
+    // the ADD-time existence default
+    spark.sql("ALTER TABLE graftcat.dflt ALTER COLUMN tag SET DEFAULT 'fresh'")
+    spark.sql("INSERT INTO graftcat.dflt (id, c0) VALUES (5, 4)")
+    assert(tags(5L) == "fresh" && tags(1L) == "legacy")
+    // DROP DEFAULT: omitted column goes back to NULL for new rows
+    spark.sql("ALTER TABLE graftcat.dflt ALTER COLUMN tag DROP DEFAULT")
+    spark.sql("INSERT INTO graftcat.dflt (id, c0) VALUES (6, 5)")
+    assert(spark.sql("SELECT tag FROM graftcat.dflt WHERE id = 6")
+      .collect().head.isNullAt(0))
+    assert(tags(1L) == "legacy", "existence default survives DROP DEFAULT")
+    spark.sql("DROP TABLE graftcat.dflt")
+
+    // CREATE TABLE with an inline DEFAULT
+    spark.sql(
+      "CREATE TABLE graftcat.dflt2 (id BIGINT, c0 BIGINT, lbl STRING DEFAULT 'x')")
+    spark.sql("INSERT INTO graftcat.dflt2 (id, c0) VALUES (1, 0)")
+    assert(spark.sql("SELECT lbl FROM graftcat.dflt2").collect()
+      .head.getString(0) == "x")
+    spark.sql("DROP TABLE graftcat.dflt2")
+  }
+
   test("catalog errors: missing table, duplicate create, rename") {
     intercept[Exception](spark.sql("SELECT * FROM graftcat.nope").collect())
     spark.sql("CREATE TABLE graftcat.dup (d0 BIGINT, c0 BIGINT)")
