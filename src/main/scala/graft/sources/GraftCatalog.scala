@@ -51,11 +51,20 @@ class GraftCatalog extends TableCatalog
   // connector work; EXISTS_DEFAULT is what rows written BEFORE the column
   // existed must read back as — served by the scan, see
   // GraftPartitionReader's absent-column fill).
+  // ANSI CONSTRAINT surface (r14): `ALTER TABLE … ADD CONSTRAINT c CHECK
+  // (…)` routes to the engine's OWN check machinery (GraftChecks — the
+  // write-path gate every connector write already runs, with existing-data
+  // validation at declaration), `DROP CONSTRAINT` removes the sidecar.
+  // Non-CHECK kinds (PRIMARY KEY/UNIQUE/FOREIGN KEY) are REFUSED loudly:
+  // this engine does not enforce them, and accepting them as unenforced
+  // metadata would hand the optimizer a lie.
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_COLUMN_DEFAULT_VALUE)
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
 
   override def name(): String = catalogName
 
@@ -149,6 +158,32 @@ class GraftCatalog extends TableCatalog
     if (at.isEmpty) throw new IllegalArgumentException(
       s"graft: no commit of $ident at or before timestamp $timestamp")
     new GraftTable(p, GraftDataSource.sidecarSchema(p), Some(GraftPin(at.max)))
+  }
+
+  // the TableInfo overload is what CREATE TABLE with inline CONSTRAINTs
+  // arrives through — register CHECKs with the engine's own gate AFTER the
+  // directory exists (an empty table trivially satisfies any check);
+  // non-CHECK kinds refuse BEFORE anything is created
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    info.constraints().foreach {
+      case _: org.apache.spark.sql.connector.catalog.constraints.Check => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft: only CHECK constraints are enforced — refusing " +
+          s"'${other.toDDL}' at CREATE (PRIMARY KEY/UNIQUE/FOREIGN KEY are " +
+          "not enforced by this engine)")
+    }
+    val t = createTable(ident, info.schema(), info.partitions(), info.properties())
+    info.constraints().foreach {
+      case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        val sql = ck.predicateSql()
+        require(sql != null && sql.nonEmpty,
+          s"graft: CHECK constraint ${ck.name()} carries no SQL text")
+        GraftChecks.set(org.apache.spark.sql.SparkSession.active,
+          pathOf(ident), ck.name(), sql)
+      case _ => ()
+    }
+    t
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -251,6 +286,29 @@ class GraftCatalog extends TableCatalog
             f.copy(metadata = mb.build())
           }
         })
+      case (s, ac: TableChange.AddConstraint) =>
+        ac.constraint() match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            val sql = ck.predicateSql()
+            require(sql != null && sql.nonEmpty,
+              s"graft: CHECK constraint ${ck.name()} carries no SQL text")
+            // the engine's own gate: parses/resolves against the schema,
+            // validates EXISTING data first, then every later write
+            // (SQL, path API, streaming epochs) enforces it in-task
+            GraftChecks.set(org.apache.spark.sql.SparkSession.active,
+              p, ck.name(), sql)
+            s
+          case other => throw new UnsupportedOperationException(
+            s"graft: only CHECK constraints are enforced — refusing " +
+              s"'${other.toDDL}' (PRIMARY KEY/UNIQUE/FOREIGN KEY are not " +
+              "enforced by this engine, and an unenforced declaration is " +
+              "a lie the optimizer might believe)")
+        }
+      case (s, dc: TableChange.DropConstraint) =>
+        val existed = GraftChecks.drop(p, dc.name())
+        require(existed || dc.ifExists(),
+          s"graft: no CHECK constraint named '${dc.name()}'")
+        s
       case (s, del: TableChange.DeleteColumn) =>
         require(del.fieldNames().length == 1,
           "graft: only top-level DROP COLUMN is supported")

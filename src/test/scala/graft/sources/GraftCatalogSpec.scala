@@ -462,6 +462,48 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graftcat.dflt2")
   }
 
+  test("ANSI CHECK constraints: ADD enforces on writes, DROP releases, non-CHECK refused") {
+    spark.sql("CREATE TABLE graftcat.ck (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO graftcat.ck VALUES (1, 5, 0)")
+    spark.sql("ALTER TABLE graftcat.ck ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    // enforced by the engine's write-path gate on every later statement
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graftcat.ck VALUES (2, -1, 0)")
+    }
+    assert(e.getMessage != null)
+    assert(spark.sql("SELECT count(*) FROM graftcat.ck").collect()
+      .head.getLong(0) == 1L, "violating statement committed nothing")
+    // declaration validates EXISTING data first
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.ck ADD CONSTRAINT v_big CHECK (v > 100)")
+    }
+    assert(e2.getMessage.toLowerCase.contains("violat") ||
+      e2.getMessage.contains("v_big"))
+    // DROP releases the gate
+    spark.sql("ALTER TABLE graftcat.ck DROP CONSTRAINT v_pos")
+    spark.sql("INSERT INTO graftcat.ck VALUES (3, -7, 0)")
+    assert(spark.sql("SELECT count(*) FROM graftcat.ck").collect()
+      .head.getLong(0) == 2L)
+    // unenforced kinds are refused, never silently recorded
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.ck ADD CONSTRAINT pk PRIMARY KEY (id)")
+    }
+    assert(e3.getMessage.contains("only CHECK") ||
+      e3.getMessage.toLowerCase.contains("primary key"))
+    spark.sql("DROP TABLE graftcat.ck")
+
+    // inline CREATE TABLE ... CHECK: the constraint gates from row one
+    spark.sql("""CREATE TABLE graftcat.ck2
+                 (id BIGINT, v BIGINT, c0 BIGINT, CONSTRAINT v_pos CHECK (v >= 0))""")
+    spark.sql("INSERT INTO graftcat.ck2 VALUES (1, 5, 0)")
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftcat.ck2 VALUES (2, -1, 0)")
+    }
+    assert(spark.sql("SELECT count(*) FROM graftcat.ck2").collect()
+      .head.getLong(0) == 1L)
+    spark.sql("DROP TABLE graftcat.ck2")
+  }
+
   test("catalog errors: missing table, duplicate create, rename") {
     intercept[Exception](spark.sql("SELECT * FROM graftcat.nope").collect())
     spark.sql("CREATE TABLE graftcat.dup (d0 BIGINT, c0 BIGINT)")
