@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 /** Crawl-side gating + text-normalization queries (r14): the stages a
   * pretraining corpus passes BEFORE content ever reaches the cleaning
-  * pipeline — URL canonicalization and dedup (the frontier's key),
+  * pipeline \u2014 URL canonicalization and dedup (the frontier's key),
   * robots.txt politeness gating, Unicode NFC normalization (equality's
   * prerequisite), sentence segmentation, and code-vs-prose detection.
   * All planted-twin oracled: inputs are built deterministically from
@@ -19,7 +19,7 @@ object CrawlOps {
   private def k: Column = (col("doc_id") % 7).cast("string")
   private def id: Column = col("doc_id").cast("string")
 
-  /** Four planted URL spellings cycling on doc_id % 4 — each exercises a
+  /** Four planted URL spellings cycling on doc_id % 4 \u2014 each exercises a
     * distinct canonicalization clause (case+default port+tracking+fragment;
     * empty path; non-default port + all-tracking query; param sort). */
   private def plantedUrl: Column = {
@@ -51,7 +51,7 @@ object CrawlOps {
 
   val defs: Map[String, QueryDef] = Map(
 
-    // outlink extraction — the fetched page's <a href> values in document
+    // outlink extraction \u2014 the fetched page's <a href> values in document
     // order (the link graph's raw edges). The planted page mixes quoting
     // styles and distractor tags; posexplode pins ORDER as well as set.
     "t_outlinks" -> QueryDef(
@@ -71,7 +71,7 @@ object CrawlOps {
               ORDER BY doc_id, ord""")
     ),
 
-    // host-level link graph — outlinks RESOLVED against their page's own
+    // host-level link graph \u2014 outlinks RESOLVED against their page's own
     // host (root-relative -> same host; absolute -> demuxed target host)
     // and aggregated into weighted edges: one groupBy keyed (src, dst),
     // exactly the shuffle a 100 TB web graph builds. Self-edges weight 2
@@ -106,7 +106,7 @@ object CrawlOps {
               ORDER BY src_host, dst_host""")
     ),
 
-    // URL canonicalization — the crawl frontier's dedup key, pinned
+    // URL canonicalization \u2014 the crawl frontier's dedup key, pinned
     // clause-by-clause: scheme/host case folding, userinfo preserved
     // verbatim, default-port strip (:80/http, :443/https) with a
     // non-default port KEPT, path case preserved, empty path -> '/',
@@ -130,7 +130,7 @@ object CrawlOps {
               FROM documents ORDER BY doc_id""")
     ),
 
-    // URL dedup — two raw spellings per document (www-case + tracking +
+    // URL dedup \u2014 two raw spellings per document (www-case + tracking +
     // fragment vs :443 + clean query) that MUST unify under the canonical
     // key; the group count pins the unification, the min-variant pick is
     // the frontier's keep-one rule. groupBy on the canonical = one hash
@@ -151,15 +151,15 @@ object CrawlOps {
               FROM documents ORDER BY url_canon""")
     ),
 
-    // robots.txt politeness gate — per-host planted policies (even hosts:
+    // robots.txt politeness gate \u2014 per-host planted policies (even hosts:
     // path-scoped disallow with a longer allow carve-out; odd hosts:
     // disallow-all with an allow carve-out), URLs cycling over four paths.
     // Pins the whole REP chain: comment strip, CRLF bodies, case-folded
     // keys, multi-agent group headers, non-star groups IGNORED (evilbot
-    // disallows / everywhere — obeying it would zero the corpus), unknown
+    // disallows / everywhere \u2014 obeying it would zero the corpus), unknown
     // keys skipped, longest-prefix winner, allow-beats-disallow at ties,
-    // no-match -> allowed. Scale shape: rules ⋈ urls hash join on host +
-    // one bounded groupBy — the fetch-frontier plan.
+    // no-match -> allowed. Scale shape: rules \u22c8 urls hash join on host +
+    // one bounded groupBy \u2014 the fetch-frontier plan.
     "p_robots_gate" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -254,7 +254,7 @@ object CrawlOps {
               ORDER BY doc_id""")
     ),
 
-    // Unicode NFC normalization — three planted spellings cycling on
+    // Unicode NFC normalization \u2014 three planted spellings cycling on
     // doc_id % 3: decomposed combining marks (e+0301, i+0308 -> composed),
     // already-precomposed (the isNormalized no-op path), and pure ASCII
     // (the zero-copy byte-scan fast path). The oracle CONSTRUCTS the
@@ -285,7 +285,7 @@ object CrawlOps {
               FROM p ORDER BY doc_id""")
     ),
 
-    // sentence segmentation — planted three-sentence prose from the
+    // sentence segmentation \u2014 planted three-sentence prose from the
     // document's own word slices (the third sentence exists only for
     // docs long enough, so the count VARIES); the Spark side runs the
     // real splitter over the assembled text (strip trailing terminators,
@@ -324,7 +324,47 @@ object CrawlOps {
               FROM p ORDER BY doc_id""")
     ),
 
-    // code-vs-prose detection — the symbol-density gate a pretraining mix
+    // Unicode script mix \u2014 the corpus-routing signal before any
+    // per-language model: codepoints counted by writing system (Latin /
+    // Cyrillic / CJK / other) in one native pass. Planted suffixes cycle
+    // known Cyrillic and CJK strings (incl. the space bookkeeping), so
+    // the oracle derives every count from pure arithmetic over the ASCII
+    // base text: a misclassified script, a double-counted surrogate, or
+    // a missed space all break the hash.
+    "t_script_mix" -> QueryDef(
+      (s, dir) => {
+        val m = col("doc_id") % 4
+        val planted = concat(col("text"),
+          when(m === 1, " \u043f\u0440\u0438\u0432\u0435\u0442")
+            .when(m === 2, " \u4f60\u597d\u4e16\u754c")
+            .when(m === 3,
+              " \u043f\u0440\u0438\u0432\u0435\u0442 \u4f60\u597d")
+            .otherwise(""))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.ScriptCounts(planted).as("sc"))
+          .select(col("doc_id"), col("sc.latin").as("latin"),
+            col("sc.cyrillic").as("cyrillic"), col("sc.cjk").as("cjk"),
+            col("sc.other").as("other"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                  CAST(len(text) AS BIGINT) AS l,
+                  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nw
+                FROM documents)
+              SELECT doc_id,
+                l - (nw - 1) AS latin,
+                CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 6 ELSE 0 END
+                  AS BIGINT) AS cyrillic,
+                CAST(CASE doc_id % 4 WHEN 2 THEN 4 WHEN 3 THEN 2 ELSE 0 END
+                  AS BIGINT) AS cjk,
+                (nw - 1) + CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 3 THEN 2
+                  ELSE 1 END AS BIGINT) AS other
+              FROM d ORDER BY doc_id""")
+    ),
+
+    // code-vs-prose detection \u2014 the symbol-density gate a pretraining mix
     // uses to route code out of the prose corpus. A third of the docs get
     // a planted code tail; the score is integer symbol-per-mille
     // (translate-and-diff, exact on both engines), the gate a fixed
