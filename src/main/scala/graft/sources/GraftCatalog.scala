@@ -355,6 +355,39 @@ class GraftCatalog extends TableCatalog
         noteDropped(p, from)
         StructType(s.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f))
+      case (s, un: TableChange.UpdateColumnNullability) =>
+        require(un.fieldNames().length == 1,
+          "graft: only top-level ALTER COLUMN is supported")
+        val n = un.fieldNames()(0)
+        require(s.fieldNames.contains(n), s"column $n does not exist")
+        require(!GraftDataSource.isBucket(n),
+          s"graft: bucket column $n nullability is fixed by the grid")
+        if (!un.nullable()) {
+          // tightening needs proof: one distributed scan, the CHECK
+          // discipline — "the table satisfies its declared shape" must
+          // hold from declaration onward
+          val nulls = org.apache.spark.sql.SparkSession.active.read
+            .format("graft").load(p)
+            .where(org.apache.spark.sql.functions.col(n).isNull).count()
+          require(nulls == 0L,
+            s"graft: cannot SET NOT NULL on $n — $nulls existing row(s) " +
+              "are NULL; fix the data first")
+          require(!s.fields.exists(f => f.name == n &&
+              f.metadata.contains("EXISTS_DEFAULT") &&
+              f.metadata.getString("EXISTS_DEFAULT")
+                .equalsIgnoreCase("NULL")),
+            s"graft: $n's existence default is NULL — pre-change files " +
+              "would surface NULL under a NOT NULL declaration")
+        }
+        StructType(s.fields.map(f =>
+          if (f.name == n) f.copy(nullable = un.nullable()) else f))
+      case (s, uc: TableChange.UpdateColumnComment) =>
+        require(uc.fieldNames().length == 1,
+          "graft: only top-level ALTER COLUMN is supported")
+        val n = uc.fieldNames()(0)
+        require(s.fieldNames.contains(n), s"column $n does not exist")
+        StructType(s.fields.map(f =>
+          if (f.name == n) f.withComment(uc.newComment()) else f))
       case (s, ut: TableChange.UpdateColumnType) =>
         // integral WIDENING only (BYTE<SHORT<INT<BIGINT): the readers
         // upcast narrower physical pages per file, so old files need no
