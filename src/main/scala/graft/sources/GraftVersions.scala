@@ -1247,12 +1247,19 @@ private[graft] object GraftVersions {
     val dvVictims: Set[String] =
       GraftDv.relsOf(droppedEntries) -- GraftDv.relsOf(keptEntries)
     dropped.foreach(v => fs.delete(manifestPath(root, v), false))
-    val emptied = scala.collection.mutable.Set[Path]()
-    (victims ++ dvVictims).foreach { rel =>
-      val f = new Path(root, rel)
-      if (fs.exists(f)) { emptied += f.getParent; fs.delete(f, false) }
+    // the vacuum is the one maintenance step whose victim count scales
+    // with churn (every retired-in-place byte dies here): deletes issue
+    // CONCURRENTLY (same discipline as segment resolution), the emptied
+    // parent dirs collected thread-safely for the sequential sweep below
+    val emptied = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]();
+    locally {
+      import scala.collection.parallel.CollectionConverters._
+      (victims ++ dvVictims).toSeq.par.foreach { rel =>
+        val f = new Path(root, rel)
+        if (fs.exists(f)) { emptied.add(f.getParent); fs.delete(f, false) }
+      }
     }
-    emptied.foreach { d =>
+    emptied.forEach { d =>
       if (fs.exists(d) && fs.listStatus(d).isEmpty) {
         fs.delete(d, false)
         GraftStage.pruneEmptyParents(fs, d, root)
