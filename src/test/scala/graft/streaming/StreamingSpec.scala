@@ -727,6 +727,67 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("the crawl loop closes (r14): fetched pages stream outlinks through canonicalize + robots into the next frontier") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.{HtmlLinks, UrlCanonical}
+    import graft.ops.Robots
+    // a crawler is a FIXPOINT: fetched pages yield links, links gate into
+    // the frontier, the frontier is what gets fetched next. Per micro-batch:
+    // outlink extraction (native kernel) -> resolve root-relative against
+    // the page's own host -> canonicalize (the frontier key) -> robots gate
+    // -> tryInsert into a url-hash-keyed frontier World, whose conflict
+    // rule IS the visited-set semantics (a re-discovered URL is not
+    // re-enqueued).
+    val rules = Robots.parse(spark, Seq(
+      Robots.RobotsTxt("e.org", "User-agent: *\nDisallow: /private\n")).toDS()).toDF()
+    val path = tmp() + "/frontier"
+    val frontier = new World(spark, path,
+      Seq(DimSpec("url_h", DimMapping(0, 1023, 64))))
+    // the seed must carry the SAME key the pipeline computes, or the
+    // visited-set conflict rule cannot recognize a re-discovered seed
+    frontier.create(Seq("https://e.org/seed").toDF("url")
+      .select(pmod(xxhash64(col("url")), lit(1024L)).as("url_h"), col("url")))
+    val src = MemoryStream[(Long, String)] // (doc_id, page html)
+    val q = src.toDS().toDF("doc_id", "html").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val urls = batch
+          .select(explode(HtmlLinks(col("html"))).as("href"))
+          .select(UrlCanonical(
+            when(col("href").startsWith("http"), col("href"))
+              .otherwise(concat(lit("https://e.org"), col("href")))).as("url"))
+          .distinct()
+          .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+          .withColumn("path", regexp_extract(col("url"), "^https?://[^/]+([^?#]*)", 1))
+        val allowed = Robots.gate(urls, rules)
+          .where(col("allowed"))
+          .select(pmod(xxhash64(col("url")), lit(1024L)).as("url_h"), col("url"))
+        frontier.tryInsert(allowed)
+        ()
+      }
+      .option("checkpointLocation", tmp())
+      .start()
+    try {
+      // page 1: one allowed link (twice — must dedup), one robots-blocked,
+      // one tracking-param spelling of the seed (canonicalizes to it:
+      // already visited, must not re-enqueue)
+      src.addData((1L, """<a href="/a">x</a><a href="/a#frag">x</a>
+        <a href="/private/x">no</a><a href="https://e.org/seed?utm_source=z">s</a>"""))
+      q.processAllAvailable()
+      val after1 = spark.read.format("graft").load(path)
+        .select("url").as[String].collect().toList.sorted
+      assert(after1 == List("https://e.org/a", "https://e.org/seed"),
+        s"ep1 frontier: $after1")
+      // page 2: re-discovers /a (stays single) and finds /b
+      src.addData((2L, """<a href="/a">again</a><a href="/b?z=1&utm_id=t">new</a>"""))
+      q.processAllAvailable()
+      val after2 = spark.read.format("graft").load(path)
+        .select("url").as[String].collect().toList.sorted
+      assert(after2 == List("https://e.org/a", "https://e.org/b?z=1",
+        "https://e.org/seed"), s"ep2 frontier: $after2")
+    } finally q.stop()
+  }
+
   test("late data beyond watermark is dropped from append-mode output") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
