@@ -43,6 +43,11 @@ object Mixture {
   def budgetPrefix(df: DataFrame, sourceCol: String, weightCol: String,
       budget: Column, hexDigits: Int = 2): DataFrame = {
     require(hexDigits >= 1 && hexDigits <= 8, "hexDigits in [1,8]")
+    // fail fast on working-column collisions: withColumn would silently
+    // REPLACE a caller's same-named column and return hashes in its place
+    Seq("_ok", "_bk", "_budget", "_bw", "_cumEnd", "_cumStart", "_cum")
+      .foreach(c => require(!df.columns.contains(c),
+        s"graft mixture: input must not carry a column named $c"))
     val outCols = df.columns.map(col).toSeq
     val d = df
       .withColumn("_ok", md5(col("doc_id").cast("string")))

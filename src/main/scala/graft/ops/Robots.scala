@@ -70,20 +70,33 @@ object Robots {
 
   /** URLs (any frame with `host` and `path` columns) → the same frame
     * plus a boolean `allowed`. One join on host, one bounded groupBy
-    * (groups = URL × matching rules, bounded by a host's rule count). */
+    * (groups = URL × matching rules, bounded by a host's rule count).
+    * Row-exact: each INPUT ROW gets its own flag (a per-row id is the
+    * group key, so duplicate URL rows keep their multiplicity), and the
+    * rule side's columns are referenced through the rules frame so caller
+    * columns named `prefix`/`allow` can never collide. */
   def gate(urls: DataFrame, rules: DataFrame): DataFrame = {
-    // disambiguate against the rule side's own `host` after the join
-    val keyCols = urls.columns.map(urls(_)).toSeq
-    urls
-      .join(rules, urls("host") === rules("host") &&
-        startswith(urls("path"), rules("prefix")), "left_outer")
+    val rid = "_graft_gate_rid"
+    val win = "_graft_gate_win"
+    require(!urls.columns.contains(rid) && !urls.columns.contains(win),
+      s"graft robots gate: input must not carry $rid/$win")
+    val withId = urls.withColumn(rid, monotonically_increasing_id())
+    val keyCols = urls.columns.map(withId(_)).toSeq
+    withId
+      .join(rules, withId("host") === rules("host") &&
+        startswith(withId("path"), rules("prefix")), "left_outer")
       // REP winner: longest matching prefix, allow beats disallow at ties.
       // max over struct(len, allow) implements exactly that order; a URL
       // with no matching rule aggregates max(NULL) -> NULL -> allowed.
-      .groupBy(keyCols: _*)
-      .agg(max(when(col("prefix").isNotNull,
-        struct(length(col("prefix")).as("l"), col("allow").as("a")))).as("w"))
-      .withColumn("allowed", coalesce(col("w.a"), lit(true)))
-      .drop("w")
+      .groupBy(withId(rid))
+      // every non-key input column is constant within its rid group
+      .agg(first(keyCols.head).as(urls.columns.head),
+        keyCols.tail.zip(urls.columns.tail)
+          .map { case (c, n) => first(c).as(n) } ++ Seq(
+          max(when(rules("prefix").isNotNull,
+            struct(length(rules("prefix")).as("l"), rules("allow").as("a"))))
+            .as(win)): _*)
+      .withColumn("allowed", coalesce(col(s"$win.a"), lit(true)))
+      .drop(win, rid)
   }
 }

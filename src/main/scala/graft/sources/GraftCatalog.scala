@@ -173,7 +173,16 @@ class GraftCatalog extends TableCatalog
           s"'${other.toDDL}' at CREATE (PRIMARY KEY/UNIQUE/FOREIGN KEY are " +
           "not enforced by this engine)")
     }
-    val t = createTable(ident, info.schema(), info.partitions(), info.properties())
+    // a CREATE-time default has no pre-change files to serve: strip
+    // EXISTS_DEFAULT (keeping CURRENT_DEFAULT for INSERT fill) so the
+    // footer-derived aggregate pushdown is only ever declined for columns
+    // genuinely evolved in AFTER data existed (ALTER ADD COLUMN DEFAULT)
+    val schema = StructType(info.schema().fields.map { f =>
+      if (!f.metadata.contains("EXISTS_DEFAULT")) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove("EXISTS_DEFAULT").build())
+    })
+    val t = createTable(ident, schema, info.partitions(), info.properties())
     info.constraints().foreach {
       case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
         val sql = ck.predicateSql()

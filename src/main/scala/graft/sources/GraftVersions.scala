@@ -566,7 +566,11 @@ private[graft] object GraftVersions {
       touched: Option[Set[String]] = None): CasResult = {
     fs.mkdirs(p.getParent)
     if (fs.exists(p)) return CasLost
-    lazy val bytes = buildRootBytes(fs, p, v, files, base, touched)
+    // BY-NAME: segment files are a side effect of building the root bytes,
+    // so the build must run only once the claim is held (claimThenPromote)
+    // — a CasBusy retry loop would otherwise write a fresh set of uuid
+    // segment debris per attempt while waiting out the claim holder
+    def bytes: Array[Byte] = buildRootBytes(fs, p, v, files, base, touched)
     casCapability(fs, p) match {
       case CreateExclusiveCap => claimThenPromote(fs, p, bytes)
       case ConditionalPutCap  => conditionalPut(fs, p, bytes)
@@ -587,15 +591,18 @@ private[graft] object GraftVersions {
   }
 
   private def claimThenPromote(fs: FileSystem, p: Path,
-      bytes: Array[Byte]): CasResult = {
+      bytes: => Array[Byte]): CasResult = {
     val claim = claimOf(p)
     if (!createExclusive(fs, claim))
       return if (fs.exists(p)) CasLost else CasBusy
     try {
       if (fs.exists(p)) return CasLost // stale-claim takeover raced a late promote
+      // force bytes only now — under the held claim, after the loss checks
+      // (segment side effects never happen for a lost/busy attempt here)
+      val content = bytes
       val tmp = new Path(p.getParent, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
-      out.write(bytes)
+      out.write(content)
       out.close()
       if (!fs.rename(tmp, p)) { fs.delete(tmp, false); return CasLost }
       CasSealed
@@ -609,7 +616,7 @@ private[graft] object GraftVersions {
     * a loser's PUT fails the precondition and maps to [[CasLost]]. Never
     * returns [[CasBusy]]: there is no claim window to wait out. */
   private def conditionalPut(fs: FileSystem, p: Path,
-      bytes: Array[Byte]): CasResult =
+      bytes: => Array[Byte]): CasResult =
     try {
       val out = fs.create(p, false)
       out.write(bytes)
@@ -917,7 +924,9 @@ private[graft] object GraftVersions {
             case CasSealed =>
               PendingCommit(1L, Some(base), st.retentionKeep, 1,
                 st.compactionMaxFiles,
-                prevSegs = readRootAt(fs, manifestPath(root, 0L))._2)
+                // refs-only: we already hold the entries (we wrote them);
+                // only the just-sealed root's segment table is needed
+                prevSegs = readRootRaw(fs, manifestPath(root, 0L)).toOption)
             case CasLost =>
               val (entries, segs) = readRootAt(fs, manifestPath(root, 0L))
               PendingCommit(1L, Some(entries),
@@ -1277,7 +1286,9 @@ private[graft] object GraftVersions {
       val keptSegs = keptRoots.flatMap(_._2).flatMap(_.refs).map(_.rel).toSet ++
         listBranches(fs, root).flatMap { case (b, _) =>
           branchVersions(fs, root, b).flatMap(k =>
-            readRootAt(fs, branchManifestPath(root, b, k))._2
+            // refs-only read: the branch root's SEGMENT TABLE is all this
+            // needs — resolving its entries would re-read every segment
+            readRootRaw(fs, branchManifestPath(root, b, k))
               .toSeq.flatMap(_.refs).map(_.rel))
         }
       val vdir = new Path(root, VersionsDir)
@@ -1338,7 +1349,8 @@ private[graft] object GraftVersions {
         e.dv.foreach(referenced += _._1)
       }
       branchVersions(fs, root, b).foreach(k =>
-        readRootAt(fs, branchManifestPath(root, b, k))._2
+        // refs-only: entries of non-head branch roots are not needed here
+        readRootRaw(fs, branchManifestPath(root, b, k))
           .foreach(_.refs.foreach(refSegs += _.rel)))
     }
     val cutoff = System.currentTimeMillis() - olderThanMs

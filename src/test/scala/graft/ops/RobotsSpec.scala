@@ -63,6 +63,31 @@ class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true, 5L -> true))
   }
 
+  test("gate is row-exact: duplicate input rows keep their multiplicity") {
+    import spark.implicits._
+    val rules = Robots.parse(spark,
+      Seq(Robots.RobotsTxt("a.com", "User-agent: *\nDisallow: /p\n")).toDS()).toDF()
+    val urls = Seq((1L, "a.com", "/p/x"), (1L, "a.com", "/p/x"),
+      (2L, "a.com", "/q")).toDF("doc_id", "host", "path")
+    val out = Robots.gate(urls, rules)
+    assert(out.count() == 3, "duplicates must not collapse")
+    assert(out.where(col("allowed")).count() == 1)
+  }
+
+  test("caller columns named prefix/allow survive the gate untouched") {
+    import spark.implicits._
+    val rules = Robots.parse(spark,
+      Seq(Robots.RobotsTxt("a.com", "User-agent: *\nDisallow: /p\n")).toDS()).toDF()
+    val urls = Seq((1L, "a.com", "/p/x", "keep-me", true))
+      .toDF("doc_id", "host", "path", "prefix", "allow")
+    val out = Robots.gate(urls, rules)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "host", "path", "prefix", "allow", "allowed"))
+    val r = out.collect().head
+    assert(r.getString(3) == "keep-me" && r.getBoolean(4) &&
+      !r.getBoolean(5), "caller columns intact, decision from the rules")
+  }
+
   test("gate preserves row count and input columns") {
     import spark.implicits._
     val rules = Robots.parse(spark,
