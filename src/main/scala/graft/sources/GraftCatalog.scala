@@ -483,7 +483,8 @@ class GraftCatalog extends TableCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("compact", "stats", "rollback", "expire_versions", "versions",
+      Array("compact", "stats", "rollback", "expire_versions",
+        "rewrite_manifests", "versions",
         "tag", "drop_tag", "tags", "clone", "set_bloom", "zorder",
         "regrid", "branch", "fast_forward", "drop_branch", "branches",
         "remove_orphans", "set_stats")
@@ -516,6 +517,8 @@ class GraftCatalog extends TableCatalog
       case (Seq("system"), "rollback") => new GraftRollbackProcedure(this)
       case (Seq("system"), "expire_versions") =>
         new GraftExpireVersionsProcedure(this)
+      case (Seq("system"), "rewrite_manifests") =>
+        new GraftRewriteManifestsProcedure(this)
       case (Seq("system"), "versions") => new GraftVersionsProcedure(this)
       case (Seq("system"), "clean_stages") => new GraftCleanStagesProcedure(this)
       case (Seq("system"), "tag")      => new GraftTagProcedure(this)
@@ -1016,6 +1019,39 @@ class GraftRollbackProcedure(cat: GraftCatalog)
       val path = cat.tablePath(input.getUTF8String(0).toString)
       val fs = FileSystem.get(new java.net.URI(path), new Configuration())
       val newV = GraftVersions.rollback(fs, new Path(path), input.getLong(1))
+      GraftProcedures.singleRow("new_version", newV)
+    }
+  }
+}
+
+/** `CALL <cat>.system.rewrite_manifests(table => 't')` — force a fresh
+  * manifest layout: the current live set seals as a new version with NO
+  * segment reuse, re-bucketing under the current segmentation target
+  * (collapse after mass deletes, re-segment after a target change, upgrade
+  * a big flat log to the segmented format). Pure metadata; zero data files
+  * move. Returns the new version. */
+class GraftRewriteManifestsProcedure(cat: GraftCatalog)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures._
+
+  override def name(): String = "rewrite_manifests"
+  override def description(): String =
+    "seal the live set as a new version with a fresh manifest layout"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "rewrite_manifests"
+    override def description(): String =
+      GraftRewriteManifestsProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType)
+        .comment("table name within this catalog").build())
+    override def isDeterministic: Boolean = false
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = cat.tablePath(input.getUTF8String(0).toString)
+      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+      val newV = GraftVersions.rewriteManifests(fs, new Path(path))
       GraftProcedures.singleRow("new_version", newV)
     }
   }
@@ -1619,7 +1655,8 @@ private[sources] object GraftMetaTable {
   import org.apache.spark.sql.types._
   import org.apache.spark.unsafe.types.UTF8String
 
-  val Kinds: Set[String] = Set("history", "files", "cells", "tags", "checks")
+  val Kinds: Set[String] =
+    Set("history", "files", "cells", "tags", "checks", "manifests")
 
   def schemaOf(meta: String): StructType = meta match {
     case "history" => StructType(Seq(
@@ -1649,6 +1686,15 @@ private[sources] object GraftMetaTable {
     case "checks" => StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("expr", StringType, nullable = false)))
+    // the commit log's own physiology: flat vs segmented roots, entry and
+    // segment counts, and how many segments each seal REUSED from its
+    // predecessor — "is my metadata write O(touched)" answered by SELECT
+    case "manifests" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("entries", LongType, nullable = false),
+      StructField("segments", LongType, nullable = false),
+      StructField("reused_segments", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(s"unknown meta table $other")
   }
 
@@ -1694,6 +1740,14 @@ private[sources] object GraftMetaTable {
       case "tags" =>
         GraftVersions.listTags(fs, root).map { case (n, v) =>
           InternalRow(UTF8String.fromString(n), v)
+        }.toArray
+      case "manifests" =>
+        var prevRels = Set.empty[String]
+        GraftVersions.listVersions(fs, root).map { v =>
+          val (fmt, entries, segs, rels) = GraftVersions.rootSummary(fs, root, v)
+          val reused = rels.count(prevRels.contains).toLong
+          prevRels = rels.toSet
+          InternalRow(v, UTF8String.fromString(fmt), entries, segs, reused)
         }.toArray
       case "checks" =>
         GraftChecks.list(path).map { case (n, e) =>

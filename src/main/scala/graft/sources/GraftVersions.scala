@@ -741,6 +741,45 @@ private[graft] object GraftVersions {
         (entries, Some(segs))
     }
 
+  /** Observability summary of one root, WITHOUT resolving segments:
+    * (format, entry count, segment count, segment rels). Root-read only —
+    * a v3 header carries its entry count, so this costs O(S) per version
+    * regardless of table size. */
+  private[sources] def rootSummary(fs: FileSystem, root: Path,
+      v: Long): (String, Long, Long, Seq[String]) =
+    readRootRaw(fs, manifestPath(root, v)) match {
+      case Left(entries) => ("flat", entries.size.toLong, 0L, Nil)
+      case Right(segs) =>
+        ("segmented", segs.refs.map(_.count).sum, segs.refs.size.toLong,
+          segs.refs.map(_.rel))
+    }
+
+  /** Force a fresh manifest layout: seal the CURRENT entries as a new
+    * version with NO segment reuse, so the root re-buckets under the
+    * current `graft.manifest.segmentTarget` (collapse after mass deletes,
+    * re-segment after a target change, upgrade a big flat log to v3).
+    * Pure metadata — zero data files move. */
+  def rewriteManifests(fs: FileSystem, root: Path): Long = {
+    val st = logState(fs, root)
+    val latest = st.latest.getOrElse(throw new IllegalArgumentException(
+      s"graft rewrite_manifests: $root has no versioned commits"))
+    require(!st.barrier,
+      s"graft rewrite_manifests: $root has a pending rewrite barrier — " +
+        "its manifests are stale; run a versioned commit to heal first")
+    val entries = readEntries(fs, root, latest)
+    val newV = latest + 1
+    var r = writeManifestCas(fs, root, newV, entries) // base=None: fresh layout
+    while (r == CasBusy) {
+      awaitSeal(fs, root, newV)
+      r = writeManifestCas(fs, root, newV, entries)
+    }
+    if (r != CasSealed)
+      throw new java.util.ConcurrentModificationException(
+        s"graft rewrite_manifests: version v$newV of $root was sealed " +
+          "concurrently; retry against the new latest")
+    newV
+  }
+
   /** The root WITHOUT segment resolution: flat entries (v1/v2) on the
     * left, an unresolved segment table (v3) on the right — so set-diff
     * consumers can cancel SHARED segment references (immutable uuid

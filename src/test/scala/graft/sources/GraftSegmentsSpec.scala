@@ -220,6 +220,28 @@ class GraftSegmentsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"catalog UPDATE reuses untouched segments: v1=$s1 v2=$s2")
       spark.sql("CALL segcat.system.rollback(table => 't', version => 1)")
       assert(vsum("SELECT sum(v) FROM segcat.t") == base)
+
+      // the .manifests metadata table exposes the log's physiology:
+      // every root segmented, incremental seals reusing segments
+      val mrows = spark.sql(
+        "SELECT version, format, entries, segments, reused_segments " +
+          "FROM segcat.t.manifests ORDER BY version").collect()
+      // v0 is the empty-world baseline (flat by size); everything after
+      // crossed the threshold and is segmented
+      assert(mrows.filter(_.getLong(0) >= 1L)
+        .forall(_.getString(1) == "segmented"), mrows.mkString(","))
+      assert(mrows.filter(_.getLong(0) >= 2L).forall(_.getLong(4) > 0L),
+        "every incremental seal reused segments from its predecessor")
+
+      // rewrite_manifests: fresh layout, zero reuse, identical content
+      val rw = spark.sql("CALL segcat.system.rewrite_manifests(table => 't')")
+        .collect().head.getLong(0)
+      val last = spark.sql(
+        s"SELECT entries, reused_segments FROM segcat.t.manifests " +
+          s"WHERE version = $rw").collect().head
+      assert(last.getLong(1) == 0L, "a rewritten layout reuses nothing")
+      assert(vsum("SELECT sum(v) FROM segcat.t") == base,
+        "rewrite_manifests moves no data")
     } finally spark.stop()
   }
 
