@@ -245,6 +245,32 @@ class GraftSegmentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.stop()
   }
 
+  test("8 add-only sealers race on a segmented log: contiguous chain, nothing dropped") {
+    val root = newRoot()
+    seal(root, Set.empty, (0 until 10).flatMap(c => cellFiles(c, 0 until 4)))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        try {
+          // each writer adds its own file to its own cell — CAS losses
+          // replay via sealCommit's add-only re-begin
+          seal(root, Set.empty, Seq(s"c0=$t/part-race-$t.parquet"))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing sealers failed: ${errs.peek()}")
+    val versions = GraftVersions.listVersions(fs, root)
+    assert(versions == (0L to 9L), s"contiguous chain expected: $versions")
+    val live = GraftVersions.readEntries(fs, root,
+      versions.last).map(_.rel).toSet
+    (0 until 8).foreach { t =>
+      assert(live.contains(s"c0=$t/part-race-$t.parquet"),
+        s"writer $t's file must survive the race")
+    }
+    assert(live.size == 48, s"40 base + 8 raced files: ${live.size}")
+  }
+
   test("a missing referenced segment fails loudly, naming the segment") {
     val root = newRoot()
     val v = seal(root, Set.empty, (0 until 8).flatMap(c => cellFiles(c, 0 until 4)))
