@@ -245,6 +245,46 @@ class GraftSegmentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.stop()
   }
 
+  test("streaming epochs over a segmented log: each seal reuses untouched segments") {
+    // the highest-frequency seal path is exactly what segmentation exists
+    // for: a small epoch into a big world must write ~its own cells of
+    // metadata, not the world's whole listing — pinned per epoch here
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val path = Files.createTempDirectory("graft-segstream").toString + "/w"
+      val cp = Files.createTempDirectory("graft-segstream-cp").toString
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val q = src.toDF().toDF("d0", "v")
+        .withColumn("c0", org.apache.spark.sql.functions.col("d0"))
+        .writeStream.format("graft")
+        .option("checkpointLocation", cp)
+        .start(path)
+      try {
+        src.addData((0L until 24L).map(i => (i, i * 10)): _*) // 24 cells
+        q.processAllAvailable()
+        src.addData((3L, 999L), (7L, 777L)) // an epoch touching 2 cells
+        q.processAllAvailable()
+        val root = new Path(path)
+        val vs = GraftVersions.listVersions(fs, root)
+        assert(vs.size >= 2, s"two epochs sealed: $vs")
+        val (f1, _, s1, rels1) = GraftVersions.rootSummary(fs, root, vs(vs.size - 2))
+        val (f2, n2, _, rels2) = GraftVersions.rootSummary(fs, root, vs.last)
+        assert(f1 == "segmented" && f2 == "segmented", s"$f1/$f2")
+        assert(n2 == 26L, s"24 + 2 appended rows-as-files: $n2")
+        val reused = rels2.count(rels1.toSet.contains)
+        assert(reused > 0 && (rels2.size - reused) <= 2,
+          s"the 2-cell epoch rewrote <=2 segments of $s1 (reused $reused)")
+      } finally q.stop()
+    } finally spark.stop()
+  }
+
   test("8 add-only sealers race on a segmented log: contiguous chain, nothing dropped") {
     val root = newRoot()
     seal(root, Set.empty, (0 until 10).flatMap(c => cellFiles(c, 0 until 4)))
