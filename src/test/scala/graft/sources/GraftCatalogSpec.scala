@@ -504,6 +504,28 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graftcat.ck2")
   }
 
+  test("column DEFAULTs compose with merge-on-read DML") {
+    spark.sql("CREATE TABLE graftcat.dmor (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO graftcat.dmor VALUES (1, 10, 0), (2, 20, 0), (3, 30, 1)")
+    spark.sql("ALTER TABLE graftcat.dmor ADD COLUMN tag STRING DEFAULT 'legacy'")
+    // the delta UPDATE's new image is read through the default-filling
+    // scan, so the relocated row must carry the MATERIALIZED default
+    spark.sql("UPDATE graftcat.dmor SET v = v + 1 WHERE id = 2")
+    spark.sql("DELETE FROM graftcat.dmor WHERE id = 3")
+    val got = spark.sql("SELECT id, v, tag FROM graftcat.dmor ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    assert(got == List((1L, 10L, "legacy"), (2L, 21L, "legacy")), s"got $got")
+    // a MERGE whose insert branch omits nothing still fills the updated
+    // image's default; count over the defaulted column covers all rows
+    assert(spark.sql("SELECT count(tag) FROM graftcat.dmor").collect()
+      .head.getLong(0) == 2L)
+    // pre-ADD snapshots replay exactly (the column fills per the current
+    // schema, the ROWS are the old state)
+    assert(spark.sql("SELECT count(*) FROM graftcat.dmor VERSION AS OF 1")
+      .collect().head.getLong(0) == 3L)
+    spark.sql("DROP TABLE graftcat.dmor")
+  }
+
   test("ALTER COLUMN nullability and comments") {
     import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
     spark.sql("CREATE TABLE graftcat.nnul (id BIGINT, v BIGINT, c0 BIGINT)")
