@@ -80,6 +80,9 @@ object Robots {
     val win = "_graft_gate_win"
     require(!urls.columns.contains(rid) && !urls.columns.contains(win),
       s"graft robots gate: input must not carry $rid/$win")
+    require(!urls.columns.contains("allowed"),
+      "graft robots gate: input must not carry a column named 'allowed' — " +
+        "it would be silently replaced by the gate's own decision")
     val withId = urls.withColumn(rid, monotonically_increasing_id())
     val keyCols = urls.columns.map(withId(_)).toSeq
     withId

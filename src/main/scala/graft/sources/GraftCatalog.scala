@@ -173,15 +173,21 @@ class GraftCatalog extends TableCatalog
           s"'${other.toDDL}' at CREATE (PRIMARY KEY/UNIQUE/FOREIGN KEY are " +
           "not enforced by this engine)")
     }
-    // a CREATE-time default has no pre-change files to serve: strip
-    // EXISTS_DEFAULT (keeping CURRENT_DEFAULT for INSERT fill) so the
-    // footer-derived aggregate pushdown is only ever declined for columns
-    // genuinely evolved in AFTER data existed (ALTER ADD COLUMN DEFAULT)
-    val schema = StructType(info.schema().fields.map { f =>
-      if (!f.metadata.contains("EXISTS_DEFAULT")) f
-      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata).remove("EXISTS_DEFAULT").build())
-    })
+    // a CREATE-time default over an EMPTY directory has no pre-change
+    // files to serve: strip EXISTS_DEFAULT (keeping CURRENT_DEFAULT for
+    // INSERT fill) so the footer-derived aggregate pushdown is only ever
+    // declined for columns genuinely evolved in after data existed. A
+    // CREATE that ADOPTS a directory already holding chunk files keeps it:
+    // those files predate the column and must read back the default.
+    val tp = new Path(pathOf(ident))
+    val adopting = fs().exists(tp) && fs().listStatus(tp).nonEmpty
+    val schema =
+      if (adopting) info.schema()
+      else StructType(info.schema().fields.map { f =>
+        if (!f.metadata.contains("EXISTS_DEFAULT")) f
+        else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove("EXISTS_DEFAULT").build())
+      })
     val t = createTable(ident, schema, info.partitions(), info.properties())
     info.constraints().foreach {
       case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
@@ -1742,11 +1748,14 @@ private[sources] object GraftMetaTable {
           InternalRow(UTF8String.fromString(n), v)
         }.toArray
       case "manifests" =>
-        var prevRels = Set.empty[String]
+        // reused = segments referenced by ANY earlier retained version —
+        // rollback and publish reuse from their SOURCE root, not the
+        // immediate predecessor, and must report full reuse, not zero
+        val seen = scala.collection.mutable.HashSet.empty[String]
         GraftVersions.listVersions(fs, root).map { v =>
           val (fmt, entries, segs, rels) = GraftVersions.rootSummary(fs, root, v)
-          val reused = rels.count(prevRels.contains).toLong
-          prevRels = rels.toSet
+          val reused = rels.count(seen.contains).toLong
+          seen ++= rels
           InternalRow(v, UTF8String.fromString(fmt), entries, segs, reused)
         }.toArray
       case "checks" =>

@@ -595,18 +595,42 @@ private[graft] object GraftVersions {
     val claim = claimOf(p)
     if (!createExclusive(fs, claim))
       return if (fs.exists(p)) CasLost else CasBusy
+    var ours = true // flips false when a takeover's claim must be left alone
     try {
       if (fs.exists(p)) return CasLost // stale-claim takeover raced a late promote
-      // force bytes only now — under the held claim, after the loss checks
-      // (segment side effects never happen for a lost/busy attempt here)
+      // OWNERSHIP TOKEN: building the root bytes under the held claim can
+      // take long on a segmented log (it may write many segment files), so
+      // a slow build can outlive the stale-claim window and be TAKEN OVER.
+      // The token makes that takeover detectable: the claim file carries
+      // this attempt's uuid, and the promote below only proceeds if the
+      // claim still carries it — a takeover deleted/re-created the claim,
+      // the token mismatches, and this attempt aborts as CasLost instead
+      // of rename-overwriting the usurper's sealed manifest (a LOST COMMIT
+      // on stores whose rename replaces the destination).
+      val token = java.util.UUID.randomUUID().toString
+      locally {
+        val out = fs.create(claim, true)
+        out.write(token.getBytes("UTF-8"))
+        out.close()
+      }
+      // force bytes only now — under the held, token-marked claim (segment
+      // side effects never happen for a lost/busy attempt)
       val content = bytes
+      val stillOurs =
+        try {
+          val in = fs.open(claim)
+          val t = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          t == token
+        } catch { case _: java.io.IOException => false }
+      if (!stillOurs) { ours = false; return CasLost } // usurper's claim: leave it
+      if (fs.exists(p)) return CasLost
       val tmp = new Path(p.getParent, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
       out.write(content)
       out.close()
       if (!fs.rename(tmp, p)) { fs.delete(tmp, false); return CasLost }
       CasSealed
-    } finally fs.delete(claim, false)
+    } finally if (ours) fs.delete(claim, false)
   }
 
   /** The object-store protocol: one conditional PUT of the final manifest
@@ -616,16 +640,22 @@ private[graft] object GraftVersions {
     * a loser's PUT fails the precondition and maps to [[CasLost]]. Never
     * returns [[CasBusy]]: there is no claim window to wait out. */
   private def conditionalPut(fs: FileSystem, p: Path,
-      bytes: => Array[Byte]): CasResult =
+      bytes: => Array[Byte]): CasResult = {
+    // force the build BEFORE opening the destination: there is no claim
+    // window on this path, so pre-building loses nothing, and a build
+    // failure must surface as itself — never leak the open stream or be
+    // misread as a CAS loss by the exists-check below
+    val content = bytes
     try {
       val out = fs.create(p, false)
-      out.write(bytes)
+      out.write(content)
       out.close()
       CasSealed
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => CasLost
       case e: java.io.IOException => if (fs.exists(p)) CasLost else throw e
     }
+  }
 
   /** After a [[CasBusy]]: wait for the claim holder's manifest to appear
     * (or for the claim to vanish / go stale — a crashed claimer), then
@@ -766,12 +796,18 @@ private[graft] object GraftVersions {
     require(!st.barrier,
       s"graft rewrite_manifests: $root has a pending rewrite barrier — " +
         "its manifests are stale; run a versioned commit to heal first")
-    val entries = readEntries(fs, root, latest)
+    val (entries, curSegs) = readRootAt(fs, manifestPath(root, latest))
     val newV = latest + 1
-    var r = writeManifestCas(fs, root, newV, entries) // base=None: fresh layout
+    // base carries the CURRENT segment table so the size hysteresis holds
+    // (a log inside the stay-segmented band must not collapse to flat);
+    // touched = None means NO segment is reusable — every segment of the
+    // new root is freshly written, which is the whole point
+    def attempt() = writeManifestCas(fs, root, newV, entries,
+      base = curSegs, touched = None)
+    var r = attempt()
     while (r == CasBusy) {
       awaitSeal(fs, root, newV)
-      r = writeManifestCas(fs, root, newV, entries)
+      r = attempt()
     }
     if (r != CasSealed)
       throw new java.util.ConcurrentModificationException(

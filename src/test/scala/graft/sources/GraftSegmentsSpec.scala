@@ -285,6 +285,24 @@ class GraftSegmentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.stop()
   }
 
+  test("rewrite_manifests keeps a log inside the stay-segmented band segmented") {
+    val root = newRoot()
+    val files = (0 until 10).flatMap(c => cellFiles(c, 0 until 4))
+    seal(root, Set.empty, files) // 40 entries -> v3
+    // mass-delete down into the hysteresis band [target, 4*target)
+    val v2 = seal(root, files.drop(10).toSet, Seq.empty) // 10 entries remain
+    assert(rawText(GraftVersions.manifestPath(root, v2))
+      .startsWith("graft-manifest-v3 "), "band keeps the log segmented")
+    val rw = GraftVersions.rewriteManifests(fs, root)
+    val raw = rawText(GraftVersions.manifestPath(root, rw))
+    assert(raw.startsWith("graft-manifest-v3 "),
+      s"a fresh layout inside the band must stay segmented:\n$raw")
+    assert((segRelsOf(root, rw) intersect segRelsOf(root, v2)).isEmpty,
+      "a rewritten layout shares no segment files with its predecessor")
+    assert(GraftVersions.readEntries(fs, root, rw).map(_.rel).toSet ==
+      files.take(10).toSet)
+  }
+
   test("8 add-only sealers race on a segmented log: contiguous chain, nothing dropped") {
     val root = newRoot()
     seal(root, Set.empty, (0 until 10).flatMap(c => cellFiles(c, 0 until 4)))
