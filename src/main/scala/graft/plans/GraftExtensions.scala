@@ -86,5 +86,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cms_estimate",
         "cms_estimate(sketch, key) - frequency estimate of bigint key from a count_min_sketch binary"),
       (args: Seq[Expression]) => CmsEstimate(args(0), args(1))))
+
+    // the r14 crawl/text kernels as SQL faces — ad-hoc `spark.sql` users
+    // get the same codegen'd one-pass scans the DataFrame API composes
+    ext.injectFunction((FunctionIdentifier("url_canonical"),
+      info("url_canonical",
+        "url_canonical(url) - crawl-frontier canonical form (case/port/tracking/fragment rules)"),
+      (args: Seq[Expression]) => graft.functions.UrlCanonical(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(text) - Unicode NFC with an ASCII zero-copy fast path"),
+      (args: Seq[Expression]) => graft.functions.NfcNormalize(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("html_extract"),
+      info("html_extract",
+        "html_extract(html) - visible text, block-segmented, link-density boilerplate gated"),
+      (args: Seq[Expression]) => graft.functions.HtmlExtract(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("html_links"),
+      info("html_links",
+        "html_links(html) - every <a href> value in document order"),
+      (args: Seq[Expression]) => graft.functions.HtmlLinks(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("script_counts"),
+      info("script_counts",
+        "script_counts(text) - struct(latin, cyrillic, cjk, other) codepoint counts by script"),
+      (args: Seq[Expression]) => graft.functions.ScriptCounts(args.head)))
   }
 }

@@ -55,6 +55,21 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Long]("rng") == 5L)
   }
 
+  test("the r14 crawl/text kernels are callable from SQL") {
+    val row = spark.sql(
+      """SELECT url_canonical('HTTPS://A.com:443/P?utm_source=x&b=1#f') AS uc,
+                nfc_normalize('Cafe\u0301') AS nn,
+                html_extract('<p>Hello</p><div><a href="/">nav</a></div>') AS he,
+                html_links('<a href="/x">a</a><a href=/y>b</a>') AS hl,
+                script_counts('ab \u043c\u0438\u0440').cyrillic AS cyr
+         FROM (SELECT 1)""").head()
+    assert(row.getAs[String]("uc") == "https://a.com/P?b=1")
+    assert(row.getAs[String]("nn") == "Caf\u00e9")
+    assert(row.getAs[String]("he") == "Hello")
+    assert(row.getAs[scala.collection.Seq[String]]("hl").toSeq == Seq("/x", "/y"))
+    assert(row.getAs[Long]("cyr") == 3L)
+  }
+
   test("global rank-family windows auto-route off the single-reducer plan") {
     import spark.implicits._
     // duplicate keys on purpose: rank/dense_rank tie semantics must survive
@@ -184,10 +199,10 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     (0 until 40).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "k")
       .createOrReplaceTempView("gw_skip")
-    // (FILTER-clause window aggregates never reach the optimizer — the
-    // analyzer rejects them — so only decomposability gaps are probed here.
+    // (FILTER-clause window aggregates never reach the optimizer \u2014 the
+    // analyzer rejects them \u2014 so only decomposability gaps are probed here.
     // AVG itself is now auto-routed for DoubleType results; what must stay
-    // vanilla: decimal AVG — its precision/scale propagation — try_avg's
+    // vanilla: decimal AVG \u2014 its precision/scale propagation \u2014 try_avg's
     // on-overflow-null, and bounded frames.)
     for (sql <- Seq(
       "SELECT AVG(CAST(k AS DECIMAL(10,2))) OVER (ORDER BY id) AS a FROM gw_skip",
@@ -204,7 +219,7 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("interval SUM windows are not rewritten; ANSI long overflow stays loud") {
     import spark.implicits._
-    // Spark 4's Sum also produces ANSI intervals — the exec's typed adder
+    // Spark 4's Sum also produces ANSI intervals \u2014 the exec's typed adder
     // doesn't, so eligibility must leave them on the vanilla plan
     (1 to 10).map(i => (i.toLong, i)).toDF("id", "h").createOrReplaceTempView("gw_iv")
     val iv = spark.sql(
