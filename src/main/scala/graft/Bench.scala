@@ -64,7 +64,15 @@ object Bench {
       spark.range(500000000L).selectExpr("sum(id)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val canaryBefore = canary()
+    // r14 lesson: the host degraded BETWEEN healthy bookend canaries and the
+    // record looked clean while a trivial groupBy billed 58 s. The canary
+    // now INTERLEAVES every `canaryEvery` queries, each query is tagged with
+    // its bracketing canary window, and queries whose window was degraded
+    // get one extra run at the end if the host has recovered — so a
+    // poisoned sample is visible in the JSON and, when possible, replaced
+    // by a healthy one rather than silently distorting the headline.
+    val canaryEvery = 20
+    val canaries = scala.collection.mutable.ArrayBuffer[Double](canary())
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q1_agg,d_simhash narrows the run for
     // iteration; the driver leaves it unset (full suite)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -80,9 +88,12 @@ object Bench {
     // SUCCESSFUL runs only (a fast failure must not masquerade as a fast
     // result), and it is reported as errored only when BOTH runs fail — a
     // transient one-run failure surfaces in "raw"/"flaky", not "errors".
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val windowOf = scala.collection.mutable.Map.empty[String, Int]
+    val results0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi > 0 && qi % canaryEvery == 0) canaries += canary()
+      windowOf(name) = canaries.size - 1
       def run(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err =
@@ -109,7 +120,41 @@ object Bench {
       val runs =
         if ((ok.size == 2 && ok.max / ok.min > 2.5) || ok.size == 1) two :+ run()
         else two
-      (name, runs)
+      (name, (fn, runs))
+    }
+    canaries += canary() // closes the last window (window w = canaries(w)..(w+1))
+    // a canary is healthy if it's within noise of the best one this run saw
+    // (relative, so the check doesn't assume a core count) AND the absolute
+    // floor a healthy multicore host shows for a data-independent 5e8 sum
+    val minC = canaries.min
+    def healthyC(c: Double): Boolean = c <= math.max(2.0 * minC, minC + 0.2)
+    def windowHealthy(w: Int): Boolean =
+      healthyC(canaries(w)) && healthyC(canaries(w + 1))
+    val degraded = results0.collect {
+      case (name, _) if !windowHealthy(windowOf(name)) => name
+    }.toSet
+    // recovery pass: degraded-window queries get ONE extra run each, taken
+    // only while the host is demonstrably healthy again (canary-bracketed,
+    // re-checked every `canaryEvery` retries) — best-of then prefers the
+    // healthy sample naturally via min-over-successes
+    val retryRuns = scala.collection.mutable.Map.empty[String, (Double, Option[String])]
+    if (degraded.nonEmpty) {
+      var c = canary(); canaries += c
+      var i = 0
+      for ((name, (fn, _)) <- results0 if degraded(name) && healthyC(c)) {
+        val t0 = System.nanoTime()
+        val err =
+          try { materialize(fn(spark, sfDir)); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+          } finally ops.Pins.releaseAll()
+        retryRuns(name) = ((System.nanoTime() - t0) / 1e9, err)
+        i += 1
+        if (i % canaryEvery == 0) { c = canary(); canaries += c }
+      }
+    }
+    val results = results0.map { case (name, (_, runs)) =>
+      (name, runs ++ retryRuns.get(name).toSeq)
     }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
@@ -129,9 +174,15 @@ object Bench {
     // r1/r2 single-run headline; "value" (min-of-2) is the steady-state
     // number and ~25-30% lower by methodology, not by code speedup
     val totalRun1 = results.map(_._2.head._1).sum
-    val canaryAfter = canary()
+    val canaryJson = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val winJson = results.map { case (k, _) =>
+      val w = windowOf(k)
+      s"${jstr(k)}:[${f"${canaries(w)}%.3f"},${f"${canaries(w + 1)}%.3f"}]"
+    }.mkString("{", ",", "}")
+    val hostDegraded = canaries.exists(c => !healthyC(c))
+    val retriedJson = degraded.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_run1":$totalRun1,"canary_before_sec":$canaryBefore,"canary_after_sec":$canaryAfter,"canary":"range(5e8).sum, data-independent; healthy 32-core host ~0.1-0.3 s - a high canary marks the whole record host-degraded","timing":"per-query best of 2 runs, +1 tie-breaker run on >2.5x spread between successes or a 1-of-2 failure; value_run1 sums first runs (single-run comparable)","queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_run1":$totalRun1,"canary_before_sec":${canaries.head},"canary_after_sec":${canaries.last},"canaries":$canaryJson,"canary_every":$canaryEvery,"host_degraded":$hostDegraded,"degraded_window_queries":$retriedJson,"query_window_canaries":$winJson,"canary":"range(5e8).sum, data-independent, interleaved every $canaryEvery queries; healthy 32-core host ~0.1-0.3 s - a canary >max(2x min, min+0.2s) marks its bracketed window degraded; degraded-window queries get one extra healthy-host run","timing":"per-query best of 2 runs, +1 tie-breaker run on >2.5x spread between successes or a 1-of-2 failure, +1 recovery run for degraded-window queries; value_run1 sums first runs (single-run comparable)","queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
     // file copy first (survives log interleaving), then the line alone on
     // stdout after Spark is quiet
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),

@@ -257,6 +257,113 @@ object Dedup {
     }
   }
 
+  /** Incremental MinHash-LSH near-duplicate dedup against a persisted BAND
+    * store — the cross-batch form of [[minhashLshPairs]], completing the
+    * incremental family ([[incrementalDedup]] = exact fingerprints,
+    * [[incrementalNearDedup]] = SimHash/Hamming, this = MinHash/Jaccard):
+    * a continuously-crawling corpus sees today's batch carry shingle-level
+    * near-copies of documents ingested months ago, whose text is long gone
+    * but whose banded MinHash keys are not. The store (a
+    * [[graft.world.World]]) keeps one row per (document, band): dim 0 is
+    * the unique row key `doc_id * bands + bandIdx` (doc ids need
+    * 64/bands-bit headroom), payload (band, bh, seen_id) — three longs per
+    * band row, `bands` rows per document ever observed. NO text, shingles
+    * or full signatures are stored: at the LSH operating point a BAND
+    * COLLISION IS the decision (the same contract as `d_minhash_lsh`; the
+    * provably-exact jaccard=1 operating point is oracle-gated by
+    * `d_minhash_inc`, the probabilistic recall curve by DedupSpec), so the
+    * banded keys are the entire memory of the corpus.
+    *
+    * Per batch: (1) within-batch band self-join — smaller id wins; (2)
+    * survivors' band keys equality-join the store on (band, bh) and any
+    * hit drops; (3) every batch doc's band rows — losers included, see the
+    * non-transitivity note in [[incrementalNearDedup]] — register via
+    * idempotent `tryInsert`. Docs with NO shingles (empty/whitespace-only
+    * text; sub-width docs still yield one all-words shingle) can neither
+    * collide nor witness: they pass through fresh and never register. Crash/replay contract as the siblings:
+    * `onFresh` runs downstream-first, results are pinned ([[Pins]], caller
+    * releases) before the store mutates, a replayed batch re-admits
+    * nothing (self-hits), and partial registration repairs on replay.
+    * `registerLosers = false` is the kept-docs-only mode with the same
+    * bounded-store/recall-hole trade documented on the SimHash sibling.
+    */
+  def incrementalMinHashLsh(world: graft.world.World, batch: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 8,
+      onFresh: DataFrame => Unit = _ => (),
+      registerLosers: Boolean = true): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val dimCol = world.dims.head.column
+    val spark = batch.sparkSession
+
+    val withSh = parallelize(batch).withColumn("__sh", shingles(col(textCol)))
+    // banded keys per doc, one fused codegen'd pass (see minhashLshPairs);
+    // the .distinct() in the self-join input is the same semantic no-op
+    // that plants an Exchange so ReuseExchange hashes the corpus ONCE
+    def bandsOf(df: DataFrame): DataFrame = df
+      .where(size(col("__sh")) > 0)
+      .select(col(idCol), posexplode(
+        graft.functions.MinHashBandKeys(col("__sh"), numHashes, bands))
+        .as(Seq("__band", "__bh")))
+
+    // (1) within-batch: any band collision decides; smaller id wins
+    val batchBands = bandsOf(withSh).distinct()
+    val intraDrops = batchBands
+      .select(col(idCol).as("__ia"), col("__band"), col("__bh"))
+      .join(batchBands.select(col(idCol).as("__ib"), col("__band"),
+        col("__bh")), Seq("__band", "__bh"))
+      .where(col("__ia") < col("__ib"))
+      .select(col("__ib").as(idCol)).distinct()
+    // pinned: shared subtree of the store probe, the fresh anti-join and
+    // the registration (released by the caller via Pins.releaseAll)
+    val intra = Pins.pin(withSh.join(intraDrops, Seq(idCol), "left_anti"))
+
+    def bandRows(df: DataFrame): DataFrame = bandsOf(df).select(
+      (col(idCol) * bands + col("__band")).as(dimCol),
+      col("__band").cast("long").as("band"),
+      col("__bh").as("bh"),
+      col(idCol).as("seen_id"))
+
+    // virgin store checked on the filesystem (Spark 4 resolves a missing
+    // source lazily; a catch would fire too late) — as in the siblings
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(world.path),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(world.path)
+    val virgin = !fs.exists(root) || fs.listStatus(root).isEmpty
+    if (virgin) {
+      val fresh = intra.drop("__sh")
+      onFresh(fresh)
+      world.create(bandRows(if (registerLosers) withSh else intra))
+      fresh
+    } else {
+      // (2) cross-batch: candidates from the (band, bh) equality join only
+      val hits = bandsOf(intra)
+        .join(world.df.select(col("band").as("__band"), col("bh").as("__bh"),
+          col("seen_id")), Seq("__band", "__bh"))
+        .select(col(idCol), col("seen_id")).distinct()
+      val crossDrops = hits.select(idCol).distinct()
+      // pinned BEFORE the store mutates — the self-anti-join trap, see
+      // incrementalDedup's scaladoc
+      val freshSh = Pins.pin(intra.join(crossDrops, Seq(idCol), "left_anti"))
+      val fresh = freshSh.drop("__sh")
+      onFresh(fresh)
+      if (registerLosers) {
+        // (3) all observed docs register, losers included; tryInsert keeps
+        // replays idempotent and repairs partial registration
+        world.tryInsert(bandRows(withSh))
+      } else {
+        // kept-only: admissions plus SELF-hit replays (repair contract as
+        // the SimHash sibling), pinned before feeding the store's mutation
+        val selfHits = hits.where(col("seen_id") === col(idCol))
+          .select(idCol).distinct()
+        val selfHitSh = Pins.pin(intra.join(selfHits, Seq(idCol), "left_semi"))
+        world.tryInsert(bandRows(freshSh.unionByName(selfHitSh)))
+      }
+      fresh
+    }
+  }
+
   /** Distributed connected components over an undirected edge list —
     * transitive near-duplicate GROUPS from a pair list (a near-dup relation
     * is not transitive, so group formation needs real graph connectivity,

@@ -35,7 +35,10 @@ object Mixture {
 
   /** @param df        input; must carry a unique bigint `doc_id`
     * @param sourceCol grouping column (the mixture component)
-    * @param weightCol per-doc weight (tokens, chars, bytes — any positive bigint)
+    * @param weightCol per-doc weight (tokens, chars, bytes — any
+    *                  NON-NEGATIVE bigint; a negative weight makes the
+    *                  running sum non-monotone, so prefix semantics are
+    *                  undefined — it fails loudly row-by-row)
     * @param budget    per-source budget; must be a pure function of
     *                  `sourceCol` (constant within a source — the prefix
     *                  ranges compare against one budget per source)
@@ -50,6 +53,14 @@ object Mixture {
         s"graft mixture: input must not carry a column named $c"))
     val outCols = df.columns.map(col).toSeq
     val d = df
+      // the non-negativity contract, ENFORCED (a scaladoc alone let w<0
+      // through to silently-undefined prefix semantics): the guard rides
+      // the weight expression itself so the optimizer can never prune it,
+      // and it codegens to one branch per row — free on the scan
+      .withColumn(weightCol,
+        when(col(weightCol) >= 0, col(weightCol)).otherwise(raise_error(
+          concat(lit(s"graft mixture: negative $weightCol for doc_id "),
+            col("doc_id").cast("string")))))
       .withColumn("_ok", md5(col("doc_id").cast("string")))
       .withColumn("_bk", conv(substring(col("_ok"), 1, hexDigits), 16, 10).cast("long"))
       .withColumn("_budget", budget)
@@ -63,11 +74,15 @@ object Mixture {
       .select(col(sourceCol), col("_bk"), col("_cumStart"), col("_cumEnd"))
     val joined = d.join(ranges, Seq(sourceCol, "_bk"))
     val whole = joined.where(col("_cumEnd") <= col("_budget"))
-    // the straddling bucket: the ONLY rows that need a per-row running sum
+    // the straddling bucket: the ONLY rows that need a per-row running sum.
+    // _cumStart <= budget (not <): a bucket STARTING exactly at the budget
+    // can still contribute its leading ZERO-weight docs (cum == budget is
+    // inside the inclusive prefix); with all-positive weights the extra
+    // bucket scans and keeps nothing — same answer, one more bounded task
     val intra = Window.partitionBy(col(sourceCol), col("_bk"))
       .orderBy(col("_ok"), col("doc_id"))
     val straddle = joined
-      .where(col("_cumStart") < col("_budget") && col("_cumEnd") > col("_budget"))
+      .where(col("_cumStart") <= col("_budget") && col("_cumEnd") > col("_budget"))
       .withColumn("_cum", col("_cumStart") + sum(col(weightCol)).over(intra))
       .where(col("_cum") <= col("_budget"))
     whole.select(outCols: _*).unionByName(straddle.select(outCols: _*))

@@ -40,6 +40,20 @@ object Multimodal {
       encode(col(payloadCol), "UTF-8").as("media"),
       lit("text/plain").as("media_type"))
 
+  /** Input-split-independent fan-out for the heavy per-row codec stages:
+    * their parallelism otherwise inherits the INPUT split count, and a
+    * single multi-GB file (documents.parquet is one 594 KB file at bench
+    * scale; one giant archive at 100 TB) serializes the whole decode stage
+    * through one task. `fanOut > 0` forces a round-robin repartition to
+    * exactly that many tasks ahead of the decode — one narrow shuffle of
+    * the raw bytes, bought back many times over by parallel codec CPU.
+    * `fanOut == 0` (the default) keeps the input splits untouched, so
+    * existing plans and bench numbers are unchanged. */
+  private[graft] def fanned[T](rows: Dataset[T], fanOut: Int): Dataset[T] = {
+    require(fanOut >= 0, s"fanOut must be >= 0, got $fanOut")
+    if (fanOut > 0) rows.repartition(fanOut) else rows
+  }
+
   /** STUB decode + feature extraction for NON-JDK codecs (webp/opus/…,
     * whose libraries are absent from this container): features are a
     * deterministic function of the bytes (length + 8 byte-histogram
@@ -47,9 +61,10 @@ object Multimodal {
     * batch shape, schema — is real and tested. For formats the JDK itself
     * decodes, use the REAL paths: [[decodeImages]] / [[decodeAudio]].
     */
-  def fakeDecodeFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def fakeDecodeFeatures(spark: SparkSession, media: Dataset[MediaRow],
+      fanOut: Int = 0): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.mapPartitions { rows =>
+    fanned(media, fanOut).mapPartitions { rows =>
       // per-partition init of the (stub) "codec" happens once here
       rows.map { r =>
         val hist = new Array[Float](8)
@@ -71,9 +86,10 @@ object Multimodal {
     * materialized intermediate collection per doc) is the real contract for
     * a 100 TB video corpus. */
   def fakeFrameSample(spark: SparkSession, media: Dataset[MediaRow],
-      frameBytes: Int = 64, stride: Int = 2): Dataset[FrameFeatures] = {
+      frameBytes: Int = 64, stride: Int = 2,
+      fanOut: Int = 0): Dataset[FrameFeatures] = {
     import spark.implicits._
-    media.mapPartitions { rows =>
+    fanned(media, fanOut).mapPartitions { rows =>
       rows.flatMap { r =>
         // ceil: the trailing partial frame is still a frame
         val nFrames = math.max(1, (r.media.length + frameBytes - 1) / frameBytes)
@@ -123,9 +139,10 @@ object Multimodal {
     * registry is JVM-global, so one task amortizes codec lookup over its
     * whole batch). Yields dimensions for every JDK-readable format and the
     * exact mean gray for lossless ones. */
-  def decodeImages(spark: SparkSession, rows: Dataset[ImageRow]): Dataset[ImageMeta] = {
+  def decodeImages(spark: SparkSession, rows: Dataset[ImageRow],
+      fanOut: Int = 0): Dataset[ImageMeta] = {
     import spark.implicits._
-    rows.mapPartitions { it =>
+    fanned(rows, fanOut).mapPartitions { it =>
       it.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.media))
@@ -202,9 +219,9 @@ object Multimodal {
     * iterator — the same no-materialized-intermediate contract as the
     * stub, now over genuine container bytes. */
   def sampleAviFrames(spark: SparkSession, rows: Dataset[MediaBytesRow],
-      stride: Int = 2): Dataset[VideoFrame] = {
+      stride: Int = 2, fanOut: Int = 0): Dataset[VideoFrame] = {
     import spark.implicits._
-    rows.mapPartitions { it =>
+    fanned(rows, fanOut).mapPartitions { it =>
       it.flatMap { r =>
         val b = r.media
         def u32(off: Int): Int =
@@ -322,9 +339,10 @@ object Multimodal {
     * fields, codec from the first stsd entry, sample count from stsz.
     * Malformed containers fail LOUDLY naming the doc. Per-partition,
     * iterator fan-out, zero shuffles — the AVI walker's contract. */
-  def demuxMp4Meta(spark: SparkSession, rows: Dataset[MediaBytesRow]): Dataset[Mp4Meta] = {
+  def demuxMp4Meta(spark: SparkSession, rows: Dataset[MediaBytesRow],
+      fanOut: Int = 0): Dataset[Mp4Meta] = {
     import spark.implicits._
-    rows.mapPartitions { it =>
+    fanned(rows, fanOut).mapPartitions { it =>
       it.flatMap { r =>
         val b = r.media
         def u32(off: Int): Long =
@@ -432,9 +450,10 @@ object Multimodal {
     * strip it), recursive descent through Segment → Info/Tracks →
     * TrackEntry → Video, one row per track entry. Malformed streams fail
     * LOUDLY naming the doc. */
-  def demuxWebmMeta(spark: SparkSession, rows: Dataset[MediaBytesRow]): Dataset[WebmMeta] = {
+  def demuxWebmMeta(spark: SparkSession, rows: Dataset[MediaBytesRow],
+      fanOut: Int = 0): Dataset[WebmMeta] = {
     import spark.implicits._
-    rows.mapPartitions { it =>
+    fanned(rows, fanOut).mapPartitions { it =>
       it.flatMap { r =>
         val b = r.media
         // (value, bytesConsumed); keepMarker for IDs
@@ -531,9 +550,10 @@ object Multimodal {
     * headers (rate, channels, frame count) and the PCM body streams
     * through a peak-amplitude scan — the feature-extraction shape of an
     * audio-quality gate, exact because PCM is lossless. */
-  def decodeAudio(spark: SparkSession, rows: Dataset[MediaBytesRow]): Dataset[AudioMeta] = {
+  def decodeAudio(spark: SparkSession, rows: Dataset[MediaBytesRow],
+      fanOut: Int = 0): Dataset[AudioMeta] = {
     import spark.implicits._
-    rows.mapPartitions { it =>
+    fanned(rows, fanOut).mapPartitions { it =>
       it.map { r =>
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(r.media))

@@ -1,0 +1,536 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** PDF text extraction (r15): real pretraining corpora are HTML + PDF, and
+  * the pipeline ingests WARC/HTML end-to-end ([[Warc]], [[Clean]]) but had
+  * no PDF path. This is a pure-JVM ISO 32000 SUBSET by the established
+  * honest-container discipline (the [[Multimodal]] box walk, the [[Warc]]
+  * grammar walk): no rendering, no fonts, no external library — the parts
+  * of the spec a text-extraction pass actually needs, parsed for real:
+  *
+  *   - `startxref` → classic cross-reference TABLE → object offsets
+  *     (the trailer dict's /Root anchors the document tree);
+  *   - the object grammar: dictionaries, arrays, names, numbers, literal
+  *     `(...)` strings with escapes, hex `<...>` strings, `N 0 R`
+  *     indirect references (resolved through the xref), booleans/null;
+  *   - `stream` payloads addressed by /Length (itself possibly indirect),
+  *     decompressed when /Filter /FlateDecode via `java.util.zip.Inflater`
+  *     — the one filter real text PDFs use;
+  *   - the page tree: /Root → /Pages → /Kids (nested trees flatten in
+  *     order) → per-page /Contents (single stream or array, concatenated);
+  *   - the content-stream TEXT operators: `BT`/`ET` blocks, `Tj` and `'`
+  *     (show string), `TJ` (show array — strings concatenate, kerning
+  *     numbers are ignored), with `Td`/`TD`/`T*`/`'` line moves emitting
+  *     newlines between shows. Graphics operators pass through untouched.
+  *
+  * Extraction text policy (deterministic, what the oracle restates): within
+  * a BT block, every line-move operator AFTER the first text show appends
+  * `\n`; shows on the same line concatenate directly. Pages emit one row
+  * each, in page-tree order.
+  *
+  * Malformed documents fail LOUDLY naming the doc — a corpus wants dead
+  * PDFs surfaced, not silently absorbed ([[Warc]]'s contract). Per
+  * partition, iterator fan-out, zero shuffles, O(bytes) per doc; the
+  * optional `fanOut` pre-repartition is [[Multimodal.fanned]]'s
+  * input-split-independence lever.
+  *
+  * Out of honest scope (documented, not stubbed): xref STREAMS and object
+  * streams (1.5+ compressed xref), encryption, non-Flate filters,
+  * font-encoded (non-ASCII cmap) text — the planted-corpus generator
+  * [[encode]] emits only the supported subset, like the media encoders.
+  */
+object Pdf {
+
+  final case class PdfPageText(doc_id: Long, page: Long, text: String)
+
+  // ------------------------------------------------------------------
+  // encoder: deterministic test-corpus generator (production pipelines
+  // read their PDFs from storage; same discipline as Multimodal.encodeImage)
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+
+  /** Build a real multi-page PDF: `pages` is one Seq of text lines per
+    * page. Each line becomes its own `Tj` show preceded by a `Td` line
+    * move; even lines render via `Tj`, odd lines via a 2-part `TJ` array
+    * (so both show forms are always exercised). `flate` compresses the
+    * content streams through real zlib. */
+  def encode(pages: Seq[Seq[String]], flate: Boolean = true): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val bos = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def beginObj(): Unit = offsets += bos.size()
+
+    val nPages = pages.size
+    // object ids: 1 catalog, 2 pages, then per page i: (3+2i) page,
+    // (4+2i) its content stream, finally the font object
+    val fontId = 3 + 2 * nPages
+    put("%PDF-1.4\n")
+    beginObj()
+    put("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    beginObj()
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    put(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $nPages >> endobj\n")
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val pageId = 3 + 2 * i
+      val contId = 4 + 2 * i
+      beginObj()
+      put(s"$pageId 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontId 0 R >> >> " +
+        s"/Contents $contId 0 R >> endobj\n")
+      val body = new StringBuilder("BT /F1 12 Tf ")
+      lines.zipWithIndex.foreach { case (line, li) =>
+        body.append(if (li == 0) "72 720 Td " else "0 -14 Td ")
+        if (li % 2 == 0) body.append(s"(${escape(line)}) Tj ")
+        else {
+          // split roughly in half so the TJ path exercises concatenation
+          val cut = line.length / 2
+          body.append(s"[(${escape(line.take(cut))}) -250 " +
+            s"(${escape(line.drop(cut))})] TJ ")
+        }
+      }
+      body.append("ET")
+      val raw = body.toString.getBytes("ISO-8859-1")
+      val payload = if (flate) deflate(raw) else raw
+      beginObj()
+      put(s"$contId 0 obj << /Length ${payload.length}" +
+        (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      bos.write(payload)
+      put("\nendstream endobj\n")
+    }
+    beginObj()
+    put(s"$fontId 0 obj << /Type /Font /Subtype /Type1 " +
+      "/BaseFont /Helvetica >> endobj\n")
+    val xrefOff = bos.size()
+    val n = offsets.size + 1
+    put(s"xref\n0 $n\n0000000000 65535 f \n")
+    offsets.foreach(o => put(f"$o%010d 00000 n \n"))
+    put(s"trailer << /Size $n /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  private def inflate(raw: Array[Byte], docId: Long): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(raw)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!inf.finished()) {
+        val k = inf.inflate(buf)
+        require(k > 0 || inf.finished(),
+          s"doc $docId: truncated FlateDecode stream")
+        out.write(buf, 0, k)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  // ------------------------------------------------------------------
+  // object grammar
+
+  private sealed trait PVal
+  private final case class PNum(v: Double) extends PVal
+  private final case class PName(v: String) extends PVal
+  private final case class PStr(v: String) extends PVal
+  private final case class PRef(id: Int) extends PVal
+  private final case class PArr(v: Vector[PVal]) extends PVal
+  private final case class PDict(v: Map[String, PVal]) extends PVal
+  private final case class POp(v: String) extends PVal // bare keyword/operator
+  private case object PNull extends PVal
+
+  /** Recursive-descent reader over the raw bytes. `contentMode` keeps bare
+    * keywords as operators (content streams) instead of erroring. */
+  private final class Lexer(b: Array[Byte], var p: Int, docId: Long,
+      contentMode: Boolean) {
+    private def ws(c: Byte): Boolean =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == 12
+    private def delim(c: Byte): Boolean =
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' ||
+        c == ']' || c == '/' || c == '%'
+    def skipWs(): Unit = {
+      while (p < b.length && (ws(b(p)) || b(p) == '%')) {
+        if (b(p) == '%') { while (p < b.length && b(p) != '\n') p += 1 }
+        else p += 1
+      }
+    }
+    def atEnd: Boolean = { skipWs(); p >= b.length }
+    def peek: Byte = b(p)
+
+    def next(): PVal = {
+      skipWs()
+      require(p < b.length, s"doc $docId: unexpected end of PDF data")
+      ((b(p) & 0xff).toChar) match {
+        case '/' =>
+          p += 1; val s = p
+          while (p < b.length && !ws(b(p)) && !delim(b(p))) p += 1
+          PName(new String(b, s, p - s, "ISO-8859-1"))
+        case '(' => pstring()
+        case '<' =>
+          if (p + 1 < b.length && b(p + 1) == '<') pdict()
+          else phex()
+        case '[' =>
+          p += 1
+          val items = Vector.newBuilder[PVal]
+          while ({ skipWs(); b(p) != ']' }) items += next()
+          p += 1
+          PArr(items.result())
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          val s = p
+          p += 1
+          while (p < b.length && !ws(b(p)) && !delim(b(p))) p += 1
+          val tok = new String(b, s, p - s, "ISO-8859-1")
+          val num = tok.toDoubleOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"doc $docId: malformed number '$tok' at offset $s"))
+          // `N G R` indirect reference lookahead (only in object mode;
+          // content streams never contain refs)
+          if (!contentMode && num == num.floor && num >= 0) {
+            val save = p
+            skipWs(); val s2 = p
+            while (p < b.length && !ws(b(p)) && !delim(b(p))) p += 1
+            val gen = new String(b, s2, p - s2, "ISO-8859-1")
+            skipWs()
+            if (gen.nonEmpty && gen.forall(_.isDigit) &&
+                p < b.length && b(p) == 'R' &&
+                (p + 1 >= b.length || ws(b(p + 1)) || delim(b(p + 1)))) {
+              p += 1
+              return PRef(num.toInt)
+            }
+            p = save
+          }
+          PNum(num)
+        case _ =>
+          val s = p
+          while (p < b.length && !ws(b(p)) && !delim(b(p))) p += 1
+          val kw = new String(b, s, p - s, "ISO-8859-1")
+          kw match {
+            case "true" | "false" => PNum(if (kw == "true") 1 else 0)
+            case "null" => PNull
+            case _ if contentMode && kw.nonEmpty => POp(kw)
+            case _ => throw new IllegalArgumentException(
+              s"doc $docId: unexpected token '$kw' at offset $s")
+          }
+      }
+    }
+
+    private def pstring(): PStr = {
+      p += 1
+      val sb = new StringBuilder
+      var depth = 1
+      while (depth > 0) {
+        require(p < b.length, s"doc $docId: unterminated string literal")
+        ((b(p) & 0xff).toChar) match {
+          case '\\' =>
+            p += 1
+            ((b(p) & 0xff).toChar) match {
+              case 'n' => sb.append('\n'); p += 1
+              case 'r' => sb.append('\r'); p += 1
+              case 't' => sb.append('\t'); p += 1
+              case 'b' => sb.append('\b'); p += 1
+              case 'f' => sb.append('\f'); p += 1
+              case '(' => sb.append('('); p += 1
+              case ')' => sb.append(')'); p += 1
+              case '\\' => sb.append('\\'); p += 1
+              case c if c >= '0' && c <= '7' =>
+                var v = 0; var k = 0
+                while (k < 3 && p < b.length && b(p) >= '0' && b(p) <= '7') {
+                  v = v * 8 + (b(p) - '0'); p += 1; k += 1
+                }
+                sb.append(v.toChar)
+              case '\n' => p += 1 // line continuation
+              case c => sb.append(c.toChar); p += 1
+            }
+          case '(' => depth += 1; sb.append('('); p += 1
+          case ')' =>
+            depth -= 1
+            if (depth > 0) sb.append(')')
+            p += 1
+          case c => sb.append((c & 0xff).toChar); p += 1
+        }
+      }
+      PStr(sb.toString)
+    }
+
+    private def phex(): PStr = {
+      p += 1
+      val sb = new StringBuilder
+      val hex = new StringBuilder
+      while ({ skipWs(); b(p) != '>' }) {
+        hex.append(b(p).toChar); p += 1
+      }
+      p += 1
+      val h = if (hex.length % 2 == 1) hex.append('0') else hex
+      var i = 0
+      while (i < h.length) {
+        sb.append(Integer.parseInt(h.substring(i, i + 2), 16).toChar)
+        i += 2
+      }
+      PStr(sb.toString)
+    }
+
+    private def pdict(): PDict = {
+      p += 2
+      val m = Map.newBuilder[String, PVal]
+      while ({ skipWs(); !(b(p) == '>' && b(p + 1) == '>') }) {
+        val k = next() match {
+          case PName(n) => n
+          case other => throw new IllegalArgumentException(
+            s"doc $docId: dict key must be a name, got $other")
+        }
+        m += k -> next()
+      }
+      p += 2
+      PDict(m.result())
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // document walk
+
+  private final class Doc(b: Array[Byte], docId: Long) {
+    // startxref: the last occurrence near the tail
+    private val xrefOff: Int = {
+      val tail = new String(b, math.max(0, b.length - 256),
+        math.min(256, b.length), "ISO-8859-1")
+      val i = tail.lastIndexOf("startxref")
+      require(i >= 0, s"doc $docId: no startxref marker")
+      tail.substring(i + 9).trim.takeWhile(_.isDigit) match {
+        case "" => throw new IllegalArgumentException(
+          s"doc $docId: malformed startxref offset")
+        case d => d.toInt
+      }
+    }
+
+    // classic xref table -> object id -> byte offset, plus the trailer dict
+    private val (offsets: Map[Int, Int], trailer: PDict) = {
+      var p = xrefOff
+      def line(): String = {
+        val s = p
+        while (b(p) != '\n' && b(p) != '\r') p += 1
+        val l = new String(b, s, p - s, "ISO-8859-1").trim
+        while (p < b.length && (b(p) == '\n' || b(p) == '\r')) p += 1
+        l
+      }
+      require(line() == "xref",
+        s"doc $docId: startxref does not point at a classic xref table " +
+          "(xref STREAMS are out of the supported subset)")
+      val m = Map.newBuilder[Int, Int]
+      var lineStart = p
+      var l = line()
+      while (!l.startsWith("trailer")) {
+        val parts = l.split("\\s+")
+        require(parts.length == 2 && parts.forall(_.forall(_.isDigit)),
+          s"doc $docId: malformed xref section header '$l'")
+        val Array(start, count) = parts.map(_.toInt)
+        var i = 0
+        while (i < count) {
+          val e = line()
+          if (e.endsWith("n")) m += (start + i) -> e.substring(0, 10).toInt
+          i += 1
+        }
+        lineStart = p
+        l = line()
+      }
+      // the trailer dict may share the keyword's line — lex from just past
+      // the keyword at its true byte offset (line() trims, so re-find the
+      // keyword in the raw bytes rather than trusting string indexes)
+      p = lineStart
+      while (p + 7 <= b.length &&
+        new String(b, p, 7, "ISO-8859-1") != "trailer") p += 1
+      p += 7
+      val lx = new Lexer(b, p, docId, contentMode = false)
+      lx.next() match {
+        case d: PDict => (m.result(), d)
+        case other => throw new IllegalArgumentException(
+          s"doc $docId: trailer is not a dictionary: $other")
+      }
+    }
+
+    /** Parse object `id` at its xref offset: `id gen obj <value>`. Returns
+      * (value, body-lexer position after the value) for stream handling. */
+    private def parseObj(id: Int): (PVal, Lexer) = {
+      val off = offsets.getOrElse(id, throw new IllegalArgumentException(
+        s"doc $docId: object $id not in xref"))
+      val lx = new Lexer(b, off, docId, contentMode = false)
+      lx.next(); lx.next() // id, generation
+      lx.skipWs()
+      require(lx.p + 3 <= b.length &&
+        new String(b, lx.p, 3, "ISO-8859-1") == "obj",
+        s"doc $docId: object $id: missing obj keyword at offset $off")
+      lx.p += 3
+      (lx.next(), lx)
+    }
+
+    private def resolve(v: PVal): PVal = v match {
+      case PRef(id) => resolve(parseObj(id)._1)
+      case other => other
+    }
+
+    /** The decoded bytes of stream object `id`. */
+    private def streamBytes(id: Int): Array[Byte] = {
+      val (v, lx) = parseObj(id)
+      val dict = v match {
+        case d: PDict => d
+        case other => throw new IllegalArgumentException(
+          s"doc $docId: object $id is not a stream dict: $other")
+      }
+      val len = resolve(dict.v.getOrElse("Length",
+        throw new IllegalArgumentException(
+          s"doc $docId: stream object $id lacks /Length"))) match {
+        case PNum(n) => n.toInt
+        case other => throw new IllegalArgumentException(
+          s"doc $docId: stream /Length is not a number: $other")
+      }
+      lx.skipWs()
+      require(new String(b, lx.p, 6, "ISO-8859-1") == "stream",
+        s"doc $docId: object $id: expected stream keyword")
+      lx.p += 6
+      if (b(lx.p) == '\r') lx.p += 1
+      if (b(lx.p) == '\n') lx.p += 1
+      val raw = java.util.Arrays.copyOfRange(b, lx.p, lx.p + len)
+      dict.v.get("Filter").map(resolve) match {
+        case Some(PName("FlateDecode")) => inflate(raw, docId)
+        case Some(other) => throw new IllegalArgumentException(
+          s"doc $docId: unsupported stream filter $other (only FlateDecode)")
+        case None => raw
+      }
+    }
+
+    /** Page object ids in tree order. */
+    private def pageIds: Vector[Int] = {
+      val root = resolve(trailer.v.getOrElse("Root",
+        throw new IllegalArgumentException(s"doc $docId: trailer lacks /Root")))
+      val pagesRef = root match {
+        case PDict(m) => m.getOrElse("Pages",
+          throw new IllegalArgumentException(s"doc $docId: catalog lacks /Pages"))
+        case other => throw new IllegalArgumentException(
+          s"doc $docId: /Root is not a dict: $other")
+      }
+      def walk(v: PVal): Vector[Int] = v match {
+        case PRef(id) => resolve(PRef(id)) match {
+          case PDict(m) => m.get("Type") match {
+            case Some(PName("Pages")) =>
+              m.get("Kids") match {
+                case Some(PArr(kids)) => kids.flatMap(walk)
+                case _ => throw new IllegalArgumentException(
+                  s"doc $docId: /Pages node lacks /Kids")
+              }
+            case Some(PName("Page")) => Vector(id)
+            case t => throw new IllegalArgumentException(
+              s"doc $docId: unexpected page-tree node type $t")
+          }
+          case other => throw new IllegalArgumentException(
+            s"doc $docId: page-tree node is not a dict: $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"doc $docId: page-tree entry is not a reference: $other")
+      }
+      walk(pagesRef)
+    }
+
+    /** Text of page object `id` under the extraction policy. */
+    private def pageText(id: Int): String = {
+      val dict = resolve(PRef(id)) match {
+        case d: PDict => d
+        case other => throw new IllegalArgumentException(
+          s"doc $docId: page $id is not a dict: $other")
+      }
+      val content = dict.v.get("Contents") match {
+        case Some(PRef(cid)) => streamBytes(cid)
+        case Some(PArr(parts)) =>
+          val out = new java.io.ByteArrayOutputStream()
+          parts.foreach {
+            case PRef(cid) => out.write(streamBytes(cid)); out.write('\n')
+            case other => throw new IllegalArgumentException(
+              s"doc $docId: /Contents array entry is not a ref: $other")
+          }
+          out.toByteArray
+        case None => return ""
+        case other => throw new IllegalArgumentException(
+          s"doc $docId: unsupported /Contents form: $other")
+      }
+      extractText(content, docId)
+    }
+
+    def pages: Vector[String] = pageIds.map(pageText)
+  }
+
+  /** Content-stream text extraction — the operator walk (public for direct
+    * spec coverage of the policy). */
+  private[ops] def extractText(content: Array[Byte], docId: Long): String = {
+    val lx = new Lexer(content, 0, docId, contentMode = true)
+    val sb = new StringBuilder
+    val stack = scala.collection.mutable.ArrayBuffer.empty[PVal]
+    var inText = false
+    var shownOnLine = false
+    var anyShown = false
+    def newline(): Unit =
+      if (anyShown) { sb.append('\n'); shownOnLine = false }
+    def show(s: String): Unit = { sb.append(s); shownOnLine = true; anyShown = true }
+    while (!lx.atEnd) {
+      lx.next() match {
+        case POp(op) =>
+          op match {
+            case "BT" => inText = true; shownOnLine = false
+            case "ET" => inText = false
+            case "Tj" if inText => stack.lastOption match {
+              case Some(PStr(s)) => show(s)
+              case other => throw new IllegalArgumentException(
+                s"doc $docId: Tj without a string operand: $other")
+            }
+            case "'" if inText => // move to next line AND show
+              newline()
+              stack.lastOption match {
+                case Some(PStr(s)) => show(s)
+                case other => throw new IllegalArgumentException(
+                  s"doc $docId: ' without a string operand: $other")
+              }
+            case "TJ" if inText => stack.lastOption match {
+              case Some(PArr(items)) =>
+                items.foreach { case PStr(s) => show(s); case _ => () }
+              case other => throw new IllegalArgumentException(
+                s"doc $docId: TJ without an array operand: $other")
+            }
+            case "Td" | "TD" | "T*" if inText && shownOnLine => newline()
+            case _ => () // graphics/state operators: operands consumed below
+          }
+          stack.clear()
+        case v => stack += v
+      }
+    }
+    sb.toString
+  }
+
+  /** Fan PDFs out to per-page text rows: per-partition decode, iterator
+    * fan-out, zero shuffles — the [[Warc.split]] contract. */
+  def extract(spark: SparkSession,
+      rows: Dataset[Multimodal.MediaBytesRow],
+      fanOut: Int = 0): Dataset[PdfPageText] = {
+    import spark.implicits._
+    Multimodal.fanned(rows, fanOut).mapPartitions { it =>
+      it.flatMap { r =>
+        new Doc(r.media, r.doc_id).pages.zipWithIndex.map { case (t, i) =>
+          PdfPageText(r.doc_id, i.toLong, t)
+        }
+      }
+    }
+  }
+}

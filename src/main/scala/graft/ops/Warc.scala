@@ -57,7 +57,11 @@ object Warc {
     records.foreach { r =>
       val g = new java.util.zip.GZIPOutputStream(bos)
       g.write(encode(Seq(r)))
-      g.finish()
+      // close(), not just finish(): each member stream owns a native zlib
+      // Deflater that otherwise leaks until finalization — a many-million-
+      // record encode pass accumulates native memory. Closing the shared
+      // ByteArrayOutputStream underneath is a no-op, so this is safe.
+      g.close()
     }
     bos.toByteArray
   }
@@ -67,9 +71,10 @@ object Warc {
     * the decompressed stream — same grammar, same loud failures. Per-doc
     * decompression is executor-side CPU, linear in archive size. */
   def splitGz(spark: SparkSession,
-      archives: Dataset[Multimodal.MediaBytesRow]): Dataset[WarcRecord] = {
+      archives: Dataset[Multimodal.MediaBytesRow],
+      fanOut: Int = 0): Dataset[WarcRecord] = {
     import spark.implicits._
-    archives.mapPartitions { it =>
+    Multimodal.fanned(archives, fanOut).mapPartitions { it =>
       it.flatMap { r =>
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(r.media))
@@ -82,9 +87,10 @@ object Warc {
   /** Fan each archive out to its records: forward-pass header parse,
     * Content-Length-addressed payload slice, iterator per archive. */
   def split(spark: SparkSession,
-      archives: Dataset[Multimodal.MediaBytesRow]): Dataset[WarcRecord] = {
+      archives: Dataset[Multimodal.MediaBytesRow],
+      fanOut: Int = 0): Dataset[WarcRecord] = {
     import spark.implicits._
-    archives.mapPartitions { it =>
+    Multimodal.fanned(archives, fanOut).mapPartitions { it =>
       it.flatMap(r => recordsOf(r.doc_id, r.media))
     }
   }

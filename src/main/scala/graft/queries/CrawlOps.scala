@@ -291,7 +291,11 @@ object CrawlOps {
     // real splitter over the assembled text (strip trailing terminators,
     // split on [.!?]+\s+, drop empty segments, count words per segment)
     // while the oracle derives the expected stats from the slice
-    // arithmetic alone. Per-row, shuffle-free.
+    // arithmetic alone: >10 words \u2192 3 sentences, 5..10 \u2192 2, and \u22644 \u2192 1
+    // (both planted continuation sentences empty, so the trailing-
+    // terminator strip leaves a single segment \u2014 the oracle must cover
+    // that band even though the current fixture has no <5-word docs).
+    // Per-row, shuffle-free.
     "t_sentences" -> QueryDef(
       (s, dir) => {
         val w = split(trim(col("text")), "\\s+")
@@ -317,10 +321,12 @@ object CrawlOps {
                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nw
                 FROM documents)
               SELECT doc_id,
-                CAST(CASE WHEN nw > 10 THEN 3 ELSE 2 END AS BIGINT) AS n_sentences,
+                CAST(CASE WHEN nw > 10 THEN 3 WHEN nw > 4 THEN 2 ELSE 1 END
+                  AS BIGINT) AS n_sentences,
                 nw AS n_words,
-                CAST(nw * 100 // (CASE WHEN nw > 10 THEN 3 ELSE 2 END) AS BIGINT)
-                  AS mean_words_x100
+                CAST(nw * 100 //
+                  (CASE WHEN nw > 10 THEN 3 WHEN nw > 4 THEN 2 ELSE 1 END)
+                  AS BIGINT) AS mean_words_x100
               FROM p ORDER BY doc_id""")
     ),
 

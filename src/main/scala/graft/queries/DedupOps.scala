@@ -420,6 +420,45 @@ object DedupOps {
               FROM sh ORDER BY doc_id""")
     ),
 
+    // the CROSS-RUN incremental MinHash-LSH store under the full oracle
+    // gate, at the provably-exact operating point (the d_minhash_exact
+    // discipline applied to the incremental face): batch 1 registers the
+    // whole corpus's banded keys; batch 2 carries (a) EXACT-text copies of
+    // the first 30 docs under +1M ids — identical shingle set => identical
+    // signature => identical key in EVERY band, so the store join cannot
+    // miss them (no probabilistic argument), all provably dropped even
+    // when the original itself lost a within-batch-1 collision (losers
+    // register as witnesses) — and (b) 30 synthetic docs under +2M ids
+    // whose words are md5 hex strings (shingle sets disjoint from
+    // everything; a spurious all-8-hash band collision is a ~2^-64
+    // xxhash64-deterministic event), all kept. Fresh output = exactly the
+    // synthetic ids, SQL-derivable. The probabilistic sub-1.0 recall curve
+    // and the store-size/replay contracts are DedupSpec's.
+    "d_minhash_inc" -> QueryDef(
+      (s, dir) => {
+        import graft.core.DimMapping
+        import graft.world.World
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-minhash-inc").toString
+        val w = World(s, path)("bk64" -> DimMapping(0L, -1L, 1L << 59))
+        val copies = docs.where(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val synth = docs.where(col("doc_id") < 30)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(0), lit(39)),
+              i => md5(concat(lit("inc-"), col("doc_id").cast("string"),
+                lit("-"), i.cast("string")))))
+              .as("text"))
+        Dedup.incrementalMinHashLsh(w, docs, "doc_id", "text")
+        Dedup.incrementalMinHashLsh(w, copies.unionAll(synth),
+            "doc_id", "text")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id + 2000000 AS doc_id
+              FROM documents WHERE doc_id < 30 ORDER BY doc_id""")
+    ),
+
     // canonical-survivor selection by QUALITY: within each exact-duplicate
     // group, keep the highest-quality copy (stopword-density proxy, doc_id
     // tie-break) instead of the arbitrary min-id — real pipelines pick the

@@ -198,21 +198,32 @@ object Relational {
                 FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""")
     ),
 
+    // Window ORDER BY must be TOTAL for a running sum to be deterministic
+    // across engines: the synthetic lineitem does NOT have unique
+    // (l_orderkey, l_linenumber) (118k duplicate pairs at sf0.1), and one
+    // sf0.1 pair ties on the full (suppkey, shipdate, orderkey, linenumber)
+    // key with DIFFERENT quantities — either engine may order them either
+    // way, producing two different prefix-sum multisets. Appending
+    // l_quantity (and l_extendedprice) to the order makes any remaining tie
+    // value-identical in every column the output reads, so the output
+    // multiset is order-invariant. RegistrySpec's key-totality lint pins
+    // this property for every windowed query.
     "q_window_running" -> QueryDef(
       (s, dir) => {
         val w = Window.partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "lineitem")
           .withColumn("running_qty", sum(d("l_quantity")).over(w).cast("double"))
           .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
-          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
-                  PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
-              FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""")
+              FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""")
     ),
 
     // GLOBAL running total — the no-PARTITION-BY window that would

@@ -286,6 +286,93 @@ object TextOps {
               FROM clean ORDER BY doc_id""")
     ),
 
+    // PDF text extraction (r15): real pretraining corpora are HTML + PDF,
+    // and this is the PDF half of the ingestion front-end. Each doc < 200
+    // plants a deterministic TWO-PAGE PDF from its own word slices (page 1:
+    // two lines of four words, the second line rendered through a split
+    // TJ array; page 2: words 9-14 via Tj), Flate-compressed — so the
+    // extractor exercises the real chain: startxref → classic xref table →
+    // trailer /Root → page tree → /Contents stream → Inflater → content-
+    // stream BT/Td/Tj/TJ walk with the newline-per-line-move policy. The
+    // oracle restates the expected per-page text from the slice arithmetic
+    // alone (the m_mp4_meta planted-container discipline) — a wrong xref
+    // offset, stream slice, escape decode, or operator walk breaks the hash.
+    "t_pdf_extract" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val lines = t(s, dir, "documents")
+          .where(col("doc_id") < 200)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          .select(col("doc_id"),
+            concat_ws(" ", slice(col("w"), 1, 4)).as("l1"),
+            concat_ws(" ", slice(col("w"), 5, 4)).as("l2"),
+            concat_ws(" ", slice(col("w"), 9, 6)).as("l3"))
+          .as[(Long, String, String, String)]
+        val pdfs = lines.mapPartitions(_.map { case (id, l1, l2, l3) =>
+          Multimodal.MediaBytesRow(id,
+            graft.ops.Pdf.encode(Seq(Seq(l1, l2), Seq(l3))))
+        })
+        graft.ops.Pdf.extract(s, pdfs).toDF()
+          .select(col("doc_id"), col("page"), col("text"))
+          .orderBy("doc_id", "page")
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                FROM documents WHERE doc_id < 200)
+              SELECT doc_id, CAST(0 AS BIGINT) AS page,
+                array_to_string(ws[1:4], ' ') || chr(10) ||
+                array_to_string(ws[5:8], ' ') AS text
+              FROM w
+              UNION ALL
+              SELECT doc_id, CAST(1 AS BIGINT) AS page,
+                array_to_string(ws[9:14], ' ') AS text
+              FROM w
+              ORDER BY doc_id, page""")
+    ),
+
+    // the PDF path composed into the corpus pipeline (r15): PDFs → page
+    // fan-out → per-doc reassembly → token-floor gate + dedup fingerprint
+    // — p_html_corpus's contract over PDF ingestion. Reassembly is a
+    // groupBy over a BOUNDED per-doc page list (array_sort on pages, never
+    // a window over the corpus), so the only shuffle is the per-doc
+    // aggregation — scale-correct at 100 TB of archives.
+    "p_pdf_corpus" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val lines = t(s, dir, "documents")
+          .where(col("doc_id") < 200)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          .select(col("doc_id"),
+            concat_ws(" ", slice(col("w"), 1, 4)).as("l1"),
+            concat_ws(" ", slice(col("w"), 5, 4)).as("l2"),
+            concat_ws(" ", slice(col("w"), 9, 6)).as("l3"))
+          .as[(Long, String, String, String)]
+        val pdfs = lines.mapPartitions(_.map { case (id, l1, l2, l3) =>
+          Multimodal.MediaBytesRow(id,
+            graft.ops.Pdf.encode(Seq(Seq(l1, l2), Seq(l3))))
+        })
+        graft.ops.Pdf.extract(s, pdfs).toDF()
+          .groupBy("doc_id")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("page"), col("text")))),
+            x => x.getField("text")), " ").as("doc_text"))
+          .withColumn("n_tokens", Text.tokenCount(col("doc_text")))
+          .where(col("n_tokens") >= 12)
+          .select(col("doc_id"), col("n_tokens"),
+            Text.fingerprint(col("doc_text")).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+                SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS ws,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nw
+                FROM documents WHERE doc_id < 200)
+              SELECT doc_id, LEAST(nw, 14) AS n_tokens,
+                md5(lower(array_to_string(ws[1:14], ' '))) AS fp
+              FROM w WHERE LEAST(nw, 14) >= 12
+              ORDER BY doc_id""")
+    ),
+
     // the crawl pipeline END-TO-END with URL-level gating (r14): GZIPPED
     // WARC archives (one gzip member per record — the Common Crawl
     // `.warc.gz` wire convention, decompressed through the JDK's

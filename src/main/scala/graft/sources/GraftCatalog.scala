@@ -263,14 +263,24 @@ class GraftCatalog extends TableCatalog
             "pick a new name or rebuild via regrid()")
         // DEFAULT rides the field metadata under Spark's own keys:
         // CURRENT_DEFAULT fills omitted INSERT columns (analyzer-side),
-        // EXISTS_DEFAULT is the value pre-change files surface at scan
+        // EXISTS_DEFAULT is the value pre-change files surface at scan.
+        // EXISTS_DEFAULT must be the DDL-TIME FOLDED LITERAL, not the raw
+        // SQL: Spark admits foldable-but-time-dependent defaults (DEFAULT
+        // current_date()), and storing the raw text would re-evaluate it
+        // at every scan — pre-change rows' readback drifting day by day
+        // instead of being pinned at ADD time. The analyzer already folded
+        // the expression into the change's connector literal; render THAT.
         val meta = dflt.map { d =>
           val sql = d.getSql
           require(sql != null && sql.nonEmpty,
             s"graft: DEFAULT for $n must be a SQL literal expression")
+          val existsSql = Option(d.getValue).map { l =>
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              l.value, l.dataType).sql
+          }.getOrElse(sql)
           new org.apache.spark.sql.types.MetadataBuilder()
             .putString("CURRENT_DEFAULT", sql)
-            .putString("EXISTS_DEFAULT", sql)
+            .putString("EXISTS_DEFAULT", existsSql)
             .build()
         }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
         s.add(StructField(n, add.dataType(), nullable = add.isNullable,

@@ -1253,13 +1253,85 @@ private[graft] object GraftVersions {
       }
   }
 
+  // ---------------------------------------------------------------- claims
+  // Rollback is the one seal that builds its root from a NON-latest source
+  // (the rollback target), so the in-flight-commit safety argument — "a
+  // sealer reuses only from the always-retained latest root" — does not
+  // cover it: a concurrent expire_versions can drop the target version and
+  // delete the data files / segments only dropped roots referenced, AFTER
+  // rollback read them but BEFORE (or after) its seal — leaving the new
+  // LATEST manifest pointing at deleted bytes (table unreadable). A claim
+  // marker closes the race; the correctness argument is an ORDERING
+  // discipline on both sides:
+  //
+  //   rollback: (1) write claim(target); (2) read target's root — the read
+  //             doubles as the manifest-exists witness; (3) seal; (4) drop
+  //             the claim.
+  //   expire:   (a) list versions, compute victims; (b) delete dropped
+  //             MANIFESTS; (c) read claims — STRICTLY AFTER (b); (d) spare
+  //             every claimed dropped version's files and segments.
+  //
+  // Proof a successful rollback never loses a byte: suppose an expire E
+  // deletes a file the sealed root references. E must have dropped
+  // manifest(target) at step (b), at some time T_b. Rollback's read (2)
+  // succeeded, so the manifest existed at T_read > T_claim. If T_b <
+  // T_read the read would have failed (manifest deletion is permanent) —
+  // so T_b > T_read > T_claim, hence E's claim read (c), which follows
+  // (b), sees the claim and spares the files at (d). Contradiction. A
+  // FAILED read at (2) aborts the rollback loudly with the table's latest
+  // intact — the benign outcome. Crash debris (a claim whose rollback
+  // died) is age-gated: expire ignores and sweeps claims older than the
+  // TTL, so an abandoned claim pins bytes for at most one TTL window.
+  private val ClaimsDirName = "claims"
+  private def claimsDir(root: Path): Path =
+    new Path(new Path(root, VersionsDir), ClaimsDirName)
+  /** Claims older than this are crash debris: ignored and swept by expire.
+    * A live rollback holds its claim for seconds (two manifest reads + one
+    * write), so an hour is ~3 orders of magnitude of slack. */
+  private def claimTtlMs: Long =
+    java.lang.Long.getLong("graft.rollback.claimTtlMs", 60L * 60 * 1000)
+
+  private[sources] def writeClaim(fs: FileSystem, root: Path, v: Long): Path = {
+    val d = claimsDir(root)
+    fs.mkdirs(d)
+    val p = new Path(d, s"claim-v$v-${java.util.UUID.randomUUID()}")
+    fs.create(p, false).close()
+    p
+  }
+
+  /** Live claimed versions; stale claims are swept as a side effect. */
+  private[sources] def readClaims(fs: FileSystem, root: Path): Set[Long] = {
+    val d = claimsDir(root)
+    if (!fs.exists(d)) return Set.empty
+    val now = System.currentTimeMillis()
+    fs.listStatus(d).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (!n.startsWith("claim-v")) None
+      else if (now - s.getModificationTime > claimTtlMs) {
+        fs.delete(s.getPath, false); None
+      } else scala.util.Try(
+        n.stripPrefix("claim-v").takeWhile(_ != '-').toLong).toOption
+    }.toSet
+  }
+
   /** Restore the table to the state of `target`: seal a NEW version whose
     * manifest is exactly `target`'s (history is append-only — the
     * rolled-back states stay addressable). Pure metadata — zero file moves,
     * zero data reads; cost is two manifest reads and one write no matter
     * how many bytes the rollback "un-does". Fails loudly if any of the
-    * target's files has since been deleted (retention / barrier). */
+    * target's files has since been deleted (retention / barrier). The
+    * target is CLAIMED for the duration (see the claims protocol above) so
+    * a concurrent expire cannot delete bytes the new root will reference;
+    * [[fastForward]] needs no claim — its reuse source (the branch head)
+    * is anchored at fork == latest, which every expire retains, and branch
+    * manifests are not in the expirable version listing. */
   def rollback(fs: FileSystem, root: Path, target: Long): Long = {
+    val claim = writeClaim(fs, root, target)
+    try rollbackClaimed(fs, root, target)
+    finally fs.delete(claim, false)
+  }
+
+  private def rollbackClaimed(fs: FileSystem, root: Path, target: Long): Long = {
     val st = logState(fs, root)
     val latest = st.latest.getOrElse(
       throw new IllegalArgumentException(
@@ -1331,6 +1403,29 @@ private[graft] object GraftVersions {
     val dvVictims: Set[String] =
       GraftDv.relsOf(droppedEntries) -- GraftDv.relsOf(keptEntries)
     dropped.foreach(v => fs.delete(manifestPath(root, v), false))
+    // claims are read STRICTLY AFTER the manifest drops — that ordering is
+    // the rollback-vs-expire correctness proof (see the claims protocol at
+    // [[rollback]]): a rollback whose target-root read succeeded wrote its
+    // claim before that read, and the read preceded any manifest drop that
+    // could threaten it, so this later claim read is guaranteed to see it
+    // while the rollback is IN FLIGHT. A rollback that already SEALED (and
+    // so may have dropped its claim) is covered by the re-listing below:
+    // its new version is in the log now, and everything a version sealed
+    // since this pass's first listing references is spared too. Together
+    // the two cases close the race for any expire/rollback interleaving
+    // (claimed-but-unsealed -> claim; sealed -> re-list). Spared bytes
+    // re-enter liveness through the rollback's sealed manifest; if the
+    // rollback instead aborted, they are unreferenced debris for the
+    // age-gated orphan sweep — never a manifest pointing at nothing.
+    val claimed = readClaims(fs, root).intersect(dropped.toSet)
+    val claimedRoots =
+      dropped.zip(droppedRoots).collect { case (v, r) if claimed(v) => r }
+    val sealedSince = logState(fs, root).versions.filter(_ > versions.last)
+    val protectedRoots = claimedRoots ++
+      sealedSince.map(v => readRootMemo(fs, manifestPath(root, v), memo))
+    val protectedEntries = protectedRoots.flatMap(_._1)
+    val spared: Set[String] =
+      protectedEntries.map(_.rel).toSet ++ GraftDv.relsOf(protectedEntries)
     // the vacuum is the one maintenance step whose victim count scales
     // with churn (every retired-in-place byte dies here): deletes issue
     // CONCURRENTLY (same discipline as segment resolution), the emptied
@@ -1338,7 +1433,7 @@ private[graft] object GraftVersions {
     val emptied = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]();
     locally {
       import scala.collection.parallel.CollectionConverters._
-      (victims ++ dvVictims).toSeq.par.foreach { rel =>
+      ((victims ++ dvVictims) -- spared).toSeq.par.foreach { rel =>
         val f = new Path(root, rel)
         if (fs.exists(f)) { emptied.add(f.getParent); fs.delete(f, false) }
       }
@@ -1359,6 +1454,9 @@ private[graft] object GraftVersions {
     val droppedSegs = droppedRoots.flatMap(_._2).flatMap(_.refs).map(_.rel).toSet
     if (droppedSegs.nonEmpty) {
       val keptSegs = keptRoots.flatMap(_._2).flatMap(_.refs).map(_.rel).toSet ++
+        // claimed dropped versions' segments survive with their files —
+        // an in-flight rollback will seal a root referencing them
+        protectedRoots.flatMap(_._2).flatMap(_.refs).map(_.rel).toSet ++
         listBranches(fs, root).flatMap { case (b, _) =>
           branchVersions(fs, root, b).flatMap(k =>
             // refs-only read: the branch root's SEGMENT TABLE is all this

@@ -140,6 +140,36 @@ object Daemon {
     q
   }
 
+  /** Streaming face of [[graft.ops.Dedup.incrementalMinHashLsh]] — the
+    * MinHash/Jaccard sibling of [[nearDedupStream]] (shingle-level
+    * near-copies instead of Hamming-near signatures): the store keeps
+    * banded MinHash keys, three longs per band row. Sink-before-register
+    * ordering, idempotent replay, and per-batch pin release inherited
+    * unchanged.
+    */
+  def minhashDedupStream(bandStore: World, sink: World, source: DataFrame,
+      idCol: String, textCol: String, checkpoint: String,
+      interval: String = "5 seconds", numHashes: Int = 64, bands: Int = 8,
+      registerLosers: Boolean = true): StreamingQuery = {
+    val q = source.writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          try {
+            graft.ops.Dedup.incrementalMinHashLsh(bandStore, batch.toDF(),
+              idCol, textCol, numHashes, bands,
+              onFresh = fresh => { sink.insert(fresh); () },
+              registerLosers = registerLosers)
+            ()
+          } finally graft.ops.Pins.releaseAll()
+        }
+      }
+      .start()
+    installShutdownFlush(q)
+    q
+  }
+
   /** Streaming face of the perplexity filter ([[graft.ops.Text.lmScore]]):
     * each micro-batch is scored against a FIXED bigram LM (trained offline
     * with [[graft.ops.Text.trainLm]] — the model tables can live as

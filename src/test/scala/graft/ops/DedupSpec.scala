@@ -100,6 +100,59 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Pins.retainedCount == 0)
   }
 
+  test("incrementalMinHashLsh: banded store is bands rows per observed doc; replay and repair hold") {
+    import spark.implicits._
+    import graft.core.DimMapping
+    import graft.world.World
+    val path = java.nio.file.Files.createTempDirectory("graft-incmh").toString
+    val w = World(spark, path)("bk64" -> DimMapping(0L, -1L, 1L << 59))
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val t2 = "totally different words occupy this second document entirely " +
+      "with no overlap of any shingle at all anywhere in it"
+    val b1 = docs((1L, t1), (2L, t2))
+    val f1 = Dedup.incrementalMinHashLsh(w, b1, "doc_id", "text")
+    assert(f1.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(w.df.count() == 16, "8 band rows per observed doc — O(bands x docs)")
+    // doc 10 appends ONE word to doc 1's 20 (jaccard 18/19): a different
+    // exact fingerprint, but high enough similarity that the banded join
+    // collides (deterministic under the fixed xxhash seeds — pinned here);
+    // doc 11 is genuinely new
+    val b2 = docs((10L, t1 + " phi"),
+      (11L, "completely unrelated content lives inside this new fresh row today"))
+    val f2 = Dedup.incrementalMinHashLsh(w, b2, "doc_id", "text")
+    assert(f2.select("doc_id").as[Long].collect().toSet == Set(11L),
+      "a shingle-level near-copy of a batch-1 doc must hit the band store")
+    assert(w.df.count() == 32, "losers register too (non-transitivity witness)")
+    // replay is idempotent: nothing fresh, nothing re-registered
+    val f3 = Dedup.incrementalMinHashLsh(w, b2, "doc_id", "text")
+    assert(f3.isEmpty)
+    assert(w.df.count() == 32)
+    // within-batch: smaller id wins; the loser still registers
+    val b3 = docs((21L, t2 + " coda"), (20L, t2))
+    val f4 = Dedup.incrementalMinHashLsh(w, b3, "doc_id", "text")
+    assert(f4.select("doc_id").as[Long].collect().isEmpty ||
+      f4.select("doc_id").as[Long].collect().toSet == Set(20L),
+      "20 can only survive or lose to the STORE (doc 2), never to 21")
+    assert(w.df.count() == 48)
+    // partial-registration repair: destroy 3 of doc 1's 8 band rows
+    // (bk64 = doc_id*8 + band), then replay doc 1's batch — admits nothing
+    // (self-hit on surviving bands), re-registers the missing rows
+    w.destroy(Seq(1L * 8 + 5, 1L * 8 + 6, 1L * 8 + 7))
+    assert(w.df.count() == 45)
+    val f5 = Dedup.incrementalMinHashLsh(w, b1, "doc_id", "text")
+    assert(f5.isEmpty, "replay after partial registration admits nothing")
+    assert(w.df.count() == 48, "missing band rows repaired on replay")
+    // a doc with NO shingles (whitespace-only text; short docs still yield
+    // one all-words shingle) passes through fresh and never registers
+    val f6 = Dedup.incrementalMinHashLsh(w, docs((30L, "   ")),
+      "doc_id", "text")
+    assert(f6.select("doc_id").as[Long].collect().toSet == Set(30L))
+    assert(w.df.count() == 48)
+    Pins.releaseAll()
+    assert(Pins.retainedCount == 0)
+  }
+
   test("incrementalNearDedup kept-only mode: store bounded by admissions; the recall hole is exactly the documented triple") {
     import spark.implicits._
     import graft.core.DimMapping

@@ -55,6 +55,40 @@ class MixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(atTwenty.size == 2)
   }
 
+  test("zero-weight docs follow the inclusive-prefix definition at every bucket boundary") {
+    // the r14-ADVICE seam: a zero-weight doc leading a bucket whose prefix
+    // START equals the budget is inside the naive inclusive prefix
+    // (cum == budget), so the straddle filter must admit _cumStart ==
+    // budget. Budgets are taken from the data's own bucket starts so the
+    // exact seam is exercised for every bucket, not left to fuzz luck.
+    val rnd = new scala.util.Random(15L)
+    val rows = (1L to 200L).map { i =>
+      (i, "s", if (i % 3 == 0) 0L else (rnd.nextInt(20) + 1).toLong)
+    }
+    val df = mk(rows)
+    val starts = df
+      .withColumn("_bk",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+          .cast("long"))
+      .groupBy("_bk").agg(sum("w").as("bw"))
+      .withColumn("cs", sum("bw").over(Window.orderBy("_bk")) - col("bw"))
+      .select("cs").collect().map(_.getLong(0)).toSet
+    for (b <- starts) {
+      val got = Mixture.budgetPrefix(df, "source", "w", lit(b), hexDigits = 1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == naive(df, lit(b)), s"budget=$b")
+    }
+  }
+
+  test("negative weights fail loudly — prefix semantics are undefined there") {
+    val df = mk(Seq((1L, "a", 5L), (2L, "a", -1L)))
+    val e = intercept[Throwable](
+      Mixture.budgetPrefix(df, "source", "w", lit(10L)).collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${chain(t.getCause)}"
+    assert(chain(e).contains("negative w"), chain(e).take(300))
+  }
+
   test("budgets are independent per source") {
     val df = mk(Seq((1L, "s0", 5L), (2L, "s0", 5L), (3L, "s1", 5L), (4L, "s1", 5L)))
     val budget = when(col("source") === "s0", 5L).otherwise(100L)

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class PdfSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def extract(bytes: Array[Byte], id: Long = 1L): Seq[(Long, String)] = {
+    import spark.implicits._
+    Pdf.extract(spark, Seq(Multimodal.MediaBytesRow(id, bytes)).toDS())
+      .collect().toSeq.sortBy(_.page).map(p => (p.page, p.text))
+  }
+
+  test("encode/extract round trip: multi-page, multi-line, Flate-compressed") {
+    val bytes = Pdf.encode(Seq(
+      Seq("alpha beta gamma", "delta epsilon"),
+      Seq("second page line")))
+    assert(extract(bytes) == Seq(
+      (0L, "alpha beta gamma\ndelta epsilon"),
+      (1L, "second page line")))
+  }
+
+  test("uncompressed streams parse identically (the /Filter branch is real)") {
+    val pages = Seq(Seq("one two", "three four"))
+    assert(extract(Pdf.encode(pages, flate = false)) ==
+      extract(Pdf.encode(pages, flate = true)))
+  }
+
+  test("string escapes round trip: parens, backslash, octal survive the literal syntax") {
+    val tricky = "paren (pair) back\\slash end"
+    val bytes = Pdf.encode(Seq(Seq(tricky)))
+    assert(extract(bytes) == Seq((0L, tricky)))
+  }
+
+  test("content-stream walk: TJ kerning numbers ignored, ' shows on a new line, hex strings decode") {
+    val content = ("BT /F1 12 Tf 72 720 Td [(Hel) -120 (lo)] TJ " +
+      "(world) ' 0 -14 Td <4142> Tj ET").getBytes("ISO-8859-1")
+    assert(Pdf.extractText(content, 9L) == "Hello\nworld\nAB")
+  }
+
+  test("text outside BT/ET never leaks; graphics operators pass through") {
+    val content = ("(ghost) Tj BT 1 0 0 1 10 10 Tm /F1 9 Tf " +
+      "72 720 Td (real) Tj ET q Q (ghost2) Tj").getBytes("ISO-8859-1")
+    assert(Pdf.extractText(content, 9L) == "real")
+  }
+
+  test("malformed PDFs fail LOUDLY naming the doc (never a silent skip)") {
+    val good = Pdf.encode(Seq(Seq("hello there")))
+    // no startxref
+    val e1 = intercept[Exception](
+      extract("%PDF-1.4 garbage with no trailer".getBytes("ISO-8859-1"), 7L))
+    assert(e1.getMessage.contains("doc 7") && e1.getMessage.contains("startxref"))
+    // startxref pointing into an xref STREAM / garbage
+    val broken = java.util.Arrays.copyOf(good, good.length)
+    val xi = new String(good, "ISO-8859-1").indexOf("xref")
+    broken(xi) = 'y'
+    val e2 = intercept[Exception](extract(broken, 8L))
+    assert(e2.getMessage.contains("doc 8"))
+  }
+
+  test("fanOut makes page extraction input-split-independent") {
+    import spark.implicits._
+    val rows = (0 until 6).map(i =>
+      Multimodal.MediaBytesRow(i.toLong, Pdf.encode(Seq(Seq(s"doc number $i")))))
+    val one = spark.createDataset(rows).coalesce(1)
+    assert(Pdf.extract(spark, one).rdd.getNumPartitions == 1)
+    assert(Pdf.extract(spark, one, fanOut = 3).rdd.getNumPartitions == 3)
+    assert(Pdf.extract(spark, one, fanOut = 3).collect().map(_.doc_id).sorted.toSeq ==
+      (0L until 6L))
+  }
+}

@@ -77,4 +77,35 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e2 = intercept[org.apache.spark.SparkException] { split(noLen, id = 9L) }
     assert(e2.getMessage.contains("9") || e2.getCause.getMessage.contains("9"))
   }
+
+  test("fanOut makes record fan-out input-split-independent (one giant archive != one task)") {
+    import spark.implicits._
+    // 8 archives landing in ONE input partition — the documents.parquet /
+    // giant-.warc.gz shape where the decode stage would serialize
+    val archives = (0 until 8).map { i =>
+      Multimodal.MediaBytesRow(i.toLong,
+        Warc.encode(Seq(("response", s"https://h$i.example/", s"<p>doc $i</p>"))))
+    }
+    val oneSplit = spark.createDataset(archives).coalesce(1)
+    // default (fanOut=0) inherits the single input split — unchanged behavior
+    assert(Warc.split(spark, oneSplit).rdd.getNumPartitions == 1)
+    // requested fan-out drives the decode stage's task count
+    val fanned = Warc.split(spark, oneSplit, fanOut = 4)
+    assert(fanned.rdd.getNumPartitions == 4)
+    // and the record multiset is identical either way
+    assert(fanned.collect().map(r => (r.doc_id, r.target_uri)).sorted.toSeq ==
+      Warc.split(spark, oneSplit).collect().map(r => (r.doc_id, r.target_uri)).sorted.toSeq)
+    // same contract on the gz face and the media decode faces
+    val gz = (0 until 8).map { i =>
+      Multimodal.MediaBytesRow(i.toLong,
+        Warc.encodeGz(Seq(("response", s"https://h$i.example/", "x"))))
+    }
+    assert(Warc.splitGz(spark, spark.createDataset(gz).coalesce(1), fanOut = 3)
+      .rdd.getNumPartitions == 3)
+    val imgs = (0 until 8).map { i =>
+      Multimodal.ImageRow(i.toLong, Multimodal.encodeImage(2, 2, 100, "png"), "png")
+    }
+    assert(Multimodal.decodeImages(spark, spark.createDataset(imgs).coalesce(1),
+      fanOut = 5).rdd.getNumPartitions == 5)
+  }
 }

@@ -504,6 +504,33 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graftcat.ck2")
   }
 
+  test("time-dependent DEFAULT: existence default is FOLDED at ADD time, never re-evaluated") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.sql("CREATE TABLE graftcat.dfltt (id BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO graftcat.dfltt VALUES (1, 0)") // pre-change file
+    // Spark accepts foldable-but-time-dependent defaults; the EXISTENCE
+    // default must pin the ADD-time value (a raw `current_date()` stored
+    // as EXISTS_DEFAULT re-evaluates at every scan — pre-change rows'
+    // readback would drift day by day)
+    spark.sql("ALTER TABLE graftcat.dfltt ADD COLUMN d DATE DEFAULT current_date()")
+    val cat = spark.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[TableCatalog]
+    val f = cat.loadTable(Identifier.of(Array.empty[String], "dfltt"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.Table]
+      .schema().apply("d")
+    val exists = f.metadata.getString("EXISTS_DEFAULT")
+    assert(exists.startsWith("DATE '"),
+      s"EXISTS_DEFAULT must be the DDL-time folded literal, got: $exists")
+    // CURRENT_DEFAULT stays the live expression (future inserts re-evaluate
+    // at their own insert time — the SQL-standard behavior)
+    assert(f.metadata.getString("CURRENT_DEFAULT").contains("current_date"))
+    // and the pre-change row reads the pinned value back
+    val got = spark.sql("SELECT d FROM graftcat.dfltt WHERE id = 1")
+      .collect().head.getDate(0).toString
+    assert(exists == s"DATE '$got'")
+    spark.sql("DROP TABLE graftcat.dfltt")
+  }
+
   test("column DEFAULTs compose with merge-on-read DML") {
     spark.sql("CREATE TABLE graftcat.dmor (id BIGINT, v BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO graftcat.dmor VALUES (1, 10, 0), (2, 20, 0), (3, 30, 1)")

@@ -127,6 +127,48 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expire vacuums retired bytes: one live file expected, got $parquets")
   }
 
+  test("a rollback claim shields the target's bytes from a concurrent expire") {
+    spark.sql("CREATE TABLE vcat.cl (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.cl VALUES (1, 10, 0)")   // v1
+    spark.sql("UPDATE vcat.cl SET v = 20 WHERE id = 1")  // v2
+    spark.sql("UPDATE vcat.cl SET v = 30 WHERE id = 1")  // v3
+    val root = new org.apache.hadoop.fs.Path(s"$warehouse/cl")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an in-flight rollback to v1: claim written, target root read (the
+    // rollback protocol's steps 1-2), seal not yet landed
+    val claim = GraftVersions.writeClaim(fs, root, 1L)
+    val entriesV1 = GraftVersions.readEntries(fs, root, 1L)
+    assert(entriesV1.nonEmpty)
+    // the racing expire drops v1's manifest (it is past retention) but —
+    // because claims are read after the manifest drops — MUST spare v1's
+    // data files, which the in-flight rollback is about to re-reference.
+    // (Without the claim this vacuum deletes them: the
+    // "expire_versions prunes" test above pins exactly that.)
+    spark.sql("CALL vcat.system.expire_versions(table => 'cl', keep => 1)")
+    entriesV1.foreach { e =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root, e.rel)),
+        s"claimed version's ${e.rel} must survive the concurrent expire")
+    }
+    // the rollback completes by dropping its claim; live reads were never
+    // disturbed either way
+    fs.delete(claim, false)
+    assert(GraftVersions.readClaims(fs, root).isEmpty)
+    assert(rows("SELECT id, v FROM vcat.cl") == Set((1L, 30L)))
+  }
+
+  test("stale claims are crash debris: expire's claim read sweeps them") {
+    spark.sql("CREATE TABLE vcat.cls (id BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO vcat.cls VALUES (1, 10, 0)") // v1
+    val root = new org.apache.hadoop.fs.Path(s"$warehouse/cls")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = GraftVersions.writeClaim(fs, root, 1L)
+    // age the claim past the TTL (a rollback that died mid-flight)
+    fs.setTimes(claim, System.currentTimeMillis() - 2L * 60 * 60 * 1000, -1)
+    assert(GraftVersions.readClaims(fs, root).isEmpty,
+      "an aged-out claim is ignored")
+    assert(!fs.exists(claim), "and swept, so it cannot pin bytes forever")
+  }
+
   test("declared retention: commits self-expire the log; tags survive; clearing stops it") {
     spark.sql("CREATE TABLE vcat.ar (id BIGINT, v BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO vcat.ar VALUES (1, 10, 0)")                    // v0+v1

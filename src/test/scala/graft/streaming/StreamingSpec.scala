@@ -211,6 +211,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sinkIds == Set(1L, 2L, 11L))
   }
 
+  test("minhash-dedup daemon: banded store drops shingle-level near-copies across a RESTART") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = new World(spark, tmp(), Seq(
+      DimSpec("bk64", DimMapping(0L, -1L, 1L << 59))))
+    val sink = new World(spark, tmp(), Seq(DimSpec("doc_id", DimMapping(0, 1023, 8))))
+    sink.create(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val ckpt = tmp()
+    val src = MemoryStream[(Long, String)]
+    val data = src.toDF().toDF("doc_id", "text")
+    def sinkIds = sink.df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+    val q1 = Daemon.minhashDedupStream(store, sink, data, "doc_id", "text", ckpt,
+      interval = "1 second")
+    try {
+      src.addData((1L, t1), (2L, "other words entirely distinct from it all here"))
+      q1.processAllAvailable()
+      assert(sinkIds == Set(1L, 2L))
+    } finally q1.stop()
+
+    // RESTART: doc 10 appends one word to doc 1's twenty (jaccard 18/19 —
+    // the band join collides; SimHash-distance and exact-fp dedup both
+    // admit such a doc when the edit flips enough hash bits); doc 11 fresh
+    val q2 = Daemon.minhashDedupStream(store, sink, data, "doc_id", "text", ckpt,
+      interval = "1 second")
+    try {
+      src.addData((10L, t1 + " phi"), (11L, "completely fresh material again"))
+      q2.processAllAvailable()
+      assert(sinkIds == Set(1L, 2L, 11L),
+        "a shingle-near-copy of a pre-restart doc must not re-admit after restart")
+      assert(store.df.count() == 32,
+        "8 band rows per OBSERVED doc — the dropped near-copy registers too")
+    } finally q2.stop()
+    graft.ops.Pins.releaseAll()
+  }
+
   test("LM gate daemon: batches score against a fixed offline model; only under-gate docs reach the sink") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
