@@ -112,6 +112,41 @@ object Multimodal {
     * ("png" | "jpeg" | "gif" | "bmp") bytes — the deterministic test
     * corpus generator for the decode pipeline (a production pipeline
     * reads its binary column from storage instead). */
+  // per-THREAD codec plugin caches: every ImageIO.read/write scans the
+  // JVM-global, lock-synchronized plugin registry, so per-row codec calls
+  // pay a registry scan each, and CONCURRENT tasks serialize on the
+  // registry locks (measured: a 32-way local fan-out of the AVI decode ran
+  // slower than one task). A thread-cached reader/writer touches the
+  // registry once per (task thread, format); the codec work itself is then
+  // lock-free. ImageReader/Writer instances are not thread-safe — exactly
+  // why the cache key is the thread.
+  private val readerCache =
+    ThreadLocal.withInitial[java.util.HashMap[String, javax.imageio.ImageReader]](
+      () => new java.util.HashMap())
+  private val writerCache =
+    ThreadLocal.withInitial[java.util.HashMap[String, javax.imageio.ImageWriter]](
+      () => new java.util.HashMap())
+  private[ops] def cachedReader(format: String): javax.imageio.ImageReader = {
+    val m = readerCache.get()
+    var r = m.get(format)
+    if (r == null) {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(format)
+      require(it.hasNext, s"no JDK reader for image format '$format'")
+      r = it.next(); m.put(format, r)
+    }
+    r
+  }
+  private def cachedWriter(format: String): javax.imageio.ImageWriter = {
+    val m = writerCache.get()
+    var w = m.get(format)
+    if (w == null) {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName(format)
+      require(it.hasNext, s"no JDK writer for image format '$format'")
+      w = it.next(); m.put(format, w)
+    }
+    w
+  }
+
   def encodeImage(width: Int, height: Int, gray: Int, format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -123,8 +158,9 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, format, bos),
-      s"no JDK writer for image format '$format'")
+    val w = cachedWriter(format)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try { w.setOutput(ios); w.write(img) } finally { ios.close() }
     bos.toByteArray
   }
 
@@ -144,9 +180,19 @@ object Multimodal {
     import spark.implicits._
     fanned(rows, fanOut).mapPartitions { it =>
       it.map { r =>
-        val img = javax.imageio.ImageIO.read(
+        // thread-cached reader keyed by the row's declared format — one
+        // registry scan per (thread, format) instead of per row, and no
+        // global-lock serialization across concurrent decode tasks
+        val reader = cachedReader(r.format)
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(r.media))
-        require(img != null, s"undecodable ${r.format} payload for doc ${r.doc_id}")
+        reader.setInput(iis)
+        val img =
+          try reader.read(0)
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"undecodable ${r.format} payload for doc ${r.doc_id}", e)
+          } finally iis.close()
         val (w, h) = (img.getWidth, img.getHeight)
         val mean =
           if (r.format == "jpeg") -1L
@@ -222,6 +268,9 @@ object Multimodal {
       stride: Int = 2, fanOut: Int = 0): Dataset[VideoFrame] = {
     import spark.implicits._
     fanned(rows, fanOut).mapPartitions { it =>
+      // thread-cached JPEG reader (see the cache comment above): one
+      // registry scan per task thread, lock-free decode per frame
+      val jpegReader = cachedReader("jpeg")
       it.flatMap { r =>
         val b = r.media
         def u32(off: Int): Int =
@@ -253,9 +302,18 @@ object Multimodal {
               if (id == "00dc") fi += 1
               p += 8 + size + (size & 1)
               if (id == "00dc" && myIdx % stride == 0) {
-                val img = javax.imageio.ImageIO.read(
+                // MemoryCacheImageInputStream directly: ImageIO
+                // .createImageInputStream would hit the global registry
+                // for a stream SPI lookup on every frame
+                val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
                   new java.io.ByteArrayInputStream(b, start, size))
-                require(img != null, s"doc ${r.doc_id}: undecodable frame $myIdx")
+                jpegReader.setInput(iis)
+                val img =
+                  try jpegReader.read(0)
+                  catch {
+                    case e: Exception => throw new IllegalArgumentException(
+                      s"doc ${r.doc_id}: undecodable frame $myIdx", e)
+                  } finally iis.close()
                 return VideoFrame(r.doc_id, myIdx, img.getWidth.toLong,
                   img.getHeight.toLong, size.toLong)
               }

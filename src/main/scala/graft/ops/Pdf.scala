@@ -9,8 +9,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * grammar walk): no rendering, no fonts, no external library — the parts
   * of the spec a text-extraction pass actually needs, parsed for real:
   *
-  *   - `startxref` → classic cross-reference TABLE → object offsets
-  *     (the trailer dict's /Root anchors the document tree);
+  *   - `startxref` → cross-reference in EITHER form: the classic table
+  *     (`xref` keyword + `trailer` dict) or the PDF 1.5+ cross-reference
+  *     STREAM (/Type /XRef — binary fixed-width rows per /W, optional PNG
+  *     predictor per /DecodeParms, type-2 entries addressing objects
+  *     INSIDE compressed /ObjStm object streams — the on-disk form of
+  *     most post-2006 PDFs), /Prev incremental-update chains followed in
+  *     both (the trailer/xref dict's /Root anchors the document tree);
   *   - the object grammar: dictionaries, arrays, names, numbers, literal
   *     `(...)` strings with escapes, hex `<...>` strings, `N 0 R`
   *     indirect references (resolved through the xref), booleans/null;
@@ -35,10 +40,11 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * optional `fanOut` pre-repartition is [[Multimodal.fanned]]'s
   * input-split-independence lever.
   *
-  * Out of honest scope (documented, not stubbed): xref STREAMS and object
-  * streams (1.5+ compressed xref), encryption, non-Flate filters,
-  * font-encoded (non-ASCII cmap) text — the planted-corpus generator
-  * [[encode]] emits only the supported subset, like the media encoders.
+  * Out of honest scope (documented, not stubbed): encryption, non-Flate
+  * filters, font-encoded (non-ASCII cmap) text — the planted-corpus
+  * generators [[encode]] (classic xref) and [[encodeXrefStream]] (xref
+  * stream + /ObjStm + predictor) emit only the supported subset, like the
+  * media encoders.
   */
 object Pdf {
 
@@ -85,19 +91,7 @@ object Pdf {
       put(s"$pageId 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Resources << /Font << /F1 $fontId 0 R >> >> " +
         s"/Contents $contId 0 R >> endobj\n")
-      val body = new StringBuilder("BT /F1 12 Tf ")
-      lines.zipWithIndex.foreach { case (line, li) =>
-        body.append(if (li == 0) "72 720 Td " else "0 -14 Td ")
-        if (li % 2 == 0) body.append(s"(${escape(line)}) Tj ")
-        else {
-          // split roughly in half so the TJ path exercises concatenation
-          val cut = line.length / 2
-          body.append(s"[(${escape(line.take(cut))}) -250 " +
-            s"(${escape(line.drop(cut))})] TJ ")
-        }
-      }
-      body.append("ET")
-      val raw = body.toString.getBytes("ISO-8859-1")
+      val raw = contentOf(lines).getBytes("ISO-8859-1")
       val payload = if (flate) deflate(raw) else raw
       beginObj()
       put(s"$contId 0 obj << /Length ${payload.length}" +
@@ -114,6 +108,175 @@ object Pdf {
     offsets.foreach(o => put(f"$o%010d 00000 n \n"))
     put(s"trailer << /Size $n /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
     bos.toByteArray
+  }
+
+  /** One page's content stream: even lines show via `Tj`, odd lines via a
+    * 2-part `TJ` array, each behind its own `Td` line move — both show
+    * forms always exercised. */
+  private def contentOf(lines: Seq[String]): String = {
+    val body = new StringBuilder("BT /F1 12 Tf ")
+    lines.zipWithIndex.foreach { case (line, li) =>
+      body.append(if (li == 0) "72 720 Td " else "0 -14 Td ")
+      if (li % 2 == 0) body.append(s"(${escape(line)}) Tj ")
+      else {
+        // split roughly in half so the TJ path exercises concatenation
+        val cut = line.length / 2
+        body.append(s"[(${escape(line.take(cut))}) -250 " +
+          s"(${escape(line.drop(cut))})] TJ ")
+      }
+    }
+    body.append("ET")
+    body.toString
+  }
+
+  /** The PDF 1.5+ twin of [[encode]]: the same document content addressed
+    * through a CROSS-REFERENCE STREAM instead of a classic table — every
+    * non-stream dict (catalog, page tree, pages, font) packed into ONE
+    * Flate-compressed /ObjStm, the xref rows binary fixed-width per
+    * /W [1 4 2] with type-2 (in-object-stream) entries, optionally PNG
+    * Up-predicted (/Predictor 12) like xref streams in the wild. This is
+    * what most post-2006 PDFs look like on disk. */
+  def encodeXrefStream(pages: Seq[Seq[String]],
+      predictor: Boolean = true): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val bos = new java.io.ByteArrayOutputStream()
+    def put(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    val nPages = pages.size
+    val fontId = 3 + 2 * nPages
+    val objStmId = fontId + 1
+    val xrefId = fontId + 2
+    val size = fontId + 3
+    put("%PDF-1.5\n")
+    val direct = scala.collection.mutable.Map.empty[Int, Int]
+    // content streams are real stream objects, so they stay direct
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val contId = 4 + 2 * i
+      val payload = deflate(contentOf(lines).getBytes("ISO-8859-1"))
+      direct(contId) = bos.size()
+      put(s"$contId 0 obj << /Length ${payload.length} " +
+        "/Filter /FlateDecode >>\nstream\n")
+      bos.write(payload)
+      put("\nendstream endobj\n")
+    }
+    // every non-stream dict rides one compressed object stream
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    val packed: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [$kids] /Count $nPages >>") ++
+        (0 until nPages).map { i =>
+          (3 + 2 * i) ->
+            (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+              s"/Resources << /Font << /F1 $fontId 0 R >> >> " +
+              s"/Contents ${4 + 2 * i} 0 R >>")
+        } :+
+        (fontId -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val bodies = packed.map(_._2 + "\n")
+    val offs = bodies.scanLeft(0)(_ + _.length)
+    val header = packed.zip(offs).map { case ((id, _), o) => s"$id $o" }
+      .mkString(" ") + "\n"
+    val objStmPayload = deflate((header + bodies.mkString).getBytes("ISO-8859-1"))
+    direct(objStmId) = bos.size()
+    put(s"$objStmId 0 obj << /Type /ObjStm /N ${packed.size} " +
+      s"/First ${header.length} /Length ${objStmPayload.length} " +
+      "/Filter /FlateDecode >>\nstream\n")
+    bos.write(objStmPayload)
+    put("\nendstream endobj\n")
+    // the xref stream itself: W = [1 4 2], rows for every object 0..size-1
+    val xrefOff = bos.size()
+    direct(xrefId) = xrefOff
+    val packedIdx = packed.map(_._1).zipWithIndex.toMap
+    val rowLen = 7
+    val rows = new java.io.ByteArrayOutputStream()
+    def row(t: Int, f2: Long, f3: Int): Unit = {
+      val r = new Array[Byte](rowLen)
+      r(0) = t.toByte
+      var v = f2
+      var i = 4
+      while (i >= 1) { r(i) = (v & 0xff).toByte; v >>= 8; i -= 1 }
+      r(5) = ((f3 >> 8) & 0xff).toByte
+      r(6) = (f3 & 0xff).toByte
+      rows.write(r)
+    }
+    (0 until size).foreach { id =>
+      if (id == 0) row(0, 0, 65535)
+      else packedIdx.get(id) match {
+        case Some(idx) => row(2, objStmId.toLong, idx)
+        case None => row(1, direct(id).toLong, 0)
+      }
+    }
+    val rawRows = rows.toByteArray
+    val (data, parms) =
+      if (!predictor) (rawRows, "")
+      else {
+        // PNG Up filter (/Predictor 12): enc = raw - prior, one filter
+        // byte per row — the form real xref streams ship in
+        val n = rawRows.length / rowLen
+        val out = new java.io.ByteArrayOutputStream()
+        var r = 0
+        while (r < n) {
+          out.write(2)
+          var i = 0
+          while (i < rowLen) {
+            val prior = if (r > 0) rawRows((r - 1) * rowLen + i) & 0xff else 0
+            out.write(((rawRows(r * rowLen + i) & 0xff) - prior) & 0xff)
+            i += 1
+          }
+          r += 1
+        }
+        (out.toByteArray,
+          s" /DecodeParms << /Predictor 12 /Columns $rowLen >>")
+      }
+    val payload = deflate(data)
+    put(s"$xrefId 0 obj << /Type /XRef /Size $size /W [1 4 2] /Root 1 0 R " +
+      s"/Filter /FlateDecode$parms /Length ${payload.length} >>\nstream\n")
+    bos.write(payload)
+    put("\nendstream endobj\n")
+    put(s"startxref\n$xrefOff\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** PNG row-filter inverse for /Predictor >= 10 streams (1 byte/pixel —
+    * the xref-stream case): each row is a filter byte + `columns` data
+    * bytes; filters 0..4 (None/Sub/Up/Average/Paeth) per the PNG spec. */
+  private def pngUnfilter(data: Array[Byte], columns: Int,
+      docId: Long): Array[Byte] = {
+    require(columns > 0, s"doc $docId: /Columns must be positive")
+    require(data.length % (columns + 1) == 0,
+      s"doc $docId: PNG-predicted data is not whole rows " +
+        s"(${data.length} bytes at ${columns + 1}/row)")
+    val rows = data.length / (columns + 1)
+    val out = new Array[Byte](rows * columns)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (columns + 1)) & 0xff
+      val src = r * (columns + 1) + 1
+      val dst = r * columns
+      var i = 0
+      while (i < columns) {
+        val x = data(src + i) & 0xff
+        val a = if (i > 0) out(dst + i - 1) & 0xff else 0
+        val up = if (r > 0) out(dst - columns + i) & 0xff else 0
+        val c = if (r > 0 && i > 0) out(dst - columns + i - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + ((a + up) / 2)
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          case other => throw new IllegalArgumentException(
+            s"doc $docId: unknown PNG filter type $other")
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
   }
 
   private def deflate(raw: Array[Byte]): Array[Byte] = {
@@ -319,56 +482,153 @@ object Pdf {
       }
     }
 
-    // classic xref table -> object id -> byte offset, plus the trailer dict
-    private val (offsets: Map[Int, Int], trailer: PDict) = {
-      var p = xrefOff
-      def line(): String = {
-        val s = p
-        while (b(p) != '\n' && b(p) != '\r') p += 1
-        val l = new String(b, s, p - s, "ISO-8859-1").trim
-        while (p < b.length && (b(p) == '\n' || b(p) == '\r')) p += 1
-        l
-      }
-      require(line() == "xref",
-        s"doc $docId: startxref does not point at a classic xref table " +
-          "(xref STREAMS are out of the supported subset)")
-      val m = Map.newBuilder[Int, Int]
-      var lineStart = p
-      var l = line()
-      while (!l.startsWith("trailer")) {
-        val parts = l.split("\\s+")
-        require(parts.length == 2 && parts.forall(_.forall(_.isDigit)),
-          s"doc $docId: malformed xref section header '$l'")
-        val Array(start, count) = parts.map(_.toInt)
-        var i = 0
-        while (i < count) {
-          val e = line()
-          if (e.endsWith("n")) m += (start + i) -> e.substring(0, 10).toInt
-          i += 1
+    // xref entry: a byte offset in the file, or a slot in an object stream
+    private sealed trait XEntry
+    private final case class Direct(off: Int) extends XEntry
+    private final case class InObjStm(stm: Int, idx: Int) extends XEntry
+
+    /** Object id -> entry, plus the trailer dict. Handles BOTH xref forms:
+      * the classic table (`xref` keyword + `trailer` dict) and the PDF 1.5+
+      * cross-reference STREAM (a /Type /XRef stream whose rows are
+      * fixed-width binary fields per /W, optionally PNG-predicted per
+      * /DecodeParms, whose own dict IS the trailer). /Prev chains
+      * (incremental updates) are followed either way; newer sections win. */
+    private val (entries: Map[Int, XEntry], trailer: PDict) = {
+      def loadAt(off: Int, seen: Set[Int]): (Map[Int, XEntry], PDict) = {
+        require(!seen(off), s"doc $docId: cyclic xref /Prev chain at $off")
+        var p = off
+        def line(): String = {
+          val s = p
+          while (b(p) != '\n' && b(p) != '\r') p += 1
+          val l = new String(b, s, p - s, "ISO-8859-1").trim
+          while (p < b.length && (b(p) == '\n' || b(p) == '\r')) p += 1
+          l
         }
-        lineStart = p
-        l = line()
+        val isClassic = new String(b, off,
+          math.min(4, b.length - off), "ISO-8859-1") == "xref"
+        val (m, dict) = if (isClassic) {
+          line() // the xref keyword
+          val mb = Map.newBuilder[Int, XEntry]
+          var lineStart = p
+          var l = line()
+          while (!l.startsWith("trailer")) {
+            val parts = l.split("\\s+")
+            require(parts.length == 2 && parts.forall(_.forall(_.isDigit)),
+              s"doc $docId: malformed xref section header '$l'")
+            val Array(start, count) = parts.map(_.toInt)
+            var i = 0
+            while (i < count) {
+              val e = line()
+              if (e.endsWith("n"))
+                mb += (start + i) -> Direct(e.substring(0, 10).toInt)
+              i += 1
+            }
+            lineStart = p
+            l = line()
+          }
+          // the trailer dict may share the keyword's line — lex from just
+          // past the keyword at its true byte offset (line() trims, so
+          // re-find the keyword in the raw bytes, not via string indexes)
+          p = lineStart
+          while (p + 7 <= b.length &&
+            new String(b, p, 7, "ISO-8859-1") != "trailer") p += 1
+          p += 7
+          val lx = new Lexer(b, p, docId, contentMode = false)
+          lx.next() match {
+            case d: PDict => (mb.result(), d)
+            case other => throw new IllegalArgumentException(
+              s"doc $docId: trailer is not a dictionary: $other")
+          }
+        } else {
+          // cross-reference stream: `id gen obj << /Type /XRef ... >> stream`
+          val (v, lx) = parseObjAt(off, -1)
+          val d = v match {
+            case pd: PDict => pd
+            case other => throw new IllegalArgumentException(
+              s"doc $docId: startxref points at neither a classic xref " +
+                s"table nor an xref stream dict: $other")
+          }
+          require(d.v.get("Type").contains(PName("XRef")),
+            s"doc $docId: xref stream object lacks /Type /XRef")
+          // the xref stream's own /Length must be DIRECT (resolving an
+          // indirect one needs the very map this is building)
+          val data = streamBytesOf(d, lx, resolveLength = false)
+          val w = d.v.get("W") match {
+            case Some(PArr(ws)) if ws.length == 3 =>
+              ws.map { case PNum(n) => n.toInt; case other =>
+                throw new IllegalArgumentException(
+                  s"doc $docId: non-numeric /W field $other") }
+            case other => throw new IllegalArgumentException(
+              s"doc $docId: xref stream needs a 3-element /W, got $other")
+          }
+          val size = d.v.get("Size") match {
+            case Some(PNum(n)) => n.toInt
+            case other => throw new IllegalArgumentException(
+              s"doc $docId: xref stream needs /Size, got $other")
+          }
+          val index: Seq[(Int, Int)] = d.v.get("Index") match {
+            case Some(PArr(xs)) =>
+              require(xs.length % 2 == 0,
+                s"doc $docId: /Index must hold (start, count) pairs")
+              xs.map { case PNum(n) => n.toInt; case other =>
+                throw new IllegalArgumentException(
+                  s"doc $docId: non-numeric /Index field $other") }
+                .grouped(2).map(g => (g(0), g(1))).toSeq
+            case None => Seq((0, size))
+            case other => throw new IllegalArgumentException(
+              s"doc $docId: malformed /Index $other")
+          }
+          val rowLen = w.sum
+          require(rowLen > 0 && data.length >= rowLen * index.map(_._2).sum,
+            s"doc $docId: xref stream data shorter than /Index demands " +
+              s"(${data.length} bytes for ${index.map(_._2).sum} x $rowLen)")
+          def field(rowOff: Int, fOff: Int, width: Int, dflt: Long): Long =
+            if (width == 0) dflt
+            else {
+              var v = 0L
+              var i = 0
+              while (i < width) {
+                v = (v << 8) | (data(rowOff + fOff + i) & 0xffL); i += 1
+              }
+              v
+            }
+          val mb = Map.newBuilder[Int, XEntry]
+          var row = 0
+          index.foreach { case (start, count) =>
+            var i = 0
+            while (i < count) {
+              val ro = row * rowLen
+              val t = field(ro, 0, w(0), dflt = 1L) // absent type = 1
+              val f2 = field(ro, w(0), w(1), 0L)
+              val f3 = field(ro, w(0) + w(1), w(2), 0L)
+              t match {
+                case 1L => mb += (start + i) -> Direct(f2.toInt)
+                case 2L => mb += (start + i) -> InObjStm(f2.toInt, f3.toInt)
+                case _ => () // type 0 = free
+              }
+              row += 1; i += 1
+            }
+          }
+          (mb.result(), d)
+        }
+        dict.v.get("Prev") match {
+          case Some(PNum(prev)) =>
+            // older sections fill gaps only — the newer map wins
+            val (older, _) = loadAt(prev.toInt, seen + off)
+            (older ++ m, dict)
+          case _ => (m, dict)
+        }
       }
-      // the trailer dict may share the keyword's line — lex from just past
-      // the keyword at its true byte offset (line() trims, so re-find the
-      // keyword in the raw bytes rather than trusting string indexes)
-      p = lineStart
-      while (p + 7 <= b.length &&
-        new String(b, p, 7, "ISO-8859-1") != "trailer") p += 1
-      p += 7
-      val lx = new Lexer(b, p, docId, contentMode = false)
-      lx.next() match {
-        case d: PDict => (m.result(), d)
-        case other => throw new IllegalArgumentException(
-          s"doc $docId: trailer is not a dictionary: $other")
-      }
+      loadAt(xrefOff, Set.empty)
     }
 
-    /** Parse object `id` at its xref offset: `id gen obj <value>`. Returns
-      * (value, body-lexer position after the value) for stream handling. */
-    private def parseObj(id: Int): (PVal, Lexer) = {
-      val off = offsets.getOrElse(id, throw new IllegalArgumentException(
-        s"doc $docId: object $id not in xref"))
+    // decoded object streams, cached: several objects share one /ObjStm
+    private val objStmCache =
+      scala.collection.mutable.Map.empty[Int, (Array[Byte], Int, Vector[(Int, Int)])]
+
+    /** Parse the `id gen obj <value>` wrapper at a byte offset. `id` -1
+      * skips the id check (the xref-stream bootstrap). */
+    private def parseObjAt(off: Int, id: Int): (PVal, Lexer) = {
       val lx = new Lexer(b, off, docId, contentMode = false)
       lx.next(); lx.next() // id, generation
       lx.skipWs()
@@ -377,6 +637,63 @@ object Pdf {
         s"doc $docId: object $id: missing obj keyword at offset $off")
       lx.p += 3
       (lx.next(), lx)
+    }
+
+    /** Parse object `id` through its xref entry — at a byte offset, or out
+      * of its object stream's decoded bytes (PDF 1.5 /ObjStm: /N pairs of
+      * `objnum offset` relative to /First, bare values, no obj wrapper). */
+    private def parseObj(id: Int): (PVal, Lexer) = {
+      entries.getOrElse(id, throw new IllegalArgumentException(
+        s"doc $docId: object $id not in xref")) match {
+        case Direct(off) => parseObjAt(off, id)
+        case InObjStm(stm, idx) =>
+          val (data, first, pairs) = objStmCache.getOrElseUpdate(stm, {
+            val (v, lx) = parseObjAt(entries.get(stm) match {
+              case Some(Direct(off)) => off
+              case _ => throw new IllegalArgumentException(
+                s"doc $docId: object stream $stm must itself be a direct " +
+                  "object (streams cannot nest in object streams)")
+            }, stm)
+            val d = v match {
+              case pd: PDict => pd
+              case other => throw new IllegalArgumentException(
+                s"doc $docId: object stream $stm is not a stream dict: $other")
+            }
+            require(d.v.get("Type").contains(PName("ObjStm")),
+              s"doc $docId: object $stm referenced as an object stream " +
+                "lacks /Type /ObjStm")
+            val n = d.v.get("N") match {
+              case Some(PNum(x)) => x.toInt
+              case other => throw new IllegalArgumentException(
+                s"doc $docId: object stream $stm needs /N, got $other")
+            }
+            val first = resolve(d.v.getOrElse("First",
+              throw new IllegalArgumentException(
+                s"doc $docId: object stream $stm needs /First"))) match {
+              case PNum(x) => x.toInt
+              case other => throw new IllegalArgumentException(
+                s"doc $docId: /First is not a number: $other")
+            }
+            val data = streamBytesOf(d, lx, resolveLength = true)
+            val hl = new Lexer(data, 0, docId, contentMode = false)
+            val pairs = Vector.tabulate(n) { _ =>
+              (hl.next(), hl.next()) match {
+                case (PNum(num), PNum(o)) => (num.toInt, o.toInt)
+                case other => throw new IllegalArgumentException(
+                  s"doc $docId: malformed /ObjStm header pair $other")
+              }
+            }
+            (data, first, pairs)
+          })
+          require(idx >= 0 && idx < pairs.length,
+            s"doc $docId: object $id: /ObjStm index $idx out of range")
+          val (num, off) = pairs(idx)
+          require(num == id,
+            s"doc $docId: /ObjStm slot $idx holds object $num, not $id — " +
+              "xref and object-stream header disagree")
+          val lx = new Lexer(data, first + off, docId, contentMode = false)
+          (lx.next(), lx)
+      }
     }
 
     private def resolve(v: PVal): PVal = v match {
@@ -392,25 +709,56 @@ object Pdf {
         case other => throw new IllegalArgumentException(
           s"doc $docId: object $id is not a stream dict: $other")
       }
-      val len = resolve(dict.v.getOrElse("Length",
+      streamBytesOf(dict, lx, resolveLength = true)
+    }
+
+    /** Decode the stream whose dict just came off `lx`. `resolveLength`
+      * false restricts /Length to a direct number — the xref-stream
+      * bootstrap, where no object map exists yet to resolve through. */
+    private def streamBytesOf(dict: PDict, lx: Lexer,
+        resolveLength: Boolean): Array[Byte] = {
+      val lenVal = dict.v.getOrElse("Length",
         throw new IllegalArgumentException(
-          s"doc $docId: stream object $id lacks /Length"))) match {
+          s"doc $docId: stream object lacks /Length"))
+      val len = (if (resolveLength) resolve(lenVal) else lenVal) match {
         case PNum(n) => n.toInt
         case other => throw new IllegalArgumentException(
-          s"doc $docId: stream /Length is not a number: $other")
+          s"doc $docId: stream /Length is not a direct number: $other")
       }
       lx.skipWs()
       require(new String(b, lx.p, 6, "ISO-8859-1") == "stream",
-        s"doc $docId: object $id: expected stream keyword")
+        s"doc $docId: expected stream keyword")
       lx.p += 6
       if (b(lx.p) == '\r') lx.p += 1
       if (b(lx.p) == '\n') lx.p += 1
       val raw = java.util.Arrays.copyOfRange(b, lx.p, lx.p + len)
-      dict.v.get("Filter").map(resolve) match {
+      val decoded = dict.v.get("Filter").map(if (resolveLength) resolve else identity) match {
         case Some(PName("FlateDecode")) => inflate(raw, docId)
         case Some(other) => throw new IllegalArgumentException(
           s"doc $docId: unsupported stream filter $other (only FlateDecode)")
         case None => raw
+      }
+      // /DecodeParms /Predictor >= 10: PNG row filters over the inflated
+      // bytes (xref streams in the wild are almost always Up-predicted)
+      dict.v.get("DecodeParms").map(if (resolveLength) resolve else identity) match {
+        case Some(PDict(dp)) =>
+          val pred = dp.get("Predictor") match {
+            case Some(PNum(n)) => n.toInt
+            case _ => 1
+          }
+          if (pred <= 1) decoded
+          else {
+            require(pred >= 10,
+              s"doc $docId: TIFF predictor $pred unsupported (PNG only)")
+            val cols = dp.get("Columns") match {
+              case Some(PNum(n)) => n.toInt
+              case _ => 1
+            }
+            pngUnfilter(decoded, cols, docId)
+          }
+        case None => decoded
+        case Some(other) => throw new IllegalArgumentException(
+          s"doc $docId: malformed /DecodeParms $other")
       }
     }
 

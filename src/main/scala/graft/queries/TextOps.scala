@@ -330,6 +330,40 @@ object TextOps {
               ORDER BY doc_id, page""")
     ),
 
+    // the PDF 1.5+ cross-reference-STREAM form (r15) — the on-disk shape
+    // of most post-2006 PDFs: every non-stream dict packed into a
+    // Flate-compressed /ObjStm, the xref itself a /Type /XRef stream of
+    // binary fixed-width rows PNG-Up-predicted per /DecodeParms, type-2
+    // entries addressing the packed objects. Same planted-slice oracle
+    // discipline as t_pdf_extract; a wrong /W field decode, predictor
+    // inverse, /ObjStm header walk, or type-2 dispatch breaks the hash.
+    "t_pdf_xref_stream" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val lines = t(s, dir, "documents")
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          .select(col("doc_id"),
+            concat_ws(" ", slice(col("w"), 1, 5)).as("l1"),
+            concat_ws(" ", slice(col("w"), 6, 5)).as("l2"))
+          .as[(Long, String, String)]
+        val pdfs = lines.mapPartitions(_.map { case (id, l1, l2) =>
+          Multimodal.MediaBytesRow(id,
+            graft.ops.Pdf.encodeXrefStream(Seq(Seq(l1, l2))))
+        })
+        graft.ops.Pdf.extract(s, pdfs).toDF()
+          .select(col("doc_id"), col("page"), col("text"))
+          .orderBy("doc_id", "page")
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                FROM documents WHERE doc_id < 150)
+              SELECT doc_id, CAST(0 AS BIGINT) AS page,
+                array_to_string(ws[1:5], ' ') || chr(10) ||
+                array_to_string(ws[6:10], ' ') AS text
+              FROM w ORDER BY doc_id, page""")
+    ),
+
     // the PDF path composed into the corpus pipeline (r15): PDFs → page
     // fan-out → per-doc reassembly → token-floor gate + dedup fingerprint
     // — p_html_corpus's contract over PDF ingestion. Reassembly is a
@@ -1049,7 +1083,15 @@ object TextOps {
     "m_video_frames" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        // fanned out across the cores: safe AND profitable only since the
+        // ImageIO plugin lookups moved to thread-cached readers/writers
+        // (Multimodal.cachedReader) — with per-call ImageIO.read/write the
+        // JVM-global synchronized registry made 32 concurrent decode tasks
+        // SLOWER than one (measured: warm 8-10 s fanned vs 5 s single,
+        // then 2.6 s single and sub-second fanned once the registry scans
+        // were hoisted). The shuffle is bare longs.
         val rows = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
           .mapPartitions { it =>
             it.map { id =>
               val w = 4 + (id % 12).toInt

@@ -52,6 +52,33 @@ class PdfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Pdf.extractText(content, 9L) == "real")
   }
 
+  test("xref STREAM form (PDF 1.5+): /ObjStm-packed dicts + PNG-Up-predicted binary xref rows") {
+    val pages = Seq(
+      Seq("alpha beta gamma", "delta epsilon"),
+      Seq("second page line"))
+    // the modern on-disk form must extract identically to the classic one
+    assert(extract(Pdf.encodeXrefStream(pages)) == extract(Pdf.encode(pages)))
+    // and the predictor is a real layer: unpredicted xref rows parse too
+    assert(extract(Pdf.encodeXrefStream(pages, predictor = false)) ==
+      extract(Pdf.encode(pages)))
+  }
+
+  test("/Prev chain: an incremental-update trailer resolves through the prior xref") {
+    val base = Pdf.encode(Seq(Seq("incrementally updated")))
+    val s = new String(base, "ISO-8859-1")
+    val oldXref = s.substring(s.lastIndexOf("startxref") + 9).trim
+      .takeWhile(_.isDigit)
+    val sizeN = s.substring(s.indexOf("/Size ") + 6).takeWhile(_.isDigit)
+    // append an EMPTY update section whose trailer defers via /Prev — the
+    // whole object map must come from the chained prior table
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(base)
+    val newOff = bos.size()
+    bos.write((s"xref\n0 0\ntrailer << /Size $sizeN /Root 1 0 R " +
+      s"/Prev $oldXref >>\nstartxref\n$newOff\n%%EOF\n").getBytes("ISO-8859-1"))
+    assert(extract(bos.toByteArray) == Seq((0L, "incrementally updated")))
+  }
+
   test("malformed PDFs fail LOUDLY naming the doc (never a silent skip)") {
     val good = Pdf.encode(Seq(Seq("hello there")))
     // no startxref
