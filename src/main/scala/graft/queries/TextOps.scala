@@ -420,9 +420,14 @@ object TextOps {
     "p_warc_corpus" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        // pages repartitioned before the gzip encode: both codec passes
+        // (member-per-record gzip encode + the multi-member decode) are
+        // pure per-row CPU that otherwise inherits documents.parquet's
+        // single input split and serializes through one task
         val pages = t(s, dir, "documents")
           .select(col("doc_id"), plantedHtml(col("text")).as("html"))
           .as[(Long, String)]
+          .repartition(s.sparkContext.defaultParallelism)
         val archives = pages.mapPartitions(_.map { case (id, html) =>
           Multimodal.MediaBytesRow(id, graft.ops.Warc.encodeGz(Seq(
             ("warcinfo", "", "software: graft-crawler"),
