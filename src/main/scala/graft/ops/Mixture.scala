@@ -38,7 +38,9 @@ object Mixture {
     * @param weightCol per-doc weight (tokens, chars, bytes — any
     *                  NON-NEGATIVE bigint; a negative weight makes the
     *                  running sum non-monotone, so prefix semantics are
-    *                  undefined — it fails loudly row-by-row)
+    *                  undefined — it fails loudly row-by-row. NULL weights
+    *                  pass through untouched: sums skip them, so a NULL
+    *                  behaves as weight 0, the pre-guard behavior)
     * @param budget    per-source budget; must be a pure function of
     *                  `sourceCol` (constant within a source — the prefix
     *                  ranges compare against one budget per source)
@@ -58,9 +60,10 @@ object Mixture {
       // the weight expression itself so the optimizer can never prune it,
       // and it codegens to one branch per row — free on the scan
       .withColumn(weightCol,
-        when(col(weightCol) >= 0, col(weightCol)).otherwise(raise_error(
-          concat(lit(s"graft mixture: negative $weightCol for doc_id "),
-            col("doc_id").cast("string")))))
+        when(col(weightCol) >= 0 || col(weightCol).isNull, col(weightCol))
+          .otherwise(raise_error(
+            concat(lit(s"graft mixture: negative $weightCol for doc_id "),
+              col("doc_id").cast("string")))))
       .withColumn("_ok", md5(col("doc_id").cast("string")))
       .withColumn("_bk", conv(substring(col("_ok"), 1, hexDigits), 16, 10).cast("long"))
       .withColumn("_budget", budget)

@@ -297,7 +297,13 @@ object Pdf {
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](4096)
       while (!inf.finished()) {
-        val k = inf.inflate(buf)
+        val k =
+          try inf.inflate(buf)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"doc $docId: corrupt FlateDecode stream ($e)", e)
+          }
         require(k > 0 || inf.finished(),
           s"doc $docId: truncated FlateDecode stream")
         out.write(buf, 0, k)
@@ -321,8 +327,9 @@ object Pdf {
 
   /** Recursive-descent reader over the raw bytes. `contentMode` keeps bare
     * keywords as operators (content streams) instead of erroring. */
-  private final class Lexer(b: Array[Byte], var p: Int, docId: Long,
+  private final class Lexer(val buf: Array[Byte], var p: Int, docId: Long,
       contentMode: Boolean) {
+    private def b = buf
     private def ws(c: Byte): Boolean =
       c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == 12
     private def delim(c: Byte): Boolean =
@@ -486,6 +493,10 @@ object Pdf {
     private sealed trait XEntry
     private final case class Direct(off: Int) extends XEntry
     private final case class InObjStm(stm: Int, idx: Int) extends XEntry
+    // a FREED object: recorded (not skipped) so a newer incremental
+    // update's free entry SHADOWS an older section's in-use offset — the
+    // spec resolves a freed object to nothing, never to its stale bytes
+    private case object FreeEntry extends XEntry
 
     /** Object id -> entry, plus the trailer dict. Handles BOTH xref forms:
       * the classic table (`xref` keyword + `trailer` dict) and the PDF 1.5+
@@ -519,8 +530,11 @@ object Pdf {
             var i = 0
             while (i < count) {
               val e = line()
+              require(e.length >= 11,
+                s"doc $docId: short xref entry '$e'")
               if (e.endsWith("n"))
                 mb += (start + i) -> Direct(e.substring(0, 10).toInt)
+              else mb += (start + i) -> FreeEntry
               i += 1
             }
             lineStart = p
@@ -604,7 +618,7 @@ object Pdf {
               t match {
                 case 1L => mb += (start + i) -> Direct(f2.toInt)
                 case 2L => mb += (start + i) -> InObjStm(f2.toInt, f3.toInt)
-                case _ => () // type 0 = free
+                case _ => mb += (start + i) -> FreeEntry
               }
               row += 1; i += 1
             }
@@ -645,6 +659,9 @@ object Pdf {
     private def parseObj(id: Int): (PVal, Lexer) = {
       entries.getOrElse(id, throw new IllegalArgumentException(
         s"doc $docId: object $id not in xref")) match {
+        case FreeEntry => throw new IllegalArgumentException(
+          s"doc $docId: object $id was FREED by the newest update — a " +
+            "dangling reference to deleted content")
         case Direct(off) => parseObjAt(off, id)
         case InObjStm(stm, idx) =>
           val (data, first, pairs) = objStmCache.getOrElseUpdate(stm, {
@@ -726,12 +743,19 @@ object Pdf {
           s"doc $docId: stream /Length is not a direct number: $other")
       }
       lx.skipWs()
-      require(new String(b, lx.p, 6, "ISO-8859-1") == "stream",
+      // the lexer's OWN buffer: a dict lexed out of a decoded /ObjStm must
+      // never slice the whole-file bytes at its tiny offset
+      val src = lx.buf
+      require(lx.p + 6 <= src.length &&
+        new String(src, lx.p, 6, "ISO-8859-1") == "stream",
         s"doc $docId: expected stream keyword")
       lx.p += 6
-      if (b(lx.p) == '\r') lx.p += 1
-      if (b(lx.p) == '\n') lx.p += 1
-      val raw = java.util.Arrays.copyOfRange(b, lx.p, lx.p + len)
+      if (src(lx.p) == '\r') lx.p += 1
+      if (src(lx.p) == '\n') lx.p += 1
+      require(lx.p + len <= src.length,
+        s"doc $docId: stream payload (/Length $len) overruns the file — " +
+          "truncated document")
+      val raw = java.util.Arrays.copyOfRange(src, lx.p, lx.p + len)
       val decoded = dict.v.get("Filter").map(if (resolveLength) resolve else identity) match {
         case Some(PName("FlateDecode")) => inflate(raw, docId)
         case Some(other) => throw new IllegalArgumentException(
@@ -851,6 +875,13 @@ object Pdf {
                 case other => throw new IllegalArgumentException(
                   s"doc $docId: ' without a string operand: $other")
               }
+            case "\"" if inText => // aw ac (string) " : spacing + ' combined
+              newline()
+              stack.lastOption match {
+                case Some(PStr(s)) => show(s)
+                case other => throw new IllegalArgumentException(
+                  "doc " + docId + ": \" without a string operand: " + other)
+              }
             case "TJ" if inText => stack.lastOption match {
               case Some(PArr(items)) =>
                 items.foreach { case PStr(s) => show(s); case _ => () }
@@ -875,7 +906,21 @@ object Pdf {
     import spark.implicits._
     Multimodal.fanned(rows, fanOut).mapPartitions { it =>
       it.flatMap { r =>
-        new Doc(r.media, r.doc_id).pages.zipWithIndex.map { case (t, i) =>
+        // every malformed shape must fail NAMING THE DOC — including the
+        // bounds/format errors the low-level scanners throw raw (an
+        // unterminated hex string or short xref entry would otherwise
+        // surface as a bare index error that is undiagnosable in a
+        // million-doc corpus job)
+        val pages =
+          try new Doc(r.media, r.doc_id).pages
+          catch {
+            case e: IllegalArgumentException => throw e // already named
+            case e @ (_: IndexOutOfBoundsException | _: NumberFormatException |
+                _: NegativeArraySizeException) =>
+              throw new IllegalArgumentException(
+                s"doc ${r.doc_id}: malformed PDF ($e)", e)
+          }
+        pages.zipWithIndex.map { case (t, i) =>
           PdfPageText(r.doc_id, i.toLong, t)
         }
       }

@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
 object DedupOps {
   import Tables.t
 
+  /** Per-invocation scratch World for the incremental-store queries: a
+    * fresh dir each run (a REUSED store would change the answer — batch 1
+    * would be all-duplicates on the second run), recursively deleted at
+    * JVM exit so bench/verify/lint passes, which construct every declared
+    * query repeatedly, cannot accumulate stores in the temp dir. */
+  private def tempStore(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
+    dir.toString
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     "d_exact_groups" -> QueryDef(
@@ -439,8 +455,7 @@ object DedupOps {
         import graft.core.DimMapping
         import graft.world.World
         val docs = t(s, dir, "documents").select("doc_id", "text")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-minhash-inc").toString
+        val path = tempStore("graft-minhash-inc")
         val w = World(s, path)("bk64" -> DimMapping(0L, -1L, 1L << 59))
         val copies = docs.where(col("doc_id") < 30)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))

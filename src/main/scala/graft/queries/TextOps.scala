@@ -58,6 +58,29 @@ object TextOps {
              ], x -> len(x) > 0), chr(10)) AS clean_text
          FROM p)"""
 
+  /** Shared planted-PDF corpus for the t_pdf_extract / p_pdf_corpus pair:
+    * a two-page classic-xref PDF per doc < 200 — page 1 = words 1-4 and
+    * 5-8 as two lines (the second rendered through a split TJ), page 2 =
+    * words 9-14. The slice arithmetic here is what both SQL oracles
+    * restate; one definition, so a fixture change cannot drift the twins
+    * apart. (t_pdf_xref_stream plants its own single-page 1.5+ corpus.) */
+  private def plantedPdfs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaBytesRow] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .where(col("doc_id") < 200)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("w"), 1, 4)).as("l1"),
+        concat_ws(" ", slice(col("w"), 5, 4)).as("l2"),
+        concat_ws(" ", slice(col("w"), 9, 6)).as("l3"))
+      .as[(Long, String, String, String)]
+      .mapPartitions(_.map { case (id, l1, l2, l3) =>
+        Multimodal.MediaBytesRow(id,
+          graft.ops.Pdf.encode(Seq(Seq(l1, l2), Seq(l3))))
+      })
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // fuzzy record linkage: edit-distance match under a BLOCKING key — the
@@ -300,18 +323,7 @@ object TextOps {
     "t_pdf_extract" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val lines = t(s, dir, "documents")
-          .where(col("doc_id") < 200)
-          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-          .select(col("doc_id"),
-            concat_ws(" ", slice(col("w"), 1, 4)).as("l1"),
-            concat_ws(" ", slice(col("w"), 5, 4)).as("l2"),
-            concat_ws(" ", slice(col("w"), 9, 6)).as("l3"))
-          .as[(Long, String, String, String)]
-        val pdfs = lines.mapPartitions(_.map { case (id, l1, l2, l3) =>
-          Multimodal.MediaBytesRow(id,
-            graft.ops.Pdf.encode(Seq(Seq(l1, l2), Seq(l3))))
-        })
+        val pdfs = plantedPdfs(s, dir)
         graft.ops.Pdf.extract(s, pdfs).toDF()
           .select(col("doc_id"), col("page"), col("text"))
           .orderBy("doc_id", "page")
@@ -373,18 +385,7 @@ object TextOps {
     "p_pdf_corpus" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val lines = t(s, dir, "documents")
-          .where(col("doc_id") < 200)
-          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-          .select(col("doc_id"),
-            concat_ws(" ", slice(col("w"), 1, 4)).as("l1"),
-            concat_ws(" ", slice(col("w"), 5, 4)).as("l2"),
-            concat_ws(" ", slice(col("w"), 9, 6)).as("l3"))
-          .as[(Long, String, String, String)]
-        val pdfs = lines.mapPartitions(_.map { case (id, l1, l2, l3) =>
-          Multimodal.MediaBytesRow(id,
-            graft.ops.Pdf.encode(Seq(Seq(l1, l2), Seq(l3))))
-        })
+        val pdfs = plantedPdfs(s, dir)
         graft.ops.Pdf.extract(s, pdfs).toDF()
           .groupBy("doc_id")
           .agg(array_join(transform(

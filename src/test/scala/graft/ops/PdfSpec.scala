@@ -79,6 +79,50 @@ class PdfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(extract(bos.toByteArray) == Seq((0L, "incrementally updated")))
   }
 
+  test("the \" operator (spacing + next-line show) extracts its text") {
+    val content = ("BT /F1 12 Tf 72 720 Td (first) Tj " +
+      "2 1 (quoted line) \" ET").getBytes("ISO-8859-1")
+    assert(Pdf.extractText(content, 9L) == "first\nquoted line")
+  }
+
+  test("a truncated stream fails loudly instead of zero-padding to empty text") {
+    val good = Pdf.encode(Seq(Seq("some page text here")))
+    // cut the file mid-content-stream: /Length now overruns the buffer.
+    // (the xref tail is gone too, so rebuild a minimal tail pointing at the
+    // intact xref offset — the truncation target is the STREAM payload)
+    val s = new String(good, "ISO-8859-1")
+    val streamAt = s.indexOf("stream\n") + 7
+    val cut = java.util.Arrays.copyOf(good, streamAt + 3) // 3 payload bytes
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(cut)
+    // borrow the original xref+trailer so the parse reaches the stream read
+    bos.write(good, s.indexOf("xref\n0"),
+      good.length - s.indexOf("xref\n0"))
+    // the xref offsets still address the original layout; object loads that
+    // land inside the copied region parse, and the payload read must FAIL
+    // loudly (never silently zero-pad into empty page text)
+    val e = intercept[Exception](extract(bos.toByteArray, 12L))
+    assert(e.getMessage.contains("doc 12"), e.getMessage.take(200))
+  }
+
+  test("a freed object in a newer update shadows the old offset (no resurrection)") {
+    val base = Pdf.encode(Seq(Seq("soon to be deleted")))
+    val s = new String(base, "ISO-8859-1")
+    val oldXref = s.substring(s.lastIndexOf("startxref") + 9).trim
+      .takeWhile(_.isDigit)
+    val sizeN = s.substring(s.indexOf("/Size ") + 6).takeWhile(_.isDigit)
+    // incremental update FREES object 4 (the page's content stream)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(base)
+    val newOff = bos.size()
+    bos.write((s"xref\n4 1\n0000000000 65535 f \ntrailer << /Size $sizeN " +
+      s"/Root 1 0 R /Prev $oldXref >>\nstartxref\n$newOff\n%%EOF\n")
+      .getBytes("ISO-8859-1"))
+    val e = intercept[Exception](extract(bos.toByteArray, 13L))
+    assert(e.getMessage.contains("FREED"),
+      s"freed object must not resolve to its stale bytes: ${e.getMessage.take(200)}")
+  }
+
   test("malformed PDFs fail LOUDLY naming the doc (never a silent skip)") {
     val good = Pdf.encode(Seq(Seq("hello there")))
     // no startxref
