@@ -90,4 +90,59 @@ object Mixture {
       .where(col("_cum") <= col("_budget"))
     whole.select(outCols: _*).unionByName(straddle.select(outCols: _*))
   }
+
+  /** Temperature-flattened per-source budgets — the multi-source sampling
+    * recipe behind multilingual/multi-domain pretraining mixes: source `s`
+    * receives budget ∝ n_s^α of `totalBudget`, where n_s is its total
+    * weight. α = 1 is proportional (no flattening); α → 0 approaches
+    * uniform; α = 0.5 is the common square-root flattening that up-samples
+    * small sources without letting any source dominate.
+    *
+    * Returns one row per source: (source, _n = Σ weight, _sw = the
+    * flattened integer weight, _sbudget = totalBudget·_sw div Σ_sw).
+    *
+    * ENGINE-NEUTRAL at the reproducible operating points: α = 1 uses the
+    * integer weight itself, α = 0.5 uses floor(sqrt(n)) — IEEE sqrt is
+    * correctly ROUNDED, so every engine computes the identical double and
+    * the identical floor — and all downstream arithmetic is BIGINT
+    * (requires totalBudget · max(_sw) < 2^63, comfortable for token
+    * budgets). Any other α goes through java.lang.Math.pow, whose last
+    * ulp is NOT portable across engines — fine for production sampling,
+    * excluded from hash-exact oracles.
+    *
+    * Scale shape: one map-side-combined groupBy on the (tiny) source key;
+    * the global total rides a window OVER THE AGGREGATE (rows = source
+    * count, never the corpus — the bounded-global-window pattern the scale
+    * lint admits).
+    */
+  def temperatureBudgets(df: DataFrame, sourceCol: String, weightCol: String,
+      totalBudget: Long, alpha: Double = 0.5): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val n = df.groupBy(sourceCol).agg(sum(col(weightCol)).as("_n"))
+    val flat =
+      if (alpha == 1.0) col("_n")
+      else if (alpha == 0.5) floor(sqrt(col("_n").cast("double"))).cast("long")
+      else floor(pow(col("_n").cast("double"), lit(alpha))).cast("long")
+    val w = Window.partitionBy() // over the source-count-bounded aggregate
+    n.withColumn("_sw", flat)
+      .withColumn("_swsum", sum(col("_sw")).over(w))
+      .withColumn("_sbudget", expr(s"${totalBudget}L * _sw DIV _swsum"))
+      .drop("_swsum")
+  }
+
+  /** [[temperatureBudgets]] composed with [[budgetPrefix]]: one call from
+    * corpus to temperature-sampled corpus. The per-source budget table is
+    * BROADCAST back onto the rows (it is source-count-sized), so the only
+    * full-data shuffle remains budgetPrefix's (source, bucket) hash. */
+  def temperaturePrefix(df: DataFrame, sourceCol: String, weightCol: String,
+      totalBudget: Long, alpha: Double = 0.5, hexDigits: Int = 2): DataFrame = {
+    require(!df.columns.contains("_sbudget"),
+      "graft mixture: input must not carry a column named _sbudget")
+    val budgets = temperatureBudgets(df, sourceCol, weightCol, totalBudget, alpha)
+      .select(col(sourceCol), col("_sbudget"))
+    val joined = df.join(broadcast(budgets), Seq(sourceCol))
+    budgetPrefix(joined, sourceCol, weightCol, col("_sbudget"), hexDigits)
+      .drop("_sbudget")
+  }
 }

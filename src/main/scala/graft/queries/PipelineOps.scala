@@ -611,6 +611,41 @@ object PipelineOps {
               WHERE cum <= b ORDER BY doc_id""")
     ),
 
+    // temperature-flattened multi-source sampling (r15): budgets ∝ n_s^0.5
+    // of one global token budget — the multilingual-pretraining recipe that
+    // up-samples small sources — then the same md5-prefix deterministic
+    // take as p_token_budget. α = 0.5 is the hash-exact operating point
+    // (floor(sqrt(n)) is IEEE-identical on both engines, the division is
+    // BIGINT); the oracle recomputes the flattened budgets and restates
+    // the take as the naive per-source running sum.
+    "p_temperature_mix" -> QueryDef(
+      (s, dir) => graft.ops.Mixture.temperaturePrefix(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "n_chars", totalBudget = 30000L, alpha = 0.5,
+          hexDigits = 1)
+        .orderBy("doc_id"),
+      Some("""WITH n AS (
+                SELECT source, SUM(n_chars) AS n FROM documents GROUP BY source),
+              w AS (
+                SELECT source,
+                  CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w
+                FROM n),
+              b AS (
+                SELECT source, 30000 * w // (SELECT SUM(w) FROM w) AS b
+                FROM w),
+              d AS (
+                SELECT doc_id, d.source, n_chars,
+                  md5(CAST(doc_id AS VARCHAR)) AS ok, b
+                FROM documents d JOIN b ON b.source = d.source),
+              c AS (
+                SELECT doc_id, source, n_chars, b,
+                  SUM(n_chars) OVER (PARTITION BY source ORDER BY ok, doc_id)
+                    AS cum
+                FROM d)
+              SELECT doc_id, source, n_chars FROM c
+              WHERE cum <= b ORDER BY doc_id""")
+    ),
+
     "p_sample_mix" -> QueryDef(
       (s, dir) => {
         val rate = ((regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4) + 1) * 4

@@ -89,6 +89,46 @@ class MixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chain(e).contains("negative w"), chain(e).take(300))
   }
 
+  test("temperatureBudgets: alpha=1 is proportional, alpha=0.5 up-samples small sources, total bounded") {
+    import spark.implicits._
+    // sources with 10_000 / 90_000 weight: proportional split is 10/90;
+    // sqrt-flattened is 100/300 = 25/75 — the small source gains share
+    val df = Seq(("a", 10000L), ("b", 90000L)).toDF("source", "w")
+      .withColumn("doc_id", monotonically_increasing_id())
+    def budgets(alpha: Double): Map[String, Long] =
+      Mixture.temperatureBudgets(df, "source", "w", 1000L, alpha)
+        .select("source", "_sbudget").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(budgets(1.0) == Map("a" -> 100L, "b" -> 900L))
+    assert(budgets(0.5) == Map("a" -> 250L, "b" -> 750L))
+    // floor division can only under-allocate, never overshoot the total
+    for (alpha <- Seq(1.0, 0.7, 0.5)) {
+      val total = budgets(alpha).values.sum
+      assert(total <= 1000L && total >= 998L, s"alpha=$alpha got $total")
+    }
+  }
+
+  test("temperaturePrefix composes: per-source takes equal budgetPrefix at the flattened budgets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    val df = (1L to 300L).map { i =>
+      (i, s"s${rnd.nextInt(3)}", (rnd.nextInt(40) + 1).toLong)
+    }.toDF("doc_id", "source", "w")
+    val got = Mixture.temperaturePrefix(df, "source", "w", 2000L,
+        alpha = 0.5, hexDigits = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // reference: flattened budgets joined back, naive running-sum prefix
+    val b = Mixture.temperatureBudgets(df, "source", "w", 2000L, 0.5)
+      .select(col("source"), col("_sbudget"))
+    val naiveRef = df.join(b, "source")
+      .withColumn("_cum", sum(col("w")).over(
+        Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .where(col("_cum") <= col("_sbudget"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == naiveRef)
+  }
+
   test("budgets are independent per source") {
     val df = mk(Seq((1L, "s0", 5L), (2L, "s0", 5L), (3L, "s1", 5L), (4L, "s1", 5L)))
     val budget = when(col("source") === "s0", 5L).otherwise(100L)
