@@ -250,6 +250,56 @@ class GraftVersionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vs == vs.sorted && vs.nonEmpty, s"dense ascending log: $vs")
   }
 
+  test("rollback races expire: the sealed table is ALWAYS fully readable") {
+    // the r15 claims-protocol invariant under real thread interleaving:
+    // whatever order a rollback (reuse-by-reference from a NON-latest
+    // root) and an expire_versions (which drops that very root) land in,
+    // the table's latest manifest must never reference deleted bytes.
+    // Each op may individually refuse loudly (target expired first) —
+    // that is the benign outcome; an unreadable table is the bug.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 0 until 6) {
+        val tbl = s"rbrace$round"
+        spark.sql(s"CREATE TABLE vcat.$tbl (id BIGINT, v BIGINT, c0 BIGINT)")
+        spark.sql(s"INSERT INTO vcat.$tbl VALUES (1, 10, 0)")    // v1
+        spark.sql(s"UPDATE vcat.$tbl SET v = 20 WHERE id = 1")   // v2
+        spark.sql(s"UPDATE vcat.$tbl SET v = 30 WHERE id = 1")   // v3
+        val rb = pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String =
+            try { spark.sql(
+              s"CALL vcat.system.rollback(table => '$tbl', version => 1)")
+              .collect(); "rolled-back" }
+            catch { case e: Exception => s"refused: ${e.getMessage.take(60)}" }
+        })
+        val ex = pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String =
+            try { spark.sql(
+              s"CALL vcat.system.expire_versions(table => '$tbl', keep => 1)")
+              .collect(); "expired" }
+            catch { case e: Exception => s"refused: ${e.getMessage.take(60)}" }
+        })
+        val (r1, r2) = (rb.get(120, java.util.concurrent.TimeUnit.SECONDS),
+          ex.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        // the LATEST state must read completely — whichever op won
+        val got = spark.sql(s"SELECT id, v FROM vcat.$tbl").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == Set((1L, 10L)) || got == Set((1L, 30L)),
+          s"round $round [$r1 | $r2]: latest readback corrupt: $got")
+        // and every file the latest manifest references exists on disk
+        val root = new org.apache.hadoop.fs.Path(s"$warehouse/$tbl")
+        val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val latest = GraftVersions.listVersions(hfs, root).last
+        GraftVersions.readEntries(hfs, root, latest).foreach { e =>
+          assert(hfs.exists(new org.apache.hadoop.fs.Path(root, e.rel)),
+            s"round $round [$r1 | $r2]: latest v$latest references " +
+              s"deleted ${e.rel}")
+        }
+        spark.sql(s"DROP TABLE vcat.$tbl")
+      }
+    } finally pool.shutdown()
+  }
+
   test("writable branches: stage, audit, fast-forward; abandon leaves main untouched") {
     import spark.implicits._
     spark.sql("CREATE TABLE vcat.wap (id BIGINT, v BIGINT, c0 BIGINT)")
