@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Sitemap ingestion (r15) — the OTHER half of the crawl-frontier protocol
+  * next to [[Robots]]: sites publish sitemaps.org XML listing their URLs
+  * (plus freshness hints), and a crawler seeds/refreshes its frontier from
+  * them. This parses the protocol's two document kinds in one forward
+  * scan, the [[Warc]] honest-grammar discipline:
+  *
+  *   - `<urlset>` leaves: one entry per `<url>` block — `<loc>` (required;
+  *     XML entities decoded), optional `<lastmod>` (kept verbatim — W3C
+  *     datetime) and `<priority>` (parsed to an exact x10 integer, the
+  *     engine-neutral form of the spec's 0.0–1.0 decimal);
+  *   - `<sitemapindex>` internal nodes: one entry per `<sitemap>` block —
+  *     the `<loc>` of a child sitemap to fetch (kind = "sitemap", how the
+  *     frontier loop recurses).
+  *
+  * Malformed documents (unclosed loc, url block without loc, priority out
+  * of form) fail LOUDLY naming the doc. Per-partition flatMap, iterator
+  * fan-out, zero shuffles; [[Multimodal.fanned]]'s `fanOut` lever applies.
+  * Out of honest scope: gzip sitemaps arrive via [[Warc]]'s gz plumbing or
+  * storage-layer decompression; text/plain url-list sitemaps are `split`
+  * by lines upstream.
+  */
+object Sitemap {
+
+  /** `kind` = "url" (a frontier candidate) | "sitemap" (a child sitemap to
+    * fetch). `priority_x10` = the spec's 0.0–1.0 priority as an exact
+    * integer in [0, 10]; −1 = absent (the spec's default is 0.5 but a
+    * pipeline should see "absent" distinctly). `lastmod` = verbatim W3C
+    * datetime, empty if absent. */
+  final case class SitemapEntry(doc_id: Long, kind: String, url: String,
+      lastmod: String, priority_x10: Long)
+
+  private def decodeEntities(s: String, docId: Long): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '&') { sb.append(c); i += 1 }
+      else {
+        val semi = s.indexOf(';', i + 1)
+        require(semi > i,
+          s"doc $docId: unterminated XML entity at offset $i")
+        val name = s.substring(i + 1, semi)
+        sb.append(name match {
+          case "amp" => "&"
+          case "lt" => "<"
+          case "gt" => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          case n if n.startsWith("#x") || n.startsWith("#X") =>
+            Integer.parseInt(n.substring(2), 16).toChar.toString
+          case n if n.startsWith("#") =>
+            Integer.parseInt(n.substring(1)).toChar.toString
+          case other => throw new IllegalArgumentException(
+            s"doc $docId: unknown XML entity &$other;")
+        })
+        i = semi + 1
+      }
+    }
+    sb.toString
+  }
+
+  /** One forward scan over the XML text. Tolerates arbitrary attributes,
+    * whitespace, comments outside tags of interest, and both kinds in
+    * either order (a conforming file has one root kind; the parser keys on
+    * the block tags so a concatenated fixture also parses). */
+  private[ops] def parse(docId: Long, xml: String): Iterator[SitemapEntry] = {
+    // block = <url>...</url> or <sitemap>...</sitemap>
+    def tagText(block: String, tag: String): Option[String] = {
+      val open = block.indexOf(s"<$tag")
+      if (open < 0) return None
+      val gt = block.indexOf('>', open)
+      require(gt > 0, s"doc $docId: unclosed <$tag> tag")
+      val close = block.indexOf(s"</$tag>", gt)
+      require(close >= 0, s"doc $docId: <$tag> without </$tag>")
+      Some(block.substring(gt + 1, close).trim)
+    }
+    def blocks(tag: String): Iterator[String] = new Iterator[String] {
+      private var from = 0
+      private var nextB: String = advance()
+      private def advance(): String = {
+        val open = xml.indexOf(s"<$tag>", from)
+        val openWs = xml.indexOf(s"<$tag ", from)
+        val o = if (open < 0) openWs
+          else if (openWs < 0) open else math.min(open, openWs)
+        if (o < 0) return null
+        val close = xml.indexOf(s"</$tag>", o)
+        require(close >= 0, s"doc $docId: <$tag> block without </$tag>")
+        from = close + tag.length + 3
+        xml.substring(o, close)
+      }
+      override def hasNext: Boolean = nextB != null
+      override def next(): String = { val b = nextB; nextB = advance(); b }
+    }
+    def entryOf(kind: String)(block: String): SitemapEntry = {
+      val loc = tagText(block, "loc").getOrElse(throw
+        new IllegalArgumentException(
+          s"doc $docId: <$kind> block without a <loc>"))
+      require(loc.nonEmpty, s"doc $docId: empty <loc> in a <$kind> block")
+      val lastmod = tagText(block, "lastmod").getOrElse("")
+      val prio = tagText(block, "priority") match {
+        case None => -1L
+        case Some(p) =>
+          val v = p.toDoubleOption.getOrElse(throw
+            new IllegalArgumentException(
+              s"doc $docId: malformed <priority> '$p'"))
+          require(v >= 0.0 && v <= 1.0,
+            s"doc $docId: <priority> $v outside [0, 1]")
+          // exact: the spec's values are single-decimal fractions
+          math.round(v * 10)
+      }
+      SitemapEntry(docId, kind, decodeEntities(loc, docId), lastmod, prio)
+    }
+    blocks("url").map(entryOf("url")) ++
+      blocks("sitemap").map(entryOf("sitemap"))
+  }
+
+  /** Fan sitemap documents out to their entries: (doc_id, xml) rows in,
+    * one row per url/child-sitemap out — per-partition, shuffle-free. */
+  def split(spark: SparkSession, rows: Dataset[(Long, String)],
+      fanOut: Int = 0): Dataset[SitemapEntry] = {
+    import spark.implicits._
+    Multimodal.fanned(rows, fanOut).mapPartitions { it =>
+      it.flatMap { case (id, xml) => parse(id, xml) }
+    }
+  }
+}

@@ -254,6 +254,55 @@ object CrawlOps {
               ORDER BY doc_id""")
     ),
 
+    // sitemap ingestion (r15) \u2014 the frontier-SEEDING half of the crawl
+    // protocol next to robots.txt gating: each doc < 200 plants a
+    // sitemaps.org urlset (two <url> blocks: one fully-annotated with an
+    // XML-entity query string, lastmod, and a single-decimal priority;
+    // one bare loc), parsed by the one-pass grammar walk in ops.Sitemap.
+    // The oracle reconstructs every field from doc_id arithmetic \u2014 a
+    // wrong block scan, entity decode, priority integerization, or
+    // absent-field default breaks the hash. (The <sitemapindex> recursion
+    // edge and loud malformed failures are SitemapSpec's.)
+    "t_sitemap" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val host = concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org/doc/"), col("doc_id").cast("string"))
+        val xml = t(s, dir, "documents").where(col("doc_id") < 200)
+          .select(col("doc_id"), concat(
+            lit("<?xml version=\"1.0\"?><urlset>"),
+            lit("<url><loc>"), host, lit("?a=1&amp;b=2</loc><lastmod>2024-01-"),
+            lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            lit("</lastmod><priority>0."), (col("doc_id") % 10).cast("string"),
+            lit("</priority></url>"),
+            lit("<url><loc>"), host, lit("/about</loc></url></urlset>"))
+            .as("xml"))
+          .as[(Long, String)]
+        graft.ops.Sitemap.split(s, xml).toDF()
+          .select("doc_id", "kind", "url", "lastmod", "priority_x10")
+          .orderBy("doc_id", "url")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+              u AS (
+                SELECT doc_id, 'url' AS kind,
+                  'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+                    '.example.org/doc/' || CAST(doc_id AS VARCHAR) ||
+                    '?a=1&b=2' AS url,
+                  '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                    AS lastmod,
+                  doc_id % 10 AS priority_x10
+                FROM d
+                UNION ALL
+                SELECT doc_id, 'url' AS kind,
+                  'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+                    '.example.org/doc/' || CAST(doc_id AS VARCHAR) ||
+                    '/about' AS url,
+                  '' AS lastmod, CAST(-1 AS BIGINT) AS priority_x10
+                FROM d)
+              SELECT doc_id, kind, url, lastmod, priority_x10 FROM u
+              ORDER BY doc_id, url""")
+    ),
+
     // Unicode NFC normalization \u2014 three planted spellings cycling on
     // doc_id % 3: decomposed combining marks (e+0301, i+0308 -> composed),
     // already-precomposed (the isNormalized no-op path), and pure ASCII

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class SitemapSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("urlset: loc/lastmod/priority parse; entities decode; absent priority is -1") {
+    val xml = """<?xml version="1.0" encoding="UTF-8"?>
+      <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        <url><loc>https://a.example/x?p=1&amp;q=2</loc>
+          <lastmod>2024-03-01</lastmod><priority>0.8</priority></url>
+        <url><loc> https://a.example/y </loc></url>
+      </urlset>"""
+    val got = Sitemap.parse(7L, xml).toSeq
+    assert(got == Seq(
+      Sitemap.SitemapEntry(7L, "url", "https://a.example/x?p=1&q=2",
+        "2024-03-01", 8L),
+      Sitemap.SitemapEntry(7L, "url", "https://a.example/y", "", -1L)))
+  }
+
+  test("sitemapindex: child sitemaps come back as kind=sitemap (the recursion edge)") {
+    val xml = """<sitemapindex>
+      <sitemap><loc>https://a.example/sitemap-news.xml</loc>
+        <lastmod>2024-01-05</lastmod></sitemap>
+      <sitemap><loc>https://a.example/sitemap-archive.xml</loc></sitemap>
+      </sitemapindex>"""
+    val got = Sitemap.parse(9L, xml).toSeq
+    assert(got.map(e => (e.kind, e.url, e.lastmod)) == Seq(
+      ("sitemap", "https://a.example/sitemap-news.xml", "2024-01-05"),
+      ("sitemap", "https://a.example/sitemap-archive.xml", "")))
+  }
+
+  test("numeric character references and every named entity decode") {
+    val xml = "<urlset><url><loc>https://a.example/&lt;x&gt;&quot;&apos;&#47;&#x2F;</loc></url></urlset>"
+    assert(Sitemap.parse(1L, xml).next().url == "https://a.example/<x>\"'//")
+  }
+
+  test("malformed sitemaps fail LOUDLY naming the doc") {
+    val noLoc = "<urlset><url><lastmod>2024-01-01</lastmod></url></urlset>"
+    val e1 = intercept[Exception](Sitemap.parse(3L, noLoc).toSeq)
+    assert(e1.getMessage.contains("doc 3") && e1.getMessage.contains("loc"))
+    val unclosed = "<urlset><url><loc>https://a.example/x</url></urlset>"
+    val e2 = intercept[Exception](Sitemap.parse(4L, unclosed).toSeq)
+    assert(e2.getMessage.contains("doc 4"))
+    val badPrio = "<urlset><url><loc>https://a.example/x</loc><priority>high</priority></url></urlset>"
+    val e3 = intercept[Exception](Sitemap.parse(5L, badPrio).toSeq)
+    assert(e3.getMessage.contains("doc 5") && e3.getMessage.contains("priority"))
+    val outOfRange = "<urlset><url><loc>https://a.example/x</loc><priority>1.5</priority></url></urlset>"
+    val e4 = intercept[Exception](Sitemap.parse(6L, outOfRange).toSeq)
+    assert(e4.getMessage.contains("doc 6") && e4.getMessage.contains("[0, 1]"))
+  }
+
+  test("split face: per-partition fan-out, fanOut lever applies") {
+    import spark.implicits._
+    val rows = (0 until 6).map { i =>
+      (i.toLong, s"<urlset><url><loc>https://h$i.example/</loc></url></urlset>")
+    }
+    val one = spark.createDataset(rows).coalesce(1)
+    assert(Sitemap.split(spark, one).rdd.getNumPartitions == 1)
+    assert(Sitemap.split(spark, one, fanOut = 3).rdd.getNumPartitions == 3)
+    assert(Sitemap.split(spark, one).collect().map(_.url).sorted.toSeq ==
+      (0 until 6).map(i => s"https://h$i.example/"))
+  }
+}
