@@ -342,6 +342,50 @@ object TextOps {
               ORDER BY doc_id, page""")
     ),
 
+    // WET export + re-ingest round trip (r15): the EXPORT direction of the
+    // pipeline — extracted text written back out as Common-Crawl-shaped
+    // WET shards (gzipped WARC archives of `conversion` records), then
+    // read back through the same record walker. Shards are BOUNDED (one
+    // archive per (host, doc_id div 64) — never one unbounded archive per
+    // host), built per group with mapGroups over ≤64 rows, so the export
+    // stage holds O(shard) rows, not O(host). The oracle recomputes the
+    // extraction directly: any defect in the gzip-member write, record
+    // framing, URI round trip, payload addressing, or re-ingest breaks
+    // the per-doc token counts.
+    "p_wet_export" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val pages = t(s, dir, "documents")
+          .where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            graft.ops.Clean.extractHtml(plantedHtml(col("text"))).as("txt"),
+            (col("doc_id") % 7).as("host_id"),
+            expr("doc_id DIV 64").as("shard"))
+        val archives = pages.as[(Long, String, Long, Long)]
+          .groupByKey { case (_, _, h, sh) => (h, sh) }
+          .mapGroups { (key: (Long, Long),
+              it: Iterator[(Long, String, Long, Long)]) =>
+            val recs = it.toSeq.sortBy(_._1).map { case (id, txt, _, _) =>
+              ("conversion", s"https://h${key._1}.example.org/doc/$id", txt)
+            }
+            Multimodal.MediaBytesRow(key._1 * 1000 + key._2,
+              graft.ops.Warc.encodeGz(recs))
+          }
+        graft.ops.Warc.splitGz(s, archives).toDF()
+          .where(col("rec_type") === "conversion")
+          .select(
+            regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            graft.ops.Text.tokenCount(col("payload")).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$plantedCleanSql
+              SELECT doc_id,
+                CAST(len(string_split_regex(trim(clean_text), '\\s+'))
+                  AS BIGINT) AS n_tokens
+              FROM clean WHERE doc_id < 200 ORDER BY doc_id""")
+    ),
+
     // the PDF 1.5+ cross-reference-STREAM form (r15) — the on-disk shape
     // of most post-2006 PDFs: every non-stream dict packed into a
     // Flate-compressed /ObjStm, the xref itself a /Type /XRef stream of
