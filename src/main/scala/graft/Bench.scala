@@ -123,11 +123,14 @@ object Bench {
       (name, (fn, runs))
     }
     canaries += canary() // closes the last window (window w = canaries(w)..(w+1))
-    // a canary is healthy if it's within noise of the best one this run saw
-    // (relative, so the check doesn't assume a core count) AND the absolute
-    // floor a healthy multicore host shows for a data-independent 5e8 sum
-    val minC = canaries.min
-    def healthyC(c: Double): Boolean = c <= math.max(2.0 * minC, minC + 0.2)
+    // a canary is healthy if it's within noise of the run's MEDIAN canary —
+    // the median, not the min: one exceptionally fast sample must not drag
+    // the threshold under the host's normal spread (observed: minC 0.09 s
+    // flagging ordinary 0.3-0.45 s samples), and one degraded window must
+    // not inflate it (the mean would). A uniformly-degraded host shows as
+    // a high median itself, flagged separately below.
+    val medC = canaries.sorted.apply(canaries.size / 2)
+    def healthyC(c: Double): Boolean = c <= math.max(3.0 * medC, medC + 0.5)
     def windowHealthy(w: Int): Boolean =
       healthyC(canaries(w)) && healthyC(canaries(w + 1))
     val degraded = results0.collect {
@@ -179,10 +182,12 @@ object Bench {
       val w = windowOf(k)
       s"${jstr(k)}:[${f"${canaries(w)}%.3f"},${f"${canaries(w + 1)}%.3f"}]"
     }.mkString("{", ",", "}")
-    val hostDegraded = canaries.exists(c => !healthyC(c))
+    // per-window spikes OR a uniformly slow host (high median itself —
+    // relative checks cannot see uniform degradation, the r5/r14 trap)
+    val hostDegraded = canaries.exists(c => !healthyC(c)) || medC > 1.0
     val retriedJson = degraded.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_run1":$totalRun1,"canary_before_sec":${canaries.head},"canary_after_sec":${canaries.last},"canaries":$canaryJson,"canary_every":$canaryEvery,"host_degraded":$hostDegraded,"degraded_window_queries":$retriedJson,"query_window_canaries":$winJson,"canary":"range(5e8).sum, data-independent, interleaved every $canaryEvery queries; healthy 32-core host ~0.1-0.3 s - a canary >max(2x min, min+0.2s) marks its bracketed window degraded; degraded-window queries get one extra healthy-host run","timing":"per-query best of 2 runs, +1 tie-breaker run on >2.5x spread between successes or a 1-of-2 failure, +1 recovery run for degraded-window queries; value_run1 sums first runs (single-run comparable)","queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_run1":$totalRun1,"canary_before_sec":${canaries.head},"canary_after_sec":${canaries.last},"canaries":$canaryJson,"canary_every":$canaryEvery,"host_degraded":$hostDegraded,"degraded_window_queries":$retriedJson,"query_window_canaries":$winJson,"canary":"range(5e8).sum, data-independent, interleaved every $canaryEvery queries; healthy 32-core host ~0.1-0.3 s - a canary >max(3x median, median+0.5s) marks its bracketed window degraded, a median >1s marks the whole record; degraded-window queries get one extra healthy-host run","timing":"per-query best of 2 runs, +1 tie-breaker run on >2.5x spread between successes or a 1-of-2 failure, +1 recovery run for degraded-window queries; value_run1 sums first runs (single-run comparable)","queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
     // file copy first (survives log interleaving), then the line alone on
     // stdout after Spark is quiet
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
