@@ -127,7 +127,12 @@ object Mixture {
     val w = Window.partitionBy() // over the source-count-bounded aggregate
     n.withColumn("_sw", flat)
       .withColumn("_swsum", sum(col("_sw")).over(w))
-      .withColumn("_sbudget", expr(s"${totalBudget}L * _sw DIV _swsum"))
+      // an all-zero-weight corpus (every _sw = 0) gets budget 0 everywhere
+      // — the budget-0 "take nothing" semantics budgetPrefix already has —
+      // instead of an ANSI DIVIDE_BY_ZERO from deep inside the plan
+      .withColumn("_sbudget",
+        when(col("_swsum") === 0, lit(0L))
+          .otherwise(expr(s"${totalBudget}L * _sw DIV _swsum")))
       .drop("_swsum")
   }
 

@@ -51,10 +51,25 @@ object Sitemap {
           case "gt" => ">"
           case "quot" => "\""
           case "apos" => "'"
-          case n if n.startsWith("#x") || n.startsWith("#X") =>
-            Integer.parseInt(n.substring(2), 16).toChar.toString
           case n if n.startsWith("#") =>
-            Integer.parseInt(n.substring(1)).toChar.toString
+            // numeric character reference — through Character.toChars, so
+            // supplementary-plane code points become their surrogate PAIR
+            // (Int.toChar would silently truncate to 16 bits), and an
+            // out-of-range/garbage reference fails naming the doc
+            val cp =
+              try {
+                if (n.length > 2 && (n.charAt(1) == 'x' || n.charAt(1) == 'X'))
+                  Integer.parseInt(n.substring(2), 16)
+                else Integer.parseInt(n.substring(1))
+              } catch {
+                case e: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"doc $docId: malformed numeric character reference &$n;", e)
+              }
+            require(Character.isValidCodePoint(cp),
+              s"doc $docId: numeric character reference &$n; is not a " +
+                "valid code point")
+            new String(Character.toChars(cp))
           case other => throw new IllegalArgumentException(
             s"doc $docId: unknown XML entity &$other;")
         })
@@ -64,29 +79,53 @@ object Sitemap {
     sb.toString
   }
 
-  /** One forward scan over the XML text. Tolerates arbitrary attributes,
-    * whitespace, comments outside tags of interest, and both kinds in
-    * either order (a conforming file has one root kind; the parser keys on
-    * the block tags so a concatenated fixture also parses). */
+  private def isXmlWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  /** Index of the next `<tag` open whose name ends at a PROPER boundary
+    * ('>', '/', or XML whitespace — `<loc>` must not match `<location>`),
+    * or -1. */
+  private def findOpen(s: String, tag: String, from: Int): Int = {
+    var i = from
+    val probe = s"<$tag"
+    while (true) {
+      val o = s.indexOf(probe, i)
+      if (o < 0) return -1
+      val after = o + probe.length
+      if (after >= s.length) return -1
+      val c = s.charAt(after)
+      if (c == '>' || c == '/' || isXmlWs(c)) return o
+      i = o + 1
+    }
+    -1
+  }
+
+  /** One forward scan over the XML text. Tolerates arbitrary attributes
+    * and XML whitespace inside open tags, CDATA-wrapped field text, and
+    * both kinds in either order (a conforming file has one root kind; the
+    * parser keys on the block tags so a concatenated fixture also
+    * parses). */
   private[ops] def parse(docId: Long, xml: String): Iterator[SitemapEntry] = {
     // block = <url>...</url> or <sitemap>...</sitemap>
     def tagText(block: String, tag: String): Option[String] = {
-      val open = block.indexOf(s"<$tag")
+      val open = findOpen(block, tag, 0)
       if (open < 0) return None
       val gt = block.indexOf('>', open)
       require(gt > 0, s"doc $docId: unclosed <$tag> tag")
       val close = block.indexOf(s"</$tag>", gt)
       require(close >= 0, s"doc $docId: <$tag> without </$tag>")
-      Some(block.substring(gt + 1, close).trim)
+      val raw = block.substring(gt + 1, close).trim
+      // CDATA section (real-world sitemap generators emit it around loc):
+      // verbatim content, never entity-decoded - that is CDATA's point
+      if (raw.startsWith("<![CDATA[") && raw.endsWith("]]>"))
+        Some(raw.substring(9, raw.length - 3).trim)
+      else Some(decodeEntities(raw, docId))
     }
     def blocks(tag: String): Iterator[String] = new Iterator[String] {
       private var from = 0
       private var nextB: String = advance()
       private def advance(): String = {
-        val open = xml.indexOf(s"<$tag>", from)
-        val openWs = xml.indexOf(s"<$tag ", from)
-        val o = if (open < 0) openWs
-          else if (openWs < 0) open else math.min(open, openWs)
+        val o = findOpen(xml, tag, from)
         if (o < 0) return null
         val close = xml.indexOf(s"</$tag>", o)
         require(close >= 0, s"doc $docId: <$tag> block without </$tag>")
@@ -105,15 +144,23 @@ object Sitemap {
       val prio = tagText(block, "priority") match {
         case None => -1L
         case Some(p) =>
-          val v = p.toDoubleOption.getOrElse(throw
-            new IllegalArgumentException(
-              s"doc $docId: malformed <priority> '$p'"))
-          require(v >= 0.0 && v <= 1.0,
-            s"doc $docId: <priority> $v outside [0, 1]")
-          // exact: the spec's values are single-decimal fractions
-          math.round(v * 10)
+          // EXACT decimal arithmetic (the x10 contract): BigDecimal
+          // half-up at one decimal — FP would round 0.15 down and 0.35
+          // up through representation error; the spec allows any
+          // precision in [0.0, 1.0]
+          val v =
+            try new java.math.BigDecimal(p)
+            catch {
+              case e: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"doc $docId: malformed <priority> '$p'", e)
+            }
+          require(v.signum >= 0 && v.compareTo(java.math.BigDecimal.ONE) <= 0,
+            s"doc $docId: <priority> $p outside [0, 1]")
+          v.setScale(1, java.math.RoundingMode.HALF_UP)
+            .unscaledValue.longValueExact
       }
-      SitemapEntry(docId, kind, decodeEntities(loc, docId), lastmod, prio)
+      SitemapEntry(docId, kind, loc, lastmod, prio)
     }
     blocks("url").map(entryOf("url")) ++
       blocks("sitemap").map(entryOf("sitemap"))

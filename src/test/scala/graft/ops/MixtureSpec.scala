@@ -106,6 +106,12 @@ class MixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       val total = budgets(alpha).values.sum
       assert(total <= 1000L && total >= 998L, s"alpha=$alpha got $total")
     }
+    // an all-zero-weight corpus gets budget 0 everywhere — never a
+    // divide-by-zero from deep inside the plan
+    val zeros = Seq(("a", 0L), ("b", 0L)).toDF("source", "w")
+      .withColumn("doc_id", monotonically_increasing_id())
+    assert(Mixture.temperatureBudgets(zeros, "source", "w", 1000L, 1.0)
+      .select("_sbudget").collect().map(_.getLong(0)).toSeq == Seq(0L, 0L))
   }
 
   test("temperaturePrefix composes: per-source takes equal budgetPrefix at the flattened budgets") {

@@ -44,6 +44,41 @@ class SitemapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sitemap.parse(1L, xml).next().url == "https://a.example/<x>\"'//")
   }
 
+  test("open tags with attributes/whitespace parse; <location> never matches <loc>") {
+    // pretty-printed and attribute-bearing open tags are legal XML; and an
+    // extension tag whose NAME merely starts with 'loc' must not anchor
+    // the loc lookup (boundary-checked open-tag matching)
+    val xml = "<urlset>\n  <url\n  >\n    <location>not this</location>\n" +
+      "    <loc\t>https://a.example/real</loc>\n  </url>\n</urlset>"
+    val got = Sitemap.parse(11L, xml).toSeq
+    assert(got.map(_.url) == Seq("https://a.example/real"))
+  }
+
+  test("CDATA loc is verbatim (no entity decode); supplementary-plane NCRs become surrogate pairs") {
+    val cdata = "<urlset><url><loc><![CDATA[https://a.example/x?a=1&b=2]]></loc></url></urlset>"
+    assert(Sitemap.parse(12L, cdata).next().url == "https://a.example/x?a=1&b=2")
+    // U+1F4A9 must arrive as the surrogate PAIR, not a truncated 16-bit char
+    val astral = "<urlset><url><loc>https://a.example/&#x1F4A9;</loc></url></urlset>"
+    assert(Sitemap.parse(13L, astral).next().url ==
+      "https://a.example/" + new String(Character.toChars(0x1F4A9)))
+    // an out-of-range reference fails naming the doc
+    val bad = "<urlset><url><loc>https://a.example/&#x110000;</loc></url></urlset>"
+    val e = intercept[Exception](Sitemap.parse(14L, bad).toSeq)
+    assert(e.getMessage.contains("doc 14"))
+  }
+
+  test("multi-decimal priorities round half-up EXACTLY (decimal, not FP)") {
+    def prio(p: String): Long = Sitemap.parse(15L,
+      s"<urlset><url><loc>https://a.example/</loc><priority>$p</priority></url></urlset>")
+      .next().priority_x10
+    // FP would round 0.15*10 DOWN (1.4999...) and 0.35*10 UP — decimal
+    // half-up gives 2 and 4 consistently
+    assert(prio("0.15") == 2L)
+    assert(prio("0.35") == 4L)
+    assert(prio("1.0") == 10L)
+    assert(prio("0") == 0L)
+  }
+
   test("malformed sitemaps fail LOUDLY naming the doc") {
     val noLoc = "<urlset><url><lastmod>2024-01-01</lastmod></url></urlset>"
     val e1 = intercept[Exception](Sitemap.parse(3L, noLoc).toSeq)
