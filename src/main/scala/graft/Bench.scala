@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 object Bench {
   /** Timed action: iterate the physical plan's output rows with the full
@@ -28,6 +29,74 @@ object Bench {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
 
+  /** The committed full-fidelity bench history: every FULL-suite run appends
+    * its JSON line here (narrowed dev runs don't), so the next round's drift
+    * check has a complete same-host baseline — the driver's own BENCH_r*.json
+    * keeps only a 2000-char stdout tail, which truncates the queries map. */
+  private val HistoryFile = "BENCH_HISTORY.jsonl"
+
+  /** Per-query best from the most recent comparable prior record — the
+    * cross-round drift baseline (r16). Sources, in order:
+    *  1. the last same-sf line of [[HistoryFile]] (read BEFORE this run
+    *     appends, so it is genuinely the prior run);
+    *  2. the newest in-repo `BENCH_r*.json` driver wrapper — only a stdout
+    *     tail survives there, so recover what it holds: the raw
+    *     `"name":[a,b,...]` sample arrays (best ≈ min), partial coverage.
+    * Parsed with regexes over the flat shapes Bench itself wrote (no JSON
+    * dependency; names are [a-z0-9_] by construction). Only comparable
+    * records count: the record must carry the SAME sf dir (a local sf0.001
+    * iteration must not judge itself against sf0.1 history, nor vice
+    * versa). */
+  private def priorBest(sfDir: String): (String, Map[String, Double]) = {
+    val sfTag = "\"sf\":\"" + sfDir + "\""
+    val kvNum = "\"([a-z0-9_]+)\":([0-9][0-9.eE+\\-]*)".r
+    val kvArr = "\"([a-z0-9_]+)\":\\[([0-9][0-9.,eE+\\-]*)\\]".r
+    val hist = new java.io.File(HistoryFile)
+    val fromHistory: Option[(String, Map[String, Double])] =
+      if (!hist.isFile) None
+      else scala.util.Try {
+        val src = scala.io.Source.fromFile(hist, "UTF-8")
+        val lines = try src.getLines().toVector finally src.close()
+        lines.reverseIterator.find(_.contains(sfTag)).flatMap { line =>
+          val qStart = line.indexOf("\"queries\":{")
+          if (qStart < 0) None
+          else {
+            val body = line.substring(qStart + "\"queries\":{".length,
+              line.indexOf("}", qStart))
+            val m = kvNum.findAllMatchIn(body)
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+            if (m.nonEmpty) Some((HistoryFile, m)) else None
+          }
+        }
+      }.toOption.flatten
+    val fromDriverTail: Option[(String, Map[String, Double])] = {
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      if (files.isEmpty) None
+      else {
+        val latest = files.maxBy(f => f.getName.replaceAll("\\D", "").toInt)
+        scala.util.Try {
+          // the wrapper embeds our stdout as a JSON string — unescape
+          // before matching the shapes we originally printed
+          val s = new String(
+            java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+            .replace("\\\"", "\"")
+          if (!s.contains(sfTag)) None
+          else {
+            val m = kvArr.findAllMatchIn(s).flatMap { g =>
+              val xs = g.group(2).split(",")
+                .flatMap(x => scala.util.Try(x.toDouble).toOption)
+              if (xs.nonEmpty) Some(g.group(1) -> xs.min) else None
+            }.toMap
+            if (m.nonEmpty) Some((latest.getName + " (tail fragment)", m))
+            else None
+          }
+        }.toOption.flatten
+      }
+    }
+    fromHistory.orElse(fromDriverTail).getOrElse(("", Map.empty))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,29 +119,46 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    // fixed CPU-bound canary, timed before and after the suite: best-of-2 +
-    // the spread tie-breaker catch a stall that hits SOME runs, but a host
-    // that is UNIFORMLY degraded (cpu-starved VM, billed steal time) slows
-    // every sample equally and the record looks self-consistent — round 5's
-    // driver record was exactly that. The canary is data-independent
-    // (spark.range -> sum, no I/O), so its healthy time is a property of the
-    // machine, not the code under test: a degraded-host record identifies
-    // itself (canary seconds far above the ~0.1-0.3 s a healthy 32-core host
-    // shows) without needing a second host to compare against.
-    def canary(): Double = {
+    // TWO fixed canaries, timed before/after the suite and interleaved
+    // every `canaryEvery` queries — each data-independent enough that its
+    // healthy time is a property of the machine, not the code under test:
+    //  - CPU canary: spark.range(5e8).sum — pure compute, no I/O. Catches
+    //    cpu starvation / billed steal time (the r5 trap).
+    //  - I/O+shuffle canary (r16): a fixed small parquet read plus ONE
+    //    32-task hash shuffle (groupBy a synthetic 64-key column). The r15
+    //    driver record was contaminated by contention that hit shuffle/
+    //    disk/scheduler — another JVM's I/O, page-cache eviction — which
+    //    slows real queries while a pure-CPU canary stays "healthy". The
+    //    shuffle files are WRITTEN fresh on every invocation (shuffle
+    //    reuse never spans jobs), so disk and scheduler contention land on
+    //    exactly this number. The input is tiny (customer at any sf); the
+    //    canary's healthy time is dominated by fixed per-query machinery,
+    //    and health is judged median-relative anyway.
+    // A window is healthy only if BOTH canaries are healthy on BOTH sides.
+    def canaryCpu(): Double = {
       val t0 = System.nanoTime()
       spark.range(500000000L).selectExpr("sum(id)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    // r14 lesson: the host degraded BETWEEN healthy bookend canaries and the
-    // record looked clean while a trivial groupBy billed 58 s. The canary
-    // now INTERLEAVES every `canaryEvery` queries, each query is tagged with
-    // its bracketing canary window, and queries whose window was degraded
-    // get one extra run at the end if the host has recovered — so a
-    // poisoned sample is visible in the JSON and, when possible, replaced
-    // by a healthy one rather than silently distorting the headline.
-    val canaryEvery = 20
-    val canaries = scala.collection.mutable.ArrayBuffer[Double](canary())
+    def canaryIo(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .groupBy((col("c_custkey") % 64).as("k")).agg(count(lit(1)).as("n"))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // dev/test knob (scripts/contention_test.sh tightens it to bracket
+    // every query pair); the driver leaves it unset
+    val canaryEvery = sys.env.get("SPARK_GRAFT_CANARY_EVERY")
+      .map(_.toInt).filter(_ >= 1).getOrElse(20)
+    val cpuC = scala.collection.mutable.ArrayBuffer[Double]()
+    val ioC = scala.collection.mutable.ArrayBuffer[Double]()
+    def sampleCanaries(): Unit = { cpuC += canaryCpu(); ioC += canaryIo() }
+    // untimed canary warmup: the FIRST io sample would otherwise pay the
+    // one-time plan/codegen/file-index cost (~5x a warm sample) and falsely
+    // flag window 0 against the warm median
+    canaryCpu(); canaryIo()
+    sampleCanaries()
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q1_agg,d_simhash narrows the run for
     // iteration; the driver leaves it unset (full suite)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -89,25 +175,25 @@ object Bench {
     // result), and it is reported as errored only when BOTH runs fail — a
     // transient one-run failure surfaces in "raw"/"flaky", not "errors".
     val windowOf = scala.collection.mutable.Map.empty[String, Int]
+    def timedRun(fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err =
+        try { materialize(fn(spark, sfDir)); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
+        // each run builds the query fresh, so any checkpoint it pinned is
+        // dead weight once materialized — free it inside the timed window
+        // (the release IS part of the operator's cost)
+        finally ops.Pins.releaseAll()
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
     val results0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex.map { case ((name, fn), qi) =>
-      if (qi > 0 && qi % canaryEvery == 0) canaries += canary()
-      windowOf(name) = canaries.size - 1
-      def run(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val err =
-          try { materialize(fn(spark, sfDir)); None }
-          catch { case e: Throwable =>
-            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
-          }
-          // each run builds the query fresh, so any checkpoint it pinned is
-          // dead weight once materialized — free it inside the timed window
-          // (the release IS part of the operator's cost)
-          finally ops.Pins.releaseAll()
-        ((System.nanoTime() - t0) / 1e9, err)
-      }
-      val two = Seq(run(), run())
+      if (qi > 0 && qi % canaryEvery == 0) sampleCanaries()
+      windowOf(name) = cpuC.size - 1
+      val two = Seq(timedRun(fn), timedRun(fn))
       // tie-breaker third run ONLY when the two samples can't speak for the
       // code: a >3x spread between successful runs means an environmental
       // stall hit one of them (observed: an idle-host pause billed 87 s to a
@@ -118,53 +204,82 @@ object Bench {
       // sat at 2.9x spread and kept its distorted best-of-2
       val ok = two.collect { case (t, None) => t }
       val runs =
-        if ((ok.size == 2 && ok.max / ok.min > 2.5) || ok.size == 1) two :+ run()
+        if ((ok.size == 2 && ok.max / ok.min > 2.5) || ok.size == 1) two :+ timedRun(fn)
         else two
       (name, (fn, runs))
     }
-    canaries += canary() // closes the last window (window w = canaries(w)..(w+1))
+    sampleCanaries() // closes the last window (window w = samples w..(w+1))
+    // the canary pair that CLOSED the main pass — canary_after_sec must
+    // report this one even if a recovery pass appends more samples later
+    // (r15 ADVICE: the field's meaning silently shifted when retries ran)
+    val mainCloseIdx = cpuC.size - 1
     // a canary is healthy if it's within noise of the run's MEDIAN canary —
     // the median, not the min: one exceptionally fast sample must not drag
     // the threshold under the host's normal spread (observed: minC 0.09 s
     // flagging ordinary 0.3-0.45 s samples), and one degraded window must
     // not inflate it (the mean would). A uniformly-degraded host shows as
     // a high median itself, flagged separately below.
-    val medC = canaries.sorted.apply(canaries.size / 2)
-    def healthyC(c: Double): Boolean = c <= math.max(3.0 * medC, medC + 0.5)
-    def windowHealthy(w: Int): Boolean =
-      healthyC(canaries(w)) && healthyC(canaries(w + 1))
+    def medianOf(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val medCpu = medianOf(cpuC.toSeq)
+    val medIo = medianOf(ioC.toSeq)
+    def healthyCpu(c: Double): Boolean = c <= math.max(3.0 * medCpu, medCpu + 0.5)
+    def healthyIo(c: Double): Boolean = c <= math.max(3.0 * medIo, medIo + 0.5)
+    def healthyAt(i: Int): Boolean = healthyCpu(cpuC(i)) && healthyIo(ioC(i))
+    def windowHealthy(w: Int): Boolean = healthyAt(w) && healthyAt(w + 1)
     val degraded = results0.collect {
       case (name, _) if !windowHealthy(windowOf(name)) => name
     }.toSet
-    // recovery pass: degraded-window queries get ONE extra run each, taken
-    // only while the host is demonstrably healthy again (canary-bracketed,
-    // re-checked every `canaryEvery` retries) — best-of then prefers the
-    // healthy sample naturally via min-over-successes
-    val retryRuns = scala.collection.mutable.Map.empty[String, (Double, Option[String])]
-    if (degraded.nonEmpty) {
-      var c = canary(); canaries += c
-      var i = 0
-      for ((name, (fn, _)) <- results0 if degraded(name) && healthyC(c)) {
-        val t0 = System.nanoTime()
-        val err =
-          try { materialize(fn(spark, sfDir)); None }
-          catch { case e: Throwable =>
-            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
-          } finally ops.Pins.releaseAll()
-        retryRuns(name) = ((System.nanoTime() - t0) / 1e9, err)
-        i += 1
-        if (i % canaryEvery == 0) { c = canary(); canaries += c }
-      }
-    }
-    val results = results0.map { case (name, (_, runs)) =>
-      (name, runs ++ retryRuns.get(name).toSeq)
-    }
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
     def best(runs: Seq[(Double, Option[String])]): Double = {
       val ok = runs.collect { case (t, None) => t }
       if (ok.nonEmpty) ok.min else runs.map(_._1).min
     }
+    // cross-round drift check (r16): the r14 AND r15 driver records were
+    // host-distorted while every canary read healthy — contention the
+    // canaries didn't sample still billed 6-30x slowdowns to untouched
+    // queries. The repo ships every prior BENCH_r*.json; any query whose
+    // best-of exceeds 3x its prior-round best (and by >= 1 s — sub-second
+    // churn is commit noise, not contamination) is SUSPECT and gets the
+    // same healthy-host recovery run as a degraded-window query. A genuine
+    // regression keeps its slow time through the retry (min-over-successes
+    // only improves if the retry is actually faster) and surfaces in
+    // drift_vs_prior for a human to read.
+    val (driftBaseline, prior) = priorBest(sfDir)
+    def driftOf(bests: Map[String, Double]): Map[String, (Double, Double)] =
+      bests.flatMap { case (name, cur) =>
+        prior.get(name).collect {
+          case p if cur > 3.0 * p && cur > p + 1.0 => name -> (p, cur)
+        }
+      }
+    val driftSuspects =
+      driftOf(results0.map { case (n, (_, runs)) => n -> best(runs) }.toMap).keySet
+    // recovery pass: suspect queries (degraded-window OR drift-flagged) get
+    // ONE extra run each, taken only while the host is demonstrably healthy
+    // again (both canaries, re-checked every `canaryEvery` retries) —
+    // best-of then prefers the healthy sample naturally via
+    // min-over-successes
+    val retryTargets = degraded ++ driftSuspects
+    val retryRuns = scala.collection.mutable.Map.empty[String, (Double, Option[String])]
+    if (retryTargets.nonEmpty) {
+      sampleCanaries()
+      var healthyNow = healthyAt(cpuC.size - 1)
+      var i = 0
+      for ((name, (fn, _)) <- results0 if retryTargets(name) && healthyNow) {
+        retryRuns(name) = timedRun(fn)
+        i += 1
+        if (i % canaryEvery == 0) {
+          sampleCanaries()
+          healthyNow = healthyAt(cpuC.size - 1)
+        }
+      }
+      sampleCanaries() // close the retry pass so its last window is bracketed too
+    }
+    val results = results0.map { case (name, (_, runs)) =>
+      (name, runs ++ retryRuns.get(name).toSeq)
+    }
+    val finalBests = results.map { case (n, runs) => n -> best(runs) }.toMap
+    val driftFinal = driftOf(finalBests)
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:${best(v)}" }.mkString("{", ",", "}")
     val raw = results.map { case (k, v) => s"${jstr(k)}:${v.map(_._1).mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
@@ -177,21 +292,35 @@ object Bench {
     // r1/r2 single-run headline; "value" (min-of-2) is the steady-state
     // number and ~25-30% lower by methodology, not by code speedup
     val totalRun1 = results.map(_._2.head._1).sum
-    val canaryJson = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val winJson = results.map { case (k, _) =>
+    def cJson(xs: Seq[Double]): String = xs.map(c => f"$c%.3f").mkString("[", ",", "]")
+    def winJson(xs: scala.collection.Seq[Double]): String = results.map { case (k, _) =>
       val w = windowOf(k)
-      s"${jstr(k)}:[${f"${canaries(w)}%.3f"},${f"${canaries(w + 1)}%.3f"}]"
+      s"${jstr(k)}:[${f"${xs(w)}%.3f"},${f"${xs(w + 1)}%.3f"}]"
     }.mkString("{", ",", "}")
     // per-window spikes OR a uniformly slow host (high median itself —
-    // relative checks cannot see uniform degradation, the r5/r14 trap)
-    val hostDegraded = canaries.exists(c => !healthyC(c)) || medC > 1.0
+    // relative checks cannot see uniform degradation, the r5/r14 trap).
+    // The absolute floors encode what an idle 32-core host does at sf0.1:
+    // CPU canary ~0.1-0.3 s, I/O+shuffle canary ~0.1-0.5 s.
+    val hostDegraded = cpuC.exists(c => !healthyCpu(c)) ||
+      ioC.exists(c => !healthyIo(c)) || medCpu > 1.0 || medIo > 1.5
     val retriedJson = degraded.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    val driftSusJson = driftSuspects.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    val driftFinalJson = driftFinal.toSeq.sortBy(_._1).map { case (k, (p, c)) =>
+      s"${jstr(k)}:[${f"$p%.3f"},${f"$c%.3f"}]" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_run1":$totalRun1,"canary_before_sec":${canaries.head},"canary_after_sec":${canaries.last},"canaries":$canaryJson,"canary_every":$canaryEvery,"host_degraded":$hostDegraded,"degraded_window_queries":$retriedJson,"query_window_canaries":$winJson,"canary":"range(5e8).sum, data-independent, interleaved every $canaryEvery queries; healthy 32-core host ~0.1-0.3 s - a canary >max(3x median, median+0.5s) marks its bracketed window degraded, a median >1s marks the whole record; degraded-window queries get one extra healthy-host run","timing":"per-query best of 2 runs, +1 tie-breaker run on >2.5x spread between successes or a 1-of-2 failure, +1 recovery run for degraded-window queries; value_run1 sums first runs (single-run comparable)","queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_run1":$totalRun1,"canary_before_sec":${cpuC.head},"canary_after_sec":${cpuC(mainCloseIdx)},"canaries":${cJson(cpuC.toSeq)},"canaries_io":${cJson(ioC.toSeq)},"canary_every":$canaryEvery,"host_degraded":$hostDegraded,"degraded_window_queries":$retriedJson,"drift_baseline":${jstr(driftBaseline)},"drift_suspect_queries":$driftSusJson,"drift_vs_prior":$driftFinalJson,"query_window_canaries":${winJson(cpuC)},"query_window_canaries_io":${winJson(ioC)},"canary":"two interleaved canaries every $canaryEvery queries - cpu: range(5e8).sum, data-independent; io: fixed small parquet read + one 32-task hash shuffle (fresh shuffle files each time, so disk/scheduler contention lands on it). A window is degraded unless BOTH canaries are healthy (<= max(3x median, median+0.5s)) on BOTH sides; cpu median > 1s or io median > 1.5s marks the whole record. canary_after_sec is the cpu sample that closed the MAIN pass (retry-phase canaries follow in the arrays)","drift":"per-query best-of compared against the same-sf prior round's BENCH_r*.json: > 3x prior AND > prior+1s = suspect -> healthy-host recovery run; drift_vs_prior lists what remains after recovery (genuine regressions or uncured contamination)","timing":"per-query best of 2 runs, +1 tie-breaker run on >2.5x spread between successes or a 1-of-2 failure, +1 recovery run for degraded-window or drift-suspect queries; value_run1 sums first runs (single-run comparable)","queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
     // file copy first (survives log interleaving), then the line alone on
     // stdout after Spark is quiet
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")),
       (line + "\n").getBytes("UTF-8"))
+    // full-suite runs extend the committed drift baseline; narrowed dev
+    // runs must not pollute it
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get(HistoryFile),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
     System.out.println(line)
     System.out.flush()

@@ -60,6 +60,18 @@ object ScriptCounts {
     org.apache.spark.sql.GraftColumnBridge.column(
       ScriptCounts(org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
+  /** THE CJK class — the single routing definition every script-routed
+    * kernel shares ([[ScriptCounts]]'s `cjk` bucket, [[TokenCount]]'s
+    * char-per-token segmentation): Han + Hiragana + Katakana + Hangul +
+    * Bopomofo by `Character.UnicodeScript`, with an ASCII short-circuit. */
+  def isCjk(cp: Int): Boolean =
+    cp >= 0x80 && (Character.UnicodeScript.of(cp) match {
+      case Character.UnicodeScript.HAN | Character.UnicodeScript.HIRAGANA |
+           Character.UnicodeScript.KATAKANA | Character.UnicodeScript.HANGUL |
+           Character.UnicodeScript.BOPOMOFO => true
+      case _ => false
+    })
+
   /** Static kernel shared by eval and the generated call. */
   def compute(text: UTF8String): InternalRow = {
     val s = text.toString
@@ -75,12 +87,10 @@ object ScriptCounts {
       if (cp < 0x80) {
         if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) latin += 1
         else other += 1
-      } else Character.UnicodeScript.of(cp) match {
+      } else if (isCjk(cp)) cjk += 1
+      else Character.UnicodeScript.of(cp) match {
         case Character.UnicodeScript.LATIN => latin += 1
         case Character.UnicodeScript.CYRILLIC => cyr += 1
-        case Character.UnicodeScript.HAN | Character.UnicodeScript.HIRAGANA |
-             Character.UnicodeScript.KATAKANA | Character.UnicodeScript.HANGUL |
-             Character.UnicodeScript.BOPOMOFO => cjk += 1
         case _ => other += 1
       }
       i += Character.charCount(cp)

@@ -425,7 +425,12 @@ object Pdf {
                   v = v * 8 + (b(p) - '0'); p += 1; k += 1
                 }
                 sb.append(v.toChar)
-              case '\n' => p += 1 // line continuation
+              // line continuation: the spec admits all three EOL forms
+              // (LF, CR, CRLF) after the backslash — consume, append nothing
+              case '\n' => p += 1
+              case '\r' =>
+                p += 1
+                if (p < b.length && b(p) == '\n') p += 1
               case c => sb.append(c.toChar); p += 1
             }
           case '(' => depth += 1; sb.append('('); p += 1
@@ -478,8 +483,11 @@ object Pdf {
   private final class Doc(b: Array[Byte], docId: Long) {
     // startxref: the last occurrence near the tail
     private val xrefOff: Int = {
-      val tail = new String(b, math.max(0, b.length - 256),
-        math.min(256, b.length), "ISO-8859-1")
+      // the spec tolerates %%EOF (and the startxref line above it) anywhere
+      // in the LAST 1024 BYTES, not just a short tail — conforming files
+      // with long trailers or trailing junk must still resolve
+      val tail = new String(b, math.max(0, b.length - 1024),
+        math.min(1024, b.length), "ISO-8859-1")
       val i = tail.lastIndexOf("startxref")
       require(i >= 0, s"doc $docId: no startxref marker")
       tail.substring(i + 9).trim.takeWhile(_.isDigit) match {

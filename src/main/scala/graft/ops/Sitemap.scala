@@ -119,7 +119,15 @@ object Sitemap {
       // verbatim content, never entity-decoded - that is CDATA's point
       if (raw.startsWith("<![CDATA[") && raw.endsWith("]]>"))
         Some(raw.substring(9, raw.length - 3).trim)
-      else Some(decodeEntities(raw, docId))
+      else {
+        // a CDATA marker that is NOT the sole well-formed wrapper (e.g.
+        // `<![CDATA[u]]>tail`) must fail loudly like every other malformed
+        // shape — falling through to entity decoding would pass the literal
+        // wrapper text through as the URL
+        require(!raw.contains("<![CDATA["),
+          s"doc $docId: malformed CDATA section inside <$tag>")
+        Some(decodeEntities(raw, docId))
+      }
     }
     def blocks(tag: String): Iterator[String] = new Iterator[String] {
       private var from = 0

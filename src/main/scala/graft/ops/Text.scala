@@ -10,8 +10,19 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace token count. */
+  /** CJK-aware token count: whitespace words, plus one token per CJK
+    * codepoint (Han/kana/Hangul/Bopomofo — [[graft.functions.ScriptCounts]]'s
+    * routing class), so every token-denominated gate downstream (Gopher
+    * band, token budgets, packing) is right on the multilingual slice.
+    * Count-identical to `size(split(trim(text), "\s+"))` on all non-CJK
+    * input — see [[graft.functions.TokenCount]] for the exact definition. */
   def tokenCount(text: Column): Column =
+    graft.functions.TokenCount(text)
+
+  /** The whitespace-split count [[tokenCount]] generalizes — kept ONLY as
+    * the parity reference for TextSpec's pin that the kernel is
+    * count-identical on non-CJK input. */
+  private[graft] def tokenCountWs(text: Column): Column =
     size(split(trim(text), "\\s+")).cast("long")
 
   /** BPE-ish subword count: word chunks + digits + punctuation as separate
@@ -53,6 +64,14 @@ object Text {
     * shuffle-free like the rest of the Text family. */
   def chunk(text: Column, window: Int, stride: Int): Column =
     graft.functions.WordChunks(text, window, stride)
+
+  /** CJK-aware [[chunk]]: windows counted in [[tokenCount]]'s units (each
+    * CJK codepoint = one token), so packing actually splits a Chinese
+    * document instead of carrying it as one giant "word" chunk. On non-CJK
+    * input it is byte-identical to [[chunk]] (TokenCountSpec pins it);
+    * chunk text preserves CJK adjacency (no invented spaces). */
+  def chunkCjk(text: Column, window: Int, stride: Int): Column =
+    graft.functions.TokenChunks(text, window, stride)
 
   /** PII patterns shared by the scrubber and its counting columns. Written
     * to the common subset of java.util.regex (Spark) and RE2 (DuckDB, and

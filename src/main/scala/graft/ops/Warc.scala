@@ -66,6 +66,39 @@ object Warc {
     bos.toByteArray
   }
 
+  /** One exportable document: `uri` is the record's WARC-Target-URI,
+    * `host_id`/`doc_id` key the bounded sharding. */
+  final case class WetDoc(doc_id: Long, host_id: Long, uri: String, text: String)
+
+  /** One exported shard: a gzipped WARC archive of `conversion` records
+    * for docs of `host_id` whose `doc_id div docsPerShard == block`. */
+  final case class WetShard(host_id: Long, block: Long, media: Array[Byte])
+
+  /** The EXPORT direction of the pipeline (r15 query-embedded, r16 lifted
+    * to a first-class operator): extracted text written back out as
+    * Common-Crawl-shaped WET shards — gzipped WARC archives of
+    * `conversion` records, the format [[splitGz]] re-ingests.
+    *
+    * Scale shape: shards are BOUNDED — one archive per
+    * (host, doc_id div docsPerShard), never one unbounded archive per
+    * host — so each mapGroups task holds O(docsPerShard) rows however
+    * large a host's corpus grows; the one shuffle is the group key.
+    * Records sort by doc_id within a shard, so shard bytes are
+    * deterministic (re-running the export is idempotent byte-for-byte).
+    * The round trip back through [[splitGz]] is the correctness gate
+    * (p_wet_export's DuckDB oracle + WarcSpec's shard-bound pin). */
+  def encodeShards(spark: SparkSession, docs: Dataset[WetDoc],
+      docsPerShard: Int = 64): Dataset[WetShard] = {
+    require(docsPerShard >= 1, s"docsPerShard must be >= 1, got $docsPerShard")
+    import spark.implicits._
+    docs.groupByKey(d => (d.host_id, d.doc_id / docsPerShard))
+      .mapGroups { (key: (Long, Long), it: Iterator[WetDoc]) =>
+        val recs = it.toSeq.sortBy(_.doc_id)
+          .map(d => ("conversion", d.uri, d.text))
+        WetShard(key._1, key._2, encodeGz(recs))
+      }
+  }
+
   /** [[split]] over `.warc.gz` archives: the JDK's GZIPInputStream reads
     * concatenated members transparently, so the record walker runs over
     * the decompressed stream — same grammar, same loud failures. Per-doc

@@ -73,6 +73,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => WordChunks(args.head,
         intLit(args(1), "window"), intLit(args(2), "stride"))))
 
+    ext.injectFunction((FunctionIdentifier("token_chunks"),
+      info("token_chunks",
+        "token_chunks(text, window, stride) - CJK-aware overlapping token-window chunks"),
+      (args: Seq[Expression]) => graft.functions.TokenChunks(args.head,
+        intLit(args(1), "window"), intLit(args(2), "stride"))))
+
+    ext.injectFunction((FunctionIdentifier("token_count"),
+      info("token_count",
+        "token_count(text) - CJK-aware token count (whitespace words + one token per CJK codepoint)"),
+      (args: Seq[Expression]) => graft.functions.TokenCount(args.head)))
+
     ext.injectFunction((FunctionIdentifier("word_ngrams"),
       info("word_ngrams", "word_ngrams(text, n) - word n-grams with duplicates"),
       (args: Seq[Expression]) => WordNgrams(args.head, intLit(args(1), "n"))))

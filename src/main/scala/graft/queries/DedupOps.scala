@@ -17,14 +17,24 @@ object DedupOps {
     * would be all-duplicates on the second run), recursively deleted at
     * JVM exit so bench/verify/lint passes, which construct every declared
     * query repeatedly, cannot accumulate stores in the temp dir. */
-  private def tempStore(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  // ONE static hook draining the queue: bench/verify/lint construct every
+  // declared query repeatedly in one JVM, so a per-invocation hook would
+  // accumulate a Thread (plus retained path) per call, unboundedly
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var dir = tempDirs.poll()
+    while (dir != null) {
       try {
         java.nio.file.Files.walk(dir)
           .sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }))
+      } catch { case _: Throwable => () }
+      dir = tempDirs.poll()
+    }
+  }))
+  private def tempStore(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(dir)
     dir.toString
   }
 

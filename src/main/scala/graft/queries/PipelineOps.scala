@@ -40,7 +40,9 @@ object PipelineOps {
         val base = d.agg(
           count(lit(1)).as("n_docs"),
           sum(length(col("text"))).cast("bigint").as("total_chars"),
-          sum(size(split(trim(col("text")), "\\s+"))).cast("bigint")
+          // CJK-aware kernel; count-identical to the oracle's whitespace
+          // restatement on this non-CJK corpus by the TokenCount contract
+          sum(graft.ops.Text.tokenCount(col("text"))).cast("bigint")
             .as("total_tokens"),
           countDistinct(col("lang")).as("n_langs"),
           (count(lit(1)) - countDistinct(md5(col("text"))))
@@ -646,6 +648,46 @@ object PipelineOps {
               WHERE cum <= b ORDER BY doc_id""")
     ),
 
+    // token-budget mixing denominated in CJK-AWARE tokens (r16): the same
+    // two-phase bucket-prefix take as p_token_budget, but the weight is
+    // Text.tokenCount over a mixed-script corpus (CJK suffixes planted by
+    // doc_id arithmetic, the t_script_mix pattern) — closing the loop the
+    // r15 verdict named: budgets on a multilingual corpus are counted in
+    // char-per-token CJK units, not whitespace chunks. The oracle restates
+    // the planted counts arithmetically and the take as the naive global
+    // running sum, so the CJK kernel's integration with the scalable
+    // mixture plan is hash-gated end to end.
+    "p_cjk_budget" -> QueryDef(
+      (s, dir) => {
+        val m = col("doc_id") % 3
+        val planted = concat(col("text"),
+          // 4 Han -> +4 tokens; 4 hiragana -> +4 tokens
+          when(m === 1, " \u4f60\u597d\u4e16\u754c")
+            .when(m === 2, " \u3072\u3089\u304c\u306a")
+            .otherwise(""))
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            graft.ops.Text.tokenCount(planted).as("n_tok"))
+        graft.ops.Mixture.budgetPrefix(docs, "source", "n_tok",
+            lit(2000L), hexDigits = 1)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, source,
+                  CAST(len(string_split_regex(trim(text), '\s+')) +
+                    CASE WHEN doc_id % 3 IN (1, 2) THEN 4 ELSE 0 END
+                    AS BIGINT) AS n_tok,
+                  md5(CAST(doc_id AS VARCHAR)) AS ok
+                FROM documents),
+              c AS (
+                SELECT doc_id, source, n_tok,
+                  SUM(n_tok) OVER (PARTITION BY source ORDER BY ok, doc_id)
+                    AS cum
+                FROM d)
+              SELECT doc_id, source, n_tok FROM c
+              WHERE cum <= 2000 ORDER BY doc_id""")
+    ),
+
     "p_sample_mix" -> QueryDef(
       (s, dir) => {
         val rate = ((regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4) + 1) * 4
@@ -687,7 +729,9 @@ object PipelineOps {
         val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
           1, 13), 16, 10).cast("long")
         val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
-        val w = size(split(trim(col("text")), "\\s+")).cast("double")
+        // CJK-aware weight (count-identical to the oracle's whitespace
+        // restatement on this non-CJK corpus by the TokenCount contract)
+        val w = graft.ops.Text.tokenCount(col("text")).cast("double")
         val key = round(-log(u) / w * 1e6, 0).cast("long")
         val topk = udaf(graft.functions.TypedAggs.MinKPairs(10))
         t(s, dir, "documents")

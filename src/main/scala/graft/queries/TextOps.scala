@@ -138,6 +138,74 @@ object TextOps {
               FROM documents ORDER BY doc_id""")
     ),
 
+    // CJK-aware token counting (r16): suffixes planted by doc_id arithmetic
+    // (the t_script_mix pattern) exercise every segmentation case — pure-Han
+    // standalone, CJK embedded mid-word between Latin runs, and a mixed
+    // Cyrillic-word + kana/Hangul chunk — and the oracle restates the
+    // expected counts arithmetically (whitespace words + hand-counted CJK
+    // codepoints), so the kernel's char-per-token routing is hash-gated,
+    // immune to RE2-vs-JDK script-table drift.
+    "t_cjk_tokens" -> QueryDef(
+      (s, dir) => {
+        val m = col("doc_id") % 4
+        val planted = concat(col("text"),
+          // 4 Han standalone -> +4 tokens
+          when(m === 1, " \u4f60\u597d\u4e16\u754c")
+            // abc + 2 Han + def, one ws chunk -> runs "abc","def" + 2 = +4
+            .when(m === 2, " abc\u4f60\u597ddef")
+            // Cyrillic word (1) + 4 hiragana + 4 katakana + 2 hangul -> +11
+            .when(m === 3, " \u043f\u0440\u0438\u0432\u0435\u0442 " +
+              "\u3072\u3089\u304c\u306a\u30ab\u30bf\u30ab\u30ca\ud55c\uae00")
+            .otherwise(""))
+        t(s, dir, "documents")
+          .select(col("doc_id"), Text.tokenCount(planted).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+')) +
+                  CASE doc_id % 4 WHEN 1 THEN 4 WHEN 2 THEN 4 WHEN 3 THEN 11
+                    ELSE 0 END AS BIGINT) AS n_tokens
+              FROM documents ORDER BY doc_id""")
+    ),
+
+    // CJK-aware chunking (r16): a pure-Han document of doc-arithmetic length
+    // (token == codepoint, so every window boundary is a plain character
+    // position) chunked by the TokenChunks kernel — the oracle restates each
+    // chunk as a substring window and each chunk's token count in closed
+    // form. Whitespace-word parity and mixed-script reconstruction (spaces
+    // only where the source had them) are pinned by TokenCountSpec.
+    "t_cjk_chunks" -> QueryDef(
+      (s, dir) => {
+        val hanCh = "\u597d" // processed in a single-quoted literal (2.13 keeps \u raw in triple quotes)
+        val han = expr(
+          s"repeat('$hanCh', cast(size(split(trim(text), '\\\\s+')) as int) + 40)")
+        t(s, dir, "documents")
+          .select(col("doc_id"), han.as("han"))
+          .select(col("doc_id"),
+            posexplode(Text.chunkCjk(col("han"), window = 32, stride = 24))
+              .as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("chunk"), Text.tokenCount(col("chunk")).as("n_chunk_tokens"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH w AS (
+                SELECT doc_id,
+                  repeat(chr(22909), len(string_split_regex(trim(text), '\s+')) + 40) AS han
+                FROM documents),
+              k AS (
+                SELECT doc_id, han, length(han) AS n,
+                  GREATEST(CAST(CEIL((length(han) - 32) / 24.0) AS BIGINT) + 1, 1)
+                    AS nchunks
+                FROM w)
+              SELECT doc_id,
+                unnest(range(0, nchunks)) AS chunk_idx,
+                unnest(list_transform(range(0, nchunks),
+                  x -> han[x*24 + 1 : LEAST(x*24 + 32, n)])) AS chunk,
+                unnest(list_transform(range(0, nchunks),
+                  x -> LEAST(x*24 + 32, n) - x*24)) AS n_chunk_tokens
+              FROM k ORDER BY doc_id, chunk_idx""")
+    ),
+
     "t_quality" -> QueryDef(
       (s, dir) => Text.qualitySignals(
         t(s, dir, "documents").select("doc_id", "text"), col("text"))
@@ -342,35 +410,27 @@ object TextOps {
               ORDER BY doc_id, page""")
     ),
 
-    // WET export + re-ingest round trip (r15): the EXPORT direction of the
-    // pipeline — extracted text written back out as Common-Crawl-shaped
-    // WET shards (gzipped WARC archives of `conversion` records), then
-    // read back through the same record walker. Shards are BOUNDED (one
-    // archive per (host, doc_id div 64) — never one unbounded archive per
-    // host), built per group with mapGroups over ≤64 rows, so the export
-    // stage holds O(shard) rows, not O(host). The oracle recomputes the
-    // extraction directly: any defect in the gzip-member write, record
-    // framing, URI round trip, payload addressing, or re-ingest breaks
-    // the per-doc token counts.
+    // WET export + re-ingest round trip (r15; r16: the shard builder is
+    // the first-class ops.Warc.encodeShards operator, this query is its
+    // oracle face): extracted text written back out as Common-Crawl-shaped
+    // WET shards (gzipped WARC archives of `conversion` records, one per
+    // (host, doc-block) — bounded by construction), then read back through
+    // the same record walker. The oracle recomputes the extraction
+    // directly: any defect in the gzip-member write, record framing, URI
+    // round trip, payload addressing, or re-ingest breaks the per-doc
+    // token counts.
     "p_wet_export" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         val pages = t(s, dir, "documents")
           .where(col("doc_id") < 200)
-          .select(col("doc_id"),
-            graft.ops.Clean.extractHtml(plantedHtml(col("text"))).as("txt"),
-            (col("doc_id") % 7).as("host_id"),
-            expr("doc_id DIV 64").as("shard"))
-        val archives = pages.as[(Long, String, Long, Long)]
-          .groupByKey { case (_, _, h, sh) => (h, sh) }
-          .mapGroups { (key: (Long, Long),
-              it: Iterator[(Long, String, Long, Long)]) =>
-            val recs = it.toSeq.sortBy(_._1).map { case (id, txt, _, _) =>
-              ("conversion", s"https://h${key._1}.example.org/doc/$id", txt)
-            }
-            Multimodal.MediaBytesRow(key._1 * 1000 + key._2,
-              graft.ops.Warc.encodeGz(recs))
-          }
+          .select(col("doc_id"), (col("doc_id") % 7).as("host_id"),
+            concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+              lit(".example.org/doc/"), col("doc_id").cast("string")).as("uri"),
+            graft.ops.Clean.extractHtml(plantedHtml(col("text"))).as("text"))
+          .as[graft.ops.Warc.WetDoc]
+        val archives = graft.ops.Warc.encodeShards(s, pages)
+          .map(sh => Multimodal.MediaBytesRow(sh.host_id * 1000 + sh.block, sh.media))
         graft.ops.Warc.splitGz(s, archives).toDF()
           .where(col("rec_type") === "conversion")
           .select(

@@ -1327,11 +1327,34 @@ private[graft] object GraftVersions {
     * manifests are not in the expirable version listing. */
   def rollback(fs: FileSystem, root: Path, target: Long): Long = {
     val claim = writeClaim(fs, root, target)
-    try rollbackClaimed(fs, root, target)
+    try rollbackClaimed(fs, root, target, claim)
     finally fs.delete(claim, false)
   }
 
-  private def rollbackClaimed(fs: FileSystem, root: Path, target: Long): Long = {
+  /** A rollback stalled past claimTtlMs (slow object store, long GC pause)
+    * has its claim swept as crash debris by a concurrent expire, which may
+    * then delete the target's bytes — re-opening the unreadable-latest race
+    * the claim protocol closes. Guard: immediately before EVERY seal
+    * attempt, refresh the claim's mtime (restarting the TTL window for the
+    * next stall) and abort loudly if the claim was already swept — a swept
+    * claim means an expire may have run unprotected, so the only safe
+    * outcome is the benign abort with the table's latest intact. */
+  private def refreshClaimOrAbort(fs: FileSystem, root: Path, target: Long,
+      claim: Path): Unit = {
+    if (!fs.exists(claim))
+      throw new IllegalStateException(
+        s"graft rollback: claim on version $target of $root was swept " +
+          s"(rollback stalled past the ${claimTtlMs / 1000}s claim TTL and a " +
+          "concurrent expire_versions treated it as crash debris) — aborting " +
+          "before seal; the table's latest version is unchanged. Retry the " +
+          "rollback, or raise -Dgraft.rollback.claimTtlMs for slow stores")
+    val now = System.currentTimeMillis()
+    try fs.setTimes(claim, now, -1)
+    catch { case _: UnsupportedOperationException => () } // exists-check still ran
+  }
+
+  private def rollbackClaimed(fs: FileSystem, root: Path, target: Long,
+      claim: Path): Long = {
     val st = logState(fs, root)
     val latest = st.latest.getOrElse(
       throw new IllegalArgumentException(
@@ -1357,10 +1380,12 @@ private[graft] object GraftVersions {
     val newV = latest + 1
     // the new root's content IS the target's: a v3 target's segments are
     // reused wholesale (touched = nothing) — rollback writes one tiny root
+    refreshClaimOrAbort(fs, root, target, claim)
     var r = writeManifestCas(fs, root, newV, targetEntries,
       base = targetSegs, touched = Some(Set.empty))
     while (r == CasBusy) { // in-flight sealer: wait it out, then re-judge
       awaitSeal(fs, root, newV)
+      refreshClaimOrAbort(fs, root, target, claim)
       r = writeManifestCas(fs, root, newV, targetEntries,
         base = targetSegs, touched = Some(Set.empty))
     }

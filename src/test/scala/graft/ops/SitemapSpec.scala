@@ -92,6 +92,15 @@ class SitemapSpec extends AnyFunSuite with BeforeAndAfterAll {
     val outOfRange = "<urlset><url><loc>https://a.example/x</loc><priority>1.5</priority></url></urlset>"
     val e4 = intercept[Exception](Sitemap.parse(6L, outOfRange).toSeq)
     assert(e4.getMessage.contains("doc 6") && e4.getMessage.contains("[0, 1]"))
+    // a CDATA marker that is not the sole well-formed wrapper must fail
+    // loudly, never pass the raw wrapper text through as the URL (r15
+    // verdict: trailing content after ]]> slipped into entity decoding)
+    val cdataTail = "<urlset><url><loc><![CDATA[https://a.example/x]]>tail</loc></url></urlset>"
+    val e5 = intercept[Exception](Sitemap.parse(7L, cdataTail).toSeq)
+    assert(e5.getMessage.contains("doc 7") && e5.getMessage.contains("CDATA"))
+    val cdataLead = "<urlset><url><loc>lead<![CDATA[https://a.example/x]]></loc></url></urlset>"
+    val e6 = intercept[Exception](Sitemap.parse(8L, cdataLead).toSeq)
+    assert(e6.getMessage.contains("doc 8") && e6.getMessage.contains("CDATA"))
   }
 
   test("split face: per-partition fan-out, fanOut lever applies") {

@@ -108,4 +108,39 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeImages(spark, spark.createDataset(imgs).coalesce(1),
       fanOut = 5).rdd.getNumPartitions == 5)
   }
+
+  test("encodeShards: bounded (host, doc-block) shards, deterministic bytes, round trip") {
+    import spark.implicits._
+    // 130 docs on one host + 3 on another, docsPerShard=64: the single
+    // host must split into blocks of 64/64/2 — never one unbounded archive
+    val docs = ((0 until 130).map(i =>
+        Warc.WetDoc(i.toLong, 1L, s"https://h1.example/doc/$i", s"text $i")) ++
+      (200 until 203).map(i =>
+        Warc.WetDoc(i.toLong, 2L, s"https://h2.example/doc/$i", s"text $i")))
+    val shards = Warc.encodeShards(spark, spark.createDataset(docs)).collect()
+    val byKey = shards.map(sh => (sh.host_id, sh.block) -> sh.media).toMap
+    assert(byKey.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 3L)))
+    // shard sizes are the doc-block sizes (one conversion record per doc)
+    def nRecs(m: Array[Byte]): Int = Warc.splitGz(spark,
+      spark.createDataset(Seq(Multimodal.MediaBytesRow(0L, m)))).collect().length
+    assert(nRecs(byKey((1L, 0L))) == 64)
+    assert(nRecs(byKey((1L, 1L))) == 64)
+    assert(nRecs(byKey((1L, 2L))) == 2)
+    assert(nRecs(byKey((2L, 3L))) == 3)
+    // deterministic: a re-run yields byte-identical shards (records sort
+    // by doc_id inside each shard regardless of input order)
+    val rerun = Warc.encodeShards(spark,
+        spark.createDataset(scala.util.Random.shuffle(docs))).collect()
+      .map(sh => (sh.host_id, sh.block) -> sh.media).toMap
+    byKey.foreach { case (k, m) =>
+      assert(java.util.Arrays.equals(rerun(k), m), s"shard $k not deterministic") }
+    // round trip: every doc comes back with its uri and payload intact
+    val all = Warc.splitGz(spark, spark.createDataset(
+      shards.map(sh => Multimodal.MediaBytesRow(sh.host_id * 1000 + sh.block, sh.media)).toSeq))
+      .collect().map(r => (r.target_uri, r.payload)).toSet
+    assert(all == docs.map(d => (d.uri, d.text)).toSet)
+    // the bound is enforced
+    intercept[IllegalArgumentException](
+      Warc.encodeShards(spark, spark.createDataset(docs), docsPerShard = 0))
+  }
 }
