@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (r16) — the MOSS scheme (Schleimer,
+  * Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
+  * Fingerprinting", SIGMOD 2003): hash every character k-gram, slide a
+  * w-hash window, keep each window's MINIMUM hash, return the document's
+  * distinct selected hashes sorted. The winnowing guarantee makes it the
+  * standard plagiarism / fuzzy-containment primitive: any shared substring
+  * of at least w + k - 1 characters forces at least one shared fingerprint,
+  * while the fingerprint density stays ~2/(w+1) of the grams — a compact
+  * sketch MinHash (whole-doc similarity) cannot substitute for, because
+  * winnowing localizes PARTIAL overlap.
+  *
+  * Engine-neutral definition (the DuckDB oracle restates it exactly):
+  *   - gram hash = the first 13 md5 hex digits of the gram's UTF-8 bytes
+  *     as a BIGINT (52 bits — the repo's standard md5-unit trick; a cheap
+  *     rolling hash would be faster but no two engines agree on one);
+  *   - windows j = 0 .. n-w over the n = len-k+1 gram hashes; when
+  *     0 < n < w the whole gram list is one clamped window;
+  *   - ties inside a window are value-ties, so the emitted SET is
+  *     position-rule-independent;
+  *   - len < k yields an empty array (the caller's explode drops the doc).
+  *
+  * Normalization (lowercase, whitespace strip) is the CALLER's projection —
+  * kept outside so the kernel composes with any cleaning pipeline and the
+  * oracle restatement stays a plain `lower(regexp_replace(...))`.
+  *
+  * Scale shape: per-row, shuffle-free, one MessageDigest reused across all
+  * grams of a row; downstream overlap detection is an equi-join on the
+  * fingerprint value with a document-frequency cap (the PPJoin stop-key
+  * discipline) — never all-pairs.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0, "need k > 0 and w > 0")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fingerprints requires string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = WinnowFingerprints.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.compute($c, $k, $w);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fingerprints"
+}
+
+object WinnowFingerprints {
+
+  /** Static kernel shared by eval and the generated call. */
+  def compute(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val s = text.toString
+    val n = s.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(s.substring(i, i + k).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      // first 13 hex digits = top 52 bits: take 7 big-endian bytes (56
+      // bits), drop the low nibble — identical to BIGINT('0x' || the 13
+      // leading hex chars) on the oracle side
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xff); b += 1 }
+      h(i) = v >>> 4
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val nWin = math.max(n - w + 1, 1)
+    var j = 0
+    while (j < nWin) {
+      var m = Long.MaxValue
+      var q = j
+      val hi = math.min(j + w, n) // clamped when 0 < n < w
+      while (q < hi) { if (h(q) < m) m = h(q); q += 1 }
+      sel.add(m)
+      j += 1
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Column API. */
+  def apply(text: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      WinnowFingerprints(org.apache.spark.sql.GraftColumnBridge.expression(text), k, w))
+}

@@ -48,6 +48,25 @@ object Text {
   def langId(text: Column, minHits: Int = 3): Column =
     when(stopwordHits(text) >= minHits, lit("en")).otherwise(lit("other"))
 
+  /** Script-ROUTED language ID (r16) — the corpus router
+    * [[graft.functions.ScriptCounts]] exists for: writing system decides
+    * first (a CJK-dominant document routes to the CJK path no matter how
+    * few English stopwords it happens to contain; likewise Cyrillic), and
+    * only Latin-dominant text falls through to the stopword heuristic.
+    * Adds `lang_routed` to `df`. The struct lands in its own projection so
+    * the kernel runs ONCE per row (CollapseProject keeps multiply-
+    * referenced non-trivial aliases separate — the bpeEncode discipline). */
+  def langIdScript(df: DataFrame, text: Column, minHits: Int = 3): DataFrame = {
+    require(!df.columns.contains("_sc"),
+      "graft text: input must not carry a column named _sc")
+    df.withColumn("_sc", graft.functions.ScriptCounts(text))
+      .withColumn("lang_routed",
+        when(col("_sc.cjk") > col("_sc.latin"), lit("cjk"))
+          .when(col("_sc.cyrillic") > col("_sc.latin"), lit("cyr"))
+          .otherwise(langId(text, minHits)))
+      .drop("_sc")
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text
     * (stable under reflow — the exact-dedup key for near-identical docs).
     * The normalizer is the native [[graft.functions.NormalizeWs]] kernel,

@@ -99,6 +99,54 @@ object Warc {
       }
   }
 
+  /** Land [[encodeShards]]' output as `.warc.gz` FILES under `outDir`,
+    * one per shard, named `wet-h<host>-b<block>[-e<epoch>].warc.gz` —
+    * deterministic names + overwrite-on-create, so re-running an export
+    * (or replaying a streaming epoch: [[graft.streaming.Daemon
+    * .wetExportStream]] passes its batch id as `epoch`) rewrites the same
+    * keys byte-identically instead of duplicating shards. Writes happen
+    * EXECUTOR-SIDE (each task writes its own partition's shards through
+    * the Hadoop FS API); only the file count returns to the driver. */
+  def writeShardFiles(shards: Dataset[WetShard], outDir: String,
+      epoch: Option[Long] = None): Long = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val suffix = epoch.map(e => s"-e$e").getOrElse("")
+    shards.mapPartitions { it =>
+      var n = 0L
+      var fs: org.apache.hadoop.fs.FileSystem = null
+      it.foreach { sh =>
+        if (fs == null)
+          fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(outDir),
+            new org.apache.hadoop.conf.Configuration())
+        val p = new org.apache.hadoop.fs.Path(outDir,
+          s"wet-h${sh.host_id}-b${sh.block}$suffix.warc.gz")
+        val os = fs.create(p, true)
+        try os.write(sh.media) finally os.close()
+        n += 1
+      }
+      Iterator.single(n)
+    }.reduce(_ + _)
+  }
+
+  /** Read every WET shard file under `outDir` back as records — the
+    * re-ingest half of the export round trip. One row per file (the
+    * doc_id is a hash of the file name — stable, collision-irrelevant for
+    * error attribution), fanned to records by [[splitGz]]. */
+  def readShardFiles(spark: SparkSession, outDir: String,
+      fanOut: Int = 0): Dataset[WarcRecord] = {
+    import spark.implicits._
+    val archives = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz")
+      .load(outDir)
+      .select(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("path")).as("doc_id"),
+        org.apache.spark.sql.functions.col("content").as("media"))
+      .as[Multimodal.MediaBytesRow]
+    splitGz(spark, archives, fanOut)
+  }
+
   /** [[split]] over `.warc.gz` archives: the JDK's GZIPInputStream reads
     * concatenated members transparently, so the record walker runs over
     * the decompressed stream — same grammar, same loud failures. Per-doc

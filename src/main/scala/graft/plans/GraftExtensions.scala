@@ -73,6 +73,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => WordChunks(args.head,
         intLit(args(1), "window"), intLit(args(2), "stride"))))
 
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text, k, w) - MOSS winnowing: distinct sorted window-min k-gram hashes"),
+      (args: Seq[Expression]) => graft.functions.WinnowFingerprints(args.head,
+        intLit(args(1), "k"), intLit(args(2), "w"))))
+
     ext.injectFunction((FunctionIdentifier("token_chunks"),
       info("token_chunks",
         "token_chunks(text, window, stride) - CJK-aware overlapping token-window chunks"),

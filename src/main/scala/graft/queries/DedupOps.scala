@@ -40,6 +40,60 @@ object DedupOps {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // winnowing-fingerprint PARTIAL-overlap detection (r16): the use the
+    // MOSS scheme exists for — pairs of documents sharing a substring,
+    // not whole-document similarity. Docs are planted with a 64-char
+    // shared slug per group of 8 (md5 of doc_id div 8, repeated), so the
+    // winnowing guarantee (any shared span >= w+k-1 = 11 chars forces a
+    // shared fingerprint) makes every in-group pair detectable. Scale
+    // shape: equi-join on the fingerprint VALUE with a document-frequency
+    // cap dropping boilerplate fingerprints first (the PPJoin stop-key
+    // discipline) — per-key fan-out bounded, never all-pairs.
+    "d_winnow_overlap" -> QueryDef(
+      (s, dir) => {
+        val slug = concat(col("text"), lit(" "),
+          md5(expr("cast(doc_id div 8 as string)").cast("binary")),
+          md5(expr("cast(doc_id div 8 as string)").cast("binary")))
+        val fps = t(s, dir, "documents").where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            explode(graft.functions.WinnowFingerprints(
+              lower(regexp_replace(slug, "\\s+", "")), 8, 4)).as("fp"))
+        val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df") <= 16).select("fp")
+        val pruned = fps.join(rare, Seq("fp"))
+        pruned.as("a").join(pruned.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lower(regexp_replace(
+                    text || ' ' || repeat(md5(CAST(doc_id // 8 AS VARCHAR)), 2),
+                    '\s+', '', 'g')) AS t
+                FROM documents WHERE doc_id < 200),
+              g AS (
+                SELECT doc_id,
+                  list_transform(range(0, GREATEST(length(t) - 8 + 1, 0)),
+                    x -> CAST('0x' || substr(md5(t[x + 1 : x + 8]), 1, 13)
+                      AS BIGINT)) AS h
+                FROM t),
+              f AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(0, GREATEST(len(h) - 4 + 1, 1)),
+                    j -> list_aggregate(h[j + 1 : LEAST(j + 4, len(h))], 'min')
+                  ))) AS fp
+                FROM g WHERE len(h) >= 1),
+              rare AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 16),
+              p AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp))
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                COUNT(*) AS n_shared
+              FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING COUNT(*) >= 5
+              ORDER BY id_a, id_b""")
+    ),
+
     "d_exact_groups" -> QueryDef(
       (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), col("doc_id"), col("text"))
         .select(col("keep_id"), col("h"), col("n"))

@@ -435,7 +435,10 @@ object PipelineOps {
           .withColumn("lang_pred", graft.ops.Text.langId(col("text")))
           .where(col("n_tokens") >= 20 && col("lang_pred") === "en")
         val chunks = cleaned.select(col("doc_id"),
-            posexplode(graft.ops.Text.chunk(col("text"), window = 32, stride = 24))
+            // the CJK-aware chunker (r16): byte-identical to word chunking
+            // on this corpus by the TokenChunks contract, and the variant a
+            // real multilingual run of this pipeline would want
+            posexplode(graft.ops.Text.chunkCjk(col("text"), window = 32, stride = 24))
               .as(Seq("chunk_idx", "chunk")))
           .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
             graft.ops.Text.tokenCount(col("chunk")).as("n_tok"))

@@ -232,6 +232,64 @@ object TextOps {
               FROM documents ORDER BY doc_id""")
     ),
 
+    // script-ROUTED language ID (r16): writing system first, stopwords only
+    // within Latin. Plants make each route's dominance unconditional (one
+    // more CJK/Cyrillic char than the whole base text has chars), so the
+    // oracle is pure doc arithmetic + the t_langid stopword restatement.
+    // winnowing document fingerprints (r16, the MOSS scheme): hash every
+    // char 8-gram (13-hex md5 prefix as BIGINT, the repo's exact-unit
+    // trick), slide a 4-hash window, keep each window's min, emit the
+    // distinct sorted selection. The oracle restates grams, hashes,
+    // clamped windows, and mins with list ops — any defect in the kernel's
+    // gram walk, hash truncation, window clamp, or dedup breaks the hash.
+    "t_winnow" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(graft.functions.WinnowFingerprints(
+            lower(regexp_replace(col("text"), "\\s+", "")), 8, 4)).as("fp"))
+        .orderBy("doc_id", "fp"),
+      Some("""WITH t AS (
+                SELECT doc_id, lower(regexp_replace(text, '\s+', '', 'g')) AS t
+                FROM documents WHERE doc_id < 200),
+              g AS (
+                SELECT doc_id,
+                  list_transform(range(0, GREATEST(length(t) - 8 + 1, 0)),
+                    x -> CAST('0x' || substr(md5(t[x + 1 : x + 8]), 1, 13)
+                      AS BIGINT)) AS h
+                FROM t),
+              f AS (
+                SELECT doc_id, unnest(list_sort(list_distinct(list_transform(
+                    range(0, GREATEST(len(h) - 4 + 1, 1)),
+                    j -> list_aggregate(h[j + 1 : LEAST(j + 4, len(h))], 'min')
+                  )))) AS fp
+                FROM g WHERE len(h) >= 1)
+              SELECT doc_id, fp FROM f ORDER BY doc_id, fp""")
+    ),
+
+    "t_langid_script" -> QueryDef(
+      (s, dir) => {
+        val han = "\u4f60"
+        val zhe = "\u0436"
+        val m = col("doc_id") % 3
+        val planted = concat(col("text"),
+          when(m === 1, expr(s"repeat('$han', cast(length(text) as int) + 1)"))
+            .when(m === 2, expr(s"repeat('$zhe', cast(length(text) as int) + 1)"))
+            .otherwise(lit("")))
+        Text.langIdScript(
+            t(s, dir, "documents").select(col("doc_id"), col("text")), planted)
+          .select(col("doc_id"), col("lang_routed"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                CASE WHEN doc_id % 3 = 1 THEN 'cjk'
+                     WHEN doc_id % 3 = 2 THEN 'cyr'
+                     WHEN len(regexp_extract_all(text,
+                       '\b(the|and|of|to|a|in|is|it|that|for)\b')) >= 3 THEN 'en'
+                     ELSE 'other' END AS lang_routed
+              FROM documents ORDER BY doc_id""")
+    ),
+
     "t_fingerprint" -> QueryDef(
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))

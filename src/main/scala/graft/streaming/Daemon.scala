@@ -271,6 +271,45 @@ object Daemon {
     q
   }
 
+  /** Streaming face of the WET export ([[graft.ops.Warc.encodeShards]]):
+    * each micro-batch of extracted documents lands in `outDir` as
+    * Common-Crawl-shaped `.warc.gz` shard files — the EXPORT end of a
+    * streaming crawl pipeline (ingest → extract → dedup → export), so
+    * downstream consumers tail a directory of finished archives instead of
+    * a table.
+    *
+    * Replay semantics: shard files are named (host, block, BATCH ID) and
+    * written with overwrite-on-create, so an at-least-once replayed batch
+    * rewrites its own files byte-identically (shard bytes are
+    * deterministic — records sort by doc_id inside a shard) and can never
+    * duplicate an archive. Bounded like the batch operator: one archive
+    * per (host, doc-block), each task holds O(docsPerShard) rows.
+    *
+    * `source` must carry [[graft.ops.Warc.WetDoc]]'s columns
+    * (doc_id, host_id, uri, text). */
+  def wetExportStream(outDir: String, source: DataFrame, checkpoint: String,
+      interval: String = "5 seconds", docsPerShard: Int = 64): StreamingQuery = {
+    val q = source.writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val docs = batch.toDF()
+            .select("doc_id", "host_id", "uri", "text")
+            .as[graft.ops.Warc.WetDoc]
+          graft.ops.Warc.writeShardFiles(
+            graft.ops.Warc.encodeShards(spark, docs, docsPerShard),
+            outDir, epoch = Some(batchId))
+          ()
+        }
+      }
+      .start()
+    installShutdownFlush(q)
+    q
+  }
+
   /** Streaming face of [[graft.ops.MaterializedAgg]]: the base table's
     * commit-cursor stream drives `refresh()` — each micro-batch only marks
     * "new commits landed" (the projection is empty, so the source scan is

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class WinnowFingerprintsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fps(s: String, k: Int, w: Int): Seq[Long] = {
+    val a = WinnowFingerprints.compute(UTF8String.fromString(s), k, w)
+    (0 until a.numElements()).map(a.getLong)
+  }
+
+  /** Independent restatement of the definition: hex-string md5 prefix via
+    * BigInteger (the oracle's CAST('0x'||hex13 AS BIGINT)), windows as
+    * plain slices — written differently from the kernel on purpose. */
+  private def reference(s: String, k: Int, w: Int): Seq[Long] = {
+    val n = s.length - k + 1
+    if (n <= 0) return Seq.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = (0 until n).map { i =>
+      val d = md.digest(s.substring(i, i + k).getBytes("UTF-8"))
+      md.reset()
+      val hex = d.map(b => f"${b & 0xff}%02x").mkString
+      new java.math.BigInteger(hex.take(13), 16).longValueExact()
+    }
+    val wins = if (n < w) Seq(h) else h.sliding(w).toSeq
+    wins.map(_.min).distinct.sorted
+  }
+
+  test("kernel matches the independent hex/BigInteger restatement") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaa", "abcdefgh", "abcdefg", "", "mixed 123 !@# text here")
+    for (t <- texts; (k, w) <- Seq((8, 4), (4, 2), (3, 5)))
+      assert(fps(t, k, w) == reference(t, k, w), s"t=$t k=$k w=$w")
+  }
+
+  test("shorter than k yields empty; k <= len < k+w-1 yields the clamped window") {
+    assert(fps("abc", 8, 4).isEmpty)
+    assert(fps("abcdefgh", 8, 4).size == 1) // one gram, one clamped window
+  }
+
+  test("the winnowing guarantee: a shared span >= w+k-1 forces a shared fingerprint") {
+    val k = 8; val w = 4
+    val shared = "thisexactsharedsubstringislongenough" // 36 chars >= 11
+    val a = "leftcontextonethatisdifferent" + shared + "tailone"
+    val b = "completelyotherleadin" + shared + "anothertail"
+    val common = fps(a, k, w).toSet intersect fps(b, k, w).toSet
+    assert(common.nonEmpty, "documents sharing a long substring must share a fingerprint")
+    // and two unrelated strings (no shared 8-gram at all) share nothing
+    val c = fps("abcdefghijklmnopqrstuvwxyz", k, w).toSet
+    val d = fps("0123456789012345678901234567", k, w).toSet
+    assert((c intersect d).isEmpty)
+  }
+
+  test("fingerprint density is the winnowing fraction, not all grams") {
+    val t = ("the quick brown fox jumps over the lazy dog " * 20).filterNot(_ == ' ')
+    val n = t.length - 8 + 1
+    val sel = fps(t, 8, 4).size
+    // expected ~2/(w+1) of positions, loosely bounded; repetition dedups more
+    assert(sel < n / 2, s"selected $sel of $n grams - winnowing must thin the set")
+    assert(sel > 0)
+  }
+
+  test("codegen and interpreted paths agree") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "", "aaaaaaaaaa", "abcdefgh").toDF("t")
+    def run(mode: String): Seq[Seq[Long]] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(WinnowFingerprints(col("t"), 8, 4)).as[Seq[Long]].collect().toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(run("CODEGEN_ONLY") == run("NO_CODEGEN"))
+  }
+}
