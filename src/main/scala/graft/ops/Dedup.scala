@@ -364,6 +364,82 @@ object Dedup {
     }
   }
 
+  /** Cross-batch PARTIAL-overlap suppression on winnowing fingerprints
+    * (r16) — the incremental-store sibling of [[incrementalMinHashLsh]] for
+    * the overlap class MinHash is blind to: a new document REUSING a span
+    * of previously-admitted content (boilerplate blocks, syndicated
+    * paragraphs, quote farms). The store World holds ONE row per distinct
+    * fingerprint (dim 0 = the 52-bit fingerprint itself; payload = the
+    * first witnessing doc id), so state is O(distinct fingerprints over
+    * admitted content) and a probe is a plain equality semi-join on the
+    * fingerprint value.
+    *
+    * Admission rule (exact, oracle-restatable): a document is DROPPED when
+    * it shares at least `minShared` distinct fingerprints with the UNION of
+    * all previously-admitted content — the store, plus smaller-id documents
+    * of its own batch (the within-batch rule mirrors the MinHash sibling:
+    * any smaller id counts, admitted or not — conservative chain-drops).
+    * The collective threshold (vs any single prior document) is the safe
+    * direction for a dedup gate and keeps the probe one join + one count.
+    *
+    * Replay safety: the store registers through `tryInsert` (keyed by the
+    * fingerprint), so a replayed batch re-registers idempotently and
+    * repairs partial registration; ALL observed docs register (losers
+    * included) so a replayed loser still finds its own fingerprints and
+    * stays dropped. Both batch-side subtrees are pinned before the store
+    * mutates (the lazy-reread trap, see [[incrementalDedup]]); the caller
+    * releases via [[Pins.releaseAll]].
+    */
+  def incrementalWinnow(world: graft.world.World, batch: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 1,
+      onFresh: DataFrame => Unit = _ => ()): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val dimCol = world.dims.head.column
+    val spark = batch.sparkSession
+    val withFp = parallelize(batch).withColumn("__fps",
+      graft.functions.WinnowFingerprints(col(textCol), k, w))
+    // kernel output is distinct per doc, so exploded rows are (doc, fp)-unique
+    def fpRows(df: DataFrame): DataFrame = df
+      .where(size(col("__fps")) > 0)
+      .select(col(idCol), explode(col("__fps")).as("__fp"))
+    val bf = fpRows(withFp)
+    val intraDrops = bf.select(col(idCol).as("__ia"), col("__fp"))
+      .join(bf.select(col(idCol).as("__ib"), col("__fp")), Seq("__fp"))
+      .where(col("__ia") < col("__ib"))
+      .select(col("__ib"), col("__fp")).distinct()
+      .groupBy("__ib").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minShared)
+      .select(col("__ib").as(idCol))
+    val intra = Pins.pin(withFp.join(intraDrops, Seq(idCol), "left_anti"))
+    // one store row per fingerprint: the first witness is enough — a probe
+    // only asks "is this fingerprint known", never "known by whom else"
+    def storeRows(df: DataFrame): DataFrame = fpRows(df)
+      .groupBy(col("__fp")).agg(min(col(idCol)).as("seen_id"))
+      .select(col("__fp").as(dimCol), col("seen_id"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(world.path),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(world.path)
+    val virgin = !fs.exists(root) || fs.listStatus(root).isEmpty
+    if (virgin) {
+      val fresh = intra.drop("__fps")
+      onFresh(fresh)
+      world.create(storeRows(withFp))
+      fresh
+    } else {
+      val hits = fpRows(intra)
+        .join(world.df.select(col(dimCol).as("__fp")), Seq("__fp"))
+        .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+        .where(col("__n") >= minShared)
+        .select(idCol)
+      val freshFp = Pins.pin(intra.join(hits, Seq(idCol), "left_anti"))
+      val fresh = freshFp.drop("__fps")
+      onFresh(fresh)
+      world.tryInsert(storeRows(withFp))
+      fresh
+    }
+  }
+
   /** Distributed connected components over an undirected edge list —
     * transitive near-duplicate GROUPS from a pair list (a near-dup relation
     * is not transitive, so group formation needs real graph connectivity,

@@ -538,6 +538,45 @@ object DedupOps {
               FROM documents WHERE doc_id < 30 ORDER BY doc_id""")
     ),
 
+    // cross-batch incremental winnow store (r16): batch 1 registers a
+    // bounded corpus slice's fingerprints; batch 2 = exact COPIES of seen
+    // docs (share every fingerprint -> provably dropped at minShared=1,
+    // given the copy has at least one fingerprint, i.e. >= k stripped
+    // chars) + synthetic DIGIT-alphabet docs (the corpus is pure letters +
+    // single spaces, so no 8-gram of a digit string can ever match a
+    // corpus gram -> provably kept). The oracle asserts exactly the
+    // survivor id set from doc arithmetic — the d_minhash_inc pattern at
+    // this operator's provably-exact operating point.
+    "d_winnow_inc" -> QueryDef(
+      (s, dir) => {
+        import graft.core.DimMapping
+        import graft.world.World
+        val stripped = regexp_replace(col("text"), "\\s+", "")
+        val docs = t(s, dir, "documents")
+          .where(col("doc_id") < 2000)
+          .select(col("doc_id"), stripped.as("t"))
+        val path = tempStore("graft-winnow-inc")
+        val w = World(s, path)("fp52" -> DimMapping(0L, -1L, 1L << 48))
+        val copies = docs.where(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("t"))
+        // digit-only synth: hex md5 with its letters mapped to digits
+        val synth = docs.where(col("doc_id") < 30)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            translate(md5(concat(lit("winc-"), col("doc_id").cast("string"))
+              .cast("binary")), "abcdef", "012345").as("t"))
+        Dedup.incrementalWinnow(w, docs, "doc_id", "t")
+        Dedup.incrementalWinnow(w, copies.unionAll(synth), "doc_id", "t")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id + 1000000 AS doc_id FROM documents
+              WHERE doc_id < 30
+                AND length(regexp_replace(text, '\s+', '', 'g')) < 8
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id FROM documents
+              WHERE doc_id < 30
+              ORDER BY doc_id""")
+    ),
+
     // canonical-survivor selection by QUALITY: within each exact-duplicate
     // group, keep the highest-quality copy (stopword-density proxy, doc_id
     // tie-break) instead of the arbitrary min-id — real pipelines pick the

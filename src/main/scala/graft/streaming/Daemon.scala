@@ -170,6 +170,37 @@ object Daemon {
     q
   }
 
+  /** Streaming face of [[graft.ops.Dedup.incrementalWinnow]] — the
+    * PARTIAL-overlap gate: a document reusing at least `minShared`
+    * winnowing fingerprints of previously-admitted content (boilerplate
+    * blocks, syndicated spans — the overlap class the MinHash face is
+    * blind to) is suppressed; fresh documents land in `sink`. Same
+    * restart/replay contract as [[dedupStream]]: the fingerprint store is
+    * on disk (one row per distinct fingerprint), sink-before-register
+    * ordering plus replace-by-id sink inserts and tryInsert registration
+    * make at-least-once replay idempotent end to end. */
+  def winnowDedupStream(fpStore: World, sink: World, source: DataFrame,
+      idCol: String, textCol: String, checkpoint: String,
+      interval: String = "5 seconds", k: Int = 8, w: Int = 4,
+      minShared: Int = 1): StreamingQuery = {
+    val q = source.writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          try {
+            graft.ops.Dedup.incrementalWinnow(fpStore, batch.toDF(), idCol,
+              textCol, k, w, minShared,
+              onFresh = fresh => { sink.insert(fresh); () })
+            ()
+          } finally graft.ops.Pins.releaseAll()
+        }
+      }
+      .start()
+    installShutdownFlush(q)
+    q
+  }
+
   /** Streaming face of the perplexity filter ([[graft.ops.Text.lmScore]]):
     * each micro-batch is scored against a FIXED bigram LM (trained offline
     * with [[graft.ops.Text.trainLm]] — the model tables can live as

@@ -437,4 +437,43 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 9L))
   }
+
+  test("incrementalWinnow: partial-overlap suppression across batches, idempotent replay") {
+    import spark.implicits._
+    import graft.core.DimMapping
+    import graft.world.World
+    val path = java.nio.file.Files.createTempDirectory("graft-incwinnow").toString
+    val w = World(spark, path)("fp52" -> DimMapping(0L, -1L, 1L << 48))
+    val sharedSpan = "thisverysamesharedboilerplatespan"
+    // batch 1: docs 1 and 2 are unrelated; doc 3 REUSES doc 1's span with
+    // different surroundings -> within-batch partial overlap, bigger id drops
+    val b1 = docs(
+      (1L, "uniqueleadingcontent" + sharedSpan + "uniquetrailing"),
+      (2L, "zqxwvkjhgfdszqxwvkjhgfds"),
+      (3L, "otherprefixgoeshere" + sharedSpan + "othertail"))
+    val f1 = Dedup.incrementalWinnow(w, b1, "doc_id", "text")
+    assert(f1.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // batch 2: doc 10 reuses the span (store hit -> dropped), doc 11 is a
+    // pure digit string (cannot share any gram with letter text -> kept),
+    // doc 12 is shorter than k (no fingerprints -> kept)
+    val b2 = docs(
+      (10L, "freshopening" + sharedSpan + "freshclosing"),
+      (11L, "0123456789012345678901234567"),
+      (12L, "tiny"))
+    val f2 = Dedup.incrementalWinnow(w, b2, "doc_id", "text")
+    assert(f2.select("doc_id").as[Long].collect().toSet == Set(11L, 12L))
+    // replay: doc 11's own fingerprints registered, so it now self-hits and
+    // nothing is fresh; the store's tryInsert keeps re-registration a no-op
+    val storeN = w.df.count()
+    val f3 = Dedup.incrementalWinnow(w, b2, "doc_id", "text")
+    assert(f3.select("doc_id").as[Long].collect().toSet == Set(12L))
+    assert(w.df.count() == storeN)
+    // minShared raises the bar: with a high threshold the same reuse passes
+    val path2 = java.nio.file.Files.createTempDirectory("graft-incwinnow2").toString
+    val w2 = World(spark, path2)("fp52" -> DimMapping(0L, -1L, 1L << 48))
+    Dedup.incrementalWinnow(w2, b1, "doc_id", "text", minShared = 1000)
+    val loose = Dedup.incrementalWinnow(w2, b2, "doc_id", "text", minShared = 1000)
+    assert(loose.select("doc_id").as[Long].collect().toSet == Set(10L, 11L, 12L))
+    Pins.releaseAll()
+  }
 }
