@@ -1,0 +1,38 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: print the formatted physical plan of named declared
+  * queries (all of them with no args) — the `.explain("formatted")`
+  * feedback loop the scale discipline asks for, runnable headless:
+  *   scripts/run.sh graft.Explain t_winnow d_winnow_overlap
+  * Grep the output for the things that matter at 100 TB: PushedFilters on
+  * scans, WholeStageCodegen spans, BroadcastHashJoin vs SortMergeJoin on
+  * the small side, absence of CartesianProduct / single-partition Window.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Bench.silenceBoundedWindowWarn()
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name' — declared: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
+      println(s"\n==== $name ====")
+      println(fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
