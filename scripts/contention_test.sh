@@ -18,19 +18,21 @@ cd "$(dirname "$0")/.."
 SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.01}
 HOG_SF=${HOG_SF:-/root/testdata/sf0.1}
 OUT=/tmp/graft_contention_bench.json
-HOG_START=${HOG_START:-14}   # seconds into the run the contention begins
-HOG_SECS=${HOG_SECS:-30}     # how long it lasts
+# The hogs start exactly when the bench's TIMED phase begins (Bench touches
+# SPARK_GRAFT_PHASE_FILE after warmup) and stop HOG_SECS later, so they
+# contaminate the FIRST few canary windows and leave the majority clean —
+# the median-relative check needs a healthy majority (contention covering
+# MOST windows inflates the median itself; that regime is what the absolute
+# floors and the cross-round drift check exist for, not the per-window flag
+# this script demonstrates).
+HOG_SECS=${HOG_SECS:-35}
+PHASE_FILE=/tmp/graft_phase_$$
 
-# a dozen mixed queries, canaries bracketing every 2 -> ~7 windows, so the
+# ~18 mixed queries, canaries bracketing every 2 -> ~10 windows, so the
 # contention window is a MINORITY of samples and the healthy median holds
-QUERIES="q1_agg,q3_top_revenue,q_topn,t_tokens,t_quality,t_langid,d_exact_dedup,d_exact_groups,q_filter_pushdown,q_set_union,t_fingerprint,q_mode"
+QUERIES="q1_agg,q3_top_revenue,q_topn,t_tokens,t_quality,t_langid,d_exact_dedup,d_exact_groups,q_filter_pushdown,q_set_union,t_fingerprint,q_mode,t_subwords,q_rollup,q_cube,t_winnow,q_string_fns,q_date_fns"
 
-rm -f "$OUT"
-SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
-  SPARK_GRAFT_CANARY_EVERY=2 SPARK_GRAFT_BENCH_OUT="$OUT" \
-  scripts/run.sh graft.Bench >/dev/null 2>&1 &
-BENCH_PID=$!
-
+rm -f "$OUT" "$PHASE_FILE"
 HOG_PIDS=()
 cleanup() {
   kill "${HOG_PIDS[@]}" >/dev/null 2>&1 || true
@@ -40,8 +42,16 @@ cleanup() {
 }
 trap cleanup EXIT
 
-sleep "$HOG_START"
-echo "[contention] starting hogs (shuffle-heavy JVM + cpu spinners + direct-io writers)"
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
+  SPARK_GRAFT_CANARY_EVERY=2 SPARK_GRAFT_BENCH_OUT="$OUT" \
+  SPARK_GRAFT_PHASE_FILE="$PHASE_FILE" \
+  scripts/run.sh graft.Bench >/dev/null 2>&1 &
+BENCH_PID=$!
+
+for i in $(seq 1 300); do [ -f "$PHASE_FILE" ] && break; sleep 0.5; done
+[ -f "$PHASE_FILE" ] || { echo "bench never reached the timed phase"; exit 2; }
+echo "[contention] timed phase reached - starting hogs over the first windows"
+
 # a second Spark JVM doing real shuffles/spills — the r15 contamination class
 SPARK_GRAFT_SF_DIR="$HOG_SF" SPARK_GRAFT_BENCH_ONLY=d_minhash_exact,g_pagerank \
   SPARK_GRAFT_BENCH_OUT=/tmp/graft_hog_bench.json \
@@ -74,8 +84,14 @@ print("host_degraded:", rec["host_degraded"])
 print("degraded_window_queries:", rec["degraded_window_queries"])
 flagged = bool(rec["degraded_window_queries"]) or rec["host_degraded"]
 assert flagged, "CONTENTION NOT FLAGGED - the canary blind spot is back"
-# flagged queries must carry the extra recovery sample in raw
-for q in rec["degraded_window_queries"]:
-    assert len(rec["raw"][q]) >= 3, f"{q} flagged but got no recovery run"
-print("OK: contamination flagged itself and recovery ran")
+# either the recovery pass cured the flagged queries (each carries its
+# extra sample), or Bench took the by-design uncured path and condemned
+# the record itself - both are correct self-flagging outcomes
+cured = [q for q in rec["degraded_window_queries"] if q not in rec["uncured_queries"]]
+for q in cured:
+    assert len(rec["raw"][q]) >= 3, f"{q} cured but carries no recovery sample"
+if rec["uncured_queries"]:
+    assert rec["host_degraded"], "uncured queries must condemn the record"
+print(f"OK: contamination flagged itself ({len(cured)} cured, "
+      f"{len(rec['uncured_queries'])} uncured -> host_degraded={rec['host_degraded']})")
 EOF

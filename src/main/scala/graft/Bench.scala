@@ -57,7 +57,11 @@ object Bench {
       else scala.util.Try {
         val src = scala.io.Source.fromFile(hist, "UTF-8")
         val lines = try src.getLines().toVector finally src.close()
-        lines.reverseIterator.find(_.contains(sfTag)).flatMap { line =>
+        // a contaminated prior (host_degraded) would inflate the baseline
+        // and let a 3x-of-already-inflated regression pass as healthy — the
+        // drift check only trusts records that trusted themselves
+        lines.reverseIterator.find(l =>
+          l.contains(sfTag) && !l.contains("\"host_degraded\":true")).flatMap { line =>
           val qStart = line.indexOf("\"queries\":{")
           if (qStart < 0) None
           else {
@@ -158,6 +162,12 @@ object Bench {
     // one-time plan/codegen/file-index cost (~5x a warm sample) and falsely
     // flag window 0 against the warm median
     canaryCpu(); canaryIo()
+    // dev/test seam: marks the start of the TIMED phase so
+    // scripts/contention_test.sh can synchronize its hog window with the
+    // measured windows instead of guessing warmup duration
+    sys.env.get("SPARK_GRAFT_PHASE_FILE").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), Array.emptyByteArray)
+    }
     sampleCanaries()
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q1_agg,d_simhash narrows the run for
     // iteration; the driver leaves it unset (full suite)
@@ -259,11 +269,16 @@ object Bench {
     // min-over-successes
     val retryTargets = degraded ++ driftSuspects
     val retryRuns = scala.collection.mutable.Map.empty[String, (Double, Option[String])]
+    // a retry only COUNTS AS A CURE if its own bracketing canary window is
+    // healthy — contention resuming right after a healthy leading sample
+    // must not let up to canaryEvery contaminated retries clear the record
+    val retryWindowOf = scala.collection.mutable.Map.empty[String, Int]
     if (retryTargets.nonEmpty) {
       sampleCanaries()
       var healthyNow = healthyAt(cpuC.size - 1)
       var i = 0
       for ((name, (fn, _)) <- results0 if retryTargets(name) && healthyNow) {
+        retryWindowOf(name) = cpuC.size - 1
         retryRuns(name) = timedRun(fn)
         i += 1
         if (i % canaryEvery == 0) {
@@ -306,7 +321,9 @@ object Bench {
     // sick). A transient window spike that was fully cured by recovery
     // stays visible in degraded_window_queries/raw but does not condemn
     // the whole record — best-of already prefers the healthy sample.
-    val uncured = degraded -- retryRuns.keySet
+    val cured = degraded.filter(name =>
+      retryWindowOf.get(name).exists(windowHealthy))
+    val uncured = degraded -- cured
     val hostDegraded = medCpu > 1.0 || medIo > 1.5 || uncured.nonEmpty
     val retriedJson = degraded.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val uncuredJson = uncured.toSeq.sorted.map(jstr).mkString("[", ",", "]")

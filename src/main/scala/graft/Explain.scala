@@ -30,8 +30,11 @@ object Explain {
         sys.error(s"unknown query '$name' — declared: " +
           SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
       println(s"\n==== $name ====")
-      println(fn(spark, sfDir).queryExecution.explainString(
+      try println(fn(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+      // incremental-store queries pin checkpoints at CONSTRUCTION time;
+      // release per query or an all-queries audit accumulates them
+      finally ops.Pins.releaseAll()
     }
     spark.stop()
   }

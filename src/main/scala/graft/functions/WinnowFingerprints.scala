@@ -68,16 +68,31 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
 object WinnowFingerprints {
 
-  /** Static kernel shared by eval and the generated call. */
+  /** Static kernel shared by eval and the generated call. Grams are k
+    * CODEPOINTS, not UTF-16 code units — the oracle's `length`/`substr`
+    * count codepoints, and a code-unit walk would split surrogate pairs
+    * into unpaired halves that UTF-8-encode as '?' and collide across
+    * distinct texts (spurious shared fingerprints in a dedup gate). */
   def compute(text: UTF8String, k: Int, w: Int): GenericArrayData = {
     val s = text.toString
-    val n = s.length - k + 1
+    val total = s.codePointCount(0, s.length)
+    val n = total - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    // codepoint start offsets, one pass (starts(total) closes the last gram)
+    val starts = new Array[Int](total + 1)
+    var ci = 0
+    var cc = 0
+    while (ci < s.length) {
+      starts(cc) = ci
+      ci += Character.charCount(s.codePointAt(ci))
+      cc += 1
+    }
+    starts(total) = s.length
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val d = md.digest(s.substring(i, i + k).getBytes(
+      val d = md.digest(s.substring(starts(i), starts(i + k)).getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       md.reset()
       // first 13 hex digits = top 52 bits: take 7 big-endian bytes (56

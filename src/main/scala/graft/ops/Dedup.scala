@@ -374,13 +374,15 @@ object Dedup {
     * admitted content) and a probe is a plain equality semi-join on the
     * fingerprint value.
     *
-    * Admission rule (exact, oracle-restatable): a document is DROPPED when
-    * it shares at least `minShared` distinct fingerprints with the UNION of
-    * all previously-admitted content — the store, plus smaller-id documents
-    * of its own batch (the within-batch rule mirrors the MinHash sibling:
-    * any smaller id counts, admitted or not — conservative chain-drops).
-    * The collective threshold (vs any single prior document) is the safe
-    * direction for a dedup gate and keeps the probe one join + one count.
+    * Admission rule (exact, oracle-restatable), two stages like the
+    * MinHash sibling: a document is DROPPED when it shares at least
+    * `minShared` distinct fingerprints with its own batch's smaller-id
+    * documents COLLECTIVELY (any smaller id counts, admitted or not —
+    * conservative chain-drops), or — surviving that — at least `minShared`
+    * with the store COLLECTIVELY. Each stage's threshold is collective
+    * (vs the union of that stage's content, not any single document), and
+    * at the default `minShared = 1` the two-stage rule coincides with a
+    * single union rule; each stage is one join + one count.
     *
     * Replay safety: the store registers through `tryInsert` (keyed by the
     * fingerprint), so a replayed batch re-registers idempotently and
@@ -397,8 +399,12 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val dimCol = world.dims.head.column
     val spark = batch.sparkSession
-    val withFp = parallelize(batch).withColumn("__fps",
-      graft.functions.WinnowFingerprints(col(textCol), k, w))
+    // pinned: the md5-per-codepoint kernel is the batch's dominant cost and
+    // this subtree feeds the self-join (twice), the probe, and registration
+    // — unpinned it would recompute per consumer (caller releases via
+    // Pins.releaseAll, same contract as the pinned anti-joins below)
+    val withFp = Pins.pin(parallelize(batch).withColumn("__fps",
+      graft.functions.WinnowFingerprints(col(textCol), k, w)))
     // kernel output is distinct per doc, so exploded rows are (doc, fp)-unique
     def fpRows(df: DataFrame): DataFrame = df
       .where(size(col("__fps")) > 0)

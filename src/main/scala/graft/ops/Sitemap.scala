@@ -117,9 +117,15 @@ object Sitemap {
       val raw = block.substring(gt + 1, close).trim
       // CDATA section (real-world sitemap generators emit it around loc):
       // verbatim content, never entity-decoded - that is CDATA's point
-      if (raw.startsWith("<![CDATA[") && raw.endsWith("]]>"))
-        Some(raw.substring(9, raw.length - 3).trim)
-      else {
+      if (raw.startsWith("<![CDATA[") && raw.endsWith("]]>")) {
+        val inner = raw.substring(9, raw.length - 3)
+        // the wrapper must be ONE section: interior ]]> / <![CDATA[ means a
+        // multi-CDATA shape whose markers would leak into the URL verbatim
+        // (XML itself forbids ]]> inside CDATA content)
+        require(!inner.contains("]]>") && !inner.contains("<![CDATA["),
+          s"doc $docId: malformed CDATA section inside <$tag>")
+        Some(inner.trim)
+      } else {
         // a CDATA marker that is NOT the sole well-formed wrapper (e.g.
         // `<![CDATA[u]]>tail`) must fail loudly like every other malformed
         // shape — falling through to entity decoding would pass the literal

@@ -24,11 +24,13 @@ class WinnowFingerprintsSpec extends AnyFunSuite with BeforeAndAfterAll {
     * BigInteger (the oracle's CAST('0x'||hex13 AS BIGINT)), windows as
     * plain slices — written differently from the kernel on purpose. */
   private def reference(s: String, k: Int, w: Int): Seq[Long] = {
-    val n = s.length - k + 1
+    val cps = s.codePoints().toArray
+    val n = cps.length - k + 1
     if (n <= 0) return Seq.empty
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = (0 until n).map { i =>
-      val d = md.digest(s.substring(i, i + k).getBytes("UTF-8"))
+      val gram = new String(cps, i, k)
+      val d = md.digest(gram.getBytes("UTF-8"))
       md.reset()
       val hex = d.map(b => f"${b & 0xff}%02x").mkString
       new java.math.BigInteger(hex.take(13), 16).longValueExact()
@@ -47,6 +49,21 @@ class WinnowFingerprintsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("shorter than k yields empty; k <= len < k+w-1 yields the clamped window") {
     assert(fps("abc", 8, 4).isEmpty)
     assert(fps("abcdefgh", 8, 4).size == 1) // one gram, one clamped window
+  }
+
+  test("grams are codepoints: astral chars count once and never collide as split surrogates") {
+    val ext1 = new String(Character.toChars(0x20000)) // CJK Extension B
+    val ext2 = new String(Character.toChars(0x20001)) // a DIFFERENT ideograph
+    val a = "sharedprefix" + ext1 + "tail"
+    val b = "sharedprefix" + ext2 + "tail"
+    assert(fps(a, 8, 4) == reference(a, 8, 4))
+    assert(fps(b, 8, 4) == reference(b, 8, 4))
+    // a code-unit walk would UTF-8-encode each unpaired surrogate half as
+    // '?' and make the two texts' gram sets identical — they must differ
+    assert(fps(a, 8, 4) != fps(b, 8, 4))
+    // length in codepoints: 7 codepoints < k=8 -> empty even though the
+    // UTF-16 length is 8
+    assert(fps("abcdef" + ext1, 8, 4).isEmpty)
   }
 
   test("the winnowing guarantee: a shared span >= w+k-1 forces a shared fingerprint") {

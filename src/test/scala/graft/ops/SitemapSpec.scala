@@ -101,6 +101,10 @@ class SitemapSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cdataLead = "<urlset><url><loc>lead<![CDATA[https://a.example/x]]></loc></url></urlset>"
     val e6 = intercept[Exception](Sitemap.parse(8L, cdataLead).toSeq)
     assert(e6.getMessage.contains("doc 8") && e6.getMessage.contains("CDATA"))
+    // multi-CDATA: starts/ends well-formed but interior markers would leak
+    val cdataMulti = "<urlset><url><loc><![CDATA[https://a.example/x]]>mid<![CDATA[y]]></loc></url></urlset>"
+    val e7 = intercept[Exception](Sitemap.parse(9L, cdataMulti).toSeq)
+    assert(e7.getMessage.contains("doc 9") && e7.getMessage.contains("CDATA"))
   }
 
   test("split face: per-partition fan-out, fanOut lever applies") {
