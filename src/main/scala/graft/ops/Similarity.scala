@@ -43,6 +43,50 @@ object Similarity {
       .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** INT8 scalar quantization (SQ8, r16) — the ANN family's STORAGE axis
+    * next to PQ's memory axis: each vector compresses 4x to per-dimension
+    * byte codes under a per-vector affine map (mn + code · scale, scale =
+    * (mx − mn)/255 — the faiss `SQ8` / standard uniform quantizer). At
+    * 100 TB of embeddings the raw float corpus is the storage bill; SQ8
+    * cuts it 4x with bounded per-dimension error (≤ scale/2), and decode
+    * is a per-row affine HOF — shuffle-free, applied where the codes live.
+    *
+    * ENGINE-NEUTRAL arithmetic, so the codes themselves carry a full
+    * DuckDB oracle: float→double widening is exact, min/max over the
+    * vector is exact, `(x − mn) / scale` is the identically-parenthesized
+    * IEEE sequence on both engines, and round-half-up on a nonnegative
+    * double equals DuckDB's round-half-away (the q_corr_regr discipline).
+    * A constant vector (scale 0) codes to all zeros and decodes to mn. */
+  def sq8Encode(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val mn = array_min(col(vecCol)).cast("double")
+    val mx = array_max(col(vecCol)).cast("double")
+    df.withColumn("sq_min", mn)
+      .withColumn("sq_scale", (mx - mn) / lit(255.0))
+      .withColumn("sq_codes",
+        when(col("sq_scale") === 0.0,
+          transform(col(vecCol), _ => lit(0)))
+          .otherwise(transform(col(vecCol), x =>
+            round((x.cast("double") - col("sq_min")) / col("sq_scale"), 0)
+              .cast("int"))))
+  }
+
+  /** Inverse of [[sq8Encode]]: reconstruct `array<double>` vectors from
+    * codes + the per-vector affine params. */
+  def sq8Decode(codes: Column, mn: Column, scale: Column): Column =
+    transform(codes, c => mn + c.cast("double") * scale)
+
+  /** Brute-force cosine top-k over the SQ8-RECONSTRUCTED corpus — the
+    * compressed-storage serving path: queries stay full-precision, corpus
+    * vectors exist only as codes. Same deterministic ranking contract as
+    * [[bruteTopK]] (sim rounded to 4dp, ties by corpus id). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val decoded = sq8Encode(corpus)
+      .select(col("vec_id"),
+        sq8Decode(col("sq_codes"), col("sq_min"), col("sq_scale"))
+          .as("embedding"))
+    bruteTopK(decoded, queries, k)
+  }
+
   /** (tbl, key) bucket rows for each input row: one native-projection pass,
     * then posexplode (generator input is single-eval — the same
     * Catalyst-inlining guard as the MinHash pipeline). */

@@ -101,6 +101,57 @@ object SimilarityOps {
               WHERE rank <= 5 ORDER BY q_id, rank""")
     ),
 
+    // SQ8 scalar quantization (r16) — the ANN family's STORAGE axis: the
+    // integer codes are engine-neutral arithmetic (exact float->double
+    // widening, identically-parenthesized affine map, half-up rounding on
+    // nonnegative doubles), so the quantizer itself carries a FULL oracle —
+    // stronger than the planted-twin gate the candidate-pruning variants
+    // need.
+    "s_sq8_codes" -> QueryDef(
+      (s, dir) => Similarity.sq8Encode(
+          t(s, dir, "embeddings").where(col("vec_id") < 50))
+        .select(col("vec_id"), col("sq_min"), col("sq_scale"),
+          posexplode(col("sq_codes")).as(Seq("i", "code")))
+        .select(col("vec_id"), col("sq_min"), col("sq_scale"),
+          col("i").cast("long").as("i"), col("code"))
+        .orderBy("vec_id", "i"),
+      Some("""WITH e AS (
+                SELECT vec_id,
+                  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+                  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+                  embedding
+                FROM embeddings WHERE vec_id < 50),
+              sc AS (
+                SELECT vec_id, mn, (mx - mn) / 255.0 AS sq_scale, embedding
+                FROM e)
+              SELECT vec_id, mn AS sq_min, sq_scale,
+                unnest(range(0, len(embedding))) AS i,
+                unnest(list_transform(embedding, x ->
+                  CASE WHEN sq_scale = 0 THEN 0
+                       ELSE CAST(round((CAST(x AS DOUBLE) - mn) / sq_scale)
+                         AS INTEGER) END)) AS code
+              FROM sc ORDER BY vec_id, i""")
+    ),
+
+    // the SQ8 serving path (queries full-precision, corpus existing only
+    // as codes) under the FULL oracle gate via the planted-copy argument:
+    // an exact copy quantizes identically, so its reconstruction is the
+    // nearest possible corpus vector to the query (round(cos,4) = 1.0 vs
+    // organic ~0.5) and top-1 is exactly the copy.
+    "s_ann_sq8_planted" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = emb.where(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        Similarity.sq8TopK(emb.unionAll(planted),
+            emb.where(col("vec_id") < 10), k = 1)
+          .orderBy("q_id")
+      },
+      Some("""SELECT vec_id AS q_id, vec_id + 1000000 AS t_id,
+                CAST(1 AS BIGINT) AS rank
+              FROM embeddings WHERE vec_id < 10 ORDER BY q_id""")
+    ),
+
     "s_ann_lsh" -> QueryDef(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

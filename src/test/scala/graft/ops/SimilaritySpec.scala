@@ -196,4 +196,42 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("sq8: codes in [0,255], per-dim error <= scale/2, constant vectors decode to mn") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, Array(0.1f, -0.5f, 0.9f, 0.3f)),
+      (2L, Array(2.0f, 2.0f, 2.0f, 2.0f)), // constant -> scale 0
+      (3L, Array(-1.0f, 1.0f, 0.0f, 0.5f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val enc = Similarity.sq8Encode(df)
+    val dec = enc.select(col("vec_id"), col("embedding"), col("sq_min"),
+        col("sq_scale"),
+        Similarity.sq8Decode(col("sq_codes"), col("sq_min"), col("sq_scale"))
+          .as("rec"),
+        col("sq_codes"))
+      .collect()
+    dec.foreach { r =>
+      val emb = r.getSeq[Float](1)
+      val mn = r.getDouble(2)
+      val scale = r.getDouble(3)
+      val rec = r.getSeq[Double](4)
+      val codes = r.getSeq[Int](5)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      emb.zip(rec).foreach { case (x, xr) =>
+        assert(math.abs(x.toDouble - xr) <= scale / 2 + 1e-9,
+          s"vec ${r.getLong(0)}: |$x - $xr| > scale/2 ($scale)")
+      }
+      if (r.getLong(0) == 2L) {
+        assert(scale == 0.0)
+        assert(rec.forall(_ == mn))
+      }
+    }
+    // the serving path puts an exact copy at rank 1
+    val corpus = df.unionAll(Seq((1000001L, rows.head._2)).toDF("vec_id", "embedding"))
+    val top = Similarity.sq8TopK(corpus, df.where(col("vec_id") === 1L), k = 1)
+      .collect()
+    assert(top.length == 1 && top.head.getLong(1) == 1000001L)
+  }
 }
