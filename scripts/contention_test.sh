@@ -35,10 +35,13 @@ QUERIES="q1_agg,q3_top_revenue,q_topn,t_tokens,t_quality,t_langid,d_exact_dedup,
 rm -f "$OUT" "$PHASE_FILE"
 HOG_PIDS=()
 cleanup() {
-  kill "${HOG_PIDS[@]}" >/dev/null 2>&1 || true
+  # default expansions: under `set -u` an early failure before BENCH_PID
+  # is assigned (or an empty HOG_PIDS on bash < 4.4) must not make the
+  # trap itself error and skip the remaining kill/rm lines
+  kill "${HOG_PIDS[@]:-}" >/dev/null 2>&1 || true
   pkill -f graft_hog_ >/dev/null 2>&1 || true
   rm -f /tmp/graft_hog_*
-  kill "$BENCH_PID" >/dev/null 2>&1 || true
+  if [ -n "${BENCH_PID:-}" ]; then kill "$BENCH_PID" >/dev/null 2>&1 || true; fi
 }
 trap cleanup EXIT
 

@@ -87,7 +87,18 @@ object Bench {
             .replace("\\\"", "\"")
           if (!s.contains(sfTag)) None
           else {
-            val m = kvArr.findAllMatchIn(s).flatMap { g =>
+            // anchor to the raw-sample map: the tail also holds
+            // query_window_canaries entries ("name":[~0.2,0.3]) keyed by
+            // REAL query names — parsed as priors they would flag nearly
+            // every query as drift. If the '"raw":{' marker survived, only
+            // its interior counts; if it was truncated away, the tail
+            // BEGINS inside the raw map (every map printed before raw
+            // would have carried the marker downstream of itself), so the
+            // fragment up to the first '}' is raw interior either way.
+            val rawIdx = s.lastIndexOf("\"raw\":{")
+            val frag = (if (rawIdx >= 0) s.substring(rawIdx + "\"raw\":{".length)
+                        else s).takeWhile(_ != '}')
+            val m = kvArr.findAllMatchIn(frag).flatMap { g =>
               val xs = g.group(2).split(",")
                 .flatMap(x => scala.util.Try(x.toDouble).toOption)
               if (xs.nonEmpty) Some(g.group(1) -> xs.min) else None
@@ -321,8 +332,12 @@ object Bench {
     // sick). A transient window spike that was fully cured by recovery
     // stays visible in degraded_window_queries/raw but does not condemn
     // the whole record — best-of already prefers the healthy sample.
+    // a cure needs BOTH a healthy bracketing window AND a retry that
+    // actually SUCCEEDED — an errored recovery run leaves only the
+    // contaminated samples in best-of, so it must condemn, not clear
     val cured = degraded.filter(name =>
-      retryWindowOf.get(name).exists(windowHealthy))
+      retryWindowOf.get(name).exists(windowHealthy) &&
+        retryRuns.get(name).exists(_._2.isEmpty))
     val uncured = degraded -- cured
     val hostDegraded = medCpu > 1.0 || medIo > 1.5 || uncured.nonEmpty
     val retriedJson = degraded.toSeq.sorted.map(jstr).mkString("[", ",", "]")
@@ -330,8 +345,16 @@ object Bench {
     val driftSusJson = driftSuspects.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val driftFinalJson = driftFinal.toSeq.sortBy(_._1).map { case (k, (p, c)) =>
       s"${jstr(k)}:[${f"$p%.3f"},${f"$c%.3f"}]" }.mkString("{", ",", "}")
+    // FIELD ORDER IS LOAD-BEARING: the driver records only the LAST 2000
+    // characters of stdout, so all sixteen rounds' BENCH_r*.json wrappers
+    // hold a fragment that starts mid-line — with the headline printed
+    // FIRST, every recorded tail began inside the queries/raw maps and the
+    // record carried no total, no health verdict, nothing a reader could
+    // grade from. Large maps (window canaries, queries, raw) lead; the
+    // summary scalars (totals, health, drift, sf) close the line so they
+    // land inside any suffix-truncated capture.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_run1":$totalRun1,"canary_before_sec":${cpuC.head},"canary_after_sec":${cpuC(mainCloseIdx)},"canaries":${cJson(cpuC.toSeq)},"canaries_io":${cJson(ioC.toSeq)},"canary_every":$canaryEvery,"host_degraded":$hostDegraded,"degraded_window_queries":$retriedJson,"uncured_queries":$uncuredJson,"drift_baseline":${jstr(driftBaseline)},"drift_suspect_queries":$driftSusJson,"drift_vs_prior":$driftFinalJson,"query_window_canaries":${winJson(cpuC)},"query_window_canaries_io":${winJson(ioC)},"canary":"two interleaved canaries every $canaryEvery queries - cpu: range(5e8).sum, data-independent; io: fixed small parquet read + one 32-task hash shuffle (fresh shuffle files each time, so disk/scheduler contention lands on it). A window is degraded unless BOTH canaries are healthy (<= max(3x median, median+0.5s)) on BOTH sides; degraded-window queries get a healthy-host recovery run. host_degraded = uniform degradation (cpu median > 1s or io median > 1.5s) OR degraded-window queries left WITHOUT a recovery run (uncured_queries) - a cured transient spike stays visible but does not condemn the record. canary_after_sec is the cpu sample that closed the MAIN pass (retry-phase canaries follow in the arrays)","drift":"per-query best-of compared against the same-sf prior round's BENCH_r*.json: > 3x prior AND > prior+1s = suspect -> healthy-host recovery run; drift_vs_prior lists what remains after recovery (genuine regressions or uncured contamination)","timing":"per-query best of 2 runs, +1 tie-breaker run on >2.5x spread between successes or a 1-of-2 failure, +1 recovery run for degraded-window or drift-suspect queries; value_run1 sums first runs (single-run comparable)","queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"sf":"$sfDir"}"""
+      s"""{"canary":"two interleaved canaries every $canaryEvery queries - cpu: range(5e8).sum, data-independent; io: fixed small parquet read + one 32-task hash shuffle (fresh shuffle files each time, so disk/scheduler contention lands on it). A window is degraded unless BOTH canaries are healthy (<= max(3x median, median+0.5s)) on BOTH sides; degraded-window queries get a healthy-host recovery run. host_degraded = uniform degradation (cpu median > 1s or io median > 1.5s) OR degraded-window queries left WITHOUT a recovery run (uncured_queries) - a cured transient spike stays visible but does not condemn the record. canary_after_sec is the cpu sample that closed the MAIN pass (retry-phase canaries follow in the arrays)","drift":"per-query best-of compared against the same-sf prior round's BENCH_r*.json: > 3x prior AND > prior+1s = suspect -> healthy-host recovery run; drift_vs_prior lists what remains after recovery (genuine regressions or uncured contamination)","timing":"per-query best of 2 runs, +1 tie-breaker run on >2.5x spread between successes or a 1-of-2 failure, +1 recovery run for degraded-window or drift-suspect queries; value_run1 sums first runs (single-run comparable)","query_window_canaries":${winJson(cpuC)},"query_window_canaries_io":${winJson(ioC)},"queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"canaries":${cJson(cpuC.toSeq)},"canaries_io":${cJson(ioC.toSeq)},"canary_every":$canaryEvery,"canary_before_sec":${cpuC.head},"canary_after_sec":${cpuC(mainCloseIdx)},"degraded_window_queries":$retriedJson,"uncured_queries":$uncuredJson,"drift_baseline":${jstr(driftBaseline)},"drift_suspect_queries":$driftSusJson,"drift_vs_prior":$driftFinalJson,"value_run1":$totalRun1,"host_degraded":$hostDegraded,"nqueries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     // file copy first (survives log interleaving), then the line alone on
     // stdout after Spark is quiet
     java.nio.file.Files.write(java.nio.file.Paths.get(

@@ -112,14 +112,21 @@ object Warc {
     val spark = shards.sparkSession
     import spark.implicits._
     val suffix = epoch.map(e => s"-e$e").getOrElse("")
+    // ship the SESSION's Hadoop conf to the writer tasks — a fresh
+    // `new Configuration()` drops spark.hadoop.* overrides (object-store
+    // credentials/endpoints), so a configured remote export would
+    // mis-target while local tests pass (every other ops/ writer reads
+    // sparkContext.hadoopConfiguration; Configuration is a Writable, so
+    // SerializableWritable carries it without a private-API dependency)
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
     shards.mapPartitions { it =>
       var n = 0L
       var fs: org.apache.hadoop.fs.FileSystem = null
       it.foreach { sh =>
         if (fs == null)
           fs = org.apache.hadoop.fs.FileSystem.get(
-            new java.net.URI(outDir),
-            new org.apache.hadoop.conf.Configuration())
+            new java.net.URI(outDir), confSer.value)
         val p = new org.apache.hadoop.fs.Path(outDir,
           s"wet-h${sh.host_id}-b${sh.block}$suffix.warc.gz")
         val os = fs.create(p, true)
