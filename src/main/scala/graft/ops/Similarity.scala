@@ -43,6 +43,85 @@ object Similarity {
       .select(col("q_id"), col("t_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** One shortlist-candidate-vs-selected-candidate row for [[mmrTopK]]'s
+    * greedy stage: `a` is the candidate (with its query relevance), `b` the
+    * other shortlist member, `ps` their pairwise similarity in 1e-4 units. */
+  final case class MmrPair(q_id: Long, a_id: Long, a_rel: Long,
+      b_id: Long, ps: Long)
+
+  /** Maximal-marginal-relevance top-k (r17) — the retrieval DIVERSIFIER:
+    * plain cosine top-k returns k near-copies of the same passage (a
+    * deduplicated corpus still has paraphrase clusters); RAG context
+    * assembly wants k results that are each relevant AND mutually
+    * non-redundant. Greedy MMR (Carbonell & Goldstein, SIGIR'98): seed with
+    * the most relevant candidate, then repeatedly add
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`.
+    *
+    * Scale shape: stage 1 is the brute top-`shortlist` (queries broadcast,
+    * corpus streamed once through the native cosine kernel — the
+    * s_cosine_topk shape; an IVF/PQ shortlist drops in identically); the
+    * greedy stage then touches ONLY shortlist×shortlist pairs per query —
+    * a per-query `mapGroups` over ≤ shortlist² rows, never the corpus, so
+    * its cost is independent of corpus size. Determinism: relevance and
+    * pairwise similarities are ONCE-ROUNDED to 1e-4 integer units
+    * (`cast(round(sim * 10000) as long)` — the repo's micro-unit
+    * discipline), λ carried as milli-units, every argmax tie-broken by
+    * ascending id — so the greedy trajectory is integer-exact and the
+    * DuckDB oracle can restate it stage by stage. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int = 8, lambdaMilli: Int = 500): DataFrame = {
+    require(k >= 1 && shortlist >= k, "need 1 <= k <= shortlist")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000, "lambda is milli-units")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val t = corpus.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("rel").desc, col("t_id"))
+    val short = t.join(broadcast(q), col("t_id") =!= col("q_id"))
+      .withColumn("rel",
+        round(cosine(col("q_emb"), col("t_emb")) * 10000).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= shortlist)
+      .select(col("q_id"), col("t_id"), col("rel"), col("t_emb"))
+    val a = short.select(col("q_id"), col("t_id").as("a_id"),
+      col("rel").as("a_rel"), col("t_emb").as("a_emb"))
+    val b = short.select(col("q_id"), col("t_id").as("b_id"),
+      col("t_emb").as("b_emb"))
+    // self rows carry relevance for single-candidate shortlists (no pair
+    // rows exist there); the greedy stage never looks up a self similarity
+    val pairs = a.join(b, Seq("q_id")).where(col("a_id") =!= col("b_id"))
+      .withColumn("ps",
+        round(cosine(col("a_emb"), col("b_emb")) * 10000).cast("long"))
+      .select(col("q_id"), col("a_id"), col("a_rel"), col("b_id"), col("ps"))
+      .unionAll(short.select(col("q_id"), col("t_id").as("a_id"),
+        col("rel").as("a_rel"), col("t_id").as("b_id"),
+        lit(0L).as("ps")))
+      .as[MmrPair]
+    pairs.groupByKey(_.q_id).flatMapGroups { (qid, it) =>
+      val rows = it.toArray
+      val rel = scala.collection.mutable.Map.empty[Long, Long]
+      val sim = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      rows.foreach { r => rel(r.a_id) = r.a_rel; sim((r.a_id, r.b_id)) = r.ps }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // seed: pure relevance (no selected set yet), tie -> smaller id
+      if (rel.nonEmpty) {
+        selected += rel.toSeq.minBy { case (id, r) => (-r, id) }._1
+        while (selected.size < math.min(k, rel.size)) {
+          val cand = rel.keysIterator.filterNot(selected.contains).map { c =>
+            val maxSim = selected.iterator.map(s => sim((c, s))).max
+            val score = lambdaMilli.toLong * rel(c) -
+              (1000L - lambdaMilli) * maxSim
+            (c, score)
+          }
+          selected += cand.minBy { case (id, sc) => (-sc, id) }._1
+        }
+      }
+      selected.iterator.zipWithIndex.map { case (id, i) =>
+        (qid, id, (i + 1).toLong)
+      }
+    }.toDF("q_id", "t_id", "mmr_rank")
+  }
+
   /** INT8 scalar quantization (SQ8, r16) — the ANN family's STORAGE axis
     * next to PQ's memory axis: each vector compresses 4x to per-dimension
     * byte codes under a per-vector affine map (mn + code · scale, scale =

@@ -488,6 +488,128 @@ object SimilarityOps {
                 CAST(SUM(e.xu * m.g) AS BIGINT) AS y_u
               FROM e JOIN m USING (i)
               GROUP BY e.vec_id, m.j ORDER BY vec_id, j""")
+    ),
+
+    // Text-to-text k-NN with NO embedding column (r17): the hashed-trick
+    // embedding ([[graft.functions.HashEmbed]]) turns raw documents into
+    // 16-dim vectors, then the standard brute top-k serves text-to-text
+    // retrieval — the full chain (tokenize → signed md5 hashing →
+    // micro-normalize → cosine → rank) restated in DuckDB, a FULL oracle,
+    // no planted twin needed. Float parity is exact by construction:
+    // micro-unit components are integers ≤ 1e6, so every dot/norm partial
+    // stays under 2^53 and the cosine is BIT-IDENTICAL regardless of either
+    // engine's accumulation order. Scale shape: one codegen'd projection
+    // per row, queries broadcast, corpus streamed once (s_cosine_topk).
+    "s_text_knn" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"),
+            transform(graft.functions.HashEmbed(col("text"), 16),
+              x => x.cast("double")).as("embedding"))
+          .where(exists(col("embedding"), x => x =!= lit(0.0)))
+        Similarity.bruteTopK(emb, emb.where(col("vec_id") < 5), k = 3)
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+              w AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS tok
+                    FROM d),
+              h AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(tok), 1, 13) AS BIGINT) AS hv
+                    FROM w WHERE tok <> ''),
+              cell AS (SELECT doc_id, (hv // 2) % 16 AS i,
+                         SUM(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) AS c
+                       FROM h GROUP BY 1, 2),
+              grid AS (SELECT d.doc_id, g.i
+                       FROM d, (SELECT unnest(range(0, 16)) AS i) g),
+              fc AS (SELECT grid.doc_id, grid.i, COALESCE(cell.c, 0) AS c
+                     FROM grid LEFT JOIN cell
+                       ON cell.doc_id = grid.doc_id AND cell.i = grid.i),
+              nrm AS (SELECT doc_id, SUM(c * c) AS ssq FROM fc GROUP BY doc_id),
+              vec AS (SELECT fc.doc_id,
+                        list(CAST(FLOOR(1000000.0 * fc.c / sqrt(nrm.ssq) + 0.5)
+                               AS DOUBLE) ORDER BY fc.i) AS v
+                      FROM fc JOIN nrm ON nrm.doc_id = fc.doc_id
+                      WHERE nrm.ssq > 0 GROUP BY fc.doc_id)
+              SELECT q_id, t_id, rank FROM (
+                SELECT q.doc_id AS q_id, t.doc_id AS t_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.doc_id ORDER BY
+                    ROUND(list_cosine_similarity(q.v, t.v), 4) DESC,
+                    t.doc_id) AS rank
+                FROM vec q JOIN vec t ON t.doc_id <> q.doc_id
+                WHERE q.doc_id < 5)
+              WHERE rank <= 3 ORDER BY q_id, rank""")
+    ),
+
+    // Maximal-marginal-relevance re-ranking (r17): greedy MMR (λ = 0.5)
+    // over a brute top-8 shortlist — the retrieval DIVERSIFIER (k results
+    // relevant AND mutually non-redundant, the RAG context-assembly step).
+    // Relevance and pairwise similarities are once-rounded 1e-4 integer
+    // units with id tie-breaks, so the greedy trajectory is integer-exact
+    // and the oracle restates it stage by stage (seed = argmax relevance;
+    // each later stage = argmax 500·rel − 500·max-sim-to-selected over the
+    // shortlist remainder). Scale shape: shortlist build is the broadcast
+    // brute top-k; the greedy stage touches shortlist² rows per query —
+    // corpus-size-independent.
+    "s_mmr_rerank" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.mmrTopK(emb, emb.where(col("vec_id") < 8),
+            k = 3, shortlist = 8)
+          .orderBy("q_id", "mmr_rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                         FROM embeddings WHERE vec_id < 8),
+              c0 AS (SELECT q.q_id, t.vec_id AS t_id,
+                       CAST(ROUND(list_cosine_similarity(
+                              CAST(t.embedding AS DOUBLE[]),
+                              CAST(q.q_emb AS DOUBLE[])) * 10000) AS BIGINT)
+                         AS rel,
+                       t.embedding AS t_emb
+                     FROM embeddings t JOIN q ON t.vec_id <> q.q_id),
+              short AS (SELECT q_id, t_id, rel, t_emb FROM (
+                          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY rel DESC, t_id) AS rn FROM c0)
+                        WHERE rn <= 8),
+              p AS (SELECT a.q_id, a.t_id AS a_id, b.t_id AS b_id,
+                      CAST(ROUND(list_cosine_similarity(
+                             CAST(a.t_emb AS DOUBLE[]),
+                             CAST(b.t_emb AS DOUBLE[])) * 10000) AS BIGINT)
+                        AS ps
+                    FROM short a JOIN short b
+                      ON a.q_id = b.q_id AND a.t_id <> b.t_id),
+              s1 AS (SELECT q_id, t_id FROM (
+                       SELECT q_id, t_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY rel DESC, t_id) AS rn FROM short)
+                     WHERE rn = 1),
+              m2 AS (SELECT s.q_id, s.t_id, s.rel, MAX(p.ps) AS ms
+                     FROM short s
+                     JOIN s1 ON s1.q_id = s.q_id AND s.t_id <> s1.t_id
+                     JOIN p ON p.q_id = s.q_id AND p.a_id = s.t_id
+                           AND p.b_id = s1.t_id
+                     GROUP BY s.q_id, s.t_id, s.rel),
+              s2 AS (SELECT q_id, t_id FROM (
+                       SELECT q_id, t_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY 500 * rel - 500 * ms DESC, t_id) AS rn
+                       FROM m2)
+                     WHERE rn = 1),
+              m3 AS (SELECT s.q_id, s.t_id, s.rel, MAX(p.ps) AS ms
+                     FROM short s
+                     JOIN s1 ON s1.q_id = s.q_id
+                     JOIN s2 ON s2.q_id = s.q_id
+                     JOIN p ON p.q_id = s.q_id AND p.a_id = s.t_id
+                           AND p.b_id IN (s1.t_id, s2.t_id)
+                     WHERE s.t_id <> s1.t_id AND s.t_id <> s2.t_id
+                     GROUP BY s.q_id, s.t_id, s.rel),
+              s3 AS (SELECT q_id, t_id FROM (
+                       SELECT q_id, t_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY 500 * rel - 500 * ms DESC, t_id) AS rn
+                       FROM m3)
+                     WHERE rn = 1)
+              SELECT q_id, t_id, CAST(1 AS BIGINT) AS mmr_rank FROM s1
+              UNION ALL SELECT q_id, t_id, CAST(2 AS BIGINT) FROM s2
+              UNION ALL SELECT q_id, t_id, CAST(3 AS BIGINT) FROM s3
+              ORDER BY q_id, mmr_rank""")
     )
   )
 }

@@ -1577,6 +1577,75 @@ object TextOps {
               SELECT doc_id, COUNT(*) AS n_hits, MIN(pos) AS first_pos
               FROM p1 JOIN p2 USING (doc_id, pos) JOIN p3 USING (doc_id, pos)
               GROUP BY doc_id ORDER BY doc_id""")
+    ),
+
+    // Hashing-trick dense text embedding (r17): a fixed 16-dim L2-normalized
+    // vector from raw text with NO trained model — signed md5 feature
+    // hashing in the repo's exact-unit form, so the FULL embedding carries
+    // a DuckDB oracle (tokens, 13-hex md5 prefix, signed cell counts, and
+    // floor(x+0.5) micro-normalization all restated; Σc² is exact integer,
+    // sqrt and one division are single correctly-rounded IEEE ops). This is
+    // the kernel that makes the vector stack (cosine top-k, ANN, semantic
+    // dedup, the maintained index) reachable from corpora that arrive as
+    // text with no embedding column. One codegen'd projection per row.
+    "t_hash_embed" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.HashEmbed(col("text"), 16))
+            .as(Seq("i", "u")))
+        .select(col("doc_id"), col("i").cast("long").as("i"), col("u"))
+        .orderBy("doc_id", "i"),
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+              w AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS tok
+                    FROM d),
+              h AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(tok), 1, 13) AS BIGINT) AS hv
+                    FROM w WHERE tok <> ''),
+              cell AS (SELECT doc_id, (hv // 2) % 16 AS i,
+                         SUM(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) AS c
+                       FROM h GROUP BY 1, 2),
+              grid AS (SELECT d.doc_id, g.i
+                       FROM d, (SELECT unnest(range(0, 16)) AS i) g),
+              fc AS (SELECT grid.doc_id, grid.i, COALESCE(cell.c, 0) AS c
+                     FROM grid LEFT JOIN cell
+                       ON cell.doc_id = grid.doc_id AND cell.i = grid.i),
+              nrm AS (SELECT doc_id, SUM(c * c) AS ssq FROM fc GROUP BY doc_id)
+              SELECT fc.doc_id, fc.i,
+                CASE WHEN nrm.ssq = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(FLOOR(1000000.0 * fc.c / sqrt(nrm.ssq) + 0.5)
+                            AS BIGINT) END AS u
+              FROM fc JOIN nrm ON nrm.doc_id = fc.doc_id
+              ORDER BY fc.doc_id, fc.i""")
+    ),
+
+    // Compression-ratio quality gate (r17): DEFLATE per-mille ratio as the
+    // one-number repetition/boilerplate signal (the CCNet/RedPajama-family
+    // filter). DuckDB cannot deflate, so the gate is oracle-checked on
+    // PLANTED classes built from doc arithmetic: one 32-char md5 block
+    // repeated 24x (back-references collapse it, ratio well under 100
+    // per-mille) vs 24 DISTINCT md5 blocks (random hex, ~500 per-mille) —
+    // the 250 threshold sits >2x from both classes, and DEFLATE of a fixed
+    // string is a constant, so the verdict is deterministic. A wrong
+    // deflate call, ratio arithmetic, or threshold comparison flips rows.
+    "t_compress_ratio" -> QueryDef(
+      (s, dir) => {
+        val distinct24 = expr(
+          """array_join(transform(sequence(0, 23), j ->
+             md5(cast(concat('cr-', cast(doc_id as string), '-',
+                             cast(j as string)) as binary))), '')""")
+        val repeated24 = expr(
+          """repeat(md5(cast(concat('cr-', cast(doc_id as string))
+                        as binary)), 24)""")
+        val synth = when(col("doc_id") % 3 === 0, repeated24)
+          .otherwise(distinct24)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            (graft.functions.DeflateRatio(synth) < 250L).as("compressible"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, (doc_id % 3 = 0) AS compressible
+              FROM documents ORDER BY doc_id""")
     )
   )
 }

@@ -234,4 +234,54 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(top.length == 1 && top.head.getLong(1) == 1000001L)
   }
+
+  test("mmrTopK diversifies: one pick per cluster where plain top-k returns near-copies") {
+    // two tight clusters; the query sits nearer cluster A. Plain top-2 is
+    // two A members; MMR (lambda 0.5) must pick one from each cluster.
+    val d = emb(
+      (100L, Seq(1f, 0.02f, 0f)),      // query
+      (1L, Seq(1f, 0f, 0f)),           // cluster A
+      (2L, Seq(0.999f, 0.001f, 0f)),   // cluster A (near-copy of 1)
+      (3L, Seq(0.998f, 0.002f, 0f)),   // cluster A (near-copy of 1)
+      (4L, Seq(0.5f, 0.86f, 0f)),      // cluster B
+      (5L, Seq(0.51f, 0.85f, 0f)))     // cluster B
+    val corpus = d.where(col("vec_id") =!= 100L)
+    val brute = Similarity.bruteTopK(corpus, d.where(col("vec_id") === 100L), k = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(brute.subsetOf(Set(1L, 2L, 3L)), s"plain top-2 was $brute")
+    val mmr = Similarity.mmrTopK(corpus, d.where(col("vec_id") === 100L),
+        k = 2, shortlist = 5)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(Set(1L, 2L, 3L).contains(mmr.head), s"seed must be most relevant: $mmr")
+    assert(Set(4L, 5L).contains(mmr(1)), s"second pick must leave the cluster: $mmr")
+  }
+
+  test("mmrTopK matches a sequential reference on an integer-exact fixture") {
+    // axis-aligned vectors make every pairwise cosine exactly 0 or 1 in
+    // micro-units, so the greedy trajectory is arithmetic, not float luck
+    val d = emb(
+      (50L, Seq(1f, 1f, 1f, 0f)),  // query
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f)), (4L, Seq(0f, 0f, 1f, 0f)),
+      (5L, Seq(0f, 0f, 0f, 1f)))
+    val corpus = d.where(col("vec_id") =!= 50L)
+    val got = Similarity.mmrTopK(corpus, d.where(col("vec_id") === 50L),
+        k = 4, shortlist = 5)
+      .orderBy("mmr_rank").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // rel(1..4) = round(cos * 1e4) = 5774 for dims present in the query,
+    // rel(5) = 0. Seed: id 1 (tie with 2,3,4 on rel -> smallest id).
+    // Round 2: candidates 2 (rel 5774, maxsim 10000 -> score 500*5774-500*10000 < 0),
+    // 3 and 4 (rel 5774, maxsim 0 -> positive), 5 (rel 0, maxsim 0 -> 0):
+    // pick 3 (tie with 4 -> smaller id). Round 3: 4. Round 4: 5 beats 2
+    // (0 > 500*(5774-10000)).
+    assert(got == Seq((1L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)), s"got $got")
+  }
+
+  test("mmrTopK handles a single-candidate shortlist and k > candidates") {
+    val d = emb((10L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)))
+    val got = Similarity.mmrTopK(d.where(col("vec_id") === 1L),
+        d.where(col("vec_id") === 10L), k = 3, shortlist = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L)), s"got $got")
+  }
 }
