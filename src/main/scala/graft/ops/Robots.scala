@@ -33,6 +33,7 @@ object Robots {
 
   final case class RobotsTxt(host: String, body: String)
   final case class RobotsRule(host: String, allow: Boolean, prefix: String)
+  final case class HostDelay(host: String, delay_ms: Long)
 
   /** One forward pass per body, shuffle-free iterator fan-out (a body
     * with R rules emits R rows, nothing materialized per host). */
@@ -66,6 +67,90 @@ object Robots {
       }
       out
     }
+  }
+
+  /** Crawl-delay extraction (r17): parse `Crawl-delay: <seconds>` out of
+    * the generic-agent (`*`) groups — the directive [[parse]] deliberately
+    * skips. Same grammar walk as [[parse]] (comments, CRLF, case-folded
+    * keys, consecutive user-agent accumulation; crawl-delay is itself a
+    * rule-ish line, so it closes an open agent header exactly like
+    * disallow does — the two parsers see identical group boundaries).
+    * Values are nonnegative decimal seconds kept to millisecond precision
+    * (extra fractional digits truncate) in exact integer arithmetic;
+    * unparsable values are ignored — a malformed directive must not shape
+    * the schedule. When several applicable groups carry delays the MAXIMUM
+    * wins (the conservative politeness reading). Hosts with no applicable
+    * directive emit nothing — the scheduler supplies the default. */
+  def parseDelays(spark: SparkSession,
+      robots: Dataset[RobotsTxt]): Dataset[HostDelay] = {
+    import spark.implicits._
+    robots.flatMap { r =>
+      var best = -1L
+      var agents = List.empty[String]
+      var collecting = true
+      var applies = false
+      r.body.split("\n", -1).foreach { raw =>
+        val noCr = if (raw.endsWith("\r")) raw.dropRight(1) else raw
+        val hash = noCr.indexOf('#')
+        val line = (if (hash >= 0) noCr.substring(0, hash) else noCr).trim
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!collecting) { agents = Nil; collecting = true }
+              agents ::= value
+              applies = agents.contains("*")
+            case "crawl-delay" =>
+              collecting = false
+              if (applies) delayMsOf(value).foreach(ms => best = math.max(best, ms))
+            case _ => collecting = false
+          }
+        }
+      }
+      if (best >= 0) Some(HostDelay(r.host, best)) else None
+    }
+  }
+
+  private val DelayPattern = "^(\\d{1,7})(?:\\.(\\d*))?$".r
+
+  /** Decimal seconds → milliseconds, exact integer arithmetic, truncating
+    * past the third fractional digit; None for anything else. */
+  private[graft] def delayMsOf(value: String): Option[Long] = value match {
+    case DelayPattern(ip, fp) =>
+      val frac = Option(fp).getOrElse("").padTo(3, '0').take(3)
+      Some(ip.toLong * 1000L + frac.toLong)
+    case _ => None
+  }
+
+  /** Per-host politeness schedule (r17): the fetch-shaping step between
+    * the gated frontier and the fetcher fleet. Each URL gets its
+    * discovery-order rank within its host's queue, a fetch `wave`
+    * (`(rank-1) div burst` — at most `burst` parallel fetches per host
+    * per wave), and `scheduled_ms = wave × crawl-delay(host)` (the host's
+    * [[parseDelays]] directive, `defaultDelayMs` otherwise).
+    *
+    * Scale shape: ONE window partitioned by host — a host's queue is
+    * sequential by the politeness contract itself, so per-host ranking is
+    * the semantics, not a bottleneck (hosts parallelize; no global
+    * window) — and one join against the delay side, which is bounded by
+    * the HOST count and explicitly broadcast. */
+  def schedule(urls: DataFrame, delays: DataFrame, orderCol: String,
+      burst: Int, defaultDelayMs: Long = 1000L): DataFrame = {
+    require(burst >= 1, s"burst must be >= 1, got $burst")
+    Seq("delay_ms", "wave", "scheduled_ms").foreach { c =>
+      require(!urls.columns.contains(c),
+        s"graft politeness schedule: input must not carry a column named '$c'")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col(orderCol))
+    urls
+      .join(broadcast(delays), Seq("host"), "left_outer")
+      .withColumn("delay_ms", coalesce(col("delay_ms"), lit(defaultDelayMs)))
+      .withColumn("wave",
+        floor((row_number().over(w) - 1) / lit(burst)).cast("long"))
+      .withColumn("scheduled_ms", col("wave") * col("delay_ms"))
   }
 
   /** URLs (any frame with `host` and `path` columns) → the same frame

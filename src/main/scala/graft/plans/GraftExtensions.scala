@@ -130,5 +130,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("script_counts",
         "script_counts(text) - struct(latin, cyrillic, cjk, other) codepoint counts by script"),
       (args: Seq[Expression]) => graft.functions.ScriptCounts(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("hash_embed"),
+      info("hash_embed",
+        "hash_embed(text, dim) - signed-md5 hashing-trick embedding, micro-unit L2-normalized bigints"),
+      (args: Seq[Expression]) => graft.functions.HashEmbed(args.head,
+        intLit(args(1), "dim"))))
+
+    ext.injectFunction((FunctionIdentifier("deflate_ratio"),
+      info("deflate_ratio",
+        "deflate_ratio(text) - DEFLATE per-mille compression ratio (repetition/boilerplate signal)"),
+      (args: Seq[Expression]) => graft.functions.DeflateRatio(args.head)))
   }
 }

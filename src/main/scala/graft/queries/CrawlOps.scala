@@ -451,6 +451,53 @@ object CrawlOps {
               SELECT doc_id, sym_x1000,
                 CAST(sym_x1000 >= 20 AS INTEGER) AS is_code
               FROM sc ORDER BY doc_id""")
+    ),
+
+    // per-host politeness scheduling (r17): Crawl-delay parsing + fetch
+    // shaping — the step between the gated frontier and the fetcher
+    // fleet. Seven planted robots bodies exercise every parser clause
+    // (integer and decimal delays, max across applicable groups,
+    // agent-specific group ignored, unparsable value ignored, truncation
+    // past ms precision, comments); the oracle restates the expected
+    // per-host delay arithmetically and recomputes rank/wave/schedule in
+    // plain SQL — a parse defect, wrong group boundary, or off-by-one in
+    // the wave arithmetic shifts rows and breaks the hash.
+    "p_politeness" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val bodies = s.range(0, 7).map { hk =>
+          val body = hk.toInt match {
+            case 0 => "User-agent: *\r\nCrawl-delay: 2 # seconds\r\nDisallow: /private\r\n"
+            case 1 => "User-agent: *\nCrawl-delay: 0.5\n"
+            case 2 => "User-agent: *\nDisallow: /tmp\n" // no directive -> default
+            case 3 => "User-agent: *\nCrawl-delay: 1\n\n" +
+              "User-agent: otherbot\nUser-agent: *\nCrawl-delay: 3.25\n" // max wins
+            case 4 => "User-agent: specialbot\nCrawl-delay: 9\n" // not applicable
+            case 5 => "User-agent: *\nCrawl-delay: soon\n" // unparsable -> ignored
+            case _ => "User-agent: *\nCRAWL-DELAY: 1.2345\n" // truncates to ms
+          }
+          Robots.RobotsTxt(s"h$hk.example.org", body)
+        }
+        val delays = Robots.parseDelays(s, bodies).toDF()
+        val urls = t(s, dir, "documents").select(
+          col("doc_id"),
+          concat(lit("h"), k, lit(".example.org")).as("host"))
+        Robots.schedule(urls, delays, orderCol = "doc_id", burst = 4)
+          .select(col("doc_id"), col("host"), col("wave"),
+            col("scheduled_ms"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+                SELECT doc_id, 'h' || (doc_id % 7) || '.example.org' AS host,
+                  CASE doc_id % 7 WHEN 0 THEN 2000 WHEN 1 THEN 500
+                    WHEN 3 THEN 3250 WHEN 6 THEN 1234 ELSE 1000 END AS delay_ms,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id % 7
+                    ORDER BY doc_id) AS rn
+                FROM documents)
+              SELECT doc_id, host,
+                CAST((rn - 1) // 4 AS BIGINT) AS wave,
+                CAST(((rn - 1) // 4) * delay_ms AS BIGINT) AS scheduled_ms
+              FROM u ORDER BY doc_id""")
     )
   )
 }

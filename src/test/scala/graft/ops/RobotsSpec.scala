@@ -99,4 +99,58 @@ class RobotsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.columns.toSeq == Seq("doc_id", "host", "path", "payload", "allowed"))
     assert(out.where(col("allowed")).count() == 0)
   }
+
+  private def delays(host: String, body: String): Option[Long] = {
+    import spark.implicits._
+    Robots.parseDelays(spark, Seq(Robots.RobotsTxt(host, body)).toDS())
+      .collect().headOption.map(_.delay_ms)
+  }
+
+  test("crawl-delay: decimal seconds to exact ms, truncating past ms precision") {
+    assert(Robots.delayMsOf("2") == Some(2000L))
+    assert(Robots.delayMsOf("0.5") == Some(500L))
+    assert(Robots.delayMsOf("1.2345") == Some(1234L))
+    assert(Robots.delayMsOf("1.") == Some(1000L))
+    assert(Robots.delayMsOf("soon").isEmpty)
+    assert(Robots.delayMsOf("-1").isEmpty)
+    assert(Robots.delayMsOf("").isEmpty)
+  }
+
+  test("crawl-delay: star groups only, max across groups, comments/CRLF, unparsable ignored") {
+    assert(delays("a.com",
+      "User-agent: *\r\nCrawl-delay: 2 # be nice\r\n") == Some(2000L))
+    // two applicable groups -> the conservative maximum
+    assert(delays("a.com",
+      "User-agent: *\nCrawl-delay: 1\n\n" +
+        "User-agent: x\nUser-agent: *\nCrawl-delay: 3.25\n") == Some(3250L))
+    // agent-specific directive is not ours
+    assert(delays("a.com", "User-agent: specialbot\nCrawl-delay: 9\n").isEmpty)
+    // unparsable value contributes nothing
+    assert(delays("a.com", "User-agent: *\nCrawl-delay: soon\n").isEmpty)
+    // crawl-delay closes the agent header exactly like a rule line: the
+    // second user-agent starts a NEW group that does not include *
+    assert(delays("a.com",
+      "User-agent: *\nCrawl-delay: 1\nUser-agent: y\nCrawl-delay: 7\n")
+      == Some(1000L))
+  }
+
+  test("schedule: per-host waves, delay join, default for directive-less hosts") {
+    import spark.implicits._
+    val urls = ((1L to 9L).map(i => (i, "a.com")) ++ Seq((10L, "b.com")))
+      .toDF("doc_id", "host")
+    val d = Seq(Robots.HostDelay("a.com", 2000L)).toDS().toDF()
+    val out = Robots.schedule(urls, d, orderCol = "doc_id", burst = 4)
+      .select("doc_id", "wave", "scheduled_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // a.com: ranks 1..9 -> waves 0,0,0,0,1,1,1,1,2 at 2000 ms each
+    assert(out.take(9).map(_._2).toSeq == Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L, 2L))
+    assert(out.take(9).map(_._3).toSeq == Seq(0L, 0L, 0L, 0L, 2000L, 2000L, 2000L, 2000L, 4000L))
+    // b.com has no directive: default 1000 ms, single URL -> wave 0
+    assert(out.last == (10L, 0L, 0L))
+    // name-collision guard
+    val bad = urls.withColumn("wave", lit(1))
+    intercept[IllegalArgumentException] {
+      Robots.schedule(bad, d, orderCol = "doc_id", burst = 4)
+    }
+  }
 }

@@ -70,6 +70,23 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Long]("cyr") == 3L)
   }
 
+  test("the r17 embedding/quality kernels are callable from SQL") {
+    import spark.implicits._
+    val row = spark.sql(
+      """SELECT hash_embed('alpha beta gamma', 16) AS emb,
+                deflate_ratio(repeat('abcdefgh', 64)) AS dr_rep,
+                deflate_ratio('') AS dr_empty
+         FROM (SELECT 1)""").head()
+    val viaColumn = Seq("alpha beta gamma").toDF("t")
+      .select(graft.functions.HashEmbed(
+        org.apache.spark.sql.functions.col("t"), 16))
+      .as[Seq[Long]].head()
+    assert(row.getAs[scala.collection.Seq[Long]]("emb").toSeq == viaColumn,
+      "SQL and Column APIs must agree")
+    assert(row.getAs[Long]("dr_rep") < 150L, "repeated block must compress")
+    assert(row.getAs[Long]("dr_empty") == 1000L)
+  }
+
   test("global rank-family windows auto-route off the single-reducer plan") {
     import spark.implicits._
     // duplicate keys on purpose: rank/dense_rank tie semantics must survive
