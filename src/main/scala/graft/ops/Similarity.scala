@@ -77,19 +77,25 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val t = corpus.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"))
     val w = Window.partitionBy("q_id").orderBy(col("rel").desc, col("t_id"))
-    val short = t.join(broadcast(q), col("t_id") =!= col("q_id"))
+    // PIN the shortlist (Pins contract — consumer releases): it fans out to
+    // three plan branches (pair sides a/b + the self rows), and without the
+    // pin each branch re-derives the subtree — three corpus scans where the
+    // operator's whole point is that only stage 1 ever touches the corpus
+    val short = Pins.pin(t.join(broadcast(q), col("t_id") =!= col("q_id"))
       .withColumn("rel",
         round(cosine(col("q_emb"), col("t_emb")) * 10000).cast("long"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= shortlist)
-      .select(col("q_id"), col("t_id"), col("rel"), col("t_emb"))
+      .select(col("q_id"), col("t_id"), col("rel"), col("t_emb")))
     val a = short.select(col("q_id"), col("t_id").as("a_id"),
       col("rel").as("a_rel"), col("t_emb").as("a_emb"))
     val b = short.select(col("q_id"), col("t_id").as("b_id"),
       col("t_emb").as("b_emb"))
     // self rows carry relevance for single-candidate shortlists (no pair
-    // rows exist there); the greedy stage never looks up a self similarity
-    val pairs = a.join(b, Seq("q_id")).where(col("a_id") =!= col("b_id"))
+    // rows exist there); the greedy stage never looks up a self similarity.
+    // b is explicitly broadcast: it is ≤ queries × shortlist rows by
+    // construction, but the pinned RDD carries no stats for the planner
+    val pairs = a.join(broadcast(b), Seq("q_id")).where(col("a_id") =!= col("b_id"))
       .withColumn("ps",
         round(cosine(col("a_emb"), col("b_emb")) * 10000).cast("long"))
       .select(col("q_id"), col("a_id"), col("a_rel"), col("b_id"), col("ps"))

@@ -249,9 +249,10 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val brute = Similarity.bruteTopK(corpus, d.where(col("vec_id") === 100L), k = 2)
       .collect().map(_.getLong(1)).toSet
     assert(brute.subsetOf(Set(1L, 2L, 3L)), s"plain top-2 was $brute")
-    val mmr = Similarity.mmrTopK(corpus, d.where(col("vec_id") === 100L),
+    val mmr = try Similarity.mmrTopK(corpus, d.where(col("vec_id") === 100L),
         k = 2, shortlist = 5)
       .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+      finally Pins.releaseAll()
     assert(Set(1L, 2L, 3L).contains(mmr.head), s"seed must be most relevant: $mmr")
     assert(Set(4L, 5L).contains(mmr(1)), s"second pick must leave the cluster: $mmr")
   }
@@ -265,9 +266,10 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, Seq(0f, 1f, 0f, 0f)), (4L, Seq(0f, 0f, 1f, 0f)),
       (5L, Seq(0f, 0f, 0f, 1f)))
     val corpus = d.where(col("vec_id") =!= 50L)
-    val got = Similarity.mmrTopK(corpus, d.where(col("vec_id") === 50L),
+    val got = try Similarity.mmrTopK(corpus, d.where(col("vec_id") === 50L),
         k = 4, shortlist = 5)
       .orderBy("mmr_rank").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      finally Pins.releaseAll()
     // rel(1..4) = round(cos * 1e4) = 5774 for dims present in the query,
     // rel(5) = 0. Seed: id 1 (tie with 2,3,4 on rel -> smallest id).
     // Round 2: candidates 2 (rel 5774, maxsim 10000 -> score 500*5774-500*10000 < 0),
@@ -279,9 +281,10 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("mmrTopK handles a single-candidate shortlist and k > candidates") {
     val d = emb((10L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)))
-    val got = Similarity.mmrTopK(d.where(col("vec_id") === 1L),
+    val got = try Similarity.mmrTopK(d.where(col("vec_id") === 1L),
         d.where(col("vec_id") === 10L), k = 3, shortlist = 4)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      finally Pins.releaseAll()
     assert(got == Seq((1L, 1L)), s"got $got")
   }
 }
