@@ -153,6 +153,48 @@ object Robots {
       .withColumn("scheduled_ms", col("wave") * col("delay_ms"))
   }
 
+  /** One frontier URL with its host's delay resolved — [[scheduleStream]]'s
+    * group-input row. */
+  final case class UrlAt(host: String, ord: Long, delay_ms: Long)
+
+  /** Per-host cumulative fetch count — [[scheduleStream]]'s keyed state. */
+  final case class HostCount(n: Long)
+
+  /** STREAMING face of [[schedule]] (r17): a continuously-discovered
+    * frontier gets per-host fetch waves that CONTINUE across micro-batches
+    * — the per-host queue position is keyed `flatMapGroupsWithState` state
+    * (one Long per host ever seen), so batch boundaries never reset the
+    * politeness clock. The delay side joins STREAM-STATIC before grouping
+    * (stateless, any host count — nothing driver-resident), rows order by
+    * `orderCol` within a batch's host group (the discovery order
+    * [[schedule]] ranks by), and replay is exact by Structured Streaming's
+    * own state versioning. Emits (host, ord, wave, scheduled_ms); callers
+    * join back on (host, ord) for their payload columns. */
+  def scheduleStream(urls: DataFrame, delays: DataFrame, orderCol: String,
+      burst: Int, defaultDelayMs: Long = 1000L): DataFrame = {
+    require(burst >= 1, s"burst must be >= 1, got $burst")
+    val spark = urls.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    urls.select(col("host"), col(orderCol).cast("long").as("ord"))
+      .join(delays, Seq("host"), "left_outer")
+      .withColumn("delay_ms", coalesce(col("delay_ms"), lit(defaultDelayMs)))
+      .select("host", "ord", "delay_ms").as[UrlAt]
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[HostCount, (String, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (host, it, state) =>
+          val rows = it.toArray.sortBy(_.ord)
+          val start = if (state.exists) state.get.n else 0L
+          state.update(HostCount(start + rows.length))
+          rows.iterator.zipWithIndex.map { case (u, i) =>
+            val wave = (start + i) / burst
+            (host, u.ord, wave, wave * u.delay_ms)
+          }
+      }
+      .toDF("host", "ord", "wave", "scheduled_ms")
+  }
+
   /** URLs (any frame with `host` and `path` columns) → the same frame
     * plus a boolean `allowed`. One join on host, one bounded groupBy
     * (groups = URL × matching rules, bounded by a host's rule count).

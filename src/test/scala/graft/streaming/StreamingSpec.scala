@@ -906,4 +906,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(now == bytes, s"replayed shard $f must be byte-identical")
     }
   }
+
+  test("politeness schedule stream: per-host waves continue across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val urls = src.toDF().toDF("ord", "host")
+    val delays = Seq(("a.com", 2000L)).toDF("host", "delay_ms")
+    val out = graft.ops.Robots.scheduleStream(urls, delays,
+      orderCol = "ord", burst = 4)
+    val q = out.writeStream
+      .format("memory").queryName("politeness_out")
+      .option("checkpointLocation", tmp())
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: five a.com URLs (out of discovery order on purpose) + one
+      // directive-less b.com URL
+      src.addData((2L, "a.com"), (0L, "a.com"), (1L, "a.com"),
+        (3L, "a.com"), (4L, "a.com"), (0L, "b.com"))
+      q.processAllAvailable()
+      // batch 2: three MORE a.com URLs — waves must continue from rank 5,
+      // not restart at 0 (the politeness clock spans batches)
+      src.addData((5L, "a.com"), (6L, "a.com"), (7L, "a.com"))
+      q.processAllAvailable()
+      val got = spark.table("politeness_out")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+      val aCom = got.filter(_._1 == "a.com")
+      // ranks 0..7 at burst 4 -> waves 0,0,0,0,1,1,1,1; 2000 ms per wave
+      assert(aCom.map(_._2).toSeq == (0L to 7L), s"got $got")
+      assert(aCom.map(_._3).toSeq == Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L), s"got $got")
+      assert(aCom.map(_._4).toSeq == Seq(0L, 0L, 0L, 0L, 2000L, 2000L, 2000L, 2000L))
+      // b.com: no directive -> default 1000 ms, single URL -> wave 0
+      assert(got.filter(_._1 == "b.com").toSeq == Seq(("b.com", 0L, 0L, 0L)))
+    } finally q.stop()
+  }
 }
