@@ -579,16 +579,29 @@ object Dedup {
     * any pair within distance shares at least one exact block. Equality join
     * on (blockIdx, blockValue), then exact bit_count verify. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    hammingPairs(
+      parallelize(df.select(col(idCol).as("id"), col(textCol).as("text")))
+        .select(col("id"), simhash(col("text")).as("h")),
+      maxDist)
+
+  /** Generic 64-bit Hamming near-dup pairs (r17): the pigeonhole block
+    * join on ANY 64-bit fingerprint — extracted from [[simhashPairs]] so
+    * perceptual image hashes ([[graft.ops.Multimodal.dhashImages]]) ride
+    * the same machinery. `withH` must carry `id` (long, unique) and `h`
+    * (the 64-bit fingerprint); emits (id_a, id_b, hamming) with
+    * id_a < id_b and hamming <= maxDist. Pigeonhole completeness: the
+    * hash splits into maxDist+1 blocks, so any pair within distance
+    * shares at least one exact block; equality join on (blockIdx, value),
+    * then exact bit_count verify — never all-pairs. */
+  def hammingPairs(withH: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 1 && maxDist <= 63,
       s"maxDist must be in [1, 63], got $maxDist") // 0 wraps the block mask
     val nBlocks = maxDist + 1
     val bits = 64 / nBlocks
-    val withH = parallelize(df.select(col(idCol).as("id"), col(textCol).as("text")))
-      .select(col("id"), simhash(col("text")).as("h"))
     // explode a constant sequence and derive the block value ABOVE the
-    // Generate: the simhash is then evaluated once per input row, not once
-    // per block (same Catalyst-inlining trap as in minhashLshPairs)
+    // Generate: the fingerprint is then evaluated once per input row, not
+    // once per block (same Catalyst-inlining trap as in minhashLshPairs)
     val blocked = withH
       .select(col("id"), col("h"),
         explode(sequence(lit(0), lit(nBlocks - 1))).as("bi"))

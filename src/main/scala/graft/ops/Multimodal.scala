@@ -164,6 +164,108 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic per-pixel PATTERN image — the generator twin for the
+    * perceptual-hash oracles ([[dhashImages]]): every pixel derives from
+    * arithmetic the oracle can restate, so the PNG encode → decode → pool
+    * → compare chain is hash-gated end to end. Gray value:
+    * `(seed*31 + x*(7 + seed%5) + y*13 + bump?) % 256`, where the bump
+    * adds `bump` on pixels with `x >= bumpMinX && y < bumpMaxY` (a planted
+    * localized perturbation — a near-duplicate at a provably bounded
+    * Hamming distance). The per-seed x-slope (`7 + seed%5`) matters:
+    * a seed-independent slope would make adjacent-pixel COMPARISONS —
+    * exactly what dHash measures — identical across all seeds. */
+  def encodePatternImage(width: Int, height: Int, seed: Long,
+      bump: Int = 0, bumpMinX: Int = Int.MaxValue, bumpMaxY: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val slope = 7L + seed % 5L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val lin = seed * 31L + x * slope + y * 13L +
+          (if (x >= bumpMinX && y < bumpMaxY) bump.toLong else 0L)
+        val g = (lin % 256L).toInt
+        img.setRGB(x, y, g * 0x010101)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = cachedWriter("png")
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try { w.setOutput(ios); w.write(img) } finally { ios.close() }
+    bos.toByteArray
+  }
+
+  final case class DhashRow(doc_id: Long, dhash: Long)
+
+  /** Perceptual dHash (r17) — the difference hash the image-dedup family
+    * keys on: decode (REAL ImageIO), average-pool the red channel to a
+    * 9×8 grid in exact integer arithmetic (requires width % 9 == 0 and
+    * height % 8 == 0 so pooling is a whole-pixel floor mean — loud
+    * refusal otherwise; production images hit a resize first), then one
+    * bit per adjacent-pool comparison (`pool(r,c) < pool(r,c+1)`), packed
+    * row-major MSB-first (bit for (r,c) sits at 63 − (r*8+c)). Gradients
+    * and re-encodes survive (comparisons, not values); per-partition
+    * decode, shuffle-free. Pairing rides [[graft.ops.Dedup.hammingPairs]]
+    * — the same pigeonhole block join SimHash uses. */
+  def dhashImages(spark: SparkSession, rows: Dataset[ImageRow],
+      fanOut: Int = 0): Dataset[DhashRow] = {
+    import spark.implicits._
+    fanned(rows, fanOut).mapPartitions { it =>
+      it.map { r =>
+        val reader = cachedReader(r.format)
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        reader.setInput(iis)
+        val img =
+          try reader.read(0)
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"undecodable ${r.format} payload for doc ${r.doc_id}", e)
+          } finally iis.close()
+        val (w, h) = (img.getWidth, img.getHeight)
+        require(w % 9 == 0 && h % 8 == 0,
+          s"dhash needs width % 9 == 0 and height % 8 == 0 for exact " +
+            s"pooling, got ${w}x$h for doc ${r.doc_id}")
+        val bw = w / 9
+        val bh = h / 8
+        val pool = Array.ofDim[Long](8, 9)
+        var pr = 0
+        while (pr < 8) {
+          var pc = 0
+          while (pc < 9) {
+            var sum = 0L
+            var dy = 0
+            while (dy < bh) {
+              var dx = 0
+              while (dx < bw) {
+                sum += (img.getRGB(pc * bw + dx, pr * bh + dy) >> 16) & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            pool(pr)(pc) = sum / (bw.toLong * bh)
+            pc += 1
+          }
+          pr += 1
+        }
+        var hash = 0L
+        pr = 0
+        while (pr < 8) {
+          var pc = 0
+          while (pc < 8) {
+            hash = (hash << 1) | (if (pool(pr)(pc) < pool(pr)(pc + 1)) 1L else 0L)
+            pc += 1
+          }
+          pr += 1
+        }
+        DhashRow(r.doc_id, hash)
+      }
+    }
+  }
+
   final case class ImageRow(doc_id: Long, media: Array[Byte], format: String)
   /** `mean_gray` = rounded mean of the red channel over every pixel; −1
     * for formats whose lossy quantization makes it non-derivable (JPEG —

@@ -624,6 +624,57 @@ object DedupOps {
                 FROM s)
               SELECT doc_id, prio, CAST(n_copies AS BIGINT) AS n_copies
               FROM r WHERE rk = 1 ORDER BY doc_id""")
+    ),
+
+    // perceptual IMAGE near-dup (r17): dHash over REAL PNG round trips +
+    // the generic Hamming pigeonhole pair join. The corpus is 100 base
+    // pattern images plus one planted perturbed twin each (a localized
+    // bump touching only pool column 8, rows 0-1 — so at most bits 7 and
+    // 15 can differ: provably within the distance-3 gate). Every pixel is
+    // ARITHMETIC (Multimodal.encodePatternImage's documented formula), so
+    // the oracle recomputes both hashes and ALL pairwise distances from
+    // the formula alone — encode, decode, pooling, bit packing, blocking,
+    // and the exact verify all sit inside the hash.
+    "d_image_neardup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.t(s, dir, "documents")
+          .where(col("doc_id") < 100).select("doc_id").as[Long]
+        val rows = ids.flatMap { id => Iterator(
+          graft.ops.Multimodal.ImageRow(id,
+            graft.ops.Multimodal.encodePatternImage(18, 16, id), "png"),
+          graft.ops.Multimodal.ImageRow(id + 100000L,
+            graft.ops.Multimodal.encodePatternImage(18, 16, id,
+              bump = 96, bumpMinX = 16, bumpMaxY = 4), "png")) }
+        val h = graft.ops.Multimodal.dhashImages(s, rows).toDF()
+          .select(col("doc_id").as("id"), col("dhash").as("h"))
+        Dedup.hammingPairs(h, maxDist = 3).orderBy("id_a", "id_b")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+              img AS (SELECT doc_id AS id, doc_id AS seed, 0 AS bump FROM d
+                      UNION ALL
+                      SELECT doc_id + 100000, doc_id, 96 FROM d),
+              g AS (SELECT id, r.r AS r, c.c AS c,
+                      (( (seed*31 + (2*c.c)*(7 + seed % 5) + (2*r.r)*13
+                          + CASE WHEN 2*c.c >= 16 AND 2*r.r < 4 THEN bump ELSE 0 END) % 256)
+                     + ( (seed*31 + (2*c.c+1)*(7 + seed % 5) + (2*r.r)*13
+                          + CASE WHEN 2*c.c+1 >= 16 AND 2*r.r < 4 THEN bump ELSE 0 END) % 256)
+                     + ( (seed*31 + (2*c.c)*(7 + seed % 5) + (2*r.r+1)*13
+                          + CASE WHEN 2*c.c >= 16 AND 2*r.r+1 < 4 THEN bump ELSE 0 END) % 256)
+                     + ( (seed*31 + (2*c.c+1)*(7 + seed % 5) + (2*r.r+1)*13
+                          + CASE WHEN 2*c.c+1 >= 16 AND 2*r.r+1 < 4 THEN bump ELSE 0 END) % 256)
+                      ) // 4 AS pool
+                    FROM img, generate_series(0,7) r(r), generate_series(0,8) c(c)),
+              bits AS (SELECT a.id, a.r*8 + a.c AS idx,
+                         CASE WHEN a.pool < b.pool THEN 1 ELSE 0 END AS bit
+                       FROM g a JOIN g b ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
+                       WHERE a.c < 8),
+              pairs AS (SELECT x.id AS id_a, y.id AS id_b,
+                          SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS dist
+                        FROM bits x JOIN bits y ON y.idx = x.idx AND x.id < y.id
+                        GROUP BY x.id, y.id)
+              SELECT id_a, id_b, CAST(dist AS BIGINT) AS hamming
+              FROM pairs WHERE dist <= 3 ORDER BY id_a, id_b""")
     )
   )
 }

@@ -1646,6 +1646,42 @@ object TextOps {
       },
       Some("""SELECT doc_id, (doc_id % 3 = 0) AS compressible
               FROM documents ORDER BY doc_id""")
+    ),
+
+    // perceptual dHash over a REAL PNG round trip (r17): every pixel of
+    // the generated image is arithmetic (encodePatternImage's documented
+    // formula), so the oracle recomputes the 9x8 integer pooling and all
+    // 64 adjacent-pool comparison bits from the formula alone — a defect
+    // anywhere in PNG encode, ImageIO decode, pooling, the comparison
+    // convention, or bit packing flips bits and breaks the hash. Emitted
+    // bit-exploded (idx = r*8+c, bit at packed position 63-idx).
+    "m_image_dhash" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents").select("doc_id").as[Long]
+          .map(id => Multimodal.ImageRow(id,
+            Multimodal.encodePatternImage(18, 16, id), "png"))
+        Multimodal.dhashImages(s, rows).toDF()
+          .select(col("doc_id"), col("dhash"),
+            explode(sequence(lit(0), lit(63))).as("idx"))
+          .select(col("doc_id"), col("idx").cast("long").as("idx"),
+            call_function("shiftright", col("dhash"), lit(63) - col("idx"))
+              .bitwiseAND(lit(1L)).as("bit"))
+          .orderBy("doc_id", "idx")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+              g AS (SELECT doc_id, r.r AS r, c.c AS c,
+                      (( (doc_id*31 + (2*c.c)*(7 + doc_id % 5) + (2*r.r)*13) % 256)
+                     + ( (doc_id*31 + (2*c.c+1)*(7 + doc_id % 5) + (2*r.r)*13) % 256)
+                     + ( (doc_id*31 + (2*c.c)*(7 + doc_id % 5) + (2*r.r+1)*13) % 256)
+                     + ( (doc_id*31 + (2*c.c+1)*(7 + doc_id % 5) + (2*r.r+1)*13) % 256)
+                      ) // 4 AS pool
+                    FROM d, generate_series(0,7) r(r), generate_series(0,8) c(c))
+              SELECT a.doc_id, CAST(a.r*8 + a.c AS BIGINT) AS idx,
+                CAST(CASE WHEN a.pool < b.pool THEN 1 ELSE 0 END AS BIGINT) AS bit
+              FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+              WHERE a.c < 8
+              ORDER BY a.doc_id, idx""")
     )
   )
 }

@@ -119,6 +119,65 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("88") || e.getCause.getMessage.contains("88"))
   }
 
+  /** Independent dHash restatement from encodePatternImage's documented
+    * pixel formula — no image, no codec, pure arithmetic. */
+  private def dhashFromFormula(seed: Long, bump: Long, bumpMinX: Int,
+      bumpMaxY: Int): Long = {
+    def gray(x: Int, y: Int): Long = {
+      val b = if (x >= bumpMinX && y < bumpMaxY) bump else 0L
+      (seed * 31L + x * (7L + seed % 5L) + y * 13L + b) % 256L
+    }
+    def pool(r: Int, c: Int): Long =
+      (gray(2 * c, 2 * r) + gray(2 * c + 1, 2 * r) +
+        gray(2 * c, 2 * r + 1) + gray(2 * c + 1, 2 * r + 1)) / 4L
+    var h = 0L
+    for (r <- 0 until 8; c <- 0 until 8)
+      h = (h << 1) | (if (pool(r, c) < pool(r, c + 1)) 1L else 0L)
+    h
+  }
+
+  test("dhash: PNG round trip reproduces the pure-arithmetic hash for many seeds") {
+    import spark.implicits._
+    val seeds = Seq(0L, 1L, 2L, 3L, 4L, 17L, 123L, 4999L)
+    val rows = seeds.map(s => Multimodal.ImageRow(s,
+      Multimodal.encodePatternImage(18, 16, s), "png")).toDS()
+    val got = Multimodal.dhashImages(spark, rows)
+      .collect().map(r => r.doc_id -> r.dhash).toMap
+    seeds.foreach { s =>
+      assert(got(s) == dhashFromFormula(s, 0L, Int.MaxValue, 0), s"seed=$s")
+    }
+  }
+
+  test("dhash: the planted bump can only touch bits 7 and 15 (pool column 8, rows 0-1)") {
+    import spark.implicits._
+    val seeds = Seq(0L, 7L, 42L, 99L)
+    val rows = seeds.flatMap(s => Seq(
+      Multimodal.ImageRow(s, Multimodal.encodePatternImage(18, 16, s), "png"),
+      Multimodal.ImageRow(s + 1000L,
+        Multimodal.encodePatternImage(18, 16, s, bump = 96,
+          bumpMinX = 16, bumpMaxY = 4), "png"))).toDS()
+    val got = Multimodal.dhashImages(spark, rows)
+      .collect().map(r => r.doc_id -> r.dhash).toMap
+    seeds.foreach { s =>
+      val diff = got(s) ^ got(s + 1000L)
+      val allowed = (1L << (63 - 7)) | (1L << (63 - 15))
+      assert((diff & ~allowed) == 0L,
+        s"seed=$s: bump flipped bits outside column 7: ${diff.toBinaryString}")
+      assert(got(s + 1000L) ==
+        dhashFromFormula(s, 96L, 16, 4), s"twin formula parity, seed=$s")
+    }
+  }
+
+  test("dhash refuses non-poolable dimensions loudly, naming the doc") {
+    import spark.implicits._
+    val rows = Seq(Multimodal.ImageRow(7L,
+      Multimodal.encodePatternImage(17, 16, 7L), "png")).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.dhashImages(spark, rows).collect()
+    }
+    assert(e.getCause.getMessage.contains("doc 7"))
+  }
+
   test("poolFeatures: average-pooled buckets match hand computation") {
     import spark.implicits._
     val v = (1 to 8).map(_.toFloat) // pool 8 -> 2: (1+2+3+4)/4=2.5, (5+6+7+8)/4=6.5
