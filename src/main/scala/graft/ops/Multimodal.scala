@@ -702,6 +702,85 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic PATTERN audio — the generator twin for the acoustic-
+    * fingerprint oracles ([[ahashAudio]]): mono 16-bit PCM whose every
+    * sample derives from arithmetic the oracle can restate:
+    * `s(i) = ((seed*37 + i*(11 + seed%7)) % 2048) − 1024`, plus `bump`
+    * on frames `i >= bumpMinFrame` (a planted localized perturbation).
+    * The per-seed slope varies the sawtooth period per document. */
+  def encodePatternWav(sampleRate: Int, nFrames: Int, seed: Long,
+      bump: Int = 0, bumpMinFrame: Int = Int.MaxValue): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val slope = 11L + seed % 7L
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = ((seed * 37L + i * slope) % 2048L - 1024L +
+        (if (i >= bumpMinFrame) bump.toLong else 0L)).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Acoustic difference hash (r17) — the audio member of the perceptual-
+    * dedup family ([[dhashImages]] is the image member): REAL WAVE decode,
+    * the mono 16-bit PCM body split into 65 equal windows (requires
+    * `nFrames % 65 == 0` — loud refusal; production audio hits a resample
+    * first), per-window energy = Σ|sample| in exact integer arithmetic,
+    * one bit per adjacent-window comparison (`energy(w) < energy(w+1)`),
+    * packed row-major MSB-first. Energy COMPARISONS survive constant gain
+    * and re-encodes the way dHash survives brightness; pairing rides
+    * [[graft.ops.Dedup.hammingPairs]]. Per-partition decode, shuffle-free. */
+  def ahashAudio(spark: SparkSession, rows: Dataset[MediaBytesRow],
+      fanOut: Int = 0): Dataset[DhashRow] = {
+    import spark.implicits._
+    fanned(rows, fanOut).mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val f = ais.getFormat
+        require(f.getChannels == 1 && f.getSampleSizeInBits == 16,
+          s"acoustic hash needs mono 16-bit PCM, got ${f.getChannels}ch/" +
+            s"${f.getSampleSizeInBits}bit for doc ${r.doc_id}")
+        val body = ais.readAllBytes()
+        val nFrames = body.length / 2
+        require(nFrames % 65 == 0,
+          s"acoustic hash needs frame count % 65 == 0 for exact windowing," +
+            s" got $nFrames for doc ${r.doc_id}")
+        val win = nFrames / 65
+        val energy = new Array[Long](65)
+        var w = 0
+        while (w < 65) {
+          var sum = 0L
+          var i = 0
+          while (i < win) {
+            val off = 2 * (w * win + i)
+            val s = ((body(off) & 0xff) | (body(off + 1) << 8)).toShort
+            sum += math.abs(s.toLong)
+            i += 1
+          }
+          energy(w) = sum
+          w += 1
+        }
+        var hash = 0L
+        w = 0
+        while (w < 64) {
+          hash = (hash << 1) | (if (energy(w) < energy(w + 1)) 1L else 0L)
+          w += 1
+        }
+        DhashRow(r.doc_id, hash)
+      }
+    }
+  }
+
   final case class MediaBytesRow(doc_id: Long, media: Array[Byte])
   final case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
       n_frames: Long, duration_us: Long, peak: Long)

@@ -675,6 +675,52 @@ object DedupOps {
                         GROUP BY x.id, y.id)
               SELECT id_a, id_b, CAST(dist AS BIGINT) AS hamming
               FROM pairs WHERE dist <= 3 ORDER BY id_a, id_b""")
+    ),
+
+    // acoustic near-dup (r17): the audio member of the perceptual-dedup
+    // family — 100 base pattern WAVEs plus a planted perturbed twin each
+    // (a gain bump confined to the LAST energy window, so only bit 63 can
+    // differ: provably within the distance-3 gate). The oracle recomputes
+    // every fingerprint and ALL pairwise distances from the PCM formula,
+    // so decode, windowing, bit packing, the pigeonhole blocking, and the
+    // exact verify are exhaustively gated — same construction as
+    // d_image_neardup, same generic hammingPairs machinery.
+    "d_audio_neardup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.t(s, dir, "documents")
+          .where(col("doc_id") < 100).select("doc_id").as[Long]
+        val rows = ids.flatMap { id => Iterator(
+          graft.ops.Multimodal.MediaBytesRow(id,
+            graft.ops.Multimodal.encodePatternWav(8000, 520, id)),
+          graft.ops.Multimodal.MediaBytesRow(id + 100000L,
+            graft.ops.Multimodal.encodePatternWav(8000, 520, id,
+              bump = 400, bumpMinFrame = 512))) }
+        val h = graft.ops.Multimodal.ahashAudio(s, rows).toDF()
+          .select(col("doc_id").as("id"), col("dhash").as("h"))
+        Dedup.hammingPairs(h, maxDist = 3).orderBy("id_a", "id_b")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+              snd AS (SELECT doc_id AS id, doc_id AS seed, 0 AS bump FROM d
+                      UNION ALL
+                      SELECT doc_id + 100000, doc_id, 400 FROM d),
+              e AS (SELECT id, w.w AS w,
+                      SUM(ABS((seed*37 + (w.w*8 + j.j)*(11 + seed % 7))
+                              % 2048 - 1024
+                              + CASE WHEN w.w*8 + j.j >= 512 THEN bump
+                                     ELSE 0 END)) AS energy
+                    FROM snd, generate_series(0,64) w(w), generate_series(0,7) j(j)
+                    GROUP BY id, w.w),
+              bits AS (SELECT a.id, a.w AS idx,
+                         CASE WHEN a.energy < b.energy THEN 1 ELSE 0 END AS bit
+                       FROM e a JOIN e b ON b.id = a.id AND b.w = a.w + 1
+                       WHERE a.w < 64),
+              pairs AS (SELECT x.id AS id_a, y.id AS id_b,
+                          SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS dist
+                        FROM bits x JOIN bits y ON y.idx = x.idx AND x.id < y.id
+                        GROUP BY x.id, y.id)
+              SELECT id_a, id_b, CAST(dist AS BIGINT) AS hamming
+              FROM pairs WHERE dist <= 3 ORDER BY id_a, id_b""")
     )
   )
 }

@@ -1682,6 +1682,41 @@ object TextOps {
               FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
               WHERE a.c < 8
               ORDER BY a.doc_id, idx""")
+    ),
+
+    // acoustic difference hash over a REAL WAVE round trip (r17): the
+    // audio member of the perceptual-dedup family. Every PCM sample of
+    // the generated file is arithmetic (encodePatternWav's documented
+    // formula), so the oracle recomputes the 65 window energies and all
+    // 64 adjacent-window comparison bits from the formula alone — a
+    // defect in WAVE encode, javax.sound decode, sample sign handling,
+    // windowing, or bit packing breaks the hash.
+    "m_audio_ahash" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents").where(col("doc_id") < 1000)
+          .select("doc_id").as[Long]
+          .map(id => Multimodal.MediaBytesRow(id,
+            Multimodal.encodePatternWav(8000, 520, id)))
+        Multimodal.ahashAudio(s, rows).toDF()
+          .select(col("doc_id"), col("dhash"),
+            explode(sequence(lit(0), lit(63))).as("idx"))
+          .select(col("doc_id"), col("idx").cast("long").as("idx"),
+            call_function("shiftright", col("dhash"), lit(63) - col("idx"))
+              .bitwiseAND(lit(1L)).as("bit"))
+          .orderBy("doc_id", "idx")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 1000),
+              e AS (SELECT doc_id, w.w AS w,
+                      SUM(ABS((doc_id*37 + (w.w*8 + j.j)*(11 + doc_id % 7))
+                              % 2048 - 1024)) AS energy
+                    FROM d, generate_series(0,64) w(w), generate_series(0,7) j(j)
+                    GROUP BY doc_id, w.w)
+              SELECT a.doc_id, CAST(a.w AS BIGINT) AS idx,
+                CAST(CASE WHEN a.energy < b.energy THEN 1 ELSE 0 END AS BIGINT) AS bit
+              FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+              WHERE a.w < 64
+              ORDER BY a.doc_id, idx""")
     )
   )
 }

@@ -178,6 +178,49 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getCause.getMessage.contains("doc 7"))
   }
 
+  test("acoustic hash: WAVE round trip reproduces the pure-arithmetic hash; bump touches only bit 63") {
+    import spark.implicits._
+    def fromFormula(seed: Long, bump: Long, bumpMin: Int): Long = {
+      def s(i: Int): Long =
+        (seed * 37L + i * (11L + seed % 7L)) % 2048L - 1024L +
+          (if (i >= bumpMin) bump else 0L)
+      def energy(w: Int): Long =
+        (0 until 8).map(j => math.abs(s(w * 8 + j))).sum
+      (0 until 64).foldLeft(0L)((h, w) =>
+        (h << 1) | (if (energy(w) < energy(w + 1)) 1L else 0L))
+    }
+    val seeds = Seq(0L, 1L, 6L, 7L, 123L, 4999L)
+    val rows = seeds.flatMap(s => Seq(
+      Multimodal.MediaBytesRow(s, Multimodal.encodePatternWav(8000, 520, s)),
+      Multimodal.MediaBytesRow(s + 1000L,
+        Multimodal.encodePatternWav(8000, 520, s, bump = 400,
+          bumpMinFrame = 512)))).toDS()
+    val got = Multimodal.ahashAudio(spark, rows)
+      .collect().map(r => r.doc_id -> r.dhash).toMap
+    seeds.foreach { s =>
+      assert(got(s) == fromFormula(s, 0L, Int.MaxValue), s"seed=$s")
+      assert(got(s + 1000L) == fromFormula(s, 400L, 512), s"twin seed=$s")
+      assert(((got(s) ^ got(s + 1000L)) & ~1L) == 0L,
+        s"seed=$s: bump leaked past bit 63")
+    }
+  }
+
+  test("acoustic hash refuses non-windowable or non-mono input loudly") {
+    import spark.implicits._
+    val badFrames = Seq(Multimodal.MediaBytesRow(9L,
+      Multimodal.encodePatternWav(8000, 519, 9L))).toDS()
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Multimodal.ahashAudio(spark, badFrames).collect()
+    }
+    assert(e1.getCause.getMessage.contains("doc 9"))
+    val stereo = Seq(Multimodal.MediaBytesRow(11L,
+      Multimodal.encodeWav(8000, 2, 520, 100))).toDS()
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.ahashAudio(spark, stereo).collect()
+    }
+    assert(e2.getCause.getMessage.contains("doc 11"))
+  }
+
   test("poolFeatures: average-pooled buckets match hand computation") {
     import spark.implicits._
     val v = (1 to 8).map(_.toFloat) // pool 8 -> 2: (1+2+3+4)/4=2.5, (5+6+7+8)/4=6.5
