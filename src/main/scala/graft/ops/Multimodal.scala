@@ -431,6 +431,84 @@ object Multimodal {
     }
   }
 
+  /** Temporal difference hash (r17) — the VIDEO member of the perceptual-
+    * dedup family ([[dhashImages]] spatial, [[ahashAudio]] acoustic):
+    * demux the MJPEG-AVI `movi` list (the same honest chunk walk as
+    * [[sampleAviFrames]]), decode EVERY frame through the JDK JPEG codec,
+    * take each frame's mean red level (exact integer floor), and emit one
+    * bit per adjacent-FRAME mean comparison — the scene-progression
+    * signature that survives constant brightness shifts and re-encodes.
+    * Requires exactly 65 frames (loud refusal; production video hits a
+    * frame sampler first). On [[encodeAviMjpeg]] pattern videos whose
+    * inter-frame gray deltas are ≥ 37 levels, JPEG's flat-field
+    * reconstruction error (a few levels of DC quantization + color
+    * rounding) can never flip a comparison, so the bits equal the frame-
+    * formula comparisons the oracle restates. Per-partition decode,
+    * shuffle-free; pairing rides [[graft.ops.Dedup.hammingPairs]]. */
+  def thashVideo(spark: SparkSession, rows: Dataset[MediaBytesRow],
+      fanOut: Int = 0): Dataset[DhashRow] = {
+    import spark.implicits._
+    fanned(rows, fanOut).mapPartitions { it =>
+      val jpegReader = cachedReader("jpeg")
+      it.map { r =>
+        val b = r.media
+        def u32(off: Int): Int =
+          (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+            ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+        def cc(off: Int): String = new String(b, off, 4, "US-ASCII")
+        require(cc(0) == "RIFF" && cc(8) == "AVI ",
+          s"doc ${r.doc_id}: not an AVI")
+        var off = 12
+        var movi = -1
+        var moviEnd = -1
+        while (movi < 0 && off + 8 <= b.length) {
+          val size = u32(off + 4)
+          if (cc(off) == "LIST" && cc(off + 8) == "movi") {
+            movi = off + 12; moviEnd = off + 8 + size
+          }
+          off += 8 + size + (size & 1)
+        }
+        require(movi >= 0, s"doc ${r.doc_id}: no movi list")
+        val means = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var p = movi
+        while (p + 8 <= moviEnd) {
+          val id = cc(p); val size = u32(p + 4)
+          if (id == "00dc") {
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(b, p + 8, size))
+            jpegReader.setInput(iis)
+            val img =
+              try jpegReader.read(0)
+              catch {
+                case e: Exception => throw new IllegalArgumentException(
+                  s"doc ${r.doc_id}: undecodable frame ${means.size}", e)
+              } finally iis.close()
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+              y += 1
+            }
+            means += sum / (w.toLong * h)
+          }
+          p += 8 + size + (size & 1)
+        }
+        require(means.size == 65,
+          s"temporal hash needs exactly 65 frames, got ${means.size} " +
+            s"for doc ${r.doc_id}")
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          hash = (hash << 1) | (if (means(i) < means(i + 1)) 1L else 0L)
+          i += 1
+        }
+        DhashRow(r.doc_id, hash)
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
   // REAL mp4 (ISO-BMFF) METADATA demux (r14): box walking needs NO codec —
   // duration, track dimensions, codec fourcc, and sample counts are pure

@@ -640,6 +640,7 @@ object DedupOps {
         import s.implicits._
         val ids = Tables.t(s, dir, "documents")
           .where(col("doc_id") < 100).select("doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
         val rows = ids.flatMap { id => Iterator(
           graft.ops.Multimodal.ImageRow(id,
             graft.ops.Multimodal.encodePatternImage(18, 16, id), "png"),
@@ -690,6 +691,7 @@ object DedupOps {
         import s.implicits._
         val ids = Tables.t(s, dir, "documents")
           .where(col("doc_id") < 100).select("doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
         val rows = ids.flatMap { id => Iterator(
           graft.ops.Multimodal.MediaBytesRow(id,
             graft.ops.Multimodal.encodePatternWav(8000, 520, id)),
@@ -715,6 +717,55 @@ object DedupOps {
                          CASE WHEN a.energy < b.energy THEN 1 ELSE 0 END AS bit
                        FROM e a JOIN e b ON b.id = a.id AND b.w = a.w + 1
                        WHERE a.w < 64),
+              pairs AS (SELECT x.id AS id_a, y.id AS id_b,
+                          SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS dist
+                        FROM bits x JOIN bits y ON y.idx = x.idx AND x.id < y.id
+                        GROUP BY x.id, y.id)
+              SELECT id_a, id_b, CAST(dist AS BIGINT) AS hamming
+              FROM pairs WHERE dist <= 3 ORDER BY id_a, id_b""")
+    ),
+
+    // temporal video near-dup (r17): completes the perceptual-dedup
+    // modality triple (image dHash, acoustic aHash, video tHash). 100
+    // base MJPEG-AVI videos plus a planted twin each whose LAST frame's
+    // gray is shifted — only the final adjacent-frame comparison (bit 63)
+    // can differ, provably within the distance-3 gate. The oracle
+    // recomputes every fingerprint and ALL pairwise distances from the
+    // per-frame gray formula (the >= 37-level margin makes JPEG error
+    // irrelevant to comparisons), gating the container walk, per-frame
+    // decode, blocking, and exact verify exhaustively.
+    "d_video_neardup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.t(s, dir, "documents")
+          .where(col("doc_id") < 100).select("doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+        val rows = ids.flatMap { id =>
+          def g(i: Int): Int = (((id * 13L + i * 37L) % 240L) + 8L).toInt
+          def gTwin(i: Int): Int =
+            if (i == 64) (((id * 13L + i * 37L + 120L) % 240L) + 8L).toInt
+            else g(i)
+          Iterator(
+            graft.ops.Multimodal.MediaBytesRow(id,
+              graft.ops.Multimodal.encodeAviMjpeg(8, 8, 65, g)),
+            graft.ops.Multimodal.MediaBytesRow(id + 100000L,
+              graft.ops.Multimodal.encodeAviMjpeg(8, 8, 65, gTwin))) }
+        val h = graft.ops.Multimodal.thashVideo(s, rows).toDF()
+          .select(col("doc_id").as("id"), col("dhash").as("h"))
+        Dedup.hammingPairs(h, maxDist = 3).orderBy("id_a", "id_b")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+              vid AS (SELECT doc_id AS id, doc_id AS seed, 0 AS bump FROM d
+                      UNION ALL
+                      SELECT doc_id + 100000, doc_id, 120 FROM d),
+              f AS (SELECT id, i.i AS i,
+                      (seed*13 + i.i*37
+                       + CASE WHEN i.i = 64 THEN bump ELSE 0 END) % 240 + 8 AS g
+                    FROM vid, generate_series(0,64) i(i)),
+              bits AS (SELECT a.id, a.i AS idx,
+                         CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+                       FROM f a JOIN f b ON b.id = a.id AND b.i = a.i + 1
+                       WHERE a.i < 64),
               pairs AS (SELECT x.id AS id_a, y.id AS id_b,
                           SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS dist
                         FROM bits x JOIN bits y ON y.idx = x.idx AND x.id < y.id

@@ -1659,6 +1659,7 @@ object TextOps {
       (s, dir) => {
         import s.implicits._
         val rows = t(s, dir, "documents").select("doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
           .map(id => Multimodal.ImageRow(id,
             Multimodal.encodePatternImage(18, 16, id), "png"))
         Multimodal.dhashImages(s, rows).toDF()
@@ -1696,6 +1697,7 @@ object TextOps {
         import s.implicits._
         val rows = t(s, dir, "documents").where(col("doc_id") < 1000)
           .select("doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
           .map(id => Multimodal.MediaBytesRow(id,
             Multimodal.encodePatternWav(8000, 520, id)))
         Multimodal.ahashAudio(s, rows).toDF()
@@ -1716,6 +1718,44 @@ object TextOps {
                 CAST(CASE WHEN a.energy < b.energy THEN 1 ELSE 0 END AS BIGINT) AS bit
               FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
               WHERE a.w < 64
+              ORDER BY a.doc_id, idx""")
+    ),
+
+    // temporal video hash over a REAL MJPEG-AVI round trip (r17): 65
+    // constant-gray JPEG frames whose grays follow a documented formula
+    // with >= 37-level inter-frame gaps — JPEG's flat-field error (a few
+    // DC-quantization levels) can never flip an adjacent-frame MEAN
+    // comparison, so the oracle restates every bit from the gray formula
+    // alone while Spark walks the real container and decodes every frame.
+    // A defect in the RIFF walk, JPEG decode, mean arithmetic, or bit
+    // packing breaks the hash.
+    "m_video_thash" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // 250 docs x 65 frames: the fixture's 16k JPEG encodes+decodes are
+        // the cost, not the hash; the bit-level gate is as strong at 250
+        val rows = t(s, dir, "documents").where(col("doc_id") < 250)
+          .select("doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .map(id => Multimodal.MediaBytesRow(id,
+            Multimodal.encodeAviMjpeg(8, 8, 65,
+              i => (((id * 13L + i * 37L) % 240L) + 8L).toInt)))
+        Multimodal.thashVideo(s, rows).toDF()
+          .select(col("doc_id"), col("dhash"),
+            explode(sequence(lit(0), lit(63))).as("idx"))
+          .select(col("doc_id"), col("idx").cast("long").as("idx"),
+            call_function("shiftright", col("dhash"), lit(63) - col("idx"))
+              .bitwiseAND(lit(1L)).as("bit"))
+          .orderBy("doc_id", "idx")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 250),
+              f AS (SELECT doc_id, i.i AS i,
+                      (doc_id*13 + i.i*37) % 240 + 8 AS g
+                    FROM d, generate_series(0,64) i(i))
+              SELECT a.doc_id, CAST(a.i AS BIGINT) AS idx,
+                CAST(CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS BIGINT) AS bit
+              FROM f a JOIN f b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+              WHERE a.i < 64
               ORDER BY a.doc_id, idx""")
     )
   )

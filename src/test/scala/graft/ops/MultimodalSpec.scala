@@ -221,6 +221,38 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getCause.getMessage.contains("doc 11"))
   }
 
+  test("temporal video hash: MJPEG round trip reproduces the gray-formula bits; twin bump stays in bit 63") {
+    import spark.implicits._
+    def g(seed: Long, bump: Long)(i: Int): Int =
+      ((seed * 13L + i * 37L + (if (i == 64) bump else 0L)) % 240L + 8L).toInt
+    def fromFormula(seed: Long, bump: Long): Long =
+      (0 until 64).foldLeft(0L)((h, i) =>
+        (h << 1) | (if (g(seed, bump)(i) < g(seed, bump)(i + 1)) 1L else 0L))
+    val seeds = Seq(0L, 1L, 5L, 123L, 4999L)
+    val rows = seeds.flatMap(s => Seq(
+      Multimodal.MediaBytesRow(s, Multimodal.encodeAviMjpeg(8, 8, 65, g(s, 0L))),
+      Multimodal.MediaBytesRow(s + 1000L,
+        Multimodal.encodeAviMjpeg(8, 8, 65, g(s, 120L))))).toDS()
+    val got = Multimodal.thashVideo(spark, rows)
+      .collect().map(r => r.doc_id -> r.dhash).toMap
+    seeds.foreach { s =>
+      assert(got(s) == fromFormula(s, 0L), s"seed=$s: JPEG error flipped a bit")
+      assert(got(s + 1000L) == fromFormula(s, 120L), s"twin seed=$s")
+      assert(((got(s) ^ got(s + 1000L)) & ~1L) == 0L,
+        s"seed=$s: last-frame bump leaked past bit 63")
+    }
+  }
+
+  test("temporal video hash refuses a wrong frame count loudly, naming the doc") {
+    import spark.implicits._
+    val rows = Seq(Multimodal.MediaBytesRow(13L,
+      Multimodal.encodeAviMjpeg(8, 8, 64, i => 8 + (i * 37) % 240))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.thashVideo(spark, rows).collect()
+    }
+    assert(e.getCause.getMessage.contains("doc 13"))
+  }
+
   test("poolFeatures: average-pooled buckets match hand computation") {
     import spark.implicits._
     val v = (1 to 8).map(_.toFloat) // pool 8 -> 2: (1+2+3+4)/4=2.5, (5+6+7+8)/4=6.5
