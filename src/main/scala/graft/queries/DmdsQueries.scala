@@ -1807,6 +1807,57 @@ object DmdsQueries {
                 AS t(kind, k, n) ORDER BY kind, k""")
       ),
 
+      "w_analyze" -> QueryDef(
+        // ANALYZE FOR THE CBO under the oracle gate: `system.analyze`
+        // computes per-column NDV / null count / bounds in ONE aggregate
+        // job over the live table and persists them for the planner
+        // (served through DSv2 columnStats into catalyst attribute
+        // stats — GraftColStatsSpec pins the serving + estimation side).
+        // `exact => true` makes every number a pure function of the
+        // data, so DuckDB recomputes the whole statistics table from the
+        // same source: a wrong distinct count, a miscounted null, or a
+        // bound read from the wrong column all break the hash. The
+        // default HyperLogLog++ mode is the 100-TB path (one pass, fixed
+        // sketch memory per column); exactness of THAT estimate is
+        // spec-bounded, not oracle-bounded, like every sketch here.
+        (s, dir) => {
+          val s2 = withGraftCatalog(s, dir, "wan", "an")
+          s2.sql("DROP TABLE IF EXISTS wan.an_t")
+          s2.sql("CREATE TABLE wan.an_t (pk BIGINT, brand STRING, sz BIGINT, c0 BIGINT)")
+          s2.read.parquet(s"$dir/part.parquet").createOrReplaceTempView("part_v")
+          s2.sql("""INSERT INTO wan.an_t
+                    SELECT CAST(p_partkey AS BIGINT),
+                           CASE WHEN p_size % 5 = 0 THEN NULL ELSE p_brand END,
+                           CAST(p_size AS BIGINT),
+                           CAST(p_partkey % 4 AS BIGINT)
+                    FROM part_v""")
+          s2.sql("CALL wan.system.analyze(table => 'an_t', exact => true)")
+          s2.sql("""SELECT col, ndv, nulls, min, max
+                    FROM wan.an_t.colstats ORDER BY col""")
+        },
+        Some("""WITH src AS (
+                  SELECT p_partkey AS pk,
+                         CASE WHEN p_size % 5 = 0 THEN NULL ELSE p_brand END AS brand,
+                         CAST(p_size AS BIGINT) AS sz,
+                         p_partkey % 4 AS c0
+                  FROM part)
+                SELECT col, ndv, nulls, min, max FROM (
+                  SELECT 'pk' AS col, count(DISTINCT pk) AS ndv,
+                         count(*) - count(pk) AS nulls,
+                         CAST(min(pk) AS VARCHAR) AS min,
+                         CAST(max(pk) AS VARCHAR) AS max FROM src
+                  UNION ALL
+                  SELECT 'brand', count(DISTINCT brand), count(*) - count(brand),
+                         NULL, NULL FROM src
+                  UNION ALL
+                  SELECT 'sz', count(DISTINCT sz), count(*) - count(sz),
+                         CAST(min(sz) AS VARCHAR), CAST(max(sz) AS VARCHAR) FROM src
+                  UNION ALL
+                  SELECT 'c0', count(DISTINCT c0), count(*) - count(c0),
+                         CAST(min(c0) AS VARCHAR), CAST(max(c0) AS VARCHAR) FROM src
+                ) ORDER BY col""")
+      ),
+
       "w_retention" -> QueryDef(
         // DECLARED AUTO-RETENTION under the oracle gate: set_retention(2)
         // makes every later commit self-expire the log — no maintenance

@@ -567,6 +567,7 @@ class GraftCatalog extends TableCatalog
       case (Seq("system"), "search_vector") => new GraftSearchVectorProcedure(this)
       case (Seq("system"), "mv_create") => new GraftMvCreateProcedure(this)
       case (Seq("system"), "mv_refresh") => new GraftMvRefreshProcedure(this)
+      case (Seq("system"), "analyze") => new GraftAnalyzeProcedure(this)
       case _ => throw new UnsupportedOperationException(
         s"graft catalog $catalogName has no procedure $ident (available: " +
           "system.compact, system.stats, system.rollback, " +
@@ -1672,7 +1673,7 @@ private[sources] object GraftMetaTable {
   import org.apache.spark.unsafe.types.UTF8String
 
   val Kinds: Set[String] =
-    Set("history", "files", "cells", "tags", "checks", "manifests")
+    Set("history", "files", "cells", "tags", "checks", "manifests", "colstats")
 
   def schemaOf(meta: String): StructType = meta match {
     case "history" => StructType(Seq(
@@ -1711,6 +1712,19 @@ private[sources] object GraftMetaTable {
       StructField("entries", LongType, nullable = false),
       StructField("segments", LongType, nullable = false),
       StructField("reused_segments", LongType, nullable = false)))
+    // the ANALYZE sidecar as rows — "what does the planner believe about
+    // this column, and how stale is that belief" answered by one SELECT
+    case "colstats" => StructType(Seq(
+      StructField("col", StringType, nullable = false),
+      StructField("dtype", StringType, nullable = false),
+      StructField("ndv", LongType, nullable = false),
+      StructField("nulls", LongType, nullable = false),
+      StructField("min", StringType, nullable = true),
+      StructField("max", StringType, nullable = true),
+      StructField("avg_len", LongType, nullable = false),
+      StructField("max_len", LongType, nullable = false),
+      StructField("analyzed_version", LongType, nullable = false),
+      StructField("exact", BooleanType, nullable = false)))
     case other => throw new IllegalArgumentException(s"unknown meta table $other")
   }
 
@@ -1772,6 +1786,16 @@ private[sources] object GraftMetaTable {
         GraftChecks.list(path).map { case (n, e) =>
           InternalRow(UTF8String.fromString(n), UTF8String.fromString(e))
         }.toArray
+      case "colstats" =>
+        GraftColStats.read(path).map { ts =>
+          ts.cols.sortBy(_.name).map { c =>
+            InternalRow(UTF8String.fromString(c.name),
+              UTF8String.fromString(c.dtype), c.ndv, c.nulls,
+              c.min.map(UTF8String.fromString).orNull,
+              c.max.map(UTF8String.fromString).orNull,
+              c.avgLen, c.maxLen, ts.version, ts.exact)
+          }.toArray
+        }.getOrElse(Array.empty)
       case other => throw new IllegalArgumentException(s"unknown meta table $other")
     }
   }

@@ -1532,10 +1532,24 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       if (rowCounts.nonEmpty && rowCounts.forall(_ >= 0L))
         java.util.OptionalLong.of(rowCounts.sum)
       else java.util.OptionalLong.empty()
+    // ANALYZE-computed column stats (NDV/nulls/bounds/lengths) ride the
+    // same report when a `_graft_colstats` sidecar exists: Spark folds
+    // them into per-attribute catalyst stats, so under spark.sql.cbo the
+    // world joins/filters get real selectivity estimates. Live scans
+    // only — a version pin reads a state the sidecar never described.
+    val colStats =
+      if (pin.isDefined) new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      else GraftColStats.columnStatsFor(path, required)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
   override def toMicroBatchStream(checkpointLocation: String)
