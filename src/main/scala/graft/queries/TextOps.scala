@@ -908,6 +908,50 @@ object TextOps {
               FROM b ORDER BY doc_id""")
     ),
 
+    // LEAKAGE-SAFE split: the per-doc hash split above puts two near-
+    // duplicate documents on opposite sides of the train/val boundary
+    // with probability 2·p·(1−p) — which is exactly how eval sets get
+    // contaminated. The group-aware split hashes the near-dup GROUP
+    // (connected-component root over fingerprint-equality edges, the
+    // d_neardup_groups machinery) instead of the doc, so every member of
+    // a group lands in the same split by construction. Scale shape: the
+    // pointer-jumping CC bounds rounds at log(diameter); the split
+    // decision is then a per-row hash of the group id — no extra shuffle
+    // beyond the CC itself. DuckDB restates groups as a window MIN over
+    // the normalized-text digest and re-derives the same hash decision.
+    "p_group_split" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), graft.ops.Text.fingerprint(col("text")).as("fp"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")
+        val edges = d.withColumn("nxt", lead(col("doc_id"), 1).over(w))
+          .where(col("nxt").isNotNull)
+          .select(col("doc_id").as("src"), col("nxt").as("dst"))
+        val cc = Dedup.connectedComponents(d.select(col("doc_id").as("id")), edges)
+        val a = ascii(substring(
+          md5(col("group_id").cast("string").cast("binary")), 1, 1))
+        val bucket = when(a >= 97, a - 87).otherwise(a - 48)
+        cc.select(col("id").as("doc_id"), col("group_id"))
+          .withColumn("split",
+            when(bucket.cast("long") < 14, lit("train")).otherwise(lit("val")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+                SELECT doc_id,
+                  MIN(doc_id) OVER (
+                    PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS group_id
+                FROM documents),
+              h AS (
+                SELECT doc_id, group_id,
+                  ascii(substr(md5(CAST(group_id AS VARCHAR)), 1, 1)) AS a
+                FROM g)
+              SELECT doc_id, group_id,
+                CASE WHEN (CASE WHEN a >= 97 THEN a - 87 ELSE a - 48 END) < 14
+                     THEN 'train' ELSE 'val' END AS split
+              FROM h ORDER BY doc_id""")
+    ),
+
     // training-sequence packing: token chunks fill fixed 512-token
     // sequences contiguously WITHIN a shard (doc_id mod 32) — per-shard
     // running token totals assign each chunk its sequence id. Sharding

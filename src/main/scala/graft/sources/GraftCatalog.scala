@@ -1724,7 +1724,8 @@ private[sources] object GraftMetaTable {
       StructField("avg_len", LongType, nullable = false),
       StructField("max_len", LongType, nullable = false),
       StructField("analyzed_version", LongType, nullable = false),
-      StructField("exact", BooleanType, nullable = false)))
+      StructField("exact", BooleanType, nullable = false),
+      StructField("hist_bins", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(s"unknown meta table $other")
   }
 
@@ -1793,7 +1794,8 @@ private[sources] object GraftMetaTable {
               UTF8String.fromString(c.dtype), c.ndv, c.nulls,
               c.min.map(UTF8String.fromString).orNull,
               c.max.map(UTF8String.fromString).orNull,
-              c.avgLen, c.maxLen, ts.version, ts.exact)
+              c.avgLen, c.maxLen, ts.version, ts.exact,
+              c.hist.map(_._2.size.toLong).getOrElse(0L))
           }.toArray
         }.getOrElse(Array.empty)
       case other => throw new IllegalArgumentException(s"unknown meta table $other")

@@ -46,10 +46,12 @@ private[graft] object GraftColStats {
 
   /** One column's persisted statistics. `min`/`max` are the decimal string
     * renderings of integral/floating values (absent for other types —
-    * estimation only consumes numeric bounds). */
+    * estimation only consumes numeric bounds). `hist` is the optional
+    * equi-height histogram: (rows-per-bin, bins as (lo, hi, ndv)). */
   final case class ColStat(name: String, dtype: String, ndv: Long,
       nulls: Long, min: Option[String], max: Option[String],
-      avgLen: Long, maxLen: Long)
+      avgLen: Long, maxLen: Long,
+      hist: Option[(Double, Seq[(Double, Double, Long)])] = None)
 
   final case class TableStats(version: Long, rows: Long, exact: Boolean,
       cols: Seq[ColStat])
@@ -77,10 +79,18 @@ private[graft] object GraftColStats {
     case _ => false // nested/array payloads: no meaningful scalar stats
   }
 
-  /** Compute statistics with ONE aggregate job and persist the sidecar.
-    * `columns` empty = every stat-eligible top-level column. */
+  /** Compute statistics with ONE aggregate job (two with histograms — the
+    * endpoint pass folds into job one, per-bin NDVs need the endpoints
+    * first, exactly Spark's own ANALYZE shape) and persist the sidecar.
+    * `columns` empty = every stat-eligible top-level column.
+    * `histogramBins` > 0 adds an equi-height histogram per numeric column,
+    * which upgrades CBO range-predicate estimation from uniform-spread
+    * interpolation to distribution-aware — the difference between
+    * "v <= 5 is 0.5% of a skewed table" and the truth. */
   def analyze(spark: SparkSession, path: String, columns: Seq[String],
-      exact: Boolean): TableStats = {
+      exact: Boolean, histogramBins: Int = 0): TableStats = {
+    require(histogramBins >= 0 && histogramBins <= 256,
+      s"system.analyze: histogram bins $histogramBins out of [0, 256]")
     val schema = GraftDataSource.sidecarSchema(path)
     val fields =
       if (columns.isEmpty) schema.fields.toSeq.filter(f => statEligible(f.dataType))
@@ -97,9 +107,19 @@ private[graft] object GraftColStats {
       s"system.analyze: column name '${f.name}' contains tab/newline"))
 
     val df = spark.read.format("graft").load(path)
+    val histFields =
+      if (histogramBins > 0) fields.filter(f => numericBounds(f.dataType))
+      else Seq.empty
     // every statistic folds into one aggregate row: k columns cost one
     // scan + one partial-agg shuffle, never k jobs
-    val aggs = Seq(count(lit(1)).as("_rows")) ++ fields.flatMap { f =>
+    val aggs = Seq(count(lit(1)).as("_rows")) ++ histFields.map { f =>
+      // equi-height endpoints ride the SAME job: n+1 approximate
+      // percentiles of the column as double
+      percentile_approx(col(f.name).cast(DoubleType),
+        array((0 to histogramBins).map(i =>
+          lit(i.toDouble / histogramBins)): _*),
+        lit(10000)).as(s"pct_${f.name}")
+    } ++ fields.flatMap { f =>
       val c = col(f.name)
       val ndv = if (exact) countDistinct(c) else approx_count_distinct(c)
       val base = Seq(
@@ -129,6 +149,39 @@ private[graft] object GraftColStats {
         None
       else Some(row.getString(row.fieldIndex(n)))
     val rows = longAt("_rows")
+    // histogram pass 2: per-bin NDVs need the endpoints from pass 1, so
+    // they cost one MORE job (bins × columns conditional sketches folded
+    // into a single aggregate) — never a job per column or per bin
+    val hists: Map[String, (Double, Seq[(Double, Double, Long)])] =
+      if (histFields.isEmpty) Map.empty
+      else {
+        val endpoints: Map[String, Seq[Double]] = histFields.flatMap { f =>
+          val i = row.fieldIndex(s"pct_${f.name}")
+          if (row.isNullAt(i)) None // all-null column: no histogram
+          else Some(f.name -> row.getSeq[Double](i))
+        }.toMap
+        val binAggs = endpoints.toSeq.flatMap { case (n, eps) =>
+          (0 until histogramBins).map { b =>
+            val c = col(n).cast(DoubleType)
+            val cond =
+              if (b == 0) c >= eps(b) && c <= eps(b + 1)
+              else c > eps(b) && c <= eps(b + 1)
+            approx_count_distinct(when(cond, col(n))).as(s"bndv_${b}_$n")
+          }
+        }
+        if (binAggs.isEmpty) Map.empty
+        else {
+          val brow = df.agg(binAggs.head, binAggs.tail: _*).collect()(0)
+          endpoints.map { case (n, eps) =>
+            val bins = (0 until histogramBins).map { b =>
+              val i = brow.fieldIndex(s"bndv_${b}_$n")
+              (eps(b), eps(b + 1),
+                if (brow.isNullAt(i)) 0L else brow.getLong(i))
+            }
+            n -> (longAt(s"nn_$n").toDouble / histogramBins, bins)
+          }
+        }
+      }
     val stats = fields.map { f =>
       val fixedLen = f.dataType.defaultSize.toLong
       ColStat(f.name, f.dataType.simpleString,
@@ -138,7 +191,8 @@ private[graft] object GraftColStats {
         avgLen = if (row.schema.fieldNames.contains(s"al_${f.name}"))
           longAt(s"al_${f.name}") max 1L else fixedLen,
         maxLen = if (row.schema.fieldNames.contains(s"ml_${f.name}"))
-          longAt(s"ml_${f.name}") max 1L else fixedLen)
+          longAt(s"ml_${f.name}") max 1L else fixedLen,
+        hist = hists.get(f.name))
     }
     val fs = fsOf(path)
     val version = GraftVersions.latestVersion(fs, new Path(path)).getOrElse(-1L)
@@ -147,6 +201,10 @@ private[graft] object GraftColStats {
     ts
   }
 
+  // histogram section separator: a column line always carries 8 tab-split
+  // fields, so this 1-field marker can never be mistaken for one
+  private val HistMark = "---hist---"
+
   private def write(fs: FileSystem, path: String, ts: TableStats): Unit = {
     val sb = new StringBuilder
     sb.append(s"graft-colstats-v1\t${ts.version}\t${ts.rows}\t${ts.exact}\n")
@@ -154,6 +212,16 @@ private[graft] object GraftColStats {
       sb.append(Seq(c.name, c.dtype, c.ndv, c.nulls,
         c.min.getOrElse(Absent), c.max.getOrElse(Absent),
         c.avgLen, c.maxLen).mkString("\t")).append('\n')
+    }
+    val withHist = ts.cols.filter(_.hist.isDefined)
+    if (withHist.nonEmpty) {
+      sb.append(HistMark).append('\n')
+      withHist.foreach { c =>
+        val (h, bins) = c.hist.get
+        sb.append(Seq(c.name, h,
+          bins.map { case (lo, hi, ndv) => s"$lo:$hi:$ndv" }.mkString(";"))
+          .mkString("\t")).append('\n')
+      }
     }
     val out = fs.create(fileOf(path), true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
@@ -169,12 +237,23 @@ private[graft] object GraftColStats {
     val head = lines.head.split("\t", -1)
     require(head(0) == "graft-colstats-v1",
       s"unrecognized colstats sidecar header at $p: ${lines.head}")
-    val cols = lines.tail.toSeq.map { l =>
+    val split = lines.tail.indexOf(HistMark)
+    val (colLines, histLines) =
+      if (split < 0) (lines.tail.toSeq, Seq.empty[String])
+      else (lines.tail.take(split).toSeq, lines.tail.drop(split + 1).toSeq)
+    val hists = histLines.map { l =>
+      val a = l.split("\t", -1)
+      a(0) -> (a(1).toDouble, a(2).split(";").toSeq.map { b =>
+        val f = b.split(":", -1)
+        (f(0).toDouble, f(1).toDouble, f(2).toLong)
+      })
+    }.toMap
+    val cols = colLines.map { l =>
       val a = l.split("\t", -1)
       ColStat(a(0), a(1), a(2).toLong, a(3).toLong,
         if (a(4) == Absent) None else Some(a(4)),
         if (a(5) == Absent) None else Some(a(5)),
-        a(6).toLong, a(7).toLong)
+        a(6).toLong, a(7).toLong, hist = hists.get(a(0)))
     }
     Some(TableStats(head(1).toLong, head(2).toLong, head(3).toBoolean, cols))
   }
@@ -214,6 +293,18 @@ private[graft] object GraftColStats {
               }) catch { case _: NumberFormatException => None }
             val mn = c.min.flatMap(boxed).filter(_ != null)
             val mx = c.max.flatMap(boxed).filter(_ != null)
+            val hg = c.hist.map { case (h, bs) =>
+              new org.apache.spark.sql.connector.read.colstats.Histogram {
+                override def height(): Double = h
+                override def bins() = bs.map { case (bLo, bHi, bNdv) =>
+                  new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                    override def lo(): Double = bLo
+                    override def hi(): Double = bHi
+                    override def ndv(): Long = bNdv
+                  }
+                }.toArray
+              }
+            }
             out.put(ref, new ColumnStatistics {
               override def distinctCount() = java.util.OptionalLong.of(c.ndv)
               override def nullCount() = java.util.OptionalLong.of(c.nulls)
@@ -225,6 +316,11 @@ private[graft] object GraftColStats {
                   .getOrElse(java.util.Optional.empty[Object]())
               override def avgLen() = java.util.OptionalLong.of(c.avgLen)
               override def maxLen() = java.util.OptionalLong.of(c.maxLen)
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                hg.map(java.util.Optional.of[
+                    org.apache.spark.sql.connector.read.colstats.Histogram])
+                  .getOrElse(java.util.Optional.empty())
             })
           }
         }
@@ -255,7 +351,10 @@ class GraftAnalyzeProcedure(cat: GraftCatalog)
       ProcedureParameter.in("columns", StringType).defaultValue("''")
         .comment("comma-separated column subset; empty = all eligible").build(),
       ProcedureParameter.in("exact", BooleanType).defaultValue("false")
-        .comment("true = exact count-distinct; default HyperLogLog++").build())
+        .comment("true = exact count-distinct; default HyperLogLog++").build(),
+      ProcedureParameter.in("histogram", IntegerType).defaultValue("0")
+        .comment("equi-height histogram bins per numeric column; 0 = off")
+        .build())
     override def isDeterministic: Boolean = false
 
     override def call(input: InternalRow)
@@ -266,8 +365,10 @@ class GraftAnalyzeProcedure(cat: GraftCatalog)
         else input.getUTF8String(1).toString.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
       val exact = !input.isNullAt(2) && input.getBoolean(2)
+      val bins = if (input.isNullAt(3)) 0 else input.getInt(3)
       val spark = org.apache.spark.sql.SparkSession.active
-      val ts = GraftColStats.analyze(spark, cat.tablePath(table), columns, exact)
+      val ts = GraftColStats.analyze(spark, cat.tablePath(table), columns,
+        exact, bins)
       GraftProcedures.scanOf(
         StructType(Seq(
           StructField("analyzed_columns", LongType, nullable = false),

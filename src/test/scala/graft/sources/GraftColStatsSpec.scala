@@ -123,6 +123,37 @@ class GraftColStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(attrStats(pinned).isEmpty)
   }
 
+  test("equi-height histogram: skew-aware range estimation beats uniform interpolation") {
+    spark.sql("CREATE TABLE acat.h (v BIGINT, c0 BIGINT)")
+    // 9000 rows of v=5 plus a thin uniform tail 100..1099: uniform
+    // interpolation would call `v <= 5` a ~0.5% slice; the histogram
+    // knows it's ~90% of the table
+    spark.range(10000).selectExpr(
+        "CASE WHEN id < 9000 THEN 5 ELSE 100 + (id - 9000) END AS v",
+        "id % 2 AS c0")
+      .writeTo("acat.h").append()
+    spark.sql("CALL acat.system.analyze(table => 'h', exact => true, histogram => 8)")
+
+    val m = spark.sql("SELECT hist_bins FROM acat.h.colstats WHERE col = 'v'")
+      .collect()(0).getLong(0)
+    assert(m === 8L)
+
+    // served into catalyst: histogram present with the declared bins
+    val st = attrStats(spark.table("acat.h"))
+    val hist = st("v").histogram
+    assert(hist.isDefined)
+    assert(hist.get.bins.length === 8)
+    assert(math.abs(hist.get.height - 1250.0) < 1.0) // 10000 / 8
+
+    // CBO range estimate: with the histogram, v <= 5 reads as the skewed
+    // mass it is, not a uniform sliver
+    val est = spark.table("acat.h").where("v <= 5")
+      .queryExecution.optimizedPlan.stats.rowCount
+    assert(est.isDefined)
+    val rc = est.get.toLong
+    assert(rc > 5000, s"histogram-backed estimate $rc; uniform would be ~50")
+  }
+
   test("unanalyzed table: empty stats, no crash; re-analyze refreshes version stamp") {
     spark.sql("CREATE TABLE acat.u (id BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO acat.u VALUES (1, 0)")
