@@ -154,6 +154,42 @@ class GraftColStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rc > 5000, s"histogram-backed estimate $rc; uniform would be ~50")
   }
 
+  test("the payoff: ANALYZE flips a filtered-dim join from sort-merge to broadcast") {
+    // fact (200k rows) joins a 50k-row dim whose on-disk size exceeds the
+    // broadcast threshold; the dim is filtered to 0.1% of its rows. The
+    // PLANNER can only know the filter is selective from column stats:
+    // without them the filter estimate stays dim-sized -> sort-merge
+    // join; after ANALYZE the k-bounds estimate shrinks it under the
+    // threshold -> broadcast hash join. Same query, same data, the join
+    // strategy decision is the statistics.
+    spark.sql("CREATE TABLE acat.f (id BIGINT, k BIGINT, c0 BIGINT)")
+    spark.range(200000).selectExpr("id", "id % 50000 AS k", "id % 4 AS c0")
+      .writeTo("acat.f").append()
+    spark.sql("CREATE TABLE acat.d (k BIGINT, payload STRING, c0 BIGINT)")
+    spark.range(50000).selectExpr("id AS k",
+        "concat(md5(CAST(id AS STRING)), md5(CAST(id + 1 AS STRING))) AS payload",
+        "id % 4 AS c0")
+      .writeTo("acat.d").append()
+
+    def joinPlan(): String = spark.sql(
+      """SELECT f.id, d.payload FROM acat.f f
+         JOIN acat.d d ON f.k = d.k WHERE d.k < 50""")
+      .queryExecution.sparkPlan.toString
+
+    val dimBytes = spark.table("acat.d").queryExecution.optimizedPlan
+      .stats.sizeInBytes
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (dimBytes / 4).toString)
+    try {
+      assert(joinPlan().contains("SortMergeJoin"),
+        "without stats the filtered dim must not broadcast")
+      spark.sql("CALL acat.system.analyze(table => 'd', exact => true)")
+      assert(joinPlan().contains("BroadcastHashJoin"),
+        "with stats the 0.1% filter estimate must fall under the threshold")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("unanalyzed table: empty stats, no crash; re-analyze refreshes version stamp") {
     spark.sql("CREATE TABLE acat.u (id BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO acat.u VALUES (1, 0)")
