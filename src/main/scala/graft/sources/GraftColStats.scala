@@ -94,7 +94,7 @@ private[graft] object GraftColStats {
     val schema = GraftDataSource.sidecarSchema(path)
     val fields =
       if (columns.isEmpty) schema.fields.toSeq.filter(f => statEligible(f.dataType))
-      else columns.map { c =>
+      else columns.distinct.map { c =>
         schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
           s"system.analyze: no column '$c' in $path"))
       }.map { f =>

@@ -1531,6 +1531,16 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     val rows =
       if (rowCounts.nonEmpty && rowCounts.forall(_ >= 0L))
         java.util.OptionalLong.of(rowCounts.sum)
+      else if (pin.isEmpty && pushed.isEmpty && runtime.isEmpty)
+        // manifest counts incomplete (pre-count manifests, unversioned
+        // world) and the scan is UNPRUNED: an ANALYZE-time row count is a
+        // stale-but-sane CBO base estimate — the same advisory contract
+        // as the column stats. A pruned scan must not report the whole
+        // table's rows, so it stays unreported like vanilla parquet.
+        (try GraftColStats.read(path) catch { case _: Exception => None }) match {
+          case Some(ts) => java.util.OptionalLong.of(ts.rows)
+          case None => java.util.OptionalLong.empty()
+        }
       else java.util.OptionalLong.empty()
     // ANALYZE-computed column stats (NDV/nulls/bounds/lengths) ride the
     // same report when a `_graft_colstats` sidecar exists: Spark folds

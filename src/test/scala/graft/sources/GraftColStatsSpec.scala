@@ -190,6 +190,34 @@ class GraftColStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("legacy unversioned world: ANALYZE supplies the planner's base row count") {
+    // hand-built pre-versioning layout — schema sidecar + chunk dir, no
+    // manifest (so no live counts): the scan reports no numRows until an
+    // ANALYZE sidecar provides the advisory base estimate; a bucket-
+    // pruned scan must NOT inherit the whole-table number
+    val p = s"$warehouse/legacy"
+    spark.range(100).selectExpr("id", "CAST(0 AS BIGINT) AS c0")
+      .write.parquet(s"$p/c0=0")
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+      new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$p/_graft_schema.json"), true)
+    out.write(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("c0",
+        org.apache.spark.sql.types.LongType))).json.getBytes("UTF-8"))
+    out.close()
+
+    def rowCount() = spark.read.format("graft").load(p)
+      .queryExecution.optimizedPlan.stats.rowCount
+    assert(rowCount().isEmpty)
+    GraftColStats.analyze(spark, p, Seq.empty, exact = true)
+    assert(rowCount().contains(BigInt(100)))
+    // pruned scan: no whole-table fallback
+    val pruned = spark.read.format("graft").load(p).where("c0 = 1")
+    assert(pruned.count() === 0L)
+  }
+
   test("unanalyzed table: empty stats, no crash; re-analyze refreshes version stamp") {
     spark.sql("CREATE TABLE acat.u (id BIGINT, c0 BIGINT)")
     spark.sql("INSERT INTO acat.u VALUES (1, 0)")
