@@ -266,7 +266,13 @@ private[graft] object GraftColStats {
     * through `FieldReference.describe` (Spark matches attributes by that
     * string). Any sidecar trouble degrades to "no stats", never to a
     * failed plan. */
-  def columnStatsFor(path: String, required: StructType): java.util.Map[
+  /** [[read]] that never throws — planning degrades to "no stats" on any
+    * sidecar trouble. */
+  def readSafe(path: String): Option[TableStats] =
+    try read(path) catch { case _: Exception => None }
+
+  def columnStatsFor(ts: Option[TableStats], required: StructType)
+      : java.util.Map[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
     import org.apache.spark.sql.connector.expressions.Expressions
@@ -274,7 +280,6 @@ private[graft] object GraftColStats {
     val out = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference,
       ColumnStatistics]()
-    val ts = try read(path) catch { case _: Exception => None }
     ts.foreach { t =>
       val byName = t.cols.map(c => c.name -> c).toMap
       required.fields.foreach { f =>

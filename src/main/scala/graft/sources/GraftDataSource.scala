@@ -1528,6 +1528,10 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
         pinnedWalk.map { case (_, _, e) =>
           if (e.rows < 0L) -1L else e.rows - e.dv.map(_._2).getOrElse(0L) }
       else liveCellList().flatMap(_._3).map(_.liveRows)
+    // one ANALYZE-sidecar read shared by the row-count fallback and the
+    // column-stats report; pinned scans read a state it never described
+    val sidecarStats =
+      if (pin.isDefined) None else GraftColStats.readSafe(path)
     val rows =
       if (rowCounts.nonEmpty && rowCounts.forall(_ >= 0L))
         java.util.OptionalLong.of(rowCounts.sum)
@@ -1537,7 +1541,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
         // stale-but-sane CBO base estimate — the same advisory contract
         // as the column stats. A pruned scan must not report the whole
         // table's rows, so it stays unreported like vanilla parquet.
-        (try GraftColStats.read(path) catch { case _: Exception => None }) match {
+        sidecarStats match {
           case Some(ts) => java.util.OptionalLong.of(ts.rows)
           case None => java.util.OptionalLong.empty()
         }
@@ -1547,11 +1551,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
     // them into per-attribute catalyst stats, so under spark.sql.cbo the
     // world joins/filters get real selectivity estimates. Live scans
     // only — a version pin reads a state the sidecar never described.
-    val colStats =
-      if (pin.isDefined) new java.util.HashMap[
-        org.apache.spark.sql.connector.expressions.NamedReference,
-        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      else GraftColStats.columnStatsFor(path, required)
+    val colStats = GraftColStats.columnStatsFor(sidecarStats, required)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
