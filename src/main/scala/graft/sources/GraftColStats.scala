@@ -39,6 +39,10 @@ import org.apache.spark.sql.types._
   * (a point-addressed KV grid needs none — /root/reference/src/lib.rs);
   * this is a beyond-ref face the relational layer over the same grid
   * needs at 100 TB, where a mis-sided join is a cluster-hour mistake.
+  *
+  * Clones start stats-less by design: a `system.clone` target reads the
+  * source AT A PINNED VERSION through its pointer, and pinned reads never
+  * serve this sidecar — re-ANALYZE the clone once it diverges.
   */
 private[graft] object GraftColStats {
   private val FileName = "_graft_colstats"
