@@ -90,19 +90,28 @@ object Bench {
             // anchor to the raw-sample map: the tail also holds
             // query_window_canaries entries ("name":[~0.2,0.3]) keyed by
             // REAL query names — parsed as priors they would flag nearly
-            // every query as drift. If the '"raw":{' marker survived, only
-            // its interior counts; if it was truncated away, the tail
-            // BEGINS inside the raw map (every map printed before raw
-            // would have carried the marker downstream of itself), so the
-            // fragment up to the first '}' is raw interior either way.
+            // every query as drift. Since r17 the line prints `raw` as
+            // the LAST map before the fixed ~600-char summary scalars, so
+            // a truncated tail either carries the '"raw":{' marker (only
+            // its interior counts) or BEGINS inside the raw map. Older
+            // records printed more maps after raw (drift_vs_prior also
+            // holds "name":[nums] entries), so a marker-less fragment is
+            // additionally required to LOOK like raw interior: nothing
+            // but array-valued entries before the first '}' — an object
+            // or string value means the tail started past raw, and the
+            // fragment is rejected rather than misread as priors.
             val rawIdx = s.lastIndexOf("\"raw\":{")
             val frag = (if (rawIdx >= 0) s.substring(rawIdx + "\"raw\":{".length)
                         else s).takeWhile(_ != '}')
-            val m = kvArr.findAllMatchIn(frag).flatMap { g =>
-              val xs = g.group(2).split(",")
-                .flatMap(x => scala.util.Try(x.toDouble).toOption)
-              if (xs.nonEmpty) Some(g.group(1) -> xs.min) else None
-            }.toMap
+            val rawShaped = rawIdx >= 0 ||
+              !(frag.contains(":{") || frag.contains(":\""))
+            val m =
+              if (!rawShaped) Map.empty[String, Double]
+              else kvArr.findAllMatchIn(frag).flatMap { g =>
+                val xs = g.group(2).split(",")
+                  .flatMap(x => scala.util.Try(x.toDouble).toOption)
+                if (xs.nonEmpty) Some(g.group(1) -> xs.min) else None
+              }.toMap
             if (m.nonEmpty) Some((latest.getName + " (tail fragment)", m))
             else None
           }
@@ -354,7 +363,7 @@ object Bench {
     // summary scalars (totals, health, drift, sf) close the line so they
     // land inside any suffix-truncated capture.
     val line =
-      s"""{"canary":"two interleaved canaries every $canaryEvery queries - cpu: range(5e8).sum, data-independent; io: fixed small parquet read + one 32-task hash shuffle (fresh shuffle files each time, so disk/scheduler contention lands on it). A window is degraded unless BOTH canaries are healthy (<= max(3x median, median+0.5s)) on BOTH sides; degraded-window queries get a healthy-host recovery run. host_degraded = uniform degradation (cpu median > 1s or io median > 1.5s) OR degraded-window queries left WITHOUT a recovery run (uncured_queries) - a cured transient spike stays visible but does not condemn the record. canary_after_sec is the cpu sample that closed the MAIN pass (retry-phase canaries follow in the arrays)","drift":"per-query best-of compared against the same-sf prior round's BENCH_r*.json: > 3x prior AND > prior+1s = suspect -> healthy-host recovery run; drift_vs_prior lists what remains after recovery (genuine regressions or uncured contamination)","timing":"per-query best of 2 runs, +1 tie-breaker run on >2.5x spread between successes or a 1-of-2 failure, +1 recovery run for degraded-window or drift-suspect queries; value_run1 sums first runs (single-run comparable)","query_window_canaries":${winJson(cpuC)},"query_window_canaries_io":${winJson(ioC)},"queries":$qs,"raw":$raw,"errors":$errs,"flaky":$flaky,"canaries":${cJson(cpuC.toSeq)},"canaries_io":${cJson(ioC.toSeq)},"canary_every":$canaryEvery,"canary_before_sec":${cpuC.head},"canary_after_sec":${cpuC(mainCloseIdx)},"degraded_window_queries":$retriedJson,"uncured_queries":$uncuredJson,"drift_baseline":${jstr(driftBaseline)},"drift_suspect_queries":$driftSusJson,"drift_vs_prior":$driftFinalJson,"value_run1":$totalRun1,"host_degraded":$hostDegraded,"stamp_utc":"${java.time.Instant.now}","label":${jstr(sys.env.getOrElse("SPARK_GRAFT_BENCH_LABEL", ""))},"nqueries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+      s"""{"canary":"two interleaved canaries every $canaryEvery queries - cpu: range(5e8).sum, data-independent; io: fixed small parquet read + one 32-task hash shuffle (fresh shuffle files each time, so disk/scheduler contention lands on it). A window is degraded unless BOTH canaries are healthy (<= max(3x median, median+0.5s)) on BOTH sides; degraded-window queries get a healthy-host recovery run. host_degraded = uniform degradation (cpu median > 1s or io median > 1.5s) OR degraded-window queries left WITHOUT a recovery run (uncured_queries) - a cured transient spike stays visible but does not condemn the record. canary_after_sec is the cpu sample that closed the MAIN pass (retry-phase canaries follow in the arrays)","drift":"per-query best-of compared against the same-sf prior round's BENCH_r*.json: > 3x prior AND > prior+1s = suspect -> healthy-host recovery run; drift_vs_prior lists what remains after recovery (genuine regressions or uncured contamination)","timing":"per-query best of 2 runs, +1 tie-breaker run on >2.5x spread between successes or a 1-of-2 failure, +1 recovery run for degraded-window or drift-suspect queries; value_run1 sums first runs (single-run comparable)","query_window_canaries":${winJson(cpuC)},"query_window_canaries_io":${winJson(ioC)},"queries":$qs,"errors":$errs,"flaky":$flaky,"canaries":${cJson(cpuC.toSeq)},"canaries_io":${cJson(ioC.toSeq)},"canary_every":$canaryEvery,"canary_before_sec":${cpuC.head},"canary_after_sec":${cpuC(mainCloseIdx)},"degraded_window_queries":$retriedJson,"uncured_queries":$uncuredJson,"drift_baseline":${jstr(driftBaseline)},"drift_suspect_queries":$driftSusJson,"drift_vs_prior":$driftFinalJson,"raw":$raw,"value_run1":$totalRun1,"host_degraded":$hostDegraded,"stamp_utc":"${java.time.Instant.now}","label":${jstr(sys.env.getOrElse("SPARK_GRAFT_BENCH_LABEL", ""))},"nqueries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     // file copy first (survives log interleaving), then the line alone on
     // stdout after Spark is quiet
     java.nio.file.Files.write(java.nio.file.Paths.get(

@@ -361,6 +361,66 @@ object Multimodal {
   final case class VideoFrame(doc_id: Long, frame_idx: Long, width: Long,
       height: Long, n_bytes: Long)
 
+  /** Shared RIFF/AVI walk for every MJPEG consumer: validate the header,
+    * find the `movi` LIST, and return a LAZY iterator of `(frameIdx,
+    * start, size)` for its `00dc` chunks. Bounds and sizes are validated
+    * loudly — a truncated container or a corrupt (negative / overrunning)
+    * chunk size refuses naming the doc, never an
+    * ArrayIndexOutOfBoundsException and never a backwards-`off` spin. */
+  private def aviMjpegChunks(b: Array[Byte], doc: Long)
+      : Iterator[(Long, Int, Int)] = {
+    def u32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def cc(off: Int): String = {
+      require(off + 4 <= b.length, s"doc $doc: truncated AVI at offset $off")
+      new String(b, off, 4, "US-ASCII")
+    }
+    require(b.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ",
+      s"doc $doc: not an AVI")
+    // top-level chunk walk to the movi LIST
+    var off = 12
+    var movi = -1
+    var moviEnd = -1
+    while (movi < 0 && off + 8 <= b.length) {
+      val size = u32(off + 4)
+      require(size >= 0, s"doc $doc: corrupt chunk size $size at offset $off")
+      if (cc(off) == "LIST" && off + 12 <= b.length && cc(off + 8) == "movi") {
+        movi = off + 12
+        // clamp: a declared size overrunning the buffer bounds the walk,
+        // it must not carry reads past the array
+        moviEnd = math.min(off + 8L + size, b.length.toLong).toInt
+      }
+      off += 8 + size + (size & 1)
+    }
+    require(movi >= 0, s"doc $doc: no movi list")
+    val mEnd = moviEnd
+    new Iterator[(Long, Int, Int)] {
+      private var p = movi
+      private var fi = 0L
+      private var nextC: (Long, Int, Int) = advance()
+      private def advance(): (Long, Int, Int) = {
+        while (p + 8 <= mEnd) {
+          val id = cc(p); val size = u32(p + 4)
+          require(size >= 0 && p + 8L + size <= b.length,
+            s"doc $doc: corrupt frame chunk size $size at offset $p")
+          val start = p + 8
+          p += 8 + size + (size & 1)
+          if (id == "00dc") {
+            val out = (fi, start, size)
+            fi += 1
+            return out
+          }
+        }
+        null
+      }
+      override def hasNext: Boolean = nextC != null
+      override def next(): (Long, Int, Int) = {
+        val out = nextC; nextC = advance(); out
+      }
+    }
+  }
+
   /** REAL frame sampling: walk the RIFF tree to the `movi` LIST, iterate
     * its `00dc` chunks, decode every `stride`-th frame through the JDK
     * JPEG reader. One input row fans out to its sampled frames via an
@@ -375,57 +435,22 @@ object Multimodal {
       val jpegReader = cachedReader("jpeg")
       it.flatMap { r =>
         val b = r.media
-        def u32(off: Int): Int =
-          (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-            ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-        def cc(off: Int): String = new String(b, off, 4, "US-ASCII")
-        require(cc(0) == "RIFF" && cc(8) == "AVI ",
-          s"doc ${r.doc_id}: not an AVI")
-        // top-level chunk walk to the movi LIST
-        var off = 12
-        var movi = -1
-        var moviEnd = -1
-        while (movi < 0 && off + 8 <= b.length) {
-          val size = u32(off + 4)
-          if (cc(off) == "LIST" && cc(off + 8) == "movi") {
-            movi = off + 12; moviEnd = off + 8 + size
-          }
-          off += 8 + size + (size & 1)
-        }
-        require(movi >= 0, s"doc ${r.doc_id}: no movi list")
-        new Iterator[VideoFrame] {
-          private var p = movi
-          private var fi = 0L
-          private var nextF: VideoFrame = advance()
-          private def advance(): VideoFrame = {
-            while (p + 8 <= moviEnd) {
-              val id = cc(p); val size = u32(p + 4)
-              val (start, myIdx) = (p + 8, fi)
-              if (id == "00dc") fi += 1
-              p += 8 + size + (size & 1)
-              if (id == "00dc" && myIdx % stride == 0) {
-                // MemoryCacheImageInputStream directly: ImageIO
-                // .createImageInputStream would hit the global registry
-                // for a stream SPI lookup on every frame
-                val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-                  new java.io.ByteArrayInputStream(b, start, size))
-                jpegReader.setInput(iis)
-                val img =
-                  try jpegReader.read(0)
-                  catch {
-                    case e: Exception => throw new IllegalArgumentException(
-                      s"doc ${r.doc_id}: undecodable frame $myIdx", e)
-                  } finally iis.close()
-                return VideoFrame(r.doc_id, myIdx, img.getWidth.toLong,
-                  img.getHeight.toLong, size.toLong)
-              }
-            }
-            null
-          }
-          override def hasNext: Boolean = nextF != null
-          override def next(): VideoFrame = {
-            val out = nextF; nextF = advance(); out
-          }
+        aviMjpegChunks(b, r.doc_id).collect {
+          case (idx, start, size) if idx % stride == 0 =>
+            // MemoryCacheImageInputStream directly: ImageIO
+            // .createImageInputStream would hit the global registry
+            // for a stream SPI lookup on every frame
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(b, start, size))
+            jpegReader.setInput(iis)
+            val img =
+              try jpegReader.read(0)
+              catch {
+                case e: Exception => throw new IllegalArgumentException(
+                  s"doc ${r.doc_id}: undecodable frame $idx", e)
+              } finally iis.close()
+            VideoFrame(r.doc_id, idx, img.getWidth.toLong,
+              img.getHeight.toLong, size.toLong)
         }
       }
     }
@@ -452,48 +477,26 @@ object Multimodal {
       val jpegReader = cachedReader("jpeg")
       it.map { r =>
         val b = r.media
-        def u32(off: Int): Int =
-          (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-            ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-        def cc(off: Int): String = new String(b, off, 4, "US-ASCII")
-        require(cc(0) == "RIFF" && cc(8) == "AVI ",
-          s"doc ${r.doc_id}: not an AVI")
-        var off = 12
-        var movi = -1
-        var moviEnd = -1
-        while (movi < 0 && off + 8 <= b.length) {
-          val size = u32(off + 4)
-          if (cc(off) == "LIST" && cc(off + 8) == "movi") {
-            movi = off + 12; moviEnd = off + 8 + size
-          }
-          off += 8 + size + (size & 1)
-        }
-        require(movi >= 0, s"doc ${r.doc_id}: no movi list")
         val means = scala.collection.mutable.ArrayBuffer.empty[Long]
-        var p = movi
-        while (p + 8 <= moviEnd) {
-          val id = cc(p); val size = u32(p + 4)
-          if (id == "00dc") {
-            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-              new java.io.ByteArrayInputStream(b, p + 8, size))
-            jpegReader.setInput(iis)
-            val img =
-              try jpegReader.read(0)
-              catch {
-                case e: Exception => throw new IllegalArgumentException(
-                  s"doc ${r.doc_id}: undecodable frame ${means.size}", e)
-              } finally iis.close()
-            val (w, h) = (img.getWidth, img.getHeight)
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
-              y += 1
-            }
-            means += sum / (w.toLong * h)
+        aviMjpegChunks(b, r.doc_id).foreach { case (idx, start, size) =>
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(b, start, size))
+          jpegReader.setInput(iis)
+          val img =
+            try jpegReader.read(0)
+            catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"doc ${r.doc_id}: undecodable frame $idx", e)
+            } finally iis.close()
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+            y += 1
           }
-          p += 8 + size + (size & 1)
+          means += sum / (w.toLong * h)
         }
         require(means.size == 65,
           s"temporal hash needs exactly 65 frames, got ${means.size} " +
@@ -828,6 +831,15 @@ object Multimodal {
         require(f.getChannels == 1 && f.getSampleSizeInBits == 16,
           s"acoustic hash needs mono 16-bit PCM, got ${f.getChannels}ch/" +
             s"${f.getSampleSizeInBits}bit for doc ${r.doc_id}")
+        // the hand decode below is little-endian SIGNED — big-endian
+        // (AIFF) or unsigned PCM would silently yield garbage energies
+        // and a valid-looking hash instead of the loud refusal
+        require(f.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            !f.isBigEndian,
+          s"acoustic hash needs little-endian PCM_SIGNED, got " +
+            s"${f.getEncoding}/${if (f.isBigEndian) "BE" else "LE"} " +
+            s"for doc ${r.doc_id}")
         val body = ais.readAllBytes()
         val nFrames = body.length / 2
         require(nFrames % 65 == 0,

@@ -581,7 +581,7 @@ class GraftCatalog extends TableCatalog
           "system.index_text, " +
           "system.index_vector, system.index_refresh, system.search_text, " +
           "system.search_vector, system.set_check, system.drop_check, " +
-          "system.mv_create, system.mv_refresh)")
+          "system.mv_create, system.mv_refresh, system.analyze)")
     }
 }
 

@@ -118,8 +118,14 @@ private[graft] object GraftColStats {
     // scan + one partial-agg shuffle, never k jobs
     val aggs = Seq(count(lit(1)).as("_rows")) ++ histFields.map { f =>
       // equi-height endpoints ride the SAME job: n+1 approximate
-      // percentiles of the column as double
-      percentile_approx(col(f.name).cast(DoubleType),
+      // percentiles of the column as double (NaN-free projection — a NaN
+      // endpoint would serve NaN bin bounds)
+      val src = f.dataType match {
+        case FloatType | DoubleType =>
+          when(!isnan(col(f.name)), col(f.name)).cast(DoubleType)
+        case _ => col(f.name).cast(DoubleType)
+      }
+      percentile_approx(src,
         array((0 to histogramBins).map(i =>
           lit(i.toDouble / histogramBins)): _*),
         lit(10000)).as(s"pct_${f.name}")
@@ -130,10 +136,18 @@ private[graft] object GraftColStats {
         ndv.cast(LongType).as(s"ndv_${f.name}"),
         count(c).cast(LongType).as(s"nn_${f.name}"))
       val bounds =
-        if (numericBounds(f.dataType))
-          Seq(min(c).cast(StringType).as(s"min_${f.name}"),
-            max(c).cast(StringType).as(s"max_${f.name}"))
-        else Seq.empty
+        if (numericBounds(f.dataType)) {
+          // Spark's min/max order NaN ABOVE every value (it would become
+          // the served max and poison range estimation with NaN
+          // arithmetic) — aggregate over the NaN-free projection, the
+          // same contamination the footer-stats pushdown refuses
+          val cc = f.dataType match {
+            case FloatType | DoubleType => when(!isnan(c), c)
+            case _ => c
+          }
+          Seq(min(cc).cast(StringType).as(s"min_${f.name}"),
+            max(cc).cast(StringType).as(s"max_${f.name}"))
+        } else Seq.empty
       val lens = f.dataType match {
         case StringType =>
           Seq(ceil(avg(octet_length(c))).cast(LongType).as(s"al_${f.name}"),
@@ -296,8 +310,14 @@ private[graft] object GraftColStats {
                 case ShortType   => java.lang.Short.valueOf(s)
                 case IntegerType => java.lang.Integer.valueOf(s)
                 case LongType    => java.lang.Long.valueOf(s)
-                case FloatType   => java.lang.Float.valueOf(s)
-                case DoubleType  => java.lang.Double.valueOf(s)
+                // non-finite bounds (NaN/Inf from a pre-guard sidecar)
+                // would poison range arithmetic — never serve them
+                case FloatType =>
+                  val v = java.lang.Float.valueOf(s)
+                  if (java.lang.Float.isFinite(v)) v else null
+                case DoubleType =>
+                  val v = java.lang.Double.valueOf(s)
+                  if (java.lang.Double.isFinite(v)) v else null
                 case _ => null
               }) catch { case _: NumberFormatException => None }
             val mn = c.min.flatMap(boxed).filter(_ != null)

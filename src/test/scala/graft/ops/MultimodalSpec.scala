@@ -253,6 +253,55 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getCause.getMessage.contains("doc 13"))
   }
 
+  test("AVI walk refuses truncated and corrupt-size containers loudly, never AIOOBE/spin") {
+    import spark.implicits._
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def bytes(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    val ascii = (s: String) => s.getBytes("US-ASCII")
+
+    // truncated exactly after a top-level LIST fourcc+size header: the
+    // old walk read the subtype fourcc past the array end
+    val truncated = bytes(ascii("RIFF"), le32(12), ascii("AVI "),
+      ascii("LIST"), le32(100))
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleAviFrames(spark,
+        Seq(Multimodal.MediaBytesRow(91L, truncated)).toDS()).collect()
+    }
+    assert(e1.getCause.getMessage.contains("doc 91"), e1.getCause.getMessage)
+
+    // negative declared size: the old walk's `off += 8 + size` went
+    // backwards and spun forever
+    val negative = bytes(ascii("RIFF"), le32(20), ascii("AVI "),
+      ascii("LIST"), le32(-8), ascii("movi"))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.thashVideo(spark,
+        Seq(Multimodal.MediaBytesRow(92L, negative)).toDS()).collect()
+    }
+    assert(e2.getCause.getMessage.contains("corrupt chunk size") &&
+      e2.getCause.getMessage.contains("doc 92"), e2.getCause.getMessage)
+  }
+
+  test("acoustic hash refuses big-endian (AIFF) input instead of mishashing it") {
+    import spark.implicits._
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+      true /* signed */, true /* bigEndian */)
+    val n = 650
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](2 * n)), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.ahashAudio(spark,
+        Seq(Multimodal.MediaBytesRow(93L, bos.toByteArray)).toDS()).collect()
+    }
+    // the little-endian hand decode must never run on BE samples
+    assert(e.getCause.getMessage.contains("doc 93") &&
+      e.getCause.getMessage.contains("BE"), e.getCause.getMessage)
+  }
+
   test("poolFeatures: average-pooled buckets match hand computation") {
     import spark.implicits._
     val v = (1 to 8).map(_.toFloat) // pool 8 -> 2: (1+2+3+4)/4=2.5, (5+6+7+8)/4=6.5

@@ -190,6 +190,26 @@ class GraftColStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("NaN contamination never reaches the served bounds") {
+    // Spark's min/max order NaN above every double — unguarded, a single
+    // NaN row becomes the served max and poisons range estimation
+    spark.sql("CREATE TABLE acat.nan (v DOUBLE, c0 BIGINT)")
+    spark.range(100).selectExpr(
+        "CASE WHEN id = 7 THEN CAST('NaN' AS DOUBLE) ELSE CAST(id AS DOUBLE) END AS v",
+        "id % 2 AS c0")
+      .writeTo("acat.nan").append()
+    spark.sql("CALL acat.system.analyze(table => 'nan', exact => true, histogram => 4)")
+    val r = spark.sql("SELECT min, max FROM acat.nan.colstats WHERE col = 'v'")
+      .collect()(0)
+    assert(r.getString(0).toDouble === 0.0)
+    assert(r.getString(1).toDouble === 99.0, s"NaN leaked: ${r.getString(1)}")
+    val st = attrStats(spark.table("acat.nan"))
+    assert(st("v").max.contains(99.0))
+    val hist = st("v").histogram
+    assert(hist.isDefined &&
+      hist.get.bins.forall(b => !b.lo.isNaN && !b.hi.isNaN))
+  }
+
   test("legacy unversioned world: ANALYZE supplies the planner's base row count") {
     // hand-built pre-versioning layout — schema sidecar + chunk dir, no
     // manifest (so no live counts): the scan reports no numRows until an
