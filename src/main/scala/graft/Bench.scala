@@ -91,22 +91,32 @@ object Bench {
             // query_window_canaries entries ("name":[~0.2,0.3]) keyed by
             // REAL query names — parsed as priors they would flag nearly
             // every query as drift. Since r17 the line prints `raw` as
-            // the LAST map before the fixed ~600-char summary scalars, so
-            // a truncated tail either carries the '"raw":{' marker (only
-            // its interior counts) or BEGINS inside the raw map. Older
-            // records printed more maps after raw (drift_vs_prior also
-            // holds "name":[nums] entries), so a marker-less fragment is
-            // additionally required to LOOK like raw interior: nothing
-            // but array-valued entries before the first '}' — an object
-            // or string value means the tail started past raw, and the
-            // fragment is rejected rather than misread as priors.
+            // the LAST map before the fixed ~600-char summary scalars
+            // (detectable by the r17 `stamp_utc` field), so a truncated
+            // r17 tail either carries the '"raw":{' marker (only its
+            // interior counts) or BEGINS inside the raw map. Pre-r17
+            // records printed more "name":[nums]-shaped maps after raw
+            // (drift_vs_prior is indistinguishable from raw interior), so
+            // a marker-less PRE-r17 fragment is rejected outright rather
+            // than risked as misread priors. The fragment is sliced from
+            // the captured tail payload, not the wrapper's own metadata
+            // prefix, so the shape check judges the data it reasons
+            // about.
             val rawIdx = s.lastIndexOf("\"raw\":{")
-            val frag = (if (rawIdx >= 0) s.substring(rawIdx + "\"raw\":{".length)
-                        else s).takeWhile(_ != '}')
-            val rawShaped = rawIdx >= 0 ||
+            val tailKey = s.indexOf("\"tail\"")
+            val tailStart =
+              if (tailKey < 0) 0
+              else {
+                val q = s.indexOf('"', s.indexOf(':', tailKey) + 1)
+                if (q < 0) 0 else q + 1
+              }
+            val frag =
+              (if (rawIdx >= 0) s.substring(rawIdx + "\"raw\":{".length)
+               else s.substring(tailStart)).takeWhile(_ != '}')
+            val markerlessOk = s.contains("\"stamp_utc\":") &&
               !(frag.contains(":{") || frag.contains(":\""))
             val m =
-              if (!rawShaped) Map.empty[String, Double]
+              if (rawIdx < 0 && !markerlessOk) Map.empty[String, Double]
               else kvArr.findAllMatchIn(frag).flatMap { g =>
                 val xs = g.group(2).split(",")
                   .flatMap(x => scala.util.Try(x.toDouble).toOption)

@@ -378,20 +378,23 @@ object Multimodal {
     }
     require(b.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ",
       s"doc $doc: not an AVI")
-    // top-level chunk walk to the movi LIST
-    var off = 12
+    // top-level chunk walk to the movi LIST — in LONG arithmetic: a
+    // crafted size near Int.MaxValue must end the walk (or refuse), never
+    // wrap `off` negative and index the array at a huge negative offset
+    var off = 12L
     var movi = -1
     var moviEnd = -1
     while (movi < 0 && off + 8 <= b.length) {
-      val size = u32(off + 4)
+      val size = u32(off.toInt + 4)
       require(size >= 0, s"doc $doc: corrupt chunk size $size at offset $off")
-      if (cc(off) == "LIST" && off + 12 <= b.length && cc(off + 8) == "movi") {
-        movi = off + 12
+      if (cc(off.toInt) == "LIST" && off + 12 <= b.length &&
+          cc(off.toInt + 8) == "movi") {
+        movi = off.toInt + 12
         // clamp: a declared size overrunning the buffer bounds the walk,
         // it must not carry reads past the array
         moviEnd = math.min(off + 8L + size, b.length.toLong).toInt
       }
-      off += 8 + size + (size & 1)
+      off += 8L + size + (size & 1)
     }
     require(movi >= 0, s"doc $doc: no movi list")
     val mEnd = moviEnd
@@ -402,7 +405,9 @@ object Multimodal {
       private def advance(): (Long, Int, Int) = {
         while (p + 8 <= mEnd) {
           val id = cc(p); val size = u32(p + 4)
-          require(size >= 0 && p + 8L + size <= b.length,
+          // bounded by the movi LIST itself, not the whole buffer — a
+          // size carrying reads into trailing chunks (idx1) is corrupt
+          require(size >= 0 && p + 8L + size <= mEnd,
             s"doc $doc: corrupt frame chunk size $size at offset $p")
           val start = p + 8
           p += 8 + size + (size & 1)

@@ -66,10 +66,11 @@ private[graft] object GraftColStats {
     FileSystem.get(new java.net.URI(path), new Configuration())
 
   /** Types whose min/max are computed, persisted, and served. Floating
-    * bounds come from the data itself (exact aggregation), so the
-    * parquet-footer NaN-contamination that bars the PUSHDOWN path
-    * (GraftStats) does not apply here: Spark's own min/max skip NaN
-    * consistently with what estimation expects. */
+    * bounds need the NaN-free projection at aggregation time (Spark's
+    * min/max order NaN ABOVE every double — the same contamination that
+    * bars the parquet-footer PUSHDOWN path in GraftStats), and the serve
+    * side additionally refuses any non-finite bound from an older
+    * sidecar. */
   private def numericBounds(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType => true
@@ -129,6 +130,13 @@ private[graft] object GraftColStats {
         array((0 to histogramBins).map(i =>
           lit(i.toDouble / histogramBins)): _*),
         lit(10000)).as(s"pct_${f.name}")
+    } ++ histFields.collect {
+      // the histogram's height denominator: rows the bins actually cover
+      // (NaN rows fall outside every bin, so nn_ — which counts them as
+      // non-null — would overstate per-bin mass)
+      case f if f.dataType == FloatType || f.dataType == DoubleType =>
+        count(when(!isnan(col(f.name)), col(f.name)))
+          .cast(LongType).as(s"hn_${f.name}")
     } ++ fields.flatMap { f =>
       val c = col(f.name)
       val ndv = if (exact) countDistinct(c) else approx_count_distinct(c)
@@ -176,7 +184,14 @@ private[graft] object GraftColStats {
         val endpoints: Map[String, Seq[Double]] = histFields.flatMap { f =>
           val i = row.fieldIndex(s"pct_${f.name}")
           if (row.isNullAt(i)) None // all-null column: no histogram
-          else Some(f.name -> row.getSeq[Double](i))
+          else {
+            // a column holding ±Infinity yields non-finite endpoints —
+            // served bins would poison range arithmetic; skip its
+            // histogram (NDV/null/bounds still serve, bounds NaN-guarded)
+            val eps = row.getSeq[Double](i)
+            if (eps.forall(java.lang.Double.isFinite)) Some(f.name -> eps)
+            else None
+          }
         }.toMap
         val binAggs = endpoints.toSeq.flatMap { case (n, eps) =>
           (0 until histogramBins).map { b =>
@@ -196,7 +211,10 @@ private[graft] object GraftColStats {
               (eps(b), eps(b + 1),
                 if (brow.isNullAt(i)) 0L else brow.getLong(i))
             }
-            n -> (longAt(s"nn_$n").toDouble / histogramBins, bins)
+            val covered =
+              if (row.schema.fieldNames.contains(s"hn_$n")) longAt(s"hn_$n")
+              else longAt(s"nn_$n")
+            n -> (covered.toDouble / histogramBins, bins)
           }
         }
       }
@@ -322,7 +340,13 @@ private[graft] object GraftColStats {
               }) catch { case _: NumberFormatException => None }
             val mn = c.min.flatMap(boxed).filter(_ != null)
             val mx = c.max.flatMap(boxed).filter(_ != null)
-            val hg = c.hist.map { case (h, bs) =>
+            // a pre-guard sidecar may carry non-finite bin bounds — the
+            // same refusal as min/max: never serve them
+            val hg = c.hist.filter { case (h, bs) =>
+              java.lang.Double.isFinite(h) && bs.forall { case (lo, hi, _) =>
+                java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi)
+              }
+            }.map { case (h, bs) =>
               new org.apache.spark.sql.connector.read.colstats.Histogram {
                 override def height(): Double = h
                 override def bins() = bs.map { case (bLo, bHi, bNdv) =>
