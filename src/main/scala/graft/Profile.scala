@@ -14,7 +14,9 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   final case class JobRec(id: Int, var desc: String = "", var t0: Long = 0L,
       var t1: Long = 0L, var taskNanos: Long = 0L, var tasks: Int = 0,
-      var stages: Int = 0)
+      var stages: Int = 0,
+      val stageNames: scala.collection.mutable.ArrayBuffer[String] =
+        scala.collection.mutable.ArrayBuffer.empty)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,6 +53,7 @@ object Profile {
           r.taskNanos += si.taskMetrics.executorRunTime * 1000000L
           r.tasks += si.numTasks
           r.stages += 1
+          r.stageNames += si.name.takeWhile(_ != '\n')
         }
       }
     })
@@ -89,7 +92,9 @@ object Profile {
           println(f"  job ${r.id}%4d  +${(r.t0 - base) / 1e3}%8.3f s  " +
             f"wall ${(r.t1 - r.t0) / 1e3}%7.3f s  gap $gap%7.3f s  " +
             f"taskTime ${r.taskNanos / 1e9}%8.3f s  tasks ${r.tasks}%5d  " +
-            f"stages ${r.stages}%2d  ${r.desc.take(140)}")
+            f"stages ${r.stages}%2d  " +
+            (r.desc.take(60) + " | " +
+              r.stageNames.distinct.take(3).mkString("; ")).take(170))
         }
         val jobWall = recs.map(r => (r.t1 - r.t0) / 1e3).sum
         val gaps = wall - jobWall

@@ -78,6 +78,14 @@ object Pins {
   def releaseAll(): Unit = {
     val it = registry.iterator()
     while (it.hasNext) { unpersistLive(it.next()); it.remove() }
+    // the manifest-keyed World read memo shares this end-of-query lifecycle:
+    // reuse is valuable WITHIN one query (an index lifecycle re-reads the
+    // same sealed snapshot many times) but retained DataFrames keep their
+    // (often per-query isolated) SparkSessions alive, and across a 291-query
+    // suite that accumulation measurably slowed late-running queries —
+    // clear it with the pins (r17; measured +2-6 s regressions on the
+    // alphabetically-last index queries before the clear)
+    graft.world.World.clearReadMemo()
   }
 
   /** Pinned checkpoints not yet released (spec assertion surface). */

@@ -220,6 +220,19 @@ object Similarity {
       .limit(cap)
       .orderBy(col("vec_id"))
 
+  /** One bounded driver-side collect of [[trainerSample]] — the shared
+    * input of BOTH trainers below. Callers that train a coarse quantizer
+    * AND PQ codebooks over the same corpus (PqVectorIndex.initialize,
+    * ivfPqTopK) collect it ONCE and pass it to the `OnSample` variants:
+    * the two trainers' samples are identical by construction, and at scale
+    * each extra sample is a full corpus TakeOrdered pass (r17, guide §2.4
+    * — remove redundant passes outright). */
+  private[ops] def collectTrainerSample(corpus: DataFrame,
+      sampleCap: Int = 4096): Array[Array[Double]] =
+    trainerSample(corpus, sampleCap)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+
   /** Train IVF coarse-quantizer centroids driver-side: deterministic
     * md5-membership, id-ordered sample ([[trainerSample]]), seeded
     * evenly-spaced init, a few Lloyd iterations. The collect is bounded
@@ -227,10 +240,14 @@ object Similarity {
     * at cluster scale the same loop runs as [[trainCentroidsDistributed]]
     * with the identical result contract. Returns row-major nlist*dim. */
   def trainCentroids(corpus: DataFrame, nlist: Int, dim: Int,
-      iters: Int = 5, sampleCap: Int = 4096): (Array[Double], Int) = {
-    val sample = trainerSample(corpus, sampleCap)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      iters: Int = 5, sampleCap: Int = 4096): (Array[Double], Int) =
+    trainCentroidsOnSample(collectTrainerSample(corpus, sampleCap),
+      nlist, dim, iters)
+
+  /** [[trainCentroids]] over an already-collected sample (bit-identical
+    * results — the Lloyd loop is untouched). */
+  private[ops] def trainCentroidsOnSample(sample: Array[Array[Double]],
+      nlist: Int, dim: Int, iters: Int = 5): (Array[Double], Int) = {
     require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
     val k = math.min(nlist, sample.length)
     val step = sample.length / k
@@ -457,12 +474,16 @@ object Similarity {
     * (codebooks flat row-major `m*ksub*subDim`, actual ksub) — actual ksub
     * < requested only when the sample is smaller than `ksub`. */
   def trainPqCodebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
-      iters: Int = 5, sampleCap: Int = 4096): (Array[Double], Int) = {
+      iters: Int = 5, sampleCap: Int = 4096): (Array[Double], Int) =
+    trainPqCodebooksOnSample(collectTrainerSample(corpus, sampleCap),
+      m, ksub, dim, iters)
+
+  /** [[trainPqCodebooks]] over an already-collected sample (bit-identical
+    * results — the per-subspace Lloyd loop is untouched). */
+  private[ops] def trainPqCodebooksOnSample(sample: Array[Array[Double]],
+      m: Int, ksub: Int, dim: Int, iters: Int = 5): (Array[Double], Int) = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
-    val sample = trainerSample(corpus, sampleCap)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
     val k = math.min(ksub, sample.length)
     val flat = (0 until m).flatMap { s =>
@@ -547,8 +568,10 @@ object Similarity {
       nlist: Int = 64, nprobe: Int = 8, m: Int = 8, ksub: Int = 16,
       dim: Int = DefaultDim, shortlist: Int = 64): DataFrame = {
     val subDim = dim / m
-    val (coarse, actualLists) = trainCentroids(corpus, nlist, dim)
-    val (cb, actualK) = trainPqCodebooks(corpus, m, ksub, dim)
+    // ONE sample pass feeds both trainers (identical sample by construction)
+    val sample = collectTrainerSample(corpus)
+    val (coarse, actualLists) = trainCentroidsOnSample(sample, nlist, dim)
+    val (cb, actualK) = trainPqCodebooksOnSample(sample, m, ksub, dim)
     val probes = math.min(nprobe, actualLists)
     val codes = pqCodes(corpus, "t_id", cb, m, actualK, subDim)
     val tl = corpus.select(col("vec_id").as("t_id"),

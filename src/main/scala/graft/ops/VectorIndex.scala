@@ -354,9 +354,13 @@ final class PqVectorIndex(
     val snap = spark.read.format("graft")
       .option("graft.snapshot", v1.toString).load(basePath)
       .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    val (cents, k) = Similarity.trainCentroids(snap, nlist, dim)
+    // ONE bounded sample collect trains BOTH the coarse quantizer and the
+    // PQ codebooks (identical sample by construction — r17; the second
+    // TakeOrdered pass over the corpus was pure repetition)
+    val sample = Similarity.collectTrainerSample(snap)
+    val (cents, k) = Similarity.trainCentroidsOnSample(sample, nlist, dim)
     inner.persistCentroids(cents, k)
-    val (cb, actualK) = Similarity.trainPqCodebooks(snap, m, ksub, dim)
+    val (cb, actualK) = Similarity.trainPqCodebooksOnSample(sample, m, ksub, dim)
     writeCodebooks(cb, actualK)
     val st = codedRows(
       snap.select(col("vec_id").as(idCol), col("embedding").as(vecCol)),

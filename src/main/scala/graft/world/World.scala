@@ -216,6 +216,28 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
   private def dfOver(
       entries: Seq[graft.sources.GraftVersions.ManifestEntry]): DataFrame = {
     if (entries.isEmpty) return emptyDf
+    // memoized per (session, path, exact entry set): a manifest-resolved
+    // snapshot is IMMUTABLE — any commit produces a different entry list
+    // (rels/sizes/dv names), so a signature hit can only ever reuse the
+    // identical file set. What the memo saves is METADATA work repeated on
+    // every read of an unchanged world — the file-listing job, the parquet
+    // footer schema inference, and Catalyst re-analysis — never row data:
+    // each query still scans the parquet files themselves (r17, guide §6:
+    // "manifest metadata avoids directory listing" is only an advantage if
+    // the read path doesn't relist per query).
+    if (!World.readMemoEnabled) return dfOverUncached(entries)
+    val sig = (entries.map(e => (e.rel, e.size, e.dv)), spark, path)
+    World.readMemo.get(sig) match {
+      case Some(cached) => return cached
+      case None => ()
+    }
+    val built = dfOverUncached(entries)
+    World.readMemo.put(sig, built)
+    built
+  }
+
+  private def dfOverUncached(
+      entries: Seq[graft.sources.GraftVersions.ManifestEntry]): DataFrame = {
     val fs = fileSystem
     val root = new org.apache.hadoop.fs.Path(path)
     val base = spark.read.option("basePath", path)
@@ -765,6 +787,32 @@ object World {
     * Dim order is declaration order; the first pair is dim 0 (the id). */
   def apply(spark: SparkSession, path: String)(dims: (String, DimMapping)*): World =
     new World(spark, path, dims.map { case (c, m) => DimSpec(c, m) })
+
+  /** Bounded LRU of manifest-addressed read frames (see [[World.dfOver]]):
+    * key = (exact entry signature, session, path), value = the analyzed
+    * DataFrame over those files. Capped small — entries are metadata-sized,
+    * but each value pins its SparkSession; eviction keeps stopped test
+    * sessions collectable. Synchronized: reads race with maintenance
+    * writers at most per-query, never per-row. */
+  /** Dev kill switch for A/B measurement: -Dgraft.world.readMemo=off. */
+  private[world] def readMemoEnabled: Boolean =
+    !sys.props.get("graft.world.readMemo").contains("off")
+
+  /** Drop every memoized read frame — called by [[graft.ops.Pins.releaseAll]]
+    * at end-of-query so memoized DataFrames (and the SparkSessions they
+    * reference) never accumulate across a suite. */
+  def clearReadMemo(): Unit = readMemo.clear()
+
+  private[world] object readMemo {
+    private val MaxEntries = 128
+    private val m = new java.util.LinkedHashMap[Any, DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, DataFrame]): Boolean = size() > MaxEntries
+    }
+    def get(k: Any): Option[DataFrame] = m.synchronized(Option(m.get(k)))
+    def put(k: Any, v: DataFrame): Unit = m.synchronized { m.put(k, v); () }
+    def clear(): Unit = m.synchronized(m.clear())
+  }
 }
 
 /** Composable selection — `Select` (/root/reference/src/world.rs:588-644).
