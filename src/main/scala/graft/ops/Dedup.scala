@@ -167,9 +167,19 @@ object Dedup {
     val dimCol = world.dims.head.column
     val spark = batch.sparkSession
 
-    val sigs = parallelize(batch).withColumn("__sig", simhash(col(textCol)))
+    // ONE simhash pass per batch (r17, guide §2.4): the signature kernel is
+    // the batch's dominant per-row cost, and unpinned it re-executed for
+    // every consumer — the block self-join, the store probe, and the
+    // registration rows each paid a full text pass. The batch pins once
+    // (original columns; the survivor frames below re-derive from it by
+    // id), the signatures pin as a NARROW (id, __sig) frame — two longs a
+    // row — and every block view derives from that arithmetically. Caller
+    // releases via Pins.releaseAll, as with every pin in this family.
+    val base = Pins.pin(parallelize(batch))
+    val sigKeys = Pins.pin(
+      base.select(col(idCol), simhash(col(textCol)).as("__sig")))
     // block rows: probe_key packs (blockIdx, blockValue) into one join key
-    def blocksOf(df: DataFrame): DataFrame = df
+    def blocksOf(keys: DataFrame): DataFrame = keys
       .select(col(idCol), col("__sig"),
         explode(sequence(lit(0), lit(nBlocks - 1))).as("__bi"))
       .select(col(idCol), col("__sig"), col("__bi"),
@@ -178,7 +188,7 @@ object Dedup {
             .bitwiseAND(lit((1L << bits) - 1))).as("__key"))
 
     // (1) within-batch: drop every id with a smaller near-dup id
-    val batchBlocks = blocksOf(sigs)
+    val batchBlocks = blocksOf(sigKeys)
     val intraDrops = batchBlocks
       .select(col(idCol).as("__ia"), col("__sig").as("__ha"), col("__key"))
       .join(batchBlocks.select(col(idCol).as("__ib"), col("__sig").as("__hb"),
@@ -187,14 +197,10 @@ object Dedup {
       .select("__ia", "__ha", "__ib", "__hb").distinct()
       .where(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxDist)
       .select(col("__ib").as(idCol)).distinct()
-    // pinned: intra is the shared subtree of the store probe, the fresh
-    // anti-join, AND the registration rows — unpinned, the simhash pass
-    // and the quadratic-candidate self-join above would re-execute once
-    // per consumer on every batch (released by the caller via
-    // Pins.releaseAll, like every pin in this family)
-    val intra = Pins.pin(sigs.join(intraDrops, Seq(idCol), "left_anti"))
+    // within-batch survivors, as narrow signature rows
+    val intraKeys = sigKeys.join(intraDrops, Seq(idCol), "left_anti")
 
-    def blockRows(df: DataFrame): DataFrame = blocksOf(df).select(
+    def blockRows(keys: DataFrame): DataFrame = blocksOf(keys).select(
       (col(idCol) * nBlocks + col("__bi")).as(dimCol),
       col("__key").as("probe_key"),
       col(idCol).as("seen_id"),
@@ -207,17 +213,17 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(world.path)
     val virgin = !fs.exists(root) || fs.listStatus(root).isEmpty
     if (virgin) {
-      val fresh = intra.drop("__sig")
+      val fresh = base.join(intraDrops, Seq(idCol), "left_anti")
       onFresh(fresh)
       // register ALL observed docs (the within-batch losers too — see the
-      // non-transitivity note in the scaladoc); re-deriving from `sigs` is
-      // one extra map-only simhash pass, no shuffle. Kept-only mode
+      // non-transitivity note in the scaladoc); the rows derive from the
+      // PINNED signature frame, no extra text pass. Kept-only mode
       // registers just the within-batch winners (= this batch's admissions).
-      world.create(blockRows(if (registerLosers) sigs else intra))
+      world.create(blockRows(if (registerLosers) sigKeys else intraKeys))
       fresh
     } else {
       // (2) cross-batch: candidates from the probe-key equality join only
-      val hitPairs = blocksOf(intra)
+      val hitPairs = blocksOf(intraKeys)
         .join(world.df.select(col("probe_key").as("__key"),
           col("seen_id"), col("seen_sig")), Seq("__key"))
         .select(col(idCol), col("__sig"), col("seen_id"), col("seen_sig"))
@@ -232,26 +238,29 @@ object Dedup {
       // pinned BEFORE the store mutates — same self-anti-join trap as
       // incrementalDedup (see the scaladoc there); released by the caller
       // via Pins.releaseAll after the consuming action
-      val freshSigs = Pins.pin(intra.join(crossDrops, Seq(idCol), "left_anti"))
-      val fresh = freshSigs.drop("__sig")
+      val fresh = Pins.pin(base
+        .join(intraDrops, Seq(idCol), "left_anti")
+        .join(crossDrops, Seq(idCol), "left_anti"))
       onFresh(fresh)
       if (registerLosers) {
         // (3) register ALL observed docs, losers included (non-transitivity:
         // a future doc near only a loser must still be caught); tryInsert
         // keeps a replayed batch idempotent and repairs partial registration
-        world.tryInsert(blockRows(sigs))
+        world.tryInsert(blockRows(sigKeys))
       } else {
         // kept-only: register admissions plus SELF-hit replays (a self hit
         // proves a prior run admitted this doc, so its possibly-partial
         // registration must be completed — same repair contract as the
-        // default mode, restricted to docs that ever registered). Pinned
-        // BEFORE tryInsert: selfHitSigs' plan reads world.df, and feeding
-        // an unpinned store-reading plan into the store's own mutation is
-        // the self-anti-join trap the freshSigs pin already guards.
+        // default mode, restricted to docs that ever registered). The id
+        // set pins BEFORE tryInsert: selfHits' plan reads world.df, and
+        // feeding an unpinned store-reading plan into the store's own
+        // mutation is the self-anti-join trap the fresh pin already guards.
         val selfHits = hitPairs.where(col("seen_id") === col(idCol))
           .select(idCol).distinct()
-        val selfHitSigs = Pins.pin(intra.join(selfHits, Seq(idCol), "left_semi"))
-        world.tryInsert(blockRows(freshSigs.unionByName(selfHitSigs)))
+        val regIds = Pins.pin(
+          fresh.select(col(idCol)).unionByName(selfHits))
+        world.tryInsert(blockRows(
+          sigKeys.join(regIds, Seq(idCol), "left_semi")))
       }
       fresh
     }
@@ -297,29 +306,37 @@ object Dedup {
     val dimCol = world.dims.head.column
     val spark = batch.sparkSession
 
-    val withSh = parallelize(batch).withColumn("__sh", shingles(col(textCol)))
-    // banded keys per doc, one fused codegen'd pass (see minhashLshPairs);
-    // the .distinct() in the self-join input is the same semantic no-op
-    // that plants an Exchange so ReuseExchange hashes the corpus ONCE
-    def bandsOf(df: DataFrame): DataFrame = df
+    // ONE shingle+banding pass per batch (r17, guide §2.4): the fused
+    // shingle→signature→band-key kernel is the batch's dominant per-row
+    // cost, and unpinned it re-executed for every consumer — the band
+    // self-join, the store probe, and the registration rows each paid a
+    // full kernel pass (measured ~3 passes per batch in d_minhash_inc).
+    // The batch pins once (original columns; survivor frames re-derive
+    // from it by id), the band keys pin as a NARROW (id, band, bh) frame —
+    // three longs a row — every view below derives from. Caller releases
+    // via Pins.releaseAll, as with every pin in this family.
+    val base = Pins.pin(parallelize(batch))
+    val bandKeys = Pins.pin(base
+      .select(col(idCol), shingles(col(textCol)).as("__sh"))
       .where(size(col("__sh")) > 0)
       .select(col(idCol), posexplode(
         graft.functions.MinHashBandKeys(col("__sh"), numHashes, bands))
-        .as(Seq("__band", "__bh")))
+        .as(Seq("__band", "__bh"))))
 
-    // (1) within-batch: any band collision decides; smaller id wins
-    val batchBands = bandsOf(withSh).distinct()
-    val intraDrops = batchBands
+    // (1) within-batch: any band collision decides; smaller id wins.
+    // Rows are (doc, band)-unique by construction (posexplode of one key
+    // per band), so the pinned frame joins with itself directly — the old
+    // planted-Exchange .distinct() reuse trick is superseded by the pin.
+    val intraDrops = bandKeys
       .select(col(idCol).as("__ia"), col("__band"), col("__bh"))
-      .join(batchBands.select(col(idCol).as("__ib"), col("__band"),
+      .join(bandKeys.select(col(idCol).as("__ib"), col("__band"),
         col("__bh")), Seq("__band", "__bh"))
       .where(col("__ia") < col("__ib"))
       .select(col("__ib").as(idCol)).distinct()
-    // pinned: shared subtree of the store probe, the fresh anti-join and
-    // the registration (released by the caller via Pins.releaseAll)
-    val intra = Pins.pin(withSh.join(intraDrops, Seq(idCol), "left_anti"))
+    // within-batch survivors, as narrow band-key rows
+    val keptKeys = bandKeys.join(intraDrops, Seq(idCol), "left_anti")
 
-    def bandRows(df: DataFrame): DataFrame = bandsOf(df).select(
+    def bandRows(keys: DataFrame): DataFrame = keys.select(
       (col(idCol) * bands + col("__band")).as(dimCol),
       col("__band").cast("long").as("band"),
       col("__bh").as("bh"),
@@ -332,33 +349,37 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(world.path)
     val virgin = !fs.exists(root) || fs.listStatus(root).isEmpty
     if (virgin) {
-      val fresh = intra.drop("__sh")
+      val fresh = base.join(intraDrops, Seq(idCol), "left_anti")
       onFresh(fresh)
-      world.create(bandRows(if (registerLosers) withSh else intra))
+      world.create(bandRows(if (registerLosers) bandKeys else keptKeys))
       fresh
     } else {
       // (2) cross-batch: candidates from the (band, bh) equality join only
-      val hits = bandsOf(intra)
+      val hits = keptKeys
         .join(world.df.select(col("band").as("__band"), col("bh").as("__bh"),
           col("seen_id")), Seq("__band", "__bh"))
         .select(col(idCol), col("seen_id")).distinct()
       val crossDrops = hits.select(idCol).distinct()
       // pinned BEFORE the store mutates — the self-anti-join trap, see
       // incrementalDedup's scaladoc
-      val freshSh = Pins.pin(intra.join(crossDrops, Seq(idCol), "left_anti"))
-      val fresh = freshSh.drop("__sh")
+      val fresh = Pins.pin(base
+        .join(intraDrops, Seq(idCol), "left_anti")
+        .join(crossDrops, Seq(idCol), "left_anti"))
       onFresh(fresh)
       if (registerLosers) {
         // (3) all observed docs register, losers included; tryInsert keeps
         // replays idempotent and repairs partial registration
-        world.tryInsert(bandRows(withSh))
+        world.tryInsert(bandRows(bandKeys))
       } else {
         // kept-only: admissions plus SELF-hit replays (repair contract as
-        // the SimHash sibling), pinned before feeding the store's mutation
+        // the SimHash sibling); the id set pins before feeding the store's
+        // mutation
         val selfHits = hits.where(col("seen_id") === col(idCol))
           .select(idCol).distinct()
-        val selfHitSh = Pins.pin(intra.join(selfHits, Seq(idCol), "left_semi"))
-        world.tryInsert(bandRows(freshSh.unionByName(selfHitSh)))
+        val regIds = Pins.pin(
+          fresh.select(col(idCol)).unionByName(selfHits))
+        world.tryInsert(bandRows(
+          bandKeys.join(regIds, Seq(idCol), "left_semi")))
       }
       fresh
     }
