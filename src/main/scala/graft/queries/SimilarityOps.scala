@@ -459,14 +459,15 @@ object SimilarityOps {
             }
           }
         }
-        val ys = (0 until 8).map { j =>
-          aggregate(
-            zip_with(col("embedding"), typedLit(mat(j)),
-              (x, g) => round(x.cast("double") * lit(1e6), 0).cast("long") * g),
-            lit(0L), (acc, v) => acc + v)
-        }
+        // one native codegen'd pass (r17): the 8 aggregate(zip_with(...))
+        // chains evaluated INTERPRETED (HOFs are CodegenFallback), reading
+        // the embedding 8 times per row through per-element closures —
+        // IntMatProject computes the identical integer arithmetic in one
+        // loop (IntMatProjectSpec pins kernel == HOF chain bit-for-bit)
         t(s, dir, "embeddings")
-          .select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("j", "y_u")))
+          .select(col("vec_id"), posexplode(
+            graft.functions.IntMatProject(col("embedding"), mat.flatten, 8))
+            .as(Seq("j", "y_u")))
           .select(col("vec_id"), col("j").cast("long").as("j"), col("y_u"))
           .orderBy("vec_id", "j")
       },
