@@ -74,11 +74,81 @@ object WinnowFingerprints {
     * into unpaired halves that UTF-8-encode as '?' and collide across
     * distinct texts (spurious shared fingerprints in a dedup gate). */
   def compute(text: UTF8String, k: Int, w: Int): GenericArrayData = {
-    val s = text.toString
+    // r17 (guide §1.2 per-task work): the original path did
+    // `s.substring(gram).getBytes(UTF_8)` per gram — a String + byte[]
+    // allocation and a UTF-16→UTF-8 re-encode for EVERY gram of every
+    // document, dominating the md5 itself. The input is already UTF-8:
+    // walk codepoint BYTE offsets once and feed md5 straight from the one
+    // byte array (digest into a reused buffer, no per-gram allocation).
+    // Identical output: md5 over the same bytes. A malformed UTF-8 byte
+    // (impossible for Spark-produced strings, defensively handled anyway)
+    // falls back to the original String walk, whose replacement-char
+    // behavior the r16 kernel defined.
+    val bytes = text.getBytes
+    val len = bytes.length
+    var total = 0
+    var bi = 0
+    var valid = true
+    while (bi < len && valid) {
+      val b0 = bytes(bi) & 0xff
+      val cl =
+        if (b0 < 0x80) 1
+        else if ((b0 & 0xe0) == 0xc0) 2
+        else if ((b0 & 0xf0) == 0xe0) 3
+        else if ((b0 & 0xf8) == 0xf0) 4
+        else { valid = false; 1 }
+      if (bi + cl > len) valid = false
+      else {
+        var q = bi + 1
+        while (q < bi + cl && valid) {
+          if ((bytes(q) & 0xc0) != 0x80) valid = false
+          q += 1
+        }
+      }
+      bi += cl
+      total += 1
+    }
+    if (!valid) return computeViaString(text.toString, k, w)
+    val n = total - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    // codepoint byte-start offsets, one pass (starts(total) closes the
+    // last gram)
+    val starts = new Array[Int](total + 1)
+    bi = 0
+    var cc = 0
+    while (bi < len) {
+      starts(cc) = bi
+      val b0 = bytes(bi) & 0xff
+      bi += (if (b0 < 0x80) 1 else if ((b0 & 0xe0) == 0xc0) 2
+             else if ((b0 & 0xf0) == 0xe0) 3 else 4)
+      cc += 1
+    }
+    starts(total) = len
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new Array[Byte](16)
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.update(bytes, starts(i), starts(i + k) - starts(i))
+      md.digest(dig, 0, 16)
+      // first 13 hex digits = top 52 bits: take 7 big-endian bytes (56
+      // bits), drop the low nibble — identical to BIGINT('0x' || the 13
+      // leading hex chars) on the oracle side
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (dig(b) & 0xff); b += 1 }
+      h(i) = v >>> 4
+      i += 1
+    }
+    winnowSelect(h, n, w)
+  }
+
+  /** Original String-walk form — the fallback for malformed UTF-8 input,
+    * byte-identical to the r16 kernel (replacement-char semantics). */
+  private def computeViaString(s: String, k: Int, w: Int): GenericArrayData = {
     val total = s.codePointCount(0, s.length)
     val n = total - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
-    // codepoint start offsets, one pass (starts(total) closes the last gram)
     val starts = new Array[Int](total + 1)
     var ci = 0
     var cc = 0
@@ -95,15 +165,17 @@ object WinnowFingerprints {
       val d = md.digest(s.substring(starts(i), starts(i + k)).getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       md.reset()
-      // first 13 hex digits = top 52 bits: take 7 big-endian bytes (56
-      // bits), drop the low nibble — identical to BIGINT('0x' || the 13
-      // leading hex chars) on the oracle side
       var v = 0L
       var b = 0
       while (b < 7) { v = (v << 8) | (d(b) & 0xff); b += 1 }
       h(i) = v >>> 4
       i += 1
     }
+    winnowSelect(h, n, w)
+  }
+
+  /** Shared winnow-window selection over the gram hashes. */
+  private def winnowSelect(h: Array[Long], n: Int, w: Int): GenericArrayData = {
     val sel = new java.util.TreeSet[java.lang.Long]()
     val nWin = math.max(n - w + 1, 1)
     var j = 0

@@ -98,4 +98,14 @@ class WinnowFingerprintsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(run("CODEGEN_ONLY") == run("NO_CODEGEN"))
   }
+  test("r17 byte-walk equals the String walk on mixed multibyte text") {
+    // the optimized kernel walks UTF-8 byte offsets directly; this pins it
+    // against the independent codepoint/String reference on text mixing
+    // 1-, 2-, 3- and 4-byte encodings at every gram boundary
+    val ext = new String(Character.toChars(0x20000))
+    val mixed = s"a\u00e9\u4e2d${ext}b\u00fc\u65e5${ext}cdef\u00e8\u4e16xyz"
+    for ((k, w) <- Seq((8, 4), (3, 2), (2, 5)))
+      assert(fps(mixed, k, w) == reference(mixed, k, w), s"k=$k w=$w")
+  }
+
 }
