@@ -1,0 +1,219 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapred.FileSplit
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetInputFormat}
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** VECTORIZED read path for the graft connector (r17, guide §1.2 per-task
+  * work): the original `GraftPartitionReader` materializes every row
+  * through parquet-hadoop's Group API — a boxed object per value, a
+  * field-name→index STRING lookup per field per row, a `DataType` pattern
+  * match per field per row — which measured ~10× the task time of Spark's
+  * own parquet scan on identical bytes. This path reads through Spark's
+  * `VectorizedParquetRecordReader` (the same columnar decoder vanilla
+  * parquet scans use) and serves `ColumnarBatch`es straight to the exec
+  * layer, with whole-stage codegen consuming vectors instead of
+  * `GenericInternalRow`s.
+  *
+  * Scope (decided SCAN-UNIFORMLY on the driver and stamped into every
+  * partition, because Spark forbids mixing row and columnar partitions in
+  * one scan): data reads with no deletion vector on any planned file, no
+  * `_pos` row-address column (ordinal bookkeeping stays on the row
+  * reader), and only types the repo's worlds actually store (atomics +
+  * arrays of atomics). Everything the row reader resolves PER FILE —
+  * rename aliases, schema-evolution null columns, ADD COLUMN existence
+  * defaults, INT32→BIGINT widened files (the vectorized reader widens
+  * natively since Spark 4.0) — is resolved identically here: present data
+  * fields are requested under their in-file name at the required type;
+  * constants (bucket values, `_cell`, `_file`, defaults, missing-column
+  * nulls) ride `initBatch`'s partition-value vectors; a final wrapper
+  * batch reorders the vectors to the required column order.
+  *
+  * Residual filters become block-level parquet predicates exactly as on
+  * the row path (row-group skip by stats; Spark re-checks residuals above
+  * the scan, so the predicate only ever has to keep a superset). Record-
+  * and page-level parquet filtering are explicitly disabled — batch
+  * semantics want whole row groups, and the skipping that matters at
+  * 100 TB (files via blooms/zone maps, row groups via stats) happens
+  * before any page is read.
+  */
+object GraftColumnar {
+  /** Session escape hatch, mirroring Spark's own vectorized-reader flag. */
+  def enabled: Boolean =
+    org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.sql.parquet.enableVectorizedReader", "true") != "false"
+
+  private def atomicOk(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+         StringType | BinaryType | TimestampType => true
+    case _ => false
+  }
+
+  /** Can every required column be served from vectors? Bucket/_cell/_file
+    * columns are per-partition constants (always fine); `_pos` needs the
+    * row reader's ordinal cursor; data columns must be atomics or arrays
+    * of atomics (what worlds store — see GraftPartitionReader's matrix). */
+  def supportedSchema(required: StructType): Boolean =
+    required.fields.forall { f =>
+      if (GraftDataSource.isBucket(f.name)) true
+      else if (f.name == GraftDataSource.CellColumn ||
+        f.name == GraftDataSource.FileColumn) true
+      else if (f.name == GraftDataSource.PosColumn) false
+      else f.dataType match {
+        case ArrayType(et, _) => atomicOk(et)
+        case dt               => atomicOk(dt)
+      }
+    }
+}
+
+class GraftColumnarPartitionReader(p: GraftInputPartition,
+    required: StructType,
+    residual: Array[Filter] = Array.empty,
+    aliases: Map[String, Seq[String]] = Map.empty)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val conf = new Configuration()
+  private var reader: VectorizedParquetRecordReader = _
+  private var out: ColumnarBatch = _
+  private var emittedRows = 0L
+
+  locally {
+    val filePath = new Path(p.file)
+    val inFile = HadoopInputFile.fromPath(filePath, conf)
+    val pfr = ParquetFileReader.open(inFile)
+    val (fileSchema, fileLen, footer) =
+      try (pfr.getFooter.getFileMetaData.getSchema, inFile.getLength,
+        pfr.getFooter)
+      finally pfr.close()
+
+    def fieldInFile(name: String): Option[String] =
+      GraftDataSource.resolveInFile(fileSchema, name, aliases)
+
+    // split the required fields: data columns present in this file (read
+    // through the vectorized reader under their in-file name at the
+    // required type) vs per-partition constants (buckets, _cell, _file,
+    // existence defaults, missing-column nulls)
+    final case class Const(dt: DataType, value: Any)
+    val resolved: Array[Either[Const, String]] = required.fields.map { f =>
+      if (GraftDataSource.isBucket(f.name))
+        Left(Const(f.dataType, p.buckets.get(f.name).map { v =>
+          f.dataType match {
+            case IntegerType => v.toInt: Any
+            case _           => v: Any
+          }
+        }.orNull))
+      else if (f.name == GraftDataSource.CellColumn)
+        Left(Const(f.dataType,
+          UTF8String.fromString(GraftDataSource.cellString(p.buckets))))
+      else if (f.name == GraftDataSource.FileColumn)
+        Left(Const(f.dataType, UTF8String.fromString(p.file)))
+      else fieldInFile(f.name) match {
+        case Some(inFileName) => Right(inFileName)
+        case None if f.metadata.contains("EXISTS_DEFAULT") =>
+          Left(Const(f.dataType,
+            org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+              .getExistenceDefaultValue(f)))
+        case None => Left(Const(f.dataType, null))
+      }
+    }
+    val dataIdx = resolved.zipWithIndex.collect { case (Right(_), i) => i }
+    val constIdx = resolved.zipWithIndex.collect { case (Left(_), i) => i }
+    val requestedSchema = StructType(dataIdx.map { i =>
+      StructField(resolved(i).toOption.get, required.fields(i).dataType,
+        nullable = true)
+    })
+    val constSchema = StructType(constIdx.map { i =>
+      StructField(required.fields(i).name, required.fields(i).dataType,
+        nullable = true)
+    })
+    val constRow: InternalRow = new GenericInternalRow(
+      constIdx.map(i => resolved(i).swap.toOption.get.value: Any))
+
+    // ---- hadoop conf the vectorized reader's ReadSupport consults ----
+    conf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport]
+        .getName)
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+      requestedSchema.json)
+    conf.set(SQLConf.PARQUET_BINARY_AS_STRING.key, "false")
+    conf.set(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, "true")
+    conf.set(SQLConf.CASE_SENSITIVE.key, "false")
+    conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "true")
+    conf.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
+    conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "false")
+    // block-level predicate only: stats row-group skip, no record/page
+    // filtering (Spark re-checks residuals row-exactly above the scan)
+    conf.set(ParquetInputFormat.RECORD_FILTERING_ENABLED, "false")
+    conf.set(ParquetInputFormat.COLUMN_INDEX_FILTERING_ENABLED, "false")
+    conf.set(ParquetInputFormat.DICTIONARY_FILTERING_ENABLED, "false")
+    val types = required.fields.map(f => f.name -> f.dataType).toMap
+    val preds = residual.toSeq
+      .filter(_.references.forall(r => fileSchema.containsField(r) &&
+        GraftDataSource.parquetPredicateCompatible(fileSchema, r, types.get(r))))
+      .flatMap(GraftDataSource.toParquetPredicate(_, types))
+    preds.reduceOption(
+        org.apache.parquet.filter2.predicate.FilterApi.and(_, _))
+      .foreach(ParquetInputFormat.setFilterPredicate(conf, _))
+
+    reader = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+    val split = new FileSplit(filePath, 0, fileLen, Array.empty[String])
+    val ctx = new TaskAttemptContextImpl(conf,
+      new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP, 0), 0))
+    // footer reuse only when no predicate: a filtered read re-opens so the
+    // parquet reader applies its own block-level row-group filtering
+    val footerOpt: Option[org.apache.parquet.hadoop.metadata.ParquetMetadata] =
+      if (preds.isEmpty) Some(footer) else None
+    var ok = false
+    try {
+      reader.initialize(split, ctx,
+        if (footerOpt.isDefined) Some(inFile) else None, None, footerOpt)
+      reader.initBatch(constSchema, constRow)
+      val rb = reader.resultBatch()
+      // reorder to the required column order: data columns come first in
+      // requested order, then the constant columns initBatch appended
+      val dataPos = dataIdx.zipWithIndex.toMap
+      val constPos = constIdx.zipWithIndex.toMap
+      val cols: Array[ColumnVector] = required.fields.indices.map { i =>
+        dataPos.get(i) match {
+          case Some(dp) => rb.column(dp)
+          case None     => rb.column(requestedSchema.length + constPos(i))
+        }
+      }.toArray
+      out = new ColumnarBatch(cols)
+      ok = true
+    } finally if (!ok) reader.close()
+  }
+
+  override def next(): Boolean = {
+    if (p.limit >= 0 && emittedRows >= p.limit) return false
+    if (!reader.nextBatch()) return false
+    var n = reader.resultBatch().numRows()
+    // pushed per-partition limit: truncate the final batch (batch vectors
+    // are positional from row 0, so keeping the first k rows is exact)
+    if (p.limit >= 0 && emittedRows + n > p.limit)
+      n = (p.limit - emittedRows).toInt
+    out.setNumRows(n)
+    emittedRows += n
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = out
+
+  override def close(): Unit = if (reader != null) reader.close()
+}

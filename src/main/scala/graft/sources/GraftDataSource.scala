@@ -1347,7 +1347,12 @@ final case class GraftInputPartition(file: String, buckets: Map[String, Long],
     // merge-on-read deletion vector of this file: absolute sidecar path +
     // deleted-row count (null = no deletes); the reader skips exactly
     // these physical ordinals
-    dvPath: String = null, dvCount: Long = 0L)
+    dvPath: String = null, dvCount: Long = 0L,
+    // vectorized read (r17): decided SCAN-UNIFORMLY by planInputPartitions
+    // (Spark forbids mixing row and columnar partitions in one scan) —
+    // true only when NO planned file carries a deletion vector and the
+    // required schema is vector-servable (GraftColumnar.supportedSchema)
+    columnar: Boolean = false)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(keyVals.map(v => v: Any))
@@ -1652,6 +1657,9 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
           (_, e.dv.get._2)), e.sstats)
       })
       fileRecorder.foreach { r => r.clear(); survivors.foreach(x => r.add(x._1)) }
+      val columnarOk = hasDataCols && GraftColumnar.enabled &&
+        GraftColumnar.supportedSchema(required) &&
+        survivors.forall(_._3.isEmpty)
       return survivors
         .map { case (f, b, dv) =>
           // getOrElse: a pre-regrid file lacks buckets a later geometry
@@ -1660,7 +1668,8 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
           GraftInputPartition(f, b, !hasDataCols, -1,
             keys.map(b.getOrElse(_, -1L)),
             dvPath = dv.map(_._1).orNull,
-            dvCount = dv.map(_._2).getOrElse(0L)): InputPartition
+            dvCount = dv.map(_._2).getOrElse(0L),
+            columnar = columnarOk): InputPartition
         }.toArray
     }
     val planned: Seq[(Path, Map[String, Long], Seq[GraftDataSource.FileRef])] =
@@ -1726,11 +1735,15 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       r.clear()
       survivors.foreach { case (f, _, _) => r.add(new Path(f).toUri.getPath) }
     }
+    val columnarOk = hasDataCols && GraftColumnar.enabled &&
+      GraftColumnar.supportedSchema(required) &&
+      survivors.forall(_._3.isEmpty)
     survivors.map { case (p, b, dv) =>
       GraftInputPartition(p, b, !hasDataCols, limit,
         keys.map(b(_)),
         dvPath = dv.map(_._1).orNull,
-        dvCount = dv.map(_._2).getOrElse(0L)): InputPartition
+        dvCount = dv.map(_._2).getOrElse(0L),
+        columnar = columnarOk): InputPartition
     }.toArray
   }
 
@@ -1746,6 +1759,16 @@ class GraftReaderFactory(required: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], required,
       residual, aliases)
+
+  // r17 vectorized path: the flag is stamped scan-uniformly at planning
+  // (see GraftInputPartition.columnar), so a scan is all-columnar or
+  // all-row — the mixing Spark's exec layer forbids cannot arise
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.asInstanceOf[GraftInputPartition].columnar
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarPartitionReader(
+      partition.asInstanceOf[GraftInputPartition], required, residual, aliases)
 }
 
 /** Reads one chunk file with parquet-hadoop's Group API, projecting to the

@@ -440,8 +440,13 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     w.create((0L until 100L).map(i => (i, i, s"tag_${i % 7}")).toDF("d0", "d1", "s"))
     val df = spark.read.format("graft").load(w.path)
     // a data-column equality: no chunk pruning (all 10 dirs scanned), but the
-    // record filter inside each reader drops everything else — the scan
-    // emits 1 row, not 100
+    // predicate inside each reader skips every ROW GROUP whose stats exclude
+    // it — 9 of the 10 files emit nothing. r17's vectorized path filters at
+    // block granularity like vanilla parquet (the surviving file's 10 rows
+    // surface and Spark's re-check drops 9 of them); the pre-r17 row reader
+    // additionally record-filtered to exactly 1. Both are correct (the scan
+    // only ever has to emit a superset); the bound pinned here is the one
+    // that matters at scale: output is one FILE's rows, not the table.
     val q = df.where(col("d1") === 35)
     assert(q.collect().map(_.getAs[Long]("d0")).toSeq == Seq(35L))
     val scan = q.queryExecution.executedPlan.collectFirst {
@@ -449,8 +454,8 @@ class WorldSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.get
     assert(scan.scan.description().contains("RowGroupFilters: [EqualTo(d1,35)"),
       s"residual filter must reach the readers: ${scan.scan.description()}")
-    assert(scan.metrics("numOutputRows").value == 1,
-      s"readers must filter at the parquet layer, emitted ${scan.metrics("numOutputRows").value}")
+    assert(scan.metrics("numOutputRows").value <= 10,
+      s"readers must skip excluded row groups, emitted ${scan.metrics("numOutputRows").value}")
     // string predicate + conjunction with a range
     val q2 = df.where(col("s") === "tag_3" && col("d1") < 50)
     assert(q2.collect().map(_.getAs[Long]("d0")).toSet ==
