@@ -103,7 +103,7 @@ object Dedup {
       // world's single-writer contract, but it makes replay after a partial
       // failure safe (a fingerprint registered by a crashed run is skipped,
       // not duplicated)
-      world.tryInsert(fresh.select(col(dimCol), col(idCol).as("seen_id")))
+      world.tryInsertQuiet(fresh.select(col(dimCol), col(idCol).as("seen_id")))
       fresh
     }
   }
@@ -246,7 +246,7 @@ object Dedup {
         // (3) register ALL observed docs, losers included (non-transitivity:
         // a future doc near only a loser must still be caught); tryInsert
         // keeps a replayed batch idempotent and repairs partial registration
-        world.tryInsert(blockRows(sigKeys))
+        world.tryInsertQuiet(blockRows(sigKeys))
       } else {
         // kept-only: register admissions plus SELF-hit replays (a self hit
         // proves a prior run admitted this doc, so its possibly-partial
@@ -259,7 +259,7 @@ object Dedup {
           .select(idCol).distinct()
         val regIds = Pins.pin(
           fresh.select(col(idCol)).unionByName(selfHits))
-        world.tryInsert(blockRows(
+        world.tryInsertQuiet(blockRows(
           sigKeys.join(regIds, Seq(idCol), "left_semi")))
       }
       fresh
@@ -369,7 +369,7 @@ object Dedup {
       if (registerLosers) {
         // (3) all observed docs register, losers included; tryInsert keeps
         // replays idempotent and repairs partial registration
-        world.tryInsert(bandRows(bandKeys))
+        world.tryInsertQuiet(bandRows(bandKeys))
       } else {
         // kept-only: admissions plus SELF-hit replays (repair contract as
         // the SimHash sibling); the id set pins before feeding the store's
@@ -378,7 +378,7 @@ object Dedup {
           .select(idCol).distinct()
         val regIds = Pins.pin(
           fresh.select(col(idCol)).unionByName(selfHits))
-        world.tryInsert(bandRows(
+        world.tryInsertQuiet(bandRows(
           bandKeys.join(regIds, Seq(idCol), "left_semi")))
       }
       fresh
@@ -462,7 +462,7 @@ object Dedup {
       val freshFp = Pins.pin(intra.join(hits, Seq(idCol), "left_anti"))
       val fresh = freshFp.drop("__fps")
       onFresh(fresh)
-      world.tryInsert(storeRows(withFp))
+      world.tryInsertQuiet(storeRows(withFp))
       fresh
     }
   }

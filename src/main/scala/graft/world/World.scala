@@ -597,6 +597,18 @@ final class World(val spark: SparkSession, val path: String, val dims: Seq[DimSp
     rejected
   }
 
+  /** [[tryInsert]] without the rejected-rows count (r17) — for maintainers
+    * that ignore it (the incremental dedup stores register fingerprints
+    * per batch and never read the count): the write is the ONLY action, so
+    * the two count jobs and the caches they needed disappear. Registration
+    * semantics are identical — same anti-join against a file list frozen
+    * at df-creation, same versioned append. */
+  def tryInsertQuiet(rows: DataFrame): Unit = {
+    val incoming = withBuckets(validate(rows))
+    val fresh = incoming.join(df.select(col(idCol)), Seq(idCol), "left_anti")
+    fresh.write.format("graft").mode("append").save(path)
+  }
+
   /** Delete by id set — `Lazy::destroy` / `Chunk::remove`
     * (/root/reference/src/world/iter.rs:254-265, src/world.rs:77-87). Only
     * the partitions holding victims are rewritten; fully-emptied bucket
