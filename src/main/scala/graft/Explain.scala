@@ -30,8 +30,19 @@ object Explain {
         sys.error(s"unknown query '$name' — declared: " +
           SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
       println(s"\n==== $name ====")
-      try println(fn(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      // SPARK_GRAFT_EXPLAIN_EXEC=1: materialize first and print the FINAL
+      // AQE-resolved physical plan — the only place runtime decisions
+      // (ColumnarToRow under the vectorized connector path, AQE join
+      // rewrites, coalesced reads) are visible
+      try {
+        val df = fn(spark, sfDir)
+        if (sys.env.get("SPARK_GRAFT_EXPLAIN_EXEC").contains("1")) {
+          df.queryExecution.toRdd.foreachPartition(
+            (it: Iterator[_]) => while (it.hasNext) it.next())
+          println(df.queryExecution.executedPlan.toString)
+        } else println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
       // incremental-store queries pin checkpoints at CONSTRUCTION time;
       // release per query or an all-queries audit accumulates them
       finally ops.Pins.releaseAll()
