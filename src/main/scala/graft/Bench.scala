@@ -388,6 +388,16 @@ object Bench {
         java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
     System.out.println(line)
+    // The harness that grades rounds records only the last ~2000 characters
+    // of stdout; the full line above is ~40 KB (291 queries x per-run
+    // arrays), so two rounds of PERF comparisons collapsed to parsed:null.
+    // Emit a compact totals-only FINAL line — it fits any tail >= ~300
+    // chars, so the headline numbers always survive. The full per-query
+    // data is unchanged: the complete line above, bench_result.json, and
+    // BENCH_HISTORY.jsonl all still carry it.
+    val compact =
+      s"""{"metric":"total","value":$total,"value_run1":$totalRun1,"nqueries":${results.size},"host_degraded":$hostDegraded,"unit":"sec","sf":"$sfDir"}"""
+    System.out.println(compact)
     System.out.flush()
   }
 }

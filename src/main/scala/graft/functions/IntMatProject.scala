@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
@@ -49,12 +51,31 @@ case class IntMatProject(child: Expression, mat: Array[Long], outDims: Int)
           s"int_mat_project requires array<float|double>, got $other")
     }
 
+  /** Captured at plan time on the driver (as Cast does): the replaced
+    * chain's double→long cast only throws on non-finite values under ANSI;
+    * non-ANSI sessions get Scala's saturating toLong (NaN→0, ±Inf→extrema). */
+  private val ansiEnabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+
+  /** A NULL embedding must yield array(null × outDims), not NULL: the
+    * replaced chain was `array(agg_0 .. agg_{outDims-1})` and each per-j
+    * aggregate of a NULL input is null — the array constructor itself never
+    * is. posexplode therefore emits outDims rows with null y_u, which a
+    * NULL-propagating UnaryExpression would silently drop to 0 rows. */
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(new Array[Any](outDims))
+    else nullSafeEval(v)
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = new Array[Any](outDims)
     if (n == dim && !IntMatProject.anyBad(arr, elemIsFloat)) {
-      val micro = IntMatProject.microUnits(arr, elemIsFloat)
+      val micro = IntMatProject.microUnits(arr, elemIsFloat, ansiEnabled)
       var j = 0
       while (j < outDims) {
         var s = 0L
@@ -68,18 +89,22 @@ case class IntMatProject(child: Expression, mat: Array[Long], outDims: Int)
     new GenericArrayData(out)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val imp = IntMatProject.getClass.getName.stripSuffix("$")
-      val gad = classOf[GenericArrayData].getName
-      val m = ctx.addReferenceObj("mat", mat, "long[]")
-      val out = ctx.freshName("out"); val micro = ctx.freshName("micro")
-      val j = ctx.freshName("j"); val i = ctx.freshName("i")
-      val s = ctx.freshName("s"); val base = ctx.freshName("base")
-      s"""
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val imp = IntMatProject.getClass.getName.stripSuffix("$")
+    val gad = classOf[GenericArrayData].getName
+    val m = ctx.addReferenceObj("mat", mat, "long[]")
+    val out = ctx.freshName("out"); val micro = ctx.freshName("micro")
+    val j = ctx.freshName("j"); val i = ctx.freshName("i")
+    val s = ctx.freshName("s"); val base = ctx.freshName("base")
+    val resultCode =
+      code"""
+        |${childGen.code}
         |final Object[] $out = new Object[$outDims];
-        |if ($c.numElements() == $dim && !$imp.anyBad($c, $elemIsFloat)) {
-        |  final long[] $micro = $imp.microUnits($c, $elemIsFloat);
+        |if (!${childGen.isNull} && ${childGen.value}.numElements() == $dim &&
+        |    !$imp.anyBad(${childGen.value}, $elemIsFloat)) {
+        |  final long[] $micro =
+        |    $imp.microUnits(${childGen.value}, $elemIsFloat, $ansiEnabled);
         |  for (int $j = 0; $j < $outDims; $j++) {
         |    long $s = 0L;
         |    final int $base = $j * $dim;
@@ -89,9 +114,11 @@ case class IntMatProject(child: Expression, mat: Array[Long], outDims: Int)
         |    $out[$j] = $s;
         |  }
         |}
-        |${ev.value} = new $gad($out);
+        |final org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  new $gad($out);
       """.stripMargin
-    })
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): IntMatProject =
     copy(child = newChild)
@@ -114,26 +141,27 @@ object IntMatProject {
   }
 
   /** `round(cast(x as double) * 1e6, 0).cast(long)` per element — Spark's
-    * Round semantics exactly (BigDecimal HALF_UP) including the ANSI cast's
-    * overflow error on non-finite values, shared by the interpreted and
-    * codegen paths. */
-  def microUnits(arr: ArrayData, isFloat: Boolean): Array[Long] = {
+    * Round semantics exactly (BigDecimal HALF_UP; Round passes non-finite
+    * values through untouched), then the double→long Cast: under ANSI an
+    * overflow error on non-finite/out-of-range values, otherwise Scala's
+    * saturating toLong — mirroring Cast's ansiEnabled gate exactly. Shared
+    * by the interpreted and codegen paths. */
+  def microUnits(arr: ArrayData, isFloat: Boolean, ansi: Boolean): Array[Long] = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
       val d = (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) * 1e6
-      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
-        throw new ArithmeticException(
-          s"""[CAST_OVERFLOW] The value $d of the type "DOUBLE" cannot be """ +
-            """cast to "BIGINT" due to an overflow (int_mat_project, """ +
-            "matching the replaced ANSI round/cast chain)")
-      val r = java.math.BigDecimal.valueOf(d)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
-      if (r < Long.MinValue.toDouble || r > Long.MaxValue.toDouble)
+      val r =
+        if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+        else java.math.BigDecimal.valueOf(d)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (ansi && (java.lang.Double.isNaN(r) || java.lang.Double.isInfinite(r) ||
+          r < Long.MinValue.toDouble || r > Long.MaxValue.toDouble))
         throw new ArithmeticException(
           s"""[CAST_OVERFLOW] The value $r of the type "DOUBLE" cannot be """ +
-            """cast to "BIGINT" due to an overflow (int_mat_project)""")
+            """cast to "BIGINT" due to an overflow (int_mat_project, """ +
+            "matching the replaced ANSI round/cast chain)")
       out(i) = r.toLong
       i += 1
     }

@@ -80,10 +80,15 @@ object WinnowFingerprints {
     // document, dominating the md5 itself. The input is already UTF-8:
     // walk codepoint BYTE offsets once and feed md5 straight from the one
     // byte array (digest into a reused buffer, no per-gram allocation).
-    // Identical output: md5 over the same bytes. A malformed UTF-8 byte
+    // Identical output: md5 over the same bytes. A malformed byte sequence
     // (impossible for Spark-produced strings, defensively handled anyway)
     // falls back to the original String walk, whose replacement-char
-    // behavior the r16 kernel defined.
+    // behavior the r16 kernel defined. The validity scan is STRICT
+    // (r18, the r17 verdict's gap): surrogate-range encodings
+    // (ED A0..BF ..), overlong forms (C0/C1, E0 80..9F, F0 80..8F) and
+    // beyond-U+10FFFF (F4 90.., F5..) are rejected too — the String walk
+    // re-encodes exactly those as '?', so hashing their raw bytes would
+    // have silently changed fingerprints for WTF-8-ish parquet input.
     val bytes = text.getBytes
     val len = bytes.length
     var total = 0
@@ -93,13 +98,30 @@ object WinnowFingerprints {
       val b0 = bytes(bi) & 0xff
       val cl =
         if (b0 < 0x80) 1
-        else if ((b0 & 0xe0) == 0xc0) 2
+        else if (b0 >= 0xc2 && b0 <= 0xdf) 2
         else if ((b0 & 0xf0) == 0xe0) 3
-        else if ((b0 & 0xf8) == 0xf0) 4
-        else { valid = false; 1 }
+        else if (b0 >= 0xf0 && b0 <= 0xf4) 4
+        else { valid = false; 1 } // 0x80..0xc1 (stray continuation /
+                                  // overlong 2-byte), 0xf5..0xff
       if (bi + cl > len) valid = false
-      else {
-        var q = bi + 1
+      else if (valid) {
+        // second-byte range is start-byte-dependent (surrogates, overlongs,
+        // > U+10FFFF); remaining bytes are plain continuations
+        val b1 = if (cl > 1) bytes(bi + 1) & 0xff else 0
+        val b1ok = cl match {
+          case 1 => true
+          case 2 => (b1 & 0xc0) == 0x80
+          case 3 =>
+            if (b0 == 0xe0) b1 >= 0xa0 && b1 <= 0xbf       // reject overlong
+            else if (b0 == 0xed) b1 >= 0x80 && b1 <= 0x9f  // reject surrogates
+            else (b1 & 0xc0) == 0x80
+          case _ =>
+            if (b0 == 0xf0) b1 >= 0x90 && b1 <= 0xbf       // reject overlong
+            else if (b0 == 0xf4) b1 >= 0x80 && b1 <= 0x8f  // reject > U+10FFFF
+            else (b1 & 0xc0) == 0x80
+        }
+        if (!b1ok) valid = false
+        var q = bi + 2
         while (q < bi + cl && valid) {
           if ((bytes(q) & 0xc0) != 0x80) valid = false
           q += 1

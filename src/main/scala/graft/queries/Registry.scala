@@ -29,14 +29,27 @@ object Tables {
     * never rows — every query still scans the parquet itself), and the key
     * carries the file set's (name, length, mtime) stamp so a regenerated
     * table at the same path misses and re-infers. */
-  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), org.apache.spark.sql.types.StructType]()
+  private val schemaMemoMax = 128
+  private val schemaMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        (String, Seq[(String, Long, Long)]), org.apache.spark.sql.types.StructType](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+          (String, Seq[(String, Long, Long)]),
+          org.apache.spark.sql.types.StructType]): Boolean =
+        size() > schemaMemoMax
+    })
 
-  private def sourceStamp(path: String): String = {
+  /** Full (name, length, mtime) tuple per file — not its hashCode, which can
+    * collide silently. An unreadable/remote path lists as empty and so keys
+    * on (path, Nil): harmless here (fixture paths are local files), and a
+    * regenerated table still re-stamps because length/mtime change. */
+  private def sourceStamp(path: String): Seq[(String, Long, Long)] = {
     val f = new java.io.File(path)
-    val parts = if (f.isDirectory) f.listFiles.toSeq.sortBy(_.getName) else Seq(f)
-    java.lang.Integer.toHexString(
-      parts.map(x => (x.getName, x.length, x.lastModified)).hashCode)
+    val parts =
+      if (f.isDirectory) Option(f.listFiles).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
+      else Seq(f)
+    parts.map(x => (x.getName, x.length, x.lastModified))
   }
 
   /** Table loader. The driver's `events.ts` is parquet TIMESTAMP(NANOS),
@@ -46,8 +59,12 @@ object Tables {
     * ns->us read), so every query sees an ordinary TimestampType `ts`. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaMemo.computeIfAbsent((path, sourceStamp(path)),
-      _ => spark.read.parquet(path).schema)
+    val key = (path, sourceStamp(path))
+    val schema = Option(schemaMemo.get(key)).getOrElse {
+      val s = spark.read.parquet(path).schema
+      schemaMemo.put(key, s)
+      s
+    }
     val df = spark.read.schema(schema).parquet(path)
     if (name == "events")
       df.schema("ts").dataType match {

@@ -730,41 +730,21 @@ object TextOps {
 
     // the APPLY half of the tokenizer loop: encode every document with the
     // corpus's trained merges (ops.Text.bpeEncode — memoizing native
-    // kernel). The merge table is trained once per source corpus and
-    // cached behind a stamp-keyed file (same build-once discipline as the
-    // scan-query world fixtures: t_bpe_train is the query that MEASURES
-    // training; this one measures encode), so a regenerated corpus can
-    // never be served stale merges and a killed build leaves only a .tmp.
-    // The oracle re-runs the same 3 unrolled training steps as
-    // t_bpe_train's and applies them as an unrolled replace chain, so a
+    // kernel). The merges are trained INSIDE the query on every run (one
+    // bounded 3-row collect): no cross-run artifact is consumed in the
+    // timed region. The oracle re-runs the same 3 unrolled training steps
+    // as t_bpe_train's and applies them as an unrolled replace chain, so a
     // drift in EITHER training or application breaks the hash. (Both
     // sides assume >= 3 merges exist in the corpus — t_bpe_train's
     // standing assumption at every driver SF.)
     "t_bpe_encode" -> QueryDef(
       (s, dir) => {
-        val src = new java.io.File(s"$dir/documents.parquet")
-        val parts = if (src.isDirectory) src.listFiles.toSeq.sortBy(_.getName)
-                    else Seq(src)
-        val stamp = java.lang.Integer.toHexString(
-          parts.map(x => (x.getName, x.length, x.lastModified)).hashCode)
-        val f = new java.io.File(s"/tmp/graft_bpe_merges_${stamp}_" +
-          dir.replaceAll("[^0-9a-zA-Z]", "_") + ".tsv")
-        if (!f.isFile) {
-          // tokens never contain tabs (tab is a \s+ split boundary)
-          val lines = try graft.ops.Text.bpeTrain(t(s, dir, "documents"), "text", 3)
-            .orderBy("step").collect()
-            .map(r => s"${r.getLong(0)}\t${r.getString(1)}\t${r.getString(2)}")
-            finally graft.ops.Pins.releaseAll()
-          val tmp = new java.io.File(f.getPath + ".tmp")
-          java.nio.file.Files.write(tmp.toPath,
-            lines.mkString("\n").getBytes("UTF-8"))
-          tmp.renameTo(f)
-        }
-        import scala.jdk.CollectionConverters._
         import s.implicits._
-        val merges = java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
-          .map { l => val a = l.split("\t", -1); (a(0).toLong, a(1), a(2)) }
-          .toDF("step", "lhs", "rhs")
+        val merges = (try graft.ops.Text.bpeTrain(t(s, dir, "documents"), "text", 3)
+            .orderBy("step").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+            finally graft.ops.Pins.releaseAll())
+          .toSeq.toDF("step", "lhs", "rhs")
         graft.ops.Text.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
           merges).orderBy("doc_id")
       },

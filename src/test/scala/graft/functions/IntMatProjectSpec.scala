@@ -97,4 +97,34 @@ class IntMatProjectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(kernelFrame(withNull)) == rows(hofFrame(withNull)))
     assert(rows(kernelFrame(withNull)).forall(_._3 == null))
   }
+
+  test("NULL embedding yields outDims null rows, matching the array(null aggs) chain") {
+    // the chain is array(agg_0..agg_{n-1}) — each agg of a NULL input is
+    // null, the array itself never is, so posexplode emits outDims rows.
+    // A null-propagating kernel would emit 0 rows (r17 ADVICE, medium).
+    val nullEmb = spark.sql(
+      "SELECT 6L AS vec_id, cast(null as array<float>) AS embedding")
+    val k = rows(kernelFrame(nullEmb))
+    assert(k == rows(hofFrame(nullEmb)))
+    assert(k.size == outDims && k.forall(_._3 == null))
+    // interpreted path too
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(rows(kernelFrame(nullEmb)) == rows(hofFrame(nullEmb)))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("non-ANSI session: NaN saturates like the chain's cast instead of throwing") {
+    val nan = spark.createDataFrame(Seq(
+      (7L, Seq.tabulate(dim)(i => if (i == 5) Float.NaN else 0.1f))))
+      .toDF("vec_id", "embedding")
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try assert(rows(kernelFrame(nan)) == rows(hofFrame(nan)))
+    finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
 }

@@ -98,6 +98,45 @@ class WinnowFingerprintsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(run("CODEGEN_ONLY") == run("NO_CODEGEN"))
   }
+  test("r18 strict validation: surrogate/overlong/out-of-range bytes take the String fallback") {
+    // the r17 structural check accepted WTF-8-ish sequences and hashed their
+    // raw bytes, silently diverging from the r16 String walk (which decodes
+    // them as replacement chars). The strict validator must route every such
+    // input through the fallback, i.e. equal the reference over toString.
+    def bad(prefixLen: Int, seq: Array[Int]): Array[Byte] = {
+      val pre = ("x" * prefixLen).getBytes("UTF-8")
+      val post = "abcdefghij".getBytes("UTF-8")
+      pre ++ seq.map(_.toByte) ++ post
+    }
+    val cases = Seq(
+      "surrogate ED A0 80" -> bad(3, Array(0xed, 0xa0, 0x80)),
+      "surrogate ED BF BF" -> bad(3, Array(0xed, 0xbf, 0xbf)),
+      "overlong C0 AF" -> bad(3, Array(0xc0, 0xaf)),
+      "overlong C1 81" -> bad(3, Array(0xc1, 0x81)),
+      "overlong E0 80 AF" -> bad(3, Array(0xe0, 0x80, 0xaf)),
+      "overlong F0 80 80 AF" -> bad(3, Array(0xf0, 0x80, 0x80, 0xaf)),
+      "beyond U+10FFFF F4 90 80 80" -> bad(3, Array(0xf4, 0x90, 0x80, 0x80)),
+      "invalid start F5" -> bad(3, Array(0xf5, 0x80)),
+      "stray continuation 80" -> bad(3, Array(0x80)),
+      "truncated tail E4 B8" ->
+        ("abcdefghij".getBytes("UTF-8") ++ Array(0xe4.toByte, 0xb8.toByte)))
+    for ((name, bytes) <- cases) {
+      val u = UTF8String.fromBytes(bytes)
+      val a = WinnowFingerprints.compute(u, 4, 3)
+      val got = (0 until a.numElements()).map(a.getLong)
+      assert(got == reference(u.toString, 4, 3), name)
+    }
+    // and strictly-valid boundary forms must still take the fast path and
+    // agree with the reference: E0 A0 80 (lowest 3-byte), ED 9F BF (just
+    // below surrogates), F0 90 80 80 (lowest 4-byte), F4 8F BF BF (U+10FFFF)
+    val edge = "ab".getBytes("UTF-8") ++
+      Array(0xe0, 0xa0, 0x80, 0xed, 0x9f, 0xbf, 0xf0, 0x90, 0x80, 0x80,
+        0xf4, 0x8f, 0xbf, 0xbf).map(_.toByte) ++ "cdefgh".getBytes("UTF-8")
+    val ue = UTF8String.fromBytes(edge)
+    val ae = WinnowFingerprints.compute(ue, 4, 3)
+    assert((0 until ae.numElements()).map(ae.getLong) == reference(ue.toString, 4, 3))
+  }
+
   test("r17 byte-walk equals the String walk on mixed multibyte text") {
     // the optimized kernel walks UTF-8 byte offsets directly; this pins it
     // against the independent codepoint/String reference on text mixing
