@@ -31,10 +31,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scope (decided SCAN-UNIFORMLY on the driver and stamped into every
   * partition, because Spark forbids mixing row and columnar partitions in
-  * one scan): data reads with no deletion vector on any planned file, no
-  * `_pos` row-address column (ordinal bookkeeping stays on the row
-  * reader), and only types the repo's worlds actually store (atomics +
-  * arrays of atomics). Everything the row reader resolves PER FILE —
+  * one scan): data reads with no `_pos` row-address column (ordinal
+  * bookkeeping stays on the row reader) and only types the repo's worlds
+  * actually store (atomics + arrays of atomics). Merge-on-read deletion
+  * vectors ARE served (r18): batches decode vectorized and the sorted
+  * deleted ordinals are applied as a surviving-row index view over the
+  * batch ([[GraftMappedColumnVector]]) — no copy, one int indirection per
+  * access; block-level predicates are dropped for dv'd files exactly like
+  * the row path so physical ordinals stay aligned with the vector.
+  * Everything the row reader resolves PER FILE —
   * rename aliases, schema-evolution null columns, ADD COLUMN existence
   * defaults, INT32→BIGINT widened files (the vectorized reader widens
   * natively since Spark 4.0) — is resolved identically here: present data
@@ -89,16 +94,36 @@ class GraftColumnarPartitionReader(p: GraftInputPartition,
   private val conf = new Configuration()
   private var reader: VectorizedParquetRecordReader = _
   private var out: ColumnarBatch = _
+  // required-order view through the dv survivor mapping (dv'd files only)
+  private var mappedOut: ColumnarBatch = _
+  private var current: ColumnarBatch = _
   private var emittedRows = 0L
+  // merge-on-read deletion vector: sorted physical ordinals to skip, with a
+  // monotone cursor (batches arrive in ordinal order — no filters are
+  // pushed when a dv is present, so row groups are never skipped)
+  private var dv: Array[Long] = Array.emptyLongArray
+  private var dvIdx = 0
+  private var baseOrdinal = 0L
+  private val mapping = new Array[Int](GraftColumnarPartitionReader.Capacity)
+  // const-only projection (no required data column present in THIS file —
+  // pre-ADD-COLUMN files under schema evolution, or bucket/_cell-only
+  // reads): batches are synthesized from constant vectors, no parquet
+  // reader at all (the r17 path handed VectorizedParquetRecordReader an
+  // empty requested schema and leaned on undocumented behavior)
+  private var constOnlyRemaining = -1L
 
   locally {
     val filePath = new Path(p.file)
     val inFile = HadoopInputFile.fromPath(filePath, conf)
     val pfr = ParquetFileReader.open(inFile)
-    val (fileSchema, fileLen, footer) =
+    val (fileSchema, fileLen, footer, rowCount) =
       try (pfr.getFooter.getFileMetaData.getSchema, inFile.getLength,
-        pfr.getFooter)
+        pfr.getFooter, pfr.getRecordCount)
       finally pfr.close()
+    if (p.dvPath != null) {
+      val dvP = new Path(p.dvPath)
+      dv = GraftDv.read(dvP.getFileSystem(conf), dvP)
+    }
 
     def fieldInFile(name: String): Option[String] =
       GraftDataSource.resolveInFile(fileSchema, name, aliases)
@@ -143,6 +168,24 @@ class GraftColumnarPartitionReader(p: GraftInputPartition,
     val constRow: InternalRow = new GenericInternalRow(
       constIdx.map(i => resolved(i).swap.toOption.get.value: Any))
 
+    if (dataIdx.isEmpty) {
+      // every required column is a per-partition constant for this file:
+      // serve (rowCount - |dv|) rows of constants in capacity-sized batches
+      constOnlyRemaining = rowCount - dv.length
+      val cols: Array[ColumnVector] = required.fields.indices.map { i =>
+        val c = new org.apache.spark.sql.execution.vectorized
+          .ConstantColumnVector(GraftColumnarPartitionReader.Capacity,
+            required.fields(i).dataType)
+        // dataIdx is empty, so constIdx covers every required index in
+        // order: position in constRow == required position
+        org.apache.spark.sql.execution.vectorized.ColumnVectorUtils
+          .populate(c, constRow, i)
+        c: ColumnVector
+      }.toArray
+      out = new ColumnarBatch(cols)
+      current = out
+    } else {
+
     // ---- hadoop conf the vectorized reader's ReadSupport consults ----
     conf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport]
@@ -161,17 +204,22 @@ class GraftColumnarPartitionReader(p: GraftInputPartition,
     conf.set(ParquetInputFormat.COLUMN_INDEX_FILTERING_ENABLED, "false")
     conf.set(ParquetInputFormat.DICTIONARY_FILTERING_ENABLED, "false")
     val types = required.fields.map(f => f.name -> f.dataType).toMap
-    val preds = residual.toSeq
-      .filter(_.references.forall(r => fileSchema.containsField(r) &&
-        GraftDataSource.parquetPredicateCompatible(fileSchema, r, types.get(r))))
-      .flatMap(GraftDataSource.toParquetPredicate(_, types))
+    // a dv'd file takes NO block-level predicate: a stats row-group skip
+    // would silently desynchronize physical ordinals from the vector (the
+    // same rule the row reader applies via needsOrdinals)
+    val preds =
+      if (dv.nonEmpty) Nil
+      else residual.toSeq
+        .filter(_.references.forall(r => fileSchema.containsField(r) &&
+          GraftDataSource.parquetPredicateCompatible(fileSchema, r, types.get(r))))
+        .flatMap(GraftDataSource.toParquetPredicate(_, types))
     preds.reduceOption(
         org.apache.parquet.filter2.predicate.FilterApi.and(_, _))
       .foreach(ParquetInputFormat.setFilterPredicate(conf, _))
 
     reader = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC",
-      /* useOffHeap = */ false, /* capacity = */ 4096)
+      /* useOffHeap = */ false, GraftColumnarPartitionReader.Capacity)
     val split = new FileSplit(filePath, 0, fileLen, Array.empty[String])
     val ctx = new TaskAttemptContextImpl(conf,
       new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP, 0), 0))
@@ -196,24 +244,109 @@ class GraftColumnarPartitionReader(p: GraftInputPartition,
         }
       }.toArray
       out = new ColumnarBatch(cols)
+      if (dv.nonEmpty)
+        mappedOut = new ColumnarBatch(
+          cols.map(c => new GraftMappedColumnVector(c, mapping): ColumnVector))
       ok = true
     } finally if (!ok) reader.close()
+    }
   }
 
   override def next(): Boolean = {
     if (p.limit >= 0 && emittedRows >= p.limit) return false
-    if (!reader.nextBatch()) return false
-    var n = reader.resultBatch().numRows()
-    // pushed per-partition limit: truncate the final batch (batch vectors
-    // are positional from row 0, so keeping the first k rows is exact)
-    if (p.limit >= 0 && emittedRows + n > p.limit)
-      n = (p.limit - emittedRows).toInt
-    out.setNumRows(n)
-    emittedRows += n
-    n > 0
+    if (constOnlyRemaining >= 0L) {
+      if (constOnlyRemaining <= 0L) return false
+      var n = math.min(constOnlyRemaining,
+        GraftColumnarPartitionReader.Capacity.toLong).toInt
+      if (p.limit >= 0 && emittedRows + n > p.limit)
+        n = (p.limit - emittedRows).toInt
+      constOnlyRemaining -= n
+      out.setNumRows(n)
+      emittedRows += n
+      return n > 0
+    }
+    // dv application: batches stream in physical-ordinal order; a batch
+    // containing deleted ordinals is served through the survivor index view
+    // (decode stays vectorized, survivors pay one int indirection); a batch
+    // with no deletions is served direct. Fully-deleted batches are skipped.
+    var live = 0
+    var mapped = false
+    var more = true
+    while (live == 0 && more) {
+      if (!reader.nextBatch()) more = false
+      else {
+        val n = reader.resultBatch().numRows()
+        if (dvIdx >= dv.length || dv(dvIdx) >= baseOrdinal + n) {
+          live = n
+          mapped = false
+        } else {
+          var i = 0
+          while (i < n) {
+            if (dvIdx < dv.length && dv(dvIdx) == baseOrdinal + i) dvIdx += 1
+            else { mapping(live) = i; live += 1 }
+            i += 1
+          }
+          mapped = true
+        }
+        baseOrdinal += n
+      }
+    }
+    if (live == 0) return false
+    // pushed per-partition limit counts LIVE rows (like the row reader);
+    // truncate the final batch (mapping/vectors are positional from row 0,
+    // so keeping the first k rows is exact)
+    if (p.limit >= 0 && emittedRows + live > p.limit)
+      live = (p.limit - emittedRows).toInt
+    current = if (mapped) mappedOut else out
+    current.setNumRows(live)
+    emittedRows += live
+    live > 0
   }
 
-  override def get(): ColumnarBatch = out
+  override def get(): ColumnarBatch = current
 
   override def close(): Unit = if (reader != null) reader.close()
+}
+
+object GraftColumnarPartitionReader {
+  /** Rows per ColumnarBatch — matches Spark's vectorized-reader default. */
+  val Capacity = 4096
+}
+
+/** Read-only view of `base` through a shared survivor index map:
+  * accessor(rowId) == base.accessor(map(rowId)). Applies a merge-on-read
+  * deletion vector to a ColumnarBatch without copying vectors — the parquet
+  * decode stays vectorized and surviving rows pay one int indirection per
+  * access. The map array is OWNED by the partition reader and rewritten per
+  * batch; only indices below the served batch's numRows are valid. Struct /
+  * nested-map children never occur here (GraftColumnar.supportedSchema
+  * admits atomics and arrays of atomics only); getArray delegates by mapped
+  * ordinal, so element data rides the base vector's own child. */
+private[sources] final class GraftMappedColumnVector(
+    base: ColumnVector, map: Array[Int])
+    extends ColumnVector(base.dataType()) {
+  // base vectors are owned (and closed) by the parquet reader
+  override def close(): Unit = ()
+  // conservative: pre-filter null presence — only ever disables a no-null
+  // fast path, never claims a null row is non-null
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls: Int = base.numNulls
+  override def isNullAt(rowId: Int): Boolean = base.isNullAt(map(rowId))
+  override def getBoolean(rowId: Int): Boolean = base.getBoolean(map(rowId))
+  override def getByte(rowId: Int): Byte = base.getByte(map(rowId))
+  override def getShort(rowId: Int): Short = base.getShort(map(rowId))
+  override def getInt(rowId: Int): Int = base.getInt(map(rowId))
+  override def getLong(rowId: Int): Long = base.getLong(map(rowId))
+  override def getFloat(rowId: Int): Float = base.getFloat(map(rowId))
+  override def getDouble(rowId: Int): Double = base.getDouble(map(rowId))
+  override def getArray(rowId: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    base.getArray(map(rowId))
+  override def getMap(ordinal: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    base.getMap(map(ordinal))
+  override def getDecimal(rowId: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    base.getDecimal(map(rowId), precision, scale)
+  override def getUTF8String(rowId: Int): UTF8String =
+    base.getUTF8String(map(rowId))
+  override def getBinary(rowId: Int): Array[Byte] = base.getBinary(map(rowId))
+  override def getChild(ordinal: Int): ColumnVector = base.getChild(ordinal)
 }

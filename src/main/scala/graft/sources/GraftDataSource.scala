@@ -1350,8 +1350,11 @@ final case class GraftInputPartition(file: String, buckets: Map[String, Long],
     dvPath: String = null, dvCount: Long = 0L,
     // vectorized read (r17): decided SCAN-UNIFORMLY by planInputPartitions
     // (Spark forbids mixing row and columnar partitions in one scan) —
-    // true only when NO planned file carries a deletion vector and the
-    // required schema is vector-servable (GraftColumnar.supportedSchema)
+    // true when the required schema is vector-servable
+    // (GraftColumnar.supportedSchema). Deletion vectors are served
+    // columnar too (r18): the reader applies them as a survivor index view
+    // over each batch, ordinal-exact because dv'd files take no
+    // block-level predicate.
     columnar: Boolean = false)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -1658,8 +1661,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       })
       fileRecorder.foreach { r => r.clear(); survivors.foreach(x => r.add(x._1)) }
       val columnarOk = hasDataCols && GraftColumnar.enabled &&
-        GraftColumnar.supportedSchema(required) &&
-        survivors.forall(_._3.isEmpty)
+        GraftColumnar.supportedSchema(required)
       return survivors
         .map { case (f, b, dv) =>
           // getOrElse: a pre-regrid file lacks buckets a later geometry
@@ -1736,8 +1738,7 @@ class GraftScan(path: String, required: StructType, pushed: Array[Filter],
       survivors.foreach { case (f, _, _) => r.add(new Path(f).toUri.getPath) }
     }
     val columnarOk = hasDataCols && GraftColumnar.enabled &&
-      GraftColumnar.supportedSchema(required) &&
-      survivors.forall(_._3.isEmpty)
+      GraftColumnar.supportedSchema(required)
     survivors.map { case (p, b, dv) =>
       GraftInputPartition(p, b, !hasDataCols, limit,
         keys.map(b(_)),

@@ -479,6 +479,52 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE dvcat.wd")
   }
 
+  test("r18 columnar MoR read: dv'd scans stay vectorized and match the row reader") {
+    spark.sql("CREATE TABLE dvcat.tcol (d0 BIGINT, v BIGINT, s STRING, c0 BIGINT)")
+    spark.sql("INSERT INTO dvcat.tcol SELECT id, id * 10, concat('s', id), id DIV 25" +
+      " FROM range(0, 100)")
+    // deletes spread over several files/cells, including a batch-boundary-ish
+    // mix of early/late ordinals
+    spark.sql("DELETE FROM dvcat.tcol WHERE d0 IN (0, 1, 13, 24, 25, 49, 50, 99)")
+    def readAll() = spark.read.format("graft").load(s"$warehouse/tcol")
+    val df = readAll().orderBy("d0")
+    val viaColumnar = df.collect().toSeq
+    // the scan stays columnar DESPITE the deletion vectors (r17 forced the
+    // row reader whenever any planned file carried a dv); checked on the
+    // FINAL plan — AQE only shows the ColumnarToRow transition post-run
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      df.queryExecution.executedPlan.toString)
+    val deleted = Set(0L, 1L, 13L, 24L, 25L, 49L, 50L, 99L)
+    assert(viaColumnar.size == 92 &&
+      !viaColumnar.exists(r => deleted(r.getAs[Long]("d0"))))
+    // row-reader ground truth via the session escape hatch
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    val viaRow =
+      try {
+        val d = readAll().orderBy("d0")
+        val rows = d.collect().toSeq
+        assert(!d.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+        rows
+      } finally spark.conf.set("spark.sql.parquet.enableVectorizedReader", "true")
+    assert(viaColumnar == viaRow)
+    // pushed limit counts LIVE rows on both paths
+    assert(readAll().limit(95).count() == 92L)
+    // const-only projection (bucket + _cell — no data column) through dv'd
+    // files: the synthesized constant batches still debit the vector
+    val constCols = readAll().select("c0", "_cell").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    val constRows =
+      try readAll().select("c0", "_cell").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      finally spark.conf.set("spark.sql.parquet.enableVectorizedReader", "true")
+    assert(constCols == constRows && constCols.size == 92)
+    // residual filter over a dv'd columnar scan: Spark's re-check keeps it
+    // row-exact even though block predicates are dropped for ordinal safety
+    assert(readAll().where("v >= 130 AND v < 300").count() ==
+      (13L until 30L).filterNot(deleted).size.toLong)
+  }
+
   test("DELETE matching nothing seals no version; bucket DELETE stays metadata") {
     val (fs, root) = fsOf(s"$warehouse/t")
     val before = GraftVersions.latestVersion(fs, root).get
