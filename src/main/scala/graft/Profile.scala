@@ -53,7 +53,13 @@ object Profile {
           r.taskNanos += si.taskMetrics.executorRunTime * 1000000L
           r.tasks += si.numTasks
           r.stages += 1
-          r.stageNames += si.name.takeWhile(_ != '\n')
+          // AQE-materialized stages inherit a meaningless CompletableFuture
+          // callsite; the stage's long-form details still carry the repo
+          // frame that submitted it — that's the attributable name
+          val graftFrame = si.details.split('\n')
+            .find(l => l.contains("graft.") && !l.contains("graft.Profile"))
+            .map(_.trim.stripPrefix("at ").takeWhile(_ != ')') + ")")
+          r.stageNames += graftFrame.getOrElse(si.name.takeWhile(_ != '\n'))
         }
       }
     })
@@ -89,12 +95,16 @@ object Profile {
         recs.foreach { r =>
           val gap = (r.t0 - prevEnd) / 1e3
           prevEnd = math.max(prevEnd, r.t1)
+          // the generic AQE-stage callsite ("withThreadLocalCaptured") says
+          // nothing — stage names are the informative part, print them first
+          val label =
+            if (r.desc.contains("withThreadLocalCaptured") || r.desc.isEmpty)
+              r.stageNames.distinct.take(4).mkString("; ")
+            else r.desc.take(60) + " | " + r.stageNames.distinct.take(3).mkString("; ")
           println(f"  job ${r.id}%4d  +${(r.t0 - base) / 1e3}%8.3f s  " +
             f"wall ${(r.t1 - r.t0) / 1e3}%7.3f s  gap $gap%7.3f s  " +
             f"taskTime ${r.taskNanos / 1e9}%8.3f s  tasks ${r.tasks}%5d  " +
-            f"stages ${r.stages}%2d  " +
-            (r.desc.take(60) + " | " +
-              r.stageNames.distinct.take(3).mkString("; ")).take(170))
+            f"stages ${r.stages}%2d  " + label.take(220))
         }
         val jobWall = recs.map(r => (r.t1 - r.t0) / 1e3).sum
         val gaps = wall - jobWall

@@ -194,7 +194,10 @@ object Dedup {
       .join(batchBlocks.select(col(idCol).as("__ib"), col("__sig").as("__hb"),
         col("__key")), Seq("__key"))
       .where(col("__ia") < col("__ib"))
-      .select("__ia", "__ha", "__ib", "__hb").distinct()
+      // hamming-filter BEFORE deduplicating: bit_count is a one-instruction
+      // codegen op, so re-checking a pair that collides in several blocks is
+      // far cheaper than a wide 4-column shuffle-distinct of the whole pair
+      // set — the surviving ids deduplicate narrow (r18)
       .where(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxDist)
       .select(col("__ib").as(idCol)).distinct()
     // within-batch survivors, as narrow signature rows
@@ -226,9 +229,9 @@ object Dedup {
       val hitPairs = blocksOf(intraKeys)
         .join(world.df.select(col("probe_key").as("__key"),
           col("seen_id"), col("seen_sig")), Seq("__key"))
-        .select(col(idCol), col("__sig"), col("seen_id"), col("seen_sig"))
-        .distinct()
+        // filter first, dedupe narrow afterwards (see intraDrops note)
         .where(bit_count(col("__sig").bitwiseXOR(col("seen_sig"))) <= maxDist)
+        .select(col(idCol), col("seen_id"))
       // a SELF hit (seen_id == this id) is a replayed doc from a run that
       // crashed after registering at least one of its block rows: not
       // fresh (the crashed run's onFresh already emitted it), and its
@@ -324,15 +327,16 @@ object Dedup {
         .as(Seq("__band", "__bh"))))
 
     // (1) within-batch: any band collision decides; smaller id wins.
-    // Rows are (doc, band)-unique by construction (posexplode of one key
-    // per band), so the pinned frame joins with itself directly — the old
-    // planted-Exchange .distinct() reuse trick is superseded by the pin.
-    val intraDrops = bandKeys
-      .select(col(idCol).as("__ia"), col("__band"), col("__bh"))
-      .join(bandKeys.select(col(idCol).as("__ib"), col("__band"),
-        col("__bh")), Seq("__band", "__bh"))
-      .where(col("__ia") < col("__ib"))
-      .select(col("__ib").as(idCol)).distinct()
+    // "collides with a smaller id on some band" ⟺ id > min(id) over the
+    // (band, bh) key — one aggregation + one join instead of the band
+    // self-join, whose output is Σ_key cnt² pairs (a band value shared by
+    // k docs costs k² pair rows there, O(k) here — the hot-key quadratic
+    // the guide's skew section warns about, removed outright).
+    val keyMin = bandKeys.groupBy(col("__band"), col("__bh"))
+      .agg(min(col(idCol)).as("__m"))
+    val intraDrops = bandKeys.join(keyMin, Seq("__band", "__bh"))
+      .where(col(idCol) > col("__m"))
+      .select(col(idCol)).distinct()
     // within-batch survivors, as narrow band-key rows
     val keptKeys = bandKeys.join(intraDrops, Seq(idCol), "left_anti")
 
@@ -354,11 +358,13 @@ object Dedup {
       world.create(bandRows(if (registerLosers) bandKeys else keptKeys))
       fresh
     } else {
-      // (2) cross-batch: candidates from the (band, bh) equality join only
+      // (2) cross-batch: candidates from the (band, bh) equality join only;
+      // consumers deduplicate narrow (id alone / the self-hit ids) instead
+      // of a wide pair distinct here (r18)
       val hits = keptKeys
         .join(world.df.select(col("band").as("__band"), col("bh").as("__bh"),
           col("seen_id")), Seq("__band", "__bh"))
-        .select(col(idCol), col("seen_id")).distinct()
+        .select(col(idCol), col("seen_id"))
       val crossDrops = hits.select(idCol).distinct()
       // pinned BEFORE the store mutates — the self-anti-join trap, see
       // incrementalDedup's scaladoc
@@ -431,13 +437,19 @@ object Dedup {
       .where(size(col("__fps")) > 0)
       .select(col(idCol), explode(col("__fps")).as("__fp"))
     val bf = fpRows(withFp)
-    val intraDrops = bf.select(col(idCol).as("__ia"), col("__fp"))
-      .join(bf.select(col(idCol).as("__ib"), col("__fp")), Seq("__fp"))
-      .where(col("__ia") < col("__ib"))
-      .select(col("__ib"), col("__fp")).distinct()
-      .groupBy("__ib").agg(count(lit(1)).as("__n"))
+    // "shares this fp with a smaller-id batch doc" ⟺ id > min(id over the
+    // fp): one aggregation + one join instead of the fp self-join, whose
+    // output is Σ_fp cnt² pairs — boilerplate fingerprints shared by k docs
+    // cost k² pair rows there (measured 24 s task-time on the sf0.1 batch)
+    // and O(k) here. bf is (id, fp)-unique by kernel distinctness, so the
+    // per-id count of qualifying rows IS the count of distinct shared fps —
+    // exactly the old distinct-pair count.
+    val fpMin = bf.groupBy(col("__fp")).agg(min(col(idCol)).as("__m"))
+    val intraDrops = bf.join(fpMin, Seq("__fp"))
+      .where(col(idCol) > col("__m"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
       .where(col("__n") >= minShared)
-      .select(col("__ib").as(idCol))
+      .select(col(idCol))
     val intra = Pins.pin(withFp.join(intraDrops, Seq(idCol), "left_anti"))
     // one store row per fingerprint: the first witness is enough — a probe
     // only asks "is this fingerprint known", never "known by whom else"
