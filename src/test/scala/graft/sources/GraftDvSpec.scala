@@ -525,6 +525,42 @@ class GraftDvSpec extends AnyFunSuite with BeforeAndAfterAll {
       (13L until 30L).filterNot(deleted).size.toLong)
   }
 
+  test("r18 columnar MoR read: dv mapping is exact across 4096-row batch boundaries") {
+    // one cell = one file of 24k rows = 6 ColumnarBatches; deletes at batch
+    // edges (0, 4095, 12288, last row) plus a dense range that wipes out
+    // ALL of batch 2 (ordinals 4096..8191) — exercising the
+    // skip-fully-deleted-batch loop and the baseOrdinal cursor across
+    // batches. 4100 deletes on 24000 rows (17%) stays under the 20%
+    // vector-abandon cutover so the file keeps its dv.
+    spark.sql("CREATE TABLE dvcat.tbig (d0 BIGINT, v BIGINT, c0 BIGINT)")
+    spark.sql("INSERT INTO dvcat.tbig SELECT id, id * 3, 0 FROM range(0, 24000)")
+    spark.sql("DELETE FROM dvcat.tbig WHERE d0 = 0 OR d0 = 4095" +
+      " OR (d0 BETWEEN 4096 AND 8191) OR d0 = 12288 OR d0 = 23999")
+    val (fs, root) = fsOf(s"$warehouse/tbig")
+    val entries = GraftVersions.readEntries(fs, root,
+      GraftVersions.latestVersion(fs, root).get)
+    assert(entries.exists(_.dv.isDefined),
+      s"the delete must stay merge-on-read for this test to mean anything: $entries")
+    val deleted = (l: Long) => l == 0L || l == 4095L ||
+      (l >= 4096L && l <= 8191L) || l == 12288L || l == 23999L
+    val expect = (0L until 24000L).filterNot(deleted)
+    def readSum() = {
+      val rows = spark.read.format("graft").load(s"$warehouse/tbig")
+        .select("d0", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.forall { case (d, v) => v == d * 3 },
+        "survivor rows must keep their own values (no off-by-one row slip)")
+      rows.map(_._1).sorted.toSeq
+    }
+    val viaColumnar = readSum()
+    assert(viaColumnar == expect)
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    try assert(readSum() == expect)
+    finally spark.conf.set("spark.sql.parquet.enableVectorizedReader", "true")
+    // live-row limit across the wiped-out middle batch
+    assert(spark.read.format("graft").load(s"$warehouse/tbig")
+      .limit(5000).count() == 5000L)
+  }
+
   test("DELETE matching nothing seals no version; bucket DELETE stays metadata") {
     val (fs, root) = fsOf(s"$warehouse/t")
     val before = GraftVersions.latestVersion(fs, root).get
