@@ -51,7 +51,13 @@ object ScaleProbe {
       * discipline as the world fixtures (TESTDATA.md): keyed on (sf, rep),
       * deterministic content, ready-marker guarded. */
     def replicate(name: String, idCol: String, cols: Seq[String]): DataFrame = {
-      val path = s"/tmp/graft_scaleprobe_${name}_${rep}_" +
+      val srcFile = new java.io.File(s"$sfDir/$name.parquet")
+      val parts = if (srcFile.isDirectory)
+        Option(srcFile.listFiles).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
+      else Seq(srcFile)
+      val stamp = java.lang.Integer.toHexString(
+        parts.map(x => (x.getName, x.length, x.lastModified)).hashCode)
+      val path = s"/tmp/graft_scaleprobe_${name}_${rep}_${stamp}_" +
         sfDir.replaceAll("[^0-9a-zA-Z]", "_")
       val marker = new java.io.File(path, "_graft_ready")
       if (!marker.exists) {
